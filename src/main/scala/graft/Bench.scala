@@ -1,5 +1,16 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries against
+  * sys.env("SPARK_GRAFT_SF_DIR") and prints one JSON line.
+  *
+  * Each query is fully materialized through the `noop` sink (so projections
+  * and windows are actually computed, unlike a `count()` which Catalyst can
+  * prune to a scan). Best-of-2 per query: the first pass pays JIT/codegen
+  * warmup, the second measures steady-state — closer to the per-query cost
+  * a long-running cluster job would see.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +18,29 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val results = SparkEntry.headlineQueries.map { q =>
+      val a = timeOnce(q.fn)
+      val b = timeOnce(q.fn)
+      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      q.name -> best
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity-search operators over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Exactness: double→decimal casts are a cross-engine minefield (Spark
+  * rounds the shortest string repr HALF_UP, DuckDB rounds the exact binary
+  * value half-even, and JDK 17's Double.toString is not always the true
+  * shortest repr). The only conversions that agree bit-for-bit in both
+  * engines are: (a) floor() of any double, (b) integer↔decimal for
+  * |v| < 2^52, and (c) exact-digit-string → double (correctly rounded).
+  * So every per-element term t is quantized as floor(t · 2^48) — an exact
+  * int64 — summed exactly in DECIMAL(38,0), converted via digit string to
+  * double, and unscaled by 2^48 (a pure exponent shift). The resulting
+  * operator is a deterministic fixed-point (2^-48-quantized) computation
+  * that both engines reproduce exactly.
+  *
+  * Scale posture: brute-force kNN broadcasts the (small) query set against
+  * the full corpus — a map-side-only plan with a final per-query top-k; the
+  * LSH-bucketed variant (see ext/) bounds candidate pairs at 100 TB.
+  */
+object EmbeddingQueries {
+
+  private val Dec0 = DecimalType(38, 0)
+  // 2^48 — exactly representable; multiplying/dividing by it only shifts
+  // the exponent. floor(t * 2^48) stays below 2^52 for |t| < 16.
+  private val P48: Double = java.lang.Double.parseDouble("281474976710656")
+  private val SqlP48 = "CAST('281474976710656' AS DOUBLE)"
+
+  /** Deterministic 2^-48-quantized dot product of two float arrays (class
+    * doc explains why this is the exactness-safe formulation). Spark's
+    * floor(double) yields LongType — exact int64 terms — folded exactly in
+    * DECIMAL(38,0).
+    */
+  private def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(P48)).cast(Dec0)),
+      lit(0).cast(Dec0),
+      (acc, v) => (acc + v).cast(Dec0)).cast(StringType).cast(DoubleType) / lit(P48)
+
+  private def norm2Exact(a: Column): Column = dotExact(a, a)
+
+  /** DuckDB side of the same computation over an exploded (id, i, x) view. */
+  private def sqlDot(xa: String, xb: String): String =
+    s"(CAST(CAST(SUM(CAST(FLOOR($xa * $xb * $SqlP48) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / $SqlP48)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- per-vector squared L2 norm ----
+    QueryDef(
+      "q50_emb_norms",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        e.select(col("vec_id"), norm2Exact(col("embedding")).as("norm2"))
+      },
+      Some(s"""SELECT vec_id, ${sqlDot("x", "x")} AS norm2
+        FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+        GROUP BY vec_id""")),
+
+    // ---- brute-force cosine top-3 neighbors for a query set ----
+    QueryDef(
+      "q51_knn_bruteforce",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val pairs = c.join(broadcast(q), col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"),
+            dotExact(col("qemb"), col("cemb")).as("dot"),
+            norm2Exact(col("qemb")).as("qn2"),
+            norm2Exact(col("cemb")).as("cn2"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+        pairs
+          .select(col("qid"), col("cid"), (col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cosine"))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 3)
+      },
+      Some(s"""WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            CAST(UNNEST(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        dots AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid, ${sqlDot("q.x", "c.x")} AS dot
+          FROM ex q JOIN ex c ON q.i = c.i
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+          GROUP BY 1, 2
+        ),
+        norms AS (
+          SELECT vec_id, ${sqlDot("x", "x")} AS n2
+          FROM ex GROUP BY vec_id
+        )
+        SELECT qid, cid, cosine, rn FROM (
+          SELECT qid, cid, dot / (sqrt(qn.n2) * sqrt(cn.n2)) AS cosine,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY dot / (sqrt(qn.n2) * sqrt(cn.n2)) DESC, cid) AS BIGINT) AS rn
+          FROM dots JOIN norms qn ON dots.qid = qn.vec_id
+            JOIN norms cn ON dots.cid = cn.vec_id)
+        WHERE rn <= 3"""),
+      headline = true),
+
+    // ---- per-label centroids (vector aggregation) ----
+    QueryDef(
+      "q52_label_centroids",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        e.select(col("label").cast(LongType).as("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos").cast(LongType).as("dim"))
+          .agg(
+            ((sum(floor(col("x").cast(DoubleType) * lit(P48)).cast(Dec0)).cast(StringType).cast(DoubleType) / lit(P48))
+              / count(lit(1))).as("centroid"),
+            count(lit(1)).as("n_vecs"))
+      },
+      Some(s"""SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+          ((CAST(CAST(SUM(CAST(FLOOR(x * $SqlP48) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / $SqlP48)
+            / COUNT(*)) AS centroid,
+          COUNT(*) AS n_vecs
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+                CAST(UNNEST(embedding) AS DOUBLE) AS x
+              FROM embeddings)
+        GROUP BY 1, 2"""))
+  )
+}

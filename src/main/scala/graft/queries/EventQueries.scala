@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import Det._
+
+/** Event-stream analytics over the `events` table. The raw column is an
+  * epoch-nanosecond timestamp read as LongType (see Tables.events); DuckDB
+  * sees the same column µs-truncated, so every derived time value here is
+  * integer arithmetic that is invariant under that truncation (bucket sizes
+  * are multiples of 1ms).
+  */
+object EventQueries {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min in µs
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- hourly rollup per event type ----
+    QueryDef(
+      "q30_events_hourly",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy((col("ts") / lit(HourNs)).cast(LongType).as("hour_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"),
+            count(when(col("value") > lit(50.0), lit(1))).as("n_high"))
+      },
+      Some(s"""SELECT CAST(epoch_ns(ts) // $HourNs AS BIGINT) AS hour_bucket, event_type,
+          COUNT(*) AS n_events, ${sqlSum("value")} AS total_value,
+          COUNT(CASE WHEN value > 50.0 THEN 1 END) AS n_high
+        FROM events GROUP BY 1, 2"""),
+      headline = true),
+
+    // ---- sessionization: gaps-and-islands via window lag ----
+    QueryDef(
+      "q31_events_sessions",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), (col("ts") / lit(1000L)).cast(LongType).as("ts_us"), col("event_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        e.withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > lit(SessionGapUs), lit(1)).otherwise(lit(0)))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("new_session") === 1, lit(1))).as("n_sessions"))
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+          COUNT(CASE WHEN new_session = 1 THEN 1 END) AS n_sessions
+        FROM (
+          SELECT user_id,
+            CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > $SessionGapUs THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+              LAG(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_ts
+            FROM events))
+        GROUP BY user_id"""),
+      headline = true),
+
+    // ---- per-user, per-type pivot-style aggregation ----
+    QueryDef(
+      "q32_events_user_stats",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            count(when(col("event_type") === "purchase", lit(1))).as("n_purchase"),
+            count(when(col("event_type") === "click", lit(1))).as("n_click"),
+            count(when(col("event_type") === "error", lit(1))).as("n_error"),
+            dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("purchase_value"))
+      },
+      Some(s"""SELECT user_id, COUNT(*) AS n_events,
+          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+          ${sqlSum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
+        FROM events GROUP BY user_id"""))
+  )
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Det._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (exact dedup, token/char stats, quality
+  * scoring). Every expression is built from string primitives whose
+  * semantics are identical in Spark and DuckDB (length/replace/trim),
+  * so each query carries a full DuckDB oracle.
+  *
+  * Scale posture: all of these are embarrassingly parallel scans or
+  * hash-aggregations keyed by high-cardinality columns — no driver-side
+  * loops, no skew risk beyond what AQE handles.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact deduplication: group-by full text ----
+    QueryDef(
+      "q40_dedup_exact",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"), col("text"))
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
+        FROM documents GROUP BY text"""),
+      headline = true),
+
+    // ---- token & char statistics (whitespace tokenizer) ----
+    QueryDef(
+      "q41_token_stats",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val t = trim(col("text"))
+        val nTokens = when(length(t) === 0, lit(0L))
+          .otherwise((length(t) - length(regexp_replace(t, lit(" "), lit(""))) + lit(1)).cast(LongType))
+        d.select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars_actual"),
+          nTokens.as("n_tokens"))
+      },
+      Some("""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+          CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS BIGINT) AS n_tokens
+        FROM documents""")),
+
+    // ---- corpus statistics by language/source ----
+    QueryDef(
+      "q42_corpus_stats",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+      },
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang, source""")),
+
+    // ---- quality scoring: char-class ratios in pure string arithmetic ----
+    QueryDef(
+      "q43_quality_score",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val len = length(col("text")).cast(DoubleType)
+        val spaces = (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit("")))).cast(DoubleType)
+        val dots = (length(col("text")) - length(regexp_replace(col("text"), lit("\\."), lit("")))).cast(DoubleType)
+        d.filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            (spaces / len).as("space_ratio"),
+            (dots / len).as("dot_ratio"),
+            ((len - spaces) / (spaces + lit(1.0))).as("avg_run_len"))
+      },
+      Some("""SELECT doc_id,
+          CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS space_ratio,
+          CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS dot_ratio,
+          (CAST(LENGTH(text) AS DOUBLE) - CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE))
+            / (CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) + 1.0) AS avg_run_len
+        FROM documents WHERE LENGTH(text) > 0"""))
+  )
+}
