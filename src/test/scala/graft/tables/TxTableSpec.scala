@@ -1,0 +1,201 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.{SchemaEvolution, SchemaMismatchError, UnsupportedOperationError}
+
+/** Transactional-table semantics, mirroring the reference's merge /
+  * replace_where / partition_filters / schema-evolution scenario tests
+  * (/root/reference/tests/test_dataframes.py:598-1114, FIXTURES.md §3-§5).
+  */
+class TxTableSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference merge fixture (tests/test_dataframes.py:665-700):
+    * id, str_col, float_col.
+    */
+  private def df1: DataFrame =
+    Seq((0L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0), (3L, "d", 4.0), (4L, "e", 5.0), (5L, "f", 6.0))
+      .toDF("id", "str_col", "float_col")
+  private def df2: DataFrame =
+    Seq((0L, "x", 10.0), (1L, "y", 20.0), (6L, "g", 7.0), (7L, "h", 8.0))
+      .toDF("id", "str_col", "float_col")
+
+  private def collectById(t: TxTable): Seq[(Long, String, Double)] =
+    t.toDF.orderBy("id").collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+  test("create + append + overwrite + time travel") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    assert(t.toDF.count() == 6)
+    t.append(df2)
+    assert(t.toDF.count() == 10)
+    t.overwrite(df2)
+    assert(t.toDF.count() == 4)
+    // time travel
+    assert(t.toDF(0L).count() == 6)
+    assert(t.toDF(1L).count() == 10)
+    assert(t.version == 2L)
+  }
+
+  test("append STRICT rejects schema drift; MERGE evolves by appending columns") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    val evolved = df1.withColumn("extra", lit("zz")).drop("float_col")
+    intercept[SchemaMismatchError] { t.append(evolved, SchemaEvolution.STRICT) }
+    t.append(evolved, SchemaEvolution.MERGE)
+    val snap = t.snapshot
+    // new column appended at the end; old columns keep positions
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "str_col", "float_col", "extra"))
+    val rows = t.toDF.orderBy("id", "str_col").collect()
+    assert(rows.length == 12)
+    // old rows read null for the new column, new rows null for the missing one
+    assert(rows.count(_.isNullAt(3)) == 6)
+    assert(rows.count(_.isNullAt(2)) == 6)
+  }
+
+  test("MERGE evolution rejects same-name type conflicts") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    val conflicting = Seq((9L, "z", "not-a-double")).toDF("id", "str_col", "float_col")
+    intercept[SchemaMismatchError] { t.append(conflicting, SchemaEvolution.MERGE) }
+  }
+
+  test("schema_evolution=OVERWRITE only valid with overwrite (dataframe.py:300-303)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    intercept[UnsupportedOperationError] { t.append(df2, SchemaEvolution.OVERWRITE) }
+    val newShape = Seq((1L, 5)).toDF("id", "n")
+    t.overwrite(newShape, SchemaEvolution.OVERWRITE)
+    assert(t.snapshot.schema.fieldNames.toSeq == Seq("id", "n"))
+  }
+
+  test("replaceWhere row-level (tests/test_dataframes.py:844-994)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    // replace only id = 0
+    val repl = Seq((0L, "new", 100.0)).toDF("id", "str_col", "float_col")
+    t.replaceWhere(repl, "id = 0")
+    assert(collectById(t) == Seq((0L, "new", 100.0), (1L, "b", 2.0), (2L, "c", 3.0),
+      (3L, "d", 4.0), (4L, "e", 5.0), (5L, "f", 6.0)))
+    // predicate with a scalar function: id > 3 AND length(str_col) > 0
+    val repl2 = Seq((5L, "q", 50.0)).toDF("id", "str_col", "float_col")
+    t.replaceWhere(repl2, "id > 4 AND length(str_col) > 0")
+    assert(collectById(t).map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(collectById(t).last == ((5L, "q", 50.0)))
+  }
+
+  test("replaceWhere rejects rows violating the predicate") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    val bad = Seq((3L, "nope", 0.0)).toDF("id", "str_col", "float_col")
+    intercept[UnsupportedOperationError] { t.replaceWhere(bad, "id = 0") }
+  }
+
+  test("partition-pruned replaceWhere rewrites only matching partitions") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    val part = df1.withColumn("p", (col("id") % 2).cast("long"))
+    t.create(part, partitionColumns = Seq("p"))
+    val before = t.snapshot
+    val evens = Seq((0L, "E", 0.0, 0L), (2L, "E", 0.0, 0L)).toDF("id", "str_col", "float_col", "p")
+    t.replaceWhere(evens, "p = 0")
+    val after = t.snapshot
+    // odd-partition files untouched (same physical paths still active)
+    val oddBefore = before.files.filter(_.partitionValues.get("p").contains("1")).map(_.path).toSet
+    val oddAfter = after.files.filter(_.partitionValues.get("p").contains("1")).map(_.path).toSet
+    assert(oddBefore == oddAfter && oddBefore.nonEmpty)
+    assert(t.toDF.filter("p = 0").count() == 2)
+    assert(t.toDF.filter("p = 1").count() == 3)
+  }
+
+  test("dynamic partition overwrite replaces exactly the partitions present in new data") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    val part = df1.withColumn("p", (col("id") % 3).cast("long"))
+    t.create(part, partitionColumns = Seq("p"))
+    val newP0 = Seq((100L, "z", 9.0, 0L)).toDF("id", "str_col", "float_col", "p")
+    t.overwritePartitionsDynamic(newP0)
+    val out = t.toDF
+    assert(out.filter("p = 0").count() == 1) // replaced
+    assert(out.filter("p = 1").count() == 2) // untouched
+    assert(out.filter("p = 2").count() == 2) // untouched
+  }
+
+  test("merge: whenNotMatchedInsertAll (tests/test_dataframes.py:733)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    t.merge(df2, "s.id = t.id").whenNotMatchedInsertAll().execute()
+    assert(collectById(t) == Seq((0L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0),
+      (3L, "d", 4.0), (4L, "e", 5.0), (5L, "f", 6.0), (6L, "g", 7.0), (7L, "h", 8.0)))
+  }
+
+  test("merge: matchedUpdateAll + notMatchedBySourceUpdate (tests/test_dataframes.py:772-774)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    t.merge(df2, "s.id = t.id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedBySourceUpdate(Map("float_col" -> "t.float_col * 10"))
+      .execute()
+    assert(collectById(t) == Seq((0L, "x", 10.0), (1L, "y", 20.0), (2L, "c", 30.0),
+      (3L, "d", 40.0), (4L, "e", 50.0), (5L, "f", 60.0)))
+  }
+
+  test("merge: insertAll + notMatchedBySourceDelete (tests/test_dataframes.py:813)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    t.merge(df2, "s.id = t.id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    assert(collectById(t) == Seq((0L, "x", 10.0), (1L, "y", 20.0), (6L, "g", 7.0), (7L, "h", 8.0)))
+  }
+
+  test("merge: matchedDelete and conditional update") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    t.merge(df2, "s.id = t.id")
+      .whenMatchedDelete(Some("s.str_col = 'x'"))
+      .whenMatchedUpdate(Map("float_col" -> "s.float_col"))
+      .execute()
+    // id 0 deleted (matched, s.str_col = x); id 1 updated float only
+    assert(collectById(t) == Seq((1L, "b", 20.0), (2L, "c", 3.0), (3L, "d", 4.0),
+      (4L, "e", 5.0), (5L, "f", 6.0)))
+  }
+
+  test("merge rejects multiple source matches per target row (Delta semantics)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    val dupSource = Seq((0L, "x", 1.0), (0L, "y", 2.0)).toDF("id", "str_col", "float_col")
+    intercept[UnsupportedOperationError] {
+      t.merge(dupSource, "s.id = t.id").whenMatchedUpdateAll().execute()
+    }
+  }
+
+  test("partitioned reads prune by partition column filter") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    val part = df1.withColumn("p", (col("id") % 2).cast("long"))
+    t.create(part, partitionColumns = Seq("p"))
+    val plan = t.toDF.filter("p = 0").queryExecution.executedPlan.toString
+    // partition filter must appear as a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters") && plan.contains("p#"), plan)
+  }
+}
