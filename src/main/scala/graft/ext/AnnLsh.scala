@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate nearest neighbor over embedding columns via random-
+  * hyperplane LSH (sign-random-projection, Charikar STOC'02 shape).
+  *
+  * Hyperplanes are derived deterministically from xxhash64 of (plane, dim)
+  * — no RNG state to ship, identical across executors and runs.
+  *
+  * Scale path vs brute force: brute force compares every query against
+  * every candidate (fine when the query set is small and broadcastable);
+  * LSH buckets the corpus by a `numPlanes`-bit signature so lookups only
+  * scan matching buckets (+ optional multi-probe over 1-bit flips).
+  * The bucket join shuffles by signature — no pairwise blow-up.
+  */
+object AnnLsh {
+
+  /** Deterministic pseudo-random hyperplane weight in [-0.5, 0.5),
+    * salted by hash table index so each table uses independent planes.
+    */
+  private def planeWeight(table: Int, plane: Column, dim: Column): Column =
+    (pmod(xxhash64(concat(lit(table), lit("/"), plane.cast(StringType), lit(":"), dim.cast(StringType))),
+      lit(1000000L)).cast(DoubleType) / lit(1000000.0)) - lit(0.5)
+
+  /** `numPlanes`-bit signature of an embedding (array<float>) for one hash
+    * table.
+    */
+  def signature(emb: Column, numPlanes: Int, table: Int = 0): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+        val dot = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, i) => x.cast(DoubleType) * planeWeight(table, p, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, call_function("shiftleft", lit(1L), p.cast(IntegerType))).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+
+  /** Cosine similarity of two float-array columns (plain double math — for
+    * ranking, not for cross-engine hashing; see EmbeddingQueries for the
+    * exactness-safe variant).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Top-k neighbors for each query row via multi-table LSH buckets (with
+    * 1-bit multi-probe per table to recover recall near bucket
+    * boundaries). Standard recall/cost trade: L independent tables of
+    * `numPlanes` bits each — a true neighbor is missed only if it lands in
+    * a different (unprobed) bucket in all L tables.
+    *
+    * @param corpus  (idCol, embCol) table — the large side
+    * @param queries (idCol, embCol) table — the small side
+    */
+  def topKLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      k: Int = 10,
+      numPlanes: Int = 8,
+      numTables: Int = 8,
+      multiProbeBits: Int = 1): DataFrame = {
+    // corpus side: one (table, bucket) row per hash table
+    val cBuckets = array((0 until numTables).map(t =>
+      struct(lit(t).as("tbl"), signature(col(embCol), numPlanes, t).as("bkt"))): _*)
+    val c = corpus.select(col(idCol).as("cid"), col(embCol).as("cemb"),
+      explode(cBuckets).as("__tb"))
+      .select(col("cid"), col("cemb"), col("__tb.tbl").as("__tbl"), col("__tb.bkt").as("__bucket"))
+    // query side: own bucket plus 1-bit flips, per table
+    val qProbes = flatten(array((0 until numTables).map { t =>
+      val sig = signature(col(embCol), numPlanes, t)
+      val probes = if (multiProbeBits >= 1) {
+        array_union(array(sig), transform(sequence(lit(0), lit(numPlanes - 1)),
+          p => sig.bitwiseXOR(call_function("shiftleft", lit(1L), p.cast(IntegerType)))))
+      } else array(sig)
+      transform(probes, b => struct(lit(t).as("tbl"), b.as("bkt")))
+    }: _*))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"),
+      explode(qProbes).as("__tb"))
+      .select(col("qid"), col("qemb"), col("__tb.tbl").as("__tbl"), col("__tb.bkt").as("__bucket"))
+    val candidates = c.join(q, Seq("__tbl", "__bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("qemb"), col("cid"), col("cemb"))
+      .distinct()
+    val scored = candidates.withColumn("cosine", cosine(col("qemb"), col("cemb")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored
+      .select(col("qid"), col("cid"), col("cosine"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+  }
+
+  /** Brute-force exact top-k (the baseline; broadcast the query side). */
+  def topKBruteForce(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(embCol).as("cemb"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("cosine", cosine(col("qemb"), col("cemb")))
+      .select(col("qid"), col("cid"), col("cosine"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+  }
+}

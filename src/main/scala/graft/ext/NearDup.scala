@@ -1,0 +1,175 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection at corpus scale: MinHash+LSH, SimHash, and
+  * exact n-gram Jaccard verification.
+  *
+  * Scale posture (the whole point of these ops):
+  *   - Signatures are computed per-row with built-in higher-order
+  *     functions — one codegen'd scan, no UDFs.
+  *   - Candidate generation is a self-equi-join on (band index, band hash)
+  *     — Spark shuffles both sides by that key, so candidate pairs are
+  *     produced without any O(n²) comparison. Band width trades recall vs
+  *     candidate count.
+  *   - Only candidates are verified with exact Jaccard on shingle sets
+  *     (array_intersect/union on the two rows joined back).
+  *   - At 100 TB: the explode(bands) factor is `bands`×rows, shuffled once;
+  *     hot buckets (boilerplate docs) are bounded by `maxBucketSize` to
+  *     keep the join skew-safe — the same guard production dedup pipelines
+  *     use before pair generation.
+  */
+object NearDup {
+
+  /** MinHash signature: `numHashes` minima over xxhash64(shingle, seed_i).
+    * One pass over the shingle array per row via a zip_with fold.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    transform(seeds, s =>
+      array_min(transform(shingleCol, sh => xxhash64(concat(sh, lit("#"), s.cast(StringType))))))
+  }
+
+  /** Candidate near-dup pairs via banded LSH over MinHash signatures.
+    *
+    * @param df          input
+    * @param idCol       unique document id column name
+    * @param textCol     text column name
+    * @param shingleK    tokens per shingle
+    * @param numHashes   signature length
+    * @param bands       number of LSH bands (rows-per-band = numHashes/bands)
+    * @param maxBucketSize skip pathological buckets larger than this
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sig = minhashSignature(TextOps.shingles(col(textCol), shingleK), numHashes)
+    val withBands = df
+      .select(col(idCol).as("__id"), sig.as("__sig"))
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b.cast(StringType), slice(col("__sig"), b * r + 1, lit(r)).cast(StringType))))
+        .as(Seq("__band", "__bucket")))
+    val bucketed = withBands
+      .groupBy("__band", "__bucket").agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")) > 1 && size(col("__ids")) <= maxBucketSize)
+    bucketed
+      .select(explode(sortedPairs(col("__ids"))).as("__pair"))
+      .select(col("__pair.a").as("id_a"), col("__pair.b").as("id_b"))
+      .distinct()
+  }
+
+  /** All ordered pairs (a < b) from a bucket's id list. */
+  private def sortedPairs(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), y => struct(x.as("a"), y.as("b")))))
+  }
+
+  /** Verify candidate pairs with exact Jaccard over shingle sets; keeps
+    * pairs with similarity >= threshold.
+    */
+  def verifyJaccard(
+      candidates: DataFrame,
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = df.select(col(idCol).as("__vid"),
+      array_distinct(TextOps.shingles(col(textCol), shingleK)).as("__set"))
+    candidates
+      .join(sets.withColumnRenamed("__vid", "id_a").withColumnRenamed("__set", "__set_a"), "id_a")
+      .join(sets.withColumnRenamed("__vid", "id_b").withColumnRenamed("__set", "__set_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast(DoubleType) /
+          size(array_union(col("__set_a"), col("__set_b"))).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash LSH dedup: candidates → verify → pairs above threshold. */
+  def minhashDupPairs(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame =
+    verifyJaccard(
+      minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands),
+      df, idCol, textCol, shingleK, threshold)
+
+  /** 64-bit SimHash of the token multiset: per-bit weighted vote of token
+    * hashes, packed into a long.
+    */
+  def simhash64(tokensCol: Column): Column = {
+    val votes = aggregate(
+      tokensCol,
+      array_repeat(lit(0L), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, bit) => a + when((call_function("shiftright", h, bit.cast(IntegerType)).bitwiseAND(lit(1L))) === 1L, lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit.cast(IntegerType))).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
+    * the pigeonhole block trick: split the 64-bit hash into `maxHamming+1`
+    * blocks — any pair within distance k must agree exactly on >= 1 block,
+    * so candidates come from equi-joins on (block index, block value); no
+    * O(n²) scan.
+    */
+  def simhashDupPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val sims = df.select(col(idCol).as("__id"),
+      simhash64(TextOps.tokens(col(textCol))).as("__sim"))
+    val blocks = sims.select(col("__id"), col("__sim"), posexplode(
+      transform(sequence(lit(0), lit(nBlocks - 1)), b =>
+        call_function("shiftright", col("__sim"), (b * blockBits).cast(IntegerType))
+          .bitwiseAND(lit((1L << blockBits) - 1))))
+      .as(Seq("__block", "__val")))
+    val buckets = blocks.groupBy("__block", "__val")
+      .agg(collect_list(struct(col("__id").as("a"), col("__sim").as("b"))).as("__members"))
+      .filter(size(col("__members")) > 1 && size(col("__members")) <= maxBucketSize)
+    val pairs = buckets.select(explode(memberPairs(col("__members"))).as("__p"))
+      .select(col("__p.ida").as("id_a"), col("__p.idb").as("id_b"),
+        col("__p.sima").as("__sima"), col("__p.simb").as("__simb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("__sima").bitwiseXOR(col("__simb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+  }
+
+  private def memberPairs(members: Column): Column = {
+    val sorted = array_sort(members)
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), y =>
+        struct(x.getField("a").as("ida"), y.getField("a").as("idb"),
+          x.getField("b").as("sima"), y.getField("b").as("simb")))))
+  }
+
+  /** Exact dedup: keep the first row (lowest orderCol) per exact key. */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

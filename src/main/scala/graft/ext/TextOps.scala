@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, and document
+  * fingerprinting. Everything is built from codegen'd built-in expressions
+  * (no UDFs) operating per-row — embarrassingly parallel, no shuffles, no
+  * driver-side work: the plan is a single WholeStageCodegen scan at any
+  * data size.
+  */
+object TextOps {
+
+  /** Whitespace-ish word tokens, lowercased. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
+
+  /** BPE-ish subword segmentation via the GPT-2 style regex family:
+    * letter runs, digit runs, punctuation runs (approximation without a
+    * learned vocab — deterministic and cheap).
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+
+  /** k-token shingles ("w1 w2 w3") for near-dup hashing. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Quality features: length, token stats, char-class ratios — the usual
+    * pre-training heuristic filters.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast(DoubleType)
+    val toks = tokens(t)
+    val nTok = size(toks).cast(DoubleType)
+    val alnum = length(regexp_replace(t, "[^A-Za-z0-9]", "")).cast(DoubleType)
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast(DoubleType)
+    val spaces = length(regexp_replace(t, "[^ ]", "")).cast(DoubleType)
+    df.withColumn("q_len", len)
+      .withColumn("q_n_tokens", nTok)
+      .withColumn("q_avg_token_len", when(nTok > 0, (alnum / nTok)).otherwise(lit(0.0)))
+      .withColumn("q_alnum_ratio", when(len > 0, alnum / len).otherwise(lit(0.0)))
+      .withColumn("q_punct_ratio", when(len > 0, punct / len).otherwise(lit(0.0)))
+      .withColumn("q_space_ratio", when(len > 0, spaces / len).otherwise(lit(0.0)))
+      .withColumn("q_score",
+        when(len > 0,
+          lit(1.0)
+            - abs(col("q_space_ratio") - lit(0.16)) * lit(2.0)
+            - when(col("q_avg_token_len") < 2 || col("q_avg_token_len") > 12, lit(0.3)).otherwise(lit(0.0)))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Language-ID by stopword-hit scoring: counts occurrences of a few
+    * high-frequency function words per language and takes the argmax.
+    * An n-gram-profile heuristic, not a model — deterministic and
+    * vectorizable. Returns 'und' when nothing matches.
+    */
+  def languageId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+      "de" -> Seq(" der ", " und ", " die ", " das ", " ist "),
+      "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
+      "es" -> Seq(" el ", " la ", " y ", " los ", " es "),
+      "it" -> Seq(" il ", " e ", " che ", " di ", " la "))
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def count(m: String): Column =
+      ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / lit(m.length))
+        .cast(LongType)
+    val scores = markers.map { case (lang, ms) =>
+      struct(ms.map(count).reduce(_ + _).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003 shape):
+    * hash k-gram shingles, take the min hash in each sliding window of w,
+    * dedupe — a compact sketch robust to local edits.
+    */
+  def fingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hs = transform(TextOps.shingles(text, k), s => xxhash64(s))
+    val n = size(hs)
+    val mins = when(n <= w, array(array_min(hs)))
+      .otherwise(transform(sequence(lit(0), n - lit(w)), i => array_min(slice(hs, i + 1, lit(w)))))
+    array_distinct(mins)
+  }
+}

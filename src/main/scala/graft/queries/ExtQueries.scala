@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.{AnnLsh, NearDup, TextOps}
+
+/** Pipeline-operator queries over `documents`/`embeddings` exercising the
+  * graft.ext library: near-dup detection (MinHash LSH, SimHash), language
+  * ID, fingerprinting, BPE-ish token counting, and LSH ANN with recall
+  * scoring against brute force.
+  *
+  * The near-dup queries plant guaranteed duplicates (the corpus unioned
+  * with an id-shifted copy of itself) so the banded LSH join provably
+  * surfaces pairs at any scale factor; xxhash64-based ops have no DuckDB
+  * equivalent, so these register as rows-only checks. q46 (regex token
+  * count) is oracle-checked — the pattern is RE2/Java-identical.
+  */
+object ExtQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- BPE-ish token counting (oracle-checked) ----
+    QueryDef(
+      "q46_bpeish_token_count",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"),
+          size(TextOps.bpeishTokens(col("text"))).cast(LongType).as("n_bpeish_tokens"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_word_tokens"))
+      },
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens,
+          CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> len(t) > 0)) AS BIGINT) AS n_word_tokens
+        FROM documents""")),
+
+    // ---- language ID distribution vs ground-truth lang column ----
+    QueryDef(
+      "q44_language_id",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("lang"), TextOps.languageId(col("text")).as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      None),
+
+    // ---- winnowing fingerprints ----
+    QueryDef(
+      "q45_fingerprint",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"),
+          size(TextOps.fingerprint(col("text"))).cast(LongType).as("n_fingerprints"))
+      },
+      None),
+
+    // ---- MinHash LSH near-dup on corpus + planted duplicates ----
+    QueryDef(
+      "q47_minhash_dup_pairs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        NearDup.minhashDupPairs(planted, threshold = 0.9)
+          .filter(col("id_b") === col("id_a") + lit(10000000L))
+      },
+      None,
+      headline = true),
+
+    // ---- SimHash near-dup on corpus + planted duplicates ----
+    QueryDef(
+      "q48_simhash_dup_pairs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        NearDup.simhashDupPairs(planted, maxHamming = 2)
+          .filter(col("id_b") === col("id_a") + lit(10000000L))
+      },
+      None),
+
+    // ---- quality scoring over the full corpus ----
+    QueryDef(
+      "q49_quality_filter",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextOps.qualityFeatures(d)
+          .filter(col("q_score") > 0.5)
+          .select(col("doc_id"), col("q_n_tokens").cast(LongType).as("n_tokens"),
+            col("q_score"))
+      },
+      None),
+
+    // ---- LSH ANN recall vs brute force (per-query overlap@5) ----
+    QueryDef(
+      "q53_ann_lsh_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") < 10)
+        val exact = AnnLsh.topKBruteForce(e, queries, k = 5)
+          .select(col("qid"), col("cid").as("exact_cid"))
+        val approx = AnnLsh.topKLsh(e, queries, k = 5)
+          .select(col("qid"), col("cid").as("lsh_cid"))
+        exact.join(approx,
+            exact("qid") === approx("qid") && col("exact_cid") === col("lsh_cid"), "left")
+          .groupBy(exact("qid").as("qid"))
+          .agg((count(col("lsh_cid")).cast(DoubleType) / lit(5.0)).as("recall_at_5"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ExtOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near-dup of 1
+    (3L, "completely different content about spark query engines and data"),
+    (4L, "der hund und die katze sind der beste freund und das ist gut"),
+    (5L, "le chat et le chien sont les amis et la maison est grande"))
+    .toDF("doc_id", "text")
+
+  test("tokens and shingles") {
+    val t = docs.filter($"doc_id" === 1)
+      .select(TextOps.tokens($"text").as("t"), TextOps.shingles($"text", 3).as("s"))
+      .collect()(0)
+    assert(t.getSeq[String](0).take(3) == Seq("the", "quick", "brown"))
+    assert(t.getSeq[String](1).head == "the quick brown")
+    // n tokens -> n-k+1 shingles
+    assert(t.getSeq[String](1).length == t.getSeq[String](0).length - 2)
+  }
+
+  test("minhash LSH finds the planted near-dup pair and nothing else") {
+    val pairs = NearDup.minhashDupPairs(docs, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs(0).getDouble(2) > 0.5)
+  }
+
+  test("minhash signature is stable and length-correct") {
+    val sig = docs.select(NearDup.minhashSignature(TextOps.shingles($"text", 3), 32).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.forall(_.length == 32))
+    val sig2 = docs.select(NearDup.minhashSignature(TextOps.shingles($"text", 3), 32).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.toSeq == sig2.toSeq) // deterministic
+  }
+
+  test("simhash near-dup via pigeonhole blocks") {
+    val pairs = NearDup.simhashDupPairs(docs, maxHamming = 12).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    // identical docs have hamming 0
+    val dup = docs.unionAll(docs.withColumn("doc_id", $"doc_id" + 100))
+    val exactPairs = NearDup.simhashDupPairs(dup, maxHamming = 0)
+    assert(exactPairs.filter($"id_b" === $"id_a" + 100).count() == 5)
+  }
+
+  test("exact dedup keeps lowest-order row per key") {
+    val withDups = docs.unionAll(docs.withColumn("doc_id", $"doc_id" + 100))
+    val out = NearDup.exactDedup(withDups, Seq("text"), "doc_id")
+    assert(out.count() == 5)
+    assert(out.agg(max($"doc_id")).collect()(0).getLong(0) <= 5L)
+  }
+
+  test("language id picks the right marker language") {
+    val out = docs.select($"doc_id", TextOps.languageId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(4L) == "de")
+    assert(out(5L) == "fr")
+  }
+
+  test("quality features are bounded and sane") {
+    val out = TextOps.qualityFeatures(docs).collect()
+    out.foreach { r =>
+      val spaceRatio = r.getAs[Double]("q_space_ratio")
+      assert(spaceRatio > 0 && spaceRatio < 0.5)
+      assert(r.getAs[Double]("q_n_tokens") > 0)
+    }
+  }
+
+  test("fingerprints: identical docs share all fingerprints, near-dups share most") {
+    val fp = docs.select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1L) == fp(1L))
+    val overlap12 = fp(1L).intersect(fp(2L)).size.toDouble / fp(1L).union(fp(2L)).size
+    val overlap13 = fp(1L).intersect(fp(3L)).size.toDouble / fp(1L).union(fp(3L)).size
+    assert(overlap12 > 0.5, s"near-dups should share fingerprints ($overlap12)")
+    assert(overlap13 < 0.2, s"unrelated docs should not ($overlap13)")
+  }
+
+  test("ANN LSH recall against brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val exact = AnnLsh.topKBruteForce(e, q, k = 5).collect()
+    assert(exact.length == 25) // 5 queries x top5
+    val approx = AnnLsh.topKLsh(e, q, k = 5)
+    val recall = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet).size / 25.0
+    assert(recall > 0.5, s"LSH recall@5 too low: $recall")
+  }
+
+  test("near-dup plan shuffles by band bucket, not O(n^2)") {
+    val plan = NearDup.minhashCandidates(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "candidate generation must not be a cross join")
+    assert(plan.contains("Exchange hashpartitioning"), "expected a hash shuffle on band buckets")
+  }
+}
