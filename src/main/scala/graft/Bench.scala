@@ -34,7 +34,9 @@ object Bench {
 
     val results = SparkEntry.headlineQueries.map { q =>
       val a = timeOnce(q.fn)
+      System.err.println(f"[bench] ${q.name} pass1 $a%.2fs")
       val b = timeOnce(q.fn)
+      System.err.println(f"[bench] ${q.name} pass2 $b%.2fs")
       val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
       q.name -> best
     }

@@ -18,36 +18,20 @@ import org.apache.spark.sql.types._
   */
 object AnnLsh {
 
-  /** Deterministic pseudo-random hyperplane weight in [-0.5, 0.5),
-    * salted by hash table index so each table uses independent planes.
-    */
-  private def planeWeight(table: Int, plane: Column, dim: Column): Column =
-    (pmod(xxhash64(concat(lit(table), lit("/"), plane.cast(StringType), lit(":"), dim.cast(StringType))),
-      lit(1000000L)).cast(DoubleType) / lit(1000000.0)) - lit(0.5)
-
   /** `numPlanes`-bit signature of an embedding (array<float>) for one hash
-    * table.
+    * table — native HyperplaneSigExpr (deterministic hyperplanes derived
+    * from XXH64(table, plane, dim); one loop per row).
     */
   def signature(emb: Column, numPlanes: Int, table: Int = 0): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-        val dot = aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, i) => x.cast(DoubleType) * planeWeight(table, p, i)),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, call_function("shiftleft", lit(1L), p.cast(IntegerType))).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+    graft.functions.SketchFunctions.hyperplaneSig(emb, numPlanes, table)
 
   /** Cosine similarity of two float-array columns (plain double math — for
     * ranking, not for cross-engine hashing; see EmbeddingQueries for the
     * exactness-safe variant).
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import graft.functions.SketchFunctions.floatDot
+    floatDot(a, b) / (sqrt(floatDot(a, a)) * sqrt(floatDot(b, b)))
   }
 
   /** Top-k neighbors for each query row via multi-table LSH buckets (with

@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
   * exact n-gram Jaccard verification.
   *
   * Scale posture (the whole point of these ops):
-  *   - Signatures are computed per-row with built-in higher-order
-  *     functions — one codegen'd scan, no UDFs.
+  *   - Signatures are computed per-row by native Catalyst expressions
+  *     (graft.functions.TextNative*) — one fused JVM loop per row; the
+  *     higher-order-function formulation was interpreted and re-evaluated
+  *     by optimizer rules (32× slower at sf0.1).
   *   - Candidate generation is a self-equi-join on (band index, band hash)
   *     — Spark shuffles both sides by that key, so candidate pairs are
   *     produced without any O(n²) comparison. Band width trades recall vs
@@ -23,14 +25,13 @@ import org.apache.spark.sql.types._
   */
 object NearDup {
 
-  /** MinHash signature: `numHashes` minima over xxhash64(shingle, seed_i).
-    * One pass over the shingle array per row via a zip_with fold.
+  /** MinHash signature over a shingle array — evaluated by the native
+    * MinHashSigExpr Catalyst expression (one XXH64 double-hash pass per
+    * element; the HOF formulation was interpreted and re-evaluated per
+    * seed, dominating benchmark time at sf0.1).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
-    val seeds = sequence(lit(0), lit(numHashes - 1))
-    transform(seeds, s =>
-      array_min(transform(shingleCol, sh => xxhash64(concat(sh, lit("#"), s.cast(StringType))))))
-  }
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
+    graft.functions.SketchFunctions.minhashSig(shingleCol, numHashes)
 
   /** Candidate near-dup pairs via banded LSH over MinHash signatures.
     *
@@ -51,14 +52,12 @@ object NearDup {
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    val sig = minhashSignature(TextOps.shingles(col(textCol), shingleK), numHashes)
-    val withBands = df
-      .select(col(idCol).as("__id"), sig.as("__sig"))
-      .select(col("__id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b.cast(StringType), slice(col("__sig"), b * r + 1, lit(r)).cast(StringType))))
-        .as(Seq("__band", "__bucket")))
+    // the whole tokenize->shingle->minhash->band->explode pipeline is one
+    // native Generator eval per row (see MinHashBandsGen's doc for the
+    // Catalyst re-evaluation traps the fused form avoids)
+    val withBands = df.select(col(idCol).as("__id"),
+      graft.functions.TextNativeFunctions.minhashBandsGen(
+        col(textCol), shingleK, numHashes, bands).as(Seq("__band", "__bucket")))
     val bucketed = withBands
       .groupBy("__band", "__bucket").agg(collect_list(col("__id")).as("__ids"))
       .filter(size(col("__ids")) > 1 && size(col("__ids")) <= maxBucketSize)
@@ -86,7 +85,7 @@ object NearDup {
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sets = df.select(col(idCol).as("__vid"),
-      array_distinct(TextOps.shingles(col(textCol), shingleK)).as("__set"))
+      graft.functions.TextNativeFunctions.shingleSet(col(textCol), shingleK).as("__set"))
     candidates
       .join(sets.withColumnRenamed("__vid", "id_a").withColumnRenamed("__set", "__set_a"), "id_a")
       .join(sets.withColumnRenamed("__vid", "id_b").withColumnRenamed("__set", "__set_b"), "id_b")
@@ -105,24 +104,11 @@ object NearDup {
       minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands),
       df, idCol, textCol, shingleK, threshold)
 
-  /** 64-bit SimHash of the token multiset: per-bit weighted vote of token
-    * hashes, packed into a long.
+  /** 64-bit SimHash of the token multiset (native SimHash64Expr: one
+    * hash + bit-vote loop per token).
     */
-  def simhash64(tokensCol: Column): Column = {
-    val votes = aggregate(
-      tokensCol,
-      array_repeat(lit(0L), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, bit) => a + when((call_function("shiftright", h, bit.cast(IntegerType)).bitwiseAND(lit(1L))) === 1L, lit(1L)).otherwise(lit(-1L)))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit.cast(IntegerType))).otherwise(lit(0L))),
-      lit(0L),
-      (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash64(tokensCol: Column): Column =
+    graft.functions.SketchFunctions.simhash64(tokensCol)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
     * the pigeonhole block trick: split the 64-bit hash into `maxHamming+1`
@@ -139,7 +125,7 @@ object NearDup {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
     val sims = df.select(col(idCol).as("__id"),
-      simhash64(TextOps.tokens(col(textCol))).as("__sim"))
+      graft.functions.TextNativeFunctions.simhashText(col(textCol)).as("__sim"))
     val blocks = sims.select(col("__id"), col("__sim"), posexplode(
       transform(sequence(lit(0), lit(nBlocks - 1)), b =>
         call_function("shiftright", col("__sim"), (b * blockBits).cast(IntegerType))

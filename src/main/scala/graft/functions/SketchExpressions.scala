@@ -1,0 +1,255 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the sketch/similarity hot paths.
+  *
+  * The pure-DataFrame formulations of MinHash/SimHash/dot products use
+  * nested higher-order functions, which Spark evaluates interpreted
+  * (HOFs are CodegenFallback) and re-evaluates per lambda binding — at
+  * sf0.1 the minhash signature alone went quadratic-ish and dominated the
+  * benchmark. These expressions do the same math in one tight JVM loop per
+  * row (guide: "a native Catalyst Expression beats a Scala UDF beats
+  * anything else"). Each is a deterministic function of its input — safe
+  * under retries and speculative execution.
+  */
+
+/** array<string> shingles → array<long> MinHash signature.
+  * Two XXH64 passes per element + Kirsch-Mitzenmacher double hashing
+  * (h_i = h1 + i·h2) instead of `numHashes` independent passes.
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        val h1 = XxHash64.hash(bytes, 0L)
+        val h2 = XxHash64.hash(bytes, 1L) | 1L // odd => full-period stepping
+        var j = 0
+        var h = h1
+        while (j < numHashes) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** array<string> shingles → array<long> of LSH band bucket ids: the full
+  * MinHash signature AND its banding fused into one per-row evaluation.
+  * Fusion matters: leaving signature and banding as separate projections
+  * lets CollapseProject inline the signature expression into every band
+  * lambda — re-evaluating the whole minhash `bands`× per row (observed 16×
+  * blowup at sf0.1).
+  */
+case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        val h1 = XxHash64.hash(bytes, 0L)
+        val h2 = XxHash64.hash(bytes, 1L) | 1L
+        var j = 0
+        var h = h1
+        while (j < numHashes) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    val buf = new Array[Byte](8 * r)
+    var b = 0
+    while (b < bands) {
+      var j = 0
+      while (j < r) {
+        val v = mins(b * r + j)
+        var k = 0
+        while (k < 8) { buf(j * 8 + k) = ((v >>> (8 * k)) & 0xff).toByte; k += 1 }
+        j += 1
+      }
+      out(b) = XxHash64.hash(buf, b.toLong)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "minhash_bands"
+}
+
+/** array<string> tokens → 64-bit SimHash (long): per-bit weighted vote of
+  * token hashes.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64.hash(arr.getUTF8String(i).getBytes, 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Dot product of two array<float> columns in one loop (double accumulator). */
+case class FloatDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "float_dot"
+}
+
+/** Sign-random-projection LSH signature of an array<float> embedding:
+  * `numPlanes` hyperplane sign bits packed into a long. Plane weights are
+  * derived deterministically from XXH64(table, plane, dim) — identical on
+  * every executor with zero shipped state.
+  */
+case class HyperplaneSigExpr(child: Expression, numPlanes: Int, table: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        // deterministic pseudo-random weight in [-0.5, 0.5)
+        val h = XxHash64.hash(planeKey(p, d), table.toLong)
+        val w = (java.lang.Math.floorMod(h, 1000000L).toDouble / 1000000.0) - 0.5
+        dot += x.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  private def planeKey(p: Int, d: Int): Array[Byte] = {
+    val b = new Array[Byte](8)
+    b(0) = (p & 0xff).toByte; b(1) = ((p >> 8) & 0xff).toByte
+    b(2) = ((p >> 16) & 0xff).toByte; b(3) = ((p >> 24) & 0xff).toByte
+    b(4) = (d & 0xff).toByte; b(5) = ((d >> 8) & 0xff).toByte
+    b(6) = ((d >> 16) & 0xff).toByte; b(7) = ((d >> 24) & 0xff).toByte
+    b
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "hyperplane_sig"
+}
+
+/** Column-API wrappers + SQL registration. */
+object SketchFunctions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    toCol(MinHashSigExpr(toExpr(shingles), numHashes))
+
+  def minhashBands(shingles: Column, numHashes: Int, bands: Int): Column =
+    toCol(MinHashBandsExpr(toExpr(shingles), numHashes, bands))
+
+  def simhash64(tokens: Column): Column = toCol(SimHash64Expr(toExpr(tokens)))
+
+  def floatDot(a: Column, b: Column): Column = toCol(FloatDotExpr(toExpr(a), toExpr(b)))
+
+  def hyperplaneSig(emb: Column, numPlanes: Int, table: Int = 0): Column =
+    toCol(HyperplaneSigExpr(toExpr(emb), numPlanes, table))
+
+  /** Register SQL-callable versions (e.g. `SELECT simhash64(tokens) ...`). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSigExpr(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64Expr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("float_dot",
+      exprs => FloatDotExpr(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_sig",
+      exprs => HyperplaneSigExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+  }
+}

@@ -3,56 +3,56 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.catalog.FileType
-import graft.client.LakehouseClient
+import graft.ext.{NearDup, TextOps}
 
-/** Throwaway exploration main (not part of the library surface): drives the
-  * lakehouse client end-to-end through its public API.
-  */
+/** Throwaway exploration main (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-demo").toString
-    val client = new LakehouseClient(spark)
-    client.createCatalog("main")
-    client.createSchema("main", "default")
+    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(col("doc_id"), col("text"))
+    val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(10000000L)))
 
-    // 1. CSV landing table
-    val raw = Seq((0L, true, 1.1), (1L, false, 2.2), (2L, true, 3.3), (3L, false, 4.4))
-      .toDF("id", "filter_col", "float_col")
-    client.createAsTable(raw, "main", "default", "raw", FileType.CSV, s"$dir/raw.csv")
-    println("[demo] raw.csv is single file: " + new java.io.File(s"$dir/raw.csv").isFile)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs (n=$n)")
+    }
 
-    // 2. curate into a transactional table
-    val clean = client.readTable("main", "default", "raw").filter(!col("filter_col"))
-    client.createAsTable(clean, "main", "default", "clean", FileType.DELTA, s"$dir/clean")
-
-    // 3. merge an update batch
-    client.setTableDefaultMergeColumns("main", "default", "clean", Seq("id"))
-    val updates = Seq((1L, false, 22.0), (9L, false, 99.0)).toDF("id", "filter_col", "float_col")
-    client.mergeTable(updates, "main", "default", "clean")
-      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
-
-    // 4. SQL over the catalog
-    client.sql("SELECT id, float_col FROM main_default_clean ORDER BY id").show()
-
-    // 5. time travel to before the merge
-    val t = client.getTxTable("main", "default", "clean")
-    println("[demo] versions: 0.." + t.version)
-    println("[demo] v0 rows: " + t.toDF(0L).count() + ", current rows: " + t.toDF.count())
-
-    // 6. replaceWhere one row
-    t.replaceWhere(Seq((9L, false, 0.0)).toDF("id", "filter_col", "float_col"), "id = 9")
-    client.sql("SELECT id, float_col FROM main_default_clean ORDER BY id").show()
-
+    time("count")(planted.count())
+    time("tokens only")(planted.select(TextOps.tokens(col("text")).as("t")).selectExpr("size(t) n").agg(sum("n")).count())
+    time("shingles only")(planted.select(TextOps.shingles(col("text"), 3).as("s")).selectExpr("size(s) n").agg(sum("n")).count())
+    time("shingles+minhash") {
+      planted.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+        .select(NearDup.minhashSignature(col("sh"), 64).as("sig"))
+        .selectExpr("size(sig) n").agg(sum("n")).count()
+    }
+    import graft.functions.SketchFunctions
+    val withBands = planted
+      .select(col("doc_id").as("__id"),
+        SketchFunctions.minhashBands(TextOps.shingles(col("text"), 3), 64, 16).as("__bands"))
+      .select(col("__id"), posexplode(col("__bands")).as(Seq("__band", "__bucket")))
+    val bandsOnly = planted.select(col("doc_id").as("__id"),
+      SketchFunctions.minhashBands(TextOps.shingles(col("text"), 3), 64, 16).as("__bands"))
+    time("bandsOnly")(bandsOnly.selectExpr("size(__bands) n").agg(sum("n")).count())
+    time("bandsOnly collect")(bandsOnly.count())
+    time("withBands")(withBands.count())
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    time("withBands noInfer")(withBands.count())
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    val bucketed = withBands.groupBy("__band", "__bucket").agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")) > 1 && size(col("__ids")) <= 1000)
+    time("bucketed")(bucketed.count())
+    time("candidates")(NearDup.minhashCandidates(planted).count())
+    time("full dup pairs")(NearDup.minhashDupPairs(planted, threshold = 0.9).count())
+    NearDup.minhashCandidates(planted).explain(true)
     spark.stop()
   }
 }

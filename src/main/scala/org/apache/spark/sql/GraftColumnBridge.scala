@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters — the standard
+  * extension-point shim for libraries that supply custom Catalyst
+  * expressions (Spark 4 moved Column internals behind
+  * org.apache.spark.sql.classic).
+  */
+object GraftColumnBridge {
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+}
