@@ -1,58 +1,57 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
-import graft.ext.{NearDup, TextOps}
+import graft.ext.Multimodal
+import graft.ext.Multimodal.FakeCodec
+import graft.streaming.StreamOps
+import graft.tables.TxTable
 
-/** Throwaway exploration main (not part of the library surface). */
+/** Throwaway exploration main (not part of the library surface): drives
+  * the multimodal + streaming modules end-to-end through their public API.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
 
-    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(col("doc_id"), col("text"))
-    val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(10000000L)))
-
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs (n=$n)")
+    // --- multimodal pipeline: synthesize blobs -> decode -> features -> frames
+    val rows = (1L to 6L).map { i =>
+      val payload = Array.tabulate(120 * i.toInt)(j => ((i * 7 + j) % 256).toByte)
+      Row(i, FakeCodec.encode((i % 3).toInt, 320, 240, 12, payload), null)
     }
+    val media = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema)
+    val decoded = Multimodal.decodeMeta(media)
+    println("[demo] decoded meta:")
+    decoded.select(col("media_id"), col("decoded_meta.*")).show(3, false)
+    val feats = Multimodal.byteHistogramFeatures(media, dims = 8)
+    println("[demo] feature dims: " + feats.select("features").first().getSeq[Float](0).length)
+    val frames = Multimodal.sampleFrames(media, stride = 4)
+    println("[demo] sampled frames: " + frames.count() + " (expect 6 media x 3 frames)")
 
-    time("count")(planted.count())
-    time("tokens only")(planted.select(TextOps.tokens(col("text")).as("t")).selectExpr("size(t) n").agg(sum("n")).count())
-    time("shingles only")(planted.select(TextOps.shingles(col("text"), 3).as("s")).selectExpr("size(s) n").agg(sum("n")).count())
-    time("shingles+minhash") {
-      planted.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
-        .select(NearDup.minhashSignature(col("sh"), 64).as("sig"))
-        .selectExpr("size(sig) n").agg(sum("n")).count()
-    }
-    import graft.functions.SketchFunctions
-    val withBands = planted
-      .select(col("doc_id").as("__id"),
-        SketchFunctions.minhashBands(TextOps.shingles(col("text"), 3), 64, 16).as("__bands"))
-      .select(col("__id"), posexplode(col("__bands")).as(Seq("__band", "__bucket")))
-    val bandsOnly = planted.select(col("doc_id").as("__id"),
-      SketchFunctions.minhashBands(TextOps.shingles(col("text"), 3), 64, 16).as("__bands"))
-    time("bandsOnly")(bandsOnly.selectExpr("size(__bands) n").agg(sum("n")).count())
-    time("bandsOnly collect")(bandsOnly.count())
-    time("withBands")(withBands.count())
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    time("withBands noInfer")(withBands.count())
-    spark.conf.unset("spark.sql.optimizer.excludedRules")
-    val bucketed = withBands.groupBy("__band", "__bucket").agg(collect_list(col("__id")).as("__ids"))
-      .filter(size(col("__ids")) > 1 && size(col("__ids")) <= 1000)
-    time("bucketed")(bucketed.count())
-    time("candidates")(NearDup.minhashCandidates(planted).count())
-    time("full dup pairs")(NearDup.minhashDupPairs(planted, threshold = 0.9).count())
-    NearDup.minhashCandidates(planted).explain(true)
+    // --- streaming: parquet drop -> Tx table sink
+    val srcDir = java.nio.file.Files.createTempDirectory("ev").toString
+    val tbl = java.nio.file.Files.createTempDirectory("tx").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("ck").toString
+    Seq((1L, 86400L * 1000000000L, 7L, "click", 1.5, "{}"),
+        (2L, 86460L * 1000000000L, 7L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(srcDir + "/drop1")
+    val q = StreamOps.writeToTxTable(
+      StreamOps.eventFileStream(spark, srcDir + "/*").drop("props"),
+      tbl, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    println("[demo] tx table rows from stream:")
+    TxTable.forLocation(spark, tbl).toDF.orderBy("event_id").show(false)
     spark.stop()
   }
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.tables.TxTable
+
+class StreamOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // base offset keeps the first event strictly above the initial watermark
+  // (epoch 0), which stateful ops treat as late and drop
+  private def ts(minute: Int): Timestamp = new Timestamp(86400000L + minute * 60L * 1000L)
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double, Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "value", "event_time")
+    val agg = StreamOps.windowedCounts(events, windowLen = "10 minutes", lateness = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      input.addData((1L, "click", 1.0, ts(1)), (1L, "click", 2.0, ts(4)), (2L, "view", 5.0, ts(12)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events, total_value FROM wc ORDER BY event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double, Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "value", "event_time")
+    val sessions = StreamOps.sessionize(spark, events, gapMinutes = 10)
+    val q = sessions.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events close together, then a long gap, then another event
+      input.addData((1L, "a", 1.0, ts(0)), (1L, "b", 2.0, ts(5)))
+      q.processAllAvailable()
+      input.addData((1L, "c", 3.0, ts(60))) // 55-min gap -> closes session 1
+      q.processAllAvailable()
+      input.addData((1L, "d", 4.0, ts(120))) // advance watermark far enough to time out session 2
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events, total_value FROM sess ORDER BY session_start").collect()
+      assert(rows.nonEmpty)
+      assert(rows(0).getLong(0) == 1L)
+      assert(rows(0).getLong(1) == 2L) // first session had 2 events
+      assert(rows(0).getDouble(2) == 3.0)
+    } finally q.stop()
+  }
+
+  test("file stream -> transactional table sink via foreachBatch") {
+    import spark.implicits._
+    val srcDir = TestSpark.tmpDir("stream-src")
+    val tblDir = TestSpark.tmpDir("stream-tbl") + "/t"
+    val ckpt = TestSpark.tmpDir("stream-ckpt")
+
+    // two parquet drops in the events shape (ns timestamps)
+    val batch1 = Seq((1L, 1000000000L * 60, 10L, "click", 1.0, "{}"),
+      (2L, 1000000000L * 120, 10L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch1.write.parquet(srcDir + "/b1")
+
+    val stream = StreamOps.eventFileStream(spark, srcDir + "/*")
+      .select("event_id", "user_id", "event_type", "value", "event_time")
+    val q = StreamOps.writeToTxTable(stream, tblDir, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val t = TxTable.forLocation(spark, tblDir)
+    assert(t.toDF.count() == 2)
+    assert(t.toDF.select("event_type").orderBy("event_id").collect().map(_.getString(0)).toSeq ==
+      Seq("click", "view"))
+  }
+}
