@@ -24,7 +24,7 @@ object EventQueries {
       "q30_events_hourly",
       (s, dir) => {
         val e = Tables.events(s, dir)
-        e.groupBy((col("ts") / lit(HourNs)).cast(LongType).as("hour_bucket"), col("event_type"))
+        e.groupBy(expr(s"ts div $HourNs").as("hour_bucket"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             dsum(col("value")).as("total_value"),
             count(when(col("value") > lit(50.0), lit(1))).as("n_high"))
@@ -40,7 +40,7 @@ object EventQueries {
       "q31_events_sessions",
       (s, dir) => {
         val e = Tables.events(s, dir)
-          .select(col("user_id"), (col("ts") / lit(1000L)).cast(LongType).as("ts_us"), col("event_id"))
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
         e.withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
           .withColumn("new_session",

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Det._
+
+/** Second wave of operator coverage: semi-structured JSON, as-of joins,
+  * cube/grouping sets, pivot, the spark.sql surface (correlated
+  * subqueries), date/string function batteries, sketches, and a typed
+  * Aggregator UDAF — each oracle-checked where the semantics are
+  * engine-identical.
+  */
+object MoreQueries {
+
+  /** Typed UDAF: order-independent XOR checksum of a mixed key — the
+    * Aggregator API surface (SURVEY §2.2 "UDF/UDAF"). Exact integer math
+    * → DuckDB BIT_XOR oracle.
+    */
+  object XorChecksum extends Aggregator[Long, Long, Long] {
+    override def zero: Long = 0L
+    override def reduce(acc: Long, x: Long): Long = acc ^ (x * 2654435761L)
+    override def merge(a: Long, b: Long): Long = a ^ b
+    override def finish(acc: Long): Long = acc
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- JSON extraction from the events props column ----
+    QueryDef(
+      "q33_events_json",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type""")),
+
+    // ---- as-of join: most recent prior click for each purchase ----
+    QueryDef(
+      "q34_asof_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        e.withColumn("click_marker", when(col("event_type") === "click", col("event_id")))
+          .withColumn("click_ts_marker", when(col("event_type") === "click", col("ts_us")))
+          .withColumn("prev_click_id", last(col("click_marker"), ignoreNulls = true).over(w))
+          .withColumn("prev_click_ts", last(col("click_ts_marker"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("prev_click_id"), (col("ts_us") - col("prev_click_ts")).as("us_since_click"))
+      },
+      Some("""SELECT event_id, user_id, ts_us, prev_click_id, ts_us - prev_click_ts AS us_since_click
+        FROM (
+          SELECT event_id, user_id, event_type, ts_us,
+            LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS prev_click_id,
+            LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS) OVER w AS prev_click_ts
+          FROM (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        WHERE event_type = 'purchase'""")),
+
+    // ---- cube with grouping id ----
+    QueryDef(
+      "q35_cube",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"),
+            grouping_id().cast(LongType).as("gid"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("gid"), col("n_rows"), col("sum_qty"))
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+          COALESCE(l_linestatus, 'ALL') AS linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n_rows, ${sqlSum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
+    // ---- pivot (fixed value list, CASE-exact oracle) ----
+    QueryDef(
+      "q36_pivot",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(col("o_orderstatus"),
+            coalesce(col("1-URGENT"), lit(0L)).as("p_urgent"),
+            coalesce(col("2-HIGH"), lit(0L)).as("p_high"),
+            coalesce(col("3-MEDIUM"), lit(0L)).as("p_medium"),
+            coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p_notspec"),
+            coalesce(col("5-LOW"), lit(0L)).as("p_low"))
+      },
+      Some("""SELECT o_orderstatus,
+          COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p_urgent,
+          COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p_high,
+          COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p_medium,
+          COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p_notspec,
+          COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- the spark.sql surface: correlated EXISTS + scalar subquery ----
+    QueryDef(
+      "q37_sql_subqueries",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n_big_orders
+          FROM v_orders
+          WHERE EXISTS (SELECT 1 FROM v_lineitem
+                        WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+            AND o_totalprice > (SELECT AVG(o_totalprice) FROM v_orders)
+          GROUP BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_big_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+          AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus""")),
+
+    // ---- date function battery ----
+    QueryDef(
+      "q28_date_functions",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.groupBy(
+            year(col("o_orderdate")).cast(LongType).as("o_year"),
+            quarter(col("o_orderdate")).cast(LongType).as("o_quarter"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(to_date(col("o_orderdate"))).as("first_day"),
+            max(to_date(col("o_orderdate"))).as("last_day"),
+            count(when(dayofweek(col("o_orderdate")) === 1, lit(1))).as("n_sunday"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+          COUNT(*) AS n_orders,
+          MIN(CAST(o_orderdate AS DATE)) AS first_day,
+          MAX(CAST(o_orderdate AS DATE)) AS last_day,
+          COUNT(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1 END) AS n_sunday
+        FROM orders GROUP BY 1, 2""")),
+
+    // ---- string function battery ----
+    QueryDef(
+      "q29_string_functions",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        c.select(col("c_custkey"),
+          upper(col("c_name")).as("upper_name"),
+          substring(col("c_name"), 1, 8).as("prefix8"),
+          length(col("c_name")).cast(LongType).as("name_len"),
+          instr(col("c_name"), "1").cast(LongType).as("pos_of_1"),
+          concat_ws("|", col("c_mktsegment"), reverse(col("c_name"))).as("seg_rev"),
+          lpad(col("c_custkey").cast(StringType), 8, "0").as("padded_key"))
+      },
+      Some("""SELECT c_custkey,
+          UPPER(c_name) AS upper_name,
+          SUBSTRING(c_name, 1, 8) AS prefix8,
+          CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+          CAST(INSTR(c_name, '1') AS BIGINT) AS pos_of_1,
+          CONCAT_WS('|', c_mktsegment, REVERSE(c_name)) AS seg_rev,
+          LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
+        FROM customer""")),
+
+    // ---- sketches: exact distinct (oracle) + HLL approx (engine-specific) ----
+    QueryDef(
+      "q38_distinct_exact",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        l.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_suppkey")).as("exact_supps"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS exact_parts,
+          COUNT(DISTINCT l_suppkey) AS exact_supps,
+          COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag""")),
+    QueryDef(
+      "q39_hll_approx",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        l.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      },
+      None), // HLL++ sketch values are engine-specific; deterministic per engine
+
+    // ---- typed Aggregator UDAF (XOR checksum; DuckDB BIT_XOR oracle) ----
+    QueryDef(
+      "q61_custom_udaf",
+      (s, dir) => {
+        val xor = udaf(XorChecksum)
+        val o = Tables.orders(s, dir)
+        o.groupBy(col("o_orderstatus"))
+          .agg(xor(col("o_orderkey")).as("key_checksum"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderstatus,
+          BIT_XOR(o_orderkey * 2654435761) AS key_checksum, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus"""))
+  )
+}
