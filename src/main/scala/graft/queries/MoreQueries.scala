@@ -205,6 +205,31 @@ object MoreQueries {
       },
       None), // HLL++ sketch values are engine-specific; deterministic per engine
 
+    // ---- rename / cast / diagonal union (reference tests/test_dataframes
+    // .py:603-605, 642: rename, cast, pl.concat(how="diagonal")) ----
+    QueryDef(
+      "q62_rename_cast_union",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey").as("entity_id"), col("c_name"), col("c_acctbal"))
+          .withColumnRenamed("c_name", "entity_name")
+          .withColumn("acctbal_cents", floor(col("c_acctbal") * lit(100)).cast(LongType))
+          .drop("c_acctbal")
+          .withColumn("kind", lit("customer"))
+        val su = Tables.supplier(s, dir)
+          .select((col("s_suppkey") + lit(1000000L)).as("entity_id"),
+            col("s_name").as("entity_name"), lit("supplier").as("kind"))
+        // diagonal concat: supplier side lacks acctbal_cents -> nulls
+        c.unionByName(su, allowMissingColumns = true)
+      },
+      Some("""SELECT entity_id, entity_name, acctbal_cents, kind FROM (
+          SELECT c_custkey AS entity_id, c_name AS entity_name,
+            CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents, 'customer' AS kind
+          FROM customer
+          UNION ALL BY NAME
+          SELECT s_suppkey + 1000000 AS entity_id, s_name AS entity_name, 'supplier' AS kind
+          FROM supplier)""")),
+
     // ---- typed Aggregator UDAF (XOR checksum; DuckDB BIT_XOR oracle) ----
     QueryDef(
       "q61_custom_udaf",

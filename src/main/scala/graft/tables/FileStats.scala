@@ -1,0 +1,153 @@
+package graft.tables
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics for data skipping (Delta-style file pruning):
+  * min/max per top-level primitive column, read from parquet footers at
+  * commit time, serialized into the transaction log, and consulted at scan
+  * time to drop files that provably cannot match a predicate.
+  *
+  * Footer reads are metadata-only (no data pages). They run on the driver
+  * per commit — O(#files just written); a 1000-executor job writing many
+  * files per task could distribute this, noted as a future optimization.
+  */
+object FileStats {
+
+  /** (rowCount, minValues, maxValues) from the parquet footer; stats kept
+    * for INT32/INT64/FLOAT/DOUBLE/UTF8 columns that report valid min/max.
+    */
+  def fromParquetFooter(conf: Configuration, file: Path): (Long, Map[String, String], Map[String, String]) = {
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks.asScala
+        val rows = blocks.map(_.getRowCount).sum
+        val mins = scala.collection.mutable.Map.empty[String, Comparable[Any]]
+        val maxs = scala.collection.mutable.Map.empty[String, Comparable[Any]]
+        val skip = scala.collection.mutable.Set.empty[String]
+        for (block <- blocks; chunk <- block.getColumns.asScala) {
+          val pathParts = chunk.getPath.toArray
+          if (pathParts.length == 1) { // top-level primitives only
+            val name = pathParts(0)
+            val st = chunk.getStatistics
+            if (st == null || !st.hasNonNullValue || st.isEmpty) skip += name
+            else {
+              val (mn, mx) = (toComparable(st.genericGetMin, chunk.getPrimitiveType.getPrimitiveTypeName),
+                toComparable(st.genericGetMax, chunk.getPrimitiveType.getPrimitiveTypeName))
+              (mn, mx) match {
+                case (Some(a), Some(b)) =>
+                  mins(name) = mins.get(name).map(c => if (a.compareTo(c) < 0) a else c).getOrElse(a)
+                  maxs(name) = maxs.get(name).map(c => if (b.compareTo(c) > 0) b else c).getOrElse(b)
+                case _ => skip += name
+              }
+            }
+          }
+        }
+        skip.foreach { n => mins.remove(n); maxs.remove(n) }
+        (rows, mins.view.mapValues(_.toString).toMap, maxs.view.mapValues(_.toString).toMap)
+      } finally reader.close()
+    } catch {
+      case NonFatal(_) => (-1L, Map.empty, Map.empty)
+    }
+  }
+
+  private def toComparable(v: Any, t: PrimitiveTypeName): Option[Comparable[Any]] = (v, t) match {
+    case (i: java.lang.Integer, _) => Some(i.asInstanceOf[Comparable[Any]])
+    case (l: java.lang.Long, _) => Some(l.asInstanceOf[Comparable[Any]])
+    case (f: java.lang.Float, _) => Some(f.asInstanceOf[Comparable[Any]])
+    case (d: java.lang.Double, _) => Some(d.asInstanceOf[Comparable[Any]])
+    case (b: Binary, PrimitiveTypeName.BINARY) =>
+      try Some(b.toStringUsingUTF8.asInstanceOf[Comparable[Any]]) catch { case NonFatal(_) => None }
+    case _ => None
+  }
+
+  /** A simple conjunct usable for pruning: `col op literal`. */
+  final case class Conjunct(colName: String, op: String, value: String)
+
+  /** Extract prunable conjuncts from a parsed predicate (AND-split; only
+    * attr-vs-literal comparisons qualify — everything else is ignored,
+    * which is always safe for pruning).
+    */
+  def prunableConjuncts(pred: Expression): Seq[Conjunct] = pred match {
+    case And(l, r) => prunableConjuncts(l) ++ prunableConjuncts(r)
+    case cmp: BinaryComparison => conjunctOf(cmp)
+    case _ => Seq.empty
+  }
+
+  private def conjunctOf(cmp: BinaryComparison): Seq[Conjunct] = {
+    def attrName(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litVal(e: Expression): Option[String] = e match {
+      case Literal(v, _) if v != null => Some(v.toString)
+      case _ => None
+    }
+    val op = cmp match {
+      case _: EqualTo => "="
+      case _: LessThan => "<"
+      case _: LessThanOrEqual => "<="
+      case _: GreaterThan => ">"
+      case _: GreaterThanOrEqual => ">="
+      case _ => return Seq.empty
+    }
+    (attrName(cmp.left), litVal(cmp.right), attrName(cmp.right), litVal(cmp.left)) match {
+      case (Some(c), Some(v), _, _) => Seq(Conjunct(c, op, v))
+      case (_, _, Some(c), Some(v)) => Seq(Conjunct(c, flip(op), v))
+      case _ => Seq.empty
+    }
+  }
+
+  private def flip(op: String): String = op match {
+    case "<" => ">"
+    case "<=" => ">="
+    case ">" => "<"
+    case ">=" => "<="
+    case o => o
+  }
+
+  /** Can a file with these stats possibly satisfy the conjunct? Missing
+    * stats → must keep (conservative).
+    */
+  def mightMatch(c: Conjunct, dt: DataType,
+      minVal: Option[String], maxVal: Option[String]): Boolean = {
+    (minVal, maxVal) match {
+      case (Some(mn), Some(mx)) =>
+        try {
+          val cmp = comparator(dt)
+          c.op match {
+            case "=" => cmp(c.value, mn) >= 0 && cmp(c.value, mx) <= 0
+            case "<" => cmp(mn, c.value) < 0
+            case "<=" => cmp(mn, c.value) <= 0
+            case ">" => cmp(mx, c.value) > 0
+            case ">=" => cmp(mx, c.value) >= 0
+            case _ => true
+          }
+        } catch { case NonFatal(_) => true }
+      case _ => true
+    }
+  }
+
+  private def comparator(dt: DataType): (String, String) => Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType =>
+      (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: DecimalType =>
+      (a, b) => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => (a, b) => a.compareTo(b)
+  }
+}

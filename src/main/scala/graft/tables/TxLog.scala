@@ -38,7 +38,13 @@ object TxLog {
   val LogDirName = "_graft_log"
   private val StagingPrefix = "_staging"
 
-  final case class AddFile(path: String, partitionValues: Map[String, String], rows: Long, sizeBytes: Long)
+  final case class AddFile(
+      path: String,
+      partitionValues: Map[String, String],
+      rows: Long,
+      sizeBytes: Long,
+      minValues: Option[Map[String, String]] = None,
+      maxValues: Option[Map[String, String]] = None)
 
   final case class Commit(
       version: Long,
@@ -178,7 +184,10 @@ object TxLog {
         val size = f.getFileStatus(p).getLen
         if (!f.rename(p, dest))
           throw new java.io.IOException(s"failed to publish staged file $p -> $dest")
-        AddFile(rel, partitionValuesOf(rel), rows = -1L, sizeBytes = size)
+        val (rows, mins, maxs) = FileStats.fromParquetFooter(hadoopConf(spark), dest)
+        AddFile(rel, partitionValuesOf(rel), rows, size,
+          if (mins.isEmpty) None else Some(mins),
+          if (maxs.isEmpty) None else Some(maxs))
       }
     } finally {
       f.delete(stagingDir, true)

@@ -1,5 +1,6 @@
 package graft.tables
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -127,6 +128,104 @@ final class TxTable(val spark: SparkSession, val location: String) {
   def merge(source: DataFrame, condition: String,
       sourceAlias: String = "s", targetAlias: String = "t"): TxMerge =
     new TxMerge(this, source, condition, sourceAlias, targetAlias)
+
+  /** Filtered scan with manifest-level data skipping: files whose
+    * partition values or min/max column stats provably cannot satisfy the
+    * predicate are dropped before the parquet reader ever sees them
+    * (Delta-style file pruning on top of Spark's own row-group pruning).
+    * The full predicate is still applied to the surviving rows.
+    */
+  def scan(predicate: String): DataFrame = {
+    val snap = snapshot
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+    val conjuncts = FileStats.prunableConjuncts(parsed)
+    val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val partSet = snap.partitionColumns.toSet
+    val surviving = snap.files.filter { f =>
+      conjuncts.forall { c =>
+        fieldTypes.get(c.colName) match {
+          case Some(dt) if partSet.contains(c.colName) =>
+            val v = f.partitionValues.get(c.colName)
+            FileStats.mightMatch(c, dt, v, v)
+          case Some(dt) =>
+            FileStats.mightMatch(c, dt,
+              f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)))
+          case None => true
+        }
+      }
+    }
+    dfFor(snap.copy(files = surviving)).filter(expr(predicate))
+  }
+
+  /** Number of files the manifest-level pruner would read for a predicate
+    * (for tests/inspection).
+    */
+  def filesAfterPruning(predicate: String): Int = {
+    val snap = snapshot
+    val conjuncts = FileStats.prunableConjuncts(
+      spark.sessionState.sqlParser.parseExpression(predicate))
+    val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val partSet = snap.partitionColumns.toSet
+    snap.files.count { f =>
+      conjuncts.forall { c =>
+        fieldTypes.get(c.colName) match {
+          case Some(dt) if partSet.contains(c.colName) =>
+            val v = f.partitionValues.get(c.colName)
+            FileStats.mightMatch(c, dt, v, v)
+          case Some(dt) =>
+            FileStats.mightMatch(c, dt,
+              f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)))
+          case None => true
+        }
+      }
+    }
+  }
+
+  /** Compaction (OPTIMIZE): rewrite the active file set into
+    * ~targetFileBytes files (per partition for partitioned tables). Data
+    * is unchanged — one commit swaps the whole file list.
+    */
+  def optimize(targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+    commitWithRetry("OPTIMIZE") { snap =>
+      val totalBytes = snap.files.map(_.sizeBytes).sum
+      val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
+        (if (totalBytes % targetFileBytes > 0) 1 else 0))
+      val compacted = dfFor(snap).repartition(targetFiles)
+      val added = TxLog.stageData(spark, location, compacted, snap.partitionColumns)
+      (added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
+    }
+
+  /** Garbage collection: delete data files that are not part of any of the
+    * most recent `retainVersions` snapshots — covers both files removed by
+    * old commits and orphans from failed/retried commits. Time travel to
+    * vacuumed versions stops working (as in Delta).
+    */
+  def vacuum(retainVersions: Int = 1): Int = {
+    val f = TxLog.fs(spark, location)
+    val latest = TxLog.latestVersion(spark, location)
+      .getOrElse(throw graft.catalog.DoesNotExistError(s"no log at $location"))
+    val keep = scala.collection.mutable.Set.empty[String]
+    val from = math.max(0L, latest - math.max(1, retainVersions) + 1)
+    (from to latest).foreach { v =>
+      TxLog.snapshot(spark, location, Some(v)).files.foreach(a => keep += a.path)
+    }
+    val base = new Path(location)
+    val baseUri = base.toUri.getPath.stripSuffix("/")
+    var deleted = 0
+    val it = f.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(baseUri + "/")
+        val isData = rel.endsWith(".parquet") && !rel.startsWith(TxLog.LogDirName)
+        if (isData && !keep.contains(rel)) {
+          f.delete(st.getPath, false)
+          deleted += 1
+        }
+      }
+    }
+    deleted
+  }
 
   // ---- internals ----
 

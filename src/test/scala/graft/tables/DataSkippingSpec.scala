@@ -1,0 +1,85 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DataSkippingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("manifest stats prune files the predicate cannot match") {
+    val loc = TestSpark.tmpDir("skip")
+    val t = new TxTable(spark, loc)
+    // three appends with disjoint id ranges -> three file sets with
+    // non-overlapping min/max
+    t.create((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    t.append((100L until 200L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    t.append((200L until 300L).map(i => (i, s"v$i")).toDF("id", "v").repartition(1))
+    val snap = t.snapshot
+    assert(snap.files.size == 3)
+    assert(snap.files.forall(f => f.minValues.isDefined && f.maxValues.isDefined))
+    assert(snap.files.forall(_.rows == 100))
+
+    assert(t.filesAfterPruning("id >= 250") == 1)
+    assert(t.filesAfterPruning("id = 150") == 1)
+    assert(t.filesAfterPruning("id < 100") == 1)
+    assert(t.filesAfterPruning("id >= 100 AND id < 200") == 1)
+    assert(t.filesAfterPruning("id >= 0") == 3)
+    // non-prunable predicate keeps everything (conservative)
+    assert(t.filesAfterPruning("length(v) > 1") == 3)
+
+    // results are still exact
+    assert(t.scan("id >= 250").count() == 50)
+    assert(t.scan("id = 150").collect().map(_.getString(1)).toSeq == Seq("v150"))
+    assert(t.scan("id >= 100 AND id < 200 AND length(v) >= 2").count() == 100)
+  }
+
+  test("string stats prune too") {
+    val loc = TestSpark.tmpDir("skip")
+    val t = new TxTable(spark, loc)
+    t.create(Seq(("alpha", 1L), ("beta", 2L)).toDF("name", "x").repartition(1))
+    t.append(Seq(("omega", 3L), ("zeta", 4L)).toDF("name", "x").repartition(1))
+    assert(t.filesAfterPruning("name = 'beta'") == 1)
+    assert(t.filesAfterPruning("name > 'm'") == 1)
+    assert(t.scan("name = 'zeta'").count() == 1)
+  }
+
+  test("optimize compacts many small files into few, preserving data") {
+    val loc = TestSpark.tmpDir("opt")
+    val t = new TxTable(spark, loc)
+    t.create((0L until 50L).map(i => (i, i * 2)).toDF("id", "v").repartition(1))
+    (1 to 9).foreach { k =>
+      t.append((k * 50L until (k + 1) * 50L).map(i => (i, i * 2)).toDF("id", "v").repartition(1))
+    }
+    val before = t.snapshot
+    assert(before.files.size == 10)
+    val checksum = t.toDF.agg(sum(col("id")), sum(col("v"))).collect()(0)
+
+    t.optimize(targetFileBytes = 1024L * 1024 * 1024) // everything into one file
+    val after = t.snapshot
+    assert(after.files.size == 1)
+    assert(t.toDF.count() == 500)
+    val checksum2 = t.toDF.agg(sum(col("id")), sum(col("v"))).collect()(0)
+    assert(checksum == checksum2)
+    // old versions still time-travelable before vacuum
+    assert(t.toDF(before.version).count() == 500)
+  }
+
+  test("vacuum removes unreferenced files; time travel to old versions breaks") {
+    val loc = TestSpark.tmpDir("vac")
+    val t = new TxTable(spark, loc)
+    t.create((0L until 10L).map(i => (i, i)).toDF("id", "v").repartition(1))
+    t.overwrite((10L until 20L).map(i => (i, i)).toDF("id", "v").repartition(1))
+    t.overwrite((20L until 30L).map(i => (i, i)).toDF("id", "v").repartition(1))
+
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted == 2, s"expected the two overwritten files deleted, got $deleted")
+    // current version unaffected
+    assert(t.toDF.agg(min(col("id")), max(col("id"))).collect()(0).toSeq == Seq(20L, 29L))
+    // old version's files are gone
+    intercept[Exception] { t.toDF(0L).count() }
+  }
+}
