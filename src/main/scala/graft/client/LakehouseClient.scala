@@ -15,6 +15,10 @@ import graft.tables.{TxMerge, TxTable}
   */
 final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = new InMemoryCatalogStore) {
 
+  // make this client's catalogs visible to 3-part names in spark.sql
+  // (effective when the session was built with GraftSqlExtensions.install)
+  graft.sql.GraftSqlExtensions.register(this)
+
   // ---- catalog CRUD passthrough (C1-C17) ----
   def createCatalog(name: String, comment: Option[String] = None): CatalogInfo =
     store.createCatalog(CatalogInfo(name, comment))
@@ -171,9 +175,11 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
 
   // ---- SQL (Q1) ----
 
-  /** Run SQL over all registered tables. Each table is exposed to the
-    * session catalog as `<catalog>_<schema>_<table>` (flat naming — a V2
-    * TableCatalog plugin for true 3-part names is tracked in SURVEY §7.3).
+  /** Run SQL over all registered tables. Two naming schemes:
+    *   - true 3-part `<catalog>.<schema>.<table>` names, when the session
+    *     was built with GraftSqlExtensions.install (resolution-rule route);
+    *   - flat `<catalog>_<schema>_<table>` temp views, registered here,
+    *     which work in any session.
     * Strictly more capable than the reference's read-only Delta-only
     * DuckDB passthrough (client.py:537-544): all formats, full Spark SQL.
     */

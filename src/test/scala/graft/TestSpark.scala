@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(graft.sql.GraftSqlExtensions.install)
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
