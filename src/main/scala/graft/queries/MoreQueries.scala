@@ -205,6 +205,31 @@ object MoreQueries {
       },
       None), // HLL++ sketch values are engine-specific; deterministic per engine
 
+    // ---- range join: bucket facts into value intervals ----
+    QueryDef(
+      "q63_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val buckets = Seq(
+          ("tiny", 0.0, 10000.0), ("small", 10000.0, 30000.0),
+          ("mid", 30000.0, 60000.0), ("large", 60000.0, 1e9))
+          .toDF("bucket", "lo", "hi")
+        val l = Tables.lineitem(s, dir)
+        // non-equi join -> Spark broadcasts the tiny interval table
+        l.join(broadcast(buckets),
+            col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+      },
+      Some(s"""SELECT bucket, COUNT(*) AS n_items, ${sqlSum("l_extendedprice")} AS total_price
+        FROM lineitem JOIN (
+          SELECT 'tiny' AS bucket, 0.0 AS lo, 10000.0 AS hi UNION ALL
+          SELECT 'small', 10000.0, 30000.0 UNION ALL
+          SELECT 'mid', 30000.0, 60000.0 UNION ALL
+          SELECT 'large', 60000.0, 1e9)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY bucket""")),
+
     // ---- rename / cast / diagonal union (reference tests/test_dataframes
     // .py:603-605, 642: rename, cast, pl.concat(how="diagonal")) ----
     QueryDef(
