@@ -162,6 +162,34 @@ class LakehouseClientSpec extends AnyFunSuite {
     }
   }
 
+  test("partition_filters selective overwrite through the client (W3)") {
+    val c = freshClient()
+    val dir = TestSpark.tmpDir("client")
+    val part = tutorialDf.withColumn("p", (col("id") % 2).cast("long"))
+    c.createAsTable(part, "main", "default", "pf", FileType.DELTA, s"$dir/pf", Seq("p"))
+
+    // overwrite only partition p = 0 via the reference's tuple syntax
+    val newP0 = Seq((100L, true, 9.9, 0L)).toDF("id", "filter_col", "float_col", "p")
+    c.writeTable(newP0, "main", "default", "pf", WriteMode.OVERWRITE,
+      SchemaEvolution.STRICT, partitionFilters = Seq(("p", "=", "0")))
+    val out = c.readTable("main", "default", "pf")
+    assert(out.filter("p = 0").count() == 1)
+    assert(out.filter("p = 1").count() == 2)
+
+    // multi-op filters: p > 0 (and != on a second write)
+    val newP1 = Seq((200L, false, 1.0, 1L)).toDF("id", "filter_col", "float_col", "p")
+    c.writeTable(newP1, "main", "default", "pf", WriteMode.OVERWRITE,
+      SchemaEvolution.STRICT, partitionFilters = Seq(("p", ">", "0")))
+    assert(c.readTable("main", "default", "pf").filter("p = 1").count() == 1)
+
+    // replace_where through the client (W4)
+    val repl = Seq((100L, false, 0.0, 0L)).toDF("id", "filter_col", "float_col", "p")
+    c.writeTable(repl, "main", "default", "pf", WriteMode.OVERWRITE,
+      SchemaEvolution.STRICT, replaceWhere = Some("id = 100"))
+    val vals = c.readTable("main", "default", "pf").filter("id = 100").collect()
+    assert(vals.length == 1 && vals(0).getAs[Double]("float_col") == 0.0)
+  }
+
   test("sync table properties from the transaction log (C19)") {
     val c = freshClient()
     val dir = TestSpark.tmpDir("client")
