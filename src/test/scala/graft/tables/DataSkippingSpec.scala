@@ -68,6 +68,27 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(t.toDF(before.version).count() == 500)
   }
 
+  test("concurrent appends both land via optimistic retry") {
+    val loc = TestSpark.tmpDir("conc")
+    val t = new TxTable(spark, loc)
+    t.create(Seq((0L, "base")).toDF("id", "v").repartition(1))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 4).map { k =>
+      Future {
+        new TxTable(spark, loc).append(
+          Seq((k.toLong, s"writer$k")).toDF("id", "v").repartition(1))
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    // all five rows present, log has 5 commits (create + 4 appends)
+    assert(t.toDF.count() == 5)
+    assert(t.version == 4L)
+    assert(t.toDF.select("v").collect().map(_.getString(0)).toSet ==
+      Set("base", "writer1", "writer2", "writer3", "writer4"))
+  }
+
   test("vacuum removes unreferenced files; time travel to old versions breaks") {
     val loc = TestSpark.tmpDir("vac")
     val t = new TxTable(spark, loc)
