@@ -85,11 +85,6 @@ object TextOps {
     * hash k-gram shingles, take the min hash in each sliding window of w,
     * dedupe — a compact sketch robust to local edits.
     */
-  def fingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val hs = transform(TextOps.shingles(text, k), s => xxhash64(s))
-    val n = size(hs)
-    val mins = when(n <= w, array(array_min(hs)))
-      .otherwise(transform(sequence(lit(0), n - lit(w)), i => array_min(slice(hs, i + 1, lit(w)))))
-    array_distinct(mins)
-  }
+  def fingerprint(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.TextNativeFunctions.fingerprint(text, k, w)
 }

@@ -174,6 +174,48 @@ case class SimHashTextExpr(child: Expression) extends UnaryExpression with Codeg
   override def prettyName: String = "simhash_text"
 }
 
+/** text → array<long> winnowing fingerprint (Schleimer et al. shape):
+  * hash k-token shingles, sliding-window minima (monotonic deque, O(n)),
+  * distinct — fully fused; the HOF formulation re-evaluated the regex
+  * tokenizer per shingle (quadratic per row).
+  */
+case class FingerprintExpr(child: Expression, shingleK: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val shingles = TokenizeUtil.shingles(text, shingleK)
+    val hs = shingles.map(s => XxHash64.hash(s.getBytes("UTF-8"), 0L))
+    val n = hs.length
+    val out = new java.util.LinkedHashSet[Long]()
+    if (n <= window) {
+      if (n > 0) out.add(hs.min)
+    } else {
+      // monotonic deque of indices, increasing hash values
+      val deque = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < n) {
+        while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - window) deque.pollFirst()
+        if (i >= window - 1) out.add(hs(deque.peekFirst()))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprint"
+}
+
 object TextNativeFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
@@ -185,4 +227,7 @@ object TextNativeFunctions {
     toCol(ShingleSetExpr(toExpr(text), shingleK))
 
   def simhashText(text: Column): Column = toCol(SimHashTextExpr(toExpr(text)))
+
+  def fingerprint(text: Column, shingleK: Int = 3, window: Int = 4): Column =
+    toCol(FingerprintExpr(toExpr(text), shingleK, window))
 }
