@@ -1,0 +1,90 @@
+package graft.client
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog._
+
+/** The reference's workhorse round-trip oracle (SURVEY §5.3, FIXTURES §1):
+  * write the random_df schema through every format, read back, compare —
+  * including an independent bypass-layer re-read through raw Spark.
+  */
+class RoundTripSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** FIXTURES §1: id uuid-string, ints long, floats double,
+    * decimals decimal(10,5), strings.
+    */
+  private def randomDf = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("ints", LongType, nullable = false),
+      StructField("floats", DoubleType, nullable = false),
+      StructField("decimals", DecimalType(10, 5), nullable = false),
+      StructField("strings", StringType, nullable = false)))
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 10).map { i =>
+      Row(java.util.UUID.nameUUIDFromBytes(Array(i.toByte)).toString,
+        rnd.nextLong().abs % 10000,
+        rnd.nextDouble() * 10000,
+        new java.math.BigDecimal(s"${rnd.nextInt(99999)}.${10000 + rnd.nextInt(89999)}"),
+        rnd.alphanumeric.take(2 + rnd.nextInt(50)).mkString)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private def freshClient(): LakehouseClient = {
+    val c = new LakehouseClient(spark)
+    c.createCatalog("rt")
+    c.createSchema("rt", "s")
+    c
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy("id").collect().toSeq.map(_.toSeq)
+
+  test("random_df round-trips through DELTA, PARQUET, CSV, AVRO (write -> read equality)") {
+    val c = freshClient()
+    val dir = TestSpark.tmpDir("rt")
+    val df = randomDf
+    val expected = sortedRows(df)
+
+    for ((ft, loc) <- Seq(
+        (FileType.DELTA, s"$dir/t_delta"),
+        (FileType.PARQUET, s"$dir/t.parquet"),
+        (FileType.CSV, s"$dir/t.csv"),
+        (FileType.AVRO, s"$dir/t.avro"))) {
+      c.createAsTable(df, "rt", "s", s"t_$ft", ft, loc)
+      val back = c.readTable("rt", "s", s"t_$ft")
+      assert(graft.types.SchemaEquality.equal(df.schema, back.schema), s"$ft schema drift")
+      assert(sortedRows(back) == expected, s"$ft round-trip mismatch")
+    }
+  }
+
+  test("bypass-layer cross-check: catalog-written parquet readable by raw Spark") {
+    val c = freshClient()
+    val dir = TestSpark.tmpDir("rt")
+    val df = randomDf
+    c.createAsTable(df, "rt", "s", "raw", FileType.PARQUET, s"$dir/raw.parquet")
+    val raw = spark.read.parquet(s"$dir/raw.parquet")
+    assert(sortedRows(raw) == sortedRows(df))
+  }
+
+  test("delta round-trip preserves decimals exactly across append + merge") {
+    val c = freshClient()
+    val dir = TestSpark.tmpDir("rt")
+    val df = randomDf
+    c.createAsTable(df, "rt", "s", "d", FileType.DELTA, s"$dir/d")
+    c.writeTable(df.withColumn("id", concat(col("id"), lit("_2"))), "rt", "s", "d", WriteMode.APPEND)
+    val back = c.readTable("rt", "s", "d")
+    assert(back.count() == 20)
+    val decs = back.select("decimals").collect().map(_.getDecimal(0).toPlainString).toSet
+    val origDecs = df.select("decimals").collect().map(_.getDecimal(0).toPlainString).toSet
+    assert(decs == origDecs)
+  }
+}
