@@ -205,6 +205,41 @@ object MoreQueries {
       },
       None), // HLL++ sketch values are engine-specific; deterministic per engine
 
+    // ---- explode + array ops: corpus word count, top-50 ----
+    QueryDef(
+      "q64_word_count",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(explode(split(col("text"), " ", -1)).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(50)
+      },
+      Some("""SELECT word, COUNT(*) AS n
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        WHERE LENGTH(word) > 0
+        GROUP BY word ORDER BY n DESC, word LIMIT 50""")),
+
+    // ---- grouping sets (beyond rollup/cube: explicit set list) ----
+    QueryDef(
+      "q65_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("v_li_gs")
+        s.sql(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+            COALESCE(l_linestatus, 'ALL') AS linestatus,
+            COUNT(*) AS n_rows,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+          FROM v_li_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+          COALESCE(l_linestatus, 'ALL') AS linestatus,
+          COUNT(*) AS n_rows, ${sqlSum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
+
     // ---- range join: bucket facts into value intervals ----
     QueryDef(
       "q63_range_join",
