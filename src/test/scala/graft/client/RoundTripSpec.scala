@@ -66,6 +66,32 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON and ORC round-trip (exceeding reference parity - S6)") {
+    val c = freshClient()
+    val dir = TestSpark.tmpDir("rt")
+    val df = randomDf
+    val expected = sortedRows(df)
+    for ((ft, loc) <- Seq((FileType.JSON, s"$dir/t.json"), (FileType.ORC, s"$dir/t.orc"))) {
+      c.createAsTable(df, "rt", "s", s"t_$ft", ft, loc)
+      assert(new java.io.File(loc).isFile, s"$ft should be a single file")
+      val back = c.readTable("rt", "s", s"t_$ft")
+      assert(sortedRows(back) == expected, s"$ft round-trip mismatch")
+    }
+  }
+
+  test("sketch expressions are SQL-callable after registration") {
+    graft.functions.SketchFunctions.registerAll(spark)
+    val sim = spark.sql("SELECT simhash64(array('spark', 'query', 'engine')) AS h").collect()(0).getLong(0)
+    val sim2 = spark.sql("SELECT simhash64(array('spark', 'query', 'engine')) AS h").collect()(0).getLong(0)
+    assert(sim == sim2 && sim != 0L)
+    val dot = spark.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+    val sig = spark.sql("SELECT minhash_sig(array('a b c', 'b c d'), 16) AS s").collect()(0).getSeq[Long](0)
+    assert(sig.length == 16)
+  }
+
   test("bypass-layer cross-check: catalog-written parquet readable by raw Spark") {
     val c = freshClient()
     val dir = TestSpark.tmpDir("rt")
