@@ -58,7 +58,15 @@ final class TxMerge(
   def whenNotMatchedBySourceDelete(condition: Option[String] = None): TxMerge =
     { bySource :+= BySourceDelete(condition); this }
 
-  /** Run the merge and commit the rewritten table. */
+  /** Run the merge and commit the rewritten table.
+    *
+    * File pruning (the 100 TB concern): when there are no
+    * not-matched-by-source clauses, only data files that actually contain
+    * matched target rows need rewriting — a cheap probe join collects the
+    * touched file set (Delta's findTouchedFiles shape), the merge itself
+    * runs against just those files' rows, and untouched files survive the
+    * commit physically unchanged.
+    */
   def execute(): Unit = {
     val spark = table.spark
     val snap = table.snapshot
@@ -68,7 +76,27 @@ final class TxMerge(
     val sMark = "__graft_s_exists"
     val tId = "__graft_t_id"
 
-    val t = table.toDF
+    // probe: which target files contain matched rows?
+    val touchedRelPaths: Option[Seq[String]] =
+      if (bySource.isEmpty && snap.files.nonEmpty) {
+        val probe = table.toDF
+          .withColumn("__graft_file", input_file_name())
+          .alias(targetAlias)
+          .join(source.alias(sourceAlias), expr(condition), "inner")
+          .select(col("__graft_file")).distinct()
+          .collect().map(_.getString(0))
+        Some(snap.files.map(_.path)
+          .filter(rel => probe.exists(p => p.endsWith("/" + rel) || p.endsWith(rel))))
+      } else None
+
+    val (targetDf, removedPaths) = touchedRelPaths match {
+      case Some(touched) =>
+        (table.dfForFiles(snap, touched), touched)
+      case None =>
+        (table.toDF, snap.files.map(_.path))
+    }
+
+    val t = targetDf
       .withColumn(tMark, lit(true))
       .withColumn(tId, monotonically_increasing_id())
       .alias(targetAlias)
@@ -162,6 +190,8 @@ final class TxMerge(
       .filter(!col("__graft_action").isin(deletes: _*))
       .select(targetCols.map(valueFor).toIndexedSeq: _*)
 
-    table.overwrite(result, graft.catalog.SchemaEvolution.STRICT)
+    // commit: only the touched files are replaced; the rest of the table
+    // is untouched (physically and in the manifest)
+    table.commitRewrite(result, removedPaths)
   }
 }

@@ -33,6 +33,21 @@ final class TxTable(val spark: SparkSession, val location: String) {
   /** Time travel (Delta-style `versionAsOf`). */
   def toDF(asOfVersion: Long): DataFrame = dfFor(snapshotAt(asOfVersion))
 
+  /** DataFrame over a subset of a snapshot's files (merge file pruning). */
+  private[tables] def dfForFiles(s: Snapshot, relPaths: Seq[String]): DataFrame = {
+    val set = relPaths.toSet
+    dfFor(s.copy(files = s.files.filter(f => set.contains(f.path))))
+  }
+
+  /** Commit a partial rewrite: replace exactly `removedPaths` with the
+    * staged contents of `df` (used by MERGE file pruning).
+    */
+  private[tables] def commitRewrite(df: DataFrame, removedPaths: Seq[String]): Unit =
+    commitWithRetry("MERGE") { snap =>
+      val added = TxLog.stageData(spark, location, df, snap.partitionColumns)
+      (added, removedPaths, snap.schema, snap.partitionColumns, snap.properties)
+    }
+
   private def dfFor(s: Snapshot): DataFrame = {
     if (s.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)

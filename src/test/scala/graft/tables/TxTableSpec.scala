@@ -189,6 +189,41 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("merge rewrites only files containing matched rows (file pruning)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    // three files with disjoint id ranges
+    t.create(Seq((0L, "a", 1.0), (1L, "b", 2.0)).toDF("id", "str_col", "float_col").repartition(1))
+    t.append(Seq((10L, "c", 3.0), (11L, "d", 4.0)).toDF("id", "str_col", "float_col").repartition(1))
+    t.append(Seq((20L, "e", 5.0), (21L, "f", 6.0)).toDF("id", "str_col", "float_col").repartition(1))
+    val before = t.snapshot
+    assert(before.files.size == 3)
+
+    // merge touches only the middle file (id 10) + inserts a new row
+    val src = Seq((10L, "C", 30.0), (99L, "z", 99.0)).toDF("id", "str_col", "float_col")
+    t.merge(src, "s.id = t.id").whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+
+    val after = t.snapshot
+    val beforePaths = before.files.map(_.path).toSet
+    val afterPaths = after.files.map(_.path).toSet
+    // the two untouched files survive physically
+    assert(beforePaths.intersect(afterPaths).size == 2,
+      s"expected 2 untouched files, before=$beforePaths after=$afterPaths")
+    assert(collectById(t) == Seq((0L, "a", 1.0), (1L, "b", 2.0), (10L, "C", 30.0),
+      (11L, "d", 4.0), (20L, "e", 5.0), (21L, "f", 6.0), (99L, "z", 99.0)))
+  }
+
+  test("merge with by-source clauses rewrites the full table (no pruning possible)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1.repartition(2))
+    t.merge(df2, "s.id = t.id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedBySourceDelete()
+      .execute()
+    assert(collectById(t) == Seq((0L, "x", 10.0), (1L, "y", 20.0)))
+  }
+
   test("partitioned reads prune by partition column filter") {
     val loc = TestSpark.tmpDir("tx")
     val t = new TxTable(spark, loc)
