@@ -90,6 +90,56 @@ object ExtQueries {
       },
       None),
 
+    // ---- contamination check: train/test overlap by normalized text ----
+    // (the benchmark-decontamination op: which training docs collide with
+    // the held-out set after normalization; oracle-checked — lower/trim
+    // are engine-identical)
+    QueryDef(
+      "q54_contamination",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val norm = lower(trim(col("text")))
+        val train = d.select(col("doc_id"), col("source"), norm.as("norm_text"))
+        // held-out set: every 10th doc (stand-in for a benchmark test set)
+        val test = d.filter(col("doc_id") % 10 === 0).select(norm.as("norm_text")).distinct()
+        train.join(test, Seq("norm_text"), "left_semi")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_contaminated"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_contaminated, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, source, LOWER(TRIM(text)) AS norm_text FROM documents)
+        WHERE norm_text IN (
+          SELECT DISTINCT LOWER(TRIM(text)) FROM documents WHERE doc_id % 10 = 0)
+        GROUP BY source""")),
+
+    // ---- binary-quantized embeddings: sign bits + hamming neighbors ----
+    // (vector compression: 64-dim float -> 64-bit sign signature; top-3
+    // nearest by hamming distance for a query set; engine-specific
+    // bit-packing -> rows-only check)
+    QueryDef(
+      "q55_binary_quant_ann",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir)
+        val sig = aggregate(
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => when(x >= 0, call_function("shiftleft", lit(1L), (pmod(i, lit(64))).cast(IntegerType)))
+              .otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc.bitwiseOR(b))
+        val sigs = e.select(col("vec_id"), sig.as("sig"))
+        val q = sigs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("sig").as("qsig"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("cid"))
+        sigs.select(col("vec_id").as("cid"), col("sig").as("csig"))
+          .join(broadcast(q), col("cid") =!= col("qid"))
+          .withColumn("hamming", bit_count(col("qsig").bitwiseXOR(col("csig"))).cast(LongType))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("cid"), col("hamming"), col("rn"))
+      },
+      None),
+
     // ---- LSH ANN recall vs brute force (per-query overlap@5) ----
     QueryDef(
       "q53_ann_lsh_recall",
