@@ -140,6 +140,23 @@ object ExtQueries {
       },
       None),
 
+    // ---- IVF ANN recall vs brute force (coarse-quantizer scale path) ----
+    QueryDef(
+      "q56_ann_ivf_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") < 10)
+        val exact = AnnLsh.topKBruteForce(e, queries, k = 5)
+          .select(col("qid"), col("cid").as("exact_cid"))
+        val approx = graft.ext.IvfAnn.topKIvf(e, queries, k = 5, nlist = 16, nprobe = 4)
+          .select(col("qid"), col("cid").as("ivf_cid"))
+        exact.join(approx,
+            exact("qid") === approx("qid") && col("exact_cid") === col("ivf_cid"), "left")
+          .groupBy(exact("qid").as("qid"))
+          .agg((count(col("ivf_cid")).cast(DoubleType) / lit(5.0)).as("recall_at_5"))
+      },
+      None),
+
     // ---- LSH ANN recall vs brute force (per-query overlap@5) ----
     QueryDef(
       "q53_ann_lsh_recall",

@@ -108,6 +108,17 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon (state is purged beyond it — bounded by the
+    * horizon's key cardinality, not stream history). The streaming face of
+    * NearDup.exactDedup for ingest pipelines.
+    */
+  def deduplicateStream(events: DataFrame, keyCols: Seq[String],
+      eventTimeCol: String = "event_time", horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Sink a streaming DataFrame into a transactional table: per-batch
     * append through the TxLog commit protocol (exactly-once within a
     * batch via the atomic commit; re-run batches append — callers needing

@@ -97,6 +97,25 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall > 0.5, s"LSH recall@5 too low: $recall")
   }
 
+  test("IVF ANN: recall against brute force; probe phase reads a corpus subset") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val exact = AnnLsh.topKBruteForce(e, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = IvfAnn.topKIvf(e, q, k = 5, nlist = 8, nprobe = 4)
+    val approx = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size / 25.0
+    assert(recall > 0.5, s"IVF recall@5 too low: $recall")
+    // determinism: same call twice gives identical results
+    val approx2 = IvfAnn.topKIvf(e, q, k = 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx == approx2)
+    // cells partition the corpus
+    val cells = IvfAnn.assign(e, IvfAnn.trainCentroids(e, nlist = 8))
+    assert(cells.count() == e.count())
+    assert(cells.select("cell").distinct().count() > 1)
+  }
+
   test("near-dup plan shuffles by band bucket, not O(n^2)") {
     val plan = NearDup.minhashCandidates(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "candidate generation must not be a cross join")

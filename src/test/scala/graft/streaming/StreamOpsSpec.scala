@@ -57,6 +57,23 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val events = input.toDF().toDF("doc_id", "content_hash", "event_time")
+    val deduped = StreamOps.deduplicateStream(events, Seq("content_hash"), horizon = "30 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData((1L, "h1", ts(1)), (2L, "h2", ts(2)), (3L, "h1", ts(3))) // h1 duplicated
+      q.processAllAvailable()
+      input.addData((4L, "h1", ts(5)), (5L, "h3", ts(6))) // h1 again within horizon
+      q.processAllAvailable()
+      val hashes = spark.sql("SELECT content_hash FROM dedup").collect().map(_.getString(0))
+      assert(hashes.sorted.toSeq == Seq("h1", "h2", "h3"), hashes.mkString(","))
+    } finally q.stop()
+  }
+
   test("file stream -> transactional table sink via foreachBatch") {
     import spark.implicits._
     val srcDir = TestSpark.tmpDir("stream-src")
