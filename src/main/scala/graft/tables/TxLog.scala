@@ -83,6 +83,45 @@ object TxLog {
   private def commitPath(location: String, version: Long): Path =
     new Path(logDir(location), f"$version%020d.json")
 
+  private def checkpointPath(location: String, version: Long): Path =
+    new Path(logDir(location), f"$version%020d.checkpoint.json")
+
+  /** Every N commits a checkpoint persists the full snapshot state so
+    * readers replay O(N) tail commits instead of the whole history
+    * (Delta-style log checkpointing).
+    */
+  val CheckpointInterval = 10
+
+  final case class Checkpoint(
+      version: Long,
+      schemaJson: String,
+      partitionColumns: Seq[String],
+      files: Seq[AddFile],
+      properties: Map[String, String])
+
+  private def listCheckpoints(f: FileSystem, location: String): Seq[(Long, Path)] = {
+    val dir = logDir(location)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".checkpoint.json"))
+      .flatMap { s =>
+        s.getPath.getName.stripSuffix(".checkpoint.json").toLongOption.map(_ -> s.getPath)
+      }
+      .sortBy(_._1)
+  }
+
+  def writeCheckpoint(spark: SparkSession, location: String, snap: Snapshot): Unit = {
+    val f = fs(spark, location)
+    val target = checkpointPath(location, snap.version)
+    if (f.exists(target)) return
+    val tmp = new Path(logDir(location), s".tmpckpt-${UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    try out.write(Serialization.write(Checkpoint(snap.version, snap.schema.json,
+      snap.partitionColumns, snap.files, snap.properties)).getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, target)) f.delete(tmp, false)
+  }
+
   private def listCommitFiles(f: FileSystem, location: String): Seq[(Long, Path)] = {
     val dir = logDir(location)
     if (!f.exists(dir)) Seq.empty
@@ -103,33 +142,54 @@ object TxLog {
     } finally in.close()
   }
 
-  /** Replay the log into a snapshot (optionally as of a past version). */
+  /** Replay the log into a snapshot (optionally as of a past version).
+    * Starts from the newest checkpoint at or below the target version and
+    * replays only the tail commits.
+    */
   def snapshot(spark: SparkSession, location: String, asOfVersion: Option[Long] = None): Snapshot = {
     val f = fs(spark, location)
     val commits0 = listCommitFiles(f, location)
-    val commits = asOfVersion match {
+    val commits1 = asOfVersion match {
       case Some(v) =>
         if (!commits0.exists(_._1 == v))
           throw graft.catalog.DoesNotExistError(s"version $v does not exist at $location")
         commits0.filter(_._1 <= v)
       case None => commits0
     }
-    if (commits.isEmpty)
+    if (commits1.isEmpty)
       throw graft.catalog.DoesNotExistError(s"no transaction log at $location")
+    val maxV = commits1.last._1
+    val ckpt = listCheckpoints(f, location).filter(_._1 <= maxV).lastOption.map { case (_, p) =>
+      val in = f.open(p)
+      try {
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        JsonMethods.parse(txt).extract[Checkpoint]
+      } finally in.close()
+    }
     var active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    var last: Commit = null
-    commits.foreach { case (_, p) =>
+    var schemaJson: String = null
+    var partCols: Seq[String] = Seq.empty
+    var props: Map[String, String] = Map.empty
+    var lastV: Long = -1L
+    ckpt.foreach { c =>
+      c.files.foreach(a => active(a.path) = a)
+      schemaJson = c.schemaJson; partCols = c.partitionColumns; props = c.properties
+      lastV = c.version
+    }
+    val tail = commits1.filter(_._1 > lastV)
+    tail.foreach { case (_, p) =>
       val c = readCommit(f, p)
       c.removed.foreach(active.remove)
       c.added.foreach(a => active(a.path) = a)
-      last = c
+      schemaJson = c.schemaJson; partCols = c.partitionColumns; props = c.properties
+      lastV = c.version
     }
     Snapshot(
-      version = last.version,
-      schema = DataType.fromJson(last.schemaJson).asInstanceOf[StructType],
-      partitionColumns = last.partitionColumns,
+      version = lastV,
+      schema = DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partitionColumns = partCols,
       files = active.values.toSeq,
-      properties = last.properties)
+      properties = props)
   }
 
   def latestVersion(spark: SparkSession, location: String): Option[Long] = {

@@ -307,7 +307,12 @@ final class TxTable(val spark: SparkSession, val location: String) {
       val (added, removed, schema, partCols, props) = plan(snap)
       val c = Commit(snap.version + 1, System.currentTimeMillis(), op, schema.json,
         partCols, added, removed, props)
-      if (tryCommit(spark, location, c)) return
+      if (tryCommit(spark, location, c)) {
+        // periodic checkpoint so snapshot replay stays O(interval)
+        if (c.version % TxLog.CheckpointInterval == 0)
+          TxLog.writeCheckpoint(spark, location, snapshot)
+        return
+      }
       attempts += 1
       if (attempts >= 5)
         throw new java.io.IOException(s"commit conflict at $location after $attempts attempts")

@@ -68,6 +68,25 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(t.toDF(before.version).count() == 500)
   }
 
+  test("checkpoint written every 10 commits; snapshot replays from it correctly") {
+    val loc = TestSpark.tmpDir("ckpt")
+    val t = new TxTable(spark, loc)
+    t.create(Seq((0L, 0L)).toDF("id", "v").repartition(1))
+    (1 to 12).foreach { k =>
+      t.append(Seq((k.toLong, k.toLong)).toDF("id", "v").repartition(1))
+    }
+    // commits 0..12 -> checkpoint at version 10
+    val logFiles = new java.io.File(s"$loc/_graft_log").list().toSeq
+    assert(logFiles.exists(_.endsWith("00000000000000000010.checkpoint.json")), logFiles.sorted)
+    // snapshot (checkpoint + 2-commit tail) sees all 13 rows
+    assert(t.toDF.count() == 13)
+    assert(t.version == 12L)
+    // time travel before the checkpoint still works (full replay path)
+    assert(t.toDF(5L).count() == 6)
+    // and data skipping stats still present after checkpoint round-trip
+    assert(t.filesAfterPruning("id = 12") == 1)
+  }
+
   test("concurrent appends both land via optimistic retry") {
     val loc = TestSpark.tmpDir("conc")
     val t = new TxTable(spark, loc)
