@@ -290,6 +290,23 @@ object MoreQueries {
           SELECT s_suppkey + 1000000 AS entity_id, s_name AS entity_name, 'supplier' AS kind
           FROM supplier)""")),
 
+    // ---- exact percentiles (interpolated; engines share the formula) ----
+    QueryDef(
+      "q66_percentiles",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.groupBy(col("o_orderstatus"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("median_price"),
+            expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderstatus,
+          quantile_cont(o_totalprice, 0.5) AS median_price,
+          quantile_cont(o_totalprice, 0.9) AS p90_price,
+          COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus""")),
+
     // ---- typed Aggregator UDAF (XOR checksum; DuckDB BIT_XOR oracle) ----
     QueryDef(
       "q61_custom_udaf",
