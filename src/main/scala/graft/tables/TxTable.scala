@@ -144,6 +144,68 @@ final class TxTable(val spark: SparkSession, val location: String) {
       sourceAlias: String = "s", targetAlias: String = "t"): TxMerge =
     new TxMerge(this, source, condition, sourceAlias, targetAlias)
 
+  /** DELETE FROM t WHERE predicate — copy-on-write limited to files that
+    * can contain matching rows (manifest stats + partition pruning); files
+    * provably outside the predicate survive untouched.
+    */
+  def delete(predicate: String): Unit =
+    rewriteMatchingFiles("DELETE", predicate) { affected =>
+      affected.filter(!expr(predicate))
+    }
+
+  /** UPDATE t SET col = expr, ... WHERE predicate — copy-on-write with the
+    * same file pruning as delete. `set` values are SQL expressions that
+    * may reference existing columns.
+    */
+  def update(predicate: String, set: Map[String, String]): Unit =
+    rewriteMatchingFiles("UPDATE", predicate) { affected =>
+      val snapSchema = affected.schema
+      val updated = snapSchema.fieldNames.foldLeft(affected) { (d, c) =>
+        set.get(c) match {
+          case Some(e) => d.withColumn(c,
+            when(expr(predicate), expr(e).cast(snapSchema(c).dataType)).otherwise(col(c)))
+          case None => d
+        }
+      }
+      set.keys.find(k => !snapSchema.fieldNames.contains(k)).foreach { k =>
+        throw UnsupportedOperationError(s"UPDATE: unknown column $k")
+      }
+      updated
+    }
+
+  /** Shared copy-on-write driver for DELETE/UPDATE: figure out which files
+    * might contain predicate-matching rows, rewrite only those.
+    */
+  private def rewriteMatchingFiles(op: String, predicate: String)(
+      transform: DataFrame => DataFrame): Unit =
+    commitWithRetry(op) { snap =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+      val conjuncts = FileStats.prunableConjuncts(parsed)
+      val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      val partSet = snap.partitionColumns.toSet
+      val (maybe, untouched) = snap.files.partition { f =>
+        conjuncts.forall { c =>
+          fieldTypes.get(c.colName) match {
+            case Some(dt) if partSet.contains(c.colName) =>
+              val v = f.partitionValues.get(c.colName)
+              FileStats.mightMatch(c, dt, v, v)
+            case Some(dt) =>
+              FileStats.mightMatch(c, dt,
+                f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)))
+            case None => true
+          }
+        }
+      }
+      if (maybe.isEmpty) {
+        (Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, snap.properties)
+      } else {
+        val affected = dfForFiles(snap, maybe.map(_.path))
+        val rewritten = transform(affected)
+        val added = TxLog.stageData(spark, location, rewritten, snap.partitionColumns)
+        (added, maybe.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
+      }
+    }
+
   /** Filtered scan with manifest-level data skipping: files whose
     * partition values or min/max column stats provably cannot satisfy the
     * predicate are dropped before the parquet reader ever sees them

@@ -189,6 +189,34 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE: removes matching rows, rewrites only files that can match") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(Seq((0L, "a", 1.0), (1L, "b", 2.0)).toDF("id", "str_col", "float_col").repartition(1))
+    t.append(Seq((10L, "c", 3.0), (11L, "d", 4.0)).toDF("id", "str_col", "float_col").repartition(1))
+    val before = t.snapshot
+    t.delete("id = 10")
+    val after = t.snapshot
+    // the id 0-1 file is untouched (stats prove id=10 can't be there)
+    assert(before.files.map(_.path).toSet.intersect(after.files.map(_.path).toSet).size == 1)
+    assert(collectById(t).map(_._1) == Seq(0L, 1L, 11L))
+    // no-op delete outside all ranges leaves everything untouched
+    val v = t.version
+    t.delete("id = 999")
+    assert(t.snapshot.files.map(_.path).toSet == after.files.map(_.path).toSet)
+    assert(collectById(t).map(_._1) == Seq(0L, 1L, 11L))
+  }
+
+  test("UPDATE: conditional column rewrite with expression values") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    t.update("id >= 4", Map("float_col" -> "float_col * 10", "str_col" -> "upper(str_col)"))
+    assert(collectById(t) == Seq((0L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0),
+      (3L, "d", 4.0), (4L, "E", 50.0), (5L, "F", 60.0)))
+    intercept[UnsupportedOperationError] { t.update("id = 0", Map("nope" -> "1")) }
+  }
+
   test("merge rewrites only files containing matched rows (file pruning)") {
     val loc = TestSpark.tmpDir("tx")
     val t = new TxTable(spark, loc)
