@@ -62,6 +62,34 @@ object EventQueries {
         GROUP BY user_id"""),
       headline = true),
 
+    // ---- built-in session_window batch sessionization (complements the
+    // lag-based q31 and the streaming mapGroupsWithState variant; window
+    // boundary repr is engine-specific -> rows-only) ----
+    QueryDef(
+      "q57_session_window",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("event_time"), col("value"))
+        e.groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"))
+      },
+      None),
+
+    // ---- t-digest-style sketch percentiles (approx; engine-specific) ----
+    QueryDef(
+      "q58_approx_percentile",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("event_type"))
+          .agg(
+            expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("approx_pcts"),
+            expr("percentile(value, 0.5)").as("exact_median"))
+      },
+      None),
+
     // ---- per-user, per-type pivot-style aggregation ----
     QueryDef(
       "q32_events_user_stats",
