@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels callable from generated code (fully-qualified static
+  * method calls keep the custom expressions inside WholeStageCodegen
+  * instead of forcing a CodegenFallback break around them).
+  */
+object Kernels {
+
+  def floatDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def simhashText(text: UTF8String): Long = {
+    val toks = TokenizeUtil.tokens(text.toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = XxHash64.hash(toks(i).getBytes("UTF-8"), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def shingleSet(text: UTF8String, k: Int): ArrayData = {
+    val set = new java.util.LinkedHashSet[String]()
+    TokenizeUtil.shingles(text.toString, k).foreach(set.add)
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def hyperplaneSig(x: ArrayData, numPlanes: Int, table: Int): Long = {
+    val n = x.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val b = new Array[Byte](8)
+        b(0) = (p & 0xff).toByte; b(1) = ((p >> 8) & 0xff).toByte
+        b(2) = ((p >> 16) & 0xff).toByte; b(3) = ((p >> 24) & 0xff).toByte
+        b(4) = (d & 0xff).toByte; b(5) = ((d >> 8) & 0xff).toByte
+        b(6) = ((d >> 16) & 0xff).toByte; b(7) = ((d >> 24) & 0xff).toByte
+        val h = XxHash64.hash(b, table.toLong)
+        val w = (java.lang.Math.floorMod(h, 1000000L).toDouble / 1000000.0) - 0.5
+        dot += x.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def fingerprint(text: UTF8String, shingleK: Int, window: Int): ArrayData = {
+    val shingles = TokenizeUtil.shingles(text.toString, shingleK)
+    val hs = shingles.map(s => XxHash64.hash(s.getBytes("UTF-8"), 0L))
+    val n = hs.length
+    val out = new java.util.LinkedHashSet[Long]()
+    if (n <= window) {
+      if (n > 0) out.add(hs.min)
+    } else {
+      val deque = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < n) {
+        while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - window) deque.pollFirst()
+        if (i >= window - 1) out.add(hs(deque.peekFirst()))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+}

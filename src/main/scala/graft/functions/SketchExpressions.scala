@@ -150,25 +150,24 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
   override def prettyName: String = "simhash64"
 }
 
-/** Dot product of two array<float> columns in one loop (double accumulator). */
+/** Dot product of two array<float> columns in one loop (double
+  * accumulator). Codegen emits a static kernel call so the expression
+  * stays inside WholeStageCodegen (no fallback break).
+  */
 case class FloatDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
-    }
-    java.lang.Double.valueOf(acc)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(Kernels.floatDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.floatDot($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -181,40 +180,19 @@ case class FloatDotExpr(left: Expression, right: Expression)
   * every executor with zero shipped state.
   */
 case class HyperplaneSigExpr(child: Expression, numPlanes: Int, table: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    var sig = 0L
-    var p = 0
-    while (p < numPlanes) {
-      var dot = 0.0
-      var d = 0
-      while (d < n) {
-        // deterministic pseudo-random weight in [-0.5, 0.5)
-        val h = XxHash64.hash(planeKey(p, d), table.toLong)
-        val w = (java.lang.Math.floorMod(h, 1000000L).toDouble / 1000000.0) - 0.5
-        dot += x.getFloat(d).toDouble * w
-        d += 1
-      }
-      if (dot >= 0) sig |= (1L << p)
-      p += 1
-    }
-    java.lang.Long.valueOf(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Kernels.hyperplaneSig(input.asInstanceOf[ArrayData], numPlanes, table))
 
-  private def planeKey(p: Int, d: Int): Array[Byte] = {
-    val b = new Array[Byte](8)
-    b(0) = (p & 0xff).toByte; b(1) = ((p >> 8) & 0xff).toByte
-    b(2) = ((p >> 16) & 0xff).toByte; b(3) = ((p >> 24) & 0xff).toByte
-    b(4) = (d & 0xff).toByte; b(5) = ((d >> 8) & 0xff).toByte
-    b(6) = ((d >> 16) & 0xff).toByte; b(7) = ((d >> 24) & 0xff).toByte
-    b
-  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneSig($c, $numPlanes, $table)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "hyperplane_sig"

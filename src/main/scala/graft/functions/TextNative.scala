@@ -124,51 +124,38 @@ case class MinHashBandsGen(
   * Jaccard verification without HOF tokenization).
   */
 case class ShingleSetExpr(child: Expression, shingleK: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val set = new java.util.LinkedHashSet[String]()
-    TokenizeUtil.shingles(text, shingleK).foreach(set.add)
-    val out = new Array[Any](set.size)
-    val it = set.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.shingleSet(input.asInstanceOf[UTF8String], shingleK)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleSet($c, $shingleK)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "shingle_set"
 }
 
 /** text → 64-bit SimHash over word tokens, fused tokenize+hash+vote. */
-case class SimHashTextExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHashTextExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = TokenizeUtil.tokens(text)
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      val h = XxHash64.hash(toks(i).getBytes("UTF-8"), 0L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Kernels.simhashText(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhashText($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "simhash_text"
@@ -180,37 +167,19 @@ case class SimHashTextExpr(child: Expression) extends UnaryExpression with Codeg
   * tokenizer per shingle (quadratic per row).
   */
 case class FingerprintExpr(child: Expression, shingleK: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val shingles = TokenizeUtil.shingles(text, shingleK)
-    val hs = shingles.map(s => XxHash64.hash(s.getBytes("UTF-8"), 0L))
-    val n = hs.length
-    val out = new java.util.LinkedHashSet[Long]()
-    if (n <= window) {
-      if (n > 0) out.add(hs.min)
-    } else {
-      // monotonic deque of indices, increasing hash values
-      val deque = new java.util.ArrayDeque[Int]()
-      var i = 0
-      while (i < n) {
-        while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
-        deque.addLast(i)
-        if (deque.peekFirst() <= i - window) deque.pollFirst()
-        if (i >= window - 1) out.add(hs(deque.peekFirst()))
-        i += 1
-      }
-    }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { arr(j) = it.next(); j += 1 }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.fingerprint(input.asInstanceOf[UTF8String], shingleK, window)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.fingerprint($c, $shingleK, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "winnow_fingerprint"
