@@ -290,6 +290,33 @@ object MoreQueries {
           SELECT s_suppkey + 1000000 AS entity_id, s_name AS entity_name, 'supplier' AS kind
           FROM supplier)""")),
 
+    // ---- custom physical operator: bounded-heap top-k per key ----
+    // (same semantics and ORACLE as q20's window formulation, executed by
+    // graft.plans.{PartialTopKExec,FinalTopKExec} — map-side top-k before
+    // the shuffle, no per-partition full sort; rank added by a cheap
+    // window over the k x keys-row result)
+    QueryDef(
+      "q59_topk_custom_operator",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val top = graft.plans.TopK.topKPerKey(li, Seq("l_suppkey"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        top.withColumn("rn", row_number().over(w).cast(LongType))
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber").cast(LongType).as("l_linenumber"),
+            col("l_extendedprice"), col("rn"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          l_extendedprice, rn
+        FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+              FROM lineitem)
+        WHERE rn <= 3"""),
+      headline = true),
+
     // ---- exact percentiles (interpolated; engines share the formula) ----
     QueryDef(
       "q66_percentiles",

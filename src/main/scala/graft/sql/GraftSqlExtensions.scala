@@ -61,9 +61,12 @@ object GraftSqlExtensions {
     * .withExtensions(GraftSqlExtensions.install). Clients register
     * themselves on construction (LakehouseClient does this).
     */
-  def install(extensions: SparkSessionExtensions): Unit =
+  def install(extensions: SparkSessionExtensions): Unit = {
     // the Hints batch runs before Spark's own relation resolution, which
     // would otherwise throw REQUIRES_SINGLE_PART_NAMESPACE on 3-part names
     // it cannot map to a registered catalog plugin
     extensions.injectHintResolutionRule(s => ResolveGraftRelations(s.asInstanceOf[ClassicSparkSession]))
+    // custom physical operators (SURVEY preference tier c)
+    extensions.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
