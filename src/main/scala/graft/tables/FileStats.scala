@@ -148,6 +148,27 @@ object FileStats {
       (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _: DecimalType =>
       (a, b) => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case DateType =>
+      (a, b) => java.lang.Long.compare(toEpochDays(a), toEpochDays(b))
+    case TimestampType | TimestampNTZType =>
+      (a, b) => java.lang.Long.compare(toEpochMicros(a), toEpochMicros(b))
     case _ => (a, b) => a.compareTo(b)
   }
+
+  /** Parquet footer stats carry DATE as INT32 epoch days while predicate
+    * literals and hive partition values are ISO strings — normalize both to
+    * epoch days before comparing. Unparseable input throws, which
+    * `mightMatch` turns into keep-the-file (safe).
+    */
+  private def toEpochDays(s: String): Long =
+    s.toLongOption.getOrElse(java.time.LocalDate.parse(s).toEpochDay)
+
+  /** Same normalization for TIMESTAMP: footer stats are INT64 epoch micros;
+    * literals are ISO strings (space- or T-separated).
+    */
+  private def toEpochMicros(s: String): Long =
+    s.toLongOption.getOrElse {
+      val t = java.sql.Timestamp.valueOf(s.replace('T', ' '))
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    }
 }

@@ -36,7 +36,7 @@ import org.json4s.jackson.Serialization
   */
 object TxLog {
   val LogDirName = "_graft_log"
-  private val StagingPrefix = "_staging"
+  private[tables] val StagingPrefix = "_staging"
 
   final case class AddFile(
       path: String,
@@ -232,7 +232,17 @@ object TxLog {
     val f = fs(spark, location)
     val stagingDir = new Path(location, s"$StagingPrefix-${UUID.randomUUID()}")
     val writer = if (partitionColumns.nonEmpty) df.write.partitionBy(partitionColumns: _*) else df.write
-    writer.parquet(stagingDir.toString)
+    // Spark's default INT96 timestamps carry no parquet footer statistics,
+    // which silences data skipping on timestamp columns; write the modern
+    // (and stats-bearing) TIMESTAMP_MICROS physical type instead.
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try writer.parquet(stagingDir.toString)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
     try {
       val staged = listFilesRecursively(f, stagingDir)
         .filter(p => p.getName.endsWith(".parquet"))

@@ -192,6 +192,6 @@ final class TxMerge(
 
     // commit: only the touched files are replaced; the rest of the table
     // is untouched (physically and in the manifest)
-    table.commitRewrite(result, removedPaths)
+    table.commitRewrite(result, removedPaths, snap.version)
   }
 }

@@ -42,8 +42,21 @@ final class TxTable(val spark: SparkSession, val location: String) {
   /** Commit a partial rewrite: replace exactly `removedPaths` with the
     * staged contents of `df` (used by MERGE file pruning).
     */
-  private[tables] def commitRewrite(df: DataFrame, removedPaths: Seq[String]): Unit =
+  private[tables] def commitRewrite(df: DataFrame, removedPaths: Seq[String],
+      baseVersion: Long): Unit =
     commitWithRetry("MERGE") { snap =>
+      // `df` and `removedPaths` were planned against `baseVersion`; if a
+      // concurrent commit landed since, recommitting blindly would
+      // resurrect stale rows (the rewrite re-adds data a concurrent
+      // DELETE/UPDATE removed). Fail unless every planned removal is still
+      // active — a logical conflict check, like Delta's.
+      if (snap.version != baseVersion) {
+        val active = snap.files.map(_.path).toSet
+        if (!removedPaths.forall(active.contains))
+          throw new java.util.ConcurrentModificationException(
+            s"MERGE conflict at $location: concurrent commit rewrote files this merge read " +
+              s"(planned against v$baseVersion, now v${snap.version})")
+      }
       val added = TxLog.stageData(spark, location, df, snap.partitionColumns)
       (added, removedPaths, snap.schema, snap.partitionColumns, snap.properties)
     }
@@ -98,7 +111,8 @@ final class TxTable(val spark: SparkSession, val location: String) {
       evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit = {
     val pred = expr(predicate)
     val snap0 = snapshot
-    val violating = df.filter(!pred)
+    // rows where the predicate is NULL do not satisfy it either
+    val violating = df.filter(!coalesce(pred, lit(false)))
     if (violating.limit(1).count() > 0)
       throw UnsupportedOperationError(
         s"replaceWhere: new data contains rows not matching predicate '$predicate'")
@@ -115,7 +129,9 @@ final class TxTable(val spark: SparkSession, val location: String) {
     } else {
       commitWithRetry("REPLACE_WHERE") { snap =>
         val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
-        val kept = dfFor(snap).filter(!pred)
+        // keep rows where the predicate is not TRUE (NULL-evaluating rows
+        // are kept — SQL/Delta replace only rows where it holds)
+        val kept = dfFor(snap).filter(!coalesce(pred, lit(false)))
         val newContent = unionByNameTolerant(kept, df)
         val added = TxLog.stageData(spark, location, alignForWrite(newContent, snap.partitionColumns), snap.partitionColumns)
         (added, snap.files.map(_.path), newSchema, snap.partitionColumns, snap.properties)
@@ -150,7 +166,9 @@ final class TxTable(val spark: SparkSession, val location: String) {
     */
   def delete(predicate: String): Unit =
     rewriteMatchingFiles("DELETE", predicate) { affected =>
-      affected.filter(!expr(predicate))
+      // SQL DELETE removes only rows where the predicate is TRUE; rows
+      // where it evaluates to NULL must be kept, so negate under coalesce.
+      affected.filter(!coalesce(expr(predicate), lit(false)))
     }
 
   /** UPDATE t SET col = expr, ... WHERE predicate — copy-on-write with the
@@ -160,17 +178,18 @@ final class TxTable(val spark: SparkSession, val location: String) {
   def update(predicate: String, set: Map[String, String]): Unit =
     rewriteMatchingFiles("UPDATE", predicate) { affected =>
       val snapSchema = affected.schema
-      val updated = snapSchema.fieldNames.foldLeft(affected) { (d, c) =>
-        set.get(c) match {
-          case Some(e) => d.withColumn(c,
-            when(expr(predicate), expr(e).cast(snapSchema(c).dataType)).otherwise(col(c)))
-          case None => d
-        }
-      }
       set.keys.find(k => !snapSchema.fieldNames.contains(k)).foreach { k =>
         throw UnsupportedOperationError(s"UPDATE: unknown column $k")
       }
-      updated
+      // single projection so every SET right-hand side reads the ORIGINAL
+      // row (SQL UPDATE semantics: SET a=b, b=a swaps the columns)
+      affected.select(snapSchema.fieldNames.map { c =>
+        set.get(c) match {
+          case Some(e) =>
+            when(expr(predicate), expr(e).cast(snapSchema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
     }
 
   /** Shared copy-on-write driver for DELETE/UPDATE: figure out which files
@@ -276,8 +295,14 @@ final class TxTable(val spark: SparkSession, val location: String) {
     * most recent `retainVersions` snapshots — covers both files removed by
     * old commits and orphans from failed/retried commits. Time travel to
     * vacuumed versions stops working (as in Delta).
+    *
+    * Concurrent-writer safety: a writer stages under `_staging-*` then
+    * renames into place before committing, so (a) staging dirs are never
+    * touched and (b) `retentionMs` (Delta-style modification-time window;
+    * production should use hours–days) protects files published between a
+    * concurrent stageData and its tryCommit.
     */
-  def vacuum(retainVersions: Int = 1): Int = {
+  def vacuum(retainVersions: Int = 1, retentionMs: Long = 0L): Int = {
     val f = TxLog.fs(spark, location)
     val latest = TxLog.latestVersion(spark, location)
       .getOrElse(throw graft.catalog.DoesNotExistError(s"no log at $location"))
@@ -288,14 +313,16 @@ final class TxTable(val spark: SparkSession, val location: String) {
     }
     val base = new Path(location)
     val baseUri = base.toUri.getPath.stripSuffix("/")
+    val cutoffMs = System.currentTimeMillis() - math.max(0L, retentionMs)
     var deleted = 0
     val it = f.listFiles(base, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile) {
         val rel = st.getPath.toUri.getPath.stripPrefix(baseUri + "/")
-        val isData = rel.endsWith(".parquet") && !rel.startsWith(TxLog.LogDirName)
-        if (isData && !keep.contains(rel)) {
+        val isData = rel.endsWith(".parquet") && !rel.startsWith(TxLog.LogDirName) &&
+          !rel.startsWith(TxLog.StagingPrefix)
+        if (isData && !keep.contains(rel) && st.getModificationTime < cutoffMs) {
           f.delete(st.getPath, false)
           deleted += 1
         }

@@ -47,6 +47,32 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(t.scan("name = 'zeta'").count() == 1)
   }
 
+  test("date and timestamp stats compare as dates, not strings") {
+    val loc = TestSpark.tmpDir("skip")
+    val t = new TxTable(spark, loc)
+    import java.sql.{Date, Timestamp}
+    t.create(Seq((Date.valueOf("2024-01-01"), 1L), (Date.valueOf("2024-01-15"), 2L))
+      .toDF("d", "x").repartition(1))
+    t.append(Seq((Date.valueOf("2024-06-01"), 3L), (Date.valueOf("2024-06-15"), 4L))
+      .toDF("d", "x").repartition(1))
+    // footer stats are INT32 epoch days; a lexicographic compare against the
+    // ISO literal would wrongly prune files that DO contain matches
+    assert(t.scan("d = '2024-01-15'").count() == 1)
+    assert(t.scan("d >= '2024-06-01'").count() == 2)
+    assert(t.scan("d = DATE'2024-06-15'").count() == 1)
+    assert(t.filesAfterPruning("d = '2024-01-15'") == 1)
+    // DELETE through the same pruner must not silently miss rows
+    t.delete("d = '2024-01-01'")
+    assert(t.toDF.count() == 3)
+
+    val ts = new TxTable(spark, TestSpark.tmpDir("skip"))
+    ts.create(Seq((Timestamp.valueOf("2024-01-01 10:00:00"), 1L)).toDF("ts", "x").repartition(1))
+    ts.append(Seq((Timestamp.valueOf("2024-06-01 10:00:00"), 2L)).toDF("ts", "x").repartition(1))
+    assert(ts.scan("ts >= '2024-06-01 00:00:00'").count() == 1)
+    assert(ts.scan("ts = TIMESTAMP'2024-01-01 10:00:00'").count() == 1)
+    assert(ts.filesAfterPruning("ts >= '2024-06-01 00:00:00'") == 1)
+  }
+
   test("optimize compacts many small files into few, preserving data") {
     val loc = TestSpark.tmpDir("opt")
     val t = new TxTable(spark, loc)

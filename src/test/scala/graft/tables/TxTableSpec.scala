@@ -252,6 +252,72 @@ class TxTableSpec extends AnyFunSuite {
     assert(collectById(t) == Seq((0L, "x", 10.0), (1L, "y", 20.0)))
   }
 
+  test("DELETE keeps rows where the predicate evaluates to NULL") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    val withNulls = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (10L, "c"))
+      .toDF("x", "v")
+    t.create(withNulls)
+    t.delete("x > 5")
+    // the x=NULL row must survive: 'NULL > 5' is NULL, not TRUE
+    assert(t.toDF.orderBy("v").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("replaceWhere keeps NULL-evaluating rows on the rewrite path") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    val withNulls = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (10L, "c"))
+      .toDF("x", "v")
+    t.create(withNulls)
+    t.replaceWhere(Seq[(java.lang.Long, String)]((20L, "z")).toDF("x", "v"), "x > 5")
+    assert(t.toDF.orderBy("v").collect().map(_.getString(1)).toSeq == Seq("a", "b", "z"))
+    // and new data with a NULL-evaluating predicate row is rejected
+    intercept[UnsupportedOperationError] {
+      t.replaceWhere(Seq[(java.lang.Long, String)]((null, "n")).toDF("x", "v"), "x > 5")
+    }
+  }
+
+  test("UPDATE SET expressions all read the original row (a=b, b=a swaps)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(Seq((1L, 10L, 20L)).toDF("id", "a", "b"))
+    t.update("id = 1", Map("a" -> "b", "b" -> "a"))
+    val r = t.toDF.collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((20L, 10L)))
+  }
+
+  test("merge commit detects concurrent rewrite of files it read") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1.repartition(1))
+    val snap = t.snapshot
+    val planned = snap.files.map(_.path)
+    // a concurrent DELETE rewrites the file the merge planned to replace
+    t.delete("id = 0")
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitRewrite(df2, planned, snap.version)
+    }
+  }
+
+  test("vacuum skips staging files and honors the retention window") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1.repartition(1))
+    t.overwrite(df2.repartition(1)) // v0's file is now unreferenced
+    // simulate a concurrent writer's staged file
+    val f = TxLog.fs(spark, loc)
+    val staged = new org.apache.hadoop.fs.Path(loc, "_staging-zz/part-0.parquet")
+    f.mkdirs(staged.getParent)
+    val out = f.create(staged, false); out.write(1); out.close()
+    // a long retention window protects the just-unreferenced file too
+    assert(t.vacuum(retainVersions = 1, retentionMs = 24L * 3600 * 1000) == 0)
+    assert(f.exists(staged))
+    // zero retention removes the old data file but never staging files
+    assert(t.vacuum(retainVersions = 1) == 1)
+    assert(f.exists(staged))
+    assert(t.toDF.count() == 4)
+  }
+
   test("partitioned reads prune by partition column filter") {
     val loc = TestSpark.tmpDir("tx")
     val t = new TxTable(spark, loc)
