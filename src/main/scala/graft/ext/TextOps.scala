@@ -58,18 +58,24 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** Per-language high-frequency function-word markers, shared by
+    * `languageId` and its DuckDB oracle (ExtQueries.q44) so the two stay in
+    * lockstep.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " das ", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
+    "es" -> Seq(" el ", " la ", " y ", " los ", " es "),
+    "it" -> Seq(" il ", " e ", " che ", " di ", " la "))
+
   /** Language-ID by stopword-hit scoring: counts occurrences of a few
     * high-frequency function words per language and takes the argmax.
     * An n-gram-profile heuristic, not a model — deterministic and
     * vectorizable. Returns 'und' when nothing matches.
     */
   def languageId(text: Column): Column = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
-      "de" -> Seq(" der ", " und ", " die ", " das ", " ist "),
-      "fr" -> Seq(" le ", " la ", " et ", " les ", " est "),
-      "es" -> Seq(" el ", " la ", " y ", " los ", " es "),
-      "it" -> Seq(" il ", " e ", " che ", " di ", " la "))
+    val markers = langMarkers
     val padded = concat(lit(" "), lower(text), lit(" "))
     def count(m: String): Column =
       ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), ""))) / lit(m.length))

@@ -63,8 +63,10 @@ object EventQueries {
       headline = true),
 
     // ---- built-in session_window batch sessionization (complements the
-    // lag-based q31 and the streaming mapGroupsWithState variant; window
-    // boundary repr is engine-specific -> rows-only) ----
+    // lag-based q31 and the streaming mapGroupsWithState variant) ----
+    // Oracle: gaps-and-islands over the same µs timestamps. Note the gap
+    // comparison is `>=`, not `>`: Spark merges sessions only while the
+    // next event starts strictly before session_end = last + gap.
     QueryDef(
       "q57_session_window",
       (s, dir) => {
@@ -76,19 +78,51 @@ object EventQueries {
           .agg(count(lit(1)).as("n_sessions"),
             max(col("n_events")).as("max_session_events"))
       },
-      None),
+      Some(s"""SELECT user_id, COUNT(*) AS n_sessions, MAX(cnt) AS max_session_events FROM (
+          SELECT user_id, session_id, COUNT(*) AS cnt FROM (
+            SELECT user_id,
+              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+              SELECT user_id, ts_us, event_id,
+                CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= $SessionGapUs THEN 1 ELSE 0 END AS new_session
+              FROM (
+                SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+                  LAG(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                    ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_ts
+                FROM events)))
+          GROUP BY user_id, session_id)
+        GROUP BY user_id"""),
+      headline = true),
 
-    // ---- t-digest-style sketch percentiles (approx; engine-specific) ----
+    // ---- t-digest-style sketch percentiles (approx; engine-specific ->
+    // rows-only, but flattened to scalar columns so the harness can sort) ----
     QueryDef(
       "q58_approx_percentile",
       (s, dir) => {
         val e = Tables.events(s, dir)
         e.groupBy(col("event_type"))
-          .agg(
-            expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("approx_pcts"),
-            expr("percentile(value, 0.5)").as("exact_median"))
+          .agg(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("pcts"))
+          .select(col("event_type"),
+            element_at(col("pcts"), 1).as("p50"),
+            element_at(col("pcts"), 2).as("p95"),
+            element_at(col("pcts"), 3).as("p99"))
       },
       None),
+
+    // ---- exact interpolated median (split out of q58 so it hash-checks;
+    // Spark percentile() and DuckDB quantile_cont share the formula) ----
+    QueryDef(
+      "q60_events_median",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("exact_median"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS exact_median,
+          COUNT(*) AS n
+        FROM events GROUP BY event_type""")),
 
     // ---- per-user, per-type pivot-style aggregation ----
     QueryDef(

@@ -35,6 +35,9 @@ object ExtQueries {
         FROM documents""")),
 
     // ---- language ID distribution vs ground-truth lang column ----
+    // (oracle: same marker-hit argmax in DuckDB SQL, generated from the
+    // shared TextOps.langMarkers table; greatest-of-structs gives both
+    // engines the identical hits-then-lang tie-break)
     QueryDef(
       "q44_language_id",
       (s, dir) => {
@@ -43,7 +46,20 @@ object ExtQueries {
           .groupBy(col("lang"), col("predicted"))
           .agg(count(lit(1)).as("n_docs"))
       },
-      None),
+      Some {
+        def hits(m: String): String =
+          s"(LENGTH(p) - LENGTH(REPLACE(p, '$m', ''))) // ${m.length}"
+        val structs = TextOps.langMarkers.map { case (lang, ms) =>
+          s"{'hits': ${ms.map(hits).mkString(" + ")}, 'lang': '$lang'}"
+        }
+        s"""SELECT lang, predicted, COUNT(*) AS n_docs FROM (
+          SELECT lang,
+            CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS predicted
+          FROM (
+            SELECT lang, list_sort([${structs.mkString(", ")}])[-1] AS best
+            FROM (SELECT lang, ' ' || LOWER(text) || ' ' AS p FROM documents)))
+        GROUP BY lang, predicted"""
+      }),
 
     // ---- winnowing fingerprints ----
     QueryDef(
@@ -79,6 +95,9 @@ object ExtQueries {
       None),
 
     // ---- quality scoring over the full corpus ----
+    // (oracle: the same double arithmetic — ratios, abs, compare — is
+    // IEEE-identical in both engines; DuckDB regexp_replace needs the 'g'
+    // flag to match Spark's replace-all)
     QueryDef(
       "q49_quality_filter",
       (s, dir) => {
@@ -88,7 +107,23 @@ object ExtQueries {
           .select(col("doc_id"), col("q_n_tokens").cast(LongType).as("n_tokens"),
             col("q_score"))
       },
-      None),
+      Some("""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, q_score FROM (
+          SELECT doc_id, n_tok,
+            CASE WHEN len > 0 THEN
+              1.0 - ABS(spaces / len - 0.16) * 2.0
+                  - (CASE WHEN avg_tok < 2 OR avg_tok > 12 THEN 0.3 ELSE 0.0 END)
+            ELSE 0.0 END AS q_score
+          FROM (
+            SELECT doc_id, len, n_tok, spaces,
+              CASE WHEN n_tok > 0 THEN alnum / n_tok ELSE 0.0 END AS avg_tok
+            FROM (
+              SELECT doc_id,
+                CAST(LENGTH(text) AS DOUBLE) AS len,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> len(t) > 0)) AS DOUBLE) AS n_tok,
+                CAST(LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+                CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) AS spaces
+              FROM documents)))
+        WHERE q_score > 0.5""")),
 
     // ---- contamination check: train/test overlap by normalized text ----
     // (the benchmark-decontamination op: which training docs collide with
