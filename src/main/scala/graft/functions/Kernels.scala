@@ -73,6 +73,70 @@ object Kernels {
     sig
   }
 
+  /** Index (0-based, in centroid-array order) of the nearest centroid by
+    * squared L2 distance; ties resolve to the lowest index. `centroids` is
+    * `nlist` vectors of `dims` doubles, flattened row-major — small enough
+    * to ship inside the serialized expression (an implicit broadcast).
+    */
+  def argminCell(x: ArrayData, centroids: Array[Double], dims: Int): Int = {
+    val nlist = centroids.length / dims
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < nlist) {
+      var d2 = 0.0
+      val off = c * dims
+      var i = 0
+      while (i < dims) {
+        val diff = x.getFloat(i).toDouble - centroids(off + i)
+        d2 += diff * diff
+        i += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Indices of the `nprobe` nearest centroids, nearest first (ties to the
+    * lowest index) — selection sort over nlist cells, fine for the small
+    * nlist of a coarse quantizer.
+    */
+  def topCells(x: ArrayData, centroids: Array[Double], dims: Int, nprobe: Int): ArrayData = {
+    val nlist = centroids.length / dims
+    val d2s = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var d2 = 0.0
+      val off = c * dims
+      var i = 0
+      while (i < dims) {
+        val diff = x.getFloat(i).toDouble - centroids(off + i)
+        d2 += diff * diff
+        i += 1
+      }
+      d2s(c) = d2
+      c += 1
+    }
+    val m = math.min(nprobe, nlist)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < nlist) {
+        if (!taken(j) && d2s(j) < bestD) { bestD = d2s(j); best = j }
+        j += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def fingerprint(text: UTF8String, shingleK: Int, window: Int): ArrayData = {
     val shingles = TokenizeUtil.shingles(text.toString, shingleK)
     val hs = shingles.map(s => XxHash64.hash(s.getBytes("UTF-8"), 0L))
