@@ -150,8 +150,19 @@ object FileStats {
       (a, b) => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case DateType =>
       (a, b) => java.lang.Long.compare(toEpochDays(a), toEpochDays(b))
-    case TimestampType | TimestampNTZType =>
-      (a, b) => java.lang.Long.compare(toEpochMicros(a), toEpochMicros(b))
+    case TimestampType =>
+      // Literal strings are interpreted in the Spark session timezone (that
+      // is how the runtime cast would evaluate them); footer stats are
+      // UTC-adjusted epoch micros. Never the JVM default zone.
+      val zone = java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      (a, b) => java.lang.Long.compare(toEpochMicros(a, zone), toEpochMicros(b, zone))
+    case TimestampNTZType =>
+      // NTZ stats and literals are both zone-less local datetimes: fix the
+      // zone to UTC so both sides map to the same micros.
+      (a, b) =>
+        java.lang.Long.compare(
+          toEpochMicros(a, java.time.ZoneOffset.UTC), toEpochMicros(b, java.time.ZoneOffset.UTC))
     case _ => (a, b) => a.compareTo(b)
   }
 
@@ -164,11 +175,21 @@ object FileStats {
     s.toLongOption.getOrElse(java.time.LocalDate.parse(s).toEpochDay)
 
   /** Same normalization for TIMESTAMP: footer stats are INT64 epoch micros;
-    * literals are ISO strings (space- or T-separated).
+    * literals are ISO strings (space- or T-separated, optional fraction,
+    * optionally date-only) interpreted in `zone` — the session timezone for
+    * TIMESTAMP, UTC for TIMESTAMP_NTZ. java.time only: java.sql.Timestamp
+    * .valueOf would silently use the JVM default zone and shift pruning.
     */
-  private def toEpochMicros(s: String): Long =
+  private def toEpochMicros(s: String, zone: java.time.ZoneId): Long =
     s.toLongOption.getOrElse {
-      val t = java.sql.Timestamp.valueOf(s.replace('T', ' '))
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val norm = s.trim.replace(' ', 'T')
+      val ldt =
+        try java.time.LocalDateTime.parse(norm)
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDate.parse(norm).atStartOfDay()
+        }
+      val inst = ldt.atZone(zone).toInstant
+      Math.multiplyExact(inst.getEpochSecond, 1000000L) + inst.getNano / 1000L
     }
 }

@@ -73,6 +73,32 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(ts.filesAfterPruning("ts >= '2024-06-01 00:00:00'") == 1)
   }
 
+  test("timestamp pruning uses the session timezone, not the JVM default") {
+    // Literal strings in predicates are evaluated by Spark in
+    // spark.sql.session.timeZone (UTC here); footer stats are UTC epoch
+    // micros. If the pruner parsed literals in the JVM default zone instead,
+    // shifting that zone would silently prune files that DO contain matches.
+    val t = new TxTable(spark, TestSpark.tmpDir("skiptz"))
+    t.create(spark.sql("select timestamp'2024-01-01 10:00:00' as ts, 1L as x").repartition(1))
+    t.append(spark.sql("select timestamp'2024-06-01 10:00:00' as ts, 2L as x").repartition(1))
+
+    val saved = java.util.TimeZone.getDefault
+    try {
+      // +14:00 — the largest possible skew from UTC
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Pacific/Kiritimati"))
+      assert(t.scan("ts = '2024-06-01 10:00:00'").count() == 1)
+      assert(t.scan("ts >= '2024-06-01 05:00:00'").count() == 1)
+      assert(t.filesAfterPruning("ts = '2024-01-01 10:00:00'") == 1)
+      // DELETE goes through the same pruner — must not miss its file
+      t.delete("ts = '2024-01-01 10:00:00'")
+      assert(t.toDF.count() == 1)
+
+      // and a -07:00 JVM zone must not over-prune the other direction
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/Los_Angeles"))
+      assert(t.scan("ts >= '2024-06-01 05:00:00'").count() == 1)
+    } finally java.util.TimeZone.setDefault(saved)
+  }
+
   test("optimize compacts many small files into few, preserving data") {
     val loc = TestSpark.tmpDir("opt")
     val t = new TxTable(spark, loc)
