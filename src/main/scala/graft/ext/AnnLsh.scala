@@ -75,12 +75,8 @@ object AnnLsh {
       .select(col("qid"), col("qemb"), col("cid"), col("cemb"))
       .distinct()
     val scored = candidates.withColumn("cosine", cosine(col("qemb"), col("cemb")))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored
       .select(col("qid"), col("cid"), col("cosine"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= k)
+    rankTopK(scored, k)
   }
 
   /** Brute-force exact top-k (the baseline; broadcast the query side). */
@@ -92,12 +88,23 @@ object AnnLsh {
       k: Int = 10): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(embCol).as("cemb"))
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    c.join(broadcast(q), col("cid") =!= col("qid"))
+    val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
       .withColumn("cosine", cosine(col("qemb"), col("cemb")))
       .select(col("qid"), col("cid"), col("cosine"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= k)
+    rankTopK(scored, k)
+  }
+
+  /** Per-query top-k + rank column. The heavy selection runs through the
+    * bounded-heap TopKPerKey operator (map-side partial top-k, O(n log k),
+    * shuffle bounded at k rows per query per input partition) — NOT a
+    * Window.partitionBy(qid) sort, which would funnel every candidate row
+    * of the whole corpus into #queries tasks at scale. The row_number
+    * window afterwards ranks only the k×#queries survivors.
+    */
+  private[ext] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = graft.plans.TopK.topKPerKey(scored, Seq("qid"), Seq(("cosine", false), ("cid", true)), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    top.withColumn("rn", row_number().over(w).cast(LongType))
   }
 }

@@ -1,11 +1,11 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.SketchFunctions.floatDot
+import graft.functions.SketchFunctions
+import graft.plans.TopK
 
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
   * scale path alongside AnnLsh: partition the corpus into `nlist` cells
@@ -16,10 +16,14 @@ import graft.functions.SketchFunctions.floatDot
   * refined with Lloyd iterations whose mean-updates use order-independent
   * decimal accumulation — identical across runs and cluster layouts.
   *
-  * Scale posture: assignment is a broadcast argmin against `nlist`
-  * centroids (map-only); cell membership is a plain column, so the probe
-  * phase is an equi-join on cell id — the corpus is scanned once at build,
-  * and each query reads ~nprobe/nlist of the data.
+  * Scale posture: the (tiny) centroid table is collected once and shipped
+  * INSIDE a native expression (ArgminCellExpr — an implicit broadcast), so
+  * cell assignment is a map-only projection: no corpus×nlist cartesian, no
+  * row_number window, no Exchange between the scan and the cell column.
+  * Probing is the same shape (TopCellsExpr + explode = nprobe rows per
+  * query), and the final ranking is the bounded-heap TopKPerKey operator —
+  * never a Window.partitionBy(qid) sort that would funnel every candidate
+  * row into #queries tasks.
   */
 object IvfAnn {
 
@@ -38,11 +42,34 @@ object IvfAnn {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("cell"), transform(col("pairs"), p => p.getField("m").cast(FloatType)).as("centroid"))
 
+  /** Collect the centroid table to the driver as (row-major flat doubles,
+    * cell ids, dims), ordered by cell id. nlist×dims is coarse-quantizer
+    * sized (KBs) — this is the "broadcast" the assignment expression ships.
+    */
+  private def collectQuantizer(centroids: DataFrame): (Array[Double], Array[Int], Int) = {
+    val rows = centroids.select(col("cell").cast(IntegerType), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty centroid table")
+    val dims = rows.head._2.length
+    val ids = rows.map(_._1)
+    val flat = new Array[Double](rows.length * dims)
+    var c = 0
+    while (c < rows.length) {
+      val v = rows(c)._2
+      var i = 0
+      while (i < dims) { flat(c * dims + i) = v(i).toDouble; i += 1 }
+      c += 1
+    }
+    (flat, ids, dims)
+  }
+
   /** Build (or refine) centroids: seed with the `nlist` lowest-id vectors,
     * then `iterations` Lloyd steps. Returns (cell, centroid array<float>).
     */
   def trainCentroids(corpus: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
       nlist: Int = 16, iterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dims = corpus.select(size(col(embCol))).first().getInt(0)
     var centroids = corpus.orderBy(col(idCol)).limit(nlist)
       .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("cell"), col(embCol).as("centroid"))
@@ -56,19 +83,14 @@ object IvfAnn {
     centroids
   }
 
-  /** Assign each vector to its nearest centroid (broadcast argmin). */
+  /** Assign each vector to its nearest centroid — one map-only projection
+    * (the centroid table rides inside the expression; see class doc).
+    */
   def assign(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val dist2 = floatDot(col(embCol), col(embCol)) +
-      floatDot(col("centroid"), col("centroid")) -
-      lit(2.0) * floatDot(col(embCol), col("centroid"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d2"), col("cell"))
-    vectors.select(col(idCol), col(embCol))
-      .join(broadcast(centroids), lit(true))
-      .withColumn("__d2", dist2)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("cell"))
+    val (flat, ids, dims) = collectQuantizer(centroids)
+    vectors.select(col(idCol),
+      SketchFunctions.argminCell(col(embCol), flat, ids, dims).as("cell"))
   }
 
   /** Top-k cosine neighbors searching only the `nprobe` nearest cells per
@@ -77,26 +99,23 @@ object IvfAnn {
   def topKIvf(corpus: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding",
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val centroids = trainCentroids(corpus, idCol, embCol, nlist)
-    val indexed = corpus.select(col(idCol).as("cid"), col(embCol).as("cemb"))
-      .join(assign(corpus, centroids, idCol, embCol).withColumnRenamed(idCol, "cid"), "cid")
-    // probe cells: nprobe nearest centroids per query
-    val qd2 = floatDot(col("qemb"), col("qemb")) +
-      floatDot(col("centroid"), col("centroid")) -
-      lit(2.0) * floatDot(col("qemb"), col("centroid"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("__d2"), col("cell"))
-    val probes = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
-      .join(broadcast(centroids), lit(true))
-      .withColumn("__d2", qd2)
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nprobe)
-      .select(col("qid"), col("qemb"), col("cell"))
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    indexed.join(probes, "cell")
+    val (flat, ids, dims) = collectQuantizer(centroids)
+    val indexed = corpus.select(col(idCol).as("cid"), col(embCol).as("cemb"),
+      SketchFunctions.argminCell(col(embCol), flat, ids, dims).as("cell"))
+    // probe cells: nprobe nearest centroids per query, map-only + explode
+    val probes = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"),
+      explode(SketchFunctions.topCells(col(embCol), flat, ids, dims, nprobe)).as("cell"))
+    // each corpus vector lives in exactly one cell and probe cells are
+    // distinct per query, so the equi-join yields no duplicate candidates
+    val scored = indexed.join(probes, "cell")
       .filter(col("cid") =!= col("qid"))
       .withColumn("cosine", AnnLsh.cosine(col("qemb"), col("cemb")))
       .select(col("qid"), col("cid"), col("cosine"))
-      .withColumn("rn", row_number().over(wTop).cast(LongType))
-      .filter(col("rn") <= k)
+    val top = TopK.topKPerKey(scored, Seq("qid"), Seq(("cosine", false), ("cid", true)), k)
+    // rank the k×#queries survivors (tiny) for a stable output shape
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    top.withColumn("rn", row_number().over(w).cast(LongType))
   }
 }

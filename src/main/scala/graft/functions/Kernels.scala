@@ -73,65 +73,77 @@ object Kernels {
     sig
   }
 
-  /** Index (0-based, in centroid-array order) of the nearest centroid by
-    * squared L2 distance; ties resolve to the lowest index. `centroids` is
-    * `nlist` vectors of `dims` doubles, flattened row-major — small enough
-    * to ship inside the serialized expression (an implicit broadcast).
+  /** Squared L2 distances from `x` to each of the `ids.length` centroids.
+    * `centroids` is flattened row-major (`dims` doubles per centroid) —
+    * small enough to ship inside the serialized expression (an implicit
+    * broadcast). Vectors shorter than `dims` treat missing elements as 0.
     */
-  def argminCell(x: ArrayData, centroids: Array[Double], dims: Int): Int = {
+  private def cellDistances(x: ArrayData, centroids: Array[Double], dims: Int): Array[Double] = {
     val nlist = centroids.length / dims
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < nlist) {
-      var d2 = 0.0
-      val off = c * dims
-      var i = 0
-      while (i < dims) {
-        val diff = x.getFloat(i).toDouble - centroids(off + i)
-        d2 += diff * diff
-        i += 1
-      }
-      if (d2 < bestD) { bestD = d2; best = c }
-      c += 1
-    }
-    best
-  }
-
-  /** Indices of the `nprobe` nearest centroids, nearest first (ties to the
-    * lowest index) — selection sort over nlist cells, fine for the small
-    * nlist of a coarse quantizer.
-    */
-  def topCells(x: ArrayData, centroids: Array[Double], dims: Int, nprobe: Int): ArrayData = {
-    val nlist = centroids.length / dims
+    val n = math.min(dims, x.numElements())
     val d2s = new Array[Double](nlist)
     var c = 0
     while (c < nlist) {
       var d2 = 0.0
       val off = c * dims
       var i = 0
-      while (i < dims) {
+      while (i < n) {
         val diff = x.getFloat(i).toDouble - centroids(off + i)
         d2 += diff * diff
         i += 1
       }
+      var j = n
+      while (j < dims) { val v = centroids(off + j); d2 += v * v; j += 1 }
       d2s(c) = d2
       c += 1
     }
+    d2s
+  }
+
+  /** Cell id of the nearest centroid by squared L2 distance; ties (and NaN
+    * distances) resolve to the earliest centroid. `ids(i)` is the cell id
+    * of the i-th flattened centroid (ids survive Lloyd iterations that
+    * leave some cells empty).
+    */
+  def argminCellId(x: ArrayData, centroids: Array[Double], ids: Array[Int], dims: Int): Int = {
+    require(dims > 0 && ids.length > 0 && centroids.length == ids.length * dims,
+      s"bad quantizer shape: dims=$dims ids=${ids.length} flat=${centroids.length}")
+    val d2s = cellDistances(x, centroids, dims)
+    var best = 0
+    var bestD = d2s(0)
+    var c = 1
+    while (c < d2s.length) {
+      // strict < with a NaN guard: a NaN distance never displaces a real one
+      if (d2s(c) < bestD || (bestD != bestD && d2s(c) == d2s(c))) { bestD = d2s(c); best = c }
+      c += 1
+    }
+    ids(best)
+  }
+
+  /** Cell ids of the `nprobe` nearest centroids, nearest first (ties and
+    * NaNs to the earliest centroid) — selection pass over nlist cells, fine
+    * for the small nlist of a coarse quantizer.
+    */
+  def topCellIds(x: ArrayData, centroids: Array[Double], ids: Array[Int], dims: Int, nprobe: Int): ArrayData = {
+    require(dims > 0 && ids.length > 0 && centroids.length == ids.length * dims,
+      s"bad quantizer shape: dims=$dims ids=${ids.length} flat=${centroids.length}")
+    val d2s = cellDistances(x, centroids, dims)
+    val nlist = d2s.length
     val m = math.min(nprobe, nlist)
     val out = new Array[Int](m)
     val taken = new Array[Boolean](nlist)
     var r = 0
     while (r < m) {
       var best = -1
-      var bestD = Double.MaxValue
+      var bestD = 0.0
       var j = 0
       while (j < nlist) {
-        if (!taken(j) && d2s(j) < bestD) { bestD = d2s(j); best = j }
+        // first untaken cell always seeds `best`, so NaNs cannot leave -1
+        if (!taken(j) && (best == -1 || d2s(j) < bestD)) { bestD = d2s(j); best = j }
         j += 1
       }
       taken(best) = true
-      out(r) = best
+      out(r) = ids(best)
       r += 1
     }
     new GenericArrayData(out)

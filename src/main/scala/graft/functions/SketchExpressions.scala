@@ -198,6 +198,62 @@ case class HyperplaneSigExpr(child: Expression, numPlanes: Int, table: Int)
   override def prettyName: String = "hyperplane_sig"
 }
 
+/** IVF coarse-quantizer cell assignment: array<float> embedding → cell id
+  * (int) of the nearest centroid. The full (small) centroid table rides
+  * inside the expression — an implicit broadcast — so assignment is a
+  * map-only projection: no cartesian against the centroid table, no
+  * row-number window, no shuffle (the round-1 formulation amplified the
+  * corpus ×nlist through an Exchange). Codegen emits a static kernel call,
+  * keeping the hot loop inside WholeStageCodegen.
+  */
+case class ArgminCellExpr(child: Expression, centroids: Array[Double], cellIds: Array[Int], dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(
+      Kernels.argminCellId(input.asInstanceOf[ArrayData], centroids, cellIds, dims))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    val iRef = ctx.addReferenceObj("cellIds", cellIds, "int[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.argminCellId($c, $cRef, $iRef, $dims)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "argmin_cell"
+}
+
+/** Multi-probe variant: array<float> → array<int> of the `nprobe` nearest
+  * cell ids, nearest first. Same implicit-broadcast, map-only shape.
+  */
+case class TopCellsExpr(child: Expression, centroids: Array[Double], cellIds: Array[Int],
+    dims: Int, nprobe: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.topCellIds(input.asInstanceOf[ArrayData], centroids, cellIds, dims, nprobe)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    val iRef = ctx.addReferenceObj("cellIds", cellIds, "int[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.topCellIds($c, $cRef, $iRef, $dims, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "top_cells"
+}
+
 /** Column-API wrappers + SQL registration. */
 object SketchFunctions {
   import org.apache.spark.sql.SparkSession
@@ -215,6 +271,12 @@ object SketchFunctions {
 
   def hyperplaneSig(emb: Column, numPlanes: Int, table: Int = 0): Column =
     toCol(HyperplaneSigExpr(toExpr(emb), numPlanes, table))
+
+  def argminCell(emb: Column, centroids: Array[Double], cellIds: Array[Int], dims: Int): Column =
+    toCol(ArgminCellExpr(toExpr(emb), centroids, cellIds, dims))
+
+  def topCells(emb: Column, centroids: Array[Double], cellIds: Array[Int], dims: Int, nprobe: Int): Column =
+    toCol(TopCellsExpr(toExpr(emb), centroids, cellIds, dims, nprobe))
 
   /** Register SQL-callable versions (e.g. `SELECT simhash64(tokens) ...`). */
   def registerAll(spark: SparkSession): Unit = {

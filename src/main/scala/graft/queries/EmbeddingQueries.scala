@@ -75,11 +75,14 @@ object EmbeddingQueries {
             dotExact(col("qemb"), col("cemb")).as("dot"),
             norm2Exact(col("qemb")).as("qn2"),
             norm2Exact(col("cemb")).as("cn2"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-        pairs
+        // bounded-heap top-k operator, not a Window.partitionBy(qid) sort:
+        // at scale the window funnels all corpus×#queries candidate rows
+        // into #queries tasks; TopKPerKey keeps the selection map-side.
+        val scored = pairs
           .select(col("qid"), col("cid"), (col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cosine"))
-          .withColumn("rn", row_number().over(w).cast(LongType))
-          .filter(col("rn") <= 3)
+        val top = graft.plans.TopK.topKPerKey(scored, Seq("qid"), Seq(("cosine", false), ("cid", true)), 3)
+        val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+        top.withColumn("rn", row_number().over(w).cast(LongType))
       },
       Some(s"""WITH ex AS (
           SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -165,12 +165,15 @@ object ExtQueries {
         val sigs = e.select(col("vec_id"), sig.as("sig"))
         val q = sigs.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("sig").as("qsig"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("cid"))
-        sigs.select(col("vec_id").as("cid"), col("sig").as("csig"))
+        val scored = sigs.select(col("vec_id").as("cid"), col("sig").as("csig"))
           .join(broadcast(q), col("cid") =!= col("qid"))
           .withColumn("hamming", bit_count(col("qsig").bitwiseXOR(col("csig"))).cast(LongType))
-          .withColumn("rn", row_number().over(w).cast(LongType))
-          .filter(col("rn") <= 3)
+          .select(col("qid"), col("cid"), col("hamming"))
+        // bounded-heap per-query selection; window only ranks the survivors
+        val top = graft.plans.TopK.topKPerKey(scored, Seq("qid"),
+          Seq(("hamming", true), ("cid", true)), 3)
+        val w = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("cid"))
+        top.withColumn("rn", row_number().over(w).cast(LongType))
           .select(col("qid"), col("cid"), col("hamming"), col("rn"))
       },
       None),

@@ -116,6 +116,25 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(cells.select("cell").distinct().count() > 1)
   }
 
+  test("IVF cell assignment is map-only: no Exchange, no cartesian, native argmin") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = IvfAnn.trainCentroids(e, nlist = 8)
+    val plan = IvfAnn.assign(e, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"assignment must not cross-join\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not window-sort\n$plan")
+    assert(plan.contains("argmin_cell"), s"expected the native quantizer expression\n$plan")
+  }
+
+  test("ANN rankings run through the bounded-heap TopKPerKey operator") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val brutePlan = AnnLsh.topKBruteForce(e, q, k = 5).queryExecution.executedPlan.toString
+    assert(brutePlan.contains("PartialTopK"), s"brute-force ranking should be heap top-k\n$brutePlan")
+    val lshPlan = AnnLsh.topKLsh(e, q, k = 5).queryExecution.executedPlan.toString
+    assert(lshPlan.contains("PartialTopK"), s"LSH ranking should be heap top-k\n$lshPlan")
+  }
+
   test("near-dup plan shuffles by band bucket, not O(n^2)") {
     val plan = NearDup.minhashCandidates(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "candidate generation must not be a cross join")
