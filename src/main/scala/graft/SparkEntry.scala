@@ -16,7 +16,8 @@ object SparkEntry {
   /** Full registry of verifiable operators. */
   val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
-      EmbeddingQueries.defs ++ ExtQueries.defs ++ MoreQueries.defs
+      EmbeddingQueries.defs ++ ExtQueries.defs ++ MoreQueries.defs ++
+      InteropQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

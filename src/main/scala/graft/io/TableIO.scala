@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import graft.catalog._
-import graft.tables.TxTable
+import graft.tables.{DeltaLog, DeltaLogWriter, TxTable}
 import graft.types.SchemaEquality
 
 /** Table read/write dispatch — the reference's io layer
@@ -35,7 +35,8 @@ object TableIO {
     val schema = table.schema
     table.fileType match {
       case FileType.DELTA =>
-        TxTable.forLocation(spark, loc).toDF
+        if (isForeignDelta(spark, loc)) DeltaLog.toDF(spark, loc)
+        else TxTable.forLocation(spark, loc).toDF
       case FileType.PARQUET =>
         val partCols = table.partitionColumns
         if (partCols.nonEmpty)
@@ -63,7 +64,9 @@ object TableIO {
     val loc = normalize(location)
     fileType match {
       case FileType.DELTA =>
-        val snap = graft.tables.TxLog.snapshot(spark, loc)
+        val snap =
+          if (isForeignDelta(spark, loc)) DeltaLog.snapshot(spark, loc)
+          else graft.tables.TxLog.snapshot(spark, loc)
         (snap.schema, snap.partitionColumns)
       case FileType.PARQUET =>
         val df = spark.read.option("basePath", loc).parquet(loc)
@@ -83,6 +86,13 @@ object TableIO {
         (spark.read.text(loc).schema, Seq.empty)
     }
   }
+
+  /** A location holding a REAL Delta table (`_delta_log`) not managed by
+    * the native TxLog. Native `_graft_log` wins if both exist (a table this
+    * library created is always read through its own log).
+    */
+  private def isForeignDelta(spark: SparkSession, loc: String): Boolean =
+    !graft.tables.TxLog.exists(spark, loc) && DeltaLog.isDeltaTable(spark, loc)
 
   private def firstDataFile(spark: SparkSession, dir: String): Option[String] = {
     val p = new Path(dir)
@@ -124,6 +134,28 @@ object TableIO {
     def strictCheck(): Unit = SchemaEquality.requireEqual(table.schema, df.schema)
 
     (table.fileType, mode) match {
+      // ---- DELTA, foreign `_delta_log` table (real Delta protocol) ----
+      // Reads and plain append/overwrite interop with delta-rs / Delta-Spark
+      // tables; the richer evolution/replaceWhere surface stays native-only.
+      case (FileType.DELTA, WriteMode.APPEND) if isForeignDelta(spark, loc) =>
+        if (evolution != SchemaEvolution.STRICT)
+          throw UnsupportedOperationError(
+            "writes to a foreign Delta (_delta_log) table support only STRICT schema evolution")
+        strictCheck()
+        DeltaLogWriter.append(spark, loc, df)
+        WriteResult(None)
+
+      case (FileType.DELTA, WriteMode.OVERWRITE) if isForeignDelta(spark, loc) =>
+        if (evolution != SchemaEvolution.STRICT)
+          throw UnsupportedOperationError(
+            "writes to a foreign Delta (_delta_log) table support only STRICT schema evolution")
+        if (replaceWhere.isDefined || partitionFilters.nonEmpty)
+          throw UnsupportedOperationError(
+            "replace_where / partition_filters are not supported on foreign Delta tables")
+        strictCheck()
+        DeltaLogWriter.overwrite(spark, loc, df)
+        WriteResult(None)
+
       // ---- DELTA (TxLog-backed) ----
       case (FileType.DELTA, WriteMode.APPEND) =>
         val t = TxTable.forLocation(spark, loc)

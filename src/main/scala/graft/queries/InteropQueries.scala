@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.{DeltaLog, DeltaLogWriter}
+
+import Det._
+
+/** Driver-visible queries over the real-Delta (`_delta_log`) interop path
+  * (graft/tables/DeltaInterop.scala). The query materializes a subset of
+  * lineitem THROUGH the Delta protocol — partitioned create + append, then
+  * a log-replay read — so the hash check proves the round-trip is
+  * byte-exact: the oracle computes the same aggregate straight from the
+  * source parquet, so any loss/dup/reorder in the Delta write or the
+  * manifest-planned read breaks the hash.
+  *
+  * Reference: Delta is the reference's primary format
+  * (/root/reference/uchelper/dataframe.py:198-199, 305-354).
+  */
+object InteropQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q67_delta_interop_roundtrip",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q67-delta").toString
+        val li = Tables.lineitem(s, dir)
+        DeltaLogWriter.create(s, loc, li.filter(col("l_quantity") <= 10),
+          partitionColumns = Seq("l_returnflag"))
+        DeltaLogWriter.append(s, loc, li.filter(col("l_quantity") > 10 && col("l_quantity") <= 15))
+        DeltaLog.toDF(s, loc)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem WHERE l_quantity <= 15
+        GROUP BY l_returnflag ORDER BY l_returnflag""")))
+}

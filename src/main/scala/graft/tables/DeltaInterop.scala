@@ -1,0 +1,440 @@
+package graft.tables
+
+import java.util.UUID
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+import graft.catalog.UnsupportedOperationError
+
+/** Interop with the REAL Delta Lake protocol (`_delta_log`), so tables
+  * written by delta-rs / Delta-Spark / DuckDB are readable here without any
+  * Delta dependency. This is the reference's primary table format — every
+  * Delta test in its suite goes through delta-rs
+  * (reference uchelper/dataframe.py:198-199, 305-354).
+  *
+  * Implements the published protocol (github.com/delta-io/delta PROTOCOL.md;
+  * Armbrust et al., VLDB 2020), read side:
+  *   - newline-delimited JSON commits `NNN…N.json` with
+  *     add/remove/metaData/protocol actions,
+  *   - `_last_checkpoint` + single- or multi-part parquet checkpoints,
+  *   - per-file stats (numRecords/minValues/maxValues) mapped into the
+  *     same AddFile shape the native TxLog uses, so manifest-level data
+  *     skipping works identically on foreign tables,
+  *   - protocol gating: minReaderVersion ≤ 2, or 3 with only benign
+  *     reader features (no column mapping, no deletion vectors).
+  *
+  * Scale posture: snapshot state is file metadata only — the same driver-
+  * side O(#files) cost Delta OSS pays; data reads are distributed parquet
+  * scans planned from the manifest (no directory listing).
+  */
+object DeltaLog {
+  val LogDirName = "_delta_log"
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Reader features this implementation actually honors when a table
+    * declares protocol v3. Column mapping and deletion vectors change how
+    * data files must be interpreted, so tables requiring them are rejected
+    * rather than misread.
+    */
+  private val SupportedReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck")
+
+  private def fs(spark: SparkSession, location: String): FileSystem =
+    new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+
+  def logDir(location: String): Path = new Path(location, LogDirName)
+
+  /** A directory is a Delta table if `_delta_log` contains commit files. */
+  def isDeltaTable(spark: SparkSession, location: String): Boolean = {
+    val f = fs(spark, location)
+    f.exists(logDir(location)) && listCommitFiles(f, location).nonEmpty
+  }
+
+  private def listCommitFiles(f: FileSystem, location: String): Seq[(Long, Path)] = {
+    val dir = logDir(location)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.contains("checkpoint"))
+      .flatMap(s => s.getPath.getName.stripSuffix(".json").toLongOption.map(_ -> s.getPath))
+      .sortBy(_._1)
+  }
+
+  private final case class LastCheckpoint(version: Long, size: Option[Long], parts: Option[Int])
+
+  private def readLastCheckpoint(f: FileSystem, location: String): Option[LastCheckpoint] = {
+    val p = new Path(logDir(location), "_last_checkpoint")
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try {
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      Some(JsonMethods.parse(txt).extract[LastCheckpoint])
+    } catch { case NonFatal(_) => None } finally in.close()
+  }
+
+  private def checkpointFiles(location: String, c: LastCheckpoint): Seq[String] =
+    c.parts match {
+      case Some(n) if n > 1 =>
+        (1 to n).map(i => new Path(logDir(location),
+          f"${c.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+      case _ =>
+        Seq(new Path(logDir(location), f"${c.version}%020d.checkpoint.parquet").toString)
+    }
+
+  /** Mutable replay state shared by the checkpoint and JSON paths. */
+  private final class Replay {
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, TxLog.AddFile]
+    var schemaJson: String = _
+    var partCols: Seq[String] = Seq.empty
+    var props: Map[String, String] = Map.empty
+    var minReader: Int = 1
+    var readerFeatures: Set[String] = Set.empty
+
+    def metaData(schemaString: String, partitionColumns: Seq[String],
+        configuration: Map[String, String]): Unit = {
+      schemaJson = schemaString; partCols = partitionColumns; props = configuration
+    }
+    def protocol(minReaderVersion: Int, features: Seq[String]): Unit = {
+      minReader = minReaderVersion; readerFeatures = features.toSet
+    }
+    def add(a: TxLog.AddFile): Unit = active(a.path) = a
+    def remove(path: String): Unit = active.remove(path)
+  }
+
+  /** Delta add.path values are percent-encoded relative URIs (PROTOCOL.md
+    * "Add File and Remove File"); decode to a filesystem-relative path.
+    */
+  private def decodePath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
+    } catch { case _: java.net.URISyntaxException => p }
+
+  /** Flatten a Delta stats JSON object's top-level primitive values into
+    * the TxLog string-map convention (nested struct stats are skipped —
+    * only top-level columns prune, matching FileStats.fromParquetFooter).
+    */
+  private def statsMap(v: JValue): Map[String, String] = v match {
+    case JObject(fields) => fields.collect {
+      case (k, JString(s)) => k -> s
+      case (k, JInt(i)) => k -> i.toString
+      case (k, JLong(l)) => k -> l.toString
+      case (k, JDouble(d)) => k -> d.toString
+      case (k, JDecimal(d)) => k -> d.toString
+      case (k, JBool(b)) => k -> b.toString
+    }.toMap
+    case _ => Map.empty
+  }
+
+  private def addFileOf(path: String, partitionValues: Map[String, String],
+      size: Long, stats: Option[String]): TxLog.AddFile = {
+    val parsedStats = stats.filter(_.nonEmpty).flatMap { s =>
+      try Some(JsonMethods.parse(s)) catch { case NonFatal(_) => None }
+    }
+    val rows = parsedStats.flatMap(s => (s \ "numRecords") match {
+      case JInt(i) => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case _ => None
+    }).getOrElse(-1L)
+    val mins = parsedStats.map(s => statsMap(s \ "minValues")).filter(_.nonEmpty)
+    val maxs = parsedStats.map(s => statsMap(s \ "maxValues")).filter(_.nonEmpty)
+    TxLog.AddFile(decodePath(path), partitionValues, rows, size, mins, maxs)
+  }
+
+  private def applyJsonAction(state: Replay, line: JValue): Unit = {
+    line \ "metaData" match {
+      case JNothing => ()
+      case m =>
+        (m \ "format" \ "provider") match {
+          case JString(p) if p.toLowerCase != "parquet" =>
+            throw UnsupportedOperationError(s"Delta format.provider '$p' is not supported (parquet only)")
+          case _ => ()
+        }
+        state.metaData(
+          (m \ "schemaString").extract[String],
+          (m \ "partitionColumns").extract[Seq[String]],
+          (m \ "configuration").extractOrElse[Map[String, String]](Map.empty))
+    }
+    line \ "protocol" match {
+      case JNothing => ()
+      case p => state.protocol(
+        (p \ "minReaderVersion").extract[Int],
+        (p \ "readerFeatures").extractOrElse[Seq[String]](Seq.empty))
+    }
+    line \ "add" match {
+      case JNothing => ()
+      case a => state.add(addFileOf(
+        (a \ "path").extract[String],
+        (a \ "partitionValues").extractOrElse[Map[String, String]](Map.empty)
+          .filter { case (_, v) => v != null },
+        (a \ "size").extractOrElse[Long](0L),
+        (a \ "stats").extractOpt[String]))
+    }
+    line \ "remove" match {
+      case JNothing => ()
+      case r => state.remove(decodePath((r \ "path").extract[String]))
+    }
+  }
+
+  private def replayJsonCommit(f: FileSystem, p: Path, state: Replay): Unit = {
+    val in = f.open(p)
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { ln =>
+        val t = ln.trim
+        if (t.nonEmpty) applyJsonAction(state, JsonMethods.parse(t))
+      }
+    } finally in.close()
+  }
+
+  /** Load a parquet checkpoint into the replay state. Checkpoints hold one
+    * action per row in add/remove/metaData/protocol struct columns; removes
+    * in a checkpoint are expired tombstones, not pending deletes.
+    */
+  private def replayCheckpoint(spark: SparkSession, paths: Seq[String], state: Replay): Unit = {
+    val df = spark.read.parquet(paths: _*)
+    val cols = df.schema.fieldNames.toSet
+    def has(c: String) = cols.contains(c)
+    import org.apache.spark.sql.Row
+    if (has("protocol")) {
+      df.select(col("protocol.minReaderVersion"),
+        if (df.select(col("protocol.*")).schema.fieldNames.contains("readerFeatures"))
+          col("protocol.readerFeatures") else lit(null).as("readerFeatures"))
+        .filter(col("minReaderVersion").isNotNull)
+        .collect().foreach { r =>
+          val feats = Option(r.get(1)).map(_.asInstanceOf[Seq[String]]).getOrElse(Seq.empty)
+          state.protocol(r.getInt(0), feats)
+        }
+    }
+    if (has("metaData")) {
+      df.select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+        col("metaData.configuration"), col("metaData.format.provider"))
+        .filter(col("schemaString").isNotNull)
+        .collect().foreach { r =>
+          val provider = Option(r.getString(3)).getOrElse("parquet")
+          if (provider.toLowerCase != "parquet")
+            throw UnsupportedOperationError(s"Delta format.provider '$provider' is not supported")
+          state.metaData(r.getString(0),
+            Option(r.getSeq[String](1)).getOrElse(Seq.empty),
+            Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
+        }
+    }
+    if (has("add")) {
+      val addFields = df.select(col("add.*")).schema.fieldNames.toSet
+      df.select(col("add.path"), col("add.partitionValues"), col("add.size"),
+        if (addFields.contains("stats")) col("add.stats") else lit(null).cast("string").as("stats"))
+        .filter(col("path").isNotNull)
+        .collect().foreach { r =>
+          val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
+            .filter { case (_, v) => v != null }
+          state.add(addFileOf(r.getString(0), pv, r.getLong(2), Option(r.getString(3))))
+        }
+    }
+  }
+
+  /** Replay a real Delta log into the native Snapshot shape (checkpoint +
+    * JSON tail; full JSON replay for time travel before the checkpoint).
+    */
+  def snapshot(spark: SparkSession, location: String, asOfVersion: Option[Long] = None): TxLog.Snapshot = {
+    val f = fs(spark, location)
+    val commits = listCommitFiles(f, location)
+    if (commits.isEmpty)
+      throw graft.catalog.DoesNotExistError(s"no _delta_log at $location")
+    val target = asOfVersion match {
+      case Some(v) =>
+        if (!commits.exists(_._1 == v) && !readLastCheckpoint(f, location).exists(_.version == v))
+          throw graft.catalog.DoesNotExistError(s"Delta version $v does not exist at $location")
+        v
+      case None => commits.last._1
+    }
+    val state = new Replay
+    val ckpt = readLastCheckpoint(f, location).filter(_.version <= target)
+    ckpt.foreach(c => replayCheckpoint(spark, checkpointFiles(location, c), state))
+    val from = ckpt.map(_.version).getOrElse(-1L)
+    commits.filter { case (v, _) => v > from && v <= target }
+      .foreach { case (_, p) => replayJsonCommit(f, p, state) }
+
+    if (state.minReader > 3 ||
+        (state.minReader == 3 && !(state.readerFeatures -- SupportedReaderFeatures).isEmpty))
+      throw UnsupportedOperationError(
+        s"Delta table at $location requires reader version ${state.minReader} " +
+          s"with features ${state.readerFeatures.mkString(",")}; " +
+          s"supported: version <= 2 or features within ${SupportedReaderFeatures.mkString(",")}")
+    if (state.props.get("delta.columnMapping.mode").exists(m => m != "none"))
+      throw UnsupportedOperationError(
+        s"Delta column mapping mode '${state.props("delta.columnMapping.mode")}' is not supported")
+    if (state.schemaJson == null)
+      throw UnsupportedOperationError(s"Delta log at $location has no metaData action")
+
+    TxLog.Snapshot(
+      version = target,
+      schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType],
+      partitionColumns = state.partCols,
+      files = state.active.values.toSeq,
+      properties = state.props)
+  }
+
+  /** Current (or time-traveled) contents of a real Delta table. */
+  def toDF(spark: SparkSession, location: String, asOfVersion: Option[Long] = None): DataFrame =
+    dfForSnapshot(spark, location, snapshot(spark, location, asOfVersion))
+
+  /** Plan a distributed read over a snapshot's active files. Fast path:
+    * when file paths are hive-layout-consistent with the log's partition
+    * values (how Delta-Spark and delta-rs lay files out), one parquet scan
+    * with basePath resolves partition columns — planning-time partition
+    * pruning intact. Otherwise (legal per protocol) read per partition
+    * group with the values injected as literals.
+    */
+  def dfForSnapshot(spark: SparkSession, location: String, s: TxLog.Snapshot): DataFrame = {
+    if (s.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    val hiveConsistent = s.partitionColumns.isEmpty || s.files.forall { f =>
+      TxLog.partitionValuesOf(f.path) == f.partitionValues
+    }
+    if (hiveConsistent) {
+      val paths = s.files.map(f => s"$location/${f.path}")
+      val reader = spark.read.schema(s.schema)
+      (if (s.partitionColumns.nonEmpty) reader.option("basePath", location) else reader)
+        .parquet(paths: _*)
+        .select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+    } else {
+      val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
+      val groups = s.files.groupBy(_.partitionValues).toSeq
+      groups.map { case (pv, files) =>
+        val base = spark.read.schema(dataSchema).parquet(files.map(f => s"$location/${f.path}"): _*)
+        val withParts = s.partitionColumns.foldLeft(base) { (d, pc) =>
+          val dt = s.schema(pc).dataType
+          d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(dt))
+        }
+        withParts.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionAll _)
+    }
+  }
+}
+
+/** Minimal spec-compliant Delta WRITER (create + append, protocol 1/2, no
+  * advanced features) — enough for round-trip tests here and for external
+  * engines (delta-rs, DuckDB delta, Delta-Spark) to read what this library
+  * writes. Data files are staged by the same distributed parquet job the
+  * native TxLog uses; only the JSON commit differs.
+  */
+object DeltaLogWriter {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Render per-file stats in Delta's typed-JSON convention (numbers as
+    * JSON numbers, everything else as strings), from the string maps
+    * FileStats collects.
+    */
+  private def statsJson(schema: StructType, a: TxLog.AddFile): String = {
+    def typed(m: Map[String, String]): JObject = JObject(m.toList.flatMap { case (k, v) =>
+      schema.fields.find(_.name == k).map { f =>
+        val jv: JValue = f.dataType match {
+          case t if t.typeName == "integer" || t.typeName == "long" || t.typeName == "short" || t.typeName == "byte" =>
+            v.toLongOption.map(JLong(_)).getOrElse(JString(v))
+          case t if t.typeName == "double" || t.typeName == "float" =>
+            v.toDoubleOption.map(JDouble(_)).getOrElse(JString(v))
+          case _ => JString(v)
+        }
+        k -> jv
+      }
+    })
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "numRecords" -> JLong(math.max(0L, a.rows)),
+      "minValues" -> typed(a.minValues.getOrElse(Map.empty)),
+      "maxValues" -> typed(a.maxValues.getOrElse(Map.empty)))))
+  }
+
+  private def addAction(schema: StructType, a: TxLog.AddFile): String =
+    JsonMethods.compact(JsonMethods.render(JObject("add" -> JObject(
+      "path" -> JString(a.path),
+      "partitionValues" -> JObject(a.partitionValues.toList.map { case (k, v) => k -> JString(v) }),
+      "size" -> JLong(a.sizeBytes),
+      "modificationTime" -> JLong(System.currentTimeMillis()),
+      "dataChange" -> JBool(true),
+      "stats" -> JString(statsJson(schema, a))))))
+
+  private def writeCommit(spark: SparkSession, location: String, version: Long, lines: Seq[String]): Unit = {
+    val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = DeltaLog.logDir(location)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val target = new Path(dir, f"$version%020d.json")
+    if (f.exists(target))
+      throw graft.catalog.AlreadyExistsError(s"Delta commit $version already exists at $location")
+    val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw graft.catalog.AlreadyExistsError(s"concurrent Delta commit $version at $location")
+    }
+  }
+
+  /** Create a Delta table at `location` with `df` as version 0. */
+  def create(spark: SparkSession, location: String, df: DataFrame,
+      partitionColumns: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Unit = {
+    if (DeltaLog.isDeltaTable(spark, location))
+      throw graft.catalog.AlreadyExistsError(s"Delta table already exists at $location")
+    val added = TxLog.stageData(spark, location, df, partitionColumns)
+    val meta = JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
+      "id" -> JString(UUID.randomUUID().toString),
+      "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(df.schema.json),
+      "partitionColumns" -> JArray(partitionColumns.toList.map(JString(_))),
+      "configuration" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }),
+      "createdTime" -> JLong(System.currentTimeMillis())))))
+    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(System.currentTimeMillis()),
+      "operation" -> JString("WRITE"),
+      "operationParameters" -> JObject("mode" -> JString("ErrorIfExists"))))))
+    writeCommit(spark, location, 0L,
+      commitInfo +: protocol +: meta +: added.map(addAction(df.schema, _)))
+  }
+
+  /** Append `df` to an existing Delta table (STRICT schema equality). */
+  def append(spark: SparkSession, location: String, df: DataFrame): Unit = {
+    val snap = DeltaLog.snapshot(spark, location)
+    graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
+    val added = TxLog.stageData(spark, location, df, snap.partitionColumns)
+    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(System.currentTimeMillis()),
+      "operation" -> JString("WRITE"),
+      "operationParameters" -> JObject("mode" -> JString("Append"))))))
+    writeCommit(spark, location, snap.version + 1,
+      commitInfo +: added.map(addAction(snap.schema, _)))
+  }
+
+  private def removeAction(path: String): String =
+    JsonMethods.compact(JsonMethods.render(JObject("remove" -> JObject(
+      "path" -> JString(path),
+      "deletionTimestamp" -> JLong(System.currentTimeMillis()),
+      "dataChange" -> JBool(true)))))
+
+  /** Replace the full contents of an existing Delta table (STRICT schema
+    * equality): one commit that removes every active file and adds the new
+    * data — the same shape Delta-Spark emits for `mode("overwrite")`.
+    */
+  def overwrite(spark: SparkSession, location: String, df: DataFrame): Unit = {
+    val snap = DeltaLog.snapshot(spark, location)
+    graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
+    val added = TxLog.stageData(spark, location, df, snap.partitionColumns)
+    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(System.currentTimeMillis()),
+      "operation" -> JString("WRITE"),
+      "operationParameters" -> JObject("mode" -> JString("Overwrite"))))))
+    writeCommit(spark, location, snap.version + 1,
+      (commitInfo +: snap.files.map(f => removeAction(f.path))) ++
+        added.map(addAction(snap.schema, _)))
+  }
+}

@@ -1,0 +1,228 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.{ColumnInfo, DoesNotExistError, FileType, SchemaEvolution, TableInfo, TableType, UnsupportedOperationError, WriteMode}
+import graft.io.TableIO
+import graft.types.UcType
+
+/** Real Delta-protocol (`_delta_log`) interop — the reference's primary
+  * table format (every Delta test in /root/reference/tests/test_dataframes.py
+  * goes through delta-rs). Round-trips through this library's own minimal
+  * writer AND hand-crafted foreign logs exercising protocol corners the
+  * writer never emits (removes, non-hive layout, percent-encoded paths,
+  * checkpoints, protocol gating).
+  */
+class DeltaInteropSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df1: DataFrame =
+    Seq((0L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0), (3L, "d", 4.0))
+      .toDF("id", "str_col", "float_col")
+  private def df2: DataFrame =
+    Seq((4L, "e", 5.0), (5L, "f", 6.0)).toDF("id", "str_col", "float_col")
+
+  private def writeLine(dir: String, name: String, lines: Seq[String]): Unit = {
+    val log = Paths.get(dir, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(name), (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Stage a single parquet file holding `df` and move it to `dir/name`. */
+  private def oneParquetFile(df: DataFrame, dir: String, name: String): Long = {
+    val tmp = TestSpark.tmpDir("dl-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dest = Paths.get(dir, name)
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.size(dest)
+  }
+
+  private val schemaString =
+    StructType(Seq(StructField("id", LongType), StructField("str_col", StringType),
+      StructField("float_col", DoubleType))).json
+
+  private def metaAction(schemaJson: String = schemaString, partCols: Seq[String] = Seq.empty,
+      conf: Map[String, String] = Map.empty): String = {
+    val parts = partCols.map(c => "\"" + c + "\"").mkString(",")
+    val cfg = conf.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString(",")
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JString(schemaJson)))},""" +
+      s""""partitionColumns":[$parts],"configuration":{$cfg}}}"""
+  }
+
+  test("own-writer round-trip: create, append, overwrite, version time travel") {
+    val loc = TestSpark.tmpDir("delta-rt")
+    DeltaLogWriter.create(spark, loc, df1)
+    assert(DeltaLog.isDeltaTable(spark, loc))
+    assert(!TxLog.exists(spark, loc))
+    assert(DeltaLog.toDF(spark, loc).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+
+    DeltaLogWriter.append(spark, loc, df2)
+    assert(DeltaLog.toDF(spark, loc).count() == 6)
+
+    DeltaLogWriter.overwrite(spark, loc, df2)
+    assert(DeltaLog.toDF(spark, loc).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
+
+    // version time travel replays the JSON log prefix
+    assert(DeltaLog.toDF(spark, loc, Some(0L)).count() == 4)
+    assert(DeltaLog.toDF(spark, loc, Some(1L)).count() == 6)
+    intercept[DoesNotExistError](DeltaLog.snapshot(spark, loc, Some(99L)))
+  }
+
+  test("partitioned round-trip keeps partition values and schema order") {
+    val loc = TestSpark.tmpDir("delta-part")
+    val df = Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-02"), (3L, "x", "2024-01-02"))
+      .toDF("id", "k", "day")
+    DeltaLogWriter.create(spark, loc, df, partitionColumns = Seq("k"))
+    val snap = DeltaLog.snapshot(spark, loc)
+    assert(snap.partitionColumns == Seq("k"))
+    assert(snap.files.forall(f => f.partitionValues.keySet == Set("k")))
+    val out = DeltaLog.toDF(spark, loc)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "k", "day"))
+    assert(out.filter(col("k") === "x").count() == 2)
+  }
+
+  test("foreign log: add/remove replay, stats parsed into the manifest") {
+    val loc = TestSpark.tmpDir("delta-foreign")
+    val sz1 = oneParquetFile(df1, loc, "part-0001.snappy.parquet")
+    val sz2 = oneParquetFile(df2, loc, "part-0002.snappy.parquet")
+    writeLine(loc, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(),
+      s"""{"add":{"path":"part-0001.snappy.parquet","partitionValues":{},"size":$sz1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":4,\\"minValues\\":{\\"id\\":0},\\"maxValues\\":{\\"id\\":3}}"}}""",
+      s"""{"add":{"path":"part-0002.snappy.parquet","partitionValues":{},"size":$sz2,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLog.toDF(spark, loc).count() == 6)
+    val f1 = DeltaLog.snapshot(spark, loc).files.find(_.path == "part-0001.snappy.parquet").get
+    assert(f1.rows == 4L && f1.minValues.get("id") == "0" && f1.maxValues.get("id") == "3")
+
+    writeLine(loc, "00000000000000000001.json", Seq(
+      """{"remove":{"path":"part-0001.snappy.parquet","deletionTimestamp":2,"dataChange":true}}"""))
+    assert(DeltaLog.toDF(spark, loc).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
+  }
+
+  test("foreign log: percent-encoded paths and non-hive partition layout") {
+    val loc = TestSpark.tmpDir("delta-nonhive")
+    // partition column `p` lives ONLY in the log, not in file paths or data
+    val data = StructType(Seq(StructField("id", LongType)))
+    val dfa = spark.createDataFrame(java.util.List.of(Row(1L), Row(2L)), data)
+    val dfb = spark.createDataFrame(java.util.List.of(Row(3L)), data)
+    oneParquetFile(dfa, loc, "file a.parquet") // space → %20 in the log
+    oneParquetFile(dfb, loc, "fileb.parquet")
+    val schemaJ = StructType(Seq(StructField("id", LongType), StructField("p", StringType))).json
+    writeLine(loc, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(schemaJ, Seq("p")),
+      """{"add":{"path":"file%20a.parquet","partitionValues":{"p":"x"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"fileb.parquet","partitionValues":{"p":"y"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val out = DeltaLog.toDF(spark, loc)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "p"))
+    assert(out.filter(col("p") === "x").orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.filter(col("p") === "y").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("protocol gating: v3 with deletion vectors and column mapping are rejected; benign features pass") {
+    val loc = TestSpark.tmpDir("delta-gate")
+    oneParquetFile(df1, loc, "f.parquet")
+    writeLine(loc, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaAction(),
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    intercept[UnsupportedOperationError](DeltaLog.snapshot(spark, loc))
+
+    val loc2 = TestSpark.tmpDir("delta-gate2")
+    oneParquetFile(df1, loc2, "f.parquet")
+    writeLine(loc2, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""",
+      metaAction(),
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLog.toDF(spark, loc2).count() == 4)
+
+    val loc3 = TestSpark.tmpDir("delta-gate3")
+    oneParquetFile(df1, loc3, "f.parquet")
+    writeLine(loc3, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(conf = Map("delta.columnMapping.mode" -> "name")),
+      """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    intercept[UnsupportedOperationError](DeltaLog.snapshot(spark, loc3))
+  }
+
+  test("checkpoint + JSON tail: snapshot starts from the checkpoint") {
+    val loc = TestSpark.tmpDir("delta-ckpt")
+    val sz1 = oneParquetFile(df1, loc, "f1.parquet")
+
+    // checkpoint parquet holding protocol + metaData + one add, at version 1
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("format", StructType(Seq(StructField("provider", StringType))))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("stats", StringType))))))
+    val rows = java.util.List.of(
+      Row(Row(1), null, null),
+      Row(null, Row(schemaString, Seq.empty[String], Map.empty[String, String], Row("parquet")), null),
+      Row(null, null, Row("f1.parquet", Map.empty[String, String], sz1, """{"numRecords":4}""")))
+    val tmp = TestSpark.tmpDir("ckpt-stage")
+    spark.createDataFrame(rows, ckptSchema).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val log = Paths.get(loc, "_delta_log")
+    Files.createDirectories(log)
+    Files.move(part, log.resolve("00000000000000000001.checkpoint.parquet"))
+    Files.write(log.resolve("_last_checkpoint"), """{"version":1,"size":3}""".getBytes(StandardCharsets.UTF_8))
+
+    // JSON tail after the checkpoint adds f2; pre-checkpoint commits are gone
+    // except an empty marker for version enumeration
+    writeLine(loc, "00000000000000000001.json", Seq(
+      """{"commitInfo":{"operation":"CHECKPOINTED"}}"""))
+    val sz2 = oneParquetFile(df2, loc, "f2.parquet")
+    writeLine(loc, "00000000000000000002.json", Seq(
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":$sz2,"modificationTime":1,"dataChange":true}}"""))
+
+    val snap = DeltaLog.snapshot(spark, loc)
+    assert(snap.version == 2L)
+    assert(snap.files.map(_.path).toSet == Set("f1.parquet", "f2.parquet"))
+    assert(DeltaLog.toDF(spark, loc).count() == 6)
+  }
+
+  test("TableIO dispatch: foreign Delta read, strict append, overwrite; evolution rejected") {
+    val loc = TestSpark.tmpDir("delta-dispatch")
+    DeltaLogWriter.create(spark, loc, df1)
+    val cols = Seq(
+      ColumnInfo("id", UcType.LongT, 0), ColumnInfo("str_col", UcType.StringT, 1),
+      ColumnInfo("float_col", UcType.DoubleT, 2))
+    val tbl = TableInfo("t", "c", "s", TableType.EXTERNAL, FileType.DELTA, cols,
+      storageLocation = Some(loc))
+    assert(TableIO.read(spark, tbl).count() == 4)
+    val (inferred, parts) = TableIO.inferSchema(spark, FileType.DELTA, loc)
+    assert(inferred.fieldNames.toSeq == Seq("id", "str_col", "float_col") && parts.isEmpty)
+
+    TableIO.write(spark, tbl, df2, WriteMode.APPEND)
+    assert(TableIO.read(spark, tbl).count() == 6)
+    TableIO.write(spark, tbl, df1, WriteMode.OVERWRITE)
+    assert(TableIO.read(spark, tbl).count() == 4)
+    intercept[UnsupportedOperationError](
+      TableIO.write(spark, tbl, df2, WriteMode.APPEND, SchemaEvolution.MERGE))
+    intercept[UnsupportedOperationError](
+      TableIO.write(spark, tbl, df2, WriteMode.OVERWRITE, replaceWhere = Some("id > 2")))
+  }
+}
