@@ -17,7 +17,7 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
       EmbeddingQueries.defs ++ ExtQueries.defs ++ MoreQueries.defs ++
-      InteropQueries.defs
+      InteropQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

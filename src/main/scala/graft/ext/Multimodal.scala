@@ -68,111 +68,39 @@ object Multimodal {
     }
   }
 
-  /** Decode media headers into the typed metadata struct — executor-side
-    * mapPartitions, one "codec context" per partition (the stub's context
-    * is trivial; a real codec would open/close a native handle here).
+  /** Decode media headers into the typed metadata struct — a native
+    * Catalyst expression (one static kernel call inside WholeStageCodegen;
+    * the round-1 df.rdd.mapPartitions formulation re-encoded every row and
+    * broke codegen). A real codec swaps the kernel body for a JNI call.
     */
-  def decodeMeta(df: DataFrame, mediaCol: String = "media"): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("decoded_meta", StructType(Seq(
-      StructField("format", StringType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("n_frames", IntegerType),
-      StructField("payload_bytes", IntegerType)))))
-    val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      // per-partition codec context would be opened here
-      rows.map { r =>
-        val bytes = r.get(idx).asInstanceOf[Array[Byte]]
-        val meta = FakeCodec.decodeHeader(bytes) match {
-          case Some(h) => Row(h.format, h.width, h.height, h.nFrames, bytes.length - h.payloadOffset)
-          case None => null
-        }
-        Row.fromSeq(r.toSeq :+ meta)
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def decodeMeta(df: DataFrame, mediaCol: String = "media"): DataFrame =
+    df.withColumn("decoded_meta", graft.functions.MediaFunctions.decodeMediaHeader(col(mediaCol)))
 
   /** Byte-histogram features (REAL computation, not stubbed): 256-bin
     * histogram pooled to `dims` normalized buckets — a cheap
-    * content-sensitive embedding for dedup/clustering of blobs.
+    * content-sensitive embedding for dedup/clustering of blobs. Native
+    * expression; the histogram loop runs inside codegen.
     */
-  def byteHistogramFeatures(df: DataFrame, mediaCol: String = "media", dims: Int = 16): DataFrame = {
-    require(256 % dims == 0, "dims must divide 256")
-    val idx = df.schema.fieldIndex(mediaCol)
-    val schema = StructType(df.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = true))
-    val rdd = df.rdd.mapPartitions { rows =>
-      val binSize = 256 / dims
-      rows.map { r =>
-        val bytes = r.get(idx).asInstanceOf[Array[Byte]]
-        val feat = if (bytes == null) null else {
-          val hist = new Array[Int](dims)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) / binSize) += 1; i += 1 }
-          val n = math.max(1, bytes.length).toFloat
-          hist.map(_ / n)
-        }
-        Row.fromSeq(r.toSeq :+ (if (feat == null) null else feat.toSeq))
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def byteHistogramFeatures(df: DataFrame, mediaCol: String = "media", dims: Int = 16): DataFrame =
+    df.withColumn("features", graft.functions.MediaFunctions.byteHistogram(col(mediaCol), dims))
 
   /** STUB resize: re-encodes the container with new dimensions and a
     * deterministically subsampled payload (a real impl calls the codec).
     */
-  def resizeStub(df: DataFrame, newWidth: Int, newHeight: Int, mediaCol: String = "media"): DataFrame = {
-    val idx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.get(idx).asInstanceOf[Array[Byte]]
-        val resized = FakeCodec.decodeHeader(bytes) match {
-          case Some(h) =>
-            val payload = bytes.drop(h.payloadOffset)
-            val keep = math.max(1, payload.length * (newWidth.toLong * newHeight) /
-              math.max(1L, h.width.toLong * h.height)).toInt
-            val sub = Array.tabulate(math.min(keep, payload.length))(i =>
-              payload(i * payload.length / math.max(1, math.min(keep, payload.length))))
-            FakeCodec.encode(0, newWidth, newHeight, h.nFrames, sub)
-          case None => bytes
-        }
-        Row.fromSeq(r.toSeq.updated(idx, resized))
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
+  def resizeStub(df: DataFrame, newWidth: Int, newHeight: Int, mediaCol: String = "media"): DataFrame =
+    df.withColumn(mediaCol, graft.functions.MediaFunctions.resizeMedia(col(mediaCol), newWidth, newHeight))
 
   /** Frame sampling for video blobs: emits every `stride`-th frame as its
     * own row (frame payloads are equal slices of the container payload —
-    * the stub's notion of frames; a real impl asks the demuxer).
+    * the stub's notion of frames; a real impl asks the demuxer). A native
+    * Generator — one container parse per input row, planned as a Generate
+    * node (no RDD round-trip).
     */
   def sampleFrames(df: DataFrame, stride: Int, idCol: String = "media_id",
-      mediaCol: String = "media"): DataFrame = {
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_index", IntegerType, nullable = false),
-      StructField("frame", BinaryType, nullable = true)))
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val id = r.getLong(idIdx)
-        val bytes = r.get(mIdx).asInstanceOf[Array[Byte]]
-        FakeCodec.decodeHeader(bytes) match {
-          case Some(h) if h.nFrames > 0 =>
-            val payload = bytes.drop(h.payloadOffset)
-            val frameSize = math.max(1, payload.length / h.nFrames)
-            (0 until h.nFrames by stride).map { f =>
-              val start = f * frameSize
-              Row(id, f, payload.slice(start, math.min(start + frameSize, payload.length)))
-            }
-          case _ => Seq.empty
-        }
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+      mediaCol: String = "media"): DataFrame =
+    df.select(col(idCol).as("media_id"),
+      graft.functions.MediaFunctions.frameSample(col(mediaCol), stride)
+        .as(Seq("frame_index", "frame")))
 
   /** Repartition a media table so each partition holds ~`targetBytes` of
     * blob data — avoids task skew when blob sizes vary wildly.
