@@ -102,20 +102,31 @@ final class TxMerge(
       .alias(targetAlias)
     val s = source.withColumn(sMark, lit(true)).alias(sourceAlias)
 
-    val joined = t.join(s, expr(condition), "full_outer")
+    val joined0 = t.join(s, expr(condition), "full_outer")
 
     val isMatched = col(tMark).isNotNull && col(sMark).isNotNull
     val isInsert = col(tMark).isNull && col(sMark).isNotNull
     val isBySource = col(tMark).isNotNull && col(sMark).isNull
 
     // Delta semantics: a target row may match at most one source row when
-    // update/delete clauses exist.
-    if (matched.nonEmpty || bySource.nonEmpty) {
-      val dup = joined.filter(isMatched).groupBy(col(tId)).count().filter(col("count") > 1)
-      if (dup.limit(1).count() > 0)
-        throw UnsupportedOperationError(
-          "MERGE: a target row matched multiple source rows")
-    }
+    // update/delete clauses exist. Fused into the single merge pass (the
+    // round-1 shape ran the full-outer join twice — once for this check,
+    // once for the result): a windowed match-count per target row feeds a
+    // raise_error branch in the action column, so the check rides the same
+    // job that writes the result. Insert rows (null target id) get unique
+    // negative window keys so they don't pile into one window partition.
+    val needCardCheck = matched.nonEmpty || bySource.nonEmpty
+    val cardCheckMsg = "MERGE: a target row matched multiple source rows"
+    val joined =
+      if (!needCardCheck) joined0
+      else {
+        val wKey = "__graft_wkey"
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(wKey))
+        joined0
+          .withColumn(wKey, coalesce(col(tId), -(monotonically_increasing_id() + 1)))
+          .withColumn("__graft_mcount",
+            sum(when(isMatched, 1L).otherwise(0L)).over(w))
+      }
 
     def tCol(c: String): Column = col(s"$targetAlias.$c")
     def sCol(c: String): Column = col(s"$sourceAlias.$c")
@@ -149,7 +160,16 @@ final class TxMerge(
     // unmatched-source rows with no applicable insert clause are dropped
     val actionCol =
       (if (action == null) keep else action.otherwise(keep))
-    val withAction = joined.withColumn("__graft_action", when(isInsert && actionCol === "KEEP", lit("DROP")).otherwise(actionCol))
+    val actionOrDrop = when(isInsert && actionCol === "KEEP", lit("DROP")).otherwise(actionCol)
+    // the cardinality guard is the action column's first branch, so it is
+    // evaluated for every joined row in the result job and cannot be
+    // pruned away
+    val guardedAction =
+      if (!needCardCheck) actionOrDrop
+      else when(isMatched && col("__graft_mcount") > 1L,
+        raise_error(lit(cardCheckMsg)).cast(org.apache.spark.sql.types.StringType))
+        .otherwise(actionOrDrop)
+    val withAction = joined.withColumn("__graft_action", guardedAction)
 
     def valueFor(c: String): Column = {
       var v: Column = null
@@ -192,6 +212,22 @@ final class TxMerge(
 
     // commit: only the touched files are replaced; the rest of the table
     // is untouched (physically and in the manifest)
-    table.commitRewrite(result, removedPaths, snap.version)
+    try table.commitRewrite(result, removedPaths, snap.version)
+    catch {
+      case e: Throwable if cardViolation(e) =>
+        throw UnsupportedOperationError(cardCheckMsg)
+    }
+  }
+
+  /** The fused cardinality guard surfaces as a raise_error failure inside
+    * the write job; unwrap the task-failure nesting to recognize it.
+    */
+  private def cardViolation(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.getMessage != null && t.getMessage.contains("matched multiple source rows")) return true
+      t = t.getCause
+    }
+    false
   }
 }
