@@ -26,6 +26,7 @@ final class JsonFileCatalogStore(path: String) extends CatalogStore {
     case UcType.ArrayT(e) => s"ARRAY<${typeToText(e)}>"
     case UcType.MapT(k, v) => s"MAP<${typeToText(k)},${typeToText(v)}>"
     case UcType.StructT(fs) => s"STRUCT<${fs.map { case (n, ft) => s"$n:${typeToText(ft)}" }.mkString(",")}>"
+    case UcType.IntervalT(q) => s"INTERVAL $q"
     case other => other.name
   }
 

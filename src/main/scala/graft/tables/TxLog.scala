@@ -197,6 +197,27 @@ object TxLog {
     listCommitFiles(f, location).lastOption.map(_._1)
   }
 
+  /** Latest version whose commit timestamp is <= `tsMs` (Delta's
+    * timestamp-travel rule: you see the table as of that wall-clock
+    * moment). Errors if the timestamp predates the first commit.
+    */
+  def versionAtTimestamp(spark: SparkSession, location: String, tsMs: Long): Long = {
+    val f = fs(spark, location)
+    val commits = listCommitFiles(f, location)
+    if (commits.isEmpty)
+      throw graft.catalog.DoesNotExistError(s"no transaction log at $location")
+    // commit timestamps are monotone in practice (single log, sequential
+    // versions); scan newest-first and take the first at-or-before tsMs
+    val at = commits.reverseIterator.find { case (_, p) => readCommit(f, p).timestampMs <= tsMs }
+    at match {
+      case Some((v, _)) => v
+      case None =>
+        val first = readCommit(f, commits.head._2)
+        throw graft.catalog.DoesNotExistError(
+          s"timestamp $tsMs predates the first commit (${first.timestampMs}) at $location")
+    }
+  }
+
   /** Atomically publish a commit at `version`. Returns false if that
     * version already exists (concurrent writer won the race).
     */

@@ -33,6 +33,15 @@ final class TxTable(val spark: SparkSession, val location: String) {
   /** Time travel (Delta-style `versionAsOf`). */
   def toDF(asOfVersion: Long): DataFrame = dfFor(snapshotAt(asOfVersion))
 
+  /** Timestamp time travel (Delta-style `timestampAsOf` / delta-rs
+    * `load_with_datetime`): the table as of epoch-millis `tsMs` — the
+    * latest version committed at or before it.
+    */
+  def snapshotAtTimestamp(tsMs: Long): Snapshot =
+    snapshotAt(TxLog.versionAtTimestamp(spark, location, tsMs))
+
+  def toDFAtTimestamp(tsMs: Long): DataFrame = dfFor(snapshotAtTimestamp(tsMs))
+
   /** DataFrame over a subset of a snapshot's files (merge file pruning). */
   private[tables] def dfForFiles(s: Snapshot, relPaths: Seq[String]): DataFrame = {
     val set = relPaths.toSet

@@ -43,7 +43,38 @@ object UcType {
     override def typeText =
       s"struct<${fields.map { case (n, t) => s"$n:${t.typeText}" }.mkString(",")}>"
   }
+  /** INTERVAL with its unit qualifier (reference `type_interval_type`,
+    * models.py:77,102) — e.g. "DAY TO SECOND", "HOUR", "YEAR TO MONTH".
+    * Year/month qualifiers map to Spark's YearMonthIntervalType, day/time
+    * qualifiers to DayTimeIntervalType — both first-class, storable types.
+    */
+  final case class IntervalT(qualifier: String) extends UcType("INTERVAL") {
+    override def typeText = s"interval ${qualifier.toLowerCase}".trim
+  }
+
   case object NullT extends UcType("NULL")
+
+  private val YmFields = Map("YEAR" -> YearMonthIntervalType.YEAR, "MONTH" -> YearMonthIntervalType.MONTH)
+  private val DtFields = Map(
+    "DAY" -> DayTimeIntervalType.DAY, "HOUR" -> DayTimeIntervalType.HOUR,
+    "MINUTE" -> DayTimeIntervalType.MINUTE, "SECOND" -> DayTimeIntervalType.SECOND)
+
+  private def parseIntervalQualifier(q: String): DataType = {
+    val parts = q.trim.toUpperCase.split("\\s+TO\\s+").map(_.trim).filter(_.nonEmpty)
+    parts match {
+      case Array(a) if YmFields.contains(a) =>
+        YearMonthIntervalType(YmFields(a), YmFields(a))
+      case Array(a) if DtFields.contains(a) =>
+        DayTimeIntervalType(DtFields(a), DtFields(a))
+      case Array(a, b) if YmFields.contains(a) && YmFields.contains(b) =>
+        YearMonthIntervalType(YmFields(a), YmFields(b))
+      case Array(a, b) if DtFields.contains(a) && DtFields.contains(b) =>
+        DayTimeIntervalType(DtFields(a), DtFields(b))
+      case _ =>
+        throw graft.catalog.UnsupportedOperationError(
+          s"unsupported INTERVAL qualifier '$q' (expected YEAR/MONTH or DAY/HOUR/MINUTE/SECOND[ TO ...])")
+    }
+  }
 
   /** UC → Spark (reference dataframe.py:100-137, extended to full fidelity:
     * ARRAY element / STRUCT fields / MAP are tracked, not lossy).
@@ -65,6 +96,7 @@ object UcType {
     case ArrayT(e) => ArrayType(toSpark(e))
     case MapT(k, v) => MapType(toSpark(k), toSpark(v))
     case StructT(fs) => StructType(fs.map { case (n, ft) => StructField(n, toSpark(ft)) })
+    case IntervalT(q) => parseIntervalQualifier(q)
     case NullT => NullType
   }
 
@@ -86,6 +118,15 @@ object UcType {
     case a: ArrayType => ArrayT(fromSpark(a.elementType))
     case m: MapType => MapT(fromSpark(m.keyType), fromSpark(m.valueType))
     case s: StructType => StructT(s.fields.toSeq.map(f => f.name -> fromSpark(f.dataType)))
+    case y: YearMonthIntervalType =>
+      val names = Map(YearMonthIntervalType.YEAR -> "YEAR", YearMonthIntervalType.MONTH -> "MONTH")
+      IntervalT(if (y.startField == y.endField) names(y.startField)
+        else s"${names(y.startField)} TO ${names(y.endField)}")
+    case d: DayTimeIntervalType =>
+      val names = Map(DayTimeIntervalType.DAY -> "DAY", DayTimeIntervalType.HOUR -> "HOUR",
+        DayTimeIntervalType.MINUTE -> "MINUTE", DayTimeIntervalType.SECOND -> "SECOND")
+      IntervalT(if (d.startField == d.endField) names(d.startField)
+        else s"${names(d.startField)} TO ${names(d.endField)}")
     case NullType => NullT
     case other =>
       throw graft.catalog.UnsupportedOperationError(
@@ -107,6 +148,13 @@ object UcType {
     case "CHAR" => CharT
     case "BINARY" => BinaryT
     case "NULL" => NullT
+    case other if other.startsWith("INTERVAL") =>
+      val q = other.stripPrefix("INTERVAL").trim
+      // bare INTERVAL (the reference's enum value with the qualifier in a
+      // separate field) defaults to the widest day-time span
+      val t = IntervalT(if (q.isEmpty) "DAY TO SECOND" else q)
+      parseIntervalQualifier(t.qualifier) // validate eagerly
+      t
     case other => throw graft.catalog.UnsupportedOperationError(s"unknown UC type $other")
   }
 }

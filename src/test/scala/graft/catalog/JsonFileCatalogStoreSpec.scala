@@ -19,15 +19,17 @@ class JsonFileCatalogStoreSpec extends AnyFunSuite {
         ColumnInfo("id", UcType.LongT, 0, nullable = false),
         ColumnInfo("d", UcType.DecimalT(10, 5), 1),
         ColumnInfo("arr", UcType.ArrayT(UcType.StructT(Seq("x" -> UcType.DoubleT))), 2),
-        ColumnInfo("p", UcType.LongT, 3, partitionIndex = Some(0))),
+        ColumnInfo("iv", UcType.IntervalT("HOUR TO SECOND"), 3),
+        ColumnInfo("p", UcType.LongT, 4, partitionIndex = Some(0))),
       storageLocation = Some("/tmp/t"),
       properties = Map(TableInfo.DefaultMergeColumnsKey -> "id")))
 
     val s2 = new JsonFileCatalogStore(path)
     val t = s2.getTable("main", "default", "t")
-    assert(t.columns.map(_.name) == Seq("id", "d", "arr", "p"))
+    assert(t.columns.map(_.name) == Seq("id", "d", "arr", "iv", "p"))
     assert(t.columns(1).dataType == UcType.DecimalT(10, 5))
     assert(t.columns(2).dataType == UcType.ArrayT(UcType.StructT(Seq("x" -> UcType.DoubleT))))
+    assert(t.columns(3).dataType == UcType.IntervalT("HOUR TO SECOND"))
     assert(t.partitionColumns == Seq("p"))
     assert(t.defaultMergeColumns == Seq("id"))
     assert(s2.getCatalog("main").comment.contains("the catalog"))

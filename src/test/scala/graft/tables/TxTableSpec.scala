@@ -29,6 +29,20 @@ class TxTableSpec extends AnyFunSuite {
   private def collectById(t: TxTable): Seq[(Long, String, Double)] =
     t.toDF.orderBy("id").collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
 
+  test("timestamp time travel selects the latest commit at-or-before the timestamp") {
+    val loc = TestSpark.tmpDir("tx-ts")
+    val t = new TxTable(spark, loc)
+    t.create(df1)
+    Thread.sleep(25)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(25)
+    t.append(df2)
+    assert(t.toDFAtTimestamp(mid).count() == 6)                       // v0 only
+    assert(t.toDFAtTimestamp(System.currentTimeMillis()).count() == 10) // v1
+    assert(t.snapshotAtTimestamp(mid).version == 0L)
+    intercept[graft.catalog.DoesNotExistError] { t.toDFAtTimestamp(1L) } // before first commit
+  }
+
   test("create + append + overwrite + time travel") {
     val loc = TestSpark.tmpDir("tx")
     val t = new TxTable(spark, loc)

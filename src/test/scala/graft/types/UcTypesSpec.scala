@@ -54,4 +54,28 @@ class UcTypesSpec extends AnyFunSuite {
   test("fromString rejects unknown types") {
     intercept[UnsupportedOperationError] { UcType.fromString("VARIANT_NOPE") }
   }
+
+  test("INTERVAL round-trips every qualifier span (reference models.py:77,102)") {
+    // every legal Spark interval type survives Spark -> UC -> Spark
+    val ymSpans = for {
+      s <- Seq(YearMonthIntervalType.YEAR, YearMonthIntervalType.MONTH)
+      e <- Seq(YearMonthIntervalType.YEAR, YearMonthIntervalType.MONTH) if s <= e
+    } yield YearMonthIntervalType(s, e)
+    val dtFields = Seq(DayTimeIntervalType.DAY, DayTimeIntervalType.HOUR,
+      DayTimeIntervalType.MINUTE, DayTimeIntervalType.SECOND)
+    val dtSpans = for { s <- dtFields; e <- dtFields if s <= e } yield DayTimeIntervalType(s, e)
+    (ymSpans ++ dtSpans).foreach { t =>
+      assert(UcType.toSpark(UcType.fromSpark(t)) == t, s"round-trip of $t")
+    }
+  }
+
+  test("INTERVAL fromString, typeText, and bad qualifiers") {
+    assert(UcType.fromString("INTERVAL") == UcType.IntervalT("DAY TO SECOND"))
+    assert(UcType.fromString("INTERVAL HOUR TO SECOND") == UcType.IntervalT("HOUR TO SECOND"))
+    assert(UcType.IntervalT("DAY TO SECOND").typeText == "interval day to second")
+    assert(UcType.toSpark(UcType.IntervalT("YEAR TO MONTH")) ==
+      YearMonthIntervalType(YearMonthIntervalType.YEAR, YearMonthIntervalType.MONTH))
+    intercept[UnsupportedOperationError] { UcType.fromString("INTERVAL EON") }
+    intercept[UnsupportedOperationError] { UcType.toSpark(UcType.IntervalT("YEAR TO SECOND")) }
+  }
 }
