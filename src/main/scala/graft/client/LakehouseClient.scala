@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.catalog._
 import graft.io.TableIO
-import graft.tables.{TxMerge, TxTable}
+import graft.tables.{DeltaLog, TxLog, TxMerge, TxTable}
 
 /** The user-facing facade — the reference's `UCClient` surface
   * (/root/reference/uchelper/client.py) over an in-process catalog store
@@ -188,12 +188,32 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
     spark.sql(query)
   }
 
+  /** Flat-view versions already registered, keyed by view name — DELTA
+    * views whose log version hasn't moved are NOT re-read on the next
+    * sql() call (a snapshot replay per table per statement was the
+    * round-1 cost). Non-Delta formats stay eagerly re-registered: their
+    * reads are a cheap lazy directory listing, and file-level changes
+    * carry no version to key a cache on.
+    */
+  private val deltaViewVersions = scala.collection.mutable.Map.empty[String, Long]
+
   def registerAllViews(): Unit = {
     store.listCatalogs()._1.foreach { c =>
       store.listSchemas(c.name)._1.foreach { s =>
         store.listTables(c.name, s.name)._1.foreach { t =>
-          readTable(c.name, s.name, t.name)
-            .createOrReplaceTempView(s"${c.name}_${s.name}_${t.name}")
+          val viewName = s"${c.name}_${s.name}_${t.name}"
+          val currentVersion: Option[Long] =
+            if (t.fileType != FileType.DELTA) None
+            else t.storageLocation.map(TableIO.normalize).flatMap { loc =>
+              TxLog.latestVersion(spark, loc)
+                .orElse(DeltaLog.latestVersion(spark, loc))
+            }
+          val fresh = currentVersion.exists(v =>
+            deltaViewVersions.get(viewName).contains(v) && spark.catalog.tableExists(viewName))
+          if (!fresh) {
+            readTable(c.name, s.name, t.name).createOrReplaceTempView(viewName)
+            currentVersion.foreach(deltaViewVersions(viewName) = _)
+          }
         }
       }
     }

@@ -58,6 +58,12 @@ object DeltaLog {
     f.exists(logDir(location)) && listCommitFiles(f, location).nonEmpty
   }
 
+  /** Latest commit version, from filenames only (no JSON reads). */
+  def latestVersion(spark: SparkSession, location: String): Option[Long] = {
+    val f = fs(spark, location)
+    listCommitFiles(f, location).lastOption.map(_._1)
+  }
+
   private def listCommitFiles(f: FileSystem, location: String): Seq[(Long, Path)] = {
     val dir = logDir(location)
     if (!f.exists(dir)) Seq.empty

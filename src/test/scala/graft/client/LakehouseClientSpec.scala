@@ -190,6 +190,27 @@ class LakehouseClientSpec extends AnyFunSuite {
     assert(vals.length == 1 && vals(0).getAs[Double]("float_col") == 0.0)
   }
 
+  test("sql() reuses DELTA views whose log version has not moved (no re-replay)") {
+    val c = freshClient()
+    val dir = TestSpark.tmpDir("client")
+    c.createAsTable(tutorialDf, "main", "default", "vc", FileType.DELTA, s"$dir/vc")
+    assert(c.sql("SELECT COUNT(*) AS n FROM main_default_vc").collect()(0).getLong(0) == 4)
+
+    // corrupt every commit JSON: a snapshot replay would now throw, but the
+    // version (derived from filenames only) is unchanged -> cache hit
+    val log = new java.io.File(s"$dir/vc/_graft_log")
+    val commits = log.listFiles().filter(_.getName.endsWith(".json"))
+    assert(commits.nonEmpty)
+    commits.foreach(f => java.nio.file.Files.writeString(f.toPath, "not json"))
+    assert(c.sql("SELECT COUNT(*) AS n FROM main_default_vc").collect()(0).getLong(0) == 4)
+
+    // a new commit file bumps the version -> the cache must invalidate and
+    // actually re-read (which fails loudly on the corrupted log)
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "00000000000000000001.json").toPath, "not json")
+    intercept[Exception] { c.sql("SELECT COUNT(*) AS n FROM main_default_vc") }
+  }
+
   test("sync table properties from the transaction log (C19)") {
     val c = freshClient()
     val dir = TestSpark.tmpDir("client")
