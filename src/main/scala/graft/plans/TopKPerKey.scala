@@ -28,41 +28,196 @@ final case class TopKPerKeyNode(
     k: Int,
     keyExprs: Seq[Expression],
     ordering: Seq[SortOrder],
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxRetainedRows: Int = TopKHeap.DefaultMaxRetainedRows) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
 }
 
-/** Shared bounded-heap pass used by both physical nodes. */
+/** Shared bounded-heap pass used by both physical nodes.
+  *
+  * Memory is bounded: at most `maxRetainedRows` row copies live in the
+  * per-partition key→heap map (the round-1 version grew with key
+  * cardinality unchecked). On overflow:
+  *   - the PARTIAL pass flushes — emits the current heaps and clears the
+  *     map. Partial output may then hold more than k rows per key, which
+  *     the final pass reduces (top-k is an associative combiner:
+  *     topk(A ∪ B) = topk(topk(A) ∪ topk(B))).
+  *   - the FINAL pass cannot flush (a key's rows must meet in one heap),
+  *     so it degrades to an external merge sort over local spill files —
+  *     the same heap→sort degradation Spark's hash aggregate uses — and
+  *     streams the first k rows of each sorted key group.
+  */
 private[plans] object TopKHeap {
+  /** Row copies retained per partition before flushing/spilling. */
+  val DefaultMaxRetainedRows: Int = 1 << 21
+
   def topKPerPartition(
       iter: Iterator[InternalRow],
       k: Int,
       keyExprs: Seq[Expression],
       ordering: Seq[SortOrder],
-      output: Seq[Attribute]): Iterator[InternalRow] = {
+      output: Seq[Attribute],
+      maxRetainedRows: Int = DefaultMaxRetainedRows,
+      isPartial: Boolean = true): Iterator[InternalRow] = {
+
     val keyProj = UnsafeProjection.create(keyExprs, output)
     val rowOrd = GenerateOrdering.generate(BindReferences.bindReferences(ordering, output))
     // max-heap by sort order: the head is the WORST retained row
     val heapOrd: Ordering[InternalRow] = (a, b) => rowOrd.compare(a, b)
+
     val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
-    while (iter.hasNext) {
-      val row = iter.next()
+    var retained = 0
+
+    import scala.jdk.CollectionConverters._
+    def drain(): Iterator[InternalRow] = {
+      val out = heaps.values().asScala.toArray.iterator.flatMap(_.iterator)
+      heaps.clear(); retained = 0
+      out
+    }
+
+    def offer(row: InternalRow): Boolean = { // true iff a new copy was retained
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
         heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](heapOrd)
         heaps.put(key.copy(), heap)
       }
-      if (heap.size < k) heap.enqueue(row.copy())
+      if (heap.size < k) { heap.enqueue(row.copy()); true }
       else if (rowOrd.compare(row, heap.head) < 0) {
-        heap.dequeue()
-        heap.enqueue(row.copy())
+        heap.dequeue(); heap.enqueue(row.copy()); false
+      } else false
+    }
+
+    if (isPartial) {
+      // chunked iterator: heap until the bound, emit, repeat
+      new Iterator[Iterator[InternalRow]] {
+        override def hasNext: Boolean = iter.hasNext || retained > 0
+        override def next(): Iterator[InternalRow] = {
+          while (iter.hasNext && retained < maxRetainedRows) {
+            if (offer(iter.next())) retained += 1
+          }
+          drain()
+        }
+      }.flatten
+    } else {
+      var overflowed = false
+      while (iter.hasNext && !overflowed) {
+        if (offer(iter.next())) retained += 1
+        if (retained >= maxRetainedRows) overflowed = true
+      }
+      if (!overflowed) drain()
+      else TopKSpill.sortedTopK(drain() ++ iter, k, keyExprs, ordering, output,
+        maxRetainedRows, rowOrd)
+    }
+  }
+}
+
+/** External merge sort fallback for the final top-k pass: sorted runs of at
+  * most `maxRetainedRows` rows spill to local files; a loser-tree merge
+  * streams rows in (key, ordering) order and keeps the first k per key
+  * group. Memory: one run buffer + one head row per run.
+  */
+private[plans] object TopKSpill {
+
+  def sortedTopK(
+      rows: Iterator[InternalRow],
+      k: Int,
+      keyExprs: Seq[Expression],
+      ordering: Seq[SortOrder],
+      output: Seq[Attribute],
+      maxRunRows: Int,
+      rowOrd: Ordering[InternalRow]): Iterator[InternalRow] = {
+
+    val keyProj = UnsafeProjection.create(keyExprs, output)
+    val toUnsafe = UnsafeProjection.create(output, output)
+    val keyOrd = GenerateOrdering.generate(
+      BindReferences.bindReferences(
+        keyExprs.map(e => SortOrder(e, Ascending)), output))
+    val fullOrd: Ordering[InternalRow] = (a, b) => {
+      val c = keyOrd.compare(a, b)
+      if (c != 0) c else rowOrd.compare(a, b)
+    }
+    val numFields = output.length
+
+    // build sorted spill runs
+    val runs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    val buf = new java.util.ArrayList[UnsafeRow](math.min(maxRunRows, 1 << 16))
+    def spillRun(): Unit = {
+      if (buf.isEmpty) return
+      buf.sort((a, b) => fullOrd.compare(a, b))
+      val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+      f.deleteOnExit()
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
+      try {
+        var i = 0
+        while (i < buf.size()) {
+          val bytes = buf.get(i).getBytes
+          out.writeInt(bytes.length); out.write(bytes); i += 1
+        }
+        out.writeInt(-1)
+      } finally out.close()
+      runs += f
+      buf.clear()
+    }
+    while (rows.hasNext) {
+      val u = toUnsafe(rows.next()).copy()
+      buf.add(u)
+      if (buf.size() >= maxRunRows) spillRun()
+    }
+    spillRun()
+
+    final class RunReader(f: java.io.File) {
+      private val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+      var head: UnsafeRow = _
+      advance()
+      def advance(): Unit = {
+        val len = in.readInt()
+        if (len < 0) { head = null; in.close(); f.delete() }
+        else {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val r = new UnsafeRow(numFields)
+          r.pointTo(bytes, len)
+          head = r
+        }
       }
     }
-    import scala.jdk.CollectionConverters._
-    heaps.values().iterator().asScala.flatMap(_.iterator)
+
+    val readers = runs.map(new RunReader(_)).filter(_.head != null)
+    val merge = new java.util.PriorityQueue[RunReader](
+      math.max(1, readers.size),
+      (a, b) => fullOrd.compare(a.head, b.head))
+    readers.foreach(merge.add)
+
+    // stream the merged order, keeping the first k rows of each key group
+    new Iterator[InternalRow] {
+      private var currentKey: UnsafeRow = _
+      private var emitted = 0
+      private var nextRow: InternalRow = _
+      private def findNext(): Unit = {
+        nextRow = null
+        while (nextRow == null && !merge.isEmpty) {
+          val r = merge.poll()
+          val row = r.head
+          r.advance()
+          if (r.head != null) merge.add(r)
+          val key = keyProj(row)
+          if (currentKey == null || !key.equals(currentKey)) {
+            currentKey = key.copy(); emitted = 0
+          }
+          if (emitted < k) { emitted += 1; nextRow = row }
+        }
+      }
+      findNext()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; findNext(); r
+      }
+    }
   }
 }
 
@@ -70,11 +225,13 @@ final case class PartialTopKExec(
     k: Int,
     keyExprs: Seq[Expression],
     ordering: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxRetainedRows: Int = TopKHeap.DefaultMaxRetainedRows) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(it =>
-      TopKHeap.topKPerPartition(it, k, keyExprs, ordering, child.output),
+      TopKHeap.topKPerPartition(it, k, keyExprs, ordering, child.output,
+        maxRetainedRows, isPartial = true),
       preservesPartitioning = true)
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
     copy(child = newChild)
@@ -84,13 +241,15 @@ final case class FinalTopKExec(
     k: Int,
     keyExprs: Seq[Expression],
     ordering: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxRetainedRows: Int = TopKHeap.DefaultMaxRetainedRows) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keyExprs) :: Nil
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(it =>
-      TopKHeap.topKPerPartition(it, k, keyExprs, ordering, child.output),
+      TopKHeap.topKPerPartition(it, k, keyExprs, ordering, child.output,
+        maxRetainedRows, isPartial = false),
       preservesPartitioning = true)
   override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKExec =
     copy(child = newChild)
@@ -101,8 +260,9 @@ final case class FinalTopKExec(
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(k, keys, ord, child) =>
-      FinalTopKExec(k, keys, ord, PartialTopKExec(k, keys, ord, planLater(child))) :: Nil
+    case TopKPerKeyNode(k, keys, ord, child, maxRows) =>
+      FinalTopKExec(k, keys, ord,
+        PartialTopKExec(k, keys, ord, planLater(child), maxRows), maxRows) :: Nil
     case _ => Nil
   }
 }
@@ -113,7 +273,8 @@ object TopK {
     * pairs. Row order within a key is unspecified — add a cheap window
     * over the (k × #keys)-row result if a rank column is needed.
     */
-  def topKPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+  def topKPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)], k: Int,
+      maxRetainedRows: Int = TopKHeap.DefaultMaxRetainedRows): DataFrame = {
     require(k > 0 && keys.nonEmpty && orderBy.nonEmpty)
     // ensure the strategy is available on this session even when it was
     // built without GraftSqlExtensions (experimental.extraStrategies is
@@ -127,7 +288,8 @@ object TopK {
       orderBy.map { case (c, asc) =>
         SortOrder(UnresolvedAttribute(c), if (asc) Ascending else Descending)
       },
-      df.queryExecution.logical)
+      df.queryExecution.logical,
+      maxRetainedRows)
     org.apache.spark.sql.GraftColumnBridge.ofRows(df.sparkSession, node)
   }
 }

@@ -42,6 +42,23 @@ class TopKPerKeySpec extends AnyFunSuite {
       s"partial should be below the exchange in the plan tree:\n$plan")
   }
 
+  test("key cardinality far above the retained-row bound still yields exact results (flush + spill path)") {
+    import spark.implicits._
+    // 20k distinct keys x 4 rows, bound of 512 retained rows: the partial
+    // pass flushes dozens of times and the final pass overflows into the
+    // external-sort spill — results must still match the window plan
+    val df = (0 until 80000).map(i => (i % 20000, i / 20000, (i * 2654435761L) % 1000))
+      .toDF("key", "seq", "score")
+    val custom = TopK.topKPerKey(df, Seq("key"), Seq(("score", false), ("seq", true)), 2,
+        maxRetainedRows = 512)
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("seq"))
+    val reference = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .drop("rn").collect().map(_.toSeq).toSet
+    assert(custom == reference)
+    assert(custom.size == 40000) // 20k keys x top 2
+  }
+
   test("works on string keys and composes with filters") {
     val top = TopK.topKPerKey(li.filter(col("l_quantity") > 10),
       Seq("l_returnflag", "l_linestatus"), Seq(("l_quantity", false), ("l_orderkey", true)), 2)
