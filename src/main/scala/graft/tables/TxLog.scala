@@ -38,6 +38,11 @@ object TxLog {
   val LogDirName = "_graft_log"
   private[tables] val StagingPrefix = "_staging"
 
+  /** Serializes the outputTimestampType set/write/restore window in
+    * stageData (the conf is session-global and has no per-writer option).
+    */
+  private object TsConfLock
+
   final case class AddFile(
       path: String,
       partitionValues: Map[String, String],
@@ -255,14 +260,31 @@ object TxLog {
     val writer = if (partitionColumns.nonEmpty) df.write.partitionBy(partitionColumns: _*) else df.write
     // Spark's default INT96 timestamps carry no parquet footer statistics,
     // which silences data skipping on timestamp columns; write the modern
-    // (and stats-bearing) TIMESTAMP_MICROS physical type instead.
-    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-    val prevTsType = spark.conf.getOption(tsTypeKey)
-    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
-    try writer.parquet(stagingDir.toString)
-    finally prevTsType match {
-      case Some(v) => spark.conf.set(tsTypeKey, v)
-      case None => spark.conf.unset(tsTypeKey)
+    // (and stats-bearing) TIMESTAMP_MICROS physical type instead. The
+    // setting is SQLConf-only (no per-writer option exists), so the
+    // set/write/restore window is serialized under a JVM-wide lock —
+    // concurrent library writers on the same session can no longer
+    // interleave set/restore and clobber each other's value. Schemas with
+    // no TimestampType skip the conf dance (and the lock) entirely.
+    def hasTimestamp(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.TimestampType => true
+      case s: StructType => s.fields.exists(x => hasTimestamp(x.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasTimestamp(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasTimestamp(m.keyType) || hasTimestamp(m.valueType)
+      case _ => false
+    }
+    if (!df.schema.fields.exists(x => hasTimestamp(x.dataType))) {
+      writer.parquet(stagingDir.toString)
+    } else TsConfLock.synchronized {
+      val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+      val prevTsType = spark.conf.getOption(tsTypeKey)
+      spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+      try writer.parquet(stagingDir.toString)
+      finally prevTsType match {
+        case Some(v) => spark.conf.set(tsTypeKey, v)
+        case None => spark.conf.unset(tsTypeKey)
+      }
     }
     try {
       val staged = listFilesRecursively(f, stagingDir)

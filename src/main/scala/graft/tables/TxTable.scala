@@ -55,16 +55,28 @@ final class TxTable(val spark: SparkSession, val location: String) {
       baseVersion: Long): Unit =
     commitWithRetry("MERGE") { snap =>
       // `df` and `removedPaths` were planned against `baseVersion`; if a
-      // concurrent commit landed since, recommitting blindly would
-      // resurrect stale rows (the rewrite re-adds data a concurrent
-      // DELETE/UPDATE removed). Fail unless every planned removal is still
-      // active — a logical conflict check, like Delta's.
+      // concurrent commit landed since, recommitting blindly would be
+      // wrong two ways: (a) the rewrite would resurrect stale rows a
+      // concurrent DELETE/UPDATE removed — so every planned removal must
+      // still be active; (b) rows APPENDED since baseVersion were never
+      // joined against the source, so a not-matched insert could duplicate
+      // their keys — Delta's WriteSerializable raises
+      // ConcurrentAppendException here, and so do we (conservatively, for
+      // any concurrently added file; predicate-scoped appends could be
+      // re-checked in a finer impl).
       if (snap.version != baseVersion) {
         val active = snap.files.map(_.path).toSet
         if (!removedPaths.forall(active.contains))
           throw new java.util.ConcurrentModificationException(
             s"MERGE conflict at $location: concurrent commit rewrote files this merge read " +
               s"(planned against v$baseVersion, now v${snap.version})")
+        val baseFiles = TxLog.snapshot(spark, location, Some(baseVersion)).files.map(_.path).toSet
+        val addedSince = snap.files.map(_.path).filterNot(baseFiles.contains)
+        if (addedSince.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"MERGE conflict at $location: ${addedSince.size} file(s) were appended " +
+              s"concurrently (planned against v$baseVersion, now v${snap.version}); " +
+              "their rows were not visible to the merge join")
       }
       val added = TxLog.stageData(spark, location, df, snap.partitionColumns)
       (added, removedPaths, snap.schema, snap.partitionColumns, snap.properties)
@@ -307,11 +319,19 @@ final class TxTable(val spark: SparkSession, val location: String) {
     *
     * Concurrent-writer safety: a writer stages under `_staging-*` then
     * renames into place before committing, so (a) staging dirs are never
-    * touched and (b) `retentionMs` (Delta-style modification-time window;
-    * production should use hours–days) protects files published between a
-    * concurrent stageData and its tryCommit.
+    * touched and (b) `retentionMs` (Delta-style modification-time window)
+    * protects files published between a concurrent stageData and its
+    * tryCommit. The default retention is 7 days, like Delta; a shorter
+    * window can delete a concurrent writer's just-published-uncommitted
+    * files, so it must be forced explicitly (Delta's
+    * retentionDurationCheck.enabled=false equivalent).
     */
-  def vacuum(retainVersions: Int = 1, retentionMs: Long = 0L): Int = {
+  def vacuum(retainVersions: Int = 1, retentionMs: Long = TxTable.DefaultVacuumRetentionMs,
+      force: Boolean = false): Int = {
+    if (retentionMs < TxTable.DefaultVacuumRetentionMs && !force)
+      throw UnsupportedOperationError(
+        s"vacuum retention ${retentionMs}ms is below the ${TxTable.DefaultVacuumRetentionMs}ms safety floor; " +
+          "pass force=true to override (risks deleting files of in-flight commits)")
     val f = TxLog.fs(spark, location)
     val latest = TxLog.latestVersion(spark, location)
       .getOrElse(throw graft.catalog.DoesNotExistError(s"no log at $location"))
@@ -419,6 +439,9 @@ final class TxTable(val spark: SparkSession, val location: String) {
 }
 
 object TxTable {
+  /** Delta's default VACUUM retention window (7 days). */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   def forLocation(spark: SparkSession, location: String): TxTable =
     new TxTable(spark, location)
 }

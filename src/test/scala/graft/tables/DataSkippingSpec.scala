@@ -167,7 +167,7 @@ class DataSkippingSpec extends AnyFunSuite {
     t.overwrite((10L until 20L).map(i => (i, i)).toDF("id", "v").repartition(1))
     t.overwrite((20L until 30L).map(i => (i, i)).toDF("id", "v").repartition(1))
 
-    val deleted = t.vacuum(retainVersions = 1)
+    val deleted = t.vacuum(retainVersions = 1, retentionMs = 0L, force = true)
     assert(deleted == 2, s"expected the two overwritten files deleted, got $deleted")
     // current version unaffected
     assert(t.toDF.agg(min(col("id")), max(col("id"))).collect()(0).toSeq == Seq(20L, 29L))

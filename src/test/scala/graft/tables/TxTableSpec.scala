@@ -313,6 +313,20 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("merge commit detects concurrent appends it never joined against (WriteSerializable)") {
+    val loc = TestSpark.tmpDir("tx")
+    val t = new TxTable(spark, loc)
+    t.create(df1.repartition(1))
+    val snap = t.snapshot
+    val planned = snap.files.map(_.path)
+    // a concurrent APPEND lands rows the merge's join never saw: committing
+    // a not-matched insert blindly could duplicate their keys
+    t.append(df2.repartition(1))
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitRewrite(df2, planned, snap.version)
+    }
+  }
+
   test("vacuum skips staging files and honors the retention window") {
     val loc = TestSpark.tmpDir("tx")
     val t = new TxTable(spark, loc)
@@ -323,11 +337,15 @@ class TxTableSpec extends AnyFunSuite {
     val staged = new org.apache.hadoop.fs.Path(loc, "_staging-zz/part-0.parquet")
     f.mkdirs(staged.getParent)
     val out = f.create(staged, false); out.write(1); out.close()
-    // a long retention window protects the just-unreferenced file too
-    assert(t.vacuum(retainVersions = 1, retentionMs = 24L * 3600 * 1000) == 0)
+    // the default 7-day retention window protects the just-unreferenced file
+    assert(t.vacuum(retainVersions = 1) == 0)
     assert(f.exists(staged))
-    // zero retention removes the old data file but never staging files
-    assert(t.vacuum(retainVersions = 1) == 1)
+    // sub-floor retention must be forced explicitly (in-flight-commit safety)
+    intercept[graft.catalog.UnsupportedOperationError] {
+      t.vacuum(retainVersions = 1, retentionMs = 0L)
+    }
+    // forced zero retention removes the old data file but never staging files
+    assert(t.vacuum(retainVersions = 1, retentionMs = 0L, force = true) == 1)
     assert(f.exists(staged))
     assert(t.toDF.count() == 4)
   }
