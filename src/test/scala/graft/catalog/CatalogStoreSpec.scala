@@ -4,10 +4,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.types.UcType
 
-class CatalogStoreSpec extends AnyFunSuite {
+/** Store-agnostic contract: every CatalogStore backend must satisfy the
+  * reference's UC semantics (error types, pagination, rollback, cascades).
+  */
+abstract class CatalogStoreContract extends AnyFunSuite {
+
+  /** A brand-new, empty store instance. */
+  protected def newStore(): CatalogStore
 
   private def freshStore(): CatalogStore = {
-    val s = new InMemoryCatalogStore
+    val s = newStore()
     s.createCatalog(CatalogInfo("main"))
     s.createSchema(SchemaInfo("default", "main"))
     s
@@ -93,4 +99,9 @@ class CatalogStoreSpec extends AnyFunSuite {
       ColumnInfo("p1", UcType.LongT, 2, partitionIndex = Some(0))))
     assert(t.partitionColumns == Seq("p1", "p2"))
   }
+}
+
+/** The in-process backend. */
+class CatalogStoreSpec extends CatalogStoreContract {
+  override protected def newStore(): CatalogStore = new InMemoryCatalogStore
 }
