@@ -291,6 +291,50 @@ object DeltaLog {
   def toDF(spark: SparkSession, location: String, asOfVersion: Option[Long] = None): DataFrame =
     dfForSnapshot(spark, location, snapshot(spark, location, asOfVersion))
 
+  /** Predicate scan with manifest-level data skipping: the per-file
+    * minValues/maxValues parsed from the foreign log's stats JSON prune
+    * files exactly like the native TxTable.scan path (same shared pruner),
+    * before Spark's own row-group pruning sees the survivors.
+    */
+  def scan(spark: SparkSession, location: String, predicate: String): DataFrame = {
+    val s = snapshot(spark, location)
+    val surviving = FileStats.survivingFiles(spark, s, predicate)
+    dfForSnapshot(spark, location, s.copy(files = surviving))
+      .filter(org.apache.spark.sql.functions.expr(predicate))
+  }
+
+  /** Files the pruner would read for a predicate (tests/inspection). */
+  def filesAfterPruning(spark: SparkSession, location: String, predicate: String): Int =
+    FileStats.survivingFiles(spark, snapshot(spark, location), predicate).size
+
+  /** Incremental change feed: rows ADDED in commits (fromVersion, latest],
+    * each tagged `_commit_version` — the shape of Delta's streaming source
+    * with ignoreDeletes (remove actions are not materialized). Read with
+    * the LATEST schema; older files' missing columns read as null.
+    */
+  def changesSince(spark: SparkSession, location: String, fromVersion: Long): DataFrame = {
+    val snap = snapshot(spark, location) // also runs protocol gating
+    val f = fs(spark, location)
+    val perCommit = listCommitFiles(f, location)
+      .filter { case (v, _) => v > fromVersion }
+      .map { case (v, p) =>
+        val state = new Replay
+        replayJsonCommit(f, p, state)
+        v -> state.active.values.toSeq
+      }
+      .filter(_._2.nonEmpty)
+    val out = perCommit.map { case (v, adds) =>
+      dfForSnapshot(spark, location, snap.copy(files = adds))
+        .withColumn("_commit_version", lit(v))
+    }
+    out.reduceOption(_ unionByName _).getOrElse {
+      val schema = org.apache.spark.sql.types.StructType(
+        snap.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_commit_version", org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** Plan a distributed read over a snapshot's active files. Fast path:
     * when file paths are hive-layout-consistent with the log's partition
     * values (how Delta-Spark and delta-rs lay files out), one parquet scan
@@ -385,6 +429,60 @@ object DeltaLogWriter {
     }
   }
 
+  /** Every N commits, persist a parquet checkpoint + `_last_checkpoint`
+    * so readers (ours and real Delta engines) replay O(N) JSON tail
+    * commits instead of the whole history.
+    */
+  val CheckpointInterval = 10
+
+  private def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit = {
+    if (version <= 0 || version % CheckpointInterval != 0) return
+    val snap = DeltaLog.snapshot(spark, location)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("format", StructType(Seq(StructField("provider", StringType))))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(Row(1, 2), null, null))
+    rows.add(Row(null, Row(UUID.randomUUID().toString, snap.schema.json,
+      snap.partitionColumns, snap.properties, Row("parquet")), null))
+    snap.files.foreach { a =>
+      rows.add(Row(null, null, Row(a.path, a.partitionValues, a.sizeBytes,
+        System.currentTimeMillis(), false, statsJson(snap.schema, a))))
+    }
+    val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = DeltaLog.logDir(location)
+    val tmpDir = new Path(dir, s".ckpt-tmp-${UUID.randomUUID()}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmpDir.toString)
+    try {
+      val part = f.listStatus(tmpDir).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new java.io.IOException(s"no checkpoint part under $tmpDir"))
+      val target = new Path(dir, f"$version%020d.checkpoint.parquet")
+      if (!f.exists(target) && f.rename(part, target)) {
+        val lc = new Path(dir, "_last_checkpoint")
+        val out = f.create(lc, true)
+        try out.write(s"""{"version":$version,"size":${rows.size()}}""".getBytes("UTF-8"))
+        finally out.close()
+      }
+    } finally f.delete(tmpDir, true)
+  }
+
   /** Create a Delta table at `location` with `df` as version 0. */
   def create(spark: SparkSession, location: String, df: DataFrame,
       partitionColumns: Seq[String] = Seq.empty,
@@ -419,6 +517,7 @@ object DeltaLogWriter {
       "operationParameters" -> JObject("mode" -> JString("Append"))))))
     writeCommit(spark, location, snap.version + 1,
       commitInfo +: added.map(addAction(snap.schema, _)))
+    maybeCheckpoint(spark, location, snap.version + 1)
   }
 
   private def removeAction(path: String): String =
@@ -442,5 +541,6 @@ object DeltaLogWriter {
     writeCommit(spark, location, snap.version + 1,
       (commitInfo +: snap.files.map(f => removeAction(f.path))) ++
         added.map(addAction(snap.schema, _)))
+    maybeCheckpoint(spark, location, snap.version + 1)
   }
 }

@@ -192,4 +192,29 @@ object FileStats {
       val inst = ldt.atZone(zone).toInstant
       Math.multiplyExact(inst.getEpochSecond, 1000000L) + inst.getNano / 1000L
     }
+
+  /** Manifest-level file pruning shared by the native and foreign-Delta
+    * scan paths: keep only the files whose partition values or min/max
+    * stats might satisfy `predicate`.
+    */
+  def survivingFiles(spark: org.apache.spark.sql.SparkSession, snap: TxLog.Snapshot,
+      predicate: String): Seq[TxLog.AddFile] = {
+    val conjuncts = prunableConjuncts(
+      spark.sessionState.sqlParser.parseExpression(predicate))
+    val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val partSet = snap.partitionColumns.toSet
+    snap.files.filter { f =>
+      conjuncts.forall { c =>
+        fieldTypes.get(c.colName) match {
+          case Some(dt) if partSet.contains(c.colName) =>
+            val v = f.partitionValues.get(c.colName)
+            mightMatch(c, dt, v, v)
+          case Some(dt) =>
+            mightMatch(c, dt,
+              f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)))
+          case None => true
+        }
+      }
+    }
+  }
 }

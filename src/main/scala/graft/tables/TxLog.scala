@@ -202,6 +202,17 @@ object TxLog {
     listCommitFiles(f, location).lastOption.map(_._1)
   }
 
+  /** Commits with fromExclusive < version <= toInclusive (or all newer),
+    * oldest first — the raw material for incremental change feeds.
+    */
+  def commitsBetween(spark: SparkSession, location: String, fromExclusive: Long,
+      toInclusive: Option[Long] = None): Seq[Commit] = {
+    val f = fs(spark, location)
+    listCommitFiles(f, location)
+      .filter { case (v, _) => v > fromExclusive && toInclusive.forall(v <= _) }
+      .map { case (_, p) => readCommit(f, p) }
+  }
+
   /** Latest version whose commit timestamp is <= `tsMs` (Delta's
     * timestamp-travel rule: you see the table as of that wall-clock
     * moment). Errors if the timestamp predates the first commit.

@@ -42,6 +42,28 @@ final class TxTable(val spark: SparkSession, val location: String) {
 
   def toDFAtTimestamp(tsMs: Long): DataFrame = dfFor(snapshotAtTimestamp(tsMs))
 
+  /** Incremental change feed: rows ADDED in commits (fromVersion, latest],
+    * tagged `_commit_version` — Delta-streaming-source shape with
+    * ignoreDeletes (removes are not materialized; OVERWRITE commits
+    * surface only their new files). Read with the LATEST schema, so files
+    * written before a MERGE evolution read the new columns as null.
+    * Drives incremental pipelines without reprocessing the whole table.
+    */
+  def changesSince(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val s = snapshot
+    val commits = TxLog.commitsBetween(spark, location, fromVersion, toVersion)
+      .filter(_.added.nonEmpty)
+    val out = commits.map { c =>
+      dfFor(s.copy(files = c.added)).withColumn("_commit_version", lit(c.version))
+    }
+    out.reduceOption(_ unionByName _).getOrElse {
+      val schema = org.apache.spark.sql.types.StructType(s.schema.fields :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** DataFrame over a subset of a snapshot's files (merge file pruning). */
   private[tables] def dfForFiles(s: Snapshot, relPaths: Seq[String]): DataFrame = {
     val set = relPaths.toSet
@@ -254,49 +276,15 @@ final class TxTable(val spark: SparkSession, val location: String) {
     */
   def scan(predicate: String): DataFrame = {
     val snap = snapshot
-    val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
-    val conjuncts = FileStats.prunableConjuncts(parsed)
-    val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val partSet = snap.partitionColumns.toSet
-    val surviving = snap.files.filter { f =>
-      conjuncts.forall { c =>
-        fieldTypes.get(c.colName) match {
-          case Some(dt) if partSet.contains(c.colName) =>
-            val v = f.partitionValues.get(c.colName)
-            FileStats.mightMatch(c, dt, v, v)
-          case Some(dt) =>
-            FileStats.mightMatch(c, dt,
-              f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)))
-          case None => true
-        }
-      }
-    }
+    val surviving = FileStats.survivingFiles(spark, snap, predicate)
     dfFor(snap.copy(files = surviving)).filter(expr(predicate))
   }
 
   /** Number of files the manifest-level pruner would read for a predicate
     * (for tests/inspection).
     */
-  def filesAfterPruning(predicate: String): Int = {
-    val snap = snapshot
-    val conjuncts = FileStats.prunableConjuncts(
-      spark.sessionState.sqlParser.parseExpression(predicate))
-    val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val partSet = snap.partitionColumns.toSet
-    snap.files.count { f =>
-      conjuncts.forall { c =>
-        fieldTypes.get(c.colName) match {
-          case Some(dt) if partSet.contains(c.colName) =>
-            val v = f.partitionValues.get(c.colName)
-            FileStats.mightMatch(c, dt, v, v)
-          case Some(dt) =>
-            FileStats.mightMatch(c, dt,
-              f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)))
-          case None => true
-        }
-      }
-    }
-  }
+  def filesAfterPruning(predicate: String): Int =
+    FileStats.survivingFiles(spark, snapshot, predicate).size
 
   /** Compaction (OPTIMIZE): rewrite the active file set into
     * ~targetFileBytes files (per partition for partitioned tables). Data

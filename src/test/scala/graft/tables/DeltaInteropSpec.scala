@@ -204,6 +204,48 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaLog.toDF(spark, loc).count() == 6)
   }
 
+  test("foreign-log stats drive manifest pruning in scan()") {
+    val loc = TestSpark.tmpDir("delta-skip")
+    val sz1 = oneParquetFile(df1, loc, "lo.parquet")   // ids 0..3
+    val sz2 = oneParquetFile(df2, loc, "hi.parquet")   // ids 4..5
+    writeLine(loc, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(),
+      s"""{"add":{"path":"lo.parquet","partitionValues":{},"size":$sz1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":4,\\"minValues\\":{\\"id\\":0},\\"maxValues\\":{\\"id\\":3}}"}}""",
+      s"""{"add":{"path":"hi.parquet","partitionValues":{},"size":$sz2,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"id\\":4},\\"maxValues\\":{\\"id\\":5}}"}}"""))
+    assert(DeltaLog.filesAfterPruning(spark, loc, "id >= 4") == 1)
+    assert(DeltaLog.filesAfterPruning(spark, loc, "id <= 1") == 1)
+    assert(DeltaLog.filesAfterPruning(spark, loc, "id >= 0") == 2)
+    assert(DeltaLog.scan(spark, loc, "id >= 4").collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+  }
+
+  test("changesSince surfaces per-commit adds with _commit_version") {
+    val loc = TestSpark.tmpDir("delta-cdc")
+    DeltaLogWriter.create(spark, loc, df1)       // v0: ids 0..3
+    DeltaLogWriter.append(spark, loc, df2)       // v1: ids 4..5
+    val changes = DeltaLog.changesSince(spark, loc, 0L)
+    assert(changes.columns.contains("_commit_version"))
+    assert(changes.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L))
+    assert(changes.select("_commit_version").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(DeltaLog.changesSince(spark, loc, 1L).count() == 0)
+  }
+
+  test("writer auto-checkpoints every 10th commit and the reader starts from it") {
+    val loc = TestSpark.tmpDir("delta-auto-ckpt")
+    DeltaLogWriter.create(spark, loc, df1)
+    (1 to 10).foreach(_ => DeltaLogWriter.append(spark, loc, df2))
+    val ckpt = Paths.get(loc, "_delta_log", "00000000000000000010.checkpoint.parquet")
+    assert(Files.exists(ckpt), "checkpoint parquet should exist at v10")
+    assert(Files.exists(Paths.get(loc, "_delta_log", "_last_checkpoint")))
+    // full contents: 4 + 10*2 rows, reconstructed through the checkpoint
+    assert(DeltaLog.toDF(spark, loc).count() == 24)
+    // corrupt all pre-checkpoint commit JSONs: replay must not need them
+    (0 to 9).foreach { v =>
+      Files.writeString(Paths.get(loc, "_delta_log", f"$v%020d.json"), "not json")
+    }
+    assert(DeltaLog.toDF(spark, loc).count() == 24)
+  }
+
   test("TableIO dispatch: foreign Delta read, strict append, overwrite; evolution rejected") {
     val loc = TestSpark.tmpDir("delta-dispatch")
     DeltaLogWriter.create(spark, loc, df1)

@@ -43,6 +43,21 @@ class TxTableSpec extends AnyFunSuite {
     intercept[graft.catalog.DoesNotExistError] { t.toDFAtTimestamp(1L) } // before first commit
   }
 
+  test("changesSince: per-commit adds with _commit_version, latest schema") {
+    val loc = TestSpark.tmpDir("tx-cdc")
+    val t = new TxTable(spark, loc)
+    t.create(df1)                                   // v0: 6 rows
+    t.append(df2)                                   // v1: 4 rows
+    t.append(df1.limit(2), SchemaEvolution.STRICT)  // v2: 2 rows
+    val changes = t.changesSince(0L)
+    assert(changes.count() == 6)
+    assert(changes.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 4L, 2L -> 2L))
+    assert(t.changesSince(1L).count() == 2)
+    assert(t.changesSince(2L).count() == 0)
+    assert(t.changesSince(0L, toVersion = Some(1L)).count() == 4)
+  }
+
   test("create + append + overwrite + time travel") {
     val loc = TestSpark.tmpDir("tx")
     val t = new TxTable(spark, loc)
