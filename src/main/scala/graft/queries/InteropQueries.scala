@@ -41,5 +41,30 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
         FROM lineitem WHERE l_quantity <= 15
-        GROUP BY l_returnflag ORDER BY l_returnflag""")))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // incremental change feed: only the rows appended AFTER the base
+    // version flow out, tagged with their commit; the oracle recomputes
+    // the appended slice directly from parquet
+    QueryDef(
+      "q70_change_feed",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q70-cdc").toString
+        val li = Tables.lineitem(s, dir)
+        val t = new graft.tables.TxTable(s, loc)
+        t.create(li.filter(col("l_quantity") <= 5))                                // v0: base
+        t.append(li.filter(col("l_quantity") > 5 && col("l_quantity") <= 10))      // v1
+        t.append(li.filter(col("l_quantity") > 10 && col("l_quantity") <= 12))     // v2
+        t.changesSince(0L)
+          .groupBy(col("_commit_version").as("commit_version"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .orderBy(col("commit_version"))
+      },
+      Some("""SELECT CAST(CASE WHEN l_quantity <= 10 THEN 1 ELSE 2 END AS BIGINT) AS commit_version,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem WHERE l_quantity > 5 AND l_quantity <= 12
+        GROUP BY 1 ORDER BY 1""")))
 }

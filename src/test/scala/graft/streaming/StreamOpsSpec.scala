@@ -96,4 +96,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(t.toDF.select("event_type").orderBy("event_id").collect().map(_.getString(0)).toSeq ==
       Seq("click", "view"))
   }
+
+  test("TxIncremental: durable cursor delivers each commit exactly once across batches") {
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("txinc") + "/t"
+    val ckpt = TestSpark.tmpDir("txinc-ckpt")
+    val t = new TxTable(spark, loc)
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))       // v0
+    t.append(Seq((3L, "c")).toDF("id", "s"))                  // v1
+
+    var seen = Seq.empty[(Long, Long)] // (id, commit_version)
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      seen ++= df.select("id", "_commit_version").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // first batch: everything from the beginning (v0 + v1)
+    assert(TxIncremental.processAvailable(t, ckpt)(consume) == 2)
+    assert(seen.sorted == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+    // nothing new -> function not called
+    assert(TxIncremental.processAvailable(t, ckpt)(_ => fail("should not run")) == 0)
+    // new commit -> only its rows delivered
+    t.append(Seq((4L, "d")).toDF("id", "s"))                  // v2
+    seen = Seq.empty
+    assert(TxIncremental.processAvailable(t, ckpt)(consume) == 1)
+    assert(seen == Seq((4L, 2L)))
+    assert(TxIncremental.lastProcessedVersion(t, ckpt) == 2L)
+  }
 }
