@@ -152,6 +152,47 @@ object NearDup {
           x.getField("b").as("sima"), y.getField("b").as("simb")))))
   }
 
+  /** Embedding-cosine near-dup pairs: all (id_a < id_b) with
+    * cosine(emb_a, emb_b) >= threshold, found via multi-table hyperplane
+    * LSH buckets (the scale path: candidates come from bucket collisions,
+    * never an all-pairs join) and verified with the exact fixed-point
+    * cosine. Multi-table + 1-bit multiprobe trades recall for cost the
+    * same way topKLsh does; exact recall needs the brute-force pairing
+    * (queries/EmbeddingQueries q71 uses that as the oracle-checked
+    * baseline).
+    */
+  def cosineNearDups(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      threshold: Double = 0.8,
+      numPlanes: Int = 12,
+      numTables: Int = 6,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val buckets = array((0 until numTables).map(t =>
+      struct(lit(t).as("tbl"), AnnLsh.signature(col(embCol), numPlanes, t).as("bkt"))): _*)
+    val exploded = df.select(col(idCol).as("__id"), col(embCol).as("__emb"),
+        explode(buckets).as("__tb"))
+      .select(col("__id"), col("__emb"), col("__tb.tbl").as("__tbl"), col("__tb.bkt").as("__bucket"))
+    val a = exploded.select(col("__tbl"), col("__bucket"),
+      col("__id").as("id_a"), col("__emb").as("__emba"))
+    val b = exploded.select(col("__tbl"), col("__bucket"),
+      col("__id").as("id_b"), col("__emb").as("__embb"))
+    // bucket self-join on (table, bucket); skew guard mirrors minhash LSH:
+    // pathological buckets are dropped rather than exploded quadratically
+    val bucketSizes = exploded.groupBy("__tbl", "__bucket").count()
+      .filter(col("count") <= maxBucketSize).drop("count")
+    val pairs = a.join(bucketSizes, Seq("__tbl", "__bucket"))
+      .join(b, Seq("__tbl", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("__emba"), col("id_b"), col("__embb"))
+      .distinct()
+    pairs
+      .withColumn("cosine", AnnLsh.cosine(col("__emba"), col("__embb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact dedup: keep the first row (lowest orderCol) per exact key. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

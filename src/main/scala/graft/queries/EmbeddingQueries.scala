@@ -127,6 +127,41 @@ object EmbeddingQueries {
         FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
                 CAST(UNNEST(embedding) AS DOUBLE) AS x
               FROM embeddings)
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ---- embedding-cosine near-dup pairs, exact baseline ----
+    // all (a < b) with cosine >= 0.45 — the brute-force ground truth the
+    // LSH-bucketed NearDup.cosineNearDups approximates at scale (its
+    // recall is asserted in ExtOpsSpec); fixed-point dot/norms make the
+    // threshold comparison engine-exact
+    QueryDef(
+      "q71_cosine_dup_pairs",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (dotExact(col("ea"), col("eb")) /
+              (sqrt(norm2Exact(col("ea"))) * sqrt(norm2Exact(col("eb"))))).as("cosine"))
+          .filter(col("cosine") >= 0.45)
+      },
+      Some(s"""WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            CAST(UNNEST(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        dots AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlDot("a.x", "b.x")} AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2
+        ),
+        norms AS (
+          SELECT vec_id, ${sqlDot("x", "x")} AS n2 FROM ex GROUP BY vec_id
+        )
+        SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+        FROM dots JOIN norms na ON dots.id_a = na.vec_id
+          JOIN norms nb ON dots.id_b = nb.vec_id
+        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.45"""))
   )
 }

@@ -97,6 +97,25 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall > 0.5, s"LSH recall@5 too low: $recall")
   }
 
+  test("cosine near-dup via LSH buckets finds planted duplicate embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // plant near-copies: scaling a vector leaves its cosine at ~1.0
+    val planted = e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val corpus = e.unionByName(planted)
+    val dups = NearDup.cosineNearDups(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(dups.contains((i, i + 100000L)), s"planted pair $i not found; got $dups")
+    }
+    // no false positives: every reported pair really is above threshold
+    // (exact verify already filtered) and unrelated base vectors stay out
+    assert(dups.forall { case (a, b) => b - a == 100000L },
+      s"unexpected non-planted pairs: $dups")
+  }
+
   test("IVF ANN: recall against brute force; probe phase reads a corpus subset") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)
