@@ -193,6 +193,30 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Exact n-gram-Jaccard duplicate pairs: all (id_a < id_b) whose
+    * k-token-shingle SETS overlap by at least `threshold` Jaccard. This is
+    * the exact all-pairs baseline (ground truth for small corpora and for
+    * the DuckDB oracle); at scale use the LSH route — minhashCandidates +
+    * the same exact-Jaccard verify on candidates only.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      graft.functions.TextNativeFunctions.shingleSet(col(textCol), shingleK).as("__sh"))
+    val a = sh.select(col("__id").as("id_a"), col("__sh").as("__sa"))
+    val b = sh.select(col("__id").as("id_b"), col("__sh").as("__sb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast(DoubleType) /
+          size(array_union(col("__sa"), col("__sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact dedup: keep the first row (lowest orderCol) per exact key. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -86,6 +86,31 @@ object TextQueries {
           CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) AS dot_ratio,
           (CAST(LENGTH(text) AS DOUBLE) - CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE))
             / (CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) + 1.0) AS avg_run_len
-        FROM documents WHERE LENGTH(text) > 0"""))
+        FROM documents WHERE LENGTH(text) > 0""")),
+
+    // ---- exact n-gram Jaccard duplicate pairs ----
+    // the exact baseline behind the MinHash route (q47): both engines
+    // tokenize [a-z0-9']+ runs of the lowercased text, build distinct
+    // 3-token shingles, and compare set overlap — finding the planted
+    // near-duplicates with their exact Jaccard scores
+    QueryDef(
+      "q72_ngram_jaccard_pairs",
+      (s, dir) => graft.ext.NearDup.ngramJaccardPairs(
+        Tables.documents(s, dir), shingleK = 3, threshold = 0.4),
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END) AS shingles
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+                FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4"""))
   )
 }
