@@ -28,6 +28,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("foreign Delta reads push filters and prune columns like native parquet scans") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("plan-delta")
+    graft.tables.DeltaLogWriter.create(spark, loc,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "s", "v"))
+    val df = graft.tables.DeltaLog.toDF(spark, loc).filter(col("id") > 1L).select("id", "s")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"foreign Delta scan should push filters:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("v:double"),
+      s"unused column v should be pruned from the read schema:\n$plan")
+  }
+
   test("column pruning reaches the scan: q02 reads only needed columns") {
     val plan = planOf("q02_filter_project")
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
