@@ -111,6 +111,41 @@ object TextQueries {
             len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4"""))
+            len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4""")),
+
+    // ---- sequence packing: concat-and-chunk into 512-token slots ----
+    // the Spark side computes the global token prefix sum with the
+    // two-phase distributed algorithm (ext/Packing.scala), NOT a
+    // single-partition window; the oracle's sequential window cumsum
+    // must agree chunk-for-chunk
+    QueryDef(
+      "q73_concat_chunk",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val t = trim(col("text"))
+        val nTokens = when(length(t) === 0, lit(0L))
+          .otherwise((length(t) - length(regexp_replace(t, lit(" "), lit(""))) + lit(1)).cast(LongType))
+        val withTok = d.select(col("doc_id"), nTokens.as("tok"))
+        graft.ext.Packing.concatChunk(withTok, "doc_id", "tok", chunkTokens = 512L)
+          .groupBy(col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END AS BIGINT) AS tok
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, tok,
+            SUM(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS off
+          FROM t
+        )
+        SELECT CAST(off // 512 AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
+          CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1"""))
   )
 }
