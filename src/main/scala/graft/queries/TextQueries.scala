@@ -146,6 +146,26 @@ object TextQueries {
         SELECT CAST(off // 512 AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
           CAST(SUM(tok) AS BIGINT) AS sum_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM c GROUP BY 1"""))
+        FROM c GROUP BY 1""")),
+
+    // ---- deterministic stratified sampling (dataset mixing) ----
+    // membership from a multiplicative hash of doc_id — identical row
+    // selection in any engine/partitioning, per-language mix fractions
+    QueryDef(
+      "q74_stratified_sample",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.ext.Sampling.stratifiedSample(d, "lang", "doc_id",
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25), defaultFraction = 0.1)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+          CAST(FLOOR((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 4294967296) AS BIGINT)
+        GROUP BY lang ORDER BY lang"""))
   )
 }
