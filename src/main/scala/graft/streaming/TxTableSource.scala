@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.tables.{TxLog, TxTable}
+
+/** Structured Streaming SOURCE over a transactional table: log versions
+  * are the offsets, each micro-batch is exactly the rows added by commits
+  * in (startVersion, endVersion] tagged `_commit_version` — the
+  * Delta-source shape (append-only; removes are ignored). Offsets are
+  * durable via the normal streaming checkpoint, so restarts resume at the
+  * committed version with exactly-once batch boundaries.
+  *
+  *   spark.readStream.format("graft.streaming.TxTableSourceProvider")
+  *     .load(tablePath)
+  *
+  * Scale posture: discovering a batch is a log-tail read (O(new commits),
+  * no directory listing, no full-table scan); the batch itself is a
+  * distributed parquet read of just the new files.
+  */
+class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-tx"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), TxTableSource.streamSchema(sqlContext.sparkSession, TxTableSource.path(parameters)))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxTableSource(sqlContext.sparkSession, TxTableSource.path(parameters))
+}
+
+object TxTableSource {
+  private[streaming] def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw graft.catalog.UnsupportedOperationError("graft-tx source requires .load(<table path>)"))
+
+  private[streaming] def streamSchema(spark: SparkSession, location: String): StructType =
+    StructType(TxLog.snapshot(spark, location).schema.fields :+
+      StructField("_commit_version", LongType, nullable = false))
+}
+
+class TxTableSource(spark: SparkSession, location: String) extends Source {
+
+  private case class TxOffset(version: Long) extends Offset {
+    override def json: String = s"""{"version":$version}"""
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case TxOffset(v) => v
+    case other => // SerializedOffset round-trip from the checkpoint log
+      """"version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(other.json)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(s"unparseable offset ${other.json}"))
+  }
+
+  override val schema: StructType = TxTableSource.streamSchema(spark, location)
+
+  override def getOffset: Option[Offset] =
+    TxLog.latestVersion(spark, location).map(TxOffset)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(-1L)
+    val to = versionOf(end)
+    val batch = new TxTable(spark, location).changesSince(from, Some(to))
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    // the engine asserts isStreaming on the returned frame
+    org.apache.spark.sql.GraftColumnBridge.streamingDataFrame(
+      spark, batch.queryExecution.toRdd, schema)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -14,4 +14,13 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A DataFrame flagged isStreaming=true over an InternalRow RDD — what a
+    * V1 streaming Source's getBatch must return (the micro-batch engine
+    * asserts the flag; Kafka's V1 source used the same internal hook).
+    */
+  def streamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

@@ -97,6 +97,41 @@ class StreamOpsSpec extends AnyFunSuite {
       Seq("click", "view"))
   }
 
+  test("TxTableSource: readStream over the transaction log delivers commits as micro-batches") {
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("txsrc") + "/t"
+    val ckpt = TestSpark.tmpDir("txsrc-ckpt")
+    val t = new TxTable(spark, loc)
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))   // v0
+    t.append(Seq((3L, "c")).toDF("id", "s"))              // v1
+
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def runAvailable(): Unit = {
+      val stream = spark.readStream
+        .format("graft.streaming.TxTableSourceProvider")
+        .load(loc)
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id", "_commit_version").collect()
+            .foreach(r => received.add((r.getLong(0), r.getLong(1))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    runAvailable()
+    import scala.jdk.CollectionConverters._
+    assert(received.asScala.toSeq.sorted == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+
+    // new commit, resume from the streaming checkpoint: only v2 arrives
+    t.append(Seq((4L, "d")).toDF("id", "s"))              // v2
+    received.clear()
+    runAvailable()
+    assert(received.asScala.toSeq.sorted == Seq((4L, 2L)))
+  }
+
   test("TxIncremental: durable cursor delivers each commit exactly once across batches") {
     import spark.implicits._
     val loc = TestSpark.tmpDir("txinc") + "/t"
