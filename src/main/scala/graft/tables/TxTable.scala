@@ -300,6 +300,40 @@ final class TxTable(val spark: SparkSession, val location: String) {
       (added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
     }
 
+  /** OPTIMIZE ZORDER BY: rewrite the table clustered on the Morton
+    * interleaving of the given columns' quantile-bucket ranks, so each
+    * file covers a tight range in EVERY listed dimension and min/max
+    * manifest pruning works for multi-column predicates (single-column
+    * sort only helps the leading column). Boundaries come from
+    * approxQuantile — a sketch aggregation, driver cost O(buckets).
+    */
+  def optimizeZOrder(zorderCols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024,
+      buckets: Int = 256): Unit = {
+    require(zorderCols.nonEmpty, "at least one z-order column")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    val bitsPer = java.lang.Integer.numberOfTrailingZeros(buckets)
+    commitWithRetry("ZORDER") { snap =>
+      zorderCols.foreach { c =>
+        require(snap.schema.fieldNames.contains(c), s"unknown z-order column $c")
+      }
+      val df = dfFor(snap)
+      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+      val casted = df.select(zorderCols.map(c => col(c).cast("double").as(c)).toIndexedSeq: _*)
+      val bounds = zorderCols.map(c => casted.stat.approxQuantile(c, probs, 0.001))
+      val z = graft.functions.ZOrderFunctions.zValue(
+        zorderCols.zip(bounds).map { case (c, b) => (col(c), b) }, bitsPer)
+      val totalBytes = snap.files.map(_.sizeBytes).sum
+      val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
+        (if (totalBytes % targetFileBytes > 0) 1 else 0))
+      val clustered = df.withColumn("__graft_z", z)
+        .repartitionByRange(targetFiles, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+      val added = TxLog.stageData(spark, location, clustered, snap.partitionColumns)
+      (added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
+    }
+  }
+
   /** Garbage collection: delete data files that are not part of any of the
     * most recent `retainVersions` snapshots — covers both files removed by
     * old commits and orphans from failed/retried commits. Time travel to

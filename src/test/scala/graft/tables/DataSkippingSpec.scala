@@ -174,4 +174,25 @@ class DataSkippingSpec extends AnyFunSuite {
     // old version's files are gone
     intercept[Exception] { t.toDF(0L).count() }
   }
+
+  test("OPTIMIZE ZORDER: multi-column rectangle predicates prune most files") {
+    val loc = TestSpark.tmpDir("zorder")
+    val t = new TxTable(spark, loc)
+    // 256x256 grid in random row order -> every file spans both dimensions
+    val grid = (0 until 65536).map { i =>
+      val shuffled = (i * 2654435761L) % 65536
+      (shuffled % 256, shuffled / 256, i.toLong)
+    }.toDF("a", "b", "id").repartition(16)
+    t.create(grid)
+    val rect = "a >= 0 AND a <= 63 AND b >= 0 AND b <= 63"
+    val before = t.filesAfterPruning(rect)
+    assert(before >= 12, s"random layout should leave most of 16 files unprunable, got $before")
+
+    t.optimizeZOrder(Seq("a", "b"), targetFileBytes = 64L * 1024)
+    val nFiles = t.snapshot.files.size
+    val after = t.filesAfterPruning(rect)
+    assert(t.toDF.filter(rect).count() == 64L * 64L) // data intact
+    assert(after <= math.max(2, nFiles / 4),
+      s"z-ordered layout should prune the 1/16 rectangle to a few of $nFiles files, got $after")
+  }
 }
