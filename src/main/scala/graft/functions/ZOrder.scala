@@ -68,4 +68,24 @@ object ZOrderFunctions {
     } yield shiftleft(shiftright(bkt, bit).bitwiseAND(lit(1L)), bit * dims.size + d)
     terms.reduce(_ bitwiseOR _)
   }
+
+  /** Re-cluster `df` on the z-value of `zorderCols` into `targetFiles`
+    * range partitions, each sorted by z — the rewrite shared by the
+    * native and foreign-Delta OPTIMIZE ZORDER paths. Quantile boundaries
+    * come from an approxQuantile sketch (driver cost O(buckets)).
+    */
+  def clusterByZOrder(df: org.apache.spark.sql.DataFrame, zorderCols: Seq[String],
+      targetFiles: Int, buckets: Int): org.apache.spark.sql.DataFrame = {
+    require(zorderCols.nonEmpty, "at least one z-order column")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    val bitsPer = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val casted = df.select(zorderCols.map(c => col(c).cast("double").as(c)).toIndexedSeq: _*)
+    val bounds = zorderCols.map(c => casted.stat.approxQuantile(c, probs, 0.001))
+    val z = zValue(zorderCols.zip(bounds).map { case (c, b) => (col(c), b) }, bitsPer)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(math.max(1, targetFiles), col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+  }
 }

@@ -520,6 +520,30 @@ object DeltaLogWriter {
     maybeCheckpoint(spark, location, snap.version + 1)
   }
 
+  /** OPTIMIZE ZORDER BY on a real Delta table: one overwrite commit whose
+    * data is re-clustered on the Morton key of `zorderCols`, so the stats
+    * this writer emits make multi-column manifest pruning effective for
+    * any engine reading the table.
+    */
+  def optimizeZOrder(spark: SparkSession, location: String, zorderCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024, buckets: Int = 256): Unit = {
+    val snap = DeltaLog.snapshot(spark, location)
+    val totalBytes = snap.files.map(_.sizeBytes).sum
+    val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
+      (if (totalBytes % targetFileBytes > 0) 1 else 0))
+    val clustered = graft.functions.ZOrderFunctions.clusterByZOrder(
+      DeltaLog.dfForSnapshot(spark, location, snap), zorderCols, targetFiles, buckets)
+    val added = TxLog.stageData(spark, location, clustered, snap.partitionColumns)
+    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(System.currentTimeMillis()),
+      "operation" -> JString("OPTIMIZE"),
+      "operationParameters" -> JObject("zOrderBy" -> JString(zorderCols.mkString(",")))))))
+    writeCommit(spark, location, snap.version + 1,
+      (commitInfo +: snap.files.map(f => removeAction(f.path))) ++
+        added.map(addAction(snap.schema, _)))
+    maybeCheckpoint(spark, location, snap.version + 1)
+  }
+
   private def removeAction(path: String): String =
     JsonMethods.compact(JsonMethods.render(JObject("remove" -> JObject(
       "path" -> JString(path),

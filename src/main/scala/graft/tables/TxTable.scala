@@ -309,26 +309,15 @@ final class TxTable(val spark: SparkSession, val location: String) {
     */
   def optimizeZOrder(zorderCols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024,
       buckets: Int = 256): Unit = {
-    require(zorderCols.nonEmpty, "at least one z-order column")
-    require(buckets >= 2 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
-    val bitsPer = java.lang.Integer.numberOfTrailingZeros(buckets)
     commitWithRetry("ZORDER") { snap =>
       zorderCols.foreach { c =>
         require(snap.schema.fieldNames.contains(c), s"unknown z-order column $c")
       }
-      val df = dfFor(snap)
-      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-      val casted = df.select(zorderCols.map(c => col(c).cast("double").as(c)).toIndexedSeq: _*)
-      val bounds = zorderCols.map(c => casted.stat.approxQuantile(c, probs, 0.001))
-      val z = graft.functions.ZOrderFunctions.zValue(
-        zorderCols.zip(bounds).map { case (c, b) => (col(c), b) }, bitsPer)
       val totalBytes = snap.files.map(_.sizeBytes).sum
       val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
         (if (totalBytes % targetFileBytes > 0) 1 else 0))
-      val clustered = df.withColumn("__graft_z", z)
-        .repartitionByRange(targetFiles, col("__graft_z"))
-        .sortWithinPartitions("__graft_z")
-        .drop("__graft_z")
+      val clustered = graft.functions.ZOrderFunctions.clusterByZOrder(
+        dfFor(snap), zorderCols, targetFiles, buckets)
       val added = TxLog.stageData(spark, location, clustered, snap.partitionColumns)
       (added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
     }

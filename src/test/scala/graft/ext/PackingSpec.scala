@@ -22,6 +22,15 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("running total never funnels the data through one partition") {
+    val df = (0 until 5000).map(i => (i.toLong, 1L)).toDF("id", "v")
+    val out = Packing.withRunningTotal(df, "id", "v", "cum")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global window would collapse to one partition:\n$plan")
+  }
+
   test("concatChunk: chunk of first token, contiguous offsets, capacity respected") {
     val df = Seq((0L, 100L), (1L, 300L), (2L, 200L), (3L, 50L), (4L, 500L))
       .toDF("id", "tok")

@@ -246,6 +246,22 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaLog.toDF(spark, loc).count() == 24)
   }
 
+  test("OPTIMIZE ZORDER on a foreign Delta table improves rectangle pruning") {
+    val loc = TestSpark.tmpDir("delta-zorder")
+    val grid = spark.range(0, 16384).selectExpr(
+      "CAST((id * 2654435761) % 16384 % 128 AS BIGINT) AS a",
+      "CAST((id * 2654435761) % 16384 / 128 AS BIGINT) AS b",
+      "id").repartition(8)
+    DeltaLogWriter.create(spark, loc, grid)
+    val rect = "a >= 0 AND a <= 31 AND b >= 0 AND b <= 31"
+    assert(DeltaLog.filesAfterPruning(spark, loc, rect) >= 6)
+    DeltaLogWriter.optimizeZOrder(spark, loc, Seq("a", "b"), targetFileBytes = 32L * 1024)
+    val nFiles = DeltaLog.snapshot(spark, loc).files.size
+    val after = DeltaLog.filesAfterPruning(spark, loc, rect)
+    assert(DeltaLog.scan(spark, loc, rect).count() == 32L * 32L)
+    assert(after <= math.max(2, nFiles / 4), s"expected few of $nFiles files, got $after")
+  }
+
   test("TableIO dispatch: foreign Delta read, strict append, overwrite; evolution rejected") {
     val loc = TestSpark.tmpDir("delta-dispatch")
     DeltaLogWriter.create(spark, loc, df1)
