@@ -195,24 +195,27 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
     * reads are a cheap lazy directory listing, and file-level changes
     * carry no version to key a cache on.
     */
-  private val deltaViewVersions = scala.collection.mutable.Map.empty[String, Long]
+  private val deltaViewVersions = scala.collection.mutable.Map.empty[String, (String, Long)]
 
   def registerAllViews(): Unit = {
     store.listCatalogs()._1.foreach { c =>
       store.listSchemas(c.name)._1.foreach { s =>
         store.listTables(c.name, s.name)._1.foreach { t =>
           val viewName = s"${c.name}_${s.name}_${t.name}"
-          val currentVersion: Option[Long] =
+          // keyed on (location, version): a drop-and-recreate at a new
+          // location with the same version must invalidate too
+          val currentKey: Option[(String, Long)] =
             if (t.fileType != FileType.DELTA) None
             else t.storageLocation.map(TableIO.normalize).flatMap { loc =>
               TxLog.latestVersion(spark, loc)
                 .orElse(DeltaLog.latestVersion(spark, loc))
+                .map(loc -> _)
             }
-          val fresh = currentVersion.exists(v =>
-            deltaViewVersions.get(viewName).contains(v) && spark.catalog.tableExists(viewName))
+          val fresh = currentKey.exists(k =>
+            deltaViewVersions.get(viewName).contains(k) && spark.catalog.tableExists(viewName))
           if (!fresh) {
             readTable(c.name, s.name, t.name).createOrReplaceTempView(viewName)
-            currentVersion.foreach(deltaViewVersions(viewName) = _)
+            currentKey.foreach(deltaViewVersions(viewName) = _)
           }
         }
       }

@@ -35,11 +35,14 @@ object Packing {
       max(col(orderCol)).cast("long").as("hi")).collect()(0)
     if (mm.isNullAt(0)) return df.withColumn(outCol, lit(null).cast("long"))
     val lo = mm.getLong(0)
-    val span = math.max(1L, mm.getLong(1) - lo + 1)
-    // order-preserving bucket in [0, nParts): same value -> same bucket in
-    // every job, no sampling involved
-    val bucket = least(lit(nParts - 1),
-      ((col(orderCol).cast("long") - lit(lo)) * nParts / lit(span)).cast("int"))
+    // span/scale in double: (v - lo) * nParts would overflow Long for wide
+    // spans (epoch-nano order columns); double conversion is monotone
+    // non-decreasing, which is all bucketing needs (exactness is not —
+    // any same-value-same-bucket order-preserving map works)
+    val span = math.max(1.0, (mm.getLong(1) - lo).toDouble + 1.0)
+    val bucket = least(lit(nParts - 1), greatest(lit(0),
+      floor((col(orderCol).cast("long") - lit(lo)).cast("double") / lit(span) * lit(nParts))
+        .cast("int")))
     val local = df.withColumn("__pid", bucket)
       .withColumn("__lcum", sum(col(valueCol)).over(
         Window.partitionBy(col("__pid")).orderBy(col(orderCol))

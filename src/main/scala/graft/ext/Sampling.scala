@@ -19,11 +19,20 @@ object Sampling {
 
   private val Knuth = 2654435761L
   private val M32 = 4294967296L // 2^32
+  private val M31 = 2147483648L // 2^31
+
+  /** id folded to [0, 2^31) BEFORE the multiply: (2^31-1) * Knuth stays
+    * under 2^63, so the arithmetic is overflow-free on every engine —
+    * relying on silent Long wraparound would error on engines that check
+    * BIGINT overflow (DuckDB) and diverge on ones that widen.
+    */
+  private def hash32(idCol: Column): Column =
+    pmod(pmod(idCol.cast("long"), lit(M31)) * lit(Knuth), lit(M32))
 
   /** Membership column: keep iff hash32(id) < fraction * 2^32. */
   def keepExpr(idCol: Column, fraction: Double): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
-    pmod(idCol.cast("long") * lit(Knuth), lit(M32)) < lit((fraction * M32).toLong)
+    hash32(idCol) < lit((fraction * M32).toLong)
   }
 
   /** Uniform deterministic sample of ~`fraction` of rows by stable id. */
@@ -39,7 +48,6 @@ object Sampling {
     val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
       when(col(strataCol) === lit(k), lit(f)).otherwise(acc)
     }
-    df.filter(pmod(col(idCol).cast("long") * lit(Knuth), lit(M32)) <
-      (frac * lit(M32.toDouble)).cast("long"))
+    df.filter(hash32(col(idCol)) < floor(frac * lit(M32.toDouble)).cast("long"))
   }
 }

@@ -74,15 +74,36 @@ object ZOrderFunctions {
     * native and foreign-Delta OPTIMIZE ZORDER paths. Quantile boundaries
     * come from an approxQuantile sketch (driver cost O(buckets)).
     */
+  /** Numeric view of a z-order column. A plain cast('double') would turn
+    * date/timestamp/string into NULLs and silently degrade that dimension
+    * to a no-op — normalize the temporal types explicitly, refuse the
+    * rest.
+    */
+  private def numericView(df: org.apache.spark.sql.DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast(DoubleType)
+      case TimestampType => unix_micros(col(c)).cast(DoubleType)
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType)).cast(DoubleType)
+      case _: NumericType => col(c).cast(DoubleType)
+      case other => throw graft.catalog.UnsupportedOperationError(
+        s"ZORDER BY supports numeric/date/timestamp columns; '$c' is $other")
+    }
+
   def clusterByZOrder(df: org.apache.spark.sql.DataFrame, zorderCols: Seq[String],
       targetFiles: Int, buckets: Int): org.apache.spark.sql.DataFrame = {
     require(zorderCols.nonEmpty, "at least one z-order column")
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
     val bitsPer = java.lang.Integer.numberOfTrailingZeros(buckets)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val casted = df.select(zorderCols.map(c => col(c).cast("double").as(c)).toIndexedSeq: _*)
-    val bounds = zorderCols.map(c => casted.stat.approxQuantile(c, probs, 0.001))
-    val z = zValue(zorderCols.zip(bounds).map { case (c, b) => (col(c), b) }, bitsPer)
+    val casted = df.select(zorderCols.map(c => numericView(df, c).as(c)).toIndexedSeq: _*)
+    // one pass for all columns (the Array overload), not one scan per column
+    val bounds = casted.stat.approxQuantile(zorderCols.toArray, probs, 0.001).toSeq
+    zorderCols.zip(bounds).foreach { case (c, b) =>
+      if (b.isEmpty)
+        throw graft.catalog.UnsupportedOperationError(
+          s"ZORDER BY column '$c' has no non-null values to cluster on")
+    }
+    val z = zValue(zorderCols.zip(bounds).map { case (c, b) => (numericView(df, c), b) }, bitsPer)
     df.withColumn("__graft_z", z)
       .repartitionByRange(math.max(1, targetFiles), col("__graft_z"))
       .sortWithinPartitions("__graft_z")

@@ -172,11 +172,13 @@ private[plans] object TopKSpill {
     final class RunReader(f: java.io.File) {
       private val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+      private var closed = false
       var head: UnsafeRow = _
       advance()
+      def close(): Unit = if (!closed) { closed = true; in.close(); f.delete() }
       def advance(): Unit = {
         val len = in.readInt()
-        if (len < 0) { head = null; in.close(); f.delete() }
+        if (len < 0) { head = null; close() }
         else {
           val bytes = new Array[Byte](len)
           in.readFully(bytes)
@@ -187,11 +189,16 @@ private[plans] object TopKSpill {
       }
     }
 
-    val readers = runs.map(new RunReader(_)).filter(_.head != null)
+    val readers = runs.map(new RunReader(_))
+    // consumers may stop early (limit/take): close streams and delete spill
+    // files at task end, not only on read-to-exhaustion
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => readers.foreach(_.close())))
+    val live = readers.filter(_.head != null)
     val merge = new java.util.PriorityQueue[RunReader](
-      math.max(1, readers.size),
+      math.max(1, live.size),
       (a, b) => fullOrd.compare(a.head, b.head))
-    readers.foreach(merge.add)
+    live.foreach(merge.add)
 
     // stream the merged order, keeping the first k rows of each key group
     new Iterator[InternalRow] {

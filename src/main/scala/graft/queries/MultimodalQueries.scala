@@ -76,6 +76,8 @@ object MultimodalQueries {
       Some("""SELECT doc_id % 5 AS bucket,
           CAST(SUM((doc_id % 7 + 2) // 2) AS BIGINT) AS n_frames,
           CAST(SUM(((doc_id % 7 + 2) // 2) * ((doc_id % 7 + 2) // 2 - 1)) AS BIGINT) AS sum_idx,
-          CAST(SUM(((doc_id % 7 + 2) // 2) * (strlen(text) // (doc_id % 7 + 1))) AS BIGINT) AS sum_frame_bytes
+          CAST(SUM(CASE WHEN strlen(text) >= doc_id % 7 + 1
+            THEN ((doc_id % 7 + 2) // 2) * (strlen(text) // (doc_id % 7 + 1))
+            ELSE (strlen(text) + 1) // 2 END) AS BIGINT) AS sum_frame_bytes
         FROM documents GROUP BY 1 ORDER BY 1""")))
 }

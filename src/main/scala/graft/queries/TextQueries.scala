@@ -163,7 +163,7 @@ object TextQueries {
       },
       Some("""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents
-        WHERE (doc_id * 2654435761) % 4294967296 <
+        WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
           CAST(FLOOR((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                 WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 4294967296) AS BIGINT)
         GROUP BY lang ORDER BY lang"""))

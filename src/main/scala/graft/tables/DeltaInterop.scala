@@ -52,16 +52,21 @@ object DeltaLog {
 
   def logDir(location: String): Path = new Path(location, LogDirName)
 
-  /** A directory is a Delta table if `_delta_log` contains commit files. */
+  /** A directory is a Delta table if `_delta_log` holds commit files or a
+    * checkpoint (log-cleaned tables may have no JSON commits left).
+    */
   def isDeltaTable(spark: SparkSession, location: String): Boolean = {
     val f = fs(spark, location)
-    f.exists(logDir(location)) && listCommitFiles(f, location).nonEmpty
+    f.exists(logDir(location)) &&
+      (listCommitFiles(f, location).nonEmpty || readLastCheckpoint(f, location).isDefined)
   }
 
-  /** Latest commit version, from filenames only (no JSON reads). */
+  /** Latest version, from commit filenames and `_last_checkpoint` only. */
   def latestVersion(spark: SparkSession, location: String): Option[Long] = {
     val f = fs(spark, location)
-    listCommitFiles(f, location).lastOption.map(_._1)
+    val c = listCommitFiles(f, location).lastOption.map(_._1)
+    val k = readLastCheckpoint(f, location).map(_.version)
+    (c ++ k).maxOption
   }
 
   private def listCommitFiles(f: FileSystem, location: String): Seq[(Long, Path)] = {
@@ -95,21 +100,30 @@ object DeltaLog {
         Seq(new Path(logDir(location), f"${c.version}%020d.checkpoint.parquet").toString)
     }
 
-  /** Mutable replay state shared by the checkpoint and JSON paths. */
-  private final class Replay {
+  /** Mutable replay state shared by the checkpoint and JSON paths. Tracks
+    * the full protocol action (reader AND writer sides) plus the
+    * metaData id, so checkpoints this library writes preserve the table's
+    * identity and protocol instead of inventing them.
+    */
+  private[tables] final class Replay {
     val active = scala.collection.mutable.LinkedHashMap.empty[String, TxLog.AddFile]
     var schemaJson: String = _
+    var metaId: String = _
     var partCols: Seq[String] = Seq.empty
     var props: Map[String, String] = Map.empty
     var minReader: Int = 1
+    var minWriter: Int = 1
     var readerFeatures: Set[String] = Set.empty
+    var writerFeatures: Set[String] = Set.empty
 
-    def metaData(schemaString: String, partitionColumns: Seq[String],
+    def metaData(id: String, schemaString: String, partitionColumns: Seq[String],
         configuration: Map[String, String]): Unit = {
-      schemaJson = schemaString; partCols = partitionColumns; props = configuration
+      metaId = id; schemaJson = schemaString; partCols = partitionColumns; props = configuration
     }
-    def protocol(minReaderVersion: Int, features: Seq[String]): Unit = {
-      minReader = minReaderVersion; readerFeatures = features.toSet
+    def protocol(minReaderVersion: Int, minWriterVersion: Int,
+        rFeatures: Seq[String], wFeatures: Seq[String]): Unit = {
+      minReader = minReaderVersion; minWriter = minWriterVersion
+      readerFeatures = rFeatures.toSet; writerFeatures = wFeatures.toSet
     }
     def add(a: TxLog.AddFile): Unit = active(a.path) = a
     def remove(path: String): Unit = active.remove(path)
@@ -165,6 +179,7 @@ object DeltaLog {
           case _ => ()
         }
         state.metaData(
+          (m \ "id").extractOrElse[String](""),
           (m \ "schemaString").extract[String],
           (m \ "partitionColumns").extract[Seq[String]],
           (m \ "configuration").extractOrElse[Map[String, String]](Map.empty))
@@ -173,7 +188,9 @@ object DeltaLog {
       case JNothing => ()
       case p => state.protocol(
         (p \ "minReaderVersion").extract[Int],
-        (p \ "readerFeatures").extractOrElse[Seq[String]](Seq.empty))
+        (p \ "minWriterVersion").extractOrElse[Int](2),
+        (p \ "readerFeatures").extractOrElse[Seq[String]](Seq.empty),
+        (p \ "writerFeatures").extractOrElse[Seq[String]](Seq.empty))
     }
     line \ "add" match {
       case JNothing => ()
@@ -210,24 +227,29 @@ object DeltaLog {
     def has(c: String) = cols.contains(c)
     import org.apache.spark.sql.Row
     if (has("protocol")) {
-      df.select(col("protocol.minReaderVersion"),
-        if (df.select(col("protocol.*")).schema.fieldNames.contains("readerFeatures"))
-          col("protocol.readerFeatures") else lit(null).as("readerFeatures"))
+      val pFields = df.select(col("protocol.*")).schema.fieldNames.toSet
+      def pCol(n: String) = if (pFields.contains(n)) col(s"protocol.$n") else lit(null).as(n)
+      df.select(col("protocol.minReaderVersion"), pCol("minWriterVersion"),
+          pCol("readerFeatures"), pCol("writerFeatures"))
         .filter(col("minReaderVersion").isNotNull)
         .collect().foreach { r =>
-          val feats = Option(r.get(1)).map(_.asInstanceOf[Seq[String]]).getOrElse(Seq.empty)
-          state.protocol(r.getInt(0), feats)
+          val minW = if (r.isNullAt(1)) 2 else r.getInt(1)
+          val rFeats = if (r.isNullAt(2)) Seq.empty[String] else r.getSeq[String](2).toSeq
+          val wFeats = if (r.isNullAt(3)) Seq.empty[String] else r.getSeq[String](3).toSeq
+          state.protocol(r.getInt(0), minW, rFeats, wFeats)
         }
     }
     if (has("metaData")) {
+      val mFields = df.select(col("metaData.*")).schema.fieldNames.toSet
+      val idCol = if (mFields.contains("id")) col("metaData.id") else lit(null).cast("string").as("id")
       df.select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-        col("metaData.configuration"), col("metaData.format.provider"))
+        col("metaData.configuration"), col("metaData.format.provider"), idCol)
         .filter(col("schemaString").isNotNull)
         .collect().foreach { r =>
           val provider = Option(r.getString(3)).getOrElse("parquet")
           if (provider.toLowerCase != "parquet")
             throw UnsupportedOperationError(s"Delta format.provider '$provider' is not supported")
-          state.metaData(r.getString(0),
+          state.metaData(Option(r.getString(4)).getOrElse(""), r.getString(0),
             Option(r.getSeq[String](1)).getOrElse(Seq.empty),
             Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
         }
@@ -245,27 +267,42 @@ object DeltaLog {
     }
   }
 
-  /** Replay a real Delta log into the native Snapshot shape (checkpoint +
-    * JSON tail; full JSON replay for time travel before the checkpoint).
+  /** Replay the log into a Replay state at `asOfVersion` (or latest).
+    * Tolerates log-cleaned tables: when all JSON commits at or below the
+    * checkpoint were removed by retention cleanup (and none landed since),
+    * the checkpoint alone reconstructs the table, as other Delta readers
+    * do.
     */
-  def snapshot(spark: SparkSession, location: String, asOfVersion: Option[Long] = None): TxLog.Snapshot = {
+  private[tables] def replayState(spark: SparkSession, location: String,
+      asOfVersion: Option[Long]): (Replay, Long) = {
     val f = fs(spark, location)
     val commits = listCommitFiles(f, location)
-    if (commits.isEmpty)
+    val lastCkpt = readLastCheckpoint(f, location)
+    if (commits.isEmpty && lastCkpt.isEmpty)
       throw graft.catalog.DoesNotExistError(s"no _delta_log at $location")
+    val latest = math.max(commits.lastOption.map(_._1).getOrElse(-1L),
+      lastCkpt.map(_.version).getOrElse(-1L))
     val target = asOfVersion match {
       case Some(v) =>
-        if (!commits.exists(_._1 == v) && !readLastCheckpoint(f, location).exists(_.version == v))
+        if (!commits.exists(_._1 == v) && !lastCkpt.exists(_.version == v))
           throw graft.catalog.DoesNotExistError(s"Delta version $v does not exist at $location")
         v
-      case None => commits.last._1
+      case None => latest
     }
     val state = new Replay
-    val ckpt = readLastCheckpoint(f, location).filter(_.version <= target)
+    val ckpt = lastCkpt.filter(_.version <= target)
     ckpt.foreach(c => replayCheckpoint(spark, checkpointFiles(location, c), state))
     val from = ckpt.map(_.version).getOrElse(-1L)
     commits.filter { case (v, _) => v > from && v <= target }
       .foreach { case (_, p) => replayJsonCommit(f, p, state) }
+    (state, target)
+  }
+
+  /** Replay a real Delta log into the native Snapshot shape (checkpoint +
+    * JSON tail; full JSON replay for time travel before the checkpoint).
+    */
+  def snapshot(spark: SparkSession, location: String, asOfVersion: Option[Long] = None): TxLog.Snapshot = {
+    val (state, target) = replayState(spark, location, asOfVersion)
 
     if (state.minReader > 3 ||
         (state.minReader == 3 && !(state.readerFeatures -- SupportedReaderFeatures).isEmpty))
@@ -380,6 +417,39 @@ object DeltaLogWriter {
 
   private implicit val formats: Formats = DefaultFormats
 
+  /** Writer features this writer actually honors under protocol v7.
+    * appendOnly is honored (the delta.appendOnly property is checked
+    * below); anything else (checkConstraints, generatedColumns, column
+    * mapping, deletion vectors, ...) would make our commits violate
+    * invariants other engines rely on, so such tables are refused.
+    */
+  private val SupportedWriterFeatures = Set("appendOnly", "timestampNtz", "vacuumProtocolCheck")
+
+  /** The Delta spec requires writers to refuse tables whose
+    * minWriterVersion / writerFeatures they do not implement.
+    */
+  private def requireWritable(spark: SparkSession, location: String, forOverwrite: Boolean): Unit = {
+    val (state, _) = DeltaLog.replayState(spark, location, None)
+    val versionOk = state.minWriter <= 2 ||
+      (state.minWriter == 7 && (state.writerFeatures -- SupportedWriterFeatures).isEmpty)
+    if (!versionOk)
+      throw UnsupportedOperationError(
+        s"Delta table at $location requires writer version ${state.minWriter} " +
+          s"with features ${state.writerFeatures.mkString(",")}; " +
+          s"supported: version <= 2 or features within ${SupportedWriterFeatures.mkString(",")}")
+    // writer v2 includes column invariants, which this writer does not
+    // enforce — refuse rather than silently violate them
+    if (state.schemaJson != null) {
+      val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
+      if (schema.fields.exists(f => f.metadata.contains("delta.invariants")))
+        throw UnsupportedOperationError(
+          s"Delta table at $location declares column invariants, which this writer cannot enforce")
+    }
+    if (forOverwrite && state.props.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      throw UnsupportedOperationError(
+        s"Delta table at $location is append-only (delta.appendOnly=true)")
+  }
+
   /** Render per-file stats in Delta's typed-JSON convention (numbers as
     * JSON numbers, everything else as strings), from the string maps
     * FileStats collects.
@@ -392,6 +462,17 @@ object DeltaLogWriter {
             v.toLongOption.map(JLong(_)).getOrElse(JString(v))
           case t if t.typeName == "double" || t.typeName == "float" =>
             v.toDoubleOption.map(JDouble(_)).getOrElse(JString(v))
+          // parquet footers carry timestamps as epoch micros and dates as
+          // epoch days; Delta stats are ISO strings — convert so external
+          // engines can use the stats (our own reader parses both forms)
+          case t if t.typeName == "timestamp" || t.typeName == "timestamp_ntz" =>
+            JString(v.toLongOption.map { us =>
+              java.time.LocalDateTime.ofEpochSecond(
+                Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                java.time.ZoneOffset.UTC).toString
+            }.getOrElse(v))
+          case t if t.typeName == "date" =>
+            JString(v.toLongOption.map(d => java.time.LocalDate.ofEpochDay(d).toString).getOrElse(v))
           case _ => JString(v)
         }
         k -> jv
@@ -437,13 +518,19 @@ object DeltaLogWriter {
 
   private def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit = {
     if (version <= 0 || version % CheckpointInterval != 0) return
-    val snap = DeltaLog.snapshot(spark, location)
+    // replay the ACTUAL protocol + metaData id: a checkpoint that invented
+    // protocol (1,2) or a fresh table id would downgrade feature gating
+    // and break readers that track table identity
+    val (state, _) = DeltaLog.replayState(spark, location, Some(version))
+    val snap = DeltaLog.snapshot(spark, location, Some(version))
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
@@ -458,8 +545,11 @@ object DeltaLogWriter {
         StructField("dataChange", BooleanType),
         StructField("stats", StringType))))))
     val rows = new java.util.ArrayList[Row]()
-    rows.add(Row(Row(1, 2), null, null))
-    rows.add(Row(null, Row(UUID.randomUUID().toString, snap.schema.json,
+    rows.add(Row(Row(state.minReader, state.minWriter,
+      if (state.readerFeatures.isEmpty) null else state.readerFeatures.toSeq,
+      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null))
+    rows.add(Row(null, Row(Option(state.metaId).filter(_.nonEmpty)
+      .getOrElse(UUID.randomUUID().toString), snap.schema.json,
       snap.partitionColumns, snap.properties, Row("parquet")), null))
     snap.files.foreach { a =>
       rows.add(Row(null, null, Row(a.path, a.partitionValues, a.sizeBytes,
@@ -508,6 +598,7 @@ object DeltaLogWriter {
 
   /** Append `df` to an existing Delta table (STRICT schema equality). */
   def append(spark: SparkSession, location: String, df: DataFrame): Unit = {
+    requireWritable(spark, location, forOverwrite = false)
     val snap = DeltaLog.snapshot(spark, location)
     graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
     val added = TxLog.stageData(spark, location, df, snap.partitionColumns)
@@ -527,6 +618,7 @@ object DeltaLogWriter {
     */
   def optimizeZOrder(spark: SparkSession, location: String, zorderCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024, buckets: Int = 256): Unit = {
+    requireWritable(spark, location, forOverwrite = true)
     val snap = DeltaLog.snapshot(spark, location)
     val totalBytes = snap.files.map(_.sizeBytes).sum
     val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
@@ -555,6 +647,7 @@ object DeltaLogWriter {
     * data — the same shape Delta-Spark emits for `mode("overwrite")`.
     */
   def overwrite(spark: SparkSession, location: String, df: DataFrame): Unit = {
+    requireWritable(spark, location, forOverwrite = true)
     val snap = DeltaLog.snapshot(spark, location)
     graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
     val added = TxLog.stageData(spark, location, df, snap.partitionColumns)

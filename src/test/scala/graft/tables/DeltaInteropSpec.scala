@@ -246,6 +246,55 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaLog.toDF(spark, loc).count() == 24)
   }
 
+  test("log-cleaned table: checkpoint alone reconstructs the snapshot after ALL commit JSONs are gone") {
+    val loc = TestSpark.tmpDir("delta-logclean")
+    DeltaLogWriter.create(spark, loc, df1)
+    (1 to 10).foreach(_ => DeltaLogWriter.append(spark, loc, df2)) // checkpoint at v10
+    val log = Paths.get(loc, "_delta_log")
+    (0 to 10).foreach(v => Files.deleteIfExists(log.resolve(f"$v%020d.json")))
+    assert(DeltaLog.isDeltaTable(spark, loc))
+    assert(DeltaLog.latestVersion(spark, loc).contains(10L))
+    assert(DeltaLog.toDF(spark, loc).count() == 24)
+  }
+
+  test("checkpoints preserve the table's real protocol and metaData id") {
+    val loc = TestSpark.tmpDir("delta-proto-ckpt")
+    oneParquetFile(df1, loc, "f0.parquet")
+    writeLine(loc, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      metaAction().replace("\"id\":\"fixture\"", "\"id\":\"stable-table-id\""),
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    (1 to 10).foreach(_ => DeltaLogWriter.append(spark, loc, df2)) // checkpoint at v10
+    // replay purely from the checkpoint: protocol + id must survive
+    val log = Paths.get(loc, "_delta_log")
+    (0 to 10).foreach(v =>
+      Files.writeString(log.resolve(f"$v%020d.json"), "not json"))
+    val (state, v) = DeltaLog.replayState(spark, loc, Some(10L))
+    assert(v == 10L)
+    assert(state.minReader == 3 && state.minWriter == 7)
+    assert(state.readerFeatures == Set("timestampNtz") && state.writerFeatures == Set("timestampNtz"))
+    assert(state.metaId == "stable-table-id")
+  }
+
+  test("writer gating: unsupported writer features refused; append-only tables reject overwrite") {
+    val loc = TestSpark.tmpDir("delta-wgate")
+    oneParquetFile(df1, loc, "f0.parquet")
+    writeLine(loc, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["checkConstraints"]}}""",
+      metaAction(),
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    intercept[UnsupportedOperationError] { DeltaLogWriter.append(spark, loc, df2) }
+
+    val loc2 = TestSpark.tmpDir("delta-wgate2")
+    oneParquetFile(df1, loc2, "f0.parquet")
+    writeLine(loc2, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(conf = Map("delta.appendOnly" -> "true")),
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    DeltaLogWriter.append(spark, loc2, df2) // appends still allowed
+    intercept[UnsupportedOperationError] { DeltaLogWriter.overwrite(spark, loc2, df1) }
+  }
+
   test("OPTIMIZE ZORDER on a foreign Delta table improves rectangle pruning") {
     val loc = TestSpark.tmpDir("delta-zorder")
     val grid = spark.range(0, 16384).selectExpr(
