@@ -606,9 +606,26 @@ object DeltaLogWriter {
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("WRITE"),
       "operationParameters" -> JObject("mode" -> JString("Append"))))))
-    writeCommit(spark, location, snap.version + 1,
-      commitInfo +: added.map(addAction(snap.schema, _)))
-    maybeCheckpoint(spark, location, snap.version + 1)
+    // optimistic retry on version races: an append conflicts with nothing
+    // logically (the staged files stay valid), so losing the version race
+    // just means recommitting at the next version — Delta's blind-append
+    // semantics. Schema is rechecked against the new snapshot each try.
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val v = DeltaLog.latestVersion(spark, location).getOrElse(-1L) + 1
+      try {
+        if (attempt > 0)
+          graft.types.SchemaEquality.requireEqual(
+            DeltaLog.snapshot(spark, location).schema, df.schema)
+        writeCommit(spark, location, v, commitInfo +: added.map(addAction(snap.schema, _)))
+        committed = true
+        maybeCheckpoint(spark, location, v)
+      } catch {
+        case _: graft.catalog.AlreadyExistsError if attempt < 20 =>
+          attempt += 1 // lost the race; re-read the version and retry
+      }
+    }
   }
 
   /** OPTIMIZE ZORDER BY on a real Delta table: one overwrite commit whose

@@ -246,6 +246,22 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaLog.toDF(spark, loc).count() == 24)
   }
 
+  test("concurrent appends both land via optimistic version retry") {
+    val loc = TestSpark.tmpDir("delta-concurrent")
+    DeltaLogWriter.create(spark, loc, df1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = DeltaLogWriter.append(spark, loc, df2)
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(DeltaLog.latestVersion(spark, loc).contains(2L))
+    assert(DeltaLog.toDF(spark, loc).count() == 8) // 4 + 2 + 2
+  }
+
   test("log-cleaned table: checkpoint alone reconstructs the snapshot after ALL commit JSONs are gone") {
     val loc = TestSpark.tmpDir("delta-logclean")
     DeltaLogWriter.create(spark, loc, df1)
