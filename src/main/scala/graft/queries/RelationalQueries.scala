@@ -434,6 +434,32 @@ object RelationalQueries {
           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low,
           COUNT(CASE WHEN o_totalprice > 250000.0 THEN 1 END) AS n_big,
           COUNT(*) AS n_total
-        FROM orders GROUP BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- disjunctive multi-range predicate join (TPC-H q19 shape) ----
+    // OR-of-ANDs mixing join-side and both-side predicates — exercises
+    // Catalyst's CNF conversion pushing the common p_partkey join plus the
+    // per-side residuals
+    QueryDef(
+      "q75_disjunctive_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir)
+        li.join(p, col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+              col("l_quantity").between(20, 30))))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      },
+      Some(s"""SELECT COUNT(*) AS n,
+          ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+          (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30))"""))
   )
 }

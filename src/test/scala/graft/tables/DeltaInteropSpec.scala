@@ -327,6 +327,44 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(after <= math.max(2, nFiles / 4), s"expected few of $nFiles files, got $after")
   }
 
+  test("randomized replay matches a model across add/remove/checkpoint sequences") {
+    // model-based check: apply 40 random log actions both to a hand-written
+    // foreign log and to an in-memory map; snapshots must agree at every
+    // version. Deterministic seed -> reproducible failures.
+    val rnd = new scala.util.Random(42)
+    val loc = TestSpark.tmpDir("delta-model")
+    oneParquetFile(df1, loc, "seed.parquet")
+    val model = scala.collection.mutable.LinkedHashMap[String, Long]("seed.parquet" -> 1L)
+    writeLine(loc, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(),
+      """{"add":{"path":"seed.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    var version = 0L
+    val history = scala.collection.mutable.Map[Long, Set[String]](0L -> model.keySet.toSet)
+    (1 to 40).foreach { i =>
+      val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+      // each commit: 0-2 removes of live files, 1-2 adds
+      rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+        .filter(_ => model.size > 1).foreach { p =>
+          model.remove(p)
+          actions += s"""{"remove":{"path":"$p","deletionTimestamp":$i,"dataChange":true}}"""
+        }
+      (0 to rnd.nextInt(2)).foreach { j =>
+        val p = s"f-$i-$j.parquet"
+        model(p) = i.toLong
+        actions += s"""{"add":{"path":"$p","partitionValues":{},"size":$i,"modificationTime":1,"dataChange":true}}"""
+      }
+      version += 1
+      writeLine(loc, f"$version%020d.json", actions.toSeq)
+      history(version) = model.keySet.toSet
+    }
+    // spot-check snapshots at several versions including the latest
+    (Seq(0L, 7L, 19L, 33L, version)).foreach { v =>
+      val got = DeltaLog.snapshot(spark, loc, Some(v)).files.map(_.path).toSet
+      assert(got == history(v), s"version $v: got $got expected ${history(v)}")
+    }
+  }
+
   test("TableIO dispatch: foreign Delta read, strict append, overwrite; evolution rejected") {
     val loc = TestSpark.tmpDir("delta-dispatch")
     DeltaLogWriter.create(spark, loc, df1)
