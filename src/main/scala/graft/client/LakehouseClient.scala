@@ -130,12 +130,15 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
 
   // ---- merge (M1/M2) ----
 
-  /** Native transactional-table handle (reference get_delta_table, C18). */
+  /** Transactional-table handle (reference get_delta_table, C18). Backed
+    * by the native `_graft_log` or, for foreign tables, the real Delta
+    * protocol — MERGE / time travel / change feeds work on both.
+    */
   def getTxTable(catalog: String, schema: String, name: String): TxTable = {
     val t = getTable(catalog, schema, name)
     if (t.fileType != FileType.DELTA)
       throw UnsupportedOperationError(s"table ${t.fullName} is not a DELTA table")
-    TxTable.forLocation(spark, TableIO.normalize(t.storageLocation.get))
+    TxTable.forAnyLocation(spark, TableIO.normalize(t.storageLocation.get))
   }
 
   /** Build a MERGE. With no condition, synthesizes `s.c = t.c AND ...`
@@ -159,15 +162,20 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
     getTxTable(catalog, schema, name).merge(df, condition, sourceAlias, targetAlias)
   }
 
-  /** C19 sync: copy `graft.*` properties from the transaction log into the
-    * catalog record, dropping stale ones (reference sync_delta_properties,
-    * uc_api_wrapper.py:567-590).
+  /** C19 sync: copy the table's log configuration into the catalog record,
+    * dropping stale synced entries first (reference sync_delta_properties,
+    * uc_api_wrapper.py:567-590: strips `delta.*` then merges the Delta
+    * metadata configuration verbatim). Works on native `_graft_log` tables
+    * AND foreign `_delta_log` tables (whose configuration is the `delta.*`
+    * property set the reference op exists for); `graft.table.version` /
+    * `numFiles` diagnostics ride along.
     */
   def syncTableProperties(catalog: String, schema: String, name: String): TableInfo = {
     val t = getTable(catalog, schema, name)
     val snap = getTxTable(catalog, schema, name).snapshot
-    val kept = t.properties.filterNot { case (k, _) => k.startsWith("graft.table.") }
-    val fromLog = snap.properties.map { case (k, v) => s"graft.table.$k" -> v } ++
+    val kept = t.properties.filterNot { case (k, _) =>
+      k.startsWith("graft.table.") || k.startsWith("delta.") }
+    val fromLog = snap.properties ++
       Map("graft.table.version" -> snap.version.toString,
         "graft.table.numFiles" -> snap.files.size.toString)
     store.updateTable(catalog, schema, name, properties = Some(kept ++ fromLog))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import graft.catalog._
-import graft.tables.{DeltaLog, DeltaLogWriter, TxTable}
+import graft.tables.{DeltaLog, TxTable}
 import graft.types.SchemaEquality
 
 /** Table read/write dispatch — the reference's io layer
@@ -134,37 +134,19 @@ object TableIO {
     def strictCheck(): Unit = SchemaEquality.requireEqual(table.schema, df.schema)
 
     (table.fileType, mode) match {
-      // ---- DELTA, foreign `_delta_log` table (real Delta protocol) ----
-      // Reads and plain append/overwrite interop with delta-rs / Delta-Spark
-      // tables; the richer evolution/replaceWhere surface stays native-only.
-      case (FileType.DELTA, WriteMode.APPEND) if isForeignDelta(spark, loc) =>
-        if (evolution != SchemaEvolution.STRICT)
-          throw UnsupportedOperationError(
-            "writes to a foreign Delta (_delta_log) table support only STRICT schema evolution")
-        strictCheck()
-        DeltaLogWriter.append(spark, loc, df)
-        WriteResult(None)
-
-      case (FileType.DELTA, WriteMode.OVERWRITE) if isForeignDelta(spark, loc) =>
-        if (evolution != SchemaEvolution.STRICT)
-          throw UnsupportedOperationError(
-            "writes to a foreign Delta (_delta_log) table support only STRICT schema evolution")
-        if (replaceWhere.isDefined || partitionFilters.nonEmpty)
-          throw UnsupportedOperationError(
-            "replace_where / partition_filters are not supported on foreign Delta tables")
-        strictCheck()
-        DeltaLogWriter.overwrite(spark, loc, df)
-        WriteResult(None)
-
-      // ---- DELTA (TxLog-backed) ----
+      // ---- DELTA: native `_graft_log` OR real `_delta_log`, one surface.
+      // TxTable.forAnyLocation picks the commit backend; foreign Delta
+      // tables get the identical evolution/replaceWhere/partition_filters
+      // matrix, committed through the Delta protocol (CommitLog.scala) so
+      // delta-rs / Delta-Spark keep reading the table.
       case (FileType.DELTA, WriteMode.APPEND) =>
-        val t = TxTable.forLocation(spark, loc)
+        val t = TxTable.forAnyLocation(spark, loc)
         if (evolution == SchemaEvolution.STRICT) strictCheck()
         t.append(df, evolution)
         reconcile(spark, table, evolution)
 
       case (FileType.DELTA, WriteMode.OVERWRITE) =>
-        val t = TxTable.forLocation(spark, loc)
+        val t = TxTable.forAnyLocation(spark, loc)
         if (evolution == SchemaEvolution.STRICT) strictCheck()
         if (replaceWhere.isDefined && partitionFilters.nonEmpty)
           throw UnsupportedOperationError("cannot combine replace_where with partition_filters")
@@ -261,7 +243,7 @@ object TableIO {
     if (evolution == SchemaEvolution.STRICT) WriteResult(None)
     else {
       val loc = normalize(table.storageLocation.get)
-      val snap = graft.tables.TxLog.snapshot(spark, loc)
+      val snap = TxTable.forAnyLocation(spark, loc).snapshot
       if (SchemaEquality.equal(table.schema, snap.schema)) WriteResult(None)
       else WriteResult(Some(mergeColumns(table, snap.schema)))
     }

@@ -344,6 +344,62 @@ object DeltaLog {
   def filesAfterPruning(spark: SparkSession, location: String, predicate: String): Int =
     FileStats.survivingFiles(spark, snapshot(spark, location), predicate).size
 
+  /** Files ADDED per commit in (fromExclusive, toInclusive], oldest first —
+    * the raw material for change feeds over a real Delta log. Only the JSON
+    * tail is visible (checkpoint-only history carries no per-commit adds).
+    */
+  private[tables] def addsBetween(spark: SparkSession, location: String,
+      fromExclusive: Long, toInclusive: Option[Long] = None): Seq[(Long, Seq[TxLog.AddFile])] = {
+    val f = fs(spark, location)
+    listCommitFiles(f, location)
+      .filter { case (v, _) => v > fromExclusive && toInclusive.forall(v <= _) }
+      .map { case (v, p) =>
+        val state = new Replay
+        replayJsonCommit(f, p, state)
+        v -> state.active.values.toSeq
+      }
+  }
+
+  /** Timestamp of a commit: its commitInfo.timestamp when present (what
+    * delta-rs / Delta-Spark / this writer emit), else the log file's
+    * modification time — Delta OSS's default history source.
+    */
+  private def commitTimestamp(f: FileSystem, p: Path): Long = {
+    val in = f.open(p)
+    val fromInfo =
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty)
+          .flatMap { t =>
+            try {
+              JsonMethods.parse(t) \ "commitInfo" \ "timestamp" match {
+                case JInt(i) => Some(i.toLong)
+                case JLong(l) => Some(l)
+                case _ => None
+              }
+            } catch { case NonFatal(_) => None }
+          }.nextOption()
+      } finally in.close()
+    fromInfo.getOrElse(f.getFileStatus(p).getModificationTime)
+  }
+
+  /** Latest version whose commit timestamp is <= `tsMs` (Delta's
+    * `timestampAsOf` rule). Only versions still present as JSON commits are
+    * reachable — same limitation as Delta after log cleanup.
+    */
+  def versionAtTimestamp(spark: SparkSession, location: String, tsMs: Long): Long = {
+    val f = fs(spark, location)
+    val commits = listCommitFiles(f, location)
+    if (commits.isEmpty)
+      throw graft.catalog.DoesNotExistError(s"no _delta_log commits at $location")
+    commits.reverseIterator.find { case (_, p) => commitTimestamp(f, p) <= tsMs } match {
+      case Some((v, _)) => v
+      case None =>
+        throw graft.catalog.DoesNotExistError(
+          s"timestamp $tsMs predates the first commit (${commitTimestamp(f, commits.head._2)}) at $location")
+    }
+  }
+
   /** Incremental change feed: rows ADDED in commits (fromVersion, latest],
     * each tagged `_commit_version` — the shape of Delta's streaming source
     * with ignoreDeletes (remove actions are not materialized). Read with
@@ -351,15 +407,7 @@ object DeltaLog {
     */
   def changesSince(spark: SparkSession, location: String, fromVersion: Long): DataFrame = {
     val snap = snapshot(spark, location) // also runs protocol gating
-    val f = fs(spark, location)
-    val perCommit = listCommitFiles(f, location)
-      .filter { case (v, _) => v > fromVersion }
-      .map { case (v, p) =>
-        val state = new Replay
-        replayJsonCommit(f, p, state)
-        v -> state.active.values.toSeq
-      }
-      .filter(_._2.nonEmpty)
+    val perCommit = addsBetween(spark, location, fromVersion).filter(_._2.nonEmpty)
     val out = perCommit.map { case (v, adds) =>
       dfForSnapshot(spark, location, snap.copy(files = adds))
         .withColumn("_commit_version", lit(v))
@@ -428,7 +476,7 @@ object DeltaLogWriter {
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
     */
-  private def requireWritable(spark: SparkSession, location: String, forOverwrite: Boolean): Unit = {
+  private[tables] def requireWritable(spark: SparkSession, location: String, forOverwrite: Boolean): Unit = {
     val (state, _) = DeltaLog.replayState(spark, location, None)
     val versionOk = state.minWriter <= 2 ||
       (state.minWriter == 7 && (state.writerFeatures -- SupportedWriterFeatures).isEmpty)
@@ -484,7 +532,7 @@ object DeltaLogWriter {
       "maxValues" -> typed(a.maxValues.getOrElse(Map.empty)))))
   }
 
-  private def addAction(schema: StructType, a: TxLog.AddFile): String =
+  private[tables] def addAction(schema: StructType, a: TxLog.AddFile): String =
     JsonMethods.compact(JsonMethods.render(JObject("add" -> JObject(
       "path" -> JString(a.path),
       "partitionValues" -> JObject(a.partitionValues.toList.map { case (k, v) => k -> JString(v) }),
@@ -493,7 +541,7 @@ object DeltaLogWriter {
       "dataChange" -> JBool(true),
       "stats" -> JString(statsJson(schema, a))))))
 
-  private def writeCommit(spark: SparkSession, location: String, version: Long, lines: Seq[String]): Unit = {
+  private[tables] def writeCommit(spark: SparkSession, location: String, version: Long, lines: Seq[String]): Unit = {
     val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
     val dir = DeltaLog.logDir(location)
     if (!f.exists(dir)) f.mkdirs(dir)
@@ -516,7 +564,7 @@ object DeltaLogWriter {
     */
   val CheckpointInterval = 10
 
-  private def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit = {
+  private[tables] def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit = {
     if (version <= 0 || version % CheckpointInterval != 0) return
     // replay the ACTUAL protocol + metaData id: a checkpoint that invented
     // protocol (1,2) or a fresh table id would downgrade feature gating
@@ -653,7 +701,7 @@ object DeltaLogWriter {
     maybeCheckpoint(spark, location, snap.version + 1)
   }
 
-  private def removeAction(path: String): String =
+  private[tables] def removeAction(path: String): String =
     JsonMethods.compact(JsonMethods.render(JObject("remove" -> JObject(
       "path" -> JString(path),
       "deletionTimestamp" -> JLong(System.currentTimeMillis()),

@@ -9,20 +9,24 @@ import graft.catalog.{SchemaEvolution, SchemaMismatchError, UnsupportedOperation
 import graft.types.SchemaEquality
 import TxLog._
 
-/** Operations on one transaction-logged table (see TxLog for the format).
-  * Capability parity with the reference's Delta surface: append/overwrite
-  * with schema-evolution policies, replaceWhere, selective/dynamic
-  * partition overwrite, time travel, MERGE (via TxMerge).
+/** Operations on one transaction-logged table. Capability parity with the
+  * reference's Delta surface: append/overwrite with schema-evolution
+  * policies, replaceWhere, selective/dynamic partition overwrite, time
+  * travel, MERGE (via TxMerge). The commit log is pluggable (CommitLog):
+  * the same operations run over the native `_graft_log` and over REAL
+  * Delta `_delta_log` tables written by delta-rs / Delta-Spark — the
+  * reference's primary write path (uchelper/dataframe.py:299-488).
   */
-final class TxTable(val spark: SparkSession, val location: String) {
+final class TxTable(val spark: SparkSession, val location: String,
+    private[graft] val log: CommitLog = NativeCommitLog) {
 
-  def snapshot: Snapshot = TxLog.snapshot(spark, location)
+  def snapshot: Snapshot = log.snapshot(spark, location)
 
-  def snapshotAt(version: Long): Snapshot = TxLog.snapshot(spark, location, Some(version))
+  def snapshotAt(version: Long): Snapshot = log.snapshot(spark, location, Some(version))
 
   def version: Long = snapshot.version
 
-  def history: Seq[Long] = TxLog.latestVersion(spark, location).map(v => 0L to v).getOrElse(Seq.empty[Long]).toSeq
+  def history: Seq[Long] = log.latestVersion(spark, location).map(v => 0L to v).getOrElse(Seq.empty[Long]).toSeq
 
   /** Current table contents as a DataFrame. Reads only the active file set
     * from the log (no directory listing), with partition columns resolved
@@ -38,7 +42,7 @@ final class TxTable(val spark: SparkSession, val location: String) {
     * latest version committed at or before it.
     */
   def snapshotAtTimestamp(tsMs: Long): Snapshot =
-    snapshotAt(TxLog.versionAtTimestamp(spark, location, tsMs))
+    snapshotAt(log.versionAtTimestamp(spark, location, tsMs))
 
   def toDFAtTimestamp(tsMs: Long): DataFrame = dfFor(snapshotAtTimestamp(tsMs))
 
@@ -51,10 +55,10 @@ final class TxTable(val spark: SparkSession, val location: String) {
     */
   def changesSince(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     val s = snapshot
-    val commits = TxLog.commitsBetween(spark, location, fromVersion, toVersion)
-      .filter(_.added.nonEmpty)
-    val out = commits.map { c =>
-      dfFor(s.copy(files = c.added)).withColumn("_commit_version", lit(c.version))
+    val commits = log.addsBetween(spark, location, fromVersion, toVersion)
+      .filter(_._2.nonEmpty)
+    val out = commits.map { case (v, added) =>
+      dfFor(s.copy(files = added)).withColumn("_commit_version", lit(v))
     }
     out.reduceOption(_ unionByName _).getOrElse {
       val schema = org.apache.spark.sql.types.StructType(s.schema.fields :+
@@ -92,7 +96,7 @@ final class TxTable(val spark: SparkSession, val location: String) {
           throw new java.util.ConcurrentModificationException(
             s"MERGE conflict at $location: concurrent commit rewrote files this merge read " +
               s"(planned against v$baseVersion, now v${snap.version})")
-        val baseFiles = TxLog.snapshot(spark, location, Some(baseVersion)).files.map(_.path).toSet
+        val baseFiles = log.snapshot(spark, location, Some(baseVersion)).files.map(_.path).toSet
         val addedSince = snap.files.map(_.path).filterNot(baseFiles.contains)
         if (addedSince.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -104,31 +108,14 @@ final class TxTable(val spark: SparkSession, val location: String) {
       (added, removedPaths, snap.schema, snap.partitionColumns, snap.properties)
     }
 
-  private def dfFor(s: Snapshot): DataFrame = {
-    if (s.files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    } else {
-      val paths = s.files.map(f => s"$location/${f.path}")
-      val reader = spark.read.schema(s.schema)
-      (if (s.partitionColumns.nonEmpty) reader.option("basePath", location) else reader)
-        .parquet(paths: _*)
-        .select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
-    }
-  }
+  private def dfFor(s: Snapshot): DataFrame = log.dfForSnapshot(spark, location, s)
 
   // ---- writes ----
 
   /** Create the table with an initial (possibly empty) dataset. */
   def create(df: DataFrame, partitionColumns: Seq[String] = Seq.empty,
-      properties: Map[String, String] = Map.empty): Unit = {
-    if (TxLog.exists(spark, location))
-      throw graft.catalog.AlreadyExistsError(s"transaction log already exists at $location")
-    val added = TxLog.stageData(spark, location, df, partitionColumns)
-    val c = Commit(0L, System.currentTimeMillis(), "CREATE", df.schema.json,
-      partitionColumns, added, Seq.empty, properties)
-    if (!tryCommit(spark, location, c))
-      throw graft.catalog.AlreadyExistsError(s"concurrent create at $location")
-  }
+      properties: Map[String, String] = Map.empty): Unit =
+    log.create(spark, location, df, partitionColumns, properties)
 
   def append(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("APPEND") { snap =>
@@ -344,24 +331,26 @@ final class TxTable(val spark: SparkSession, val location: String) {
         s"vacuum retention ${retentionMs}ms is below the ${TxTable.DefaultVacuumRetentionMs}ms safety floor; " +
           "pass force=true to override (risks deleting files of in-flight commits)")
     val f = TxLog.fs(spark, location)
-    val latest = TxLog.latestVersion(spark, location)
+    val latest = log.latestVersion(spark, location)
       .getOrElse(throw graft.catalog.DoesNotExistError(s"no log at $location"))
     val keep = scala.collection.mutable.Set.empty[String]
     val from = math.max(0L, latest - math.max(1, retainVersions) + 1)
     (from to latest).foreach { v =>
-      TxLog.snapshot(spark, location, Some(v)).files.foreach(a => keep += a.path)
+      // log-cleaned Delta histories may miss intermediate versions
+      try log.snapshot(spark, location, Some(v)).files.foreach(a => keep += a.path)
+      catch { case _: graft.catalog.DoesNotExistError => () }
     }
     val base = new Path(location)
     val baseUri = base.toUri.getPath.stripSuffix("/")
     val cutoffMs = System.currentTimeMillis() - math.max(0L, retentionMs)
     var deleted = 0
+    val reserved = log.reservedPrefixes
     val it = f.listFiles(base, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile) {
         val rel = st.getPath.toUri.getPath.stripPrefix(baseUri + "/")
-        val isData = rel.endsWith(".parquet") && !rel.startsWith(TxLog.LogDirName) &&
-          !rel.startsWith(TxLog.StagingPrefix)
+        val isData = rel.endsWith(".parquet") && !reserved.exists(rel.startsWith)
         if (isData && !keep.contains(rel) && st.getModificationTime < cutoffMs) {
           f.delete(st.getPath, false)
           deleted += 1
@@ -430,16 +419,14 @@ final class TxTable(val spark: SparkSession, val location: String) {
 
   private def commitWithRetry(op: String)(
       plan: Snapshot => (Seq[AddFile], Seq[String], StructType, Seq[String], Map[String, String])): Unit = {
+    log.checkWritable(spark, location, op)
     var attempts = 0
     while (true) {
       val snap = snapshot
       val (added, removed, schema, partCols, props) = plan(snap)
-      val c = Commit(snap.version + 1, System.currentTimeMillis(), op, schema.json,
-        partCols, added, removed, props)
-      if (tryCommit(spark, location, c)) {
+      if (log.tryCommit(spark, location, snap, op, added, removed, schema, partCols, props)) {
         // periodic checkpoint so snapshot replay stays O(interval)
-        if (c.version % TxLog.CheckpointInterval == 0)
-          TxLog.writeCheckpoint(spark, location, snapshot)
+        log.maybeCheckpoint(spark, location, snap.version + 1)
         return
       }
       attempts += 1
@@ -455,4 +442,20 @@ object TxTable {
 
   def forLocation(spark: SparkSession, location: String): TxTable =
     new TxTable(spark, location)
+
+  /** Handle over a REAL Delta `_delta_log` table: the full write surface
+    * (evolution, replaceWhere, MERGE, time travel, ...) committed through
+    * the Delta protocol so external engines keep reading the table.
+    */
+  def forForeignDelta(spark: SparkSession, location: String): TxTable =
+    new TxTable(spark, location, ForeignDeltaCommitLog)
+
+  /** Auto-dispatch: a native `_graft_log` wins (a table this library
+    * created is always driven through its own log); else an existing
+    * `_delta_log` gets the Delta backend; else native (create target).
+    */
+  def forAnyLocation(spark: SparkSession, location: String): TxTable =
+    if (TxLog.exists(spark, location)) forLocation(spark, location)
+    else if (DeltaLog.isDeltaTable(spark, location)) forForeignDelta(spark, location)
+    else forLocation(spark, location)
 }

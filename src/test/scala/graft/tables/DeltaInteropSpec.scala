@@ -365,7 +365,7 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
   }
 
-  test("TableIO dispatch: foreign Delta read, strict append, overwrite; evolution rejected") {
+  test("TableIO dispatch: foreign Delta read, strict append, overwrite") {
     val loc = TestSpark.tmpDir("delta-dispatch")
     DeltaLogWriter.create(spark, loc, df1)
     val cols = Seq(
@@ -381,9 +381,6 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(TableIO.read(spark, tbl).count() == 6)
     TableIO.write(spark, tbl, df1, WriteMode.OVERWRITE)
     assert(TableIO.read(spark, tbl).count() == 4)
-    intercept[UnsupportedOperationError](
-      TableIO.write(spark, tbl, df2, WriteMode.APPEND, SchemaEvolution.MERGE))
-    intercept[UnsupportedOperationError](
-      TableIO.write(spark, tbl, df2, WriteMode.OVERWRITE, replaceWhere = Some("id > 2")))
+    // evolution / replaceWhere on foreign Delta: ForeignDeltaWriteSpec
   }
 }
