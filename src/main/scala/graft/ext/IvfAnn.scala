@@ -66,17 +66,35 @@ object IvfAnn {
 
   /** Build (or refine) centroids: seed with the `nlist` lowest-id vectors,
     * then `iterations` Lloyd steps. Returns (cell, centroid array<float>).
+    *
+    * Scale: the Lloyd step posexplodes its input into (cell, dim, x) rows —
+    * corpus×dims amplification through a shuffle per iteration. A coarse
+    * quantizer does not need the full corpus (standard IVF practice, Jégou
+    * et al. §V trains on a fraction), so training runs on a DETERMINISTIC
+    * hash-sample capped at `maxTrainRows`: O(sample×dims) per iteration
+    * regardless of corpus size, same centroids on any cluster layout.
+    * Assignment/search still covers every vector.
     */
   def trainCentroids(corpus: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
-      nlist: Int = 16, iterations: Int = 2): DataFrame = {
+      nlist: Int = 16, iterations: Int = 2, maxTrainRows: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dims = corpus.select(size(col(embCol))).first().getInt(0)
-    var centroids = corpus.orderBy(col(idCol)).limit(nlist)
+    val total = corpus.count()
+    val train =
+      if (total <= maxTrainRows) corpus
+      else {
+        // aim a little high, then floor at nlist×8 so every seed cell can
+        // attract members even on adversarial id distributions
+        val fraction = math.min(1.0, (maxTrainRows.toDouble / total) * 1.1)
+        val sampled = Sampling.hashSample(corpus, idCol, fraction)
+        if (sampled.limit(nlist * 8).count() >= nlist * 8L) sampled else corpus
+      }
+    val dims = train.select(size(col(embCol))).first().getInt(0)
+    var centroids = train.orderBy(col(idCol)).limit(nlist)
       .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("cell"), col(embCol).as("centroid"))
     var i = 0
     while (i < iterations) {
-      val assigned = assign(corpus, centroids, idCol, embCol)
-        .join(corpus.select(col(idCol), col(embCol)), idCol)
+      val assigned = assign(train, centroids, idCol, embCol)
+        .join(train.select(col(idCol), col(embCol)), idCol)
       centroids = exactMeanVector(assigned, embCol, dims)
       i += 1
     }

@@ -103,12 +103,38 @@ object Multimodal {
         .as(Seq("frame_index", "frame")))
 
   /** Repartition a media table so each partition holds ~`targetBytes` of
-    * blob data — avoids task skew when blob sizes vary wildly.
+    * blob data. Genuinely size-aware (a round-robin `repartition(n)` would
+    * still land a 1 GB blob next to others): a distributed byte prefix sum
+    * over the stable `orderCol` (Packing.withRunningTotal — two-phase, no
+    * single-task window) assigns each blob the bucket holding its FIRST
+    * byte, so a bucket carries at most `targetBytes` plus the one blob
+    * straddling its boundary, and a giant blob strands the buckets it
+    * spans empty — it sits alone. Buckets map to partitions through an
+    * IDENTITY partitioner: hash-repartitioning on the bucket id would
+    * collide buckets and re-create exactly the skew this operator removes.
+    * (The one deliberate RDD hop in this module — Spark's public API has
+    * no identity partitioning for DataFrames; this is a terminal layout
+    * op, so no Catalyst lineage is lost that a shuffle wouldn't lose.)
     */
-  def repartitionBySize(df: DataFrame, targetBytes: Long, mediaCol: String = "media"): DataFrame = {
-    val sized = df.withColumn("__sz", when(col(mediaCol).isNull, 0L).otherwise(length(col(mediaCol)).cast(LongType)))
-    val total = sized.agg(sum(col("__sz"))).collect()(0).getLong(0)
-    val parts = math.max(1, math.min(100000, (total / math.max(1L, targetBytes)).toInt + 1))
-    sized.repartition(parts).drop("__sz")
+  def repartitionBySize(df: DataFrame, targetBytes: Long, mediaCol: String = "media",
+      orderCol: String = "media_id"): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val sized = df.withColumn("__sz",
+      when(col(mediaCol).isNull, 0L).otherwise(length(col(mediaCol)).cast(LongType)))
+    val bucketed = Packing.withRunningTotal(sized, orderCol, "__sz", "__cum")
+      .withColumn("__bucket", expr(s"(__cum - __sz) div ${targetBytes}L").cast(IntegerType))
+    val maxB = bucketed.agg(max(col("__bucket"))).collect()(0)
+    if (maxB.isNullAt(0)) return df // empty input
+    val n = maxB.getInt(0) + 1
+    val schema = bucketed.schema
+    val idx = schema.fieldIndex("__bucket")
+    val parted = bucketed.rdd
+      .map(r => (r.getInt(idx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = n
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    df.sparkSession.createDataFrame(parted, schema).drop("__sz", "__cum", "__bucket")
   }
 }

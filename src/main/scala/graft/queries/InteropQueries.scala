@@ -66,5 +66,50 @@ object InteropQueries {
           COUNT(*) AS n,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem WHERE l_quantity > 5 AND l_quantity <= 12
-        GROUP BY 1 ORDER BY 1""")))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // the round-4 foreign-Delta WRITE matrix end-to-end: create through the
+    // Delta protocol, replaceWhere (remove+add rewrite), then a MERGE
+    // schema-evolution append (metaData action) — the final log-replay read
+    // must hash-match an oracle that reconstructs the same state straight
+    // from the source parquet
+    QueryDef(
+      "q76_foreign_delta_write_matrix",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q76-fdw").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        DeltaLogWriter.create(s, loc, li.filter(col("l_quantity") <= 10))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        t.replaceWhere(
+          li.filter(col("l_quantity") <= 10 && col("l_returnflag") === "R")
+            .withColumn("l_extendedprice", col("l_extendedprice") * 2),
+          "l_returnflag = 'R'")
+        t.append(
+          li.filter(col("l_quantity") > 10 && col("l_quantity") <= 12)
+            .withColumn("src", lit("late")),
+          graft.catalog.SchemaEvolution.MERGE)
+        DeltaLog.toDF(s, loc)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"),
+            count(col("src")).as("n_late"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH state AS (
+          SELECT l_returnflag, l_quantity,
+            CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END AS price,
+            NULL AS src
+          FROM lineitem WHERE l_quantity <= 10
+          UNION ALL
+          SELECT l_returnflag, l_quantity, l_extendedprice AS price, 'late' AS src
+          FROM lineitem WHERE l_quantity > 10 AND l_quantity <= 12)
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("price")} AS revenue,
+          CAST(COUNT(src) AS BIGINT) AS n_late
+        FROM state GROUP BY l_returnflag ORDER BY l_returnflag""")))
 }

@@ -345,6 +345,39 @@ object MoreQueries {
       },
       Some("""SELECT o_orderstatus,
           BIT_XOR(o_orderkey * 2654435761) AS key_checksum, COUNT(*) AS n
-        FROM orders GROUP BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- salted skew join + two-phase skew-safe aggregation ----
+    // 80% of events collapse onto ONE join key (a synthetic hot key — the
+    // classic power-law user), then join a per-key dim and aggregate.
+    // Salting is result-transparent, so a plain SQL oracle hash-checks it:
+    // the salted plan must produce EXACTLY the unsalted answer. Double sums
+    // ride the decimal(38,10) determinism route through the two-phase
+    // partial/merge (decimal addition is associative, so salted partials
+    // reassemble exactly).
+    QueryDef(
+      "q77_salted_skew_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("hot_key",
+            when(pmod(col("user_id"), lit(10)) < 8, lit(1L)).otherwise(col("user_id")))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey").as("hot_key"), col("c_mktsegment"))
+        val joined = graft.ext.Skew.saltedJoin(e, c, Seq("hot_key"), salts = 8)
+          .withColumn("value_dec", col("value").cast(DecimalType(38, 10)))
+        graft.ext.Skew.saltedAggregate(joined, Seq("c_mktsegment"), salts = 8,
+            aggs = Seq(("value_dec", "sum", "sum_dec"), ("event_id", "count", "n")))
+          .select(col("c_mktsegment"), col("n"),
+            col("sum_dec").cast(DoubleType).as("sum_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(event_id) AS n,
+          ${sqlSum("value")} AS sum_value
+        FROM (SELECT event_id, value,
+                CASE WHEN user_id % 10 < 8 THEN 1 ELSE user_id END AS hot_key
+              FROM events) e
+          JOIN customer ON hot_key = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      headline = true)
   )
 }

@@ -83,7 +83,7 @@ object RelationalQueries {
         val o = Tables.orders(s, dir).filter(col("o_orderdate") < ntz("2000-03-15"))
         val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > ntz("2000-03-15"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -130,8 +130,8 @@ object RelationalQueries {
           .filter(col("o_orderdate") >= ntz("1996-01-01") && col("o_orderdate") < ntz("1997-01-01"))
         val l = Tables.lineitem(s, dir)
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
@@ -175,8 +175,8 @@ object RelationalQueries {
         val c = Tables.customer(s, dir)
         val su = Tables.supplier(s, dir)
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
           .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
           .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
@@ -205,9 +205,9 @@ object RelationalQueries {
         val o = Tables.orders(s, dir)
         val su = Tables.supplier(s, dir)
         val n = Tables.nation(s, dir)
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), year(col("o_orderdate")).cast(LongType).as("o_year"))
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) - col("p_retailprice") * col("l_quantity"))
@@ -233,7 +233,7 @@ object RelationalQueries {
         val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
         val n = Tables.nation(s, dir)
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
           .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -275,7 +275,7 @@ object RelationalQueries {
         val p = Tables.part(s, dir)
         val l = Tables.lineitem(s, dir)
           .filter(col("l_shipdate") >= ntz("1997-06-01") && col("l_shipdate") < ntz("1997-07-01"))
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .agg(((lit(100.0) * dsum(when(col("p_type") === "PROMO",
               col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))))
             / dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("promo_revenue_pct"))
@@ -296,7 +296,7 @@ object RelationalQueries {
         val o = Tables.orders(s, dir)
         val c = Tables.customer(s, dir)
         bigOrders.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"), col("sum_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -312,15 +312,23 @@ object RelationalQueries {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
       headline = true),
 
-    // ---- window: ranked top-n per partition ----
+    // ---- ranked top-n per partition ----
+    // Executed by the bounded-heap TopKPerKey operator, NOT a
+    // Window.partitionBy full sort: a window ranks every row then throws
+    // away all but 3 per key (full shuffle+sort of the table), while the
+    // heap keeps 3 per key map-side before the shuffle — the plan that
+    // survives a 100x scale-up. The rank is a cheap window over the
+    // 3 x #keys survivors only. True frame-exact window coverage lives in
+    // q21 (running total); the custom-operator surface itself in q59.
     QueryDef(
       "q20_window_rank",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
+        val top = graft.plans.TopK.topKPerKey(li, Seq("l_suppkey"),
+          Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
         val w = Window.partitionBy(col("l_suppkey"))
           .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        li.withColumn("rn", row_number().over(w).cast(LongType))
-          .filter(col("rn") <= 3)
+        top.withColumn("rn", row_number().over(w).cast(LongType))
           .select(col("l_suppkey"), col("l_orderkey"),
             col("l_linenumber").cast(LongType).as("l_linenumber"),
             col("l_extendedprice"), col("rn"))

@@ -135,6 +135,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(cells.select("cell").distinct().count() > 1)
   }
 
+  test("IVF quantizer trains on a capped hash-sample without losing recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // cap far below the corpus size: training must run on the sample only,
+    // and the resulting quantizer must still assign every vector
+    val cents = IvfAnn.trainCentroids(e, nlist = 8, maxTrainRows = 128)
+    assert(IvfAnn.assign(e, cents).count() == e.count())
+    val centsAgain = IvfAnn.trainCentroids(e, nlist = 8, maxTrainRows = 128)
+    assert(cents.collect().map(_.toString).sorted.toSeq ==
+      centsAgain.collect().map(_.toString).sorted.toSeq) // deterministic sample + Lloyd
+    // a cap so small the sample can't seed nlist cells falls back to full training
+    val centsTiny = IvfAnn.trainCentroids(e, nlist = 8, maxTrainRows = 1)
+    val centsFull = IvfAnn.trainCentroids(e, nlist = 8)
+    assert(centsTiny.collect().map(_.toString).sorted.toSeq ==
+      centsFull.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("IVF cell assignment is map-only: no Exchange, no cartesian, native argmin") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = IvfAnn.trainCentroids(e, nlist = 8)

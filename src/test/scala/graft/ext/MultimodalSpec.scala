@@ -68,4 +68,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.rdd.getNumPartitions > 1)
     assert(out.count() == 20)
   }
+
+  test("repartitionBySize is size-aware: max partition bytes <= 2x target on a skewed fixture") {
+    import scala.jdk.CollectionConverters._
+    val target = 50000L
+    // skewed sizes: many tiny blobs + several just under the target —
+    // round-robin would mix them arbitrarily; size packing must not
+    val sizes = (1L to 60L).map(i => if (i % 7 == 0) 40000 else 500)
+    val rows = sizes.zipWithIndex.map { case (sz, i) =>
+      Row(i.toLong, Array.fill(sz)((i % 127).toByte), null)
+    }
+    val df = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema).repartition(5)
+    val out = Multimodal.repartitionBySize(df, target)
+    assert(out.count() == 60)
+    val perPart = out
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__sz", length(col("media")).cast("long"))
+      .groupBy("__p").agg(sum("__sz").as("bytes"))
+      .collect().map(_.getLong(1))
+    assert(perPart.forall(_ <= 2 * target),
+      s"partition bytes exceed 2x target: ${perPart.mkString(",")}")
+    // the prefix-sum layout also packs: far fewer partitions than blobs
+    assert(out.rdd.getNumPartitions < 20)
+  }
+
+  test("repartitionBySize isolates a giant blob in its own partition") {
+    import scala.jdk.CollectionConverters._
+    val target = 10000L
+    val rows = (0L until 20L).map { i =>
+      val sz = if (i == 7L) 120000 else 800 // one blob 12x the target
+      Row(i, Array.fill(sz)((i % 127).toByte), null)
+    }
+    val df = spark.createDataFrame(rows.asJava, Multimodal.mediaSchema).repartition(3)
+    val out = Multimodal.repartitionBySize(df, target)
+    val withPart = out.withColumn("__p", spark_partition_id())
+    val giantPart = withPart.filter(length(col("media")) > 100000)
+      .select("__p").collect().map(_.getInt(0)).toSeq
+    assert(giantPart.size == 1)
+    // the invariant: a bucket holds at most `target` bytes BESIDES the one
+    // blob that starts in it — so the giant's partition carries no more
+    // than target extra, and every blob AFTER the giant skips past it
+    val extras = withPart.filter(col("__p") === giantPart.head)
+      .filter(length(col("media")) <= 100000)
+      .agg(coalesce(sum(length(col("media")).cast("long")), lit(0L))).collect()(0).getLong(0)
+    assert(extras <= target, s"giant's partition carries $extras extra bytes")
+    val afterGiant = withPart.filter(col("media_id") > 7L)
+      .select("__p").distinct().collect().map(_.getInt(0)).toSet
+    assert(!afterGiant.contains(giantPart.head),
+      "blobs ordered after the giant must land in later partitions")
+  }
 }
