@@ -44,14 +44,24 @@ object Bench {
     // Skew demo (diagnostic; NOT in the headline total): the q77 hot-key
     // join amplified 20x, with auto-broadcast disabled to model a dim
     // table too large to broadcast at production scale (locally customer
-    // always broadcasts, which would hide the skew entirely). AQE stays
-    // ON — its skew-join split is the fair baseline the salted plan
-    // competes with; both numbers are reported as measured.
-    val (skewNaive, skewSalted) = {
+    // always broadcasts, which would hide the skew entirely). Three
+    // timings, reported as measured:
+    //   naive_aqe    — plain join, AQE skew-join split ON (the modern
+    //                  baseline; where AQE's split applies, USE IT — at
+    //                  sf0.1 it beats salting, and the numbers say so)
+    //   naive_noaqe  — plain join with the split off: the single-task
+    //                  hot-partition pathology salting exists for (AQE
+    //                  cannot split e.g. pre-partitioned/bucketed stages
+    //                  or first-shuffle aggregations)
+    //   salted       — Skew.saltedJoin, which fixes that pathology at the
+    //                  cost of dim-side replication
+    val (skewAqe, skewNoAqe, skewSalted) = {
       import org.apache.spark.sql.functions._
-      val key = "spark.sql.autoBroadcastJoinThreshold"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "-1")
+      val bKey = "spark.sql.autoBroadcastJoinThreshold"
+      val sKey = "spark.sql.adaptive.skewJoin.enabled"
+      val prevB = spark.conf.get(bKey)
+      val prevS = spark.conf.get(sKey)
+      spark.conf.set(bKey, "-1")
       try {
         def skewed = graft.queries.Tables.events(spark, sfDir)
           .withColumn("rep", explode(sequence(lit(1), lit(20))))
@@ -68,17 +78,21 @@ object Bench {
           .groupBy("c_mktsegment").agg(sum("value"))
         def salted = graft.ext.Skew.saltedJoin(skewed, dim, Seq("hot_key"), salts = cpus.toInt)
           .groupBy("c_mktsegment").agg(sum("value"))
-        val n1 = run(naive); val s1 = run(salted)
-        val n2 = run(naive); val s2 = run(salted)
-        System.err.println(f"[bench] skew_demo naive ${math.min(n1, n2)}%.2fs salted ${math.min(s1, s2)}%.2fs")
-        (math.min(n1, n2), math.min(s1, s2))
-      } finally spark.conf.set(key, prev)
+        def best(f: => Double): Double = { val a = f; val b = f; math.min(a, b) }
+        val aqe = best(run(naive))
+        val slt = best(run(salted))
+        spark.conf.set(sKey, "false")
+        val noaqe = best(run(naive))
+        System.err.println(
+          f"[bench] skew_demo naive_aqe $aqe%.2fs naive_noaqe $noaqe%.2fs salted $slt%.2fs")
+        (aqe, noaqe, slt)
+      } finally { spark.conf.set(bKey, prevB); spark.conf.set(sKey, prevS) }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""skew_demo":{"naive_sec":$skewNaive,"salted_sec":$skewSalted},"sf":"$sfDir"}""")
+      s""""skew_demo":{"naive_aqe_sec":$skewAqe,"naive_noaqe_sec":$skewNoAqe,"salted_sec":$skewSalted},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

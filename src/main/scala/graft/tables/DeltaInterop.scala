@@ -41,11 +41,39 @@ object DeltaLog {
   private implicit val formats: Formats = DefaultFormats
 
   /** Reader features this implementation actually honors when a table
-    * declares protocol v3. Column mapping and deletion vectors change how
-    * data files must be interpreted, so tables requiring them are rejected
-    * rather than misread.
+    * declares protocol v3. Deletion vectors change which ROWS of a file are
+    * live, so tables requiring them are rejected rather than misread.
+    * Column mapping (name mode) IS honored read-side: physical column
+    * names from the schema metadata drive the parquet read and the stats /
+    * partition-value keys (see columnMappingOf / dfForSnapshot); id mode
+    * (parquet field-id matching) is not implemented and stays rejected.
     */
-  private val SupportedReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck")
+  private val SupportedReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck", "columnMapping")
+
+  private[tables] val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  /** logical -> physical top-level column names, when the schema carries
+    * column-mapping metadata (empty map = unmapped table).
+    */
+  private[tables] def columnMappingOf(schema: StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(PhysicalNameKey)) Some(f.name -> f.metadata.getString(PhysicalNameKey))
+      else None
+    }.toMap
+
+  /** Recursively rename a type's struct fields to their physical names
+    * (nested structs carry their own mapping metadata).
+    */
+  private def physicalize(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map { f =>
+      val nm = if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey) else f.name
+      org.apache.spark.sql.types.StructField(nm, physicalize(f.dataType), f.nullable)
+    })
+    case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = physicalize(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = physicalize(m.keyType), valueType = physicalize(m.valueType))
+    case other => other
+  }
 
   private def fs(spark: SparkSession, location: String): FileSystem =
     new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
@@ -310,17 +338,34 @@ object DeltaLog {
         s"Delta table at $location requires reader version ${state.minReader} " +
           s"with features ${state.readerFeatures.mkString(",")}; " +
           s"supported: version <= 2 or features within ${SupportedReaderFeatures.mkString(",")}")
-    if (state.props.get("delta.columnMapping.mode").exists(m => m != "none"))
+    if (state.props.get("delta.columnMapping.mode").exists(m => m != "none" && m != "name"))
       throw UnsupportedOperationError(
-        s"Delta column mapping mode '${state.props("delta.columnMapping.mode")}' is not supported")
+        s"Delta column mapping mode '${state.props("delta.columnMapping.mode")}' is not supported " +
+          "(name mode is readable; id mode needs parquet field-id matching)")
     if (state.schemaJson == null)
       throw UnsupportedOperationError(s"Delta log at $location has no metaData action")
 
+    val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
+    // name-mode column mapping: the log's stats and partitionValues are
+    // keyed by PHYSICAL names (PROTOCOL.md "Column Mapping") — remap them
+    // to logical names so pruning and partition handling work in the same
+    // logical terms as unmapped tables. The schema keeps its mapping
+    // metadata; dfForSnapshot uses it to read the physical columns.
+    val physToLogical = columnMappingOf(schema).map(_.swap)
+    val files0 = state.active.values.toSeq
+    val files =
+      if (physToLogical.isEmpty) files0
+      else files0.map { a =>
+        def remap(m: Map[String, String]) = m.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+        a.copy(partitionValues = remap(a.partitionValues),
+          minValues = a.minValues.map(remap), maxValues = a.maxValues.map(remap))
+      }
+
     TxLog.Snapshot(
       version = target,
-      schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType],
+      schema = schema,
       partitionColumns = state.partCols,
-      files = state.active.values.toSeq,
+      files = files,
       properties = state.props)
   }
 
@@ -431,6 +476,8 @@ object DeltaLog {
     if (s.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    val mapping = columnMappingOf(s.schema)
+    if (mapping.nonEmpty) return mappedRead(spark, location, s, mapping)
     val hiveConsistent = s.partitionColumns.isEmpty || s.files.forall { f =>
       TxLog.partitionValuesOf(f.path) == f.partitionValues
     }
@@ -452,6 +499,44 @@ object DeltaLog {
         withParts.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
       }.reduce(_ unionAll _)
     }
+  }
+
+  /** Read a name-mode column-mapped table: data files store PHYSICAL
+    * column names (top-level and nested), so the scan reads the
+    * physicalized schema and casts each top-level column back to its
+    * logical type — struct casts rename nested fields positionally.
+    * Partition directories also use physical names, so partition values
+    * come from the (already logical-keyed) manifest, injected as literals
+    * per partition group; filters on them constant-fold at planning time.
+    */
+  private def mappedRead(spark: SparkSession, location: String,
+      s: TxLog.Snapshot, mapping: Map[String, String]): DataFrame = {
+    def stripMeta(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, stripMeta(f.dataType), f.nullable)))
+      case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = stripMeta(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = stripMeta(m.keyType), valueType = stripMeta(m.valueType))
+      case other => other
+    }
+    val dataFields = s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name)).toSeq
+    val physSchema = StructType(dataFields.map { f =>
+      org.apache.spark.sql.types.StructField(
+        mapping.getOrElse(f.name, f.name),
+        physicalize(f.dataType).asInstanceOf[DataType], f.nullable)
+    })
+    val groups = s.files.groupBy(_.partitionValues).toSeq
+    groups.map { case (pv, files) =>
+      val base = spark.read.schema(physSchema).parquet(files.map(f => s"$location/${f.path}"): _*)
+      val logicalCols = dataFields.map { f =>
+        col(s"`${mapping.getOrElse(f.name, f.name)}`").cast(stripMeta(f.dataType)).as(f.name)
+      }
+      val withParts = s.partitionColumns.foldLeft(base.select(logicalCols.toIndexedSeq: _*)) { (d, pc) =>
+        val dt = s.schema(pc).dataType
+        d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(stripMeta(dt)))
+      }
+      withParts.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+    }.reduce(_ unionAll _)
   }
 }
 
@@ -496,6 +581,12 @@ object DeltaLogWriter {
     if (forOverwrite && state.props.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       throw UnsupportedOperationError(
         s"Delta table at $location is append-only (delta.appendOnly=true)")
+    // column-mapped tables are READ-only here: this writer stages files
+    // under logical column names, which a mapped table's readers would
+    // not find (physical names + field ids are required)
+    if (state.props.get("delta.columnMapping.mode").exists(m => m != "none"))
+      throw UnsupportedOperationError(
+        s"Delta table at $location uses column mapping; writes are not supported (reads are)")
   }
 
   /** Render per-file stats in Delta's typed-JSON convention (numbers as

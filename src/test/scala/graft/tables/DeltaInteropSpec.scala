@@ -133,7 +133,7 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(out.filter(col("p") === "y").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
-  test("protocol gating: v3 with deletion vectors and column mapping are rejected; benign features pass") {
+  test("protocol gating: v3 with deletion vectors rejected; benign features and name mapping pass") {
     val loc = TestSpark.tmpDir("delta-gate")
     oneParquetFile(df1, loc, "f.parquet")
     writeLine(loc, "00000000000000000000.json", Seq(
@@ -150,13 +150,15 @@ class DeltaInteropSpec extends AnyFunSuite {
       """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     assert(DeltaLog.toDF(spark, loc2).count() == 4)
 
+    // name-mode column mapping with a mapping-free schema reads fine
+    // (full mapped-read coverage in the dedicated column-mapping test)
     val loc3 = TestSpark.tmpDir("delta-gate3")
     oneParquetFile(df1, loc3, "f.parquet")
     writeLine(loc3, "00000000000000000000.json", Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaAction(conf = Map("delta.columnMapping.mode" -> "name")),
       """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    intercept[UnsupportedOperationError](DeltaLog.snapshot(spark, loc3))
+    assert(DeltaLog.toDF(spark, loc3).count() == 4)
   }
 
   test("checkpoint + JSON tail: snapshot starts from the checkpoint") {
@@ -363,6 +365,79 @@ class DeltaInteropSpec extends AnyFunSuite {
       val got = DeltaLog.snapshot(spark, loc, Some(v)).files.map(_.path).toSet
       assert(got == history(v), s"version $v: got $got expected ${history(v)}")
     }
+  }
+
+  test("name-mode column mapping: logical read over physical columns, stats pruning, writes refused") {
+    import org.apache.spark.sql.types.MetadataBuilder
+    def mapped(name: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", name)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, mapped("col-aaa", 1)),
+      StructField("info", StructType(Seq(
+        StructField("name", StringType, nullable = true, mapped("col-ccc", 3)))),
+        nullable = true, mapped("col-bbb", 2))))
+    val physical = StructType(Seq(
+      StructField("col-aaa", LongType),
+      StructField("col-bbb", StructType(Seq(StructField("col-ccc", StringType))))))
+
+    val loc = TestSpark.tmpDir("delta-cmap")
+    val d1 = spark.createDataFrame(
+      java.util.List.of(Row(0L, Row("a")), Row(3L, Row("b"))), physical)
+    val d2 = spark.createDataFrame(
+      java.util.List.of(Row(4L, Row("c")), Row(7L, Row("d"))), physical)
+    val sz1 = oneParquetFile(d1, loc, "f1.parquet")
+    val sz2 = oneParquetFile(d2, loc, "f2.parquet")
+    writeLine(loc, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(logical.json, Seq.empty, Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "3")),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-aaa\\":0},\\"maxValues\\":{\\"col-aaa\\":3}}"}}""",
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":$sz2,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-aaa\\":4},\\"maxValues\\":{\\"col-aaa\\":7}}"}}"""))
+
+    val out = DeltaLog.toDF(spark, loc)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "info"))
+    assert(out.orderBy("id").collect().map(r => (r.getLong(0), r.getStruct(1).getString(0))).toSeq ==
+      Seq((0L, "a"), (3L, "b"), (4L, "c"), (7L, "d")))
+    // stats were keyed by physical name in the log; pruning works on the
+    // LOGICAL predicate because the snapshot remapped them
+    assert(DeltaLog.filesAfterPruning(spark, loc, "id > 5") == 1)
+    assert(DeltaLog.scan(spark, loc, "id > 5").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // writes must be refused (files would carry logical names)
+    intercept[UnsupportedOperationError](
+      TxTable.forForeignDelta(spark, loc).append(out))
+
+    // partitioned variant: partition dir and partitionValues use the
+    // PHYSICAL name; the read exposes the logical partition column
+    val logicalP = StructType(Seq(
+      StructField("id", LongType, nullable = true, mapped("col-aaa", 1)),
+      StructField("p", StringType, nullable = true, mapped("col-ppp", 2))))
+    val dataOnly = StructType(Seq(StructField("col-aaa", LongType)))
+    val locP = TestSpark.tmpDir("delta-cmap-part")
+    val p1 = spark.createDataFrame(java.util.List.of(Row(1L), Row(2L)), dataOnly)
+    val p2 = spark.createDataFrame(java.util.List.of(Row(9L)), dataOnly)
+    oneParquetFile(p1, locP, "col-ppp=x/f1.parquet")
+    oneParquetFile(p2, locP, "col-ppp=y/f2.parquet")
+    writeLine(locP, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(logicalP.json, Seq("p"), Map("delta.columnMapping.mode" -> "name")),
+      s"""{"add":{"path":"col-ppp=x/f1.parquet","partitionValues":{"col-ppp":"x"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      s"""{"add":{"path":"col-ppp=y/f2.parquet","partitionValues":{"col-ppp":"y"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val outP = DeltaLog.toDF(spark, locP)
+    assert(outP.schema.fieldNames.toSeq == Seq("id", "p"))
+    assert(outP.filter(col("p") === "x").orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(outP.filter(col("p") === "y").collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // partition pruning via the manifest (logical keys after remap)
+    assert(DeltaLog.filesAfterPruning(spark, locP, "p = 'y'") == 1)
+
+    // id mode stays refused
+    val locId = TestSpark.tmpDir("delta-cmap-id")
+    oneParquetFile(p1, locId, "f1.parquet")
+    writeLine(locId, "00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(logicalP.json, Seq.empty, Map("delta.columnMapping.mode" -> "id")),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    intercept[UnsupportedOperationError](DeltaLog.snapshot(spark, locId))
   }
 
   test("TableIO dispatch: foreign Delta read, strict append, overwrite") {
