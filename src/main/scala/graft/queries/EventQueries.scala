@@ -142,6 +142,50 @@ object EventQueries {
           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
           ${sqlSum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
-        FROM events GROUP BY user_id"""))
+        FROM events GROUP BY user_id""")),
+
+    // ---- Structured Streaming, driver-visible: a REAL micro-batch job ----
+    // (file source -> watermark -> windowed agg -> AvailableNow -> memory
+    // sink), not a batch query dressed up. Append mode emits only windows
+    // the final watermark closed, so the oracle reproduces the emission
+    // rule: hour windows whose end <= max event time (watermark delay 0).
+    // Value sums ride the decimal(38,10) route inside the streaming agg —
+    // state merge order cannot perturb them. The hour bucket is ns-integer
+    // arithmetic invariant under DuckDB's µs view (bucket ends are
+    // ms-aligned; checked: no fixture's max ts sits on a boundary).
+    QueryDef(
+      "q78_stream_windowed_agg",
+      (s, dir) => {
+        val ckpt = java.nio.file.Files.createTempDirectory("q78-ckpt").toString
+        val sink = "q78_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        // the file stream source wants a DIRECTORY of drops; link the
+        // static fixture in (the stream then sees it as one arriving file)
+        val streamDir = java.nio.file.Files.createTempDirectory("q78-in")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
+        val agg = graft.streaming.StreamOps.eventFileStream(s, streamDir.toString)
+          .withWatermark("event_time", "0 seconds")
+          .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(38, 10))).as("total_dec"))
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .select(
+            expr("unix_micros(window.start) div 3600000000").cast(LongType).as("hour_bucket"),
+            col("event_type"), col("n_events"),
+            col("total_dec").cast(DoubleType).as("total_value"))
+      },
+      Some(s"""WITH agg AS (
+          SELECT CAST(epoch_ns(ts) // $HourNs AS BIGINT) AS hour_bucket, event_type,
+            COUNT(*) AS n_events, ${sqlSum("value")} AS total_value
+          FROM events GROUP BY 1, 2)
+        SELECT * FROM agg
+        WHERE (hour_bucket + 1) * 3600000000 <= (SELECT MAX(epoch_us(ts)) FROM events)"""))
   )
 }

@@ -655,8 +655,21 @@ object DeltaLogWriter {
     */
   val CheckpointInterval = 10
 
+  /** A checkpoint larger than this many actions is written MULTI-PART
+    * (the legacy `N.checkpoint.i.of.k.parquet` form every Delta reader
+    * supports, including this library's): at 100 TB a manifest holds
+    * millions of AddFiles, and a single coalesce(1) checkpoint file would
+    * serialize the whole write through one task and one giant object.
+    */
+  val CheckpointPartActions = 100000
+
   private[tables] def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit = {
     if (version <= 0 || version % CheckpointInterval != 0) return
+    writeCheckpoint(spark, location, version, CheckpointPartActions)
+  }
+
+  private[tables] def writeCheckpoint(spark: SparkSession, location: String, version: Long,
+      maxActionsPerPart: Int): Unit = {
     // replay the ACTUAL protocol + metaData id: a checkpoint that invented
     // protocol (1,2) or a fresh table id would downgrade feature gating
     // and break readers that track table identity
@@ -697,16 +710,26 @@ object DeltaLogWriter {
     val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
     val dir = DeltaLog.logDir(location)
     val tmpDir = new Path(dir, s".ckpt-tmp-${UUID.randomUUID()}")
-    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmpDir.toString)
+    val n = rows.size()
+    val k = math.max(1, (n + maxActionsPerPart - 1) / maxActionsPerPart)
+    // one distributed write produces all parts; action placement across
+    // parts is arbitrary (readers union every part)
+    spark.createDataFrame(rows, schema).repartition(k).write.parquet(tmpDir.toString)
     try {
-      val part = f.listStatus(tmpDir).map(_.getPath)
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new java.io.IOException(s"no checkpoint part under $tmpDir"))
-      val target = new Path(dir, f"$version%020d.checkpoint.parquet")
-      if (!f.exists(target) && f.rename(part, target)) {
+      val parts = f.listStatus(tmpDir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      if (parts.isEmpty) throw new java.io.IOException(s"no checkpoint part under $tmpDir")
+      val targets =
+        if (parts.length == 1) Seq(new Path(dir, f"$version%020d.checkpoint.parquet"))
+        else parts.indices.map(i => new Path(dir,
+          f"$version%020d.checkpoint.${i + 1}%010d.${parts.length}%010d.parquet"))
+      // lost the checkpoint race -> another writer owns this version; skip
+      if (targets.forall(t => !f.exists(t)) &&
+          parts.zip(targets).forall { case (p, t) => f.rename(p, t) }) {
+        val partsJson = if (targets.length > 1) s""","parts":${targets.length}""" else ""
         val lc = new Path(dir, "_last_checkpoint")
         val out = f.create(lc, true)
-        try out.write(s"""{"version":$version,"size":${rows.size()}}""".getBytes("UTF-8"))
+        try out.write(s"""{"version":$version,"size":$n$partsJson}""".getBytes("UTF-8"))
         finally out.close()
       }
     } finally f.delete(tmpDir, true)

@@ -367,6 +367,32 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-part checkpoint: sharded write, readable alone after log cleanup") {
+    val loc = TestSpark.tmpDir("delta-multickpt")
+    DeltaLogWriter.create(spark, loc, df1)
+    (1 to 6).foreach(_ => DeltaLogWriter.append(spark, loc, df2))
+    val v = DeltaLog.latestVersion(spark, loc).get
+    // tiny part cap -> the (protocol + metaData + adds) actions shard
+    DeltaLogWriter.writeCheckpoint(spark, loc, v, maxActionsPerPart = 3)
+    val logDir = Paths.get(loc, "_delta_log")
+    val partFiles = Files.list(logDir).toArray.map(_.toString)
+      .filter(p => p.contains(".checkpoint.") && p.endsWith(".parquet"))
+    assert(partFiles.length >= 3, s"expected sharded checkpoint, got ${partFiles.mkString(",")}")
+    val lc = Files.readString(logDir.resolve("_last_checkpoint"))
+    assert(lc.contains(s""""parts":${partFiles.length}"""))
+
+    val before = DeltaLog.toDF(spark, loc).count()
+    // remove EVERY JSON commit: the union of parts must reconstruct alone
+    Files.list(logDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".json")).foreach(Files.delete)
+    val snap = DeltaLog.snapshot(spark, loc)
+    assert(snap.version == v)
+    assert(DeltaLog.toDF(spark, loc).count() == before)
+    // protocol + identity survive the sharding
+    val (state, _) = DeltaLog.replayState(spark, loc, None)
+    assert(state.metaId != null && state.metaId.nonEmpty)
+  }
+
   test("name-mode column mapping: logical read over physical columns, stats pruning, writes refused") {
     import org.apache.spark.sql.types.MetadataBuilder
     def mapped(name: String, id: Long) = new MetadataBuilder()
