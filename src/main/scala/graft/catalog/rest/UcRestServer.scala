@@ -32,14 +32,20 @@ final class UcRestServer(store: CatalogStore, port: Int = 0) {
 
   def address: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 
+  // bounded worker pool: concurrent clients must not serialize behind one
+  // slow request (the store itself is synchronized — handlers are short
+  // critical sections, so a small pool saturates it)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r, "uc-rest-worker"); t.setDaemon(true); t })
+
   def start(): UcRestServer = {
     server.createContext("/", exchange => safely(exchange)(handle))
-    server.setExecutor(null) // single dispatcher thread; store is synchronized
+    server.setExecutor(pool)
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
     try f(ex)

@@ -149,6 +149,66 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Exact fixed-point conversion: round(x * 10^10) computed from the
+    * EXACT binary value of x (x = m·2^e), rounding HALF_UP away from zero —
+    * identical to `new java.math.BigDecimal(x).setScale(10, HALF_UP)
+    * .longValueExact` but allocation-free pure integer arithmetic (a
+    * 53×34-bit product held in two longs, then a rounding right-shift).
+    * The scaled value must fit a signed long, i.e. |x| <~ 9.2e8 — callers
+    * (Sum128) surface larger inputs as an error rather than wrong digits.
+    * NaN/Infinity are the caller's job (the expression returns null first).
+    */
+  def scaled10(x: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(x)
+    val neg = bits < 0
+    val biasedExp = ((bits >>> 52) & 0x7ffL).toInt
+    var m = bits & 0xfffffffffffffL
+    var e = 0
+    if (biasedExp == 0) e = -1074 // subnormal
+    else { m |= (1L << 52); e = biasedExp - 1075 }
+    if (m == 0) return 0L
+    val Ten10 = 10000000000L
+    val hi = Math.multiplyHigh(m, Ten10) // m, Ten10 > 0: true 128-bit product
+    val lo = m * Ten10
+    val mag: Long =
+      if (e >= 0) {
+        // x >= 2^52: far beyond the representable scaled range
+        throw new ArithmeticException(s"scaled10 overflow: $x")
+      } else {
+        val s = -e
+        if (s >= 128) 0L
+        else if (s >= 64) {
+          // P has <= 87 bits, so P >> s fits easily; round on bit (s-1)
+          val v = if (s == 64) hi else hi >>> (s - 64)
+          val round = if (s == 64) (lo >>> 63) & 1L else (hi >>> (s - 65)) & 1L
+          v + round // HALF_UP: frac >= half  <=>  bit (s-1) of P is set
+        } else if (s == 0) {
+          if (hi != 0 || lo < 0) throw new ArithmeticException(s"scaled10 overflow: $x")
+          lo
+        } else {
+          if ((hi >>> s) != 0) throw new ArithmeticException(s"scaled10 overflow: $x")
+          val v = (lo >>> s) | (hi << (64 - s))
+          val round = (lo >>> (s - 1)) & 1L
+          val r = v + round
+          if (r < 0) throw new ArithmeticException(s"scaled10 overflow: $x")
+          r
+        }
+      }
+    if (neg) -mag else mag
+  }
+
+  /** Reassemble a signed 128-bit accumulator (hi, unsigned lo) into the
+    * double value of the scale-10 decimal it represents — the same final
+    * conversion `sum(cast(x as decimal(38,10))).cast(double)` performs
+    * (BigDecimal.doubleValue), evaluated once per GROUP, not per row.
+    */
+  def combine128ToDouble(hi: Long, lo: Long): Double = {
+    val unsignedLo = java.math.BigInteger.valueOf(lo & Long.MaxValue)
+      .add(if (lo < 0) java.math.BigInteger.ONE.shiftLeft(63) else java.math.BigInteger.ZERO)
+    val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64).add(unsignedLo)
+    new java.math.BigDecimal(bi, 10).doubleValue
+  }
+
   def fingerprint(text: UTF8String, shingleK: Int, window: Int): ArrayData = {
     val shingles = TokenizeUtil.shingles(text.toString, shingleK)
     val hs = shingles.map(s => XxHash64.hash(s.getBytes("UTF-8"), 0L))

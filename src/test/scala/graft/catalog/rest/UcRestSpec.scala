@@ -79,4 +79,26 @@ class UcRestWireSpec extends org.scalatest.funsuite.AnyFunSuite with BeforeAndAf
     assert(client.sql("SELECT COUNT(*) AS n FROM lake_core_t").collect()(0).getLong(0) == 3)
     assert(client.getTxTable("lake", "core", "t").version == 1L)
   }
+
+  test("concurrent clients are served in parallel, not serialized on one dispatcher") {
+    val srv = new UcRestServer(new InMemoryCatalogStore).start()
+    servers += srv
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val tasks = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = {
+            val st = new RestCatalogStore(srv.address)
+            st.createCatalog(graft.catalog.CatalogInfo(s"cat_$i", None))
+            st.createSchema(graft.catalog.SchemaInfo(s"s_$i", s"cat_$i", None))
+            st.getSchema(s"cat_$i", s"s_$i").name == s"s_$i"
+          }
+        })
+      }
+      assert(tasks.forall(_.get(30, java.util.concurrent.TimeUnit.SECONDS)))
+      val store2 = new RestCatalogStore(srv.address)
+      assert(store2.listCatalogs()._1.size == n)
+    } finally pool.shutdown()
+  }
 }
