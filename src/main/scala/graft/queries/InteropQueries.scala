@@ -111,5 +111,39 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           ${sqlSum("price")} AS revenue,
           CAST(COUNT(src) AS BIGINT) AS n_late
-        FROM state GROUP BY l_returnflag ORDER BY l_returnflag""")))
+        FROM state GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // round-5 deletion vectors end-to-end: two merge-on-read DELETEs commit
+    // bitmaps (no file rewrite — DeletionVectorsSpec asserts that shape);
+    // the log-replay read must drop exactly the deleted rows, so the hash
+    // check against an oracle filtering the source parquet proves the DV
+    // write AND the DV-filtered scan agree row-for-row
+    QueryDef(
+      "q79_dv_delete",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q79-dv").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        DeltaLogWriter.create(s, loc, li.filter(col("l_quantity") <= 12),
+          properties = Map("delta.enableDeletionVectors" -> "true"))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        t.delete("l_quantity <= 3")
+        t.delete("l_returnflag = 'A' AND l_quantity <= 6")
+        DeltaLog.toDF(s, loc)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS revenue
+        FROM lineitem
+        WHERE l_quantity <= 12 AND NOT (l_quantity <= 3)
+          AND NOT (l_returnflag = 'A' AND l_quantity <= 6)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
 }

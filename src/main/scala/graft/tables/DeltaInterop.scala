@@ -41,14 +41,16 @@ object DeltaLog {
   private implicit val formats: Formats = DefaultFormats
 
   /** Reader features this implementation actually honors when a table
-    * declares protocol v3. Deletion vectors change which ROWS of a file are
-    * live, so tables requiring them are rejected rather than misread.
+    * declares protocol v3.
     * Column mapping (name mode) IS honored read-side: physical column
     * names from the schema metadata drive the parquet read and the stats /
     * partition-value keys (see columnMappingOf / dfForSnapshot); id mode
     * (parquet field-id matching) is not implemented and stays rejected.
+    * Deletion vectors ARE honored: add actions carry their descriptor and
+    * every read applies the DV row filter (see DeletionVectors).
     */
-  private val SupportedReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "vacuumProtocolCheck", "columnMapping", "deletionVectors")
 
   private[tables] val PhysicalNameKey = "delta.columnMapping.physicalName"
 
@@ -183,7 +185,8 @@ object DeltaLog {
   }
 
   private def addFileOf(path: String, partitionValues: Map[String, String],
-      size: Long, stats: Option[String]): TxLog.AddFile = {
+      size: Long, stats: Option[String],
+      dv: Option[DeletionVectors.Descriptor] = None): TxLog.AddFile = {
     val parsedStats = stats.filter(_.nonEmpty).flatMap { s =>
       try Some(JsonMethods.parse(s)) catch { case NonFatal(_) => None }
     }
@@ -194,7 +197,18 @@ object DeltaLog {
     }).getOrElse(-1L)
     val mins = parsedStats.map(s => statsMap(s \ "minValues")).filter(_.nonEmpty)
     val maxs = parsedStats.map(s => statsMap(s \ "maxValues")).filter(_.nonEmpty)
-    TxLog.AddFile(decodePath(path), partitionValues, rows, size, mins, maxs)
+    TxLog.AddFile(decodePath(path), partitionValues, rows, size, mins, maxs, dv)
+  }
+
+  /** Parse a deletionVector descriptor (JSON action form). */
+  private def dvOf(v: JValue): Option[DeletionVectors.Descriptor] = v match {
+    case JNothing | JNull => None
+    case d => Some(DeletionVectors.Descriptor(
+      (d \ "storageType").extract[String],
+      (d \ "pathOrInlineDv").extract[String],
+      (d \ "offset").extractOpt[Int],
+      (d \ "sizeInBytes").extract[Int],
+      (d \ "cardinality").extract[Long]))
   }
 
   private def applyJsonAction(state: Replay, line: JValue): Unit = {
@@ -227,7 +241,8 @@ object DeltaLog {
         (a \ "partitionValues").extractOrElse[Map[String, String]](Map.empty)
           .filter { case (_, v) => v != null },
         (a \ "size").extractOrElse[Long](0L),
-        (a \ "stats").extractOpt[String]))
+        (a \ "stats").extractOpt[String],
+        dvOf(a \ "deletionVector")))
     }
     line \ "remove" match {
       case JNothing => ()
@@ -284,13 +299,23 @@ object DeltaLog {
     }
     if (has("add")) {
       val addFields = df.select(col("add.*")).schema.fieldNames.toSet
-      df.select(col("add.path"), col("add.partitionValues"), col("add.size"),
-        if (addFields.contains("stats")) col("add.stats") else lit(null).cast("string").as("stats"))
+      val dvCol =
+        if (addFields.contains("deletionVector")) col("add.deletionVector.storageType") :: col("add.deletionVector.pathOrInlineDv") ::
+          col("add.deletionVector.offset") :: col("add.deletionVector.sizeInBytes") :: col("add.deletionVector.cardinality") :: Nil
+        else lit(null).cast("string") :: lit(null).cast("string") ::
+          lit(null).cast("int") :: lit(null).cast("int") :: lit(null).cast("long") :: Nil
+      df.select(col("add.path") :: col("add.partitionValues") :: col("add.size") ::
+        (if (addFields.contains("stats")) col("add.stats") else lit(null).cast("string").as("stats")) ::
+        dvCol: _*)
         .filter(col("path").isNotNull)
         .collect().foreach { r =>
           val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
             .filter { case (_, v) => v != null }
-          state.add(addFileOf(r.getString(0), pv, r.getLong(2), Option(r.getString(3))))
+          val dv = Option(r.getString(4)).map { st =>
+            DeletionVectors.Descriptor(st, r.getString(5),
+              if (r.isNullAt(6)) None else Some(r.getInt(6)), r.getInt(7), r.getLong(8))
+          }
+          state.add(addFileOf(r.getString(0), pv, r.getLong(2), Option(r.getString(3)), dv))
         }
     }
   }
@@ -465,6 +490,48 @@ object DeltaLog {
     }
   }
 
+  /** Physical row provenance columns a DV-aware read threads through the
+    * plan: the file's path URI and the row's 0-based physical position in
+    * it (parquet `_metadata`, the position Delta DVs are defined over).
+    */
+  private[tables] val FileMetaCol = "__gr_dv_file"
+  private[tables] val RowMetaCol = "__gr_dv_row"
+
+  /** Current (or time-traveled) contents of the snapshot, deletion
+    * vectors applied: files without a DV read exactly as before; files
+    * with one read with row positions and drop the deleted rows through a
+    * broadcast bitmap filter (merge-on-read — no join, no shuffle).
+    */
+  def dfForSnapshot(spark: SparkSession, location: String, s: TxLog.Snapshot): DataFrame = {
+    val (dvFiles, plain) = s.files.partition(_.deletionVector.exists(_.cardinality > 0))
+    if (dvFiles.isEmpty) return rawRead(spark, location, s, withMeta = false)
+    val dvPart = applyDvFilter(spark, location,
+        rawRead(spark, location, s.copy(files = dvFiles), withMeta = true), dvFiles)
+      .drop(FileMetaCol, RowMetaCol)
+    if (plain.isEmpty) dvPart
+    else rawRead(spark, location, s.copy(files = plain), withMeta = false).unionAll(dvPart)
+  }
+
+  /** Read WITH the provenance columns (all files), DVs applied — what a
+    * DV-writing DELETE scans to learn which physical positions match.
+    */
+  private[tables] def readWithRowMeta(spark: SparkSession, location: String,
+      s: TxLog.Snapshot): DataFrame =
+    applyDvFilter(spark, location, rawRead(spark, location, s, withMeta = true), s.files)
+
+  private def applyDvFilter(spark: SparkSession, location: String,
+      df: DataFrame, files: Seq[TxLog.AddFile]): DataFrame = {
+    val withDv = files.filter(_.deletionVector.exists(_.cardinality > 0))
+    if (withDv.isEmpty) return df
+    val m = withDv.map { a =>
+      DeletionVectors.normalizedAbs(spark, location, a.path) ->
+        DeletionVectors.readData(spark, location, a.deletionVector.get)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(new DvLookup(m))
+    import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+    df.filter(toCol(DvIsRowLive(toExpr(col(FileMetaCol)), toExpr(col(RowMetaCol)), bc)))
+  }
+
   /** Plan a distributed read over a snapshot's active files. Fast path:
     * when file paths are hive-layout-consistent with the log's partition
     * values (how Delta-Spark and delta-rs lay files out), one parquet scan
@@ -472,12 +539,24 @@ object DeltaLog {
     * pruning intact. Otherwise (legal per protocol) read per partition
     * group with the values injected as literals.
     */
-  def dfForSnapshot(spark: SparkSession, location: String, s: TxLog.Snapshot): DataFrame = {
+  private def rawRead(spark: SparkSession, location: String, s: TxLog.Snapshot,
+      withMeta: Boolean): DataFrame = {
+    val metaSel =
+      if (withMeta) Seq(col("_metadata.file_path").as(FileMetaCol),
+        col("_metadata.row_index").as(RowMetaCol))
+      else Seq.empty
+    val metaFields =
+      if (withMeta) Seq(
+        org.apache.spark.sql.types.StructField(FileMetaCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(RowMetaCol, org.apache.spark.sql.types.LongType))
+      else Seq.empty
+    val outNames = s.schema.fieldNames.toSeq ++ metaFields.map(_.name)
     if (s.files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(s.schema.fields.toSeq ++ metaFields))
     val mapping = columnMappingOf(s.schema)
-    if (mapping.nonEmpty) return mappedRead(spark, location, s, mapping)
+    if (mapping.nonEmpty) return mappedRead(spark, location, s, mapping, metaSel, outNames)
     val hiveConsistent = s.partitionColumns.isEmpty || s.files.forall { f =>
       TxLog.partitionValuesOf(f.path) == f.partitionValues
     }
@@ -486,17 +565,18 @@ object DeltaLog {
       val reader = spark.read.schema(s.schema)
       (if (s.partitionColumns.nonEmpty) reader.option("basePath", location) else reader)
         .parquet(paths: _*)
-        .select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .select(s.schema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
     } else {
       val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
       val groups = s.files.groupBy(_.partitionValues).toSeq
       groups.map { case (pv, files) =>
         val base = spark.read.schema(dataSchema).parquet(files.map(f => s"$location/${f.path}"): _*)
-        val withParts = s.partitionColumns.foldLeft(base) { (d, pc) =>
+        val first = base.select(dataSchema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
+        val withParts = s.partitionColumns.foldLeft(first) { (d, pc) =>
           val dt = s.schema(pc).dataType
           d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(dt))
         }
-        withParts.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+        withParts.select(outNames.map(col): _*)
       }.reduce(_ unionAll _)
     }
   }
@@ -510,7 +590,8 @@ object DeltaLog {
     * per partition group; filters on them constant-fold at planning time.
     */
   private def mappedRead(spark: SparkSession, location: String,
-      s: TxLog.Snapshot, mapping: Map[String, String]): DataFrame = {
+      s: TxLog.Snapshot, mapping: Map[String, String],
+      metaSel: Seq[org.apache.spark.sql.Column], outNames: Seq[String]): DataFrame = {
     def stripMeta(dt: DataType): DataType = dt match {
       case st: StructType => StructType(st.fields.map(f =>
         org.apache.spark.sql.types.StructField(f.name, stripMeta(f.dataType), f.nullable)))
@@ -531,11 +612,12 @@ object DeltaLog {
       val logicalCols = dataFields.map { f =>
         col(s"`${mapping.getOrElse(f.name, f.name)}`").cast(stripMeta(f.dataType)).as(f.name)
       }
-      val withParts = s.partitionColumns.foldLeft(base.select(logicalCols.toIndexedSeq: _*)) { (d, pc) =>
+      val withParts = s.partitionColumns.foldLeft(
+          base.select(logicalCols.toIndexedSeq ++ metaSel: _*)) { (d, pc) =>
         val dt = s.schema(pc).dataType
         d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(stripMeta(dt)))
       }
-      withParts.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+      withParts.select(outNames.map(col): _*)
     }.reduce(_ unionAll _)
   }
 }
@@ -552,11 +634,17 @@ object DeltaLogWriter {
 
   /** Writer features this writer actually honors under protocol v7.
     * appendOnly is honored (the delta.appendOnly property is checked
-    * below); anything else (checkConstraints, generatedColumns, column
-    * mapping, deletion vectors, ...) would make our commits violate
-    * invariants other engines rely on, so such tables are refused.
+    * below); invariants is honored by refusing tables whose schema
+    * actually DECLARES an invariant (checked below — the feature being
+    * listed is common on tables with none); deletionVectors is honored:
+    * reads apply DVs, rewrites drop superseded DVs with their files, and
+    * DELETE can write them (DeltaDvWriter). Anything else
+    * (checkConstraints, generatedColumns, column mapping, ...) would make
+    * our commits violate invariants other engines rely on, so such tables
+    * are refused.
     */
-  private val SupportedWriterFeatures = Set("appendOnly", "timestampNtz", "vacuumProtocolCheck")
+  private val SupportedWriterFeatures =
+    Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants", "deletionVectors")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
@@ -617,20 +705,37 @@ object DeltaLogWriter {
         k -> jv
       }
     })
-    JsonMethods.compact(JsonMethods.render(JObject(
+    val base = List[(String, JValue)](
       "numRecords" -> JLong(math.max(0L, a.rows)),
       "minValues" -> typed(a.minValues.getOrElse(Map.empty)),
-      "maxValues" -> typed(a.maxValues.getOrElse(Map.empty)))))
+      "maxValues" -> typed(a.maxValues.getOrElse(Map.empty)))
+    // with a DV, numRecords stays the PHYSICAL row count and min/max bound
+    // every physical row — mark the stats non-tight per the spec
+    val withTight =
+      if (a.deletionVector.isDefined) base :+ ("tightBounds" -> (JBool(false): JValue)) else base
+    JsonMethods.compact(JsonMethods.render(JObject(withTight)))
   }
 
-  private[tables] def addAction(schema: StructType, a: TxLog.AddFile): String =
-    JsonMethods.compact(JsonMethods.render(JObject("add" -> JObject(
+  private def dvJson(d: DeletionVectors.Descriptor): JObject = {
+    val base = List[(String, JValue)](
+      "storageType" -> JString(d.storageType),
+      "pathOrInlineDv" -> JString(d.pathOrInlineDv),
+      "sizeInBytes" -> JInt(BigInt(d.sizeInBytes)),
+      "cardinality" -> JLong(d.cardinality))
+    JObject(d.offset.fold(base)(o => base :+ ("offset" -> (JInt(BigInt(o)): JValue))))
+  }
+
+  private[tables] def addAction(schema: StructType, a: TxLog.AddFile): String = {
+    val base = List[(String, JValue)](
       "path" -> JString(a.path),
       "partitionValues" -> JObject(a.partitionValues.toList.map { case (k, v) => k -> JString(v) }),
       "size" -> JLong(a.sizeBytes),
       "modificationTime" -> JLong(System.currentTimeMillis()),
       "dataChange" -> JBool(true),
-      "stats" -> JString(statsJson(schema, a))))))
+      "stats" -> JString(statsJson(schema, a)))
+    val withDv = a.deletionVector.fold(base)(d => base :+ ("deletionVector" -> (dvJson(d): JValue)))
+    JsonMethods.compact(JsonMethods.render(JObject("add" -> JObject(withDv))))
+  }
 
   private[tables] def writeCommit(spark: SparkSession, location: String, version: Long, lines: Seq[String]): Unit = {
     val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
@@ -695,7 +800,13 @@ object DeltaLogWriter {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType))))))
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row(Row(state.minReader, state.minWriter,
       if (state.readerFeatures.isEmpty) null else state.readerFeatures.toSeq,
@@ -704,8 +815,11 @@ object DeltaLogWriter {
       .getOrElse(UUID.randomUUID().toString), snap.schema.json,
       snap.partitionColumns, snap.properties, Row("parquet")), null))
     snap.files.foreach { a =>
+      val dvRow = a.deletionVector.map(d =>
+        Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+          d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null, Row(a.path, a.partitionValues, a.sizeBytes,
-        System.currentTimeMillis(), false, statsJson(snap.schema, a))))
+        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow)))
     }
     val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
     val dir = DeltaLog.logDir(location)
@@ -838,5 +952,113 @@ object DeltaLogWriter {
       (commitInfo +: snap.files.map(f => removeAction(f.path))) ++
         added.map(addAction(snap.schema, _)))
     maybeCheckpoint(spark, location, snap.version + 1)
+  }
+}
+
+/** Merge-on-read DELETE for foreign Delta tables: instead of rewriting
+  * every file that contains a matching row (copy-on-write — O(file bytes)
+  * per touched file), commit a deletion-vector bitmap per touched file
+  * (O(matching rows) — KBs for selective deletes on TB files). Activated
+  * by the table property `delta.enableDeletionVectors=true`, Delta's own
+  * switch; tables without it keep the copy-on-write path.
+  *
+  * Scale shape: candidate files come from manifest stats pruning; the scan
+  * for matching row positions is a distributed filter with pushdown; the
+  * per-file bitmaps are BUILT ON EXECUTORS (groupByKey over only the
+  * matching rows) and the driver receives one compact serialized bitmap
+  * per touched file — bounded by deleted-row count, never by table size.
+  */
+object DeltaDvWriter {
+  private implicit val formats: Formats = DefaultFormats
+
+  /** True when the table asks for merge-on-read deletes. */
+  def enabled(props: Map[String, String]): Boolean =
+    props.get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true"))
+
+  def delete(spark: SparkSession, location: String, predicate: String): Unit = {
+    DeltaLogWriter.requireWritable(spark, location, forOverwrite = true)
+    var attempts = 0
+    while (!tryDelete(spark, location, predicate)) {
+      attempts += 1
+      if (attempts >= 5)
+        throw new java.io.IOException(s"DV delete conflict at $location after $attempts attempts")
+    }
+  }
+
+  private def tryDelete(spark: SparkSession, location: String, predicate: String): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, expr}
+    val snap = DeltaLog.snapshot(spark, location)
+    val candidates = FileStats.survivingFiles(spark, snap, predicate)
+    if (candidates.isEmpty) return true
+    val df = DeltaLog.readWithRowMeta(spark, location, snap.copy(files = candidates))
+    import spark.implicits._
+    val matches = df.filter(coalesce(expr(predicate), lit(false)))
+      .select(col(DeltaLog.FileMetaCol), col(DeltaLog.RowMetaCol))
+      .as[(String, Long)]
+    val perFile = matches.groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
+      .mapGroups { (p, it) =>
+        val bm = new DeletionVectors.Bitmap64
+        it.foreach { case (_, i) => bm.add(i) }
+        (p, bm.serialize)
+      }.collect()
+    if (perFile.isEmpty) return true // nothing matched after row-level filtering
+    val byAbs = candidates.map(a =>
+      DeletionVectors.normalizedAbs(spark, location, a.path) -> a).toMap
+    val merged = perFile.toSeq.map { case (abs, bytes) =>
+      val add = byAbs.getOrElse(abs,
+        throw new IllegalStateException(s"DV delete matched unknown file $abs"))
+      val bm = DeletionVectors.Bitmap64.deserialize(bytes)
+      // a file deleted from before keeps its earlier deletions
+      add.deletionVector.foreach(d => bm.or(DeletionVectors.readBitmap(spark, location, d)))
+      (add, bm)
+    }
+    // a file whose every physical row is now deleted needs no DV — plain remove
+    val (_, partial) = merged.partition { case (add, bm) =>
+      add.rows >= 0 && bm.cardinality >= add.rows
+    }
+    val descs =
+      if (partial.isEmpty) Seq.empty
+      else DeletionVectors.writeDvFile(spark, location, partial.map(_._2))
+    val adds = partial.zip(descs).map { case ((add, _), d) => add.copy(deletionVector = Some(d)) }
+    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(System.currentTimeMillis()),
+      "operation" -> JString("DELETE"),
+      "operationParameters" -> JObject("predicate" -> JString(predicate))))))
+    val lines = (commitInfo +: protocolUpgrade(spark, location)) ++
+      merged.map { case (add, _) => DeltaLogWriter.removeAction(add.path) } ++
+      adds.map(DeltaLogWriter.addAction(snap.schema, _))
+    try {
+      DeltaLogWriter.writeCommit(spark, location, snap.version + 1, lines)
+      DeltaLogWriter.maybeCheckpoint(spark, location, snap.version + 1)
+      true
+    } catch { case _: graft.catalog.AlreadyExistsError => false }
+    // on a lost race the staged .bin is orphaned — harmless: vacuum only
+    // touches data parquet, and a fresh attempt writes a fresh UUID
+  }
+
+  /** The protocol action permitting DVs, when the table lacks it. Legacy
+    * protocol versions imply features; an upgrade to the table-features
+    * protocol must carry those forward (PROTOCOL.md "Table Features").
+    */
+  private def protocolUpgrade(spark: SparkSession, location: String): Seq[String] = {
+    val (state, _) = DeltaLog.replayState(spark, location, None)
+    val already = state.minReader >= 3 && state.readerFeatures.contains("deletionVectors") &&
+      state.minWriter >= 7 && state.writerFeatures.contains("deletionVectors")
+    if (already) return Seq.empty
+    val impliedReader: Set[String] =
+      if (state.minReader >= 3) state.readerFeatures
+      else if (state.minReader >= 2) Set("columnMapping")
+      else Set.empty
+    val impliedWriter: Set[String] =
+      if (state.minWriter >= 7) state.writerFeatures
+      else if (state.minWriter >= 2) Set("appendOnly", "invariants")
+      else Set.empty
+    val readers = impliedReader + "deletionVectors"
+    val writers = impliedWriter + "deletionVectors"
+    Seq(JsonMethods.compact(JsonMethods.render(JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(3),
+      "minWriterVersion" -> JInt(7),
+      "readerFeatures" -> JArray(readers.toList.sorted.map(JString(_))),
+      "writerFeatures" -> JArray(writers.toList.sorted.map(JString(_))))))))
   }
 }

@@ -49,7 +49,11 @@ object TxLog {
       rows: Long,
       sizeBytes: Long,
       minValues: Option[Map[String, String]] = None,
-      maxValues: Option[Map[String, String]] = None)
+      maxValues: Option[Map[String, String]] = None,
+      // merge-on-read deletes (foreign Delta only): `rows` and min/max then
+      // describe the PHYSICAL file, bounds for every live row — conservative
+      // for pruning; live count = rows - deletionVector.cardinality
+      deletionVector: Option[DeletionVectors.Descriptor] = None)
 
   final case class Commit(
       version: Long,

@@ -192,9 +192,17 @@ final class TxTable(val spark: SparkSession, val location: String,
 
   /** DELETE FROM t WHERE predicate — copy-on-write limited to files that
     * can contain matching rows (manifest stats + partition pruning); files
-    * provably outside the predicate survive untouched.
+    * provably outside the predicate survive untouched. On a foreign Delta
+    * table with `delta.enableDeletionVectors=true`, deletes are
+    * merge-on-read instead: a deletion-vector bitmap per touched file
+    * (DeltaDvWriter), never a file rewrite.
     */
   def delete(predicate: String): Unit =
+    if (log == ForeignDeltaCommitLog && DeltaDvWriter.enabled(snapshot.properties))
+      DeltaDvWriter.delete(spark, location, predicate)
+    else deleteCopyOnWrite(predicate)
+
+  private def deleteCopyOnWrite(predicate: String): Unit =
     rewriteMatchingFiles("DELETE", predicate) { affected =>
       // SQL DELETE removes only rows where the predicate is TRUE; rows
       // where it evaluates to NULL must be kept, so negate under coalesce.

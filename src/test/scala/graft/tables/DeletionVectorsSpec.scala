@@ -1,0 +1,234 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.UnsupportedOperationError
+
+/** Deletion vectors (PROTOCOL.md "Deletion Vectors"): codec-level
+  * round-trips of the published formats (Z85, portable RoaringBitmapArray,
+  * the framed DV file), merge-on-read DELETE end-to-end through the Delta
+  * log, and hand-crafted foreign logs shaped like what delta-rs /
+  * Delta-Spark emit (path and inline storage, protocol gating, checkpoint
+  * survival).
+  */
+class DeletionVectorsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import DeletionVectors._
+
+  // ---- codecs ----
+
+  test("z85 encodes the ZeroMQ spec test vector") {
+    val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(z85Encode(bytes) === "HelloWorld")
+    assert(z85Decode("HelloWorld").toSeq === bytes.toSeq)
+  }
+
+  test("z85 uuid round trip") {
+    val u = java.util.UUID.randomUUID()
+    val enc = encodeUUID(u)
+    assert(enc.length === 20)
+    assert(decodeUUID(enc) === u)
+  }
+
+  test("padded data codec recovers arbitrary lengths") {
+    for (n <- Seq(0, 1, 2, 3, 4, 5, 17)) {
+      val data = Array.tabulate(n)(i => (i * 37 + 11).toByte)
+      assert(decodeData(encodeData(data), n).toSeq === data.toSeq)
+    }
+  }
+
+  test("bitmap64 round trips values across the 32-bit boundary") {
+    val values = Seq(0L, 1L, 2L, 100L, 65536L, (1L << 32) - 1, 1L << 32, (1L << 32) + 7, (1L << 40) + 3)
+    val bm = Bitmap64(values)
+    assert(bm.cardinality === values.size.toLong)
+    val back = Bitmap64.deserialize(bm.serialize)
+    values.foreach(v => assert(back.contains(v), s"missing $v"))
+    assert(!back.contains(3L) && !back.contains(1L << 33))
+    assert(back.cardinality === values.size.toLong)
+  }
+
+  test("bitmap64 or() merges and native magic is refused") {
+    val a = Bitmap64(Seq(1L, 2L))
+    a.or(Bitmap64(Seq(2L, (1L << 32) + 5)))
+    assert(a.cardinality === 3L)
+    val nat = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(NativeMagic).putLong(0L).array()
+    assertThrows[UnsupportedOperationError](Bitmap64.deserialize(nat))
+  }
+
+  test("dv file round trips multiple DVs with CRC verification") {
+    val loc = TestSpark.tmpDir("dvfile")
+    val bms = Seq(Bitmap64(Seq(0L, 5L, 9L)), Bitmap64(Seq(2L)), Bitmap64(1000L to 2000L))
+    val descs = writeDvFile(spark, loc, bms)
+    assert(descs.map(_.cardinality) === Seq(3L, 1L, 1001L))
+    assert(descs.forall(_.storageType == "u"))
+    descs.zip(bms).foreach { case (d, bm) =>
+      val back = readBitmap(spark, loc, d)
+      assert(back.cardinality === bm.cardinality)
+      assert(back.contains(if (d.cardinality == 1) 2L else 5L) || d.cardinality == 1001L)
+    }
+    // corrupt one byte of the middle DV's data -> OUR CRC check fails
+    // (drop hadoop's .crc sidecar so its own checksum layer doesn't fire first)
+    val p = absolutePath(loc, descs(1))
+    val bytes = Files.readAllBytes(Paths.get(p.toUri.getPath))
+    bytes(descs(1).offset.get + 4 + 2) = (bytes(descs(1).offset.get + 4 + 2) ^ 0x7f).toByte
+    Files.write(Paths.get(p.toUri.getPath), bytes)
+    val sidecar = Paths.get(p.getParent.toUri.getPath, "." + p.getName + ".crc")
+    Files.deleteIfExists(sidecar)
+    assertThrows[IllegalArgumentException](readBitmap(spark, loc, descs(1)))
+    // the untouched first DV still reads
+    assert(readBitmap(spark, loc, descs(0)).cardinality === 3L)
+  }
+
+  // ---- merge-on-read DELETE end-to-end ----
+
+  private def sample: DataFrame =
+    (0 until 100).map(i => (i.toLong, s"s$i", i % 7)).toDF("id", "s", "grp")
+
+  test("DV delete: selective delete commits bitmaps, not rewrites") {
+    val loc = TestSpark.tmpDir("dvdel")
+    DeltaLogWriter.create(spark, loc, sample.repartition(4),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+
+    t.delete("id % 10 = 3")
+    val snap = t.snapshot
+    // merge-on-read: the same physical files remain active, now with DVs
+    assert(snap.files.map(_.path).toSet === filesBefore)
+    assert(snap.files.flatMap(_.deletionVector).map(_.cardinality).sum === 10L)
+    assert(t.toDF.count() === 90L)
+    assert(t.toDF.filter(col("id") % 10 === 3).count() === 0L)
+    // time travel to before the delete still sees every row
+    assert(t.toDF(0L).count() === 100L)
+
+    // second delete merges into the existing DVs
+    t.delete("id < 20")
+    assert(t.snapshot.files.map(_.path).toSet === filesBefore)
+    assert(t.toDF.count() === 80L * 90L / 100L + 0L) // 100 - 10 - (20 - 2 overlaps) = 72
+    assert(t.toDF.count() === 72L)
+    assert(t.toDF.agg(sum("id")).as[Long].head() ===
+      (0L until 100L).filter(i => i % 10 != 3 && i >= 20).sum)
+
+    // protocol was upgraded to table features with deletionVectors listed
+    val logTxt = Files.list(Paths.get(loc, "_delta_log")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path]).filter(_.toString.endsWith(".json")).sorted
+      .map(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).mkString("\n")
+    assert(logTxt.contains(""""minReaderVersion":3"""))
+    assert(logTxt.contains(""""minWriterVersion":7"""))
+    assert(logTxt.contains("deletionVectors"))
+    assert(logTxt.contains("""\"tightBounds\":false"""))
+  }
+
+  test("DV delete that empties a file removes it outright") {
+    val loc = TestSpark.tmpDir("dvgone")
+    // partitioned by grp: deleting all of grp=0 must drop its files, no DV
+    val df = (0 until 50).map(i => (i.toLong, i % 2)).toDF("id", "grp")
+    DeltaLogWriter.create(spark, loc, df, partitionColumns = Seq("grp"),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    val nFiles = t.snapshot.files.size
+    t.delete("grp = 0")
+    val snap = t.snapshot
+    assert(snap.files.size < nFiles)
+    assert(snap.files.forall(_.deletionVector.isEmpty))
+    assert(t.toDF.count() === 25L)
+  }
+
+  test("DV delete on a partitioned table and copy-on-write interplay") {
+    val loc = TestSpark.tmpDir("dvpart")
+    DeltaLogWriter.create(spark, loc, sample, partitionColumns = Seq("grp"),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    // single-row delete: its file keeps other rows, so it MUST get a DV
+    t.delete("grp = 2 AND id = 2")
+    val expected = (0 until 100).filterNot(_ == 2)
+    assert(t.toDF.agg(sum("id")).as[Long].head() === expected.map(_.toLong).sum)
+    // files in other partitions untouched (no DV)
+    assert(t.snapshot.files.filter(_.partitionValues.get("grp").contains("2"))
+      .exists(_.deletionVector.isDefined))
+    assert(t.snapshot.files.filterNot(_.partitionValues.get("grp").contains("2"))
+      .forall(_.deletionVector.isEmpty))
+
+    // UPDATE is copy-on-write: the rewritten partition files drop their DV
+    // and deleted rows stay deleted through the rewrite
+    t.update("grp = 2", Map("s" -> "'upd'"))
+    assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
+    assert(t.toDF.agg(sum("id")).as[Long].head() === expected.map(_.toLong).sum)
+    assert(t.toDF.filter(col("grp") === 2 && col("s") =!= "upd").count() === 0L)
+  }
+
+  test("DVs survive checkpoints (written and replayed)") {
+    val loc = TestSpark.tmpDir("dvckpt")
+    DeltaLogWriter.create(spark, loc, sample.repartition(3),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    t.delete("id >= 90")
+    DeltaLogWriter.writeCheckpoint(spark, loc, t.version, 100000)
+    // drop the JSON commits: the checkpoint alone must reconstruct the DVs
+    Files.list(Paths.get(loc, "_delta_log")).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.toString.endsWith(".json") && !p.getFileName.toString.startsWith("."))
+      .foreach(Files.delete)
+    val back = DeltaLog.toDF(spark, loc)
+    assert(back.count() === 90L)
+    assert(back.agg(max("id")).as[Long].head() === 89L)
+  }
+
+  test("foreign log with a path-stored DV and protocol 3/7 reads correctly") {
+    val loc = TestSpark.tmpDir("dvforeign")
+    // stage one parquet data file the way a foreign writer would
+    val df = (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val stage = TestSpark.tmpDir("dvforeign-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(loc))
+    Files.move(part, Paths.get(loc, "data-0.parquet"))
+    val size = Files.size(Paths.get(loc, "data-0.parquet"))
+    // DV via our writer (same bytes a conforming engine would produce)
+    val desc = writeDvFile(spark, loc, Seq(Bitmap64(Seq(1L, 3L, 5L, 7L)))).head
+    val schemaJson = df.schema.json.replace("\"", "\\\"")
+    val dvJson = s"""{"storageType":"u","pathOrInlineDv":"${desc.pathOrInlineDv}",""" +
+      s""""offset":${desc.offset.get},"sizeInBytes":${desc.sizeInBytes},"cardinality":4}"""
+    val log = Paths.get(loc, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve("00000000000000000000.json"), Seq(
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableDeletionVectors":"true"}}}""",
+      s"""{"add":{"path":"data-0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true,"deletionVector":$dvJson}}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val back = DeltaLog.toDF(spark, loc)
+    assert(back.count() === 16L)
+    assert(back.filter(col("id").isin(1, 3, 5, 7)).count() === 0L)
+
+    // and an inline variant of the same bitmap
+    val data = Bitmap64(Seq(0L, 2L)).serialize
+    val inline = s"""{"storageType":"i","pathOrInlineDv":"${encodeData(data)}",""" +
+      s""""sizeInBytes":${data.length},"cardinality":2}"""
+    Files.write(log.resolve("00000000000000000001.json"), Seq(
+      s"""{"remove":{"path":"data-0.parquet","deletionTimestamp":1,"dataChange":true}}""",
+      s"""{"add":{"path":"data-0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true,"deletionVector":$inline}}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    assert(DeltaLog.toDF(spark, loc).count() === 18L)
+    // live rows under 3 after the inline DV {0,2}: just id=1
+    assert(DeltaLog.toDF(spark, loc).filter(col("id") < 3).count() === 1L)
+  }
+
+  test("tables WITHOUT the property keep copy-on-write deletes") {
+    val loc = TestSpark.tmpDir("dvcow")
+    DeltaLogWriter.create(spark, loc, sample.repartition(2))
+    val t = TxTable.forForeignDelta(spark, loc)
+    t.delete("id < 10")
+    assert(t.toDF.count() === 90L)
+    assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
+  }
+}

@@ -133,11 +133,14 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(out.filter(col("p") === "y").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
-  test("protocol gating: v3 with deletion vectors rejected; benign features and name mapping pass") {
+  test("protocol gating: v3 with an unknown feature rejected; benign features and name mapping pass") {
+    // deletionVectors is an HONORED reader feature since round 5
+    // (DeletionVectorsSpec) — gating is exercised with a feature this
+    // library really cannot honor
     val loc = TestSpark.tmpDir("delta-gate")
     oneParquetFile(df1, loc, "f.parquet")
     writeLine(loc, "00000000000000000000.json", Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
       metaAction(),
       """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     intercept[UnsupportedOperationError](DeltaLog.snapshot(spark, loc))
