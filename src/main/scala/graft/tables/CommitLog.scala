@@ -52,6 +52,12 @@ private[graft] sealed trait CommitLog {
   /** Plan a distributed read over a snapshot's active files. */
   def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame
 
+  /** Stage `df`'s parquet files for a commit against `snap` (logical
+    * column names in, log-convention files out — the foreign Delta impl
+    * physicalizes column-mapped tables before writing).
+    */
+  def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile]
+
   /** Create the table at `location` with `df` as version 0. */
   def create(spark: SparkSession, location: String, df: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit
@@ -103,6 +109,9 @@ private[graft] object NativeCommitLog extends CommitLog {
     }
   }
 
+  def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
+    TxLog.stageData(spark, location, df, snap.partitionColumns)
+
   def create(spark: SparkSession, location: String, df: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit = {
     if (TxLog.exists(spark, location))
@@ -147,6 +156,13 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     // metaData action in the same commit, preserving the table's identity
     val metaChanged = schema.json != base.schema.json ||
       partitionColumns != base.partitionColumns || properties != base.properties
+    // schema evolution on a column-mapped table would need fresh column
+    // ids and physical names minted per new column (and maxColumnId
+    // bumped) — refused rather than committed half-mapped
+    if (schema.json != base.schema.json && DeltaLog.columnMappingOf(base.schema).nonEmpty)
+      throw graft.catalog.UnsupportedOperationError(
+        s"schema evolution on the column-mapped Delta table at $location is not supported; " +
+          "write with schema_evolution=STRICT")
     val metaLine: Seq[String] = if (!metaChanged) Seq.empty else {
       val (state, _) = DeltaLog.replayState(spark, location, None)
       Seq(JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
@@ -184,6 +200,9 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
 
   def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame =
     DeltaLog.dfForSnapshot(spark, location, s)
+
+  def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
+    DeltaLogWriter.stageForDelta(spark, location, df, snap)
 
   def create(spark: SparkSession, location: String, df: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit =

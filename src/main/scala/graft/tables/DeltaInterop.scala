@@ -42,17 +42,21 @@ object DeltaLog {
 
   /** Reader features this implementation actually honors when a table
     * declares protocol v3.
-    * Column mapping (name mode) IS honored read-side: physical column
-    * names from the schema metadata drive the parquet read and the stats /
-    * partition-value keys (see columnMappingOf / dfForSnapshot); id mode
-    * (parquet field-id matching) is not implemented and stays rejected.
-    * Deletion vectors ARE honored: add actions carry their descriptor and
-    * every read applies the DV row filter (see DeletionVectors).
+    * Column mapping is honored in BOTH modes: physical column names from
+    * the schema metadata drive the parquet read and the stats /
+    * partition-value keys (see columnMappingOf / mappedRead); id mode
+    * additionally matches parquet columns by field id
+    * (spark.sql.parquet.fieldId.read.enabled). Deletion vectors ARE
+    * honored: add actions carry their descriptor and every read applies
+    * the DV row filter (see DeletionVectors).
     */
   private val SupportedReaderFeatures =
     Set("timestampNtz", "vacuumProtocolCheck", "columnMapping", "deletionVectors")
 
   private[tables] val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private[tables] val ColumnIdKey = "delta.columnMapping.id"
+  /** Spark's parquet reader/writer field-id metadata key. */
+  private[tables] val ParquetFieldIdKey = "parquet.field.id"
 
   /** logical -> physical top-level column names, when the schema carries
     * column-mapping metadata (empty map = unmapped table).
@@ -63,17 +67,31 @@ object DeltaLog {
       else None
     }.toMap
 
+  private[tables] def physicalNameOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey) else f.name
+
   /** Recursively rename a type's struct fields to their physical names
-    * (nested structs carry their own mapping metadata).
+    * (nested structs carry their own mapping metadata). With
+    * `withFieldIds`, each renamed field also carries the spec's column id
+    * as `parquet.field.id` metadata, which Spark's parquet layer maps to
+    * the parquet field_id attribute — how id-mode readers/writers match
+    * columns independent of names.
     */
-  private def physicalize(dt: DataType): DataType = dt match {
+  private[tables] def physicalize(dt: DataType, withFieldIds: Boolean = false): DataType = dt match {
     case s: StructType => StructType(s.fields.map { f =>
-      val nm = if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey) else f.name
-      org.apache.spark.sql.types.StructField(nm, physicalize(f.dataType), f.nullable)
+      val nm = physicalNameOf(f)
+      val meta =
+        if (withFieldIds && f.metadata.contains(ColumnIdKey))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(ParquetFieldIdKey, f.metadata.getLong(ColumnIdKey)).build()
+        else org.apache.spark.sql.types.Metadata.empty
+      org.apache.spark.sql.types.StructField(nm, physicalize(f.dataType, withFieldIds), f.nullable, meta)
     })
-    case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = physicalize(a.elementType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = physicalize(a.elementType, withFieldIds))
     case m: org.apache.spark.sql.types.MapType =>
-      m.copy(keyType = physicalize(m.keyType), valueType = physicalize(m.valueType))
+      m.copy(keyType = physicalize(m.keyType, withFieldIds),
+        valueType = physicalize(m.valueType, withFieldIds))
     case other => other
   }
 
@@ -363,10 +381,9 @@ object DeltaLog {
         s"Delta table at $location requires reader version ${state.minReader} " +
           s"with features ${state.readerFeatures.mkString(",")}; " +
           s"supported: version <= 2 or features within ${SupportedReaderFeatures.mkString(",")}")
-    if (state.props.get("delta.columnMapping.mode").exists(m => m != "none" && m != "name"))
+    if (state.props.get("delta.columnMapping.mode").exists(m => m != "none" && m != "name" && m != "id"))
       throw UnsupportedOperationError(
-        s"Delta column mapping mode '${state.props("delta.columnMapping.mode")}' is not supported " +
-          "(name mode is readable; id mode needs parquet field-id matching)")
+        s"Delta column mapping mode '${state.props("delta.columnMapping.mode")}' is not supported")
     if (state.schemaJson == null)
       throw UnsupportedOperationError(s"Delta log at $location has no metaData action")
 
@@ -581,13 +598,17 @@ object DeltaLog {
     }
   }
 
-  /** Read a name-mode column-mapped table: data files store PHYSICAL
-    * column names (top-level and nested), so the scan reads the
-    * physicalized schema and casts each top-level column back to its
-    * logical type — struct casts rename nested fields positionally.
-    * Partition directories also use physical names, so partition values
-    * come from the (already logical-keyed) manifest, injected as literals
-    * per partition group; filters on them constant-fold at planning time.
+  /** Read a column-mapped table: data files store PHYSICAL column names
+    * (top-level and nested), so the scan reads the physicalized schema and
+    * casts each top-level column back to its logical type — struct casts
+    * rename nested fields positionally. In id mode the physicalized schema
+    * additionally carries `parquet.field.id`s and the parquet reader
+    * matches columns BY ID (spark.sql.parquet.fieldId.read.enabled), the
+    * mode's defining semantics; files without ids fall back to physical
+    * names (ignoreMissing). Partition directories also use physical names,
+    * so partition values come from the (already logical-keyed) manifest,
+    * injected as literals per partition group; filters on them
+    * constant-fold at planning time.
     */
   private def mappedRead(spark: SparkSession, location: String,
       s: TxLog.Snapshot, mapping: Map[String, String],
@@ -600,11 +621,23 @@ object DeltaLog {
         m.copy(keyType = stripMeta(m.keyType), valueType = stripMeta(m.valueType))
       case other => other
     }
+    val idMode = s.properties.get("delta.columnMapping.mode").contains("id")
+    if (idMode) {
+      // session-level switches, default-off; they only change behavior for
+      // read schemas that actually carry field ids (exactly this scan)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    }
     val dataFields = s.schema.fields.filterNot(f => s.partitionColumns.contains(f.name)).toSeq
     val physSchema = StructType(dataFields.map { f =>
+      val meta =
+        if (idMode && f.metadata.contains(ColumnIdKey))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(ParquetFieldIdKey, f.metadata.getLong(ColumnIdKey)).build()
+        else org.apache.spark.sql.types.Metadata.empty
       org.apache.spark.sql.types.StructField(
         mapping.getOrElse(f.name, f.name),
-        physicalize(f.dataType).asInstanceOf[DataType], f.nullable)
+        physicalize(f.dataType, withFieldIds = idMode).asInstanceOf[DataType], f.nullable, meta)
     })
     val groups = s.files.groupBy(_.partitionValues).toSeq
     groups.map { case (pv, files) =>
@@ -636,45 +669,96 @@ object DeltaLogWriter {
     * appendOnly is honored (the delta.appendOnly property is checked
     * below); invariants is honored by refusing tables whose schema
     * actually DECLARES an invariant (checked below — the feature being
-    * listed is common on tables with none); deletionVectors is honored:
-    * reads apply DVs, rewrites drop superseded DVs with their files, and
-    * DELETE can write them (DeltaDvWriter). Anything else
-    * (checkConstraints, generatedColumns, column mapping, ...) would make
-    * our commits violate invariants other engines rely on, so such tables
-    * are refused.
+    * listed is common on tables with none); columnMapping is honored
+    * (stageForDelta writes physical names + field ids); deletionVectors is
+    * honored: reads apply DVs, rewrites drop superseded DVs with their
+    * files, and DELETE can write them (DeltaDvWriter). Anything else
+    * (checkConstraints, generatedColumns, changeDataFeed, ...) would make
+    * our commits violate invariants other engines rely on — honored "by
+    * refusal": legacy writer versions 3-6 imply those features, so such
+    * tables are writable only when the feature is not actually exercised
+    * (no constraint properties, CDF off, no generated/identity columns).
     */
   private val SupportedWriterFeatures =
-    Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants", "deletionVectors")
+    Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
+      "deletionVectors", "columnMapping")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
     */
   private[tables] def requireWritable(spark: SparkSession, location: String, forOverwrite: Boolean): Unit = {
     val (state, _) = DeltaLog.replayState(spark, location, None)
-    val versionOk = state.minWriter <= 2 ||
+    val versionOk = state.minWriter <= 6 ||
       (state.minWriter == 7 && (state.writerFeatures -- SupportedWriterFeatures).isEmpty)
     if (!versionOk)
       throw UnsupportedOperationError(
         s"Delta table at $location requires writer version ${state.minWriter} " +
           s"with features ${state.writerFeatures.mkString(",")}; " +
-          s"supported: version <= 2 or features within ${SupportedWriterFeatures.mkString(",")}")
-    // writer v2 includes column invariants, which this writer does not
-    // enforce — refuse rather than silently violate them
+          s"supported: version <= 6 or features within ${SupportedWriterFeatures.mkString(",")}")
+    // legacy versions 3-6 imply features this writer does not implement;
+    // they bind only when actually used on the table — refuse those cases
+    if (state.minWriter >= 3 || state.writerFeatures.contains("checkConstraints")) {
+      if (state.props.keys.exists(_.startsWith("delta.constraints.")))
+        throw UnsupportedOperationError(
+          s"Delta table at $location declares CHECK constraints, which this writer cannot enforce")
+    }
+    if (state.minWriter >= 4 || state.writerFeatures.contains("changeDataFeed")) {
+      if (state.props.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
+        throw UnsupportedOperationError(
+          s"Delta table at $location enables change data feed, which this writer does not produce")
+    }
+    // writer v2 includes column invariants, v4 generated columns, v6
+    // identity columns — all declared in schema metadata; refuse rather
+    // than silently violate them
     if (state.schemaJson != null) {
       val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
-      if (schema.fields.exists(f => f.metadata.contains("delta.invariants")))
+      def declares(key: String): Boolean = schema.fields.exists(_.metadata.contains(key))
+      if (declares("delta.invariants"))
         throw UnsupportedOperationError(
           s"Delta table at $location declares column invariants, which this writer cannot enforce")
+      if (declares("delta.generationExpression"))
+        throw UnsupportedOperationError(
+          s"Delta table at $location declares generated columns, which this writer cannot compute")
+      if (declares("delta.identity.start") || declares("delta.identity.step"))
+        throw UnsupportedOperationError(
+          s"Delta table at $location declares identity columns, which this writer cannot assign")
     }
     if (forOverwrite && state.props.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       throw UnsupportedOperationError(
         s"Delta table at $location is append-only (delta.appendOnly=true)")
-    // column-mapped tables are READ-only here: this writer stages files
-    // under logical column names, which a mapped table's readers would
-    // not find (physical names + field ids are required)
-    if (state.props.get("delta.columnMapping.mode").exists(m => m != "none"))
-      throw UnsupportedOperationError(
-        s"Delta table at $location uses column mapping; writes are not supported (reads are)")
+    // column-mapped tables (name and id mode) are writable: stageForDelta
+    // renames columns to their physical names and attaches parquet field
+    // ids before staging, so the files this writer publishes look exactly
+    // like a mapped writer's. Schema EVOLUTION on mapped tables is the one
+    // refused operation (new columns need fresh ids/physical names —
+    // ForeignDeltaCommitLog.tryCommit guards it).
+  }
+
+  /** Stage `df`'s data for a foreign Delta table: on a column-mapped table
+    * the parquet files must carry PHYSICAL column names (and field ids —
+    * id-mode readers match by them; Spark writes `parquet.field.id`
+    * metadata into the footer by default), and hive partition directories
+    * the physical partition names. Stats and partitionValues of the
+    * returned AddFiles come out physical-keyed — the log's convention for
+    * mapped tables (the snapshot remaps them to logical on read).
+    */
+  private[tables] def stageForDelta(spark: SparkSession, location: String,
+      df: DataFrame, snap: TxLog.Snapshot): Seq[TxLog.AddFile] = {
+    val mapping = DeltaLog.columnMappingOf(snap.schema)
+    if (mapping.isEmpty)
+      return TxLog.stageData(spark, location, df, snap.partitionColumns)
+    import org.apache.spark.sql.functions.col
+    val physCols = snap.schema.fields.toSeq.map { f =>
+      val target = DeltaLog.physicalize(f.dataType, withFieldIds = true)
+      val meta =
+        if (f.metadata.contains(DeltaLog.ColumnIdKey))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(DeltaLog.ParquetFieldIdKey, f.metadata.getLong(DeltaLog.ColumnIdKey)).build()
+        else org.apache.spark.sql.types.Metadata.empty
+      col(s"`${f.name}`").cast(target).as(DeltaLog.physicalNameOf(snap.schema(f.name)), meta)
+    }
+    val physPartCols = snap.partitionColumns.map(c => DeltaLog.physicalNameOf(snap.schema(c)))
+    TxLog.stageData(spark, location, df.select(physCols: _*), physPartCols)
   }
 
   /** Render per-file stats in Delta's typed-JSON convention (numbers as
@@ -682,8 +766,10 @@ object DeltaLogWriter {
     * FileStats collects.
     */
   private def statsJson(schema: StructType, a: TxLog.AddFile): String = {
+    // stats of a column-mapped table are keyed by PHYSICAL names — resolve
+    // the field's type through either name so values stay typed
     def typed(m: Map[String, String]): JObject = JObject(m.toList.flatMap { case (k, v) =>
-      schema.fields.find(_.name == k).map { f =>
+      schema.fields.find(f => f.name == k || DeltaLog.physicalNameOf(f) == k).map { f =>
         val jv: JValue = f.dataType match {
           case t if t.typeName == "integer" || t.typeName == "long" || t.typeName == "short" || t.typeName == "byte" =>
             v.toLongOption.map(JLong(_)).getOrElse(JString(v))
@@ -877,7 +963,7 @@ object DeltaLogWriter {
     requireWritable(spark, location, forOverwrite = false)
     val snap = DeltaLog.snapshot(spark, location)
     graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
-    val added = TxLog.stageData(spark, location, df, snap.partitionColumns)
+    val added = DeltaLogWriter.stageForDelta(spark, location, df, snap)
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("WRITE"),
@@ -918,7 +1004,7 @@ object DeltaLogWriter {
       (if (totalBytes % targetFileBytes > 0) 1 else 0))
     val clustered = graft.functions.ZOrderFunctions.clusterByZOrder(
       DeltaLog.dfForSnapshot(spark, location, snap), zorderCols, targetFiles, buckets)
-    val added = TxLog.stageData(spark, location, clustered, snap.partitionColumns)
+    val added = DeltaLogWriter.stageForDelta(spark, location, clustered, snap)
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("OPTIMIZE"),
@@ -943,7 +1029,7 @@ object DeltaLogWriter {
     requireWritable(spark, location, forOverwrite = true)
     val snap = DeltaLog.snapshot(spark, location)
     graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
-    val added = TxLog.stageData(spark, location, df, snap.partitionColumns)
+    val added = DeltaLogWriter.stageForDelta(spark, location, df, snap)
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("WRITE"),

@@ -104,7 +104,7 @@ final class TxTable(val spark: SparkSession, val location: String,
               s"concurrently (planned against v$baseVersion, now v${snap.version}); " +
               "their rows were not visible to the merge join")
       }
-      val added = TxLog.stageData(spark, location, df, snap.partitionColumns)
+      val added = log.stage(spark, location, df, snap)
       (added, removedPaths, snap.schema, snap.partitionColumns, snap.properties)
     }
 
@@ -120,14 +120,14 @@ final class TxTable(val spark: SparkSession, val location: String,
   def append(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("APPEND") { snap =>
       val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = false)
-      val added = TxLog.stageData(spark, location, alignForWrite(df, snap.partitionColumns), snap.partitionColumns)
+      val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns), snap)
       (added, Seq.empty, newSchema, snap.partitionColumns, snap.properties)
     }
 
   def overwrite(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("OVERWRITE") { snap =>
       val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
-      val added = TxLog.stageData(spark, location, alignForWrite(df, snap.partitionColumns), snap.partitionColumns)
+      val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns), snap)
       (added, snap.files.map(_.path), newSchema, snap.partitionColumns, snap.properties)
     }
 
@@ -153,7 +153,7 @@ final class TxTable(val spark: SparkSession, val location: String,
       commitWithRetry("REPLACE_WHERE") { snap =>
         val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
         val removed = matchingPartitionFiles(snap, pred)
-        val added = TxLog.stageData(spark, location, alignForWrite(df, snap.partitionColumns), snap.partitionColumns)
+        val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns), snap)
         (added, removed.map(_.path), newSchema, snap.partitionColumns, snap.properties)
       }
     } else {
@@ -163,7 +163,7 @@ final class TxTable(val spark: SparkSession, val location: String,
         // are kept — SQL/Delta replace only rows where it holds)
         val kept = dfFor(snap).filter(!coalesce(pred, lit(false)))
         val newContent = unionByNameTolerant(kept, df)
-        val added = TxLog.stageData(spark, location, alignForWrite(newContent, snap.partitionColumns), snap.partitionColumns)
+        val added = log.stage(spark, location, alignForWrite(newContent, snap.partitionColumns), snap)
         (added, snap.files.map(_.path), newSchema, snap.partitionColumns, snap.properties)
       }
     }
@@ -182,7 +182,7 @@ final class TxTable(val spark: SparkSession, val location: String,
         .map(r => snap.partitionColumns.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap)
         .toSet
       val removed = snap.files.filter(f => touched.contains(f.partitionValues))
-      val added = TxLog.stageData(spark, location, alignForWrite(df, snap.partitionColumns), snap.partitionColumns)
+      val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns), snap)
       (added, removed.map(_.path), newSchema, snap.partitionColumns, snap.properties)
     }
 
@@ -258,7 +258,7 @@ final class TxTable(val spark: SparkSession, val location: String,
       } else {
         val affected = dfForFiles(snap, maybe.map(_.path))
         val rewritten = transform(affected)
-        val added = TxLog.stageData(spark, location, rewritten, snap.partitionColumns)
+        val added = log.stage(spark, location, rewritten, snap)
         (added, maybe.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
       }
     }
@@ -291,7 +291,7 @@ final class TxTable(val spark: SparkSession, val location: String,
       val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
         (if (totalBytes % targetFileBytes > 0) 1 else 0))
       val compacted = dfFor(snap).repartition(targetFiles)
-      val added = TxLog.stageData(spark, location, compacted, snap.partitionColumns)
+      val added = log.stage(spark, location, compacted, snap)
       (added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
     }
 
@@ -313,7 +313,7 @@ final class TxTable(val spark: SparkSession, val location: String,
         (if (totalBytes % targetFileBytes > 0) 1 else 0))
       val clustered = graft.functions.ZOrderFunctions.clusterByZOrder(
         dfFor(snap), zorderCols, targetFiles, buckets)
-      val added = TxLog.stageData(spark, location, clustered, snap.partitionColumns)
+      val added = log.stage(spark, location, clustered, snap)
       (added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
     }
   }

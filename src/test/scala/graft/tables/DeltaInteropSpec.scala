@@ -396,7 +396,7 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(state.metaId != null && state.metaId.nonEmpty)
   }
 
-  test("name-mode column mapping: logical read over physical columns, stats pruning, writes refused") {
+  test("column mapping: logical reads, stats pruning, STRICT writes, id-mode field-id matching") {
     import org.apache.spark.sql.types.MetadataBuilder
     def mapped(name: String, id: Long) = new MetadataBuilder()
       .putString("delta.columnMapping.physicalName", name)
@@ -432,9 +432,29 @@ class DeltaInteropSpec extends AnyFunSuite {
     // LOGICAL predicate because the snapshot remapped them
     assert(DeltaLog.filesAfterPruning(spark, loc, "id > 5") == 1)
     assert(DeltaLog.scan(spark, loc, "id > 5").collect().map(_.getLong(0)).toSeq == Seq(7L))
-    // writes must be refused (files would carry logical names)
+
+    // STRICT writes work since round 5: the staged files carry PHYSICAL
+    // names (and field ids), so external mapped readers keep working
+    val t = TxTable.forForeignDelta(spark, loc)
+    t.append(DeltaLog.toDF(spark, loc).filter(col("id") === 7)
+      .withColumn("id", col("id") + 100))
+    val appended = DeltaLog.toDF(spark, loc)
+    assert(appended.count() === 5)
+    assert(appended.filter(col("id") === 107).select("info.name").collect()
+      .map(_.getString(0)).toSeq == Seq("d"))
+    // the new file's parquet schema uses physical names
+    val newAdd = TxTable.forForeignDelta(spark, loc).snapshot.files
+      .find(_.minValues.exists(_.get("id").contains("107"))).get
+    val physRead = spark.read.parquet(s"$loc/${newAdd.path}")
+    assert(physRead.schema.fieldNames.toSeq == Seq("col-aaa", "col-bbb"))
+    assert(physRead.select(col("`col-bbb`.`col-ccc`")).collect().map(_.getString(0)).toSeq == Seq("d"))
+    // DELETE (copy-on-write) round-trips through the mapped staging too
+    t.delete("id = 107")
+    assert(DeltaLog.toDF(spark, loc).count() === 4)
+    // schema EVOLUTION on mapped tables stays refused
     intercept[UnsupportedOperationError](
-      TxTable.forForeignDelta(spark, loc).append(out))
+      t.append(DeltaLog.toDF(spark, loc).withColumn("extra", lit(1)),
+        graft.catalog.SchemaEvolution.MERGE))
 
     // partitioned variant: partition dir and partitionValues use the
     // PHYSICAL name; the read exposes the logical partition column
@@ -459,14 +479,39 @@ class DeltaInteropSpec extends AnyFunSuite {
     // partition pruning via the manifest (logical keys after remap)
     assert(DeltaLog.filesAfterPruning(spark, locP, "p = 'y'") == 1)
 
-    // id mode stays refused
+    // id mode: columns match by parquet field id even when the FILE's
+    // column names differ from the log's physical names (the mode's
+    // defining semantics — renames touch only metadata)
+    val idMeta = (name: String, id: Long) => new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", name)
+      .putLong("delta.columnMapping.id", id).build()
+    val logicalId = StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta("col-aaa", 1)),
+      StructField("v", StringType, nullable = true, idMeta("col-vvv", 2))))
+    // file written with DIFFERENT names but matching field ids
+    val fileSchema = StructType(Seq(
+      StructField("old_id", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build()),
+      StructField("old_v", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
     val locId = TestSpark.tmpDir("delta-cmap-id")
-    oneParquetFile(p1, locId, "f1.parquet")
+    val idDf = spark.createDataFrame(
+      java.util.List.of(Row(10L, "ten"), Row(20L, "twenty")), fileSchema)
+    oneParquetFile(idDf, locId, "f1.parquet")
     writeLine(locId, "00000000000000000000.json", Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      metaAction(logicalP.json, Seq.empty, Map("delta.columnMapping.mode" -> "id")),
+      metaAction(logicalId.json, Seq.empty, Map("delta.columnMapping.mode" -> "id",
+        "delta.columnMapping.maxColumnId" -> "2")),
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    intercept[UnsupportedOperationError](DeltaLog.snapshot(spark, locId))
+    val outId = DeltaLog.toDF(spark, locId)
+    assert(outId.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(outId.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "ten"), (20L, "twenty")))
+    // id-mode STRICT append: new file carries field ids, reads back by id
+    TxTable.forForeignDelta(spark, locId).append(
+      outId.filter(col("id") === 10).withColumn("id", col("id") * 10))
+    assert(DeltaLog.toDF(spark, locId).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(10L, 20L, 100L))
   }
 
   test("TableIO dispatch: foreign Delta read, strict append, overwrite") {
