@@ -76,6 +76,13 @@ object NearDup {
 
   /** Verify candidate pairs with exact Jaccard over shingle sets; keeps
     * pairs with similarity >= threshold.
+    *
+    * Shape: ONE pass over the corpus. A two-sided join (candidates⋈sets on
+    * id_a, then again on id_b) would tokenize+shingle every document twice
+    * — there is no exchange to reuse when the small side broadcasts.
+    * Instead each pair explodes into its two member ids, the (small)
+    * member table broadcasts against a single shingle-set scan, and the
+    * pair's two sets meet again in a tiny groupBy over matched rows only.
     */
   def verifyJaccard(
       candidates: DataFrame,
@@ -86,9 +93,19 @@ object NearDup {
       threshold: Double = 0.8): DataFrame = {
     val sets = df.select(col(idCol).as("__vid"),
       graft.functions.TextNativeFunctions.shingleSet(col(textCol), shingleK).as("__set"))
-    candidates
-      .join(sets.withColumnRenamed("__vid", "id_a").withColumnRenamed("__set", "__set_a"), "id_a")
-      .join(sets.withColumnRenamed("__vid", "id_b").withColumnRenamed("__set", "__set_b"), "id_b")
+    val members = candidates.select(
+      explode(array(
+        struct(col("id_a"), col("id_b"), col("id_a").as("__vid")),
+        struct(col("id_a"), col("id_b"), col("id_b").as("__vid")))).as("m"))
+      .select(col("m.id_a"), col("m.id_b"), col("m.__vid"))
+    // no broadcast hint: members is candidate-count-sized (data-dependent);
+    // AQE sees its materialized size and broadcasts when it is small
+    members.join(sets, "__vid")
+      .groupBy("id_a", "id_b")
+      // each pair matches exactly its two member rows; which side is which
+      // does not matter to Jaccard
+      .agg(min_by(col("__set"), col("__vid")).as("__set_a"),
+        max_by(col("__set"), col("__vid")).as("__set_b"))
       .withColumn("jaccard",
         size(array_intersect(col("__set_a"), col("__set_b"))).cast(DoubleType) /
           size(array_union(col("__set_a"), col("__set_b"))).cast(DoubleType))
