@@ -185,12 +185,108 @@ case class FingerprintExpr(child: Expression, shingleK: Int, window: Int)
   override def prettyName: String = "winnow_fingerprint"
 }
 
+/** Generator (always exactly ONE output row): Gopher-style repetition
+  * statistics of a document (Rae et al. 2021 §A1.1 quality-filter shape) —
+  * duplicate-line fractions and the most frequent word bigram — fused into
+  * one pass. A single-row Generator rather than a struct-valued scalar
+  * because CollapseProject would inline a scalar into one evaluation PER
+  * EXTRACTED FIELD (see MinHashBandsGen's doc for the measured blowup).
+  *
+  * Cross-engine parity contract (the DuckDB oracle mirrors each rule):
+  * lines split on '\n' and space-trimmed (ONLY spaces — SQL TRIM
+  * semantics, not Java's), empties dropped; words split on space or
+  * newline, empties dropped; the top bigram is the most frequent, ties
+  * broken by smallest string; lengths are code-point counts (Spark
+  * length() / DuckDB LENGTH); fractions are exact integer ratios cast to
+  * double.
+  */
+case class RepetitionStatsGen(child: Expression)
+    extends UnaryExpression with CollectionGenerator with CodegenFallback {
+
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("top_bigram", StringType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
+
+  private def spaceTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    // line duplication
+    val lines = text.split('\n').iterator.map(spaceTrim).filter(_.nonEmpty).toArray
+    val nLines = lines.length.toLong
+    var lenAll = 0L
+    var lenDistinct = 0L
+    val seen = new java.util.HashSet[String]()
+    // code-point counts, matching Spark length() / DuckDB LENGTH semantics
+    def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+    var i = 0
+    while (i < lines.length) {
+      lenAll += cpLen(lines(i))
+      if (seen.add(lines(i))) lenDistinct += cpLen(lines(i))
+      i += 1
+    }
+    val dupLineFrac =
+      if (nLines == 0) 0.0 else (nLines - seen.size).toDouble / nLines.toDouble
+    val dupLineCharFrac =
+      if (lenAll == 0) 0.0 else (lenAll - lenDistinct).toDouble / lenAll.toDouble
+    // top word bigram (words split on space/newline, empties dropped —
+    // bigrams DO span line boundaries, like the oracle's regexp split)
+    val words = text.split(Array(' ', '\n')).iterator.filter(_.nonEmpty).toArray
+    var topBigram = ""
+    var topCount = 0
+    if (words.length >= 2) {
+      val counts = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j + 1 < words.length) {
+        val bg = words(j) + " " + words(j + 1)
+        val c = counts.merge(bg, 1, Integer.sum)
+        if (c > topCount || (c == topCount && bg.compareTo(topBigram) < 0)) {
+          topCount = c; topBigram = bg
+        }
+        j += 1
+      }
+      // the running argmax above can miss a smaller-string tie that never
+      // led; settle ties exactly in one ordered pass
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == topCount && e.getKey.compareTo(topBigram) < 0) topBigram = e.getKey
+      }
+    }
+    val topFrac =
+      if (text.isEmpty || topCount == 0) 0.0
+      else (topCount.toLong * cpLen(topBigram)).toDouble / cpLen(text).toDouble
+    Iterator.single(InternalRow(
+      nLines, dupLineFrac, dupLineCharFrac, UTF8String.fromString(topBigram), topFrac))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
+}
+
 object TextNativeFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 
   def minhashBandsGen(text: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
     toCol(MinHashBandsGen(toExpr(text), shingleK, numHashes, bands))
+
+  def repetitionStats(text: Column): Column =
+    toCol(RepetitionStatsGen(toExpr(text)))
 
   def shingleSet(text: Column, shingleK: Int): Column =
     toCol(ShingleSetExpr(toExpr(text), shingleK))

@@ -166,6 +166,61 @@ object TextQueries {
         WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
           CAST(FLOOR((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                 WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 4294967296) AS BIGINT)
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    // ---- Gopher-style repetition filters (Rae et al. 2021 §A1.1) ----
+    // duplicate-line fraction (by count and by characters) and the most
+    // frequent word bigram per document, fused into one native generator
+    // pass; the oracle rebuilds every metric from SQL list primitives.
+    // Filters like dup_line_frac > 0.3 are how production pipelines drop
+    // boilerplate/spam before training.
+    QueryDef(
+      "q80_repetition_stats",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"),
+            graft.functions.TextNativeFunctions.repetitionStats(col("text")).as(Seq(
+              "n_lines", "dup_line_frac", "dup_line_char_frac", "top_bigram", "top_bigram_frac")))
+      },
+      Some("""WITH lines AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+          FROM documents
+        ),
+        line_stats AS (
+          SELECT doc_id,
+            len(ls) AS n_lines,
+            len(list_distinct(ls)) AS n_distinct,
+            COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) AS len_all,
+            COALESCE(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0) AS len_distinct
+          FROM lines
+        ),
+        words AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '') AS ws
+          FROM documents
+        ),
+        bigrams AS (
+          SELECT doc_id,
+            unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])) AS bg
+          FROM words WHERE len(ws) >= 2
+        ),
+        bgc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams GROUP BY doc_id, bg),
+        top AS (
+          SELECT doc_id, bg, cnt,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn
+          FROM bgc
+        )
+        SELECT d.doc_id,
+          CAST(s.n_lines AS BIGINT) AS n_lines,
+          CASE WHEN s.n_lines = 0 THEN 0.0
+            ELSE CAST(s.n_lines - s.n_distinct AS DOUBLE) / CAST(s.n_lines AS DOUBLE) END AS dup_line_frac,
+          CASE WHEN s.len_all = 0 THEN 0.0
+            ELSE CAST(s.len_all - s.len_distinct AS DOUBLE) / CAST(s.len_all AS DOUBLE) END AS dup_line_char_frac,
+          COALESCE(t.bg, '') AS top_bigram,
+          CASE WHEN LENGTH(d.text) = 0 OR t.bg IS NULL THEN 0.0
+            ELSE CAST(t.cnt * LENGTH(t.bg) AS DOUBLE) / CAST(LENGTH(d.text) AS DOUBLE) END AS top_bigram_frac
+        FROM documents d
+        JOIN line_stats s USING (doc_id)
+        LEFT JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1"""))
   )
 }

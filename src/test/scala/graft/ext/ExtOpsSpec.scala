@@ -175,4 +175,38 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "candidate generation must not be a cross join")
     assert(plan.contains("Exchange hashpartitioning"), "expected a hash shuffle on band buckets")
   }
+
+  test("repetition stats: duplicate lines and top bigram, hand-checked") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a b\na b\nc d"),                 // 3 lines, "a b" twice
+      (2L, "x y x y x y"),                   // no newlines; "x y" 3x, "y x" 2x
+      (3L, ""),                              // empty
+      (4L, "  spaced  \n\nspaced")           // trims to 2 identical lines
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.TextNativeFunctions.repetitionStats(col("text")).as(Seq(
+          "n_lines", "dup_line_frac", "dup_line_char_frac", "top_bigram", "top_bigram_frac")))
+      .orderBy("doc_id").collect()
+
+    val r1 = out(0)
+    assert(r1.getLong(1) === 3L)
+    assert(r1.getDouble(2) === 1.0 / 3.0)            // one duplicate of three
+    assert(r1.getDouble(3) === 3.0 / 9.0)            // "a b" chars repeated once
+    assert(r1.getString(4) === "a b")                // "a b" 2x beats "b a","b c"... 1x
+    assert(r1.getDouble(5) === (2.0 * 3) / 11)
+
+    val r2 = out(1)
+    assert(r2.getLong(1) === 1L && r2.getDouble(2) === 0.0)
+    assert(r2.getString(4) === "x y" && r2.getDouble(5) === (3.0 * 3) / 11)
+
+    val r3 = out(2)
+    assert(r3.getLong(1) === 0L && r3.getDouble(2) === 0.0 &&
+      r3.getString(4) === "" && r3.getDouble(5) === 0.0)
+
+    val r4 = out(3)
+    assert(r4.getLong(1) === 2L)
+    assert(r4.getDouble(2) === 0.5)
+    assert(r4.getDouble(3) === 0.5)                  // "spaced" duplicated
+  }
 }
