@@ -93,4 +93,26 @@ object TextOps {
     */
   def fingerprint(text: Column, k: Int = 3, w: Int = 4): Column =
     graft.functions.TextNativeFunctions.fingerprint(text, k, w)
+
+  /** PII scrub patterns, restricted to constructs whose semantics are
+    * identical under Java regex (Spark) and RE2 (DuckDB/most engines):
+    * char classes + greedy quantifiers + ASCII \b; no lookaround, no
+    * backrefs. Shared with the q81 oracle so both engines mask in
+    * lockstep.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** Redact emails, IPv4 addresses, and phone-like digit runs — the
+    * pre-training PII scrub pass. Order matters and is fixed (email → ip →
+    * phone) so an address inside an email is never double-masked.
+    * Map-only: three codegen'd regexp_replace calls, no shuffle.
+    */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "[EMAIL]"),
+        PiiIpv4Re, "[IP]"),
+      PiiPhoneRe, "[PHONE]")
 }

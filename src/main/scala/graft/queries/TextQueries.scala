@@ -221,6 +221,51 @@ object TextQueries {
             ELSE CAST(t.cnt * LENGTH(t.bg) AS DOUBLE) / CAST(LENGTH(d.text) AS DOUBLE) END AS top_bigram_frac
         FROM documents d
         JOIN line_stats s USING (doc_id)
-        LEFT JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1"""))
+        LEFT JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1""")),
+
+    // ---- PII scrubbing (pre-training redaction pass) ----
+    // the corpus is synthetic, so a deterministic slice of documents gets
+    // PII planted (email + phone + IPv4 derived from doc_id); the masked
+    // text and per-kind mask counts must hash-match DuckDB running the
+    // SAME regexes — proving the patterns behave identically under Java
+    // regex and RE2, which is exactly the portability a scrub pass needs
+    QueryDef(
+      "q81_pii_scrub",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val planted = concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" Contact user"), col("doc_id").cast(StringType),
+              lit("@mail.example or call +1 555 010 "), col("doc_id").cast(StringType),
+              lit(" at 10.0."), (col("doc_id") % 256).cast(StringType), lit(".17 now")))
+            .otherwise(lit("")))
+        val m = graft.ext.TextOps.maskPii(planted)
+        def nMasks(tag: String) =
+          ((length(m) - length(regexp_replace(m, lit(java.util.regex.Pattern.quote(tag)), lit("")))) / tag.length)
+            .cast(LongType)
+        d.select(col("doc_id"), m.as("masked"),
+          nMasks("[EMAIL]").as("n_emails"),
+          nMasks("[IP]").as("n_ips"),
+          nMasks("[PHONE]").as("n_phones"))
+      },
+      Some(s"""WITH planted AS (
+          SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+            THEN ' Contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail.example or call +1 555 010 ' || CAST(doc_id AS VARCHAR) ||
+                 ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17 now'
+            ELSE '' END AS text
+          FROM documents
+        ), masked AS (
+          SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+            '${graft.ext.TextOps.PiiEmailRe}', '[EMAIL]', 'g'),
+            '${graft.ext.TextOps.PiiIpv4Re}', '[IP]', 'g'),
+            '${graft.ext.TextOps.PiiPhoneRe}', '[PHONE]', 'g') AS m
+          FROM planted
+        )
+        SELECT doc_id, m AS masked,
+          CAST((LENGTH(m) - LENGTH(REPLACE(m, '[EMAIL]', ''))) / 7 AS BIGINT) AS n_emails,
+          CAST((LENGTH(m) - LENGTH(REPLACE(m, '[IP]', ''))) / 4 AS BIGINT) AS n_ips,
+          CAST((LENGTH(m) - LENGTH(REPLACE(m, '[PHONE]', ''))) / 7 AS BIGINT) AS n_phones
+        FROM masked"""))
   )
 }

@@ -46,8 +46,15 @@ object TxTableSource {
     parameters.getOrElse("path",
       throw graft.catalog.UnsupportedOperationError("graft-tx source requires .load(<table path>)"))
 
+  /** Table handle with commit-log auto-dispatch, so the SAME source streams
+    * native `_graft_log` tables AND real Delta `_delta_log` tables (the
+    * shape of Delta's own streaming source).
+    */
+  private[streaming] def table(spark: SparkSession, location: String): TxTable =
+    TxTable.forAnyLocation(spark, location)
+
   private[streaming] def streamSchema(spark: SparkSession, location: String): StructType =
-    StructType(TxLog.snapshot(spark, location).schema.fields :+
+    StructType(table(spark, location).snapshot.schema.fields :+
       StructField("_commit_version", LongType, nullable = false))
 }
 
@@ -67,13 +74,15 @@ class TxTableSource(spark: SparkSession, location: String) extends Source {
 
   override val schema: StructType = TxTableSource.streamSchema(spark, location)
 
+  private val table = TxTableSource.table(spark, location)
+
   override def getOffset: Option[Offset] =
-    TxLog.latestVersion(spark, location).map(TxOffset)
+    table.log.latestVersion(spark, location).map(TxOffset)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
-    val batch = new TxTable(spark, location).changesSince(from, Some(to))
+    val batch = table.changesSince(from, Some(to))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     // the engine asserts isStreaming on the returned frame
     org.apache.spark.sql.GraftColumnBridge.streamingDataFrame(

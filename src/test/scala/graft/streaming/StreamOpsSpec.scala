@@ -132,6 +132,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(received.asScala.toSeq.sorted == Seq((4L, 2L)))
   }
 
+  test("TxTableSource streams a REAL Delta (_delta_log) table via log dispatch") {
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("txsrc-delta") + "/t"
+    val ckpt = TestSpark.tmpDir("txsrc-delta-ckpt")
+    graft.tables.DeltaLogWriter.create(spark, loc, Seq((1L, "a")).toDF("id", "s")) // v0
+    graft.tables.DeltaLogWriter.append(spark, loc, Seq((2L, "b")).toDF("id", "s")) // v1
+
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def runAvailable(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxTableSourceProvider")
+        .load(loc)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id", "_commit_version").collect()
+            .foreach(r => received.add((r.getLong(0), r.getLong(1))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    runAvailable()
+    import scala.jdk.CollectionConverters._
+    assert(received.asScala.toSeq.sorted == Seq((1L, 0L), (2L, 1L)))
+
+    // resume picks up only the new Delta commit
+    graft.tables.DeltaLogWriter.append(spark, loc, Seq((3L, "c")).toDF("id", "s")) // v2
+    received.clear()
+    runAvailable()
+    assert(received.asScala.toSeq.sorted == Seq((3L, 2L)))
+  }
+
   test("TxIncremental: durable cursor delivers each commit exactly once across batches") {
     import spark.implicits._
     val loc = TestSpark.tmpDir("txinc") + "/t"
