@@ -130,6 +130,8 @@ object InteropQueries {
         val t = graft.tables.TxTable.forForeignDelta(s, loc)
         t.delete("l_quantity <= 3")
         t.delete("l_returnflag = 'A' AND l_quantity <= 6")
+        // merge-on-read UPDATE: old rows into DVs, new versions appended
+        t.update("l_quantity = 12", Map("l_extendedprice" -> "l_extendedprice * 3"))
         DeltaLog.toDF(s, loc)
           .groupBy(col("l_returnflag"))
           .agg(
@@ -140,7 +142,7 @@ object InteropQueries {
       },
       Some(s"""SELECT l_returnflag, COUNT(*) AS n,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-          ${sqlSum("l_extendedprice")} AS revenue
+          ${sqlSum("CASE WHEN l_quantity = 12 THEN l_extendedprice * 3 ELSE l_extendedprice END")} AS revenue
         FROM lineitem
         WHERE l_quantity <= 12 AND NOT (l_quantity <= 3)
           AND NOT (l_returnflag = 'A' AND l_quantity <= 6)

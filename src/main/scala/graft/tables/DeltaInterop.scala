@@ -1061,24 +1061,43 @@ object DeltaDvWriter {
   def enabled(props: Map[String, String]): Boolean =
     props.get("delta.enableDeletionVectors").exists(_.equalsIgnoreCase("true"))
 
-  def delete(spark: SparkSession, location: String, predicate: String): Unit = {
+  def delete(spark: SparkSession, location: String, predicate: String): Unit =
+    withRetry(spark, location, "DELETE")(tryMarkDeleted(spark, location, predicate, "DELETE", None))
+
+  /** Merge-on-read UPDATE: the matching rows' physical positions join the
+    * files' deletion vectors and ONE appended file set carries the updated
+    * versions — an UPDATE of 10 rows in a 1 GB file commits a bitmap plus
+    * a 10-row file, never a rewrite. `set` follows SQL UPDATE semantics
+    * (every right-hand side reads the ORIGINAL row).
+    */
+  def update(spark: SparkSession, location: String, predicate: String,
+      set: Map[String, String]): Unit =
+    withRetry(spark, location, "UPDATE")(tryMarkDeleted(spark, location, predicate, "UPDATE", Some(set)))
+
+  private def withRetry(spark: SparkSession, location: String, op: String)(attempt: => Boolean): Unit = {
     DeltaLogWriter.requireWritable(spark, location, forOverwrite = true)
     var attempts = 0
-    while (!tryDelete(spark, location, predicate)) {
+    while (!attempt) {
       attempts += 1
       if (attempts >= 5)
-        throw new java.io.IOException(s"DV delete conflict at $location after $attempts attempts")
+        throw new java.io.IOException(s"DV $op conflict at $location after $attempts attempts")
     }
   }
 
-  private def tryDelete(spark: SparkSession, location: String, predicate: String): Boolean = {
+  /** One optimistic attempt: mark the predicate's rows deleted via DVs;
+    * for UPDATE additionally stage their transformed versions as new
+    * files in the same commit.
+    */
+  private def tryMarkDeleted(spark: SparkSession, location: String, predicate: String,
+      op: String, set: Option[Map[String, String]]): Boolean = {
     import org.apache.spark.sql.functions.{coalesce, expr}
     val snap = DeltaLog.snapshot(spark, location)
     val candidates = FileStats.survivingFiles(spark, snap, predicate)
     if (candidates.isEmpty) return true
     val df = DeltaLog.readWithRowMeta(spark, location, snap.copy(files = candidates))
     import spark.implicits._
-    val matches = df.filter(coalesce(expr(predicate), lit(false)))
+    val matchesWithMeta = df.filter(coalesce(expr(predicate), lit(false)))
+    val matches = matchesWithMeta
       .select(col(DeltaLog.FileMetaCol), col(DeltaLog.RowMetaCol))
       .as[(String, Long)]
     val perFile = matches.groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
@@ -1092,7 +1111,7 @@ object DeltaDvWriter {
       DeletionVectors.normalizedAbs(spark, location, a.path) -> a).toMap
     val merged = perFile.toSeq.map { case (abs, bytes) =>
       val add = byAbs.getOrElse(abs,
-        throw new IllegalStateException(s"DV delete matched unknown file $abs"))
+        throw new IllegalStateException(s"DV $op matched unknown file $abs"))
       val bm = DeletionVectors.Bitmap64.deserialize(bytes)
       // a file deleted from before keeps its earlier deletions
       add.deletionVector.foreach(d => bm.or(DeletionVectors.readBitmap(spark, location, d)))
@@ -1105,21 +1124,39 @@ object DeltaDvWriter {
     val descs =
       if (partial.isEmpty) Seq.empty
       else DeletionVectors.writeDvFile(spark, location, partial.map(_._2))
-    val adds = partial.zip(descs).map { case ((add, _), d) => add.copy(deletionVector = Some(d)) }
+    val dvAdds = partial.zip(descs).map { case ((add, _), d) => add.copy(deletionVector = Some(d)) }
+    // UPDATE: stage the transformed matching rows (original values feed
+    // every SET expression; all staged rows matched, so no conditional)
+    val newAdds = set match {
+      case None => Seq.empty
+      case Some(s) =>
+        val snapFields = snap.schema.fieldNames
+        s.keys.find(k => !snapFields.contains(k)).foreach { k =>
+          throw graft.catalog.UnsupportedOperationError(s"UPDATE: unknown column $k")
+        }
+        val updated = matchesWithMeta.select(snapFields.map { c =>
+          s.get(c) match {
+            case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }.toIndexedSeq: _*)
+        DeltaLogWriter.stageForDelta(spark, location, updated, snap)
+    }
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
-      "operation" -> JString("DELETE"),
+      "operation" -> JString(op),
       "operationParameters" -> JObject("predicate" -> JString(predicate))))))
     val lines = (commitInfo +: protocolUpgrade(spark, location)) ++
       merged.map { case (add, _) => DeltaLogWriter.removeAction(add.path) } ++
-      adds.map(DeltaLogWriter.addAction(snap.schema, _))
+      (dvAdds ++ newAdds).map(DeltaLogWriter.addAction(snap.schema, _))
     try {
       DeltaLogWriter.writeCommit(spark, location, snap.version + 1, lines)
       DeltaLogWriter.maybeCheckpoint(spark, location, snap.version + 1)
       true
     } catch { case _: graft.catalog.AlreadyExistsError => false }
-    // on a lost race the staged .bin is orphaned — harmless: vacuum only
-    // touches data parquet, and a fresh attempt writes a fresh UUID
+    // on a lost race the staged files are orphaned — harmless: the .bin is
+    // outside vacuum's reach, staged parquet ages out via its retention
+    // window, and a fresh attempt writes fresh UUIDs
   }
 
   /** The protocol action permitting DVs, when the table lacks it. Legacy

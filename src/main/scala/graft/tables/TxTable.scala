@@ -211,9 +211,16 @@ final class TxTable(val spark: SparkSession, val location: String,
 
   /** UPDATE t SET col = expr, ... WHERE predicate — copy-on-write with the
     * same file pruning as delete. `set` values are SQL expressions that
-    * may reference existing columns.
+    * may reference existing columns. On a foreign Delta table with
+    * `delta.enableDeletionVectors=true`, merge-on-read instead: the old
+    * rows join the files' DVs and only the updated rows are written.
     */
   def update(predicate: String, set: Map[String, String]): Unit =
+    if (log == ForeignDeltaCommitLog && DeltaDvWriter.enabled(snapshot.properties))
+      DeltaDvWriter.update(spark, location, predicate, set)
+    else updateCopyOnWrite(predicate, set)
+
+  private def updateCopyOnWrite(predicate: String, set: Map[String, String]): Unit =
     rewriteMatchingFiles("UPDATE", predicate) { affected =>
       val snapSchema = affected.schema
       set.keys.find(k => !snapSchema.fieldNames.contains(k)).foreach { k =>

@@ -158,9 +158,17 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(t.snapshot.files.filterNot(_.partitionValues.get("grp").contains("2"))
       .forall(_.deletionVector.isEmpty))
 
-    // UPDATE is copy-on-write: the rewritten partition files drop their DV
-    // and deleted rows stay deleted through the rewrite
+    // UPDATE is merge-on-read too. This one touches EVERY live row of the
+    // grp=2 files, so they come out fully-deleted — removed outright (no
+    // lingering DV) with the new versions appended; the id=2 delete holds
     t.update("grp = 2", Map("s" -> "'upd'"))
+    assert(t.toDF.agg(sum("id")).as[Long].head() === expected.map(_.toLong).sum)
+    assert(t.toDF.filter(col("grp") === 2 && col("s") =!= "upd").count() === 0L)
+    assert(t.toDF.filter(col("id") === 2).count() === 0L)
+
+    // a full rewrite (OPTIMIZE compaction) materializes the merge and
+    // drops every DV; nothing deleted comes back
+    t.optimize()
     assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
     assert(t.toDF.agg(sum("id")).as[Long].head() === expected.map(_.toLong).sum)
     assert(t.toDF.filter(col("grp") === 2 && col("s") =!= "upd").count() === 0L)
@@ -221,6 +229,33 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(DeltaLog.toDF(spark, loc).count() === 18L)
     // live rows under 3 after the inline DV {0,2}: just id=1
     assert(DeltaLog.toDF(spark, loc).filter(col("id") < 3).count() === 1L)
+  }
+
+  test("DV update: bitmap for old rows, one small append for new ones") {
+    val loc = TestSpark.tmpDir("dvupd")
+    DeltaLogWriter.create(spark, loc, sample.coalesce(1),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    val origPath = t.snapshot.files.head.path
+    t.update("id >= 95", Map("s" -> "concat('u', s)", "id" -> "id + 1000"))
+    val snap = t.snapshot
+    // the original file survives with a 5-row DV; the update landed as a
+    // separate small file
+    val orig = snap.files.find(_.path == origPath).get
+    assert(orig.deletionVector.map(_.cardinality) === Some(5L))
+    assert(snap.files.size === 2)
+    assert(t.toDF.count() === 100L)
+    assert(t.toDF.filter(col("id") >= 1095).count() === 5L)
+    // SET right-hand sides read the ORIGINAL row (id still original in s)
+    assert(t.toDF.filter(col("id") === 1099).select("s").as[String].head() === "us99")
+    // time travel: before the update everything is original
+    assert(t.toDF(0L).filter(col("id") >= 1000).count() === 0L)
+
+    // OPTIMIZE materializes the merge: DV gone, data unchanged
+    t.optimize()
+    assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
+    assert(t.toDF.count() === 100L)
+    assert(t.toDF.filter(col("id") >= 95 && col("id") < 100).count() === 0L)
   }
 
   test("tables WITHOUT the property keep copy-on-write deletes") {
