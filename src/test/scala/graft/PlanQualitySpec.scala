@@ -43,6 +43,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unused column v should be pruned from the read schema:\n$plan")
   }
 
+  test("DV-filtered Delta scans keep pushdown and whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("plan-dv")
+    graft.tables.DeltaLogWriter.create(spark, loc,
+      (1L to 100L).map(i => (i, s"s$i", i * 1.5)).toDF("id", "s", "v"),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = graft.tables.TxTable.forForeignDelta(spark, loc)
+    t.delete("id <= 5")
+    assert(t.snapshot.files.exists(_.deletionVector.isDefined))
+    val df = graft.tables.DeltaLog.toDF(spark, loc).filter(col("id") > 50L).select("id", "s")
+    assert(df.count() === 50L)
+    val plan = df.queryExecution.executedPlan.toString
+    // the user predicate still reaches the parquet reader under the DV filter
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"DV scan lost filter pushdown\n$plan")
+    // the DV row filter is codegen'd, not an interpreted barrier: the
+    // Filter carrying dvisrowlive must sit inside a `*(n)` codegen stage
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.toLowerCase.contains("dvisrowlive")),
+      s"DV filter fell out of codegen\n$plan")
+    assert(plan.toLowerCase.contains("dvisrowlive"),
+      s"expected the DV filter in the plan\n$plan")
+  }
+
   test("column pruning reaches the scan: q02 reads only needed columns") {
     val plan = planOf("q02_filter_project")
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
