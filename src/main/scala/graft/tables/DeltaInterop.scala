@@ -1084,20 +1084,17 @@ object DeltaDvWriter {
     }
   }
 
-  /** One optimistic attempt: mark the predicate's rows deleted via DVs;
-    * for UPDATE additionally stage their transformed versions as new
-    * files in the same commit.
+  /** Per-file deletion bitmaps for `marks` (rows carrying the
+    * FileMetaCol/RowMetaCol provenance columns), merged with the files'
+    * existing DVs. Returns (paths to remove, re-adds with their new DV) —
+    * files whose every physical row is now deleted come back as a plain
+    * remove. Bitmaps are built on executors; the driver receives one
+    * compact serialized bitmap per touched file.
     */
-  private def tryMarkDeleted(spark: SparkSession, location: String, predicate: String,
-      op: String, set: Option[Map[String, String]]): Boolean = {
-    import org.apache.spark.sql.functions.{coalesce, expr}
-    val snap = DeltaLog.snapshot(spark, location)
-    val candidates = FileStats.survivingFiles(spark, snap, predicate)
-    if (candidates.isEmpty) return true
-    val df = DeltaLog.readWithRowMeta(spark, location, snap.copy(files = candidates))
+  private[tables] def planDvMarks(spark: SparkSession, location: String,
+      candidates: Seq[TxLog.AddFile], marks: DataFrame): Option[(Seq[String], Seq[TxLog.AddFile])] = {
     import spark.implicits._
-    val matchesWithMeta = df.filter(coalesce(expr(predicate), lit(false)))
-    val matches = matchesWithMeta
+    val matches = marks
       .select(col(DeltaLog.FileMetaCol), col(DeltaLog.RowMetaCol))
       .as[(String, Long)]
     val perFile = matches.groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
@@ -1106,12 +1103,12 @@ object DeltaDvWriter {
         it.foreach { case (_, i) => bm.add(i) }
         (p, bm.serialize)
       }.collect()
-    if (perFile.isEmpty) return true // nothing matched after row-level filtering
+    if (perFile.isEmpty) return None
     val byAbs = candidates.map(a =>
       DeletionVectors.normalizedAbs(spark, location, a.path) -> a).toMap
     val merged = perFile.toSeq.map { case (abs, bytes) =>
       val add = byAbs.getOrElse(abs,
-        throw new IllegalStateException(s"DV $op matched unknown file $abs"))
+        throw new IllegalStateException(s"DV mark on unknown file $abs"))
       val bm = DeletionVectors.Bitmap64.deserialize(bytes)
       // a file deleted from before keeps its earlier deletions
       add.deletionVector.foreach(d => bm.or(DeletionVectors.readBitmap(spark, location, d)))
@@ -1125,6 +1122,47 @@ object DeltaDvWriter {
       if (partial.isEmpty) Seq.empty
       else DeletionVectors.writeDvFile(spark, location, partial.map(_._2))
     val dvAdds = partial.zip(descs).map { case ((add, _), d) => add.copy(deletionVector = Some(d)) }
+    Some((merged.map(_._1.path), dvAdds))
+  }
+
+  /** One Delta commit of a merge-on-read operation: removes + DV re-adds +
+    * appended files, with the protocol upgraded to permit DVs when needed.
+    * Returns false on a lost version race (staged files/bins are orphaned
+    * — harmless: the .bin is outside vacuum's reach, staged parquet ages
+    * out via the retention window, a fresh attempt writes fresh UUIDs).
+    */
+  private[tables] def commitDv(spark: SparkSession, location: String, baseVersion: Long,
+      op: String, predicate: String, schema: StructType,
+      removedPaths: Seq[String], adds: Seq[TxLog.AddFile]): Boolean = {
+    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(System.currentTimeMillis()),
+      "operation" -> JString(op),
+      "operationParameters" -> JObject("predicate" -> JString(predicate))))))
+    val lines = (commitInfo +: protocolUpgrade(spark, location)) ++
+      removedPaths.map(DeltaLogWriter.removeAction) ++
+      adds.map(DeltaLogWriter.addAction(schema, _))
+    try {
+      DeltaLogWriter.writeCommit(spark, location, baseVersion + 1, lines)
+      DeltaLogWriter.maybeCheckpoint(spark, location, baseVersion + 1)
+      true
+    } catch { case _: graft.catalog.AlreadyExistsError => false }
+  }
+
+  /** One optimistic attempt: mark the predicate's rows deleted via DVs;
+    * for UPDATE additionally stage their transformed versions as new
+    * files in the same commit.
+    */
+  private def tryMarkDeleted(spark: SparkSession, location: String, predicate: String,
+      op: String, set: Option[Map[String, String]]): Boolean = {
+    import org.apache.spark.sql.functions.{coalesce, expr}
+    val snap = DeltaLog.snapshot(spark, location)
+    val candidates = FileStats.survivingFiles(spark, snap, predicate)
+    if (candidates.isEmpty) return true
+    val df = DeltaLog.readWithRowMeta(spark, location, snap.copy(files = candidates))
+    val matchesWithMeta = df.filter(coalesce(expr(predicate), lit(false)))
+    val planned = planDvMarks(spark, location, candidates, matchesWithMeta)
+    if (planned.isEmpty) return true // nothing matched after row-level filtering
+    val (removedPaths, dvAdds) = planned.get
     // UPDATE: stage the transformed matching rows (original values feed
     // every SET expression; all staged rows matched, so no conditional)
     val newAdds = set match {
@@ -1142,21 +1180,8 @@ object DeltaDvWriter {
         }.toIndexedSeq: _*)
         DeltaLogWriter.stageForDelta(spark, location, updated, snap)
     }
-    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
-      "timestamp" -> JLong(System.currentTimeMillis()),
-      "operation" -> JString(op),
-      "operationParameters" -> JObject("predicate" -> JString(predicate))))))
-    val lines = (commitInfo +: protocolUpgrade(spark, location)) ++
-      merged.map { case (add, _) => DeltaLogWriter.removeAction(add.path) } ++
-      (dvAdds ++ newAdds).map(DeltaLogWriter.addAction(snap.schema, _))
-    try {
-      DeltaLogWriter.writeCommit(spark, location, snap.version + 1, lines)
-      DeltaLogWriter.maybeCheckpoint(spark, location, snap.version + 1)
-      true
-    } catch { case _: graft.catalog.AlreadyExistsError => false }
-    // on a lost race the staged files are orphaned — harmless: the .bin is
-    // outside vacuum's reach, staged parquet ages out via its retention
-    // window, and a fresh attempt writes fresh UUIDs
+    commitDv(spark, location, snap.version, op, predicate, snap.schema,
+      removedPaths, dvAdds ++ newAdds)
   }
 
   /** The protocol action permitting DVs, when the table lacks it. Legacy

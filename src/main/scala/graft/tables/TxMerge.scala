@@ -67,10 +67,18 @@ final class TxMerge(
     * runs against just those files' rows, and untouched files survive the
     * commit physically unchanged.
     */
-  def execute(): Unit = {
+  def execute(): Unit = executeAttempt(0)
+
+  private def executeAttempt(attempt: Int): Unit = {
     val spark = table.spark
     val snap = table.snapshot
     val targetCols = snap.schema.fieldNames.toSeq
+    // merge-on-read mode (foreign Delta + delta.enableDeletionVectors):
+    // matched target rows join their files' deletion vectors and ONLY the
+    // produced rows (updates' new versions, inserts) are written — KEEP
+    // rows never move, so merge cost scales with |changes|, not |touched
+    // files|
+    val dvMode = table.log == ForeignDeltaCommitLog && DeltaDvWriter.enabled(snap.properties)
 
     val tMark = "__graft_t_exists"
     val sMark = "__graft_s_exists"
@@ -89,12 +97,20 @@ final class TxMerge(
           .filter(rel => probe.exists(p => p.endsWith("/" + rel) || p.endsWith(rel))))
       } else None
 
-    val (targetDf, removedPaths) = touchedRelPaths match {
-      case Some(touched) =>
-        (table.dfForFiles(snap, touched), touched)
-      case None =>
-        (table.toDF, snap.files.map(_.path))
+    val touchedAddFiles: Seq[TxLog.AddFile] = touchedRelPaths match {
+      case Some(touched) => val set = touched.toSet; snap.files.filter(f => set.contains(f.path))
+      case None => snap.files
     }
+    val (targetDf, removedPaths) =
+      if (dvMode)
+        (DeltaLog.readWithRowMeta(spark, table.location,
+          snap.copy(files = touchedAddFiles)), touchedAddFiles.map(_.path))
+      else touchedRelPaths match {
+        case Some(touched) =>
+          (table.dfForFiles(snap, touched), touched)
+        case None =>
+          (table.toDF, snap.files.map(_.path))
+      }
 
     val t = targetDf
       .withColumn(tMark, lit(true))
@@ -205,6 +221,52 @@ final class TxMerge(
 
     val deletes = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => s"MD$i" } ++
       bySource.zipWithIndex.collect { case (BySourceDelete(_), i) => s"BD$i" } :+ "DROP"
+
+    if (dvMode) {
+      // two actions read the joined set (bitmap collect + append stage) —
+      // persist so the join/cardinality pass runs once
+      val cached = withAction.persist()
+      try {
+        // every non-KEEP action on an existing target row marks it deleted
+        // (updates delete the old version; inserts have no target row)
+        val dvMarks = cached
+          .filter(col(tMark).isNotNull && !col("__graft_action").isin("KEEP", "DROP"))
+          .select(col(DeltaLog.FileMetaCol), col(DeltaLog.RowMetaCol))
+        val planned =
+          try DeltaDvWriter.planDvMarks(spark, table.location, touchedAddFiles, dvMarks)
+          catch {
+            case e: Throwable if cardViolation(e) =>
+              throw UnsupportedOperationError(cardCheckMsg)
+          }
+        val produced = matched.zipWithIndex.collect { case (MatchedUpdate(_, _) | MatchedUpdateAll(_), i) => s"MU$i" } ++
+          notMatched.zipWithIndex.collect { case (NotMatchedInsert(_, _) | NotMatchedInsertAll(_), i) => s"NI$i" } ++
+          bySource.zipWithIndex.collect { case (BySourceUpdate(_, _), i) => s"BU$i" }
+        val newRows = cached
+          .filter(col("__graft_action").isin(produced: _*))
+          .select(targetCols.map(valueFor).toIndexedSeq: _*)
+        val newAdds =
+          if (produced.isEmpty) Seq.empty
+          else DeltaLogWriter.stageForDelta(spark, table.location, newRows, snap)
+        val (dvRemoves, dvAdds) = planned.getOrElse((Seq.empty, Seq.empty))
+        if (dvRemoves.nonEmpty || newAdds.nonEmpty) {
+          val ok = DeltaDvWriter.commitDv(spark, table.location, snap.version,
+            "MERGE", condition, snap.schema, dvRemoves, dvAdds ++ newAdds)
+          if (!ok) {
+            // lost the version race: replan everything against the fresh
+            // snapshot (same optimistic shape as the other writers)
+            if (attempt >= 4)
+              throw new java.io.IOException(
+                s"MERGE commit conflict at ${table.location} after ${attempt + 1} attempts")
+            cached.unpersist()
+            executeAttempt(attempt + 1)
+          }
+        }
+      } catch {
+        case e: Throwable if cardViolation(e) =>
+          throw UnsupportedOperationError(cardCheckMsg)
+      } finally cached.unpersist()
+      return
+    }
 
     val result = withAction
       .filter(!col("__graft_action").isin(deletes: _*))

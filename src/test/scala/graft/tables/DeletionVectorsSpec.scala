@@ -258,6 +258,49 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(t.toDF.filter(col("id") >= 95 && col("id") < 100).count() === 0L)
   }
 
+  test("DV merge: matched rows join DVs, only produced rows are written") {
+    val loc = TestSpark.tmpDir("dvmerge")
+    val target = (0 until 40).map(i => (i.toLong, s"v$i", i % 4)).toDF("id", "v", "grp")
+    DeltaLogWriter.create(spark, loc, target.repartition(2),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    val origPaths = t.snapshot.files.map(_.path).toSet
+
+    // source: updates ids 0-9 (matched), deletes ids 10-14 (matched),
+    // inserts ids 100-104 (not matched)
+    val source = ((0 until 15) ++ (100 until 105)).map(i => (i.toLong, s"s$i"))
+      .toDF("sid", "sv")
+    t.merge(source, "t.id = s.sid", sourceAlias = "s", targetAlias = "t")
+      .whenMatchedDelete(Some("s.sid >= 10"))
+      .whenMatchedUpdate(Map("v" -> "s.sv"))
+      .whenNotMatchedInsert(Map("id" -> "s.sid", "v" -> "s.sv", "grp" -> "-1"))
+      .execute()
+
+    val out = t.toDF
+    assert(out.count() === 40L - 15L + 10L + 5L) // 40 - matched(15 old gone) + 10 updated + 5 inserted
+    assert(out.filter(col("id") < 10 && col("v").startsWith("s")).count() === 10L)
+    assert(out.filter(col("id") >= 10 && col("id") < 15).count() === 0L)
+    assert(out.filter(col("grp") === -1).count() === 5L)
+    assert(out.filter(col("id") >= 15 && col("id") < 40 && !col("v").startsWith("v")).count() === 0L)
+
+    // merge-on-read shape: the original files survive (with DVs for the 15
+    // matched rows), new files carry only the 15 produced rows
+    val snap = t.snapshot
+    assert(origPaths.subsetOf(snap.files.map(_.path).toSet))
+    assert(snap.files.filter(f => origPaths.contains(f.path))
+      .flatMap(_.deletionVector).map(_.cardinality).sum === 15L)
+    // time travel shows the pre-merge table
+    assert(t.toDF(0L).count() === 40L)
+
+    // cardinality violation still raises through the DV path
+    val dupSource = Seq((0L, "x"), (0L, "y")).toDF("sid", "sv")
+    intercept[graft.catalog.UnsupportedOperationError] {
+      t.merge(dupSource, "t.id = s.sid", sourceAlias = "s", targetAlias = "t")
+        .whenMatchedUpdate(Map("v" -> "s.sv"))
+        .execute()
+    }
+  }
+
   test("tables WITHOUT the property keep copy-on-write deletes") {
     val loc = TestSpark.tmpDir("dvcow")
     DeltaLogWriter.create(spark, loc, sample.repartition(2))
