@@ -301,6 +301,64 @@ class DeletionVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized DV ops match an in-memory row model at every step") {
+    // model-based: 25 random delete/update/append/optimize/checkpoint ops
+    // through the REAL TxTable API against an in-memory row map; the table
+    // contents must equal the model after every op. Deterministic seed.
+    val rnd = new scala.util.Random(7)
+    val loc = TestSpark.tmpDir("dvmodel")
+    val model = scala.collection.mutable.LinkedHashMap[Long, (String, Int)]()
+    (0L until 200L).foreach(i => model(i) = (s"s$i", (i % 5).toInt))
+    def modelDf = model.toSeq.map { case (id, (s, g)) => (id, s, g) }.toDF("id", "s", "grp")
+    DeltaLogWriter.create(spark, loc, modelDf.repartition(3),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    var nextId = 200L
+
+    def check(step: String): Unit = {
+      val got = t.toDF.collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+      assert(got == model.toMap, s"mismatch after $step")
+    }
+
+    (1 to 25).foreach { i =>
+      rnd.nextInt(5) match {
+        case 0 =>
+          val m = 2 + rnd.nextInt(8); val r = rnd.nextInt(m)
+          t.delete(s"id % $m = $r")
+          model.filterInPlace { case (id, _) => id % m != r }
+          check(s"$i: delete id % $m = $r")
+        case 1 =>
+          val g = rnd.nextInt(5)
+          t.update(s"grp = $g", Map("s" -> "concat(s, '!')"))
+          model.mapValuesInPlace { case (_, (s, grp)) => if (grp == g) (s + "!", grp) else (s, grp) }
+          check(s"$i: update grp=$g")
+        case 2 =>
+          val fresh = (nextId until nextId + 10).map(id => (id, s"s$id", (id % 5).toInt))
+          t.append(fresh.toDF("id", "s", "grp"))
+          fresh.foreach { case (id, s, g) => model(id) = (s, g) }
+          nextId += 10
+          check(s"$i: append")
+        case 3 =>
+          t.optimize()
+          assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
+          check(s"$i: optimize")
+        case 4 =>
+          DeltaLogWriter.writeCheckpoint(spark, loc, t.version, 100000)
+          check(s"$i: checkpoint")
+      }
+    }
+
+    // checkpoint, drop the JSON tail: the state must survive replay from
+    // the checkpoint alone (DVs included)
+    DeltaLogWriter.writeCheckpoint(spark, loc, t.version, 100000)
+    Files.list(Paths.get(loc, "_delta_log")).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.toString.endsWith(".json") && !p.getFileName.toString.startsWith("."))
+      .foreach(Files.delete)
+    val got = DeltaLog.toDF(spark, loc).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    assert(got == model.toMap, "mismatch after log cleanup replay")
+  }
+
   test("tables WITHOUT the property keep copy-on-write deletes") {
     val loc = TestSpark.tmpDir("dvcow")
     DeltaLogWriter.create(spark, loc, sample.repartition(2))
