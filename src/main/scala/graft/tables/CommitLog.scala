@@ -58,6 +58,14 @@ private[graft] sealed trait CommitLog {
     */
   def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile]
 
+  /** Prepare a post-evolution schema for this log format: the foreign
+    * Delta impl mints column ids / physical names for columns added to a
+    * column-mapped table (and advances maxColumnId in the properties);
+    * identity elsewhere.
+    */
+  def evolveMapping(base: StructType, evolved: StructType,
+      props: Map[String, String]): (StructType, Map[String, String]) = (evolved, props)
+
   /** Create the table at `location` with `df` as version 0. */
   def create(spark: SparkSession, location: String, df: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit
@@ -156,13 +164,6 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     // metaData action in the same commit, preserving the table's identity
     val metaChanged = schema.json != base.schema.json ||
       partitionColumns != base.partitionColumns || properties != base.properties
-    // schema evolution on a column-mapped table would need fresh column
-    // ids and physical names minted per new column (and maxColumnId
-    // bumped) — refused rather than committed half-mapped
-    if (schema.json != base.schema.json && DeltaLog.columnMappingOf(base.schema).nonEmpty)
-      throw graft.catalog.UnsupportedOperationError(
-        s"schema evolution on the column-mapped Delta table at $location is not supported; " +
-          "write with schema_evolution=STRICT")
     val metaLine: Seq[String] = if (!metaChanged) Seq.empty else {
       val (state, _) = DeltaLog.replayState(spark, location, None)
       Seq(JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
@@ -203,6 +204,10 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
 
   def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
     DeltaLogWriter.stageForDelta(spark, location, df, snap)
+
+  override def evolveMapping(base: StructType, evolved: StructType,
+      props: Map[String, String]): (StructType, Map[String, String]) =
+    DeltaLog.evolveMapping(base, evolved, props)
 
   def create(spark: SparkSession, location: String, df: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit =

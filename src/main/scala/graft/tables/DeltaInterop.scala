@@ -70,6 +70,70 @@ object DeltaLog {
   private[tables] def physicalNameOf(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey) else f.name
 
+  private[tables] def stripMappingMeta(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, stripMappingMeta(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = stripMappingMeta(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = stripMappingMeta(m.keyType), valueType = stripMappingMeta(m.valueType))
+    case other => other
+  }
+
+  private def maxColumnIdIn(dt: DataType): Long = dt match {
+    case st: StructType => (0L +: st.fields.toSeq.map { f =>
+      math.max(if (f.metadata.contains(ColumnIdKey)) f.metadata.getLong(ColumnIdKey) else 0L,
+        maxColumnIdIn(f.dataType))
+    }).max
+    case a: org.apache.spark.sql.types.ArrayType => maxColumnIdIn(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      math.max(maxColumnIdIn(m.keyType), maxColumnIdIn(m.valueType))
+    case _ => 0L
+  }
+
+  /** Schema evolution on a column-mapped table: every NEW column (and each
+    * of its nested struct fields) gets a freshly minted column id and a
+    * UUID physical name, and `delta.columnMapping.maxColumnId` advances —
+    * the spec's requirements for adding columns under mapping. Columns
+    * already present in `base` keep their identity (same id + physical
+    * name), so existing data files stay addressable. No-op for unmapped
+    * tables and when nothing was added.
+    */
+  private[tables] def evolveMapping(base: StructType, evolved: StructType,
+      props: Map[String, String]): (StructType, Map[String, String]) = {
+    if (columnMappingOf(base).isEmpty) return (evolved, props)
+    var maxId = math.max(
+      props.get("delta.columnMapping.maxColumnId").flatMap(_.toLongOption).getOrElse(0L),
+      maxColumnIdIn(base))
+    var minted = false
+    def mintMeta(): org.apache.spark.sql.types.Metadata = {
+      maxId += 1; minted = true
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(PhysicalNameKey, s"col-${UUID.randomUUID()}")
+        .putLong(ColumnIdKey, maxId).build()
+    }
+    def mintType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, mintType(f.dataType), f.nullable, mintMeta())))
+      case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = mintType(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = mintType(m.keyType), valueType = mintType(m.valueType))
+      case other => other
+    }
+    val byName = base.fields.map(f => f.name -> f).toMap
+    val fields = evolved.fields.map { f =>
+      if (f.metadata.contains(PhysicalNameKey)) f
+      else byName.get(f.name) match {
+        // same column, same shape: keep its mapping identity
+        case Some(b) if stripMappingMeta(b.dataType) == stripMappingMeta(f.dataType) => b
+        case _ =>
+          org.apache.spark.sql.types.StructField(f.name, mintType(f.dataType), f.nullable, mintMeta())
+      }
+    }
+    val outProps =
+      if (minted) props + ("delta.columnMapping.maxColumnId" -> maxId.toString) else props
+    (StructType(fields), outProps)
+  }
+
   /** Recursively rename a type's struct fields to their physical names
     * (nested structs carry their own mapping metadata). With
     * `withFieldIds`, each renamed field also carries the spec's column id
@@ -748,14 +812,19 @@ object DeltaLogWriter {
     if (mapping.isEmpty)
       return TxLog.stageData(spark, location, df, snap.partitionColumns)
     import org.apache.spark.sql.functions.col
-    val physCols = snap.schema.fields.toSeq.map { f =>
+    // driven by the DATAFRAME's columns (a MERGE-evolution append may omit
+    // old table columns); mapping metadata comes from the table schema
+    val physCols = df.schema.fieldNames.toSeq.map { name =>
+      val f = snap.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalStateException(
+          s"stage: column $name has no mapping metadata in the table schema"))
       val target = DeltaLog.physicalize(f.dataType, withFieldIds = true)
       val meta =
         if (f.metadata.contains(DeltaLog.ColumnIdKey))
           new org.apache.spark.sql.types.MetadataBuilder()
             .putLong(DeltaLog.ParquetFieldIdKey, f.metadata.getLong(DeltaLog.ColumnIdKey)).build()
         else org.apache.spark.sql.types.Metadata.empty
-      col(s"`${f.name}`").cast(target).as(DeltaLog.physicalNameOf(snap.schema(f.name)), meta)
+      col(s"`$name`").cast(target).as(DeltaLog.physicalNameOf(f), meta)
     }
     val physPartCols = snap.partitionColumns.map(c => DeltaLog.physicalNameOf(snap.schema(c)))
     TxLog.stageData(spark, location, df.select(physCols: _*), physPartCols)

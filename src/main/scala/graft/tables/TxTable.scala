@@ -119,16 +119,20 @@ final class TxTable(val spark: SparkSession, val location: String,
 
   def append(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("APPEND") { snap =>
-      val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = false)
-      val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns), snap)
-      (added, Seq.empty, newSchema, snap.partitionColumns, snap.properties)
+      val (newSchema, newProps) = log.evolveMapping(snap.schema,
+        evolveSchema(snap.schema, df.schema, evolution, isOverwrite = false), snap.properties)
+      val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
+        snap.copy(schema = newSchema, properties = newProps))
+      (added, Seq.empty, newSchema, snap.partitionColumns, newProps)
     }
 
   def overwrite(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("OVERWRITE") { snap =>
-      val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
-      val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns), snap)
-      (added, snap.files.map(_.path), newSchema, snap.partitionColumns, snap.properties)
+      val (newSchema, newProps) = log.evolveMapping(snap.schema,
+        evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true), snap.properties)
+      val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
+        snap.copy(schema = newSchema, properties = newProps))
+      (added, snap.files.map(_.path), newSchema, snap.partitionColumns, newProps)
     }
 
   /** Overwrite only the rows matching `predicate` (Delta `replaceWhere`).
@@ -151,20 +155,24 @@ final class TxTable(val spark: SparkSession, val location: String,
     val partitionOnly = refs.nonEmpty && refs.subsetOf(snap0.partitionColumns.toSet)
     if (partitionOnly) {
       commitWithRetry("REPLACE_WHERE") { snap =>
-        val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
+        val (newSchema, newProps) = log.evolveMapping(snap.schema,
+          evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true), snap.properties)
         val removed = matchingPartitionFiles(snap, pred)
-        val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns), snap)
-        (added, removed.map(_.path), newSchema, snap.partitionColumns, snap.properties)
+        val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
+          snap.copy(schema = newSchema, properties = newProps))
+        (added, removed.map(_.path), newSchema, snap.partitionColumns, newProps)
       }
     } else {
       commitWithRetry("REPLACE_WHERE") { snap =>
-        val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
+        val (newSchema, newProps) = log.evolveMapping(snap.schema,
+          evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true), snap.properties)
         // keep rows where the predicate is not TRUE (NULL-evaluating rows
         // are kept — SQL/Delta replace only rows where it holds)
         val kept = dfFor(snap).filter(!coalesce(pred, lit(false)))
         val newContent = unionByNameTolerant(kept, df)
-        val added = log.stage(spark, location, alignForWrite(newContent, snap.partitionColumns), snap)
-        (added, snap.files.map(_.path), newSchema, snap.partitionColumns, snap.properties)
+        val added = log.stage(spark, location, alignForWrite(newContent, snap.partitionColumns),
+          snap.copy(schema = newSchema, properties = newProps))
+        (added, snap.files.map(_.path), newSchema, snap.partitionColumns, newProps)
       }
     }
   }
@@ -177,13 +185,15 @@ final class TxTable(val spark: SparkSession, val location: String,
       evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("OVERWRITE_PARTITIONS") { snap =>
       require(snap.partitionColumns.nonEmpty, "table is not partitioned")
-      val newSchema = evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true)
+      val (newSchema, newProps) = log.evolveMapping(snap.schema,
+        evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true), snap.properties)
       val touched = df.select(snap.partitionColumns.map(col).toIndexedSeq: _*).distinct().collect()
         .map(r => snap.partitionColumns.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap)
         .toSet
       val removed = snap.files.filter(f => touched.contains(f.partitionValues))
-      val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns), snap)
-      (added, removed.map(_.path), newSchema, snap.partitionColumns, snap.properties)
+      val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
+        snap.copy(schema = newSchema, properties = newProps))
+      (added, removed.map(_.path), newSchema, snap.partitionColumns, newProps)
     }
 
   def merge(source: DataFrame, condition: String,

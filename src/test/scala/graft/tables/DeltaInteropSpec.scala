@@ -451,10 +451,25 @@ class DeltaInteropSpec extends AnyFunSuite {
     // DELETE (copy-on-write) round-trips through the mapped staging too
     t.delete("id = 107")
     assert(DeltaLog.toDF(spark, loc).count() === 4)
-    // schema EVOLUTION on mapped tables stays refused
-    intercept[UnsupportedOperationError](
-      t.append(DeltaLog.toDF(spark, loc).withColumn("extra", lit(1)),
-        graft.catalog.SchemaEvolution.MERGE))
+
+    // schema EVOLUTION mints mapping identity for the new column: fresh
+    // column id + UUID physical name, maxColumnId advanced; existing
+    // columns keep theirs
+    t.append(
+      DeltaLog.toDF(spark, loc).filter(col("id") === 0).withColumn("extra", lit(9L)),
+      graft.catalog.SchemaEvolution.MERGE)
+    val evolved = TxTable.forForeignDelta(spark, loc).snapshot
+    assert(evolved.schema.fieldNames.toSeq == Seq("id", "info", "extra"))
+    val extraF = evolved.schema("extra")
+    assert(extraF.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    assert(extraF.metadata.getLong("delta.columnMapping.id") === 4L)
+    assert(evolved.schema("id").metadata.getString("delta.columnMapping.physicalName") === "col-aaa")
+    assert(evolved.properties("delta.columnMapping.maxColumnId") === "4")
+    val after = DeltaLog.toDF(spark, loc)
+    assert(after.count() === 5)
+    // old files read the new column as null; the appended row carries it
+    assert(after.filter(col("extra").isNotNull).count() === 1)
+    assert(after.filter(col("extra") === 9L).select("id").collect().map(_.getLong(0)).toSeq == Seq(0L))
 
     // partitioned variant: partition dir and partitionValues use the
     // PHYSICAL name; the read exposes the logical partition column
