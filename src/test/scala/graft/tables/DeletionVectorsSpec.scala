@@ -359,6 +359,49 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(got == model.toMap, "mismatch after log cleanup replay")
   }
 
+  test("DVs on a column-mapped table: delete and update merge-on-read") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    def mapped(name: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", name)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, mapped("col-xx", 1)),
+      StructField("v", StringType, nullable = true, mapped("col-yy", 2))))
+    val physical = StructType(Seq(StructField("col-xx", LongType), StructField("col-yy", StringType)))
+    // foreign-style mapped fixture with DVs enabled
+    val loc = TestSpark.tmpDir("dvmap")
+    val stage = TestSpark.tmpDir("dvmap-stage")
+    val data = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 30L).map(i => Row(i, s"v$i")): _*), physical)
+    data.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(loc))
+    Files.move(part, Paths.get(loc, "data-0.parquet"))
+    val size = Files.size(Paths.get(loc, "data-0.parquet"))
+    val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val log = Paths.get(loc, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve("00000000000000000000.json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2","delta.enableDeletionVectors":"true"}}}""",
+      s"""{"add":{"path":"data-0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":30}"}}"""
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val t = TxTable.forForeignDelta(spark, loc)
+    t.delete("id % 3 = 0")     // 10 rows -> DV on the mapped file
+    assert(t.toDF.count() === 20L)
+    assert(t.snapshot.files.head.deletionVector.map(_.cardinality) === Some(10L))
+    t.update("id = 1", Map("v" -> "'one'"))
+    assert(t.toDF.filter(col("v") === "one").count() === 1L)
+    assert(t.toDF.count() === 20L)
+    // the update's appended file is physical-named
+    val newAdd = t.snapshot.files.find(_.path != "data-0.parquet").get
+    val phys = spark.read.parquet(s"$loc/${newAdd.path}")
+    assert(phys.schema.fieldNames.toSeq == Seq("col-xx", "col-yy"))
+  }
+
   test("tables WITHOUT the property keep copy-on-write deletes") {
     val loc = TestSpark.tmpDir("dvcow")
     DeltaLogWriter.create(spark, loc, sample.repartition(2))
