@@ -51,7 +51,7 @@ object DeltaLog {
     * the DV row filter (see DeletionVectors).
     */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "vacuumProtocolCheck", "columnMapping", "deletionVectors")
+    Set("timestampNtz", "vacuumProtocolCheck", "columnMapping", "deletionVectors", "v2Checkpoint")
 
   private[tables] val PhysicalNameKey = "delta.columnMapping.physicalName"
   private[tables] val ColumnIdKey = "delta.columnMapping.id"
@@ -203,14 +203,34 @@ object DeltaLog {
     } catch { case NonFatal(_) => None } finally in.close()
   }
 
-  private def checkpointFiles(location: String, c: LastCheckpoint): Seq[String] =
-    c.parts match {
-      case Some(n) if n > 1 =>
-        (1 to n).map(i => new Path(logDir(location),
-          f"${c.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
-      case _ =>
-        Seq(new Path(logDir(location), f"${c.version}%020d.checkpoint.parquet").toString)
-    }
+  /** Checkpoint files for `c.version`, by listing — the only robust
+    * discovery across the three published layouts (PROTOCOL.md
+    * "Checkpoints"):
+    *   classic     `v.checkpoint.parquet`
+    *   multi-part  `v.checkpoint.iiiiiiiiii.nnnnnnnnnn.parquet`
+    *   v2          `v.checkpoint.<unique>.parquet` or `.json`
+    *                (UUID-named; actions may live in _sidecars/ files)
+    */
+  private def checkpointFiles(f: FileSystem, location: String, c: LastCheckpoint): Seq[String] = {
+    val dir = logDir(location)
+    val prefix = f"${c.version}%020d.checkpoint."
+    val names = f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") || n.endsWith(".json"))
+    def segs(n: String) = n.split('.').length
+    val classic = prefix + "parquet"
+    val multi = names.filter(n => segs(n) == 5 && n.endsWith(".parquet") &&
+      n.stripPrefix(prefix).split('.').take(2).forall(_.forall(_.isDigit)))
+    val chosen =
+      if (names.contains(classic)) Seq(classic)
+      else if (multi.nonEmpty) multi.sorted
+      else names.sorted.take(1) // v2: one UUID-named manifest
+    if (chosen.isEmpty)
+      throw graft.catalog.DoesNotExistError(
+        s"_last_checkpoint names version ${c.version} but no checkpoint file exists at $dir")
+    chosen.map(n => new Path(dir, n).toString)
+  }
 
   /** Mutable replay state shared by the checkpoint and JSON paths. Tracks
     * the full protocol action (reader AND writer sides) plus the
@@ -342,11 +362,52 @@ object DeltaLog {
     } finally in.close()
   }
 
-  /** Load a parquet checkpoint into the replay state. Checkpoints hold one
-    * action per row in add/remove/metaData/protocol struct columns; removes
-    * in a checkpoint are expired tombstones, not pending deletes.
+  /** Load a checkpoint into the replay state — classic, multi-part, or V2
+    * (PROTOCOL.md "V2 Checkpoints"): a V2 manifest (parquet or json)
+    * carries protocol/metaData plus either inline file actions or
+    * `sidecar` references to parquet files under `_delta_log/_sidecars/`
+    * that hold the add state; sidecars are replayed with the same parser.
     */
-  private def replayCheckpoint(spark: SparkSession, paths: Seq[String], state: Replay): Unit = {
+  private def replayCheckpoint(spark: SparkSession, location: String,
+      paths: Seq[String], state: Replay): Unit = {
+    val (jsonPaths, parquetPaths) = paths.partition(_.endsWith(".json"))
+    val sidecars = scala.collection.mutable.ArrayBuffer.empty[String]
+    jsonPaths.foreach { p =>
+      val f = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+      val in = f.open(new Path(p))
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { ln =>
+          val t = ln.trim
+          if (t.nonEmpty) {
+            val v = JsonMethods.parse(t)
+            applyJsonAction(state, v)
+            v \ "sidecar" \ "path" match {
+              case JString(s) => sidecars += s
+              case _ => ()
+            }
+          }
+        }
+      } finally in.close()
+    }
+    if (parquetPaths.nonEmpty) sidecars ++= replayCheckpointParquet(spark, parquetPaths, state)
+    if (sidecars.nonEmpty) {
+      val dir = new Path(logDir(location), "_sidecars")
+      val resolved = sidecars.toSeq.map { s =>
+        if (s.contains("://") || s.startsWith("/")) s else new Path(dir, decodePath(s)).toString
+      }
+      // sidecar files hold only file actions; same column parser applies
+      val more = replayCheckpointParquet(spark, resolved, state)
+      if (more.nonEmpty)
+        throw UnsupportedOperationError("nested checkpoint sidecars are not supported")
+    }
+  }
+
+  /** Parquet checkpoint/sidecar reader: one action per row in
+    * add/remove/metaData/protocol struct columns (removes are expired
+    * tombstones, not pending deletes); returns referenced sidecar paths.
+    */
+  private def replayCheckpointParquet(spark: SparkSession, paths: Seq[String],
+      state: Replay): Seq[String] = {
     val df = spark.read.parquet(paths: _*)
     val cols = df.schema.fieldNames.toSet
     def has(c: String) = cols.contains(c)
@@ -400,6 +461,10 @@ object DeltaLog {
           state.add(addFileOf(r.getString(0), pv, r.getLong(2), Option(r.getString(3)), dv))
         }
     }
+    if (has("sidecar"))
+      df.select(col("sidecar.path")).filter(col("path").isNotNull)
+        .collect().map(_.getString(0)).toSeq
+    else Seq.empty
   }
 
   /** Replay the log into a Replay state at `asOfVersion` (or latest).
@@ -426,7 +491,7 @@ object DeltaLog {
     }
     val state = new Replay
     val ckpt = lastCkpt.filter(_.version <= target)
-    ckpt.foreach(c => replayCheckpoint(spark, checkpointFiles(location, c), state))
+    ckpt.foreach(c => replayCheckpoint(spark, location, checkpointFiles(f, location, c), state))
     val from = ckpt.map(_.version).getOrElse(-1L)
     commits.filter { case (v, _) => v > from && v <= target }
       .foreach { case (_, p) => replayJsonCommit(f, p, state) }
@@ -745,7 +810,7 @@ object DeltaLogWriter {
     */
   private val SupportedWriterFeatures =
     Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
-      "deletionVectors", "columnMapping")
+      "deletionVectors", "columnMapping", "v2Checkpoint")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
@@ -925,6 +990,11 @@ object DeltaLogWriter {
 
   private[tables] def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit = {
     if (version <= 0 || version % CheckpointInterval != 0) return
+    // a v2Checkpoint table expects UUID-named V2 checkpoints; this writer
+    // emits classic ones, so on such tables it writes none — checkpoints
+    // are an optimization, replay stays correct (just O(history))
+    val (state, _) = DeltaLog.replayState(spark, location, None)
+    if (state.writerFeatures.contains("v2Checkpoint")) return
     writeCheckpoint(spark, location, version, CheckpointPartActions)
   }
 

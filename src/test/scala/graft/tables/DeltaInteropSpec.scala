@@ -134,13 +134,13 @@ class DeltaInteropSpec extends AnyFunSuite {
   }
 
   test("protocol gating: v3 with an unknown feature rejected; benign features and name mapping pass") {
-    // deletionVectors is an HONORED reader feature since round 5
-    // (DeletionVectorsSpec) — gating is exercised with a feature this
-    // library really cannot honor
+    // deletionVectors and v2Checkpoint are HONORED reader features since
+    // round 5 — gating is exercised with a feature this library really
+    // cannot honor
     val loc = TestSpark.tmpDir("delta-gate")
     oneParquetFile(df1, loc, "f.parquet")
     writeLine(loc, "00000000000000000000.json", Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""",
       metaAction(),
       """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     intercept[UnsupportedOperationError](DeltaLog.snapshot(spark, loc))
@@ -527,6 +527,99 @@ class DeltaInteropSpec extends AnyFunSuite {
       outId.filter(col("id") === 10).withColumn("id", col("id") * 10))
     assert(DeltaLog.toDF(spark, locId).orderBy("id").collect().map(_.getLong(0)).toSeq ==
       Seq(10L, 20L, 100L))
+  }
+
+  test("v2 checkpoints: UUID-named manifest, sidecar actions, json form") {
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, LongType, MapType}
+
+    def addRow(path: String, size: Long): Row =
+      Row(null, null, Row(path, Map.empty[String, String], size, 0L, true, null), null)
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("format", StructType(Seq(StructField("provider", StringType))))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    def protoRow(features: Seq[String]): Row =
+      Row(Row(3, 7, features, features), null, null, null)
+    def metaRow: Row =
+      Row(null, Row("v2fix", schemaString, Seq.empty[String], Map.empty[String, String],
+        Row("parquet")), null, null)
+
+    // ---- parquet manifest with INLINE adds (no sidecars) ----
+    val loc = TestSpark.tmpDir("delta-v2inline")
+    val sz1 = oneParquetFile(df1, loc, "d1.parquet")
+    val rows = java.util.List.of(protoRow(Seq("v2Checkpoint")), metaRow, addRow("d1.parquet", sz1))
+    oneParquetFile(spark.createDataFrame(rows, ckptSchema), loc,
+      "_delta_log/00000000000000000003.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet")
+    writeLine(loc, "_last_checkpoint_tmp", Seq.empty) // ensure log dir exists
+    java.nio.file.Files.write(Paths.get(loc, "_delta_log", "_last_checkpoint"),
+      """{"version":3,"size":3}""".getBytes(StandardCharsets.UTF_8))
+    java.nio.file.Files.delete(Paths.get(loc, "_delta_log", "_last_checkpoint_tmp"))
+    assert(DeltaLog.toDF(spark, loc).count() === 4)
+    assert(DeltaLog.snapshot(spark, loc).version === 3L)
+
+    // ---- parquet manifest whose adds live in a SIDECAR ----
+    val loc2 = TestSpark.tmpDir("delta-v2side")
+    val sz2 = oneParquetFile(df1, loc2, "d1.parquet")
+    val sz3 = oneParquetFile(df2, loc2, "d2.parquet")
+    oneParquetFile(
+      spark.createDataFrame(java.util.List.of(addRow("d1.parquet", sz2), addRow("d2.parquet", sz3)), ckptSchema),
+      loc2, "_delta_log/_sidecars/016ae953-37a9-438e-8683-9a9a4a79a395.parquet")
+    val manifest = java.util.List.of(protoRow(Seq("v2Checkpoint")), metaRow,
+      Row(null, null, null, Row("016ae953-37a9-438e-8683-9a9a4a79a395.parquet", 1L, 0L)))
+    oneParquetFile(spark.createDataFrame(manifest, ckptSchema), loc2,
+      "_delta_log/00000000000000000005.checkpoint.3a0d65cd-4056-49b8-937b-95f9e3ee90b5.parquet")
+    java.nio.file.Files.write(Paths.get(loc2, "_delta_log", "_last_checkpoint"),
+      """{"version":5,"size":4}""".getBytes(StandardCharsets.UTF_8))
+    assert(DeltaLog.toDF(spark, loc2).count() === 6)
+
+    // a json commit AFTER the checkpoint still applies on top
+    writeLine(loc2, "00000000000000000006.json", Seq(
+      """{"remove":{"path":"d2.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    assert(DeltaLog.toDF(spark, loc2).count() === 4)
+
+    // ---- JSON manifest with a sidecar reference ----
+    val loc3 = TestSpark.tmpDir("delta-v2json")
+    val sz4 = oneParquetFile(df2, loc3, "d1.parquet")
+    oneParquetFile(
+      spark.createDataFrame(java.util.List.of(addRow("d1.parquet", sz4)), ckptSchema),
+      loc3, "_delta_log/_sidecars/7d17ac10-5cc3-401b-bd1a-9c82fa5db056.parquet")
+    writeLine(loc3, "00000000000000000002.checkpoint.52212c39-df02-4d32-9c93-6e25e3109ecb.json", Seq(
+      """{"checkpointMetadata":{"version":2,"tags":{}}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaAction(),
+      """{"sidecar":{"path":"7d17ac10-5cc3-401b-bd1a-9c82fa5db056.parquet","sizeInBytes":1,"modificationTime":0}}"""))
+    java.nio.file.Files.write(Paths.get(loc3, "_delta_log", "_last_checkpoint"),
+      """{"version":2,"size":4}""".getBytes(StandardCharsets.UTF_8))
+    assert(DeltaLog.toDF(spark, loc3).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
+
+    // writes on a v2Checkpoint table commit fine but skip classic
+    // checkpointing (commit 10 would otherwise trigger one)
+    val t3 = TxTable.forForeignDelta(spark, loc3)
+    (3 to 10).foreach(_ => t3.append(df2))
+    assert(t3.toDF.count() === 2 + 8 * 2)
+    val ckptFiles = java.nio.file.Files.list(Paths.get(loc3, "_delta_log")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(n => n.contains("checkpoint") && n.endsWith(".parquet"))
+    assert(ckptFiles.isEmpty, s"classic checkpoint written on a v2Checkpoint table: ${ckptFiles.toSeq}")
   }
 
   test("TableIO dispatch: foreign Delta read, strict append, overwrite") {
