@@ -359,14 +359,22 @@ final class TxTable(val spark: SparkSession, val location: String,
     val latest = log.latestVersion(spark, location)
       .getOrElse(throw graft.catalog.DoesNotExistError(s"no log at $location"))
     val keep = scala.collection.mutable.Set.empty[String]
+    val base = new Path(location)
+    val baseUri = base.toUri.getPath.stripSuffix("/")
     val from = math.max(0L, latest - math.max(1, retainVersions) + 1)
     (from to latest).foreach { v =>
       // log-cleaned Delta histories may miss intermediate versions
-      try log.snapshot(spark, location, Some(v)).files.foreach(a => keep += a.path)
+      try log.snapshot(spark, location, Some(v)).files.foreach { a =>
+        keep += a.path
+        // a live deletion vector keeps its .bin file (which may be shared
+        // by several files' DVs — any reference retains it)
+        a.deletionVector.filter(d => d.storageType == "u" || d.storageType == "p").foreach { d =>
+          keep += DeletionVectors.absolutePath(location, d)
+            .toUri.getPath.stripPrefix(baseUri + "/")
+        }
+      }
       catch { case _: graft.catalog.DoesNotExistError => () }
     }
-    val base = new Path(location)
-    val baseUri = base.toUri.getPath.stripSuffix("/")
     val cutoffMs = System.currentTimeMillis() - math.max(0L, retentionMs)
     var deleted = 0
     val reserved = log.reservedPrefixes
@@ -375,7 +383,10 @@ final class TxTable(val spark: SparkSession, val location: String,
       val st = it.next()
       if (st.isFile) {
         val rel = st.getPath.toUri.getPath.stripPrefix(baseUri + "/")
-        val isData = rel.endsWith(".parquet") && !reserved.exists(rel.startsWith)
+        // data parquet AND deletion-vector .bin files are vacuumable;
+        // everything under the log dir is not
+        val isData = (rel.endsWith(".parquet") || rel.endsWith(".bin")) &&
+          !reserved.exists(rel.startsWith)
         if (isData && !keep.contains(rel) && st.getModificationTime < cutoffMs) {
           f.delete(st.getPath, false)
           deleted += 1

@@ -402,6 +402,26 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(phys.schema.fieldNames.toSeq == Seq("col-xx", "col-yy"))
   }
 
+  test("vacuum keeps live DV files and reclaims superseded ones") {
+    val loc = TestSpark.tmpDir("dvvac")
+    DeltaLogWriter.create(spark, loc, sample.coalesce(1),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    t.delete("id < 5")          // DV file #1
+    t.delete("id >= 95")        // DV file #2 supersedes #1 (merged bitmap)
+    def binCount = Files.list(Paths.get(loc)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .count(_.endsWith(".bin"))
+    assert(binCount === 2)
+    // retain only the latest snapshot: DV #1 is unreferenced -> reclaimed
+    val n = t.vacuum(retainVersions = 1, retentionMs = 0L, force = true)
+    assert(n >= 1)
+    assert(binCount === 1)
+    assert(t.toDF.count() === 90L)
+    // the surviving DV still applies after vacuum
+    assert(t.toDF.filter(col("id") < 5 || col("id") >= 95).count() === 0L)
+  }
+
   test("tables WITHOUT the property keep copy-on-write deletes") {
     val loc = TestSpark.tmpDir("dvcow")
     DeltaLogWriter.create(spark, loc, sample.repartition(2))
