@@ -990,12 +990,120 @@ object DeltaLogWriter {
 
   private[tables] def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit = {
     if (version <= 0 || version % CheckpointInterval != 0) return
-    // a v2Checkpoint table expects UUID-named V2 checkpoints; this writer
-    // emits classic ones, so on such tables it writes none — checkpoints
-    // are an optimization, replay stays correct (just O(history))
+    // a v2Checkpoint table expects UUID-named V2 checkpoints (a classic
+    // file there would violate the layout other readers assume)
     val (state, _) = DeltaLog.replayState(spark, location, None)
-    if (state.writerFeatures.contains("v2Checkpoint")) return
-    writeCheckpoint(spark, location, version, CheckpointPartActions)
+    if (state.writerFeatures.contains("v2Checkpoint"))
+      writeCheckpointV2(spark, location, version, CheckpointPartActions)
+    else writeCheckpoint(spark, location, version, CheckpointPartActions)
+  }
+
+  /** Write a V2 checkpoint (PROTOCOL.md "V2 Checkpoints"): a UUID-named
+    * manifest holding checkpointMetadata + protocol + metaData + sidecar
+    * references, with the add state sharded across parquet sidecar files
+    * under `_delta_log/_sidecars/` — one distributed write produces the
+    * shards, so a 100 TB manifest never serializes through one task.
+    */
+  private[tables] def writeCheckpointV2(spark: SparkSession, location: String, version: Long,
+      maxActionsPerPart: Int): Unit = {
+    val (state, _) = DeltaLog.replayState(spark, location, Some(version))
+    val snap = DeltaLog.snapshot(spark, location, Some(version))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))
+    val sidecarSchema = StructType(Seq(StructField("add", addType)))
+    val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val logD = DeltaLog.logDir(location)
+    val sidecarDir = new Path(logD, "_sidecars")
+    if (!f.exists(sidecarDir)) f.mkdirs(sidecarDir)
+
+    // shard the add state: distributed write, each part becomes a sidecar
+    val addRows = new java.util.ArrayList[Row]()
+    snap.files.foreach { a =>
+      val dvRow = a.deletionVector.map(d =>
+        Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+          d.sizeInBytes, d.cardinality)).orNull
+      addRows.add(Row(Row(a.path, a.partitionValues, a.sizeBytes,
+        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow)))
+    }
+    val k = math.max(1, (addRows.size() + maxActionsPerPart - 1) / maxActionsPerPart)
+    val tmpDir = new Path(logD, s".v2ckpt-tmp-${UUID.randomUUID()}")
+    spark.createDataFrame(addRows, sidecarSchema).repartition(k).write.parquet(tmpDir.toString)
+    val sidecars =
+      try {
+        val parts = f.listStatus(tmpDir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+        if (parts.isEmpty && addRows.size() > 0)
+          throw new java.io.IOException(s"no sidecar part under $tmpDir")
+        parts.map { p =>
+          val name = s"${UUID.randomUUID()}.parquet"
+          val dest = new Path(sidecarDir, name)
+          if (!f.rename(p, dest))
+            throw new java.io.IOException(s"failed to publish sidecar $p -> $dest")
+          (name, f.getFileStatus(dest).getLen)
+        }
+      } finally f.delete(tmpDir, true)
+
+    // the manifest: checkpointMetadata + protocol + metaData + sidecar refs
+    val manifestSchema = StructType(Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType),
+        StructField("tags", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("format", StructType(Seq(StructField("provider", StringType))))))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    val manifestRows = new java.util.ArrayList[Row]()
+    manifestRows.add(Row(Row(version, Map.empty[String, String]), null, null, null))
+    manifestRows.add(Row(null, Row(state.minReader, state.minWriter,
+      if (state.readerFeatures.isEmpty) null else state.readerFeatures.toSeq,
+      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null))
+    manifestRows.add(Row(null, null, Row(Option(state.metaId).filter(_.nonEmpty)
+      .getOrElse(UUID.randomUUID().toString), snap.schema.json,
+      snap.partitionColumns, snap.properties, Row("parquet")), null))
+    sidecars.foreach { case (name, len) =>
+      manifestRows.add(Row(null, null, null, Row(name, len, System.currentTimeMillis())))
+    }
+    val mTmp = new Path(logD, s".v2mani-tmp-${UUID.randomUUID()}")
+    spark.createDataFrame(manifestRows, manifestSchema).coalesce(1).write.parquet(mTmp.toString)
+    try {
+      val part = f.listStatus(mTmp).map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new java.io.IOException(s"no manifest part under $mTmp"))
+      val target = new Path(logD, f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet")
+      // lost the checkpoint race for this version -> another writer owns it
+      val already = f.listStatus(logD).exists(s =>
+        s.getPath.getName.startsWith(f"$version%020d.checkpoint."))
+      if (!already && f.rename(part, target)) {
+        val n = manifestRows.size() + addRows.size()
+        val lc = new Path(logD, "_last_checkpoint")
+        val out = f.create(lc, true)
+        try out.write(s"""{"version":$version,"size":$n}""".getBytes("UTF-8"))
+        finally out.close()
+      }
+    } finally f.delete(mTmp, true)
   }
 
   private[tables] def writeCheckpoint(spark: SparkSession, location: String, version: Long,

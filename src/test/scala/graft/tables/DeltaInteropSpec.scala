@@ -611,15 +611,25 @@ class DeltaInteropSpec extends AnyFunSuite {
       """{"version":2,"size":4}""".getBytes(StandardCharsets.UTF_8))
     assert(DeltaLog.toDF(spark, loc3).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
 
-    // writes on a v2Checkpoint table commit fine but skip classic
-    // checkpointing (commit 10 would otherwise trigger one)
+    // writes on a v2Checkpoint table emit a V2 checkpoint at the interval
+    // (commit 10): UUID-named manifest + sidecars, never a classic file
     val t3 = TxTable.forForeignDelta(spark, loc3)
     (3 to 10).foreach(_ => t3.append(df2))
     assert(t3.toDF.count() === 2 + 8 * 2)
     val ckptFiles = java.nio.file.Files.list(Paths.get(loc3, "_delta_log")).toArray
       .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
       .filter(n => n.contains("checkpoint") && n.endsWith(".parquet"))
-    assert(ckptFiles.isEmpty, s"classic checkpoint written on a v2Checkpoint table: ${ckptFiles.toSeq}")
+    assert(ckptFiles.nonEmpty, "no V2 checkpoint written at the interval")
+    assert(ckptFiles.forall(_.split('.').length == 4),
+      s"expected only UUID-named V2 manifests, got: ${ckptFiles.toSeq}")
+    assert(java.nio.file.Files.list(Paths.get(loc3, "_delta_log", "_sidecars")).count() >= 2)
+    // the V2 checkpoint alone reconstructs the table after log cleanup
+    java.nio.file.Files.list(Paths.get(loc3, "_delta_log")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.toString.endsWith(".json") && !p.getFileName.toString.startsWith(".") &&
+        !p.getFileName.toString.contains("checkpoint"))
+      .foreach(java.nio.file.Files.delete)
+    assert(DeltaLog.toDF(spark, loc3).count() === 2 + 8 * 2)
   }
 
   test("TableIO dispatch: foreign Delta read, strict append, overwrite") {
