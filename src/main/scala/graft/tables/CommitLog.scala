@@ -150,7 +150,10 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     DeltaLog.latestVersion(spark, location)
 
   def checkWritable(spark: SparkSession, location: String, op: String): Unit =
-    DeltaLogWriter.requireWritable(spark, location, forOverwrite = op != "APPEND")
+    DeltaLogWriter.requireWritable(spark, location,
+      // appendOnly blocks data removal, not blind appends or pure
+      // metadata commits (Delta allows property changes on such tables)
+      forOverwrite = op != "APPEND" && op != "SET_TBLPROPERTIES")
 
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],

@@ -200,6 +200,19 @@ final class TxTable(val spark: SparkSession, val location: String,
       sourceAlias: String = "s", targetAlias: String = "t"): TxMerge =
     new TxMerge(this, source, condition, sourceAlias, targetAlias)
 
+  /** ALTER TABLE SET TBLPROPERTIES: merge `props` into the table
+    * configuration (a `null`/empty value unsets a key) — a pure metadata
+    * commit, no data movement. On foreign Delta this lands as a new
+    * metaData action, so e.g. `delta.enableDeletionVectors=true` switches
+    * an existing table to merge-on-read deletes for every engine.
+    */
+  def setProperties(props: Map[String, String]): Unit =
+    commitWithRetry("SET_TBLPROPERTIES") { snap =>
+      val (unset, set) = props.partition { case (_, v) => v == null || v.isEmpty }
+      val merged = (snap.properties -- unset.keys) ++ set
+      (Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, merged)
+    }
+
   /** DELETE FROM t WHERE predicate — copy-on-write limited to files that
     * can contain matching rows (manifest stats + partition pruning); files
     * provably outside the predicate survive untouched. On a foreign Delta

@@ -429,5 +429,14 @@ class DeletionVectorsSpec extends AnyFunSuite {
     t.delete("id < 10")
     assert(t.toDF.count() === 90L)
     assert(t.snapshot.files.forall(_.deletionVector.isEmpty))
+
+    // SET TBLPROPERTIES flips the same table to merge-on-read
+    t.setProperties(Map("delta.enableDeletionVectors" -> "true"))
+    t.delete("id >= 90")
+    assert(t.toDF.count() === 80L)
+    assert(t.snapshot.files.exists(_.deletionVector.isDefined))
+    // and unsetting reverts to copy-on-write for the NEXT delete
+    t.setProperties(Map("delta.enableDeletionVectors" -> null))
+    assert(!t.snapshot.properties.contains("delta.enableDeletionVectors"))
   }
 }
