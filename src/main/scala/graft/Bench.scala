@@ -89,10 +89,45 @@ object Bench {
       } finally { spark.conf.set(bKey, prevB); spark.conf.set(sKey, prevS) }
     }
 
+    // Deletion-vector demo (diagnostic; NOT in the headline total): the
+    // same selective DELETE (~0.6% of rows) against two copies of a Delta
+    // table built from lineitem — one copy-on-write (rewrites every
+    // touched file), one merge-on-read (commits per-file bitmaps). The gap
+    // widens with file size: at 100 TB the rewrite is O(touched bytes),
+    // the DV commit O(matching rows).
+    val (cowSec, dvSec) = {
+      import org.apache.spark.sql.functions.{col, explode, lit, sequence}
+      def build(dv: Boolean): String = {
+        val loc = java.nio.file.Files.createTempDirectory(s"bench-dv-$dv").toString
+        // 4x-amplified into few big files, so the rewrite-vs-bitmap gap is
+        // about file bytes, not job overhead
+        graft.tables.DeltaLogWriter.create(spark, loc,
+          graft.queries.Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"), col("l_returnflag"))
+            .withColumn("rep", explode(sequence(lit(1), lit(4)))).repartition(2),
+          properties =
+            if (dv) Map("delta.enableDeletionVectors" -> "true") else Map.empty)
+        loc
+      }
+      def timeDelete(loc: String): Double = {
+        val t0 = System.nanoTime()
+        graft.tables.TxTable.forForeignDelta(spark, loc).delete("l_quantity = 17")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cowLoc = build(dv = false)
+      val dvLoc = build(dv = true)
+      val cow = timeDelete(cowLoc)
+      val dvT = timeDelete(dvLoc)
+      System.err.println(f"[bench] dv_demo cow_delete $cow%.2fs dv_delete $dvT%.2fs")
+      (cow, dvT)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""skew_demo":{"naive_aqe_sec":$skewAqe,"naive_noaqe_sec":$skewNoAqe,"salted_sec":$skewSalted},"sf":"$sfDir"}""")
+      s""""skew_demo":{"naive_aqe_sec":$skewAqe,"naive_noaqe_sec":$skewNoAqe,"salted_sec":$skewSalted},""" +
+      s""""dv_demo":{"cow_delete_sec":$cowSec,"dv_delete_sec":$dvSec},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
