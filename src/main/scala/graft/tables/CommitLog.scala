@@ -118,13 +118,15 @@ private[graft] object NativeCommitLog extends CommitLog {
   }
 
   def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
-    TxLog.stageData(spark, location, df, snap.partitionColumns)
+    TxLog.stageData(spark, location,
+      Constraints.enforce(df, snap.properties, snap.schema), snap.partitionColumns)
 
   def create(spark: SparkSession, location: String, df: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit = {
     if (TxLog.exists(spark, location))
       throw graft.catalog.AlreadyExistsError(s"transaction log already exists at $location")
-    val added = TxLog.stageData(spark, location, df, partitionColumns)
+    val added = TxLog.stageData(spark, location,
+      Constraints.enforce(df, properties, df.schema), partitionColumns)
     val c = TxLog.Commit(0L, System.currentTimeMillis(), "CREATE", df.schema.json,
       partitionColumns, added, Seq.empty, properties)
     if (!TxLog.tryCommit(spark, location, c))
@@ -177,7 +179,15 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
         "partitionColumns" -> JArray(partitionColumns.toList.map(JString(_))),
         "configuration" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }))))))
     }
-    val lines = (commitInfo +: metaLine) ++
+    // a commit that introduces a CHECK constraint must also make sure the
+    // protocol obliges OTHER writers to enforce it (writer v3 / the
+    // checkConstraints table feature)
+    val protoLine =
+      if (properties.keys.exists(k => k.startsWith(Constraints.PropPrefix) &&
+          !base.properties.contains(k)))
+        DeltaLogWriter.constraintProtocolUpgrade(spark, location)
+      else Seq.empty
+    val lines = (commitInfo +: (protoLine ++ metaLine)) ++
       removedPaths.map(DeltaLogWriter.removeAction) ++
       added.map(DeltaLogWriter.addAction(schema, _))
     try {
@@ -206,7 +216,10 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     DeltaLog.dfForSnapshot(spark, location, s)
 
   def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
-    DeltaLogWriter.stageForDelta(spark, location, df, snap)
+    // constraints check LOGICAL column names, before any column-mapping
+    // physicalization inside stageForDelta
+    DeltaLogWriter.stageForDelta(spark, location,
+      Constraints.enforce(df, snap.properties, snap.schema), snap)
 
   override def evolveMapping(base: StructType, evolved: StructType,
       props: Map[String, String]): (StructType, Map[String, String]) =

@@ -796,21 +796,21 @@ object DeltaLogWriter {
 
   /** Writer features this writer actually honors under protocol v7.
     * appendOnly is honored (the delta.appendOnly property is checked
-    * below); invariants is honored by refusing tables whose schema
-    * actually DECLARES an invariant (checked below — the feature being
-    * listed is common on tables with none); columnMapping is honored
+    * below); invariants and checkConstraints are ENFORCED — every staged
+    * write wraps the data in Constraints.enforce, so a violating row
+    * aborts the job before any commit; columnMapping is honored
     * (stageForDelta writes physical names + field ids); deletionVectors is
     * honored: reads apply DVs, rewrites drop superseded DVs with their
     * files, and DELETE can write them (DeltaDvWriter). Anything else
-    * (checkConstraints, generatedColumns, changeDataFeed, ...) would make
-    * our commits violate invariants other engines rely on — honored "by
-    * refusal": legacy writer versions 3-6 imply those features, so such
-    * tables are writable only when the feature is not actually exercised
-    * (no constraint properties, CDF off, no generated/identity columns).
+    * (generatedColumns, changeDataFeed, ...) would make our commits
+    * violate invariants other engines rely on — honored "by refusal":
+    * legacy writer versions 4-6 imply those features, so such tables are
+    * writable only when the feature is not actually exercised (CDF off,
+    * no generated/identity columns).
     */
   private val SupportedWriterFeatures =
     Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
-      "deletionVectors", "columnMapping", "v2Checkpoint")
+      "checkConstraints", "deletionVectors", "columnMapping", "v2Checkpoint")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
@@ -824,13 +824,10 @@ object DeltaLogWriter {
         s"Delta table at $location requires writer version ${state.minWriter} " +
           s"with features ${state.writerFeatures.mkString(",")}; " +
           s"supported: version <= 6 or features within ${SupportedWriterFeatures.mkString(",")}")
-    // legacy versions 3-6 imply features this writer does not implement;
-    // they bind only when actually used on the table — refuse those cases
-    if (state.minWriter >= 3 || state.writerFeatures.contains("checkConstraints")) {
-      if (state.props.keys.exists(_.startsWith("delta.constraints.")))
-        throw UnsupportedOperationError(
-          s"Delta table at $location declares CHECK constraints, which this writer cannot enforce")
-    }
+    // legacy versions 4-6 imply features this writer does not implement;
+    // they bind only when actually used on the table — refuse those cases.
+    // (v3 CHECK constraints and v2 invariants are implemented: every
+    // staged write enforces them via Constraints.enforce.)
     if (state.minWriter >= 4 || state.writerFeatures.contains("changeDataFeed")) {
       if (state.props.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
         throw UnsupportedOperationError(
@@ -842,9 +839,6 @@ object DeltaLogWriter {
     if (state.schemaJson != null) {
       val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
       def declares(key: String): Boolean = schema.fields.exists(_.metadata.contains(key))
-      if (declares("delta.invariants"))
-        throw UnsupportedOperationError(
-          s"Delta table at $location declares column invariants, which this writer cannot enforce")
       if (declares("delta.generationExpression"))
         throw UnsupportedOperationError(
           s"Delta table at $location declares generated columns, which this writer cannot compute")
@@ -1188,7 +1182,8 @@ object DeltaLogWriter {
       properties: Map[String, String] = Map.empty): Unit = {
     if (DeltaLog.isDeltaTable(spark, location))
       throw graft.catalog.AlreadyExistsError(s"Delta table already exists at $location")
-    val added = TxLog.stageData(spark, location, df, partitionColumns)
+    val added = TxLog.stageData(spark, location,
+      Constraints.enforce(df, properties, df.schema), partitionColumns)
     val meta = JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
       "id" -> JString(UUID.randomUUID().toString),
       "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
@@ -1210,7 +1205,8 @@ object DeltaLogWriter {
     requireWritable(spark, location, forOverwrite = false)
     val snap = DeltaLog.snapshot(spark, location)
     graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
-    val added = DeltaLogWriter.stageForDelta(spark, location, df, snap)
+    val added = DeltaLogWriter.stageForDelta(spark, location,
+      Constraints.enforce(df, snap.properties, snap.schema), snap)
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("WRITE"),
@@ -1262,6 +1258,36 @@ object DeltaLogWriter {
     maybeCheckpoint(spark, location, snap.version + 1)
   }
 
+  /** Protocol action obliging writers to enforce CHECK constraints, when
+    * the table's current protocol does not already: legacy tables bump to
+    * minWriterVersion 3 (which implies checkConstraints), table-features
+    * tables add the `checkConstraints` writer feature. Empty when already
+    * in force.
+    */
+  private[tables] def constraintProtocolUpgrade(spark: SparkSession, location: String): Seq[String] = {
+    val (state, _) = DeltaLog.replayState(spark, location, None)
+    val already = (state.minWriter >= 3 && state.minWriter <= 6) ||
+      (state.minWriter >= 7 && state.writerFeatures.contains("checkConstraints"))
+    if (already) return Seq.empty
+    val proto: JObject =
+      if (state.minWriter >= 7) {
+        val base = List[(String, JValue)](
+          "minReaderVersion" -> JInt(state.minReader),
+          "minWriterVersion" -> JInt(7))
+        val withReaders =
+          if (state.minReader >= 3)
+            base :+ ("readerFeatures" ->
+              (JArray(state.readerFeatures.toList.sorted.map(JString(_))): JValue))
+          else base
+        JObject(withReaders :+ ("writerFeatures" ->
+          (JArray((state.writerFeatures + "checkConstraints").toList.sorted.map(JString(_))): JValue)))
+      } else
+        JObject(
+          "minReaderVersion" -> JInt(state.minReader),
+          "minWriterVersion" -> JInt(3))
+    Seq(JsonMethods.compact(JsonMethods.render(JObject("protocol" -> proto))))
+  }
+
   private[tables] def removeAction(path: String): String =
     JsonMethods.compact(JsonMethods.render(JObject("remove" -> JObject(
       "path" -> JString(path),
@@ -1276,7 +1302,8 @@ object DeltaLogWriter {
     requireWritable(spark, location, forOverwrite = true)
     val snap = DeltaLog.snapshot(spark, location)
     graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
-    val added = DeltaLogWriter.stageForDelta(spark, location, df, snap)
+    val added = DeltaLogWriter.stageForDelta(spark, location,
+      Constraints.enforce(df, snap.properties, snap.schema), snap)
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("WRITE"),
@@ -1425,7 +1452,8 @@ object DeltaDvWriter {
             case None => col(c)
           }
         }.toIndexedSeq: _*)
-        DeltaLogWriter.stageForDelta(spark, location, updated, snap)
+        DeltaLogWriter.stageForDelta(spark, location,
+          Constraints.enforce(updated, snap.properties, snap.schema), snap)
     }
     commitDv(spark, location, snap.version, op, predicate, snap.schema,
       removedPaths, dvAdds ++ newAdds)

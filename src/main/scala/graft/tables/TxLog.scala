@@ -289,19 +289,21 @@ object TxLog {
         hasTimestamp(m.keyType) || hasTimestamp(m.valueType)
       case _ => false
     }
-    if (!df.schema.fields.exists(x => hasTimestamp(x.dataType))) {
-      writer.parquet(stagingDir.toString)
-    } else TsConfLock.synchronized {
-      val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-      val prevTsType = spark.conf.getOption(tsTypeKey)
-      spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
-      try writer.parquet(stagingDir.toString)
-      finally prevTsType match {
-        case Some(v) => spark.conf.set(tsTypeKey, v)
-        case None => spark.conf.unset(tsTypeKey)
-      }
-    }
+    // the write itself sits inside the try so a failed job (e.g. a CHECK
+    // constraint violation raised mid-write) cleans its staging dir up too
     try {
+      if (!df.schema.fields.exists(x => hasTimestamp(x.dataType))) {
+        writer.parquet(stagingDir.toString)
+      } else TsConfLock.synchronized {
+        val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+        val prevTsType = spark.conf.getOption(tsTypeKey)
+        spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+        try writer.parquet(stagingDir.toString)
+        finally prevTsType match {
+          case Some(v) => spark.conf.set(tsTypeKey, v)
+          case None => spark.conf.unset(tsTypeKey)
+        }
+      }
       val staged = listFilesRecursively(f, stagingDir)
         .filter(p => p.getName.endsWith(".parquet"))
       staged.map { p =>

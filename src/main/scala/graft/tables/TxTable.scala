@@ -213,6 +213,33 @@ final class TxTable(val spark: SparkSession, val location: String,
       (Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, merged)
     }
 
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (sql): existing rows are
+    * validated first (a distributed scan that aborts at the first
+    * violation, like Delta), then the constraint lands as a
+    * `delta.constraints.name` property — on foreign Delta inside a commit
+    * that also upgrades the protocol to writer v3 / the checkConstraints
+    * feature when the table lacks it, so other engines start enforcing it
+    * too. Every subsequent write through this library enforces the
+    * constraint inside the write job (Constraints.enforce).
+    */
+  def addConstraint(name: String, sql: String): Unit = {
+    Constraints.firstViolation(toDF, sql).foreach { row =>
+      throw UnsupportedOperationError(
+        s"cannot add CHECK constraint $name ($sql): an existing row violates it: $row")
+    }
+    setProperties(Map(s"${Constraints.PropPrefix}$name" -> sql))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT name (a pure metadata commit). */
+  def dropConstraint(name: String): Unit =
+    setProperties(Map(s"${Constraints.PropPrefix}$name" -> null))
+
+  /** Constraints currently in force (CHECK properties + column invariants). */
+  def constraints: Seq[(String, String)] = {
+    val s = snapshot
+    Constraints.of(s.properties, s.schema)
+  }
+
   /** DELETE FROM t WHERE predicate — copy-on-write limited to files that
     * can contain matching rows (manifest stats + partition pruning); files
     * provably outside the predicate survive untouched. On a foreign Delta
