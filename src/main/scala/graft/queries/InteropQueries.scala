@@ -146,6 +146,72 @@ object InteropQueries {
         FROM lineitem
         WHERE l_quantity <= 12 AND NOT (l_quantity <= 3)
           AND NOT (l_returnflag = 'A' AND l_quantity <= 6)
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // round-5+ change data feed: a CDF-enabled Delta table takes a DELETE
+    // and an UPDATE; tableChanges must reproduce the exact per-change-type
+    // row sets (cdc actions written by this library, read back by it), and
+    // the oracle reconstructs the same changes straight from the source
+    // parquet — delete rows, update pre- and postimages
+    QueryDef(
+      "q82_change_data_feed",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q82-cdf").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        DeltaLogWriter.create(s, loc, li.filter(col("l_quantity") <= 15),
+          properties = Map("delta.enableChangeDataFeed" -> "true"))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        t.delete("l_quantity > 10")                                        // v1: cdc deletes
+        t.update("l_quantity <= 3", Map("l_extendedprice" -> "l_extendedprice * 2")) // v2: pre/post
+        t.tableChanges(1)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("change_type"))
+      },
+      Some(s"""WITH changes AS (
+          SELECT 'delete' AS change_type, l_quantity, l_extendedprice AS price
+          FROM lineitem WHERE l_quantity > 10 AND l_quantity <= 15
+          UNION ALL
+          SELECT 'update_preimage' AS change_type, l_quantity, l_extendedprice AS price
+          FROM lineitem WHERE l_quantity <= 3
+          UNION ALL
+          SELECT 'update_postimage' AS change_type, l_quantity,
+            CAST(l_extendedprice * 2 AS DECIMAL(12,2)) AS price
+          FROM lineitem WHERE l_quantity <= 3)
+        SELECT change_type, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("price")} AS revenue
+        FROM changes GROUP BY change_type ORDER BY change_type""")),
+
+    // a compaction between two appends must be INVISIBLE to the change
+    // feed (dataChange=false actions): the feed over the whole history
+    // sees exactly the appended rows, never the rewritten bytes
+    QueryDef(
+      "q83_cdf_skips_optimize",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q83-opt").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        DeltaLogWriter.create(s, loc, li.filter(col("l_quantity") <= 8).repartition(8),
+          properties = Map("delta.enableChangeDataFeed" -> "true"))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        t.optimize()                                                        // v1: dataChange=false
+        t.append(li.filter(col("l_quantity") > 8 && col("l_quantity") <= 10)) // v2
+        t.tableChanges(0)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .orderBy(col("change_type"))
+      },
+      Some("""SELECT 'insert' AS change_type, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem WHERE l_quantity <= 10"""))
   )
 }

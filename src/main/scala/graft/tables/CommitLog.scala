@@ -32,12 +32,13 @@ private[graft] sealed trait CommitLog {
 
   /** Attempt an atomic commit at base.version+1 replacing `removedPaths`
     * with `added`. Returns false when a concurrent writer won the version
-    * race (caller replans against the new snapshot and retries).
+    * race (caller replans against the new snapshot and retries). `cdc`
+    * carries staged change-data files for CDF tables (Delta log only).
     */
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],
       schema: StructType, partitionColumns: Seq[String],
-      properties: Map[String, String]): Boolean
+      properties: Map[String, String], cdc: Seq[AddFile] = Seq.empty): Boolean
 
   /** Periodic checkpointing so snapshot replay stays O(interval). */
   def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit
@@ -87,7 +88,9 @@ private[graft] object NativeCommitLog extends CommitLog {
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],
       schema: StructType, partitionColumns: Seq[String],
-      properties: Map[String, String]): Boolean =
+      properties: Map[String, String], cdc: Seq[AddFile]): Boolean =
+    // cdc is a Delta-protocol concept; the native log's change feed is the
+    // append-oriented changesSince
     TxLog.tryCommit(spark, location, TxLog.Commit(base.version + 1,
       System.currentTimeMillis(), op, schema.json, partitionColumns,
       added, removedPaths, properties))
@@ -102,6 +105,9 @@ private[graft] object NativeCommitLog extends CommitLog {
   def addsBetween(spark: SparkSession, location: String, fromExclusive: Long,
       toInclusive: Option[Long]): Seq[(Long, Seq[AddFile])] =
     TxLog.commitsBetween(spark, location, fromExclusive, toInclusive)
+      // compaction commits rearrange bytes, not data — surfacing their
+      // adds would re-emit the whole table into change feeds / streams
+      .filterNot(c => c.operation == "OPTIMIZE" || c.operation == "ZORDER")
       .map(c => c.version -> c.added)
 
   def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame = {
@@ -160,11 +166,14 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],
       schema: StructType, partitionColumns: Seq[String],
-      properties: Map[String, String]): Boolean = {
+      properties: Map[String, String], cdc: Seq[AddFile]): Boolean = {
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString(deltaOperation(op)),
       "operationParameters" -> JObject("mode" -> JString(op))))))
+    // compaction rearranges bytes, not data: its add/remove actions carry
+    // dataChange=false so CDF readers and streaming sources skip them
+    val dataChange = op != "OPTIMIZE" && op != "ZORDER"
     // a metadata change (schema evolution, property update) must be a new
     // metaData action in the same commit, preserving the table's identity
     val metaChanged = schema.json != base.schema.json ||
@@ -179,17 +188,15 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
         "partitionColumns" -> JArray(partitionColumns.toList.map(JString(_))),
         "configuration" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }))))))
     }
-    // a commit that introduces a CHECK constraint must also make sure the
-    // protocol obliges OTHER writers to enforce it (writer v3 / the
-    // checkConstraints table feature)
-    val protoLine =
-      if (properties.keys.exists(k => k.startsWith(Constraints.PropPrefix) &&
-          !base.properties.contains(k)))
-        DeltaLogWriter.constraintProtocolUpgrade(spark, location)
-      else Seq.empty
+    // a commit that introduces a CHECK constraint or enables CDF must also
+    // make sure the protocol obliges OTHER writers to honor it (writer
+    // v3/v4 or the checkConstraints/changeDataFeed table features)
+    val protoLine = DeltaLogWriter.protocolUpgradeFor(spark, location,
+      base.properties, properties)
     val lines = (commitInfo +: (protoLine ++ metaLine)) ++
-      removedPaths.map(DeltaLogWriter.removeAction) ++
-      added.map(DeltaLogWriter.addAction(schema, _))
+      removedPaths.map(DeltaLogWriter.removeAction(_, dataChange)) ++
+      added.map(DeltaLogWriter.addAction(schema, _, dataChange)) ++
+      cdc.map(DeltaCdf.cdcAction)
     try {
       DeltaLogWriter.writeCommit(spark, location, base.version + 1, lines)
       true

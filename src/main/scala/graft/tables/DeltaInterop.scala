@@ -159,7 +159,7 @@ object DeltaLog {
     case other => other
   }
 
-  private def fs(spark: SparkSession, location: String): FileSystem =
+  private[tables] def fs(spark: SparkSession, location: String): FileSystem =
     new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
 
   def logDir(location: String): Path = new Path(location, LogDirName)
@@ -181,7 +181,7 @@ object DeltaLog {
     (c ++ k).maxOption
   }
 
-  private def listCommitFiles(f: FileSystem, location: String): Seq[(Long, Path)] = {
+  private[tables] def listCommitFiles(f: FileSystem, location: String): Seq[(Long, Path)] = {
     val dir = logDir(location)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
@@ -264,7 +264,7 @@ object DeltaLog {
   /** Delta add.path values are percent-encoded relative URIs (PROTOCOL.md
     * "Add File and Remove File"); decode to a filesystem-relative path.
     */
-  private def decodePath(p: String): String =
+  private[tables] def decodePath(p: String): String =
     try {
       val u = new java.net.URI(p)
       Option(u.getPath).filter(_.nonEmpty).getOrElse(p)
@@ -286,7 +286,7 @@ object DeltaLog {
     case _ => Map.empty
   }
 
-  private def addFileOf(path: String, partitionValues: Map[String, String],
+  private[tables] def addFileOf(path: String, partitionValues: Map[String, String],
       size: Long, stats: Option[String],
       dv: Option[DeletionVectors.Descriptor] = None): TxLog.AddFile = {
     val parsedStats = stats.filter(_.nonEmpty).flatMap { s =>
@@ -570,9 +570,29 @@ object DeltaLog {
     listCommitFiles(f, location)
       .filter { case (v, _) => v > fromExclusive && toInclusive.forall(v <= _) }
       .map { case (v, p) =>
-        val state = new Replay
-        replayJsonCommit(f, p, state)
-        v -> state.active.values.toSeq
+        // parsed directly (not via Replay) so the dataChange flag is
+        // honored: OPTIMIZE/compaction adds rearrange bytes, not data, and
+        // must not re-enter change feeds or streaming sources
+        val adds = Seq.newBuilder[TxLog.AddFile]
+        val in = f.open(p)
+        try {
+          scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { ln =>
+            val t = ln.trim
+            if (t.nonEmpty) JsonMethods.parse(t) \ "add" match {
+              case JNothing => ()
+              case a if (a \ "dataChange").extractOrElse[Boolean](true) =>
+                adds += addFileOf(
+                  (a \ "path").extract[String],
+                  (a \ "partitionValues").extractOrElse[Map[String, String]](Map.empty)
+                    .filter { case (_, x) => x != null },
+                  (a \ "size").extractOrElse[Long](0L),
+                  (a \ "stats").extractOpt[String],
+                  dvOf(a \ "deletionVector"))
+              case _ => ()
+            }
+          }
+        } finally in.close()
+        v -> adds.result()
       }
   }
 
@@ -580,7 +600,7 @@ object DeltaLog {
     * delta-rs / Delta-Spark / this writer emit), else the log file's
     * modification time — Delta OSS's default history source.
     */
-  private def commitTimestamp(f: FileSystem, p: Path): Long = {
+  private[tables] def commitTimestamp(f: FileSystem, p: Path): Long = {
     val in = f.open(p)
     val fromInfo =
       try {
@@ -810,7 +830,8 @@ object DeltaLogWriter {
     */
   private val SupportedWriterFeatures =
     Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
-      "checkConstraints", "deletionVectors", "columnMapping", "v2Checkpoint")
+      "checkConstraints", "changeDataFeed", "deletionVectors", "columnMapping",
+      "v2Checkpoint")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
@@ -824,18 +845,13 @@ object DeltaLogWriter {
         s"Delta table at $location requires writer version ${state.minWriter} " +
           s"with features ${state.writerFeatures.mkString(",")}; " +
           s"supported: version <= 6 or features within ${SupportedWriterFeatures.mkString(",")}")
-    // legacy versions 4-6 imply features this writer does not implement;
-    // they bind only when actually used on the table — refuse those cases.
-    // (v3 CHECK constraints and v2 invariants are implemented: every
-    // staged write enforces them via Constraints.enforce.)
-    if (state.minWriter >= 4 || state.writerFeatures.contains("changeDataFeed")) {
-      if (state.props.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
-        throw UnsupportedOperationError(
-          s"Delta table at $location enables change data feed, which this writer does not produce")
-    }
-    // writer v2 includes column invariants, v4 generated columns, v6
-    // identity columns — all declared in schema metadata; refuse rather
-    // than silently violate them
+    // v2 invariants and v3 CHECK constraints are ENFORCED (every staged
+    // write wraps the data in Constraints.enforce); v4 change data feed is
+    // PRODUCED (partial-rewrite commits carry cdc actions — DeltaCdf —
+    // and OPTIMIZE marks dataChange=false). The legacy-implied features
+    // that remain unimplemented — v4 generated columns, v6 identity
+    // columns — bind only when the schema actually declares them; refuse
+    // those cases rather than silently violate them.
     if (state.schemaJson != null) {
       val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
       def declares(key: String): Boolean = schema.fields.exists(_.metadata.contains(key))
@@ -939,13 +955,14 @@ object DeltaLogWriter {
     JObject(d.offset.fold(base)(o => base :+ ("offset" -> (JInt(BigInt(o)): JValue))))
   }
 
-  private[tables] def addAction(schema: StructType, a: TxLog.AddFile): String = {
+  private[tables] def addAction(schema: StructType, a: TxLog.AddFile,
+      dataChange: Boolean = true): String = {
     val base = List[(String, JValue)](
       "path" -> JString(a.path),
       "partitionValues" -> JObject(a.partitionValues.toList.map { case (k, v) => k -> JString(v) }),
       "size" -> JLong(a.sizeBytes),
       "modificationTime" -> JLong(System.currentTimeMillis()),
-      "dataChange" -> JBool(true),
+      "dataChange" -> JBool(dataChange),
       "stats" -> JString(statsJson(schema, a)))
     val withDv = a.deletionVector.fold(base)(d => base :+ ("deletionVector" -> (dvJson(d): JValue)))
     JsonMethods.compact(JsonMethods.render(JObject("add" -> JObject(withDv))))
@@ -1191,7 +1208,13 @@ object DeltaLogWriter {
       "partitionColumns" -> JArray(partitionColumns.toList.map(JString(_))),
       "configuration" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }),
       "createdTime" -> JLong(System.currentTimeMillis())))))
-    val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // a table born with CHECK constraints / CDF must oblige other writers
+    // to honor them: legacy v3 implies checkConstraints, v4 adds CDF
+    val minWriter =
+      if (DeltaCdf.enabled(properties)) 4
+      else if (properties.keys.exists(_.startsWith(Constraints.PropPrefix))) 3
+      else 2
+    val protocol = s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("WRITE"),
@@ -1258,17 +1281,27 @@ object DeltaLogWriter {
     maybeCheckpoint(spark, location, snap.version + 1)
   }
 
-  /** Protocol action obliging writers to enforce CHECK constraints, when
-    * the table's current protocol does not already: legacy tables bump to
-    * minWriterVersion 3 (which implies checkConstraints), table-features
-    * tables add the `checkConstraints` writer feature. Empty when already
-    * in force.
+  /** Protocol action obliging writers to honor features that property
+    * changes in this commit newly exercise: a first `delta.constraints.*`
+    * key needs writer v3 / checkConstraints; enabling
+    * `delta.enableChangeDataFeed` needs writer v4 / changeDataFeed. Legacy
+    * tables bump minWriterVersion (which implies the feature);
+    * table-features tables add the feature. Empty when nothing new is
+    * needed.
     */
-  private[tables] def constraintProtocolUpgrade(spark: SparkSession, location: String): Seq[String] = {
+  private[tables] def protocolUpgradeFor(spark: SparkSession, location: String,
+      baseProps: Map[String, String], nextProps: Map[String, String]): Seq[String] = {
+    val needsCheck = nextProps.keys.exists(k =>
+      k.startsWith(Constraints.PropPrefix) && !baseProps.contains(k))
+    val needsCdf = DeltaCdf.enabled(nextProps) && !DeltaCdf.enabled(baseProps)
+    if (!needsCheck && !needsCdf) return Seq.empty
     val (state, _) = DeltaLog.replayState(spark, location, None)
-    val already = (state.minWriter >= 3 && state.minWriter <= 6) ||
-      (state.minWriter >= 7 && state.writerFeatures.contains("checkConstraints"))
-    if (already) return Seq.empty
+    val legacyTarget = if (needsCdf) 4 else 3
+    val legacyOk = state.minWriter >= legacyTarget && state.minWriter <= 6
+    val features = Seq("checkConstraints").filter(_ => needsCheck) ++
+      Seq("changeDataFeed").filter(_ => needsCdf)
+    val featuresOk = state.minWriter >= 7 && features.forall(state.writerFeatures.contains)
+    if (legacyOk || featuresOk) return Seq.empty
     val proto: JObject =
       if (state.minWriter >= 7) {
         val base = List[(String, JValue)](
@@ -1280,19 +1313,19 @@ object DeltaLogWriter {
               (JArray(state.readerFeatures.toList.sorted.map(JString(_))): JValue))
           else base
         JObject(withReaders :+ ("writerFeatures" ->
-          (JArray((state.writerFeatures + "checkConstraints").toList.sorted.map(JString(_))): JValue)))
+          (JArray((state.writerFeatures ++ features).toList.sorted.map(JString(_))): JValue)))
       } else
         JObject(
           "minReaderVersion" -> JInt(state.minReader),
-          "minWriterVersion" -> JInt(3))
+          "minWriterVersion" -> JInt(math.max(state.minWriter, legacyTarget)))
     Seq(JsonMethods.compact(JsonMethods.render(JObject("protocol" -> proto))))
   }
 
-  private[tables] def removeAction(path: String): String =
+  private[tables] def removeAction(path: String, dataChange: Boolean = true): String =
     JsonMethods.compact(JsonMethods.render(JObject("remove" -> JObject(
       "path" -> JString(path),
       "deletionTimestamp" -> JLong(System.currentTimeMillis()),
-      "dataChange" -> JBool(true)))))
+      "dataChange" -> JBool(dataChange)))))
 
   /** Replace the full contents of an existing Delta table (STRICT schema
     * equality): one commit that removes every active file and adds the new
@@ -1407,14 +1440,16 @@ object DeltaDvWriter {
     */
   private[tables] def commitDv(spark: SparkSession, location: String, baseVersion: Long,
       op: String, predicate: String, schema: StructType,
-      removedPaths: Seq[String], adds: Seq[TxLog.AddFile]): Boolean = {
+      removedPaths: Seq[String], adds: Seq[TxLog.AddFile],
+      cdc: Seq[TxLog.AddFile] = Seq.empty): Boolean = {
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString(op),
       "operationParameters" -> JObject("predicate" -> JString(predicate))))))
     val lines = (commitInfo +: protocolUpgrade(spark, location)) ++
-      removedPaths.map(DeltaLogWriter.removeAction) ++
-      adds.map(DeltaLogWriter.addAction(schema, _))
+      removedPaths.map(DeltaLogWriter.removeAction(_)) ++
+      adds.map(DeltaLogWriter.addAction(schema, _)) ++
+      cdc.map(DeltaCdf.cdcAction)
     try {
       DeltaLogWriter.writeCommit(spark, location, baseVersion + 1, lines)
       DeltaLogWriter.maybeCheckpoint(spark, location, baseVersion + 1)
@@ -1439,24 +1474,38 @@ object DeltaDvWriter {
     val (removedPaths, dvAdds) = planned.get
     // UPDATE: stage the transformed matching rows (original values feed
     // every SET expression; all staged rows matched, so no conditional)
-    val newAdds = set match {
-      case None => Seq.empty
-      case Some(s) =>
-        val snapFields = snap.schema.fieldNames
-        s.keys.find(k => !snapFields.contains(k)).foreach { k =>
-          throw graft.catalog.UnsupportedOperationError(s"UPDATE: unknown column $k")
+    val snapFields = snap.schema.fieldNames
+    val updatedOpt = set.map { s =>
+      s.keys.find(k => !snapFields.contains(k)).foreach { k =>
+        throw graft.catalog.UnsupportedOperationError(s"UPDATE: unknown column $k")
+      }
+      matchesWithMeta.select(snapFields.map { c =>
+        s.get(c) match {
+          case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
+          case None => col(c)
         }
-        val updated = matchesWithMeta.select(snapFields.map { c =>
-          s.get(c) match {
-            case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
-            case None => col(c)
-          }
-        }.toIndexedSeq: _*)
-        DeltaLogWriter.stageForDelta(spark, location,
-          Constraints.enforce(updated, snap.properties, snap.schema), snap)
+      }.toIndexedSeq: _*)
     }
+    val newAdds = updatedOpt.fold(Seq.empty[TxLog.AddFile]) { updated =>
+      DeltaLogWriter.stageForDelta(spark, location,
+        Constraints.enforce(updated, snap.properties, snap.schema), snap)
+    }
+    // CDF: the marked rows out (delete / update_preimage), the staged
+    // updates in (update_postimage) — same commit, cdc actions
+    val cdcAdds =
+      if (!DeltaCdf.enabled(snap.properties)) Seq.empty
+      else {
+        val pre = matchesWithMeta
+          .select(snapFields.map(c => col(s"`$c`")).toIndexedSeq: _*)
+        val changes = updatedOpt match {
+          case None => DeltaCdf.tagged(pre, "delete")
+          case Some(updated) => DeltaCdf.tagged(pre, "update_preimage")
+            .unionByName(DeltaCdf.tagged(updated, "update_postimage"))
+        }
+        DeltaCdf.stageCdc(spark, location, changes, snap)
+      }
     commitDv(spark, location, snap.version, op, predicate, snap.schema,
-      removedPaths, dvAdds ++ newAdds)
+      removedPaths, dvAdds ++ newAdds, cdcAdds)
   }
 
   /** The protocol action permitting DVs, when the table lacks it. Legacy

@@ -222,6 +222,31 @@ final class TxMerge(
     val deletes = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => s"MD$i" } ++
       bySource.zipWithIndex.collect { case (BySourceDelete(_), i) => s"BD$i" } :+ "DROP"
 
+    // CDF (delta.enableChangeDataFeed): change rows derived from the same
+    // action column — updates emit pre+postimage, deletes the old row,
+    // inserts the new one. Reads the joined set a second time, so callers
+    // persist it first.
+    val cdfOn = table.cdfOn(snap.properties)
+    def cdcRowsOf(actioned: DataFrame): DataFrame = {
+      val updateTags = matched.zipWithIndex.collect {
+        case (MatchedUpdate(_, _) | MatchedUpdateAll(_), i) => s"MU$i" } ++
+        bySource.zipWithIndex.collect { case (BySourceUpdate(_, _), i) => s"BU$i" }
+      val deleteTags = deletes.filterNot(_ == "DROP")
+      val insertTags = notMatched.zipWithIndex.collect {
+        case (NotMatchedInsert(_, _) | NotMatchedInsertAll(_), i) => s"NI$i" }
+      val act = col("__graft_action")
+      val pre = actioned.filter(act.isin(updateTags ++ deleteTags: _*))
+        .select(targetCols.map(c =>
+          tCol(c).cast(snap.schema(c).dataType).as(c)).toIndexedSeq :+
+          when(act.isin(updateTags: _*), lit("update_preimage"))
+            .otherwise(lit("delete")).as(DeltaCdf.ChangeTypeCol): _*)
+      val post = actioned.filter(act.isin(updateTags ++ insertTags: _*))
+        .select(targetCols.map(valueFor).toIndexedSeq :+
+          when(act.isin(insertTags: _*), lit("insert"))
+            .otherwise(lit("update_postimage")).as(DeltaCdf.ChangeTypeCol): _*)
+      pre.unionByName(post)
+    }
+
     if (dvMode) {
       // two actions read the joined set (bitmap collect + append stage) —
       // persist so the join/cardinality pass runs once
@@ -247,10 +272,13 @@ final class TxMerge(
         val newAdds =
           if (produced.isEmpty) Seq.empty
           else DeltaLogWriter.stageForDelta(spark, table.location, newRows, snap)
+        val cdcAdds =
+          if (!cdfOn) Seq.empty
+          else DeltaCdf.stageCdc(spark, table.location, cdcRowsOf(cached), snap)
         val (dvRemoves, dvAdds) = planned.getOrElse((Seq.empty, Seq.empty))
         if (dvRemoves.nonEmpty || newAdds.nonEmpty) {
           val ok = DeltaDvWriter.commitDv(spark, table.location, snap.version,
-            "MERGE", condition, snap.schema, dvRemoves, dvAdds ++ newAdds)
+            "MERGE", condition, snap.schema, dvRemoves, dvAdds ++ newAdds, cdcAdds)
           if (!ok) {
             // lost the version race: replan everything against the fresh
             // snapshot (same optimistic shape as the other writers)
@@ -268,17 +296,21 @@ final class TxMerge(
       return
     }
 
-    val result = withAction
+    // with CDF on, the joined set feeds two jobs (rewrite + cdc) — persist
+    // so the join/cardinality pass runs once
+    val actioned = if (cdfOn) withAction.persist() else withAction
+    val result = actioned
       .filter(!col("__graft_action").isin(deletes: _*))
       .select(targetCols.map(valueFor).toIndexedSeq: _*)
 
     // commit: only the touched files are replaced; the rest of the table
     // is untouched (physically and in the manifest)
-    try table.commitRewrite(result, removedPaths, snap.version)
+    try table.commitRewrite(result, removedPaths, snap.version,
+      if (cdfOn) Some(cdcRowsOf(actioned)) else None)
     catch {
       case e: Throwable if cardViolation(e) =>
         throw UnsupportedOperationError(cardCheckMsg)
-    }
+    } finally if (cdfOn) actioned.unpersist()
   }
 
   /** The fused cardinality guard surfaces as a raise_error failure inside

@@ -68,17 +68,35 @@ final class TxTable(val spark: SparkSession, val location: String,
     }
   }
 
+  /** Change data feed (real Delta tables): the exact row-level changes of
+    * commits [fromVersion, toVersion∨latest] tagged `_change_type` /
+    * `_commit_version` / `_commit_timestamp` — cdc actions when present,
+    * derived insert/delete otherwise. Native-log tables keep the
+    * append-oriented `changesSince` feed.
+    */
+  def tableChanges(fromVersion: Long, toVersion: Option[Long] = None): DataFrame =
+    if (log == ForeignDeltaCommitLog) DeltaCdf.tableChanges(spark, location, fromVersion, toVersion)
+    else throw UnsupportedOperationError(
+      "tableChanges requires a Delta (_delta_log) table; use changesSince for the native append feed")
+
   /** DataFrame over a subset of a snapshot's files (merge file pruning). */
   private[tables] def dfForFiles(s: Snapshot, relPaths: Seq[String]): DataFrame = {
     val set = relPaths.toSet
     dfFor(s.copy(files = s.files.filter(f => set.contains(f.path))))
   }
 
+  /** True when this table's commits must carry cdc actions for partial
+    * rewrites (real Delta log + delta.enableChangeDataFeed).
+    */
+  private[tables] def cdfOn(props: Map[String, String]): Boolean =
+    log == ForeignDeltaCommitLog && DeltaCdf.enabled(props)
+
   /** Commit a partial rewrite: replace exactly `removedPaths` with the
-    * staged contents of `df` (used by MERGE file pruning).
+    * staged contents of `df` (used by MERGE file pruning); `cdcDf`, when
+    * present, is staged under _change_data and committed as cdc actions.
     */
   private[tables] def commitRewrite(df: DataFrame, removedPaths: Seq[String],
-      baseVersion: Long): Unit =
+      baseVersion: Long, cdcDf: Option[DataFrame] = None): Unit =
     commitWithRetry("MERGE") { snap =>
       // `df` and `removedPaths` were planned against `baseVersion`; if a
       // concurrent commit landed since, recommitting blindly would be
@@ -105,7 +123,10 @@ final class TxTable(val spark: SparkSession, val location: String,
               "their rows were not visible to the merge join")
       }
       val added = log.stage(spark, location, df, snap)
-      (added, removedPaths, snap.schema, snap.partitionColumns, snap.properties)
+      val cdc = cdcDf.filter(_ => cdfOn(snap.properties))
+        .map(d => DeltaCdf.stageCdc(spark, location, d, snap)).getOrElse(Seq.empty)
+      TxTable.Planned(added, removedPaths, snap.schema, snap.partitionColumns,
+        snap.properties, cdc)
     }
 
   private def dfFor(s: Snapshot): DataFrame = log.dfForSnapshot(spark, location, s)
@@ -123,7 +144,7 @@ final class TxTable(val spark: SparkSession, val location: String,
         evolveSchema(snap.schema, df.schema, evolution, isOverwrite = false), snap.properties)
       val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
         snap.copy(schema = newSchema, properties = newProps))
-      (added, Seq.empty, newSchema, snap.partitionColumns, newProps)
+      TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps)
     }
 
   def overwrite(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
@@ -132,7 +153,7 @@ final class TxTable(val spark: SparkSession, val location: String,
         evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true), snap.properties)
       val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
         snap.copy(schema = newSchema, properties = newProps))
-      (added, snap.files.map(_.path), newSchema, snap.partitionColumns, newProps)
+      TxTable.Planned(added, snap.files.map(_.path), newSchema, snap.partitionColumns, newProps)
     }
 
   /** Overwrite only the rows matching `predicate` (Delta `replaceWhere`).
@@ -160,7 +181,7 @@ final class TxTable(val spark: SparkSession, val location: String,
         val removed = matchingPartitionFiles(snap, pred)
         val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
           snap.copy(schema = newSchema, properties = newProps))
-        (added, removed.map(_.path), newSchema, snap.partitionColumns, newProps)
+        TxTable.Planned(added, removed.map(_.path), newSchema, snap.partitionColumns, newProps)
       }
     } else {
       commitWithRetry("REPLACE_WHERE") { snap =>
@@ -172,7 +193,16 @@ final class TxTable(val spark: SparkSession, val location: String,
         val newContent = unionByNameTolerant(kept, df)
         val added = log.stage(spark, location, alignForWrite(newContent, snap.partitionColumns),
           snap.copy(schema = newSchema, properties = newProps))
-        (added, snap.files.map(_.path), newSchema, snap.partitionColumns, newProps)
+        // replaceWhere's change feed: replaced rows out, new rows in (the
+        // kept rows are rewritten bytes, not logical changes)
+        val cdc =
+          if (!cdfOn(snap.properties)) Seq.empty
+          else DeltaCdf.stageCdc(spark, location,
+            DeltaCdf.tagged(dfFor(snap).filter(coalesce(pred, lit(false))), "delete")
+              .unionByName(DeltaCdf.tagged(df, "insert"), allowMissingColumns = true),
+            snap.copy(schema = newSchema, properties = newProps))
+        TxTable.Planned(added, snap.files.map(_.path), newSchema, snap.partitionColumns,
+          newProps, cdc)
       }
     }
   }
@@ -193,7 +223,7 @@ final class TxTable(val spark: SparkSession, val location: String,
       val removed = snap.files.filter(f => touched.contains(f.partitionValues))
       val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
         snap.copy(schema = newSchema, properties = newProps))
-      (added, removed.map(_.path), newSchema, snap.partitionColumns, newProps)
+      TxTable.Planned(added, removed.map(_.path), newSchema, snap.partitionColumns, newProps)
     }
 
   def merge(source: DataFrame, condition: String,
@@ -210,7 +240,7 @@ final class TxTable(val spark: SparkSession, val location: String,
     commitWithRetry("SET_TBLPROPERTIES") { snap =>
       val (unset, set) = props.partition { case (_, v) => v == null || v.isEmpty }
       val merged = (snap.properties -- unset.keys) ++ set
-      (Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, merged)
+      TxTable.Planned(Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, merged)
     }
 
   /** ALTER TABLE ADD CONSTRAINT name CHECK (sql): existing rows are
@@ -253,7 +283,9 @@ final class TxTable(val spark: SparkSession, val location: String,
     else deleteCopyOnWrite(predicate)
 
   private def deleteCopyOnWrite(predicate: String): Unit =
-    rewriteMatchingFiles("DELETE", predicate) { affected =>
+    rewriteMatchingFiles("DELETE", predicate,
+      cdcOf = Some(affected => DeltaCdf.tagged(
+        affected.filter(coalesce(expr(predicate), lit(false))), "delete"))) { affected =>
       // SQL DELETE removes only rows where the predicate is TRUE; rows
       // where it evaluates to NULL must be kept, so negate under coalesce.
       affected.filter(!coalesce(expr(predicate), lit(false)))
@@ -270,8 +302,20 @@ final class TxTable(val spark: SparkSession, val location: String,
       DeltaDvWriter.update(spark, location, predicate, set)
     else updateCopyOnWrite(predicate, set)
 
-  private def updateCopyOnWrite(predicate: String, set: Map[String, String]): Unit =
-    rewriteMatchingFiles("UPDATE", predicate) { affected =>
+  private def updateCopyOnWrite(predicate: String, set: Map[String, String]): Unit = {
+    def applySet(matched: DataFrame): DataFrame =
+      matched.select(matched.schema.fieldNames.filterNot(_ == DeltaCdf.ChangeTypeCol).map { c =>
+        set.get(c) match {
+          case Some(e) => expr(e).cast(matched.schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+    rewriteMatchingFiles("UPDATE", predicate,
+      cdcOf = Some { affected =>
+        val matched = affected.filter(coalesce(expr(predicate), lit(false)))
+        DeltaCdf.tagged(matched, "update_preimage")
+          .unionByName(DeltaCdf.tagged(applySet(matched), "update_postimage"))
+      }) { affected =>
       val snapSchema = affected.schema
       set.keys.find(k => !snapSchema.fieldNames.contains(k)).foreach { k =>
         throw UnsupportedOperationError(s"UPDATE: unknown column $k")
@@ -286,11 +330,13 @@ final class TxTable(val spark: SparkSession, val location: String,
         }
       }.toIndexedSeq: _*)
     }
+  }
 
   /** Shared copy-on-write driver for DELETE/UPDATE: figure out which files
     * might contain predicate-matching rows, rewrite only those.
     */
-  private def rewriteMatchingFiles(op: String, predicate: String)(
+  private def rewriteMatchingFiles(op: String, predicate: String,
+      cdcOf: Option[DataFrame => DataFrame] = None)(
       transform: DataFrame => DataFrame): Unit =
     commitWithRetry(op) { snap =>
       val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
@@ -311,12 +357,16 @@ final class TxTable(val spark: SparkSession, val location: String,
         }
       }
       if (maybe.isEmpty) {
-        (Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, snap.properties)
+        TxTable.Planned(Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, snap.properties)
       } else {
         val affected = dfForFiles(snap, maybe.map(_.path))
         val rewritten = transform(affected)
         val added = log.stage(spark, location, rewritten, snap)
-        (added, maybe.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
+        val cdc = cdcOf.filter(_ => cdfOn(snap.properties))
+          .map(c => DeltaCdf.stageCdc(spark, location, c(affected), snap))
+          .getOrElse(Seq.empty)
+        TxTable.Planned(added, maybe.map(_.path), snap.schema, snap.partitionColumns,
+          snap.properties, cdc)
       }
     }
 
@@ -349,7 +399,7 @@ final class TxTable(val spark: SparkSession, val location: String,
         (if (totalBytes % targetFileBytes > 0) 1 else 0))
       val compacted = dfFor(snap).repartition(targetFiles)
       val added = log.stage(spark, location, compacted, snap)
-      (added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
+      TxTable.Planned(added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
     }
 
   /** OPTIMIZE ZORDER BY: rewrite the table clustered on the Morton
@@ -371,7 +421,7 @@ final class TxTable(val spark: SparkSession, val location: String,
       val clustered = graft.functions.ZOrderFunctions.clusterByZOrder(
         dfFor(snap), zorderCols, targetFiles, buckets)
       val added = log.stage(spark, location, clustered, snap)
-      (added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
+      TxTable.Planned(added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
     }
   }
 
@@ -494,13 +544,13 @@ final class TxTable(val spark: SparkSession, val location: String,
   }
 
   private def commitWithRetry(op: String)(
-      plan: Snapshot => (Seq[AddFile], Seq[String], StructType, Seq[String], Map[String, String])): Unit = {
+      plan: Snapshot => TxTable.Planned): Unit = {
     log.checkWritable(spark, location, op)
     var attempts = 0
     while (true) {
       val snap = snapshot
-      val (added, removed, schema, partCols, props) = plan(snap)
-      if (log.tryCommit(spark, location, snap, op, added, removed, schema, partCols, props)) {
+      val TxTable.Planned(added, removed, schema, partCols, props, cdc) = plan(snap)
+      if (log.tryCommit(spark, location, snap, op, added, removed, schema, partCols, props, cdc)) {
         // periodic checkpoint so snapshot replay stays O(interval)
         log.maybeCheckpoint(spark, location, snap.version + 1)
         return
@@ -513,6 +563,18 @@ final class TxTable(val spark: SparkSession, val location: String,
 }
 
 object TxTable {
+  /** One planned commit: the file-level outcome a write operation hands to
+    * the commit log. `cdc` carries staged change-data files (foreign Delta
+    * CDF only; ignored by the native log).
+    */
+  private[tables] final case class Planned(
+      added: Seq[AddFile],
+      removedPaths: Seq[String],
+      schema: StructType,
+      partitionColumns: Seq[String],
+      properties: Map[String, String],
+      cdc: Seq[AddFile] = Seq.empty)
+
   /** Delta's default VACUUM retention window (7 days). */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
 
