@@ -212,6 +212,36 @@ object InteropQueries {
       },
       Some("""SELECT 'insert' AS change_type, COUNT(*) AS n,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-        FROM lineitem WHERE l_quantity <= 10"""))
+        FROM lineitem WHERE l_quantity <= 10""")),
+
+    // RESTORE TO VERSION: after a destructive DELETE and UPDATE, one
+    // metadata commit flips the table back to v0 — the restored read must
+    // hash-match the original slice recomputed from the source parquet
+    // (nothing is rewritten; the manifest diff is the whole operation)
+    QueryDef(
+      "q84_restore",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q84-restore").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        DeltaLogWriter.create(s, loc, li.filter(col("l_quantity") <= 12))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        t.delete("l_quantity > 8")
+        t.update("l_quantity <= 2", Map("l_extendedprice" -> "0.0"))
+        t.restore(0L)
+        DeltaLog.toDF(s, loc)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS revenue
+        FROM lineitem WHERE l_quantity <= 12
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -264,6 +264,49 @@ final class TxTable(val spark: SparkSession, val location: String,
   def dropConstraint(name: String): Unit =
     setProperties(Map(s"${Constraints.PropPrefix}$name" -> null))
 
+  /** RESTORE TABLE TO VERSION AS OF `version` (Delta RESTORE / delta-rs
+    * `restore`): ONE commit that makes the live state identical to the
+    * target version — target files absent from (or carrying a different
+    * deletion vector than) the current state are re-added, current files
+    * outside the target are removed, and schema / partitioning /
+    * properties reset to the target's. History is preserved: the restore
+    * is itself a new commit, so time travel to the pre-restore state keeps
+    * working. Purely a metadata operation — no data is rewritten, so cost
+    * is O(|file manifest|), never O(table bytes).
+    */
+  def restore(version: Long): Unit = {
+    val target = snapshotAt(version)
+    // files a restore would resurrect must still exist — vacuum may have
+    // collected them (same guard as Delta's RESTORE)
+    val f = TxLog.fs(spark, location)
+    target.files.foreach { a =>
+      if (!f.exists(new Path(location, a.path)))
+        throw UnsupportedOperationError(
+          s"RESTORE to version $version impossible: data file ${a.path} was vacuumed")
+    }
+    commitWithRetry("RESTORE") { snap =>
+      val curByPath = snap.files.map(x => x.path -> x).toMap
+      val tgtPaths = target.files.map(_.path).toSet
+      // re-add on any difference, including same path with a different DV
+      // (Delta replay: a later add for the same path replaces the entry)
+      val readd = target.files.filter(x => !curByPath.get(x.path).contains(x))
+      val removed = snap.files.map(_.path).filterNot(tgtPaths.contains)
+      // column-mapped Delta: snapshots carry LOGICAL partition keys, but
+      // actions must be written with PHYSICAL ones — map back
+      val mapping = DeltaLog.columnMappingOf(target.schema)
+      val readdPhys =
+        if (mapping.isEmpty) readd
+        else readd.map(a => a.copy(partitionValues =
+          a.partitionValues.map { case (k, v) => mapping.getOrElse(k, k) -> v }))
+      TxTable.Planned(readdPhys, removed, target.schema, target.partitionColumns,
+        target.properties)
+    }
+  }
+
+  /** RESTORE TABLE TO TIMESTAMP AS OF `tsMs`. */
+  def restoreToTimestamp(tsMs: Long): Unit =
+    restore(log.versionAtTimestamp(spark, location, tsMs))
+
   /** Constraints currently in force (CHECK properties + column invariants). */
   def constraints: Seq[(String, String)] = {
     val s = snapshot
