@@ -242,6 +242,40 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           ${sqlSum("l_extendedprice")} AS revenue
         FROM lineitem WHERE l_quantity <= 12
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // round-5 SetTransaction ("txn") idempotence on a REAL Delta log: batch
+    // 0 is delivered TWICE (the crash-recovery re-run every at-least-once
+    // stream sink produces) plus a batch 1; each lands through
+    // appendIdempotent, which commits rows + (appId, version) watermark in
+    // one atomic action. The oracle counts each slice exactly once — a
+    // duplicated batch-0 append doubles its rows and breaks the hash
+    QueryDef(
+      "q85_idempotent_txn_append",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q85-txn").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        DeltaLogWriter.create(s, loc, li.filter(col("l_quantity") <= 8))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        val b0 = li.filter(col("l_quantity") > 8 && col("l_quantity") <= 10)
+        val b1 = li.filter(col("l_quantity") > 10 && col("l_quantity") <= 12)
+        t.appendIdempotent(b0, "q85-stream", 0L)
+        t.appendIdempotent(b0, "q85-stream", 0L) // re-delivered: must no-op
+        t.appendIdempotent(b1, "q85-stream", 1L)
+        DeltaLog.toDF(s, loc)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS revenue
+        FROM lineitem WHERE l_quantity <= 12
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

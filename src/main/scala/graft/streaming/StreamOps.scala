@@ -119,20 +119,40 @@ object StreamOps {
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Sink a streaming DataFrame into a transactional table: per-batch
-    * append through the TxLog commit protocol (exactly-once within a
-    * batch via the atomic commit; re-run batches append — callers needing
-    * idempotence key on an id column + merge).
+  /** Sink a streaming DataFrame into a transactional table (either log
+    * format) with EXACTLY-ONCE semantics: each micro-batch lands through
+    * `TxTable.appendIdempotent`, which commits the rows and a
+    * SetTransaction (appId, batchId) watermark in one atomic commit —
+    * the same protocol delta-rs/Delta-Spark streaming sinks use. When a
+    * crash between the table commit and the stream-checkpoint advance
+    * makes Structured Streaming re-run a batch, the watermark marks it
+    * already applied and the re-run is a no-op instead of a duplicate
+    * append.
+    *
+    * `appId` must be stable across restarts of the same logical query
+    * (default: derived from the sink's checkpoint directory, which IS the
+    * query's identity for recovery purposes).
     */
   def writeToTxTable(stream: DataFrame, location: String,
-      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      appId: Option[String] = None): StreamingQuery = {
+    val id = appId.getOrElse(
+      "graft-sink-" + java.util.UUID.nameUUIDFromBytes(
+        checkpointDir.getBytes("UTF-8")).toString)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t = TxTable.forLocation(batch.sparkSession, location)
-        if (!graft.tables.TxLog.exists(batch.sparkSession, location)) t.create(batch)
-        else t.append(batch)
+        val t = TxTable.forAnyLocation(batch.sparkSession, location)
+        // first batch: create EMPTY (version 0 has no watermark), then land
+        // the rows via the idempotent path — a crash anywhere leaves either
+        // nothing, an empty table, or rows+watermark; no re-run duplicates
+        if (!graft.tables.TxLog.exists(batch.sparkSession, location) &&
+            !graft.tables.DeltaLog.isDeltaTable(batch.sparkSession, location))
+          t.create(batch.limit(0))
+        t.appendIdempotent(batch, id, batchId)
+        ()
       }
       .start()
+  }
 }

@@ -38,7 +38,8 @@ private[graft] sealed trait CommitLog {
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],
       schema: StructType, partitionColumns: Seq[String],
-      properties: Map[String, String], cdc: Seq[AddFile] = Seq.empty): Boolean
+      properties: Map[String, String], cdc: Seq[AddFile] = Seq.empty,
+      txn: Option[TxLog.SetTxn] = None): Boolean
 
   /** Periodic checkpointing so snapshot replay stays O(interval). */
   def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit
@@ -88,12 +89,13 @@ private[graft] object NativeCommitLog extends CommitLog {
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],
       schema: StructType, partitionColumns: Seq[String],
-      properties: Map[String, String], cdc: Seq[AddFile]): Boolean =
+      properties: Map[String, String], cdc: Seq[AddFile],
+      txn: Option[TxLog.SetTxn]): Boolean =
     // cdc is a Delta-protocol concept; the native log's change feed is the
     // append-oriented changesSince
     TxLog.tryCommit(spark, location, TxLog.Commit(base.version + 1,
       System.currentTimeMillis(), op, schema.json, partitionColumns,
-      added, removedPaths, properties))
+      added, removedPaths, properties, txn))
 
   def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit =
     if (version > 0 && version % TxLog.CheckpointInterval == 0)
@@ -166,11 +168,19 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],
       schema: StructType, partitionColumns: Seq[String],
-      properties: Map[String, String], cdc: Seq[AddFile]): Boolean = {
+      properties: Map[String, String], cdc: Seq[AddFile],
+      txn: Option[TxLog.SetTxn]): Boolean = {
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString(deltaOperation(op)),
       "operationParameters" -> JObject("mode" -> JString(op))))))
+    // SetTransaction rides in the same atomic commit as the data it marks
+    // (PROTOCOL.md "Transaction Identifiers")
+    val txnLine = txn.toSeq.map(t => JsonMethods.compact(JsonMethods.render(JObject(
+      "txn" -> JObject(
+        "appId" -> JString(t.appId),
+        "version" -> JLong(t.version),
+        "lastUpdated" -> JLong(t.lastUpdated.getOrElse(System.currentTimeMillis())))))))
     // compaction rearranges bytes, not data: its add/remove actions carry
     // dataChange=false so CDF readers and streaming sources skip them
     val dataChange = op != "OPTIMIZE" && op != "ZORDER"
@@ -193,7 +203,7 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     // v3/v4 or the checkConstraints/changeDataFeed table features)
     val protoLine = DeltaLogWriter.protocolUpgradeFor(spark, location,
       base.properties, properties)
-    val lines = (commitInfo +: (protoLine ++ metaLine)) ++
+    val lines = (commitInfo +: (txnLine ++ protoLine ++ metaLine)) ++
       removedPaths.map(DeltaLogWriter.removeAction(_, dataChange)) ++
       added.map(DeltaLogWriter.addAction(schema, _, dataChange)) ++
       cdc.map(DeltaCdf.cdcAction)

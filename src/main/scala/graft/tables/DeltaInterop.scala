@@ -259,6 +259,10 @@ object DeltaLog {
     }
     def add(a: TxLog.AddFile): Unit = active(a.path) = a
     def remove(path: String): Unit = active.remove(path)
+    // latest SetTransaction watermark per appId, log order winning
+    // (PROTOCOL.md "Transaction Identifiers")
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    def txn(appId: String, version: Long): Unit = txns(appId) = version
   }
 
   /** Delta add.path values are percent-encoded relative URIs (PROTOCOL.md
@@ -349,6 +353,10 @@ object DeltaLog {
     line \ "remove" match {
       case JNothing => ()
       case r => state.remove(decodePath((r \ "path").extract[String]))
+    }
+    line \ "txn" match {
+      case JNothing => ()
+      case t => state.txn((t \ "appId").extract[String], (t \ "version").extract[Long])
     }
   }
 
@@ -461,6 +469,9 @@ object DeltaLog {
           state.add(addFileOf(r.getString(0), pv, r.getLong(2), Option(r.getString(3)), dv))
         }
     }
+    if (has("txn"))
+      df.select(col("txn.appId"), col("txn.version")).filter(col("appId").isNotNull)
+        .collect().foreach(r => state.txn(r.getString(0), r.getLong(1)))
     if (has("sidecar"))
       df.select(col("sidecar.path")).filter(col("path").isNotNull)
         .collect().map(_.getString(0)).toSeq
@@ -537,7 +548,8 @@ object DeltaLog {
       schema = schema,
       partitionColumns = state.partCols,
       files = files,
-      properties = state.props)
+      properties = state.props,
+      transactions = state.txns.toMap)
   }
 
   /** Current (or time-traveled) contents of a real Delta table. */
@@ -1086,17 +1098,26 @@ object DeltaLogWriter {
       StructField("sidecar", StructType(Seq(
         StructField("path", StringType),
         StructField("sizeInBytes", LongType),
-        StructField("modificationTime", LongType))))))
+        StructField("modificationTime", LongType)))),
+      // non-file actions live in the manifest: SetTransaction watermarks
+      // must survive checkpointing for idempotent writers
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType))))))
     val manifestRows = new java.util.ArrayList[Row]()
-    manifestRows.add(Row(Row(version, Map.empty[String, String]), null, null, null))
+    manifestRows.add(Row(Row(version, Map.empty[String, String]), null, null, null, null))
     manifestRows.add(Row(null, Row(state.minReader, state.minWriter,
       if (state.readerFeatures.isEmpty) null else state.readerFeatures.toSeq,
-      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null))
+      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null, null))
     manifestRows.add(Row(null, null, Row(Option(state.metaId).filter(_.nonEmpty)
       .getOrElse(UUID.randomUUID().toString), snap.schema.json,
-      snap.partitionColumns, snap.properties, Row("parquet")), null))
+      snap.partitionColumns, snap.properties, Row("parquet")), null, null))
     sidecars.foreach { case (name, len) =>
-      manifestRows.add(Row(null, null, null, Row(name, len, System.currentTimeMillis())))
+      manifestRows.add(Row(null, null, null, Row(name, len, System.currentTimeMillis()), null))
+    }
+    state.txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
+      manifestRows.add(Row(null, null, null, null, Row(appId, v, System.currentTimeMillis())))
     }
     val mTmp = new Path(logD, s".v2mani-tmp-${UUID.randomUUID()}")
     spark.createDataFrame(manifestRows, manifestSchema).coalesce(1).write.parquet(mTmp.toString)
@@ -1150,20 +1171,30 @@ object DeltaLogWriter {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType))))))),
+      // SetTransaction watermarks MUST survive checkpointing (PROTOCOL.md:
+      // a checkpoint contains the latest txn action per appId) — dropping
+      // them would break idempotent writers once the JSON tail is cleaned
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType))))))
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row(Row(state.minReader, state.minWriter,
       if (state.readerFeatures.isEmpty) null else state.readerFeatures.toSeq,
-      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null))
+      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null, null))
     rows.add(Row(null, Row(Option(state.metaId).filter(_.nonEmpty)
       .getOrElse(UUID.randomUUID().toString), snap.schema.json,
-      snap.partitionColumns, snap.properties, Row("parquet")), null))
+      snap.partitionColumns, snap.properties, Row("parquet")), null, null))
     snap.files.foreach { a =>
       val dvRow = a.deletionVector.map(d =>
         Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
           d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null, Row(a.path, a.partitionValues, a.sizeBytes,
-        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow)))
+        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow), null))
+    }
+    state.txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
+      rows.add(Row(null, null, null, Row(appId, v, System.currentTimeMillis())))
     }
     val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
     val dir = DeltaLog.logDir(location)

@@ -55,6 +55,15 @@ object TxLog {
       // for pruning; live count = rows - deletionVector.cardinality
       deletionVector: Option[DeletionVectors.Descriptor] = None)
 
+  /** Delta-protocol SetTransaction (PROTOCOL.md "Transaction
+    * Identifiers"): an application-defined (appId, version) watermark
+    * committed atomically WITH the data it covers, so an idempotent writer
+    * (e.g. a streaming sink re-running a batch after a crash) can detect
+    * that a batch already landed and skip it — exactly-once on top of
+    * at-least-once retries.
+    */
+  final case class SetTxn(appId: String, version: Long, lastUpdated: Option[Long] = None)
+
   final case class Commit(
       version: Long,
       timestampMs: Long,
@@ -63,14 +72,17 @@ object TxLog {
       partitionColumns: Seq[String],
       added: Seq[AddFile],
       removed: Seq[String],
-      properties: Map[String, String])
+      properties: Map[String, String],
+      txn: Option[SetTxn] = None)
 
   final case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[AddFile],
-      properties: Map[String, String]) {
+      properties: Map[String, String],
+      // latest SetTransaction version per appId (log order wins)
+      transactions: Map[String, Long] = Map.empty) {
     def isEmpty: Boolean = files.isEmpty
   }
 
@@ -106,7 +118,9 @@ object TxLog {
       schemaJson: String,
       partitionColumns: Seq[String],
       files: Seq[AddFile],
-      properties: Map[String, String])
+      properties: Map[String, String],
+      // Option so checkpoints written before txn support still parse
+      transactions: Option[Map[String, Long]] = None)
 
   private def listCheckpoints(f: FileSystem, location: String): Seq[(Long, Path)] = {
     val dir = logDir(location)
@@ -126,7 +140,8 @@ object TxLog {
     val tmp = new Path(logDir(location), s".tmpckpt-${UUID.randomUUID()}.json")
     val out = f.create(tmp, false)
     try out.write(Serialization.write(Checkpoint(snap.version, snap.schema.json,
-      snap.partitionColumns, snap.files, snap.properties)).getBytes("UTF-8"))
+      snap.partitionColumns, snap.files, snap.properties,
+      Some(snap.transactions).filter(_.nonEmpty))).getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, target)) f.delete(tmp, false)
   }
@@ -176,12 +191,14 @@ object TxLog {
       } finally in.close()
     }
     var active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
     var schemaJson: String = null
     var partCols: Seq[String] = Seq.empty
     var props: Map[String, String] = Map.empty
     var lastV: Long = -1L
     ckpt.foreach { c =>
       c.files.foreach(a => active(a.path) = a)
+      c.transactions.foreach(txns ++= _)
       schemaJson = c.schemaJson; partCols = c.partitionColumns; props = c.properties
       lastV = c.version
     }
@@ -190,6 +207,7 @@ object TxLog {
       val c = readCommit(f, p)
       c.removed.foreach(active.remove)
       c.added.foreach(a => active(a.path) = a)
+      c.txn.foreach(t => txns(t.appId) = t.version)
       schemaJson = c.schemaJson; partCols = c.partitionColumns; props = c.properties
       lastV = c.version
     }
@@ -198,7 +216,8 @@ object TxLog {
       schema = DataType.fromJson(schemaJson).asInstanceOf[StructType],
       partitionColumns = partCols,
       files = active.values.toSeq,
-      properties = props)
+      properties = props,
+      transactions = txns.toMap)
   }
 
   def latestVersion(spark: SparkSession, location: String): Option[Long] = {

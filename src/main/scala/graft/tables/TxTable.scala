@@ -147,6 +147,37 @@ final class TxTable(val spark: SparkSession, val location: String,
       TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps)
     }
 
+  /** Latest SetTransaction watermark committed for `appId` (Delta
+    * "Transaction Identifiers"), from either log format — delta-rs's
+    * `transaction_versions` surface.
+    */
+  def latestTxnVersion(appId: String): Option[Long] =
+    snapshot.transactions.get(appId)
+
+  /** Idempotent append: the batch lands together with a `txn`
+    * (appId, txnVersion) watermark in ONE atomic commit, and is SKIPPED
+    * when the table already carries a watermark >= txnVersion for this
+    * appId. Re-running a failed/duplicated batch (a streaming sink
+    * recovering from a crash, a retried job) therefore appends exactly
+    * once. The watermark re-check happens against the fresh snapshot on
+    * every optimistic-commit retry, so a concurrent writer of the same
+    * appId cannot double-land a batch. Returns whether this call
+    * committed (false = already applied).
+    */
+  def appendIdempotent(df: DataFrame, appId: String, txnVersion: Long,
+      evolution: SchemaEvolution = SchemaEvolution.STRICT): Boolean =
+    commitWithRetryIf("APPEND") { snap =>
+      if (snap.transactions.get(appId).exists(_ >= txnVersion)) None
+      else {
+        val (newSchema, newProps) = log.evolveMapping(snap.schema,
+          evolveSchema(snap.schema, df.schema, evolution, isOverwrite = false), snap.properties)
+        val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
+          snap.copy(schema = newSchema, properties = newProps))
+        Some(TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps,
+          txn = Some(TxLog.SetTxn(appId, txnVersion))))
+      }
+    }
+
   def overwrite(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("OVERWRITE") { snap =>
       val (newSchema, newProps) = log.evolveMapping(snap.schema,
@@ -587,21 +618,36 @@ final class TxTable(val spark: SparkSession, val location: String,
   }
 
   private def commitWithRetry(op: String)(
-      plan: Snapshot => TxTable.Planned): Unit = {
+      plan: Snapshot => TxTable.Planned): Unit =
+    commitWithRetryIf(op)(s => Some(plan(s)))
+
+  /** Like commitWithRetry, but the planner may return None against a fresh
+    * snapshot to turn the whole operation into a no-op (e.g. an idempotent
+    * append discovering its txn watermark already landed — including via a
+    * CONCURRENT writer that won a version race mid-retry). Returns whether
+    * a commit was published.
+    */
+  private def commitWithRetryIf(op: String)(
+      plan: Snapshot => Option[TxTable.Planned]): Boolean = {
     log.checkWritable(spark, location, op)
     var attempts = 0
     while (true) {
       val snap = snapshot
-      val TxTable.Planned(added, removed, schema, partCols, props, cdc) = plan(snap)
-      if (log.tryCommit(spark, location, snap, op, added, removed, schema, partCols, props, cdc)) {
+      val p = plan(snap) match {
+        case Some(p) => p
+        case None => return false
+      }
+      if (log.tryCommit(spark, location, snap, op, p.added, p.removedPaths, p.schema,
+          p.partitionColumns, p.properties, p.cdc, p.txn)) {
         // periodic checkpoint so snapshot replay stays O(interval)
         log.maybeCheckpoint(spark, location, snap.version + 1)
-        return
+        return true
       }
       attempts += 1
       if (attempts >= 5)
         throw new java.io.IOException(s"commit conflict at $location after $attempts attempts")
     }
+    false // unreachable
   }
 }
 
@@ -616,7 +662,8 @@ object TxTable {
       schema: StructType,
       partitionColumns: Seq[String],
       properties: Map[String, String],
-      cdc: Seq[AddFile] = Seq.empty)
+      cdc: Seq[AddFile] = Seq.empty,
+      txn: Option[TxLog.SetTxn] = None)
 
   /** Delta's default VACUUM retention window (7 days). */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
