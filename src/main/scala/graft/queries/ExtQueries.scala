@@ -210,6 +210,30 @@ object ExtQueries {
           .groupBy(exact("qid").as("qid"))
           .agg((count(col("lsh_cid")).cast(DoubleType) / lit(5.0)).as("recall_at_5"))
       },
-      None)
+      None),
+
+    // ---- Bloom-prefiltered decontamination (the 100 TB path of q54) ----
+    // exact anti join against a held-out set whose keys are first
+    // compressed into a broadcast Bloom filter: definitely-clean rows pass
+    // map-side, only might-contain suspects reach the exact join. Bloom
+    // filters have no false negatives, so the result is EXACT and the
+    // DuckDB NOT-IN oracle must hash-match it
+    QueryDef(
+      "q86_bloom_decontaminate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val norm = lower(trim(col("text")))
+        val corpus = d.select(col("doc_id"), col("source"), norm.as("norm_text"))
+        val bench = d.filter(col("doc_id") % 7 === 0).select(norm.as("bench_text"))
+        graft.ext.Contamination.bloomAntiJoin(corpus, "norm_text", bench, "bench_text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_clean"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_clean, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, source, LOWER(TRIM(text)) AS norm_text FROM documents)
+        WHERE norm_text NOT IN (
+          SELECT DISTINCT LOWER(TRIM(text)) FROM documents WHERE doc_id % 7 = 0)
+        GROUP BY source ORDER BY source"""))
   )
 }
