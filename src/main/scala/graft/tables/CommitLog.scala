@@ -127,14 +127,16 @@ private[graft] object NativeCommitLog extends CommitLog {
 
   def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
     TxLog.stageData(spark, location,
-      Constraints.enforce(df, snap.properties, snap.schema), snap.partitionColumns)
+      Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
+        snap.properties, snap.schema), snap.partitionColumns)
 
   def create(spark: SparkSession, location: String, df: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit = {
     if (TxLog.exists(spark, location))
       throw graft.catalog.AlreadyExistsError(s"transaction log already exists at $location")
     val added = TxLog.stageData(spark, location,
-      Constraints.enforce(df, properties, df.schema), partitionColumns)
+      Constraints.enforce(GeneratedColumns.validate(df, df.schema), properties, df.schema),
+      partitionColumns)
     val c = TxLog.Commit(0L, System.currentTimeMillis(), "CREATE", df.schema.json,
       partitionColumns, added, Seq.empty, properties)
     if (!TxLog.tryCommit(spark, location, c))
@@ -233,10 +235,11 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     DeltaLog.dfForSnapshot(spark, location, s)
 
   def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
-    // constraints check LOGICAL column names, before any column-mapping
-    // physicalization inside stageForDelta
+    // constraints and generated columns check LOGICAL column names, before
+    // any column-mapping physicalization inside stageForDelta
     DeltaLogWriter.stageForDelta(spark, location,
-      Constraints.enforce(df, snap.properties, snap.schema), snap)
+      Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
+        snap.properties, snap.schema), snap)
 
   override def evolveMapping(base: StructType, evolved: StructType,
       props: Map[String, String]): (StructType, Map[String, String]) =

@@ -843,7 +843,7 @@ object DeltaLogWriter {
   private val SupportedWriterFeatures =
     Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
       "checkConstraints", "changeDataFeed", "deletionVectors", "columnMapping",
-      "v2Checkpoint")
+      "v2Checkpoint", "generatedColumns")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
@@ -860,16 +860,16 @@ object DeltaLogWriter {
     // v2 invariants and v3 CHECK constraints are ENFORCED (every staged
     // write wraps the data in Constraints.enforce); v4 change data feed is
     // PRODUCED (partial-rewrite commits carry cdc actions — DeltaCdf —
-    // and OPTIMIZE marks dataChange=false). The legacy-implied features
-    // that remain unimplemented — v4 generated columns, v6 identity
-    // columns — bind only when the schema actually declares them; refuse
-    // those cases rather than silently violate them.
+    // and OPTIMIZE marks dataChange=false); v4 generated columns are
+    // COMPUTED when omitted and VALIDATED when provided (GeneratedColumns,
+    // wired through every write entry point and stage). The one remaining
+    // legacy-implied feature — v6 identity columns, whose high-watermark
+    // allocation this writer does not implement — binds only when the
+    // schema actually declares it; refuse that case rather than silently
+    // violate it.
     if (state.schemaJson != null) {
       val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
       def declares(key: String): Boolean = schema.fields.exists(_.metadata.contains(key))
-      if (declares("delta.generationExpression"))
-        throw UnsupportedOperationError(
-          s"Delta table at $location declares generated columns, which this writer cannot compute")
       if (declares("delta.identity.start") || declares("delta.identity.step"))
         throw UnsupportedOperationError(
           s"Delta table at $location declares identity columns, which this writer cannot assign")
@@ -1231,7 +1231,8 @@ object DeltaLogWriter {
     if (DeltaLog.isDeltaTable(spark, location))
       throw graft.catalog.AlreadyExistsError(s"Delta table already exists at $location")
     val added = TxLog.stageData(spark, location,
-      Constraints.enforce(df, properties, df.schema), partitionColumns)
+      Constraints.enforce(GeneratedColumns.validate(df, df.schema), properties, df.schema),
+      partitionColumns)
     val meta = JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
       "id" -> JString(UUID.randomUUID().toString),
       "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
@@ -1260,7 +1261,8 @@ object DeltaLogWriter {
     val snap = DeltaLog.snapshot(spark, location)
     graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
     val added = DeltaLogWriter.stageForDelta(spark, location,
-      Constraints.enforce(df, snap.properties, snap.schema), snap)
+      Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
+        snap.properties, snap.schema), snap)
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("WRITE"),
@@ -1367,7 +1369,8 @@ object DeltaLogWriter {
     val snap = DeltaLog.snapshot(spark, location)
     graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
     val added = DeltaLogWriter.stageForDelta(spark, location,
-      Constraints.enforce(df, snap.properties, snap.schema), snap)
+      Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
+        snap.properties, snap.schema), snap)
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("WRITE"),
@@ -1519,7 +1522,8 @@ object DeltaDvWriter {
     }
     val newAdds = updatedOpt.fold(Seq.empty[TxLog.AddFile]) { updated =>
       DeltaLogWriter.stageForDelta(spark, location,
-        Constraints.enforce(updated, snap.properties, snap.schema), snap)
+        Constraints.enforce(GeneratedColumns.validate(updated, snap.schema),
+          snap.properties, snap.schema), snap)
     }
     // CDF: the marked rows out (delete / update_preimage), the staged
     // updates in (update_postimage) — same commit, cdc actions

@@ -138,8 +138,9 @@ final class TxTable(val spark: SparkSession, val location: String,
       properties: Map[String, String] = Map.empty): Unit =
     log.create(spark, location, df, partitionColumns, properties)
 
-  def append(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
+  def append(df0: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("APPEND") { snap =>
+      val df = GeneratedColumns.complete(df0, snap.schema)
       val (newSchema, newProps) = log.evolveMapping(snap.schema,
         evolveSchema(snap.schema, df.schema, evolution, isOverwrite = false), snap.properties)
       val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
@@ -169,17 +170,19 @@ final class TxTable(val spark: SparkSession, val location: String,
     commitWithRetryIf("APPEND") { snap =>
       if (snap.transactions.get(appId).exists(_ >= txnVersion)) None
       else {
+        val dfg = GeneratedColumns.complete(df, snap.schema)
         val (newSchema, newProps) = log.evolveMapping(snap.schema,
-          evolveSchema(snap.schema, df.schema, evolution, isOverwrite = false), snap.properties)
-        val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
+          evolveSchema(snap.schema, dfg.schema, evolution, isOverwrite = false), snap.properties)
+        val added = log.stage(spark, location, alignForWrite(dfg, snap.partitionColumns),
           snap.copy(schema = newSchema, properties = newProps))
         Some(TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps,
           txn = Some(TxLog.SetTxn(appId, txnVersion))))
       }
     }
 
-  def overwrite(df: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
+  def overwrite(df0: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("OVERWRITE") { snap =>
+      val df = GeneratedColumns.complete(df0, snap.schema)
       val (newSchema, newProps) = log.evolveMapping(snap.schema,
         evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true), snap.properties)
       val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
