@@ -130,10 +130,11 @@ private[graft] object NativeCommitLog extends CommitLog {
       Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
         snap.properties, snap.schema), snap.partitionColumns)
 
-  def create(spark: SparkSession, location: String, df: DataFrame,
+  def create(spark: SparkSession, location: String, df0: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit = {
     if (TxLog.exists(spark, location))
       throw graft.catalog.AlreadyExistsError(s"transaction log already exists at $location")
+    val df = IdentityColumns.stampCreate(df0)
     val added = TxLog.stageData(spark, location,
       Constraints.enforce(GeneratedColumns.validate(df, df.schema), properties, df.schema),
       partitionColumns)

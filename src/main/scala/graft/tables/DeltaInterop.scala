@@ -843,7 +843,7 @@ object DeltaLogWriter {
   private val SupportedWriterFeatures =
     Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
       "checkConstraints", "changeDataFeed", "deletionVectors", "columnMapping",
-      "v2Checkpoint", "generatedColumns")
+      "v2Checkpoint", "generatedColumns", "identityColumns")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
@@ -857,23 +857,14 @@ object DeltaLogWriter {
         s"Delta table at $location requires writer version ${state.minWriter} " +
           s"with features ${state.writerFeatures.mkString(",")}; " +
           s"supported: version <= 6 or features within ${SupportedWriterFeatures.mkString(",")}")
-    // v2 invariants and v3 CHECK constraints are ENFORCED (every staged
-    // write wraps the data in Constraints.enforce); v4 change data feed is
-    // PRODUCED (partial-rewrite commits carry cdc actions — DeltaCdf —
-    // and OPTIMIZE marks dataChange=false); v4 generated columns are
-    // COMPUTED when omitted and VALIDATED when provided (GeneratedColumns,
-    // wired through every write entry point and stage). The one remaining
-    // legacy-implied feature — v6 identity columns, whose high-watermark
-    // allocation this writer does not implement — binds only when the
-    // schema actually declares it; refuse that case rather than silently
-    // violate it.
-    if (state.schemaJson != null) {
-      val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
-      def declares(key: String): Boolean = schema.fields.exists(_.metadata.contains(key))
-      if (declares("delta.identity.start") || declares("delta.identity.step"))
-        throw UnsupportedOperationError(
-          s"Delta table at $location declares identity columns, which this writer cannot assign")
-    }
+    // every legacy-implied writer obligation is now honored: v2 invariants
+    // and v3 CHECK constraints are ENFORCED (Constraints.enforce wraps
+    // every staged write); v4 change data feed is PRODUCED (cdc actions via
+    // DeltaCdf; OPTIMIZE marks dataChange=false); v4 generated columns are
+    // COMPUTED when omitted and VALIDATED when provided (GeneratedColumns);
+    // v6 identity columns are ALLOCATED above the high watermark with the
+    // advanced watermark published in the same commit (IdentityColumns,
+    // through the TxTable write surface).
     if (forOverwrite && state.props.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       throw UnsupportedOperationError(
         s"Delta table at $location is append-only (delta.appendOnly=true)")
@@ -1225,11 +1216,12 @@ object DeltaLogWriter {
   }
 
   /** Create a Delta table at `location` with `df` as version 0. */
-  def create(spark: SparkSession, location: String, df: DataFrame,
+  def create(spark: SparkSession, location: String, df0: DataFrame,
       partitionColumns: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty): Unit = {
     if (DeltaLog.isDeltaTable(spark, location))
       throw graft.catalog.AlreadyExistsError(s"Delta table already exists at $location")
+    val df = IdentityColumns.stampCreate(df0)
     val added = TxLog.stageData(spark, location,
       Constraints.enforce(GeneratedColumns.validate(df, df.schema), properties, df.schema),
       partitionColumns)

@@ -41,10 +41,11 @@ private[graft] object GeneratedColumns {
     val gens = of(schema)
     if (gens.isEmpty) return df
     val present = df.schema.fieldNames.toSet
-    gens.foldLeft(df) { case (d, (f, sql)) =>
+    val out = gens.foldLeft(df) { case (d, (f, sql)) =>
       if (present.contains(f.name)) checkOne(d, f, sql)
       else d.withColumn(f.name, generated(f, sql))
     }
+    TableSchemas.inTableOrder(out, schema)
   }
 
   /** Validation-only pass for writes that always carry full rows (MERGE /
@@ -67,4 +68,22 @@ private[graft] object GeneratedColumns {
         lit(s"generated column ${f.name} does not match $sql on row "),
         to_json(struct(col(f.name).as("provided"), generated(f, sql).as("expected")))))
         .cast(BooleanType))
+}
+
+/** Column-order helpers for computed write columns. */
+private[tables] object TableSchemas {
+  import org.apache.spark.sql.functions.col
+
+  /** Reorder `df`'s columns to the table schema's order (schema equality
+    * is order-sensitive; computed columns land appended otherwise).
+    * Columns the table does not know (evolution) keep their relative order
+    * at the end.
+    */
+  def inTableOrder(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.schema.fieldNames.toSet
+    val known = schema.fieldNames.toSeq.filter(present.contains)
+    val extras = df.schema.fieldNames.toSeq.filterNot(schema.fieldNames.toSet)
+    if (known ++ extras == df.schema.fieldNames.toSeq) df
+    else df.select((known ++ extras).map(col): _*)
+  }
 }

@@ -133,16 +133,22 @@ final class TxTable(val spark: SparkSession, val location: String,
 
   // ---- writes ----
 
-  /** Create the table with an initial (possibly empty) dataset. */
+  /** Create the table with an initial (possibly empty) dataset. A CTAS
+    * that seeds identity-column values is born with the covering
+    * high watermark stamped in its schema.
+    */
   def create(df: DataFrame, partitionColumns: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty): Unit =
-    log.create(spark, location, df, partitionColumns, properties)
+    log.create(spark, location, IdentityColumns.stampCreate(df), partitionColumns, properties)
 
   def append(df0: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("APPEND") { snap =>
-      val df = GeneratedColumns.complete(df0, snap.schema)
-      val (newSchema, newProps) = log.evolveMapping(snap.schema,
+      val (df, hwms) = IdentityColumns.assign(
+        GeneratedColumns.complete(df0, snap.schema), snap.schema)
+      val (newSchema0, newProps) = log.evolveMapping(snap.schema,
         evolveSchema(snap.schema, df.schema, evolution, isOverwrite = false), snap.properties)
+      // advanced identity watermarks publish in the SAME commit as the rows
+      val newSchema = IdentityColumns.withWatermarks(newSchema0, hwms)
       val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
         snap.copy(schema = newSchema, properties = newProps))
       TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps)
@@ -170,9 +176,11 @@ final class TxTable(val spark: SparkSession, val location: String,
     commitWithRetryIf("APPEND") { snap =>
       if (snap.transactions.get(appId).exists(_ >= txnVersion)) None
       else {
-        val dfg = GeneratedColumns.complete(df, snap.schema)
-        val (newSchema, newProps) = log.evolveMapping(snap.schema,
+        val (dfg, hwms) = IdentityColumns.assign(
+          GeneratedColumns.complete(df, snap.schema), snap.schema)
+        val (newSchema0, newProps) = log.evolveMapping(snap.schema,
           evolveSchema(snap.schema, dfg.schema, evolution, isOverwrite = false), snap.properties)
+        val newSchema = IdentityColumns.withWatermarks(newSchema0, hwms)
         val added = log.stage(spark, location, alignForWrite(dfg, snap.partitionColumns),
           snap.copy(schema = newSchema, properties = newProps))
         Some(TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps,
@@ -182,9 +190,13 @@ final class TxTable(val spark: SparkSession, val location: String,
 
   def overwrite(df0: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("OVERWRITE") { snap =>
-      val df = GeneratedColumns.complete(df0, snap.schema)
-      val (newSchema, newProps) = log.evolveMapping(snap.schema,
+      // identity watermarks do NOT reset on overwrite (spec: the watermark
+      // bounds every value EVER allocated, so replaced rows stay burned)
+      val (df, hwms) = IdentityColumns.assign(
+        GeneratedColumns.complete(df0, snap.schema), snap.schema)
+      val (newSchema0, newProps) = log.evolveMapping(snap.schema,
         evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true), snap.properties)
+      val newSchema = IdentityColumns.withWatermarks(newSchema0, hwms)
       val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
         snap.copy(schema = newSchema, properties = newProps))
       TxTable.Planned(added, snap.files.map(_.path), newSchema, snap.partitionColumns, newProps)
