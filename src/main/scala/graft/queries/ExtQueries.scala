@@ -234,6 +234,7 @@ object ExtQueries {
         FROM (SELECT doc_id, source, LOWER(TRIM(text)) AS norm_text FROM documents)
         WHERE norm_text NOT IN (
           SELECT DISTINCT LOWER(TRIM(text)) FROM documents WHERE doc_id % 7 = 0)
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source"""),
+      headline = true)
   )
 }
