@@ -126,6 +126,34 @@ class SetTransactionSpec extends AnyFunSuite {
     }
   }
 
+  test("stream restart with a WIPED checkpoint re-delivers batches as no-ops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = TestSpark.tmpDir("txn-restart-src")
+    val tblDir = TestSpark.tmpDir("txn-restart-tbl") + "/t"
+    val ckpt1 = TestSpark.tmpDir("txn-restart-ck1")
+    val ckpt2 = TestSpark.tmpDir("txn-restart-ck2")
+
+    Seq((1L, 1000000000L * 60, 10L, "click", 1.0, "{}"),
+      (2L, 1000000000L * 120, 10L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(srcDir + "/b1")
+
+    def run(ckpt: String): Unit = {
+      val stream = graft.streaming.StreamOps.eventFileStream(spark, srcDir + "/*")
+        .select("event_id", "user_id", "event_type", "value")
+      val q = graft.streaming.StreamOps.writeToTxTable(stream, tblDir, ckpt,
+        Trigger.AvailableNow(), appId = Some("restart-app"))
+      q.awaitTermination(60000)
+    }
+    run(ckpt1)
+    assert(TxTable.forLocation(spark, tblDir).toDF.count() == 2)
+    // a FRESH checkpoint restarts batch numbering at 0 and re-reads the
+    // source — the worst-case crash-recovery shape. The txn watermark in
+    // the TABLE (not the stream checkpoint) makes the re-run a no-op.
+    run(ckpt2)
+    assert(TxTable.forLocation(spark, tblDir).toDF.count() == 2)
+  }
+
   test("streaming sink is exactly-once across a re-run batch") {
     val loc = TestSpark.tmpDir("txn-sink") + "/t"
     val t = new TxTable(spark, loc)
