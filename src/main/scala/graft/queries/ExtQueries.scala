@@ -235,6 +235,64 @@ object ExtQueries {
         WHERE norm_text NOT IN (
           SELECT DISTINCT LOWER(TRIM(text)) FROM documents WHERE doc_id % 7 = 0)
         GROUP BY source ORDER BY source"""),
-      headline = true)
+      headline = true),
+
+    // ---- capstone: the composed training-data prep pipeline ----
+    // quality filter -> exact dedup (first doc per normalized text) ->
+    // Bloom-prefiltered decontamination -> per-source corpus stats, all in
+    // ONE Spark plan (no materialization barriers between stages). Each
+    // stage is individually hash-proven (q49, q40, q86); this proves the
+    // COMPOSITION stays exact end-to-end against one DuckDB oracle
+    QueryDef(
+      "q87_training_data_pipeline",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val quality = TextOps.qualityFeatures(d)
+          .filter(col("q_score") > 0.5)
+          .select(col("doc_id"), col("source"),
+            col("q_n_tokens").cast(LongType).as("n_tokens"),
+            lower(trim(col("text"))).as("norm_text"))
+        val deduped = NearDup.exactDedup(quality, Seq("norm_text"), "doc_id")
+        val bench = d.filter(col("doc_id") % 9 === 0)
+          .select(lower(trim(col("text"))).as("bench_text"))
+        val clean = graft.ext.Contamination.bloomAntiJoin(
+          deduped, "norm_text", bench, "bench_text")
+        clean.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH quality AS (
+          SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+            LOWER(TRIM(text)) AS norm_text
+          FROM (
+            SELECT doc_id, source, text, n_tok,
+              CASE WHEN len > 0 THEN
+                1.0 - ABS(spaces / len - 0.16) * 2.0
+                    - (CASE WHEN avg_tok < 2 OR avg_tok > 12 THEN 0.3 ELSE 0.0 END)
+              ELSE 0.0 END AS q_score
+            FROM (
+              SELECT doc_id, source, text, len, n_tok, spaces,
+                CASE WHEN n_tok > 0 THEN alnum / n_tok ELSE 0.0 END AS avg_tok
+              FROM (
+                SELECT doc_id, source, text,
+                  CAST(LENGTH(text) AS DOUBLE) AS len,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> len(t) > 0)) AS DOUBLE) AS n_tok,
+                  CAST(LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+                  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) AS spaces
+                FROM documents)))
+          WHERE q_score > 0.5),
+        deduped AS (
+          SELECT * FROM (
+            SELECT q.*, ROW_NUMBER() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rn
+            FROM quality q)
+          WHERE rn = 1),
+        clean AS (
+          SELECT * FROM deduped
+          WHERE norm_text NOT IN (
+            SELECT DISTINCT LOWER(TRIM(text)) FROM documents WHERE doc_id % 9 = 0))
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, MIN(doc_id) AS first_doc
+        FROM clean GROUP BY source ORDER BY source"""))
   )
 }
