@@ -81,6 +81,29 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination probes map-side: no shuffle below the prefilter (q86)") {
+    val q = graft.SparkEntry.allDefs.find(_.name == "q86_bloom_decontaminate").get
+    val exec = q.fn(spark, sf).queryExecution.executedPlan match {
+      // AQE's wrapper exposes no children; assert on the inner plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the might_contain filter must sit directly over the file scan — a
+    // shuffle between them would mean the corpus moved before pruning
+    val filters = exec.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+    }
+    assert(filters.nonEmpty, s"no might_contain filter in plan\n$exec")
+    filters.foreach { f =>
+      val shufflesBelow = f.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shufflesBelow.isEmpty,
+        s"bloom prefilter has ${shufflesBelow.size} shuffle(s) below it\n$f")
+    }
+  }
+
   test("aggregations use partial (map-side) aggregation (q01)") {
     val plan = planOf("q01_pricing_summary")
     // two HashAggregate levels around the exchange = partial + final
