@@ -74,6 +74,42 @@ object Contamination {
         col(corpusKey) === col(evalKey), "left_semi")
   }
 
+  /** N-gram-level contamination: for every corpus document, the EXACT
+    * fraction of its distinct `shingleK`-token shingles that appear in the
+    * benchmark's shingle set; documents at or above `threshold` are
+    * flagged. This is the partial-overlap decontamination real training
+    * pipelines run (a doc quoting a benchmark question verbatim is
+    * contaminated even when the whole texts differ).
+    *
+    * Scale shape: per-doc shingle totals come from `size(shingle_set)` —
+    * map-only, no explode shuffle. The exploded (doc, shingle) stream is
+    * probed against a broadcast Bloom filter of the benchmark shingles
+    * map-side, so the exact semi-join + per-doc hit count shuffle only the
+    * surviving suspects, O(|true hits| + fpp·|corpus shingles|). No false
+    * negatives ⇒ the reported fractions are exact.
+    */
+  def ngramContamination(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5, fpp: Double = 0.01): DataFrame = {
+    val sets = corpus.select(col(idCol),
+      graft.functions.TextNativeFunctions.shingleSet(col(textCol), shingleK).as("__set"))
+    val totals = sets.select(col(idCol), size(col("__set")).cast("long").as("n_shingles"))
+    val benchSh = bench.select(explode(
+        graft.functions.TextNativeFunctions.shingleSet(col(benchTextCol), shingleK)).as("__bsh"))
+      .distinct()
+    val bloom = buildBloom(benchSh, "__bsh", fpp = fpp)
+    val suspects = sets.select(col(idCol), explode(col("__set")).as("__sh"))
+      .filter(mightContain(bloom, col("__sh")))
+    val hits = suspects
+      .join(benchSh, col("__sh") === col("__bsh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq(idCol)) // no hits -> fraction 0 -> never flagged
+      .withColumn("contaminated_frac",
+        col("n_hits").cast("double") / col("n_shingles").cast("double"))
+      .filter(col("contaminated_frac") >= threshold)
+      .select(col(idCol), col("n_shingles"), col("n_hits"), col("contaminated_frac"))
+  }
+
   /** Exact left-anti join (rows of `corpus` whose key is NOT in `eval` —
     * decontamination), Bloom-prefiltered: definitely-clean rows pass
     * map-side without touching the join; only suspects are anti-joined.

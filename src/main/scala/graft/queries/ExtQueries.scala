@@ -293,6 +293,43 @@ object ExtQueries {
             SELECT DISTINCT LOWER(TRIM(text)) FROM documents WHERE doc_id % 9 = 0))
         SELECT source, COUNT(*) AS n_docs,
           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, MIN(doc_id) AS first_doc
-        FROM clean GROUP BY source ORDER BY source"""))
+        FROM clean GROUP BY source ORDER BY source""")),
+
+    // ---- n-gram-level contamination fractions ----
+    // partial-overlap decontamination: the EXACT fraction of each doc's
+    // distinct 3-shingles found in the benchmark's shingle set (every 11th
+    // doc), computed with the Bloom prefilter keeping the shuffle to
+    // suspects only. The oracle recomputes the same fractions with DuckDB
+    // list ops (shingle construction proven engine-identical by q72)
+    QueryDef(
+      "q88_ngram_contamination",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val bench = d.filter(col("doc_id") % 11 === 0)
+        graft.ext.Contamination.ngramContamination(
+            d, "doc_id", "text", bench, "text", shingleK = 3, threshold = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END) AS shingles
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+                FROM documents)
+        ),
+        bench AS (
+          SELECT list_distinct(flatten(list(shingles))) AS bs
+          FROM sh WHERE doc_id % 11 = 0
+        )
+        SELECT doc_id,
+          CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+          CAST(len(list_intersect(s.shingles, b.bs)) AS BIGINT) AS n_hits,
+          CAST(len(list_intersect(s.shingles, b.bs)) AS DOUBLE) / len(s.shingles)
+            AS contaminated_frac
+        FROM sh s, bench b
+        WHERE CAST(len(list_intersect(s.shingles, b.bs)) AS DOUBLE) / len(s.shingles) >= 0.5
+        ORDER BY doc_id"""))
   )
 }

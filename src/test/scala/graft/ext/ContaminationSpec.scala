@@ -48,6 +48,34 @@ class ContaminationSpec extends AnyFunSuite {
     assert(fps < 20000 * 0.05, s"fp=$fps of 20000")
   }
 
+  test("ngramContamination equals the brute-force shingle-overlap fractions") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox sat still"),           // shares a prefix
+      (3L, "completely different words entirely here"),
+      (4L, "benchmark question one about spark joins"),
+      (5L, "i quote benchmark question one about spark joins verbatim")
+    ).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 4L).select(col("text"))
+    val got = Contamination.ngramContamination(docs, "doc_id", "text", bench, "text",
+        shingleK = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    // brute force: per-doc distinct 3-shingles vs the bench shingle set
+    def shingles(t: String): Set[String] = {
+      val toks = "[a-z0-9']+".r.findAllIn(t.toLowerCase).toSeq
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bs = shingles("benchmark question one about spark joins")
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1))).flatMap { case (id, t) =>
+      val s = shingles(t)
+      val frac = s.count(bs.contains).toDouble / s.size
+      if (frac >= 0.3) Some(id -> frac) else None
+    }.toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(got.contains(4L) && got.contains(5L) && !got.contains(1L))
+  }
+
   test("prefilter actually prunes: suspects are a small fraction of the corpus") {
     val bloom = Contamination.buildBloom(eval, "ek", fpp = 0.01)
     val suspects = corpus.filter(Contamination.mightContain(bloom, col("k"))).count()
