@@ -210,6 +210,44 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embeddings with the IVF coarse quantizer, then find
+    * near-duplicate pairs ONLY within each cluster and keep the lowest id
+    * of every flagged pair. The approximation lives in the clustering —
+    * within-cluster pairing is exact cosine — which is what bounds the
+    * pair blow-up: pairs come from a `cluster_id` equi-join (shuffle by
+    * cluster), never an all-pairs product, and `maxClusterSize` caps the
+    * quadratic term per cluster exactly like `maxBucketSize` does for the
+    * LSH routes.
+    *
+    * Returns (id, cluster_id, kept): every corpus row tagged with its
+    * cluster and whether it survives. Deterministic: centroids train on a
+    * deterministic hash-sample with fixed seeds and iterations.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      threshold: Double = 0.8,
+      nlist: Int = 16,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val centroids = IvfAnn.trainCentroids(df, idCol, embCol, nlist = nlist)
+    val assigned = IvfAnn.assign(df, centroids, idCol, embCol)
+      .join(df.select(col(idCol), col(embCol)), idCol)
+      .select(col(idCol), col("cell").as("cluster_id"), col(embCol).as("__emb"))
+    val sizeOk = assigned.groupBy("cluster_id").count()
+      .filter(col("count") <= maxClusterSize).drop("count")
+    val bounded = assigned.join(sizeOk, Seq("cluster_id"))
+    val a = bounded.select(col("cluster_id"), col(idCol).as("id_a"), col("__emb").as("__ea"))
+    val b = bounded.select(col("cluster_id"), col(idCol).as("id_b"), col("__emb").as("__eb"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(AnnLsh.cosine(col("__ea"), col("__eb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"), col("__drop").isNull.as("kept"))
+  }
+
   /** Exact n-gram-Jaccard duplicate pairs: all (id_a < id_b) whose
     * k-token-shingle SETS overlap by at least `threshold` Jaccard. This is
     * the exact all-pairs baseline (ground truth for small corpora and for

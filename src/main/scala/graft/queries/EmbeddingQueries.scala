@@ -162,6 +162,23 @@ object EmbeddingQueries {
         SELECT id_a, id_b, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
         FROM dots JOIN norms na ON dots.id_a = na.vec_id
           JOIN norms nb ON dots.id_b = nb.vec_id
-        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.45"""))
+        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.45""")),
+
+    // ---- SemDeDup semantic dedup: cluster-scoped near-dup removal ----
+    // (Abbas et al. 2023: k-means cluster, pair only within clusters, keep
+    // the lowest id per flagged pair. The k-means quantizer is not
+    // SQL-expressible -> rows-only check, like the LSH recall queries;
+    // within-cluster pairing exactness is covered by NearDupSpec)
+    QueryDef(
+      "q89_semantic_dedup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        graft.ext.NearDup.semanticDedup(e, threshold = 0.45, nlist = 16)
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+          .orderBy(col("cluster_id"))
+      },
+      None)
   )
 }

@@ -116,6 +116,27 @@ class ExtOpsSpec extends AnyFunSuite {
       s"unexpected non-planted pairs: $dups")
   }
 
+  test("SemDeDup semantic dedup drops planted duplicates, keeps the lowest id") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // near-copies land in the same k-means cell (cosine ~1.0 -> same argmin)
+    val planted = e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val corpus = e.unionByName(planted)
+    val out = NearDup.semanticDedup(corpus, threshold = 0.9)
+    assert(out.count() == corpus.count()) // every row tagged
+    val kept = out.filter($"kept").select("vec_id").collect().map(_.getLong(0)).toSet
+    (0L until 5L).foreach { i =>
+      assert(kept.contains(i), s"original $i must survive")
+      assert(!kept.contains(i + 100000L), s"planted copy of $i must be dropped")
+    }
+    // determinism: a second run produces the identical keep set
+    val kept2 = NearDup.semanticDedup(corpus, threshold = 0.9)
+      .filter($"kept").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == kept2)
+  }
+
   test("IVF ANN: recall against brute force; probe phase reads a corpus subset") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)
