@@ -263,6 +263,12 @@ object DeltaLog {
     // (PROTOCOL.md "Transaction Identifiers")
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def txn(appId: String, version: Long): Unit = txns(appId) = version
+    // latest domainMetadata per domain, log order winning (PROTOCOL.md
+    // "Domain Metadata"); removed=true entries are retained as tombstones
+    // so checkpoints keep signalling the removal to other writers
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, (String, Boolean)]
+    def domain(name: String, configuration: String, removed: Boolean): Unit =
+      domains(name) = (configuration, removed)
   }
 
   /** Delta add.path values are percent-encoded relative URIs (PROTOCOL.md
@@ -357,6 +363,12 @@ object DeltaLog {
     line \ "txn" match {
       case JNothing => ()
       case t => state.txn((t \ "appId").extract[String], (t \ "version").extract[Long])
+    }
+    line \ "domainMetadata" match {
+      case JNothing => ()
+      case d => state.domain((d \ "domain").extract[String],
+        (d \ "configuration").extractOrElse[String](""),
+        (d \ "removed").extractOrElse[Boolean](false))
     }
   }
 
@@ -472,6 +484,11 @@ object DeltaLog {
     if (has("txn"))
       df.select(col("txn.appId"), col("txn.version")).filter(col("appId").isNotNull)
         .collect().foreach(r => state.txn(r.getString(0), r.getLong(1)))
+    if (has("domainMetadata"))
+      df.select(col("domainMetadata.domain"), col("domainMetadata.configuration"),
+          col("domainMetadata.removed")).filter(col("domain").isNotNull)
+        .collect().foreach(r => state.domain(r.getString(0),
+          Option(r.getString(1)).getOrElse(""), r.getBoolean(2)))
     if (has("sidecar"))
       df.select(col("sidecar.path")).filter(col("path").isNotNull)
         .collect().map(_.getString(0)).toSeq
@@ -843,7 +860,7 @@ object DeltaLogWriter {
   private val SupportedWriterFeatures =
     Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
       "checkConstraints", "changeDataFeed", "deletionVectors", "columnMapping",
-      "v2Checkpoint", "generatedColumns", "identityColumns")
+      "v2Checkpoint", "generatedColumns", "identityColumns", "domainMetadata")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
@@ -1095,20 +1112,27 @@ object DeltaLogWriter {
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType),
-        StructField("lastUpdated", LongType))))))
+        StructField("lastUpdated", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     val manifestRows = new java.util.ArrayList[Row]()
-    manifestRows.add(Row(Row(version, Map.empty[String, String]), null, null, null, null))
+    manifestRows.add(Row(Row(version, Map.empty[String, String]), null, null, null, null, null))
     manifestRows.add(Row(null, Row(state.minReader, state.minWriter,
       if (state.readerFeatures.isEmpty) null else state.readerFeatures.toSeq,
-      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null, null))
+      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null, null, null))
     manifestRows.add(Row(null, null, Row(Option(state.metaId).filter(_.nonEmpty)
       .getOrElse(UUID.randomUUID().toString), snap.schema.json,
-      snap.partitionColumns, snap.properties, Row("parquet")), null, null))
+      snap.partitionColumns, snap.properties, Row("parquet")), null, null, null))
     sidecars.foreach { case (name, len) =>
-      manifestRows.add(Row(null, null, null, Row(name, len, System.currentTimeMillis()), null))
+      manifestRows.add(Row(null, null, null, Row(name, len, System.currentTimeMillis()), null, null))
     }
     state.txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
-      manifestRows.add(Row(null, null, null, null, Row(appId, v, System.currentTimeMillis())))
+      manifestRows.add(Row(null, null, null, null, Row(appId, v, System.currentTimeMillis()), null))
+    }
+    state.domains.toSeq.sortBy(_._1).foreach { case (d, (conf, removed)) =>
+      manifestRows.add(Row(null, null, null, null, null, Row(d, conf, removed)))
     }
     val mTmp = new Path(logD, s".v2mani-tmp-${UUID.randomUUID()}")
     spark.createDataFrame(manifestRows, manifestSchema).coalesce(1).write.parquet(mTmp.toString)
@@ -1169,23 +1193,33 @@ object DeltaLogWriter {
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType),
-        StructField("lastUpdated", LongType))))))
+        StructField("lastUpdated", LongType)))),
+      // domain metadata must survive checkpointing (PROTOCOL.md "Domain
+      // Metadata": a checkpoint contains the latest action per domain,
+      // including removal tombstones)
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row(Row(state.minReader, state.minWriter,
       if (state.readerFeatures.isEmpty) null else state.readerFeatures.toSeq,
-      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null, null))
+      if (state.writerFeatures.isEmpty) null else state.writerFeatures.toSeq), null, null, null, null))
     rows.add(Row(null, Row(Option(state.metaId).filter(_.nonEmpty)
       .getOrElse(UUID.randomUUID().toString), snap.schema.json,
-      snap.partitionColumns, snap.properties, Row("parquet")), null, null))
+      snap.partitionColumns, snap.properties, Row("parquet")), null, null, null))
     snap.files.foreach { a =>
       val dvRow = a.deletionVector.map(d =>
         Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
           d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null, Row(a.path, a.partitionValues, a.sizeBytes,
-        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow), null))
+        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow), null, null))
     }
     state.txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
-      rows.add(Row(null, null, null, Row(appId, v, System.currentTimeMillis())))
+      rows.add(Row(null, null, null, Row(appId, v, System.currentTimeMillis()), null))
+    }
+    state.domains.toSeq.sortBy(_._1).foreach { case (d, (conf, removed)) =>
+      rows.add(Row(null, null, null, null, Row(d, conf, removed)))
     }
     val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
     val dir = DeltaLog.logDir(location)
