@@ -162,11 +162,22 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
   def latestVersion(spark: SparkSession, location: String): Option[Long] =
     DeltaLog.latestVersion(spark, location)
 
-  def checkWritable(spark: SparkSession, location: String, op: String): Unit =
+  def checkWritable(spark: SparkSession, location: String, op: String): Unit = {
     DeltaLogWriter.requireWritable(spark, location,
       // appendOnly blocks data removal, not blind appends or pure
       // metadata commits (Delta allows property changes on such tables)
       forOverwrite = op != "APPEND" && op != "SET_TBLPROPERTIES")
+    // row tracking: appends assign fresh ids, but a rewrite would need to
+    // MATERIALIZE the rewritten rows' ids to preserve lineage — refuse
+    // rather than silently break other engines' row tracking
+    if (op != "APPEND" && op != "SET_TBLPROPERTIES") {
+      val snap = DeltaLog.snapshot(spark, location)
+      if (RowTracking.enabled(snap.properties))
+        throw graft.catalog.UnsupportedOperationError(
+          s"table at $location has row tracking enabled; only APPEND and metadata " +
+            "commits are supported (rewrites would need materialized row ids)")
+    }
+  }
 
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],
@@ -206,9 +217,17 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     // v3/v4 or the checkConstraints/changeDataFeed table features)
     val protoLine = DeltaLogWriter.protocolUpgradeFor(spark, location,
       base.properties, properties)
-    val lines = (commitInfo +: (txnLine ++ protoLine ++ metaLine)) ++
+    // row tracking: stamp each add with its id range and advance the
+    // watermark in the SAME commit (domainMetadata action)
+    val (added1, rtLine) =
+      if (!RowTracking.enabled(properties)) (added, None)
+      else {
+        val (state, _) = DeltaLog.replayState(spark, location, None)
+        RowTracking.stamp(added, RowTracking.highWaterMark(state.domains), base.version + 1)
+      }
+    val lines = (commitInfo +: (txnLine ++ rtLine ++ protoLine ++ metaLine)) ++
       removedPaths.map(DeltaLogWriter.removeAction(_, dataChange)) ++
-      added.map(DeltaLogWriter.addAction(schema, _, dataChange)) ++
+      added1.map(DeltaLogWriter.addAction(schema, _, dataChange)) ++
       cdc.map(DeltaCdf.cdcAction)
     try {
       DeltaLogWriter.writeCommit(spark, location, base.version + 1, lines)

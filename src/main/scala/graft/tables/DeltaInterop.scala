@@ -298,7 +298,9 @@ object DeltaLog {
 
   private[tables] def addFileOf(path: String, partitionValues: Map[String, String],
       size: Long, stats: Option[String],
-      dv: Option[DeletionVectors.Descriptor] = None): TxLog.AddFile = {
+      dv: Option[DeletionVectors.Descriptor] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None): TxLog.AddFile = {
     val parsedStats = stats.filter(_.nonEmpty).flatMap { s =>
       try Some(JsonMethods.parse(s)) catch { case NonFatal(_) => None }
     }
@@ -309,7 +311,8 @@ object DeltaLog {
     }).getOrElse(-1L)
     val mins = parsedStats.map(s => statsMap(s \ "minValues")).filter(_.nonEmpty)
     val maxs = parsedStats.map(s => statsMap(s \ "maxValues")).filter(_.nonEmpty)
-    TxLog.AddFile(decodePath(path), partitionValues, rows, size, mins, maxs, dv)
+    TxLog.AddFile(decodePath(path), partitionValues, rows, size, mins, maxs, dv,
+      baseRowId, defaultRowCommitVersion)
   }
 
   /** Parse a deletionVector descriptor (JSON action form). */
@@ -354,7 +357,9 @@ object DeltaLog {
           .filter { case (_, v) => v != null },
         (a \ "size").extractOrElse[Long](0L),
         (a \ "stats").extractOpt[String],
-        dvOf(a \ "deletionVector")))
+        dvOf(a \ "deletionVector"),
+        (a \ "baseRowId").extractOpt[Long],
+        (a \ "defaultRowCommitVersion").extractOpt[Long]))
     }
     line \ "remove" match {
       case JNothing => ()
@@ -467,9 +472,11 @@ object DeltaLog {
           col("add.deletionVector.offset") :: col("add.deletionVector.sizeInBytes") :: col("add.deletionVector.cardinality") :: Nil
         else lit(null).cast("string") :: lit(null).cast("string") ::
           lit(null).cast("int") :: lit(null).cast("int") :: lit(null).cast("long") :: Nil
+      def rtCol(n: String) =
+        if (addFields.contains(n)) col(s"add.$n") else lit(null).cast("long").as(n)
       df.select(col("add.path") :: col("add.partitionValues") :: col("add.size") ::
         (if (addFields.contains("stats")) col("add.stats") else lit(null).cast("string").as("stats")) ::
-        dvCol: _*)
+        dvCol ::: rtCol("baseRowId") :: rtCol("defaultRowCommitVersion") :: Nil: _*)
         .filter(col("path").isNotNull)
         .collect().foreach { r =>
           val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
@@ -478,7 +485,9 @@ object DeltaLog {
             DeletionVectors.Descriptor(st, r.getString(5),
               if (r.isNullAt(6)) None else Some(r.getInt(6)), r.getInt(7), r.getLong(8))
           }
-          state.add(addFileOf(r.getString(0), pv, r.getLong(2), Option(r.getString(3)), dv))
+          state.add(addFileOf(r.getString(0), pv, r.getLong(2), Option(r.getString(3)), dv,
+            if (r.isNullAt(9)) None else Some(r.getLong(9)),
+            if (r.isNullAt(10)) None else Some(r.getLong(10))))
         }
     }
     if (has("txn"))
@@ -572,6 +581,37 @@ object DeltaLog {
   /** Current (or time-traveled) contents of a real Delta table. */
   def toDF(spark: SparkSession, location: String, asOfVersion: Option[Long] = None): DataFrame =
     dfForSnapshot(spark, location, snapshot(spark, location, asOfVersion))
+
+  /** Row-tracking read: the table plus `_row_id` (fresh row id =
+    * add.baseRowId + physical position, PROTOCOL.md "Row Tracking") and
+    * `_row_commit_version` (the add's defaultRowCommitVersion). Positions
+    * come from the parquet scan's `_metadata.row_index`; the per-file base
+    * ids broadcast-join on the scan's file path — map-side, no shuffle of
+    * the data.
+    */
+  def toDFWithRowIds(spark: SparkSession, location: String): DataFrame = {
+    val s = snapshot(spark, location)
+    if (!RowTracking.enabled(s.properties))
+      throw UnsupportedOperationError(s"row tracking is not enabled at $location")
+    import spark.implicits._
+    val df = readWithRowMeta(spark, location, s)
+    // keyed by the file's last path segment: parquet part files carry a
+    // UUID in the name, so it is unique per table and immune to the
+    // scheme/authority differences between _metadata.file_path (a URI)
+    // and the log's relative paths
+    val base = s.files.map { a =>
+      (a.path.substring(a.path.lastIndexOf('/') + 1),
+        a.baseRowId.getOrElse(
+          throw UnsupportedOperationError(
+            s"file ${a.path} has no baseRowId; the table's history predates row tracking")),
+        a.defaultRowCommitVersion.getOrElse(-1L))
+    }.toDF("__rt_name", "__rt_base", "__rt_cv")
+    df.join(org.apache.spark.sql.functions.broadcast(base),
+        org.apache.spark.sql.functions.substring_index(col(FileMetaCol), "/", -1) === col("__rt_name"))
+      .withColumn("_row_id", col("__rt_base") + col(RowMetaCol))
+      .withColumn("_row_commit_version", col("__rt_cv"))
+      .drop(FileMetaCol, RowMetaCol, "__rt_name", "__rt_base", "__rt_cv")
+  }
 
   /** Predicate scan with manifest-level data skipping: the per-file
     * minValues/maxValues parsed from the foreign log's stats JSON prune
@@ -860,7 +900,8 @@ object DeltaLogWriter {
   private val SupportedWriterFeatures =
     Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
       "checkConstraints", "changeDataFeed", "deletionVectors", "columnMapping",
-      "v2Checkpoint", "generatedColumns", "identityColumns", "domainMetadata")
+      "v2Checkpoint", "generatedColumns", "identityColumns", "domainMetadata",
+      "rowTracking")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
@@ -985,7 +1026,10 @@ object DeltaLogWriter {
       "dataChange" -> JBool(dataChange),
       "stats" -> JString(statsJson(schema, a)))
     val withDv = a.deletionVector.fold(base)(d => base :+ ("deletionVector" -> (dvJson(d): JValue)))
-    JsonMethods.compact(JsonMethods.render(JObject("add" -> JObject(withDv))))
+    val withRt = withDv ++
+      a.baseRowId.map(v => "baseRowId" -> (JLong(v): JValue)).toList ++
+      a.defaultRowCommitVersion.map(v => "defaultRowCommitVersion" -> (JLong(v): JValue)).toList
+    JsonMethods.compact(JsonMethods.render(JObject("add" -> JObject(withRt))))
   }
 
   private[tables] def writeCommit(spark: SparkSession, location: String, version: Long, lines: Seq[String]): Unit = {
@@ -1053,7 +1097,9 @@ object DeltaLogWriter {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType))))))
+        StructField("cardinality", LongType)))),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
     val sidecarSchema = StructType(Seq(StructField("add", addType)))
     val f = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
     val logD = DeltaLog.logDir(location)
@@ -1067,7 +1113,9 @@ object DeltaLogWriter {
         Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
           d.sizeInBytes, d.cardinality)).orNull
       addRows.add(Row(Row(a.path, a.partitionValues, a.sizeBytes,
-        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow)))
+        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull)))
     }
     val k = math.max(1, (addRows.size() + maxActionsPerPart - 1) / maxActionsPerPart)
     val tmpDir = new Path(logD, s".v2ckpt-tmp-${UUID.randomUUID()}")
@@ -1186,7 +1234,9 @@ object DeltaLogWriter {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType))))))),
+          StructField("cardinality", LongType)))),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       // SetTransaction watermarks MUST survive checkpointing (PROTOCOL.md:
       // a checkpoint contains the latest txn action per appId) — dropping
       // them would break idempotent writers once the JSON tail is cleaned
@@ -1213,7 +1263,9 @@ object DeltaLogWriter {
         Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
           d.sizeInBytes, d.cardinality)).orNull
       rows.add(Row(null, null, Row(a.path, a.partitionValues, a.sizeBytes,
-        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow), null, null))
+        System.currentTimeMillis(), false, statsJson(snap.schema, a), dvRow,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull), null, null))
     }
     state.txns.toSeq.sortBy(_._1).foreach { case (appId, v) =>
       rows.add(Row(null, null, null, Row(appId, v, System.currentTimeMillis()), null))
@@ -1277,8 +1329,12 @@ object DeltaLogWriter {
       "timestamp" -> JLong(System.currentTimeMillis()),
       "operation" -> JString("WRITE"),
       "operationParameters" -> JObject("mode" -> JString("ErrorIfExists"))))))
+    // a table born with row tracking stamps its version-0 adds too
+    val (added1, rtLine) =
+      if (!RowTracking.enabled(properties)) (added, None)
+      else RowTracking.stamp(added, hwm = -1L, commitVersion = 0L)
     writeCommit(spark, location, 0L,
-      commitInfo +: protocol +: meta +: added.map(addAction(df.schema, _)))
+      (commitInfo +: protocol +: meta +: rtLine.toSeq) ++ added1.map(addAction(df.schema, _)))
   }
 
   /** Append `df` to an existing Delta table (STRICT schema equality). */

@@ -53,7 +53,11 @@ object TxLog {
       // merge-on-read deletes (foreign Delta only): `rows` and min/max then
       // describe the PHYSICAL file, bounds for every live row — conservative
       // for pruning; live count = rows - deletionVector.cardinality
-      deletionVector: Option[DeletionVectors.Descriptor] = None)
+      deletionVector: Option[DeletionVectors.Descriptor] = None,
+      // row tracking (foreign Delta only): fresh row id of row i in this
+      // file = baseRowId + i; the commit version stamped on unmodified rows
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** Delta-protocol SetTransaction (PROTOCOL.md "Transaction
     * Identifiers"): an application-defined (appId, version) watermark

@@ -301,7 +301,7 @@ class DeltaInteropSpec extends AnyFunSuite {
     val loc = TestSpark.tmpDir("delta-wgate")
     oneParquetFile(df1, loc, "f0.parquet")
     writeLine(loc, "00000000000000000000.json", Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""",
       metaAction(),
       """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     intercept[UnsupportedOperationError] { DeltaLogWriter.append(spark, loc, df2) }
