@@ -184,10 +184,24 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
       schema: StructType, partitionColumns: Seq[String],
       properties: Map[String, String], cdc: Seq[AddFile],
       txn: Option[TxLog.SetTxn]): Boolean = {
+    // in-commit timestamps: when enabled, commitInfo must carry a
+    // MONOTONIC inCommitTimestamp (max of the wall clock and prev + 1) and
+    // time travel reads it instead of file mtimes
+    val ictField: List[(String, JValue)] =
+      if (!properties.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))) Nil
+      else {
+        val f = TxLog.fs(spark, location)
+        val prev = DeltaLog.latestVersion(spark, location).map { v =>
+          DeltaLog.commitTimestamp(f,
+            new org.apache.hadoop.fs.Path(DeltaLog.logDir(location), f"$v%020d.json"))
+        }.getOrElse(0L)
+        List("inCommitTimestamp" -> JLong(math.max(System.currentTimeMillis(), prev + 1)))
+      }
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
-      "timestamp" -> JLong(System.currentTimeMillis()),
-      "operation" -> JString(deltaOperation(op)),
-      "operationParameters" -> JObject("mode" -> JString(op))))))
+      List[(String, JValue)](
+        "timestamp" -> JLong(System.currentTimeMillis()),
+        "operation" -> JString(deltaOperation(op)),
+        "operationParameters" -> JObject("mode" -> JString(op))) ++ ictField))))
     // SetTransaction rides in the same atomic commit as the data it marks
     // (PROTOCOL.md "Transaction Identifiers")
     val txnLine = txn.toSeq.map(t => JsonMethods.compact(JsonMethods.render(JObject(

@@ -671,17 +671,21 @@ object DeltaLog {
     */
   private[tables] def commitTimestamp(f: FileSystem, p: Path): Long = {
     val in = f.open(p)
+    def long(v: JValue): Option[Long] = v match {
+      case JInt(i) => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case _ => None
+    }
     val fromInfo =
       try {
         scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .map(_.trim).filter(_.nonEmpty)
           .flatMap { t =>
             try {
-              JsonMethods.parse(t) \ "commitInfo" \ "timestamp" match {
-                case JInt(i) => Some(i.toLong)
-                case JLong(l) => Some(l)
-                case _ => None
-              }
+              val ci = JsonMethods.parse(t) \ "commitInfo"
+              // inCommitTimestamp (monotonic, the required source when the
+              // table enables the ICT feature) wins over the wall clock
+              long(ci \ "inCommitTimestamp").orElse(long(ci \ "timestamp"))
             } catch { case NonFatal(_) => None }
           }.nextOption()
       } finally in.close()
@@ -901,7 +905,7 @@ object DeltaLogWriter {
     Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
       "checkConstraints", "changeDataFeed", "deletionVectors", "columnMapping",
       "v2Checkpoint", "generatedColumns", "identityColumns", "domainMetadata",
-      "rowTracking")
+      "rowTracking", "inCommitTimestamp")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
