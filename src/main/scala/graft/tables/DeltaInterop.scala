@@ -51,7 +51,11 @@ object DeltaLog {
     * the DV row filter (see DeletionVectors).
     */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "vacuumProtocolCheck", "columnMapping", "deletionVectors", "v2Checkpoint")
+    Set("timestampNtz", "vacuumProtocolCheck", "columnMapping", "deletionVectors", "v2Checkpoint",
+      // every scan reads its files with the SNAPSHOT schema, so pre-widening
+      // files upcast inside the parquet reader (TypeWideningSpec pins it);
+      // "-preview" is the pre-GA name Delta-Spark 3.x tables carry
+      "typeWidening", "typeWidening-preview")
 
   private[tables] val PhysicalNameKey = "delta.columnMapping.physicalName"
   private[tables] val ColumnIdKey = "delta.columnMapping.id"
