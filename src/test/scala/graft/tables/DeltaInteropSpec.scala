@@ -140,7 +140,7 @@ class DeltaInteropSpec extends AnyFunSuite {
     val loc = TestSpark.tmpDir("delta-gate")
     oneParquetFile(df1, loc, "f.parquet")
     writeLine(loc, "00000000000000000000.json", Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"]}}""",
       metaAction(),
       """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     intercept[UnsupportedOperationError](DeltaLog.snapshot(spark, loc))
@@ -261,7 +261,7 @@ class DeltaInteropSpec extends AnyFunSuite {
           override def call(): Unit = DeltaLogWriter.append(spark, loc, df2)
         })
       }
-      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
     } finally pool.shutdown()
     assert(DeltaLog.latestVersion(spark, loc).contains(2L))
     assert(DeltaLog.toDF(spark, loc).count() == 8) // 4 + 2 + 2
