@@ -55,7 +55,10 @@ object DeltaLog {
       // every scan reads its files with the SNAPSHOT schema, so pre-widening
       // files upcast inside the parquet reader (TypeWideningSpec pins it);
       // "-preview" is the pre-GA name Delta-Spark 3.x tables carry
-      "typeWidening", "typeWidening-preview")
+      "typeWidening", "typeWidening-preview",
+      // Spark 4 carries VariantType natively: schemaString round-trips it
+      // and the scan reads the physical two-binary struct (VariantTypeSpec)
+      "variantType", "variantType-preview")
 
   private[tables] val PhysicalNameKey = "delta.columnMapping.physicalName"
   private[tables] val ColumnIdKey = "delta.columnMapping.id"
@@ -909,7 +912,7 @@ object DeltaLogWriter {
     Set("appendOnly", "timestampNtz", "vacuumProtocolCheck", "invariants",
       "checkConstraints", "changeDataFeed", "deletionVectors", "columnMapping",
       "v2Checkpoint", "generatedColumns", "identityColumns", "domainMetadata",
-      "rowTracking", "inCommitTimestamp")
+      "rowTracking", "inCommitTimestamp", "variantType", "variantType-preview")
 
   /** The Delta spec requires writers to refuse tables whose
     * minWriterVersion / writerFeatures they do not implement.
