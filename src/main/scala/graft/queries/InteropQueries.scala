@@ -276,6 +276,32 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           ${sqlSum("l_extendedprice")} AS revenue
         FROM lineitem WHERE l_quantity <= 12
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // round-5 variant type end-to-end: events.props parses into a VARIANT
+    // column, lands in a Delta table, replays, and extracts typed fields —
+    // the oracle computes the same aggregate from the raw JSON strings, so
+    // any loss in the variant encode/decode or the Delta round-trip breaks
+    // the hash (extraction semantics proven engine-identical by q33)
+    QueryDef(
+      "q90_variant_roundtrip",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q90-variant").toString
+        val e = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          parse_json(col("props")).as("v"))
+        DeltaLogWriter.create(s, loc, e)
+        DeltaLog.toDF(s, loc)
+          .select(col("event_type"),
+            variant_get(col("v"), "$.k", "long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }
