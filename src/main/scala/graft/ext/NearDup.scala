@@ -272,6 +272,54 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Duplicated-span detection (the distributed shape of Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * removes VERBATIM substrings repeated across documents rather than
+    * whole near-dup docs): a token position is "duplicated" when the
+    * k-gram starting there also occurs in ANOTHER document; consecutive
+    * duplicated positions merge into spans, and spans of at least
+    * `minTokens` tokens are reported as (doc, start, end) in token
+    * coordinates for a downstream cut-and-rejoin pass.
+    *
+    * Scale shape: one posexplode to (doc, pos, gram) — O(total tokens)
+    * rows, the same order as the corpus itself — then ONE shuffle on the
+    * gram to find cross-doc occurrences (the suffix-array step of the
+    * paper, re-expressed as a group-by), and a per-doc window (doc_id
+    * partitioning, corpus-order parallelism) to merge runs with the
+    * classic islands trick. No pairwise comparisons anywhere.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramK: Int = 8,
+      minTokens: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      expr(s"regexp_extract_all(lower($textCol), '[a-z0-9\\']+', 0)").as("__t"))
+    val grams = toks
+      .filter(size(col("__t")) >= gramK)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - gramK),
+        i => array_join(slice(col("__t"), i + 1, lit(gramK)), " "))).as(Seq("__pos", "__g")))
+    // grams occurring in more than one document (the only shuffle-by-gram)
+    val crossDoc = grams.groupBy("__g")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select("__g")
+    val dupPos = grams.join(crossDoc, "__g").select(col(idCol), col("__pos"))
+    // islands: consecutive positions share (pos - rank)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    dupPos
+      .withColumn("__isl", col("__pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).cast(LongType).as("start_pos"),
+        (max(col("__pos")) + lit(gramK) - 1).cast(LongType).as("end_pos"))
+      .filter(col("end_pos") - col("start_pos") + 1 >= minTokens)
+      .select(col(idCol), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
+  }
+
   /** Exact dedup: keep the first row (lowest orderCol) per exact key. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -113,6 +113,47 @@ object TextQueries {
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
             len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4""")),
 
+    // ---- duplicated-span detection (exact substring dedup) ----
+    // the Lee et al. 2022 op: token positions whose 8-gram recurs in
+    // ANOTHER doc, merged into spans of >= 15 tokens. Both engines
+    // tokenize identically (proven by q72); the oracle replays the same
+    // gram/island algorithm in SQL, so the hash pins every span boundary
+    QueryDef(
+      "q91_duplicated_spans",
+      (s, dir) => graft.ext.NearDup.duplicatedSpans(
+        Tables.documents(s, dir), gramK = 8, minTokens = 15)
+        .orderBy(col("doc_id"), col("start_pos")),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+          FROM documents
+        ),
+        gl AS (
+          SELECT doc_id, list_transform(range(1, len(t) - 8 + 2),
+            i -> array_to_string(t[i:i+7], ' ')) AS grams
+          FROM toks WHERE len(t) >= 8
+        ),
+        grams AS (
+          SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos, UNNEST(grams) AS g
+          FROM gl
+        ),
+        crossdoc AS (
+          SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        dpos AS (
+          SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM crossdoc)
+        ),
+        islands AS (
+          SELECT doc_id, pos,
+            pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM dpos
+        )
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+          CAST(MAX(pos) + 7 AS BIGINT) AS end_pos,
+          CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+        FROM islands GROUP BY doc_id, isl
+        HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 15
+        ORDER BY doc_id, start_pos""")),
+
     // ---- sequence packing: concat-and-chunk into 512-token slots ----
     // the Spark side computes the global token prefix sum with the
     // two-phase distributed algorithm (ext/Packing.scala), NOT a

@@ -116,6 +116,19 @@ class ExtOpsSpec extends AnyFunSuite {
       s"unexpected non-planted pairs: $dups")
   }
 
+  test("duplicatedSpans finds the planted verbatim substring with exact bounds") {
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ") // 20 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three four five $shared"),
+      (3L, "nothing in common here at all with anyone else today")
+    ).toDF("doc_id", "text")
+    val spans = NearDup.duplicatedSpans(docs, gramK = 8, minTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: shared run at token positions 2..21; doc 2: positions 5..24
+    assert(spans == Set((1L, 2L, 21L), (2L, 5L, 24L)), spans.mkString(","))
+  }
+
   test("SemDeDup semantic dedup drops planted duplicates, keeps the lowest id") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
