@@ -134,13 +134,14 @@ class DeltaInteropSpec extends AnyFunSuite {
   }
 
   test("protocol gating: v3 with an unknown feature rejected; benign features and name mapping pass") {
-    // deletionVectors and v2Checkpoint are HONORED reader features since
-    // round 5 — gating is exercised with a feature this library really
-    // cannot honor
+    // gating is exercised with a feature name outside the supported set —
+    // deliberately a FUTURE/unknown name, since each real feature used here
+    // as the example (deletionVectors, typeWidening, variantType) ended up
+    // implemented and broke the fixture
     val loc = TestSpark.tmpDir("delta-gate")
     oneParquetFile(df1, loc, "f.parquet")
     writeLine(loc, "00000000000000000000.json", Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["someFutureFeature"]}}""",
       metaAction(),
       """{"add":{"path":"f.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     intercept[UnsupportedOperationError](DeltaLog.snapshot(spark, loc))
