@@ -320,6 +320,37 @@ object NearDup {
         (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
   }
 
+  /** The cut pass over `duplicatedSpans`: rebuild each document's
+    * (normalized) token stream with every duplicated span removed —
+    * Lee et al.'s actual dedup step. Spans broadcast back onto the corpus
+    * keyed by doc (they are span-count-sized, far smaller than the text);
+    * the removal itself is a positional array filter inside the row — no
+    * extra shuffle beyond the span computation. Output text is in
+    * NORMALIZED token space (lowercased, `[a-z0-9']+` tokens joined by
+    * single spaces), the same coordinates the spans are defined over.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gramK: Int = 8,
+      minTokens: Int = 15): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, gramK, minTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_pos").as("s"), col("end_pos").as("e"))).as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("__t", expr(s"regexp_extract_all(lower($textCol), '[a-z0-9\\']+', 0)"))
+      .withColumn("clean_text", array_join(
+        filter(col("__t"), (tok, i) =>
+          coalesce(!exists(col("__spans"),
+            sp => i >= sp.getField("s") && i <= sp.getField("e")), lit(true))), " "))
+      .withColumn("n_tokens_before", size(col("__t")).cast(LongType))
+      .withColumn("n_tokens_after",
+        size(expr("filter(__t, (x, i) -> " +
+          "coalesce(NOT exists(__spans, sp -> i >= sp.s AND i <= sp.e), true))")).cast(LongType))
+      .drop("__t", "__spans")
+  }
+
   /** Exact dedup: keep the first row (lowest orderCol) per exact key. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

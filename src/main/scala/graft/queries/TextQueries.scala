@@ -154,6 +154,60 @@ object TextQueries {
         HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 15
         ORDER BY doc_id, start_pos""")),
 
+    // ---- the cut pass: duplicated spans removed from the text ----
+    // rebuilds affected documents' normalized token streams without the
+    // q91 spans; the oracle replays span detection AND the positional
+    // filter in SQL, so the hash pins the rebuilt text byte-for-byte
+    QueryDef(
+      "q92_span_removal",
+      (s, dir) => graft.ext.NearDup.removeDuplicatedSpans(
+          Tables.documents(s, dir), gramK = 8, minTokens = 15)
+        .filter(col("n_tokens_after") < col("n_tokens_before"))
+        .select(col("doc_id"), col("n_tokens_before"), col("n_tokens_after"), col("clean_text"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+          FROM documents
+        ),
+        gl AS (
+          SELECT doc_id, list_transform(range(1, len(t) - 8 + 2),
+            i -> array_to_string(t[i:i+7], ' ')) AS grams
+          FROM toks WHERE len(t) >= 8
+        ),
+        grams AS (
+          SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos, UNNEST(grams) AS g
+          FROM gl
+        ),
+        crossdoc AS (
+          SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        dpos AS (
+          SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM crossdoc)
+        ),
+        islands AS (
+          SELECT doc_id, pos,
+            pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM dpos
+        ),
+        spans AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+          FROM islands GROUP BY doc_id, isl
+          HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 15
+        ),
+        sp AS (
+          SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM spans GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+          CAST(len(t.t) AS BIGINT) AS n_tokens_before,
+          CAST(len(t.t) - len(list_filter(list_transform(range(1, len(t.t)+1),
+            i -> CASE WHEN len(list_filter(sp.spans, x -> i-1 >= x.s AND i-1 <= x.e)) > 0
+                 THEN 1 ELSE NULL END), v -> v IS NOT NULL)) AS BIGINT) AS n_tokens_after,
+          COALESCE(array_to_string(list_filter(list_transform(range(1, len(t.t)+1),
+            i -> CASE WHEN len(list_filter(sp.spans, x -> i-1 >= x.s AND i-1 <= x.e)) > 0
+                 THEN NULL ELSE t.t[i] END), v -> v IS NOT NULL), ' '), '') AS clean_text
+        FROM toks t JOIN sp ON t.doc_id = sp.doc_id
+        ORDER BY t.doc_id""")),
+
     // ---- sequence packing: concat-and-chunk into 512-token slots ----
     // the Spark side computes the global token prefix sum with the
     // two-phase distributed algorithm (ext/Packing.scala), NOT a
