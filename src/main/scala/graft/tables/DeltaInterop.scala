@@ -171,6 +171,9 @@ object DeltaLog {
 
   def logDir(location: String): Path = new Path(location, LogDirName)
 
+  /** The liquid-clustering metadata domain (Delta CLUSTER BY). */
+  val ClusteringDomain = "delta.clustering"
+
   /** A directory is a Delta table if `_delta_log` holds commit files or a
     * checkpoint (log-cleaned tables may have no JSON commits left).
     */

@@ -514,6 +514,38 @@ final class TxTable(val spark: SparkSession, val location: String,
     }
   }
 
+  /** Clustering columns another engine declared via the `delta.clustering`
+    * metadata domain (liquid clustering / CLUSTER BY). Physical name paths
+    * in the domain resolve to logical names on column-mapped tables;
+    * nested paths cluster on their root column.
+    */
+  def clusteringColumns: Seq[String] = log match {
+    case ForeignDeltaCommitLog =>
+      val (state, _) = DeltaLog.replayState(spark, location, None)
+      state.domains.get(DeltaLog.ClusteringDomain).filterNot(_._2).toSeq.flatMap {
+        case (conf, _) =>
+          implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+          val paths =
+            try (org.json4s.jackson.JsonMethods.parse(conf) \ "clusteringColumns")
+              .extractOrElse[Seq[Seq[String]]](Seq.empty)
+            catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          val physToLogical = DeltaLog.columnMappingOf(snapshot.schema).map(_.swap)
+          paths.flatMap(_.headOption).map(p => physToLogical.getOrElse(p, p))
+      }
+    case _ => Seq.empty
+  }
+
+  /** OPTIMIZE that honors liquid clustering: when the table declares
+    * clustering columns, the rewrite Z-orders on them (multi-dimensional
+    * range clustering — the same file-skipping contract CLUSTER BY
+    * promises); otherwise plain bin-packing compaction.
+    */
+  def optimizeClustered(targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val cols = clusteringColumns
+    if (cols.isEmpty) optimize(targetFileBytes)
+    else optimizeZOrder(cols, targetFileBytes)
+  }
+
   /** Garbage collection: delete data files that are not part of any of the
     * most recent `retainVersions` snapshots — covers both files removed by
     * old commits and orphans from failed/retried commits. Time travel to

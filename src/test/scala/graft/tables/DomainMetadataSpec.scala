@@ -48,6 +48,25 @@ class DomainMetadataSpec extends AnyFunSuite {
     assert(state.domains.get("app.custom").exists(_._2 == true), s"domains=${state.domains}")
   }
 
+  test("OPTIMIZE honors liquid-clustering columns from the delta.clustering domain") {
+    val loc = TestSpark.tmpDir("dm-cluster") + "/t"
+    // 16 files of (x, y) points; another engine declares CLUSTER BY (x, y)
+    val df = spark.range(0, 4096).selectExpr("id % 64 AS x", "CAST(id / 64 AS LONG) AS y",
+      "id AS payload").repartition(16)
+    DeltaLogWriter.create(spark, loc, df)
+    DeltaLogWriter.writeCommit(spark, loc, 1L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"CLUSTER BY","operationParameters":{}}}""",
+      """{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"clusteringColumns\":[[\"x\"],[\"y\"]]}","removed":false}}"""))
+    val t = TxTable.forForeignDelta(spark, loc)
+    assert(t.clusteringColumns == Seq("x", "y"))
+
+    val before = DeltaLog.filesAfterPruning(spark, loc, "x >= 8 AND x < 16 AND y >= 8 AND y < 16")
+    t.optimizeClustered(targetFileBytes = 16L * 1024)
+    assert(t.toDF.count() == 4096) // data unchanged
+    val after = DeltaLog.filesAfterPruning(spark, loc, "x >= 8 AND x < 16 AND y >= 8 AND y < 16")
+    assert(after < before, s"rectangle pruning did not improve: before=$before after=$after")
+  }
+
   test("replay keeps the latest action per domain in log order") {
     val loc = TestSpark.tmpDir("dm-order") + "/t"
     DeltaLogWriter.create(spark, loc, Seq((1L, "a")).toDF("id", "s"))
