@@ -115,4 +115,36 @@ object TextOps {
         regexp_replace(text, PiiEmailRe, "[EMAIL]"),
         PiiIpv4Re, "[IP]"),
       PiiPhoneRe, "[PHONE]")
+
+  /** Bigram-novelty quality signal — the integer-exact core of n-gram-LM
+    * perplexity filtering (CCNet-style): a document whose token bigrams
+    * are mostly UNSEEN elsewhere in the corpus is the document a
+    * corpus-trained LM would assign high perplexity. Emits per doc the
+    * bigram count, how many of its bigram occurrences are corpus-unique
+    * (count == 1 ⇒ only this occurrence), and their exact ratio.
+    *
+    * Scale shape: one explode to (doc, bigram) — O(tokens) — one count
+    * shuffle keyed by bigram, and one join of the same exploded stream
+    * against the counts (AQE broadcasts when the vocab is small). All
+    * arithmetic is integer until the final exact division, so results
+    * hash-match any engine.
+    */
+  def bigramNovelty(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val toks = df.select(col(idCol),
+      expr(s"regexp_extract_all(lower($textCol), '[a-z0-9\\']+', 0)").as("__t"))
+    val bigrams = toks.filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__t")) - 2),
+        i => concat(element_at(col("__t"), i + 1), lit(" "),
+          element_at(col("__t"), i + 2)))).as("__bg"))
+    val counts = bigrams.groupBy("__bg").agg(count(lit(1)).as("__c"))
+    bigrams.join(counts, "__bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).cast(LongType).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+  }
 }

@@ -208,6 +208,31 @@ object TextQueries {
         FROM toks t JOIN sp ON t.doc_id = sp.doc_id
         ORDER BY t.doc_id""")),
 
+    // ---- bigram novelty: the integer core of LM-perplexity filtering ----
+    // a doc whose bigrams are mostly corpus-unique is the doc a
+    // corpus-trained n-gram LM would call high-perplexity; all-integer
+    // arithmetic until the final exact division, so the hash pins it
+    QueryDef(
+      "q93_bigram_novelty",
+      (s, dir) => graft.ext.TextOps.bigramNovelty(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+          FROM documents
+        ),
+        bigrams AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+          FROM toks, UNNEST(range(1, len(t))) AS u(i)
+          WHERE len(t) >= 2
+        ),
+        counts AS (SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY bg)
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+        FROM bigrams JOIN counts USING (bg)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- sequence packing: concat-and-chunk into 512-token slots ----
     // the Spark side computes the global token prefix sum with the
     // two-phase distributed algorithm (ext/Packing.scala), NOT a
