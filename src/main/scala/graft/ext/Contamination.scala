@@ -52,9 +52,25 @@ object Contamination {
     // allocate an absurd buffer (cap = 8 GiB of bits = 1 GiB filter)
     val bits = math.min((-n * math.log(fpp) / (math.log(2) * math.log(2))).ceil.toLong,
       8L * 1024 * 1024 * 1024)
-    val agg = new BloomFilterAggregate(
-      toExpr(xxhash64(col(evalKey))), Literal(n), Literal(bits)).toAggregateExpression()
-    eval.select(toCol(agg).as("bf")).head.getAs[Array[Byte]](0)
+    // BloomFilterAggregate silently clamps numBits to the session's
+    // runtime-bloom-filter ceiling (default 67,108,864 bits ≈ 7M keys at
+    // 1% fpp); beyond that the sketch would degrade toward fpp→1 and the
+    // prefilter would stop pruning. Raise the ceiling to the computed size
+    // for the build, restore after.
+    val spark = eval.sparkSession
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prev = spark.conf.getOption(maxBitsKey)
+    spark.conf.set(maxBitsKey, math.max(bits, 67108864L).toString)
+    try {
+      val agg = new BloomFilterAggregate(
+        toExpr(xxhash64(col(evalKey))), Literal(n), Literal(bits)).toAggregateExpression()
+      eval.select(toCol(agg).as("bf")).head.getAs[Array[Byte]](0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(maxBitsKey, v)
+        case None => spark.conf.unset(maxBitsKey)
+      }
+    }
   }
 
   /** might_contain probe column against a prebuilt filter. */

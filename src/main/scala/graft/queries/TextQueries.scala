@@ -152,7 +152,8 @@ object TextQueries {
           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens
         FROM islands GROUP BY doc_id, isl
         HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 15
-        ORDER BY doc_id, start_pos""")),
+        ORDER BY doc_id, start_pos"""),
+      headline = true),
 
     // ---- the cut pass: duplicated spans removed from the text ----
     // rebuilds affected documents' normalized token streams without the

@@ -75,8 +75,12 @@ private[graft] object IdentityColumns {
           StructField(f.name, LongType, nullable = false, metadata = f.metadata))
         // two-pass dense allocation: count each partition (driver gets
         // O(#partitions) longs), then assign base + i*step from
-        // per-partition offsets — the unavoidable shape of gapless ids
-        val src = out.rdd
+        // per-partition offsets — the unavoidable shape of gapless ids.
+        // The source RDD is persisted so the upstream plan (possibly a
+        // heavy transform) evaluates ONCE: the count pass materializes the
+        // cache and the assign pass reads it back. Spark's ContextCleaner
+        // drops the blocks once the RDD goes out of scope after the write.
+        val src = out.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val counts = src.mapPartitionsWithIndex((i, it) =>
           Iterator((i, it.size.toLong))).collect().toMap
         val offsets = counts.toSeq.sortBy(_._1)

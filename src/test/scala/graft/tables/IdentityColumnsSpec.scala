@@ -91,6 +91,26 @@ class IdentityColumnsSpec extends AnyFunSuite {
     assert(uids(t).size == 5)
   }
 
+  test("allocation evaluates the upstream plan exactly once") {
+    // the count pass + assign pass used to re-run the whole upstream plan
+    // twice; the persisted source must bound upstream evaluations at one
+    // per partition regardless of how many passes read it
+    val evals = spark.sparkContext.longAccumulator("upstream-evals")
+    val src = spark.range(0, 1000, 1, 4).toDF("x")
+      .mapPartitions { it => evals.add(1); it }(
+        org.apache.spark.sql.Encoders.row(spark.range(1).toDF("x").schema))
+      .selectExpr("x", "cast(x as string) as s")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("uid", org.apache.spark.sql.types.LongType,
+        nullable = false, metadata = idMeta())))
+    val (out, hwms) = IdentityColumns.assign(src, schema)
+    assert(out.count() == 1000)
+    assert(hwms("uid") == 1000L)
+    assert(evals.value == 4L, s"upstream evaluated ${evals.value} partition-passes; expected 4")
+  }
+
   test("overwrite does not reset the watermark (replaced values stay burned)") {
     val loc = TestSpark.tmpDir("id-ow") + "/t"
     val t = new TxTable(spark, loc)
