@@ -187,16 +187,29 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     // in-commit timestamps: when enabled, commitInfo must carry a
     // MONOTONIC inCommitTimestamp (max of the wall clock and prev + 1) and
     // time travel reads it instead of file mtimes
-    val ictField: List[(String, JValue)] =
-      if (!properties.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))) Nil
+    def ictOn(p: Map[String, String]): Boolean =
+      p.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+    val ictValue: Option[Long] =
+      if (!ictOn(properties)) None
       else {
         val f = TxLog.fs(spark, location)
         val prev = DeltaLog.latestVersion(spark, location).map { v =>
           DeltaLog.commitTimestamp(f,
             new org.apache.hadoop.fs.Path(DeltaLog.logDir(location), f"$v%020d.json"))
         }.getOrElse(0L)
-        List("inCommitTimestamp" -> JLong(math.max(System.currentTimeMillis(), prev + 1)))
+        Some(math.max(System.currentTimeMillis(), prev + 1))
       }
+    val ictField: List[(String, JValue)] =
+      ictValue.map(v => "inCommitTimestamp" -> (JLong(v): JValue)).toList
+    // the commit that TURNS ICT ON for an existing table must record where
+    // the monotonic clock starts (PROTOCOL.md "In-Commit Timestamps"):
+    // spec-compliant readers resolve timestamp time travel below the
+    // enablement version via file mtimes, at/above it via ICT
+    val properties1 =
+      if (!ictOn(properties) || ictOn(base.properties)) properties
+      else properties ++ Map(
+        "delta.inCommitTimestampEnablementVersion" -> (base.version + 1).toString,
+        "delta.inCommitTimestampEnablementTimestamp" -> ictValue.get.toString)
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       List[(String, JValue)](
         "timestamp" -> JLong(System.currentTimeMillis()),
@@ -215,7 +228,7 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     // a metadata change (schema evolution, property update) must be a new
     // metaData action in the same commit, preserving the table's identity
     val metaChanged = schema.json != base.schema.json ||
-      partitionColumns != base.partitionColumns || properties != base.properties
+      partitionColumns != base.partitionColumns || properties1 != base.properties
     val metaLine: Seq[String] = if (!metaChanged) Seq.empty else {
       val (state, _) = DeltaLog.replayState(spark, location, None)
       Seq(JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
@@ -224,17 +237,18 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
         "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
         "schemaString" -> JString(schema.json),
         "partitionColumns" -> JArray(partitionColumns.toList.map(JString(_))),
-        "configuration" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }))))))
+        "configuration" -> JObject(properties1.toList.map { case (k, v) => k -> JString(v) }))))))
     }
-    // a commit that introduces a CHECK constraint or enables CDF must also
-    // make sure the protocol obliges OTHER writers to honor it (writer
-    // v3/v4 or the checkConstraints/changeDataFeed table features)
+    // a commit whose schema or properties newly exercise a feature (CHECK
+    // constraint, CDF, ICT, row tracking, generated/identity/NTZ/variant
+    // columns) must also oblige OTHER writers to honor it — legacy writer
+    // version bump or table features, per protocolUpgradeFor
     val protoLine = DeltaLogWriter.protocolUpgradeFor(spark, location,
-      base.properties, properties)
+      base.schema, base.properties, schema, properties1)
     // row tracking: stamp each add with its id range and advance the
     // watermark in the SAME commit (domainMetadata action)
     val (added1, rtLine) =
-      if (!RowTracking.enabled(properties)) (added, None)
+      if (!RowTracking.enabled(properties1)) (added, None)
       else {
         val (state, _) = DeltaLog.replayState(spark, location, None)
         RowTracking.stamp(added, RowTracking.highWaterMark(state.domains), base.version + 1)

@@ -943,9 +943,98 @@ object DeltaLogWriter {
     // column-mapped tables (name and id mode) are writable: stageForDelta
     // renames columns to their physical names and attaches parquet field
     // ids before staging, so the files this writer publishes look exactly
-    // like a mapped writer's. Schema EVOLUTION on mapped tables is the one
-    // refused operation (new columns need fresh ids/physical names —
-    // ForeignDeltaCommitLog.tryCommit guards it).
+    // like a mapped writer's. Schema EVOLUTION on mapped tables is also
+    // supported: DeltaLog.evolveMapping mints fresh column ids + UUID
+    // physical names for added columns and advances maxColumnId
+    // (DeltaInteropSpec pins both modes).
+  }
+
+  /** Does any type inside `dt` satisfy `pred`? (feature detection for
+    * timestampNtz / variantType, which are protocol table features).
+    */
+  private def typeExists(dt: DataType)(pred: DataType => Boolean): Boolean = dt match {
+    case s: StructType => pred(s) || s.fields.exists(f => typeExists(f.dataType)(pred))
+    case a: org.apache.spark.sql.types.ArrayType => pred(a) || typeExists(a.elementType)(pred)
+    case m: org.apache.spark.sql.types.MapType =>
+      pred(m) || typeExists(m.keyType)(pred) || typeExists(m.valueType)(pred)
+    case other => pred(other)
+  }
+
+  /** The protocol obligations a table's schema + properties impose on
+    * writers, per PROTOCOL.md "Table Features": each entry is
+    * (writerFeature, legacy minWriterVersion that implies it — None means
+    * the feature exists only under writer v7, needsReaderFeature — the
+    * same-named reader feature under reader v3; columnMapping alone is
+    * also expressible as legacy minReaderVersion 2).
+    */
+  private[tables] def requiredFeatures(schema: StructType,
+      props: Map[String, String]): Seq[(String, Option[Int], Boolean)] = {
+    def ict = props.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+    def mapped = props.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id")
+    def ntz = typeExists(schema)(_.typeName == "timestamp_ntz")
+    def variant = typeExists(schema)(_.typeName == "variant")
+    val b = Seq.newBuilder[(String, Option[Int], Boolean)]
+    if (props.keys.exists(_.startsWith(Constraints.PropPrefix)))
+      b += (("checkConstraints", Some(3), false))
+    if (DeltaCdf.enabled(props)) b += (("changeDataFeed", Some(4), false))
+    if (GeneratedColumns.of(schema).nonEmpty) b += (("generatedColumns", Some(4), false))
+    if (mapped) b += (("columnMapping", Some(5), true))
+    if (IdentityColumns.of(schema).nonEmpty) b += (("identityColumns", Some(6), false))
+    if (DeltaDvWriter.enabled(props)) b += (("deletionVectors", None, true))
+    if (RowTracking.enabled(props)) {
+      b += (("rowTracking", None, false))
+      b += (("domainMetadata", None, false))
+    }
+    if (ict) b += (("inCommitTimestamp", None, false))
+    if (ntz) b += (("timestampNtz", None, true))
+    if (variant) b += (("variantType", None, true))
+    b.result()
+  }
+
+  /** Writer features a legacy minWriterVersion implies (PROTOCOL.md table
+    * of legacy version -> features); an upgrade to writer v7 must carry
+    * them forward explicitly.
+    */
+  private[tables] def legacyWriterImplied(v: Int): Set[String] = {
+    var s = Set.empty[String]
+    if (v >= 2) s ++= Set("appendOnly", "invariants")
+    if (v >= 3) s += "checkConstraints"
+    if (v >= 4) s ++= Set("changeDataFeed", "generatedColumns")
+    if (v >= 5) s += "columnMapping"
+    if (v >= 6) s += "identityColumns"
+    s
+  }
+
+  /** The protocol action a CREATE must emit so that every feature the new
+    * table exercises is an obligation on other writers: legacy versions
+    * when they suffice, writer v7 + explicit writerFeatures (and reader 3
+    * + readerFeatures) when any v7-only feature (row tracking, ICT, DVs,
+    * NTZ, variant) is present.
+    */
+  private[tables] def protocolActionFor(schema: StructType,
+      props: Map[String, String]): String = {
+    val feats = requiredFeatures(schema, props)
+    val needsV7 = feats.exists(_._2.isEmpty)
+    if (!needsV7) {
+      val minWriter = (2 +: feats.flatMap(_._2)).max
+      val minReader = if (feats.exists(_._1 == "columnMapping")) 2 else 1
+      s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter}}"""
+    } else {
+      val writerFeats = (Set("appendOnly", "invariants") ++ feats.map(_._1)).toList.sorted
+      // reader v3 is needed when any reader-side feature is v7-only;
+      // columnMapping alone stays expressible as legacy reader 2
+      val needReader3 = feats.exists(f => f._3 && f._2.isEmpty)
+      val minReader = if (needReader3) 3 else if (feats.exists(_._1 == "columnMapping")) 2 else 1
+      val readerFeats: List[(String, JValue)] =
+        if (minReader >= 3)
+          List("readerFeatures" -> JArray(feats.filter(_._3).map(_._1).sorted.toList.map(JString(_))))
+        else Nil
+      JsonMethods.compact(JsonMethods.render(JObject("protocol" -> JObject(
+        List[(String, JValue)](
+          "minReaderVersion" -> JInt(minReader),
+          "minWriterVersion" -> JInt(7)) ++ readerFeats ++
+          List("writerFeatures" -> JArray(writerFeats.map(JString(_))))))))
+    }
   }
 
   /** Stage `df`'s data for a foreign Delta table: on a column-mapped table
@@ -1332,17 +1421,23 @@ object DeltaLogWriter {
       "partitionColumns" -> JArray(partitionColumns.toList.map(JString(_))),
       "configuration" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }),
       "createdTime" -> JLong(System.currentTimeMillis())))))
-    // a table born with CHECK constraints / CDF must oblige other writers
-    // to honor them: legacy v3 implies checkConstraints, v4 adds CDF
-    val minWriter =
-      if (DeltaCdf.enabled(properties)) 4
-      else if (properties.keys.exists(_.startsWith(Constraints.PropPrefix))) 3
-      else 2
-    val protocol = s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
+    // a table born with CHECK constraints / CDF / row tracking / ICT /
+    // identity / generated / NTZ / variant columns must oblige other
+    // writers to honor them — legacy versions when expressible, writer v7
+    // with explicit features otherwise (the advisor's round-5 finding:
+    // hardcoded v2-4 let external writers legally skip these invariants)
+    val protocol = protocolActionFor(df.schema, properties)
+    // an ICT table must carry inCommitTimestamp from its very first commit
+    // (PROTOCOL.md: readers expect it on EVERY commit once enabled; a
+    // table enabled at v0 needs no enablement properties)
+    val ictField: List[(String, JValue)] =
+      if (!properties.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))) Nil
+      else List("inCommitTimestamp" -> JLong(System.currentTimeMillis()))
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
-      "timestamp" -> JLong(System.currentTimeMillis()),
-      "operation" -> JString("WRITE"),
-      "operationParameters" -> JObject("mode" -> JString("ErrorIfExists"))))))
+      List[(String, JValue)](
+        "timestamp" -> JLong(System.currentTimeMillis()),
+        "operation" -> JString("WRITE"),
+        "operationParameters" -> JObject("mode" -> JString("ErrorIfExists"))) ++ ictField))))
     // a table born with row tracking stamps its version-0 adds too
     val (added1, rtLine) =
       if (!RowTracking.enabled(properties)) (added, None)
@@ -1351,102 +1446,86 @@ object DeltaLogWriter {
       (commitInfo +: protocol +: meta +: rtLine.toSeq) ++ added1.map(addAction(df.schema, _)))
   }
 
-  /** Append `df` to an existing Delta table (STRICT schema equality). */
-  def append(spark: SparkSession, location: String, df: DataFrame): Unit = {
-    requireWritable(spark, location, forOverwrite = false)
-    val snap = DeltaLog.snapshot(spark, location)
-    graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
-    val added = DeltaLogWriter.stageForDelta(spark, location,
-      Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
-        snap.properties, snap.schema), snap)
-    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
-      "timestamp" -> JLong(System.currentTimeMillis()),
-      "operation" -> JString("WRITE"),
-      "operationParameters" -> JObject("mode" -> JString("Append"))))))
-    // optimistic retry on version races: an append conflicts with nothing
-    // logically (the staged files stay valid), so losing the version race
-    // just means recommitting at the next version — Delta's blind-append
-    // semantics. Schema is rechecked against the new snapshot each try.
-    var attempt = 0
-    var committed = false
-    while (!committed) {
-      val v = DeltaLog.latestVersion(spark, location).getOrElse(-1L) + 1
-      try {
-        if (attempt > 0)
-          graft.types.SchemaEquality.requireEqual(
-            DeltaLog.snapshot(spark, location).schema, df.schema)
-        writeCommit(spark, location, v, commitInfo +: added.map(addAction(snap.schema, _)))
-        committed = true
-        maybeCheckpoint(spark, location, v)
-      } catch {
-        case _: graft.catalog.AlreadyExistsError if attempt < 20 =>
-          attempt += 1 // lost the race; re-read the version and retry
-      }
-    }
-  }
+  /** Append `df` to an existing Delta table (STRICT schema equality).
+    * Routed through the shared commit surface (ForeignDeltaCommitLog via
+    * TxTable) so row-tracking stamping, ICT commitInfo, identity/generated
+    * column handling, and optimistic retry behave identically to every
+    * other write path — the round-5 advisor finding was that this helper
+    * bypassed them.
+    */
+  def append(spark: SparkSession, location: String, df: DataFrame): Unit =
+    TxTable.forForeignDelta(spark, location).append(df)
 
   /** OPTIMIZE ZORDER BY on a real Delta table: one overwrite commit whose
     * data is re-clustered on the Morton key of `zorderCols`, so the stats
     * this writer emits make multi-column manifest pruning effective for
-    * any engine reading the table.
+    * any engine reading the table. Routed through the shared commit
+    * surface (dataChange=false actions, row-tracking aware).
     */
   def optimizeZOrder(spark: SparkSession, location: String, zorderCols: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024, buckets: Int = 256): Unit = {
-    requireWritable(spark, location, forOverwrite = true)
-    val snap = DeltaLog.snapshot(spark, location)
-    val totalBytes = snap.files.map(_.sizeBytes).sum
-    val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
-      (if (totalBytes % targetFileBytes > 0) 1 else 0))
-    val clustered = graft.functions.ZOrderFunctions.clusterByZOrder(
-      DeltaLog.dfForSnapshot(spark, location, snap), zorderCols, targetFiles, buckets)
-    val added = DeltaLogWriter.stageForDelta(spark, location, clustered, snap)
-    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
-      "timestamp" -> JLong(System.currentTimeMillis()),
-      "operation" -> JString("OPTIMIZE"),
-      "operationParameters" -> JObject("zOrderBy" -> JString(zorderCols.mkString(",")))))))
-    writeCommit(spark, location, snap.version + 1,
-      (commitInfo +: snap.files.map(f => removeAction(f.path))) ++
-        added.map(addAction(snap.schema, _)))
-    maybeCheckpoint(spark, location, snap.version + 1)
-  }
+      targetFileBytes: Long = 128L * 1024 * 1024, buckets: Int = 256): Unit =
+    TxTable.forForeignDelta(spark, location).optimizeZOrder(zorderCols, targetFileBytes, buckets)
 
-  /** Protocol action obliging writers to honor features that property
-    * changes in this commit newly exercise: a first `delta.constraints.*`
-    * key needs writer v3 / checkConstraints; enabling
-    * `delta.enableChangeDataFeed` needs writer v4 / changeDataFeed. Legacy
-    * tables bump minWriterVersion (which implies the feature);
-    * table-features tables add the feature. Empty when nothing new is
+  /** Protocol action obliging writers to honor features that schema or
+    * property changes in this commit newly exercise: a first
+    * `delta.constraints.*` key needs writer v3 / checkConstraints;
+    * enabling CDF needs v4; evolving in a generated/identity/NTZ/variant
+    * column needs v4/v6/v7; enabling row tracking or ICT needs writer v7
+    * with the matching features. Legacy tables bump minWriterVersion
+    * (which implies the feature) when that suffices; otherwise the table
+    * moves to the table-features protocol carrying every implied feature
+    * forward (PROTOCOL.md "Table Features"). Empty when nothing new is
     * needed.
     */
   private[tables] def protocolUpgradeFor(spark: SparkSession, location: String,
-      baseProps: Map[String, String], nextProps: Map[String, String]): Seq[String] = {
-    val needsCheck = nextProps.keys.exists(k =>
-      k.startsWith(Constraints.PropPrefix) && !baseProps.contains(k))
-    val needsCdf = DeltaCdf.enabled(nextProps) && !DeltaCdf.enabled(baseProps)
-    if (!needsCheck && !needsCdf) return Seq.empty
+      baseSchema: StructType, baseProps: Map[String, String],
+      nextSchema: StructType, nextProps: Map[String, String]): Seq[String] = {
+    val before = requiredFeatures(baseSchema, baseProps).map(_._1).toSet
+    val needed = requiredFeatures(nextSchema, nextProps)
+    val fresh = needed.filterNot(f => before.contains(f._1))
+    if (fresh.isEmpty) return Seq.empty
     val (state, _) = DeltaLog.replayState(spark, location, None)
-    val legacyTarget = if (needsCdf) 4 else 3
-    val legacyOk = state.minWriter >= legacyTarget && state.minWriter <= 6
-    val features = Seq("checkConstraints").filter(_ => needsCheck) ++
-      Seq("changeDataFeed").filter(_ => needsCdf)
-    val featuresOk = state.minWriter >= 7 && features.forall(state.writerFeatures.contains)
-    if (legacyOk || featuresOk) return Seq.empty
+    def writerSatisfied(f: (String, Option[Int], Boolean)): Boolean =
+      if (state.minWriter >= 7) state.writerFeatures.contains(f._1)
+      else f._2.exists(state.minWriter >= _)
+    def readerSatisfied(f: (String, Option[Int], Boolean)): Boolean =
+      !f._3 || (f._1 == "columnMapping" && state.minReader >= 2) ||
+        (state.minReader >= 3 && state.readerFeatures.contains(f._1))
+    val missing = fresh.filterNot(f => writerSatisfied(f) && readerSatisfied(f))
+    if (missing.isEmpty) return Seq.empty
+    val canLegacy = state.minWriter <= 6 && missing.forall(_._2.isDefined) &&
+      missing.forall(f => !f._3 || f._1 == "columnMapping")
     val proto: JObject =
-      if (state.minWriter >= 7) {
+      if (canLegacy) {
+        val minWriter = math.max(state.minWriter, missing.flatMap(_._2).max)
+        val minReader = math.max(state.minReader,
+          if (missing.exists(_._1 == "columnMapping")) 2 else 1)
+        JObject(
+          "minReaderVersion" -> JInt(minReader),
+          "minWriterVersion" -> JInt(minWriter))
+      } else {
+        // table-features protocol: carry forward everything the current
+        // protocol implies, add everything the new state requires
+        val impliedW =
+          if (state.minWriter >= 7) state.writerFeatures else legacyWriterImplied(state.minWriter)
+        val writerFeats = (impliedW ++ needed.map(_._1)).toList.sorted
+        val needReader3 = state.minReader >= 3 || needed.exists(f => f._3 && f._2.isEmpty)
+        val impliedR =
+          if (state.minReader >= 3) state.readerFeatures
+          else if (state.minReader >= 2) Set("columnMapping")
+          else Set.empty[String]
+        val minReader = if (needReader3) 3 else state.minReader
         val base = List[(String, JValue)](
-          "minReaderVersion" -> JInt(state.minReader),
+          "minReaderVersion" -> JInt(minReader),
           "minWriterVersion" -> JInt(7))
         val withReaders =
-          if (state.minReader >= 3)
-            base :+ ("readerFeatures" ->
-              (JArray(state.readerFeatures.toList.sorted.map(JString(_))): JValue))
+          if (minReader >= 3)
+            base :+ ("readerFeatures" -> (JArray(
+              (impliedR ++ needed.filter(_._3).map(_._1)).toList.sorted.map(JString(_))): JValue))
           else base
         JObject(withReaders :+ ("writerFeatures" ->
-          (JArray((state.writerFeatures ++ features).toList.sorted.map(JString(_))): JValue)))
-      } else
-        JObject(
-          "minReaderVersion" -> JInt(state.minReader),
-          "minWriterVersion" -> JInt(math.max(state.minWriter, legacyTarget)))
+          (JArray(writerFeats.map(JString(_))): JValue)))
+      }
     Seq(JsonMethods.compact(JsonMethods.render(JObject("protocol" -> proto))))
   }
 
@@ -1459,23 +1538,10 @@ object DeltaLogWriter {
   /** Replace the full contents of an existing Delta table (STRICT schema
     * equality): one commit that removes every active file and adds the new
     * data — the same shape Delta-Spark emits for `mode("overwrite")`.
+    * Routed through the shared commit surface (see append).
     */
-  def overwrite(spark: SparkSession, location: String, df: DataFrame): Unit = {
-    requireWritable(spark, location, forOverwrite = true)
-    val snap = DeltaLog.snapshot(spark, location)
-    graft.types.SchemaEquality.requireEqual(snap.schema, df.schema)
-    val added = DeltaLogWriter.stageForDelta(spark, location,
-      Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
-        snap.properties, snap.schema), snap)
-    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
-      "timestamp" -> JLong(System.currentTimeMillis()),
-      "operation" -> JString("WRITE"),
-      "operationParameters" -> JObject("mode" -> JString("Overwrite"))))))
-    writeCommit(spark, location, snap.version + 1,
-      (commitInfo +: snap.files.map(f => removeAction(f.path))) ++
-        added.map(addAction(snap.schema, _)))
-    maybeCheckpoint(spark, location, snap.version + 1)
-  }
+  def overwrite(spark: SparkSession, location: String, df: DataFrame): Unit =
+    TxTable.forForeignDelta(spark, location).overwrite(df)
 }
 
 /** Merge-on-read DELETE for foreign Delta tables: instead of rewriting

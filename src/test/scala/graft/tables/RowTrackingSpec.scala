@@ -22,6 +22,18 @@ class RowTrackingSpec extends AnyFunSuite {
     TxTable.forForeignDelta(spark, loc)
   }
 
+  test("a table born with row tracking declares writer v7 + the features") {
+    val loc = TestSpark.tmpDir("rt-proto") + "/t"
+    mkTable(loc)
+    val (state, _) = DeltaLog.replayState(spark, loc, None)
+    // the advisor's round-5 finding: without this declaration an external
+    // writer satisfying writerVersion 2 could legally append without
+    // stamping ids or advancing the watermark
+    assert(state.minWriter == 7, s"minWriter=${state.minWriter}")
+    assert(state.writerFeatures.contains("rowTracking") &&
+      state.writerFeatures.contains("domainMetadata"), state.writerFeatures.toString)
+  }
+
   test("appends allocate disjoint id ranges; ids and commit versions read back") {
     val loc = TestSpark.tmpDir("rt") + "/t"
     val t = mkTable(loc)
