@@ -302,6 +302,43 @@ object InteropQueries {
       Some("""SELECT event_type, COUNT(*) AS n,
           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // round-6 row tracking through REWRITES: a single sorted file gives
+    // every row a deterministic fresh id (baseRowId 0 + position); a
+    // copy-on-write DELETE then an UPDATE rewrite the file, materializing
+    // ids into the replacement files. The PER-ROW output pins every
+    // surviving (id, commit version): survivors keep id+version, updated
+    // rows keep the id but take the UPDATE commit's version — the oracle
+    // replays ids as ROW_NUMBER over the same sort
+    QueryDef(
+      "q94_row_tracking_rewrite",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q94-rt").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+          .filter(col("l_quantity") <= 12)
+          .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber")
+        DeltaLogWriter.create(s, loc, li,
+          properties = Map("delta.enableRowTracking" -> "true"))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        t.delete("l_quantity > 8")                                           // v1: rewrite
+        t.update("l_quantity <= 2", Map("l_extendedprice" -> "l_extendedprice * 2")) // v2
+        DeltaLog.toDFWithRowIds(s, loc)
+          .select(col("l_orderkey"), col("l_linenumber"), col("_row_id"),
+            col("_row_commit_version"), col("l_extendedprice"))
+          .orderBy(col("_row_id"))
+      },
+      Some("""WITH base AS (
+          SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+            ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid
+          FROM lineitem WHERE l_quantity <= 12)
+        SELECT l_orderkey, l_linenumber, CAST(rid AS BIGINT) AS _row_id,
+          CAST(CASE WHEN l_quantity <= 2 THEN 2 ELSE 0 END AS BIGINT) AS _row_commit_version,
+          CASE WHEN l_quantity <= 2 THEN l_extendedprice * 2
+               ELSE l_extendedprice END AS l_extendedprice
+        FROM base WHERE NOT (l_quantity > 8)
+        ORDER BY _row_id"""))
   )
 }

@@ -162,22 +162,15 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
   def latestVersion(spark: SparkSession, location: String): Option[Long] =
     DeltaLog.latestVersion(spark, location)
 
-  def checkWritable(spark: SparkSession, location: String, op: String): Unit = {
+  def checkWritable(spark: SparkSession, location: String, op: String): Unit =
     DeltaLogWriter.requireWritable(spark, location,
       // appendOnly blocks data removal, not blind appends or pure
       // metadata commits (Delta allows property changes on such tables)
       forOverwrite = op != "APPEND" && op != "SET_TBLPROPERTIES")
-    // row tracking: appends assign fresh ids, but a rewrite would need to
-    // MATERIALIZE the rewritten rows' ids to preserve lineage — refuse
-    // rather than silently break other engines' row tracking
-    if (op != "APPEND" && op != "SET_TBLPROPERTIES") {
-      val snap = DeltaLog.snapshot(spark, location)
-      if (RowTracking.enabled(snap.properties))
-        throw graft.catalog.UnsupportedOperationError(
-          s"table at $location has row tracking enabled; only APPEND and metadata " +
-            "commits are supported (rewrites would need materialized row ids)")
-    }
-  }
+    // row-tracked rewrites are supported: TxTable's rewrite paths read the
+    // rows' ids (materialized-over-fresh) and materialize them into the
+    // replacement files (RowTracking), so lineage survives
+    // DELETE/UPDATE/MERGE/OPTIMIZE — no refusal needed anymore
 
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],

@@ -243,14 +243,19 @@ object DeletionVectors {
   }
 
   /** The serialized bitmap bytes of a descriptor, CRC-verified for the
-    * on-file storage types.
+    * on-file storage types. The Configuration overload also runs on
+    * EXECUTORS (merge-with-existing during distributed DV writes).
     */
   def readData(spark: SparkSession, tableLocation: String, d: Descriptor): Array[Byte] =
+    readData(spark.sessionState.newHadoopConf(), tableLocation, d)
+
+  def readData(conf: org.apache.hadoop.conf.Configuration,
+      tableLocation: String, d: Descriptor): Array[Byte] =
     d.storageType match {
       case "i" => decodeData(d.pathOrInlineDv, d.sizeInBytes)
       case "u" | "p" =>
         val p = absolutePath(tableLocation, d)
-        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val f = p.getFileSystem(conf)
         val in = f.open(p)
         try {
           val version = in.readByte()
@@ -273,15 +278,25 @@ object DeletionVectors {
   def readBitmap(spark: SparkSession, tableLocation: String, d: Descriptor): Bitmap64 =
     Bitmap64.deserialize(readData(spark, tableLocation, d))
 
-  /** Write one DV file holding `bitmaps` back-to-back (Delta packs all DVs
-    * of a commit into a single file); returns "u"-type descriptors in
-    * input order.
+  def readBitmap(conf: org.apache.hadoop.conf.Configuration,
+      tableLocation: String, d: Descriptor): Bitmap64 =
+    Bitmap64.deserialize(readData(conf, tableLocation, d))
+
+  /** Write one DV file holding `bitmaps` back-to-back (Delta packs the DVs
+    * of a commit into few files); returns "u"-type descriptors in input
+    * order. The Configuration overload runs on EXECUTORS — the distributed
+    * DELETE/UPDATE/MERGE path writes one .bin per task, so bitmap bytes
+    * never cross to the driver.
     */
   def writeDvFile(spark: SparkSession, tableLocation: String,
+      bitmaps: Seq[Bitmap64]): Seq[Descriptor] =
+    writeDvFile(spark.sessionState.newHadoopConf(), tableLocation, bitmaps)
+
+  def writeDvFile(conf: org.apache.hadoop.conf.Configuration, tableLocation: String,
       bitmaps: Seq[Bitmap64]): Seq[Descriptor] = {
     val uuid = UUID.randomUUID()
     val p = new Path(tableLocation, dvFileName(uuid))
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val f = p.getFileSystem(conf)
     val out = f.create(p, false)
     val encodedUuid = encodeUUID(uuid)
     try {
@@ -329,6 +344,23 @@ object DeletionVectors {
   }
 }
 
+/** Java-serializable Hadoop Configuration (Configuration itself is
+  * Writable but not Serializable) — ships filesystem credentials/settings
+  * to executors for distributed DV file IO.
+  */
+private[tables] final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** Broadcast payload of the DV filter: serialized bitmaps keyed by
   * normalized absolute file path, parsed lazily once per executor JVM.
   */
@@ -341,6 +373,31 @@ final class DvLookup(serialized: Map[String, Array[Byte]]) extends Serializable 
       case Some(bm) => bm.contains(rowIndex)
       case None => false
     }
+}
+
+/** Scheme/authority-free view of a path URI (DeletionVectors.normalizedUri
+  * as a codegen'd column): the executor-side half of joining
+  * `_metadata.file_path` (a URI) against driver-side manifest paths. The
+  * FULL path is the join key — the Delta protocol only guarantees
+  * uniqueness of the relative path, not of file basenames.
+  */
+case class NormalizedPath(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+
+  override protected def nullSafeEval(p: Any): Any =
+    UTF8String.fromString(
+      DeletionVectors.normalizedUri(p.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.tables.DeletionVectors.normalizedUri($c.toString()));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizedPath =
+    copy(child = newChild)
 }
 
 /** TRUE iff (filePath, rowIndex) is NOT marked deleted — the merge-on-read

@@ -592,35 +592,58 @@ object DeltaLog {
   def toDF(spark: SparkSession, location: String, asOfVersion: Option[Long] = None): DataFrame =
     dfForSnapshot(spark, location, snapshot(spark, location, asOfVersion))
 
-  /** Row-tracking read: the table plus `_row_id` (fresh row id =
-    * add.baseRowId + physical position, PROTOCOL.md "Row Tracking") and
-    * `_row_commit_version` (the add's defaultRowCommitVersion). Positions
-    * come from the parquet scan's `_metadata.row_index`; the per-file base
-    * ids broadcast-join on the scan's file path — map-side, no shuffle of
-    * the data.
+  /** Row-tracking read: the table plus `_row_id` and
+    * `_row_commit_version` (PROTOCOL.md "Row Tracking"): the MATERIALIZED
+    * value when the row came through a rewrite (stored in the table's
+    * hidden materialized columns), else the FRESH one — baseRowId +
+    * physical position / the add's defaultRowCommitVersion. Positions come
+    * from the parquet scan's `_metadata.row_index`; the per-file base ids
+    * broadcast-join on the scan's normalized FULL file path (the protocol
+    * only guarantees full-relative-path uniqueness, not basename
+    * uniqueness) — map-side, no shuffle of the data.
     */
   def toDFWithRowIds(spark: SparkSession, location: String): DataFrame = {
     val s = snapshot(spark, location)
     if (!RowTracking.enabled(s.properties))
       throw UnsupportedOperationError(s"row tracking is not enabled at $location")
+    withRowIds(spark, location, s).drop(FileMetaCol, RowMetaCol)
+  }
+
+  /** The snapshot's rows + RowTracking.RowIdCol/RowCommitVersionCol
+    * (materialized-over-fresh, see toDFWithRowIds) + the provenance
+    * columns FileMetaCol/RowMetaCol (callers drop what they don't need).
+    * DVs are applied — rewrites planned over this never see dead rows.
+    */
+  private[tables] def withRowIds(spark: SparkSession, location: String,
+      s: TxLog.Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, when}
     import spark.implicits._
-    val df = readWithRowMeta(spark, location, s)
-    // keyed by the file's last path segment: parquet part files carry a
-    // UUID in the name, so it is unique per table and immune to the
-    // scheme/authority differences between _metadata.file_path (a URI)
-    // and the log's relative paths
+    val mat = RowTracking.materializedNames(s.properties)
+    // read schema additionally exposes the materialized columns: files
+    // that never materialized them (or predate them) read as null
+    val schemaPlus = StructType(s.schema.fields.toSeq ++ mat.toSeq.flatMap { case (rid, rcv) =>
+      Seq(org.apache.spark.sql.types.StructField(rid, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(rcv, org.apache.spark.sql.types.LongType))
+    })
+    val df = readWithRowMeta(spark, location, s.copy(schema = schemaPlus))
     val base = s.files.map { a =>
-      (a.path.substring(a.path.lastIndexOf('/') + 1),
+      (DeletionVectors.normalizedAbs(spark, location, a.path),
         a.baseRowId.getOrElse(
           throw UnsupportedOperationError(
             s"file ${a.path} has no baseRowId; the table's history predates row tracking")),
         a.defaultRowCommitVersion.getOrElse(-1L))
-    }.toDF("__rt_name", "__rt_base", "__rt_cv")
-    df.join(org.apache.spark.sql.functions.broadcast(base),
-        org.apache.spark.sql.functions.substring_index(col(FileMetaCol), "/", -1) === col("__rt_name"))
-      .withColumn("_row_id", col("__rt_base") + col(RowMetaCol))
-      .withColumn("_row_commit_version", col("__rt_cv"))
-      .drop(FileMetaCol, RowMetaCol, "__rt_name", "__rt_base", "__rt_cv")
+    }.toDF("__rt_abs", "__rt_base", "__rt_cv")
+    import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+    val norm = toCol(NormalizedPath(toExpr(col(FileMetaCol))))
+    val freshId = col("__rt_base") + col(RowMetaCol)
+    val freshCv = when(col("__rt_cv") >= 0, col("__rt_cv"))
+    val rid = mat.fold(freshId) { case (r, _) => coalesce(col(s"`$r`"), freshId) }
+    val rcv = mat.fold(freshCv) { case (_, c) => coalesce(col(s"`$c`"), freshCv) }
+    df.join(org.apache.spark.sql.functions.broadcast(base), norm === col("__rt_abs"))
+      .withColumn(RowTracking.RowIdCol, rid)
+      .withColumn(RowTracking.RowCommitVersionCol, rcv)
+      .drop(Seq("__rt_abs", "__rt_base", "__rt_cv") ++
+        mat.toSeq.flatMap { case (r, c) => Seq(r, c) }: _*)
   }
 
   /** Predicate scan with manifest-level data skipping: the per-file
@@ -1052,8 +1075,14 @@ object DeltaLogWriter {
       return TxLog.stageData(spark, location, df, snap.partitionColumns)
     import org.apache.spark.sql.functions.col
     // driven by the DATAFRAME's columns (a MERGE-evolution append may omit
-    // old table columns); mapping metadata comes from the table schema
+    // old table columns); mapping metadata comes from the table schema.
+    // Materialized row-tracking columns are already physical names outside
+    // the logical schema — pass through unmapped.
+    val matNames = RowTracking.materializedNames(snap.properties)
+      .map { case (a, b) => Set(a, b) }.getOrElse(Set.empty[String])
     val physCols = df.schema.fieldNames.toSeq.map { name =>
+      if (matNames.contains(name)) col(s"`$name`")
+      else {
       val f = snap.schema.fields.find(_.name == name).getOrElse(
         throw new IllegalStateException(
           s"stage: column $name has no mapping metadata in the table schema"))
@@ -1064,6 +1093,7 @@ object DeltaLogWriter {
             .putLong(DeltaLog.ParquetFieldIdKey, f.metadata.getLong(DeltaLog.ColumnIdKey)).build()
         else org.apache.spark.sql.types.Metadata.empty
       col(s"`$name`").cast(target).as(DeltaLog.physicalNameOf(f), meta)
+      }
     }
     val physPartCols = snap.partitionColumns.map(c => DeltaLog.physicalNameOf(snap.schema(c)))
     TxLog.stageData(spark, location, df.select(physCols: _*), physPartCols)
@@ -1591,8 +1621,15 @@ object DeltaDvWriter {
     * FileMetaCol/RowMetaCol provenance columns), merged with the files'
     * existing DVs. Returns (paths to remove, re-adds with their new DV) —
     * files whose every physical row is now deleted come back as a plain
-    * remove. Bitmaps are built on executors; the driver receives one
-    * compact serialized bitmap per touched file.
+    * remove.
+    *
+    * Fully distributed: bitmaps are built per touched file on executors
+    * (groupByKey over only the matching rows), merged with the files'
+    * pre-existing DVs there, and the `.bin` DV files are WRITTEN FROM THE
+    * EXECUTORS — one file per task packing its files' bitmaps. The driver
+    * receives only O(bytes-per-descriptor) metadata, so a DELETE touching
+    * millions of files (or dense bitmaps over billions of rows) never
+    * funnels bitmap bytes through driver memory.
     */
   private[tables] def planDvMarks(spark: SparkSession, location: String,
       candidates: Seq[TxLog.AddFile], marks: DataFrame): Option[(Seq[String], Seq[TxLog.AddFile])] = {
@@ -1600,55 +1637,110 @@ object DeltaDvWriter {
     val matches = marks
       .select(col(DeltaLog.FileMetaCol), col(DeltaLog.RowMetaCol))
       .as[(String, Long)]
-    val perFile = matches.groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
-      .mapGroups { (p, it) =>
+    // per-file metadata the executors need: existing DV descriptor (to OR
+    // in earlier deletions) and the physical row count (to detect
+    // fully-deleted files) — KBs per file, metadata-sized
+    val fileMeta: Map[String, (Option[DeletionVectors.Descriptor], Long)] =
+      candidates.map(a => DeletionVectors.normalizedAbs(spark, location, a.path) ->
+        (a.deletionVector, a.rows)).toMap
+    val bcMeta = spark.sparkContext.broadcast(fileMeta)
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val tableLoc = location
+    // (abs path, storageType|null = fully deleted, pathOrInlineDv,
+    //  offset | -1, sizeInBytes, cardinality)
+    val results: Array[(String, String, String, Int, Int, Long)] = matches
+      .groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
+      .mapGroups { (abs, it) =>
         val bm = new DeletionVectors.Bitmap64
         it.foreach { case (_, i) => bm.add(i) }
-        (p, bm.serialize)
+        (abs, bm.serialize)
+      }
+      .mapPartitions { it =>
+        val conf = bcConf.value.value
+        val merged = it.map { case (abs, bytes) =>
+          val (existing, physRows) = bcMeta.value.getOrElse(abs,
+            throw new IllegalStateException(s"DV mark on unknown file $abs"))
+          val bm = DeletionVectors.Bitmap64.deserialize(bytes)
+          // a file deleted from before keeps its earlier deletions
+          existing.foreach(d => bm.or(DeletionVectors.readBitmap(conf, tableLoc, d)))
+          (abs, bm, physRows)
+        }.toSeq
+        // fully-deleted files need no DV — plain removes
+        val (full, partial) = merged.partition { case (_, bm, n) => n >= 0 && bm.cardinality >= n }
+        val descs =
+          if (partial.isEmpty) Seq.empty
+          else DeletionVectors.writeDvFile(conf, tableLoc, partial.map(_._2))
+        full.iterator.map { case (abs, _, _) => (abs, null: String, null: String, -1, 0, 0L) } ++
+          partial.zip(descs).iterator.map { case ((abs, _, _), d) =>
+            (abs, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes, d.cardinality)
+          }
       }.collect()
-    if (perFile.isEmpty) return None
+    if (results.isEmpty) return None
     val byAbs = candidates.map(a =>
       DeletionVectors.normalizedAbs(spark, location, a.path) -> a).toMap
-    val merged = perFile.toSeq.map { case (abs, bytes) =>
-      val add = byAbs.getOrElse(abs,
-        throw new IllegalStateException(s"DV mark on unknown file $abs"))
-      val bm = DeletionVectors.Bitmap64.deserialize(bytes)
-      // a file deleted from before keeps its earlier deletions
-      add.deletionVector.foreach(d => bm.or(DeletionVectors.readBitmap(spark, location, d)))
-      (add, bm)
+    val dvAdds = results.toSeq.collect { case (abs, st, pd, off, size, card) if st != null =>
+      byAbs(abs).copy(deletionVector = Some(DeletionVectors.Descriptor(
+        st, pd, if (off < 0) None else Some(off), size, card)))
     }
-    // a file whose every physical row is now deleted needs no DV — plain remove
-    val (_, partial) = merged.partition { case (add, bm) =>
-      add.rows >= 0 && bm.cardinality >= add.rows
-    }
-    val descs =
-      if (partial.isEmpty) Seq.empty
-      else DeletionVectors.writeDvFile(spark, location, partial.map(_._2))
-    val dvAdds = partial.zip(descs).map { case ((add, _), d) => add.copy(deletionVector = Some(d)) }
-    Some((merged.map(_._1.path), dvAdds))
+    Some((results.toSeq.map(r => byAbs(r._1).path), dvAdds))
   }
 
   /** One Delta commit of a merge-on-read operation: removes + DV re-adds +
     * appended files, with the protocol upgraded to permit DVs when needed.
-    * Returns false on a lost version race (staged files/bins are orphaned
-    * — harmless: the .bin is outside vacuum's reach, staged parquet ages
-    * out via the retention window, a fresh attempt writes fresh UUIDs).
+    * On a row-tracked table, fresh adds (UPDATE/MERGE-produced files) get
+    * baseRowId ranges stamped and the watermark advanced in the same
+    * commit; DV re-adds keep their original ids. On an ICT table the
+    * commitInfo carries the monotonic inCommitTimestamp. `newProps`, when
+    * different from the snapshot's, lands as a metaData action (publishing
+    * freshly minted materialized-column names). Returns false on a lost
+    * version race (staged files/bins are orphaned — harmless: the .bin is
+    * outside vacuum's reach, staged parquet ages out via the retention
+    * window, a fresh attempt writes fresh UUIDs).
     */
-  private[tables] def commitDv(spark: SparkSession, location: String, baseVersion: Long,
-      op: String, predicate: String, schema: StructType,
+  private[tables] def commitDv(spark: SparkSession, location: String, base: TxLog.Snapshot,
+      op: String, predicate: String,
       removedPaths: Seq[String], adds: Seq[TxLog.AddFile],
-      cdc: Seq[TxLog.AddFile] = Seq.empty): Boolean = {
+      cdc: Seq[TxLog.AddFile] = Seq.empty,
+      newProps: Option[Map[String, String]] = None): Boolean = {
+    val props = newProps.getOrElse(base.properties)
+    val ictField: List[(String, JValue)] =
+      if (!props.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))) Nil
+      else {
+        val f = DeltaLog.fs(spark, location)
+        val prev = DeltaLog.latestVersion(spark, location).map { v =>
+          DeltaLog.commitTimestamp(f,
+            new Path(DeltaLog.logDir(location), f"$v%020d.json"))
+        }.getOrElse(0L)
+        List("inCommitTimestamp" -> JLong(math.max(System.currentTimeMillis(), prev + 1)))
+      }
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
-      "timestamp" -> JLong(System.currentTimeMillis()),
-      "operation" -> JString(op),
-      "operationParameters" -> JObject("predicate" -> JString(predicate))))))
-    val lines = (commitInfo +: protocolUpgrade(spark, location)) ++
+      List[(String, JValue)](
+        "timestamp" -> JLong(System.currentTimeMillis()),
+        "operation" -> JString(op),
+        "operationParameters" -> JObject("predicate" -> JString(predicate))) ++ ictField))))
+    val (state, _) = DeltaLog.replayState(spark, location, None)
+    val metaLine: Seq[String] =
+      if (props == base.properties) Seq.empty
+      else Seq(JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
+        "id" -> JString(Option(state.metaId).filter(_.nonEmpty)
+          .getOrElse(UUID.randomUUID().toString)),
+        "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
+        "schemaString" -> JString(base.schema.json),
+        "partitionColumns" -> JArray(
+          base.partitionColumns.map(c => DeltaLog.columnMappingOf(base.schema)
+            .getOrElse(c, c)).toList.map(JString(_))),
+        "configuration" -> JObject(props.toList.map { case (k, v) => k -> JString(v) }))))))
+    val (adds1, rtLine) =
+      if (!RowTracking.enabled(props)) (adds, None)
+      else RowTracking.stamp(adds, RowTracking.highWaterMark(state.domains), base.version + 1)
+    val lines = (commitInfo +: (protocolUpgrade(spark, location) ++ metaLine ++ rtLine)) ++
       removedPaths.map(DeltaLogWriter.removeAction(_)) ++
-      adds.map(DeltaLogWriter.addAction(schema, _)) ++
+      adds1.map(DeltaLogWriter.addAction(base.schema, _)) ++
       cdc.map(DeltaCdf.cdcAction)
     try {
-      DeltaLogWriter.writeCommit(spark, location, baseVersion + 1, lines)
-      DeltaLogWriter.maybeCheckpoint(spark, location, baseVersion + 1)
+      DeltaLogWriter.writeCommit(spark, location, base.version + 1, lines)
+      DeltaLogWriter.maybeCheckpoint(spark, location, base.version + 1)
       true
     } catch { case _: graft.catalog.AlreadyExistsError => false }
   }
@@ -1663,29 +1755,46 @@ object DeltaDvWriter {
     val snap = DeltaLog.snapshot(spark, location)
     val candidates = FileStats.survivingFiles(spark, snap, predicate)
     if (candidates.isEmpty) return true
-    val df = DeltaLog.readWithRowMeta(spark, location, snap.copy(files = candidates))
+    // UPDATE on a row-tracked table: the staged replacement rows must
+    // carry their original row ids (materialized), so read them alongside
+    // the provenance columns; DELETE only marks bits — files keep their
+    // baseRowId, nothing to materialize
+    val tracked = set.isDefined && RowTracking.enabled(snap.properties)
+    val df =
+      if (tracked) DeltaLog.withRowIds(spark, location, snap.copy(files = candidates))
+      else DeltaLog.readWithRowMeta(spark, location, snap.copy(files = candidates))
     val matchesWithMeta = df.filter(coalesce(expr(predicate), lit(false)))
     val planned = planDvMarks(spark, location, candidates, matchesWithMeta)
     if (planned.isEmpty) return true // nothing matched after row-level filtering
     val (removedPaths, dvAdds) = planned.get
     // UPDATE: stage the transformed matching rows (original values feed
-    // every SET expression; all staged rows matched, so no conditional)
+    // every SET expression; all staged rows matched, so no conditional).
+    // Updated rows KEEP their row id; the commit version goes fresh (null
+    // materialized -> the new add's defaultRowCommitVersion).
     val snapFields = snap.schema.fieldNames
+    var props = snap.properties
     val updatedOpt = set.map { s =>
       s.keys.find(k => !snapFields.contains(k)).foreach { k =>
         throw graft.catalog.UnsupportedOperationError(s"UPDATE: unknown column $k")
       }
-      matchesWithMeta.select(snapFields.map { c =>
+      val out = matchesWithMeta.select(snapFields.map { c =>
         s.get(c) match {
           case Some(e) => expr(e).cast(snap.schema(c).dataType).as(c)
           case None => col(c)
         }
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq ++ (if (tracked) Seq(col(RowTracking.RowIdCol)) else Seq.empty): _*)
+      if (!tracked) out
+      else {
+        val (p2, ridName, rcvName) = RowTracking.ensureMaterializedNames(props)
+        props = p2
+        out.withColumnRenamed(RowTracking.RowIdCol, ridName)
+          .withColumn(rcvName, lit(null).cast("long"))
+      }
     }
     val newAdds = updatedOpt.fold(Seq.empty[TxLog.AddFile]) { updated =>
       DeltaLogWriter.stageForDelta(spark, location,
         Constraints.enforce(GeneratedColumns.validate(updated, snap.schema),
-          snap.properties, snap.schema), snap)
+          props, snap.schema), snap.copy(properties = props))
     }
     // CDF: the marked rows out (delete / update_preimage), the staged
     // updates in (update_postimage) — same commit, cdc actions
@@ -1697,12 +1806,15 @@ object DeltaDvWriter {
         val changes = updatedOpt match {
           case None => DeltaCdf.tagged(pre, "delete")
           case Some(updated) => DeltaCdf.tagged(pre, "update_preimage")
-            .unionByName(DeltaCdf.tagged(updated, "update_postimage"))
+            .unionByName(DeltaCdf.tagged(
+              updated.select(snapFields.map(c => col(s"`$c`")).toIndexedSeq: _*),
+              "update_postimage"))
         }
         DeltaCdf.stageCdc(spark, location, changes, snap)
       }
-    commitDv(spark, location, snap.version, op, predicate, snap.schema,
-      removedPaths, dvAdds ++ newAdds, cdcAdds)
+    commitDv(spark, location, snap, op, predicate,
+      removedPaths, dvAdds ++ newAdds, cdcAdds,
+      newProps = if (props == snap.properties) None else Some(props))
   }
 
   /** The protocol action permitting DVs, when the table lacks it. Legacy

@@ -101,15 +101,19 @@ final class TxMerge(
       case Some(touched) => val set = touched.toSet; snap.files.filter(f => set.contains(f.path))
       case None => snap.files
     }
+    // row-tracked tables: the target read carries each row's id/commit
+    // version so updates keep ids and the rewrite materializes them
+    val rtTracked = table.log == ForeignDeltaCommitLog && RowTracking.enabled(snap.properties)
     val (targetDf, removedPaths) =
       if (dvMode)
-        (DeltaLog.readWithRowMeta(spark, table.location,
-          snap.copy(files = touchedAddFiles)), touchedAddFiles.map(_.path))
+        ((if (rtTracked) DeltaLog.withRowIds(spark, table.location, snap.copy(files = touchedAddFiles))
+          else DeltaLog.readWithRowMeta(spark, table.location, snap.copy(files = touchedAddFiles))),
+          touchedAddFiles.map(_.path))
       else touchedRelPaths match {
         case Some(touched) =>
-          (table.dfForFiles(snap, touched), touched)
+          (table.readForRewrite(snap, touchedAddFiles), touched)
         case None =>
-          (table.toDF, snap.files.map(_.path))
+          (table.readForRewrite(snap, snap.files), snap.files.map(_.path))
       }
 
     val t = targetDf
@@ -222,6 +226,25 @@ final class TxMerge(
     val deletes = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => s"MD$i" } ++
       bySource.zipWithIndex.collect { case (BySourceDelete(_), i) => s"BD$i" } :+ "DROP"
 
+    val allUpdateTags = matched.zipWithIndex.collect {
+      case (MatchedUpdate(_, _) | MatchedUpdateAll(_), i) => s"MU$i" } ++
+      bySource.zipWithIndex.collect { case (BySourceUpdate(_, _), i) => s"BU$i" }
+    val allInsertTags = notMatched.zipWithIndex.collect {
+      case (NotMatchedInsert(_, _) | NotMatchedInsertAll(_), i) => s"NI$i" }
+
+    // row-tracking output columns (copy-on-write rewrite): KEEP and
+    // update rows keep their id; inserts get null -> fresh from the new
+    // add's baseRowId. Commit version survives only on KEEP rows (updates
+    // and inserts are (re)written by THIS commit -> null -> default).
+    def ridOut: org.apache.spark.sql.Column =
+      when(col("__graft_action").isin(allInsertTags: _*), lit(null).cast("long"))
+        .otherwise(tCol(RowTracking.RowIdCol)).as(RowTracking.RowIdCol)
+    def rcvOut: org.apache.spark.sql.Column =
+      when(col("__graft_action").isin(allInsertTags ++ allUpdateTags: _*), lit(null).cast("long"))
+        .otherwise(tCol(RowTracking.RowCommitVersionCol)).as(RowTracking.RowCommitVersionCol)
+    def rtCols(tracked: Boolean): Seq[org.apache.spark.sql.Column] =
+      if (tracked) Seq(ridOut, rcvOut) else Seq.empty
+
     // CDF (delta.enableChangeDataFeed): change rows derived from the same
     // action column — updates emit pre+postimage, deletes the old row,
     // inserts the new one. Reads the joined set a second time, so callers
@@ -263,22 +286,35 @@ final class TxMerge(
             case e: Throwable if cardViolation(e) =>
               throw UnsupportedOperationError(cardCheckMsg)
           }
-        val produced = matched.zipWithIndex.collect { case (MatchedUpdate(_, _) | MatchedUpdateAll(_), i) => s"MU$i" } ++
-          notMatched.zipWithIndex.collect { case (NotMatchedInsert(_, _) | NotMatchedInsertAll(_), i) => s"NI$i" } ++
-          bySource.zipWithIndex.collect { case (BySourceUpdate(_, _), i) => s"BU$i" }
-        val newRows = cached
+        val produced = allUpdateTags ++ allInsertTags
+        // every produced row is (re)written by THIS commit: updates keep
+        // their materialized id, inserts go fresh; commit version fresh
+        val newRows0 = cached
           .filter(col("__graft_action").isin(produced: _*))
-          .select(targetCols.map(valueFor).toIndexedSeq: _*)
+          .select(targetCols.map(valueFor).toIndexedSeq ++
+            (if (rtTracked) Seq(ridOut, lit(null).cast("long")
+              .as(RowTracking.RowCommitVersionCol)) else Seq.empty): _*)
+        var dvProps = snap.properties
+        val newRows =
+          if (!rtTracked) newRows0
+          else {
+            val (p2, ridName, rcvName) = RowTracking.ensureMaterializedNames(dvProps)
+            dvProps = p2
+            newRows0.withColumnRenamed(RowTracking.RowIdCol, ridName)
+              .withColumnRenamed(RowTracking.RowCommitVersionCol, rcvName)
+          }
         val newAdds =
           if (produced.isEmpty) Seq.empty
-          else DeltaLogWriter.stageForDelta(spark, table.location, newRows, snap)
+          else DeltaLogWriter.stageForDelta(spark, table.location, newRows,
+            snap.copy(properties = dvProps))
         val cdcAdds =
           if (!cdfOn) Seq.empty
           else DeltaCdf.stageCdc(spark, table.location, cdcRowsOf(cached), snap)
         val (dvRemoves, dvAdds) = planned.getOrElse((Seq.empty, Seq.empty))
         if (dvRemoves.nonEmpty || newAdds.nonEmpty) {
-          val ok = DeltaDvWriter.commitDv(spark, table.location, snap.version,
-            "MERGE", condition, snap.schema, dvRemoves, dvAdds ++ newAdds, cdcAdds)
+          val ok = DeltaDvWriter.commitDv(spark, table.location, snap,
+            "MERGE", condition, dvRemoves, dvAdds ++ newAdds, cdcAdds,
+            newProps = if (dvProps == snap.properties) None else Some(dvProps))
           if (!ok) {
             // lost the version race: replan everything against the fresh
             // snapshot (same optimistic shape as the other writers)
@@ -301,7 +337,7 @@ final class TxMerge(
     val actioned = if (cdfOn) withAction.persist() else withAction
     val result = actioned
       .filter(!col("__graft_action").isin(deletes: _*))
-      .select(targetCols.map(valueFor).toIndexedSeq: _*)
+      .select(targetCols.map(valueFor).toIndexedSeq ++ rtCols(rtTracked): _*)
 
     // commit: only the touched files are replaced; the rest of the table
     // is untouched (physically and in the manifest)

@@ -122,14 +122,53 @@ final class TxTable(val spark: SparkSession, val location: String,
               s"concurrently (planned against v$baseVersion, now v${snap.version}); " +
               "their rows were not visible to the merge join")
       }
-      val added = log.stage(spark, location, df, snap)
+      val (added, props) = stageRewrite(df, snap)
       val cdc = cdcDf.filter(_ => cdfOn(snap.properties))
         .map(d => DeltaCdf.stageCdc(spark, location, d, snap)).getOrElse(Seq.empty)
       TxTable.Planned(added, removedPaths, snap.schema, snap.partitionColumns,
-        snap.properties, cdc)
+        props, cdc)
     }
 
   private def dfFor(s: Snapshot): DataFrame = log.dfForSnapshot(spark, location, s)
+
+  /** True when rewrites on this table must preserve row ids by
+    * materializing them into the replacement files (PROTOCOL.md "Row
+    * Tracking" — rewriting without materialization would silently break
+    * other engines' row lineage).
+    */
+  private def rowTracked(s: Snapshot): Boolean =
+    log == ForeignDeltaCommitLog && RowTracking.enabled(s.properties)
+
+  /** Read `files` for a rewrite: on a row-tracked table the rows carry
+    * RowTracking.RowIdCol/RowCommitVersionCol (materialized-over-fresh) so
+    * the rewrite can thread them into its output; otherwise a plain read.
+    */
+  private[tables] def readForRewrite(s: Snapshot, files: Seq[AddFile]): DataFrame =
+    if (rowTracked(s))
+      DeltaLog.withRowIds(spark, location, s.copy(files = files))
+        .drop(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
+    else dfFor(s.copy(files = files))
+
+  /** Stage a rewrite result. When it carries the in-flight row-tracking
+    * columns they are renamed to the table's materialized physical columns
+    * — minted on first use and published via the returned properties in
+    * the same commit. Returns (staged adds, properties to commit).
+    */
+  private[tables] def stageRewrite(df: DataFrame, s: Snapshot): (Seq[AddFile], Map[String, String]) =
+    if (!df.columns.contains(RowTracking.RowIdCol))
+      (log.stage(spark, location, df, s), s.properties)
+    else {
+      val (props2, ridName, rcvName) = RowTracking.ensureMaterializedNames(s.properties)
+      val renamed = df.withColumnRenamed(RowTracking.RowIdCol, ridName)
+        .withColumnRenamed(RowTracking.RowCommitVersionCol, rcvName)
+      (log.stage(spark, location, renamed, s.copy(properties = props2)), props2)
+    }
+
+  /** Strip the in-flight row-tracking columns (CDF rows and other logical
+    * outputs must not carry them).
+    */
+  private def dropRowIdCols(df: DataFrame): DataFrame =
+    df.drop(RowTracking.RowIdCol, RowTracking.RowCommitVersionCol)
 
   // ---- writes ----
 
@@ -234,10 +273,12 @@ final class TxTable(val spark: SparkSession, val location: String,
         val (newSchema, newProps) = log.evolveMapping(snap.schema,
           evolveSchema(snap.schema, df.schema, evolution, isOverwrite = true), snap.properties)
         // keep rows where the predicate is not TRUE (NULL-evaluating rows
-        // are kept — SQL/Delta replace only rows where it holds)
-        val kept = dfFor(snap).filter(!coalesce(pred, lit(false)))
+        // are kept — SQL/Delta replace only rows where it holds); kept
+        // rows carry their row ids through on a row-tracked table, new
+        // rows get fresh ones (null materialized columns)
+        val kept = readForRewrite(snap, snap.files).filter(!coalesce(pred, lit(false)))
         val newContent = unionByNameTolerant(kept, df)
-        val added = log.stage(spark, location, alignForWrite(newContent, snap.partitionColumns),
+        val (added, newProps2) = stageRewrite(alignForWrite(newContent, snap.partitionColumns),
           snap.copy(schema = newSchema, properties = newProps))
         // replaceWhere's change feed: replaced rows out, new rows in (the
         // kept rows are rewritten bytes, not logical changes)
@@ -248,7 +289,7 @@ final class TxTable(val spark: SparkSession, val location: String,
               .unionByName(DeltaCdf.tagged(df, "insert"), allowMissingColumns = true),
             snap.copy(schema = newSchema, properties = newProps))
         TxTable.Planned(added, snap.files.map(_.path), newSchema, snap.partitionColumns,
-          newProps, cdc)
+          newProps2, cdc)
       }
     }
   }
@@ -415,6 +456,11 @@ final class TxTable(val spark: SparkSession, val location: String,
         set.get(c) match {
           case Some(e) =>
             when(expr(predicate), expr(e).cast(snapSchema(c).dataType)).otherwise(col(c)).as(c)
+          case None if c == RowTracking.RowCommitVersionCol =>
+            // a MODIFIED row keeps its id but takes a fresh commit version
+            // (null materialized -> the new add's defaultRowCommitVersion)
+            when(coalesce(expr(predicate), lit(false)), lit(null).cast("long"))
+              .otherwise(col(c)).as(c)
           case None => col(c)
         }
       }.toIndexedSeq: _*)
@@ -448,14 +494,14 @@ final class TxTable(val spark: SparkSession, val location: String,
       if (maybe.isEmpty) {
         TxTable.Planned(Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, snap.properties)
       } else {
-        val affected = dfForFiles(snap, maybe.map(_.path))
+        val affected = readForRewrite(snap, maybe)
         val rewritten = transform(affected)
-        val added = log.stage(spark, location, rewritten, snap)
+        val (added, props) = stageRewrite(rewritten, snap)
         val cdc = cdcOf.filter(_ => cdfOn(snap.properties))
-          .map(c => DeltaCdf.stageCdc(spark, location, c(affected), snap))
+          .map(c => DeltaCdf.stageCdc(spark, location, c(dropRowIdCols(affected)), snap))
           .getOrElse(Seq.empty)
         TxTable.Planned(added, maybe.map(_.path), snap.schema, snap.partitionColumns,
-          snap.properties, cdc)
+          props, cdc)
       }
     }
 
@@ -486,9 +532,12 @@ final class TxTable(val spark: SparkSession, val location: String,
       val totalBytes = snap.files.map(_.sizeBytes).sum
       val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
         (if (totalBytes % targetFileBytes > 0) 1 else 0))
-      val compacted = dfFor(snap).repartition(targetFiles)
-      val added = log.stage(spark, location, compacted, snap)
-      TxTable.Planned(added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
+      // a dataChange=false rewrite preserves BOTH the id and the commit
+      // version of every row (readForRewrite carries them; stageRewrite
+      // materializes them into the compacted files)
+      val compacted = readForRewrite(snap, snap.files).repartition(targetFiles)
+      val (added, props) = stageRewrite(compacted, snap)
+      TxTable.Planned(added, snap.files.map(_.path), snap.schema, snap.partitionColumns, props)
     }
 
   /** OPTIMIZE ZORDER BY: rewrite the table clustered on the Morton
@@ -508,9 +557,9 @@ final class TxTable(val spark: SparkSession, val location: String,
       val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
         (if (totalBytes % targetFileBytes > 0) 1 else 0))
       val clustered = graft.functions.ZOrderFunctions.clusterByZOrder(
-        dfFor(snap), zorderCols, targetFiles, buckets)
-      val added = log.stage(spark, location, clustered, snap)
-      TxTable.Planned(added, snap.files.map(_.path), snap.schema, snap.partitionColumns, snap.properties)
+        readForRewrite(snap, snap.files), zorderCols, targetFiles, buckets)
+      val (added, props) = stageRewrite(clustered, snap)
+      TxTable.Planned(added, snap.files.map(_.path), snap.schema, snap.partitionColumns, props)
     }
   }
 

@@ -301,6 +301,35 @@ class DeletionVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed DV write: executor-written .bin files, many touched files, merge with prior DVs") {
+    val loc = TestSpark.tmpDir("dv-dist") + "/t"
+    // 8 files, deletes spread across ALL of them — the write path packs
+    // each task's bitmaps into its own .bin (no driver bitmap funnel; the
+    // planner returns descriptors only, which this test round-trips)
+    val df = spark.range(0, 800).toDF("id")
+      .repartitionByRange(8, col("id")) // contiguous ranges: every file mixes parities
+    DeltaLogWriter.create(spark, loc, df,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    t.delete("id % 2 = 0")
+    val snap1 = DeltaLog.snapshot(spark, loc)
+    val dvs1 = snap1.files.flatMap(_.deletionVector)
+    assert(dvs1.nonEmpty)
+    assert(dvs1.map(_.cardinality).sum == 400L)
+    // every descriptor resolves to a readable on-disk .bin with a valid CRC
+    dvs1.foreach { d =>
+      assert(d.storageType == "u")
+      assert(DeletionVectors.readBitmap(spark, loc, d).cardinality == d.cardinality)
+    }
+    // second delete ORs into the existing bitmaps ON THE EXECUTORS
+    t.delete("id % 3 = 0")
+    val expected = (0L until 800L).filterNot(i => i % 2 == 0 || i % 3 == 0)
+    assert(DeltaLog.toDF(spark, loc).select("id").collect().map(_.getLong(0)).sorted
+      === expected.toArray)
+    val dvs2 = DeltaLog.snapshot(spark, loc).files.flatMap(_.deletionVector)
+    assert(dvs2.map(_.cardinality).sum == (800 - expected.size).toLong)
+  }
+
   test("randomized DV ops match an in-memory row model at every step") {
     // model-based: 25 random delete/update/append/optimize/checkpoint ops
     // through the REAL TxTable API against an in-memory row map; the table

@@ -64,14 +64,89 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(cvs.forall(_ >= 0L), cvs.mkString(","))
   }
 
-  test("rewrites are refused on row-tracking tables; appends are not") {
-    val loc = TestSpark.tmpDir("rt-refuse") + "/t"
+  /** (id -> (_row_id, _row_commit_version)) of the current table state. */
+  private def idsOf(loc: String): Map[Long, (Long, Long)] =
+    DeltaLog.toDFWithRowIds(spark, loc)
+      .select("id", "_row_id", "_row_commit_version").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("DELETE rewrite materializes surviving rows' ids (copy-on-write)") {
+    val loc = TestSpark.tmpDir("rt-del") + "/t"
     val t = mkTable(loc)
-    t.append(Seq((9L, "z")).toDF("id", "s"))
-    intercept[UnsupportedOperationError] { t.delete("id = 1") }
-    intercept[UnsupportedOperationError] { t.update("id = 1", Map("s" -> "'q'")) }
-    intercept[UnsupportedOperationError] { t.overwrite(Seq((1L, "x")).toDF("id", "s")) }
-    assert(t.toDF.count() == 3)
+    t.append(Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+    val before = idsOf(loc)
+    t.delete("id = 3")
+    val after = idsOf(loc)
+    assert(after.keySet == Set(1L, 2L, 4L))
+    // survivors keep BOTH id and commit version (their content is
+    // untouched; the file move is physical, not logical)
+    after.foreach { case (k, v) => assert(before(k) == v, s"id $k: ${before(k)} -> $v") }
+    // the materialized column names were minted and published
+    val props = DeltaLog.snapshot(spark, loc).properties
+    assert(props.contains(RowTracking.MaterializedRowIdProp), props.toString)
+  }
+
+  test("UPDATE keeps the row id but refreshes the commit version") {
+    val loc = TestSpark.tmpDir("rt-upd") + "/t"
+    val t = mkTable(loc)
+    val before = idsOf(loc)
+    val vBefore = t.version
+    t.update("id = 2", Map("s" -> "'updated'"))
+    val after = idsOf(loc)
+    // untouched row: identical
+    assert(after(1L) == before(1L))
+    // updated row: same id, commit version advanced to the UPDATE commit
+    assert(after(2L)._1 == before(2L)._1, s"${before(2L)} -> ${after(2L)}")
+    assert(after(2L)._2 == vBefore + 1, s"${after(2L)._2} != ${vBefore + 1}")
+    assert(t.toDF.filter("id = 2").select("s").head.getString(0) == "updated")
+  }
+
+  test("OPTIMIZE preserves ids and commit versions through compaction") {
+    val loc = TestSpark.tmpDir("rt-opt") + "/t"
+    val t = mkTable(loc)
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    t.append(Seq((4L, "d")).toDF("id", "s"))
+    val before = idsOf(loc)
+    t.optimize()
+    assert(DeltaLog.snapshot(spark, loc).files.size == 1)
+    val after = idsOf(loc)
+    assert(after == before, s"$before -> $after")
+  }
+
+  test("MERGE: updates keep ids, inserts allocate fresh ones") {
+    val loc = TestSpark.tmpDir("rt-merge") + "/t"
+    val t = mkTable(loc)
+    val before = idsOf(loc)
+    t.merge(Seq((2L, "upd"), (7L, "new")).toDF("id", "s"), "t.id = s.id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val after = idsOf(loc)
+    assert(after.keySet == Set(1L, 2L, 7L))
+    assert(after(1L) == before(1L))
+    assert(after(2L)._1 == before(2L)._1)       // update keeps the id
+    assert(after(2L)._2 > before(2L)._2)        // but takes the merge commit
+    assert(!before.values.map(_._1).toSet.contains(after(7L)._1)) // fresh id
+    val hwm = RowTracking.highWaterMark(DeltaLog.replayState(spark, loc, None)._1.domains)
+    assert(after(7L)._1 <= hwm)
+  }
+
+  test("DV-mode rewrites preserve ids too (merge-on-read)") {
+    val loc = TestSpark.tmpDir("rt-dv") + "/t"
+    DeltaLogWriter.create(spark, loc, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      properties = Map(RowTracking.EnableProp -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    val before = idsOf(loc)
+    t.delete("id = 1")
+    // DV delete: no rewrite at all — survivors bitwise identical
+    val afterDel = idsOf(loc)
+    assert(afterDel == before - 1L, s"$before -> $afterDel")
+    t.update("id = 2", Map("s" -> "'u'"))
+    val afterUpd = idsOf(loc)
+    assert(afterUpd(2L)._1 == before(2L)._1)
+    assert(afterUpd(2L)._2 > before(2L)._2)
+    assert(afterUpd(3L) == before(3L))
   }
 
   test("id ranges survive a checkpointed replay") {
