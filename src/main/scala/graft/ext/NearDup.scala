@@ -220,9 +220,18 @@ object NearDup {
     * quadratic term per cluster exactly like `maxBucketSize` does for the
     * LSH routes.
     *
-    * Returns (id, cluster_id, kept): every corpus row tagged with its
-    * cluster and whether it survives. Deterministic: centroids train on a
-    * deterministic hash-sample with fixed seeds and iterations.
+    * Clusters ABOVE `maxClusterSize` (the densest regions — exactly where
+    * the duplicates are) are NOT silently kept whole: their pairing falls
+    * back to hyperplane-LSH buckets WITHIN the cluster, so the quadratic
+    * term stays bounded by bucket size while coverage degrades to
+    * approximate instead of to zero. Each output row's `pairing` column
+    * says which route covered its cluster ("exact" | "lsh"), so pipelines
+    * can see — and re-run, tighten, or audit — the approximate region.
+    *
+    * Returns (id, cluster_id, kept, pairing): every corpus row tagged with
+    * its cluster and whether it survives. Deterministic: centroids train
+    * on a deterministic hash-sample with fixed seeds and iterations, and
+    * the LSH planes are seeded by table index.
     */
   def semanticDedup(
       df: DataFrame,
@@ -230,22 +239,72 @@ object NearDup {
       embCol: String = "embedding",
       threshold: Double = 0.8,
       nlist: Int = 16,
-      maxClusterSize: Int = 10000): DataFrame = {
-    val centroids = IvfAnn.trainCentroids(df, idCol, embCol, nlist = nlist)
+      maxClusterSize: Int = 10000,
+      numPlanes: Int = 12,
+      numTables: Int = 6): DataFrame =
+    semanticDedupWith(df, IvfAnn.trainCentroids(df, idCol, embCol, nlist = nlist),
+      idCol, embCol, threshold, maxClusterSize, numPlanes, numTables)
+
+  /** semanticDedup against a CALLER-SUPPLIED quantizer (cell, centroid) —
+    * fixed literal centroids make the whole operator oracle-checkable
+    * (assignment = argmin over constants is plain SQL), and `sim` lets
+    * hash-exact pipelines swap the plain-double cosine for the fixed-point
+    * one (EmbeddingQueries' convention).
+    */
+  def semanticDedupWith(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      threshold: Double = 0.8,
+      maxClusterSize: Int = 10000,
+      numPlanes: Int = 12,
+      numTables: Int = 6,
+      sim: (Column, Column) => Column = AnnLsh.cosine): DataFrame = {
     val assigned = IvfAnn.assign(df, centroids, idCol, embCol)
       .join(df.select(col(idCol), col(embCol)), idCol)
       .select(col(idCol), col("cell").as("cluster_id"), col(embCol).as("__emb"))
-    val sizeOk = assigned.groupBy("cluster_id").count()
-      .filter(col("count") <= maxClusterSize).drop("count")
-    val bounded = assigned.join(sizeOk, Seq("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id").count()
+    val small = sizes.filter(col("count") <= maxClusterSize).drop("count")
+    val big = sizes.filter(col("count") > maxClusterSize).drop("count")
+
+    // exact pairwise inside bounded clusters
+    val bounded = assigned.join(small, Seq("cluster_id"))
     val a = bounded.select(col("cluster_id"), col(idCol).as("id_a"), col("__emb").as("__ea"))
     val b = bounded.select(col("cluster_id"), col(idCol).as("id_b"), col("__emb").as("__eb"))
-    val dropped = a.join(b, Seq("cluster_id"))
+    val droppedExact = a.join(b, Seq("cluster_id"))
       .filter(col("id_a") < col("id_b"))
-      .filter(AnnLsh.cosine(col("__ea"), col("__eb")) >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
+      .filter(sim(col("__ea"), col("__eb")) >= threshold)
+      .select(col("id_b").as(idCol))
+
+    // oversized clusters: LSH buckets WITHIN the cluster bound the
+    // quadratic term; candidates verify with the same exact cosine
+    val oversized = assigned.join(big, Seq("cluster_id"))
+    val buckets = array((0 until numTables).map(t =>
+      struct(lit(t).as("tbl"), AnnLsh.signature(col("__emb"), numPlanes, t).as("bkt"))): _*)
+    val exploded = oversized.select(col("cluster_id"), col(idCol), col("__emb"),
+        explode(buckets).as("__tb"))
+      .select(col("cluster_id"), col(idCol), col("__emb"),
+        col("__tb.tbl").as("__tbl"), col("__tb.bkt").as("__bucket"))
+    val keys = Seq("cluster_id", "__tbl", "__bucket")
+    val bucketOk = exploded.groupBy(keys.map(col): _*).count()
+      .filter(col("count") <= maxClusterSize).drop("count")
+    val la = exploded.select(col("cluster_id"), col("__tbl"), col("__bucket"),
+      col(idCol).as("id_a"), col("__emb").as("__ea"))
+    val lb = exploded.select(col("cluster_id"), col("__tbl"), col("__bucket"),
+      col(idCol).as("id_b"), col("__emb").as("__eb"))
+    val droppedLsh = la.join(bucketOk, keys)
+      .join(lb, keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("__ea"), col("id_b"), col("__eb")).distinct()
+      .filter(sim(col("__ea"), col("__eb")) >= threshold)
+      .select(col("id_b").as(idCol))
+
+    val dropped = droppedExact.unionByName(droppedLsh).distinct()
     assigned.join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
-      .select(col(idCol), col("cluster_id"), col("__drop").isNull.as("kept"))
+      .join(big.withColumn("__big", lit(true)), Seq("cluster_id"), "left")
+      .select(col(idCol), col("cluster_id"), col("__drop").isNull.as("kept"),
+        when(col("__big").isNotNull, lit("lsh")).otherwise(lit("exact")).as("pairing"))
   }
 
   /** Exact n-gram-Jaccard duplicate pairs: all (id_a < id_b) whose

@@ -166,19 +166,65 @@ object EmbeddingQueries {
 
     // ---- SemDeDup semantic dedup: cluster-scoped near-dup removal ----
     // (Abbas et al. 2023: k-means cluster, pair only within clusters, keep
-    // the lowest id per flagged pair. The k-means quantizer is not
-    // SQL-expressible -> rows-only check, like the LSH recall queries;
-    // within-cluster pairing exactness is covered by NearDupSpec)
+    // the lowest id per flagged pair.) FIXED literal centroids 2·e_j make
+    // the whole operator hash-checkable: assignment to argmin ||x - 2e_j||²
+    // is argmax over the first 4 components (plain SQL; separations in the
+    // data are >= 1.8e-6, far above double rounding, so the comparison is
+    // engine-exact), and the within-cluster pairing runs the fixed-point
+    // cosine both engines reproduce bit-for-bit. Trained-centroid
+    // semanticDedup stays covered by ExtOpsSpec.
     QueryDef(
       "q89_semantic_dedup",
       (s, dir) => {
+        import s.implicits._
         val e = Tables.embeddings(s, dir)
-        graft.ext.NearDup.semanticDedup(e, threshold = 0.45, nlist = 16)
-          .groupBy(col("cluster_id"))
+        val dims = 64
+        val centroids = (0 until 4).map(j =>
+          (j, Array.tabulate(dims)(i => if (i == j) 2.0f else 0.0f).toSeq))
+          .toDF("cell", "centroid")
+        val cosExact = (a: Column, b: Column) =>
+          dotExact(a, b) / (sqrt(norm2Exact(a)) * sqrt(norm2Exact(b)))
+        graft.ext.NearDup.semanticDedupWith(e, centroids,
+            threshold = 0.45, sim = cosExact)
+          .groupBy(col("cluster_id").cast(LongType).as("cluster_id"))
           .agg(count(lit(1)).as("n_vecs"),
             sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
           .orderBy(col("cluster_id"))
       },
-      None)
+      Some(s"""WITH cells AS (
+          SELECT vec_id,
+            CAST(CASE
+              WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+                   AND embedding[1] >= embedding[4] THEN 0
+              WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+              WHEN embedding[3] >= embedding[4] THEN 2
+              ELSE 3 END AS BIGINT) AS cluster_id
+          FROM embeddings
+        ),
+        ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            CAST(UNNEST(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ),
+        dots AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlDot("a.x", "b.x")} AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+          JOIN cells ca ON ca.vec_id = a.vec_id
+          JOIN cells cb ON cb.vec_id = b.vec_id AND ca.cluster_id = cb.cluster_id
+          GROUP BY 1, 2
+        ),
+        norms AS (
+          SELECT vec_id, ${sqlDot("x", "x")} AS n2 FROM ex GROUP BY vec_id
+        ),
+        dropped AS (
+          SELECT DISTINCT id_b AS vec_id
+          FROM dots JOIN norms na ON dots.id_a = na.vec_id
+            JOIN norms nb ON dots.id_b = nb.vec_id
+          WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.45
+        )
+        SELECT c.cluster_id, COUNT(*) AS n_vecs,
+          CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+        GROUP BY c.cluster_id ORDER BY c.cluster_id"""))
   )
 }

@@ -150,6 +150,30 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(kept == kept2)
   }
 
+  test("semanticDedup: oversized clusters still lose their duplicates (LSH fallback)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(40)
+    val planted = e.filter($"vec_id" < 6)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val corpus = e.unionByName(planted)
+    // nlist=1 puts EVERYTHING in one cluster, far above maxClusterSize=10:
+    // the old behavior silently kept every duplicate; the LSH fallback
+    // must still drop the planted near-copies, flagged as approximate
+    val out = NearDup.semanticDedup(corpus, threshold = 0.9, nlist = 1, maxClusterSize = 10)
+    assert(out.count() == corpus.count())
+    val rows = out.collect()
+    assert(rows.forall(_.getString(3) == "lsh"), "oversized cluster must be flagged lsh")
+    val kept = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    (0L until 6L).foreach { i =>
+      assert(kept.contains(i), s"original $i must survive")
+      assert(!kept.contains(i + 100000L), s"planted copy of $i must be dropped (LSH fallback)")
+    }
+    // bounded clusters keep the exact route and the flag says so
+    val exactOut = NearDup.semanticDedup(corpus, threshold = 0.9, nlist = 1, maxClusterSize = 1000)
+    assert(exactOut.collect().forall(_.getString(3) == "exact"))
+  }
+
   test("IVF ANN: recall against brute force; probe phase reads a corpus subset") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 5)

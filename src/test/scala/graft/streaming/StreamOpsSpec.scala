@@ -166,6 +166,87 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(received.asScala.toSeq.sorted == Seq((3L, 2L)))
   }
 
+  test("TxTableSource streams a RAW foreign fixture (external-writer JSON log, DV commit)") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val loc = TestSpark.tmpDir("txsrc-raw") + "/t"
+    val ckpt = TestSpark.tmpDir("txsrc-raw-ckpt")
+
+    def oneParquetFile(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val tmp = TestSpark.tmpDir("txsrc-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(loc, name)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.size(dest)
+    }
+    def writeLine(name: String, lines: Seq[String]): Unit = {
+      val log = Paths.get(loc, "_delta_log")
+      Files.createDirectories(log)
+      Files.write(log.resolve(name), (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    }
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))).json
+    val meta = s"""{"metaData":{"id":"fixt","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JString(schemaJson)))},""" +
+      s""""partitionColumns":[],"configuration":{}}}"""
+
+    val sz1 = oneParquetFile(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "s").orderBy("id"), "f1.parquet")
+    writeLine("00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      meta,
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz1,"modificationTime":1,"dataChange":true}}"""))
+
+    // v1: external DELETE of id=2 in delta-rs shape — remove + re-add with
+    // an INLINE deletion vector killing physical position 1
+    val bm = new graft.tables.DeletionVectors.Bitmap64
+    bm.add(1L)
+    val data = bm.serialize
+    val inline = graft.tables.DeletionVectors.encodeData(data)
+    writeLine("00000000000000000001.json", Seq(
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":2,"dataChange":true}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz1,"modificationTime":1,"dataChange":true,""" +
+        s""""deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${data.length},"cardinality":1}}}"""))
+
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def runAvailable(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxTableSourceProvider")
+        .load(loc)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id", "_commit_version").collect()
+            .foreach(r => received.add((r.getLong(0), r.getLong(1))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    runAvailable()
+    import scala.jdk.CollectionConverters._
+    // v0 emits the 4 original rows; v1's re-add re-emits the file's LIVE rows
+    // only (DV applied — id=2 never reappears): Delta's ignoreChanges
+    // semantics for change commits
+    assert(received.asScala.toSeq.sorted ==
+      Seq((1L, 0L), (1L, 1L), (2L, 0L), (3L, 0L), (3L, 1L), (4L, 0L), (4L, 1L)))
+
+    // v2: a fresh external append; checkpoint-resume delivers ONLY it
+    val sz2 = oneParquetFile(Seq((5L, "e"), (6L, "f")).toDF("id", "s").orderBy("id"), "f2.parquet")
+    writeLine("00000000000000000002.json", Seq(
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":$sz2,"modificationTime":3,"dataChange":true}}"""))
+    received.clear()
+    runAvailable()
+    assert(received.asScala.toSeq.sorted == Seq((5L, 2L), (6L, 2L)))
+  }
+
   test("TxIncremental: durable cursor delivers each commit exactly once across batches") {
     import spark.implicits._
     val loc = TestSpark.tmpDir("txinc") + "/t"
