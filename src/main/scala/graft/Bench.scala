@@ -45,7 +45,10 @@ object Bench {
       q.name -> best
     }
 
-    // Skew demo (diagnostic; NOT in the headline total): the q77 hot-key
+    // Skew demo (diagnostic; NOT in the headline total — its RESULT is
+    // oracle-anchored by q77_salted_skew_join, which hash-proves salting
+    // is result-transparent; this block only times the three plans): the
+    // q77 hot-key
     // join amplified 20x, with auto-broadcast disabled to model a dim
     // table too large to broadcast at production scale (locally customer
     // always broadcasts, which would hide the skew entirely). Three
@@ -93,7 +96,10 @@ object Bench {
       } finally { spark.conf.set(bKey, prevB); spark.conf.set(sKey, prevS) }
     }
 
-    // Deletion-vector demo (diagnostic; NOT in the headline total): the
+    // Deletion-vector demo (diagnostic; NOT in the headline total — its
+    // RESULT is oracle-anchored by q79_dv_delete, which hash-proves the
+    // DV write + DV-filtered read against DuckDB, and q94 pins row-id
+    // survival; this block only times cow vs DV): the
     // same selective DELETE (~0.6% of rows) against two copies of a Delta
     // table built from lineitem — one copy-on-write (rewrites every
     // touched file), one merge-on-read (commits per-file bitmaps). The gap

@@ -252,6 +252,32 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaLog.toDF(spark, loc).count() == 24)
   }
 
+  test("multi-part classic checkpoint WRITE: parts land and replay without the JSON tail") {
+    val loc = TestSpark.tmpDir("delta-multipart")
+    // 8 single-row files -> >= 10 actions (protocol + metaData + 8 adds)
+    DeltaLogWriter.create(spark, loc, df1.repartition(4))
+    DeltaLogWriter.append(spark, loc, df2.repartition(4))
+    val v = DeltaLog.latestVersion(spark, loc).get
+    // force the multi-part layout: at most 3 actions per part
+    DeltaLogWriter.writeCheckpoint(spark, loc, v, maxActionsPerPart = 3)
+    val log = Paths.get(loc, "_delta_log")
+    val parts = Files.list(log).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(f"$v%020d.checkpoint.") && n.endsWith(".parquet")).sorted
+    assert(parts.length >= 2, s"expected multi-part checkpoint, got ${parts.toSeq}")
+    // legacy naming every Delta reader understands: v.checkpoint.iiiiiiiiii.nnnnnnnnnn.parquet
+    parts.foreach(n => assert(n.matches(raw"\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet"), n))
+    val lc = Files.readString(log.resolve("_last_checkpoint"))
+    assert(lc.contains(s""""parts":${parts.length}"""), lc)
+    // replay must work from the parts ALONE (log-cleaned table)
+    (0L to v).foreach { i =>
+      val p = log.resolve(f"$i%020d.json")
+      if (Files.exists(p)) Files.delete(p)
+    }
+    assert(DeltaLog.toDF(spark, loc).count() == 6)
+    assert(DeltaLog.snapshot(spark, loc).files.size >= 2)
+  }
+
   test("concurrent appends both land via optimistic version retry") {
     val loc = TestSpark.tmpDir("delta-concurrent")
     DeltaLogWriter.create(spark, loc, df1)
