@@ -342,8 +342,10 @@ object NearDup {
     *
     * Scale shape: one posexplode to (doc, pos, gram) — O(total tokens)
     * rows, the same order as the corpus itself — then ONE shuffle on the
-    * gram to find cross-doc occurrences (the suffix-array step of the
-    * paper, re-expressed as a group-by), and a per-doc window (doc_id
+    * gram (the suffix-array step of the paper, re-expressed as a window:
+    * a gram is cross-doc iff min(doc) != max(doc) over its partition —
+    * computed in a single spill-capable window pass, no groupBy+join-back
+    * and no second corpus scan), and a per-doc window (doc_id
     * partitioning, corpus-order parallelism) to merge runs with the
     * classic islands trick. No pairwise comparisons anywhere.
     */
@@ -361,12 +363,14 @@ object NearDup {
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("__t")) - gramK),
         i => array_join(slice(col("__t"), i + 1, lit(gramK)), " "))).as(Seq("__pos", "__g")))
-    // grams occurring in more than one document (the only shuffle-by-gram)
-    val crossDoc = grams.groupBy("__g")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > 1)
-      .select("__g")
-    val dupPos = grams.join(crossDoc, "__g").select(col(idCol), col("__pos"))
+    // positions whose gram occurs in more than one document: ONE shuffle
+    // by gram, min/max running aggregates (distinct-doc>1 ⟺ min≠max)
+    val wg = Window.partitionBy(col("__g"))
+    val dupPos = grams
+      .withColumn("__mn", min(col(idCol)).over(wg))
+      .withColumn("__mx", max(col(idCol)).over(wg))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col(idCol), col("__pos"))
     // islands: consecutive positions share (pos - rank)
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     dupPos
