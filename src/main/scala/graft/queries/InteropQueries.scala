@@ -339,6 +339,36 @@ object InteropQueries {
           CASE WHEN l_quantity <= 2 THEN l_extendedprice * 2
                ELSE l_extendedprice END AS l_extendedprice
         FROM base WHERE NOT (l_quantity > 8)
-        ORDER BY _row_id"""))
+        ORDER BY _row_id""")),
+
+    // round-6 Apache Iceberg interop (the north star's other format): a
+    // lineitem slice goes THROUGH the Iceberg v2 metadata — create +
+    // append write real manifests/manifest lists/metadata.json, the read
+    // replays them — so the hash check proves the metadata round-trip is
+    // byte-exact against an oracle computing the same aggregate straight
+    // from the source parquet
+    QueryDef(
+      "q95_iceberg_roundtrip",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q95-ice").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        graft.tables.IcebergWriter.create(s, loc, li.filter(col("l_quantity") <= 10))
+        graft.tables.IcebergWriter.append(s, loc,
+          li.filter(col("l_quantity") > 10 && col("l_quantity") <= 15))
+        graft.tables.IcebergLog.toDF(s, loc)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS revenue
+        FROM lineitem WHERE l_quantity <= 15
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

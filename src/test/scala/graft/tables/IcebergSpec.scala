@@ -1,0 +1,231 @@
+package graft.tables
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.UnsupportedOperationError
+
+/** Apache Iceberg interop (spec v1/v2): round-trips through this
+  * library's own minimal writer AND hand-crafted foreign metadata
+  * exercising corners the writer never emits (v1 top-level schema,
+  * position-delete manifests, equality-delete refusal, snapshot travel).
+  */
+class IcebergSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df1: DataFrame =
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "s", "v")
+  private def df2: DataFrame =
+    Seq((4L, "d", 4.5), (5L, "e", 5.5)).toDF("id", "s", "v")
+
+  test("writer round-trip: create + append, read back, snapshot travel") {
+    val loc = TestSpark.tmpDir("ice-rt") + "/t"
+    IcebergWriter.create(spark, loc, df1)
+    assert(IcebergLog.isIcebergTable(spark, loc))
+    assert(IcebergLog.toDF(spark, loc).count() == 3)
+    IcebergWriter.append(spark, loc, df2)
+    val full = IcebergLog.toDF(spark, loc)
+    assert(full.count() == 5)
+    assert(full.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // snapshot time travel: the first snapshot still reads the old state
+    val snaps = IcebergLog.history(spark, loc)
+    assert(snaps.size == 2)
+    assert(IcebergLog.toDF(spark, loc, Some(snaps.head)).count() == 3)
+    // timestamp travel resolves through the snapshot log
+    val firstId = IcebergLog.snapshotIdAtTimestamp(spark, loc, System.currentTimeMillis())
+    assert(firstId == snaps.last)
+  }
+
+  test("schema bridge: every primitive + nested types round-trip") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("dt", DateType),
+      StructField("ts", TimestampType), StructField("ntz", TimestampNTZType),
+      StructField("s", StringType), StructField("bin", BinaryType),
+      StructField("dec", DecimalType(12, 2)),
+      StructField("arr", ArrayType(LongType)),
+      StructField("st", StructType(Seq(StructField("x", LongType), StructField("y", StringType)))),
+      StructField("m", MapType(StringType, LongType))))
+    val (json, lastId) = IcebergWriter.icebergSchemaJson(schema)
+    val back = IcebergLog.structOf(org.json4s.jackson.JsonMethods.parse(json))
+    assert(back.fieldNames.toSeq == schema.fieldNames.toSeq)
+    assert(back("dec").dataType == DecimalType(12, 2))
+    assert(back("ts").dataType == TimestampType)   // timestamptz
+    assert(back("ntz").dataType == TimestampNTZType) // timestamp
+    assert(back("arr").dataType.isInstanceOf[ArrayType])
+    assert(back("st").dataType.isInstanceOf[StructType])
+    assert(back("m").dataType.isInstanceOf[MapType])
+    assert(lastId > schema.fields.length) // nested fields got ids too
+  }
+
+  test("foreign v1-shaped metadata (top-level schema field) reads") {
+    val loc = TestSpark.tmpDir("ice-v1") + "/t"
+    IcebergWriter.create(spark, loc, df1)
+    // rewrite the metadata into the v1 shape: schema at top level, no
+    // schemas list, no sequence numbers
+    val f = IcebergLog.fs(spark, loc)
+    val meta = IcebergLog.readJson(f, IcebergLog.currentMetadataPath(f, loc))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val schemaJson = (meta \ "schemas").extract[Seq[JValue]].head
+    val v1 = JObject(
+      "format-version" -> JInt(1),
+      "table-uuid" -> (meta \ "table-uuid"),
+      "location" -> JString(loc),
+      "last-updated-ms" -> JLong(1L),
+      "last-column-id" -> (meta \ "last-column-id"),
+      "schema" -> schemaJson,
+      "partition-spec" -> JArray(Nil),
+      "properties" -> JObject(Nil),
+      "current-snapshot-id" -> (meta \ "current-snapshot-id"),
+      "snapshots" -> (meta \ "snapshots"))
+    val out = f.create(new Path(loc, "metadata/v2.metadata.json"), true)
+    try out.write(JsonMethods.compact(JsonMethods.render(v1)).getBytes("UTF-8"))
+    finally out.close()
+    val hint = f.create(new Path(loc, "metadata/version-hint.text"), true)
+    try hint.write("2".getBytes("UTF-8")) finally hint.close()
+    assert(IcebergLog.toDF(spark, loc).count() == 3)
+  }
+
+  test("position deletes apply merge-on-read; equality deletes are refused") {
+    val loc = TestSpark.tmpDir("ice-posdel") + "/t"
+    IcebergWriter.create(spark, loc, df1.repartition(1).sortWithinPartitions("id"))
+    val f = IcebergLog.fs(spark, loc)
+
+    // the single data file this created
+    val meta = IcebergLog.readJson(f, IcebergLog.currentMetadataPath(f, loc))
+    val snap = IcebergLog.snapshots(meta).head
+    val (data, _) = IcebergLog.liveFiles(spark, loc, snap)
+    assert(data.size == 1)
+    val dataPath = IcebergLog.resolve(loc, data.head.path).toString
+
+    // a position-delete parquet naming (file, pos=1) — kills id=2
+    val delDir = TestSpark.tmpDir("ice-posdel-files")
+    val delFile = s"$delDir/del-0.parquet"
+    Seq((dataPath, 1L)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(delDir + "/stage")
+    val stage = f.listStatus(new Path(delDir + "/stage")).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    f.rename(stage, new Path(delFile))
+
+    // hand-written delete manifest (content=1) + extended manifest list,
+    // committed as a new metadata version — the delta-rs-equivalent shape
+    // an external engine's DELETE produces
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"}]}}
+        |]}""".stripMargin.replaceAll("\n", ""))
+    val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+    dfr.put("content", 1)
+    dfr.put("file_path", delFile)
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", 1L)
+    dfr.put("file_size_in_bytes", f.getFileStatus(new Path(delFile)).getLen)
+    val entry = new GenericData.Record(entrySchema)
+    entry.put("status", 1)
+    entry.put("data_file", dfr)
+    val delManifest = new Path(loc, "metadata/del-m0.avro")
+    writeAvroFile(f, delManifest, entrySchema, Seq(entry))
+
+    // manifest list = prior manifests + the delete manifest (content=1)
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"added_snapshot_id","type":"long"}
+        |]}""".stripMargin.replaceAll("\n", ""))
+    val prior = IcebergLog.readAvro(f, IcebergLog.resolve(loc, snap.manifestList))
+    def mlRec(path: String, content: Int): GenericRecord = {
+      val r = new GenericData.Record(mlSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", f.getFileStatus(new Path(path)).getLen)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("added_snapshot_id", 7L)
+      r
+    }
+    val mlRecs = prior.map(p => mlRec(p.get("manifest_path").toString,
+        Option(p.get("content")).map(_.asInstanceOf[Number].intValue).getOrElse(0))) :+
+      mlRec(delManifest.toString, 1)
+    val ml2 = new Path(loc, "metadata/snap-7.avro")
+    writeAvroFile(f, ml2, mlSchema, mlRecs)
+
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val newSnap = JObject(
+      "snapshot-id" -> JLong(7L), "timestamp-ms" -> JLong(System.currentTimeMillis()),
+      "summary" -> JObject("operation" -> JString("delete")),
+      "manifest-list" -> JString(ml2.toString), "schema-id" -> JInt(0))
+    val meta2 = meta.transformField {
+      case ("snapshots", JArray(xs)) => ("snapshots", JArray(xs :+ newSnap))
+      case ("current-snapshot-id", _) => ("current-snapshot-id", JLong(7L))
+    }
+    val out = f.create(new Path(loc, "metadata/v2.metadata.json"), true)
+    try out.write(JsonMethods.compact(JsonMethods.render(meta2)).getBytes("UTF-8"))
+    finally out.close()
+    val hint = f.create(new Path(loc, "metadata/version-hint.text"), true)
+    try hint.write("2".getBytes("UTF-8")) finally hint.close()
+
+    val after = IcebergLog.toDF(spark, loc)
+    assert(after.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // the pre-delete snapshot still reads all rows (time travel)
+    assert(IcebergLog.toDF(spark, loc, Some(snap.snapshotId)).count() == 3)
+
+    // equality deletes (content=2) refuse with a typed error
+    val eqEntry = new GenericData.Record(entrySchema)
+    val eqDfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+    eqDfr.put("content", 2)
+    eqDfr.put("file_path", delFile)
+    eqDfr.put("file_format", "PARQUET")
+    eqDfr.put("record_count", 1L)
+    eqDfr.put("file_size_in_bytes", 1L)
+    eqEntry.put("status", 1)
+    eqEntry.put("data_file", eqDfr)
+    val eqManifest = new Path(loc, "metadata/eq-m0.avro")
+    writeAvroFile(f, eqManifest, entrySchema, Seq(eqEntry))
+    val ml3 = new Path(loc, "metadata/snap-8.avro")
+    writeAvroFile(f, ml3, mlSchema, mlRecs :+ mlRec(eqManifest.toString, 2))
+    val newSnap8 = JObject(
+      "snapshot-id" -> JLong(8L), "timestamp-ms" -> JLong(System.currentTimeMillis()),
+      "summary" -> JObject("operation" -> JString("overwrite")),
+      "manifest-list" -> JString(ml3.toString), "schema-id" -> JInt(0))
+    val meta3 = meta2.transformField {
+      case ("snapshots", JArray(xs)) => ("snapshots", JArray(xs :+ newSnap8))
+      case ("current-snapshot-id", _) => ("current-snapshot-id", JLong(8L))
+    }
+    val out3 = f.create(new Path(loc, "metadata/v3.metadata.json"), true)
+    try out3.write(JsonMethods.compact(JsonMethods.render(meta3)).getBytes("UTF-8"))
+    finally out3.close()
+    val hint3 = f.create(new Path(loc, "metadata/version-hint.text"), true)
+    try hint3.write("3".getBytes("UTF-8")) finally hint3.close()
+    intercept[UnsupportedOperationError] { IcebergLog.toDF(spark, loc).count() }
+  }
+
+  private def writeAvroFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
+      schema: Schema, records: Seq[GenericRecord]): Unit = {
+    val out = f.create(p, true)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    try records.foreach(w.append) finally w.close()
+  }
+}
