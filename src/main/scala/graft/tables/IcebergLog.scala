@@ -1,5 +1,8 @@
 package graft.tables
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
@@ -8,11 +11,10 @@ import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, expr}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import org.json4s.jackson.Serialization
 
 import graft.catalog.UnsupportedOperationError
 
@@ -26,7 +28,10 @@ import graft.catalog.UnsupportedOperationError
   *   - manifest LISTS and manifest FILES are Avro container files, read
   *     driver-side with plain GenericRecord streams (they are
   *     metadata-sized, exactly like the Delta JSON log);
-  *   - data files are parquet, planned as one distributed scan;
+  *   - data files are parquet, planned as one distributed scan; per-file
+  *     partition values (identity transforms) and lower/upper bounds from
+  *     the manifests feed the SAME FileStats pruner the Delta paths use,
+  *     so `scan(predicate)` skips files before Spark sees them;
   *   - v2 POSITION deletes (content=1 manifests → parquet files of
   *     (file_path, pos)) are applied merge-on-read through the same
   *     broadcast bitmap filter deletion vectors use (DvIsRowLive) —
@@ -125,16 +130,56 @@ object IcebergLog {
         nullable = !(f \ "required").extractOrElse[Boolean](false))
     })
 
-  /** The current schema of a metadata document (schemas + current-schema-id,
-    * falling back to the v1 top-level `schema` field).
+  /** The current schema JSON of a metadata document (schemas +
+    * current-schema-id, falling back to the v1 top-level `schema` field).
     */
-  private[tables] def currentSchema(meta: JValue): StructType = {
+  private[tables] def currentSchemaJson(meta: JValue): JValue = {
     val cur = (meta \ "current-schema-id").extractOpt[Int]
-    val fromList = cur.flatMap { id =>
+    cur.flatMap { id =>
       (meta \ "schemas").extractOpt[Seq[JValue]]
         .flatMap(_.find(s => (s \ "schema-id").extractOpt[Int].contains(id)))
+    }.getOrElse(meta \ "schema")
+  }
+
+  private[tables] def currentSchema(meta: JValue): StructType =
+    structOf(currentSchemaJson(meta))
+
+  /** Top-level (field-id, name, type) of the current schema — the
+    * address space bounds and partition source-ids live in.
+    */
+  private[tables] def topFields(meta: JValue): Seq[(Int, String, DataType)] =
+    (currentSchemaJson(meta) \ "fields").extract[Seq[JValue]].map { f =>
+      ((f \ "id").extract[Int], (f \ "name").extract[String], toSparkType(f \ "type"))
     }
-    structOf(fromList.getOrElse(meta \ "schema"))
+
+  // ---- partition specs ----
+
+  private[tables] final case class SpecField(name: String, transform: String, sourceId: Int)
+
+  /** spec-id → fields, from v2 `partition-specs` with the v1 top-level
+    * `partition-spec` as the spec-0 fallback.
+    */
+  private[tables] def specsById(meta: JValue): Map[Int, Seq[SpecField]] = {
+    def fieldsOf(v: JValue): Seq[SpecField] =
+      v.extractOrElse[Seq[JValue]](Seq.empty).map { f =>
+        SpecField((f \ "name").extract[String], (f \ "transform").extract[String],
+          (f \ "source-id").extract[Int])
+      }
+    val v2 = (meta \ "partition-specs").extractOrElse[Seq[JValue]](Seq.empty).map { s =>
+      (s \ "spec-id").extractOrElse[Int](0) -> fieldsOf(s \ "fields")
+    }.toMap
+    if (v2.nonEmpty) v2 else Map(0 -> fieldsOf(meta \ "partition-spec"))
+  }
+
+  /** Source column names of the DEFAULT spec's identity fields — the
+    * partition columns this table prunes on (non-identity transforms are
+    * ignored for pruning, which is always safe).
+    */
+  private[tables] def identityPartCols(meta: JValue): Seq[String] = {
+    val byId = topFields(meta).map { case (id, n, _) => id -> n }.toMap
+    val defaultSpec = (meta \ "default-spec-id").extractOrElse[Int](0)
+    specsById(meta).getOrElse(defaultSpec, Seq.empty)
+      .filter(_.transform == "identity").flatMap(f => byId.get(f.sourceId))
   }
 
   // ---- snapshots ----
@@ -150,7 +195,7 @@ object IcebergLog {
         (s \ "manifest-list").extract[String])
     }
 
-  /** A data or delete file planned from the manifests. */
+  /** A position-delete file planned from a content=1 manifest. */
   private[tables] final case class IceFile(
       content: Int, path: String, format: String, records: Long, bytes: Long)
 
@@ -175,21 +220,82 @@ object IcebergLog {
     if (p.isAbsolute || filePath.contains("://")) p else new Path(location, filePath)
   }
 
-  /** Live files of a snapshot: walk its manifest list, then each manifest's
-    * entries, keeping status != 2 (DELETED). Returns (data files, position
-    * delete files); equality deletes raise.
+  // ---- bound decoding (spec Appendix D "Single-value serialization") ----
+
+  private def bytesOf(v: Any): Array[Byte] = v match {
+    case b: ByteBuffer =>
+      val d = b.duplicate(); val out = new Array[Byte](d.remaining()); d.get(out); out
+    case a: Array[Byte] => a
+    case f: org.apache.avro.generic.GenericFixed => f.bytes()
+    case other => throw new IllegalArgumentException(s"unexpected bound value $other")
+  }
+
+  /** A manifest `lower_bounds`/`upper_bounds` value: an Avro map when the
+    * writer used string keys, an array of {key,value} records otherwise
+    * (how Avro serializes int-keyed maps).
     */
-  private[tables] def liveFiles(spark: SparkSession, location: String,
-      snap: IceSnapshot): (Seq[IceFile], Seq[IceFile]) = {
+  private def boundsOf(v: Any): Map[Int, Array[Byte]] = v match {
+    case null => Map.empty
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, b) => k.toString.toInt -> bytesOf(b) }.toMap
+    case l: java.util.List[_] =>
+      l.asScala.collect { case r: GenericRecord =>
+        r.get("key").asInstanceOf[Number].intValue -> bytesOf(r.get("value"))
+      }.toMap
+    case other => throw new IllegalArgumentException(s"unexpected bounds container $other")
+  }
+
+  /** Decode one bound into the FileStats string convention (numbers as
+    * decimal strings, DATE as epoch days, TIMESTAMP as epoch micros,
+    * strings raw). Unknown/undecodable → None (prune conservatively).
+    */
+  private[tables] def decodeBound(dt: DataType, b: Array[Byte]): Option[String] = {
+    def le = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case IntegerType | ShortType | ByteType => Some(le.getInt.toString)
+      case LongType => Some(le.getLong.toString)
+      case FloatType => Some(le.getFloat.toString)
+      case DoubleType => Some(le.getDouble.toString)
+      case DateType => Some(le.getInt.toString)
+      case TimestampType | TimestampNTZType => Some(le.getLong.toString)
+      case StringType => Some(new String(b, UTF_8))
+      case d: DecimalType =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(b), d.scale).toPlainString)
+      case BooleanType => Some((b.nonEmpty && b(0) != 0).toString)
+      case _ => None
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** A partition-record value into the same string convention (Avro stores
+    * date as int days, timestamps as long micros — both already what the
+    * pruner's comparators parse).
+    */
+  private def partitionString(v: Any): Option[String] = Option(v).map(_.toString)
+
+  /** Live files of a snapshot: walk its manifest list, then each
+    * manifest's entries, keeping status != 2 (DELETED). Data files come
+    * back as TxLog.AddFile (absolute path, identity partition values,
+    * decoded bounds) so the shared FileStats pruner applies; position
+    * deletes as IceFile; equality deletes raise.
+    */
+  private[tables] def liveFiles(spark: SparkSession, location: String, meta: JValue,
+      snap: IceSnapshot): (Seq[TxLog.AddFile], Seq[IceFile]) = {
     val f = fs(spark, location)
+    val fields = topFields(meta)
+    val byId = fields.map { case (id, n, dt) => id -> ((n, dt)) }.toMap
+    val specs = specsById(meta)
     val manifests = readAvro(f, resolve(location, snap.manifestList)).map { r =>
       val path = str(r.get("manifest_path"))
       val content = Option(r.get("content")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
-      (path, content)
+      val specId = Option(r.get("partition_spec_id")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
+      (path, content, specId)
     }
-    val data = Seq.newBuilder[IceFile]
+    val data = Seq.newBuilder[TxLog.AddFile]
     val deletes = Seq.newBuilder[IceFile]
-    manifests.foreach { case (mPath, mContent) =>
+    manifests.foreach { case (mPath, mContent, specId) =>
+      // identity fields of THIS manifest's spec, resolved to live columns
+      val identity = specs.getOrElse(specId, Seq.empty).filter(_.transform == "identity")
+        .flatMap(sf => byId.get(sf.sourceId).map { case (n, _) => sf.name -> n })
       readAvro(f, resolve(location, mPath)).foreach { entry =>
         val status = Option(entry.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
         if (status != 2) {
@@ -199,12 +305,32 @@ object IcebergLog {
           val format = str(df.get("file_format"))
           if (!"parquet".equalsIgnoreCase(format))
             throw UnsupportedOperationError(s"iceberg: file_format '$format' is not supported")
-          val file = IceFile(content, str(df.get("file_path")), format,
-            Option(df.get("record_count")).map(_.asInstanceOf[Number].longValue).getOrElse(-1L),
-            Option(df.get("file_size_in_bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L))
+          val path = resolve(location, str(df.get("file_path"))).toString
+          val records = Option(df.get("record_count")).map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
+          val bytes = Option(df.get("file_size_in_bytes")).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
           content match {
-            case 0 => data += file
-            case 1 => deletes += file
+            case 0 =>
+              val partRec = df.get("partition") match {
+                case r: GenericRecord => Some(r)
+                case _ => None
+              }
+              val partValues = partRec.map { r =>
+                identity.flatMap { case (specName, colName) =>
+                  val v = if (r.getSchema.getField(specName) == null) null else r.get(specName)
+                  partitionString(v).map(colName -> _)
+                }.toMap
+              }.getOrElse(Map.empty)
+              def decoded(fieldName: String): Option[Map[String, String]] = {
+                val m = boundsOf(if (df.getSchema.getField(fieldName) == null) null
+                  else df.get(fieldName))
+                val out = m.flatMap { case (id, bs) =>
+                  byId.get(id).flatMap { case (n, dt) => decodeBound(dt, bs).map(n -> _) }
+                }
+                if (out.isEmpty) None else Some(out)
+              }
+              data += TxLog.AddFile(path, partValues, records, bytes,
+                decoded("lower_bounds"), decoded("upper_bounds"))
+            case 1 => deletes += IceFile(content, path, format, records, bytes)
             case 2 => throw UnsupportedOperationError(
               "iceberg: equality deletes (content=2) are not supported; " +
                 "rewrite the table with a compaction that applies them first")
@@ -216,8 +342,44 @@ object IcebergLog {
     (data.result(), deletes.result())
   }
 
+  // ---- snapshot state ----
+
+  /** Planned state of one snapshot: schema, identity partition columns,
+    * data files (absolute paths, prunable metadata), position deletes.
+    */
+  private[tables] final case class IceState(
+      meta: JValue, metadataVersion: Long, schema: StructType,
+      partitionColumns: Seq[String], files: Seq[TxLog.AddFile], deletes: Seq[IceFile],
+      snapshotId: Option[Long])
+
+  private[tables] def state(spark: SparkSession, location: String,
+      asOfSnapshotId: Option[Long] = None): IceState = {
+    val f = fs(spark, location)
+    val metaPath = currentMetadataPath(f, location)
+    val meta = readJson(f, metaPath)
+    val metaVersion =
+      metaPath.getName.stripSuffix(".metadata.json").stripPrefix("v").toLongOption.getOrElse(0L)
+    val schema = currentSchema(meta)
+    val parts = identityPartCols(meta).filter(schema.fieldNames.contains)
+    pickSnapshot(meta, asOfSnapshotId) match {
+      case None =>
+        IceState(meta, metaVersion, schema, parts, Seq.empty, Seq.empty, None)
+      case Some(s) =>
+        val (data, deletes) = liveFiles(spark, location, meta, s)
+        IceState(meta, metaVersion, schema, parts, data, deletes, Some(s.snapshotId))
+    }
+  }
+
   private def metaOf(spark: SparkSession, location: String): JValue =
     readJson(fs(spark, location), currentMetadataPath(fs(spark, location), location))
+
+  /** (schema, identity partition columns) — the register_as_table
+    * inference surface.
+    */
+  def schemaInfo(spark: SparkSession, location: String): (StructType, Seq[String]) = {
+    val st = state(spark, location)
+    (st.schema, st.partitionColumns)
+  }
 
   /** Snapshot ids, oldest first. */
   def history(spark: SparkSession, location: String): Seq[Long] =
@@ -246,21 +408,48 @@ object IcebergLog {
     * deletes applied merge-on-read.
     */
   def toDF(spark: SparkSession, location: String,
-      asOfSnapshotId: Option[Long] = None): DataFrame = {
-    val meta = metaOf(spark, location)
-    val schema = currentSchema(meta)
-    pickSnapshot(meta, asOfSnapshotId) match {
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(s) =>
-        val (data, deletes) = liveFiles(spark, location, s)
-        if (data.isEmpty)
-          return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        val paths = data.map(d => resolve(location, d.path).toString)
-        val base = spark.read.schema(schema).parquet(paths: _*)
-        if (deletes.isEmpty) base
-        else applyPositionDeletes(spark, location, schema, paths, deletes)
-    }
+      asOfSnapshotId: Option[Long] = None): DataFrame =
+    dfFor(spark, state(spark, location, asOfSnapshotId))
+
+  /** Predicate scan with manifest-level pruning: identity partition values
+    * and decoded lower/upper bounds drop files through the shared
+    * FileStats pruner before Spark's row-group pruning sees the survivors
+    * — the same two-level skip the Delta paths get.
+    */
+  def scan(spark: SparkSession, location: String, predicate: String): DataFrame = {
+    val st = state(spark, location)
+    val surviving = FileStats.survivingFiles(spark, pruneView(st), predicate)
+    dfFor(spark, st.copy(files = surviving)).filter(expr(predicate))
+  }
+
+  /** Files the pruner would read for a predicate (tests/inspection). */
+  def filesAfterPruning(spark: SparkSession, location: String, predicate: String): Int =
+    FileStats.survivingFiles(spark, pruneView(state(spark, location)), predicate).size
+
+  private def pruneView(st: IceState): TxLog.Snapshot =
+    TxLog.Snapshot(0L, st.schema, st.partitionColumns, st.files, Map.empty)
+
+  private[tables] def dfFor(spark: SparkSession, st: IceState,
+      withMeta: Boolean = false): DataFrame = {
+    val metaFields =
+      if (withMeta) Seq(StructField(DeltaLog.FileMetaCol, StringType),
+        StructField(DeltaLog.RowMetaCol, LongType))
+      else Seq.empty
+    if (st.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(st.schema.fields.toSeq ++ metaFields))
+    // Iceberg data files carry FULL rows (identity partition source
+    // columns included — unlike hive layout, file paths are opaque), so
+    // one schema'd scan over the manifest-planned paths suffices.
+    val needMeta = withMeta || st.deletes.nonEmpty
+    val metaSel =
+      if (needMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
+        col("_metadata.row_index").as(DeltaLog.RowMetaCol))
+      else Seq.empty
+    val base = spark.read.schema(st.schema).parquet(st.files.map(_.path): _*)
+      .select(st.schema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
+    val live = applyPositionDeletes(spark, base, st)
+    if (withMeta) live else live.drop(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
   }
 
   /** Merge-on-read position deletes: the delete parquet files hold
@@ -268,10 +457,10 @@ object IcebergLog {
     * codegen'd DvIsRowLive filter deletion vectors use — no join, no
     * shuffle, pushdown intact.
     */
-  private def applyPositionDeletes(spark: SparkSession, location: String,
-      schema: StructType, dataPaths: Seq[String], deletes: Seq[IceFile]): DataFrame = {
-    val delPaths = deletes.map(d => resolve(location, d.path).toString)
-    val rows = spark.read.parquet(delPaths: _*)
+  private def applyPositionDeletes(spark: SparkSession, df: DataFrame,
+      st: IceState): DataFrame = {
+    if (st.deletes.isEmpty) return df
+    val rows = spark.read.parquet(st.deletes.map(_.path): _*)
       .select(col("file_path"), col("pos"))
       .collect() // bounded by deleted-row count — the DV size argument
     val byFile = rows.groupBy(r => DeletionVectors.normalizedUri(r.getString(0)))
@@ -282,23 +471,20 @@ object IcebergLog {
       }
     val bc = spark.sparkContext.broadcast(new DvLookup(byFile))
     import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
-    val withMeta = spark.read.schema(schema).parquet(dataPaths: _*)
-      .select(schema.fieldNames.map(col).toIndexedSeq :+
-        col("_metadata.file_path").as(DeltaLog.FileMetaCol) :+
-        col("_metadata.row_index").as(DeltaLog.RowMetaCol): _*)
-    withMeta
-      .filter(toCol(DvIsRowLive(
-        toExpr(col(DeltaLog.FileMetaCol)), toExpr(col(DeltaLog.RowMetaCol)), bc)))
-      .drop(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
+    df.filter(toCol(DvIsRowLive(
+      toExpr(col(DeltaLog.FileMetaCol)), toExpr(col(DeltaLog.RowMetaCol)), bc)))
   }
 }
 
-/** Minimal spec-compliant Iceberg v2 WRITER — create + append of
-  * unpartitioned parquet tables, enough for round-trips here and for
-  * external Iceberg readers (the HadoopTables / version-hint layout).
+/** Spec-compliant Iceberg v2 WRITER: create (unpartitioned or
+  * identity-partitioned) + append + overwrite + position-delete DELETE,
+  * readable by HadoopTables-convention engines (version-hint layout).
   * Data files are staged by the same distributed parquet job every other
-  * writer uses; manifests / manifest lists / metadata are driver-side
-  * metadata writes, exactly like the Delta JSON commit.
+  * writer uses and carry FULL rows (partition columns included, per
+  * spec); manifests carry typed partition values and lower/upper bounds
+  * (field-id keyed, single-value serialized) so external planners prune
+  * our files too. Manifest / manifest-list / metadata writes are
+  * driver-side metadata, exactly like the Delta JSON commit.
   */
 object IcebergWriter {
 
@@ -324,24 +510,44 @@ object IcebergWriter {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin.replaceAll("\n", ""))
 
-  /** Avro schema of a v2 manifest entry over an empty partition struct
-    * (unpartitioned spec) — spec "Manifests".
+  private def avroTypeJson(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case LongType => "\"long\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case BooleanType => "\"boolean\""
+    case StringType => "\"string\""
+    case DateType => "{\"type\":\"int\",\"logicalType\":\"date\"}"
+    case other =>
+      throw UnsupportedOperationError(s"iceberg writer: unsupported partition type $other")
+  }
+
+  /** Avro schema of a v2 manifest entry whose partition struct matches
+    * this table's identity spec (spec "Manifests"); bounds are the spec's
+    * int-keyed maps serialized as key/value record arrays.
     */
-  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |{"name":"content","type":"int","field-id":134},
-      |{"name":"file_path","type":"string","field-id":100},
-      |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
-      |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}
-      |]},"field-id":2}
-      |]}""".stripMargin.replaceAll("\n", ""))
+  private def entrySchemaFor(partFields: Seq[(String, DataType)]): Schema = {
+    val pf = partFields.zipWithIndex.map { case ((n, dt), i) =>
+      s"""{"name":"$n","type":["null",${avroTypeJson(dt)}],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int","field-id":134},
+         |{"name":"file_path","type":"string","field-id":100},
+         |{"name":"file_format","type":"string","field-id":101},
+         |{"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]},"field-id":102},
+         |{"name":"record_count","type":"long","field-id":103},
+         |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+         |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}
+         |]},"field-id":2}
+         |]}""".stripMargin.replaceAll("\n", ""))
+  }
 
   private def writeAvro(f: FileSystem, p: Path, schema: Schema,
       records: Seq[GenericRecord], meta: Map[String, String]): Long = {
@@ -354,9 +560,10 @@ object IcebergWriter {
   }
 
   /** Iceberg schema JSON of a Spark schema, ids assigned in field order
-    * (top-level only — nested ids continue the sequence).
+    * (top-level first at 1..n? no — depth-first, nested ids continue the
+    * sequence). Returns (json, lastColumnId, topLevelName→id).
     */
-  private[tables] def icebergSchemaJson(schema: StructType): (String, Int) = {
+  private[tables] def icebergSchemaJson(schema: StructType): (String, Int, Map[String, Int]) = {
     var nextId = 0
     def typeJson(dt: DataType): JValue = dt match {
       case BooleanType => JString("boolean")
@@ -392,11 +599,16 @@ object IcebergWriter {
       JObject("id" -> JInt(id), "name" -> JString(f.name),
         "required" -> JBool(!f.nullable), "type" -> typeJson(f.dataType))
     }
-    val fields = schema.fields.toList.map(fieldJson)
+    val topIds = scala.collection.mutable.Map.empty[String, Int]
+    val fields = schema.fields.toList.map { f =>
+      val j = fieldJson(f)
+      topIds(f.name) = (j \ "id").extract[Int]
+      j
+    }
     val json = JsonMethods.compact(JsonMethods.render(
       JObject("type" -> JString("struct"), "schema-id" -> JInt(0),
         "fields" -> JArray(fields))))
-    (json, nextId)
+    (json, nextId, topIds.toMap)
   }
 
   private def writeMetadata(f: FileSystem, location: String, version: Long,
@@ -417,73 +629,104 @@ object IcebergWriter {
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
   }
 
-  /** Create an unpartitioned v2 Iceberg table with `df` as snapshot 1. */
-  def create(spark: SparkSession, location: String, df: DataFrame,
-      properties: Map[String, String] = Map.empty): Unit = {
-    if (IcebergLog.isIcebergTable(spark, location))
-      throw graft.catalog.AlreadyExistsError(s"iceberg table already exists at $location")
-    val f = IcebergLog.fs(spark, location)
-    val (schemaJson, lastColId) = icebergSchemaJson(df.schema)
-    val added = TxLog.stageData(spark, location, df, Seq.empty)
-    val snapId = 1L
-    val (mlPath, now) = commitSnapshot(spark, f, location, added, snapId, seq = 1L,
-      priorManifests = Seq.empty)
-    val body = metadataJson(location, schemaJson, lastColId, properties,
-      snapshots = Seq((snapId, now, mlPath, 1L)), currentSnapshotId = snapId,
-      lastSeq = 1L)
-    writeMetadata(f, location, 1L, body)
-  }
+  // ---- staging ----
 
-  /** Append `df` as a new snapshot (STRICT schema equality). */
-  def append(spark: SparkSession, location: String, df: DataFrame): Unit = {
-    val f = IcebergLog.fs(spark, location)
-    val metaPath = IcebergLog.currentMetadataPath(f, location)
-    val meta = IcebergLog.readJson(f, metaPath)
-    val schema = IcebergLog.currentSchema(meta)
-    graft.types.SchemaEquality.requireEqual(schema, df.schema)
-    val version = metaPath.getName.stripSuffix(".metadata.json").stripPrefix("v").toLong
-    val prior = IcebergLog.snapshots(meta)
-    val current = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
-      .flatMap(id => prior.find(_.snapshotId == id))
-    // carry the current snapshot's manifests forward (full manifest list
-    // per snapshot, spec "Snapshots")
-    val priorManifests: Seq[GenericRecord] = current.toSeq.flatMap { s =>
-      IcebergLog.readAvro(f, IcebergLog.resolve(location, s.manifestList))
-    }
-    val lastSeq = (meta \ "last-sequence-number").extractOrElse[Long](0L)
-    val snapId = prior.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val added = TxLog.stageData(spark, location, df, Seq.empty)
-    val (mlPath, now) = commitSnapshot(spark, f, location, added, snapId,
-      seq = lastSeq + 1, priorManifests = priorManifests)
-    val (schemaJson, lastColId) = icebergSchemaJson(schema)
-    val snaps = prior.map(s => (s.snapshotId, s.timestampMs, s.manifestList, 0L)) :+
-      ((snapId, now, mlPath, lastSeq + 1))
-    val props = (meta \ "properties").extractOrElse[Map[String, String]](Map.empty)
-    val body = metadataJson(location, schemaJson, lastColId, props,
-      snapshots = snaps, currentSnapshotId = snapId, lastSeq = lastSeq + 1)
-    writeMetadata(f, location, version + 1, body)
-  }
-
-  /** Write the snapshot's manifest + manifest list; returns (manifest-list
-    * path, timestamp).
+  /** Stage `df` as parquet data files. Partitioned tables stage through a
+    * COPY of each partition column (`__ice_<col>`) so hive-style directory
+    * layout organizes the files while the ORIGINAL columns stay in the
+    * data files — Iceberg data files carry full rows; partition values
+    * travel in the manifests, not the paths.
     */
-  private def commitSnapshot(spark: SparkSession, f: FileSystem, location: String,
-      added: Seq[TxLog.AddFile], snapId: Long, seq: Long,
-      priorManifests: Seq[GenericRecord]): (String, Long) = {
+  private def stage(spark: SparkSession, location: String, df: DataFrame,
+      partCols: Seq[String]): Seq[TxLog.AddFile] =
+    if (partCols.isEmpty) TxLog.stageData(spark, location, df, Seq.empty)
+    else {
+      val tagged = partCols.foldLeft(df)((d, c) => d.withColumn(s"__ice_$c", col(c)))
+      TxLog.stageData(spark, location, tagged, partCols.map(c => s"__ice_$c"))
+        .map(a => a.copy(partitionValues =
+          a.partitionValues.map { case (k, v) => k.stripPrefix("__ice_") -> v }))
+    }
+
+  private def partAvroValue(dt: DataType, s: String): Any =
+    if (s == null || s == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case IntegerType | ShortType | ByteType => java.lang.Integer.valueOf(s.toInt)
+      case LongType => java.lang.Long.valueOf(s.toLong)
+      case StringType => s
+      case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
+      case FloatType => java.lang.Float.valueOf(s.toFloat)
+      case DoubleType => java.lang.Double.valueOf(s.toDouble)
+      case DateType => java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case other =>
+        throw UnsupportedOperationError(s"iceberg writer: unsupported partition type $other")
+    }
+
+  /** Single-value serialization of a FileStats bound string (spec Appendix
+    * D) — the inverse of IcebergLog.decodeBound.
+    */
+  private def encodeBound(dt: DataType, s: String): Option[Array[Byte]] = {
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case IntegerType | ShortType | ByteType => Some(le(4).putInt(s.toInt).array)
+      case LongType => Some(le(8).putLong(s.toLong).array)
+      case FloatType => Some(le(4).putFloat(s.toFloat).array)
+      case DoubleType => Some(le(8).putDouble(s.toDouble).array)
+      case DateType => Some(le(4).putInt(
+        s.toLongOption.getOrElse(java.time.LocalDate.parse(s).toEpochDay).toInt).array)
+      case TimestampType | TimestampNTZType => Some(le(8).putLong(s.toLong).array)
+      case StringType => Some(s.getBytes(UTF_8))
+      case _ => None
+    } catch { case NonFatal(_) => None }
+  }
+
+  private def kvArray(entrySchema: Schema, fieldName: String,
+      m: Map[Int, Array[Byte]]): Any = {
+    if (m.isEmpty) return null
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val union = dataFileSchema.getField(fieldName).schema()
+    val arr = union.getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+    val items = arr.getElementType
+    val out = new GenericData.Array[GenericRecord](m.size, arr)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(items)
+      r.put("key", k)
+      r.put("value", ByteBuffer.wrap(v))
+      out.add(r)
+    }
+    out
+  }
+
+  /** Write one manifest for `adds`; returns (path, length, rowCount). */
+  private def writeManifest(f: FileSystem, location: String, entrySchema: Schema,
+      adds: Seq[TxLog.AddFile], schema: StructType, partFields: Seq[(String, DataType)],
+      topIds: Map[String, Int], snapId: Long, seq: Long, content: Int): (Path, Long, Long) = {
     val dir = IcebergLog.metadataDir(location)
     if (!f.exists(dir)) f.mkdirs(dir)
-    val now = System.currentTimeMillis()
-    val entrySchema = ManifestEntrySchema
     val dataFileSchema = entrySchema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
-    val entries = added.map { a =>
+    val typesByName = schema.fields.map(x => x.name -> x.dataType).toMap
+    val entries = adds.map { a =>
       val dfr = new GenericData.Record(dataFileSchema)
-      dfr.put("content", 0)
-      dfr.put("file_path", new Path(location, a.path).toString)
+      dfr.put("content", content)
+      dfr.put("file_path", IcebergLog.resolve(location, a.path).toString)
       dfr.put("file_format", "PARQUET")
-      dfr.put("partition", new GenericData.Record(partSchema))
+      val part = new GenericData.Record(partSchema)
+      partFields.foreach { case (n, dt) =>
+        a.partitionValues.get(n).foreach(v => part.put(n, partAvroValue(dt, v)))
+      }
+      dfr.put("partition", part)
       dfr.put("record_count", math.max(0L, a.rows))
       dfr.put("file_size_in_bytes", a.sizeBytes)
+      def bounds(src: Option[Map[String, String]]): Map[Int, Array[Byte]] =
+        src.getOrElse(Map.empty).flatMap { case (n, s) =>
+          for {
+            id <- topIds.get(n)
+            dt <- typesByName.get(n)
+            b <- encodeBound(dt, s)
+          } yield id -> b
+        }
+      dfr.put("lower_bounds", kvArray(entrySchema, "lower_bounds", bounds(a.minValues)))
+      dfr.put("upper_bounds", kvArray(entrySchema, "upper_bounds", bounds(a.maxValues)))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapId)
@@ -492,67 +735,317 @@ object IcebergWriter {
       e.put("data_file", dfr)
       e
     }
-    val manifestName = s"${java.util.UUID.randomUUID()}-m0.avro"
-    val manifestPath = new Path(dir, manifestName)
-    val mLen = writeAvro(f, manifestPath, entrySchema, entries, Map(
-      "format-version" -> "2", "content" -> "data"))
+    val p = new Path(dir, s"${java.util.UUID.randomUUID()}-m0.avro")
+    val len = writeAvro(f, p, entrySchema, entries, Map(
+      "format-version" -> "2", "content" -> (if (content == 0) "data" else "deletes")))
+    (p, len, adds.map(a => math.max(0L, a.rows)).sum)
+  }
+
+  private def mlRecord(path: String, length: Long, content: Int, seq: Long,
+      snapId: Long, files: Int, rows: Long): GenericRecord = {
     val ml = new GenericData.Record(ManifestListSchema)
-    ml.put("manifest_path", manifestPath.toString)
-    ml.put("manifest_length", mLen)
+    ml.put("manifest_path", path)
+    ml.put("manifest_length", length)
     ml.put("partition_spec_id", 0)
-    ml.put("content", 0)
+    ml.put("content", content)
     ml.put("sequence_number", seq)
     ml.put("min_sequence_number", seq)
     ml.put("added_snapshot_id", snapId)
-    ml.put("added_files_count", entries.size)
+    ml.put("added_files_count", files)
     ml.put("existing_files_count", 0)
     ml.put("deleted_files_count", 0)
-    ml.put("added_rows_count", added.map(a => math.max(0L, a.rows)).sum)
+    ml.put("added_rows_count", rows)
     ml.put("existing_rows_count", 0L)
     ml.put("deleted_rows_count", 0L)
-    val mlName = s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro"
-    val mlPath = new Path(dir, mlName)
-    writeAvro(f, mlPath, ManifestListSchema, priorManifests :+ ml,
-      Map("format-version" -> "2"))
-    (mlPath.toString, now)
+    ml
   }
 
-  private def metadataJson(location: String, schemaJson: String, lastColId: Int,
-      properties: Map[String, String],
-      snapshots: Seq[(Long, Long, String, Long)], currentSnapshotId: Long,
-      lastSeq: Long): String = {
-    val snapsJson = snapshots.map { case (id, ts, ml, seq) =>
-      JObject(
-        "snapshot-id" -> JLong(id),
-        "timestamp-ms" -> JLong(ts),
-        "sequence-number" -> JLong(seq),
-        "summary" -> JObject("operation" -> JString("append")),
-        "manifest-list" -> JString(ml),
-        "schema-id" -> JInt(0))
+  /** Re-list a prior snapshot's manifest-list entry under our schema —
+    * manifest FILES are immutable and carried by reference (how Iceberg
+    * itself reuses manifests across snapshots); unknown writer extras are
+    * optional fields and drop away.
+    */
+  private def carry(r: GenericRecord): GenericRecord = {
+    def g(n: String, d: Any): Any = {
+      val v = if (r.getSchema.getField(n) == null) null else r.get(n)
+      if (v == null) d else v
     }
-    val logJson = snapshots.map { case (id, ts, _, _) =>
-      JObject("timestamp-ms" -> JLong(ts), "snapshot-id" -> JLong(id))
+    val out = new GenericData.Record(ManifestListSchema)
+    out.put("manifest_path", g("manifest_path", "").toString)
+    out.put("manifest_length", g("manifest_length", java.lang.Long.valueOf(0L)))
+    out.put("partition_spec_id", g("partition_spec_id", java.lang.Integer.valueOf(0)))
+    out.put("content", g("content", java.lang.Integer.valueOf(0)))
+    out.put("sequence_number", g("sequence_number", java.lang.Long.valueOf(0L)))
+    out.put("min_sequence_number", g("min_sequence_number", java.lang.Long.valueOf(0L)))
+    out.put("added_snapshot_id", g("added_snapshot_id", java.lang.Long.valueOf(0L)))
+    out.put("added_files_count", g("added_files_count", java.lang.Integer.valueOf(0)))
+    out.put("existing_files_count", g("existing_files_count", java.lang.Integer.valueOf(0)))
+    out.put("deleted_files_count", g("deleted_files_count", java.lang.Integer.valueOf(0)))
+    out.put("added_rows_count", g("added_rows_count", java.lang.Long.valueOf(0L)))
+    out.put("existing_rows_count", g("existing_rows_count", java.lang.Long.valueOf(0L)))
+    out.put("deleted_rows_count", g("deleted_rows_count", java.lang.Long.valueOf(0L)))
+    out
+  }
+
+  private def writeManifestList(f: FileSystem, location: String, snapId: Long,
+      records: Seq[GenericRecord]): String = {
+    val p = new Path(IcebergLog.metadataDir(location),
+      s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
+    writeAvro(f, p, ManifestListSchema, records, Map("format-version" -> "2"))
+    p.toString
+  }
+
+  private def snapshotJson(snapId: Long, now: Long, seq: Long, mlPath: String,
+      operation: String): JObject =
+    JObject(
+      "snapshot-id" -> JLong(snapId),
+      "timestamp-ms" -> JLong(now),
+      "sequence-number" -> JLong(seq),
+      "summary" -> JObject("operation" -> JString(operation)),
+      "manifest-list" -> JString(mlPath),
+      "schema-id" -> JInt(0))
+
+  /** New metadata version for an EXISTING table: every field of the prior
+    * document carries through verbatim (schemas, specs, properties,
+    * whatever a foreign writer put there) except the snapshot bookkeeping.
+    */
+  private def commitExisting(f: FileSystem, location: String, st: IcebergLog.IceState,
+      snap: JObject, snapId: Long, seq: Long, now: Long,
+      replaceFields: Map[String, JValue] = Map.empty): Unit = {
+    val meta = st.meta.asInstanceOf[JObject]
+    val priorSnaps = (meta \ "snapshots").extractOrElse[Seq[JValue]](Seq.empty)
+    val priorLog = (meta \ "snapshot-log").extractOrElse[Seq[JValue]](Seq.empty)
+    val managed = Set("last-sequence-number", "last-updated-ms", "current-snapshot-id",
+      "snapshots", "snapshot-log") ++ replaceFields.keySet
+    val kept = meta.obj.filterNot { case (k, _) => managed.contains(k) }
+    val body = JsonMethods.compact(JsonMethods.render(JObject(kept ++ replaceFields.toList ++ List(
+      "last-sequence-number" -> JLong(seq),
+      "last-updated-ms" -> JLong(now),
+      "current-snapshot-id" -> JLong(snapId),
+      "snapshots" -> JArray((priorSnaps :+ (snap: JValue)).toList),
+      "snapshot-log" -> JArray((priorLog :+ (JObject(
+        "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapId)): JValue)).toList)))))
+    writeMetadata(f, location, st.metadataVersion + 1, body)
+  }
+
+  private def lastSeq(meta: JValue): Long =
+    (meta \ "last-sequence-number").extractOrElse[Long](0L)
+
+  private def nextSnapId(meta: JValue): Long =
+    IcebergLog.snapshots(meta).map(_.snapshotId).maxOption.getOrElse(0L) + 1
+
+  private def priorManifestRecords(spark: SparkSession, location: String,
+      st: IcebergLog.IceState): Seq[GenericRecord] =
+    st.snapshotId.toSeq.flatMap { id =>
+      val ml = IcebergLog.snapshots(st.meta).find(_.snapshotId == id).get.manifestList
+      IcebergLog.readAvro(IcebergLog.fs(spark, location), IcebergLog.resolve(location, ml))
+    }.map(carry)
+
+  /** Identity partition columns with their types; refuses appends through
+    * specs this writer cannot compute (non-identity transforms).
+    */
+  private def writablePartFields(st: IcebergLog.IceState): Seq[(String, DataType)] = {
+    val defaultSpec = (st.meta \ "default-spec-id").extractOrElse[Int](0)
+    val fields = IcebergLog.specsById(st.meta).getOrElse(defaultSpec, Seq.empty)
+    if (fields.exists(_.transform != "identity"))
+      throw UnsupportedOperationError(
+        s"iceberg writer: only identity partition transforms are supported for writes; " +
+          s"table uses ${fields.map(_.transform).distinct.mkString(",")}")
+    st.partitionColumns.map(c => c -> st.schema(c).dataType)
+  }
+
+  /** STRICT schema gate through the Iceberg type bridge (short/byte ride
+    * as int etc.), returning the frame cast to the table schema.
+    */
+  private def conformed(st: IcebergLog.IceState, df: DataFrame): DataFrame = {
+    val (json, _, _) = icebergSchemaJson(df.schema)
+    val bridged = IcebergLog.structOf(JsonMethods.parse(json))
+    graft.types.SchemaEquality.requireEqual(st.schema, bridged)
+    df.select(st.schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+  }
+
+  /** Create a v2 Iceberg table (unpartitioned or identity-partitioned on
+    * `partitionColumns`) with `df` as snapshot 1.
+    */
+  def create(spark: SparkSession, location: String, df: DataFrame,
+      partitionColumns: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Unit = {
+    if (IcebergLog.isIcebergTable(spark, location))
+      throw graft.catalog.AlreadyExistsError(s"iceberg table already exists at $location")
+    val f = IcebergLog.fs(spark, location)
+    val (schemaJson, lastColId, topIds) = icebergSchemaJson(df.schema)
+    val partFields = partitionColumns.map { c =>
+      val field = df.schema.fields.find(_.name == c).getOrElse(
+        throw UnsupportedOperationError(s"partition column $c is not in the schema"))
+      avroTypeJson(field.dataType) // validates the type is partitionable
+      c -> field.dataType
     }
-    JsonMethods.compact(JsonMethods.render(JObject(
+    val added = stage(spark, location, df, partitionColumns)
+    val snapId = 1L
+    val now = System.currentTimeMillis()
+    val entrySchema = entrySchemaFor(partFields)
+    val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, added,
+      df.schema, partFields, topIds, snapId, seq = 1L, content = 0)
+    val mlPath = writeManifestList(f, location, snapId,
+      Seq(mlRecord(mPath.toString, mLen, 0, 1L, snapId, added.size, mRows)))
+    val specFieldsJson = partitionColumns.zipWithIndex.map { case (c, i) =>
+      JObject("name" -> JString(c), "transform" -> JString("identity"),
+        "source-id" -> JInt(topIds(c)), "field-id" -> JInt(1000 + i)): JValue
+    }
+    val body = JsonMethods.compact(JsonMethods.render(JObject(
       "format-version" -> JInt(2),
       "table-uuid" -> JString(java.util.UUID.randomUUID().toString),
       "location" -> JString(location),
-      "last-sequence-number" -> JLong(lastSeq),
-      "last-updated-ms" -> JLong(System.currentTimeMillis()),
+      "last-sequence-number" -> JLong(1L),
+      "last-updated-ms" -> JLong(now),
       "last-column-id" -> JInt(lastColId),
       "current-schema-id" -> JInt(0),
       "schemas" -> JArray(List(JsonMethods.parse(schemaJson))),
       "default-spec-id" -> JInt(0),
       "partition-specs" -> JArray(List(JObject(
-        "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
-      "last-partition-id" -> JInt(999),
+        "spec-id" -> JInt(0), "fields" -> JArray(specFieldsJson.toList)))),
+      "last-partition-id" -> JInt(999 + partitionColumns.size),
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
       "properties" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }),
-      "current-snapshot-id" -> JLong(currentSnapshotId),
-      "snapshots" -> JArray(snapsJson.toList),
-      "snapshot-log" -> JArray(logJson.toList),
+      "current-snapshot-id" -> JLong(snapId),
+      "snapshots" -> JArray(List(snapshotJson(snapId, now, 1L, mlPath, "append"))),
+      "snapshot-log" -> JArray(List(JObject(
+        "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapId)))),
       "metadata-log" -> JArray(Nil))))
+    writeMetadata(f, location, 1L, body)
+  }
+
+  /** Append `df` as a new snapshot (STRICT through the type bridge);
+    * partitioned tables partition the incoming data by the default spec.
+    */
+  def append(spark: SparkSession, location: String, df: DataFrame): Unit = {
+    val st = IcebergLog.state(spark, location)
+    val f = IcebergLog.fs(spark, location)
+    val data = conformed(st, df)
+    val partFields = writablePartFields(st)
+    val topIds = IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap
+    val added = stage(spark, location, data, st.partitionColumns)
+    val seq = lastSeq(st.meta) + 1
+    val snapId = nextSnapId(st.meta)
+    val now = System.currentTimeMillis()
+    val entrySchema = entrySchemaFor(partFields)
+    val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, added,
+      st.schema, partFields, topIds, snapId, seq, content = 0)
+    val ml = priorManifestRecords(spark, location, st) :+
+      mlRecord(mPath.toString, mLen, 0, seq, snapId, added.size, mRows)
+    val mlPath = writeManifestList(f, location, snapId, ml)
+    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "append"),
+      snapId, seq, now)
+  }
+
+  /** Replace the table's contents with `df` in one snapshot: the new
+    * manifest list references ONLY the new data manifest; prior snapshots
+    * (and their deletes) stay time-travelable through their own lists.
+    * With `adoptSchema` the frame's schema replaces the table's (schema
+    * evolution OVERWRITE); partition columns must survive the new schema.
+    */
+  def overwrite(spark: SparkSession, location: String, df: DataFrame,
+      adoptSchema: Boolean = false): Unit = {
+    val st = IcebergLog.state(spark, location)
+    val f = IcebergLog.fs(spark, location)
+    val partFields0 = writablePartFields(st)
+    val (data, schema, replaceFields, topIds) =
+      if (!adoptSchema)
+        (conformed(st, df), st.schema, Map.empty[String, JValue],
+          IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap)
+      else {
+        st.partitionColumns.foreach { c =>
+          if (!df.schema.fieldNames.contains(c))
+            throw UnsupportedOperationError(
+              s"overwrite schema drops partition column $c; repartition the table instead")
+        }
+        val (json, lastColId, ids) = icebergSchemaJson(df.schema)
+        val specFieldsJson = st.partitionColumns.zipWithIndex.map { case (c, i) =>
+          JObject("name" -> JString(c), "transform" -> JString("identity"),
+            "source-id" -> JInt(ids(c)), "field-id" -> JInt(1000 + i)): JValue
+        }
+        (df, df.schema, Map[String, JValue](
+          "schemas" -> JArray(List(JsonMethods.parse(json))),
+          "current-schema-id" -> JInt(0),
+          "last-column-id" -> JInt(lastColId),
+          "partition-specs" -> JArray(List(JObject(
+            "spec-id" -> JInt(0), "fields" -> JArray(specFieldsJson.toList)))),
+          "default-spec-id" -> JInt(0)), ids)
+      }
+    val partFields =
+      if (!adoptSchema) partFields0
+      else st.partitionColumns.map(c => c -> schema(c).dataType)
+    val added = stage(spark, location, data, st.partitionColumns)
+    val seq = lastSeq(st.meta) + 1
+    val snapId = nextSnapId(st.meta)
+    val now = System.currentTimeMillis()
+    val entrySchema = entrySchemaFor(partFields)
+    val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, added,
+      schema, partFields, topIds, snapId, seq, content = 0)
+    val mlPath = writeManifestList(f, location, snapId,
+      Seq(mlRecord(mPath.toString, mLen, 0, seq, snapId, added.size, mRows)))
+    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "overwrite"),
+      snapId, seq, now, replaceFields)
+  }
+
+  /** DELETE WHERE `predicate` as a POSITION-DELETE snapshot (v2
+    * merge-on-read): a distributed job finds matching (file, position)
+    * pairs over the LIVE rows, writes them as sorted parquet delete files
+    * (spec field-ids 2147483546/2147483545 stamped so external planners
+    * recognize the columns), and one content=1 manifest joins the prior
+    * manifests in the new snapshot. No data file is rewritten. Returns
+    * the number of rows deleted.
+    */
+  def delete(spark: SparkSession, location: String, predicate: String): Long = {
+    val st = IcebergLog.state(spark, location)
+    if (st.files.isEmpty) return 0L
+    val f = IcebergLog.fs(spark, location)
+    import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+    // live rows (existing deletes applied) matching the predicate →
+    // (exact manifest path, position). The path translation broadcast is
+    // O(#files); positions never funnel through the driver.
+    val lookup = st.files.map(a =>
+      (DeletionVectors.normalizedUri(a.path), a.path))
+    val lookupDf = spark.createDataFrame(lookup).toDF("__np", "file_path")
+    val matches = IcebergLog.dfFor(spark, st, withMeta = true)
+      .filter(expr(predicate))
+      .select(toCol(NormalizedPath(toExpr(col(DeltaLog.FileMetaCol)))).as("__np"),
+        col(DeltaLog.RowMetaCol).as("pos"))
+      .join(broadcast(lookupDf), "__np")
+    // spec: delete rows sorted by file_path then pos, with the reserved
+    // field ids stamped into the parquet schema
+    val fpMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build()
+    val sorted = matches
+      .repartitionByRange(col("file_path"), col("pos"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .select(col("file_path").as("file_path", fpMeta), col("pos").as("pos", posMeta))
+    val staged = TxLog.stageData(spark, location, sorted, Seq.empty)
+      .filter(_.rows > 0)
+    val deletedRows = staged.map(_.rows).sum
+    if (deletedRows == 0L) {
+      staged.foreach(a => f.delete(IcebergLog.resolve(location, a.path), false))
+      return 0L
+    }
+    val partFields = writablePartFields(st)
+    val topIds = IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap
+    val seq = lastSeq(st.meta) + 1
+    val snapId = nextSnapId(st.meta)
+    val now = System.currentTimeMillis()
+    val entrySchema = entrySchemaFor(partFields)
+    // bounds/partition stay empty on delete entries: a position-delete
+    // file's stats describe (file_path, pos), not table columns
+    val delAdds = staged.map(_.copy(partitionValues = Map.empty,
+      minValues = None, maxValues = None))
+    val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, delAdds,
+      st.schema, partFields, topIds, snapId, seq, content = 1)
+    val ml = priorManifestRecords(spark, location, st) :+
+      mlRecord(mPath.toString, mLen, 1, seq, snapId, delAdds.size, mRows)
+    val mlPath = writeManifestList(f, location, snapId, ml)
+    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "delete"),
+      snapId, seq, now)
+    deletedRows
   }
 }

@@ -56,7 +56,7 @@ class IcebergSpec extends AnyFunSuite {
       StructField("arr", ArrayType(LongType)),
       StructField("st", StructType(Seq(StructField("x", LongType), StructField("y", StringType)))),
       StructField("m", MapType(StringType, LongType))))
-    val (json, lastId) = IcebergWriter.icebergSchemaJson(schema)
+    val (json, lastId, topIds) = IcebergWriter.icebergSchemaJson(schema)
     val back = IcebergLog.structOf(org.json4s.jackson.JsonMethods.parse(json))
     assert(back.fieldNames.toSeq == schema.fieldNames.toSeq)
     assert(back("dec").dataType == DecimalType(12, 2))
@@ -66,6 +66,7 @@ class IcebergSpec extends AnyFunSuite {
     assert(back("st").dataType.isInstanceOf[StructType])
     assert(back("m").dataType.isInstanceOf[MapType])
     assert(lastId > schema.fields.length) // nested fields got ids too
+    assert(topIds.keySet == schema.fieldNames.toSet)
   }
 
   test("foreign v1-shaped metadata (top-level schema field) reads") {
@@ -106,7 +107,7 @@ class IcebergSpec extends AnyFunSuite {
     // the single data file this created
     val meta = IcebergLog.readJson(f, IcebergLog.currentMetadataPath(f, loc))
     val snap = IcebergLog.snapshots(meta).head
-    val (data, _) = IcebergLog.liveFiles(spark, loc, snap)
+    val (data, _) = IcebergLog.liveFiles(spark, loc, meta, snap)
     assert(data.size == 1)
     val dataPath = IcebergLog.resolve(loc, data.head.path).toString
 
@@ -219,6 +220,91 @@ class IcebergSpec extends AnyFunSuite {
     val hint3 = f.create(new Path(loc, "metadata/version-hint.text"), true)
     try hint3.write("3".getBytes("UTF-8")) finally hint3.close()
     intercept[UnsupportedOperationError] { IcebergLog.toDF(spark, loc).count() }
+  }
+
+  test("identity-partitioned create/append: full rows in data files, manifest pruning") {
+    val loc = TestSpark.tmpDir("ice-part") + "/t"
+    val df = Seq((1L, "us", 10.0), (2L, "us", 20.0), (3L, "eu", 30.0), (4L, "jp", 40.0))
+      .toDF("id", "region", "v")
+    IcebergWriter.create(spark, loc, df, partitionColumns = Seq("region"))
+    IcebergWriter.append(spark, loc, Seq((5L, "eu", 50.0)).toDF("id", "region", "v"))
+
+    // rows read back whole — the partition column comes from the data
+    // files themselves, not path reconstruction
+    val back = IcebergLog.toDF(spark, loc)
+    assert(back.count() == 5)
+    val eu = back.filter($"region" === "eu").select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(eu == Seq(3L, 5L))
+
+    // manifest partition values prune files before the scan plans
+    val total = IcebergLog.filesAfterPruning(spark, loc, "id >= -99999")
+    val pruned = IcebergLog.filesAfterPruning(spark, loc, "region = 'jp'")
+    assert(pruned < total)
+    assert(IcebergLog.scan(spark, loc, "region = 'jp'").count() == 1)
+
+    // the state exposes the identity partition columns
+    assert(IcebergLog.state(spark, loc).partitionColumns == Seq("region"))
+  }
+
+  test("manifest lower/upper bounds prune on non-partition columns") {
+    val loc = TestSpark.tmpDir("ice-bounds") + "/t"
+    val low = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "s", "v").repartition(1)
+    val high = Seq((100L, "y", 9.0), (200L, "z", 9.5)).toDF("id", "s", "v").repartition(1)
+    IcebergWriter.create(spark, loc, low)
+    IcebergWriter.append(spark, loc, high)
+    val total = IcebergLog.filesAfterPruning(spark, loc, "id >= -99999")
+    assert(total >= 2)
+    assert(IcebergLog.filesAfterPruning(spark, loc, "id > 150") < total)
+    assert(IcebergLog.filesAfterPruning(spark, loc, "s < 'b'") < total)
+    assert(IcebergLog.scan(spark, loc, "id > 150").count() == 1)
+    // bounds round-trip: the state carries decoded min/max strings
+    val st = IcebergLog.state(spark, loc)
+    assert(st.files.forall(_.minValues.exists(_.contains("id"))))
+  }
+
+  test("DELETE writes a position-delete snapshot; time travel sees pre-delete rows") {
+    val loc = TestSpark.tmpDir("ice-del") + "/t"
+    IcebergWriter.create(spark, loc, df1) // ids 1,2,3
+    IcebergWriter.append(spark, loc, df2) // ids 4,5
+    val deleted = IcebergWriter.delete(spark, loc, "id = 2 OR id = 5")
+    assert(deleted == 2L)
+    val after = IcebergLog.toDF(spark, loc)
+    assert(after.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
+    // deletes stack: a second predicate delete applies over the survivors
+    assert(IcebergWriter.delete(spark, loc, "id <= 1") == 1L)
+    assert(IcebergLog.toDF(spark, loc).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L, 4L))
+    // no-match delete is a no-op commit-wise
+    val snapsBefore = IcebergLog.history(spark, loc).size
+    assert(IcebergWriter.delete(spark, loc, "id = 999") == 0L)
+    assert(IcebergLog.history(spark, loc).size == snapsBefore)
+    // time travel to the first snapshot still reads everything
+    val first = IcebergLog.history(spark, loc).head
+    assert(IcebergLog.toDF(spark, loc, Some(first)).count() == 3)
+    // appends after deletes keep the delete manifests applied
+    IcebergWriter.append(spark, loc, Seq((9L, "x", 0.5)).toDF("id", "s", "v"))
+    assert(IcebergLog.toDF(spark, loc).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L, 4L, 9L))
+  }
+
+  test("overwrite replaces contents; adoptSchema replaces the schema") {
+    val loc = TestSpark.tmpDir("ice-ow") + "/t"
+    IcebergWriter.create(spark, loc, df1)
+    val preOverwrite = IcebergLog.history(spark, loc).last
+    IcebergWriter.overwrite(spark, loc, df2)
+    assert(IcebergLog.toDF(spark, loc).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(4L, 5L))
+    // the pre-overwrite snapshot still reads its own manifest list
+    assert(IcebergLog.toDF(spark, loc, Some(preOverwrite)).count() == 3)
+    // schema-adopting overwrite (evolution OVERWRITE)
+    val evolved = Seq((7L, "z")).toDF("id", "name")
+    IcebergWriter.overwrite(spark, loc, evolved, adoptSchema = true)
+    val st = IcebergLog.state(spark, loc)
+    assert(st.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(IcebergLog.toDF(spark, loc).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((7L, "z")))
+    // STRICT append of the old shape now fails
+    intercept[Exception] { IcebergWriter.append(spark, loc, df1) }
   }
 
   private def writeAvroFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
