@@ -34,15 +34,17 @@ object TableType {
 sealed trait FileType
 object FileType {
   case object DELTA extends FileType
+  case object ICEBERG extends FileType
   case object PARQUET extends FileType
   case object CSV extends FileType
   case object AVRO extends FileType
   case object JSON extends FileType
   case object ORC extends FileType
   case object TEXT extends FileType
-  val all: Seq[FileType] = Seq(DELTA, PARQUET, CSV, AVRO, JSON, ORC, TEXT)
+  val all: Seq[FileType] = Seq(DELTA, ICEBERG, PARQUET, CSV, AVRO, JSON, ORC, TEXT)
   def fromString(s: String): FileType = s.toUpperCase match {
     case "DELTA" => DELTA
+    case "ICEBERG" => ICEBERG
     case "PARQUET" => PARQUET
     case "CSV" => CSV
     case "AVRO" => AVRO

@@ -91,9 +91,10 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
       fileType: FileType,
       location: String,
       partitionColumns: Seq[String] = Seq.empty): TableInfo = {
-    if (partitionColumns.nonEmpty && fileType != FileType.DELTA && fileType != FileType.PARQUET)
+    if (partitionColumns.nonEmpty && fileType != FileType.DELTA &&
+        fileType != FileType.PARQUET && fileType != FileType.ICEBERG)
       throw UnsupportedOperationError(
-        s"partitioned tables are only supported for DELTA and PARQUET, not $fileType") // client.py:464-467
+        s"partitioned tables are only supported for DELTA, ICEBERG and PARQUET, not $fileType") // client.py:464-467
     val cols = TableInfo.columnsFromSchema(df.schema, partitionColumns)
     val t = store.createTable(TableInfo(
       name = name, catalogName = catalog, schemaName = schema,
@@ -102,6 +103,8 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
     fileType match {
       case FileType.DELTA =>
         TxTable.forLocation(spark, TableIO.normalize(location)).create(df, partitionColumns)
+      case FileType.ICEBERG =>
+        graft.tables.IcebergWriter.create(spark, TableIO.normalize(location), df, partitionColumns)
       case _ =>
         TableIO.write(spark, t, df, WriteMode.OVERWRITE, SchemaEvolution.OVERWRITE)
     }
@@ -116,9 +119,9 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
       fileType: FileType,
       location: String): TableInfo = {
     val (inferred, partCols) = TableIO.inferSchema(spark, fileType, location)
-    // partition columns honored for DELTA/PARQUET only (client.py:523-527)
+    // partition columns honored for DELTA/ICEBERG/PARQUET only (client.py:523-527)
     val effectiveParts = fileType match {
-      case FileType.DELTA | FileType.PARQUET => partCols
+      case FileType.DELTA | FileType.ICEBERG | FileType.PARQUET => partCols
       case _ => Seq.empty
     }
     store.createTable(TableInfo(

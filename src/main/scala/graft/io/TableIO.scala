@@ -37,6 +37,8 @@ object TableIO {
       case FileType.DELTA =>
         if (isForeignDelta(spark, loc)) DeltaLog.toDF(spark, loc)
         else TxTable.forLocation(spark, loc).toDF
+      case FileType.ICEBERG =>
+        graft.tables.IcebergLog.toDF(spark, loc)
       case FileType.PARQUET =>
         val partCols = table.partitionColumns
         if (partCols.nonEmpty)
@@ -68,6 +70,8 @@ object TableIO {
           if (isForeignDelta(spark, loc)) DeltaLog.snapshot(spark, loc)
           else graft.tables.TxLog.snapshot(spark, loc)
         (snap.schema, snap.partitionColumns)
+      case FileType.ICEBERG =>
+        graft.tables.IcebergLog.schemaInfo(spark, loc)
       case FileType.PARQUET =>
         val df = spark.read.option("basePath", loc).parquet(loc)
         // partition columns = those not present in the data files
@@ -157,6 +161,24 @@ object TableIO {
           case None => t.overwrite(df, evolution)
         }
         reconcile(spark, table, evolution)
+
+      // ---- ICEBERG: spec-compliant v2 snapshots through IcebergWriter;
+      // external Iceberg readers keep working after every operation.
+      case (FileType.ICEBERG, WriteMode.APPEND) =>
+        if (evolution != SchemaEvolution.STRICT)
+          throw UnsupportedOperationError("iceberg append supports only STRICT schema evolution")
+        graft.tables.IcebergWriter.append(spark, loc, df)
+        WriteResult(None)
+
+      case (FileType.ICEBERG, WriteMode.OVERWRITE) =>
+        if (replaceWhere.isDefined || partitionFilters.nonEmpty)
+          throw UnsupportedOperationError(
+            "iceberg overwrite does not support replace_where/partition_filters yet")
+        if (evolution == SchemaEvolution.MERGE)
+          throw UnsupportedOperationError("iceberg overwrite does not support MERGE evolution")
+        graft.tables.IcebergWriter.overwrite(spark, loc, df,
+          adoptSchema = evolution == SchemaEvolution.OVERWRITE)
+        adoptWrittenSchema(table, df, evolution)
 
       // ---- PARQUET ----
       case (FileType.PARQUET, WriteMode.APPEND) =>

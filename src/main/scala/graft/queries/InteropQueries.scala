@@ -369,6 +369,60 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           ${sqlSum("l_extendedprice")} AS revenue
         FROM lineitem WHERE l_quantity <= 15
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // q96: an identity-PARTITIONED Iceberg table read through scan() —
+    // manifest partition values and lower/upper bounds prune files before
+    // Spark plans the read, and the hash check proves pruning loses no
+    // qualifying row: the oracle replays the same predicate on the source
+    QueryDef(
+      "q96_iceberg_partitioned_scan",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q96-ice").toString + "/t"
+        val orders = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        graft.tables.IcebergWriter.create(s, loc, orders,
+          partitionColumns = Seq("o_orderpriority"))
+        graft.tables.IcebergLog.scan(s, loc,
+          "o_orderpriority = '1-URGENT' AND o_totalprice > 100000")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+          ${sqlSum("o_totalprice")} AS total
+        FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // q97: a position-delete (merge-on-read) DELETE through the Iceberg
+    // v2 metadata — the delete plans distributed (no row funnels through
+    // the driver), commits as a content=1 manifest, and the read applies
+    // it through the broadcast bitmap filter; the oracle replays the
+    // delete predicate as WHERE NOT(...)
+    QueryDef(
+      "q97_iceberg_position_delete",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q97-ice").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+          .filter(col("l_quantity") <= 20)
+        graft.tables.IcebergWriter.create(s, loc, li)
+        graft.tables.IcebergWriter.delete(s, loc,
+          "l_returnflag = 'A' AND l_quantity > 10")
+        graft.tables.IcebergLog.toDF(s, loc)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS revenue
+        FROM lineitem
+        WHERE l_quantity <= 20 AND NOT (l_returnflag = 'A' AND l_quantity > 10)
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -101,6 +101,33 @@ class RoundTripSpec extends AnyFunSuite {
     assert(sortedRows(raw) == sortedRows(df))
   }
 
+  test("iceberg is a first-class catalog format: create/append/overwrite/register") {
+    val c = freshClient()
+    val dir = TestSpark.tmpDir("rt")
+    val df = randomDf
+    // create_as_table partitioned + read back through the catalog
+    c.createAsTable(df, "rt", "s", "ice", FileType.ICEBERG, s"$dir/ice",
+      partitionColumns = Seq("strings"))
+    assert(sortedRows(c.readTable("rt", "s", "ice")) == sortedRows(df))
+    // append (STRICT) doubles the rows
+    c.writeTable(df.withColumn("id", concat(col("id"), lit("_2"))), "rt", "s", "ice",
+      WriteMode.APPEND)
+    assert(c.readTable("rt", "s", "ice").count() == 20)
+    // overwrite replaces contents
+    c.writeTable(df, "rt", "s", "ice", WriteMode.OVERWRITE)
+    assert(sortedRows(c.readTable("rt", "s", "ice")) == sortedRows(df))
+    // register the same storage as a second catalog entry, partition
+    // columns inferred from the spec
+    val reg = c.registerAsTable("rt", "s", "ice2", FileType.ICEBERG, s"$dir/ice")
+    assert(reg.columns.filter(_.partitionIndex.isDefined).map(_.name) == Seq("strings"))
+    assert(sortedRows(c.readTable("rt", "s", "ice2")) == sortedRows(df))
+    // MERGE evolution is refused with a typed error
+    intercept[UnsupportedOperationError] {
+      c.writeTable(df.withColumn("extra", lit(1)), "rt", "s", "ice",
+        WriteMode.APPEND, SchemaEvolution.MERGE)
+    }
+  }
+
   test("delta round-trip preserves decimals exactly across append + merge") {
     val c = freshClient()
     val dir = TestSpark.tmpDir("rt")
