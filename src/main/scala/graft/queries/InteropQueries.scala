@@ -423,6 +423,58 @@ object InteropQueries {
           ${sqlSum("l_extendedprice")} AS revenue
         FROM lineitem
         WHERE l_quantity <= 20 AND NOT (l_returnflag = 'A' AND l_quantity > 10)
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // q98: MERGE through the Iceberg log — the SAME TxMerge machinery the
+    // Delta and native logs use commits a spec-compliant Iceberg v2
+    // snapshot (matched rows double their quantity, unmatched source rows
+    // insert), proving the one-write-surface-over-three-logs design; the
+    // oracle replays the merge as SQL set operations
+    QueryDef(
+      "q98_iceberg_merge",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q98-ice").toString + "/t"
+        // the synthetic lineitem is TPC-H-ish, not key-unique — aggregate
+        // both sides to a unique (orderkey, linenumber) grain first
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val target = li.filter(col("l_quantity") <= 5)
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(sum(col("l_quantity").cast(LongType)).as("l_quantity"))
+        val source = li.filter(col("l_quantity") > 3 && col("l_quantity") <= 8)
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(sum(col("l_quantity").cast(LongType)).as("l_quantity"))
+        val t = graft.tables.TxTable.forIceberg(s, loc)
+        t.create(target, Seq.empty)
+        t.merge(source, "s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber")
+          .whenMatchedUpdate(Map("l_quantity" -> "t.l_quantity * 2"))
+          .whenNotMatchedInsertAll()
+          .execute()
+        t.toDF
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+      },
+      Some("""WITH target AS (
+          SELECT l_orderkey, l_linenumber,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS l_quantity
+          FROM lineitem WHERE l_quantity <= 5 GROUP BY 1, 2),
+        source AS (
+          SELECT l_orderkey, l_linenumber,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS l_quantity
+          FROM lineitem WHERE l_quantity > 3 AND l_quantity <= 8 GROUP BY 1, 2),
+        merged AS (
+          SELECT t.l_orderkey, t.l_linenumber,
+            CASE WHEN s.l_orderkey IS NOT NULL THEN t.l_quantity * 2
+                 ELSE t.l_quantity END AS l_quantity
+          FROM target t LEFT JOIN source s
+            ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+          UNION ALL
+          SELECT s.l_orderkey, s.l_linenumber, s.l_quantity
+          FROM source s LEFT JOIN target t
+            ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+          WHERE t.l_orderkey IS NULL)
+        SELECT COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM merged"""))
   )
 }

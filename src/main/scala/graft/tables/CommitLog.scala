@@ -74,6 +74,12 @@ private[graft] sealed trait CommitLog {
 
   /** Directory prefixes vacuum must never touch (the log itself). */
   def reservedPrefixes: Seq[String]
+
+  /** Live non-data paths a retained version still references (e.g.
+    * Iceberg position-delete parquet) — vacuum keeps them.
+    */
+  def auxiliaryLivePaths(spark: SparkSession, location: String,
+      version: Long): Seq[String] = Seq.empty
 }
 
 /** Native `_graft_log` backend — thin delegation to TxLog. */
@@ -291,4 +297,256 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     DeltaLogWriter.create(spark, location, df, partitionColumns, properties)
 
   def reservedPrefixes: Seq[String] = Seq(DeltaLog.LogDirName, TxLog.StagingPrefix)
+}
+
+/** Apache Iceberg backend: snapshots planned from `metadata/` (manifest
+  * lists + manifests), commits written as new metadata versions through
+  * IcebergWriter — so the SAME TxTable surface (append/overwrite with
+  * schema evolution, replaceWhere, selective partition overwrite,
+  * MERGE/DELETE/UPDATE, OPTIMIZE, time travel, streaming source) runs
+  * over all THREE log formats, and external Iceberg engines keep reading
+  * the table after every operation.
+  *
+  * Version axis: METADATA versions (`vN.metadata.json`) — this library
+  * commits exactly one snapshot per metadata version, and the
+  * create-exclusive metadata rename is the optimistic-concurrency point
+  * (two racers at v+1: one wins, one replans), exactly like the Delta
+  * JSON commit.
+  *
+  * Live position deletes surface as INLINE deletion-vector descriptors on
+  * the snapshot's AddFiles (bounded by deleted-row count, the DV
+  * argument), so every generic read/rewrite path sees only live rows; the
+  * delete FILES themselves are carried forward by path in each commit's
+  * manifest list.
+  */
+private[graft] object IcebergCommitLog extends CommitLog {
+  private implicit val formats: Formats = DefaultFormats
+
+  def snapshot(spark: SparkSession, location: String, asOfVersion: Option[Long]): Snapshot = {
+    val st = IcebergLog.stateAt(spark, location, asOfVersion)
+    Snapshot(st.metadataVersion, st.schema, st.partitionColumns,
+      attachDeletes(spark, st), IcebergLog.propertiesOf(st.meta))
+  }
+
+  /** Fold the snapshot's position-delete files into per-data-file inline
+    * DV descriptors (Z85 bitmap in the descriptor itself — no extra
+    * file), so rewrites and reads treat deleted rows uniformly.
+    */
+  private def attachDeletes(spark: SparkSession,
+      st: IcebergLog.IceState): Seq[AddFile] = {
+    if (st.deletes.isEmpty) return st.files
+    val rows = spark.read.parquet(st.deletes.map(_.path): _*)
+      .select(org.apache.spark.sql.functions.col("file_path"),
+        org.apache.spark.sql.functions.col("pos"))
+      .collect()
+    val byFile = rows.groupBy(r => DeletionVectors.normalizedUri(r.getString(0)))
+      .map { case (p, rs) =>
+        val bm = new DeletionVectors.Bitmap64
+        rs.foreach(r => bm.add(r.getLong(1)))
+        p -> bm
+      }
+    st.files.map { a =>
+      byFile.get(DeletionVectors.normalizedUri(a.path)) match {
+        case Some(bm) =>
+          val data = bm.serialize
+          a.copy(deletionVector = Some(DeletionVectors.Descriptor(
+            storageType = "i",
+            pathOrInlineDv = DeletionVectors.encodeData(data),
+            offset = None,
+            sizeInBytes = data.length,
+            cardinality = bm.cardinality)))
+        case None => a
+      }
+    }
+  }
+
+  def latestVersion(spark: SparkSession, location: String): Option[Long] =
+    IcebergLog.latestMetadataVersion(spark, location)
+
+  def checkWritable(spark: SparkSession, location: String, op: String): Unit = {
+    val st = IcebergLog.stateAt(spark, location, None)
+    IcebergWriter.writablePartFields(st) // refuses non-identity transforms
+  }
+
+  def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
+      added: Seq[AddFile], removedPaths: Seq[String],
+      schema: StructType, partitionColumns: Seq[String],
+      properties: Map[String, String], cdc: Seq[AddFile],
+      txn: Option[TxLog.SetTxn]): Boolean = {
+    if (txn.isDefined)
+      throw graft.catalog.UnsupportedOperationError(
+        "SetTransaction idempotence requires a Delta or native log")
+    if (cdc.nonEmpty)
+      throw graft.catalog.UnsupportedOperationError(
+        "change data feed is not supported on Iceberg tables")
+    if (partitionColumns != base.partitionColumns)
+      throw graft.catalog.UnsupportedOperationError(
+        "iceberg: changing partition columns requires a new table")
+    val f = IcebergLog.fs(spark, location)
+    val st = IcebergLog.stateAt(spark, location, Some(base.version))
+    val partFields = IcebergWriter.writablePartFields(st)
+    val seq = IcebergWriter.lastSeq(st.meta) + 1
+    val snapId = IcebergWriter.nextSnapId(st.meta)
+    val now = System.currentTimeMillis()
+    // schema / properties changes rewrite the metadata fields, with field
+    // ids preserved for columns that survive (id-based resolution)
+    val schemaChanged = schema.json != base.schema.json
+    val propsChanged = properties != base.properties
+    val (schemaFields, topIds) =
+      if (schemaChanged) IcebergWriter.evolvedSchemaFields(st.meta, schema)
+      else (Map.empty[String, JValue],
+        IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap)
+    val replaceFields = schemaFields ++
+      (if (propsChanged) Map("properties" -> (JObject(properties.toList.map {
+        case (k, v) => k -> (JString(v): JValue)
+      }): JValue)) else Map.empty)
+    val entrySchema = IcebergWriter.entrySchemaFor(partFields)
+    val removedSet = removedPaths.toSet
+    val priorMl = IcebergWriter.priorManifestRecords(spark, location, st)
+    val mlRecords: Seq[org.apache.avro.generic.GenericRecord] =
+      if (removedSet.isEmpty) {
+        // pure append: prior manifests carry by reference, one new
+        // manifest for the adds
+        if (added.isEmpty) priorMl
+        else {
+          val (p, len, rows) = IcebergWriter.writeManifest(f, location, entrySchema,
+            added, schema, partFields, topIds, snapId, seq, content = 0)
+          priorMl :+ IcebergWriter.mlRecord(p.toString, len, 0, seq, snapId, added.size, rows)
+        }
+      } else {
+        // rewrite: one manifest enumerating the SURVIVING data files
+        // (their partition values and bounds re-serialized from the
+        // snapshot), one for the adds; delete manifests carry forward —
+        // their entries are path-keyed and removed paths match nothing
+        val survivors = st.files.filterNot(a => removedSet.contains(a.path))
+          .map(_.copy(deletionVector = None))
+        val deletesMl = priorMl.filter(r =>
+          r.get("content").asInstanceOf[Number].intValue == 1)
+        val survivorsMl =
+          if (survivors.isEmpty) Seq.empty
+          else {
+            val (p, len, rows) = IcebergWriter.writeManifest(f, location, entrySchema,
+              survivors, schema, partFields, topIds, snapId, seq, content = 0)
+            Seq(IcebergWriter.mlRecord(p.toString, len, 0, seq, snapId, survivors.size, rows))
+          }
+        val addsMl =
+          if (added.isEmpty) Seq.empty
+          else {
+            val (p, len, rows) = IcebergWriter.writeManifest(f, location, entrySchema,
+              added, schema, partFields, topIds, snapId, seq, content = 0)
+            Seq(IcebergWriter.mlRecord(p.toString, len, 0, seq, snapId, added.size, rows))
+          }
+        survivorsMl ++ addsMl ++ deletesMl
+      }
+    val operation = op match {
+      case "APPEND" | "CREATE" => "append"
+      case "DELETE" => "delete"
+      case "OPTIMIZE" | "ZORDER" => "replace"
+      case _ => "overwrite" // OVERWRITE, REPLACE_WHERE, MERGE, UPDATE, ...
+    }
+    val mlPath = IcebergWriter.writeManifestList(f, location, snapId, mlRecords)
+    try {
+      IcebergWriter.commitExisting(f, location, st,
+        IcebergWriter.snapshotJson(snapId, now, seq, mlPath, operation),
+        snapId, seq, now, replaceFields)
+      true
+    } catch { case _: graft.catalog.AlreadyExistsError => false }
+  }
+
+  /** Iceberg metadata is already snapshot-complete — nothing to fold. */
+  def maybeCheckpoint(spark: SparkSession, location: String, version: Long): Unit = ()
+
+  def versionAtTimestamp(spark: SparkSession, location: String, tsMs: Long): Long = {
+    val f = IcebergLog.fs(spark, location)
+    val latest = IcebergLog.latestMetadataVersion(spark, location).getOrElse(
+      throw graft.catalog.DoesNotExistError(s"no iceberg table at $location"))
+    // metadata documents are metadata-sized and few (one per commit);
+    // last-updated-ms is the commit's own clock
+    val candidates = (1L to latest).flatMap { v =>
+      val p = new org.apache.hadoop.fs.Path(IcebergLog.metadataDir(location), s"v$v.metadata.json")
+      if (!f.exists(p)) None
+      else {
+        val ts = (IcebergLog.readJson(f, p) \ "last-updated-ms").extractOrElse[Long](Long.MaxValue)
+        if (ts <= tsMs) Some(v) else None
+      }
+    }
+    candidates.maxOption.getOrElse(
+      throw graft.catalog.DoesNotExistError(
+        s"timestamp $tsMs predates the first iceberg commit at $location"))
+  }
+
+  def addsBetween(spark: SparkSession, location: String, fromExclusive: Long,
+      toInclusive: Option[Long]): Seq[(Long, Seq[AddFile])] = {
+    val latest = IcebergLog.latestMetadataVersion(spark, location).getOrElse(return Seq.empty)
+    val to = toInclusive.getOrElse(latest)
+    def filesAt(v: Long): Seq[AddFile] =
+      if (v < 1) Seq.empty
+      else try IcebergLog.stateAt(spark, location, Some(v)).files
+      catch { case _: graft.catalog.DoesNotExistError => Seq.empty }
+    ((fromExclusive + 1) to to).map { v =>
+      val st = try Some(IcebergLog.stateAt(spark, location, Some(v)))
+        catch { case _: graft.catalog.DoesNotExistError => None }
+      val adds = st match {
+        // compaction rearranges bytes, not data — its adds must not
+        // re-enter change feeds or streaming sources
+        case Some(s) if IcebergLog.currentOperation(s.meta) == "replace" => Seq.empty
+        case Some(s) =>
+          val prev = filesAt(v - 1).map(_.path).toSet
+          s.files.filterNot(a => prev.contains(a.path))
+        case None => Seq.empty
+      }
+      v -> adds
+    }
+  }
+
+  def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (dvFiles, plain) = s.files.partition(_.deletionVector.exists(_.cardinality > 0))
+    if (s.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    // iceberg AddFile paths are absolute (manifests record full paths)
+    def read(files: Seq[AddFile], withMeta: Boolean): DataFrame = {
+      val base = spark.read.schema(s.schema).parquet(files.map(_.path): _*)
+      val metaSel =
+        if (withMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
+          col("_metadata.row_index").as(DeltaLog.RowMetaCol))
+        else Seq.empty
+      base.select(s.schema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
+    }
+    if (dvFiles.isEmpty) return read(s.files, withMeta = false)
+    val m = dvFiles.map { a =>
+      DeletionVectors.normalizedUri(a.path) ->
+        DeletionVectors.readData(spark, location, a.deletionVector.get)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(new DvLookup(m))
+    import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+    val live = read(dvFiles, withMeta = true)
+      .filter(toCol(DvIsRowLive(
+        toExpr(col(DeltaLog.FileMetaCol)), toExpr(col(DeltaLog.RowMetaCol)), bc)))
+      .drop(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
+    if (plain.isEmpty) live else read(plain, withMeta = false).unionAll(live)
+  }
+
+  def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
+    IcebergWriter.stage(spark, location,
+      Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
+        snap.properties, snap.schema), snap.partitionColumns)
+
+  def create(spark: SparkSession, location: String, df0: DataFrame,
+      partitionColumns: Seq[String], properties: Map[String, String]): Unit = {
+    val df = IdentityColumns.stampCreate(df0)
+    IcebergWriter.create(spark, location,
+      Constraints.enforce(GeneratedColumns.validate(df, df.schema), properties, df.schema),
+      partitionColumns, properties)
+  }
+
+  /** Live paths beyond the data files: position-delete parquet referenced
+    * by recent snapshots (vacuum must not reclaim them).
+    */
+  override def auxiliaryLivePaths(spark: SparkSession, location: String,
+      version: Long): Seq[String] =
+    try IcebergLog.stateAt(spark, location, Some(version)).deletes.map(_.path)
+    catch { case _: graft.catalog.DoesNotExistError => Seq.empty }
+
+  def reservedPrefixes: Seq[String] = Seq("metadata", TxLog.StagingPrefix)
 }

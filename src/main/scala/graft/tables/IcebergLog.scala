@@ -356,9 +356,30 @@ object IcebergLog {
       asOfSnapshotId: Option[Long] = None): IceState = {
     val f = fs(spark, location)
     val metaPath = currentMetadataPath(f, location)
-    val meta = readJson(f, metaPath)
-    val metaVersion =
-      metaPath.getName.stripSuffix(".metadata.json").stripPrefix("v").toLongOption.getOrElse(0L)
+    stateFromMeta(spark, location, readJson(f, metaPath),
+      metaVersionOf(metaPath), asOfSnapshotId)
+  }
+
+  /** State pinned at a METADATA version (`vN.metadata.json`) — the
+    * version axis the CommitLog contract travels on (one snapshot per
+    * metadata version the way this library commits).
+    */
+  private[tables] def stateAt(spark: SparkSession, location: String,
+      metadataVersion: Option[Long]): IceState = metadataVersion match {
+    case None => state(spark, location)
+    case Some(v) =>
+      val f = fs(spark, location)
+      val p = new Path(metadataDir(location), s"v$v.metadata.json")
+      if (!f.exists(p))
+        throw graft.catalog.DoesNotExistError(s"no iceberg metadata v$v at $location")
+      stateFromMeta(spark, location, readJson(f, p), v, None)
+  }
+
+  private def metaVersionOf(metaPath: Path): Long =
+    metaPath.getName.stripSuffix(".metadata.json").stripPrefix("v").toLongOption.getOrElse(0L)
+
+  private def stateFromMeta(spark: SparkSession, location: String, meta: JValue,
+      metaVersion: Long, asOfSnapshotId: Option[Long]): IceState = {
     val schema = currentSchema(meta)
     val parts = identityPartCols(meta).filter(schema.fieldNames.contains)
     pickSnapshot(meta, asOfSnapshotId) match {
@@ -369,6 +390,24 @@ object IcebergLog {
         IceState(meta, metaVersion, schema, parts, data, deletes, Some(s.snapshotId))
     }
   }
+
+  /** Table properties recorded in the metadata document. */
+  private[tables] def propertiesOf(meta: JValue): Map[String, String] =
+    (meta \ "properties").extractOrElse[Map[String, String]](Map.empty)
+
+  /** summary.operation of the CURRENT snapshot ("append" when absent). */
+  private[tables] def currentOperation(meta: JValue): String = {
+    val cur = (meta \ "current-snapshot-id").extractOpt[Long]
+    (meta \ "snapshots").extractOrElse[Seq[JValue]](Seq.empty)
+      .find(s => (s \ "snapshot-id").extractOpt[Long] == cur)
+      .map(s => (s \ "summary" \ "operation").extractOrElse[String]("append"))
+      .getOrElse("append")
+  }
+
+  /** Latest metadata version, None when no table exists. */
+  private[tables] def latestMetadataVersion(spark: SparkSession, location: String): Option[Long] =
+    if (!isIcebergTable(spark, location)) None
+    else Some(metaVersionOf(currentMetadataPath(fs(spark, location), location)))
 
   private def metaOf(spark: SparkSession, location: String): JValue =
     readJson(fs(spark, location), currentMetadataPath(fs(spark, location), location))
@@ -526,7 +565,7 @@ object IcebergWriter {
     * this table's identity spec (spec "Manifests"); bounds are the spec's
     * int-keyed maps serialized as key/value record arrays.
     */
-  private def entrySchemaFor(partFields: Seq[(String, DataType)]): Schema = {
+  private[tables] def entrySchemaFor(partFields: Seq[(String, DataType)]): Schema = {
     val pf = partFields.zipWithIndex.map { case ((n, dt), i) =>
       s"""{"name":"$n","type":["null",${avroTypeJson(dt)}],"default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
@@ -559,12 +598,11 @@ object IcebergWriter {
     f.getFileStatus(p).getLen
   }
 
-  /** Iceberg schema JSON of a Spark schema, ids assigned in field order
-    * (top-level first at 1..n? no — depth-first, nested ids continue the
-    * sequence). Returns (json, lastColumnId, topLevelName→id).
+  /** Depth-first field-id assigner for Iceberg schema JSON — `nextId`
+    * starts after the ids already in use (0 for a fresh table,
+    * last-column-id when evolving).
     */
-  private[tables] def icebergSchemaJson(schema: StructType): (String, Int, Map[String, Int]) = {
-    var nextId = 0
+  private final class SchemaJsonBuilder(var nextId: Int) {
     def typeJson(dt: DataType): JValue = dt match {
       case BooleanType => JString("boolean")
       case IntegerType | ShortType | ByteType => JString("int")
@@ -599,16 +637,56 @@ object IcebergWriter {
       JObject("id" -> JInt(id), "name" -> JString(f.name),
         "required" -> JBool(!f.nullable), "type" -> typeJson(f.dataType))
     }
+  }
+
+  /** Iceberg schema JSON of a Spark schema, ids assigned depth-first in
+    * field order. Returns (json, lastColumnId, topLevelName→id).
+    */
+  private[tables] def icebergSchemaJson(schema: StructType): (String, Int, Map[String, Int]) = {
+    val b = new SchemaJsonBuilder(0)
     val topIds = scala.collection.mutable.Map.empty[String, Int]
     val fields = schema.fields.toList.map { f =>
-      val j = fieldJson(f)
+      val j = b.fieldJson(f)
       topIds(f.name) = (j \ "id").extract[Int]
       j
     }
     val json = JsonMethods.compact(JsonMethods.render(
       JObject("type" -> JString("struct"), "schema-id" -> JInt(0),
         "fields" -> JArray(fields))))
-    (json, nextId, topIds.toMap)
+    (json, b.nextId, topIds.toMap)
+  }
+
+  /** Evolved schema JSON PRESERVING field ids (the spec's column
+    * resolution is id-based, so a re-number would corrupt every external
+    * reader's view of historical files): fields whose name and type match
+    * the current schema keep their JSON verbatim; added or retyped fields
+    * mint fresh ids above last-column-id. Returns the replacement
+    * metadata fields plus the top-level name→id map.
+    */
+  private[tables] def evolvedSchemaFields(meta: JValue, evolved: StructType)
+      : (Map[String, JValue], Map[String, Int]) = {
+    val existing: Map[String, JValue] =
+      (IcebergLog.currentSchemaJson(meta) \ "fields").extract[Seq[JValue]]
+        .map(f => (f \ "name").extract[String] -> f).toMap
+    val b = new SchemaJsonBuilder((meta \ "last-column-id").extractOrElse[Int](0))
+    val topIds = scala.collection.mutable.Map.empty[String, Int]
+    val fields = evolved.fields.toList.map { f =>
+      val kept = existing.get(f.name).filter { j =>
+        try IcebergLog.toSparkType(j \ "type") ==
+          IcebergLog.toSparkType(new SchemaJsonBuilder(0).typeJson(f.dataType))
+        catch { case NonFatal(_) => false }
+      }
+      val j = kept.getOrElse(b.fieldJson(f))
+      topIds(f.name) = (j \ "id").extract[Int]
+      j
+    }
+    val schemaJson = JObject("type" -> JString("struct"), "schema-id" -> JInt(0),
+      "fields" -> JArray(fields))
+    (Map(
+      "schemas" -> JArray(List(schemaJson)),
+      "current-schema-id" -> JInt(0),
+      "last-column-id" -> JInt(math.max(b.nextId,
+        (meta \ "last-column-id").extractOrElse[Int](0)))), topIds.toMap)
   }
 
   private def writeMetadata(f: FileSystem, location: String, version: Long,
@@ -637,7 +715,7 @@ object IcebergWriter {
     * data files — Iceberg data files carry full rows; partition values
     * travel in the manifests, not the paths.
     */
-  private def stage(spark: SparkSession, location: String, df: DataFrame,
+  private[tables] def stage(spark: SparkSession, location: String, df: DataFrame,
       partCols: Seq[String]): Seq[TxLog.AddFile] =
     if (partCols.isEmpty) TxLog.stageData(spark, location, df, Seq.empty)
     else {
@@ -697,7 +775,7 @@ object IcebergWriter {
   }
 
   /** Write one manifest for `adds`; returns (path, length, rowCount). */
-  private def writeManifest(f: FileSystem, location: String, entrySchema: Schema,
+  private[tables] def writeManifest(f: FileSystem, location: String, entrySchema: Schema,
       adds: Seq[TxLog.AddFile], schema: StructType, partFields: Seq[(String, DataType)],
       topIds: Map[String, Int], snapId: Long, seq: Long, content: Int): (Path, Long, Long) = {
     val dir = IcebergLog.metadataDir(location)
@@ -741,7 +819,7 @@ object IcebergWriter {
     (p, len, adds.map(a => math.max(0L, a.rows)).sum)
   }
 
-  private def mlRecord(path: String, length: Long, content: Int, seq: Long,
+  private[tables] def mlRecord(path: String, length: Long, content: Int, seq: Long,
       snapId: Long, files: Int, rows: Long): GenericRecord = {
     val ml = new GenericData.Record(ManifestListSchema)
     ml.put("manifest_path", path)
@@ -765,7 +843,7 @@ object IcebergWriter {
     * itself reuses manifests across snapshots); unknown writer extras are
     * optional fields and drop away.
     */
-  private def carry(r: GenericRecord): GenericRecord = {
+  private[tables] def carry(r: GenericRecord): GenericRecord = {
     def g(n: String, d: Any): Any = {
       val v = if (r.getSchema.getField(n) == null) null else r.get(n)
       if (v == null) d else v
@@ -787,7 +865,7 @@ object IcebergWriter {
     out
   }
 
-  private def writeManifestList(f: FileSystem, location: String, snapId: Long,
+  private[tables] def writeManifestList(f: FileSystem, location: String, snapId: Long,
       records: Seq[GenericRecord]): String = {
     val p = new Path(IcebergLog.metadataDir(location),
       s"snap-$snapId-1-${java.util.UUID.randomUUID()}.avro")
@@ -795,7 +873,7 @@ object IcebergWriter {
     p.toString
   }
 
-  private def snapshotJson(snapId: Long, now: Long, seq: Long, mlPath: String,
+  private[tables] def snapshotJson(snapId: Long, now: Long, seq: Long, mlPath: String,
       operation: String): JObject =
     JObject(
       "snapshot-id" -> JLong(snapId),
@@ -809,7 +887,7 @@ object IcebergWriter {
     * document carries through verbatim (schemas, specs, properties,
     * whatever a foreign writer put there) except the snapshot bookkeeping.
     */
-  private def commitExisting(f: FileSystem, location: String, st: IcebergLog.IceState,
+  private[tables] def commitExisting(f: FileSystem, location: String, st: IcebergLog.IceState,
       snap: JObject, snapId: Long, seq: Long, now: Long,
       replaceFields: Map[String, JValue] = Map.empty): Unit = {
     val meta = st.meta.asInstanceOf[JObject]
@@ -828,13 +906,13 @@ object IcebergWriter {
     writeMetadata(f, location, st.metadataVersion + 1, body)
   }
 
-  private def lastSeq(meta: JValue): Long =
+  private[tables] def lastSeq(meta: JValue): Long =
     (meta \ "last-sequence-number").extractOrElse[Long](0L)
 
-  private def nextSnapId(meta: JValue): Long =
+  private[tables] def nextSnapId(meta: JValue): Long =
     IcebergLog.snapshots(meta).map(_.snapshotId).maxOption.getOrElse(0L) + 1
 
-  private def priorManifestRecords(spark: SparkSession, location: String,
+  private[tables] def priorManifestRecords(spark: SparkSession, location: String,
       st: IcebergLog.IceState): Seq[GenericRecord] =
     st.snapshotId.toSeq.flatMap { id =>
       val ml = IcebergLog.snapshots(st.meta).find(_.snapshotId == id).get.manifestList
@@ -844,7 +922,7 @@ object IcebergWriter {
   /** Identity partition columns with their types; refuses appends through
     * specs this writer cannot compute (non-identity transforms).
     */
-  private def writablePartFields(st: IcebergLog.IceState): Seq[(String, DataType)] = {
+  private[tables] def writablePartFields(st: IcebergLog.IceState): Seq[(String, DataType)] = {
     val defaultSpec = (st.meta \ "default-spec-id").extractOrElse[Int](0)
     val fields = IcebergLog.specsById(st.meta).getOrElse(defaultSpec, Seq.empty)
     if (fields.exists(_.transform != "identity"))
@@ -857,7 +935,7 @@ object IcebergWriter {
   /** STRICT schema gate through the Iceberg type bridge (short/byte ride
     * as int etc.), returning the frame cast to the table schema.
     */
-  private def conformed(st: IcebergLog.IceState, df: DataFrame): DataFrame = {
+  private[tables] def conformed(st: IcebergLog.IceState, df: DataFrame): DataFrame = {
     val (json, _, _) = icebergSchemaJson(df.schema)
     val bridged = IcebergLog.structOf(JsonMethods.parse(json))
     graft.types.SchemaEquality.requireEqual(st.schema, bridged)

@@ -410,6 +410,10 @@ final class TxTable(val spark: SparkSession, val location: String,
   def delete(predicate: String): Unit =
     if (log == ForeignDeltaCommitLog && DeltaDvWriter.enabled(snapshot.properties))
       DeltaDvWriter.delete(spark, location, predicate)
+    else if (log == IcebergCommitLog)
+      // Iceberg v2's native merge-on-read: a position-delete snapshot,
+      // never a file rewrite
+      IcebergWriter.delete(spark, location, predicate)
     else deleteCopyOnWrite(predicate)
 
   private def deleteCopyOnWrite(predicate: String): Unit =
@@ -622,16 +626,25 @@ final class TxTable(val spark: SparkSession, val location: String,
     val base = new Path(location)
     val baseUri = base.toUri.getPath.stripSuffix("/")
     val from = math.max(0L, latest - math.max(1, retainVersions) + 1)
+    // Iceberg manifests record ABSOLUTE paths; the survivor set compares
+    // location-relative ones
+    def relativized(p: String): String = {
+      val uri = new Path(p).toUri.getPath
+      if (uri.startsWith(baseUri + "/")) uri.stripPrefix(baseUri + "/") else p
+    }
     (from to latest).foreach { v =>
       // log-cleaned Delta histories may miss intermediate versions
-      try log.snapshot(spark, location, Some(v)).files.foreach { a =>
-        keep += a.path
-        // a live deletion vector keeps its .bin file (which may be shared
-        // by several files' DVs — any reference retains it)
-        a.deletionVector.filter(d => d.storageType == "u" || d.storageType == "p").foreach { d =>
-          keep += DeletionVectors.absolutePath(location, d)
-            .toUri.getPath.stripPrefix(baseUri + "/")
+      try {
+        log.snapshot(spark, location, Some(v)).files.foreach { a =>
+          keep += relativized(a.path)
+          // a live deletion vector keeps its .bin file (which may be shared
+          // by several files' DVs — any reference retains it)
+          a.deletionVector.filter(d => d.storageType == "u" || d.storageType == "p").foreach { d =>
+            keep += DeletionVectors.absolutePath(location, d)
+              .toUri.getPath.stripPrefix(baseUri + "/")
+          }
         }
+        log.auxiliaryLivePaths(spark, location, v).foreach(p => keep += relativized(p))
       }
       catch { case _: graft.catalog.DoesNotExistError => () }
     }
@@ -774,12 +787,21 @@ object TxTable {
   def forForeignDelta(spark: SparkSession, location: String): TxTable =
     new TxTable(spark, location, ForeignDeltaCommitLog)
 
+  /** Handle over an Apache Iceberg table: the same write surface
+    * committed as Iceberg v2 snapshots (IcebergCommitLog), so external
+    * Iceberg engines keep reading the table.
+    */
+  def forIceberg(spark: SparkSession, location: String): TxTable =
+    new TxTable(spark, location, IcebergCommitLog)
+
   /** Auto-dispatch: a native `_graft_log` wins (a table this library
     * created is always driven through its own log); else an existing
-    * `_delta_log` gets the Delta backend; else native (create target).
+    * `_delta_log` gets the Delta backend; else Iceberg `metadata/`; else
+    * native (create target).
     */
   def forAnyLocation(spark: SparkSession, location: String): TxTable =
     if (TxLog.exists(spark, location)) forLocation(spark, location)
     else if (DeltaLog.isDeltaTable(spark, location)) forForeignDelta(spark, location)
+    else if (IcebergLog.isIcebergTable(spark, location)) forIceberg(spark, location)
     else forLocation(spark, location)
 }

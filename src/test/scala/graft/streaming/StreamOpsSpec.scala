@@ -166,6 +166,43 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(received.asScala.toSeq.sorted == Seq((3L, 2L)))
   }
 
+  test("TxTableSource streams an Apache Iceberg table via log dispatch") {
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("txsrc-ice") + "/t"
+    val ckpt = TestSpark.tmpDir("txsrc-ice-ckpt")
+    val t = graft.tables.TxTable.forIceberg(spark, loc)
+    t.create(Seq((1L, "a")).toDF("id", "s"), Seq.empty) // metadata v1
+    t.append(Seq((2L, "b")).toDF("id", "s"))            // metadata v2
+
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def runAvailable(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxTableSourceProvider")
+        .load(loc)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id", "_commit_version").collect()
+            .foreach(r => received.add((r.getLong(0), r.getLong(1))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    runAvailable()
+    import scala.jdk.CollectionConverters._
+    assert(received.asScala.toSeq.sorted == Seq((1L, 1L), (2L, 2L)))
+
+    // resume past an OPTIMIZE (whose adds must not re-enter the stream)
+    // picks up only the genuinely new snapshot
+    t.optimize()
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    received.clear()
+    runAvailable()
+    assert(received.asScala.toSeq.sorted == Seq((3L, 4L)))
+  }
+
   test("TxTableSource streams a RAW foreign fixture (external-writer JSON log, DV commit)") {
     import spark.implicits._
     import java.nio.charset.StandardCharsets

@@ -307,6 +307,116 @@ class IcebergSpec extends AnyFunSuite {
     intercept[Exception] { IcebergWriter.append(spark, loc, df1) }
   }
 
+  test("TxTable runs the full write surface over the Iceberg log") {
+    val loc = TestSpark.tmpDir("ice-tx") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "s", "v"),
+      partitionColumns = Seq.empty)
+    assert(IcebergLog.isIcebergTable(spark, loc))
+    // auto-dispatch picks the Iceberg backend
+    assert(TxTable.forAnyLocation(spark, loc).log eq IcebergCommitLog)
+
+    // append (STRICT)
+    t.append(Seq((4L, "d", 4.0)).toDF("id", "s", "v"))
+    assert(t.toDF.count() == 4)
+
+    // UPDATE — copy-on-write rewrite of only the files that can match
+    t.update("id = 2", Map("v" -> "v * 10"))
+    assert(t.toDF.filter($"id" === 2).select("v").collect()(0).getDouble(0) == 20.0)
+
+    // DELETE — merge-on-read position-delete snapshot (no rewrite)
+    t.delete("id = 3")
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    val delOps = IcebergLog.snapshots(IcebergLog.stateAt(spark, loc, None).meta)
+    assert(delOps.nonEmpty) // snapshot landed
+    // a rewrite AFTER the MoR delete must not resurrect id=3
+    t.update("id >= 1", Map("v" -> "v + 0.5"))
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+
+    // MERGE
+    t.merge(Seq((2L, "B", 0.0), (9L, "i", 9.0)).toDF("id", "s", "v"), "s.id = t.id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val merged = t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merged == Seq((1L, "a"), (2L, "B"), (4L, "d"), (9L, "i")))
+
+    // replaceWhere swaps one slice
+    t.replaceWhere(Seq((9L, "I", 99.0)).toDF("id", "s", "v"), "id = 9")
+    assert(t.toDF.filter($"id" === 9).select("s").collect()(0).getString(0) == "I")
+
+    // MERGE schema evolution preserves existing field ids
+    val idsBefore = IcebergLog.topFields(IcebergLog.stateAt(spark, loc, None).meta)
+      .map { case (id, n, _) => n -> id }.toMap
+    t.append(Seq((10L, "j", 10.0, "extra")).toDF("id", "s", "v", "note"),
+      graft.catalog.SchemaEvolution.MERGE)
+    val metaAfter = IcebergLog.stateAt(spark, loc, None).meta
+    val idsAfter = IcebergLog.topFields(metaAfter).map { case (id, n, _) => n -> id }.toMap
+    assert(idsBefore.forall { case (n, id) => idsAfter(n) == id })
+    assert(idsAfter("note") > idsBefore.values.max)
+    assert(t.toDF.filter($"note".isNotNull).count() == 1)
+    assert(t.toDF.filter($"id" === 1 && $"note".isNull).count() == 1)
+
+    // OPTIMIZE commits a "replace" snapshot; contents unchanged
+    val before = t.toDF.orderBy("id").collect().toSeq
+    t.optimize()
+    assert(t.toDF.orderBy("id").collect().toSeq == before)
+    assert(IcebergLog.currentOperation(IcebergLog.stateAt(spark, loc, None).meta) == "replace")
+
+    // time travel by metadata version and timestamp
+    assert(t.toDF(1L).count() == 3)
+    val latestV = IcebergCommitLog.latestVersion(spark, loc).get
+    assert(IcebergCommitLog.versionAtTimestamp(spark, loc, System.currentTimeMillis()) == latestV)
+
+    // scan pruning works through the generic path too
+    assert(t.filesAfterPruning("id > 100") <= t.filesAfterPruning("id >= -1"))
+
+    // SetTransaction has no Iceberg analogue — typed refusal
+    intercept[graft.catalog.UnsupportedOperationError] {
+      t.appendIdempotent(Seq((99L, "x", 0.0, "n")).toDF("id", "s", "v", "note"), "app", 1L)
+    }
+  }
+
+  test("changesSince and the streaming source ride the Iceberg log") {
+    val loc = TestSpark.tmpDir("ice-stream") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(Seq((1L, "a")).toDF("id", "s"), Seq.empty)
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    val v1 = IcebergCommitLog.latestVersion(spark, loc).get
+    // changes after metadata v2 = the third commit only
+    val changes = t.changesSince(2L)
+    assert(changes.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // OPTIMIZE adds must NOT re-enter the feed
+    t.optimize()
+    assert(t.changesSince(v1).count() == 0)
+    // one more append lands with its own commit version
+    t.append(Seq((4L, "d")).toDF("id", "s"))
+    val post = t.changesSince(v1).select("id", "_commit_version").collect()
+    assert(post.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("vacuum keeps live Iceberg data AND position-delete files") {
+    val loc = TestSpark.tmpDir("ice-vac") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(df1, Seq.empty)
+    t.delete("id = 2")
+    t.overwrite(Seq((7L, "q", 7.0)).toDF("id", "s", "v"))
+    // force-vacuum everything not referenced by the LATEST snapshot
+    val removed = t.vacuum(retainVersions = 1, retentionMs = 0L, force = true)
+    assert(removed > 0) // the overwritten originals went away
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // time travel to the delete snapshot is gone (files vacuumed), but
+    // the CURRENT state survived — and a fresh table with live deletes
+    // keeps its delete files through vacuum
+    val loc2 = TestSpark.tmpDir("ice-vac2") + "/t"
+    val t2 = TxTable.forIceberg(spark, loc2)
+    t2.create(df1, Seq.empty)
+    t2.delete("id = 2")
+    t2.vacuum(retainVersions = 1, retentionMs = 0L, force = true)
+    assert(t2.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   private def writeAvroFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
       schema: Schema, records: Seq[GenericRecord]): Unit = {
     val out = f.create(p, true)
