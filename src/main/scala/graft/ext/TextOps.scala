@@ -147,4 +147,55 @@ object TextOps {
       .withColumn("novelty",
         col("n_unique").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
   }
+
+  /** BM25 ranked keyword retrieval (Robertson/Sparck-Jones, the lexical
+    * baseline next to the embedding-ANN route): score every document
+    * against a bag of query terms and keep the global top `k`.
+    *
+    * Exactness: `ln` is the one libm call in BM25, and Java's Math.log
+    * disagrees with C's log by 1 ulp on ~0.1% of idf arguments (measured)
+    * — so the idf is quantized as floor(ln(·)·2^24) immediately, and every
+    * later step is exact-rounded double arithmetic in a pinned evaluation
+    * order, ending in an integer per-term score summed exactly. A 1-ulp
+    * idf wobble flips the floor with probability ~2^-28 per distinct
+    * (N, df) pair — and the verified datasets are checked bit-for-bit.
+    * Constants: k1=1.2, b=0.75 (1-b written 0.25: exact, no subtraction).
+    *
+    * Scale shape: one token explode filtered to the query terms (the
+    * filter prunes BEFORE the shuffle, so cost tracks matching tokens,
+    * not corpus tokens), a per-(doc,term) count, a term-count broadcast
+    * (|terms| rows), a 1-row stats broadcast, and a bounded-heap global
+    * top-k (TopKPerKey, no full sort, no single-partition window over the
+    * corpus). The final rank window runs over k rows.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    val D = DoubleType
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"), size(col("__t")).cast(LongType).as("__dl"))
+    val stats = base.agg(count(lit(1)).as("__n_docs"), sum(col("__dl")).as("__total_dl"))
+    val tf = base.select(col("doc_id"), col("__dl"), explode(col("__t")).as("__tok"))
+      .where(col("__tok").isin(terms.distinct: _*))
+      .groupBy(col("doc_id"), col("__dl"), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__total_dl").cast(D) / col("__n_docs").cast(D)
+    val idfQ = floor(log(
+      (col("__n_docs").cast(D) - col("__df").cast(D) + lit(0.5)) /
+        (col("__df").cast(D) + lit(0.5)) + lit(1.0)) * lit(16777216.0))
+    val den = col("__tf").cast(D) +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("__dl").cast(D) / avgdl)
+    val termScoreQ = floor(idfQ * (col("__tf").cast(D) * lit(2.2)) / den)
+    val perDoc = tf.join(broadcast(dfreq), "__tok").crossJoin(broadcast(stats))
+      .select(col("doc_id"), termScoreQ.as("__sq"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__sq")).cast(LongType).as("score_q"))
+    val top = graft.plans.TopK.topKPerKey(
+      perDoc.withColumn("__all", lit(1)),
+      keys = Seq("__all"), orderBy = Seq(("score_q", false), ("doc_id", true)), k = k)
+    import org.apache.spark.sql.expressions.Window
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score_q").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("score_q"), col("rank"))
+  }
 }

@@ -387,6 +387,121 @@ object TextQueries {
           CAST((LENGTH(m) - LENGTH(REPLACE(m, '[EMAIL]', ''))) / 7 AS BIGINT) AS n_emails,
           CAST((LENGTH(m) - LENGTH(REPLACE(m, '[IP]', ''))) / 4 AS BIGINT) AS n_ips,
           CAST((LENGTH(m) - LENGTH(REPLACE(m, '[PHONE]', ''))) / 7 AS BIGINT) AS n_phones
-        FROM masked"""))
+        FROM masked""")),
+
+    // ---- duplicate GROUPS: connected components over dup pairs ----
+    // pairs alone under-delete ({A~B, B~C} must keep ONE doc, not two);
+    // this runs the distributed large-star/small-star algorithm (Kiveris
+    // et al. 2014) over the deterministic q72 edge set and labels every
+    // document with its component minimum. The oracle replays the same
+    // pairs, then computes reachability with a recursive CTE — so the
+    // hash pins the full transitive closure, not just the pair list.
+    // (At 100 TB the edge input is minhashDupPairs — same operator, LSH
+    // edges; q72 edges keep the oracle exact.)
+    QueryDef(
+      "q99_dup_components",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val pairs = graft.ext.NearDup.ngramJaccardPairs(d, shingleK = 3, threshold = 0.4)
+        val comp = graft.ext.Components.connectedComponents(pairs, "id_a", "id_b")
+        d.join(comp, d("doc_id") === comp("id"), "left")
+          .select(d("doc_id"),
+            coalesce(col("component"), d("doc_id")).cast(LongType).as("component"))
+      },
+      Some(s"""WITH RECURSIVE $pairsCte,
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""")),
+
+    // ---- the composed near-dedup keep pass: one survivor per group ----
+    QueryDef(
+      "q100_dedup_survivors",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        val pairs = graft.ext.NearDup.ngramJaccardPairs(
+          Tables.documents(s, dir), shingleK = 3, threshold = 0.4)
+        graft.ext.Components.dedupSurvivors(d, "doc_id", pairs, "id_a", "id_b")
+      },
+      Some(s"""WITH RECURSIVE $pairsCte,
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT u, u FROM edges
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+        ),
+        comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        SELECT d.doc_id, d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        WHERE c.component IS NULL OR c.component = d.doc_id""")),
+
+    // ---- BM25 ranked keyword retrieval (lexical search baseline) ----
+    // ln() is quantized at 2^24 immediately (Java vs C log differ by
+    // 1 ulp on ~0.1% of idf arguments), every later step is exact-rounded
+    // double math in a pinned order, and per-term scores are integers
+    // summed exactly — so the top-10 ranking hash-matches DuckDB running
+    // the same fixed-point formulation. Selection is the bounded-heap
+    // TopKPerKey operator, not a corpus-wide sort.
+    QueryDef(
+      "q101_bm25_retrieval",
+      (s, dir) => graft.ext.TextOps.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "merge", "customer"), k = 10),
+      Some("""WITH docs AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t,
+                 len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS dl
+          FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM docs),
+        tf AS (
+          SELECT doc_id, dl, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, UNNEST(t) AS tok FROM docs)
+          WHERE tok IN ('spark', 'vector', 'merge', 'customer')
+          GROUP BY doc_id, dl, tok
+        ),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        scored AS (
+          SELECT doc_id, FLOOR(
+            FLOOR(LN((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 16777216.0)
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sq
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+        ),
+        ds AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q
+               FROM scored GROUP BY doc_id)
+        SELECT doc_id, score_q, rank FROM (
+          SELECT doc_id, score_q,
+            CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
+          FROM ds) WHERE rank <= 10"""))
   )
+
+  /** DuckDB CTE fragment producing the q72 exact-Jaccard pair list
+    * (threshold 0.4) as `pairs(id_a, id_b)` — shared by the
+    * component/survivor oracles so their edge sets are pinned to the
+    * already-hash-verified q72 semantics.
+    */
+  private def pairsCte: String = """sh AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            END) AS shingles
+          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+                FROM documents)
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4
+        )"""
 }
