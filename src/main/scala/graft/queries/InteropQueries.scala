@@ -475,6 +475,37 @@ object InteropQueries {
             ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
           WHERE t.l_orderkey IS NULL)
         SELECT COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-        FROM merged"""))
+        FROM merged""")),
+
+    // q102: an EQUALITY delete (content=2, the Flink-upsert shape) through
+    // the Iceberg v2 metadata — keys are committed as a delete file with
+    // stamped field ids and NO data file is read or rewritten; the read
+    // applies the delete with the spec's strictly-smaller sequence rule,
+    // so rows re-appended AFTER the delete survive. The oracle replays
+    // kept-rows UNION re-appended-rows
+    QueryDef(
+      "q102_iceberg_equality_delete",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q102-ice").toString + "/t"
+        val c = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        graft.tables.IcebergWriter.create(s, loc, c)
+        graft.tables.IcebergWriter.equalityDelete(s, loc, Seq("c_nationkey"),
+          s.range(1, 4).select(col("id").as("c_nationkey"))) // nations 1,2,3
+        // re-insert nation 2 AFTER the delete: later sequence ⇒ survives
+        graft.tables.IcebergWriter.append(s, loc, c.filter(col("c_nationkey") === 2))
+        graft.tables.IcebergLog.toDF(s, loc)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some(s"""WITH live AS (
+          SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+          WHERE c_nationkey NOT IN (1, 2, 3)
+          UNION ALL
+          SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+          WHERE c_nationkey = 2)
+        SELECT c_nationkey, COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
+        FROM live GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }

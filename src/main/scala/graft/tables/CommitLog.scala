@@ -334,6 +334,14 @@ private[graft] object IcebergCommitLog extends CommitLog {
     */
   private def attachDeletes(spark: SparkSession,
       st: IcebergLog.IceState): Seq[AddFile] = {
+    // equality deletes (content=2) are key-matched, not position-matched —
+    // they cannot be folded into per-file bitmaps without a table scan, so
+    // the TxTable surface refuses them; IcebergLog.toDF/scan apply them
+    // correctly on the direct read path
+    if (st.deletes.exists(_.content == 2))
+      throw graft.catalog.UnsupportedOperationError(
+        "iceberg: table has live equality deletes; read it via IcebergLog.toDF/scan, " +
+          "or compact (apply equality deletes) before writing through TxTable")
     if (st.deletes.isEmpty) return st.files
     val rows = spark.read.parquet(st.deletes.map(_.path): _*)
       .select(org.apache.spark.sql.functions.col("file_path"),

@@ -197,7 +197,8 @@ object IcebergLog {
 
   /** A position-delete file planned from a content=1 manifest. */
   private[tables] final case class IceFile(
-      content: Int, path: String, format: String, records: Long, bytes: Long)
+      content: Int, path: String, format: String, records: Long, bytes: Long,
+      seq: Long = 0L, equalityIds: Seq[Int] = Nil)
 
   /** Read every avro record of a metadata-sized container file. */
   private[tables] def readAvro(f: FileSystem, p: Path): Seq[GenericRecord] = {
@@ -213,6 +214,12 @@ object IcebergLog {
   }
 
   private def str(v: Any): String = if (v == null) null else v.toString
+
+  /** Schema-checked optional field read — GenericData.Record.get(name)
+    * THROWS on absent fields (foreign manifests vary by writer version).
+    */
+  private def opt(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) == null) None else Option(r.get(name))
 
   /** Resolve a manifest-recorded absolute URI/path against the table. */
   private[tables] def resolve(location: String, filePath: String): Path = {
@@ -279,7 +286,7 @@ object IcebergLog {
     * deletes as IceFile; equality deletes raise.
     */
   private[tables] def liveFiles(spark: SparkSession, location: String, meta: JValue,
-      snap: IceSnapshot): (Seq[TxLog.AddFile], Seq[IceFile]) = {
+      snap: IceSnapshot): (Seq[TxLog.AddFile], Seq[IceFile], Map[String, Long]) = {
     val f = fs(spark, location)
     val fields = topFields(meta)
     val byId = fields.map { case (id, n, dt) => id -> ((n, dt)) }.toMap
@@ -288,16 +295,22 @@ object IcebergLog {
       val path = str(r.get("manifest_path"))
       val content = Option(r.get("content")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
       val specId = Option(r.get("partition_spec_id")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
-      (path, content, specId)
+      val mlSeq = opt(r, "sequence_number").map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+      (path, content, specId, mlSeq)
     }
     val data = Seq.newBuilder[TxLog.AddFile]
     val deletes = Seq.newBuilder[IceFile]
-    manifests.foreach { case (mPath, mContent, specId) =>
+    val dataSeq = Map.newBuilder[String, Long]
+    manifests.foreach { case (mPath, mContent, specId, mlSeq) =>
       // identity fields of THIS manifest's spec, resolved to live columns
       val identity = specs.getOrElse(specId, Seq.empty).filter(_.transform == "identity")
         .flatMap(sf => byId.get(sf.sourceId).map { case (n, _) => sf.name -> n })
       readAvro(f, resolve(location, mPath)).foreach { entry =>
         val status = Option(entry.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
+        // spec inheritance: a null sequence_number on an ADDED entry takes
+        // the manifest-list entry's sequence number
+        val entrySeq = opt(entry, "sequence_number")
+          .map(_.asInstanceOf[Number].longValue).getOrElse(mlSeq)
         if (status != 2) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val content = Option(df.get("content")).map(_.asInstanceOf[Number].intValue)
@@ -330,16 +343,26 @@ object IcebergLog {
               }
               data += TxLog.AddFile(path, partValues, records, bytes,
                 decoded("lower_bounds"), decoded("upper_bounds"))
-            case 1 => deletes += IceFile(content, path, format, records, bytes)
-            case 2 => throw UnsupportedOperationError(
-              "iceberg: equality deletes (content=2) are not supported; " +
-                "rewrite the table with a compaction that applies them first")
+              dataSeq += path -> entrySeq
+            case 1 => deletes += IceFile(content, path, format, records, bytes, entrySeq)
+            case 2 =>
+              // equality delete: rows match on the equality_ids columns;
+              // applies to data files with a STRICTLY SMALLER data
+              // sequence number (spec "Scan Planning")
+              val eqIds = opt(df, "equality_ids") match {
+                case Some(l: java.util.List[_]) =>
+                  l.asScala.toSeq.map(_.asInstanceOf[Number].intValue)
+                case _ => Seq.empty[Int]
+              }
+              if (eqIds.isEmpty) throw UnsupportedOperationError(
+                s"iceberg: equality delete file $path carries no equality_ids")
+              deletes += IceFile(content, path, format, records, bytes, entrySeq, eqIds)
             case other => throw UnsupportedOperationError(s"iceberg: unknown content $other")
           }
         }
       }
     }
-    (data.result(), deletes.result())
+    (data.result(), deletes.result(), dataSeq.result())
   }
 
   // ---- snapshot state ----
@@ -350,7 +373,7 @@ object IcebergLog {
   private[tables] final case class IceState(
       meta: JValue, metadataVersion: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[TxLog.AddFile], deletes: Seq[IceFile],
-      snapshotId: Option[Long])
+      snapshotId: Option[Long], dataSeq: Map[String, Long] = Map.empty)
 
   private[tables] def state(spark: SparkSession, location: String,
       asOfSnapshotId: Option[Long] = None): IceState = {
@@ -386,8 +409,8 @@ object IcebergLog {
       case None =>
         IceState(meta, metaVersion, schema, parts, Seq.empty, Seq.empty, None)
       case Some(s) =>
-        val (data, deletes) = liveFiles(spark, location, meta, s)
-        IceState(meta, metaVersion, schema, parts, data, deletes, Some(s.snapshotId))
+        val (data, deletes, dataSeq) = liveFiles(spark, location, meta, s)
+        IceState(meta, metaVersion, schema, parts, data, deletes, Some(s.snapshotId), dataSeq)
     }
   }
 
@@ -487,7 +510,8 @@ object IcebergLog {
       else Seq.empty
     val base = spark.read.schema(st.schema).parquet(st.files.map(_.path): _*)
       .select(st.schema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
-    val live = applyPositionDeletes(spark, base, st)
+    val live = applyEqualityDeletes(spark,
+      applyPositionDeletes(spark, base, st), st)
     if (withMeta) live else live.drop(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
   }
 
@@ -498,8 +522,9 @@ object IcebergLog {
     */
   private def applyPositionDeletes(spark: SparkSession, df: DataFrame,
       st: IceState): DataFrame = {
-    if (st.deletes.isEmpty) return df
-    val rows = spark.read.parquet(st.deletes.map(_.path): _*)
+    val posDeletes = st.deletes.filter(_.content == 1)
+    if (posDeletes.isEmpty) return df
+    val rows = spark.read.parquet(posDeletes.map(_.path): _*)
       .select(col("file_path"), col("pos"))
       .collect() // bounded by deleted-row count — the DV size argument
     val byFile = rows.groupBy(r => DeletionVectors.normalizedUri(r.getString(0)))
@@ -512,6 +537,52 @@ object IcebergLog {
     import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
     df.filter(toCol(DvIsRowLive(
       toExpr(col(DeltaLog.FileMetaCol)), toExpr(col(DeltaLog.RowMetaCol)), bc)))
+  }
+
+  /** Merge-on-read EQUALITY deletes (content=2 — the shape streaming
+    * upsert engines like Flink commit): a data row is dead when some
+    * equality-delete row matches it on the delete's `equality_ids`
+    * columns AND the row's data file has a STRICTLY SMALLER data sequence
+    * number than the delete file (so re-inserts after the delete survive,
+    * per spec "Scan Planning").
+    *
+    * Plan shape: the per-file sequence number broadcast-joins onto the
+    * scan by file path (metadata-sized, map-side); each distinct
+    * equality-ids set becomes ONE broadcast anti-join against the union
+    * of its delete files (delete rows are O(deleted keys) — the reason
+    * engines write equality deletes at all). Null-safe equality matches
+    * null keys, like Iceberg's own readers.
+    */
+  private def applyEqualityDeletes(spark: SparkSession, df: DataFrame,
+      st: IceState): DataFrame = {
+    val eqDeletes = st.deletes.filter(_.content == 2)
+    if (eqDeletes.isEmpty) return df
+    import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+    val byId = topFields(st.meta).map { case (id, n, _) => id -> n }.toMap
+    // per-data-file sequence number, attached map-side by file path
+    val seqRows = st.files.map(a =>
+      (DeletionVectors.normalizedUri(a.path), st.dataSeq.getOrElse(a.path, 0L)))
+    val seqDf = spark.createDataFrame(seqRows).toDF("__np", "__dataseq")
+    val norm = toCol(NormalizedPath(toExpr(col(DeltaLog.FileMetaCol))))
+    var out = df.withColumn("__np", norm)
+      .join(broadcast(seqDf), Seq("__np"), "left")
+      .drop("__np")
+    eqDeletes.groupBy(_.equalityIds).foreach { case (ids, files) =>
+      val cols = ids.map(id => byId.getOrElse(id,
+        throw UnsupportedOperationError(
+          s"iceberg: equality_ids $ids reference unknown field id $id")))
+      // union the group's delete files, each tagged with its sequence
+      val delRows = files.map { d =>
+        spark.read.parquet(d.path)
+          .select(cols.map(col).toIndexedSeq: _*)
+          .withColumn("__delseq", org.apache.spark.sql.functions.lit(d.seq))
+      }.reduce(_ unionByName _)
+      val renamed = cols.foldLeft(delRows) { (acc, c) => acc.withColumnRenamed(c, s"__eq_$c") }
+      val cond = cols.map(c => out(c) <=> renamed(s"__eq_$c"))
+        .reduce(_ && _) && out("__dataseq") < renamed("__delseq")
+      out = out.join(broadcast(renamed), cond, "left_anti")
+    }
+    out.drop("__dataseq")
   }
 }
 
@@ -583,7 +654,8 @@ object IcebergWriter {
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104},
          |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
-         |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}
+         |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
+         |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
          |]},"field-id":2}
          |]}""".stripMargin.replaceAll("\n", ""))
   }
@@ -777,7 +849,8 @@ object IcebergWriter {
   /** Write one manifest for `adds`; returns (path, length, rowCount). */
   private[tables] def writeManifest(f: FileSystem, location: String, entrySchema: Schema,
       adds: Seq[TxLog.AddFile], schema: StructType, partFields: Seq[(String, DataType)],
-      topIds: Map[String, Int], snapId: Long, seq: Long, content: Int): (Path, Long, Long) = {
+      topIds: Map[String, Int], snapId: Long, seq: Long, content: Int,
+      equalityIds: Seq[Int] = Nil): (Path, Long, Long) = {
     val dir = IcebergLog.metadataDir(location)
     if (!f.exists(dir)) f.mkdirs(dir)
     val dataFileSchema = entrySchema.getField("data_file").schema()
@@ -805,6 +878,8 @@ object IcebergWriter {
         }
       dfr.put("lower_bounds", kvArray(entrySchema, "lower_bounds", bounds(a.minValues)))
       dfr.put("upper_bounds", kvArray(entrySchema, "upper_bounds", bounds(a.maxValues)))
+      if (equalityIds.nonEmpty)
+        dfr.put("equality_ids", equalityIds.map(Int.box).asJava)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapId)
@@ -1125,5 +1200,53 @@ object IcebergWriter {
     commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "delete"),
       snapId, seq, now)
     deletedRows
+  }
+
+  /** DELETE BY KEY as an EQUALITY-DELETE snapshot (v2 merge-on-read — the
+    * shape streaming upsert engines like Flink commit): the distinct key
+    * rows are written as a parquet delete file whose columns carry the
+    * table's field ids, one manifest with data_file.content=2 and
+    * `equality_ids` stamped joins the prior manifests, and the new
+    * snapshot's sequence number scopes the delete to every EARLIER data
+    * file — rows with the same keys appended LATER survive, per spec.
+    * No data file is read or rewritten: cost is O(distinct keys)
+    * regardless of table size, which is why upsert engines write these.
+    * Returns the number of delete-key rows committed.
+    */
+  def equalityDelete(spark: SparkSession, location: String,
+      keyCols: Seq[String], keys: DataFrame): Long = {
+    require(keyCols.nonEmpty, "equalityDelete requires at least one key column")
+    val st = IcebergLog.state(spark, location)
+    val f = IcebergLog.fs(spark, location)
+    val topIds = IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap
+    val missing = keyCols.filterNot(topIds.contains)
+    if (missing.nonEmpty)
+      throw UnsupportedOperationError(
+        s"equalityDelete: columns ${missing.mkString(", ")} are not in the table schema")
+    val typed = keyCols.map { c =>
+      val meta = new MetadataBuilder().putLong("parquet.field.id", topIds(c).toLong).build()
+      col(c).cast(st.schema(c).dataType).as(c, meta)
+    }
+    val rows = keys.select(typed.toIndexedSeq: _*).distinct()
+    val staged = TxLog.stageData(spark, location, rows, Seq.empty).filter(_.rows > 0)
+    if (staged.isEmpty) return 0L
+    val partFields = writablePartFields(st)
+    val seq = lastSeq(st.meta) + 1
+    val snapId = nextSnapId(st.meta)
+    val now = System.currentTimeMillis()
+    val entrySchema = entrySchemaFor(partFields)
+    // partition/bounds stay empty: the delete file's rows are keys, and
+    // an unpartitioned-scope equality delete applies table-wide
+    val delAdds = staged.map(_.copy(partitionValues = Map.empty,
+      minValues = None, maxValues = None))
+    val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, delAdds,
+      st.schema, partFields, topIds, snapId, seq, content = 2,
+      equalityIds = keyCols.map(topIds))
+    val ml = priorManifestRecords(spark, location, st) :+
+      mlRecord(mPath.toString, mLen, 1, seq, snapId, delAdds.size, mRows)
+    val mlPath = writeManifestList(f, location, snapId, ml)
+    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "delete"),
+      snapId, seq, now)
+    staged.map(_.rows).sum
   }
 }

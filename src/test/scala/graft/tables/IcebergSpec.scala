@@ -14,7 +14,8 @@ import graft.catalog.UnsupportedOperationError
 /** Apache Iceberg interop (spec v1/v2): round-trips through this
   * library's own minimal writer AND hand-crafted foreign metadata
   * exercising corners the writer never emits (v1 top-level schema,
-  * position-delete manifests, equality-delete refusal, snapshot travel).
+  * position-delete manifests, equality-delete application with
+  * sequence-number scoping, snapshot travel).
   */
 class IcebergSpec extends AnyFunSuite {
 
@@ -99,7 +100,7 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergLog.toDF(spark, loc).count() == 3)
   }
 
-  test("position deletes apply merge-on-read; equality deletes are refused") {
+  test("position deletes apply merge-on-read; id-less equality manifests refuse") {
     val loc = TestSpark.tmpDir("ice-posdel") + "/t"
     IcebergWriter.create(spark, loc, df1.repartition(1).sortWithinPartitions("id"))
     val f = IcebergLog.fs(spark, loc)
@@ -107,7 +108,7 @@ class IcebergSpec extends AnyFunSuite {
     // the single data file this created
     val meta = IcebergLog.readJson(f, IcebergLog.currentMetadataPath(f, loc))
     val snap = IcebergLog.snapshots(meta).head
-    val (data, _) = IcebergLog.liveFiles(spark, loc, meta, snap)
+    val (data, _, _) = IcebergLog.liveFiles(spark, loc, meta, snap)
     assert(data.size == 1)
     val dataPath = IcebergLog.resolve(loc, data.head.path).toString
 
@@ -192,7 +193,9 @@ class IcebergSpec extends AnyFunSuite {
     // the pre-delete snapshot still reads all rows (time travel)
     assert(IcebergLog.toDF(spark, loc, Some(snap.snapshotId)).count() == 3)
 
-    // equality deletes (content=2) refuse with a typed error
+    // an equality delete whose manifest carries NO equality_ids is
+    // malformed — refused with a typed error (well-formed ones apply;
+    // see the equality-delete round-trip test)
     val eqEntry = new GenericData.Record(entrySchema)
     val eqDfr = new GenericData.Record(entrySchema.getField("data_file").schema())
     eqDfr.put("content", 2)
@@ -220,6 +223,48 @@ class IcebergSpec extends AnyFunSuite {
     val hint3 = f.create(new Path(loc, "metadata/version-hint.text"), true)
     try hint3.write("3".getBytes("UTF-8")) finally hint3.close()
     intercept[UnsupportedOperationError] { IcebergLog.toDF(spark, loc).count() }
+  }
+
+  test("equality deletes: write, apply with sequence scoping, re-insert survives") {
+    val loc = TestSpark.tmpDir("ice-eqdel") + "/t"
+    IcebergWriter.create(spark, loc, df1) // ids 1,2,3 @ seq 1
+
+    // delete ids 2 and 3 by key — no data file read or rewritten
+    val n = IcebergWriter.equalityDelete(spark, loc, Seq("id"),
+      Seq(2L, 3L).toDF("id")) // seq 2
+    assert(n == 2L)
+    assert(IcebergLog.toDF(spark, loc).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // re-insert id=2 AFTER the delete: its data seq (3) > delete seq (2),
+    // so the spec's strictly-smaller rule keeps it alive
+    IcebergWriter.append(spark, loc, Seq((2L, "b2", 9.5), (6L, "f", 6.5)).toDF("id", "s", "v"))
+    assert(IcebergLog.toDF(spark, loc).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 6L))
+    // the re-inserted row is the NEW version
+    assert(IcebergLog.toDF(spark, loc).filter(col("id") === 2L)
+      .select("s").head().getString(0) == "b2")
+
+    // time travel: the pre-delete snapshot still reads all 3 original rows
+    val snaps = IcebergLog.history(spark, loc)
+    assert(IcebergLog.toDF(spark, loc, Some(snaps.head)).count() == 3)
+
+    // predicate scan composes with equality deletes
+    assert(IcebergLog.scan(spark, loc, "v > 2.0").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 6L))
+
+    // multi-column equality delete, null-safe matching
+    val n2 = IcebergWriter.equalityDelete(spark, loc, Seq("id", "s"),
+      Seq((6L, "f")).toDF("id", "s"))
+    assert(n2 == 1L)
+    assert(IcebergLog.toDF(spark, loc).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // the TxTable write surface refuses until deletes are compacted —
+    // key-matched deletes cannot be folded into per-file position bitmaps
+    intercept[UnsupportedOperationError] {
+      TxTable.forIceberg(spark, loc).snapshot
+    }
   }
 
   test("identity-partitioned create/append: full rows in data files, manifest pruning") {
