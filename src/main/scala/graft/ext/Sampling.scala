@@ -50,4 +50,59 @@ object Sampling {
     }
     df.filter(hash32(col(idCol)) < floor(frac * lit(M32.toDouble)).cast("long"))
   }
+
+  /** Corpus mixing under per-source TOKEN budgets — the "domain weights"
+    * primitive of training-data curation (sample each source until its
+    * token allowance is spent, taking documents in priority order): keep,
+    * within each stratum, the prefix of documents — ordered by the
+    * integral `orderCol`, unique across the table — whose running token
+    * total stays within that stratum's budget. Emits the kept rows plus
+    * `cumCol`, the running total (the audit trail of why a doc made the
+    * cut). Strata absent from `budgets` are dropped.
+    *
+    * Scale shape: the running total is the two-phase distributed prefix
+    * sum (same design as Packing.withRunningTotal), generalized per
+    * stratum: arithmetic order-buckets (NOT sampled ranges), one window
+    * pass partitioned by (bucket, stratum) — so a giant source still
+    * splits across buckets instead of funneling through one task — then
+    * one (#buckets × #strata)-row driver fold for the exclusive offsets,
+    * broadcast back. No global sort, no single-partition window.
+    */
+  def tokenBudgetMix(df: DataFrame, strataCol: String, orderCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      cumCol: String = "cum_tokens"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val mm = df.agg(min(col(orderCol)).cast("long").as("lo"),
+      max(col(orderCol)).cast("long").as("hi")).collect()(0)
+    if (mm.isNullAt(0))
+      return df.withColumn(cumCol, lit(null).cast("long")).limit(0)
+    val lo = mm.getLong(0)
+    // double conversion is monotone — any order-preserving bucket map works
+    val span = math.max(1.0, (mm.getLong(1) - lo).toDouble + 1.0)
+    val bucket = least(lit(nParts - 1), greatest(lit(0),
+      floor((col(orderCol).cast("long") - lit(lo)).cast("double") / lit(span) * lit(nParts))
+        .cast("int")))
+    val local = df.withColumn("__pid", bucket)
+      .withColumn("__lcum", sum(col(tokensCol)).over(
+        Window.partitionBy(col("__pid"), col(strataCol)).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = local.groupBy(col("__pid"), col(strataCol))
+      .agg(max(col("__lcum")).as("__ptotal"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (stratum, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, tot) =>
+        val o = (pid, stratum, acc); acc += tot; o
+      }
+    }
+    val offsetsDf = spark.createDataFrame(offsets).toDF("__pid", strataCol, "__offset")
+    val budgetsDf = spark.createDataFrame(budgets.toSeq).toDF(strataCol, "__budget")
+    local.join(broadcast(offsetsDf), Seq("__pid", strataCol))
+      .withColumn(cumCol, col("__lcum") + col("__offset"))
+      .join(broadcast(budgetsDf), Seq(strataCol))
+      .filter(col(cumCol) <= col("__budget"))
+      .drop("__pid", "__lcum", "__offset", "__budget")
+  }
 }

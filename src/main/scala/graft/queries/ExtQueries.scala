@@ -331,5 +331,41 @@ object ExtQueries {
         FROM sh s, bench b
         WHERE CAST(len(list_intersect(s.shingles, b.bs)) AS DOUBLE) / len(s.shingles) >= 0.5
         ORDER BY doc_id"""))
+  ,
+
+    // ---- corpus mixing under per-source token budgets ----
+    // the "domain weights" curation step: each source src{i} gets a
+    // token allowance (800 + 120*i here), documents are taken
+    // longest-first (doc_id tiebreak) until the allowance is spent.
+    // The running total is the two-phase distributed prefix sum per
+    // stratum — no global sort, no single-partition window — and the
+    // oracle replays it with a plain windowed SUM, pinning every kept
+    // doc AND its audited cumulative token count
+    QueryDef(
+      "q103_token_budget_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val base = d.select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"),
+          (col("n_chars") * lit(-10000000L) + col("doc_id")).as("__ord"))
+        val budgets = (0 until 20).map(i => s"src$i" -> (800L + 120L * i)).toMap
+        graft.ext.Sampling.tokenBudgetMix(base, "source", "__ord", "n_tokens", budgets)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, source,
+            CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT) AS n_tokens,
+            (-n_chars * 10000000 + doc_id) AS ord
+          FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, source, n_tokens,
+            CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM base
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens
+        FROM cum
+        WHERE cum_tokens <= 800 + 120 * CAST(SUBSTR(source, 4) AS BIGINT)"""))
   )
 }

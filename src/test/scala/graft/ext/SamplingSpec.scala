@@ -33,4 +33,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(langs == Set("en"))
     assert(out.count() == docs.filter($"lang" === "en").count())
   }
+
+  test("tokenBudgetMix keeps the in-budget prefix per stratum, matching a window oracle") {
+    // 2 strata x 200 docs, varying token counts, order = id
+    val d = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L + (i * 7) % 50)).toDF("id", "src", "toks")
+    val budgets = Map("a" -> 500L, "b" -> 900L)
+    val got = Sampling.tokenBudgetMix(d, "src", "id", "toks", budgets)
+      .select("id", "cum_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // driver-side oracle: running total per stratum in id order
+    val rows = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L + (i * 7) % 50))
+    val want = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      var acc = 0L
+      rs.sortBy(_._1).flatMap { case (id, _, t) =>
+        acc += t
+        if (acc <= budgets(src)) Some(id -> acc) else None
+      }
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.size < 400, "budget must actually cut")
+  }
+
+  test("tokenBudgetMix survives repartitioning and drops unbudgeted strata") {
+    val d = (0L until 100L).map(i => (i, s"s${i % 5}", 10L)).toDF("id", "src", "toks")
+    val a = Sampling.tokenBudgetMix(d, "src", "id", "toks", Map("s0" -> 100L))
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.tokenBudgetMix(d.repartition(13), "src", "id", "toks", Map("s0" -> 100L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b, "selection must not depend on partitioning")
+    // s0 ids are 0,5,10,...; 10 tokens each, budget 100 => first 10 docs
+    assert(a == (0L until 50L by 5L).toSeq)
+  }
 }
