@@ -506,6 +506,32 @@ object InteropQueries {
           SELECT c_custkey, c_nationkey, c_acctbal FROM customer
           WHERE c_nationkey = 2)
         SELECT c_nationkey, COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
-        FROM live GROUP BY c_nationkey ORDER BY c_nationkey"""))
+        FROM live GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // q104: HIDDEN PARTITIONING — the table is bucket- and month-
+    // partitioned through Iceberg's spec transforms (murmur3 bucket of
+    // the custkey, UTC month ordinal of the order date); the scan filters
+    // on the RAW columns and the planner projects the predicates through
+    // the transforms to prune manifest entries (IcebergTransformsSpec
+    // asserts the file counts; here the hash check proves projection
+    // pruning loses no qualifying row — the Iceberg scan optimization
+    // that matters most at 100 TB)
+    QueryDef(
+      "q104_iceberg_hidden_partitioning",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q104-ice").toString + "/t"
+        val orders = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        graft.tables.IcebergWriter.create(s, loc, orders,
+          partitionColumns = Seq("bucket(8, o_custkey)", "month(o_orderdate)"))
+        graft.tables.IcebergLog.scan(s, loc,
+          "o_custkey = 371 AND o_orderdate >= TIMESTAMP_NTZ'1995-01-01 00:00:00'")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_custkey"))
+      },
+      Some(s"""SELECT o_custkey, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
+        FROM orders WHERE o_custkey = 371 AND o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_custkey ORDER BY o_custkey"""))
   )
 }

@@ -373,7 +373,12 @@ private[graft] object IcebergCommitLog extends CommitLog {
 
   def checkWritable(spark: SparkSession, location: String, op: String): Unit = {
     val st = IcebergLog.stateAt(spark, location, None)
-    IcebergWriter.writablePartFields(st) // refuses non-identity transforms
+    // resolves the default spec — refuses unknown transform strings. On a
+    // hidden-partitioned (transformed) spec, TxTable-routed adds commit
+    // with null transform tuples (correct — readers keep such files) and
+    // an IcebergWriter.overwrite re-clusters; survivor rewrites round-trip
+    // their stored tuples untouched.
+    IcebergWriter.writablePartFields(st)
   }
 
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
@@ -535,10 +540,17 @@ private[graft] object IcebergCommitLog extends CommitLog {
     if (plain.isEmpty) live else read(plain, withMeta = false).unionAll(live)
   }
 
-  def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
+  def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] = {
+    // stage by the table's FULL default spec (transforms included), so
+    // TxTable-routed appends cluster by hidden partitions too; source
+    // types resolve through the possibly-evolved snapshot schema
+    val specFields = IcebergWriter.resolvedSpecFields(IcebergLog.stateAt(spark, location, None))
+      .map(sf => snap.schema.fields.find(_.name == sf.source)
+        .map(f => sf.copy(sourceType = f.dataType)).getOrElse(sf))
     IcebergWriter.stage(spark, location,
       Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
-        snap.properties, snap.schema), snap.partitionColumns)
+        snap.properties, snap.schema), specFields)
+  }
 
   def create(spark: SparkSession, location: String, df0: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit = {

@@ -156,6 +156,12 @@ object IcebergLog {
 
   private[tables] final case class SpecField(name: String, transform: String, sourceId: Int)
 
+  /** A spec field resolved against the live schema, ready to stage by. */
+  private[tables] final case class ResolvedSpecField(
+      name: String, t: IceTransforms.T, source: String, sourceType: DataType) {
+    def resultType: DataType = IceTransforms.resultType(t, sourceType)
+  }
+
   /** spec-id → fields, from v2 `partition-specs` with the v1 top-level
     * `partition-spec` as the spec-0 fallback.
     */
@@ -303,8 +309,14 @@ object IcebergLog {
     val dataSeq = Map.newBuilder[String, Long]
     manifests.foreach { case (mPath, mContent, specId, mlSeq) =>
       // identity fields of THIS manifest's spec, resolved to live columns
-      val identity = specs.getOrElse(specId, Seq.empty).filter(_.transform == "identity")
+      val specFields = specs.getOrElse(specId, Seq.empty)
+      val identity = specFields.filter(_.transform == "identity")
         .flatMap(sf => byId.get(sf.sourceId).map { case (n, _) => sf.name -> n })
+      // hidden-partitioning fields keep their TRANSFORMED value under the
+      // spec field name (spec names never collide with schema columns, so
+      // FileStats ignores them; IceTransforms projects predicates onto them)
+      val transformed = specFields
+        .filter(sf => sf.transform != "identity" && sf.transform != "void").map(_.name)
       readAvro(f, resolve(location, mPath)).foreach { entry =>
         val status = Option(entry.get("status")).map(_.asInstanceOf[Number].intValue).getOrElse(0)
         // spec inheritance: a null sequence_number on an ADDED entry takes
@@ -328,10 +340,12 @@ object IcebergLog {
                 case _ => None
               }
               val partValues = partRec.map { r =>
+                def raw(specName: String): Any =
+                  if (r.getSchema.getField(specName) == null) null else r.get(specName)
                 identity.flatMap { case (specName, colName) =>
-                  val v = if (r.getSchema.getField(specName) == null) null else r.get(specName)
-                  partitionString(v).map(colName -> _)
-                }.toMap
+                  partitionString(raw(specName)).map(colName -> _)
+                }.toMap ++
+                  transformed.flatMap(n => partitionString(raw(n)).map(n -> _)).toMap
               }.getOrElse(Map.empty)
               def decoded(fieldName: String): Option[Map[String, String]] = {
                 val m = boundsOf(if (df.getSchema.getField(fieldName) == null) null
@@ -373,7 +387,26 @@ object IcebergLog {
   private[tables] final case class IceState(
       meta: JValue, metadataVersion: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[TxLog.AddFile], deletes: Seq[IceFile],
-      snapshotId: Option[Long], dataSeq: Map[String, Long] = Map.empty)
+      snapshotId: Option[Long], dataSeq: Map[String, Long] = Map.empty,
+      transformFields: Seq[(String, IceTransforms.T, String)] = Seq.empty)
+
+  /** Non-identity spec fields across ALL specs resolved against the
+    * current schema: (specFieldName, transform, sourceColumn). A name two
+    * specs define differently is dropped from pruning (kept files only —
+    * safe); unknown transform strings are skipped (forward-compatible).
+    */
+  private[tables] def transformFieldsOf(meta: JValue): Seq[(String, IceTransforms.T, String)] = {
+    val byId = topFields(meta).map { case (id, n, _) => id -> n }.toMap
+    val all = specsById(meta).values.flatten.toSeq
+      .filter(sf => sf.transform != "identity" && sf.transform != "void")
+      .flatMap { sf =>
+        for (t <- IceTransforms.parseSpec(sf.transform); src <- byId.get(sf.sourceId))
+          yield (sf.name, t, src)
+      }
+    all.groupBy(_._1).valuesIterator.collect {
+      case group if group.distinct.size == 1 => group.head
+    }.toSeq
+  }
 
   private[tables] def state(spark: SparkSession, location: String,
       asOfSnapshotId: Option[Long] = None): IceState = {
@@ -405,12 +438,14 @@ object IcebergLog {
       metaVersion: Long, asOfSnapshotId: Option[Long]): IceState = {
     val schema = currentSchema(meta)
     val parts = identityPartCols(meta).filter(schema.fieldNames.contains)
+    val tf = transformFieldsOf(meta).filter { case (_, _, src) => schema.fieldNames.contains(src) }
     pickSnapshot(meta, asOfSnapshotId) match {
       case None =>
-        IceState(meta, metaVersion, schema, parts, Seq.empty, Seq.empty, None)
+        IceState(meta, metaVersion, schema, parts, Seq.empty, Seq.empty, None,
+          transformFields = tf)
       case Some(s) =>
         val (data, deletes, dataSeq) = liveFiles(spark, location, meta, s)
-        IceState(meta, metaVersion, schema, parts, data, deletes, Some(s.snapshotId), dataSeq)
+        IceState(meta, metaVersion, schema, parts, data, deletes, Some(s.snapshotId), dataSeq, tf)
     }
   }
 
@@ -480,13 +515,40 @@ object IcebergLog {
     */
   def scan(spark: SparkSession, location: String, predicate: String): DataFrame = {
     val st = state(spark, location)
-    val surviving = FileStats.survivingFiles(spark, pruneView(st), predicate)
+    val surviving = transformSurvivors(spark, st,
+      FileStats.survivingFiles(spark, pruneView(st), predicate), predicate)
     dfFor(spark, st.copy(files = surviving)).filter(expr(predicate))
   }
 
   /** Files the pruner would read for a predicate (tests/inspection). */
-  def filesAfterPruning(spark: SparkSession, location: String, predicate: String): Int =
-    FileStats.survivingFiles(spark, pruneView(state(spark, location)), predicate).size
+  def filesAfterPruning(spark: SparkSession, location: String, predicate: String): Int = {
+    val st = state(spark, location)
+    transformSurvivors(spark, st,
+      FileStats.survivingFiles(spark, pruneView(st), predicate), predicate).size
+  }
+
+  /** Hidden-partitioning pruning: project each prunable conjunct through
+    * every transform whose SOURCE column it constrains, against the file's
+    * stored transformed partition value. Composes with (runs after) the
+    * identity/stats pruning FileStats does.
+    */
+  private[tables] def transformSurvivors(spark: SparkSession, st: IceState,
+      files: Seq[TxLog.AddFile], predicate: String): Seq[TxLog.AddFile] = {
+    if (st.transformFields.isEmpty) return files
+    val conjuncts = FileStats.prunableConjuncts(
+      spark.sessionState.sqlParser.parseExpression(predicate))
+    if (conjuncts.isEmpty) return files
+    val bySource = st.transformFields.groupBy(_._3)
+    val types = st.schema.fields.map(f => f.name -> f.dataType).toMap
+    files.filter { f =>
+      conjuncts.forall { c =>
+        bySource.getOrElse(c.colName, Seq.empty).forall { case (specName, t, src) =>
+          IceTransforms.mightMatch(t, types(src),
+            f.partitionValues.get(specName).orNull, c.op, c.value)
+        }
+      }
+    }
+  }
 
   private def pruneView(st: IceState): TxLog.Snapshot =
     TxLog.Snapshot(0L, st.schema, st.partitionColumns, st.files, Map.empty)
@@ -788,11 +850,20 @@ object IcebergWriter {
     * travel in the manifests, not the paths.
     */
   private[tables] def stage(spark: SparkSession, location: String, df: DataFrame,
-      partCols: Seq[String]): Seq[TxLog.AddFile] =
-    if (partCols.isEmpty) TxLog.stageData(spark, location, df, Seq.empty)
+      fields: Seq[IcebergLog.ResolvedSpecField]): Seq[TxLog.AddFile] =
+    if (fields.isEmpty) TxLog.stageData(spark, location, df, Seq.empty)
     else {
-      val tagged = partCols.foldLeft(df)((d, c) => d.withColumn(s"__ice_$c", col(c)))
-      TxLog.stageData(spark, location, tagged, partCols.map(c => s"__ice_$c"))
+      // each spec field rides as a `__ice_` tag column (codegen'd transform
+      // of its source — the source column itself STAYS in the data file,
+      // iceberg files carry full rows), so hive staging clusters rows by
+      // the transformed tuple and hands back one AddFile per tuple
+      val tagged = fields.foldLeft(df)((d, sf) => d.withColumn(s"__ice_${sf.name}",
+        IceTransforms.column(sf.t, col(sf.source), sf.sourceType)))
+      val tags = fields.map(sf => s"__ice_${sf.name}")
+      // hash-cluster rows by the partition tuple before the write (Spark's
+      // Iceberg writer's default distribution mode): files-per-commit stays
+      // O(#tuples), not O(#tasks × #tuples) — the small-files failure mode
+      TxLog.stageData(spark, location, tagged.repartition(tags.map(col): _*), tags)
         .map(a => a.copy(partitionValues =
           a.partitionValues.map { case (k, v) => k.stripPrefix("__ice_") -> v }))
     }
@@ -806,7 +877,10 @@ object IcebergWriter {
       case BooleanType => java.lang.Boolean.valueOf(s.toBoolean)
       case FloatType => java.lang.Float.valueOf(s.toFloat)
       case DoubleType => java.lang.Double.valueOf(s.toDouble)
-      case DateType => java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      // accepts ISO dates (hive staging dirs) AND day ints (manifest
+      // read-back — survivor rewrites of day-transformed specs)
+      case DateType => java.lang.Integer.valueOf(
+        s.toIntOption.getOrElse(java.time.LocalDate.parse(s).toEpochDay.toInt))
       case other =>
         throw UnsupportedOperationError(s"iceberg writer: unsupported partition type $other")
     }
@@ -997,15 +1071,28 @@ object IcebergWriter {
   /** Identity partition columns with their types; refuses appends through
     * specs this writer cannot compute (non-identity transforms).
     */
-  private[tables] def writablePartFields(st: IcebergLog.IceState): Seq[(String, DataType)] = {
+  /** The DEFAULT spec's fields resolved against the live schema — the
+    * shape every write stages and serializes by. Refuses only transforms
+    * this writer cannot evaluate (unknown strings, spec-undefined type
+    * pairs surface later from IceTransforms.column).
+    */
+  private[tables] def resolvedSpecFields(st: IcebergLog.IceState): Seq[IcebergLog.ResolvedSpecField] = {
     val defaultSpec = (st.meta \ "default-spec-id").extractOrElse[Int](0)
-    val fields = IcebergLog.specsById(st.meta).getOrElse(defaultSpec, Seq.empty)
-    if (fields.exists(_.transform != "identity"))
-      throw UnsupportedOperationError(
-        s"iceberg writer: only identity partition transforms are supported for writes; " +
-          s"table uses ${fields.map(_.transform).distinct.mkString(",")}")
-    st.partitionColumns.map(c => c -> st.schema(c).dataType)
+    val byId = IcebergLog.topFields(st.meta).map { case (id, n, dt) => id -> ((n, dt)) }.toMap
+    IcebergLog.specsById(st.meta).getOrElse(defaultSpec, Seq.empty).map { sf =>
+      val t = IceTransforms.parseSpec(sf.transform).getOrElse(throw UnsupportedOperationError(
+        s"iceberg writer: unknown partition transform '${sf.transform}'"))
+      val (src, dt) = byId.getOrElse(sf.sourceId, throw UnsupportedOperationError(
+        s"iceberg writer: partition source id ${sf.sourceId} is not in the schema"))
+      IcebergLog.ResolvedSpecField(sf.name, t, src, dt)
+    }
   }
+
+  /** (specFieldName, RESULT type) pairs of the default spec — the
+    * partition-tuple shape manifest entries serialize.
+    */
+  private[tables] def writablePartFields(st: IcebergLog.IceState): Seq[(String, DataType)] =
+    resolvedSpecFields(st).map(f => f.name -> f.resultType)
 
   /** STRICT schema gate through the Iceberg type bridge (short/byte ride
     * as int etc.), returning the frame cast to the table schema.
@@ -1017,8 +1104,12 @@ object IcebergWriter {
     df.select(st.schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
   }
 
-  /** Create a v2 Iceberg table (unpartitioned or identity-partitioned on
-    * `partitionColumns`) with `df` as snapshot 1.
+  /** Create a v2 Iceberg table with `df` as snapshot 1. Each
+    * `partitionColumns` entry is a bare column name (identity) or a
+    * HIDDEN-PARTITIONING transform — `bucket(16, col)`, `truncate(4, col)`,
+    * `year(col)` / `month(col)` / `day(col)` / `hour(col)` — staged
+    * through the spec-mandated transforms (murmur3 bucket, UTC temporal
+    * binning) so any Iceberg engine prunes this table's files.
     */
   def create(spark: SparkSession, location: String, df: DataFrame,
       partitionColumns: Seq[String] = Seq.empty,
@@ -1027,13 +1118,17 @@ object IcebergWriter {
       throw graft.catalog.AlreadyExistsError(s"iceberg table already exists at $location")
     val f = IcebergLog.fs(spark, location)
     val (schemaJson, lastColId, topIds) = icebergSchemaJson(df.schema)
-    val partFields = partitionColumns.map { c =>
+    val specFields = partitionColumns.map { spec =>
+      val (c, t) = IceTransforms.parseUser(spec)
       val field = df.schema.fields.find(_.name == c).getOrElse(
         throw UnsupportedOperationError(s"partition column $c is not in the schema"))
-      avroTypeJson(field.dataType) // validates the type is partitionable
-      c -> field.dataType
+      IceTransforms.column(t, col(c), field.dataType) // validates (transform, type)
+      val rf = IcebergLog.ResolvedSpecField(IceTransforms.fieldName(c, t), t, c, field.dataType)
+      avroTypeJson(rf.resultType) // validates the tuple is serializable
+      rf
     }
-    val added = stage(spark, location, df, partitionColumns)
+    val partFields = specFields.map(sf => sf.name -> sf.resultType)
+    val added = stage(spark, location, df, specFields)
     val snapId = 1L
     val now = System.currentTimeMillis()
     val entrySchema = entrySchemaFor(partFields)
@@ -1041,9 +1136,9 @@ object IcebergWriter {
       df.schema, partFields, topIds, snapId, seq = 1L, content = 0)
     val mlPath = writeManifestList(f, location, snapId,
       Seq(mlRecord(mPath.toString, mLen, 0, 1L, snapId, added.size, mRows)))
-    val specFieldsJson = partitionColumns.zipWithIndex.map { case (c, i) =>
-      JObject("name" -> JString(c), "transform" -> JString("identity"),
-        "source-id" -> JInt(topIds(c)), "field-id" -> JInt(1000 + i)): JValue
+    val specFieldsJson = specFields.zipWithIndex.map { case (sf, i) =>
+      JObject("name" -> JString(sf.name), "transform" -> JString(sf.t.spec),
+        "source-id" -> JInt(topIds(sf.source)), "field-id" -> JInt(1000 + i)): JValue
     }
     val body = JsonMethods.compact(JsonMethods.render(JObject(
       "format-version" -> JInt(2),
@@ -1077,9 +1172,10 @@ object IcebergWriter {
     val st = IcebergLog.state(spark, location)
     val f = IcebergLog.fs(spark, location)
     val data = conformed(st, df)
-    val partFields = writablePartFields(st)
+    val specFields = resolvedSpecFields(st)
+    val partFields = specFields.map(sf => sf.name -> sf.resultType)
     val topIds = IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap
-    val added = stage(spark, location, data, st.partitionColumns)
+    val added = stage(spark, location, data, specFields)
     val seq = lastSeq(st.meta) + 1
     val snapId = nextSnapId(st.meta)
     val now = System.currentTimeMillis()
@@ -1103,21 +1199,24 @@ object IcebergWriter {
       adoptSchema: Boolean = false): Unit = {
     val st = IcebergLog.state(spark, location)
     val f = IcebergLog.fs(spark, location)
-    val partFields0 = writablePartFields(st)
+    val specFields0 = resolvedSpecFields(st)
     val (data, schema, replaceFields, topIds) =
       if (!adoptSchema)
         (conformed(st, df), st.schema, Map.empty[String, JValue],
           IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap)
       else {
-        st.partitionColumns.foreach { c =>
-          if (!df.schema.fieldNames.contains(c))
+        specFields0.foreach { sf =>
+          if (!df.schema.fieldNames.contains(sf.source))
             throw UnsupportedOperationError(
-              s"overwrite schema drops partition column $c; repartition the table instead")
+              s"overwrite schema drops partition source column ${sf.source}; " +
+                "repartition the table instead")
         }
+        // the spec survives the evolution with its transforms intact —
+        // source-ids re-point at the new schema's ids for the same columns
         val (json, lastColId, ids) = icebergSchemaJson(df.schema)
-        val specFieldsJson = st.partitionColumns.zipWithIndex.map { case (c, i) =>
-          JObject("name" -> JString(c), "transform" -> JString("identity"),
-            "source-id" -> JInt(ids(c)), "field-id" -> JInt(1000 + i)): JValue
+        val specFieldsJson = specFields0.zipWithIndex.map { case (sf, i) =>
+          JObject("name" -> JString(sf.name), "transform" -> JString(sf.t.spec),
+            "source-id" -> JInt(ids(sf.source)), "field-id" -> JInt(1000 + i)): JValue
         }
         (df, df.schema, Map[String, JValue](
           "schemas" -> JArray(List(JsonMethods.parse(json))),
@@ -1127,10 +1226,11 @@ object IcebergWriter {
             "spec-id" -> JInt(0), "fields" -> JArray(specFieldsJson.toList)))),
           "default-spec-id" -> JInt(0)), ids)
       }
-    val partFields =
-      if (!adoptSchema) partFields0
-      else st.partitionColumns.map(c => c -> schema(c).dataType)
-    val added = stage(spark, location, data, st.partitionColumns)
+    val specFields =
+      if (!adoptSchema) specFields0
+      else specFields0.map(sf => sf.copy(sourceType = schema(sf.source).dataType))
+    val partFields = specFields.map(sf => sf.name -> sf.resultType)
+    val added = stage(spark, location, data, specFields)
     val seq = lastSeq(st.meta) + 1
     val snapId = nextSnapId(st.meta)
     val now = System.currentTimeMillis()
