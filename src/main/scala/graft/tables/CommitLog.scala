@@ -518,8 +518,10 @@ private[graft] object IcebergCommitLog extends CommitLog {
     if (s.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     // iceberg AddFile paths are absolute (manifests record full paths)
+    val readSchema = IcebergLog.readSchemaFor(spark,
+      IcebergLog.metaAt(spark, location, s.version), s.schema)
     def read(files: Seq[AddFile], withMeta: Boolean): DataFrame = {
-      val base = spark.read.schema(s.schema).parquet(files.map(_.path): _*)
+      val base = spark.read.schema(readSchema).parquet(files.map(_.path): _*)
       val metaSel =
         if (withMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
           col("_metadata.row_index").as(DeltaLog.RowMetaCol))
@@ -544,12 +546,14 @@ private[graft] object IcebergCommitLog extends CommitLog {
     // stage by the table's FULL default spec (transforms included), so
     // TxTable-routed appends cluster by hidden partitions too; source
     // types resolve through the possibly-evolved snapshot schema
-    val specFields = IcebergWriter.resolvedSpecFields(IcebergLog.stateAt(spark, location, None))
+    val st = IcebergLog.stateAt(spark, location, None)
+    val specFields = IcebergWriter.resolvedSpecFields(st)
       .map(sf => snap.schema.fields.find(_.name == sf.source)
         .map(f => sf.copy(sourceType = f.dataType)).getOrElse(sf))
     IcebergWriter.stage(spark, location,
       Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
-        snap.properties, snap.schema), specFields)
+        snap.properties, snap.schema), specFields,
+      IcebergLog.currentSchemaJson(st.meta))
   }
 
   def create(spark: SparkSession, location: String, df0: DataFrame,

@@ -144,6 +144,61 @@ object IcebergLog {
   private[tables] def currentSchema(meta: JValue): StructType =
     structOf(currentSchemaJson(meta))
 
+  /** The Spark schema of an Iceberg schema JSON with each TOP-LEVEL
+    * field's Iceberg id attached as `parquet.field.id` metadata. Spark's
+    * parquet writer stamps the ids into data-file footers and, with
+    * `spark.sql.parquet.fieldId.read.enabled`, resolves columns BY ID —
+    * the spec's column-resolution rule, which is what makes renames by
+    * any engine safe against historical files. Top level ONLY, on both
+    * the write and read paths symmetrically: Spark's parquet bridge
+    * cannot express list/map ELEMENT ids at all, so nested levels stay
+    * id-less and resolve by name in every era (nested renames by foreign
+    * engines are the documented residual limit).
+    */
+  private[tables] def schemaWithFieldIds(schemaJson: JValue): StructType =
+    StructType((schemaJson \ "fields").extract[Seq[JValue]].map { f =>
+      StructField(
+        (f \ "name").extract[String],
+        toSparkType(f \ "type"),
+        nullable = !(f \ "required").extractOrElse[Boolean](false),
+        new MetadataBuilder()
+          .putLong("parquet.field.id", (f \ "id").extract[Int].toLong).build())
+    })
+
+  /** Was any top-level column EVER known under a different name (same
+    * field id) in the metadata's schema history? When true, name-based
+    * parquet resolution would silently null out renamed columns in files
+    * written before the rename — the read must resolve by field id.
+    */
+  private[tables] def renamedEver(meta: JValue): Boolean = {
+    val current = topFields(meta).map { case (id, n, _) => id -> n }.toMap
+    (meta \ "schemas").extractOpt[Seq[JValue]].getOrElse(Seq.empty).exists { s =>
+      (s \ "fields").extractOpt[Seq[JValue]].getOrElse(Seq.empty).exists { f =>
+        (for {
+          id <- (f \ "id").extractOpt[Int]
+          n <- (f \ "name").extractOpt[String]
+          cur <- current.get(id)
+        } yield cur != n).getOrElse(false)
+      }
+    }
+  }
+
+  /** Parquet read schema for a table state: plain names normally (works
+    * for id-less and id-bearing files alike); id-attached with Spark's
+    * fieldId resolution turned on once a rename exists in the schema
+    * history. An id-LESS data file in a renamed table then fails loudly
+    * (Spark's missing-id error) instead of returning silent nulls —
+    * matching iceberg-java, which cannot read such files without a name
+    * mapping either.
+    */
+  private[tables] def readSchemaFor(spark: SparkSession, meta: JValue,
+      schema: StructType): StructType =
+    if (!renamedEver(meta)) schema
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      schemaWithFieldIds(currentSchemaJson(meta))
+    }
+
   /** Top-level (field-id, name, type) of the current schema — the
     * address space bounds and partition source-ids live in.
     */
@@ -424,11 +479,18 @@ object IcebergLog {
       metadataVersion: Option[Long]): IceState = metadataVersion match {
     case None => state(spark, location)
     case Some(v) =>
-      val f = fs(spark, location)
-      val p = new Path(metadataDir(location), s"v$v.metadata.json")
-      if (!f.exists(p))
-        throw graft.catalog.DoesNotExistError(s"no iceberg metadata v$v at $location")
-      stateFromMeta(spark, location, readJson(f, p), v, None)
+      stateFromMeta(spark, location, metaAt(spark, location, v), v, None)
+  }
+
+  /** The metadata document at a version — one small JSON read, no
+    * manifest traversal (for paths that only need schema/properties).
+    */
+  private[tables] def metaAt(spark: SparkSession, location: String, v: Long): JValue = {
+    val f = fs(spark, location)
+    val p = new Path(metadataDir(location), s"v$v.metadata.json")
+    if (!f.exists(p))
+      throw graft.catalog.DoesNotExistError(s"no iceberg metadata v$v at $location")
+    readJson(f, p)
   }
 
   private def metaVersionOf(metaPath: Path): Long =
@@ -570,7 +632,8 @@ object IcebergLog {
       if (needMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
         col("_metadata.row_index").as(DeltaLog.RowMetaCol))
       else Seq.empty
-    val base = spark.read.schema(st.schema).parquet(st.files.map(_.path): _*)
+    val base = spark.read.schema(readSchemaFor(spark, st.meta, st.schema))
+      .parquet(st.files.map(_.path): _*)
       .select(st.schema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
     val live = applyEqualityDeletes(spark,
       applyPositionDeletes(spark, base, st), st)
@@ -794,8 +857,11 @@ object IcebergWriter {
     * resolution is id-based, so a re-number would corrupt every external
     * reader's view of historical files): fields whose name and type match
     * the current schema keep their JSON verbatim; added or retyped fields
-    * mint fresh ids above last-column-id. Returns the replacement
-    * metadata fields plus the top-level name→id map.
+    * mint fresh ids above last-column-id. The new schema APPENDS to the
+    * `schemas` history under a fresh schema-id (never replaces it) — the
+    * history is what rename detection and external snapshot readers
+    * resolve against. Returns the replacement metadata fields plus the
+    * top-level name→id map.
     */
   private[tables] def evolvedSchemaFields(meta: JValue, evolved: StructType)
       : (Map[String, JValue], Map[String, Int]) = {
@@ -814,11 +880,15 @@ object IcebergWriter {
       topIds(f.name) = (j \ "id").extract[Int]
       j
     }
-    val schemaJson = JObject("type" -> JString("struct"), "schema-id" -> JInt(0),
-      "fields" -> JArray(fields))
+    val prior = (meta \ "schemas").extractOpt[Seq[JValue]]
+      .getOrElse(Seq(IcebergLog.currentSchemaJson(meta)))
+    val nextSchemaId = prior.flatMap(s => (s \ "schema-id").extractOpt[Int])
+      .maxOption.getOrElse(0) + 1
+    val schemaJson = JObject("type" -> JString("struct"),
+      "schema-id" -> JInt(nextSchemaId), "fields" -> JArray(fields))
     (Map(
-      "schemas" -> JArray(List(schemaJson)),
-      "current-schema-id" -> JInt(0),
+      "schemas" -> JArray((prior :+ (schemaJson: JValue)).toList),
+      "current-schema-id" -> JInt(nextSchemaId),
       "last-column-id" -> JInt(math.max(b.nextId,
         (meta \ "last-column-id").extractOrElse[Int](0)))), topIds.toMap)
   }
@@ -849,8 +919,17 @@ object IcebergWriter {
     * data files — Iceberg data files carry full rows; partition values
     * travel in the manifests, not the paths.
     */
-  private[tables] def stage(spark: SparkSession, location: String, df: DataFrame,
-      fields: Seq[IcebergLog.ResolvedSpecField]): Seq[TxLog.AddFile] =
+  private[tables] def stage(spark: SparkSession, location: String, df0: DataFrame,
+      fields: Seq[IcebergLog.ResolvedSpecField], schemaJson: JValue): Seq[TxLog.AddFile] = {
+    // stamp each column's Iceberg field id into the parquet footers
+    // (aliases carry the `parquet.field.id` metadata; types/nullability
+    // untouched) — real Iceberg engines resolve our files by id, and our
+    // own reads survive foreign renames
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val idMeta = IcebergLog.schemaWithFieldIds(schemaJson)
+      .fields.map(f => f.name -> f.metadata).toMap
+    val df = df0.select(df0.schema.fieldNames.toIndexedSeq.map(n =>
+      idMeta.get(n).map(m => col(n).as(n, m)).getOrElse(col(n))): _*)
     if (fields.isEmpty) TxLog.stageData(spark, location, df, Seq.empty)
     else {
       // each spec field rides as a `__ice_` tag column (codegen'd transform
@@ -867,6 +946,7 @@ object IcebergWriter {
         .map(a => a.copy(partitionValues =
           a.partitionValues.map { case (k, v) => k.stripPrefix("__ice_") -> v }))
     }
+  }
 
   private def partAvroValue(dt: DataType, s: String): Any =
     if (s == null || s == "__HIVE_DEFAULT_PARTITION__") null
@@ -1128,7 +1208,7 @@ object IcebergWriter {
       rf
     }
     val partFields = specFields.map(sf => sf.name -> sf.resultType)
-    val added = stage(spark, location, df, specFields)
+    val added = stage(spark, location, df, specFields, JsonMethods.parse(schemaJson))
     val snapId = 1L
     val now = System.currentTimeMillis()
     val entrySchema = entrySchemaFor(partFields)
@@ -1175,7 +1255,8 @@ object IcebergWriter {
     val specFields = resolvedSpecFields(st)
     val partFields = specFields.map(sf => sf.name -> sf.resultType)
     val topIds = IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap
-    val added = stage(spark, location, data, specFields)
+    val added = stage(spark, location, data, specFields,
+      IcebergLog.currentSchemaJson(st.meta))
     val seq = lastSeq(st.meta) + 1
     val snapId = nextSnapId(st.meta)
     val now = System.currentTimeMillis()
@@ -1230,7 +1311,13 @@ object IcebergWriter {
       if (!adoptSchema) specFields0
       else specFields0.map(sf => sf.copy(sourceType = schema(sf.source).dataType))
     val partFields = specFields.map(sf => sf.name -> sf.resultType)
-    val added = stage(spark, location, data, specFields)
+    val schemaJson =
+      if (!adoptSchema) IcebergLog.currentSchemaJson(st.meta)
+      else replaceFields("schemas") match {
+        case JArray(j :: _) => j
+        case other => other
+      }
+    val added = stage(spark, location, data, specFields, schemaJson)
     val seq = lastSeq(st.meta) + 1
     val snapId = nextSnapId(st.meta)
     val now = System.currentTimeMillis()

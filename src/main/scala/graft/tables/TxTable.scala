@@ -753,8 +753,13 @@ final class TxTable(val spark: SparkSession, val location: String,
         return true
       }
       attempts += 1
-      if (attempts >= 5)
+      if (attempts >= 8)
         throw new java.io.IOException(s"commit conflict at $location after $attempts attempts")
+      // brief jittered backoff: losers replan against a fresh snapshot
+      // anyway, but desynchronizing the herd keeps N-writer races from
+      // consuming attempts in lockstep
+      Thread.sleep((1L << math.min(attempts, 4)) *
+        (10 + java.util.concurrent.ThreadLocalRandom.current().nextInt(20)))
     }
     false // unreachable
   }
