@@ -532,6 +532,28 @@ object InteropQueries {
       },
       Some(s"""SELECT o_custkey, COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
         FROM orders WHERE o_custkey = 371 AND o_orderdate >= TIMESTAMP '1995-01-01'
-        GROUP BY o_custkey ORDER BY o_custkey"""))
+        GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // q105: the `$partitions` INSPECTION table — per-partition file and
+    // row counts computed from manifest stats ALONE (IcebergMeta reads
+    // metadata JSON + manifest avro; no data file is opened, which is
+    // what makes the answer O(metadata) at any table size). The oracle
+    // recomputes the same counts by scanning the data, so the hash check
+    // proves the manifest stats our writer emits are exact.
+    QueryDef(
+      "q105_iceberg_partitions_meta",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q105-ice").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        graft.tables.IcebergWriter.create(s, loc, li,
+          partitionColumns = Seq("l_returnflag"))
+        graft.tables.IcebergMeta.table(s, loc, "partitions")
+          .select(element_at(col("partition"), "l_returnflag").as("l_returnflag"),
+            col("record_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS record_count
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

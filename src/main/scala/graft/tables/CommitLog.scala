@@ -343,20 +343,26 @@ private[graft] object IcebergCommitLog extends CommitLog {
         "iceberg: table has live equality deletes; read it via IcebergLog.toDF/scan, " +
           "or compact (apply equality deletes) before writing through TxTable")
     if (st.deletes.isEmpty) return st.files
-    val rows = spark.read.parquet(st.deletes.map(_.path): _*)
-      .select(org.apache.spark.sql.functions.col("file_path"),
-        org.apache.spark.sql.functions.col("pos"))
-      .collect()
-    val byFile = rows.groupBy(r => DeletionVectors.normalizedUri(r.getString(0)))
-      .map { case (p, rs) =>
-        val bm = new DeletionVectors.Bitmap64
-        rs.foreach(r => bm.add(r.getLong(1)))
-        p -> bm
-      }
+    // bitmaps build on EXECUTORS (one shuffle keyed by data-file path);
+    // the driver sees only one serialized bitmap per touched file —
+    // O(files), not O(deleted rows), so a table with billions of deleted
+    // positions folds without driver-memory pressure
+    import spark.implicits._
+    val byFile: Map[String, Array[Byte]] =
+      spark.read.parquet(st.deletes.map(_.path): _*)
+        .select(org.apache.spark.sql.functions.col("file_path").cast("string"),
+          org.apache.spark.sql.functions.col("pos").cast("long"))
+        .as[(String, Long)]
+        .groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
+        .mapGroups { (p, it) =>
+          val bm = new DeletionVectors.Bitmap64
+          it.foreach { case (_, pos) => bm.add(pos) }
+          (p, bm.serialize)
+        }.collect().toMap
     st.files.map { a =>
       byFile.get(DeletionVectors.normalizedUri(a.path)) match {
-        case Some(bm) =>
-          val data = bm.serialize
+        case Some(data) =>
+          val bm = DeletionVectors.Bitmap64.deserialize(data)
           a.copy(deletionVector = Some(DeletionVectors.Descriptor(
             storageType = "i",
             pathOrInlineDv = DeletionVectors.encodeData(data),
@@ -460,7 +466,7 @@ private[graft] object IcebergCommitLog extends CommitLog {
     val mlPath = IcebergWriter.writeManifestList(f, location, snapId, mlRecords)
     try {
       IcebergWriter.commitExisting(f, location, st,
-        IcebergWriter.snapshotJson(snapId, now, seq, mlPath, operation),
+        IcebergWriter.snapshotJson(snapId, now, seq, mlPath, operation, st.snapshotId),
         snapId, seq, now, replaceFields)
       true
     } catch { case _: graft.catalog.AlreadyExistsError => false }

@@ -1103,14 +1103,16 @@ object IcebergWriter {
   }
 
   private[tables] def snapshotJson(snapId: Long, now: Long, seq: Long, mlPath: String,
-      operation: String): JObject =
-    JObject(
-      "snapshot-id" -> JLong(snapId),
-      "timestamp-ms" -> JLong(now),
-      "sequence-number" -> JLong(seq),
-      "summary" -> JObject("operation" -> JString(operation)),
-      "manifest-list" -> JString(mlPath),
-      "schema-id" -> JInt(0))
+      operation: String, parentId: Option[Long] = None): JObject =
+    JObject(List(
+      "snapshot-id" -> (JLong(snapId): JValue)) ++
+      parentId.map(p => "parent-snapshot-id" -> (JLong(p): JValue)).toList ++
+      List[(String, JValue)](
+        "timestamp-ms" -> JLong(now),
+        "sequence-number" -> JLong(seq),
+        "summary" -> JObject("operation" -> JString(operation)),
+        "manifest-list" -> JString(mlPath),
+        "schema-id" -> JInt(0)))
 
   /** New metadata version for an EXISTING table: every field of the prior
     * document carries through verbatim (schemas, specs, properties,
@@ -1266,7 +1268,7 @@ object IcebergWriter {
     val ml = priorManifestRecords(spark, location, st) :+
       mlRecord(mPath.toString, mLen, 0, seq, snapId, added.size, mRows)
     val mlPath = writeManifestList(f, location, snapId, ml)
-    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "append"),
+    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "append", st.snapshotId),
       snapId, seq, now)
   }
 
@@ -1326,7 +1328,7 @@ object IcebergWriter {
       schema, partFields, topIds, snapId, seq, content = 0)
     val mlPath = writeManifestList(f, location, snapId,
       Seq(mlRecord(mPath.toString, mLen, 0, seq, snapId, added.size, mRows)))
-    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "overwrite"),
+    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "overwrite", st.snapshotId),
       snapId, seq, now, replaceFields)
   }
 
@@ -1384,7 +1386,7 @@ object IcebergWriter {
     val ml = priorManifestRecords(spark, location, st) :+
       mlRecord(mPath.toString, mLen, 1, seq, snapId, delAdds.size, mRows)
     val mlPath = writeManifestList(f, location, snapId, ml)
-    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "delete"),
+    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "delete", st.snapshotId),
       snapId, seq, now)
     deletedRows
   }
@@ -1432,7 +1434,7 @@ object IcebergWriter {
     val ml = priorManifestRecords(spark, location, st) :+
       mlRecord(mPath.toString, mLen, 1, seq, snapId, delAdds.size, mRows)
     val mlPath = writeManifestList(f, location, snapId, ml)
-    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "delete"),
+    commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "delete", st.snapshotId),
       snapId, seq, now)
     staged.map(_.rows).sum
   }
