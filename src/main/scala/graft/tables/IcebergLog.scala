@@ -555,6 +555,26 @@ object IcebergLog {
     }
   }
 
+  /** Snapshot id a ref (tag or branch) points at. The `main` branch
+    * implicitly exists on every table and tracks the current snapshot
+    * (iceberg-java's SnapshotRef semantics) even when no `refs` map was
+    * ever written.
+    */
+  def snapshotIdForRef(spark: SparkSession, location: String, ref: String): Long =
+    refSnapshotId(metaOf(spark, location), ref).getOrElse(
+      throw graft.catalog.DoesNotExistError(
+        s"iceberg: no ref '$ref' on the table at $location"))
+
+  private[tables] def refSnapshotId(meta: JValue, ref: String): Option[Long] =
+    (meta \ "refs" \ ref \ "snapshot-id").extractOpt[Long]
+      .orElse(if (ref == "main")
+        (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+      else None)
+
+  /** Table contents at a named ref — `SELECT ... VERSION AS OF 'tag'`. */
+  def toDFAtRef(spark: SparkSession, location: String, ref: String): DataFrame =
+    toDF(spark, location, Some(snapshotIdForRef(spark, location, ref)))
+
   /** Latest snapshot at or before `tsMs` (snapshot-log order). */
   def snapshotIdAtTimestamp(spark: SparkSession, location: String, tsMs: Long): Long = {
     val all = snapshots(metaOf(spark, location)).sortBy(_.timestampMs)
@@ -1124,10 +1144,24 @@ object IcebergWriter {
     val meta = st.meta.asInstanceOf[JObject]
     val priorSnaps = (meta \ "snapshots").extractOrElse[Seq[JValue]](Seq.empty)
     val priorLog = (meta \ "snapshot-log").extractOrElse[Seq[JValue]](Seq.empty)
+    // an explicit `main` BRANCH ref tracks the current snapshot (the
+    // iceberg-java invariant); tags and other branches stay pinned
+    val refsAdvanced: List[(String, JValue)] = (meta \ "refs") match {
+      case _ if replaceFields.contains("refs") => Nil
+      case JObject(refs) if refs.exists { case (n, v) =>
+        n == "main" && (v \ "type").extractOrElse[String]("branch") == "branch"
+      } =>
+        List("refs" -> JObject(refs.map {
+          case ("main", v) => "main" -> v.replace(List("snapshot-id"), JLong(snapId))
+          case other => other
+        }))
+      case _ => Nil
+    }
     val managed = Set("last-sequence-number", "last-updated-ms", "current-snapshot-id",
-      "snapshots", "snapshot-log") ++ replaceFields.keySet
+      "snapshots", "snapshot-log") ++ replaceFields.keySet ++ refsAdvanced.map(_._1)
     val kept = meta.obj.filterNot { case (k, _) => managed.contains(k) }
-    val body = JsonMethods.compact(JsonMethods.render(JObject(kept ++ replaceFields.toList ++ List(
+    val body = JsonMethods.compact(JsonMethods.render(JObject(kept ++ replaceFields.toList ++
+      refsAdvanced ++ List(
       "last-sequence-number" -> JLong(seq),
       "last-updated-ms" -> JLong(now),
       "current-snapshot-id" -> JLong(snapId),
@@ -1135,6 +1169,150 @@ object IcebergWriter {
       "snapshot-log" -> JArray((priorLog :+ (JObject(
         "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapId)): JValue)).toList)))))
     writeMetadata(f, location, st.metadataVersion + 1, body)
+  }
+
+  /** Commit a metadata-ONLY change (refs, properties): a v+1 document
+    * with `replaceFields` swapped in — snapshots, the current pointer and
+    * sequence numbers carry through untouched, so no snapshot is minted.
+    */
+  private[tables] def commitMetaOnly(f: FileSystem, location: String,
+      st: IcebergLog.IceState, replaceFields: Map[String, JValue]): Unit = {
+    val meta = st.meta.asInstanceOf[JObject]
+    val managed = Set("last-updated-ms") ++ replaceFields.keySet
+    val kept = meta.obj.filterNot { case (k, _) => managed.contains(k) }
+    val body = JsonMethods.compact(JsonMethods.render(JObject(kept ++
+      replaceFields.toList ++ List(
+        "last-updated-ms" -> (JLong(System.currentTimeMillis()): JValue)))))
+    writeMetadata(f, location, st.metadataVersion + 1, body)
+  }
+
+  // ---- snapshot expiration (the `expire_snapshots` maintenance action) ----
+
+  final case class ExpireResult(removedSnapshotIds: Seq[Long],
+      deletedManifestLists: Int, deletedManifests: Int)
+
+  /** Expire snapshots older than `olderThanMs`, keeping (a) the current
+    * snapshot, (b) the most recent `retainLast` ancestors of it, and
+    * (c) every ref-pinned snapshot (tags and branch heads) — the same
+    * retention contract as iceberg-java's ExpireSnapshots. Expired
+    * entries leave `snapshots` + `snapshot-log` in ONE metadata-only
+    * commit; manifest-list files of expired snapshots and manifests no
+    * surviving snapshot references are deleted. DATA files stay on disk:
+    * they are reclaimed by `TxTable.vacuum`, whose liveness walk only
+    * sees the surviving snapshots after this commit — the split Iceberg
+    * itself uses between expire_snapshots and remove_orphan_files.
+    */
+  def expireSnapshots(spark: SparkSession, location: String, olderThanMs: Long,
+      retainLast: Int = 1): ExpireResult = {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val st = IcebergLog.state(spark, location)
+    val meta = st.meta
+    val f = IcebergLog.fs(spark, location)
+    val snapJsons = (meta \ "snapshots").extractOrElse[Seq[JValue]](Seq.empty)
+    def idOf(s: JValue) = (s \ "snapshot-id").extract[Long]
+    val parents = snapJsons.map(s => idOf(s) -> (s \ "parent-snapshot-id").extractOpt[Long]).toMap
+    val current = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+    // newest-first main lineage
+    val lineage = Iterator.unfold(current)(c =>
+      c.map(id => (id, parents.get(id).flatten))).toSeq
+    val refPinned: Set[Long] = (meta \ "refs") match {
+      case JObject(fields) => fields.flatMap { case (_, v) =>
+        (v \ "snapshot-id").extractOpt[Long]
+      }.toSet
+      case _ => Set.empty
+    }
+    val keep: Set[Long] = lineage.take(retainLast).toSet ++ refPinned ++ current
+    val (expired, survivors) = snapJsons.partition { s =>
+      !keep.contains(idOf(s)) &&
+        (s \ "timestamp-ms").extractOrElse[Long](Long.MaxValue) < olderThanMs
+    }
+    if (expired.isEmpty) return ExpireResult(Seq.empty, 0, 0)
+    def mlOf(s: JValue) = (s \ "manifest-list").extractOpt[String]
+    // manifests still reachable from any survivor stay; the rest orphan
+    val surviving: Set[String] = survivors.flatMap(mlOf).flatMap { ml =>
+      IcebergLog.readAvro(f, IcebergLog.resolve(location, ml))
+        .map(r => String.valueOf(r.get("manifest_path")))
+    }.toSet
+    var mlDeleted = 0
+    var mDeleted = 0
+    expired.flatMap(mlOf).foreach { ml =>
+      val mlPath = IcebergLog.resolve(location, ml)
+      if (f.exists(mlPath)) {
+        IcebergLog.readAvro(f, mlPath)
+          .map(r => String.valueOf(r.get("manifest_path")))
+          .filterNot(surviving.contains)
+          .foreach { m =>
+            val p = IcebergLog.resolve(location, m)
+            if (f.exists(p) && f.delete(p, false)) mDeleted += 1
+          }
+        if (f.delete(mlPath, false)) mlDeleted += 1
+      }
+    }
+    val expiredIds = expired.map(idOf).toSet
+    val newLog = (meta \ "snapshot-log").extractOrElse[Seq[JValue]](Seq.empty)
+      .filterNot(e => (e \ "snapshot-id").extractOpt[Long].exists(expiredIds.contains))
+    commitMetaOnly(f, location, st, Map(
+      "snapshots" -> JArray(survivors.toList),
+      "snapshot-log" -> JArray(newLog.toList)))
+    ExpireResult(expiredIds.toSeq.sorted, mlDeleted, mDeleted)
+  }
+
+  // ---- refs (spec v2 "Snapshot References") ----
+
+  /** Pin `name` as a TAG at a snapshot (default: the current one). */
+  def createTag(spark: SparkSession, location: String, name: String,
+      snapshotId: Option[Long] = None, maxRefAgeMs: Option[Long] = None): Unit =
+    setRef(spark, location, name, "tag", snapshotId, maxRefAgeMs = maxRefAgeMs)
+
+  /** Create `name` as a BRANCH at a snapshot (default: the current one).
+    * Only `main` advances with commits; other branches stay pinned until
+    * re-set (this writer commits to main only).
+    */
+  def createBranch(spark: SparkSession, location: String, name: String,
+      snapshotId: Option[Long] = None, minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None, maxRefAgeMs: Option[Long] = None): Unit =
+    setRef(spark, location, name, "branch", snapshotId,
+      minSnapshotsToKeep, maxSnapshotAgeMs, maxRefAgeMs)
+
+  private def setRef(spark: SparkSession, location: String, name: String,
+      refType: String, snapshotId: Option[Long],
+      minSnapshotsToKeep: Option[Int] = None, maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): Unit = {
+    val st = IcebergLog.state(spark, location)
+    val target = snapshotId.orElse(st.snapshotId).getOrElse(
+      throw UnsupportedOperationError(
+        s"iceberg: table at $location has no snapshot to ref"))
+    if (!IcebergLog.snapshots(st.meta).exists(_.snapshotId == target))
+      throw graft.catalog.DoesNotExistError(
+        s"iceberg: snapshot $target does not exist at $location")
+    val entry = JObject(List[(String, JValue)](
+      "snapshot-id" -> JLong(target), "type" -> JString(refType)) ++
+      minSnapshotsToKeep.map(v => "min-snapshots-to-keep" -> (JInt(v): JValue)) ++
+      maxSnapshotAgeMs.map(v => "max-snapshot-age-ms" -> (JLong(v): JValue)) ++
+      maxRefAgeMs.map(v => "max-ref-age-ms" -> (JLong(v): JValue)))
+    val prior = (st.meta \ "refs") match {
+      case JObject(fields) => fields.filterNot(_._1 == name)
+      case _ => Nil
+    }
+    commitMetaOnly(IcebergLog.fs(spark, location), location, st,
+      Map("refs" -> JObject(prior :+ (name -> (entry: JValue)))))
+  }
+
+  /** Drop a tag or branch by name (the implicit `main` cannot be
+    * dropped — it is the table's current pointer).
+    */
+  def removeRef(spark: SparkSession, location: String, name: String): Unit = {
+    if (name == "main") throw UnsupportedOperationError(
+      "iceberg: the main branch is the table's current pointer and cannot be dropped")
+    val st = IcebergLog.state(spark, location)
+    val prior = (st.meta \ "refs") match {
+      case JObject(fields) => fields
+      case _ => Nil
+    }
+    if (!prior.exists(_._1 == name))
+      throw graft.catalog.DoesNotExistError(s"iceberg: no ref '$name' at $location")
+    commitMetaOnly(IcebergLog.fs(spark, location), location, st,
+      Map("refs" -> JObject(prior.filterNot(_._1 == name))))
   }
 
   private[tables] def lastSeq(meta: JValue): Long =

@@ -1,0 +1,97 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.{DoesNotExistError, UnsupportedOperationError}
+
+/** Iceberg snapshot references (spec v2 "Snapshot References"): tags pin
+  * a snapshot against expiration and read as `VERSION AS OF 'tag'`;
+  * branches are named lineage heads, with `main` tracking the table's
+  * current snapshot across commits.
+  */
+class IcebergRefsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def seed = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+
+  test("tag pins a snapshot; reads by ref see the tagged state") {
+    val loc = TestSpark.tmpDir("ice-ref-tag") + "/t"
+    IcebergWriter.create(spark, loc, seed)
+    val v1 = IcebergLog.history(spark, loc).head
+    IcebergWriter.createTag(spark, loc, "v1.0", maxRefAgeMs = Some(86400000L))
+    IcebergWriter.append(spark, loc, Seq((4L, "d")).toDF("id", "s"))
+    IcebergWriter.delete(spark, loc, "id = 1")
+
+    assert(IcebergLog.snapshotIdForRef(spark, loc, "v1.0") == v1)
+    assert(IcebergLog.toDFAtRef(spark, loc, "v1.0").count() == 3)
+    assert(IcebergLog.toDF(spark, loc).count() == 3) // 4 rows - 1 deleted
+    // the refs inspection table reports it with its retention
+    val refs = IcebergMeta.table(spark, loc, "refs").collect()
+    assert(refs.length == 1)
+    assert(refs.head.getAs[String]("name") == "v1.0")
+    assert(refs.head.getAs[String]("type") == "tag")
+    assert(refs.head.getAs[Long]("max_ref_age_ms") == 86400000L)
+  }
+
+  test("main resolves implicitly and follows commits once explicit") {
+    val loc = TestSpark.tmpDir("ice-ref-main") + "/t"
+    IcebergWriter.create(spark, loc, seed)
+    // implicit main = current snapshot even with no refs map written
+    val s1 = IcebergLog.snapshotIdForRef(spark, loc, "main")
+    assert(IcebergLog.history(spark, loc).contains(s1))
+    // once written explicitly, commits must keep advancing it
+    IcebergWriter.createBranch(spark, loc, "main")
+    IcebergWriter.append(spark, loc, Seq((4L, "d")).toDF("id", "s"))
+    val metaRefs = IcebergMeta.table(spark, loc, "refs")
+      .filter(col("name") === "main").collect()
+    assert(metaRefs.length == 1)
+    val cur = IcebergLog.history(spark, loc).last
+    assert(metaRefs.head.getAs[Long]("snapshot_id") == cur,
+      "explicit main branch must track the current snapshot")
+    assert(IcebergLog.snapshotIdForRef(spark, loc, "main") == cur)
+  }
+
+  test("non-main branch stays pinned while main moves on") {
+    val loc = TestSpark.tmpDir("ice-ref-branch") + "/t"
+    IcebergWriter.create(spark, loc, seed)
+    val v1 = IcebergLog.history(spark, loc).head
+    IcebergWriter.createBranch(spark, loc, "audit", minSnapshotsToKeep = Some(3))
+    IcebergWriter.append(spark, loc, Seq((4L, "d")).toDF("id", "s"))
+    IcebergWriter.append(spark, loc, Seq((5L, "e")).toDF("id", "s"))
+    assert(IcebergLog.snapshotIdForRef(spark, loc, "audit") == v1)
+    assert(IcebergLog.toDFAtRef(spark, loc, "audit").count() == 3)
+    assert(IcebergLog.toDF(spark, loc).count() == 5)
+  }
+
+  test("removeRef drops tags, refuses main and unknowns") {
+    val loc = TestSpark.tmpDir("ice-ref-rm") + "/t"
+    IcebergWriter.create(spark, loc, seed)
+    IcebergWriter.createTag(spark, loc, "keep")
+    IcebergWriter.createTag(spark, loc, "drop")
+    IcebergWriter.removeRef(spark, loc, "drop")
+    val names = IcebergMeta.table(spark, loc, "refs")
+      .select("name").as[String].collect().toSet
+    assert(names == Set("keep"))
+    intercept[UnsupportedOperationError] { IcebergWriter.removeRef(spark, loc, "main") }
+    intercept[DoesNotExistError] { IcebergWriter.removeRef(spark, loc, "gone") }
+    intercept[DoesNotExistError] { IcebergLog.snapshotIdForRef(spark, loc, "gone") }
+    intercept[DoesNotExistError] {
+      IcebergWriter.createTag(spark, loc, "bad", snapshotId = Some(999L))
+    }
+  }
+
+  test("ref commits are metadata-only: no snapshot minted, data unchanged") {
+    val loc = TestSpark.tmpDir("ice-ref-metaonly") + "/t"
+    IcebergWriter.create(spark, loc, seed)
+    val before = IcebergLog.history(spark, loc)
+    val vBefore = IcebergLog.latestMetadataVersion(spark, loc).get
+    IcebergWriter.createTag(spark, loc, "t1")
+    assert(IcebergLog.history(spark, loc) == before)
+    assert(IcebergLog.latestMetadataVersion(spark, loc).get == vBefore + 1)
+    assert(IcebergLog.toDF(spark, loc).count() == 3)
+  }
+}
