@@ -524,15 +524,13 @@ private[graft] object IcebergCommitLog extends CommitLog {
     if (s.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     // iceberg AddFile paths are absolute (manifests record full paths)
-    val readSchema = IcebergLog.readSchemaFor(spark,
-      IcebergLog.metaAt(spark, location, s.version), s.schema)
+    val metaJson = IcebergLog.metaAt(spark, location, s.version)
     def read(files: Seq[AddFile], withMeta: Boolean): DataFrame = {
-      val base = spark.read.schema(readSchema).parquet(files.map(_.path): _*)
       val metaSel =
         if (withMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
           col("_metadata.row_index").as(DeltaLog.RowMetaCol))
         else Seq.empty
-      base.select(s.schema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
+      IcebergLog.readData(spark, metaJson, s.schema, files.map(_.path), metaSel)
     }
     if (dvFiles.isEmpty) return read(s.files, withMeta = false)
     val m = dvFiles.map { a =>

@@ -186,10 +186,8 @@ object IcebergLog {
   /** Parquet read schema for a table state: plain names normally (works
     * for id-less and id-bearing files alike); id-attached with Spark's
     * fieldId resolution turned on once a rename exists in the schema
-    * history. An id-LESS data file in a renamed table then fails loudly
-    * (Spark's missing-id error) instead of returning silent nulls —
-    * matching iceberg-java, which cannot read such files without a name
-    * mapping either.
+    * history. Id-LESS data files in a renamed table resolve through the
+    * name mapping instead — see `readData`.
     */
   private[tables] def readSchemaFor(spark: SparkSession, meta: JValue,
       schema: StructType): StructType =
@@ -198,6 +196,95 @@ object IcebergLog {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       schemaWithFieldIds(currentSchemaJson(meta))
     }
+
+  /** Historical top-level names per field id: from the
+    * `schema.name-mapping.default` property when present (the spec's
+    * authoritative mapping for id-less files), else derived from the
+    * schemas history — every name a field id was ever known under.
+    */
+  private[tables] def nameMapping(meta: JValue): Map[Int, Seq[String]] = {
+    (meta \ "properties" \ "schema.name-mapping.default").extractOpt[String] match {
+      case Some(json) => JsonMethods.parse(json) match {
+        case JArray(entries) => entries.flatMap { e =>
+          for (id <- (e \ "field-id").extractOpt[Int])
+            yield id -> (e \ "names").extractOrElse[Seq[String]](Seq.empty)
+        }.toMap
+        case _ => Map.empty
+      }
+      case None =>
+        (meta \ "schemas").extractOpt[Seq[JValue]]
+          .getOrElse(Seq(currentSchemaJson(meta)))
+          .flatMap(s => (s \ "fields").extractOrElse[Seq[JValue]](Seq.empty))
+          .flatMap(f => for {
+            id <- (f \ "id").extractOpt[Int]
+            n <- (f \ "name").extractOpt[String]
+          } yield id -> n)
+          .groupBy(_._1).map { case (id, ns) => id -> ns.map(_._2).distinct }
+    }
+  }
+
+  /** Top-level footer shape of one parquet file: (every field carries a
+    * parquet field id, field names). Metadata-only — reads the footer,
+    * never a page. Runs on executors from `readData`.
+    */
+  private[tables] def footerTopLevel(conf: org.apache.hadoop.conf.Configuration,
+      path: String): (Boolean, Seq[String]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val fields = r.getFileMetaData.getSchema.getFields.asScala.toSeq
+      (fields.nonEmpty && fields.forall(_.getId != null), fields.map(_.getName))
+    } finally r.close()
+  }
+
+  /** Schema'd scan over Iceberg data files. One plain name-resolved read
+    * on a table that never renamed. After a rename, files split by
+    * footer shape (inspected on EXECUTORS — one (hasIds, names) pair per
+    * file reaches the driver): id-bearing files resolve by parquet field
+    * id; id-LESS files (foreign writers, imported tables) resolve
+    * through the name mapping, with fields absent from a file read as
+    * null — the spec's "Column Projection" + "Name Mapping Serialization"
+    * rules, matching how iceberg-java reads such files.
+    */
+  private[tables] def readData(spark: SparkSession, meta: JValue, schema: StructType,
+      paths: Seq[String], metaSel: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    def sel(df: DataFrame) =
+      df.select(schema.fieldNames.toIndexedSeq.map(col) ++ metaSel: _*)
+    if (!renamedEver(meta))
+      return sel(spark.read.schema(schema).parquet(paths: _*))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val idSchema = schemaWithFieldIds(currentSchemaJson(meta))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val info = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 64)))
+      .map(p => (p, footerTopLevel(hconf.value, p))).collect().toSeq
+    val (withIds, idless) = info.partition(_._2._1)
+    val mapping = nameMapping(meta)
+    val fields = topFields(meta)
+    val parts = Seq.newBuilder[DataFrame]
+    if (withIds.nonEmpty)
+      parts += sel(spark.read.schema(idSchema).parquet(withIds.map(_._1): _*))
+    // id-less files group by their resolved historical-name vector (one
+    // read per rename era, not per file)
+    idless.groupBy { case (_, (_, names)) =>
+      fields.map { case (id, cur, _) =>
+        mapping.getOrElse(id, Seq(cur)).find(names.contains).orNull
+      }
+    }.foreach { case (vector, files) =>
+      val readFields = fields.zip(vector).collect {
+        case ((_, _, dt), src) if src != null => StructField(src, dt)
+      }
+      val base = spark.read.schema(StructType(readFields)).parquet(files.map(_._1): _*)
+      val cols = fields.zip(vector).map {
+        case ((_, cur, dt), src) =>
+          if (src == null) org.apache.spark.sql.functions.lit(null).cast(dt).as(cur)
+          else col(src).as(cur)
+      }
+      parts += base.select(cols ++ metaSel: _*)
+    }
+    parts.result().reduce(_.unionAll(_))
+  }
 
   /** Top-level (field-id, name, type) of the current schema — the
     * address space bounds and partition source-ids live in.
@@ -652,9 +739,7 @@ object IcebergLog {
       if (needMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
         col("_metadata.row_index").as(DeltaLog.RowMetaCol))
       else Seq.empty
-    val base = spark.read.schema(readSchemaFor(spark, st.meta, st.schema))
-      .parquet(st.files.map(_.path): _*)
-      .select(st.schema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
+    val base = readData(spark, st.meta, st.schema, st.files.map(_.path), metaSel)
     val live = applyEqualityDeletes(spark,
       applyPositionDeletes(spark, base, st), st)
     if (withMeta) live else live.drop(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
