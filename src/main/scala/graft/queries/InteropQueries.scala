@@ -554,6 +554,33 @@ object InteropQueries {
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag, COUNT(*) AS record_count
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // q106: UPDATE through the Iceberg log — the shared copy-on-write
+    // rewrite (file-pruned to the files that can match) commits an
+    // Iceberg "overwrite" snapshot; the oracle replays the assignment as
+    // a CASE expression over the source rows
+    QueryDef(
+      "q106_iceberg_update",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q106-ice").toString + "/t"
+        val c = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val t = graft.tables.TxTable.forIceberg(s, loc)
+        t.create(c, Seq.empty)
+        t.update("c_mktsegment = 'BUILDING' AND c_acctbal < 0",
+          Map("c_acctbal" -> "0.0 - c_acctbal"))
+        t.toDF
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""WITH updated AS (
+          SELECT c_mktsegment,
+            CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
+                 THEN 0.0 - c_acctbal ELSE c_acctbal END AS c_acctbal
+          FROM customer)
+        SELECT c_mktsegment, COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
+        FROM updated GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
