@@ -366,6 +366,46 @@ object ExtQueries {
         )
         SELECT doc_id, source, n_tokens, cum_tokens
         FROM cum
-        WHERE cum_tokens <= 800 + 120 * CAST(SUBSTR(source, 4) AS BIGINT)"""))
+        WHERE cum_tokens <= 800 + 120 * CAST(SUBSTR(source, 4) AS BIGINT)""")),
+
+    // ---- per-source document cap (the crawl-pipeline "domain cap") ----
+    // keep the top-5 documents of each source by quality score — the
+    // anti-spam step that stops one domain from dominating the corpus.
+    // TopKPerKey keeps the selection map-side (bounded heap per source,
+    // partial before the exchange) instead of a full window sort; the
+    // score arithmetic is IEEE-identical in both engines (q49's
+    // convention) and doc_id breaks ties deterministically
+    QueryDef(
+      "q107_per_source_cap",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val scored = TextOps.qualityFeatures(d)
+          .select(col("doc_id"), col("source"), col("q_score"))
+        graft.plans.TopK.topKPerKey(scored, Seq("source"),
+            Seq(("q_score", false), ("doc_id", true)), k = 5)
+          .select(col("doc_id"), col("source"), col("q_score"))
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id, source,
+            CASE WHEN len > 0 THEN
+              1.0 - ABS(spaces / len - 0.16) * 2.0
+                  - (CASE WHEN avg_tok < 2 OR avg_tok > 12 THEN 0.3 ELSE 0.0 END)
+            ELSE 0.0 END AS q_score
+          FROM (
+            SELECT doc_id, source, len, spaces,
+              CASE WHEN n_tok > 0 THEN alnum / n_tok ELSE 0.0 END AS avg_tok
+            FROM (
+              SELECT doc_id, source,
+                CAST(LENGTH(text) AS DOUBLE) AS len,
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), t -> len(t) > 0)) AS DOUBLE) AS n_tok,
+                CAST(LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+                CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) AS spaces
+              FROM documents))),
+        ranked AS (
+          SELECT doc_id, source, q_score,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY q_score DESC, doc_id) AS rn
+          FROM scored)
+        SELECT doc_id, source, q_score FROM ranked WHERE rn <= 5"""))
   )
 }
