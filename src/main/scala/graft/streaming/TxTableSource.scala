@@ -15,11 +15,17 @@ import graft.tables.{TxLog, TxTable}
   * committed version with exactly-once batch boundaries.
   *
   *   spark.readStream.format("graft.streaming.TxTableSourceProvider")
+  *     .option("maxVersionsPerTrigger", "10")  // optional rate limit
   *     .load(tablePath)
   *
   * Scale posture: discovering a batch is a log-tail read (O(new commits),
   * no directory listing, no full-table scan); the batch itself is a
   * distributed parquet read of just the new files.
+  * `maxVersionsPerTrigger` bounds each micro-batch to that many commits —
+  * without it, a cold start against a long-history table (or a backlog
+  * after downtime) becomes one giant first batch. A commit is the atomic
+  * unit: its files are never split across batches, so batch boundaries
+  * stay transactional.
   */
 class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -38,13 +44,22 @@ class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new TxTableSource(sqlContext.sparkSession, TxTableSource.path(parameters))
+    new TxTableSource(sqlContext.sparkSession, TxTableSource.path(parameters),
+      TxTableSource.maxVersionsPerTrigger(parameters))
 }
 
 object TxTableSource {
   private[streaming] def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw graft.catalog.UnsupportedOperationError("graft-tx source requires .load(<table path>)"))
+
+  private[streaming] def maxVersionsPerTrigger(parameters: Map[String, String]): Option[Long] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.toLong
+    }.map { n =>
+      require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
 
   /** Table handle with commit-log auto-dispatch, so the SAME source streams
     * native `_graft_log` tables AND real Delta `_delta_log` tables (the
@@ -58,7 +73,8 @@ object TxTableSource {
       StructField("_commit_version", LongType, nullable = false))
 }
 
-class TxTableSource(spark: SparkSession, location: String) extends Source {
+class TxTableSource(spark: SparkSession, location: String,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   private case class TxOffset(version: Long) extends Offset {
     override def json: String = s"""{"version":$version}"""
@@ -76,12 +92,27 @@ class TxTableSource(spark: SparkSession, location: String) extends Source {
 
   private val table = TxTableSource.table(spark, location)
 
-  override def getOffset: Option[Offset] =
-    table.log.latestVersion(spark, location).map(TxOffset)
+  /** Highest version already handed out in a batch — the rate limit's
+    * base. Synced from the checkpoint on restart: the engine replays the
+    * last committed batch through getBatch before asking for new offsets.
+    */
+  @volatile private var lastSeen: Option[Long] = None
+
+  override def getOffset: Option[Offset] = {
+    val latest = table.log.latestVersion(spark, location)
+    (latest, maxVersionsPerTrigger) match {
+      case (Some(l), Some(max)) =>
+        val base = lastSeen.getOrElse(-1L)
+        val capped = math.min(l, base + max)
+        if (capped <= base) Some(TxOffset(base)) else Some(TxOffset(capped))
+      case (l, _) => l.map(TxOffset)
+    }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
+    lastSeen = Some(math.max(lastSeen.getOrElse(-1L), to))
     val batch = table.changesSince(from, Some(to))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     // the engine asserts isStreaming on the returned frame

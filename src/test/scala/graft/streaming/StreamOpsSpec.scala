@@ -132,6 +132,54 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(received.asScala.toSeq.sorted == Seq((4L, 2L)))
   }
 
+  test("TxTableSource: maxVersionsPerTrigger bounds each micro-batch to whole commits") {
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("txsrc-rate") + "/t"
+    val ckpt = TestSpark.tmpDir("txsrc-rate-ckpt")
+    val t = new TxTable(spark, loc)
+    t.create(Seq((1L, "a")).toDF("id", "s"))              // v0
+    t.append(Seq((2L, "b")).toDF("id", "s"))              // v1
+    t.append(Seq((3L, "c")).toDF("id", "s"))              // v2
+    t.append(Seq((4L, "d")).toDF("id", "s"))              // v3
+
+    // batchId -> distinct commit versions delivered in that batch
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.TxTableSourceProvider")
+        .option("maxVersionsPerTrigger", "1")
+        .load(loc)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val vs = df.select("_commit_version").distinct().collect()
+            .map(_.getLong(0)).toSet
+          batches.merge(id, vs, (a, b) => a ++ b)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    run()
+    import scala.jdk.CollectionConverters._
+    val perBatch = batches.asScala.values.toSeq
+    // a cold start against 4 commits arrives as 4 bounded batches, one
+    // commit each — never one giant catch-up batch
+    assert(perBatch.forall(_.size <= 1), s"batch exceeded the rate limit: $perBatch")
+    assert(perBatch.flatten.toSet == Set(0L, 1L, 2L, 3L))
+
+    // backlog after downtime: two new commits resume as two batches
+    t.append(Seq((5L, "e")).toDF("id", "s"))              // v4
+    t.append(Seq((6L, "f")).toDF("id", "s"))              // v5
+    batches.clear()
+    run()
+    val resumed = batches.asScala.values.toSeq
+    assert(resumed.forall(_.size <= 1), s"batch exceeded the rate limit: $resumed")
+    assert(resumed.flatten.toSet == Set(4L, 5L))
+  }
+
   test("TxTableSource streams a REAL Delta (_delta_log) table via log dispatch") {
     import spark.implicits._
     val loc = TestSpark.tmpDir("txsrc-delta") + "/t"
