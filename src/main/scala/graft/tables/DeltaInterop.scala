@@ -321,8 +321,15 @@ object DeltaLog {
     }).getOrElse(-1L)
     val mins = parsedStats.map(s => statsMap(s \ "minValues")).filter(_.nonEmpty)
     val maxs = parsedStats.map(s => statsMap(s \ "maxValues")).filter(_.nonEmpty)
-    TxLog.AddFile(decodePath(path), partitionValues, rows, size, mins, maxs, dv,
-      baseRowId, defaultRowCommitVersion)
+    val nulls = parsedStats.map(s => (s \ "nullCount") match {
+      case JObject(fields) => fields.collect {
+        case (k, JInt(i)) => k -> i.toLong
+        case (k, JLong(l)) => k -> l
+      }.toMap
+      case _ => Map.empty[String, Long]
+    }).filter(_.nonEmpty)
+    TxLog.AddFile(decodePath(path), partitionValues, rows, size, mins, maxs, nulls,
+      dv, baseRowId, defaultRowCommitVersion)
   }
 
   /** Parse a deletionVector descriptor (JSON action form). */
@@ -574,9 +581,10 @@ object DeltaLog {
     val files =
       if (physToLogical.isEmpty) files0
       else files0.map { a =>
-        def remap(m: Map[String, String]) = m.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+        def remap[V](m: Map[String, V]) = m.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
         a.copy(partitionValues = remap(a.partitionValues),
-          minValues = a.minValues.map(remap), maxValues = a.maxValues.map(remap))
+          minValues = a.minValues.map(remap), maxValues = a.maxValues.map(remap),
+          nullCounts = a.nullCounts.map(remap))
       }
 
     TxLog.Snapshot(
@@ -1132,7 +1140,10 @@ object DeltaLogWriter {
     val base = List[(String, JValue)](
       "numRecords" -> JLong(math.max(0L, a.rows)),
       "minValues" -> typed(a.minValues.getOrElse(Map.empty)),
-      "maxValues" -> typed(a.maxValues.getOrElse(Map.empty)))
+      "maxValues" -> typed(a.maxValues.getOrElse(Map.empty)),
+      "nullCount" -> JObject(a.nullCounts.getOrElse(Map.empty).toList.map {
+        case (k, v) => k -> (JLong(v): JValue)
+      }))
     // with a DV, numRecords stays the PHYSICAL row count and min/max bound
     // every physical row — mark the stats non-tight per the spec
     val withTight =

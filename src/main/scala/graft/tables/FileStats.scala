@@ -24,10 +24,13 @@ import org.apache.spark.sql.types._
   */
 object FileStats {
 
-  /** (rowCount, minValues, maxValues) from the parquet footer; stats kept
-    * for INT32/INT64/FLOAT/DOUBLE/UTF8 columns that report valid min/max.
+  /** (rowCount, minValues, maxValues, nullCounts) from the parquet
+    * footer; min/max kept for INT32/INT64/FLOAT/DOUBLE/UTF8 columns that
+    * report valid bounds, null counts for every top-level column whose
+    * every block reports one.
     */
-  def fromParquetFooter(conf: Configuration, file: Path): (Long, Map[String, String], Map[String, String]) = {
+  def fromParquetFooter(conf: Configuration, file: Path)
+      : (Long, Map[String, String], Map[String, String], Map[String, Long]) = {
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
@@ -37,11 +40,15 @@ object FileStats {
         val mins = scala.collection.mutable.Map.empty[String, Comparable[Any]]
         val maxs = scala.collection.mutable.Map.empty[String, Comparable[Any]]
         val skip = scala.collection.mutable.Set.empty[String]
+        val nulls = scala.collection.mutable.Map.empty[String, Long]
+        val nullSkip = scala.collection.mutable.Set.empty[String]
         for (block <- blocks; chunk <- block.getColumns.asScala) {
           val pathParts = chunk.getPath.toArray
           if (pathParts.length == 1) { // top-level primitives only
             val name = pathParts(0)
             val st = chunk.getStatistics
+            if (st == null || !st.isNumNullsSet) nullSkip += name
+            else nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
             if (st == null || !st.hasNonNullValue || st.isEmpty) skip += name
             else {
               val (mn, mx) = (toComparable(st.genericGetMin, chunk.getPrimitiveType.getPrimitiveTypeName),
@@ -56,10 +63,12 @@ object FileStats {
           }
         }
         skip.foreach { n => mins.remove(n); maxs.remove(n) }
-        (rows, mins.view.mapValues(_.toString).toMap, maxs.view.mapValues(_.toString).toMap)
+        nullSkip.foreach(nulls.remove)
+        (rows, mins.view.mapValues(_.toString).toMap,
+          maxs.view.mapValues(_.toString).toMap, nulls.toMap)
       } finally reader.close()
     } catch {
-      case NonFatal(_) => (-1L, Map.empty, Map.empty)
+      case NonFatal(_) => (-1L, Map.empty, Map.empty, Map.empty)
     }
   }
 
@@ -83,7 +92,15 @@ object FileStats {
   def prunableConjuncts(pred: Expression): Seq[Conjunct] = pred match {
     case And(l, r) => prunableConjuncts(l) ++ prunableConjuncts(r)
     case cmp: BinaryComparison => conjunctOf(cmp)
+    case IsNull(e) => attrOf(e).map(Conjunct(_, "isnull", "")).toSeq
+    case IsNotNull(e) => attrOf(e).map(Conjunct(_, "isnotnull", "")).toSeq
     case _ => Seq.empty
+  }
+
+  private def attrOf(e: Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
   }
 
   private def conjunctOf(cmp: BinaryComparison): Seq[Conjunct] = {
@@ -120,10 +137,16 @@ object FileStats {
   }
 
   /** Can a file with these stats possibly satisfy the conjunct? Missing
-    * stats → must keep (conservative).
+    * stats → must keep (conservative). `rows < 0` means the row count is
+    * unknown (never treat it as a bound).
     */
   def mightMatch(c: Conjunct, dt: DataType,
-      minVal: Option[String], maxVal: Option[String]): Boolean = {
+      minVal: Option[String], maxVal: Option[String],
+      nullCount: Option[Long] = None, rows: Long = -1L): Boolean = {
+    if (c.op == "isnull")
+      return nullCount.forall(_ > 0)
+    if (c.op == "isnotnull")
+      return nullCount.forall(n => rows < 0 || n < rows)
     (minVal, maxVal) match {
       case (Some(mn), Some(mx)) =>
         try {
@@ -211,7 +234,8 @@ object FileStats {
             mightMatch(c, dt, v, v)
           case Some(dt) =>
             mightMatch(c, dt,
-              f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)))
+              f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)),
+              f.nullCounts.flatMap(_.get(c.colName)), f.rows)
           case None => true
         }
       }

@@ -385,6 +385,23 @@ object IcebergLog {
     case other => throw new IllegalArgumentException(s"unexpected bound value $other")
   }
 
+  /** An int-keyed long-valued stats map (value_counts /
+    * null_value_counts) in either Avro spelling.
+    */
+  private def longMapOf(v: Any): Map[Int, Long] = v match {
+    case null => Map.empty
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) =>
+        k.toString.toInt -> x.asInstanceOf[Number].longValue
+      }.toMap
+    case l: java.util.List[_] =>
+      l.asScala.collect { case r: GenericRecord =>
+        r.get("key").asInstanceOf[Number].intValue ->
+          r.get("value").asInstanceOf[Number].longValue
+      }.toMap
+    case _ => Map.empty
+  }
+
   /** A manifest `lower_bounds`/`upper_bounds` value: an Avro map when the
     * writer used string keys, an array of {key,value} records otherwise
     * (how Avro serializes int-keyed maps).
@@ -497,8 +514,16 @@ object IcebergLog {
                 }
                 if (out.isEmpty) None else Some(out)
               }
+              val nullCounts = {
+                val raw = if (df.getSchema.getField("null_value_counts") == null) null
+                  else df.get("null_value_counts")
+                val m = longMapOf(raw).flatMap { case (id, c) =>
+                  byId.get(id).map { case (n, _) => n -> c }
+                }
+                if (m.isEmpty) None else Some(m)
+              }
               data += TxLog.AddFile(path, partValues, records, bytes,
-                decoded("lower_bounds"), decoded("upper_bounds"))
+                decoded("lower_bounds"), decoded("upper_bounds"), nullCounts)
               dataSeq += path -> entrySeq
             case 1 => deletes += IceFile(content, path, format, records, bytes, entrySeq)
             case 2 =>
@@ -883,6 +908,8 @@ object IcebergWriter {
          |{"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]},"field-id":102},
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]},"logicalType":"map"}],"default":null,"field-id":109},
+         |{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
          |{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
          |{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
          |{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
@@ -1105,6 +1132,24 @@ object IcebergWriter {
     out
   }
 
+  /** Same shape for int->long count maps (value_counts / null_value_counts). */
+  private def kvLongArray(entrySchema: Schema, fieldName: String,
+      m: Map[Int, Long]): Any = {
+    if (m.isEmpty) return null
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val union = dataFileSchema.getField(fieldName).schema()
+    val arr = union.getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+    val items = arr.getElementType
+    val out = new GenericData.Array[GenericRecord](m.size, arr)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(items)
+      r.put("key", k)
+      r.put("value", v)
+      out.add(r)
+    }
+    out
+  }
+
   /** Write one manifest for `adds`; returns (path, length, rowCount). */
   private[tables] def writeManifest(f: FileSystem, location: String, entrySchema: Schema,
       adds: Seq[TxLog.AddFile], schema: StructType, partFields: Seq[(String, DataType)],
@@ -1137,6 +1182,15 @@ object IcebergWriter {
         }
       dfr.put("lower_bounds", kvArray(entrySchema, "lower_bounds", bounds(a.minValues)))
       dfr.put("upper_bounds", kvArray(entrySchema, "upper_bounds", bounds(a.maxValues)))
+      // value_counts: number of values incl. nulls — record_count for
+      // every top-level column; null_value_counts from the footer stats
+      if (a.rows >= 0)
+        dfr.put("value_counts", kvLongArray(entrySchema, "value_counts",
+          topIds.collect { case (n, id) if typesByName.contains(n) => id -> a.rows }))
+      dfr.put("null_value_counts", kvLongArray(entrySchema, "null_value_counts",
+        a.nullCounts.getOrElse(Map.empty).flatMap { case (n, c) =>
+          topIds.get(n).map(_ -> c)
+        }))
       if (equalityIds.nonEmpty)
         dfr.put("equality_ids", equalityIds.map(Int.box).asJava)
       val e = new GenericData.Record(entrySchema)

@@ -50,6 +50,9 @@ object TxLog {
       sizeBytes: Long,
       minValues: Option[Map[String, String]] = None,
       maxValues: Option[Map[String, String]] = None,
+      // per-column null counts (top-level primitives): prunes IS NULL
+      // (nullCount=0) and IS NOT NULL (nullCount=rows) predicates
+      nullCounts: Option[Map[String, Long]] = None,
       // merge-on-read deletes (foreign Delta only): `rows` and min/max then
       // describe the PHYSICAL file, bounds for every live row — conservative
       // for pruning; live count = rows - deletionVector.cardinality
@@ -337,10 +340,11 @@ object TxLog {
         val size = f.getFileStatus(p).getLen
         if (!f.rename(p, dest))
           throw new java.io.IOException(s"failed to publish staged file $p -> $dest")
-        val (rows, mins, maxs) = FileStats.fromParquetFooter(hadoopConf(spark), dest)
+        val (rows, mins, maxs, nulls) = FileStats.fromParquetFooter(hadoopConf(spark), dest)
         AddFile(rel, partitionValuesOf(rel), rows, size,
           if (mins.isEmpty) None else Some(mins),
-          if (maxs.isEmpty) None else Some(maxs))
+          if (maxs.isEmpty) None else Some(maxs),
+          if (nulls.isEmpty) None else Some(nulls))
       }
     } finally {
       f.delete(stagingDir, true)

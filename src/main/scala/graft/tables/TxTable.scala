@@ -490,7 +490,8 @@ final class TxTable(val spark: SparkSession, val location: String,
               FileStats.mightMatch(c, dt, v, v)
             case Some(dt) =>
               FileStats.mightMatch(c, dt,
-                f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)))
+                f.minValues.flatMap(_.get(c.colName)), f.maxValues.flatMap(_.get(c.colName)),
+                f.nullCounts.flatMap(_.get(c.colName)), f.rows)
             case None => true
           }
         }

@@ -37,6 +37,40 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(t.scan("id >= 100 AND id < 200 AND length(v) >= 2").count() == 100)
   }
 
+  test("null counts prune IS NULL / IS NOT NULL predicates") {
+    val loc = TestSpark.tmpDir("skip-null")
+    val t = new TxTable(spark, loc)
+    // file 1: tag never null; file 2: tag always null; file 3: mixed
+    t.create((0L until 100L).map(i => (i, s"t$i")).toDF("id", "tag").repartition(1))
+    t.append((100L until 200L).map(i => (i, null: String)).toDF("id", "tag").repartition(1))
+    t.append((200L until 300L).map(i => (i, if (i % 2 == 0) s"t$i" else null))
+      .toDF("id", "tag").repartition(1))
+    val snap = t.snapshot
+    assert(snap.files.size == 3)
+    assert(snap.files.forall(_.nullCounts.exists(_.contains("tag"))))
+
+    assert(t.filesAfterPruning("tag IS NULL") == 2)     // all-null + mixed
+    assert(t.filesAfterPruning("tag IS NOT NULL") == 2) // no-null + mixed
+    assert(t.filesAfterPruning("tag IS NULL AND id < 100") == 0)
+    assert(t.filesAfterPruning("tag IS NOT NULL AND id >= 100 AND id < 200") == 0)
+
+    // results stay exact
+    assert(t.scan("tag IS NULL").count() == 150)
+    assert(t.scan("tag IS NOT NULL").count() == 150)
+
+    // the same stats ride the Iceberg manifests round-trip
+    val iloc = TestSpark.tmpDir("skip-null-ice") + "/t"
+    val ti = TxTable.forIceberg(spark, iloc)
+    ti.create((0L until 100L).map(i => (i, s"t$i")).toDF("id", "tag").repartition(1), Seq.empty)
+    ti.append((100L until 200L).map(i => (i, null: String)).toDF("id", "tag").repartition(1))
+    val isnap = ti.snapshot
+    assert(isnap.files.forall(_.nullCounts.exists(_.contains("tag"))))
+    assert(ti.filesAfterPruning("tag IS NULL") == 1)
+    assert(ti.filesAfterPruning("tag IS NOT NULL") == 1)
+    assert(IcebergLog.scan(spark, iloc, "tag IS NULL").count() == 100)
+    assert(IcebergLog.filesAfterPruning(spark, iloc, "tag IS NULL") == 1)
+  }
+
   test("string stats prune too") {
     val loc = TestSpark.tmpDir("skip")
     val t = new TxTable(spark, loc)
