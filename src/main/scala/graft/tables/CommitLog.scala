@@ -557,7 +557,7 @@ private[graft] object IcebergCommitLog extends CommitLog {
     IcebergWriter.stage(spark, location,
       Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
         snap.properties, snap.schema), specFields,
-      IcebergLog.currentSchemaJson(st.meta))
+      IcebergLog.currentSchemaJson(st.meta), IcebergLog.sortOrderFields(st.meta))
   }
 
   def create(spark: SparkSession, location: String, df0: DataFrame,

@@ -286,6 +286,29 @@ object IcebergLog {
     parts.result().reduce(_.unionAll(_))
   }
 
+  /** The DEFAULT sort order's identity fields as (column, ascending)
+    * pairs — empty for order 0 (unsorted) or when the default order id
+    * resolves to nothing. Non-identity sort transforms are skipped (we
+    * can only sort by what we can evaluate; partial honoring of a
+    * foreign order is spec-legal since sort order is advisory layout).
+    */
+  private[tables] def sortOrderFields(meta: JValue): Seq[(String, Boolean)] = {
+    val oid = (meta \ "default-sort-order-id").extractOrElse[Int](0)
+    if (oid == 0) return Seq.empty
+    val byId = topFields(meta).map { case (id, n, _) => id -> n }.toMap
+    (meta \ "sort-orders").extractOrElse[Seq[JValue]](Seq.empty)
+      .find(o => (o \ "order-id").extractOpt[Int].contains(oid))
+      .map { o =>
+        (o \ "fields").extractOrElse[Seq[JValue]](Seq.empty).flatMap { f =>
+          for {
+            _ <- (f \ "transform").extractOpt[String].filter(_ == "identity")
+            src <- (f \ "source-id").extractOpt[Int]
+            n <- byId.get(src)
+          } yield n -> ((f \ "direction").extractOrElse[String]("asc") == "asc")
+        }
+      }.getOrElse(Seq.empty)
+  }
+
   /** Top-level (field-id, name, type) of the current schema — the
     * address space bounds and partition source-ids live in.
     */
@@ -1052,7 +1075,8 @@ object IcebergWriter {
     * travel in the manifests, not the paths.
     */
   private[tables] def stage(spark: SparkSession, location: String, df0: DataFrame,
-      fields: Seq[IcebergLog.ResolvedSpecField], schemaJson: JValue): Seq[TxLog.AddFile] = {
+      fields: Seq[IcebergLog.ResolvedSpecField], schemaJson: JValue,
+      sortFields: Seq[(String, Boolean)] = Nil): Seq[TxLog.AddFile] = {
     // stamp each column's Iceberg field id into the parquet footers
     // (aliases carry the `parquet.field.id` metadata; types/nullability
     // untouched) — real Iceberg engines resolve our files by id, and our
@@ -1062,8 +1086,19 @@ object IcebergWriter {
       .fields.map(f => f.name -> f.metadata).toMap
     val df = df0.select(df0.schema.fieldNames.toIndexedSeq.map(n =>
       idMeta.get(n).map(m => col(n).as(n, m)).getOrElse(col(n))): _*)
-    if (fields.isEmpty) TxLog.stageData(spark, location, df, Seq.empty)
-    else {
+    // the declared sort order clusters each write: range-partition (so
+    // files cover disjoint sort-key ranges, not shuffled samples of the
+    // whole range) + local sort — min/max bounds on the sort columns
+    // tighten to the file's slice and scans prune
+    def sortExprs = sortFields.map { case (c, asc) =>
+      if (asc) col(c).asc_nulls_first else col(c).desc_nulls_last
+    }
+    if (fields.isEmpty) {
+      val data =
+        if (sortFields.isEmpty) df
+        else df.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*)
+      TxLog.stageData(spark, location, data, Seq.empty)
+    } else {
       // each spec field rides as a `__ice_` tag column (codegen'd transform
       // of its source — the source column itself STAYS in the data file,
       // iceberg files carry full rows), so hive staging clusters rows by
@@ -1074,7 +1109,11 @@ object IcebergWriter {
       // hash-cluster rows by the partition tuple before the write (Spark's
       // Iceberg writer's default distribution mode): files-per-commit stays
       // O(#tuples), not O(#tasks × #tuples) — the small-files failure mode
-      TxLog.stageData(spark, location, tagged.repartition(tags.map(col): _*), tags)
+      val clustered0 = tagged.repartition(tags.map(col): _*)
+      val clustered =
+        if (sortFields.isEmpty) clustered0
+        else clustered0.sortWithinPartitions(tags.map(col) ++ sortExprs: _*)
+      TxLog.stageData(spark, location, clustered, tags)
         .map(a => a.copy(partitionValues =
           a.partitionValues.map { case (k, v) => k.stripPrefix("__ice_") -> v }))
     }
@@ -1437,6 +1476,34 @@ object IcebergWriter {
       Map("refs" -> JObject(prior :+ (name -> (entry: JValue)))))
   }
 
+  /** Declare the table's sort order (spec "Sort Orders"): a fresh order
+    * under a new order-id becomes default-sort-order-id in one
+    * metadata-only commit. Every subsequent write range-partitions and
+    * locally sorts its data by the order, so per-file min/max bounds on
+    * the sort columns tighten and scans prune — Iceberg's
+    * write.sort-order behavior. Ascending sorts nulls-first, descending
+    * nulls-last (the iceberg-java defaults).
+    */
+  def setSortOrder(spark: SparkSession, location: String,
+      cols: Seq[(String, Boolean)]): Unit = {
+    require(cols.nonEmpty, "setSortOrder needs at least one column")
+    val st = IcebergLog.state(spark, location)
+    val byName = IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap
+    val prior = (st.meta \ "sort-orders").extractOrElse[Seq[JValue]](Seq.empty)
+    val nextId = prior.flatMap(o => (o \ "order-id").extractOpt[Int]).maxOption.getOrElse(0) + 1
+    val fields = cols.map { case (c, asc) =>
+      val id = byName.getOrElse(c, throw UnsupportedOperationError(
+        s"iceberg: sort column '$c' is not in the schema"))
+      JObject("transform" -> JString("identity"), "source-id" -> JInt(id),
+        "direction" -> JString(if (asc) "asc" else "desc"),
+        "null-order" -> JString(if (asc) "nulls-first" else "nulls-last")): JValue
+    }
+    commitMetaOnly(IcebergLog.fs(spark, location), location, st, Map(
+      "sort-orders" -> JArray((prior :+ (JObject(
+        "order-id" -> JInt(nextId), "fields" -> JArray(fields.toList)): JValue)).toList),
+      "default-sort-order-id" -> JInt(nextId)))
+  }
+
   /** Drop a tag or branch by name (the implicit `main` cannot be
     * dropped — it is the table's current pointer).
     */
@@ -1575,7 +1642,7 @@ object IcebergWriter {
     val partFields = specFields.map(sf => sf.name -> sf.resultType)
     val topIds = IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap
     val added = stage(spark, location, data, specFields,
-      IcebergLog.currentSchemaJson(st.meta))
+      IcebergLog.currentSchemaJson(st.meta), IcebergLog.sortOrderFields(st.meta))
     val seq = lastSeq(st.meta) + 1
     val snapId = nextSnapId(st.meta)
     val now = System.currentTimeMillis()
@@ -1636,7 +1703,8 @@ object IcebergWriter {
         case JArray(j :: _) => j
         case other => other
       }
-    val added = stage(spark, location, data, specFields, schemaJson)
+    val added = stage(spark, location, data, specFields, schemaJson,
+      IcebergLog.sortOrderFields(st.meta))
     val seq = lastSeq(st.meta) + 1
     val snapId = nextSnapId(st.meta)
     val now = System.currentTimeMillis()
