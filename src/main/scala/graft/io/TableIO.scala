@@ -162,23 +162,29 @@ object TableIO {
         }
         reconcile(spark, table, evolution)
 
-      // ---- ICEBERG: spec-compliant v2 snapshots through IcebergWriter;
-      // external Iceberg readers keep working after every operation.
+      // ---- ICEBERG: spec-compliant v2 snapshots through the SAME
+      // TxTable surface Delta uses, so the full evolution/replaceWhere/
+      // partition_filters matrix applies; external Iceberg readers keep
+      // working after every operation (id-preserving schema evolution,
+      // manifest-planned overwrites).
       case (FileType.ICEBERG, WriteMode.APPEND) =>
-        if (evolution != SchemaEvolution.STRICT)
-          throw UnsupportedOperationError("iceberg append supports only STRICT schema evolution")
-        graft.tables.IcebergWriter.append(spark, loc, df)
-        WriteResult(None)
+        val t = TxTable.forIceberg(spark, loc)
+        if (evolution == SchemaEvolution.STRICT) strictCheck()
+        t.append(df, evolution)
+        reconcile(spark, table, evolution)
 
       case (FileType.ICEBERG, WriteMode.OVERWRITE) =>
-        if (replaceWhere.isDefined || partitionFilters.nonEmpty)
-          throw UnsupportedOperationError(
-            "iceberg overwrite does not support replace_where/partition_filters yet")
-        if (evolution == SchemaEvolution.MERGE)
-          throw UnsupportedOperationError("iceberg overwrite does not support MERGE evolution")
-        graft.tables.IcebergWriter.overwrite(spark, loc, df,
-          adoptSchema = evolution == SchemaEvolution.OVERWRITE)
-        adoptWrittenSchema(table, df, evolution)
+        val t = TxTable.forIceberg(spark, loc)
+        if (evolution == SchemaEvolution.STRICT) strictCheck()
+        if (replaceWhere.isDefined && partitionFilters.nonEmpty)
+          throw UnsupportedOperationError("cannot combine replace_where with partition_filters")
+        replaceWhere match {
+          case Some(pred) => t.replaceWhere(df, pred, evolution)
+          case None if partitionFilters.nonEmpty =>
+            t.replaceWhere(df, compileFilters(partitionFilters), evolution)
+          case None => t.overwrite(df, evolution)
+        }
+        reconcile(spark, table, evolution)
 
       // ---- PARQUET ----
       case (FileType.PARQUET, WriteMode.APPEND) =>

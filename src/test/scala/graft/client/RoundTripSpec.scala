@@ -121,11 +121,22 @@ class RoundTripSpec extends AnyFunSuite {
     val reg = c.registerAsTable("rt", "s", "ice2", FileType.ICEBERG, s"$dir/ice")
     assert(reg.columns.filter(_.partitionIndex.isDefined).map(_.name) == Seq("strings"))
     assert(sortedRows(c.readTable("rt", "s", "ice2")) == sortedRows(df))
-    // MERGE evolution is refused with a typed error
-    intercept[UnsupportedOperationError] {
-      c.writeTable(df.withColumn("extra", lit(1)), "rt", "s", "ice",
-        WriteMode.APPEND, SchemaEvolution.MERGE)
-    }
+    // MERGE evolution lands through the TxTable surface: the new column
+    // evolves in (id-preserving), old rows read it as null, and the
+    // catalog schema reconciles
+    c.writeTable(df.withColumn("extra", lit(1)), "rt", "s", "ice",
+      WriteMode.APPEND, SchemaEvolution.MERGE)
+    val evolved = c.readTable("rt", "s", "ice")
+    assert(evolved.count() == 20)
+    assert(evolved.filter(col("extra").isNull).count() == 10)
+    assert(c.getTable("rt", "s", "ice").columns.map(_.name).contains("extra"))
+    // replaceWhere swaps one slice through the same surface
+    val slice = df.filter(col("strings") === "s0").withColumn("extra", lit(2))
+    c.writeTable(slice, "rt", "s", "ice", WriteMode.OVERWRITE,
+      replaceWhere = Some("strings = 's0'"))
+    val after = c.readTable("rt", "s", "ice")
+    assert(after.filter(col("extra") === 2).count() == slice.count())
+    assert(after.count() == 20 - slice.count())
   }
 
   test("delta round-trip preserves decimals exactly across append + merge") {
