@@ -581,6 +581,38 @@ object InteropQueries {
                  THEN 0.0 - c_acctbal ELSE c_acctbal END AS c_acctbal
           FROM customer)
         SELECT c_mktsegment, COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
-        FROM updated GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        FROM updated GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // q108: DUAL-FORMAT publish (Delta UniForm's shape) — a real Delta
+    // table (partitioned, then thinned by a copy-on-write DELETE) is
+    // mirrored into spec-compliant Iceberg v2 metadata over the SAME
+    // data files, and the result is read back through the ICEBERG scan
+    // path (manifest planning, partition-value column projection). The
+    // hash check proves the two formats agree row-for-row on shared
+    // bytes; the oracle replays create+delete straight from the source
+    QueryDef(
+      "q108_dual_format_publish",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q108-uni").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+          .filter(col("l_quantity") <= 15)
+        DeltaLogWriter.create(s, loc, li, partitionColumns = Seq("l_returnflag"))
+        graft.tables.TxTable.forForeignDelta(s, loc).delete("l_quantity <= 5")
+        graft.tables.IcebergWriter.publishFromDelta(s, loc)
+        graft.tables.IcebergLog.scan(s, loc, "l_returnflag <> 'N'")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS revenue
+        FROM lineitem
+        WHERE l_quantity <= 15 AND l_quantity > 5 AND l_returnflag <> 'N'
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -530,7 +530,7 @@ private[graft] object IcebergCommitLog extends CommitLog {
         if (withMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
           col("_metadata.row_index").as(DeltaLog.RowMetaCol))
         else Seq.empty
-      IcebergLog.readData(spark, metaJson, s.schema, files.map(_.path), metaSel)
+      IcebergLog.readData(spark, metaJson, s.schema, files, metaSel)
     }
     if (dvFiles.isEmpty) return read(s.files, withMeta = false)
     val m = dvFiles.map { a =>

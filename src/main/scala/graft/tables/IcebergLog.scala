@@ -245,13 +245,49 @@ object IcebergLog {
     * through the name mapping, with fields absent from a file read as
     * null — the spec's "Column Projection" + "Name Mapping Serialization"
     * rules, matching how iceberg-java reads such files.
+    *
+    * Identity-partitioned source columns MISSING from the data files
+    * (hive-migrated tables, dual-format publishes over hive-layout
+    * files) substitute the manifest's partition value per the spec's
+    * Column Projection rule #2: files group by their missing-value
+    * tuple — O(partition tuples) scans, not O(files) — and each group
+    * reads with the values as literals. Detection costs one driver
+    * footer read of the first file, so our own full-row files keep the
+    * single-scan fast path.
     */
   private[tables] def readData(spark: SparkSession, meta: JValue, schema: StructType,
-      paths: Seq[String], metaSel: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      files: Seq[TxLog.AddFile], metaSel: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val paths = files.map(_.path)
     def sel(df: DataFrame) =
       df.select(schema.fieldNames.toIndexedSeq.map(col) ++ metaSel: _*)
-    if (!renamedEver(meta))
-      return sel(spark.read.schema(schema).parquet(paths: _*))
+    if (!renamedEver(meta)) {
+      val identityCols = identityPartCols(meta).filter(schema.fieldNames.contains)
+      val missing =
+        if (identityCols.isEmpty) Seq.empty
+        else {
+          val firstNames =
+            footerTopLevel(spark.sessionState.newHadoopConf(), paths.head)._2.toSet
+          identityCols.filterNot(firstNames.contains)
+        }
+      if (missing.isEmpty)
+        return sel(spark.read.schema(schema).parquet(paths: _*))
+      val readSchema = StructType(schema.fields.filterNot(f => missing.contains(f.name)))
+      val types = schema.fields.map(f => f.name -> f.dataType).toMap
+      val groups = files.groupBy(f => missing.map(c => f.partitionValues.get(c).orNull))
+      return groups.map { case (values, gf) =>
+        val base = spark.read.schema(readSchema).parquet(gf.map(_.path): _*)
+        val cols = schema.fieldNames.toIndexedSeq.map { n =>
+          val i = missing.indexOf(n)
+          if (i < 0) col(n)
+          else {
+            val v = values(i)
+            val vv = if (v == null || v == "__HIVE_DEFAULT_PARTITION__") null else v
+            org.apache.spark.sql.functions.lit(vv).cast(types(n)).as(n)
+          }
+        }
+        base.select(cols ++ metaSel: _*)
+      }.reduce(_.unionAll(_))
+    }
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val idSchema = schemaWithFieldIds(currentSchemaJson(meta))
     val hconf = new org.apache.spark.util.SerializableConfiguration(
@@ -787,7 +823,7 @@ object IcebergLog {
       if (needMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
         col("_metadata.row_index").as(DeltaLog.RowMetaCol))
       else Seq.empty
-    val base = readData(spark, st.meta, st.schema, st.files.map(_.path), metaSel)
+    val base = readData(spark, st.meta, st.schema, st.files, metaSel)
     val live = applyEqualityDeletes(spark,
       applyPositionDeletes(spark, base, st), st)
     if (withMeta) live else live.drop(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
@@ -1629,6 +1665,102 @@ object IcebergWriter {
         "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapId)))),
       "metadata-log" -> JArray(Nil))))
     writeMetadata(f, location, 1L, body)
+  }
+
+  /** Publish the CURRENT state of a real Delta table at `location` as
+    * Apache Iceberg metadata over the SAME data files — the dual-format
+    * pattern (Delta UniForm's shape: PROTOCOL.md-replayed state mirrored
+    * into spec-compliant v2 Iceberg metadata): Delta stays the writable
+    * source of truth, Iceberg engines read `<location>/metadata/` without
+    * copying a byte. Re-publishing after new Delta commits appends a
+    * fresh Iceberg snapshot carrying the current file set, with field
+    * ids preserved across publishes so id-based readers survive schema
+    * evolution. Refused for states Iceberg metadata cannot express over
+    * shared files: live deletion vectors (purge/rewrite first) and
+    * column-mapped tables (files carry physical names). Writes through
+    * the Iceberg log on a published location are not meaningful — the
+    * Delta log would not see them; keep Delta the write path.
+    */
+  def publishFromDelta(spark: SparkSession, location: String): Unit = {
+    val snap = DeltaLog.snapshot(spark, location)
+    if (snap.files.exists(_.deletionVector.exists(_.cardinality > 0)))
+      throw UnsupportedOperationError(
+        "delta table has live deletion vectors; purge them (copy-on-write rewrite) " +
+          "before publishing iceberg metadata")
+    if (snap.properties.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id"))
+      throw UnsupportedOperationError(
+        "column-mapped delta tables store physical column names; iceberg publish " +
+          "is not supported for them")
+    val f = IcebergLog.fs(spark, location)
+    val adds = snap.files.map(_.copy(deletionVector = None))
+    val now = System.currentTimeMillis()
+    val specFieldsOf = snap.partitionColumns.map { c =>
+      val field = snap.schema.fields.find(_.name == c).getOrElse(
+        throw UnsupportedOperationError(s"partition column $c is not in the schema"))
+      IcebergLog.ResolvedSpecField(c, IceTransforms.Identity, c, field.dataType)
+    }
+    val partFields = specFieldsOf.map(sf => sf.name -> sf.resultType)
+    val entrySchema = entrySchemaFor(partFields)
+    if (!IcebergLog.isIcebergTable(spark, location)) {
+      val (schemaJson, lastColId, topIds) = icebergSchemaJson(snap.schema)
+      val snapId = 1L
+      val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, adds,
+        snap.schema, partFields, topIds, snapId, seq = 1L, content = 0)
+      val mlPath = writeManifestList(f, location, snapId,
+        Seq(mlRecord(mPath.toString, mLen, 0, 1L, snapId, adds.size, mRows)))
+      val specFieldsJson = specFieldsOf.zipWithIndex.map { case (sf, i) =>
+        JObject("name" -> JString(sf.name), "transform" -> JString(sf.t.spec),
+          "source-id" -> JInt(topIds(sf.source)), "field-id" -> JInt(1000 + i)): JValue
+      }
+      val body = JsonMethods.compact(JsonMethods.render(JObject(
+        "format-version" -> JInt(2),
+        "table-uuid" -> JString(java.util.UUID.randomUUID().toString),
+        "location" -> JString(location),
+        "last-sequence-number" -> JLong(1L),
+        "last-updated-ms" -> JLong(now),
+        "last-column-id" -> JInt(lastColId),
+        "current-schema-id" -> JInt(0),
+        "schemas" -> JArray(List(JsonMethods.parse(schemaJson))),
+        "default-spec-id" -> JInt(0),
+        "partition-specs" -> JArray(List(JObject(
+          "spec-id" -> JInt(0), "fields" -> JArray(specFieldsJson.toList)))),
+        "last-partition-id" -> JInt(999 + specFieldsOf.size),
+        "default-sort-order-id" -> JInt(0),
+        "sort-orders" -> JArray(List(JObject(
+          "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
+        "properties" -> JObject(List(
+          "graft.published-from" -> (JString("delta"): JValue),
+          "graft.delta-version" -> (JString(snap.version.toString): JValue))),
+        "current-snapshot-id" -> JLong(snapId),
+        "snapshots" -> JArray(List(snapshotJson(snapId, now, 1L, mlPath, "append"))),
+        "snapshot-log" -> JArray(List(JObject(
+          "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapId)))),
+        "metadata-log" -> JArray(Nil))))
+      writeMetadata(f, location, 1L, body)
+    } else {
+      val st = IcebergLog.stateAt(spark, location, None)
+      // schema drift since the last publish evolves with preserved ids
+      val schemaChanged = snap.schema.json != st.schema.json
+      val (schemaFields, topIds) =
+        if (schemaChanged) evolvedSchemaFields(st.meta, snap.schema)
+        else (Map.empty[String, JValue],
+          IcebergLog.topFields(st.meta).map { case (id, n, _) => n -> id }.toMap)
+      val seq = lastSeq(st.meta) + 1
+      val snapId = nextSnapId(st.meta)
+      val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, adds,
+        snap.schema, partFields, topIds, snapId, seq, content = 0)
+      val mlPath = writeManifestList(f, location, snapId,
+        Seq(mlRecord(mPath.toString, mLen, 0, seq, snapId, adds.size, mRows)))
+      val props = IcebergLog.propertiesOf(st.meta) +
+        ("graft.published-from" -> "delta") +
+        ("graft.delta-version" -> snap.version.toString)
+      commitExisting(f, location, st,
+        snapshotJson(snapId, now, seq, mlPath, "replace", st.snapshotId),
+        snapId, seq, now, schemaFields ++ Map(
+          "properties" -> (JObject(props.toList.map { case (k, v) =>
+            k -> (JString(v): JValue)
+          }): JValue)))
+    }
   }
 
   /** Append `df` as a new snapshot (STRICT through the type bridge);
