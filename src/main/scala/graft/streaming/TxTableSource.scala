@@ -36,7 +36,8 @@ class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), TxTableSource.streamSchema(sqlContext.sparkSession, TxTableSource.path(parameters)))
+    (shortName(), TxTableSource.streamSchema(sqlContext.sparkSession,
+      TxTableSource.path(parameters), TxTableSource.readChangeFeed(parameters)))
 
   override def createSource(
       sqlContext: SQLContext,
@@ -45,7 +46,8 @@ class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister
       providerName: String,
       parameters: Map[String, String]): Source =
     new TxTableSource(sqlContext.sparkSession, TxTableSource.path(parameters),
-      TxTableSource.maxVersionsPerTrigger(parameters))
+      TxTableSource.maxVersionsPerTrigger(parameters),
+      TxTableSource.readChangeFeed(parameters))
 }
 
 object TxTableSource {
@@ -61,6 +63,11 @@ object TxTableSource {
       n
     }
 
+  private[streaming] def readChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.exists { case (k, v) =>
+      k.equalsIgnoreCase("readChangeFeed") && v.equalsIgnoreCase("true")
+    }
+
   /** Table handle with commit-log auto-dispatch, so the SAME source streams
     * native `_graft_log` tables AND real Delta `_delta_log` tables (the
     * shape of Delta's own streaming source).
@@ -68,13 +75,22 @@ object TxTableSource {
   private[streaming] def table(spark: SparkSession, location: String): TxTable =
     TxTable.forAnyLocation(spark, location)
 
-  private[streaming] def streamSchema(spark: SparkSession, location: String): StructType =
-    StructType(table(spark, location).snapshot.schema.fields :+
-      StructField("_commit_version", LongType, nullable = false))
+  private[streaming] def streamSchema(spark: SparkSession, location: String,
+      cdf: Boolean = false): StructType =
+    if (cdf)
+      // Delta's readChangeFeed stream shape: rows + change metadata
+      StructType(table(spark, location).snapshot.schema.fields ++ Seq(
+        StructField("_change_type", org.apache.spark.sql.types.StringType),
+        StructField("_commit_version", LongType, nullable = false),
+        StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
+    else
+      StructType(table(spark, location).snapshot.schema.fields :+
+        StructField("_commit_version", LongType, nullable = false))
 }
 
 class TxTableSource(spark: SparkSession, location: String,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    readChangeFeed: Boolean = false) extends Source {
 
   private case class TxOffset(version: Long) extends Offset {
     override def json: String = s"""{"version":$version}"""
@@ -88,9 +104,15 @@ class TxTableSource(spark: SparkSession, location: String,
         .getOrElse(throw new IllegalStateException(s"unparseable offset ${other.json}"))
   }
 
-  override val schema: StructType = TxTableSource.streamSchema(spark, location)
+  override val schema: StructType =
+    TxTableSource.streamSchema(spark, location, readChangeFeed)
 
   private val table = TxTableSource.table(spark, location)
+  // fail fast: CDF streaming needs the Delta change feed
+  if (readChangeFeed && !(table.log eq graft.tables.ForeignDeltaCommitLog))
+    throw graft.catalog.UnsupportedOperationError(
+      "readChangeFeed streaming requires a Delta (_delta_log) table with " +
+        "change data feed; the native/Iceberg logs stream appends only")
 
   /** Highest version already handed out in a batch — the rate limit's
     * base. Synced from the checkpoint on restart: the engine replays the
@@ -113,7 +135,10 @@ class TxTableSource(spark: SparkSession, location: String,
     val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
     lastSeen = Some(math.max(lastSeen.getOrElse(-1L), to))
-    val batch = table.changesSince(from, Some(to))
+    val changes =
+      if (readChangeFeed) table.tableChanges(from + 1, Some(to))
+      else table.changesSince(from, Some(to))
+    val batch = changes
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     // the engine asserts isStreaming on the returned frame
     org.apache.spark.sql.GraftColumnBridge.streamingDataFrame(

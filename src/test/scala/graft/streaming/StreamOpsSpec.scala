@@ -180,6 +180,57 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(resumed.flatten.toSet == Set(4L, 5L))
   }
 
+  test("TxTableSource readChangeFeed streams inserts AND deletes with change types") {
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("txsrc-cdf") + "/t"
+    val ckpt = TestSpark.tmpDir("txsrc-cdf-ckpt")
+    graft.tables.DeltaLogWriter.create(spark, loc,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val t = graft.tables.TxTable.forForeignDelta(spark, loc)
+    t.append(Seq((4L, "d")).toDF("id", "s"))   // v1
+    t.delete("id = 2")                          // v2
+
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream
+      .format("graft.streaming.TxTableSourceProvider")
+      .option("readChangeFeed", "true")
+      .load(loc)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id", "_change_type", "_commit_version").collect()
+          .foreach(r => received.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = received.asScala.toSet
+    assert(got.contains((1L, "insert", 0L)) && got.contains((3L, "insert", 0L)))
+    assert(got.contains((4L, "insert", 1L)))
+    assert(got.contains((2L, "delete", 2L)), s"delete row must stream, got $got")
+
+    // the native log refuses CDF streaming with a typed error
+    val nloc = TestSpark.tmpDir("txsrc-cdf-native") + "/t"
+    new TxTable(spark, nloc).create(Seq((1L, "a")).toDF("id", "s"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val bad = spark.readStream
+        .format("graft.streaming.TxTableSourceProvider")
+        .option("readChangeFeed", "true")
+        .load(nloc)
+        .writeStream
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .option("checkpointLocation", TestSpark.tmpDir("txsrc-cdf-bad-ckpt"))
+        .start()
+      bad.processAllAvailable()
+      if (bad.exception.isDefined) { bad.stop(); throw bad.exception.get }
+      bad.stop()
+    }
+  }
+
   test("TxTableSource streams a REAL Delta (_delta_log) table via log dispatch") {
     import spark.implicits._
     val loc = TestSpark.tmpDir("txsrc-delta") + "/t"
