@@ -42,10 +42,39 @@ object GraftSqlExtensions {
       val client = clients.get(session)
       if (client == null) return plan
       plan.resolveOperatorsUp {
+        // SQL time travel: SELECT ... FROM cat.sch.tbl VERSION AS OF 3
+        // (or TIMESTAMP AS OF '...') over the transactional formats
+        case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+            UnresolvedRelation(parts, _, _), tsExpr, version) if parts.length == 3 =>
+          resolveTravel(client, parts(0), parts(1), parts(2), tsExpr, version).getOrElse(tt)
         case u @ UnresolvedRelation(parts, _, _) if parts.length == 3 =>
           resolve(client, parts(0), parts(1), parts(2)).getOrElse(u)
       }
     }
+
+    private def resolveTravel(client: LakehouseClient, cat: String, sch: String,
+        tbl: String,
+        tsExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+        version: Option[String]): Option[LogicalPlan] =
+      try {
+        val info = client.getTable(cat, sch, tbl)
+        import graft.catalog.FileType
+        if (info.fileType != FileType.DELTA && info.fileType != FileType.ICEBERG)
+          throw graft.catalog.UnsupportedOperationError(
+            s"time travel requires a transactional table; ${info.fullName} is ${info.fileType}")
+        val loc = graft.io.TableIO.normalize(info.storageLocation.get)
+        val t = graft.tables.TxTable.forAnyLocation(session, loc)
+        val v: Long = version.map(_.toLong).getOrElse {
+          val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+            tsExpr.get, org.apache.spark.sql.types.TimestampType,
+            Some(session.sessionState.conf.sessionLocalTimeZone))
+            .eval(null).asInstanceOf[Long]
+          t.log.versionAtTimestamp(session, loc, Math.floorDiv(micros, 1000L))
+        }
+        Some(t.toDF(v).queryExecution.analyzed)
+      } catch {
+        case _: graft.catalog.DoesNotExistError => None
+      }
 
     private def resolve(client: LakehouseClient, cat: String, sch: String, tbl: String): Option[LogicalPlan] =
       try {

@@ -33,6 +33,41 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM lake.core.missing").collect() }
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF on 3-part names") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lake3")
+    client.createSchema("lake3", "core")
+    val dir = TestSpark.tmpDir("sqltravel")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    client.createAsTable(df, "lake3", "core", "t", FileType.DELTA, s"$dir/t") // v0
+    val afterCreate = System.currentTimeMillis()
+    Thread.sleep(5)
+    client.writeTable(Seq((3L, "c")).toDF("id", "v"), "lake3", "core", "t",
+      graft.catalog.WriteMode.APPEND) // v1
+
+    assert(spark.sql("SELECT COUNT(*) FROM lake3.core.t").collect()(0).getLong(0) == 3)
+    assert(spark.sql("SELECT COUNT(*) FROM lake3.core.t VERSION AS OF 0")
+      .collect()(0).getLong(0) == 2)
+    val ts = new java.sql.Timestamp(afterCreate).toString
+    assert(spark.sql(s"SELECT COUNT(*) FROM lake3.core.t TIMESTAMP AS OF '$ts'")
+      .collect()(0).getLong(0) == 2)
+
+    // iceberg tables travel by metadata version through the same syntax
+    client.createAsTable(df, "lake3", "core", "ice", FileType.ICEBERG, s"$dir/ice")
+    client.writeTable(Seq((3L, "c")).toDF("id", "v"), "lake3", "core", "ice",
+      graft.catalog.WriteMode.APPEND)
+    assert(spark.sql("SELECT COUNT(*) FROM lake3.core.ice VERSION AS OF 1")
+      .collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT COUNT(*) FROM lake3.core.ice").collect()(0).getLong(0) == 3)
+
+    // non-transactional formats refuse with a typed error
+    client.createAsTable(df, "lake3", "core", "p", FileType.PARQUET, s"$dir/p.parquet")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM lake3.core.p VERSION AS OF 0").collect()
+    }
+    assert(ex.getMessage.contains("transactional") || ex.toString.contains("transactional"))
+  }
+
   test("merge results visible via SQL immediately (no view re-registration)") {
     val client = new LakehouseClient(spark)
     client.createCatalog("lake2")
