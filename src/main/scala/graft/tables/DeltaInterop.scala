@@ -1497,6 +1497,45 @@ object DeltaLogWriter {
   def append(spark: SparkSession, location: String, df: DataFrame): Unit =
     TxTable.forForeignDelta(spark, location).append(df)
 
+  /** Delete commit JSONs and superseded checkpoint files BELOW the
+    * latest checkpoint once older than `retentionMs` — the
+    * delta.logRetentionDuration maintenance every long-lived Delta table
+    * needs: the checkpoint reconstructs every later version, so the
+    * removed commits were only reachable by time travel past the
+    * retention horizon (which now raises, as on any Delta engine).
+    * `_last_checkpoint`, everything at or above the checkpoint version,
+    * and v2 sidecars (shareable across checkpoints) are kept. Returns
+    * the number of files deleted.
+    */
+  def cleanupLogs(spark: SparkSession, location: String,
+      retentionMs: Long = 30L * 24 * 3600 * 1000): Int = {
+    val f = DeltaLog.fs(spark, location)
+    val dir = new Path(location, "_delta_log")
+    val lcPath = new Path(dir, "_last_checkpoint")
+    if (!f.exists(lcPath)) return 0
+    val ckptVersion = {
+      val in = f.open(lcPath)
+      try (JsonMethods.parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        \ "version").extract[Long]
+      finally in.close()
+    }
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var n = 0
+    f.listStatus(dir).foreach { s =>
+      if (s.isFile) {
+        val name = s.getPath.getName
+        val v = name.takeWhile(_ != '.').toLongOption
+        val isCommit = name.endsWith(".json") && !name.contains(".checkpoint.") &&
+          name.stripSuffix(".json").toLongOption.isDefined
+        val isCkpt = name.contains(".checkpoint.")
+        val eligible = (isCommit || isCkpt) &&
+          v.exists(_ < ckptVersion) && s.getModificationTime < cutoff
+        if (eligible && f.delete(s.getPath, false)) n += 1
+      }
+    }
+    n
+  }
+
   /** OPTIMIZE ZORDER BY on a real Delta table: one overwrite commit whose
     * data is re-clustered on the Morton key of `zorderCols`, so the stats
     * this writer emits make multi-column manifest pruning effective for

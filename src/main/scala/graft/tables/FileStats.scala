@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   * commit time, serialized into the transaction log, and consulted at scan
   * time to drop files that provably cannot match a predicate.
   *
-  * Footer reads are metadata-only (no data pages). They run on the driver
-  * per commit — O(#files just written); a 1000-executor job writing many
-  * files per task could distribute this, noted as a future optimization.
+  * Footer reads are metadata-only (no data pages) and run on EXECUTORS
+  * at commit time (TxLog.stageData parallelizes the just-published file
+  * list), so a commit writing tens of thousands of files never
+  * serializes footer I/O through the driver.
   */
 object FileStats {
 

@@ -1372,8 +1372,16 @@ object IcebergWriter {
       case _ => Nil
     }
     val managed = Set("last-sequence-number", "last-updated-ms", "current-snapshot-id",
-      "snapshots", "snapshot-log") ++ replaceFields.keySet ++ refsAdvanced.map(_._1)
+      "snapshots", "snapshot-log", "metadata-log") ++ replaceFields.keySet ++
+      refsAdvanced.map(_._1)
     val kept = meta.obj.filterNot { case (k, _) => managed.contains(k) }
+    // metadata-log tracks the PREVIOUS metadata document (spec "Table
+    // Metadata": the list every engine's history/rollback tooling walks)
+    val priorMetaLog = (meta \ "metadata-log").extractOrElse[Seq[JValue]](Seq.empty)
+    val prevEntry: JValue = JObject(
+      "timestamp-ms" -> JLong((meta \ "last-updated-ms").extractOrElse[Long](0L)),
+      "metadata-file" -> JString(
+        new Path(IcebergLog.metadataDir(location), s"v${st.metadataVersion}.metadata.json").toString))
     val body = JsonMethods.compact(JsonMethods.render(JObject(kept ++ replaceFields.toList ++
       refsAdvanced ++ List(
       "last-sequence-number" -> JLong(seq),
@@ -1381,7 +1389,8 @@ object IcebergWriter {
       "current-snapshot-id" -> JLong(snapId),
       "snapshots" -> JArray((priorSnaps :+ (snap: JValue)).toList),
       "snapshot-log" -> JArray((priorLog :+ (JObject(
-        "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapId)): JValue)).toList)))))
+        "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapId)): JValue)).toList),
+      "metadata-log" -> JArray((priorMetaLog :+ prevEntry).toList)))))
     writeMetadata(f, location, st.metadataVersion + 1, body)
   }
 

@@ -332,7 +332,12 @@ object TxLog {
       }
       val staged = listFilesRecursively(f, stagingDir)
         .filter(p => p.getName.endsWith(".parquet"))
-      staged.map { p =>
+      // publish (rename) on the driver — O(files) metadata-only FS ops —
+      // then collect footer stats on EXECUTORS: a commit writing tens of
+      // thousands of files would serialize tens of thousands of footer
+      // reads through the driver otherwise (the scale ceiling the old
+      // in-loop read had)
+      val published = staged.map { p =>
         val rel = relativize(stagingDir, p)
         val dest = new Path(location, rel)
         val destDir = dest.getParent
@@ -340,7 +345,25 @@ object TxLog {
         val size = f.getFileStatus(p).getLen
         if (!f.rename(p, dest))
           throw new java.io.IOException(s"failed to publish staged file $p -> $dest")
-        val (rows, mins, maxs, nulls) = FileStats.fromParquetFooter(hadoopConf(spark), dest)
+        (rel, dest.toString, size)
+      }
+      val hconf = new org.apache.spark.util.SerializableConfiguration(hadoopConf(spark))
+      val statsByRel: Map[String, (Long, Map[String, String], Map[String, String], Map[String, Long])] =
+        if (published.size <= 4) {
+          // small commits skip the job-launch overhead
+          published.map { case (rel, dest, _) =>
+            rel -> FileStats.fromParquetFooter(hconf.value, new Path(dest))
+          }.toMap
+        } else {
+          spark.sparkContext
+            .parallelize(published.map { case (rel, dest, _) => (rel, dest) },
+              math.max(1, math.min(published.size, 64)))
+            .map { case (rel, dest) =>
+              rel -> FileStats.fromParquetFooter(hconf.value, new Path(dest))
+            }.collect().toMap
+        }
+      published.map { case (rel, _, size) =>
+        val (rows, mins, maxs, nulls) = statsByRel(rel)
         AddFile(rel, partitionValuesOf(rel), rows, size,
           if (mins.isEmpty) None else Some(mins),
           if (maxs.isEmpty) None else Some(maxs),

@@ -659,6 +659,32 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(DeltaLog.toDF(spark, loc3).count() === 2 + 8 * 2)
   }
 
+  test("cleanupLogs drops pre-checkpoint commits; replay and travel behave like Delta") {
+    val loc = TestSpark.tmpDir("delta-logclean")
+    import spark.implicits._
+    DeltaLogWriter.create(spark, loc, Seq((0L, "v0")).toDF("id", "s"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    (1 to 12).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "s")))
+    // checkpoint landed at v10
+    val f = DeltaLog.fs(spark, loc)
+    val dir = new org.apache.hadoop.fs.Path(loc, "_delta_log")
+    assert(f.listStatus(dir).exists(_.getPath.getName.contains(".checkpoint.")))
+
+    // nothing younger than the retention horizon is touched
+    assert(DeltaLogWriter.cleanupLogs(spark, loc) == 0)
+    // horizon 0: everything below v10 goes
+    val removed = DeltaLogWriter.cleanupLogs(spark, loc, retentionMs = 0L)
+    assert(removed == 10, s"expected 10 commit jsons removed, got $removed")
+    // current state replays from the checkpoint + tail commits
+    assert(t.toDF.count() == 13)
+    assert(TxTable.forForeignDelta(spark, loc).snapshot.version == 12L)
+    // versions at/after the checkpoint still travel; earlier ones raise
+    assert(TxTable.forForeignDelta(spark, loc).toDF(10L).count() == 11)
+    intercept[Exception] {
+      TxTable.forForeignDelta(spark, loc).toDF(3L).count()
+    }
+  }
+
   test("TableIO dispatch: foreign Delta read, strict append, overwrite") {
     val loc = TestSpark.tmpDir("delta-dispatch")
     DeltaLogWriter.create(spark, loc, df1)

@@ -78,6 +78,21 @@ class IcebergMetaSpec extends AnyFunSuite {
       .forall(_.getAs[Int]("content") == 0))
   }
 
+  test("metadata-log tracks previous metadata documents") {
+    val loc = TestSpark.tmpDir("ice-meta-log") + "/t"
+    IcebergWriter.create(spark, loc, seed)
+    IcebergWriter.append(spark, loc, Seq((6L, "g3", 6.0)).toDF("id", "g", "v"))
+    IcebergWriter.append(spark, loc, Seq((7L, "g3", 7.0)).toDF("id", "g", "v"))
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val meta = IcebergLog.state(spark, loc).meta
+    val entries = (meta \ "metadata-log").extract[Seq[JValue]]
+    assert(entries.size == 2)
+    val files = entries.map(e => (e \ "metadata-file").extract[String])
+    assert(files.exists(_.endsWith("v1.metadata.json")))
+    assert(files.exists(_.endsWith("v2.metadata.json")))
+  }
+
   test("refs empty on an unref'd table; unknown table name raises") {
     val loc = TestSpark.tmpDir("ice-meta-refs") + "/t"
     IcebergWriter.create(spark, loc, seed)
