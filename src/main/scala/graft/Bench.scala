@@ -133,11 +133,44 @@ object Bench {
       (cow, dvT)
     }
 
+    // Iceberg demo (diagnostic; NOT in the headline total — RESULTS are
+    // oracle-anchored by q95-q98/q102/q104-q106/q108; this block only
+    // times the plans): ONE bucket+month hidden-partitioned table built
+    // from orders — the write timed once (it clusters by ~hundreds of
+    // partition tuples, the cost is file-count-shaped), then the scans
+    // that matter at 100 TB in steady state: a full manifest-planned
+    // scan, and a point scan whose raw-column predicates project through
+    // the bucket/month transforms to prune manifest entries.
+    val (iceWrite, iceFull, icePruned) = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("bench-ice").toString + "/t"
+      val orders = graft.queries.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val t0 = System.nanoTime()
+      graft.tables.IcebergWriter.create(spark, loc, orders,
+        partitionColumns = Seq("bucket(8, o_custkey)", "month(o_orderdate)"))
+      val w = (System.nanoTime() - t0) / 1e9
+      def run(df: => org.apache.spark.sql.DataFrame): Double = {
+        val t = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      def best(f: => Double): Double = { val a = f; val b = f; math.min(a, b) }
+      val full = best(run(graft.tables.IcebergLog.toDF(spark, loc)))
+      val pruned = best(run(graft.tables.IcebergLog.scan(spark, loc,
+        "o_custkey = 371 AND o_orderdate >= TIMESTAMP_NTZ'1995-01-01 00:00:00'")))
+      System.err.println(
+        f"[bench] iceberg_demo write $w%.2fs full_scan $full%.2fs pruned_scan $pruned%.2fs")
+      (w, full, pruned)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""skew_demo":{"naive_aqe_sec":$skewAqe,"naive_noaqe_sec":$skewNoAqe,"salted_sec":$skewSalted},""" +
-      s""""dv_demo":{"cow_delete_sec":$cowSec,"dv_delete_sec":$dvSec},"sf":"$sfDir"}""")
+      s""""dv_demo":{"cow_delete_sec":$cowSec,"dv_delete_sec":$dvSec},""" +
+      s""""iceberg_demo":{"write_sec":$iceWrite,"full_scan_sec":$iceFull,"pruned_scan_sec":$icePruned},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -331,18 +331,19 @@ object TxLog {
         }
       }
       val staged = listFilesRecursively(f, stagingDir)
-        .filter(p => p.getName.endsWith(".parquet"))
-      // publish (rename) on the driver — O(files) metadata-only FS ops —
-      // then collect footer stats on EXECUTORS: a commit writing tens of
+        .filter(_._1.getName.endsWith(".parquet"))
+      // publish (rename) on the driver — O(files) metadata-only FS ops,
+      // one mkdirs + one rename per file (sizes come from the listing's
+      // own FileStatus; mkdirs is idempotent, no exists probe) — then
+      // collect footer stats on EXECUTORS: a commit writing tens of
       // thousands of files would serialize tens of thousands of footer
-      // reads through the driver otherwise (the scale ceiling the old
-      // in-loop read had)
-      val published = staged.map { p =>
+      // reads through the driver otherwise
+      val mkdirsDone = scala.collection.mutable.Set.empty[Path]
+      val published = staged.map { case (p, size) =>
         val rel = relativize(stagingDir, p)
         val dest = new Path(location, rel)
         val destDir = dest.getParent
-        if (!f.exists(destDir)) f.mkdirs(destDir)
-        val size = f.getFileStatus(p).getLen
+        if (mkdirsDone.add(destDir)) f.mkdirs(destDir)
         if (!f.rename(p, dest))
           throw new java.io.IOException(s"failed to publish staged file $p -> $dest")
         (rel, dest.toString, size)
@@ -374,12 +375,12 @@ object TxLog {
     }
   }
 
-  private def listFilesRecursively(f: FileSystem, dir: Path): Seq[Path] = {
-    val out = Seq.newBuilder[Path]
+  private def listFilesRecursively(f: FileSystem, dir: Path): Seq[(Path, Long)] = {
+    val out = Seq.newBuilder[(Path, Long)]
     val it = f.listFiles(dir, true)
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile) out += s.getPath
+      if (s.isFile) out += s.getPath -> s.getLen
     }
     out.result()
   }
