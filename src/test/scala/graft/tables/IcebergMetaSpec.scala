@@ -93,6 +93,31 @@ class IcebergMetaSpec extends AnyFunSuite {
     assert(files.exists(_.endsWith("v2.metadata.json")))
   }
 
+  test("concurrent Iceberg appends both land via optimistic metadata race") {
+    val loc = TestSpark.tmpDir("ice-conc") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(Seq((0L, "base")).toDF("id", "v").repartition(1), Seq.empty)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 4).map { k =>
+      Future {
+        TxTable.forIceberg(spark, loc).append(
+          Seq((k.toLong, s"writer$k")).toDF("id", "v").repartition(1))
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    assert(t.toDF.count() == 5)
+    assert(t.toDF.select("v").as[String].collect().toSet ==
+      Set("base", "writer1", "writer2", "writer3", "writer4"))
+    // one snapshot per committed append, linear parent chain
+    val snaps = IcebergMeta.table(spark, loc, "snapshots")
+      .orderBy("committed_at").collect()
+    assert(snaps.length == 5)
+    assert(IcebergMeta.table(spark, loc, "history")
+      .collect().forall(_.getAs[Boolean]("is_current_ancestor")))
+  }
+
   test("refs empty on an unref'd table; unknown table name raises") {
     val loc = TestSpark.tmpDir("ice-meta-refs") + "/t"
     IcebergWriter.create(spark, loc, seed)
