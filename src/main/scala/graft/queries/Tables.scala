@@ -17,13 +17,23 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as a raw epoch-nanosecond long (`ts` stays LongType).
-    * All downstream time math is integer arithmetic on ns, which also agrees
-    * exactly with DuckDB's µs-truncated view of the same column.
+  /** events.parquet has shipped with two physical shapes for `ts` across
+    * fixture generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * only accepts as a raw epoch-ns long via the nanosAsLong legacy flag)
+    * and TIMESTAMP(MICROS). Normalize both to an epoch-nanosecond LongType
+    * `ts` so every downstream query keeps doing exact integer arithmetic on
+    * ns — which also agrees exactly with DuckDB's `epoch_ns(ts)` view of
+    * the same column (real precision is µs in both cases, so ns = µs*1000
+    * is lossless).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // nanos-as-long fixtures
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
   }
 }

@@ -36,19 +36,30 @@ object StreamOps {
       n_events: Long,
       total_value: Double)
 
-  /** File-based event stream from parquet drops of the events table shape
-    * (epoch-ns long `ts` → proper event-time timestamp column).
+  /** File-based event stream from parquet drops of the events table shape,
+    * normalized to carry a proper `event_time` timestamp column. The `ts`
+    * column has shipped as both epoch-ns long and TIMESTAMP(MICROS) across
+    * fixture generations (see Tables.events); a streaming schema is fixed up
+    * front, so sniff the already-dropped files once at stream construction
+    * (a batch-metadata read — no data scan) and declare the matching schema.
+    * Directories with no files yet default to the ns-long shape.
     */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsIsTimestamp =
+      try !spark.read.parquet(dir).schema("ts").dataType.isInstanceOf[LongType.type]
+      catch { case _: Throwable => false }
+    val tsType: DataType = if (tsIsTimestamp) TimestampNTZType else LongType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType), // epoch ns
+      StructField("ts", tsType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("event_time", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (tsIsTimestamp) raw.withColumn("event_time", col("ts").cast(TimestampType))
+    else raw.withColumn("event_time",
+      timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
   }
 
   /** Windowed per-type counts with a watermark: late events beyond
