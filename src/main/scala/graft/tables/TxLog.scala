@@ -332,21 +332,46 @@ object TxLog {
       }
       val staged = listFilesRecursively(f, stagingDir)
         .filter(_._1.getName.endsWith(".parquet"))
-      // publish (rename) on the driver — O(files) metadata-only FS ops,
-      // one mkdirs + one rename per file (sizes come from the listing's
-      // own FileStatus; mkdirs is idempotent, no exists probe) — then
-      // collect footer stats on EXECUTORS: a commit writing tens of
-      // thousands of files would serialize tens of thousands of footer
-      // reads through the driver otherwise
-      val mkdirsDone = scala.collection.mutable.Set.empty[Path]
+      // publish (rename) on the driver, renaming whole DIRECTORIES
+      // wholesale whenever the destination directory does not exist yet —
+      // the create / overwrite / new-partition case. A first commit of a
+      // 600-partition table publishes in O(top-level partition dirs)
+      // renames instead of O(files); only appends into already-existing
+      // directories descend to per-file renames. (Directory rename is an
+      // atomic metadata op on HDFS/posix; object stores without it need a
+      // store-side committer, same as Spark's own output committers.)
+      // Sizes come from the pre-rename staging listing; footer stats are
+      // collected on EXECUTORS below: a commit writing tens of thousands
+      // of files would serialize that many footer reads through the
+      // driver otherwise.
       val published = staged.map { case (p, size) =>
         val rel = relativize(stagingDir, p)
-        val dest = new Path(location, rel)
-        val destDir = dest.getParent
-        if (mkdirsDone.add(destDir)) f.mkdirs(destDir)
-        if (!f.rename(p, dest))
-          throw new java.io.IOException(s"failed to publish staged file $p -> $dest")
-        (rel, dest.toString, size)
+        (rel, new Path(location, rel).toString, size)
+      }
+      def publishTree(src: Path, dest: Path): Unit = {
+        // exists+rename races with a concurrent writer creating dest are
+        // benign: a failed dir rename just falls through to the descent
+        if (f.exists(dest) || !f.rename(src, dest)) {
+          f.mkdirs(dest)
+          f.listStatus(src).foreach { st =>
+            val d = new Path(dest, st.getPath.getName)
+            if (st.isDirectory) publishTree(st.getPath, d)
+            else if (st.getPath.getName.endsWith(".parquet")) {
+              if (!f.rename(st.getPath, d))
+                throw new java.io.IOException(
+                  s"failed to publish staged file ${st.getPath} -> $d")
+            }
+          }
+        }
+      }
+      f.listStatus(stagingDir).foreach { st =>
+        val d = new Path(location, st.getPath.getName)
+        if (st.isDirectory) publishTree(st.getPath, d)
+        else if (st.getPath.getName.endsWith(".parquet")) {
+          if (!f.rename(st.getPath, d))
+            throw new java.io.IOException(
+              s"failed to publish staged file ${st.getPath} -> $d")
+        }
       }
       val hconf = new org.apache.spark.util.SerializableConfiguration(hadoopConf(spark))
       val statsByRel: Map[String, (Long, Map[String, String], Map[String, String], Map[String, Long])] =
