@@ -613,6 +613,65 @@ object InteropQueries {
           ${sqlSum("l_extendedprice")} AS revenue
         FROM lineitem
         WHERE l_quantity <= 15 AND l_quantity > 5 AND l_returnflag <> 'N'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- metadata-only count: count(*) must not scan 100 TB ----
+    // a DV-bearing Delta table's live row count computed purely from the
+    // log (per-file numRecords minus DV cardinalities); the in-query
+    // require()s pin that the DV path was actually exercised, the oracle
+    // pins the arithmetic against DuckDB's scan-based count
+    QueryDef(
+      "q109_metadata_count",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q109-cnt").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        graft.tables.DeltaLogWriter.create(s, loc, li.repartition(4),
+          properties = Map("delta.enableDeletionVectors" -> "true"))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        t.delete("l_quantity <= 4")
+        require(t.snapshot.files.exists(_.deletionVector.exists(_.cardinality > 0)),
+          "q109 expects live deletion vectors")
+        import s.implicits._
+        Seq(t.countRows()).toDF("n_live")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_live
+        FROM lineitem WHERE l_quantity > 4""")),
+
+    // ---- incremental compaction preserves data exactly ----
+    // trickle appends leave small-file debris next to one well-sized file;
+    // optimizeCompact must rewrite ONLY the debris (the require()s pin
+    // both the commit and the surviving big file) and the post-compaction
+    // aggregate hash-matches an oracle computed from the raw source
+    QueryDef(
+      "q110_compaction",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q110-compact").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        val t = new graft.tables.TxTable(s, loc)
+        t.create(li.filter(col("l_linenumber") === 1).repartition(1))
+        (2 to 7).foreach { k =>
+          t.append(li.filter(col("l_linenumber") === k).repartition(1))
+        }
+        val big = t.snapshot.files.maxBy(_.sizeBytes)
+        require(t.optimizeCompact(minFileBytes = big.sizeBytes, targetFileBytes = 1L << 30),
+          "q110 expects a compaction commit")
+        val after = t.snapshot
+        require(after.files.exists(_.path == big.path), "well-sized file must survive")
+        require(after.files.size < 7, "debris must have been binned")
+        t.toDF
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS revenue
+        FROM lineitem WHERE l_linenumber <= 7
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

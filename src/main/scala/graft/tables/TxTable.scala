@@ -528,6 +528,60 @@ final class TxTable(val spark: SparkSession, val location: String,
   def filesAfterPruning(predicate: String): Int =
     FileStats.survivingFiles(spark, snapshot, predicate).size
 
+  /** O(metadata) row count: Σ per-file record counts − Σ deletion-vector
+    * cardinalities, straight from the log — at 100 TB a `count(*)` must
+    * not scan 100 TB. Files whose writer omitted stats (`rows` unknown,
+    * possible on foreign-written Delta) are counted with a distributed
+    * scan of JUST those files, so the result is always exact, never a
+    * guess.
+    */
+  def countRows(): Long = {
+    val s = snapshot
+    val (known, unknown) = s.files.partition(_.rows >= 0L)
+    val knownLive = known.iterator
+      .map(f => f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
+    val unknownLive =
+      if (unknown.isEmpty) 0L else dfFor(s.copy(files = unknown)).count()
+    knownLive + unknownLive
+  }
+
+  /** Metadata-only table summary (no data read): live rows, file count,
+    * total bytes. Row count follows the countRows contract.
+    */
+  def describeStats(): TxTable.TableStats = {
+    val s = snapshot
+    TxTable.TableStats(countRows(), s.files.size, s.files.map(_.sizeBytes).sum)
+  }
+
+  /** Incremental compaction: rewrite ONLY files smaller than
+    * `minFileBytes`, binned per partition tuple, leaving well-sized files
+    * untouched. This is the steady-state maintenance shape at scale — a
+    * nightly OPTIMIZE of a 100 TB table must touch the small-file debris
+    * of recent commits (O(new data)), not rewrite 100 TB. A partition
+    * tuple with fewer than two small files has nothing to gain and is
+    * skipped. Returns whether a compaction commit was published (false =
+    * nothing qualified, no commit written). Row ids and commit versions
+    * survive on row-tracked tables (dataChange=false rewrite path).
+    */
+  def optimizeCompact(minFileBytes: Long = 16L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024): Boolean =
+    commitWithRetryIf("OPTIMIZE") { snap =>
+      val picked = snap.files.groupBy(_.partitionValues).valuesIterator.flatMap { fs =>
+        val small = fs.filter(_.sizeBytes < minFileBytes)
+        if (small.size >= 2) small else Seq.empty
+      }.toSeq
+      if (picked.isEmpty) None // nothing qualifies (or a racer compacted first)
+      else {
+        val totalBytes = picked.map(_.sizeBytes).sum
+        val targetFiles = math.max(1, math.ceil(
+          totalBytes.toDouble / math.max(1L, targetFileBytes)).toInt)
+        val compacted = readForRewrite(snap, picked).repartition(targetFiles)
+        val (added, props) = stageRewrite(compacted, snap)
+        Some(TxTable.Planned(added, picked.map(_.path), snap.schema,
+          snap.partitionColumns, props))
+      }
+    }
+
   /** Compaction (OPTIMIZE): rewrite the active file set into
     * ~targetFileBytes files (per partition for partitioned tables). Data
     * is unchanged — one commit swaps the whole file list.
@@ -779,6 +833,9 @@ object TxTable {
       properties: Map[String, String],
       cdc: Seq[AddFile] = Seq.empty,
       txn: Option[TxLog.SetTxn] = None)
+
+  /** Metadata-only table summary (see TxTable.describeStats). */
+  final case class TableStats(rowCount: Long, fileCount: Long, sizeBytes: Long)
 
   /** Delta's default VACUUM retention window (7 days). */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
