@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet stores TIMESTAMP(NANOS); read as epoch-ns long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -134,13 +134,15 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
   // ---- merge (M1/M2) ----
 
   /** Transactional-table handle (reference get_delta_table, C18). Backed
-    * by the native `_graft_log` or, for foreign tables, the real Delta
-    * protocol — MERGE / time travel / change feeds work on both.
+    * by the native `_graft_log`, the real Delta protocol, or the Iceberg
+    * log (forAnyLocation dispatches on what is on disk) — MERGE / time
+    * travel / change feeds / DML work on all three.
     */
   def getTxTable(catalog: String, schema: String, name: String): TxTable = {
     val t = getTable(catalog, schema, name)
-    if (t.fileType != FileType.DELTA)
-      throw UnsupportedOperationError(s"table ${t.fullName} is not a DELTA table")
+    if (t.fileType != FileType.DELTA && t.fileType != FileType.ICEBERG)
+      throw UnsupportedOperationError(
+        s"table ${t.fullName} is not a transactional (DELTA/ICEBERG) table")
     TxTable.forAnyLocation(spark, TableIO.normalize(t.storageLocation.get))
   }
 

@@ -672,6 +672,56 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           ${sqlSum("l_extendedprice")} AS revenue
         FROM lineitem WHERE l_linenumber <= 7
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- the SQL DML surface end-to-end ----
+    // a catalog Delta table driven ONLY through spark.sql statements —
+    // INSERT INTO ... SELECT, DELETE, UPDATE, and MERGE ... WHEN MATCHED
+    // THEN DELETE on 3-part names (GraftSqlDml rewrites them into the
+    // TxTable write surface); the oracle replays the statement sequence
+    // as one set-algebra expression over the raw source
+    QueryDef(
+      "q111_sql_dml",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q111cat")
+        client.createSchema("q111cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q111-dml").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        li.createOrReplaceTempView("q111_src")
+        client.createAsTable(
+          li.filter(col("l_linenumber") <= 2 && col("l_quantity") <= 20),
+          "q111cat", "s", "t", graft.catalog.FileType.DELTA, s"$loc/t")
+        s.sql("""INSERT INTO q111cat.s.t
+          SELECT * FROM q111_src WHERE l_linenumber = 3 AND l_quantity <= 20""")
+        s.sql("DELETE FROM q111cat.s.t WHERE l_quantity <= 5")
+        s.sql("""UPDATE q111cat.s.t SET l_extendedprice = l_extendedprice * 2
+          WHERE l_returnflag = 'R'""")
+        // DISTINCT keys: the synthetic lineitem carries duplicate
+        // (orderkey, linenumber) pairs, and MERGE (correctly) refuses a
+        // target row matching multiple source rows
+        s.sql("""MERGE INTO q111cat.s.t AS t
+          USING (SELECT DISTINCT l_orderkey, l_linenumber FROM q111_src
+                 WHERE l_linenumber = 1 AND l_quantity >= 19) AS src
+          ON t.l_orderkey = src.l_orderkey AND t.l_linenumber = src.l_linenumber
+          WHEN MATCHED THEN DELETE""")
+        s.sql("SELECT * FROM q111cat.s.t")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS revenue
+        FROM lineitem
+        WHERE l_linenumber <= 3 AND l_quantity <= 20 AND l_quantity > 5
+          AND NOT (l_linenumber = 1 AND l_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            WHERE l_linenumber = 1 AND l_quantity >= 19))
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -1,0 +1,340 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+import graft.catalog.{DoesNotExistError, UnsupportedOperationError, WriteMode}
+import graft.client.LakehouseClient
+
+/** SQL DML over 3-part catalog names — the write-side counterpart of
+  * `ResolveGraftRelations`'s read rewrites:
+  *
+  *   INSERT INTO / INSERT OVERWRITE [PARTITION (...)] [BY NAME] cat.sch.t
+  *   DELETE FROM cat.sch.t [alias] WHERE ...
+  *   UPDATE cat.sch.t [alias] SET ... [WHERE ...]
+  *   MERGE INTO cat.sch.t [AS t] USING src [AS s] ON ... WHEN ...
+  *
+  * Each statement is rewritten (at analysis) into a leaf command that, at
+  * execution, routes through the SAME LakehouseClient/TxTable surface the
+  * programmatic API uses — so SQL writes get the full write matrix
+  * (mode × evolution guards, replaceWhere-style partition overwrites,
+  * merge-on-read deletes, row tracking, CDF) on all three log formats.
+  * The statement's source query is kept UNRESOLVED inside the command and
+  * analyzed only when the command runs, avoiding re-entrant analysis from
+  * inside an analyzer rule; 3-part names inside it resolve through the
+  * normal read rule then.
+  */
+object GraftSqlDml {
+
+  /** An eagerly-executed DML action. Equality is over `label` (the
+    * rendered statement target) — plan nodes must be comparable, thunks
+    * are not.
+    */
+  final case class GraftDmlCommand(label: String)(body: () => Unit)
+      extends LeafRunnableCommand {
+    override def run(sparkSession: SparkSession): Seq[Row] = { body(); Seq.empty }
+    override def simpleString(maxFields: Int): String = s"GraftDml $label"
+    // the second (non-case) parameter list must ride along when the
+    // analyzer clones the node (TreeNode.makeCopy)
+    override protected def otherCopyArgs: Seq[AnyRef] = Seq(body)
+  }
+
+  /** Unwrap `[SubqueryAlias] UnresolvedRelation(cat.sch.tbl)` into the
+    * 3-part name + the user's alias (None when unaliased). Non-3-part or
+    * non-catalog targets return None and the statement falls through to
+    * Spark's own resolution.
+    */
+  private def target3(client: LakehouseClient, plan: LogicalPlan)
+      : Option[(Seq[String], Option[String])] = {
+    val (inner, alias) = plan match {
+      case SubqueryAlias(id, child) => (child, Some(id.name))
+      case other => (other, None)
+    }
+    inner match {
+      case UnresolvedRelation(parts, _, _) if parts.length == 3 =>
+        try { client.getTable(parts(0), parts(1), parts(2)); Some((parts, alias)) }
+        catch { case _: DoesNotExistError => None }
+      case _ => None
+    }
+  }
+
+  /** Strip a leading target-alias qualifier from attribute references so
+    * predicate SQL evaluates against the unaliased table frame
+    * (`DELETE FROM t x WHERE x.id = 1` → `id = 1`).
+    */
+  private def stripAlias(e: Expression, alias: Option[String]): Expression =
+    alias.fold(e) { a =>
+      e.transform {
+        case attr: UnresolvedAttribute
+            if attr.nameParts.length > 1 && attr.nameParts.head.equalsIgnoreCase(a) =>
+          UnresolvedAttribute(attr.nameParts.tail)
+      }
+    }
+
+  private def lastName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => other.sql
+  }
+
+  def rewriteInsert(session: ClassicSparkSession, client: LakehouseClient,
+      i: InsertIntoStatement): Option[LogicalPlan] =
+    target3(client, i.table).map { case (parts, _) =>
+      val Seq(cat, sch, tbl) = parts
+      if (i.ifPartitionNotExists)
+        throw UnsupportedOperationError("INSERT ... IF NOT EXISTS is not supported")
+      val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
+      val dynamicSpec = i.partitionSpec.collect { case (k, None) => k }.toSeq
+      GraftDmlCommand(s"INSERT INTO $cat.$sch.$tbl") { () =>
+        val targetSchema = client.readTable(cat, sch, tbl).schema
+        val src = org.apache.spark.sql.GraftColumnBridge.ofRows(session, i.query)
+        def typeOf(n: String) = targetSchema.fields
+          .find(_.name.equalsIgnoreCase(n))
+          .getOrElse(throw UnsupportedOperationError(s"unknown column $n in $cat.$sch.$tbl"))
+          .dataType
+        // columns the query must supply, in order: the user list, else
+        // every table column not pinned by a static PARTITION value
+        val expect: Seq[String] =
+          if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
+          else targetSchema.fieldNames.toSeq.filterNot(n =>
+            static.keys.exists(_.equalsIgnoreCase(n)))
+        val positioned =
+          if (i.byName) {
+            val missing = expect.filterNot(n => src.columns.exists(_.equalsIgnoreCase(n)))
+            if (missing.nonEmpty) throw UnsupportedOperationError(
+              s"INSERT BY NAME: source is missing columns ${missing.mkString(", ")}")
+            src.select(expect.map(n => col(n)): _*)
+          } else {
+            if (src.columns.length != expect.length) throw UnsupportedOperationError(
+              s"INSERT: query produces ${src.columns.length} columns, " +
+                s"target expects ${expect.length} (${expect.mkString(", ")})")
+            src.toDF(expect: _*)
+          }
+        val withStatic = static.foldLeft(positioned) { case (d, (k, v)) =>
+          d.withColumn(k, lit(v).cast(typeOf(k)))
+        }
+        // table columns the statement never mentions (column-list INSERT)
+        // fill with NULL, Spark/ANSI-style
+        val aligned = withStatic.select(targetSchema.fields.toIndexedSeq.map { f =>
+          val have = withStatic.columns.exists(_.equalsIgnoreCase(f.name))
+          (if (have) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+        if (!i.overwrite)
+          client.writeTable(aligned, cat, sch, tbl, WriteMode.APPEND)
+        else if (static.isEmpty)
+          client.writeTable(aligned, cat, sch, tbl, WriteMode.OVERWRITE)
+        else
+          // static PARTITION values → selective partition overwrite; any
+          // dynamic columns in the spec ride the rows as usual
+          client.writeTable(aligned, cat, sch, tbl, WriteMode.OVERWRITE,
+            partitionFilters = static.toSeq.map { case (k, v) => (k, "=", v) })
+        val _ = dynamicSpec // dynamic spec columns are just row columns
+      }
+    }
+
+  def rewriteDelete(session: ClassicSparkSession, client: LakehouseClient,
+      target: LogicalPlan, condition: Expression): Option[LogicalPlan] =
+    target3(client, target).map { case (parts, alias) =>
+      val Seq(cat, sch, tbl) = parts
+      val predicate = stripAlias(condition, alias).sql
+      GraftDmlCommand(s"DELETE FROM $cat.$sch.$tbl") { () =>
+        client.getTxTable(cat, sch, tbl).delete(predicate)
+      }
+    }
+
+  def rewriteUpdate(session: ClassicSparkSession, client: LakehouseClient,
+      target: LogicalPlan, assignments: Seq[Assignment],
+      condition: Option[Expression]): Option[LogicalPlan] =
+    target3(client, target).map { case (parts, alias) =>
+      val Seq(cat, sch, tbl) = parts
+      val predicate = condition.map(c => stripAlias(c, alias).sql).getOrElse("true")
+      val set = assignments.map(a =>
+        lastName(a.key) -> stripAlias(a.value, alias).sql).toMap
+      GraftDmlCommand(s"UPDATE $cat.$sch.$tbl") { () =>
+        client.getTxTable(cat, sch, tbl).update(predicate, set)
+      }
+    }
+
+  // ---- DDL: CREATE TABLE [AS SELECT] / REPLACE / DROP on 3-part names ----
+
+  /** 3-part UnresolvedIdentifier whose leading part names a catalog this
+    * client manages (DDL targets don't exist yet, so the gate is the
+    * CATALOG, not the table).
+    */
+  private def ddlTarget3(client: LakehouseClient, name: LogicalPlan): Option[Seq[String]] =
+    name match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(parts, _)
+          if parts.length == 3 =>
+        try { client.getCatalog(parts.head); Some(parts) }
+        catch { case _: DoesNotExistError => None }
+      case _ => None
+    }
+
+  private def fileTypeOf(provider: Option[String]): graft.catalog.FileType = {
+    import graft.catalog.FileType
+    provider.map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case None | Some("delta") => FileType.DELTA
+      case Some("iceberg") => FileType.ICEBERG
+      case Some("parquet") => FileType.PARQUET
+      case Some("csv") => FileType.CSV
+      case Some("avro") => FileType.AVRO
+      case Some("json") => FileType.JSON
+      case Some("orc") => FileType.ORC
+      case Some("text") => FileType.TEXT
+      case Some(other) =>
+        throw UnsupportedOperationError(s"unsupported table provider $other")
+    }
+  }
+
+  private def specOf(tableSpec: TableSpecBase): (Option[String], Option[String]) =
+    tableSpec match {
+      case u: UnresolvedTableSpec => (u.provider, u.location)
+      case t: TableSpec => (t.provider, t.location)
+      case other =>
+        throw UnsupportedOperationError(s"unsupported table spec $other")
+    }
+
+  private def identityCols(
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
+    partitioning.map { t =>
+      if (t.name != "identity" || t.references.length != 1)
+        throw UnsupportedOperationError(
+          s"only identity PARTITIONED BY columns are supported in SQL, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+
+  private def locationOrThrow(loc: Option[String], what: String): String =
+    loc.getOrElse(throw UnsupportedOperationError(
+      s"$what requires LOCATION '<path>' — catalog tables are EXTERNAL"))
+
+  def rewriteCreateTableAsSelect(session: ClassicSparkSession, client: LakehouseClient,
+      ct: CreateTableAsSelect): Option[LogicalPlan] =
+    ddlTarget3(client, ct.name).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      val ft = fileTypeOf(specOf(ct.tableSpec)._1)
+      val loc = locationOrThrow(specOf(ct.tableSpec)._2, "CREATE TABLE AS SELECT")
+      val partCols = identityCols(ct.partitioning)
+      GraftDmlCommand(s"CREATE TABLE $cat.$sch.$tbl AS SELECT") { () =>
+        val exists =
+          try { client.getTable(cat, sch, tbl); true }
+          catch { case _: DoesNotExistError => false }
+        if (exists) {
+          if (!ct.ignoreIfExists)
+            throw graft.catalog.AlreadyExistsError(s"table $cat.$sch.$tbl already exists")
+          // IF NOT EXISTS: no-op
+        } else {
+          val df = org.apache.spark.sql.GraftColumnBridge.ofRows(session, ct.query)
+          client.createAsTable(df, cat, sch, tbl, ft, loc, partCols)
+        }
+      }
+    }
+
+  def rewriteReplaceTableAsSelect(session: ClassicSparkSession, client: LakehouseClient,
+      rt: ReplaceTableAsSelect): Option[LogicalPlan] =
+    ddlTarget3(client, rt.name).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      val ft = fileTypeOf(specOf(rt.tableSpec)._1)
+      val loc = locationOrThrow(specOf(rt.tableSpec)._2, "REPLACE TABLE AS SELECT")
+      val partCols = identityCols(rt.partitioning)
+      GraftDmlCommand(s"REPLACE TABLE $cat.$sch.$tbl AS SELECT") { () =>
+        val exists =
+          try { client.getTable(cat, sch, tbl); true }
+          catch { case _: DoesNotExistError => false }
+        if (!exists && !rt.orCreate)
+          throw DoesNotExistError(s"table $cat.$sch.$tbl does not exist (use OR REPLACE ... CREATE)")
+        if (exists) client.deleteTable(cat, sch, tbl)
+        val df = org.apache.spark.sql.GraftColumnBridge.ofRows(session, rt.query)
+        client.createAsTable(df, cat, sch, tbl, ft, loc, partCols)
+      }
+    }
+
+  def rewriteCreateTable(session: ClassicSparkSession, client: LakehouseClient,
+      ct: CreateTable): Option[LogicalPlan] =
+    ddlTarget3(client, ct.name).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      val ft = fileTypeOf(specOf(ct.tableSpec)._1)
+      val loc = locationOrThrow(specOf(ct.tableSpec)._2, "CREATE TABLE")
+      val partCols = identityCols(ct.partitioning)
+      val schema = org.apache.spark.sql.types.StructType(ct.columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+      GraftDmlCommand(s"CREATE TABLE $cat.$sch.$tbl") { () =>
+        val exists =
+          try { client.getTable(cat, sch, tbl); true }
+          catch { case _: DoesNotExistError => false }
+        if (exists) {
+          if (!ct.ignoreIfExists)
+            throw graft.catalog.AlreadyExistsError(s"table $cat.$sch.$tbl already exists")
+        } else {
+          // register AND lay down an empty table of the declared schema,
+          // so SELECT works before the first write
+          val empty = session.createDataFrame(
+            java.util.Collections.emptyList[Row](), schema)
+          client.createAsTable(empty, cat, sch, tbl, ft, loc, partCols)
+        }
+      }
+    }
+
+  def rewriteDropTable(session: ClassicSparkSession, client: LakehouseClient,
+      d: DropTable): Option[LogicalPlan] =
+    ddlTarget3(client, d.child).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      GraftDmlCommand(s"DROP TABLE $cat.$sch.$tbl") { () =>
+        try client.deleteTable(cat, sch, tbl)
+        catch { case _: DoesNotExistError if d.ifExists => () }
+      }
+    }
+
+  def rewriteMerge(session: ClassicSparkSession, client: LakehouseClient,
+      m: MergeIntoTable): Option[LogicalPlan] =
+    target3(client, m.targetTable).map { case (parts, targetAliasOpt) =>
+      val Seq(cat, sch, tbl) = parts
+      if (m.withSchemaEvolution)
+        throw UnsupportedOperationError(
+          "MERGE WITH SCHEMA EVOLUTION is not supported through SQL; " +
+            "evolve via writeTable(schemaEvolution = MERGE)")
+      val targetAlias = targetAliasOpt.getOrElse(tbl)
+      val (sourcePlan, sourceAliasOpt) = m.sourceTable match {
+        case SubqueryAlias(id, child) => (child, Some(id.name))
+        case other => (other, None)
+      }
+      val sourceAlias = sourceAliasOpt.getOrElse(sourcePlan match {
+        case UnresolvedRelation(p, _, _) => p.last
+        case _ => throw UnsupportedOperationError(
+          "MERGE USING a subquery requires an alias (USING (...) AS s)")
+      })
+      val cond = m.mergeCondition.sql
+      def condSql(c: Option[Expression]): Option[String] = c.map(_.sql)
+      def setMap(as: Seq[Assignment]): Map[String, String] =
+        as.map(a => lastName(a.key) -> a.value.sql).toMap
+      GraftDmlCommand(s"MERGE INTO $cat.$sch.$tbl") { () =>
+        val source = org.apache.spark.sql.GraftColumnBridge.ofRows(session, sourcePlan)
+        var merge = client.mergeTable(source, cat, sch, tbl, Some(cond),
+          sourceAlias = sourceAlias, targetAlias = targetAlias)
+        m.matchedActions.foreach {
+          case UpdateStarAction(c) => merge = merge.whenMatchedUpdateAll(condSql(c))
+          case UpdateAction(c, _, true) => merge = merge.whenMatchedUpdateAll(condSql(c))
+          case UpdateAction(c, as, _) => merge = merge.whenMatchedUpdate(setMap(as), condSql(c))
+          case DeleteAction(c) => merge = merge.whenMatchedDelete(condSql(c))
+          case other => throw UnsupportedOperationError(s"unsupported MERGE matched action $other")
+        }
+        m.notMatchedActions.foreach {
+          case InsertStarAction(c) => merge = merge.whenNotMatchedInsertAll(condSql(c))
+          case InsertAction(c, as) => merge = merge.whenNotMatchedInsert(setMap(as), condSql(c))
+          case other => throw UnsupportedOperationError(s"unsupported MERGE not-matched action $other")
+        }
+        m.notMatchedBySourceActions.foreach {
+          case UpdateAction(c, as, _) =>
+            merge = merge.whenNotMatchedBySourceUpdate(setMap(as), condSql(c))
+          case DeleteAction(c) => merge = merge.whenNotMatchedBySourceDelete(condSql(c))
+          case other => throw UnsupportedOperationError(
+            s"unsupported MERGE not-matched-by-source action $other")
+        }
+        merge.execute()
+      }
+    }
+}

@@ -1,8 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession, Dataset => ClassicDataset}
 
@@ -41,7 +42,36 @@ object GraftSqlExtensions {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val client = clients.get(session)
       if (client == null) return plan
-      plan.resolveOperatorsUp {
+      // Pass 1, TOP-DOWN: SQL DML on 3-part names, rewritten into
+      // eagerly-executed commands that route through the SAME
+      // client/TxTable write surface the programmatic API uses (full
+      // write matrix, all three log formats). Top-down because the DML
+      // target is the statement node's CHILD (except INSERT) — a
+      // bottom-up pass would resolve it into a read relation before the
+      // statement node is visited. Statement source queries stay
+      // UNANALYZED inside the command and resolve at execution — no
+      // re-entrant analysis inside this rule.
+      val afterDml = plan.resolveOperatorsDown {
+        case i: InsertIntoStatement =>
+          GraftSqlDml.rewriteInsert(session, client, i).getOrElse(i)
+        case d @ DeleteFromTable(target, condition) =>
+          GraftSqlDml.rewriteDelete(session, client, target, condition).getOrElse(d)
+        case u @ UpdateTable(target, assignments, condition) =>
+          GraftSqlDml.rewriteUpdate(session, client, target, assignments, condition)
+            .getOrElse(u)
+        case m: MergeIntoTable =>
+          GraftSqlDml.rewriteMerge(session, client, m).getOrElse(m)
+        case ct: CreateTableAsSelect =>
+          GraftSqlDml.rewriteCreateTableAsSelect(session, client, ct).getOrElse(ct)
+        case rt: ReplaceTableAsSelect =>
+          GraftSqlDml.rewriteReplaceTableAsSelect(session, client, rt).getOrElse(rt)
+        case ct: CreateTable =>
+          GraftSqlDml.rewriteCreateTable(session, client, ct).getOrElse(ct)
+        case d: DropTable =>
+          GraftSqlDml.rewriteDropTable(session, client, d).getOrElse(d)
+      }
+      // Pass 2, bottom-up: reads and time travel
+      afterDml.resolveOperatorsUp {
         // SQL time travel: SELECT ... FROM cat.sch.tbl VERSION AS OF 3
         // (or TIMESTAMP AS OF '...') over the transactional formats
         case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
@@ -98,4 +128,13 @@ object GraftSqlExtensions {
     // custom physical operators (SURVEY preference tier c)
     extensions.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
+}
+
+/** Conf-installable form for sessions built without library code:
+  * `.config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtensions")`
+  * — the same route Delta/Iceberg connectors use.
+  */
+class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftSqlExtensions.install(extensions)
 }

@@ -1,0 +1,166 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.FileType
+import graft.client.LakehouseClient
+
+/** SQL DML on 3-part names: INSERT INTO/OVERWRITE (positional, BY NAME,
+  * static PARTITION), DELETE, UPDATE, MERGE INTO — each routed through the
+  * same TxTable write surface as the programmatic API, on catalog tables.
+  */
+class GraftSqlDmlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(cat: String, ft: FileType = FileType.DELTA): String = {
+    val client = new LakehouseClient(spark)
+    client.createCatalog(cat)
+    client.createSchema(cat, "s")
+    val dir = TestSpark.tmpDir(s"dml-$cat")
+    client.createAsTable(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v"),
+      cat, "s", "t", ft, s"$dir/t")
+    cat
+  }
+
+  test("INSERT INTO appends; INSERT OVERWRITE replaces") {
+    freshTable("dml1")
+    spark.sql("INSERT INTO dml1.s.t VALUES (3, 'c', 30.0), (4, 'd', 40.0)")
+    assert(spark.sql("SELECT COUNT(*) FROM dml1.s.t").collect()(0).getLong(0) == 4)
+
+    spark.sql("INSERT OVERWRITE dml1.s.t SELECT id + 10, name, v FROM dml1.s.t WHERE id <= 2")
+    val rows = spark.sql("SELECT id FROM dml1.s.t ORDER BY id").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(11L, 12L))
+  }
+
+  test("INSERT with a column list and BY NAME fill remaining columns") {
+    freshTable("dml2")
+    // positional against an explicit column list; v omitted -> null
+    spark.sql("INSERT INTO dml2.s.t (id, name) VALUES (5, 'e')")
+    val r = spark.sql("SELECT name, v FROM dml2.s.t WHERE id = 5").collect()(0)
+    assert(r.getString(0) == "e" && r.isNullAt(1))
+
+    spark.sql("INSERT INTO dml2.s.t BY NAME SELECT 'f' AS name, 60.0 AS v, 6 AS id")
+    val r2 = spark.sql("SELECT name, v FROM dml2.s.t WHERE id = 6").collect()(0)
+    assert(r2.getString(0) == "f" && r2.getDouble(1) == 60.0)
+  }
+
+  test("DELETE and UPDATE with and without a target alias") {
+    freshTable("dml3")
+    spark.sql("INSERT INTO dml3.s.t VALUES (3, 'c', 30.0)")
+    spark.sql("DELETE FROM dml3.s.t WHERE id = 1")
+    assert(spark.sql("SELECT COUNT(*) FROM dml3.s.t").collect()(0).getLong(0) == 2)
+    spark.sql("DELETE FROM dml3.s.t x WHERE x.id = 2")
+    assert(spark.sql("SELECT id FROM dml3.s.t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+    spark.sql("UPDATE dml3.s.t SET v = v * 2 WHERE id = 3")
+    assert(spark.sql("SELECT v FROM dml3.s.t").collect()(0).getDouble(0) == 60.0)
+    spark.sql("UPDATE dml3.s.t u SET u.name = 'renamed'")
+    assert(spark.sql("SELECT name FROM dml3.s.t").collect()(0).getString(0) == "renamed")
+  }
+
+  test("MERGE INTO: update, delete, insert, and by-source clauses") {
+    freshTable("dml4")
+    spark.sql("INSERT INTO dml4.s.t VALUES (3, 'c', 30.0)")
+    // source: update 1, delete 2, insert 9; row 3 untouched by source
+    val updates = Seq((1L, "A", 100.0), (2L, "B", -1.0), (9L, "i", 90.0))
+      .toDF("id", "name", "v")
+    updates.createOrReplaceTempView("dml4_src")
+    spark.sql("""MERGE INTO dml4.s.t AS t USING dml4_src AS s ON t.id = s.id
+      WHEN MATCHED AND s.v < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.name = concat(t.name, '!')""")
+    val out = spark.sql("SELECT id, name, v FROM dml4.s.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "A", 100.0), (3L, "c!", 30.0), (9L, "i", 90.0)))
+  }
+
+  test("MERGE with explicit SET/VALUES assignments") {
+    freshTable("dml5")
+    Seq((2L, 5.0), (7L, 70.0)).toDF("id", "bonus").createOrReplaceTempView("dml5_src")
+    spark.sql("""MERGE INTO dml5.s.t AS t USING dml5_src AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = t.v + s.bonus
+      WHEN NOT MATCHED THEN INSERT (id, name, v) VALUES (s.id, 'new', s.bonus)""")
+    val out = spark.sql("SELECT id, name, v FROM dml5.s.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b", 25.0), (7L, "new", 70.0)))
+  }
+
+  test("INSERT OVERWRITE with a static PARTITION spec replaces only that partition") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("dml6")
+    client.createSchema("dml6", "s")
+    val dir = TestSpark.tmpDir("dml6")
+    client.createAsTable(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "p"),
+      "dml6", "s", "t", FileType.DELTA, s"$dir/t", partitionColumns = Seq("p"))
+    spark.sql("INSERT OVERWRITE dml6.s.t PARTITION (p = 'x') SELECT 99 AS id")
+    val out = spark.sql("SELECT id, p FROM dml6.s.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((3L, "y"), (99L, "x")))
+  }
+
+  test("CREATE TABLE AS SELECT, REPLACE, CREATE empty, DROP on 3-part names") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("ddl1")
+    client.createSchema("ddl1", "s")
+    val dir = TestSpark.tmpDir("ddl1")
+
+    spark.sql(s"""CREATE TABLE ddl1.s.t USING delta LOCATION '$dir/t'
+      AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, name)""")
+    assert(spark.sql("SELECT COUNT(*) FROM ddl1.s.t").collect()(0).getLong(0) == 2)
+    assert(client.getTable("ddl1", "s", "t").fileType == FileType.DELTA)
+
+    // IF NOT EXISTS: silently keeps the existing table
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ddl1.s.t USING delta LOCATION '$dir/t2'
+      AS SELECT 99 AS id, 'z' AS name""")
+    assert(spark.sql("SELECT COUNT(*) FROM ddl1.s.t").collect()(0).getLong(0) == 2)
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE ddl1.s.t USING delta LOCATION '$dir/t3'
+        AS SELECT 99 AS id, 'z' AS name""")
+    }
+
+    // OR REPLACE swaps data and registration
+    spark.sql(s"""CREATE OR REPLACE TABLE ddl1.s.t USING delta LOCATION '$dir/t4'
+      AS SELECT 7 AS id, 'r' AS name""")
+    assert(spark.sql("SELECT id FROM ddl1.s.t").collect()(0).getInt(0) == 7)
+
+    // empty CREATE TABLE with declared schema reads as zero rows
+    spark.sql(s"""CREATE TABLE ddl1.s.empty (id BIGINT, v DOUBLE)
+      USING iceberg LOCATION '$dir/empty'""")
+    assert(spark.sql("SELECT COUNT(*) FROM ddl1.s.empty").collect()(0).getLong(0) == 0)
+    spark.sql("INSERT INTO ddl1.s.empty VALUES (1, 1.5)")
+    assert(spark.sql("SELECT COUNT(*) FROM ddl1.s.empty").collect()(0).getLong(0) == 1)
+
+    spark.sql("DROP TABLE ddl1.s.t")
+    intercept[Exception] { client.getTable("ddl1", "s", "t") }
+    spark.sql("DROP TABLE IF EXISTS ddl1.s.t") // no-op, no error
+  }
+
+  test("CREATE TABLE AS SELECT with PARTITIONED BY lays out hive partitions") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("ddl2")
+    client.createSchema("ddl2", "s")
+    val dir = TestSpark.tmpDir("ddl2")
+    spark.sql(s"""CREATE TABLE ddl2.s.t USING delta LOCATION '$dir/t'
+      PARTITIONED BY (p)
+      AS SELECT * FROM VALUES (1, 'x'), (2, 'y'), (3, 'x') AS v(id, p)""")
+    val t = client.getTxTable("ddl2", "s", "t")
+    assert(t.snapshot.partitionColumns == Seq("p"))
+    assert(spark.sql("SELECT COUNT(*) FROM ddl2.s.t WHERE p = 'x'").collect()(0).getLong(0) == 2)
+  }
+
+  test("SQL DML works on Iceberg catalog tables too") {
+    freshTable("dml7", FileType.ICEBERG)
+    spark.sql("INSERT INTO dml7.s.t VALUES (3, 'c', 30.0)")
+    spark.sql("DELETE FROM dml7.s.t WHERE id = 1")
+    spark.sql("UPDATE dml7.s.t SET v = 0.0 WHERE id = 2")
+    val out = spark.sql("SELECT id, v FROM dml7.s.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((2L, 0.0), (3L, 30.0)))
+  }
+}
