@@ -48,6 +48,105 @@ case class BucketizeExpr(child: Expression, bounds: Array[Double]) extends Unary
   override def prettyName: String = "zorder_bucket"
 }
 
+/** Hilbert-curve index: maps d-dimensional quantile-bucket coordinates to
+  * the cell's distance along the Hilbert space-filling curve. Unlike the
+  * Morton/Z curve, Hilbert has no long diagonal jumps — consecutive index
+  * values always differ by one step in exactly one dimension — so files
+  * cut from a Hilbert-sorted layout cover tighter per-dimension ranges
+  * and multi-column min/max pruning discards more of them (the reason
+  * newer clustering engines default to Hilbert over Z). Algorithm:
+  * Skilling's AxesToTranspose (AIP Conf. Proc. 707, 2004), published
+  * public-domain C, followed by a plain bit interleave of the transposed
+  * form.
+  */
+object HilbertKernels {
+  /** Hilbert distance of `coords` (each in [0, 2^bits)); requires
+    * coords.length * bits <= 63. `coords` is mutated in place.
+    */
+  def hilbertPos(coords: Array[Int], bits: Int): Long = {
+    val n = coords.length
+    // AxesToTranspose: Gray-decode axes into the transposed Hilbert form
+    var q = 1 << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((coords(i) & q) != 0) coords(0) ^= p
+        else { val t = (coords(0) ^ coords(i)) & p; coords(0) ^= t; coords(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < n) { coords(i) ^= coords(i - 1); i += 1 }
+    var t = 0
+    q = 1 << (bits - 1)
+    while (q > 1) { if ((coords(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { coords(i) ^= t; i += 1 }
+    // interleave the transposed words: bit b of coords(i) is index bit
+    // (b * n + (n - 1 - i)) — coords(0) carries the most significant bits
+    var out = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      i = 0
+      while (i < n) {
+        out = (out << 1) | ((coords(i) >> b) & 1)
+        i += 1
+      }
+      b -= 1
+    }
+    out
+  }
+}
+
+/** d-ary Hilbert index over pre-bucketed integer coordinates. Children
+  * are the per-dimension bucket ids (IntegerType, null-free — callers
+  * coalesce); fully codegen'd via a static kernel call.
+  */
+case class HilbertIndexExpr(children: Seq[Expression], bits: Int) extends Expression {
+  require(children.nonEmpty && bits > 0 && children.size * bits <= 63,
+    s"hilbert: ${children.size} dims x $bits bits must fit in 63 bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val coords = new Array[Int](children.size)
+    var i = 0
+    while (i < coords.length) {
+      val v = children(i).eval(input)
+      coords(i) = if (v == null) 0 else v.asInstanceOf[Int]
+      i += 1
+    }
+    HilbertKernels.hilbertPos(coords, bits)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("coords")
+    val fill = evals.zipWithIndex.map { case (e, i) =>
+      s"$arr[$i] = ${e.isNull} ? 0 : ${e.value};"
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        ${evals.map(_.code).reduce(_ + _)}
+        int[] $arr = new int[${children.size}];
+        $fill
+        long ${ev.value} = graft.functions.HilbertKernels.hilbertPos($arr, $bits);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  override def prettyName: String = "hilbert_index"
+}
+
 object ZOrderFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 
@@ -90,21 +189,36 @@ object ZOrderFunctions {
     }
 
   def clusterByZOrder(df: org.apache.spark.sql.DataFrame, zorderCols: Seq[String],
-      targetFiles: Int, buckets: Int): org.apache.spark.sql.DataFrame = {
-    require(zorderCols.nonEmpty, "at least one z-order column")
+      targetFiles: Int, buckets: Int): org.apache.spark.sql.DataFrame =
+    clusterByCurve(df, zorderCols, targetFiles, buckets, hilbert = false)
+
+  /** Hilbert variant of clusterByZOrder — same quantile bucketing, the
+    * sort key is the Hilbert distance instead of the Morton interleave.
+    */
+  def clusterByHilbert(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      targetFiles: Int, buckets: Int): org.apache.spark.sql.DataFrame =
+    clusterByCurve(df, cols, targetFiles, buckets, hilbert = true)
+
+  private def clusterByCurve(df: org.apache.spark.sql.DataFrame, curveCols: Seq[String],
+      targetFiles: Int, buckets: Int, hilbert: Boolean): org.apache.spark.sql.DataFrame = {
+    require(curveCols.nonEmpty, "at least one clustering column")
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
     val bitsPer = java.lang.Integer.numberOfTrailingZeros(buckets)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val casted = df.select(zorderCols.map(c => numericView(df, c).as(c)).toIndexedSeq: _*)
+    val casted = df.select(curveCols.map(c => numericView(df, c).as(c)).toIndexedSeq: _*)
     // one pass for all columns (the Array overload), not one scan per column
-    val bounds = casted.stat.approxQuantile(zorderCols.toArray, probs, 0.001).toSeq
-    zorderCols.zip(bounds).foreach { case (c, b) =>
+    val bounds = casted.stat.approxQuantile(curveCols.toArray, probs, 0.001).toSeq
+    curveCols.zip(bounds).foreach { case (c, b) =>
       if (b.isEmpty)
         throw graft.catalog.UnsupportedOperationError(
-          s"ZORDER BY column '$c' has no non-null values to cluster on")
+          s"clustering column '$c' has no non-null values to cluster on")
     }
-    val z = zValue(zorderCols.zip(bounds).map { case (c, b) => (numericView(df, c), b) }, bitsPer)
-    df.withColumn("__graft_z", z)
+    val dims = curveCols.zip(bounds).map { case (c, b) => (numericView(df, c), b) }
+    val key =
+      if (!hilbert) zValue(dims, bitsPer)
+      else toCol(HilbertIndexExpr(
+        dims.map { case (c, b) => toExpr(bucketize(c, b)) }, bitsPer))
+    df.withColumn("__graft_z", key)
       .repartitionByRange(math.max(1, targetFiles), col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")

@@ -622,6 +622,29 @@ final class TxTable(val spark: SparkSession, val location: String,
     }
   }
 
+  /** OPTIMIZE clustered on the HILBERT curve of the given columns — the
+    * same quantile-bucket machinery as optimizeZOrder with the Hilbert
+    * distance as the sort key. Hilbert has no Morton diagonal jumps, so
+    * per-file min/max ranges are tighter in every dimension and manifest
+    * pruning discards more files for multi-column predicates — the layout
+    * newer clustering engines default to.
+    */
+  def optimizeHilbert(cols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024,
+      buckets: Int = 256): Unit = {
+    commitWithRetry("ZORDER") { snap =>
+      cols.foreach { c =>
+        require(snap.schema.fieldNames.contains(c), s"unknown clustering column $c")
+      }
+      val totalBytes = snap.files.map(_.sizeBytes).sum
+      val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
+        (if (totalBytes % targetFileBytes > 0) 1 else 0))
+      val clustered = graft.functions.ZOrderFunctions.clusterByHilbert(
+        readForRewrite(snap, snap.files), cols, targetFiles, buckets)
+      val (added, props) = stageRewrite(clustered, snap)
+      TxTable.Planned(added, snap.files.map(_.path), snap.schema, snap.partitionColumns, props)
+    }
+  }
+
   /** Clustering columns another engine declared via the `delta.clustering`
     * metadata domain (liquid clustering / CLUSTER BY). Physical name paths
     * in the domain resolve to logical names on column-mapped tables;
