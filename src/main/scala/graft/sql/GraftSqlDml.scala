@@ -289,6 +289,144 @@ object GraftSqlDml {
       }
     }
 
+  // ---- ALTER TABLE / SHOW / DESCRIBE ----
+
+  /** A leaf command that RETURNS rows (SHOW/DESCRIBE) with the original
+    * statement node's output attributes.
+    */
+  final case class GraftQueryCommand(label: String,
+      override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])(
+      rows: () => Seq[Row]) extends LeafRunnableCommand {
+    override def run(sparkSession: SparkSession): Seq[Row] = rows()
+    override def simpleString(maxFields: Int): String = s"GraftQuery $label"
+    override protected def otherCopyArgs: Seq[AnyRef] = Seq(rows)
+  }
+
+  /** 3-part ALTER/DESCRIBE target (UnresolvedTable / UnresolvedTableOrView)
+    * naming an existing catalog table.
+    */
+  private def alterTarget3(client: LakehouseClient, plan: LogicalPlan): Option[Seq[String]] = {
+    val parts = plan match {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable => Some(t.multipartIdentifier)
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView => Some(t.multipartIdentifier)
+      case _ => None
+    }
+    parts.filter(_.length == 3).flatMap { p =>
+      try { client.getTable(p(0), p(1), p(2)); Some(p) }
+      catch { case _: DoesNotExistError => None }
+    }
+  }
+
+  /** ALTER TABLE ... ADD COLUMNS: committed as an empty APPEND with MERGE
+    * schema evolution — the evolved schema lands in the log (existing
+    * rows read the new columns as NULL) and W10 pushes it into the
+    * catalog, exactly like a programmatic evolving write.
+    */
+  def rewriteAddColumns(session: ClassicSparkSession, client: LakehouseClient,
+      a: AddColumns): Option[LogicalPlan] =
+    alterTarget3(client, a.table).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      a.columnsToAdd.foreach { c =>
+        if (c.path.nonEmpty) throw UnsupportedOperationError(
+          "ALTER TABLE ADD COLUMNS: nested column paths are not supported")
+        if (c.position.nonEmpty) throw UnsupportedOperationError(
+          "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are not supported")
+        if (c.default.nonEmpty) throw UnsupportedOperationError(
+          "ALTER TABLE ADD COLUMNS: DEFAULT values are not supported")
+      }
+      val newFields = a.columnsToAdd.map(c =>
+        org.apache.spark.sql.types.StructField(c.colName, c.dataType, c.nullable))
+      GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl ADD COLUMNS") { () =>
+        val current = client.readTable(cat, sch, tbl).schema
+        val merged = org.apache.spark.sql.types.StructType(current.fields ++ newFields)
+        val empty = session.createDataFrame(
+          java.util.Collections.emptyList[Row](), merged)
+        client.writeTable(empty, cat, sch, tbl,
+          graft.catalog.WriteMode.APPEND, graft.catalog.SchemaEvolution.MERGE)
+      }
+    }
+
+  def rewriteSetProperties(session: ClassicSparkSession, client: LakehouseClient,
+      s: SetTableProperties): Option[LogicalPlan] =
+    alterTarget3(client, s.table).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl SET TBLPROPERTIES") { () =>
+        val existing = client.getTable(cat, sch, tbl).properties
+        client.store.updateTable(cat, sch, tbl,
+          properties = Some(existing ++ s.properties))
+      }
+    }
+
+  def rewriteUnsetProperties(session: ClassicSparkSession, client: LakehouseClient,
+      u: UnsetTableProperties): Option[LogicalPlan] =
+    alterTarget3(client, u.table).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl UNSET TBLPROPERTIES") { () =>
+        val existing = client.getTable(cat, sch, tbl).properties
+        client.store.updateTable(cat, sch, tbl,
+          properties = Some(existing -- u.propertyKeys))
+      }
+    }
+
+  /** SHOW TABLES IN cat[.sch] over this client's catalogs. */
+  def rewriteShowTables(session: ClassicSparkSession, client: LakehouseClient,
+      st: ShowTables): Option[LogicalPlan] = {
+    val ns = st.namespace match {
+      case n: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace => n.multipartIdentifier
+      case _ => return None
+    }
+    val schemas: Seq[(String, String)] = ns match {
+      case Seq(cat, sch) =>
+        try { client.getSchema(cat, sch); Seq(cat -> sch) }
+        catch { case _: DoesNotExistError => return None }
+      case Seq(cat) =>
+        try client.listSchemas(cat).map(s => cat -> s.name)
+        catch { case _: DoesNotExistError => return None }
+      case _ => return None
+    }
+    def matches(name: String): Boolean = st.pattern.forall { p =>
+      java.util.regex.Pattern
+        .compile(p.split("\\|").map(_.replace("*", ".*")).mkString("(", "|", ")"),
+          java.util.regex.Pattern.CASE_INSENSITIVE)
+        .matcher(name).matches()
+    }
+    Some(GraftQueryCommand(s"SHOW TABLES IN ${ns.mkString(".")}", st.output) { () =>
+      schemas.flatMap { case (cat, sch) =>
+        client.listTables(cat, sch).filter(t => matches(t.name))
+          .map(t => Row(s"$cat.$sch", t.name, false))
+      }.sortBy(r => (r.getString(0), r.getString(1)))
+    })
+  }
+
+  /** DESCRIBE TABLE cat.sch.t — column rows from the live table schema,
+    * plus partitioning/provider/location detail (always; the EXTENDED
+    * flag adds nothing we'd omit).
+    */
+  def rewriteDescribe(session: ClassicSparkSession, client: LakehouseClient,
+      d: DescribeRelation): Option[LogicalPlan] =
+    alterTarget3(client, d.relation).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      GraftQueryCommand(s"DESCRIBE $cat.$sch.$tbl", d.output) { () =>
+        val info = client.getTable(cat, sch, tbl)
+        val schema = client.readTable(cat, sch, tbl).schema
+        val colRows = schema.fields.toSeq.map(f =>
+          Row(f.name, f.dataType.simpleString, null))
+        val partCols = info.columns.filter(_.partitionIndex.isDefined)
+          .sortBy(_.partitionIndex.get).map(_.name)
+        val partRows =
+          if (partCols.isEmpty) Seq.empty
+          else Row("# Partition Information", "", "") +:
+            partCols.map(c => Row(c, schema.fields.find(_.name == c)
+              .map(_.dataType.simpleString).getOrElse(""), null))
+        val detail = Seq(
+          Row("", "", ""),
+          Row("# Detailed Table Information", "", ""),
+          Row("Type", info.fileType.toString, null),
+          Row("Location", info.storageLocation.getOrElse(""), null))
+        colRows ++ partRows ++ detail
+      }
+    }
+
   def rewriteMerge(session: ClassicSparkSession, client: LakehouseClient,
       m: MergeIntoTable): Option[LogicalPlan] =
     target3(client, m.targetTable).map { case (parts, targetAliasOpt) =>

@@ -69,6 +69,16 @@ object GraftSqlExtensions {
           GraftSqlDml.rewriteCreateTable(session, client, ct).getOrElse(ct)
         case d: DropTable =>
           GraftSqlDml.rewriteDropTable(session, client, d).getOrElse(d)
+        case a: AddColumns =>
+          GraftSqlDml.rewriteAddColumns(session, client, a).getOrElse(a)
+        case sp: SetTableProperties =>
+          GraftSqlDml.rewriteSetProperties(session, client, sp).getOrElse(sp)
+        case up: UnsetTableProperties =>
+          GraftSqlDml.rewriteUnsetProperties(session, client, up).getOrElse(up)
+        case st: ShowTables =>
+          GraftSqlDml.rewriteShowTables(session, client, st).getOrElse(st)
+        case dr: DescribeRelation =>
+          GraftSqlDml.rewriteDescribe(session, client, dr).getOrElse(dr)
       }
       // Pass 2, bottom-up: reads and time travel
       afterDml.resolveOperatorsUp {

@@ -15,7 +15,7 @@ class GraftSqlDmlSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def freshTable(cat: String, ft: FileType = FileType.DELTA): String = {
+  private def freshTable(cat: String, ft: FileType = FileType.DELTA): LakehouseClient = {
     val client = new LakehouseClient(spark)
     client.createCatalog(cat)
     client.createSchema(cat, "s")
@@ -23,7 +23,7 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     client.createAsTable(
       Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v"),
       cat, "s", "t", ft, s"$dir/t")
-    cat
+    client
   }
 
   test("INSERT INTO appends; INSERT OVERWRITE replaces") {
@@ -152,6 +152,50 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     val t = client.getTxTable("ddl2", "s", "t")
     assert(t.snapshot.partitionColumns == Seq("p"))
     assert(spark.sql("SELECT COUNT(*) FROM ddl2.s.t WHERE p = 'x'").collect()(0).getLong(0) == 2)
+  }
+
+  test("ALTER TABLE ADD COLUMNS / SET + UNSET TBLPROPERTIES") {
+    val client = freshTable("ddl3")
+    spark.sql("ALTER TABLE ddl3.s.t ADD COLUMNS (tag STRING, score DOUBLE)")
+    // existing rows read the new columns as NULL; new writes can fill them
+    val r = spark.sql("SELECT tag, score FROM ddl3.s.t WHERE id = 1").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    spark.sql("INSERT INTO ddl3.s.t VALUES (3, 'c', 30.0, 'fresh', 0.9)")
+    assert(spark.sql("SELECT tag FROM ddl3.s.t WHERE id = 3").collect()(0).getString(0) == "fresh")
+    // catalog schema followed the evolution (W10 push)
+    assert(client.getTable("ddl3", "s", "t").columns.map(_.name)
+      .containsSlice(Seq("tag", "score")))
+
+    spark.sql("ALTER TABLE ddl3.s.t SET TBLPROPERTIES ('team' = 'data', 'tier' = 'gold')")
+    spark.sql("ALTER TABLE ddl3.s.t UNSET TBLPROPERTIES ('tier')")
+    val props = client.getTable("ddl3", "s", "t").properties
+    assert(props.get("team").contains("data") && !props.contains("tier"))
+    val rows = spark.sql("SHOW TABLES IN ddl3.s").collect()
+    assert(rows.map(r2 => (r2.getString(0), r2.getString(1))).toSeq == Seq(("ddl3.s", "t")))
+  }
+
+  test("SHOW TABLES with pattern and catalog-wide; DESCRIBE TABLE") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("ddl4")
+    client.createSchema("ddl4", "s1")
+    client.createSchema("ddl4", "s2")
+    val dir = TestSpark.tmpDir("ddl4")
+    val df = Seq((1L, "x")).toDF("id", "p")
+    client.createAsTable(df, "ddl4", "s1", "alpha", FileType.DELTA, s"$dir/a", Seq("p"))
+    client.createAsTable(df, "ddl4", "s1", "beta", FileType.PARQUET, s"$dir/b")
+    client.createAsTable(df, "ddl4", "s2", "gamma", FileType.DELTA, s"$dir/g")
+
+    val all = spark.sql("SHOW TABLES IN ddl4").collect().map(_.getString(1)).toSeq
+    assert(all == Seq("alpha", "beta", "gamma"))
+    val pat = spark.sql("SHOW TABLES IN ddl4.s1 LIKE 'al*'").collect()
+    assert(pat.map(_.getString(1)).toSeq == Seq("alpha"))
+
+    val desc = spark.sql("DESCRIBE TABLE ddl4.s1.alpha").collect()
+    val cols = desc.takeWhile(r => !r.getString(0).startsWith("#"))
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(cols.toSeq == Seq(("id", "bigint"), ("p", "string")))
+    assert(desc.exists(_.getString(0) == "# Partition Information"))
+    assert(desc.exists(r => r.getString(0) == "Type" && r.getString(1) == "DELTA"))
   }
 
   test("SQL DML works on Iceberg catalog tables too") {
