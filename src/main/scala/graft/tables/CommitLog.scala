@@ -134,7 +134,8 @@ private[graft] object NativeCommitLog extends CommitLog {
   def stage(spark: SparkSession, location: String, df: DataFrame, snap: Snapshot): Seq[AddFile] =
     TxLog.stageData(spark, location,
       Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
-        snap.properties, snap.schema), snap.partitionColumns)
+        snap.properties, snap.schema), snap.partitionColumns,
+      TxLog.writerOptions(snap.properties))
 
   def create(spark: SparkSession, location: String, df0: DataFrame,
       partitionColumns: Seq[String], properties: Map[String, String]): Unit = {
@@ -143,7 +144,7 @@ private[graft] object NativeCommitLog extends CommitLog {
     val df = IdentityColumns.stampCreate(df0)
     val added = TxLog.stageData(spark, location,
       Constraints.enforce(GeneratedColumns.validate(df, df.schema), properties, df.schema),
-      partitionColumns)
+      partitionColumns, TxLog.writerOptions(properties))
     val c = TxLog.Commit(0L, System.currentTimeMillis(), "CREATE", df.schema.json,
       partitionColumns, added, Seq.empty, properties)
     if (!TxLog.tryCommit(spark, location, c))
@@ -557,7 +558,8 @@ private[graft] object IcebergCommitLog extends CommitLog {
     IcebergWriter.stage(spark, location,
       Constraints.enforce(GeneratedColumns.validate(df, snap.schema),
         snap.properties, snap.schema), specFields,
-      IcebergLog.currentSchemaJson(st.meta), IcebergLog.sortOrderFields(st.meta))
+      IcebergLog.currentSchemaJson(st.meta), IcebergLog.sortOrderFields(st.meta),
+      TxLog.writerOptions(snap.properties))
   }
 
   def create(spark: SparkSession, location: String, df0: DataFrame,

@@ -1080,7 +1080,8 @@ object DeltaLogWriter {
       df: DataFrame, snap: TxLog.Snapshot): Seq[TxLog.AddFile] = {
     val mapping = DeltaLog.columnMappingOf(snap.schema)
     if (mapping.isEmpty)
-      return TxLog.stageData(spark, location, df, snap.partitionColumns)
+      return TxLog.stageData(spark, location, df, snap.partitionColumns,
+        TxLog.writerOptions(snap.properties))
     import org.apache.spark.sql.functions.col
     // driven by the DATAFRAME's columns (a MERGE-evolution append may omit
     // old table columns); mapping metadata comes from the table schema.
@@ -1104,7 +1105,11 @@ object DeltaLogWriter {
       }
     }
     val physPartCols = snap.partitionColumns.map(c => DeltaLog.physicalNameOf(snap.schema(c)))
-    TxLog.stageData(spark, location, df.select(physCols: _*), physPartCols)
+    // bloom options key on the PHYSICAL names the footers will carry
+    val bloomOpts = TxLog.writerOptions(snap.properties,
+      rename = c => snap.schema.fields.find(_.name == c)
+        .map(DeltaLog.physicalNameOf).getOrElse(c))
+    TxLog.stageData(spark, location, df.select(physCols: _*), physPartCols, bloomOpts)
   }
 
   /** Render per-file stats in Delta's typed-JSON convention (numbers as
@@ -1454,7 +1459,7 @@ object DeltaLogWriter {
     val df = IdentityColumns.stampCreate(df0)
     val added = TxLog.stageData(spark, location,
       Constraints.enforce(GeneratedColumns.validate(df, df.schema), properties, df.schema),
-      partitionColumns)
+      partitionColumns, TxLog.writerOptions(properties))
     val meta = JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
       "id" -> JString(UUID.randomUUID().toString),
       "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),

@@ -1112,7 +1112,8 @@ object IcebergWriter {
     */
   private[tables] def stage(spark: SparkSession, location: String, df0: DataFrame,
       fields: Seq[IcebergLog.ResolvedSpecField], schemaJson: JValue,
-      sortFields: Seq[(String, Boolean)] = Nil): Seq[TxLog.AddFile] = {
+      sortFields: Seq[(String, Boolean)] = Nil,
+      writerOptions: Map[String, String] = Map.empty): Seq[TxLog.AddFile] = {
     // stamp each column's Iceberg field id into the parquet footers
     // (aliases carry the `parquet.field.id` metadata; types/nullability
     // untouched) — real Iceberg engines resolve our files by id, and our
@@ -1133,7 +1134,7 @@ object IcebergWriter {
       val data =
         if (sortFields.isEmpty) df
         else df.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*)
-      TxLog.stageData(spark, location, data, Seq.empty)
+      TxLog.stageData(spark, location, data, Seq.empty, writerOptions)
     } else {
       // each spec field rides as a `__ice_` tag column (codegen'd transform
       // of its source — the source column itself STAYS in the data file,
@@ -1149,7 +1150,7 @@ object IcebergWriter {
       val clustered =
         if (sortFields.isEmpty) clustered0
         else clustered0.sortWithinPartitions(tags.map(col) ++ sortExprs: _*)
-      TxLog.stageData(spark, location, clustered, tags)
+      TxLog.stageData(spark, location, clustered, tags, writerOptions)
         .map(a => a.copy(partitionValues =
           a.partitionValues.map { case (k, v) => k.stripPrefix("__ice_") -> v }))
     }

@@ -291,14 +291,42 @@ object TxLog {
     * via a normal distributed parquet job; only the (cheap) renames happen
     * on the driver.
     */
+  /** Table property naming the columns to build parquet-NATIVE bloom
+    * filters for on write (format-spec split-block blooms, readable by
+    * any parquet engine): point lookups on high-cardinality non-sort
+    * columns skip row groups that min/max stats can't — at 100 TB an
+    * `id = ?` probe against an unsorted column reads bloom bytes, not
+    * data pages.
+    */
+  val BloomFilterColumnsProp = "graft.bloomFilter.columns"
+  val BloomFilterNdvProp = "graft.bloomFilter.expectedDistinctItems"
+
+  /** Parquet writer options derived from table properties. `rename` maps
+    * logical to physical column names (column-mapped Delta tables store
+    * physical names in the footers).
+    */
+  def writerOptions(properties: Map[String, String],
+      rename: String => String = identity): Map[String, String] = {
+    val cols = properties.get(BloomFilterColumnsProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val ndv = properties.get(BloomFilterNdvProp)
+    cols.flatMap { c =>
+      val phys = rename(c)
+      Seq(s"parquet.bloom.filter.enabled#$phys" -> "true") ++
+        ndv.map(n => s"parquet.bloom.filter.expected.ndv#$phys" -> n)
+    }.toMap
+  }
+
   def stageData(
       spark: SparkSession,
       location: String,
       df: org.apache.spark.sql.DataFrame,
-      partitionColumns: Seq[String]): Seq[AddFile] = {
+      partitionColumns: Seq[String],
+      writerOptions: Map[String, String] = Map.empty): Seq[AddFile] = {
     val f = fs(spark, location)
     val stagingDir = new Path(location, s"$StagingPrefix-${UUID.randomUUID()}")
-    val writer = if (partitionColumns.nonEmpty) df.write.partitionBy(partitionColumns: _*) else df.write
+    val writer0 = df.write.options(writerOptions)
+    val writer = if (partitionColumns.nonEmpty) writer0.partitionBy(partitionColumns: _*) else writer0
     // Spark's default INT96 timestamps carry no parquet footer statistics,
     // which silences data skipping on timestamp columns; write the modern
     // (and stats-bearing) TIMESTAMP_MICROS physical type instead. The
