@@ -34,6 +34,25 @@ class TableStatsSpec extends AnyFunSuite {
     assert(st.sizeBytes == t.snapshot.files.map(_.sizeBytes).sum)
   }
 
+  test("countRows launches ZERO Spark jobs when every file has stats") {
+    val loc = TestSpark.tmpDir("stats-nojob")
+    val t = new TxTable(spark, loc)
+    t.create((0L until 1000L).map(i => (i, i * 2)).toDF("id", "v").repartition(4))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(t.countRows() == 1000L)
+      // listener events post asynchronously; a job-start would land well
+      // within this window (and the assertion is one-sided: zero stays zero)
+      Thread.sleep(500)
+      assert(jobs.get() == 0, s"metadata count must not launch jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("countRows subtracts live deletion-vector cardinalities (no scan needed)") {
     val loc = TestSpark.tmpDir("stats-dv")
     val li = (0L until 200L).map(i => (i, i % 7)).toDF("id", "k")
