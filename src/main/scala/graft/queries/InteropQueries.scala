@@ -674,6 +674,33 @@ object InteropQueries {
         FROM lineitem WHERE l_linenumber <= 7
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- per-partition metadata stats with merge-on-read deletes ----
+    // partitionStats answers "rows per partition" from the log alone
+    // (numRecords minus DV cardinalities, per tuple); the oracle recounts
+    // from the raw source, so the hash pins the metadata arithmetic
+    QueryDef(
+      "q112_partition_stats",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q112-pstats").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        graft.tables.DeltaLogWriter.create(s, loc, li,
+          partitionColumns = Seq("l_returnflag"),
+          properties = Map("delta.enableDeletionVectors" -> "true"))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        t.delete("l_quantity <= 7")
+        require(t.snapshot.files.exists(_.deletionVector.exists(_.cardinality > 0)),
+          "q112 expects live deletion vectors")
+        import s.implicits._
+        t.partitionStats()
+          .map { case (pv, st) => (pv("l_returnflag"), st.rowCount) }
+          .toDF("l_returnflag", "n_live")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_live
+        FROM lineitem WHERE l_quantity > 7
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- the SQL DML surface end-to-end ----
     // a catalog Delta table driven ONLY through spark.sql statements —
     // INSERT INTO ... SELECT, DELETE, UPDATE, and MERGE ... WHEN MATCHED

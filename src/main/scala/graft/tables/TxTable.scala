@@ -553,6 +553,25 @@ final class TxTable(val spark: SparkSession, val location: String,
     TxTable.TableStats(countRows(), s.files.size, s.files.map(_.sizeBytes).sum)
   }
 
+  /** Per-partition metadata stats — Iceberg's `$partitions` shape for
+    * ALL three backends: one entry per partition tuple (live rows, file
+    * count, bytes), straight from the log with DV cardinalities
+    * subtracted, no data read. Stat-less foreign files fall back to a
+    * count job scoped to their tuple (a foreign-writer anomaly, not the
+    * steady state).
+    */
+  def partitionStats(): Seq[(Map[String, String], TxTable.TableStats)] = {
+    val s = snapshot
+    s.files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
+      val (known, unknown) = fs.partition(_.rows >= 0L)
+      val knownLive = known.iterator
+        .map(f => f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
+      val unknownLive =
+        if (unknown.isEmpty) 0L else dfFor(s.copy(files = unknown)).count()
+      (pv, TxTable.TableStats(knownLive + unknownLive, fs.size, fs.map(_.sizeBytes).sum))
+    }
+  }
+
   /** Incremental compaction: rewrite ONLY files smaller than
     * `minFileBytes`, binned per partition tuple, leaving well-sized files
     * untouched. This is the steady-state maintenance shape at scale — a

@@ -132,6 +132,9 @@ class TableStatsSpec extends AnyFunSuite {
     (0 until 4).foreach { k =>
       t.append(Seq((10L + k, "x"), (20L + k, "y")).toDF("id", "p").repartition(1))
     }
+    // per-partition metadata stats agree with a real count
+    val ps = t.partitionStats().map { case (pv, st) => pv("p") -> st.rowCount }.toMap
+    assert(ps == Map("x" -> 5L, "y" -> 5L))
     val before = t.snapshot
     assert(before.files.count(_.partitionValues("p") == "x") == 5)
     assert(t.optimizeCompact(minFileBytes = 1L << 20, targetFileBytes = 1L << 30))
