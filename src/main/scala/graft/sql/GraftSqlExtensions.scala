@@ -38,6 +38,9 @@ object GraftSqlExtensions {
   def unregister(client: LakehouseClient): Unit =
     clients.remove(client.spark)
 
+  private[sql] def clientFor(session: org.apache.spark.sql.SparkSession): Option[LakehouseClient] =
+    Option(clients.get(session))
+
   final case class ResolveGraftRelations(session: ClassicSparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val client = clients.get(session)
@@ -137,6 +140,8 @@ object GraftSqlExtensions {
     extensions.injectHintResolutionRule(s => ResolveGraftRelations(s.asInstanceOf[ClassicSparkSession]))
     // custom physical operators (SURVEY preference tier c)
     extensions.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM)
+    extensions.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }
 

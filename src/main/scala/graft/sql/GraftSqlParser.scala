@@ -1,0 +1,110 @@
+package graft.sql
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+import graft.catalog.DoesNotExistError
+
+/** Maintenance statements Spark's grammar doesn't know, parsed ahead of
+  * the delegate (the Delta-connector pattern — injectParser with
+  * pass-through):
+  *
+  *   OPTIMIZE cat.sch.t                      -- incremental small-file compaction
+  *   OPTIMIZE cat.sch.t ZORDER BY (a, b)     -- Morton-curve re-clustering
+  *   OPTIMIZE cat.sch.t HILBERT BY (a, b)    -- Hilbert-curve re-clustering
+  *   VACUUM cat.sch.t                        -- default 7-day retention
+  *   VACUUM cat.sch.t RETAIN <n> HOURS       -- explicit retention (the safety
+  *                                              floor still applies)
+  *
+  * Targets must be 3-part names in a registered client's catalog;
+  * everything else — including these keywords over non-catalog names —
+  * falls through to the delegate parser verbatim.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
+
+  private def parts3(ident: String): Option[Seq[String]] = {
+    val parts = ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    if (parts.length == 3) Some(parts) else None
+  }
+
+  private def txTable(parts: Seq[String]): Option[(String, graft.tables.TxTable)] = {
+    val client = GraftSqlExtensions.clientFor(session).getOrElse(return None)
+    try {
+      client.getTable(parts(0), parts(1), parts(2))
+      Some((parts.mkString("."), client.getTxTable(parts(0), parts(1), parts(2))))
+    } catch { case _: DoesNotExistError => None }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val head = sqlText.trim.take(9).toUpperCase(Locale.ROOT)
+    if (head.startsWith("OPTIMIZE ")) sqlText match {
+      case Optimize(ident, curve, cols) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            val colList = Option(cols).toSeq
+              .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty)
+            Option(curve).map(_.toUpperCase(Locale.ROOT)) match {
+              case Some("ZORDER") =>
+                return GraftSqlDml.GraftDmlCommand(s"OPTIMIZE $name ZORDER") { () =>
+                  t.optimizeZOrder(colList)
+                }
+              case Some("HILBERT") =>
+                return GraftSqlDml.GraftDmlCommand(s"OPTIMIZE $name HILBERT") { () =>
+                  t.optimizeHilbert(colList)
+                }
+              case _ =>
+                return GraftSqlDml.GraftDmlCommand(s"OPTIMIZE $name") { () =>
+                  t.optimizeCompact()
+                }
+            }
+          case None => // not ours — fall through to the delegate
+        }
+      case _ => // malformed OPTIMIZE — let the delegate raise its error
+    }
+    else if (head.startsWith("VACUUM ")) sqlText match {
+      case Vacuum(ident, hours) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            val retention = Option(hours).map(_.toLong * 3600L * 1000L)
+            return GraftSqlDml.GraftQueryCommand(s"VACUUM $name",
+              Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())) { () =>
+              val deleted = retention match {
+                case Some(ms) => t.vacuum(retentionMs = ms)
+                case None => t.vacuum()
+              }
+              Seq(org.apache.spark.sql.Row(deleted))
+            }
+          case None =>
+        }
+      case _ =>
+    }
+    delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -198,6 +198,32 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(desc.exists(r => r.getString(0) == "Type" && r.getString(1) == "DELTA"))
   }
 
+  test("OPTIMIZE and VACUUM maintenance statements") {
+    val client = freshTable("mnt1")
+    // small-file debris from trickle inserts
+    (3 to 7).foreach(i => spark.sql(s"INSERT INTO mnt1.s.t VALUES ($i, 'r$i', $i.0)"))
+    val t = client.getTxTable("mnt1", "s", "t")
+    val filesBefore = t.snapshot.files.size
+    assert(filesBefore >= 6)
+
+    spark.sql("OPTIMIZE mnt1.s.t")
+    assert(t.snapshot.files.size < filesBefore)
+    assert(spark.sql("SELECT COUNT(*) FROM mnt1.s.t").collect()(0).getLong(0) == 7)
+
+    spark.sql("OPTIMIZE mnt1.s.t ZORDER BY (id, v)")
+    assert(spark.sql("SELECT COUNT(*) FROM mnt1.s.t").collect()(0).getLong(0) == 7)
+    spark.sql("OPTIMIZE mnt1.s.t HILBERT BY (id, v)")
+    assert(spark.sql("SELECT COUNT(*) FROM mnt1.s.t").collect()(0).getLong(0) == 7)
+
+    // default retention: fresh files survive, the command reports a count
+    val deleted = spark.sql("VACUUM mnt1.s.t").collect()(0).getInt(0)
+    assert(deleted == 0)
+    assert(spark.sql("SELECT COUNT(*) FROM mnt1.s.t").collect()(0).getLong(0) == 7)
+    // sub-floor retention is refused (the safety floor needs force=true,
+    // which SQL deliberately does not expose)
+    intercept[Exception] { spark.sql("VACUUM mnt1.s.t RETAIN 1 HOURS") }
+  }
+
   test("SQL DML works on Iceberg catalog tables too") {
     freshTable("dml7", FileType.ICEBERG)
     spark.sql("INSERT INTO dml7.s.t VALUES (3, 'c', 30.0)")
