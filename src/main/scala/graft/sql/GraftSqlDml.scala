@@ -65,9 +65,20 @@ object GraftSqlDml {
 
   /** Strip a leading target-alias qualifier from attribute references so
     * predicate SQL evaluates against the unaliased table frame
-    * (`DELETE FROM t x WHERE x.id = 1` → `id = 1`).
+    * (`DELETE FROM t x WHERE x.id = 1` → `id = 1`). Subqueries cannot
+    * round-trip through unresolved Expression.sql (they render as
+    * placeholders TxTable's predicate parser cannot execute) — refuse
+    * them up front with a clear message instead of a downstream parse
+    * error.
     */
-  private def stripAlias(e: Expression, alias: Option[String]): Expression =
+  private def stripAlias(e: Expression, alias: Option[String]): Expression = {
+    e.foreach {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        throw UnsupportedOperationError(
+          "subqueries in DELETE/UPDATE conditions are not supported; " +
+            "use MERGE INTO with the subquery as the source instead")
+      case _ => ()
+    }
     alias.fold(e) { a =>
       e.transform {
         case attr: UnresolvedAttribute
@@ -75,6 +86,7 @@ object GraftSqlDml {
           UnresolvedAttribute(attr.nameParts.tail)
       }
     }
+  }
 
   private def lastName(e: Expression): String = e match {
     case a: UnresolvedAttribute => a.nameParts.last
@@ -346,11 +358,25 @@ object GraftSqlDml {
       }
     }
 
+  /** Properties land in BOTH places they are read from: the transaction
+    * log (a metadata commit — the write path and external engines read
+    * `snapshot.properties`) for transactional tables, and the catalog
+    * record. A catalog-only update would silently not affect e.g.
+    * `graft.bloomFilter.columns` or `delta.enableDeletionVectors`.
+    */
+  private def isTransactional(client: LakehouseClient, cat: String, sch: String,
+      tbl: String): Boolean = {
+    val ft = client.getTable(cat, sch, tbl).fileType
+    ft == graft.catalog.FileType.DELTA || ft == graft.catalog.FileType.ICEBERG
+  }
+
   def rewriteSetProperties(session: ClassicSparkSession, client: LakehouseClient,
       s: SetTableProperties): Option[LogicalPlan] =
     alterTarget3(client, s.table).map { parts =>
       val Seq(cat, sch, tbl) = parts
       GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl SET TBLPROPERTIES") { () =>
+        if (isTransactional(client, cat, sch, tbl))
+          client.getTxTable(cat, sch, tbl).setProperties(s.properties)
         val existing = client.getTable(cat, sch, tbl).properties
         client.store.updateTable(cat, sch, tbl,
           properties = Some(existing ++ s.properties))
@@ -362,6 +388,10 @@ object GraftSqlDml {
     alterTarget3(client, u.table).map { parts =>
       val Seq(cat, sch, tbl) = parts
       GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl UNSET TBLPROPERTIES") { () =>
+        if (isTransactional(client, cat, sch, tbl))
+          // setProperties unsets keys mapped to null
+          client.getTxTable(cat, sch, tbl).setProperties(
+            u.propertyKeys.map(_ -> (null: String)).toMap)
         val existing = client.getTable(cat, sch, tbl).properties
         client.store.updateTable(cat, sch, tbl,
           properties = Some(existing -- u.propertyKeys))
@@ -384,10 +414,14 @@ object GraftSqlDml {
         catch { case _: DoesNotExistError => return None }
       case _ => return None
     }
+    // Spark's SHOW TABLES pattern language: '*' is a wildcard, '|' is
+    // alternation, everything else matches LITERALLY — quote the chunks
+    // so regex metacharacters ('+', '[', ...) don't misfire or throw
     def matches(name: String): Boolean = st.pattern.forall { p =>
+      val alts = p.split("\\|").map(_.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*"))
       java.util.regex.Pattern
-        .compile(p.split("\\|").map(_.replace("*", ".*")).mkString("(", "|", ")"),
-          java.util.regex.Pattern.CASE_INSENSITIVE)
+        .compile(alts.mkString("(", ")|(", ")"), java.util.regex.Pattern.CASE_INSENSITIVE)
         .matcher(name).matches()
     }
     Some(GraftQueryCommand(s"SHOW TABLES IN ${ns.mkString(".")}", st.output) { () =>

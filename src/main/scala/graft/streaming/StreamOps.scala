@@ -45,10 +45,12 @@ object StreamOps {
     * Directories with no files yet default to the ns-long shape.
     */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val tsIsTimestamp =
-      try !spark.read.parquet(dir).schema("ts").dataType.isInstanceOf[LongType.type]
-      catch { case _: Throwable => false }
-    val tsType: DataType = if (tsIsTimestamp) TimestampNTZType else LongType
+    // declare the SNIFFED type itself — hardcoding e.g. TimestampNTZType
+    // would make the reader reject fixtures whose µs column is
+    // UTC-adjusted (inferred TimestampType)
+    val tsType: DataType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Throwable => LongType }
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", tsType),
@@ -57,9 +59,10 @@ object StreamOps {
       StructField("value", DoubleType),
       StructField("props", StringType)))
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (tsIsTimestamp) raw.withColumn("event_time", col("ts").cast(TimestampType))
-    else raw.withColumn("event_time",
-      timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+    if (tsType == LongType)
+      raw.withColumn("event_time",
+        timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+    else raw.withColumn("event_time", col("ts").cast(TimestampType))
   }
 
   /** Windowed per-type counts with a watermark: late events beyond

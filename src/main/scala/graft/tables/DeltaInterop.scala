@@ -1192,10 +1192,8 @@ object DeltaLogWriter {
     val out = f.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, false)
+    if (!TxLog.atomicPublishNoOverwrite(f, tmp, target))
       throw graft.catalog.AlreadyExistsError(s"concurrent Delta commit $version at $location")
-    }
   }
 
   /** Every N commits, persist a parquet checkpoint + `_last_checkpoint`

@@ -1094,10 +1094,8 @@ object IcebergWriter {
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
     val out = f.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, false)
+    if (!TxLog.atomicPublishNoOverwrite(f, tmp, target))
       throw graft.catalog.AlreadyExistsError(s"concurrent iceberg commit v$version at $location")
-    }
     val hint = f.create(new Path(dir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
   }

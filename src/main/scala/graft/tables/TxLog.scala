@@ -267,6 +267,29 @@ object TxLog {
   /** Atomically publish a commit at `version`. Returns false if that
     * version already exists (concurrent writer won the race).
     */
+  /** Atomically publish `tmp` as `target` iff `target` does not already
+    * exist; `tmp` is consumed either way. HDFS-like FileSystems get this
+    * from rename (atomic, refuses to replace a file). The LOCAL
+    * FileSystem inherits POSIX rename(2), which silently REPLACES an
+    * existing target — two optimistic committers racing for the same
+    * version would then both "succeed" and one commit would vanish — so
+    * on file: schemes publish via link(2), which is atomic no-replace.
+    */
+  def atomicPublishNoOverwrite(f: FileSystem, tmp: Path, target: Path): Boolean = {
+    val isLocal = Option(f.getUri).flatMap(u => Option(u.getScheme)).contains("file")
+    val ok =
+      if (isLocal) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !f.exists(target) && f.rename(tmp, target)
+    try f.delete(tmp, false) catch { case NonFatal(_) => () }
+    ok
+  }
+
   def tryCommit(spark: SparkSession, location: String, c: Commit): Boolean = {
     val f = fs(spark, location)
     val dir = logDir(location)
@@ -277,11 +300,9 @@ object TxLog {
     val out = f.create(tmp, false)
     try out.write(Serialization.write(c).getBytes("UTF-8"))
     finally out.close()
-    try {
-      if (f.rename(tmp, target)) true
-      else { f.delete(tmp, false); false }
-    } catch {
-      case NonFatal(_) => f.delete(tmp, false); false
+    try atomicPublishNoOverwrite(f, tmp, target)
+    catch {
+      case NonFatal(_) => try f.delete(tmp, false) catch { case NonFatal(_) => () }; false
     }
   }
 
@@ -376,21 +397,31 @@ object TxLog {
         val rel = relativize(stagingDir, p)
         (rel, new Path(location, rel).toString, size)
       }
-      def publishTree(src: Path, dest: Path): Unit = {
-        // exists+rename races with a concurrent writer creating dest are
-        // benign: a failed dir rename just falls through to the descent
-        if (f.exists(dest) || !f.rename(src, dest)) {
-          f.mkdirs(dest)
-          f.listStatus(src).foreach { st =>
-            val d = new Path(dest, st.getPath.getName)
-            if (st.isDirectory) publishTree(st.getPath, d)
-            else if (st.getPath.getName.endsWith(".parquet")) {
-              if (!f.rename(st.getPath, d))
-                throw new java.io.IOException(
-                  s"failed to publish staged file ${st.getPath} -> $d")
-            }
+      def publishChildren(src: Path, dest: Path): Unit = {
+        f.mkdirs(dest)
+        f.listStatus(src).foreach { st =>
+          val d = new Path(dest, st.getPath.getName)
+          if (st.isDirectory) publishTree(st.getPath, d)
+          else if (st.getPath.getName.endsWith(".parquet")) {
+            if (!f.rename(st.getPath, d))
+              throw new java.io.IOException(
+                s"failed to publish staged file ${st.getPath} -> $d")
           }
         }
+      }
+      def publishTree(src: Path, dest: Path): Unit = {
+        if (!f.exists(dest) && f.rename(src, dest)) {
+          // Hadoop rename semantics: if a CONCURRENT writer created dest
+          // between the exists probe and the rename, several FileSystems
+          // move src INSIDE dest (dest/<src.name>) instead of failing. A
+          // hive layout never nests a directory under its own name, so
+          // such a child can only be the mis-renamed source — unfold it.
+          val nested = new Path(dest, src.getName)
+          if (f.exists(nested) && f.getFileStatus(nested).isDirectory) {
+            publishChildren(nested, dest)
+            f.delete(nested, true)
+          }
+        } else publishChildren(src, dest)
       }
       f.listStatus(stagingDir).foreach { st =>
         val d = new Path(location, st.getPath.getName)

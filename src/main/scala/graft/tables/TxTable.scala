@@ -562,13 +562,30 @@ final class TxTable(val spark: SparkSession, val location: String,
     */
   def partitionStats(): Seq[(Map[String, String], TxTable.TableStats)] = {
     val s = snapshot
-    s.files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
-      val (known, unknown) = fs.partition(_.rows >= 0L)
-      val knownLive = known.iterator
+    val byTuple = s.files.groupBy(_.partitionValues).toSeq
+    // ONE job covers every stat-less file: per-tuple reads tagged with a
+    // literal index and unioned, so no per-tuple job launches and no
+    // fragile path-string matching back to AddFile entries
+    val unknownByTuple = byTuple
+      .map { case (pv, fs) => pv -> fs.filter(_.rows < 0L) }
+      .filter(_._2.nonEmpty)
+    val unknownLive: Map[Map[String, String], Long] =
+      if (unknownByTuple.isEmpty) Map.empty
+      else {
+        val tagged = unknownByTuple.zipWithIndex.map { case ((_, fs), i) =>
+          dfFor(s.copy(files = fs)).select(org.apache.spark.sql.functions.lit(i).as("__t"))
+        }.reduce(_ unionAll _)
+        val counts = tagged.groupBy(col("__t")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        unknownByTuple.zipWithIndex.map { case ((pv, _), i) =>
+          pv -> counts.getOrElse(i, 0L)
+        }.toMap
+      }
+    byTuple.map { case (pv, fs) =>
+      val knownLive = fs.iterator.filter(_.rows >= 0L)
         .map(f => f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
-      val unknownLive =
-        if (unknown.isEmpty) 0L else dfFor(s.copy(files = unknown)).count()
-      (pv, TxTable.TableStats(knownLive + unknownLive, fs.size, fs.map(_.sizeBytes).sum))
+      (pv, TxTable.TableStats(knownLive + unknownLive.getOrElse(pv, 0L),
+        fs.size, fs.map(_.sizeBytes).sum))
     }
   }
 
@@ -594,7 +611,22 @@ final class TxTable(val spark: SparkSession, val location: String,
         val totalBytes = picked.map(_.sizeBytes).sum
         val targetFiles = math.max(1, math.ceil(
           totalBytes.toDouble / math.max(1L, targetFileBytes)).toInt)
-        val compacted = readForRewrite(snap, picked).repartition(targetFiles)
+        // partitioned tables must repartition ON the partition columns:
+        // a plain hash repartition spreads every tuple across every task
+        // and the hive-staged write then emits O(tasks × tuples) files —
+        // MORE debris than it removes. Clustering by tuple keeps each
+        // tuple in one task → one output file per tuple (its debris is
+        // small by selection, so one file is the right size).
+        val compacted =
+          if (snap.partitionColumns.isEmpty)
+            readForRewrite(snap, picked).repartition(targetFiles)
+          else {
+            val tuples = picked.map(_.partitionValues).distinct.size
+            readForRewrite(snap, picked)
+              .repartition(math.max(1, math.min(tuples, math.max(targetFiles,
+                spark.sessionState.conf.numShufflePartitions))),
+                snap.partitionColumns.map(col): _*)
+          }
         val (added, props) = stageRewrite(compacted, snap)
         Some(TxTable.Planned(added, picked.map(_.path), snap.schema,
           snap.partitionColumns, props))
@@ -626,20 +658,29 @@ final class TxTable(val spark: SparkSession, val location: String,
     * approxQuantile — a sketch aggregation, driver cost O(buckets).
     */
   def optimizeZOrder(zorderCols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024,
-      buckets: Int = 256): Unit = {
+      buckets: Int = 256): Unit =
+    optimizeClusteredBy(zorderCols, targetFileBytes, buckets,
+      graft.functions.ZOrderFunctions.clusterByZOrder)
+
+  /** The shared clustering-rewrite skeleton behind optimizeZOrder /
+    * optimizeHilbert. The commit-log op label stays "ZORDER" for both —
+    * all three logs treat it as a dataChange=false full rewrite and
+    * external engines have no HILBERT vocabulary.
+    */
+  private def optimizeClusteredBy(cols: Seq[String], targetFileBytes: Long,
+      buckets: Int,
+      cluster: (DataFrame, Seq[String], Int, Int) => DataFrame): Unit =
     commitWithRetry("ZORDER") { snap =>
-      zorderCols.foreach { c =>
-        require(snap.schema.fieldNames.contains(c), s"unknown z-order column $c")
+      cols.foreach { c =>
+        require(snap.schema.fieldNames.contains(c), s"unknown clustering column $c")
       }
       val totalBytes = snap.files.map(_.sizeBytes).sum
-      val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
-        (if (totalBytes % targetFileBytes > 0) 1 else 0))
-      val clustered = graft.functions.ZOrderFunctions.clusterByZOrder(
-        readForRewrite(snap, snap.files), zorderCols, targetFiles, buckets)
+      val targetFiles = math.max(1, math.ceil(
+        totalBytes.toDouble / math.max(1L, targetFileBytes)).toInt)
+      val clustered = cluster(readForRewrite(snap, snap.files), cols, targetFiles, buckets)
       val (added, props) = stageRewrite(clustered, snap)
       TxTable.Planned(added, snap.files.map(_.path), snap.schema, snap.partitionColumns, props)
     }
-  }
 
   /** OPTIMIZE clustered on the HILBERT curve of the given columns — the
     * same quantile-bucket machinery as optimizeZOrder with the Hilbert
@@ -649,20 +690,9 @@ final class TxTable(val spark: SparkSession, val location: String,
     * newer clustering engines default to.
     */
   def optimizeHilbert(cols: Seq[String], targetFileBytes: Long = 128L * 1024 * 1024,
-      buckets: Int = 256): Unit = {
-    commitWithRetry("ZORDER") { snap =>
-      cols.foreach { c =>
-        require(snap.schema.fieldNames.contains(c), s"unknown clustering column $c")
-      }
-      val totalBytes = snap.files.map(_.sizeBytes).sum
-      val targetFiles = math.max(1, (totalBytes / math.max(1L, targetFileBytes)).toInt +
-        (if (totalBytes % targetFileBytes > 0) 1 else 0))
-      val clustered = graft.functions.ZOrderFunctions.clusterByHilbert(
-        readForRewrite(snap, snap.files), cols, targetFiles, buckets)
-      val (added, props) = stageRewrite(clustered, snap)
-      TxTable.Planned(added, snap.files.map(_.path), snap.schema, snap.partitionColumns, props)
-    }
-  }
+      buckets: Int = 256): Unit =
+    optimizeClusteredBy(cols, targetFileBytes, buckets,
+      graft.functions.ZOrderFunctions.clusterByHilbert)
 
   /** Clustering columns another engine declared via the `delta.clustering`
     * metadata domain (liquid clustering / CLUSTER BY). Physical name paths

@@ -170,6 +170,10 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE ddl3.s.t UNSET TBLPROPERTIES ('tier')")
     val props = client.getTable("ddl3", "s", "t").properties
     assert(props.get("team").contains("data") && !props.contains("tier"))
+    // the property must ALSO land in the transaction log — that is what
+    // the write path and external engines read
+    val logProps = client.getTxTable("ddl3", "s", "t").snapshot.properties
+    assert(logProps.get("team").contains("data") && !logProps.contains("tier"))
     val rows = spark.sql("SHOW TABLES IN ddl3.s").collect()
     assert(rows.map(r2 => (r2.getString(0), r2.getString(1))).toSeq == Seq(("ddl3.s", "t")))
   }

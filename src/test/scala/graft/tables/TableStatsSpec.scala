@@ -19,6 +19,25 @@ class TableStatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("atomicPublishNoOverwrite never replaces an existing commit file") {
+    val dir = TestSpark.tmpDir("atomic")
+    val f = TxLog.fs(spark, dir)
+    val target = new org.apache.hadoop.fs.Path(dir, "00000000000000000001.json")
+    def tmpWith(content: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(dir, s".tmp-${java.util.UUID.randomUUID()}.json")
+      val o = f.create(p, false); o.write(content.getBytes("UTF-8")); o.close(); p
+    }
+    assert(TxLog.atomicPublishNoOverwrite(f, tmpWith("winner"), target))
+    // the loser must NOT clobber the winner (POSIX rename would)
+    assert(!TxLog.atomicPublishNoOverwrite(f, tmpWith("loser"), target))
+    val bytes = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(f.open(target)), "UTF-8")
+    assert(bytes == "winner")
+    // both tmp files consumed
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith(".tmp-")))
+  }
+
   test("countRows is exact from metadata on the native log") {
     val loc = TestSpark.tmpDir("stats-native")
     val t = new TxTable(spark, loc)
