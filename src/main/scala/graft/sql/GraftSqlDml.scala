@@ -31,9 +31,12 @@ import graft.client.LakehouseClient
   */
 object GraftSqlDml {
 
-  /** An eagerly-executed DML action. Equality is over `label` (the
-    * rendered statement target) — plan nodes must be comparable, thunks
-    * are not.
+  /** An eagerly-executed DML action. Equality is over `label` — plan
+    * nodes must be comparable, thunks are not — so every call site builds
+    * the label via [[cmdLabel]], which appends a fingerprint of the FULL
+    * statement: two commands on the same table with different
+    * predicates/assignments/bodies must never compare equal, or Catalyst
+    * machinery that dedups/caches by plan equality could conflate them.
     */
   final case class GraftDmlCommand(label: String)(body: () => Unit)
       extends LeafRunnableCommand {
@@ -43,6 +46,13 @@ object GraftSqlDml {
     // analyzer clones the node (TreeNode.makeCopy)
     override protected def otherCopyArgs: Seq[AnyRef] = Seq(body)
   }
+
+  /** Human-readable head plus a fingerprint of the originating statement
+    * (plan `toString` is deterministic), keeping distinct statements
+    * distinct under label-only case equality.
+    */
+  private def cmdLabel(head: String, stmt: Any): String =
+    f"$head [${stmt.toString.hashCode}%08x]"
 
   /** Unwrap `[SubqueryAlias] UnresolvedRelation(cat.sch.tbl)` into the
     * 3-part name + the user's alias (None when unaliased). Non-3-part or
@@ -88,10 +98,18 @@ object GraftSqlDml {
     }
   }
 
-  private def lastName(e: Expression): String = e match {
-    case a: UnresolvedAttribute => a.nameParts.last
-    case other => other.sql
-  }
+  /** Assignment target column: after stripping the target alias the key
+    * must be a SINGLE name part — a nested-field target (`SET a.b = 1`)
+    * would otherwise silently become an assignment to top-level `b`.
+    */
+  private def assignName(key: Expression, alias: Option[String]): String =
+    stripAlias(key, alias) match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => a.nameParts.head
+      case a: UnresolvedAttribute =>
+        throw UnsupportedOperationError(
+          s"nested field updates are not supported (SET ${a.name} = ...)")
+      case other => other.sql
+    }
 
   def rewriteInsert(session: ClassicSparkSession, client: LakehouseClient,
       i: InsertIntoStatement): Option[LogicalPlan] =
@@ -101,7 +119,7 @@ object GraftSqlDml {
         throw UnsupportedOperationError("INSERT ... IF NOT EXISTS is not supported")
       val static = i.partitionSpec.collect { case (k, Some(v)) => k -> v }
       val dynamicSpec = i.partitionSpec.collect { case (k, None) => k }.toSeq
-      GraftDmlCommand(s"INSERT INTO $cat.$sch.$tbl") { () =>
+      GraftDmlCommand(cmdLabel(s"INSERT INTO $cat.$sch.$tbl", i)) { () =>
         val targetSchema = client.readTable(cat, sch, tbl).schema
         val src = org.apache.spark.sql.GraftColumnBridge.ofRows(session, i.query)
         def typeOf(n: String) = targetSchema.fields
@@ -136,8 +154,27 @@ object GraftSqlDml {
           (if (have) col(f.name).cast(f.dataType)
            else lit(null).cast(f.dataType)).as(f.name)
         }: _*)
+        // spark.sql.sources.partitionOverwriteMode=dynamic narrows INSERT
+        // OVERWRITE on a partitioned table to "replace only the partitions
+        // present in the data" — full OVERWRITE here would silently drop
+        // untouched partitions for users running with that conf. Parquet
+        // tables already get dynamic semantics from the write matrix (W6,
+        // the reference's delete_matching); transactional logs route
+        // through TxTable's dynamic overwrite.
+        val info = client.getTable(cat, sch, tbl)
+        val partitioned = info.columns.exists(_.partitionIndex.isDefined)
+        val transactional = info.fileType == graft.catalog.FileType.DELTA ||
+          info.fileType == graft.catalog.FileType.ICEBERG
+        val dynamicMode = session.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "static")
+          .equalsIgnoreCase("dynamic")
         if (!i.overwrite)
           client.writeTable(aligned, cat, sch, tbl, WriteMode.APPEND)
+        else if (dynamicMode && partitioned && transactional)
+          // static PARTITION values (if any) are already constant columns
+          // in `aligned`, so the touched-partition set is a subset of the
+          // static spec — dynamic overwrite covers both spec shapes
+          client.getTxTable(cat, sch, tbl).overwritePartitionsDynamic(aligned)
         else if (static.isEmpty)
           client.writeTable(aligned, cat, sch, tbl, WriteMode.OVERWRITE)
         else
@@ -154,7 +191,7 @@ object GraftSqlDml {
     target3(client, target).map { case (parts, alias) =>
       val Seq(cat, sch, tbl) = parts
       val predicate = stripAlias(condition, alias).sql
-      GraftDmlCommand(s"DELETE FROM $cat.$sch.$tbl") { () =>
+      GraftDmlCommand(cmdLabel(s"DELETE FROM $cat.$sch.$tbl", condition)) { () =>
         client.getTxTable(cat, sch, tbl).delete(predicate)
       }
     }
@@ -166,8 +203,8 @@ object GraftSqlDml {
       val Seq(cat, sch, tbl) = parts
       val predicate = condition.map(c => stripAlias(c, alias).sql).getOrElse("true")
       val set = assignments.map(a =>
-        lastName(a.key) -> stripAlias(a.value, alias).sql).toMap
-      GraftDmlCommand(s"UPDATE $cat.$sch.$tbl") { () =>
+        assignName(a.key, alias) -> stripAlias(a.value, alias).sql).toMap
+      GraftDmlCommand(cmdLabel(s"UPDATE $cat.$sch.$tbl", (assignments, condition))) { () =>
         client.getTxTable(cat, sch, tbl).update(predicate, set)
       }
     }
@@ -231,7 +268,7 @@ object GraftSqlDml {
       val ft = fileTypeOf(specOf(ct.tableSpec)._1)
       val loc = locationOrThrow(specOf(ct.tableSpec)._2, "CREATE TABLE AS SELECT")
       val partCols = identityCols(ct.partitioning)
-      GraftDmlCommand(s"CREATE TABLE $cat.$sch.$tbl AS SELECT") { () =>
+      GraftDmlCommand(cmdLabel(s"CREATE TABLE $cat.$sch.$tbl AS SELECT", ct)) { () =>
         val exists =
           try { client.getTable(cat, sch, tbl); true }
           catch { case _: DoesNotExistError => false }
@@ -253,7 +290,7 @@ object GraftSqlDml {
       val ft = fileTypeOf(specOf(rt.tableSpec)._1)
       val loc = locationOrThrow(specOf(rt.tableSpec)._2, "REPLACE TABLE AS SELECT")
       val partCols = identityCols(rt.partitioning)
-      GraftDmlCommand(s"REPLACE TABLE $cat.$sch.$tbl AS SELECT") { () =>
+      GraftDmlCommand(cmdLabel(s"REPLACE TABLE $cat.$sch.$tbl AS SELECT", rt)) { () =>
         val exists =
           try { client.getTable(cat, sch, tbl); true }
           catch { case _: DoesNotExistError => false }
@@ -274,7 +311,7 @@ object GraftSqlDml {
       val partCols = identityCols(ct.partitioning)
       val schema = org.apache.spark.sql.types.StructType(ct.columns.map(c =>
         org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
-      GraftDmlCommand(s"CREATE TABLE $cat.$sch.$tbl") { () =>
+      GraftDmlCommand(cmdLabel(s"CREATE TABLE $cat.$sch.$tbl", ct)) { () =>
         val exists =
           try { client.getTable(cat, sch, tbl); true }
           catch { case _: DoesNotExistError => false }
@@ -295,7 +332,7 @@ object GraftSqlDml {
       d: DropTable): Option[LogicalPlan] =
     ddlTarget3(client, d.child).map { parts =>
       val Seq(cat, sch, tbl) = parts
-      GraftDmlCommand(s"DROP TABLE $cat.$sch.$tbl") { () =>
+      GraftDmlCommand(cmdLabel(s"DROP TABLE $cat.$sch.$tbl", d)) { () =>
         try client.deleteTable(cat, sch, tbl)
         catch { case _: DoesNotExistError if d.ifExists => () }
       }
@@ -346,9 +383,13 @@ object GraftSqlDml {
         if (c.default.nonEmpty) throw UnsupportedOperationError(
           "ALTER TABLE ADD COLUMNS: DEFAULT values are not supported")
       }
+      // Delta's rule: a column added to a table with existing rows must be
+      // nullable — every existing row reads NULL for it, so committing
+      // nullable=false would be inconsistent metadata. Force-nullable
+      // rather than reject (the reference's ALTER path does the same).
       val newFields = a.columnsToAdd.map(c =>
-        org.apache.spark.sql.types.StructField(c.colName, c.dataType, c.nullable))
-      GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl ADD COLUMNS") { () =>
+        org.apache.spark.sql.types.StructField(c.colName, c.dataType, nullable = true))
+      GraftDmlCommand(cmdLabel(s"ALTER TABLE $cat.$sch.$tbl ADD COLUMNS", a.columnsToAdd)) { () =>
         val current = client.readTable(cat, sch, tbl).schema
         val merged = org.apache.spark.sql.types.StructType(current.fields ++ newFields)
         val empty = session.createDataFrame(
@@ -374,7 +415,7 @@ object GraftSqlDml {
       s: SetTableProperties): Option[LogicalPlan] =
     alterTarget3(client, s.table).map { parts =>
       val Seq(cat, sch, tbl) = parts
-      GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl SET TBLPROPERTIES") { () =>
+      GraftDmlCommand(cmdLabel(s"ALTER TABLE $cat.$sch.$tbl SET TBLPROPERTIES", s.properties)) { () =>
         if (isTransactional(client, cat, sch, tbl))
           client.getTxTable(cat, sch, tbl).setProperties(s.properties)
         val existing = client.getTable(cat, sch, tbl).properties
@@ -387,7 +428,7 @@ object GraftSqlDml {
       u: UnsetTableProperties): Option[LogicalPlan] =
     alterTarget3(client, u.table).map { parts =>
       val Seq(cat, sch, tbl) = parts
-      GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl UNSET TBLPROPERTIES") { () =>
+      GraftDmlCommand(cmdLabel(s"ALTER TABLE $cat.$sch.$tbl UNSET TBLPROPERTIES", u.propertyKeys)) { () =>
         if (isTransactional(client, cat, sch, tbl))
           // setProperties unsets keys mapped to null
           client.getTxTable(cat, sch, tbl).setProperties(
@@ -424,7 +465,7 @@ object GraftSqlDml {
         .compile(alts.mkString("(", ")|(", ")"), java.util.regex.Pattern.CASE_INSENSITIVE)
         .matcher(name).matches()
     }
-    Some(GraftQueryCommand(s"SHOW TABLES IN ${ns.mkString(".")}", st.output) { () =>
+    Some(GraftQueryCommand(cmdLabel(s"SHOW TABLES IN ${ns.mkString(".")}", st.pattern), st.output) { () =>
       schemas.flatMap { case (cat, sch) =>
         client.listTables(cat, sch).filter(t => matches(t.name))
           .map(t => Row(s"$cat.$sch", t.name, false))
@@ -482,8 +523,8 @@ object GraftSqlDml {
       val cond = m.mergeCondition.sql
       def condSql(c: Option[Expression]): Option[String] = c.map(_.sql)
       def setMap(as: Seq[Assignment]): Map[String, String] =
-        as.map(a => lastName(a.key) -> a.value.sql).toMap
-      GraftDmlCommand(s"MERGE INTO $cat.$sch.$tbl") { () =>
+        as.map(a => assignName(a.key, Some(targetAlias)) -> a.value.sql).toMap
+      GraftDmlCommand(cmdLabel(s"MERGE INTO $cat.$sch.$tbl", m)) { () =>
         val source = org.apache.spark.sql.GraftColumnBridge.ofRows(session, sourcePlan)
         var merge = client.mergeTable(source, cat, sch, tbl, Some(cond),
           sourceAlias = sourceAlias, targetAlias = targetAlias)

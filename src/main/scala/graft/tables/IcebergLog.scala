@@ -831,22 +831,35 @@ object IcebergLog {
 
   /** Merge-on-read position deletes: the delete parquet files hold
     * (file_path, pos) rows; per-file bitmaps broadcast into the same
-    * codegen'd DvIsRowLive filter deletion vectors use — no join, no
-    * shuffle, pushdown intact.
+    * codegen'd DvIsRowLive filter deletion vectors use — no join on the
+    * data path, pushdown intact.
+    *
+    * The bitmaps are BUILT ON EXECUTORS (groupByKey on the normalized
+    * data-file path, one Bitmap64 per group in mapGroups) — the driver
+    * collects only the serialized bitmaps, O(touched files × compressed
+    * bitmap bytes), never the raw delete rows. Mirrors the executor-side
+    * DV write in DeltaInterop.markRowsDeleted.
     */
+  private[tables] def positionDeleteBitmaps(spark: SparkSession,
+      posDeletes: Seq[IceFile]): Map[String, Array[Byte]] = {
+    import spark.implicits._
+    spark.read.parquet(posDeletes.map(_.path): _*)
+      .select(col("file_path"), col("pos"))
+      .as[(String, Long)]
+      .groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
+      .mapGroups { (p, it) =>
+        val bm = new DeletionVectors.Bitmap64
+        it.foreach { case (_, pos) => bm.add(pos) }
+        (p, bm.serialize)
+      }
+      .collect().toMap
+  }
+
   private def applyPositionDeletes(spark: SparkSession, df: DataFrame,
       st: IceState): DataFrame = {
     val posDeletes = st.deletes.filter(_.content == 1)
     if (posDeletes.isEmpty) return df
-    val rows = spark.read.parquet(posDeletes.map(_.path): _*)
-      .select(col("file_path"), col("pos"))
-      .collect() // bounded by deleted-row count — the DV size argument
-    val byFile = rows.groupBy(r => DeletionVectors.normalizedUri(r.getString(0)))
-      .map { case (p, rs) =>
-        val bm = new DeletionVectors.Bitmap64
-        rs.foreach(r => bm.add(r.getLong(1)))
-        p -> bm.serialize
-      }
+    val byFile = positionDeleteBitmaps(spark, posDeletes)
     val bc = spark.sparkContext.broadcast(new DvLookup(byFile))
     import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
     df.filter(toCol(DvIsRowLive(

@@ -284,7 +284,15 @@ object TxLog {
             java.nio.file.Paths.get(target.toUri.getPath),
             java.nio.file.Paths.get(tmp.toUri.getPath))
           true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // hard links can be unavailable on file: mounts that aren't
+          // plain POSIX (FUSE, some network filesystems) — fall back to
+          // the exists+rename publish used for non-local schemes rather
+          // than failing every commit
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            !f.exists(target) && f.rename(tmp, target)
+        }
       } else !f.exists(target) && f.rename(tmp, target)
     try f.delete(tmp, false) catch { case NonFatal(_) => () }
     ok

@@ -228,6 +228,68 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("VACUUM mnt1.s.t RETAIN 1 HOURS") }
   }
 
+  test("INSERT OVERWRITE under dynamic partitionOverwriteMode replaces only touched partitions") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("dml9")
+    client.createSchema("dml9", "s")
+    val dir = TestSpark.tmpDir("dml9")
+    client.createAsTable(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "p"),
+      "dml9", "s", "t", FileType.DELTA, s"$dir/t", partitionColumns = Seq("p"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    try {
+      spark.conf.set(key, "dynamic")
+      // no PARTITION spec, data touches only p='x' — p='y' must survive
+      spark.sql("INSERT OVERWRITE dml9.s.t SELECT 99 AS id, 'x' AS p")
+      val out = spark.sql("SELECT id, p FROM dml9.s.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(out.toSeq == Seq((3L, "y"), (99L, "x")))
+      // static mode (the default) keeps full-overwrite semantics
+      spark.conf.set(key, "static")
+      spark.sql("INSERT OVERWRITE dml9.s.t SELECT 7 AS id, 'z' AS p")
+      assert(spark.sql("SELECT COUNT(*) FROM dml9.s.t").collect()(0).getLong(0) == 1)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("nested-field assignment targets are rejected, not silently retargeted") {
+    freshTable("dml10")
+    // 'name.part' would otherwise collapse to top-level 'part'
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dml10.s.t SET name.part = 'x' WHERE id = 1")
+    }
+    assert(e.getMessage.contains("nested field"))
+    Seq((1L, 0.0)).toDF("id", "bonus").createOrReplaceTempView("dml10_src")
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO dml10.s.t AS t USING dml10_src AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET t.name.part = 'x'""")
+    }
+    assert(e2.getMessage.contains("nested field"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS forces added columns nullable") {
+    val client = freshTable("dml11")
+    // NOT NULL on a table with existing rows would be inconsistent
+    // metadata (existing rows read NULL) — the column lands nullable
+    spark.sql("ALTER TABLE dml11.s.t ADD COLUMNS (tag STRING NOT NULL)")
+    val f = client.readTable("dml11", "s", "t").schema.fields.find(_.name == "tag").get
+    assert(f.nullable)
+    assert(spark.sql("SELECT tag FROM dml11.s.t WHERE id = 1").collect()(0).isNullAt(0))
+  }
+
+  test("distinct statements on the same table produce non-equal command plans") {
+    val client = freshTable("dml12")
+    val sess = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val target = org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+      Seq("dml12", "s", "t"))
+    def cond(s: String) = sess.sessionState.sqlParser.parseExpression(s)
+    val c1 = GraftSqlDml.rewriteDelete(sess, client, target, cond("id = 1")).get
+    val c2 = GraftSqlDml.rewriteDelete(sess, client, target, cond("id = 2")).get
+    val c1b = GraftSqlDml.rewriteDelete(sess, client, target, cond("id = 1")).get
+    assert(c1 != c2, "different predicates must not compare equal")
+    assert(c1 == c1b, "identical statements still canonicalize together")
+  }
+
   test("SQL DML works on Iceberg catalog tables too") {
     freshTable("dml7", FileType.ICEBERG)
     spark.sql("INSERT INTO dml7.s.t VALUES (3, 'c', 30.0)")

@@ -469,4 +469,25 @@ class IcebergSpec extends AnyFunSuite {
     w.create(schema, out)
     try records.foreach(w.append) finally w.close()
   }
+
+  test("position-delete bitmaps are built on executors; driver collects bitmaps, not rows") {
+    val loc = TestSpark.tmpDir("ice-dvpayload") + "/t"
+    IcebergWriter.create(spark, loc, df1)
+    assert(IcebergWriter.delete(spark, loc, "id = 2 OR id = 3") == 2L)
+    val st = IcebergLog.stateAt(spark, loc, None)
+    val posDeletes = st.deletes.filter(_.content == 1)
+    assert(posDeletes.nonEmpty)
+    // the driver-side payload of the MoR read path: per-file SERIALIZED
+    // Bitmap64s (the mapGroups output), never raw (file_path, pos) rows
+    val payload = IcebergLog.positionDeleteBitmaps(spark, posDeletes)
+    assert(payload.nonEmpty)
+    payload.values.foreach(bytes =>
+      assert(DeletionVectors.Bitmap64.deserialize(bytes).cardinality > 0))
+    val total = payload.values
+      .map(b => DeletionVectors.Bitmap64.deserialize(b).cardinality).sum
+    assert(total == 2L)
+    // and the filter built from those bitmaps still reads correctly
+    assert(IcebergLog.toDF(spark, loc).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
