@@ -95,20 +95,34 @@ object EventQueries {
         GROUP BY user_id"""),
       headline = true),
 
-    // ---- t-digest-style sketch percentiles (approx; engine-specific ->
-    // rows-only, but flattened to scalar columns so the harness can sort) ----
+    // ---- t-digest-style sketch percentiles, rank-ε threshold oracle ----
+    // approx_percentile with accuracy 1000 guarantees rank error ≤
+    // n/1000; the query brackets each estimate between the EXACT
+    // interpolated percentiles at q∓0.05 (a 50x margin) computed in the
+    // same plan, and emits booleans DuckDB pins to TRUE per group — the
+    // sketch's values stay engine-specific, the rank-correctness claim
+    // hash-checks.
     QueryDef(
       "q58_approx_percentile",
       (s, dir) => {
         val e = Tables.events(s, dir)
-        e.groupBy(col("event_type"))
+        val approx = e.groupBy(col("event_type"))
           .agg(expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("pcts"))
           .select(col("event_type"),
             element_at(col("pcts"), 1).as("p50"),
             element_at(col("pcts"), 2).as("p95"),
             element_at(col("pcts"), 3).as("p99"))
+        val exact = e.groupBy(col("event_type")).agg(
+          expr("percentile(value, 0.45)").as("lo50"), expr("percentile(value, 0.55)").as("hi50"),
+          expr("percentile(value, 0.90)").as("lo95"), expr("percentile(value, 1.0)").as("hi95"),
+          expr("percentile(value, 0.94)").as("lo99"), expr("percentile(value, 1.0)").as("hi99"))
+        approx.join(exact, "event_type").select(col("event_type"),
+          (col("p50") >= col("lo50") && col("p50") <= col("hi50")).as("p50_ok"),
+          (col("p95") >= col("lo95") && col("p95") <= col("hi95")).as("p95_ok"),
+          (col("p99") >= col("lo99") && col("p99") <= col("hi99")).as("p99_ok"))
       },
-      None),
+      Some("""SELECT event_type, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        FROM events GROUP BY event_type""")),
 
     // ---- exact interpolated median (split out of q58 so it hash-checks;
     // Spark percentile() and DuckDB quantile_cont share the formula) ----

@@ -150,8 +150,12 @@ object ExtQueries {
 
     // ---- binary-quantized embeddings: sign bits + hamming neighbors ----
     // (vector compression: 64-dim float -> 64-bit sign signature; top-3
-    // nearest by hamming distance for a query set; engine-specific
-    // bit-packing -> rows-only check)
+    // nearest by hamming distance for a query set. Hamming distance is
+    // INVARIANT to how the sign bits are packed, so the result is exactly
+    // oracle-expressible: DuckDB packs the same signs into two 32-bit
+    // halves — its << raises on 1<<63 — and must reproduce every
+    // (qid, cid, hamming, rn) row, deterministic under the (hamming, cid)
+    // tie-break)
     QueryDef(
       "q55_binary_quant_ann",
       (s, dir) => {
@@ -176,9 +180,31 @@ object ExtQueries {
         top.withColumn("rn", row_number().over(w).cast(LongType))
           .select(col("qid"), col("cid"), col("hamming"), col("rn"))
       },
-      None),
+      Some("""WITH sigs AS (
+          SELECT vec_id,
+            list_sum(list_transform(embedding[1:32],
+              (x, i) -> CASE WHEN x >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS sig_lo,
+            list_sum(list_transform(embedding[33:64],
+              (x, i) -> CASE WHEN x >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS sig_hi
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            (bit_count(xor(q.sig_lo, c.sig_lo)) + bit_count(xor(q.sig_hi, c.sig_hi)))::BIGINT AS hamming
+          FROM sigs q JOIN sigs c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        SELECT qid, cid, hamming, rn FROM (
+          SELECT qid, cid, hamming,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
+          FROM scored)
+        WHERE rn <= 3""")),
 
     // ---- IVF ANN recall vs brute force (coarse-quantizer scale path) ----
+    // Threshold oracle: the exact side of the recall computation is
+    // hash-proven by q51 (brute-force kNN vs DuckDB); this entry asserts
+    // the IVF index achieves mean recall@5 ≥ 0.6 over the query set (the
+    // observed value is ~0.9; a routing/probe bug collapses it to ~0), as
+    // a boolean DuckDB pins to TRUE — plus the query-universe count so a
+    // silently-empty recall frame cannot pass.
     QueryDef(
       "q56_ann_ivf_recall",
       (s, dir) => {
@@ -192,10 +218,16 @@ object ExtQueries {
             exact("qid") === approx("qid") && col("exact_cid") === col("ivf_cid"), "left")
           .groupBy(exact("qid").as("qid"))
           .agg((count(col("ivf_cid")).cast(DoubleType) / lit(5.0)).as("recall_at_5"))
+          .agg((avg(col("recall_at_5")) >= 0.6).as("recall_ok"),
+            count(lit(1)).as("n_queries"))
       },
-      None),
+      Some("""SELECT TRUE AS recall_ok, COUNT(DISTINCT vec_id) AS n_queries
+        FROM embeddings WHERE vec_id < 10""")),
 
-    // ---- LSH ANN recall vs brute force (per-query overlap@5) ----
+    // ---- LSH ANN recall vs brute force (mean overlap@5 threshold) ----
+    // Same shape as q56: mean recall@5 ≥ 0.4 (observed ~0.7 with
+    // per-query values down to 0.2 — the mean is the stable statistic
+    // across fixture regenerations; a banding/bucketing bug yields ~0).
     QueryDef(
       "q53_ann_lsh_recall",
       (s, dir) => {
@@ -209,8 +241,11 @@ object ExtQueries {
             exact("qid") === approx("qid") && col("exact_cid") === col("lsh_cid"), "left")
           .groupBy(exact("qid").as("qid"))
           .agg((count(col("lsh_cid")).cast(DoubleType) / lit(5.0)).as("recall_at_5"))
+          .agg((avg(col("recall_at_5")) >= 0.4).as("recall_ok"),
+            count(lit(1)).as("n_queries"))
       },
-      None),
+      Some("""SELECT TRUE AS recall_ok, COUNT(DISTINCT vec_id) AS n_queries
+        FROM embeddings WHERE vec_id < 10""")),
 
     // ---- Bloom-prefiltered decontamination (the 100 TB path of q54) ----
     // exact anti join against a held-out set whose keys are first
