@@ -255,6 +255,42 @@ object IcebergLog {
     * footer read of the first file, so our own full-row files keep the
     * single-scan fast path.
     */
+  /** Footer shapes of data files, cached for the life of the JVM:
+    * Iceberg data files are IMMUTABLE once written, so a file's
+    * (hasIds, topLevelNames) pair never changes and each file is
+    * sniffed at most once per process regardless of how many plannings
+    * touch it. The key includes the manifest's file SIZE so a foreign
+    * engine replacing a file in place (spec-illegal but observed in the
+    * wild, e.g. a repair rewriting bytes at the same path) busts the
+    * entry without any extra IO — the size rides the AddFile we already
+    * hold. Deliberately NOT persisted into table properties — scan
+    * planning is a READ path and must not commit metadata to tables
+    * other engines own (write amplification + commit races for zero
+    * gain over a driver-local cache).
+    */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Seq[String])]()
+
+  /** Per-path count of individual file-footer sniffs (cache misses) —
+    * observable by specs asserting repeated plannings sniff each file
+    * exactly once (per-path so concurrently-running suites over other
+    * tables can't perturb the assertion).
+    */
+  private[tables] val footerSniffCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def noteSniff(p: String): Unit =
+    footerSniffCounts.merge(p, 1L, (a, b) => a + b)
+
+  private def footerKey(f: TxLog.AddFile): String = s"${f.path}#${f.sizeBytes}"
+
+  private def footerCached(conf: org.apache.hadoop.conf.Configuration,
+      f: TxLog.AddFile): (Boolean, Seq[String]) =
+    footerCache.computeIfAbsent(footerKey(f), { _ =>
+      noteSniff(f.path)
+      footerTopLevel(conf, f.path)
+    })
+
   private[tables] def readData(spark: SparkSession, meta: JValue, schema: StructType,
       files: Seq[TxLog.AddFile], metaSel: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val paths = files.map(_.path)
@@ -266,7 +302,7 @@ object IcebergLog {
         if (identityCols.isEmpty) Seq.empty
         else {
           val firstNames =
-            footerTopLevel(spark.sessionState.newHadoopConf(), paths.head)._2.toSet
+            footerCached(spark.sessionState.newHadoopConf(), files.head)._2.toSet
           identityCols.filterNot(firstNames.contains)
         }
       if (missing.isEmpty)
@@ -292,9 +328,22 @@ object IcebergLog {
     val idSchema = schemaWithFieldIds(currentSchemaJson(meta))
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    val info = spark.sparkContext
-      .parallelize(paths, math.max(1, math.min(paths.size, 64)))
-      .map(p => (p, footerTopLevel(hconf.value, p))).collect().toSeq
+    // only cache MISSES are sniffed, in one distributed pass sized to
+    // the cluster (defaultParallelism tasks, not a fixed cap of 64 —
+    // footer reads are tiny metadata IOs and scale with executors)
+    val keyOf = files.map(f => f.path -> footerKey(f)).toMap
+    val todo = paths.filter(p => !footerCache.containsKey(keyOf(p)))
+    val sniffed =
+      if (todo.isEmpty) Seq.empty
+      else {
+        todo.foreach(noteSniff)
+        spark.sparkContext
+          .parallelize(todo, math.max(1,
+            math.min(todo.size, spark.sparkContext.defaultParallelism)))
+          .map(p => (p, footerTopLevel(hconf.value, p))).collect().toSeq
+      }
+    sniffed.foreach { case (p, v) => footerCache.put(keyOf(p), v) }
+    val info = paths.map(p => p -> footerCache.get(keyOf(p)))
     val (withIds, idless) = info.partition(_._2._1)
     val mapping = nameMapping(meta)
     val fields = topFields(meta)

@@ -143,4 +143,28 @@ class IcebergNameMappingSpec extends AnyFunSuite {
     assert(got.filter(got("tag").isNull).count() == 3)
     assert(got.filter(got("tag") === "x").count() == 1)
   }
+
+  test("repeated plannings sniff each id-less footer once (immutable-file cache)") {
+    val loc = TestSpark.tmpDir("ice-nm-cache") + "/t"
+    // several files across two snapshots
+    IcebergWriter.create(spark, loc,
+      seed.toDF("id", "name", "score").repartition(3))
+    IcebergWriter.append(spark, loc,
+      Seq((4L, "delta", 40.0)).toDF("id", "name", "score"))
+    stripFieldIds(loc)
+    foreignRename(loc, "name", "label")
+    val files = IcebergLog.state(spark, loc).files
+    assert(files.size >= 2)
+    // three separate plannings: scan, filtered scan, scan
+    assert(IcebergLog.toDF(spark, loc).count() == 4)
+    assert(IcebergLog.toDF(spark, loc)
+      .filter(org.apache.spark.sql.functions.col("label") === "alpha").count() == 1)
+    assert(IcebergLog.toDF(spark, loc).count() == 4)
+    // every footer was sniffed EXACTLY once — later plannings hit the
+    // JVM-wide cache (files are immutable; key includes manifest size)
+    files.foreach { f =>
+      assert(IcebergLog.footerSniffCounts.get(f.path) == 1L,
+        s"${f.path} sniffed ${IcebergLog.footerSniffCounts.get(f.path)} times")
+    }
+  }
 }
