@@ -749,6 +749,145 @@ object InteropQueries {
           AND NOT (l_linenumber = 1 AND l_orderkey IN (
             SELECT l_orderkey FROM lineitem
             WHERE l_linenumber = 1 AND l_quantity >= 19))
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q113: the SAME SQL DML sequence on an ICEBERG catalog table ----
+    // q111's statement-for-statement twin with FileType.ICEBERG: every
+    // INSERT/DELETE/UPDATE/MERGE routes through IcebergCommitLog (v2
+    // snapshots, position deletes, copy-on-write updates) instead of the
+    // Delta protocol — same oracle, so the SQL write surface is
+    // hash-anchored on BOTH transactional backends
+    QueryDef(
+      "q113_iceberg_sql_dml",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q113cat")
+        client.createSchema("q113cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q113-dml").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        li.createOrReplaceTempView("q113_src")
+        client.createAsTable(
+          li.filter(col("l_linenumber") <= 2 && col("l_quantity") <= 20),
+          "q113cat", "s", "t", graft.catalog.FileType.ICEBERG, s"$loc/t")
+        s.sql("""INSERT INTO q113cat.s.t
+          SELECT * FROM q113_src WHERE l_linenumber = 3 AND l_quantity <= 20""")
+        s.sql("DELETE FROM q113cat.s.t WHERE l_quantity <= 5")
+        s.sql("""UPDATE q113cat.s.t SET l_extendedprice = l_extendedprice * 2
+          WHERE l_returnflag = 'R'""")
+        s.sql("""MERGE INTO q113cat.s.t AS t
+          USING (SELECT DISTINCT l_orderkey, l_linenumber FROM q113_src
+                 WHERE l_linenumber = 1 AND l_quantity >= 19) AS src
+          ON t.l_orderkey = src.l_orderkey AND t.l_linenumber = src.l_linenumber
+          WHEN MATCHED THEN DELETE""")
+        s.sql("SELECT * FROM q113cat.s.t")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * 2 ELSE l_extendedprice END")} AS revenue
+        FROM lineitem
+        WHERE l_linenumber <= 3 AND l_quantity <= 20 AND l_quantity > 5
+          AND NOT (l_linenumber = 1 AND l_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            WHERE l_linenumber = 1 AND l_quantity >= 19))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q114: Iceberg maintenance end-to-end: expire → vacuum → read ----
+    // create + append + MoR delete leave three snapshots; expireSnapshots
+    // truncates history to the current one and vacuum (retention floor
+    // forced to 0) physically removes what expiry orphaned. The oracle
+    // pins THREE facts at once: the surviving read's aggregate (vacuum
+    // deleted no live file — the scan would throw), the $snapshots count
+    // (= 1, expiry actually truncated), and the $files/$delete_files
+    // record-count sums (manifest replay still plans exactly the written
+    // and deleted row populations; file COUNTS would be layout-dependent,
+    // row sums are exact)
+    QueryDef(
+      "q114_iceberg_expire_vacuum",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q114-ice").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        graft.tables.IcebergWriter.create(s, loc, li.filter(col("l_quantity") <= 10))
+        graft.tables.IcebergWriter.append(s, loc,
+          li.filter(col("l_quantity") > 10 && col("l_quantity") <= 14))
+        graft.tables.IcebergWriter.delete(s, loc, "l_quantity <= 4")
+        graft.tables.IcebergWriter.expireSnapshots(s, loc, Long.MaxValue, retainLast = 1)
+        graft.tables.TxTable.forIceberg(s, loc)
+          .vacuum(retainVersions = 1, retentionMs = 0L, force = true)
+        val snaps = graft.tables.IcebergMeta.table(s, loc, "snapshots")
+          .agg(count(lit(1)).as("n_snapshots"))
+        val dataRows = graft.tables.IcebergMeta.table(s, loc, "files")
+          .agg(sum(col("record_count")).as("data_rows"))
+        val delRows = graft.tables.IcebergMeta.table(s, loc, "delete_files")
+          .agg(sum(col("record_count")).as("deleted_rows"))
+        graft.tables.IcebergLog.toDF(s, loc)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .crossJoin(broadcast(snaps))
+          .crossJoin(broadcast(dataRows))
+          .crossJoin(broadcast(delRows))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS revenue,
+          CAST(1 AS BIGINT) AS n_snapshots,
+          (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 14) AS data_rows,
+          (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 4) AS deleted_rows
+        FROM lineitem WHERE l_quantity <= 14 AND l_quantity > 4
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q115: streaming CHANGE FEED over a foreign _delta_log table ----
+    // the TxTable streaming source in readChangeFeed mode replays a real
+    // Delta table's history — base create, append, then a CDF-backed
+    // DELETE — as insert/delete change rows through an AvailableNow
+    // micro-batch run; the oracle reconstructs the same change stream
+    // set-algebraically from the raw source
+    QueryDef(
+      "q115_stream_cdf_foreign_delta",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q115-cdf").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("q115-ckpt").toString
+        val sink = "q115_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        graft.tables.DeltaLogWriter.create(s, loc, li.filter(col("l_quantity") <= 8),
+          properties = Map("delta.enableChangeDataFeed" -> "true"))
+        val t = graft.tables.TxTable.forForeignDelta(s, loc)
+        t.append(li.filter(col("l_quantity") > 8 && col("l_quantity") <= 12))
+        t.delete("l_quantity <= 3")
+        val q = s.readStream.format("graft.streaming.TxTableSourceProvider")
+          .option("readChangeFeed", "true").load(loc)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy(col("_change_type").as("change_type"), col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .orderBy(col("change_type"), col("l_returnflag"))
+      },
+      Some("""SELECT change_type, l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM (
+          SELECT 'insert' AS change_type, l_returnflag, l_quantity
+          FROM lineitem WHERE l_quantity <= 12
+          UNION ALL
+          SELECT 'delete' AS change_type, l_returnflag, l_quantity
+          FROM lineitem WHERE l_quantity <= 3)
+        GROUP BY change_type, l_returnflag
+        ORDER BY change_type, l_returnflag"""))
   )
 }
