@@ -414,6 +414,54 @@ object NearDup {
       .drop("__t", "__spans")
   }
 
+  /** Segment-level exact dedup with reassembly — the RefinedWeb/Falcon
+    * "line dedup" recipe (Penedo et al. 2023 §4.3) adapted to fixed-size
+    * token segments (this corpus has no line structure): split each
+    * document into consecutive `segTokens`-token segments, keep each
+    * DISTINCT segment only at its FIRST corpus occurrence (lowest
+    * (doc, position)), drop every later copy, and rebuild the surviving
+    * documents from their kept segments. Documents whose every segment
+    * was seen earlier vanish entirely — exact-duplicate documents are a
+    * special case, so this subsumes document-level exact dedup while also
+    * cutting boilerplate repeated across documents.
+    *
+    * Unlike duplicatedSpans (which FINDS cross-doc repeats of any
+    * alignment), this is the cheaper aligned-segment variant a production
+    * pipeline runs first: O(tokens) rows, TWO shuffles total, nothing
+    * pairwise.
+    *
+    * Scale shape: one projection to (doc, idx, segment) — same order as
+    * the corpus — then ONE shuffle on the segment for the keep-first
+    * window (min-of-struct over an unordered window: a running partial
+    * min, no per-group sort, and a million-copy boilerplate segment still
+    * reduces map-side before it travels), and ONE shuffle on the doc for
+    * reassembly. Output text is in the original token coordinates
+    * (verbatim segments rejoined by single spaces).
+    */
+  def dedupSegments(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      segTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__t"))
+    val segs = toks.select(col(idCol), posexplode(transform(
+      sequence(lit(0),
+        greatest(ceil(size(col("__t")) / lit(segTokens.toDouble)).cast("int"), lit(1)) - 1),
+      i => array_join(slice(col("__t"), i * segTokens + 1, lit(segTokens)), " ")))
+      .as(Seq("__idx", "__seg")))
+    val wseg = Window.partitionBy(col("__seg"))
+    val kept = segs
+      .withColumn("__w", min(struct(col(idCol), col("__idx"))).over(wseg))
+      .filter(col(idCol) === col("__w").getField(idCol) &&
+        col("__idx") === col("__w").getField("__idx"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_kept_segments"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__seg")))),
+          s => s.getField("__seg")), " ").as("clean_text"))
+  }
+
   /** Exact dedup: keep the first row (lowest orderCol) per exact key. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

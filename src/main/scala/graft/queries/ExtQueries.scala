@@ -441,6 +441,38 @@ object ExtQueries {
             ROW_NUMBER() OVER (PARTITION BY source
               ORDER BY q_score DESC, doc_id) AS rn
           FROM scored)
-        SELECT doc_id, source, q_score FROM ranked WHERE rn <= 5"""))
+        SELECT doc_id, source, q_score FROM ranked WHERE rn <= 5""")),
+
+    // ---- segment-level dedup with reassembly (RefinedWeb line-dedup) ----
+    // Planted duplicates: the corpus unioned with an id-shifted copy. Every
+    // copy-segment already occurred at a lower doc_id, so the copies must
+    // vanish ENTIRELY (no row in the output) while the originals keep all
+    // their segments minus organic cross-doc repeats — the oracle replays
+    // the exact same keep-first rule in DuckDB, so the hash pins the
+    // min-of-struct window, the chunking arithmetic, and the reassembly
+    // order all at once.
+    QueryDef(
+      "q117_segment_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        NearDup.dedupSegments(planted, segTokens = 8)
+          .select(col("doc_id"), col("n_kept_segments"), col("clean_text"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, text FROM documents),
+        t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM d),
+        seg AS (
+          SELECT doc_id, CAST(i AS INT) AS seg_idx,
+            array_to_string(toks[CAST(i*8+1 AS INT) : CAST(i*8+8 AS INT)], ' ') AS seg
+          FROM t, UNNEST(range(GREATEST(CAST(ceil(len(toks)/8.0) AS BIGINT), 1))) AS u(i)),
+        keep AS (
+          SELECT doc_id, seg_idx, seg FROM seg
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_segments,
+          string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        FROM keep GROUP BY doc_id"""))
   )
 }

@@ -888,6 +888,83 @@ object InteropQueries {
           SELECT 'delete' AS change_type, l_returnflag, l_quantity
           FROM lineitem WHERE l_quantity <= 3)
         GROUP BY change_type, l_returnflag
-        ORDER BY change_type, l_returnflag"""))
+        ORDER BY change_type, l_returnflag""")),
+
+    // ---- q116: SHALLOW CLONE pins a state, histories diverge ----
+    // A Delta table is mutated, SHALLOW-CLONED through the SQL surface
+    // (CREATE TABLE ... SHALLOW CLONE, a metadata-only commit referencing
+    // the source's files by absolute path), then BOTH tables are mutated
+    // further. The query reads the CLONE; the oracle replays the
+    // statements that reached it — so the hash breaks if the clone sees a
+    // post-clone source write (isolation), misses a pre-clone one
+    // (completeness), or its absolute-path read drops/dups rows.
+    QueryDef(
+      "q116_shallow_clone",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q116cat")
+        client.createSchema("q116cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q116-clone").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        client.createAsTable(li.filter(col("l_linenumber") === 1),
+          "q116cat", "s", "src", graft.catalog.FileType.DELTA, s"$loc/src")
+        s.sql("DELETE FROM q116cat.s.src WHERE l_quantity > 40")
+        s.sql(s"CREATE TABLE q116cat.s.c SHALLOW CLONE q116cat.s.src LOCATION '$loc/c'")
+        // post-clone writes: the source loses 'R', the clone loses tiny rows
+        s.sql("DELETE FROM q116cat.s.src WHERE l_returnflag = 'R'")
+        s.sql("DELETE FROM q116cat.s.c WHERE l_quantity <= 3")
+        s.sql("SELECT * FROM q116cat.s.c")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_linenumber = 1 AND l_quantity <= 40 AND l_quantity > 3
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q118: SCD Type-2 dimension maintenance in one MERGE ----
+    // customer becomes an SCD2 dimension (valid_from/valid_to/is_current);
+    // a batch then changes every 7th key's balance, repeats every other
+    // key UNCHANGED (must be a no-op), and adds shifted brand-new keys.
+    // The oracle replays the version algebra: closed old versions, still-
+    // current originals, new versions, fresh inserts — so the hash pins
+    // change detection (including the no-op filter), the close-out
+    // update, and the double-row insert all in one commit.
+    QueryDef(
+      "q118_scd2_dimension",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q118-scd2").toString
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val t = new graft.tables.TxTable(s, s"$loc/dim")
+        t.create(graft.tables.Scd2.init(cust, tsVersion = 0L))
+        val changes = cust
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal")))
+          .unionAll(cust.filter(pmod(col("c_custkey"), lit(11)) === 0)
+            .withColumn("c_custkey", col("c_custkey") + lit(1000000L)))
+        graft.tables.Scd2.applyChanges(t, changes, Seq("c_custkey"), tsVersion = 1L)
+        t.toDF.groupBy(col("is_current"), col("valid_from"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy(col("is_current"), col("valid_from"))
+      },
+      Some(s"""WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+        final AS (
+          SELECT FALSE AS is_current, 0 AS valid_from, c_acctbal FROM c WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT TRUE, 0, c_acctbal FROM c WHERE c_custkey % 7 <> 0
+          UNION ALL
+          SELECT TRUE, 1, c_acctbal + 100.0 FROM c WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT TRUE, 1, c_acctbal FROM c WHERE c_custkey % 11 = 0)
+        SELECT is_current, CAST(valid_from AS BIGINT) AS valid_from,
+          COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
+        FROM final GROUP BY is_current, valid_from
+        ORDER BY is_current, valid_from"""))
   )
 }

@@ -33,6 +33,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
+  // CREATE TABLE tgt [SHALLOW|DEEP] CLONE src [VERSION AS OF n] LOCATION '...'
+  // (Delta CLONE syntax; not in Spark's grammar, so parsed ahead of it)
+  private val Clone =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.`]+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
 
   private def parts3(ident: String): Option[Seq[String]] = {
     val parts = ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -73,6 +78,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case None => // not ours — fall through to the delegate
         }
       case _ => // malformed OPTIMIZE — let the delegate raise its error
+    }
+    else if (head.startsWith("CREATE ")) sqlText match {
+      case Clone(tgtIdent, kind, srcIdent, ver, loc) =>
+        (parts3(tgtIdent), parts3(srcIdent).flatMap(txTable)) match {
+          case (Some(tp), Some((srcName, t))) =>
+            val client = GraftSqlExtensions.clientFor(session).get
+            val shallow = kind.equalsIgnoreCase("SHALLOW")
+            val label = s"CREATE TABLE ${tp.mkString(".")} ${kind.toUpperCase(Locale.ROOT)} " +
+              s"CLONE $srcName${Option(ver).map(v => s" VERSION AS OF $v").getOrElse("")}"
+            return GraftSqlDml.GraftDmlCommand(label) { () =>
+              val srcInfo = client.getTable(srcIdent.split('.')(0),
+                srcIdent.split('.')(1), srcIdent.split('.')(2))
+              t.cloneTo(loc, shallow, Option(ver).map(_.toLong))
+              client.registerAsTable(tp(0), tp(1), tp(2), srcInfo.fileType, loc)
+              ()
+            }
+          case _ => // not a catalog clone — delegate (and its error message)
+        }
+      case _ =>
     }
     else if (head.startsWith("VACUUM ")) sqlText match {
       case Vacuum(ident, hours) =>

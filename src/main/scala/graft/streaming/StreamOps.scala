@@ -169,4 +169,72 @@ object StreamOps {
       }
       .start()
   }
+
+  /** Streaming CDC apply — "APPLY CHANGES INTO" for this engine: a
+    * change stream (upserts + optional tombstones) continuously MERGEd
+    * into a transactional table, one merge commit per microbatch.
+    *
+    *   - `sequenceCol`: ordering column within the stream (CDC batches
+    *     carry several versions of one key; only the LATEST may apply —
+    *     Delta Live Tables' SEQUENCE BY). Absent, any batch-internal
+    *     duplicate key is arbitrary-but-single via dropDuplicates.
+    *   - `deleteCol`: boolean tombstone marker; marked keys are DELETED
+    *     from the target, others upserted. Extra CDC metadata columns
+    *     (the marker, the sequence) never land in the target: merge
+    *     update/insert resolve against the TARGET schema.
+    *
+    * Restart semantics: an upsert-by-key merge is NATURALLY idempotent —
+    * re-applying a batch (the at-least-once replay after a crash) sets
+    * the same keys to the same values, deletes already-deleted keys, and
+    * inserts nothing new — and Spark replays only the last uncommitted
+    * batch, never an older one, so no watermark bookkeeping is needed
+    * (unlike the append sink above, where a replayed append would
+    * duplicate rows and the SetTransaction watermark is load-bearing).
+    *
+    * Scale shape: each microbatch is one merge — batch-side broadcast
+    * when small, file-pruned copy-on-write on the target, so per-trigger
+    * cost is O(touched files), not O(table).
+    */
+  def upsertToTxTable(stream: DataFrame, location: String, keyCols: Seq[String],
+      checkpointDir: String,
+      sequenceCol: Option[String] = None,
+      deleteCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val batch = sequenceCol match {
+          case Some(sc) =>
+            val w = Window.partitionBy(keyCols.map(col): _*)
+              .orderBy(col(sc).desc)
+            batch0.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn", sc)
+          case None => batch0.dropDuplicates(keyCols)
+        }
+        if (batch.isEmpty) ()
+        else {
+          val spark = batch.sparkSession
+          if (!graft.tables.TxLog.exists(spark, location) &&
+              !graft.tables.DeltaLog.isDeltaTable(spark, location))
+            new TxTable(spark, location).create(
+              deleteCol.map(batch.drop(_)).getOrElse(batch).limit(0))
+          val t = TxTable.forAnyLocation(spark, location)
+          val cond = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+          val m = t.merge(batch, cond, "s", "t")
+          deleteCol match {
+            case Some(dc) =>
+              m.whenMatchedDelete(Some(s"s.`$dc`"))
+                .whenMatchedUpdateAll(Some(s"NOT s.`$dc`"))
+                .whenNotMatchedInsertAll(Some(s"NOT s.`$dc`"))
+            case None =>
+              m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+          }
+          m.execute()
+        }
+        ()
+      }
+      .start()
 }

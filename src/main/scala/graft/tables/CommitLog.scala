@@ -119,11 +119,25 @@ private[graft] object NativeCommitLog extends CommitLog {
       .map(c => c.version -> c.added)
 
   def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     if (s.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    } else if (s.partitionColumns.nonEmpty && s.files.exists(f => TxLog.isAbsolute(f.path))) {
+      // shallow-cloned partitioned table: absolute paths live outside this
+      // table's root, so basePath partition discovery cannot apply — read
+      // per partition group with the log's values injected as literals
+      // (planning-time constant-folding keeps partition pruning intact)
+      val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
+      s.files.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
+        val base = spark.read.schema(dataSchema)
+          .parquet(files.map(f => TxLog.resolve(location, f.path)): _*)
+          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
+        s.partitionColumns.foldLeft(base) { (d, pc) =>
+          d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(s.schema(pc).dataType))
+        }.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionAll _)
     } else {
-      val paths = s.files.map(f => s"$location/${f.path}")
+      val paths = s.files.map(f => TxLog.resolve(location, f.path))
       val reader = spark.read.schema(s.schema)
       (if (s.partitionColumns.nonEmpty) reader.option("basePath", location) else reader)
         .parquet(paths: _*)

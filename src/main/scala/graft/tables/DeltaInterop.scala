@@ -837,11 +837,14 @@ object DeltaLog {
         StructType(s.schema.fields.toSeq ++ metaFields))
     val mapping = columnMappingOf(s.schema)
     if (mapping.nonEmpty) return mappedRead(spark, location, s, mapping, metaSel, outNames)
-    val hiveConsistent = s.partitionColumns.isEmpty || s.files.forall { f =>
-      TxLog.partitionValuesOf(f.path) == f.partitionValues
-    }
+    // absolute add.paths (legal per protocol; SHALLOW CLONE emits them)
+    // cannot ride basePath partition discovery — fall to the literal-
+    // injection branch, which resolves each path independently
+    val hiveConsistent = (s.partitionColumns.isEmpty ||
+      s.files.forall(f => TxLog.partitionValuesOf(f.path) == f.partitionValues)) &&
+      !(s.partitionColumns.nonEmpty && s.files.exists(f => TxLog.isAbsolute(f.path)))
     if (hiveConsistent) {
-      val paths = s.files.map(f => s"$location/${f.path}")
+      val paths = s.files.map(f => TxLog.resolve(location, f.path))
       val reader = spark.read.schema(s.schema)
       (if (s.partitionColumns.nonEmpty) reader.option("basePath", location) else reader)
         .parquet(paths: _*)
@@ -850,7 +853,8 @@ object DeltaLog {
       val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
       val groups = s.files.groupBy(_.partitionValues).toSeq
       groups.map { case (pv, files) =>
-        val base = spark.read.schema(dataSchema).parquet(files.map(f => s"$location/${f.path}"): _*)
+        val base = spark.read.schema(dataSchema)
+          .parquet(files.map(f => TxLog.resolve(location, f.path)): _*)
         val first = base.select(dataSchema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
         val withParts = s.partitionColumns.foldLeft(first) { (d, pc) =>
           val dt = s.schema(pc).dataType
@@ -904,7 +908,8 @@ object DeltaLog {
     })
     val groups = s.files.groupBy(_.partitionValues).toSeq
     groups.map { case (pv, files) =>
-      val base = spark.read.schema(physSchema).parquet(files.map(f => s"$location/${f.path}"): _*)
+      val base = spark.read.schema(physSchema)
+        .parquet(files.map(f => TxLog.resolve(location, f.path)): _*)
       val logicalCols = dataFields.map { f =>
         col(s"`${mapping.getOrElse(f.name, f.name)}`").cast(stripMeta(f.dataType)).as(f.name)
       }
@@ -1488,6 +1493,57 @@ object DeltaLogWriter {
       else RowTracking.stamp(added, hwm = -1L, commitVersion = 0L)
     writeCommit(spark, location, 0L,
       (commitInfo +: protocol +: meta +: rtLine.toSeq) ++ added1.map(addAction(df.schema, _)))
+  }
+
+  /** Version-0 commit over PRE-EXISTING data files (CLONE): same action
+    * shape as `create`, but the adds are given, not staged — shallow
+    * clones pass the source's manifest with absolute paths, deep clones
+    * the copied files' relative ones. Metadata (schema, partitioning,
+    * properties) is the source snapshot's, so constraints/CDF/row-tracking
+    * obligations carry over via the same protocol computation.
+    */
+  def createFromFiles(spark: SparkSession, location: String,
+      schema: org.apache.spark.sql.types.StructType, partitionColumns: Seq[String],
+      properties: Map[String, String], added: Seq[TxLog.AddFile]): Unit = {
+    if (DeltaLog.isDeltaTable(spark, location))
+      throw graft.catalog.AlreadyExistsError(s"Delta table already exists at $location")
+    val meta = JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
+      "id" -> JString(UUID.randomUUID().toString),
+      "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(schema.json),
+      "partitionColumns" -> JArray(partitionColumns.toList.map(JString(_))),
+      "configuration" -> JObject(properties.toList.map { case (k, v) => k -> JString(v) }),
+      "createdTime" -> JLong(System.currentTimeMillis())))))
+    val protocol = protocolActionFor(schema, properties)
+    // an ICT table carries inCommitTimestamp from its very first commit
+    val ictField: List[(String, JValue)] =
+      if (!properties.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))) Nil
+      else List("inCommitTimestamp" -> JLong(System.currentTimeMillis()))
+    val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
+      List[(String, JValue)](
+        "timestamp" -> JLong(System.currentTimeMillis()),
+        "operation" -> JString("CLONE"),
+        "operationParameters" -> JObject()) ++ ictField))))
+    // row-tracked sources: cloned adds KEEP their baseRowId (lineage
+    // continuity — the point of cloning metadata, not data), but the new
+    // table must still record the watermark domain, or its first append
+    // would allocate ids from -1 and collide with the cloned ranges
+    val (added1, rtLines) =
+      if (!RowTracking.enabled(properties)) (added, Seq.empty[String])
+      else {
+        val hwm0 = added.flatMap(a => a.baseRowId.map(_ + math.max(a.rows, 1) - 1))
+          .foldLeft(-1L)(math.max)
+        val (st, _) = RowTracking.stamp(added, hwm0, 0L)
+        val finalHwm = st.flatMap(a => a.baseRowId.map(_ + math.max(a.rows, 1) - 1))
+          .foldLeft(-1L)(math.max)
+        (st, Seq(JsonMethods.compact(JsonMethods.render(JObject(
+          "domainMetadata" -> JObject(
+            "domain" -> JString(RowTracking.Domain),
+            "configuration" -> JString(s"""{"rowIdHighWaterMark":$finalHwm}"""),
+            "removed" -> JBool(false)))))))
+      }
+    writeCommit(spark, location, 0L,
+      (commitInfo +: protocol +: meta +: rtLines) ++ added1.map(addAction(schema, _)))
   }
 
   /** Append `df` to an existing Delta table (STRICT schema equality).

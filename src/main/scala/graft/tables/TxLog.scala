@@ -103,6 +103,18 @@ object TxLog {
 
   def logDir(location: String): Path = new Path(location, LogDirName)
 
+  /** Resolve an AddFile path against the table root. Relative paths (the
+    * normal case — files written under the table directory) join the
+    * location; absolute paths and full URIs pass through unchanged. The
+    * Delta protocol explicitly allows absolute `add.path`s — that is how
+    * SHALLOW CLONE references the source table's files without copying
+    * them (TxTable.cloneTo).
+    */
+  def resolve(location: String, p: String): String =
+    if (isAbsolute(p)) p else s"$location/$p"
+
+  def isAbsolute(p: String): Boolean = p.contains("://") || p.startsWith("/")
+
   def exists(spark: SparkSession, location: String): Boolean = {
     val f = fs(spark, location)
     f.exists(logDir(location)) && listCommitFiles(f, location).nonEmpty

@@ -367,7 +367,7 @@ final class TxTable(val spark: SparkSession, val location: String,
     // collected them (same guard as Delta's RESTORE)
     val f = TxLog.fs(spark, location)
     target.files.foreach { a =>
-      if (!f.exists(new Path(location, a.path)))
+      if (!f.exists(new Path(TxLog.resolve(location, a.path))))
         throw UnsupportedOperationError(
           s"RESTORE to version $version impossible: data file ${a.path} was vacuumed")
     }
@@ -393,6 +393,94 @@ final class TxTable(val spark: SparkSession, val location: String,
   /** RESTORE TABLE TO TIMESTAMP AS OF `tsMs`. */
   def restoreToTimestamp(tsMs: Long): Unit =
     restore(log.versionAtTimestamp(spark, location, tsMs))
+
+  /** CLONE this table (Delta CLONE): a new independent table at `target`
+    * born from this table's state at `version` (default: latest).
+    *
+    *   - SHALLOW: O(|manifest|) metadata-only — the target's version-0
+    *     commit references the SOURCE's data files by absolute path (the
+    *     Delta protocol explicitly permits absolute `add.path`s).
+    *     Deletion-vector descriptors are rewritten from relative ("u") to
+    *     absolute ("p") storage so merge-on-read survives the move. At
+    *     100 TB this is the only sane way to fork a table for an
+    *     experiment: zero bytes copied, writes to the clone never touch
+    *     the source. Caveat (same as every Delta engine): VACUUM on the
+    *     source can delete files the clone still references.
+    *   - DEEP: the active data files (and live DV files) are copied into
+    *     `target` by a distributed Spark job — one task per file, never
+    *     through the driver — and the clone keeps relative paths: fully
+    *     self-contained, vacuum-safe, O(table bytes) on the cluster.
+    *
+    * Either way the clone starts a fresh history (version 0) with the
+    * source's schema, partitioning, and properties; later commits to
+    * either table are invisible to the other — unlike RESTORE, which
+    * rewinds in place. Row-tracked sources keep their ids and the target
+    * records the id high-watermark so later appends allocate above them.
+    */
+  def cloneTo(target: String, shallow: Boolean = true,
+      version: Option[Long] = None): TxTable = {
+    if (log == IcebergCommitLog)
+      throw UnsupportedOperationError(
+        "CLONE of Iceberg-log tables is not supported; use dualFormatPublish or CREATE TABLE AS SELECT")
+    if (TxLog.exists(spark, target) || DeltaLog.isDeltaTable(spark, target))
+      throw graft.catalog.AlreadyExistsError(s"CLONE target already has a table: $target")
+    val src = version.map(snapshotAt).getOrElse(snapshot)
+    val f = TxLog.fs(spark, location)
+    val srcRoot = f.makeQualified(new Path(location)).toUri.getPath
+    // column-mapped Delta: snapshots carry LOGICAL partition keys, actions
+    // must carry PHYSICAL ones (same remap as RESTORE)
+    val mapping = if (log == ForeignDeltaCommitLog) DeltaLog.columnMappingOf(src.schema)
+      else Map.empty[String, String]
+    def physicalized(a: AddFile): AddFile =
+      if (mapping.isEmpty) a
+      else a.copy(partitionValues =
+        a.partitionValues.map { case (k, v) => mapping.getOrElse(k, k) -> v })
+    val cloned: Seq[AddFile] =
+      if (shallow) src.files.map { a =>
+        physicalized(a).copy(
+          path = TxLog.resolve(srcRoot, a.path),
+          deletionVector = a.deletionVector.map { d =>
+            if (d.storageType == "u")
+              d.copy(storageType = "p",
+                pathOrInlineDv = DeletionVectors.absolutePath(location, d).toUri.getPath)
+            else d
+          })
+      } else {
+        // deep: relative layout preserved; file copies fan out one task
+        // per file (the driver ships only path strings)
+        val dvPaths = src.files.flatMap(_.deletionVector).filter(_.storageType == "u")
+          .map(d => DeletionVectors.absolutePath(location, d).toUri.getPath
+            .stripPrefix(srcRoot + "/")).distinct
+        val rels = (src.files.map(_.path).filterNot(TxLog.isAbsolute) ++ dvPaths).distinct
+        src.files.filter(a => TxLog.isAbsolute(a.path)).foreach { a =>
+          throw UnsupportedOperationError(
+            s"DEEP CLONE of a table that itself references external files (${a.path}) is not supported")
+        }
+        val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+        val srcLoc = location
+        val n = math.max(1, math.min(rels.size, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(rels, n).foreach { rel =>
+          val from = new Path(srcLoc, rel)
+          val to = new Path(target, rel)
+          val sfs = from.getFileSystem(conf.value)
+          val tfs = to.getFileSystem(conf.value)
+          org.apache.hadoop.fs.FileUtil.copy(sfs, from, tfs, to,
+            false /* deleteSource */, true /* overwrite */, conf.value)
+        }
+        src.files.map(physicalized)
+      }
+    log match {
+      case ForeignDeltaCommitLog =>
+        DeltaLogWriter.createFromFiles(spark, target, src.schema,
+          src.partitionColumns, src.properties, cloned)
+      case _ =>
+        if (!TxLog.tryCommit(spark, target, TxLog.Commit(0L,
+            System.currentTimeMillis(), "CLONE", src.schema.json,
+            src.partitionColumns, cloned, Seq.empty, src.properties)))
+          throw graft.catalog.AlreadyExistsError(s"concurrent CLONE create at $target")
+    }
+    new TxTable(spark, target, log)
+  }
 
   /** Constraints currently in force (CHECK properties + column invariants). */
   def constraints: Seq[(String, String)] = {

@@ -1,0 +1,137 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.AlreadyExistsError
+
+/** CLONE (Delta CLONE semantics): SHALLOW = metadata-only fork referencing
+  * the source's files by absolute path; DEEP = distributed file copy,
+  * self-contained. Either way the clone is a fresh table whose later
+  * history is independent of the source's.
+  */
+class CloneSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def base: DataFrame =
+    Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("id", "tag")
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("native shallow clone: zero data files written, reads match, histories diverge") {
+    val src = TestSpark.tmpDir("clone-src")
+    val t = new TxTable(spark, src)
+    t.create(base)                                    // v0
+    t.append(Seq((4L, "e")).toDF("id", "tag"))        // v1
+    val tgt = TestSpark.tmpDir("clone-tgt")
+    val c = t.cloneTo(tgt, shallow = true)
+    assert(ids(c.toDF) == Seq(0L, 1L, 2L, 3L, 4L))
+    // metadata-only: no parquet under the target
+    val tgtParquet = new java.io.File(tgt).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(tgtParquet.isEmpty, "shallow clone must not copy data files")
+    // the clone's adds carry absolute paths into the source
+    assert(c.snapshot.files.forall(a => TxLog.isAbsolute(a.path)))
+    // divergence: writes to one never show in the other
+    c.append(Seq((9L, "z")).toDF("id", "tag"))
+    t.delete("id = 0")
+    assert(ids(c.toDF) == Seq(0L, 1L, 2L, 3L, 4L, 9L))
+    assert(ids(t.toDF) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("native shallow clone at an earlier version (time-travel clone)") {
+    val src = TestSpark.tmpDir("clone-ver-src")
+    val t = new TxTable(spark, src)
+    t.create(base)                                    // v0
+    t.append(Seq((4L, "e")).toDF("id", "tag"))        // v1
+    val c = t.cloneTo(TestSpark.tmpDir("clone-ver-tgt"), shallow = true, version = Some(0L))
+    assert(ids(c.toDF) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("native shallow clone of a hive-partitioned table keeps partition values and pruning") {
+    val src = TestSpark.tmpDir("clone-part-src")
+    val t = new TxTable(spark, src)
+    t.create(Seq((0L, "x", "p1"), (1L, "y", "p2")).toDF("id", "tag", "pt"),
+      partitionColumns = Seq("pt"))
+    val c = t.cloneTo(TestSpark.tmpDir("clone-part-tgt"))
+    assert(c.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((0L, "p1"), (1L, "p2")))
+    assert(ids(c.toDF.filter("pt = 'p2'")) == Seq(1L))
+  }
+
+  test("native deep clone is self-contained: survives deleting the source") {
+    val src = TestSpark.tmpDir("clone-deep-src")
+    val t = new TxTable(spark, src)
+    t.create(base)
+    val tgt = TestSpark.tmpDir("clone-deep-tgt")
+    val c = t.cloneTo(tgt, shallow = false)
+    assert(c.snapshot.files.forall(a => !TxLog.isAbsolute(a.path)))
+    // obliterate the source — a deep clone must not care
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(src))
+    assert(ids(new TxTable(spark, tgt).toDF) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("foreign Delta shallow clone rewrites DV descriptors to absolute storage") {
+    val src = TestSpark.tmpDir("clone-dv-src")
+    // one data file, so a 1-row delete must DV (a 1-row file would instead
+    // be removed outright and the clone would have nothing to rewrite)
+    DeltaLogWriter.create(spark, src, base.repartition(1),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, src)
+    t.delete("id = 1")                                // v1: merge-on-read DV
+    assert(ids(t.toDF) == Seq(0L, 2L, 3L))
+    val c = t.cloneTo(TestSpark.tmpDir("clone-dv-tgt"), shallow = true)
+    val dvs = c.snapshot.files.flatMap(_.deletionVector)
+    assert(dvs.nonEmpty && dvs.forall(_.storageType == "p"),
+      s"shallow-cloned DVs must use absolute 'p' storage, got $dvs")
+    assert(ids(c.toDF) == Seq(0L, 2L, 3L))
+  }
+
+  test("foreign Delta deep clone copies DV files too") {
+    val src = TestSpark.tmpDir("clone-dvdeep-src")
+    DeltaLogWriter.create(spark, src, base.repartition(1),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, src)
+    t.delete("id = 2")
+    val tgt = TestSpark.tmpDir("clone-dvdeep-tgt")
+    val c = t.cloneTo(tgt, shallow = false)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(src))
+    assert(ids(TxTable.forForeignDelta(spark, tgt).toDF) == Seq(0L, 1L, 3L))
+  }
+
+  test("row-tracked source: clone records the id watermark, later appends allocate above it") {
+    val src = TestSpark.tmpDir("clone-rt-src")
+    DeltaLogWriter.create(spark, src, base,
+      properties = Map("delta.enableRowTracking" -> "true"))
+    val t = TxTable.forForeignDelta(spark, src)
+    val srcIds = DeltaLog.toDFWithRowIds(spark, src)
+      .select("_row_id").collect().map(_.getLong(0)).toSet
+    val tgt = TestSpark.tmpDir("clone-rt-tgt")
+    val c = t.cloneTo(tgt, shallow = true)
+    c.append(Seq((8L, "h"), (9L, "i")).toDF("id", "tag"))
+    val cloneIds = DeltaLog.toDFWithRowIds(spark, tgt)
+      .select("_row_id").collect().map(_.getLong(0)).toSeq
+    assert(cloneIds.distinct.size == cloneIds.size, "row ids must stay unique after clone+append")
+    assert(srcIds.subsetOf(cloneIds.toSet), "cloned rows keep their source row ids")
+  }
+
+  test("clone refuses an occupied target") {
+    val src = TestSpark.tmpDir("clone-guard-src")
+    val t = new TxTable(spark, src)
+    t.create(base)
+    val tgt = TestSpark.tmpDir("clone-guard-tgt")
+    new TxTable(spark, tgt).create(base)
+    intercept[AlreadyExistsError](t.cloneTo(tgt))
+  }
+}
