@@ -407,4 +407,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(seen == Seq((4L, 2L)))
     assert(TxIncremental.lastProcessedVersion(t, ckpt) == 2L)
   }
+
+  test("CDC apply: streaming upserts + tombstones merge into the table per batch") {
+    import spark.implicits._
+    val tbl = TestSpark.tmpDir("cdc-apply") + "/t"
+    val ckpt1 = TestSpark.tmpDir("cdc-apply-ckpt1")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val stream = input.toDF().toDF("id", "name", "seq", "__deleted")
+    // batch 1: two inserts, one key twice (seq decides), one irrelevant tombstone
+    input.addData((1L, "a-old", 1L, false), (1L, "a-new", 2L, false),
+      (2L, "b", 1L, false), (3L, "ghost", 1L, true))
+    val q1 = StreamOps.upsertToTxTable(stream, tbl, Seq("id"), ckpt1,
+      sequenceCol = Some("seq"), deleteCol = Some("__deleted"))
+    q1.awaitTermination(60000)
+
+    val t = TxTable.forLocation(spark, tbl)
+    // CDC metadata (tombstone marker, sequence) never lands in the target
+    assert(t.snapshot.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a-new"), (2L, "b")))
+
+    // batch 2: update key 1, delete key 2, insert key 4
+    input.addData((1L, "a-v3", 3L, false), (2L, "b", 2L, true), (4L, "d", 1L, false))
+    val q2 = StreamOps.upsertToTxTable(stream, tbl, Seq("id"), ckpt1,
+      sequenceCol = Some("seq"), deleteCol = Some("__deleted"))
+    q2.awaitTermination(60000)
+    assert(t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a-v3"), (4L, "d")))
+  }
 }
