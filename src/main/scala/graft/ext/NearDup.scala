@@ -431,30 +431,32 @@ object NearDup {
     * pairwise.
     *
     * Scale shape: one projection to (doc, idx, segment) — same order as
-    * the corpus — then ONE shuffle on the segment for the keep-first
-    * window (min-of-struct over an unordered window: a running partial
-    * min, no per-group sort, and a million-copy boilerplate segment still
-    * reduces map-side before it travels), and ONE shuffle on the doc for
-    * reassembly. Output text is in the original token coordinates
-    * (verbatim segments rejoined by single spaces).
+    * the corpus — then ONE shuffle on the segment for keep-first as a
+    * groupBy + min-of-struct. The groupBy matters: HashAggregate does
+    * PARTIAL aggregation, so a boilerplate segment (license header, nav
+    * bar) with millions of copies collapses to one candidate per map task
+    * before it travels, where a window over the same key would buffer
+    * every copy in a single reducer. Because (doc, idx) fully determines
+    * the kept row — the segment text IS the group key — the aggregate
+    * output needs no join back against the exploded segments. Then ONE
+    * shuffle on the doc for reassembly. Output text is in the original
+    * token coordinates (verbatim segments rejoined by single spaces).
     */
   def dedupSegments(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       segTokens: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), split(col(textCol), " ").as("__t"))
     val segs = toks.select(col(idCol), posexplode(transform(
       sequence(lit(0),
         greatest(ceil(size(col("__t")) / lit(segTokens.toDouble)).cast("int"), lit(1)) - 1),
       i => array_join(slice(col("__t"), i * segTokens + 1, lit(segTokens)), " ")))
       .as(Seq("__idx", "__seg")))
-    val wseg = Window.partitionBy(col("__seg"))
-    val kept = segs
-      .withColumn("__w", min(struct(col(idCol), col("__idx"))).over(wseg))
-      .filter(col(idCol) === col("__w").getField(idCol) &&
-        col("__idx") === col("__w").getField("__idx"))
+    val kept = segs.groupBy(col("__seg"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__w"))
+      .select(col("__w").getField(idCol).as(idCol),
+        col("__w").getField("__idx").as("__idx"), col("__seg"))
     kept.groupBy(col(idCol))
       .agg(count(lit(1)).cast(LongType).as("n_kept_segments"),
         array_join(transform(

@@ -104,6 +104,23 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("segment dedup keep-first is a partial-aggregating groupBy, not a window (q117)") {
+    val q = graft.SparkEntry.allDefs.find(_.name == "q117_segment_dedup").get
+    val exec = q.fn(spark, sf).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // WindowExec has NO partial aggregation: every copy of a hot segment
+    // would land in one task. The groupBy form must show a map-side
+    // partial min over the segment key instead.
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"q117 keep-first regressed to a window\n$exec")
+    assert(exec.toString.contains("partial_min"),
+      s"q117 keep-first lost map-side partial aggregation\n$exec")
+  }
+
   test("aggregations use partial (map-side) aggregation (q01)") {
     val plan = planOf("q01_pricing_summary")
     // two HashAggregate levels around the exchange = partial + final

@@ -267,4 +267,38 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r4.getDouble(2) === 0.5)
     assert(r4.getDouble(3) === 0.5)                  // "spaced" duplicated
   }
+
+  test("segment dedup: keep-first semantics and reassembly, hand-checked") {
+    // 8-token segments; doc 2's first segment equals doc 1's first segment
+    // (dropped), its second is novel (kept); doc 3 is an exact copy of
+    // doc 1 and must vanish entirely.
+    val seg1 = "a b c d e f g h"
+    val seg2 = "i j k l m n o p"
+    val novel = "q r s t u v w x"
+    val df = Seq(
+      (1L, s"$seg1 $seg2"),
+      (2L, s"$seg1 $novel"),
+      (3L, s"$seg1 $seg2")).toDF("doc_id", "text")
+    val out = NearDup.dedupSegments(df, segTokens = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getLong(1) === 2L && out(0).getString(2) === s"$seg1 $seg2")
+    assert(out(1).getLong(1) === 1L && out(1).getString(2) === novel)
+  }
+
+  test("segment dedup: a boilerplate segment with 100k copies collapses map-side") {
+    // The skew fixture the scale posture depends on: one segment repeated
+    // across 100k docs. With the groupBy keep-first this collapses during
+    // partial aggregation; completing quickly with the right answer (one
+    // surviving copy at the lowest (doc, idx)) pins both semantics and shape.
+    val boiler = "this site uses cookies accept to continue ok"
+    val skewed = spark.range(0, 100000)
+      .selectExpr("id AS doc_id", s"concat('$boiler', ' unique token ', id, ' pad word here') AS text")
+    val out = NearDup.dedupSegments(skewed, segTokens = 8)
+    // every doc keeps its unique tail segment; only doc 0 keeps the boilerplate
+    assert(out.count() === 100000L)
+    val kept0 = out.filter($"doc_id" === 0L).collect()(0)
+    assert(kept0.getLong(1) === 2L)
+    assert(out.filter($"n_kept_segments" === 2L).count() === 1L)
+  }
 }
