@@ -81,15 +81,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
     else if (head.startsWith("CREATE ")) sqlText match {
       case Clone(tgtIdent, kind, srcIdent, ver, loc) =>
-        (parts3(tgtIdent), parts3(srcIdent).flatMap(txTable)) match {
+        val srcParts = parts3(srcIdent)
+        (parts3(tgtIdent), srcParts.flatMap(txTable)) match {
           case (Some(tp), Some((srcName, t))) =>
             val client = GraftSqlExtensions.clientFor(session).get
             val shallow = kind.equalsIgnoreCase("SHALLOW")
+            // reuse the backtick-stripped parts — re-splitting the raw
+            // identifier would hand getTable backticked name parts
+            val sp = srcParts.get
             val label = s"CREATE TABLE ${tp.mkString(".")} ${kind.toUpperCase(Locale.ROOT)} " +
               s"CLONE $srcName${Option(ver).map(v => s" VERSION AS OF $v").getOrElse("")}"
             return GraftSqlDml.GraftDmlCommand(label) { () =>
-              val srcInfo = client.getTable(srcIdent.split('.')(0),
-                srcIdent.split('.')(1), srcIdent.split('.')(2))
+              val srcInfo = client.getTable(sp(0), sp(1), sp(2))
               t.cloneTo(loc, shallow, Option(ver).map(_.toLong))
               client.registerAsTable(tp(0), tp(1), tp(2), srcInfo.fileType, loc)
               ()

@@ -162,7 +162,8 @@ object StreamOps {
         // the rows via the idempotent path — a crash anywhere leaves either
         // nothing, an empty table, or rows+watermark; no re-run duplicates
         if (!graft.tables.TxLog.exists(batch.sparkSession, location) &&
-            !graft.tables.DeltaLog.isDeltaTable(batch.sparkSession, location))
+            !graft.tables.DeltaLog.isDeltaTable(batch.sparkSession, location) &&
+            !graft.tables.IcebergLog.isIcebergTable(batch.sparkSession, location))
           t.create(batch.limit(0))
         t.appendIdempotent(batch, id, batchId)
         ()
@@ -174,26 +175,43 @@ object StreamOps {
     * change stream (upserts + optional tombstones) continuously MERGEd
     * into a transactional table, one merge commit per microbatch.
     *
-    *   - `sequenceCol`: ordering column within the stream (CDC batches
-    *     carry several versions of one key; only the LATEST may apply —
-    *     Delta Live Tables' SEQUENCE BY). Absent, any batch-internal
-    *     duplicate key is arbitrary-but-single via dropDuplicates.
+    *   - `sequenceCol`: ordering column (CDC batches carry several
+    *     versions of one key; only the LATEST may apply — Delta Live
+    *     Tables' SEQUENCE BY). Enforced ACROSS microbatches, not just
+    *     within one: the last-applied sequence is persisted in the
+    *     target as a `__graft_seq` shadow column (DLT keeps the same
+    *     bookkeeping internally) and the merge's update/delete clauses
+    *     require `s.__graft_seq >= t.__graft_seq`, so a late event
+    *     arriving in a LATER microbatch with a LOWER sequence than what
+    *     was already applied is a no-op instead of regressing the key.
+    *     Two windows remain unguarded by construction: a stale event for
+    *     a key whose row was tombstone-deleted re-inserts it (the delete
+    *     removed the stored sequence — DLT solves this by retaining
+    *     tombstones; callers who need that should model deletes as
+    *     soft-delete columns), and a pre-existing target created WITHOUT
+    *     the shadow column falls back to batch-internal ordering only.
+    *     Absent `sequenceCol`, any batch-internal duplicate key is
+    *     arbitrary-but-single via dropDuplicates.
     *   - `deleteCol`: boolean tombstone marker; marked keys are DELETED
-    *     from the target, others upserted. Extra CDC metadata columns
-    *     (the marker, the sequence) never land in the target: merge
-    *     update/insert resolve against the TARGET schema.
+    *     from the target, others upserted. The marker itself never lands
+    *     in the target: merge update/insert resolve against the TARGET
+    *     schema.
     *
     * Restart semantics: an upsert-by-key merge is NATURALLY idempotent —
     * re-applying a batch (the at-least-once replay after a crash) sets
     * the same keys to the same values, deletes already-deleted keys, and
-    * inserts nothing new — and Spark replays only the last uncommitted
-    * batch, never an older one, so no watermark bookkeeping is needed
-    * (unlike the append sink above, where a replayed append would
-    * duplicate rows and the SetTransaction watermark is load-bearing).
+    * inserts nothing new (the `>=` in the sequence guard is what keeps
+    * an exact replay applying rather than being skipped) — and Spark
+    * replays only the last uncommitted batch, never an older one, so no
+    * watermark bookkeeping is needed (unlike the append sink above,
+    * where a replayed append would duplicate rows and the SetTransaction
+    * watermark is load-bearing).
     *
     * Scale shape: each microbatch is one merge — batch-side broadcast
     * when small, file-pruned copy-on-write on the target, so per-trigger
-    * cost is O(touched files), not O(table).
+    * cost is O(touched files), not O(table). The deduped batch is
+    * persisted for the trigger (it is read once for the emptiness probe
+    * and once per merge side otherwise, so caching halves source reads).
     */
   def upsertToTxTable(stream: DataFrame, location: String, keyCols: Seq[String],
       checkpointDir: String,
@@ -206,34 +224,54 @@ object StreamOps {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{col, row_number}
+        val seqName = "__graft_seq"
         val batch = sequenceCol match {
           case Some(sc) =>
             val w = Window.partitionBy(keyCols.map(col): _*)
               .orderBy(col(sc).desc)
             batch0.withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1).drop("__rn", sc)
+              .filter(col("__rn") === 1).drop("__rn")
+              .withColumnRenamed(sc, seqName)
           case None => batch0.dropDuplicates(keyCols)
         }
-        if (batch.isEmpty) ()
-        else {
-          val spark = batch.sparkSession
-          if (!graft.tables.TxLog.exists(spark, location) &&
-              !graft.tables.DeltaLog.isDeltaTable(spark, location))
-            new TxTable(spark, location).create(
-              deleteCol.map(batch.drop(_)).getOrElse(batch).limit(0))
-          val t = TxTable.forAnyLocation(spark, location)
-          val cond = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
-          val m = t.merge(batch, cond, "s", "t")
-          deleteCol match {
-            case Some(dc) =>
-              m.whenMatchedDelete(Some(s"s.`$dc`"))
-                .whenMatchedUpdateAll(Some(s"NOT s.`$dc`"))
-                .whenNotMatchedInsertAll(Some(s"NOT s.`$dc`"))
-            case None =>
-              m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        batch.persist()
+        try {
+          if (batch.isEmpty) ()
+          else {
+            val spark = batch.sparkSession
+            if (!graft.tables.TxLog.exists(spark, location) &&
+                !graft.tables.DeltaLog.isDeltaTable(spark, location) &&
+                !graft.tables.IcebergLog.isIcebergTable(spark, location))
+              new TxTable(spark, location).create(
+                deleteCol.map(batch.drop(_)).getOrElse(batch).limit(0))
+            val t = TxTable.forAnyLocation(spark, location)
+            // cross-batch ordering only holds if the target carries the
+            // shadow column; a foreign pre-existing table without it
+            // degrades to batch-internal ordering (documented above)
+            val seqGuard =
+              if (sequenceCol.isDefined &&
+                  t.snapshot.schema.fieldNames.contains(seqName))
+                Some(s"s.`$seqName` >= t.`$seqName`")
+              else None
+            def and(a: Option[String], b: Option[String]): Option[String] =
+              (a, b) match {
+                case (Some(x), Some(y)) => Some(s"($x) AND ($y)")
+                case (x, y) => x.orElse(y)
+              }
+            val cond = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+            val m = t.merge(batch, cond, "s", "t")
+            deleteCol match {
+              case Some(dc) =>
+                m.whenMatchedDelete(and(Some(s"s.`$dc`"), seqGuard))
+                  .whenMatchedUpdateAll(and(Some(s"NOT s.`$dc`"), seqGuard))
+                  .whenNotMatchedInsertAll(Some(s"NOT s.`$dc`"))
+              case None =>
+                m.whenMatchedUpdateAll(seqGuard)
+                  .whenNotMatchedInsertAll()
+            }
+            m.execute()
           }
-          m.execute()
-        }
+        } finally batch.unpersist()
         ()
       }
       .start()

@@ -1504,7 +1504,8 @@ object DeltaLogWriter {
     */
   def createFromFiles(spark: SparkSession, location: String,
       schema: org.apache.spark.sql.types.StructType, partitionColumns: Seq[String],
-      properties: Map[String, String], added: Seq[TxLog.AddFile]): Unit = {
+      properties: Map[String, String], added: Seq[TxLog.AddFile],
+      sourceRowIdHighWaterMark: Long = -1L): Unit = {
     if (DeltaLog.isDeltaTable(spark, location))
       throw graft.catalog.AlreadyExistsError(s"Delta table already exists at $location")
     val meta = JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
@@ -1527,15 +1528,20 @@ object DeltaLogWriter {
     // row-tracked sources: cloned adds KEEP their baseRowId (lineage
     // continuity — the point of cloning metadata, not data), but the new
     // table must still record the watermark domain, or its first append
-    // would allocate ids from -1 and collide with the cloned ranges
+    // would allocate ids from -1 and collide with the cloned ranges.
+    // The SOURCE's stored watermark participates too (Delta CLONE copies
+    // it): the live files' max id can sit BELOW it when the source
+    // deleted/rewrote the files holding its highest ids, and reallocating
+    // those ids in the clone would break row-id stability for CDF/lineage
+    // consumers.
     val (added1, rtLines) =
       if (!RowTracking.enabled(properties)) (added, Seq.empty[String])
       else {
         val hwm0 = added.flatMap(a => a.baseRowId.map(_ + math.max(a.rows, 1) - 1))
-          .foldLeft(-1L)(math.max)
+          .foldLeft(sourceRowIdHighWaterMark)(math.max)
         val (st, _) = RowTracking.stamp(added, hwm0, 0L)
         val finalHwm = st.flatMap(a => a.baseRowId.map(_ + math.max(a.rows, 1) - 1))
-          .foldLeft(-1L)(math.max)
+          .foldLeft(hwm0)(math.max)
         (st, Seq(JsonMethods.compact(JsonMethods.render(JObject(
           "domainMetadata" -> JObject(
             "domain" -> JString(RowTracking.Domain),

@@ -426,6 +426,14 @@ final class TxTable(val spark: SparkSession, val location: String,
       throw graft.catalog.AlreadyExistsError(s"CLONE target already has a table: $target")
     val src = version.map(snapshotAt).getOrElse(snapshot)
     val f = TxLog.fs(spark, location)
+    // shallow-clone paths must be FULLY QUALIFIED URIs (scheme +
+    // authority), not bare paths: a scheme-less absolute path resolves
+    // against the READER's default filesystem, so a clone of an
+    // s3://bucket-a table read from a cluster defaulting to hdfs:// (or
+    // another bucket) would silently point at the wrong store. Delta's
+    // protocol expects absolute add.paths as full URIs for the same
+    // reason.
+    val srcRootUri = f.makeQualified(new Path(location)).toUri.toString
     val srcRoot = f.makeQualified(new Path(location)).toUri.getPath
     // column-mapped Delta: snapshots carry LOGICAL partition keys, actions
     // must carry PHYSICAL ones (same remap as RESTORE)
@@ -438,11 +446,12 @@ final class TxTable(val spark: SparkSession, val location: String,
     val cloned: Seq[AddFile] =
       if (shallow) src.files.map { a =>
         physicalized(a).copy(
-          path = TxLog.resolve(srcRoot, a.path),
+          path = TxLog.resolve(srcRootUri, a.path),
           deletionVector = a.deletionVector.map { d =>
             if (d.storageType == "u")
               d.copy(storageType = "p",
-                pathOrInlineDv = DeletionVectors.absolutePath(location, d).toUri.getPath)
+                pathOrInlineDv =
+                  f.makeQualified(DeletionVectors.absolutePath(location, d)).toUri.toString)
             else d
           })
       } else {
@@ -471,8 +480,14 @@ final class TxTable(val spark: SparkSession, val location: String,
       }
     log match {
       case ForeignDeltaCommitLog =>
+        // carry the source's stored row-id watermark: live files alone can
+        // under-state it after deletes/rewrites of the highest-id files
+        val srcHwm =
+          if (!RowTracking.enabled(src.properties)) -1L
+          else RowTracking.highWaterMark(
+            DeltaLog.replayState(spark, location, version)._1.domains)
         DeltaLogWriter.createFromFiles(spark, target, src.schema,
-          src.partitionColumns, src.properties, cloned)
+          src.partitionColumns, src.properties, cloned, srcHwm)
       case _ =>
         if (!TxLog.tryCommit(spark, target, TxLog.Commit(0L,
             System.currentTimeMillis(), "CLONE", src.schema.json,

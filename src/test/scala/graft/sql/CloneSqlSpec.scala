@@ -35,6 +35,21 @@ class CloneSqlSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L, 9L))
   }
 
+  test("CLONE accepts backtick-quoted identifiers (source resolved at execution too)") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("clsql3")
+    client.createSchema("clsql3", "s")
+    val dir = TestSpark.tmpDir("clone-sql3")
+    client.createAsTable(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      "clsql3", "s", "src", FileType.DELTA, s"$dir/src")
+    // backticked SOURCE: the command body must resolve the stripped name
+    // parts at execution time, not the raw backticked ones
+    spark.sql(
+      s"CREATE TABLE `clsql3`.`s`.`c` SHALLOW CLONE `clsql3`.`s`.`src` LOCATION '$dir/c'")
+    assert(spark.sql("SELECT COUNT(*) FROM clsql3.s.c").collect()(0).getLong(0) == 2)
+  }
+
   test("CLONE VERSION AS OF pins the source's earlier state") {
     val client = new LakehouseClient(spark)
     client.createCatalog("clsql2")

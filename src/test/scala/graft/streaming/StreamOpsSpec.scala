@@ -424,8 +424,9 @@ class StreamOpsSpec extends AnyFunSuite {
     q1.awaitTermination(60000)
 
     val t = TxTable.forLocation(spark, tbl)
-    // CDC metadata (tombstone marker, sequence) never lands in the target
-    assert(t.snapshot.schema.fieldNames.toSeq == Seq("id", "name"))
+    // the tombstone marker never lands in the target; the sequence
+    // persists as the __graft_seq shadow column (cross-batch ordering)
+    assert(t.snapshot.schema.fieldNames.toSeq == Seq("id", "name", "__graft_seq"))
     assert(t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a-new"), (2L, "b")))
 
@@ -436,5 +437,49 @@ class StreamOpsSpec extends AnyFunSuite {
     q2.awaitTermination(60000)
     assert(t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a-v3"), (4L, "d")))
+
+    // batch 3: LATE events — key 1 arrives with a LOWER sequence than the
+    // seq=3 already applied (both an update and a tombstone). Neither may
+    // take effect: the persisted __graft_seq guards across microbatches,
+    // not just within one. Key 4's equal-sequence replay still applies
+    // (>=, idempotent), and a genuinely newer update lands normally.
+    input.addData((1L, "a-STALE", 2L, false), (4L, "d", 1L, false),
+      (4L, "d-v2", 5L, false))
+    val q3 = StreamOps.upsertToTxTable(stream, tbl, Seq("id"), ckpt1,
+      sequenceCol = Some("seq"), deleteCol = Some("__deleted"))
+    q3.awaitTermination(60000)
+    assert(t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a-v3"), (4L, "d-v2")))
+
+    // batch 4: a late tombstone (seq below applied) must not delete
+    input.addData((4L, "", 2L, true))
+    val q4 = StreamOps.upsertToTxTable(stream, tbl, Seq("id"), ckpt1,
+      sequenceCol = Some("seq"), deleteCol = Some("__deleted"))
+    q4.awaitTermination(60000)
+    assert(t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a-v3"), (4L, "d-v2")))
+  }
+
+  test("CDC apply onto an existing Iceberg table merges into it, never shadows it") {
+    import spark.implicits._
+    val tbl = TestSpark.tmpDir("cdc-ice") + "/t"
+    val ckpt = TestSpark.tmpDir("cdc-ice-ckpt")
+    graft.tables.IcebergWriter.create(spark, tbl,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "name")
+    input.addData((2L, "b-v2"), (3L, "c"))
+    val q = StreamOps.upsertToTxTable(stream, tbl, Seq("id"), ckpt)
+    q.awaitTermination(60000)
+
+    // the create-if-missing guard must see the Iceberg table: a fresh
+    // native log at the same location would silently shadow its data
+    assert(!graft.tables.TxLog.exists(spark, tbl),
+      "a native log was created over the Iceberg table")
+    assert(TxTable.forAnyLocation(spark, tbl).toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b-v2"), (3L, "c")))
   }
 }

@@ -126,6 +126,39 @@ class CloneSpec extends AnyFunSuite {
     assert(srcIds.subsetOf(cloneIds.toSet), "cloned rows keep their source row ids")
   }
 
+  test("shallow-clone paths are fully qualified URIs (scheme survives)") {
+    val src = TestSpark.tmpDir("clone-uri-src")
+    val t = new TxTable(spark, src)
+    t.create(base)
+    val tgt = TestSpark.tmpDir("clone-uri-tgt")
+    val c = t.cloneTo(tgt, shallow = true)
+    // scheme-less absolute paths resolve against the READER's default
+    // filesystem — on s3/hdfs clusters that reads the wrong store
+    c.snapshot.files.foreach { a =>
+      assert(a.path.startsWith("file:"), s"clone path not a full URI: ${a.path}")
+    }
+    assert(ids(c.toDF) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("row-id watermark survives a clone of a source that deleted its highest-id files") {
+    val src = TestSpark.tmpDir("clone-hwm-src")
+    DeltaLogWriter.create(spark, src, base,
+      properties = Map("delta.enableRowTracking" -> "true"))          // ids 0..3
+    val t = TxTable.forForeignDelta(spark, src)
+    t.append(Seq((8L, "h"), (9L, "i")).toDF("id", "tag"))             // ids 4..5
+    t.delete("id >= 8")        // the file holding ids 4..5 is fully removed
+    val priorIds = (0L to 5L).toSet
+    val tgt = TestSpark.tmpDir("clone-hwm-tgt")
+    val c = t.cloneTo(tgt, shallow = true)
+    c.append(Seq((20L, "x")).toDF("id", "tag"))
+    // live files max out at id 3, but the SOURCE watermark is 5: the
+    // clone's first append must not reallocate ids 4..5
+    val newIds = DeltaLog.toDFWithRowIds(spark, tgt)
+      .filter("id = 20").select("_row_id").collect().map(_.getLong(0)).toSet
+    assert(newIds.intersect(priorIds).isEmpty,
+      s"clone reallocated retired row ids: $newIds")
+  }
+
   test("clone refuses an occupied target") {
     val src = TestSpark.tmpDir("clone-guard-src")
     val t = new TxTable(spark, src)
