@@ -891,13 +891,18 @@ object InteropQueries {
         ORDER BY change_type, l_returnflag""")),
 
     // ---- q116: SHALLOW CLONE pins a state, histories diverge ----
-    // A Delta table is mutated, SHALLOW-CLONED through the SQL surface
-    // (CREATE TABLE ... SHALLOW CLONE, a metadata-only commit referencing
-    // the source's files by absolute path), then BOTH tables are mutated
-    // further. The query reads the CLONE; the oracle replays the
-    // statements that reached it — so the hash breaks if the clone sees a
-    // post-clone source write (isolation), misses a pre-clone one
-    // (completeness), or its absolute-path read drops/dups rows.
+    // A Delta table — PARTITIONED by l_returnflag, so the clone's read
+    // path must rebuild partition columns from the log (absolute-path
+    // files forbid basePath discovery; the one-scan broadcast-lookup
+    // plan is what's under test) — is mutated, SHALLOW-CLONED through
+    // the SQL surface (CREATE TABLE ... SHALLOW CLONE, a metadata-only
+    // commit referencing the source's files by absolute path), then BOTH
+    // tables are mutated further. The query reads the CLONE; the oracle
+    // replays the statements that reached it — so the hash breaks if the
+    // clone sees a post-clone source write (isolation), misses a
+    // pre-clone one (completeness), its absolute-path read drops/dups
+    // rows, or the partition-value rebuild mislabels them (the grouping
+    // key IS the partition column).
     QueryDef(
       "q116_shallow_clone",
       (s, dir) => {
@@ -908,7 +913,8 @@ object InteropQueries {
         val li = Tables.lineitem(s, dir).select(
           col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
         client.createAsTable(li.filter(col("l_linenumber") === 1),
-          "q116cat", "s", "src", graft.catalog.FileType.DELTA, s"$loc/src")
+          "q116cat", "s", "src", graft.catalog.FileType.DELTA, s"$loc/src",
+          partitionColumns = Seq("l_returnflag"))
         s.sql("DELETE FROM q116cat.s.src WHERE l_quantity > 40")
         s.sql(s"CREATE TABLE q116cat.s.c SHALLOW CLONE q116cat.s.src LOCATION '$loc/c'")
         // post-clone writes: the source loses 'R', the clone loses tiny rows

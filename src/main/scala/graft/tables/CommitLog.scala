@@ -82,6 +82,65 @@ private[graft] sealed trait CommitLog {
       version: Long): Seq[String] = Seq.empty
 }
 
+/** One-scan reads for partitioned snapshots whose file paths can't ride
+  * hive-style `basePath` partition discovery (absolute add.paths from
+  * SHALLOW CLONE; layouts whose directories disagree with the log's
+  * partition values — legal per the Delta protocol). The log's partition
+  * values are joined back in from a broadcast (normalized file path →
+  * values) lookup on `_metadata.file_path`, so plan size is O(1) in
+  * partition-tuple count — the previous one-union-child-per-tuple plan
+  * made every read of a 10k-tuple clone superlinear in analyzer/optimizer
+  * time alone. Partition pruning is unaffected where it matters: scan
+  * paths prune files at the MANIFEST level (FileStats.survivingFiles sees
+  * the log's partition values) before this plan is built.
+  */
+private[tables] object PartitionLookup {
+  import org.apache.spark.sql.{Column, GraftColumnBridge => B, Row}
+  import org.apache.spark.sql.functions.{broadcast, col}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  /** Columns out: `schema` fields in order, then (when `withMeta`) the
+    * DeltaLog provenance columns FileMetaCol/RowMetaCol.
+    */
+  def read(spark: SparkSession, location: String, schema: StructType,
+      partitionColumns: Seq[String], files: Seq[AddFile],
+      withMeta: Boolean): DataFrame = {
+    val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+    val pathKey = "__gr_pv_path"
+    def pvCol(pc: String) = s"__gr_pv_$pc"
+    val lookupSchema = StructType(StructField(pathKey, StringType) +:
+      partitionColumns.map(pc => StructField(pvCol(pc), StringType)))
+    val lookupRows = files.map { f =>
+      // _metadata.file_path is the URL-ENCODED URI form (Spark stores
+      // Path.toUri.toString); key through the same encoding or files with
+      // spaces/percent-escapes in their names silently drop out of the
+      // inner join
+      val encoded = new org.apache.hadoop.fs.Path(
+        TxLog.resolve(location, f.path)).toUri.toString
+      Row.fromSeq(DeletionVectors.normalizedUri(encoded) +:
+        partitionColumns.map(pc => f.partitionValues.getOrElse(pc, null)))
+    }
+    val lookup = spark.createDataFrame(
+      spark.sparkContext.parallelize(lookupRows, 1), lookupSchema)
+    val metaSel: Seq[Column] =
+      if (withMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
+        col("_metadata.row_index").as(DeltaLog.RowMetaCol))
+      else Seq.empty
+    val metaNames = if (withMeta) Seq(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol) else Seq.empty
+    // _metadata must resolve against the scan, so project it (and the
+    // join key) BEFORE the join
+    val scan = spark.read.schema(dataSchema)
+      .parquet(files.map(f => TxLog.resolve(location, f.path)): _*)
+      .select(dataSchema.fieldNames.map(col).toIndexedSeq ++ metaSel :+
+        B.toCol(NormalizedPath(B.toExpr(col("_metadata.file_path")))).as(pathKey): _*)
+    scan.join(broadcast(lookup), Seq(pathKey), "inner")
+      .select((schema.fieldNames.toIndexedSeq.map { c =>
+        if (partitionColumns.contains(c)) col(pvCol(c)).cast(schema(c).dataType).as(c)
+        else col(c)
+      } ++ metaNames.map(col)): _*)
+  }
+}
+
 /** Native `_graft_log` backend — thin delegation to TxLog. */
 private[graft] object NativeCommitLog extends CommitLog {
   def snapshot(spark: SparkSession, location: String, asOfVersion: Option[Long]): Snapshot =
@@ -123,19 +182,10 @@ private[graft] object NativeCommitLog extends CommitLog {
     if (s.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     } else if (s.partitionColumns.nonEmpty && s.files.exists(f => TxLog.isAbsolute(f.path))) {
-      // shallow-cloned partitioned table: absolute paths live outside this
-      // table's root, so basePath partition discovery cannot apply — read
-      // per partition group with the log's values injected as literals
-      // (planning-time constant-folding keeps partition pruning intact)
-      val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
-      s.files.groupBy(_.partitionValues).toSeq.map { case (pv, files) =>
-        val base = spark.read.schema(dataSchema)
-          .parquet(files.map(f => TxLog.resolve(location, f.path)): _*)
-          .select(dataSchema.fieldNames.map(col).toIndexedSeq: _*)
-        s.partitionColumns.foldLeft(base) { (d, pc) =>
-          d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(s.schema(pc).dataType))
-        }.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
-      }.reduce(_ unionAll _)
+      // shallow-cloned partitioned table: absolute paths forbid basePath
+      // partition discovery — one scan + broadcast partition-value lookup
+      PartitionLookup.read(spark, location, s.schema, s.partitionColumns,
+        s.files, withMeta = false)
     } else {
       val paths = s.files.map(f => TxLog.resolve(location, f.path))
       val reader = spark.read.schema(s.schema)

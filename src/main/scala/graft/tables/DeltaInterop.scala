@@ -850,18 +850,10 @@ object DeltaLog {
         .parquet(paths: _*)
         .select(s.schema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
     } else {
-      val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
-      val groups = s.files.groupBy(_.partitionValues).toSeq
-      groups.map { case (pv, files) =>
-        val base = spark.read.schema(dataSchema)
-          .parquet(files.map(f => TxLog.resolve(location, f.path)): _*)
-        val first = base.select(dataSchema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
-        val withParts = s.partitionColumns.foldLeft(first) { (d, pc) =>
-          val dt = s.schema(pc).dataType
-          d.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(dt))
-        }
-        withParts.select(outNames.map(col): _*)
-      }.reduce(_ unionAll _)
+      // one scan + broadcast partition-value lookup: O(1) plan size in
+      // partition-tuple count (vs a union subtree per tuple)
+      PartitionLookup.read(spark, location, s.schema, s.partitionColumns,
+        s.files, withMeta)
     }
   }
 

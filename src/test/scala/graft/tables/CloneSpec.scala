@@ -126,6 +126,30 @@ class CloneSpec extends AnyFunSuite {
     assert(srcIds.subsetOf(cloneIds.toSet), "cloned rows keep their source row ids")
   }
 
+  test("partitioned shallow-clone reads are ONE scan, not a union per partition tuple") {
+    val src = TestSpark.tmpDir("clone-manytuple-src")
+    val n = 200
+    val df = spark.range(0, n * 3)
+      .selectExpr("id", "CAST(id % " + n + " AS INT) AS p", "id * 2 AS v")
+    val t = new TxTable(spark, src)
+    t.create(df, partitionColumns = Seq("p"))
+    val tgt = TestSpark.tmpDir("clone-manytuple-tgt")
+    val c = t.cloneTo(tgt, shallow = true)
+    val read = c.toDF
+    // correctness: all rows, partition values intact
+    assert(read.count() == n * 3L)
+    assert(read.filter("p = 7").count() == 3L)
+    assert(read.selectExpr("sum(v)").collect()(0).getLong(0) ==
+      (0L until n * 3).map(_ * 2).sum)
+    // plan shape: one parquet scan + one broadcast lookup — NOT O(tuples)
+    // children (a 10k-tuple clone would pay superlinear analysis on every
+    // read, forever)
+    val plan = read.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 parquet scan, got $scans\n${plan.take(4000)}")
+    assert(!plan.contains("Union"), s"per-tuple union is back\n${plan.take(4000)}")
+  }
+
   test("shallow-clone paths are fully qualified URIs (scheme survives)") {
     val src = TestSpark.tmpDir("clone-uri-src")
     val t = new TxTable(spark, src)
