@@ -72,27 +72,44 @@ object ExtQueries {
       None),
 
     // ---- MinHash LSH near-dup on corpus + planted duplicates ----
+    // Oracle-anchored recall: every document is planted an exact copy
+    // (id+10M). Exact copies share every MinHash band, so LSH MUST emit
+    // each planted pair (deterministic recall 1.0), and the exact-Jaccard
+    // verifier MUST score them exactly 1.0 (identical shingle sets) —
+    // one row per document, both booleans TRUE, pinned by DuckDB.
+    // Precision is enforced by construction (verifyJaccard keeps only
+    // pairs whose EXACT n-gram Jaccard clears the threshold), so a
+    // banding bug shows as missing recall, not as false pairs.
     QueryDef(
       "q47_minhash_dup_pairs",
       (s, dir) => {
         val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(10000000L)))
-        NearDup.minhashDupPairs(planted, threshold = 0.9)
+        val pairs = NearDup.minhashDupPairs(planted, threshold = 0.9)
           .filter(col("id_b") === col("id_a") + lit(10000000L))
+        d.select(col("doc_id")).join(pairs, col("doc_id") === col("id_a"), "left")
+          .select(col("doc_id"), col("id_b").isNotNull.as("found"),
+            (col("jaccard") === 1.0).as("exact_sim"))
       },
-      None,
+      Some("SELECT doc_id, TRUE AS found, TRUE AS exact_sim FROM documents"),
       headline = true),
 
     // ---- SimHash near-dup on corpus + planted duplicates ----
+    // Same recall anchor as q47: exact copies have IDENTICAL 64-bit
+    // SimHashes, so every pigeonhole block collides and the pair must
+    // surface with Hamming distance exactly 0.
     QueryDef(
       "q48_simhash_dup_pairs",
       (s, dir) => {
         val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(10000000L)))
-        NearDup.simhashDupPairs(planted, maxHamming = 2)
+        val pairs = NearDup.simhashDupPairs(planted, maxHamming = 2)
           .filter(col("id_b") === col("id_a") + lit(10000000L))
+        d.select(col("doc_id")).join(pairs, col("doc_id") === col("id_a"), "left")
+          .select(col("doc_id"), col("id_b").isNotNull.as("found"),
+            (col("hamming") === 0L).as("identical_hash"))
       },
-      None),
+      Some("SELECT doc_id, TRUE AS found, TRUE AS identical_hash FROM documents")),
 
     // ---- quality scoring over the full corpus ----
     // (oracle: the same double arithmetic — ratios, abs, compare — is

@@ -195,15 +195,30 @@ object MoreQueries {
           COUNT(DISTINCT l_suppkey) AS exact_supps,
           COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag""")),
+    // HLL++ sketch VALUES are engine-specific, but the accuracy CONTRACT
+    // is oracle-able: per group, |approx-exact|/exact must sit inside the
+    // sketch's error envelope (rsd 0.05 → observed ~2.7% for partkey,
+    // rsd 0.01 → <0.9% for orderkey, stable across sf0.001..sf0.1), so
+    // DuckDB's exact COUNT(DISTINCT) pins TRUE booleans per group — a
+    // broken sketch, merge, or grouping fails the hash
     QueryDef(
       "q39_hll_approx",
       (s, dir) => {
         val l = Tables.lineitem(s, dir)
         l.groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+          .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+            countDistinct(col("l_partkey")).as("ep"),
+            approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+            countDistinct(col("l_orderkey")).as("eo"))
+          .select(col("l_returnflag"),
+            (abs(col("ap") - col("ep")).cast(DoubleType) / col("ep") < 0.05).as("parts_ok"),
+            (abs(col("ao") - col("eo")).cast(DoubleType) / col("eo") < 0.02).as("orders_ok"),
+            col("ep").as("exact_parts"), col("eo").as("exact_orders"))
       },
-      None), // HLL++ sketch values are engine-specific; deterministic per engine
+      Some("""SELECT l_returnflag, TRUE AS parts_ok, TRUE AS orders_ok,
+          COUNT(DISTINCT l_partkey) AS exact_parts,
+          COUNT(DISTINCT l_orderkey) AS exact_orders
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // ---- explode + array ops: corpus word count, top-50 ----
     QueryDef(
