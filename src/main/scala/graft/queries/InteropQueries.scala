@@ -971,6 +971,45 @@ object InteropQueries {
         SELECT is_current, CAST(valid_from AS BIGINT) AS valid_from,
           COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
         FROM final GROUP BY is_current, valid_from
-        ORDER BY is_current, valid_from"""))
+        ORDER BY is_current, valid_from""")),
+
+    // ---- q119: SHALLOW CLONE of an ICEBERG table pins a state ----
+    // The source is an Iceberg v2 table mutated merge-on-read (DELETE →
+    // position-delete snapshot, never a rewrite). The clone is a
+    // metadata-only fork: new table-metadata + a manifest-list that
+    // re-lists the SOURCE's immutable manifests (data AND delete) by
+    // absolute path. Both tables are then mutated further. The query
+    // reads the CLONE; the oracle replays only the statements that
+    // reached it — the hash breaks if the clone misses the carried
+    // position deletes (pre-clone DELETE), sees a post-clone source
+    // write (isolation), or its own post-clone delete leaks back.
+    QueryDef(
+      "q119_iceberg_shallow_clone",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q119cat")
+        client.createSchema("q119cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q119-clone").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        client.createAsTable(li.filter(col("l_linenumber") === 1),
+          "q119cat", "s", "src", graft.catalog.FileType.ICEBERG, s"$loc/src",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("DELETE FROM q119cat.s.src WHERE l_quantity > 40")   // carried deletes
+        s.sql(s"CREATE TABLE q119cat.s.c SHALLOW CLONE q119cat.s.src LOCATION '$loc/c'")
+        // post-clone writes: the source loses 'R', the clone loses tiny rows
+        s.sql("DELETE FROM q119cat.s.src WHERE l_returnflag = 'R'")
+        s.sql("DELETE FROM q119cat.s.c WHERE l_quantity <= 3")
+        s.sql("SELECT * FROM q119cat.s.c")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_linenumber = 1 AND l_quantity <= 40 AND l_quantity > 3
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

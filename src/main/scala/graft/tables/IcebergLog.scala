@@ -1737,6 +1737,100 @@ object IcebergWriter {
     writeMetadata(f, location, 1L, body)
   }
 
+  /** SHALLOW CLONE: a new, independent Iceberg table at `target` born
+    * from the source's state at `metadataVersion` (default: current)
+    * with ZERO data bytes copied. Spec-legal by construction: manifest
+    * files are immutable and carry data/delete file paths as full paths
+    * (spec "Manifests": `file_path` is a full URI), so the clone's one
+    * snapshot simply re-lists the SOURCE's manifests from a fresh
+    * manifest-list written in the TARGET's metadata directory — exactly
+    * how Iceberg itself reuses manifests across snapshots. Everything
+    * else in the source's metadata document (schemas with their field
+    * ids, partition specs, sort orders, properties, format-version,
+    * last-sequence-number) carries through VERBATIM, so id-based readers
+    * and later schema evolution on the clone behave as on the source;
+    * the clone gets a fresh table-uuid and starts its own history at
+    * metadata v1. Position/equality deletes carry by reference with
+    * their sequence numbers intact (the delete manifests travel in the
+    * same manifest-list). Later commits to either table are invisible
+    * to the other. Caveat (same as Delta shallow clone): expiring
+    * snapshots on the SOURCE can delete data/delete/manifest files the
+    * clone still references — see README's maintenance section.
+    *
+    * At 100 TB this is O(|current manifest-list|) driver I/O — a few
+    * metadata-sized Avro reads and one JSON write; no task is launched.
+    */
+  def shallowClone(spark: SparkSession, source: String, target: String,
+      metadataVersion: Option[Long] = None): Unit = {
+    if (IcebergLog.isIcebergTable(spark, target) || TxLog.exists(spark, target) ||
+        DeltaLog.isDeltaTable(spark, target))
+      throw graft.catalog.AlreadyExistsError(s"CLONE target already has a table: $target")
+    val st = IcebergLog.stateAt(spark, source, metadataVersion)
+    val srcF = IcebergLog.fs(spark, source)
+    val f = IcebergLog.fs(spark, target)
+    val now = System.currentTimeMillis()
+    val meta = st.meta.asInstanceOf[JObject]
+    // every carried path must be self-describing (absolute or a full
+    // URI): the clone's reader resolves relative paths against ITS OWN
+    // location, which would silently point at the wrong files
+    def selfDescribing(p: String) = {
+      val hp = new Path(p)
+      hp.isAbsolute || p.contains("://")
+    }
+    val snapFields: List[(String, JValue)] = st.snapshotId match {
+      case Some(sid) =>
+        val srcSnap = IcebergLog.snapshots(st.meta).find(_.snapshotId == sid).get
+        val records = IcebergLog.readAvro(srcF,
+          IcebergLog.resolve(source, srcSnap.manifestList))
+        records.foreach { r =>
+          val mp = r.get("manifest_path").toString
+          if (!selfDescribing(mp))
+            throw UnsupportedOperationError(
+              s"SHALLOW CLONE: source manifest path is relative ($mp); " +
+                "rewrite (compact) the source before cloning")
+          IcebergLog.readAvro(srcF, IcebergLog.resolve(source, mp)).foreach { e =>
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            val fp = String.valueOf(dfr.get("file_path"))
+            if (!selfDescribing(fp))
+              throw UnsupportedOperationError(
+                s"SHALLOW CLONE: source manifest $mp records a relative " +
+                  s"file path ($fp); rewrite (compact) the source before cloning")
+          }
+        }
+        val mlPath = writeManifestList(f, target, sid, records.map(carry))
+        // the clone's one snapshot is the source's, verbatim, with the
+        // manifest-list swapped in and the (absent-here) parent dropped
+        val srcSnapJson = (meta \ "snapshots").extractOrElse[Seq[JValue]](Seq.empty)
+          .find(s => (s \ "snapshot-id").extractOpt[Long].contains(sid)).get
+        val cloneSnap = srcSnapJson.removeField {
+          case ("parent-snapshot-id", _) => true
+          case _ => false
+        }.replace(List("manifest-list"), JString(mlPath))
+        List(
+          "current-snapshot-id" -> (JLong(sid): JValue),
+          "snapshots" -> JArray(List(cloneSnap)),
+          "snapshot-log" -> JArray(List(JObject(
+            "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(sid)))),
+          "refs" -> JObject("main" -> JObject(
+            "snapshot-id" -> JLong(sid), "type" -> JString("branch"))))
+      case None => List(
+        "current-snapshot-id" -> (JLong(-1L): JValue),
+        "snapshots" -> JArray(Nil),
+        "snapshot-log" -> JArray(Nil),
+        "refs" -> JObject(Nil))
+    }
+    val managed = Set("table-uuid", "location", "last-updated-ms",
+      "current-snapshot-id", "snapshots", "snapshot-log", "metadata-log", "refs")
+    val kept = meta.obj.filterNot { case (k, _) => managed.contains(k) }
+    val body = JsonMethods.compact(JsonMethods.render(JObject(
+      kept ++ List[(String, JValue)](
+        "table-uuid" -> JString(java.util.UUID.randomUUID().toString),
+        "location" -> JString(target),
+        "last-updated-ms" -> JLong(now),
+        "metadata-log" -> JArray(Nil)) ++ snapFields)))
+    writeMetadata(f, target, 1L, body)
+  }
+
   /** Publish the CURRENT state of a real Delta table at `location` as
     * Apache Iceberg metadata over the SAME data files — the dual-format
     * pattern (Delta UniForm's shape: PROTOCOL.md-replayed state mirrored

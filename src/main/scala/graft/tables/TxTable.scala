@@ -419,10 +419,18 @@ final class TxTable(val spark: SparkSession, val location: String,
     */
   def cloneTo(target: String, shallow: Boolean = true,
       version: Option[Long] = None): TxTable = {
-    if (log == IcebergCommitLog)
-      throw UnsupportedOperationError(
-        "CLONE of Iceberg-log tables is not supported; use dualFormatPublish or CREATE TABLE AS SELECT")
-    if (TxLog.exists(spark, target) || DeltaLog.isDeltaTable(spark, target))
+    if (log == IcebergCommitLog) {
+      if (!shallow)
+        throw UnsupportedOperationError(
+          "DEEP CLONE of Iceberg-log tables is not supported; use SHALLOW CLONE " +
+            "or CREATE TABLE AS SELECT")
+      // the clone's snapshot re-lists the source's immutable manifests
+      // from new metadata at `target` — zero data bytes move
+      IcebergWriter.shallowClone(spark, location, target, version)
+      return new TxTable(spark, target, IcebergCommitLog)
+    }
+    if (TxLog.exists(spark, target) || DeltaLog.isDeltaTable(spark, target) ||
+        IcebergLog.isIcebergTable(spark, target))
       throw graft.catalog.AlreadyExistsError(s"CLONE target already has a table: $target")
     val src = version.map(snapshotAt).getOrElse(snapshot)
     val f = TxLog.fs(spark, location)

@@ -50,6 +50,27 @@ class CloneSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM clsql3.s.c").collect()(0).getLong(0) == 2)
   }
 
+  test("SHALLOW CLONE forks a catalog ICEBERG table; histories diverge") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("clice")
+    client.createSchema("clice", "s")
+    val dir = TestSpark.tmpDir("clone-sql-ice")
+    client.createAsTable(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"),
+      "clice", "s", "src", FileType.ICEBERG, s"$dir/src")
+    spark.sql("INSERT INTO clice.s.src VALUES (4, 'd')")
+
+    spark.sql(s"CREATE TABLE clice.s.c SHALLOW CLONE clice.s.src LOCATION '$dir/c'")
+    assert(client.getTable("clice", "s", "c").fileType == FileType.ICEBERG)
+    assert(spark.sql("SELECT COUNT(*) FROM clice.s.c").collect()(0).getLong(0) == 4)
+    // divergence both ways — the clone's Iceberg log is its own
+    spark.sql("DELETE FROM clice.s.src WHERE id = 1")
+    spark.sql("INSERT INTO clice.s.c VALUES (9, 'z')")
+    assert(spark.sql("SELECT COUNT(*) FROM clice.s.src").collect()(0).getLong(0) == 3)
+    assert(spark.sql("SELECT id FROM clice.s.c ORDER BY id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 9L))
+  }
+
   test("CLONE VERSION AS OF pins the source's earlier state") {
     val client = new LakehouseClient(spark)
     client.createCatalog("clsql2")

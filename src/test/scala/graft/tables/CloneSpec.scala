@@ -191,4 +191,70 @@ class CloneSpec extends AnyFunSuite {
     new TxTable(spark, tgt).create(base)
     intercept[AlreadyExistsError](t.cloneTo(tgt))
   }
+
+  test("iceberg shallow clone: metadata-only fork, reads match, histories diverge") {
+    val src = TestSpark.tmpDir("clone-ice-src")
+    IcebergWriter.create(spark, src, base)
+    val t = TxTable.forIceberg(spark, src)
+    t.append(Seq((4L, "e")).toDF("id", "tag"))
+    val tgt = TestSpark.tmpDir("clone-ice-tgt")
+    val c = t.cloneTo(tgt, shallow = true)
+    assert(c.log eq IcebergCommitLog)
+    assert(IcebergLog.isIcebergTable(spark, tgt))
+    assert(ids(c.toDF) == Seq(0L, 1L, 2L, 3L, 4L))
+    // metadata-only: no parquet under the target, anywhere
+    def parquets(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) parquets(f) else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+    assert(parquets(new java.io.File(tgt)).isEmpty, "shallow clone must not copy data files")
+    // divergence: writes to one never show in the other
+    c.append(Seq((9L, "z")).toDF("id", "tag"))
+    t.delete("id = 0")
+    assert(ids(c.toDF) == Seq(0L, 1L, 2L, 3L, 4L, 9L))
+    assert(ids(t.toDF) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("iceberg shallow clone carries position deletes by reference") {
+    val src = TestSpark.tmpDir("clone-icedv-src")
+    IcebergWriter.create(spark, src, base.repartition(1))
+    IcebergWriter.delete(spark, src, "id = 1")        // v2 position delete
+    assert(ids(IcebergLog.toDF(spark, src)) == Seq(0L, 2L, 3L))
+    val tgt = TestSpark.tmpDir("clone-icedv-tgt")
+    IcebergWriter.shallowClone(spark, src, tgt)
+    assert(ids(IcebergLog.toDF(spark, tgt)) == Seq(0L, 2L, 3L),
+      "cloned snapshot must keep the source's position deletes in force")
+  }
+
+  test("iceberg shallow clone at an earlier metadata version (time-travel clone)") {
+    val src = TestSpark.tmpDir("clone-icever-src")
+    IcebergWriter.create(spark, src, base)            // metadata v1
+    val t = TxTable.forIceberg(spark, src)
+    t.append(Seq((4L, "e")).toDF("id", "tag"))        // metadata v2
+    val c = t.cloneTo(TestSpark.tmpDir("clone-icever-tgt"), shallow = true,
+      version = Some(1L))
+    assert(ids(c.toDF) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("iceberg partitioned shallow clone keeps partition values and pruning") {
+    val src = TestSpark.tmpDir("clone-icepart-src")
+    IcebergWriter.create(spark, src,
+      Seq((0L, "x", "p1"), (1L, "y", "p2")).toDF("id", "tag", "pt"),
+      partitionColumns = Seq("pt"))
+    val tgt = TestSpark.tmpDir("clone-icepart-tgt")
+    IcebergWriter.shallowClone(spark, src, tgt)
+    assert(ids(IcebergLog.scan(spark, tgt, "pt = 'p2'")) == Seq(1L))
+    // manifest-level pruning still plans a strict file subset
+    assert(IcebergLog.filesAfterPruning(spark, tgt, "pt = 'p2'") == 1)
+  }
+
+  test("iceberg deep clone is refused; occupied target is refused") {
+    val src = TestSpark.tmpDir("clone-iceguard-src")
+    IcebergWriter.create(spark, src, base)
+    val t = TxTable.forIceberg(spark, src)
+    intercept[graft.catalog.UnsupportedOperationError](
+      t.cloneTo(TestSpark.tmpDir("clone-iceguard-tgt"), shallow = false))
+    val occupied = TestSpark.tmpDir("clone-iceguard-occ")
+    IcebergWriter.create(spark, occupied, base)
+    intercept[AlreadyExistsError](t.cloneTo(occupied))
+  }
 }
