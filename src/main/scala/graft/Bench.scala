@@ -86,11 +86,17 @@ object Bench {
           .groupBy("c_mktsegment").agg(sum("value"))
         def salted = graft.ext.Skew.saltedJoin(skewed, dim, Seq("hot_key"), salts = cpus.toInt)
           .groupBy("c_mktsegment").agg(sum("value"))
-        def best(f: => Double): Double = { val a = f; val b = f; math.min(a, b) }
-        val aqe = best(run(naive))
-        val slt = best(run(salted))
+        // per-pass lines, like the query loop: a noisy host window must
+        // be self-diagnosing from the driver log alone
+        def best(label: String)(f: => Double): Double = (1 to 2).map { i =>
+          val t = f
+          System.err.println(f"[bench] skew_demo ${label}_pass$i $t%.2fs")
+          t
+        }.min
+        val aqe = best("naive_aqe")(run(naive))
+        val slt = best("salted")(run(salted))
         spark.conf.set(sKey, "false")
-        val noaqe = best(run(naive))
+        val noaqe = best("naive_noaqe")(run(naive))
         System.err.println(
           f"[bench] skew_demo naive_aqe $aqe%.2fs naive_noaqe $noaqe%.2fs salted $slt%.2fs")
         (aqe, noaqe, slt)
@@ -165,9 +171,16 @@ object Bench {
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t) / 1e9
       }
-      def best(f: => Double): Double = { val a = f; val b = f; math.min(a, b) }
-      val full = best(run(graft.tables.IcebergLog.toDF(spark, loc)))
-      val pruned = best(run(graft.tables.IcebergLog.scan(spark, loc,
+      // best-of-3 with per-pass lines (the r8 bench caught a 17s outlier
+      // on a 0.4s plan here; three logged passes make noise vs regression
+      // decidable from the driver log)
+      def best(label: String)(f: => Double): Double = (1 to 3).map { i =>
+        val t = f
+        System.err.println(f"[bench] iceberg_demo ${label}_pass$i $t%.2fs")
+        t
+      }.min
+      val full = best("full_scan")(run(graft.tables.IcebergLog.toDF(spark, loc)))
+      val pruned = best("pruned_scan")(run(graft.tables.IcebergLog.scan(spark, loc,
         "o_custkey = 371 AND o_orderdate >= TIMESTAMP_NTZ'1995-01-01 00:00:00'")))
       System.err.println(
         f"[bench] iceberg_demo write $w%.2fs full_scan $full%.2fs pruned_scan $pruned%.2fs")

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-posture probe beyond the driver's sf0.1: times the operators
+  * whose cost model is most at risk of going superlinear — the
+  * distributed prefix sum (q103), the one-gram-shuffle span dedup (q91),
+  * the banded MinHash join (q47), and segment-level dedup over the
+  * ScaleGen boilerplate fixture, where ONE segment has |documents|
+  * copies and keep-first must collapse map-side (partial aggregation)
+  * rather than buffer every copy in a single reducer.
+  *
+  *   runMain graft.ScaleCheck [sfDir]
+  *
+  * Prints one BENCH-style JSON line. Run it against /root/testdata/sf0.1
+  * and a ScaleGen ×10 output; compare per-query ratios against the 10×
+  * data growth (linear-at-fixed-parallelism = ~10× wall-clock ceiling;
+  * see README "Scale posture").
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft-sf1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def best(label: String)(mk: => org.apache.spark.sql.DataFrame): Double =
+      (1 to 2).map { i =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scalecheck] ${label}_pass$i $t%.2fs")
+        t
+      }.min
+
+    val names = Seq(
+      "q01_pricing_summary",   // scan + partial agg (the linear baseline)
+      "q03_top_orders",        // shuffle join
+      "q47_minhash_dup_pairs", // banded LSH equi-join
+      "q91_duplicated_spans",  // one gram shuffle, O(tokens)
+      "q103_token_budget_mix") // distributed prefix sum (O(#partitions) driver)
+    val timings = names.map(n => n -> best(n)(SparkEntry.queries(n)(spark, sfDir)))
+
+    // segment dedup on the skewed corpus (falls back to plain documents
+    // when the fixture predates documents_boiler)
+    val boilerPath = s"$sfDir/documents_boiler.parquet"
+    val docs =
+      if (new java.io.File(boilerPath).exists()) spark.read.parquet(boilerPath)
+      else graft.queries.Tables.documents(spark, sfDir)
+    val segDedup = best("segment_dedup_boiler")(
+      graft.ext.NearDup.dedupSegments(docs))
+
+    val qs = (timings :+ ("segment_dedup_boiler" -> segDedup))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -58,6 +58,19 @@ object ScaleGen {
     wr(amplify(rd("events"), Seq("event_id", "user_id")), "events")
     wr(amplify(rd("documents"), Seq("doc_id")), "documents")
     wr(amplify(rd("embeddings"), Seq("vec_id")), "embeddings")
+    // boilerplate-skewed documents: the SAME 16-token header (two aligned
+    // 8-token segments) prefixes EVERY document, so the hottest segment
+    // in segment-level dedup has |documents| copies (500k at k=10) — the
+    // corpus shape (license blocks, nav bars) that would OOM a
+    // window-based keep-first in one reducer and must instead collapse
+    // map-side under the partial-aggregating groupBy
+    // (NearDup.dedupSegments). ExtOpsSpec pins the semantics; ScaleCheck
+    // times it here at size.
+    val boiler = "terms of service apply to all content here " +
+      "copyright holder reserves all rights not granted herein"
+    wr(amplify(rd("documents"), Seq("doc_id"))
+        .withColumn("text", concat(lit(boiler + " "), col("text"))),
+      "documents_boiler")
     // dimensions stay fixed — fact-side growth against stable dims is
     // the broadcast-join shape the bench queries are designed around
     Seq("region", "nation", "customer", "supplier", "part")

@@ -460,6 +460,59 @@ class StreamOpsSpec extends AnyFunSuite {
       Seq((1L, "a-v3"), (4L, "d-v2")))
   }
 
+  test("CDC apply crash-replay: re-running an uncheckpointed batch changes nothing") {
+    import spark.implicits._
+    val tbl = TestSpark.tmpDir("cdc-crash") + "/t"
+    val ckpt = TestSpark.tmpDir("cdc-crash-ckpt")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val stream = input.toDF().toDF("id", "name", "seq", "__deleted")
+    // AvailableNow self-terminates, but deregistration from the session's
+    // active-query list is async — a too-fast restart on the same
+    // checkpoint trips the concurrent-use guard, so drain explicitly
+    def runOnce(): Unit = {
+      val q = StreamOps.upsertToTxTable(stream, tbl, Seq("id"), ckpt,
+        sequenceCol = Some("seq"), deleteCol = Some("__deleted"))
+      q.awaitTermination(60000)
+      q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
+    input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+    runOnce()
+    // batch 1: update 1, tombstone 2, insert 3
+    input.addData((1L, "a-v2", 2L, false), (2L, "", 2L, true), (3L, "c", 1L, false))
+    runOnce()
+
+    val t = TxTable.forLocation(spark, tbl)
+    def state() = t.toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state() == Seq((1L, "a-v2"), (3L, "c")))
+    val vBefore = t.snapshot.version
+
+    // crash in the at-least-once window: the MERGE for batch 1 committed
+    // to the table, the checkpoint commit marker was never written. On
+    // restart Spark replays batch 1 from the offsets log — the upsert-by-
+    // key merge (with its >= sequence guard) must make the replay a pure
+    // re-application: same values, tombstoned key stays deleted, nothing
+    // duplicated, nothing lost.
+    val marker = new java.io.File(s"$ckpt/commits/1")
+    assert(marker.exists(), "expected checkpoint commit marker for batch 1")
+    assert(marker.delete())
+    // local FS keeps a checksum sidecar; a real crash writes neither
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    runOnce()
+
+    assert(state() == Seq((1L, "a-v2"), (3L, "c")),
+      "crash-replay must not change effects")
+    // the replay really ran (a merge commit landed), it just had no effect
+    assert(t.snapshot.version >= vBefore)
+    assert(new java.io.File(s"$ckpt/commits/1").exists(),
+      "restart must re-write the checkpoint marker")
+  }
+
   test("CDC apply onto an existing Iceberg table merges into it, never shadows it") {
     import spark.implicits._
     val tbl = TestSpark.tmpDir("cdc-ice") + "/t"
