@@ -973,6 +973,45 @@ object InteropQueries {
         FROM final GROUP BY is_current, valid_from
         ORDER BY is_current, valid_from""")),
 
+    // ---- q120: SCD2 PARTIAL-attribute batch (attrs inherit) ----
+    // The change batch carries ONLY (c_custkey, c_acctbal) — no
+    // c_mktsegment. Existing keys' new versions must INHERIT their
+    // current segment through the merge; brand-new keys get null. The
+    // result groups BY the segment, so a dropped/nulled inherited value
+    // breaks the hash, not just the row count.
+    QueryDef(
+      "q120_scd2_partial_batch",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q120-scd2p").toString
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val t = new graft.tables.TxTable(s, s"$loc/dim")
+        t.create(graft.tables.Scd2.init(cust, tsVersion = 0L))
+        val partial = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+          .select(col("c_custkey"), (col("c_acctbal") + 25.0).as("c_acctbal"))
+          .unionAll(cust.filter(pmod(col("c_custkey"), lit(4)) === 0)
+            .select((col("c_custkey") + 2000000L).as("c_custkey"),
+              (col("c_acctbal") + 7.0).as("c_acctbal")))
+        graft.tables.Scd2.applyChanges(t, partial, Seq("c_custkey"), tsVersion = 1L)
+        t.toDF.groupBy(col("is_current"), col("valid_from"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy(col("is_current"), col("valid_from"), col("c_mktsegment"))
+      },
+      Some(s"""WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        final AS (
+          SELECT FALSE AS is_current, 0 AS valid_from, c_mktsegment, c_acctbal
+          FROM c WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT TRUE, 0, c_mktsegment, c_acctbal FROM c WHERE c_custkey % 3 <> 0
+          UNION ALL
+          SELECT TRUE, 1, c_mktsegment, c_acctbal + 25.0 FROM c WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT TRUE, 1, NULL, c_acctbal + 7.0 FROM c WHERE c_custkey % 4 = 0)
+        SELECT is_current, CAST(valid_from AS BIGINT) AS valid_from, c_mktsegment,
+          COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
+        FROM final GROUP BY is_current, valid_from, c_mktsegment
+        ORDER BY is_current, valid_from, c_mktsegment""")),
+
     // ---- q119: SHALLOW CLONE of an ICEBERG table pins a state ----
     // The source is an Iceberg v2 table mutated merge-on-read (DELETE →
     // position-delete snapshot, never a rewrite). The clone is a

@@ -45,11 +45,19 @@ object Scd2 {
       .withColumn(endCol, lit(null).cast(LongType))
       .withColumn(currentCol, lit(true).cast(BooleanType))
 
-  /** Apply `changes` (bare business columns, one row per key) to the SCD2
+  /** Apply `changes` (business columns, one row per key) to the SCD2
     * table as of `tsVersion`: changed keys' current rows are closed
     * (`valid_to = tsVersion`, `is_current = false`) and their new
     * versions inserted; brand-new keys just insert; identical rows are
     * no-ops.
+    *
+    * The batch must carry every key column but may carry only a SUBSET
+    * of the attributes (the usual CDC shape — a feed that updates one
+    * attribute should not have to re-source the rest): attributes absent
+    * from the batch INHERIT the key's current value through the
+    * already-joined current slice, count as unchanged in the change
+    * test, and are null for brand-new keys (there is nothing to
+    * inherit).
     */
   def applyChanges(table: TxTable, changes: DataFrame, keyCols: Seq[String],
       tsVersion: Long,
@@ -64,29 +72,39 @@ object Scd2 {
     }
     val businessCols = schema.fieldNames.filterNot(scdCols.contains).toSeq
     val attrCols = businessCols.filterNot(keyCols.contains)
-    businessCols.foreach { c =>
-      if (!changes.columns.contains(c))
-        throw UnsupportedOperationError(s"changes batch is missing business column $c")
+    keyCols.foreach { k =>
+      if (!changes.columns.contains(k))
+        throw UnsupportedOperationError(s"changes batch is missing key column $k")
     }
+    changes.columns.find(c => !businessCols.contains(c)).foreach { c =>
+      throw UnsupportedOperationError(
+        s"changes batch column $c is not a business column of the SCD2 table")
+    }
+    val provided = businessCols.filter(changes.columns.contains)
+    val providedAttrs = attrCols.filter(provided.contains)
 
     // current slice, attribute columns renamed so the join carries both
-    // versions of each attribute for the change test
+    // versions of each attribute for the change test and inheritance
     val cur = table.toDF.filter(col(currentCol))
       .select(businessCols.map(c => col(c).as(s"__cur_$c")): _*)
-    val joined = changes.select(businessCols.map(col): _*)
+    val joined = changes.select(provided.map(col): _*)
       .join(cur, keyCols.map(k => col(k) === col(s"__cur_$k")).reduce(_ && _), "left")
     val isNew = col(s"__cur_${keyCols.head}").isNull
-    // null-safe difference on any non-key attribute
-    val isChanged = attrCols.map(c => !(col(c) <=> col(s"__cur_$c")))
+    // null-safe difference on any PROVIDED non-key attribute (an
+    // inherited attribute is equal by construction)
+    val isChanged = providedAttrs.map(c => !(col(c) <=> col(s"__cur_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     val pre = joined.filter(isNew || isChanged)
 
+    // batch value when provided, inherited current value otherwise
+    def full(c: String) =
+      if (provided.contains(c)) col(c) else col(s"__cur_$c").as(c)
     val mk = keyCols.map(k => s"__mk_$k")
     // keyed copies: close the existing current version (changed keys only)
     val close = pre.filter(!isNew)
-      .select(businessCols.map(col) ++ keyCols.map(k => col(k).as(s"__mk_$k")): _*)
+      .select(businessCols.map(full) ++ keyCols.map(k => col(k).as(s"__mk_$k")): _*)
     // null-keyed copies: never match -> insert the new version (all rows)
-    val ins = pre.select(businessCols.map(col) ++
+    val ins = pre.select(businessCols.map(full) ++
       keyCols.map(k => lit(null).cast(schema(k).dataType).as(s"__mk_$k")): _*)
     val source = close.unionByName(ins)
 

@@ -63,7 +63,29 @@ class Scd2Spec extends AnyFunSuite {
     assert(v0 == 0)
   }
 
-  test("guards: missing bookkeeping or business columns raise") {
+  test("partial-attribute batch: absent attrs inherit current values, null for new keys") {
+    val loc = TestSpark.tmpDir("scd2-partial")
+    val t = new TxTable(spark, loc)
+    t.create(Scd2.init(dim, tsVersion = 0L))
+
+    // the batch carries only (id, bal): tier must come along for the ride
+    val partial = Seq((1L, 11.0), (5L, 50.0)).toDF("id", "bal")
+    Scd2.applyChanges(t, partial, keyCols = Seq("id"), tsVersion = 1L)
+
+    assert(rows(t) == Set(
+      (1L, "gold", 10.0, 0L, Some(1L), false),       // closed
+      (1L, "gold", 11.0, 1L, None, true),            // tier INHERITED
+      (2L, "silver", 20.0, 0L, None, true),
+      (3L, "bronze", 30.0, 0L, None, true),
+      (5L, null, 50.0, 1L, None, true)))             // new key: nothing to inherit
+
+    // identical partial re-apply: the unprovided attribute is equal by
+    // construction, the provided one unchanged -> no-op
+    Scd2.applyChanges(t, partial, keyCols = Seq("id"), tsVersion = 2L)
+    assert(rows(t).size == 5, "identical partial re-apply must not create versions")
+  }
+
+  test("guards: missing bookkeeping, missing key, or unknown batch columns raise") {
     val loc = TestSpark.tmpDir("scd2-guard")
     val t = new TxTable(spark, loc)
     t.create(dim) // no SCD columns
@@ -73,7 +95,13 @@ class Scd2Spec extends AnyFunSuite {
     val loc2 = TestSpark.tmpDir("scd2-guard2")
     val t2 = new TxTable(spark, loc2)
     t2.create(Scd2.init(dim, 0L))
+    // a batch without the KEY column is unresolvable
     intercept[UnsupportedOperationError](
-      Scd2.applyChanges(t2, dim.drop("bal"), Seq("id"), tsVersion = 1L))
+      Scd2.applyChanges(t2, dim.withColumnRenamed("id", "key"), Seq("id"), tsVersion = 1L))
+    // a column the dimension does not have is a caller bug, not silently dropped
+    intercept[UnsupportedOperationError](
+      Scd2.applyChanges(t2,
+        dim.withColumn("extra", org.apache.spark.sql.functions.lit(1)),
+        Seq("id"), tsVersion = 1L))
   }
 }
