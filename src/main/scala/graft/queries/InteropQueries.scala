@@ -1012,6 +1012,49 @@ object InteropQueries {
         FROM final GROUP BY is_current, valid_from, c_mktsegment
         ORDER BY is_current, valid_from, c_mktsegment""")),
 
+    // ---- q121: incremental materialized view, all three refresh modes ----
+    // A per-returnflag count/sum MV over a native table driven through its
+    // full lifecycle: first refresh (creates + folds), an append-only
+    // refresh (exact delta via changesSince), a source DELETE forcing the
+    // full re-sync merge, then another incremental refresh on top. The
+    // oracle recomputes the final aggregate from scratch — the hash
+    // breaks if any delta double-counts (watermark), misses rows
+    // (append-only detection), or the re-sync leaves stale groups.
+    // Refresh-mode assertions are inline: a wrong mode throws -> err.
+    QueryDef(
+      "q121_incremental_mv",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q121-mv").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("double").as("l_quantity"))
+        val src = new graft.tables.TxTable(s, s"$loc/src")
+        src.create(li.filter(col("l_linenumber") <= 2))
+        val mv = s"$loc/mv"
+        def refresh(expect: String): Unit = {
+          val r = graft.tables.IncrementalView.refresh(
+            src, mv, Seq("l_returnflag"), Seq("l_quantity"))
+          require(r.mode == expect, s"expected $expect refresh, got ${r.mode}")
+        }
+        refresh("incremental")
+        src.append(li.filter(col("l_linenumber") === 3 || col("l_linenumber") === 4))
+        refresh("incremental")
+        src.delete("l_orderkey % 10 = 0")          // non-append -> re-sync
+        refresh("full")
+        src.append(li.filter(col("l_linenumber") >= 5))
+        refresh("incremental")
+        refresh("noop")
+        graft.tables.TxTable.forLocation(s, mv).toDF
+          .select(col("l_returnflag"), col("n_rows"),
+            col("sum_l_quantity").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE (l_linenumber <= 4 AND l_orderkey % 10 <> 0) OR l_linenumber >= 5
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- q119: SHALLOW CLONE of an ICEBERG table pins a state ----
     // The source is an Iceberg v2 table mutated merge-on-read (DELETE →
     // position-delete snapshot, never a rewrite). The clone is a

@@ -51,6 +51,17 @@ private[graft] sealed trait CommitLog {
   def addsBetween(spark: SparkSession, location: String, fromExclusive: Long,
       toInclusive: Option[Long]): Seq[(Long, Seq[AddFile])]
 
+  /** True iff every commit in (fromExclusive, toInclusive] only ADDED
+    * rows — appends, plus content-preserving compactions
+    * (OPTIMIZE/ZORDER rearrange bytes, not data) and metadata-only
+    * commits. Incremental consumers (materialized-view refresh, change
+    * feeds) can then fold `addsBetween` as an EXACT row delta; a false
+    * answer means some commit removed or rewrote rows and the consumer
+    * must re-sync. Conservative: anything unrecognizable answers false.
+    */
+  def appendOnlyBetween(spark: SparkSession, location: String, fromExclusive: Long,
+      toInclusive: Option[Long]): Boolean
+
   /** Plan a distributed read over a snapshot's active files. */
   def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame
 
@@ -176,6 +187,11 @@ private[graft] object NativeCommitLog extends CommitLog {
       // adds would re-emit the whole table into change feeds / streams
       .filterNot(c => c.operation == "OPTIMIZE" || c.operation == "ZORDER")
       .map(c => c.version -> c.added)
+
+  def appendOnlyBetween(spark: SparkSession, location: String, fromExclusive: Long,
+      toInclusive: Option[Long]): Boolean =
+    TxLog.commitsBetween(spark, location, fromExclusive, toInclusive).forall(c =>
+      c.removed.isEmpty || c.operation == "OPTIMIZE" || c.operation == "ZORDER")
 
   def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -342,6 +358,10 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
   def addsBetween(spark: SparkSession, location: String, fromExclusive: Long,
       toInclusive: Option[Long]): Seq[(Long, Seq[AddFile])] =
     DeltaLog.addsBetween(spark, location, fromExclusive, toInclusive)
+
+  def appendOnlyBetween(spark: SparkSession, location: String, fromExclusive: Long,
+      toInclusive: Option[Long]): Boolean =
+    DeltaLog.appendOnlyBetween(spark, location, fromExclusive, toInclusive)
 
   def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame =
     DeltaLog.dfForSnapshot(spark, location, s)
@@ -580,6 +600,32 @@ private[graft] object IcebergCommitLog extends CommitLog {
         case None => Seq.empty
       }
       v -> adds
+    }
+  }
+
+  def appendOnlyBetween(spark: SparkSession, location: String, fromExclusive: Long,
+      toInclusive: Option[Long]): Boolean = {
+    val latest = IcebergLog.latestMetadataVersion(spark, location).getOrElse(return true)
+    val to = toInclusive.getOrElse(latest)
+    def snapIdAt(v: Long): Option[Long] =
+      if (v < 1) None
+      else try (IcebergLog.metaAt(spark, location, v) \ "current-snapshot-id")
+        .extractOpt[Long].filter(_ != -1L)
+      catch { case _: graft.catalog.DoesNotExistError => None }
+    ((fromExclusive + 1) to to).forall { v =>
+      try {
+        val meta = IcebergLog.metaAt(spark, location, v)
+        // a metadata-only commit (refs, properties) mints no snapshot —
+        // the current pointer is unchanged from v-1 and no rows moved
+        val cur = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+        cur == snapIdAt(v - 1) || {
+          val op = IcebergLog.currentOperation(meta)
+          op == "append" || op == "replace"
+        }
+      } catch {
+        // expired/missing metadata: cannot prove append-only
+        case _: graft.catalog.DoesNotExistError => false
+      }
     }
   }
 

@@ -750,6 +750,44 @@ object DeltaLog {
     }
   }
 
+  /** True iff no commit in (fromExclusive, toInclusive] carries a
+    * data-changing remove action (protocol `dataChange`: compaction's
+    * removes are false and preserve contents) or a DV re-assignment on
+    * an add. Action-level rather than commitInfo.operation because
+    * commitInfo is OPTIONAL in the protocol — foreign writers may omit
+    * it, and actions never lie about what moved.
+    */
+  private[tables] def appendOnlyBetween(spark: SparkSession, location: String,
+      fromExclusive: Long, toInclusive: Option[Long] = None): Boolean = {
+    val f = fs(spark, location)
+    listCommitFiles(f, location)
+      .filter { case (v, _) => v > fromExclusive && toInclusive.forall(v <= _) }
+      .forall { case (_, p) =>
+        val in = f.open(p)
+        try {
+          scala.io.Source.fromInputStream(in, "UTF-8").getLines().forall { ln =>
+            val t = ln.trim
+            if (t.isEmpty) true
+            else {
+              val j = JsonMethods.parse(t)
+              val removeChanged = (j \ "remove") match {
+                case JNothing => false
+                case r => (r \ "dataChange").extractOrElse[Boolean](true)
+              }
+              // a merge-on-read delete re-adds the file with a DV and
+              // dataChange=true: rows vanished without a remove action
+              val dvChanged = (j \ "add") match {
+                case JNothing => false
+                case a => (a \ "dataChange").extractOrElse[Boolean](true) &&
+                  (a \ "deletionVector") != JNothing
+              }
+              !removeChanged && !dvChanged
+            }
+          }
+        } finally in.close()
+      }
+  }
+
   /** Incremental change feed: rows ADDED in commits (fromVersion, latest],
     * each tagged `_commit_version` — the shape of Delta's streaming source
     * with ignoreDeletes (remove actions are not materialized). Read with

@@ -38,8 +38,13 @@ import graft.catalog.UnsupportedOperationError
   *     position deletes name explicit data-file paths, so applying every
   *     live delete file to its named data file matches the spec's
   *     sequence-number rule for non-reused paths. EQUALITY deletes
-  *     (content=2) are refused — their sequence-number semantics cannot
-  *     be satisfied without tracking per-file sequence ordering.
+  *     (content=2) are read AND written: key-matched files applied with
+  *     the spec's strictly-smaller-sequence rule (per-file data
+  *     sequence numbers tracked in IceState.dataSeq), so later
+  *     re-inserts of a deleted key survive. The TxTable WRITE surface
+  *     still refuses tables with live equality deletes (they cannot be
+  *     folded into per-file bitmaps without a table scan) — read those
+  *     via toDF/scan or compact first.
   *
   * Scale posture mirrors DeltaLog: snapshot state is file metadata only;
   * the data read is a manifest-planned distributed parquet scan (no

@@ -1,0 +1,154 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.catalog.UnsupportedOperationError
+
+/** Incrementally-maintained aggregate materialized views — the lakehouse
+  * answer to "this dashboard groupBy rescans 100 TB every hour".
+  *
+  * A view is an ordinary transactional table holding
+  * `keys ++ n_rows ++ sum_<c>...` (averages are `sum_c / n_rows` on
+  * read), refreshed from a source TxTable by folding only the rows that
+  * CHANGED since the last refresh — O(changed rows + touched view
+  * files), never O(source):
+  *
+  *   - source commits since the watermark were append-only (the common
+  *     ingest shape; `CommitLog.appendOnlyBetween` proves it from the
+  *     log): aggregate just the new rows (`changesSince`) and MERGE the
+  *     per-group deltas into the view — counts and sums are
+  *     self-maintainable, so `t.n + s.dn` is exact;
+  *   - a foreign Delta source with Change Data Feed enabled: the exact
+  *     row-level feed (`tableChanges`) folds with sign — inserts and
+  *     update postimages +1, deletes and preimages -1 — so DELETE /
+  *     UPDATE / MERGE on the source stay incremental too, and a group
+  *     whose count reaches zero is deleted from the view;
+  *   - anything else (a non-append commit on a CDF-less source): fall
+  *     back to one full re-sync MERGE that converges the view to the
+  *     freshly-computed aggregate (matched update, unmatched insert,
+  *     not-matched-by-source delete) — still one atomic commit.
+  *
+  * Exactly-once: every refresh MERGE carries a SetTransaction
+  * (appId derived from the source location, version = the source version
+  * the view now reflects) in the SAME commit as the row effects — the
+  * Delta idempotent-writes contract. A crash between the merge commit
+  * and anything else re-runs `refresh`, which reads the watermark back
+  * from the view's log and skips the already-applied range; replaying
+  * can never double-count. Concurrent refreshers serialize through the
+  * optimistic commit (the loser replans, sees the watermark, no-ops).
+  *
+  * Sum semantics: `sum_<c>` is `COALESCE(SUM(c), 0)` — null-coalesced so
+  * incremental addition is total. Min/max are NOT maintainable under
+  * deletes and are not offered; model them as separate append-only
+  * views if needed.
+  */
+object IncrementalView {
+
+  /** Count column name in the view schema. */
+  val CountCol = "n_rows"
+
+  def sumCol(c: String): String = s"sum_$c"
+
+  final case class Refresh(mode: String, fromVersion: Long, toVersion: Long)
+
+  private def appIdFor(sourceLocation: String): String =
+    "graft-mv-" + java.util.UUID.nameUUIDFromBytes(
+      sourceLocation.getBytes("UTF-8")).toString
+
+  /** The view-shaped aggregate of `rows`: keys, count, null-coalesced
+    * sums. The same fold is used for full syncs (over the table) and
+    * incremental deltas (over changed rows, possibly signed).
+    */
+  private def aggregate(rows: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      sign: Option[Column]): DataFrame = {
+    val s = sign.getOrElse(lit(1L))
+    rows.groupBy(keys.map(col): _*).agg(
+      sum(s).cast(LongType).as(CountCol),
+      sumCols.map(c => coalesce(sum(col(c) * s), lit(0).cast("double"))
+        .as(sumCol(c))): _*)
+  }
+
+  /** Refresh the view at `viewLocation` from `source`, creating it on
+    * first use. Returns what happened (noop / incremental / cdf / full)
+    * and the source-version range applied.
+    */
+  def refresh(source: TxTable, viewLocation: String, keys: Seq[String],
+      sumCols: Seq[String]): Refresh = {
+    val spark = source.spark
+    val appId = appIdFor(source.location)
+    val to = source.version
+    val view: TxTable = {
+      val existing = TxLog.exists(spark, viewLocation)
+      val t = new TxTable(spark, viewLocation)
+      if (!existing)
+        // an empty view at the schema the merges expect; harmless on
+        // concurrent/replayed creates (AlreadyExists loses the race)
+        try t.create(aggregate(source.toDF.limit(0), keys, sumCols, None))
+        catch { case _: graft.catalog.AlreadyExistsError => () }
+      t
+    }
+    val from = view.latestTxnVersion(appId).getOrElse(-1L)
+    if (to <= from) return Refresh("noop", from, to)
+
+    val keyCond = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+    def updateSet(dn: String) = Map(
+      CountCol -> s"t.`$CountCol` + s.`$dn`") ++
+      sumCols.map(c => sumCol(c) -> s"t.`${sumCol(c)}` + s.`${sumCol(c)}`")
+    def insertVals = (keys.map(k => k -> s"s.`$k`") :+
+      (CountCol -> s"s.`$CountCol`")) ++
+      sumCols.map(c => sumCol(c) -> s"s.`${sumCol(c)}`")
+
+    val cdfSource = source.log == ForeignDeltaCommitLog &&
+      DeltaCdf.enabled(source.snapshot.properties)
+    if (source.appendOnlySince(from, Some(to))) {
+      // exact delta from the append feed; empty delta still needs the
+      // watermark advanced (otherwise every later refresh re-walks the
+      // range), and MERGE with zero source rows commits exactly that
+      val delta = aggregate(
+        source.changesSince(from, Some(to)).drop("_commit_version"),
+        keys, sumCols, None)
+      view.merge(delta, keyCond, "s", "t")
+        .whenMatchedUpdate(updateSet(CountCol))
+        .whenNotMatchedInsert(insertVals.toMap)
+        .withTransaction(appId, to)
+        .execute()
+      Refresh("incremental", from, to)
+    } else if (cdfSource) {
+      // exact signed delta from the row-level change feed — note
+      // tableChanges is INCLUSIVE-from (CDF convention) where
+      // changesSince is exclusive-from, so start one past the watermark
+      val ch = source.tableChanges(from + 1, Some(to))
+      val sign = when(col(DeltaCdf.ChangeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+      val delta = aggregate(
+        ch.withColumn("__sign", sign), keys, sumCols, Some(col("__sign")))
+      view.merge(delta, keyCond, "s", "t")
+        // a group folded to zero rows leaves the view entirely
+        .whenMatchedDelete(Some(s"t.`$CountCol` + s.`$CountCol` = 0"))
+        .whenMatchedUpdate(updateSet(CountCol))
+        .whenNotMatchedInsert(insertVals.toMap)
+        .withTransaction(appId, to)
+        .execute()
+      Refresh("cdf", from, to)
+    } else {
+      // non-append history without CDF: one full re-sync merge converges
+      // the view to the fresh aggregate — O(source scan), the price of a
+      // rewriting source without a row-level feed
+      val fresh = aggregate(source.toDF(to), keys, sumCols, None)
+      view.merge(fresh, keyCond, "s", "t")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .whenNotMatchedBySourceDelete()
+        .withTransaction(appId, to)
+        .execute()
+      Refresh("full", from, to)
+    }
+  }
+
+  /** Read helper: the view with `avg_<c>` columns derived on the fly. */
+  def withAverages(view: DataFrame, sumCols: Seq[String]): DataFrame =
+    sumCols.foldLeft(view)((d, c) =>
+      d.withColumn(s"avg_$c", col(sumCol(c)) / col(CountCol)))
+}

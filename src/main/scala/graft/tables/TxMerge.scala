@@ -42,6 +42,18 @@ final class TxMerge(
   private var matched: Vector[Clause] = Vector.empty
   private var notMatched: Vector[Clause] = Vector.empty
   private var bySource: Vector[Clause] = Vector.empty
+  private var txnOpt: Option[TxLog.SetTxn] = None
+
+  /** Attach a SetTransaction (appId, version) watermark to the merge's
+    * commit — Delta's idempotent-write contract (`txnAppId`/`txnVersion`)
+    * on the MERGE path: the watermark and the row effects land in ONE
+    * atomic commit, so an incremental consumer (e.g. materialized-view
+    * refresh) can test `latestTxnVersion(appId)` after a crash and know
+    * whether this exact batch applied. Not supported on deletion-vector
+    * merge-on-read tables (their commit path is separate).
+    */
+  def withTransaction(appId: String, version: Long): TxMerge =
+    { txnOpt = Some(TxLog.SetTxn(appId, version)); this }
 
   def whenMatchedUpdateAll(condition: Option[String] = None): TxMerge =
     { matched :+= MatchedUpdateAll(condition); this }
@@ -271,6 +283,10 @@ final class TxMerge(
     }
 
     if (dvMode) {
+      if (txnOpt.isDefined)
+        throw UnsupportedOperationError(
+          "withTransaction is not supported on deletion-vector merge-on-read " +
+            "tables; disable delta.enableDeletionVectors on the target or drop the watermark")
       // two actions read the joined set (bitmap collect + append stage) —
       // persist so the join/cardinality pass runs once
       val cached = withAction.persist()
@@ -342,7 +358,7 @@ final class TxMerge(
     // commit: only the touched files are replaced; the rest of the table
     // is untouched (physically and in the manifest)
     try table.commitRewrite(result, removedPaths, snap.version,
-      if (cdfOn) Some(cdcRowsOf(actioned)) else None)
+      if (cdfOn) Some(cdcRowsOf(actioned)) else None, txn = txnOpt)
     catch {
       case e: Throwable if cardViolation(e) =>
         throw UnsupportedOperationError(cardCheckMsg)

@@ -68,6 +68,13 @@ final class TxTable(val spark: SparkSession, val location: String,
     }
   }
 
+  /** True iff every commit in (fromVersion, toVersion∨latest] only ADDED
+    * rows (appends + content-preserving compaction + metadata-only) —
+    * when true, `changesSince` over the same range is an EXACT row delta.
+    */
+  def appendOnlySince(fromVersion: Long, toVersion: Option[Long] = None): Boolean =
+    log.appendOnlyBetween(spark, location, fromVersion, toVersion)
+
   /** Change data feed (real Delta tables): the exact row-level changes of
     * commits [fromVersion, toVersion∨latest] tagged `_change_type` /
     * `_commit_version` / `_commit_timestamp` — cdc actions when present,
@@ -96,7 +103,8 @@ final class TxTable(val spark: SparkSession, val location: String,
     * present, is staged under _change_data and committed as cdc actions.
     */
   private[tables] def commitRewrite(df: DataFrame, removedPaths: Seq[String],
-      baseVersion: Long, cdcDf: Option[DataFrame] = None): Unit =
+      baseVersion: Long, cdcDf: Option[DataFrame] = None,
+      txn: Option[TxLog.SetTxn] = None): Unit =
     commitWithRetry("MERGE") { snap =>
       // `df` and `removedPaths` were planned against `baseVersion`; if a
       // concurrent commit landed since, recommitting blindly would be
@@ -126,7 +134,7 @@ final class TxTable(val spark: SparkSession, val location: String,
       val cdc = cdcDf.filter(_ => cdfOn(snap.properties))
         .map(d => DeltaCdf.stageCdc(spark, location, d, snap)).getOrElse(Seq.empty)
       TxTable.Planned(added, removedPaths, snap.schema, snap.partitionColumns,
-        props, cdc)
+        props, cdc, txn = txn)
     }
 
   private def dfFor(s: Snapshot): DataFrame = log.dfForSnapshot(spark, location, s)

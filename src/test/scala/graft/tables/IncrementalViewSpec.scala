@@ -1,0 +1,113 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Incremental materialized-view maintenance: per-group counts/sums kept
+  * exact under append-only increments, CDF row deltas, and full re-sync
+  * fallback — with an exactly-once refresh watermark riding the merge
+  * commit (SetTransaction).
+  */
+class IncrementalViewSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rowsOf(t: TxTable): Set[(String, Long, Double)] =
+    t.toDF.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def expected(src: DataFrame): Set[(String, Long, Double)] =
+    src.groupBy("k").agg(
+      org.apache.spark.sql.functions.count("*").as("n"),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("v"),
+        org.apache.spark.sql.functions.lit(0.0)).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("append-only source: refreshes fold only the new rows; watermark makes replay a no-op") {
+    val srcLoc = TestSpark.tmpDir("mv-src")
+    val viewLoc = TestSpark.tmpDir("mv-view") + "/v"
+    val src = new TxTable(spark, srcLoc)
+    src.create(Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v"))
+
+    val r1 = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"))
+    assert(r1.mode == "incremental")
+    val view = TxTable.forLocation(spark, viewLoc)
+    assert(rowsOf(view) == Set(("a", 2L, 3.0), ("b", 1L, 10.0)))
+
+    // second refresh with nothing new: noop, no version churn
+    val vBefore = view.version
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "noop")
+    assert(view.version == vBefore)
+
+    // two more appends, one refresh folds both commits
+    src.append(Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v"))
+    src.append(Seq(("c", 1.0)).toDF("k", "v"))
+    val r2 = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"))
+    assert(r2.mode == "incremental" && r2.fromVersion < r2.toVersion)
+    assert(rowsOf(view) == expected(src.toDF))
+    assert(rowsOf(view) == Set(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 2L, 8.0)))
+  }
+
+  test("non-append source commit without CDF forces a full re-sync that converges") {
+    val srcLoc = TestSpark.tmpDir("mv-full-src")
+    val viewLoc = TestSpark.tmpDir("mv-full-view") + "/v"
+    val src = new TxTable(spark, srcLoc)
+    src.create(Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", 5.0)).toDF("k", "v"))
+    IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"))
+
+    src.delete("k = 'c'")                 // non-append commit
+    src.append(Seq(("b", 1.0)).toDF("k", "v"))
+    val r = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"))
+    assert(r.mode == "full")
+    val view = TxTable.forLocation(spark, viewLoc)
+    // group c vanished from the source and must vanish from the view
+    assert(rowsOf(view) == Set(("a", 2L, 3.0), ("b", 2L, 11.0)))
+
+    // back to append-only increments afterwards
+    src.append(Seq(("c", 2.0)).toDF("k", "v"))
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "incremental")
+    assert(rowsOf(view) == expected(src.toDF))
+  }
+
+  test("foreign Delta source with CDF: deletes/updates stay incremental, zero-count groups drop") {
+    val srcLoc = TestSpark.tmpDir("mv-cdf-src")
+    val viewLoc = TestSpark.tmpDir("mv-cdf-view") + "/v"
+    DeltaLogWriter.create(spark, srcLoc,
+      Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", 5.0)).toDF("k", "v"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val src = TxTable.forForeignDelta(spark, srcLoc)
+    IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"))
+
+    src.delete("k = 'c'")                 // row-level feed carries the delete
+    src.update("k = 'a' AND v = 1.0", Map("v" -> "100.0"))
+    val r = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"))
+    assert(r.mode == "cdf", s"expected cdf refresh, got ${r.mode}")
+    val view = TxTable.forLocation(spark, viewLoc)
+    assert(rowsOf(view) == Set(("a", 2L, 102.0), ("b", 1L, 10.0)),
+      "update must fold as -pre +post; deleted group must leave the view")
+  }
+
+  test("crash replay: re-running refresh after the merge committed is a no-op") {
+    val srcLoc = TestSpark.tmpDir("mv-crash-src")
+    val viewLoc = TestSpark.tmpDir("mv-crash-view") + "/v"
+    val src = new TxTable(spark, srcLoc)
+    src.create(Seq(("a", 1.0)).toDF("k", "v"))
+    IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"))
+    src.append(Seq(("a", 2.0)).toDF("k", "v"))
+    IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"))
+    val view = TxTable.forLocation(spark, viewLoc)
+    val state = rowsOf(view)
+    // the caller "crashed" right after the merge commit and retries the
+    // whole refresh: the watermark rode the SAME commit as the effects,
+    // so the replay sees it and must not double-count
+    (1 to 3).foreach { _ =>
+      assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "noop")
+    }
+    assert(rowsOf(view) == state)
+    assert(state == Set(("a", 2L, 3.0)))
+  }
+}
