@@ -972,6 +972,33 @@ final class TxTable(val spark: SparkSession, val location: String,
       incoming
   }
 
+  /** Post-commit auto-compaction (Delta autoCompact's shape): when the
+    * table opts in via `graft.autoCompact.enabled` and a data-writing
+    * commit leaves a partition tuple holding >= minFiles sub-threshold
+    * files, fold the debris with the incremental compactor in a
+    * follow-on commit. Attached to the write path so small files never
+    * accumulate between nightly OPTIMIZE runs; cost is O(debris) by
+    * construction (optimizeCompact picks only sub-threshold files).
+    * Best-effort: the data commit already succeeded, so a compaction
+    * failure (e.g. losing every optimistic retry to concurrent writers)
+    * is swallowed — the next write or the nightly OPTIMIZE retries.
+    * Guarded against self-triggering (OPTIMIZE/ZORDER are excluded ops).
+    */
+  private def maybeAutoCompact(op: String, props: Map[String, String]): Unit =
+    if (props.get(TxTable.AutoCompactEnabledProp).contains("true") &&
+        op != "OPTIMIZE" && op != "ZORDER") {
+      val minFiles = props.get(TxTable.AutoCompactMinFilesProp)
+        .flatMap(_.toIntOption).getOrElse(10)
+      val minBytes = props.get(TxTable.AutoCompactMinFileBytesProp)
+        .flatMap(_.toLongOption).getOrElse(16L * 1024 * 1024)
+      val snap = snapshot
+      val worth = snap.files.groupBy(_.partitionValues).valuesIterator
+        .exists(fs => fs.count(_.sizeBytes < minBytes) >= minFiles)
+      if (worth)
+        try optimizeCompact(minBytes)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   private def commitWithRetry(op: String)(
       plan: Snapshot => TxTable.Planned): Unit =
     commitWithRetryIf(op)(s => Some(plan(s)))
@@ -996,6 +1023,7 @@ final class TxTable(val spark: SparkSession, val location: String,
           p.partitionColumns, p.properties, p.cdc, p.txn)) {
         // periodic checkpoint so snapshot replay stays O(interval)
         log.maybeCheckpoint(spark, location, snap.version + 1)
+        maybeAutoCompact(op, p.properties)
         return true
       }
       attempts += 1
@@ -1030,6 +1058,11 @@ object TxTable {
 
   /** Delta's default VACUUM retention window (7 days). */
   val DefaultVacuumRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Opt-in post-write auto-compaction (see maybeAutoCompact). */
+  val AutoCompactEnabledProp = "graft.autoCompact.enabled"
+  val AutoCompactMinFilesProp = "graft.autoCompact.minFiles"
+  val AutoCompactMinFileBytesProp = "graft.autoCompact.minFileBytes"
 
   def forLocation(spark: SparkSession, location: String): TxTable =
     new TxTable(spark, location)
