@@ -111,6 +111,43 @@ object ExtQueries {
       },
       Some("SELECT doc_id, TRUE AS found, TRUE AS identical_hash FROM documents")),
 
+    // ---- incremental dedup index: ingest filtering vs the corpus ----
+    // The corpus lands in TWO commits with an index refresh after each
+    // (the second is incremental — it signs only the new rows). The
+    // batch plants one exact copy of EVERY corpus doc (must be dropped:
+    // identical signatures share all bands, recall 1.0 deterministic,
+    // exact Jaccard 1.0 — q47's anchor) and one provably-fresh variant
+    // ('zz' interleaved between all tokens plus wrapped ends: every
+    // shingle contains a token no corpus doc has, Jaccard 0 -> kept).
+    // Inline requires pin the refresh modes; DuckDB pins the verdict.
+    QueryDef(
+      "q122_dedup_index_ingest",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q122-dedup-idx").toString
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val corpus = new graft.tables.TxTable(s, s"$loc/corpus")
+        corpus.create(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+        val idx = s"$loc/index"
+        require(graft.ext.DedupIndex.refresh(corpus, idx) == "incremental")
+        corpus.append(d.filter(pmod(col("doc_id"), lit(2)) === 1))
+        require(graft.ext.DedupIndex.refresh(corpus, idx) == "incremental")
+        require(graft.ext.DedupIndex.refresh(corpus, idx) == "noop")
+        val batch = d.withColumn("doc_id", col("doc_id") + lit(10000000L))
+          .unionAll(d.select((col("doc_id") + lit(20000000L)).as("doc_id"),
+            concat(lit("zz qq "),
+              regexp_replace(col("text"), " ", " zz "),
+              lit(" qq zz")).as("text")))
+        val kept = graft.ext.DedupIndex.filterNew(corpus, idx, batch)
+          .select(col("doc_id")).withColumn("kept", lit(true))
+        batch.select(col("doc_id")).join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("kept"), lit(false)).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id + 10000000 AS doc_id, FALSE AS kept FROM documents
+        UNION ALL
+        SELECT doc_id + 20000000, TRUE FROM documents
+        ORDER BY doc_id""")),
+
     // ---- quality scoring over the full corpus ----
     // (oracle: the same double arithmetic — ratios, abs, compare — is
     // IEEE-identical in both engines; DuckDB regexp_replace needs the 'g'
