@@ -59,7 +59,31 @@ object ScaleCheck {
     val segDedup = best("segment_dedup_boiler")(
       graft.ext.NearDup.dedupSegments(docs))
 
-    val qs = (timings :+ ("segment_dedup_boiler" -> segDedup))
+    // materialized-view maintenance: the initial fold pays one full
+    // aggregate; the refresh after a 10k-row append must cost O(changed
+    // rows) — at sf1 that is ~0.2% of the source, and the gap between
+    // the two numbers IS the incremental-maintenance story at 100 TB
+    val (mvInitial, mvIncr) = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-mv").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_quantity").cast("double").as("l_quantity"))
+      val src = new graft.tables.TxTable(spark, s"$loc/src")
+      src.create(li)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val a = timed(graft.tables.IncrementalView.refresh(
+        src, s"$loc/mv", Seq("l_returnflag"), Seq("l_quantity")))
+      src.append(li.limit(10000))
+      val b = timed(graft.tables.IncrementalView.refresh(
+        src, s"$loc/mv", Seq("l_returnflag"), Seq("l_quantity")))
+      System.err.println(f"[scalecheck] mv_initial_fold $a%.2fs mv_incremental_refresh $b%.2fs")
+      (a, b)
+    }
+
+    val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
+      "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

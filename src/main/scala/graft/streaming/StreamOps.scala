@@ -133,6 +133,34 @@ object StreamOps {
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Continuously maintain an incremental materialized view: the
+    * TxTable streaming source delivers the source table's commits as
+    * micro-batches, and each trigger runs one
+    * `IncrementalView.refresh`. The batch DataFrame is only the COMMIT
+    * SIGNAL — its rows are never executed; refresh reads exactly the
+    * unapplied version range from the log under its own SetTransaction
+    * watermark, so the stream checkpoint and the view can never
+    * disagree: a crash-replayed trigger finds the watermark and no-ops,
+    * a missed trigger is folded into the next one's range. Per-trigger
+    * cost is O(rows committed since the last refresh).
+    */
+  def maintainView(spark: org.apache.spark.sql.SparkSession, sourceLocation: String,
+      viewLocation: String, keys: Seq[String], sumCols: Seq[String],
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .format("graft.streaming.TxTableSourceProvider")
+      .load(sourceLocation)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.tables.IncrementalView.refresh(
+          TxTable.forAnyLocation(batch.sparkSession, sourceLocation),
+          viewLocation, keys, sumCols)
+        ()
+      }
+      .start()
+
   /** Sink a streaming DataFrame into a transactional table (either log
     * format) with EXACTLY-ONCE semantics: each micro-batch lands through
     * `TxTable.appendIdempotent`, which commits the rows and a

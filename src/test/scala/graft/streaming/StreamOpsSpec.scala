@@ -513,6 +513,42 @@ class StreamOpsSpec extends AnyFunSuite {
       "restart must re-write the checkpoint marker")
   }
 
+  test("maintainView keeps an incremental MV fresh per trigger; replay cannot double-count") {
+    import spark.implicits._
+    val srcLoc = TestSpark.tmpDir("mvstream-src") + "/t"
+    val viewLoc = TestSpark.tmpDir("mvstream-view") + "/v"
+    val ckpt = TestSpark.tmpDir("mvstream-ckpt")
+    val src = new TxTable(spark, srcLoc)
+    src.create(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+
+    def runOnce(): Unit = {
+      val q = StreamOps.maintainView(spark, srcLoc, viewLoc, Seq("k"), Seq("v"), ckpt)
+      q.awaitTermination(60000)
+      q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
+    def viewRows() = TxTable.forLocation(spark, viewLoc).toDF.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    runOnce()
+    assert(viewRows() == Set(("a", 1L, 1.0), ("b", 1L, 2.0)))
+    src.append(Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v"))
+    runOnce()
+    assert(viewRows() == Set(("a", 2L, 5.0), ("b", 1L, 2.0), ("c", 1L, 7.0)))
+
+    // crash window: the refresh merged, the stream checkpoint didn't
+    // advance — replaying the trigger must find the view watermark and
+    // no-op (IncrementalView's exactly-once, exercised through the sink)
+    val marker = new java.io.File(s"$ckpt/commits/1")
+    assert(marker.exists())
+    assert(marker.delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    runOnce()
+    assert(viewRows() == Set(("a", 2L, 5.0), ("b", 1L, 2.0), ("c", 1L, 7.0)))
+  }
+
   test("CDC apply onto an existing Iceberg table merges into it, never shadows it") {
     import spark.implicits._
     val tbl = TestSpark.tmpDir("cdc-ice") + "/t"
