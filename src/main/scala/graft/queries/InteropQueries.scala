@@ -1055,6 +1055,47 @@ object InteropQueries {
         WHERE (l_linenumber <= 4 AND l_orderkey % 10 <> 0) OR l_linenumber >= 5
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q123: SQL materialized view (CREATE ... AS SELECT / REFRESH) ----
+    // The SQL face of q121: CREATE MATERIALIZED VIEW registers a
+    // catalog-queryable view table and runs the first fold; SQL DML then
+    // mutates the source and REFRESH MATERIALIZED VIEW reports its mode
+    // (inline-required: wrong mode -> err). The oracle recomputes the
+    // final aggregate — the hash breaks if the parser mis-extracts
+    // keys/sums, the refresh double-counts, or the re-sync leaves stale
+    // groups behind.
+    QueryDef(
+      "q123_sql_materialized_view",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q123cat")
+        client.createSchema("q123cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q123-mv").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("double").as("l_quantity"))
+        client.createAsTable(li.filter(col("l_linenumber") <= 3),
+          "q123cat", "s", "src", graft.catalog.FileType.DELTA, s"$loc/src")
+        s.sql(s"""CREATE MATERIALIZED VIEW q123cat.s.v LOCATION '$loc/v' AS
+          SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_l_quantity
+          FROM q123cat.s.src GROUP BY l_returnflag""")
+        def refresh(expect: String): Unit = {
+          val mode = s.sql("REFRESH MATERIALIZED VIEW q123cat.s.v").collect()(0).getString(0)
+          require(mode == expect, s"expected $expect refresh, got $mode")
+        }
+        client.getTxTable("q123cat", "s", "src")
+          .append(li.filter(col("l_linenumber") > 3))
+        refresh("incremental")
+        s.sql("DELETE FROM q123cat.s.src WHERE l_orderkey % 10 = 0")
+        refresh("full")
+        refresh("noop")
+        s.sql("""SELECT l_returnflag, n_rows, sum_l_quantity AS sum_qty
+          FROM q123cat.s.v ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_orderkey % 10 <> 0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- q119: SHALLOW CLONE of an ICEBERG table pins a state ----
     // The source is an Iceberg v2 table mutated merge-on-read (DELETE →
     // position-delete snapshot, never a rewrite). The clone is a

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 
 import graft.catalog.DoesNotExistError
 
@@ -38,6 +38,46 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Clone =
     ("""(?is)\s*CREATE\s+TABLE\s+([\w.`]+)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.`]+)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*""").r
+  // CREATE MATERIALIZED VIEW v LOCATION '...' AS
+  //   SELECT k..., COUNT(*) [AS n_rows], SUM(c) [AS sum_c]... FROM src GROUP BY k...
+  // (the self-maintainable aggregate shape IncrementalView supports;
+  // aliases, when given, must match the canonical n_rows / sum_<c>)
+  private val CreateMv =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+LOCATION\s+'([^']+)'\s+AS\s+""" +
+      """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+([\w.`,\s]+?)\s*;?\s*""").r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+
+  /** Validate + split the MV select list into (keys, sum columns).
+    * None -> not our shape, delegate (and its error message) decide.
+    */
+  private def parseMvSelect(selectList: String, groupBy: String)
+      : Option[(Seq[String], Seq[String])] = {
+    def strip(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
+    val groupKeys = groupBy.split(",").map(strip).filter(_.nonEmpty).toSeq
+    val CountRe = """(?i)\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
+    val SumRe = """(?i)\s*SUM\s*\(\s*([\w`]+)\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
+    val KeyRe = """\s*([\w`]+)\s*""".r
+    val keys = Seq.newBuilder[String]
+    val sums = Seq.newBuilder[String]
+    var hasCount = false
+    var ok = true
+    selectList.split(",").foreach {
+      case CountRe(alias) =>
+        if (alias != null && strip(alias) != graft.tables.IncrementalView.CountCol) ok = false
+        hasCount = true
+      case SumRe(c, alias) =>
+        val cc = strip(c)
+        if (alias != null && strip(alias) != graft.tables.IncrementalView.sumCol(cc)) ok = false
+        sums += cc
+      case KeyRe(k) => keys += strip(k)
+      case _ => ok = false
+    }
+    val ks = keys.result()
+    if (ok && hasCount && ks.nonEmpty && ks.sorted == groupKeys.sorted)
+      Some((ks, sums.result()))
+    else None
+  }
 
   private def parts3(ident: String): Option[Seq[String]] = {
     val parts = ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -98,6 +138,50 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               ()
             }
           case _ => // not a catalog clone — delegate (and its error message)
+        }
+      case CreateMv(tgtIdent, loc, selectList, srcIdent, groupBy) =>
+        (parts3(tgtIdent), parts3(srcIdent).flatMap(txTable),
+            parseMvSelect(selectList, groupBy)) match {
+          case (Some(tp), Some((srcName, srcT)), Some((keys, sums))) =>
+            val client = GraftSqlExtensions.clientFor(session).get
+            val label = s"CREATE MATERIALIZED VIEW ${tp.mkString(".")} OVER $srcName " +
+              s"KEYS(${keys.mkString(",")}) SUMS(${sums.mkString(",")})"
+            return GraftSqlDml.GraftDmlCommand(label) { () =>
+              import graft.tables.IncrementalView
+              IncrementalView.refresh(srcT, loc, keys, sums, createProperties = Map(
+                IncrementalView.SourceProp -> srcT.location,
+                IncrementalView.KeysProp -> keys.mkString(","),
+                IncrementalView.SumsProp -> sums.mkString(",")))
+              client.registerAsTable(tp(0), tp(1), tp(2),
+                graft.catalog.FileType.DELTA, loc)
+              ()
+            }
+          case _ => // not our shape — delegate decides
+        }
+      case _ =>
+    }
+    else if (head.startsWith("REFRESH M")) sqlText match {
+      case RefreshMv(ident) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, viewT)) =>
+            return GraftSqlDml.GraftQueryCommand(s"REFRESH MATERIALIZED VIEW $name",
+              Seq(AttributeReference("mode", StringType, nullable = false)(),
+                AttributeReference("from_version", LongType, nullable = false)(),
+                AttributeReference("to_version", LongType, nullable = false)())) { () =>
+              import graft.tables.{IncrementalView, TxTable}
+              val props = viewT.snapshot.properties
+              val srcLoc = props.getOrElse(IncrementalView.SourceProp,
+                throw graft.catalog.UnsupportedOperationError(
+                  s"$name is not a materialized view (no ${IncrementalView.SourceProp})"))
+              val keys = props.getOrElse(IncrementalView.KeysProp, "")
+                .split(",").toSeq.filter(_.nonEmpty)
+              val sums = props.getOrElse(IncrementalView.SumsProp, "")
+                .split(",").toSeq.filter(_.nonEmpty)
+              val src = TxTable.forAnyLocation(session, srcLoc)
+              val r = IncrementalView.refresh(src, viewT.location, keys, sums)
+              Seq(org.apache.spark.sql.Row(r.mode, r.fromVersion, r.toVersion))
+            }
+          case None =>
         }
       case _ =>
     }

@@ -51,6 +51,13 @@ object IncrementalView {
 
   def sumCol(c: String): String = s"sum_$c"
 
+  /** View-definition properties the SQL surface stamps at CREATE so
+    * REFRESH MATERIALIZED VIEW can re-derive the maintenance plan.
+    */
+  val SourceProp = "graft.mv.source"
+  val KeysProp = "graft.mv.keys"
+  val SumsProp = "graft.mv.sums"
+
   final case class Refresh(mode: String, fromVersion: Long, toVersion: Long)
 
   private def appIdFor(sourceLocation: String): String =
@@ -71,11 +78,14 @@ object IncrementalView {
   }
 
   /** Refresh the view at `viewLocation` from `source`, creating it on
-    * first use. Returns what happened (noop / incremental / cdf / full)
-    * and the source-version range applied.
+    * first use (with `createProperties` stamped into the new table —
+    * the SQL surface records the view definition there). Returns what
+    * happened (noop / incremental / cdf / full) and the source-version
+    * range applied.
     */
   def refresh(source: TxTable, viewLocation: String, keys: Seq[String],
-      sumCols: Seq[String]): Refresh = {
+      sumCols: Seq[String],
+      createProperties: Map[String, String] = Map.empty): Refresh = {
     val spark = source.spark
     val appId = appIdFor(source.location)
     val to = source.version
@@ -85,7 +95,8 @@ object IncrementalView {
       if (!existing)
         // an empty view at the schema the merges expect; harmless on
         // concurrent/replayed creates (AlreadyExists loses the race)
-        try t.create(aggregate(source.toDF.limit(0), keys, sumCols, None))
+        try t.create(aggregate(source.toDF.limit(0), keys, sumCols, None),
+          properties = createProperties)
         catch { case _: graft.catalog.AlreadyExistsError => () }
       t
     }

@@ -1,0 +1,66 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.FileType
+import graft.client.LakehouseClient
+
+/** CREATE MATERIALIZED VIEW ... AS SELECT / REFRESH MATERIALIZED VIEW —
+  * the SQL face of IncrementalView: the view is a registered catalog
+  * table, REFRESH reports its mode, and increments fold exactly.
+  */
+class GraftSqlMvSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("create, query, append, refresh — incremental modes and exact results") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("mvsql")
+    client.createSchema("mvsql", "s")
+    val dir = TestSpark.tmpDir("mv-sql")
+    client.createAsTable(
+      Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "v"),
+      "mvsql", "s", "src", FileType.DELTA, s"$dir/src")
+
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvsql.s.v LOCATION '$dir/v' AS
+         SELECT k, COUNT(*) AS n_rows, SUM(v) AS sum_v
+         FROM mvsql.s.src GROUP BY k""")
+    def viewRows() = spark.sql("SELECT k, n_rows, sum_v FROM mvsql.s.v ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viewRows() == Seq(("a", 2L, 3.0), ("b", 1L, 10.0)))
+
+    // source grows through SQL; REFRESH reports an incremental fold
+    spark.sql("INSERT INTO mvsql.s.src VALUES ('a', 4), ('c', 7)")
+    val r = spark.sql("REFRESH MATERIALIZED VIEW mvsql.s.v").collect()(0)
+    assert(r.getString(0) == "incremental", r.toString)
+    assert(viewRows() == Seq(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+
+    // a source DELETE forces the full re-sync path
+    spark.sql("DELETE FROM mvsql.s.src WHERE k = 'b'")
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvsql.s.v").collect()(0).getString(0) == "full")
+    assert(viewRows() == Seq(("a", 3L, 7.0), ("c", 1L, 7.0)))
+
+    // nothing new -> noop
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvsql.s.v").collect()(0).getString(0) == "noop")
+  }
+
+  test("mis-shapen select lists fall through to Spark's own parser error") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("mvsql2")
+    client.createSchema("mvsql2", "s")
+    val dir = TestSpark.tmpDir("mv-sql2")
+    client.createAsTable(Seq(("a", 1L)).toDF("k", "v"),
+      "mvsql2", "s", "src", FileType.DELTA, s"$dir/src")
+    // MIN is not self-maintainable: not our grammar -> Spark rejects the
+    // statement (it has no MATERIALIZED VIEW support of its own)
+    intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvsql2.s.v LOCATION '$dir/v' AS
+         SELECT k, COUNT(*), MIN(v) FROM mvsql2.s.src GROUP BY k"""))
+    // REFRESH of a non-MV catalog table raises the typed error
+    intercept[graft.catalog.UnsupportedOperationError](
+      spark.sql("REFRESH MATERIALIZED VIEW mvsql2.s.src").collect())
+  }
+}
