@@ -47,6 +47,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+([\w.`,\s]+?)\s*;?\s*""").r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+  // DESCRIBE HISTORY cat.sch.t (Delta's utility; not in Spark's grammar)
+  private val DescHistory =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
 
   /** Validate + split the MV select list into (keys, sum columns).
     * None -> not our shape, delegate (and its error message) decide.
@@ -182,6 +185,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               Seq(org.apache.spark.sql.Row(r.mode, r.fromVersion, r.toVersion))
             }
           case None =>
+        }
+      case _ =>
+    }
+    else if (head.startsWith("DESCRIBE ")) sqlText match {
+      case DescHistory(ident) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftQueryCommand(s"DESCRIBE HISTORY $name",
+              Seq(AttributeReference("version", LongType, nullable = false)(),
+                AttributeReference("timestamp_ms", LongType, nullable = false)(),
+                AttributeReference("operation", StringType, nullable = false)(),
+                AttributeReference("added_files", IntegerType, nullable = false)(),
+                AttributeReference("removed_files", IntegerType, nullable = false)())) { () =>
+              t.describeHistory.collect().toSeq
+            }
+          case None => // not a catalog table — Spark's DESCRIBE handles it
         }
       case _ =>
     }

@@ -612,7 +612,9 @@ private[graft] object IcebergCommitLog extends CommitLog {
       else try (IcebergLog.metaAt(spark, location, v) \ "current-snapshot-id")
         .extractOpt[Long].filter(_ != -1L)
       catch { case _: graft.catalog.DoesNotExistError => None }
-    ((fromExclusive + 1) to to).forall { v =>
+    // metadata versions start at 1 — a fresh consumer watermark of -1
+    // must not probe a nonexistent v0
+    (math.max(1L, fromExclusive + 1) to to).forall { v =>
       try {
         val meta = IcebergLog.metaAt(spark, location, v)
         // a metadata-only commit (refs, properties) mints no snapshot —

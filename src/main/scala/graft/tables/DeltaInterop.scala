@@ -733,6 +733,36 @@ object DeltaLog {
     fromInfo.getOrElse(f.getFileStatus(p).getModificationTime)
   }
 
+  /** Per-commit history line: (version, timestampMs, operation, files
+    * added, files removed) — DESCRIBE HISTORY's source. Operation comes
+    * from commitInfo when present (optional in the protocol; foreign
+    * writers may omit it — then "WRITE"); timestamps follow the same
+    * ICT-first rule as time travel.
+    */
+  private[tables] def historyInfo(spark: SparkSession, location: String)
+      : Seq[(Long, Long, String, Int, Int)] = {
+    val f = fs(spark, location)
+    listCommitFiles(f, location).map { case (v, p) =>
+      var op: Option[String] = None
+      var adds = 0
+      var removes = 0
+      val in = f.open(p)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { ln =>
+          val t = ln.trim
+          if (t.nonEmpty) try {
+            val j = JsonMethods.parse(t)
+            if ((j \ "add") != JNothing) adds += 1
+            if ((j \ "remove") != JNothing) removes += 1
+            if (op.isEmpty)
+              op = (j \ "commitInfo" \ "operation").extractOpt[String]
+          } catch { case NonFatal(_) => () }
+        }
+      } finally in.close()
+      (v, commitTimestamp(f, p), op.getOrElse("WRITE"), adds, removes)
+    }
+  }
+
   /** Latest version whose commit timestamp is <= `tsMs` (Delta's
     * `timestampAsOf` rule). Only versions still present as JSON commits are
     * reachable — same limitation as Delta after log cleanup.

@@ -769,6 +769,33 @@ object IcebergLog {
   def history(spark: SparkSession, location: String): Seq[Long] =
     snapshots(metaOf(spark, location)).sortBy(_.timestampMs).map(_.snapshotId)
 
+  /** Per-metadata-version history line: (version, last-updated-ms,
+    * operation, -1, -1) — DESCRIBE HISTORY's source on the Iceberg log.
+    * A version whose current snapshot pointer did not move is a
+    * metadata-only commit (refs/properties); file counts would need a
+    * manifest diff per version, so they report -1 (unknown).
+    */
+  private[tables] def historyInfo(spark: SparkSession, location: String)
+      : Seq[(Long, Long, String, Int, Int)] = {
+    val latest = latestMetadataVersion(spark, location).getOrElse(return Seq.empty)
+    def snapIdAt(v: Long): Option[Long] =
+      if (v < 1) None
+      else try (metaAt(spark, location, v) \ "current-snapshot-id")
+        .extractOpt[Long].filter(_ != -1L)
+      catch { case _: graft.catalog.DoesNotExistError => None }
+    (1L to latest).flatMap { v =>
+      try {
+        val meta = metaAt(spark, location, v)
+        val ts = (meta \ "last-updated-ms").extractOrElse[Long](-1L)
+        val cur = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+        val op =
+          if (v > 1 && cur == snapIdAt(v - 1)) "SET_TBLPROPERTIES"
+          else currentOperation(meta)
+        Some((v, ts, op, -1, -1))
+      } catch { case _: graft.catalog.DoesNotExistError => None } // expired
+    }
+  }
+
   private def pickSnapshot(meta: JValue, asOfSnapshotId: Option[Long]): Option[IceSnapshot] = {
     val all = snapshots(meta)
     asOfSnapshotId match {

@@ -75,6 +75,23 @@ final class TxTable(val spark: SparkSession, val location: String,
   def appendOnlySince(fromVersion: Long, toVersion: Option[Long] = None): Boolean =
     log.appendOnlyBetween(spark, location, fromVersion, toVersion)
 
+  /** DESCRIBE HISTORY: one row per commit still in the log, newest
+    * first — (version, timestamp_ms, operation, added_files,
+    * removed_files). File counts are -1 (unknown) on the Iceberg log,
+    * where counting would need a manifest diff per version.
+    */
+  def describeHistory: DataFrame = {
+    val rows: Seq[(Long, Long, String, Int, Int)] = log match {
+      case ForeignDeltaCommitLog => DeltaLog.historyInfo(spark, location)
+      case IcebergCommitLog => IcebergLog.historyInfo(spark, location)
+      case _ => TxLog.commitsBetween(spark, location, -1L, None)
+        .map(c => (c.version, c.timestampMs, c.operation, c.added.size, c.removed.size))
+    }
+    import spark.implicits._
+    rows.sortBy(-_._1).toDF(
+      "version", "timestamp_ms", "operation", "added_files", "removed_files")
+  }
+
   /** Change data feed (real Delta tables): the exact row-level changes of
     * commits [fromVersion, toVersion∨latest] tagged `_change_type` /
     * `_commit_version` / `_commit_timestamp` — cdc actions when present,

@@ -91,6 +91,24 @@ class IncrementalViewSpec extends AnyFunSuite {
       "update must fold as -pre +post; deleted group must leave the view")
   }
 
+  test("iceberg source: the same incremental maintenance runs over the Iceberg log") {
+    val srcLoc = TestSpark.tmpDir("mv-ice-src") + "/t"
+    val viewLoc = TestSpark.tmpDir("mv-ice-view") + "/v"
+    IcebergWriter.create(spark, srcLoc,
+      Seq(("a", 1.0), ("b", 10.0)).toDF("k", "v"))
+    val src = TxTable.forIceberg(spark, srcLoc)
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "incremental")
+    src.append(Seq(("a", 2.0), ("c", 7.0)).toDF("k", "v"))
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "incremental")
+    assert(rowsOf(TxTable.forLocation(spark, viewLoc)) ==
+      Set(("a", 2L, 3.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+    // an Iceberg merge-on-read DELETE is a non-append snapshot -> re-sync
+    src.delete("k = 'b'")
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "full")
+    assert(rowsOf(TxTable.forLocation(spark, viewLoc)) ==
+      Set(("a", 2L, 3.0), ("c", 1L, 7.0)))
+  }
+
   test("crash replay: re-running refresh after the merge committed is a no-op") {
     val srcLoc = TestSpark.tmpDir("mv-crash-src")
     val viewLoc = TestSpark.tmpDir("mv-crash-view") + "/v"
