@@ -161,6 +161,53 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous ingest dedup — the full production loop: every incoming
+    * micro-batch of documents is (1) checked against the PERSISTED
+    * corpus `DedupIndex` (refreshed first, so commits from other writers
+    * fold in), (2) deduplicated within itself (LSH pairs, keep the
+    * lowest id — greedy but deterministic), (3) appended to the corpus
+    * EXACTLY-ONCE via `appendIdempotent`, and (4) folded into the index
+    * so the next batch sees it. Per-trigger cost is O(batch) — band
+    * join + candidate verification — never O(corpus).
+    *
+    * Crash-replay: if the corpus append committed but the stream
+    * checkpoint did not, the replayed batch finds its documents already
+    * indexed (filterNew drops them all) AND its batch watermark already
+    * set (the append no-ops) — no duplicates either way.
+    */
+  def dedupIngest(stream: DataFrame, corpusLocation: String, indexLocation: String,
+      checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow(),
+      appId: Option[String] = None): StreamingQuery = {
+    val id = appId.getOrElse(
+      "graft-dedup-ingest-" + java.util.UUID.nameUUIDFromBytes(
+        checkpointDir.getBytes("UTF-8")).toString)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val spark = batch.sparkSession
+        if (!graft.tables.TxLog.exists(spark, corpusLocation))
+          new TxTable(spark, corpusLocation).create(batch.limit(0))
+        val corpus = TxTable.forLocation(spark, corpusLocation)
+        graft.ext.DedupIndex.refresh(corpus, indexLocation, idCol, textCol)
+        val vsCorpus = graft.ext.DedupIndex.filterNew(
+          corpus, indexLocation, batch, idCol, textCol, threshold = threshold)
+        // within-batch near-dups: LSH pairs come ordered id_a < id_b, so
+        // dropping every id_b keeps each group's lowest id
+        val selfDups = graft.ext.NearDup.minhashDupPairs(
+          vsCorpus, idCol, textCol, threshold = threshold)
+          .select(col("id_b").as(idCol)).distinct()
+        val fresh = vsCorpus.join(selfDups, Seq(idCol), "left_anti")
+        corpus.appendIdempotent(fresh, id, batchId)
+        graft.ext.DedupIndex.refresh(corpus, indexLocation, idCol, textCol)
+        ()
+      }
+      .start()
+  }
+
   /** Sink a streaming DataFrame into a transactional table (either log
     * format) with EXACTLY-ONCE semantics: each micro-batch lands through
     * `TxTable.appendIdempotent`, which commits the rows and a

@@ -549,6 +549,48 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(viewRows() == Set(("a", 2L, 5.0), ("b", 1L, 2.0), ("c", 1L, 7.0)))
   }
 
+  test("dedupIngest: batches dedup against the corpus AND within themselves; replay is clean") {
+    import spark.implicits._
+    def doc(seed: String): String =
+      (1 to 30).map(i => s"$seed token$i word${i % 7}").mkString(" ")
+    val corpusLoc = TestSpark.tmpDir("ingest-corpus") + "/c"
+    val idxLoc = TestSpark.tmpDir("ingest-index") + "/i"
+    val ckpt = TestSpark.tmpDir("ingest-ckpt")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def runOnce(): Unit = {
+      val q = StreamOps.dedupIngest(stream, corpusLoc, idxLoc, ckpt)
+      q.awaitTermination(120000)
+      q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    }
+    def corpusIds() = TxTable.forLocation(spark, corpusLoc).toDF
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+    input.addData((1L, doc("alpha")), (2L, doc("beta")))
+    runOnce()
+    assert(corpusIds() == Seq(1L, 2L))
+
+    // batch 2: a copy of alpha (vs-corpus dup), a fresh gamma, and two
+    // near-identical deltas (within-batch dup -> lowest id survives)
+    input.addData((10L, doc("alpha")), (11L, doc("gamma")),
+      (12L, doc("delta")), (13L, doc("delta") + " tail"))
+    runOnce()
+    assert(corpusIds() == Seq(1L, 2L, 11L, 12L))
+
+    // crash window: corpus append + index committed, checkpoint marker
+    // lost — the replayed batch must change nothing
+    val marker = new java.io.File(s"$ckpt/commits/1")
+    assert(marker.exists()); assert(marker.delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    runOnce()
+    assert(corpusIds() == Seq(1L, 2L, 11L, 12L))
+  }
+
   test("CDC apply onto an existing Iceberg table merges into it, never shadows it") {
     import spark.implicits._
     val tbl = TestSpark.tmpDir("cdc-ice") + "/t"
