@@ -121,6 +121,45 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q117 keep-first lost map-side partial aggregation\n$exec")
   }
 
+  test("dedup-index batch filtering is equi-join only: no cartesian, no nested loop") {
+    import spark.implicits._
+    val loc = graft.TestSpark.tmpDir("pq-dedupidx")
+    def doc(seed: String) = (1 to 30).map(i => s"$seed t$i w${i % 7}").mkString(" ")
+    val corpus = new graft.tables.TxTable(spark, s"$loc/c")
+    corpus.create(Seq((1L, doc("alpha")), (2L, doc("beta"))).toDF("doc_id", "text"))
+    graft.ext.DedupIndex.refresh(corpus, s"$loc/i")
+    val out = graft.ext.DedupIndex.filterNew(corpus, s"$loc/i",
+      Seq((10L, doc("alpha")), (11L, doc("zeta"))).toDF("doc_id", "text"))
+    val plan = out.queryExecution.executedPlan.toString
+    // candidate generation MUST be the (band, bucket) equi-join — a
+    // cartesian/nested-loop anywhere means O(batch x corpus) at scale
+    assert(!plan.contains("CartesianProduct"), s"cartesian in filterNew\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in filterNew\n$plan")
+  }
+
+  test("incremental MV refresh folds only the appended files, not the source") {
+    import spark.implicits._
+    val loc = graft.TestSpark.tmpDir("pq-mv")
+    val src = new graft.tables.TxTable(spark, s"$loc/src")
+    src.create(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    graft.tables.IncrementalView.refresh(src, s"$loc/mv", Seq("k"), Seq("v"))
+    val before = src.snapshot.files.map(_.path).toSet
+    src.append(Seq(("c", 3.0)).toDF("k", "v"))
+    val newFiles = src.snapshot.files.map(_.path).filterNot(before.contains)
+    // the delta the refresh aggregates is exactly the appended files —
+    // the O(changed-rows) claim, pinned at the scan level
+    val view = graft.tables.TxTable.forLocation(spark, s"$loc/mv")
+    val appId = "graft-mv-" + java.util.UUID.nameUUIDFromBytes(
+      src.location.getBytes("UTF-8")).toString
+    val from = view.latestTxnVersion(appId).get
+    val delta = src.changesSince(from, Some(src.version))
+    val scanned = delta.inputFiles.map(p => new java.net.URI(p).getPath).toSet
+    assert(scanned.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+      newFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet,
+      s"refresh delta scans ${scanned.size} file(s), appended ${newFiles.size}")
+  }
+
   test("aggregations use partial (map-side) aggregation (q01)") {
     val plan = planOf("q01_pricing_summary")
     // two HashAggregate levels around the exchange = partial + final
