@@ -63,7 +63,13 @@ object DedupIndex {
       catch { case _: graft.catalog.AlreadyExistsError => () }
     val from = idx.latestTxnVersion(appId).getOrElse(-1L)
     if (to <= from) "noop"
-    else if (corpus.appendOnlySince(from, Some(to))) {
+    else if (from < 0) {
+      // first build: sign the corpus SNAPSHOT, never its replayed
+      // history — a log whose early commits were cleaned up after
+      // checkpointing replays incompletely but snapshots exactly
+      idx.appendIdempotent(sign(corpus.toDF(to)), appId, to)
+      "initial"
+    } else if (corpus.appendOnlySince(from, Some(to))) {
       idx.appendIdempotent(
         sign(corpus.changesSince(from, Some(to)).drop("_commit_version")), appId, to)
       "incremental"

@@ -128,7 +128,7 @@ object ExtQueries {
         val corpus = new graft.tables.TxTable(s, s"$loc/corpus")
         corpus.create(d.filter(pmod(col("doc_id"), lit(2)) === 0))
         val idx = s"$loc/index"
-        require(graft.ext.DedupIndex.refresh(corpus, idx) == "incremental")
+        require(graft.ext.DedupIndex.refresh(corpus, idx) == "initial")
         corpus.append(d.filter(pmod(col("doc_id"), lit(2)) === 1))
         require(graft.ext.DedupIndex.refresh(corpus, idx) == "incremental")
         require(graft.ext.DedupIndex.refresh(corpus, idx) == "noop")

@@ -1036,7 +1036,7 @@ object InteropQueries {
             src, mv, Seq("l_returnflag"), Seq("l_quantity"))
           require(r.mode == expect, s"expected $expect refresh, got ${r.mode}")
         }
-        refresh("incremental")
+        refresh("initial")
         src.append(li.filter(col("l_linenumber") === 3 || col("l_linenumber") === 4))
         refresh("incremental")
         src.delete("l_orderkey % 10 = 0")          // non-append -> re-sync

@@ -186,23 +186,37 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.col
-        val spark = batch.sparkSession
-        if (!graft.tables.TxLog.exists(spark, corpusLocation))
-          new TxTable(spark, corpusLocation).create(batch.limit(0))
-        val corpus = TxTable.forLocation(spark, corpusLocation)
+        val spark = batch0.sparkSession
+        // resolution order mirrors forAnyLocation: an existing Delta or
+        // Iceberg corpus must be written INTO, never shadowed by a fresh
+        // native log at the same location
+        if (!graft.tables.TxLog.exists(spark, corpusLocation) &&
+            !graft.tables.DeltaLog.isDeltaTable(spark, corpusLocation) &&
+            !graft.tables.IcebergLog.isIcebergTable(spark, corpusLocation))
+          new TxTable(spark, corpusLocation).create(batch0.limit(0))
+        val corpus = TxTable.forAnyLocation(spark, corpusLocation)
         graft.ext.DedupIndex.refresh(corpus, indexLocation, idCol, textCol)
-        val vsCorpus = graft.ext.DedupIndex.filterNew(
-          corpus, indexLocation, batch, idCol, textCol, threshold = threshold)
-        // within-batch near-dups: LSH pairs come ordered id_a < id_b, so
-        // dropping every id_b keeps each group's lowest id
-        val selfDups = graft.ext.NearDup.minhashDupPairs(
-          vsCorpus, idCol, textCol, threshold = threshold)
-          .select(col("id_b").as(idCol)).distinct()
-        val fresh = vsCorpus.join(selfDups, Seq(idCol), "left_anti")
-        corpus.appendIdempotent(fresh, id, batchId)
-        graft.ext.DedupIndex.refresh(corpus, indexLocation, idCol, textCol)
+        // the batch feeds band-signing, the verify universe, the
+        // within-batch pair pass, and the final append — persist both it
+        // and the corpus-filtered survivors for the trigger
+        val batch = batch0.persist()
+        try {
+          val vsCorpus = graft.ext.DedupIndex.filterNew(
+            corpus, indexLocation, batch, idCol, textCol, threshold = threshold)
+            .persist()
+          try {
+            // within-batch near-dups: LSH pairs come ordered id_a < id_b,
+            // so dropping every id_b keeps each group's lowest id
+            val selfDups = graft.ext.NearDup.minhashDupPairs(
+              vsCorpus, idCol, textCol, threshold = threshold)
+              .select(col("id_b").as(idCol)).distinct()
+            val fresh = vsCorpus.join(selfDups, Seq(idCol), "left_anti")
+            corpus.appendIdempotent(fresh, id, batchId)
+            graft.ext.DedupIndex.refresh(corpus, indexLocation, idCol, textCol)
+          } finally vsCorpus.unpersist()
+        } finally batch.unpersist()
         ()
       }
       .start()

@@ -613,16 +613,29 @@ private[graft] object IcebergCommitLog extends CommitLog {
         .extractOpt[Long].filter(_ != -1L)
       catch { case _: graft.catalog.DoesNotExistError => None }
     // metadata versions start at 1 — a fresh consumer watermark of -1
-    // must not probe a nonexistent v0
-    (math.max(1L, fromExclusive + 1) to to).forall { v =>
+    // must not probe a nonexistent v0. The previous version's pointer
+    // carries through the fold (one metadata read per version, not two).
+    val start = math.max(1L, fromExclusive + 1)
+    var prevPtr: Option[Long] = snapIdAt(start - 1)
+    (start to to).forall { v =>
       try {
         val meta = IcebergLog.metaAt(spark, location, v)
         // a metadata-only commit (refs, properties) mints no snapshot —
         // the current pointer is unchanged from v-1 and no rows moved
         val cur = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
-        cur == snapIdAt(v - 1) || {
+        val prev = prevPtr
+        prevPtr = cur
+        cur == prev || {
+          // the new current snapshot must be a CHILD of the previous one:
+          // a rollback re-points at an older snapshot whose own summary
+          // says "append" but whose effect REMOVED rows — lineage, not
+          // the operation label, is what proves nothing disappeared
+          val parent = (meta \ "snapshots")
+            .extractOrElse[Seq[org.json4s.JValue]](Seq.empty)
+            .find(s => (s \ "snapshot-id").extractOpt[Long] == cur)
+            .flatMap(s => (s \ "parent-snapshot-id").extractOpt[Long])
           val op = IcebergLog.currentOperation(meta)
-          op == "append" || op == "replace"
+          parent == prev && (op == "append" || op == "replace")
         }
       } catch {
         // expired/missing metadata: cannot prove append-only

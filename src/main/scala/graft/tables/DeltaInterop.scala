@@ -788,11 +788,18 @@ object DeltaLog {
     * it, and actions never lie about what moved.
     */
   private[tables] def appendOnlyBetween(spark: SparkSession, location: String,
-      fromExclusive: Long, toInclusive: Option[Long] = None): Boolean = {
+      fromExclusive: Long, toInclusive: Option[Long] = None): Boolean = try {
     val f = fs(spark, location)
-    listCommitFiles(f, location)
+    val inRange = listCommitFiles(f, location)
       .filter { case (v, _) => v > fromExclusive && toInclusive.forall(v <= _) }
-      .forall { case (_, p) =>
+    // every version in the range must still EXIST as a JSON commit: after
+    // log cleanup (checkpointed tables delete old commits) the range
+    // replays incompletely, and an incomplete replay can never prove
+    // append-only — answer false and let the consumer re-sync from the
+    // snapshot
+    val hi = toInclusive.orElse(inRange.map(_._1).maxOption).getOrElse(fromExclusive)
+    inRange.map(_._1).sorted == ((fromExclusive + 1) to hi) &&
+    inRange.forall { case (_, p) =>
         val in = f.open(p)
         try {
           scala.io.Source.fromInputStream(in, "UTF-8").getLines().forall { ln =>
@@ -816,6 +823,10 @@ object DeltaLog {
           }
         } finally in.close()
       }
+  } catch {
+    // unparseable/unreadable commits cannot prove append-only —
+    // conservative false, the consumer re-syncs instead of crashing
+    case NonFatal(_) => false
   }
 
   /** Incremental change feed: rows ADDED in commits (fromVersion, latest],

@@ -778,21 +778,24 @@ object IcebergLog {
   private[tables] def historyInfo(spark: SparkSession, location: String)
       : Seq[(Long, Long, String, Int, Int)] = {
     val latest = latestMetadataVersion(spark, location).getOrElse(return Seq.empty)
-    def snapIdAt(v: Long): Option[Long] =
-      if (v < 1) None
-      else try (metaAt(spark, location, v) \ "current-snapshot-id")
-        .extractOpt[Long].filter(_ != -1L)
-      catch { case _: graft.catalog.DoesNotExistError => None }
+    // one pass: the previous version's snapshot pointer carries through
+    // the fold instead of re-reading each metadata document twice
+    var prev: Option[Long] = None
+    var prevValid = false
     (1L to latest).flatMap { v =>
       try {
         val meta = metaAt(spark, location, v)
         val ts = (meta \ "last-updated-ms").extractOrElse[Long](-1L)
         val cur = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
         val op =
-          if (v > 1 && cur == snapIdAt(v - 1)) "SET_TBLPROPERTIES"
+          if (v > 1 && prevValid && cur == prev) "SET_TBLPROPERTIES"
           else currentOperation(meta)
+        prev = cur; prevValid = true
         Some((v, ts, op, -1, -1))
-      } catch { case _: graft.catalog.DoesNotExistError => None } // expired
+      } catch {
+        case _: graft.catalog.DoesNotExistError => // expired
+          prevValid = false; None
+      }
     }
   }
 

@@ -15,6 +15,10 @@ import graft.catalog.UnsupportedOperationError
   * CHANGED since the last refresh — O(changed rows + touched view
   * files), never O(source):
   *
+  *   - first refresh ever ("initial"): fold the source's full
+  *     state-at-version snapshot — never a history replay, which a log
+  *     whose early commits were cleaned up after checkpointing would
+  *     answer incompletely;
   *   - source commits since the watermark were append-only (the common
   *     ingest shape; `CommitLog.appendOnlyBetween` proves it from the
   *     log): aggregate just the new rows (`changesSince`) and MERGE the
@@ -73,8 +77,10 @@ object IncrementalView {
     val s = sign.getOrElse(lit(1L))
     rows.groupBy(keys.map(col): _*).agg(
       sum(s).cast(LongType).as(CountCol),
-      sumCols.map(c => coalesce(sum(col(c) * s), lit(0).cast("double"))
-        .as(sumCol(c))): _*)
+      // the bare lit(0) coerces to the SUM's own result type, so integral
+      // columns keep exact long/decimal sums (a double would silently
+      // round past 2^53 and compound across refreshes)
+      sumCols.map(c => coalesce(sum(col(c) * s), lit(0)).as(sumCol(c))): _*)
   }
 
   /** Refresh the view at `viewLocation` from `source`, creating it on
@@ -111,21 +117,48 @@ object IncrementalView {
       (CountCol -> s"s.`$CountCol`")) ++
       sumCols.map(c => sumCol(c) -> s"s.`${sumCol(c)}`")
 
+    // a losing concurrent refresher is a NO-OP, not a crash: the winner's
+    // merge rewrote view files, our replanned merge detects the conflict
+    // — re-read the watermark, and if the winner covered our range we are
+    // done (its commit carried the SetTransaction atomically)
+    def committing(mode: String)(run: => Unit): Refresh =
+      try { run; Refresh(mode, from, to) }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (view.latestTxnVersion(appId).exists(_ >= to)) Refresh("noop", from, to)
+          else throw e
+      }
+
     val cdfSource = source.log == ForeignDeltaCommitLog &&
       DeltaCdf.enabled(source.snapshot.properties)
-    if (source.appendOnlySince(from, Some(to))) {
+    if (from < 0) {
+      // FIRST fold: aggregate the source's full state-at-version rather
+      // than replaying its commit history — a log whose early commits
+      // were cleaned up after checkpointing (standard Delta retention)
+      // replays incompletely but snapshots exactly
+      val fresh = aggregate(source.toDF(to), keys, sumCols, None)
+      committing("initial") {
+        view.merge(fresh, keyCond, "s", "t")
+          .whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll()
+          .whenNotMatchedBySourceDelete()
+          .withTransaction(appId, to)
+          .execute()
+      }
+    } else if (source.appendOnlySince(from, Some(to))) {
       // exact delta from the append feed; empty delta still needs the
       // watermark advanced (otherwise every later refresh re-walks the
       // range), and MERGE with zero source rows commits exactly that
       val delta = aggregate(
         source.changesSince(from, Some(to)).drop("_commit_version"),
         keys, sumCols, None)
-      view.merge(delta, keyCond, "s", "t")
-        .whenMatchedUpdate(updateSet(CountCol))
-        .whenNotMatchedInsert(insertVals.toMap)
-        .withTransaction(appId, to)
-        .execute()
-      Refresh("incremental", from, to)
+      committing("incremental") {
+        view.merge(delta, keyCond, "s", "t")
+          .whenMatchedUpdate(updateSet(CountCol))
+          .whenNotMatchedInsert(insertVals.toMap)
+          .withTransaction(appId, to)
+          .execute()
+      }
     } else if (cdfSource) {
       // exact signed delta from the row-level change feed — note
       // tableChanges is INCLUSIVE-from (CDF convention) where
@@ -135,26 +168,28 @@ object IncrementalView {
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
       val delta = aggregate(
         ch.withColumn("__sign", sign), keys, sumCols, Some(col("__sign")))
-      view.merge(delta, keyCond, "s", "t")
-        // a group folded to zero rows leaves the view entirely
-        .whenMatchedDelete(Some(s"t.`$CountCol` + s.`$CountCol` = 0"))
-        .whenMatchedUpdate(updateSet(CountCol))
-        .whenNotMatchedInsert(insertVals.toMap)
-        .withTransaction(appId, to)
-        .execute()
-      Refresh("cdf", from, to)
+      committing("cdf") {
+        view.merge(delta, keyCond, "s", "t")
+          // a group folded to zero rows leaves the view entirely
+          .whenMatchedDelete(Some(s"t.`$CountCol` + s.`$CountCol` = 0"))
+          .whenMatchedUpdate(updateSet(CountCol))
+          .whenNotMatchedInsert(insertVals.toMap)
+          .withTransaction(appId, to)
+          .execute()
+      }
     } else {
       // non-append history without CDF: one full re-sync merge converges
       // the view to the fresh aggregate — O(source scan), the price of a
       // rewriting source without a row-level feed
       val fresh = aggregate(source.toDF(to), keys, sumCols, None)
-      view.merge(fresh, keyCond, "s", "t")
-        .whenMatchedUpdateAll()
-        .whenNotMatchedInsertAll()
-        .whenNotMatchedBySourceDelete()
-        .withTransaction(appId, to)
-        .execute()
-      Refresh("full", from, to)
+      committing("full") {
+        view.merge(fresh, keyCond, "s", "t")
+          .whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll()
+          .whenNotMatchedBySourceDelete()
+          .withTransaction(appId, to)
+          .execute()
+      }
     }
   }
 

@@ -31,7 +31,7 @@ class DedupIndexSpec extends AnyFunSuite {
     val idxLoc = TestSpark.tmpDir("dedupidx-index") + "/i"
     val corpus = new TxTable(spark, corpusLoc)
     corpus.create(corpusDf)
-    assert(DedupIndex.refresh(corpus, idxLoc) == "incremental")
+    assert(DedupIndex.refresh(corpus, idxLoc) == "initial")
     assert(DedupIndex.refresh(corpus, idxLoc) == "noop")
 
     val batch = Seq(

@@ -28,20 +28,22 @@ class GraftSqlMvSpec extends AnyFunSuite {
       s"""CREATE MATERIALIZED VIEW mvsql.s.v LOCATION '$dir/v' AS
          SELECT k, COUNT(*) AS n_rows, SUM(v) AS sum_v
          FROM mvsql.s.src GROUP BY k""")
+    // a LONG source column keeps an exact LONG sum (no double rounding
+    // past 2^53 — sums inherit the SUM result type)
     def viewRows() = spark.sql("SELECT k, n_rows, sum_v FROM mvsql.s.v ORDER BY k")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(viewRows() == Seq(("a", 2L, 3.0), ("b", 1L, 10.0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewRows() == Seq(("a", 2L, 3L), ("b", 1L, 10L)))
 
     // source grows through SQL; REFRESH reports an incremental fold
     spark.sql("INSERT INTO mvsql.s.src VALUES ('a', 4), ('c', 7)")
     val r = spark.sql("REFRESH MATERIALIZED VIEW mvsql.s.v").collect()(0)
     assert(r.getString(0) == "incremental", r.toString)
-    assert(viewRows() == Seq(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+    assert(viewRows() == Seq(("a", 3L, 7L), ("b", 1L, 10L), ("c", 1L, 7L)))
 
     // a source DELETE forces the full re-sync path
     spark.sql("DELETE FROM mvsql.s.src WHERE k = 'b'")
     assert(spark.sql("REFRESH MATERIALIZED VIEW mvsql.s.v").collect()(0).getString(0) == "full")
-    assert(viewRows() == Seq(("a", 3L, 7.0), ("c", 1L, 7.0)))
+    assert(viewRows() == Seq(("a", 3L, 7L), ("c", 1L, 7L)))
 
     // nothing new -> noop
     assert(spark.sql("REFRESH MATERIALIZED VIEW mvsql.s.v").collect()(0).getString(0) == "noop")

@@ -34,7 +34,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     src.create(Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v"))
 
     val r1 = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"))
-    assert(r1.mode == "incremental")
+    assert(r1.mode == "initial")
     val view = TxTable.forLocation(spark, viewLoc)
     assert(rowsOf(view) == Set(("a", 2L, 3.0), ("b", 1L, 10.0)))
 
@@ -97,7 +97,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     IcebergWriter.create(spark, srcLoc,
       Seq(("a", 1.0), ("b", 10.0)).toDF("k", "v"))
     val src = TxTable.forIceberg(spark, srcLoc)
-    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "incremental")
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "initial")
     src.append(Seq(("a", 2.0), ("c", 7.0)).toDF("k", "v"))
     assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "incremental")
     assert(rowsOf(TxTable.forLocation(spark, viewLoc)) ==
