@@ -110,6 +110,16 @@ private[tables] object PartitionLookup {
   import org.apache.spark.sql.functions.{broadcast, col}
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
 
+  /** Below this many distinct partition tuples, reads use one union
+    * branch per tuple with LITERAL partition values: Catalyst
+    * constant-folds `p = 7`-style filters and drops whole branches'
+    * file scans at planning time — pruning the broadcast-lookup form
+    * cannot offer (its partition values only exist post-join). Above
+    * it, plan size wins: the single-scan join is O(1) in tuple count
+    * where the union is superlinear in analyzer time.
+    */
+  private val UnionFanoutMax = 32
+
   /** Columns out: `schema` fields in order, then (when `withMeta`) the
     * DeltaLog provenance columns FileMetaCol/RowMetaCol.
     */
@@ -117,6 +127,25 @@ private[tables] object PartitionLookup {
       partitionColumns: Seq[String], files: Seq[AddFile],
       withMeta: Boolean): DataFrame = {
     val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+    val byTuple = files.groupBy(_.partitionValues)
+    if (files.nonEmpty && byTuple.size <= UnionFanoutMax)
+      return byTuple.toSeq.map { case (pv, fs) =>
+        val metaSel: Seq[Column] =
+          if (withMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
+            col("_metadata.row_index").as(DeltaLog.RowMetaCol))
+          else Seq.empty
+        val metaNames = if (withMeta) Seq(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
+          else Seq.empty
+        spark.read.schema(dataSchema)
+          .parquet(fs.map(f => TxLog.resolve(location, f.path)): _*)
+          .select(dataSchema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
+          .select((schema.fieldNames.toIndexedSeq.map { c =>
+            if (partitionColumns.contains(c))
+              org.apache.spark.sql.functions.lit(pv.getOrElse(c, null))
+                .cast(schema(c).dataType).as(c)
+            else col(c)
+          } ++ metaNames.map(col)): _*)
+      }.reduce(_ unionAll _)
     val pathKey = "__gr_pv_path"
     def pvCol(pc: String) = s"__gr_pv_$pc"
     val lookupSchema = StructType(StructField(pathKey, StringType) +:

@@ -150,6 +150,22 @@ class CloneSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), s"per-tuple union is back\n${plan.take(4000)}")
   }
 
+  test("low-tuple-count clone reads keep planning-time partition pruning") {
+    val src = TestSpark.tmpDir("clone-prune-src")
+    val t = new TxTable(spark, src)
+    t.create(Seq((0L, "p1"), (1L, "p2"), (2L, "p3")).toDF("id", "pt"),
+      partitionColumns = Seq("pt"))
+    val c = t.cloneTo(TestSpark.tmpDir("clone-prune-tgt"), shallow = true)
+    val filtered = c.toDF.filter("pt = 'p2'")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // with few tuples the read is a union of literal-valued branches:
+    // Catalyst constant-folds the filter and DROPS the other partitions'
+    // scans — the plan must reference only p2's file
+    val scanned = filtered.queryExecution.executedPlan.toString
+    assert(!scanned.contains("pt=p1") && !scanned.contains("pt=p3"),
+      s"non-matching partitions still scanned\n${scanned.take(3000)}")
+  }
+
   test("shallow-clone paths are fully qualified URIs (scheme survives)") {
     val src = TestSpark.tmpDir("clone-uri-src")
     val t = new TxTable(spark, src)
