@@ -51,34 +51,43 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DescHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
 
-  /** Validate + split the MV select list into (keys, sum columns).
-    * None -> not our shape, delegate (and its error message) decide.
+  /** Validate + split the MV select list into (keys, sum columns, min
+    * columns, max columns). None -> not our shape, delegate (and its
+    * error message) decide.
     */
   private def parseMvSelect(selectList: String, groupBy: String)
-      : Option[(Seq[String], Seq[String])] = {
+      : Option[(Seq[String], Seq[String], Seq[String], Seq[String])] = {
     def strip(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
     val groupKeys = groupBy.split(",").map(strip).filter(_.nonEmpty).toSeq
     val CountRe = """(?i)\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
-    val SumRe = """(?i)\s*SUM\s*\(\s*([\w`]+)\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
+    val AggRe = """(?i)\s*(SUM|MIN|MAX)\s*\(\s*([\w`]+)\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
     val KeyRe = """\s*([\w`]+)\s*""".r
     val keys = Seq.newBuilder[String]
     val sums = Seq.newBuilder[String]
+    val mins = Seq.newBuilder[String]
+    val maxs = Seq.newBuilder[String]
     var hasCount = false
     var ok = true
+    import graft.tables.IncrementalView
     selectList.split(",").foreach {
       case CountRe(alias) =>
-        if (alias != null && strip(alias) != graft.tables.IncrementalView.CountCol) ok = false
+        if (alias != null && strip(alias) != IncrementalView.CountCol) ok = false
         hasCount = true
-      case SumRe(c, alias) =>
+      case AggRe(fn, c, alias) =>
         val cc = strip(c)
-        if (alias != null && strip(alias) != graft.tables.IncrementalView.sumCol(cc)) ok = false
-        sums += cc
+        val (canonical, sink) = fn.toUpperCase(Locale.ROOT) match {
+          case "SUM" => (IncrementalView.sumCol(cc), sums)
+          case "MIN" => (IncrementalView.minCol(cc), mins)
+          case _ => (IncrementalView.maxCol(cc), maxs)
+        }
+        if (alias != null && strip(alias) != canonical) ok = false
+        sink += cc
       case KeyRe(k) => keys += strip(k)
       case _ => ok = false
     }
     val ks = keys.result()
     if (ok && hasCount && ks.nonEmpty && ks.sorted == groupKeys.sorted)
-      Some((ks, sums.result()))
+      Some((ks, sums.result(), mins.result(), maxs.result()))
     else None
   }
 
@@ -145,16 +154,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case CreateMv(tgtIdent, loc, selectList, srcIdent, groupBy) =>
         (parts3(tgtIdent), parts3(srcIdent).flatMap(txTable),
             parseMvSelect(selectList, groupBy)) match {
-          case (Some(tp), Some((srcName, srcT)), Some((keys, sums))) =>
+          case (Some(tp), Some((srcName, srcT)), Some((keys, sums, mins, maxs))) =>
             val client = GraftSqlExtensions.clientFor(session).get
             val label = s"CREATE MATERIALIZED VIEW ${tp.mkString(".")} OVER $srcName " +
-              s"KEYS(${keys.mkString(",")}) SUMS(${sums.mkString(",")})"
+              s"KEYS(${keys.mkString(",")}) SUMS(${sums.mkString(",")}) " +
+              s"MINS(${mins.mkString(",")}) MAXS(${maxs.mkString(",")})"
             return GraftSqlDml.GraftDmlCommand(label) { () =>
               import graft.tables.IncrementalView
               IncrementalView.refresh(srcT, loc, keys, sums, createProperties = Map(
                 IncrementalView.SourceProp -> srcT.location,
                 IncrementalView.KeysProp -> keys.mkString(","),
-                IncrementalView.SumsProp -> sums.mkString(",")))
+                IncrementalView.SumsProp -> sums.mkString(","),
+                IncrementalView.MinsProp -> mins.mkString(","),
+                IncrementalView.MaxsProp -> maxs.mkString(",")),
+                minCols = mins, maxCols = maxs)
               client.registerAsTable(tp(0), tp(1), tp(2),
                 graft.catalog.FileType.DELTA, loc)
               ()
@@ -176,12 +189,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               val srcLoc = props.getOrElse(IncrementalView.SourceProp,
                 throw graft.catalog.UnsupportedOperationError(
                   s"$name is not a materialized view (no ${IncrementalView.SourceProp})"))
-              val keys = props.getOrElse(IncrementalView.KeysProp, "")
-                .split(",").toSeq.filter(_.nonEmpty)
-              val sums = props.getOrElse(IncrementalView.SumsProp, "")
+              def listProp(p: String) = props.getOrElse(p, "")
                 .split(",").toSeq.filter(_.nonEmpty)
               val src = TxTable.forAnyLocation(session, srcLoc)
-              val r = IncrementalView.refresh(src, viewT.location, keys, sums)
+              val r = IncrementalView.refresh(src, viewT.location,
+                listProp(IncrementalView.KeysProp), listProp(IncrementalView.SumsProp),
+                minCols = listProp(IncrementalView.MinsProp),
+                maxCols = listProp(IncrementalView.MaxsProp))
               Seq(org.apache.spark.sql.Row(r.mode, r.fromVersion, r.toVersion))
             }
           case None =>

@@ -44,9 +44,13 @@ import graft.catalog.UnsupportedOperationError
   * optimistic commit (the loser replans, sees the watermark, no-ops).
   *
   * Sum semantics: `sum_<c>` is `COALESCE(SUM(c), 0)` — null-coalesced so
-  * incremental addition is total. Min/max are NOT maintainable under
-  * deletes and are not offered; model them as separate append-only
-  * views if needed.
+  * incremental addition is total, in the SUM result's own type (exact
+  * long/decimal sums). Min/max columns (`min_<c>`/`max_<c>`) fold
+  * exactly under appends (LEAST/GREATEST, null-skipping) and in the
+  * initial/full modes; they are NOT maintainable under deletes
+  * (removing the extremum needs the runner-up the view never kept), so
+  * a view carrying them skips the CDF fast path and re-syncs on any
+  * non-append source commit.
   */
 object IncrementalView {
 
@@ -54,6 +58,8 @@ object IncrementalView {
   val CountCol = "n_rows"
 
   def sumCol(c: String): String = s"sum_$c"
+  def minCol(c: String): String = s"min_$c"
+  def maxCol(c: String): String = s"max_$c"
 
   /** View-definition properties the SQL surface stamps at CREATE so
     * REFRESH MATERIALIZED VIEW can re-derive the maintenance plan.
@@ -61,6 +67,8 @@ object IncrementalView {
   val SourceProp = "graft.mv.source"
   val KeysProp = "graft.mv.keys"
   val SumsProp = "graft.mv.sums"
+  val MinsProp = "graft.mv.mins"
+  val MaxsProp = "graft.mv.maxs"
 
   final case class Refresh(mode: String, fromVersion: Long, toVersion: Long)
 
@@ -73,14 +81,17 @@ object IncrementalView {
     * incremental deltas (over changed rows, possibly signed).
     */
   private def aggregate(rows: DataFrame, keys: Seq[String], sumCols: Seq[String],
-      sign: Option[Column]): DataFrame = {
+      sign: Option[Column], minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): DataFrame = {
     val s = sign.getOrElse(lit(1L))
     rows.groupBy(keys.map(col): _*).agg(
       sum(s).cast(LongType).as(CountCol),
       // the bare lit(0) coerces to the SUM's own result type, so integral
       // columns keep exact long/decimal sums (a double would silently
       // round past 2^53 and compound across refreshes)
-      sumCols.map(c => coalesce(sum(col(c) * s), lit(0)).as(sumCol(c))): _*)
+      (sumCols.map(c => coalesce(sum(col(c) * s), lit(0)).as(sumCol(c))) ++
+        minCols.map(c => min(col(c)).as(minCol(c))) ++
+        maxCols.map(c => max(col(c)).as(maxCol(c)))): _*)
   }
 
   /** Refresh the view at `viewLocation` from `source`, creating it on
@@ -91,7 +102,8 @@ object IncrementalView {
     */
   def refresh(source: TxTable, viewLocation: String, keys: Seq[String],
       sumCols: Seq[String],
-      createProperties: Map[String, String] = Map.empty): Refresh = {
+      createProperties: Map[String, String] = Map.empty,
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Refresh = {
     val spark = source.spark
     val appId = appIdFor(source.location)
     val to = source.version
@@ -101,7 +113,8 @@ object IncrementalView {
       if (!existing)
         // an empty view at the schema the merges expect; harmless on
         // concurrent/replayed creates (AlreadyExists loses the race)
-        try t.create(aggregate(source.toDF.limit(0), keys, sumCols, None),
+        try t.create(
+          aggregate(source.toDF.limit(0), keys, sumCols, None, minCols, maxCols),
           properties = createProperties)
         catch { case _: graft.catalog.AlreadyExistsError => () }
       t
@@ -112,10 +125,15 @@ object IncrementalView {
     val keyCond = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
     def updateSet(dn: String) = Map(
       CountCol -> s"t.`$CountCol` + s.`$dn`") ++
-      sumCols.map(c => sumCol(c) -> s"t.`${sumCol(c)}` + s.`${sumCol(c)}`")
+      sumCols.map(c => sumCol(c) -> s"t.`${sumCol(c)}` + s.`${sumCol(c)}`") ++
+      // Spark's LEAST/GREATEST skip nulls, so these are null-safe folds
+      minCols.map(c => minCol(c) -> s"LEAST(t.`${minCol(c)}`, s.`${minCol(c)}`)") ++
+      maxCols.map(c => maxCol(c) -> s"GREATEST(t.`${maxCol(c)}`, s.`${maxCol(c)}`)")
     def insertVals = (keys.map(k => k -> s"s.`$k`") :+
       (CountCol -> s"s.`$CountCol`")) ++
-      sumCols.map(c => sumCol(c) -> s"s.`${sumCol(c)}`")
+      sumCols.map(c => sumCol(c) -> s"s.`${sumCol(c)}`") ++
+      minCols.map(c => minCol(c) -> s"s.`${minCol(c)}`") ++
+      maxCols.map(c => maxCol(c) -> s"s.`${maxCol(c)}`")
 
     // a losing concurrent refresher is a NO-OP, not a crash: the winner's
     // merge rewrote view files, our replanned merge detects the conflict
@@ -136,7 +154,7 @@ object IncrementalView {
       // than replaying its commit history — a log whose early commits
       // were cleaned up after checkpointing (standard Delta retention)
       // replays incompletely but snapshots exactly
-      val fresh = aggregate(source.toDF(to), keys, sumCols, None)
+      val fresh = aggregate(source.toDF(to), keys, sumCols, None, minCols, maxCols)
       committing("initial") {
         view.merge(fresh, keyCond, "s", "t")
           .whenMatchedUpdateAll()
@@ -151,7 +169,7 @@ object IncrementalView {
       // range), and MERGE with zero source rows commits exactly that
       val delta = aggregate(
         source.changesSince(from, Some(to)).drop("_commit_version"),
-        keys, sumCols, None)
+        keys, sumCols, None, minCols, maxCols)
       committing("incremental") {
         view.merge(delta, keyCond, "s", "t")
           .whenMatchedUpdate(updateSet(CountCol))
@@ -159,7 +177,10 @@ object IncrementalView {
           .withTransaction(appId, to)
           .execute()
       }
-    } else if (cdfSource) {
+    } else if (cdfSource && minCols.isEmpty && maxCols.isEmpty) {
+      // min/max are NOT self-maintainable under deletes (removing the
+      // current extremum needs the runner-up, which the view never kept)
+      // — views carrying them fall through to the full re-sync instead
       // exact signed delta from the row-level change feed — note
       // tableChanges is INCLUSIVE-from (CDF convention) where
       // changesSince is exclusive-from, so start one past the watermark
@@ -181,7 +202,7 @@ object IncrementalView {
       // non-append history without CDF: one full re-sync merge converges
       // the view to the fresh aggregate — O(source scan), the price of a
       // rewriting source without a row-level feed
-      val fresh = aggregate(source.toDF(to), keys, sumCols, None)
+      val fresh = aggregate(source.toDF(to), keys, sumCols, None, minCols, maxCols)
       committing("full") {
         view.merge(fresh, keyCond, "s", "t")
           .whenMatchedUpdateAll()

@@ -49,6 +49,35 @@ class GraftSqlMvSpec extends AnyFunSuite {
     assert(spark.sql("REFRESH MATERIALIZED VIEW mvsql.s.v").collect()(0).getString(0) == "noop")
   }
 
+  test("MIN/MAX columns fold under appends and force re-sync on deletes") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("mvsql3")
+    client.createSchema("mvsql3", "s")
+    val dir = TestSpark.tmpDir("mv-sql3")
+    client.createAsTable(
+      Seq(("a", 5L), ("a", 2L), ("b", 10L)).toDF("k", "v"),
+      "mvsql3", "s", "src", FileType.DELTA, s"$dir/src")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvsql3.s.v LOCATION '$dir/v' AS
+         SELECT k, COUNT(*) AS n_rows, MIN(v) AS min_v, MAX(v) AS max_v
+         FROM mvsql3.s.src GROUP BY k""")
+    def rows() = spark.sql("SELECT k, n_rows, min_v, max_v FROM mvsql3.s.v ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows() == Seq(("a", 2L, 2L, 5L), ("b", 1L, 10L, 10L)))
+
+    // append widens extrema incrementally (LEAST/GREATEST fold)
+    spark.sql("INSERT INTO mvsql3.s.src VALUES ('a', 1), ('a', 9)")
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvsql3.s.v").collect()(0).getString(0) ==
+      "incremental")
+    assert(rows() == Seq(("a", 4L, 1L, 9L), ("b", 1L, 10L, 10L)))
+
+    // deleting the current minimum needs the runner-up -> full re-sync
+    spark.sql("DELETE FROM mvsql3.s.src WHERE v = 1")
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvsql3.s.v").collect()(0).getString(0) ==
+      "full")
+    assert(rows() == Seq(("a", 3L, 2L, 9L), ("b", 1L, 10L, 10L)))
+  }
+
   test("mis-shapen select lists fall through to Spark's own parser error") {
     val client = new LakehouseClient(spark)
     client.createCatalog("mvsql2")
@@ -56,11 +85,12 @@ class GraftSqlMvSpec extends AnyFunSuite {
     val dir = TestSpark.tmpDir("mv-sql2")
     client.createAsTable(Seq(("a", 1L)).toDF("k", "v"),
       "mvsql2", "s", "src", FileType.DELTA, s"$dir/src")
-    // MIN is not self-maintainable: not our grammar -> Spark rejects the
-    // statement (it has no MATERIALIZED VIEW support of its own)
+    // AVG is not stored directly (it is sum/count on read): not our
+    // grammar -> Spark rejects the statement (it has no MATERIALIZED
+    // VIEW support of its own)
     intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW mvsql2.s.v LOCATION '$dir/v' AS
-         SELECT k, COUNT(*), MIN(v) FROM mvsql2.s.src GROUP BY k"""))
+         SELECT k, COUNT(*), AVG(v) FROM mvsql2.s.src GROUP BY k"""))
     // REFRESH of a non-MV catalog table raises the typed error
     intercept[graft.catalog.UnsupportedOperationError](
       spark.sql("REFRESH MATERIALIZED VIEW mvsql2.s.src").collect())
