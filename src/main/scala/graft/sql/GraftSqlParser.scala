@@ -50,6 +50,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // DESCRIBE HISTORY cat.sch.t (Delta's utility; not in Spark's grammar)
   private val DescHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  // RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+  private val Restore =
+    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+""" +
+      """(?:(\d+)|'([^']+)')\s*;?\s*""").r
+  // SHOW PARTITIONS cat.sch.t — metadata-only partition stats
+  private val ShowParts =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*""".r
 
   /** Validate + split the MV select list into (keys, sum columns, min
     * columns, max columns). None -> not our shape, delegate (and its
@@ -215,6 +222,51 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               t.describeHistory.collect().toSeq
             }
           case None => // not a catalog table — Spark's DESCRIBE handles it
+        }
+      case _ =>
+    }
+    else if (head.startsWith("RESTORE ")) sqlText match {
+      case Restore(ident, kind, ver, ts) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftQueryCommand(
+              s"RESTORE TABLE $name TO ${kind.toUpperCase(Locale.ROOT)} AS OF " +
+                Option(ver).getOrElse(s"'$ts'"),
+              Seq(AttributeReference("table_version", LongType, nullable = false)())) { () =>
+              if (kind.equalsIgnoreCase("VERSION")) t.restore(ver.toLong)
+              else {
+                // accept 'yyyy-MM-dd[ HH:mm:ss[.f]]' like the timestamp
+                // travel syntax
+                val s = ts.trim
+                val full = if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
+                  else s + " 00:00:00"
+                t.restoreToTimestamp(java.sql.Timestamp.valueOf(full).getTime)
+              }
+              Seq(org.apache.spark.sql.Row(t.version))
+            }
+          case None =>
+        }
+      case _ =>
+    }
+    else if (head.startsWith("SHOW PART")) sqlText match {
+      case ShowParts(ident) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftQueryCommand(s"SHOW PARTITIONS $name",
+              Seq(AttributeReference("partition", StringType, nullable = false)(),
+                AttributeReference("n_rows", LongType, nullable = false)(),
+                AttributeReference("n_files", LongType, nullable = false)(),
+                AttributeReference("size_bytes", LongType, nullable = false)())) { () =>
+              // metadata-only: counts come from the log (minus DV
+              // cardinalities), zero Spark jobs
+              t.partitionStats().toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
+                .map { case (pv, st) =>
+                  val rendered = pv.toSeq.sortBy(_._1)
+                    .map { case (k, v) => s"$k=$v" }.mkString("/")
+                  org.apache.spark.sql.Row(rendered, st.rowCount, st.fileCount, st.sizeBytes)
+                }
+            }
+          case None => // not a catalog table — Spark's SHOW PARTITIONS
         }
       case _ =>
     }

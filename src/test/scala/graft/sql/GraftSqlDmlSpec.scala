@@ -299,4 +299,28 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(out.toSeq == Seq((2L, 0.0), (3L, 30.0)))
   }
+
+  test("RESTORE TABLE TO VERSION AS OF rewinds in place") {
+    freshTable("dml13", FileType.DELTA)                       // v0: ids 1,2
+    spark.sql("INSERT INTO dml13.s.t VALUES (3, 'c', 30.0)")  // v1
+    spark.sql("DELETE FROM dml13.s.t WHERE id = 1")           // v2
+    assert(spark.sql("SELECT COUNT(*) FROM dml13.s.t").collect()(0).getLong(0) == 2)
+    val restored = spark.sql("RESTORE TABLE dml13.s.t TO VERSION AS OF 1").collect()(0)
+    assert(restored.getLong(0) == 3L, "restore itself commits a new version")
+    assert(spark.sql("SELECT id FROM dml13.s.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("SHOW PARTITIONS reports metadata-only per-tuple stats") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("dml14")
+    client.createSchema("dml14", "s")
+    val dir = graft.TestSpark.tmpDir("sql-showparts")
+    client.createAsTable(
+      Seq((1L, "p1"), (2L, "p1"), (3L, "p2")).toDF("id", "pt"),
+      "dml14", "s", "t", FileType.DELTA, s"$dir/t", partitionColumns = Seq("pt"))
+    val rows = spark.sql("SHOW PARTITIONS dml14.s.t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("pt=p1", 2L), ("pt=p2", 1L)), rows.toString)
+  }
 }
