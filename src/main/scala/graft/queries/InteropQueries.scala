@@ -1096,6 +1096,37 @@ object InteropQueries {
         FROM lineitem WHERE l_orderkey % 10 <> 0
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q124: DESCRIBE HISTORY pins the audit trail ----
+    // A scripted table lifecycle (create, SQL INSERT, SQL DELETE, SQL
+    // OPTIMIZE ZORDER) read back through SQL DESCRIBE HISTORY; only the
+    // deterministic columns (version, operation) are emitted, against a
+    // literal oracle — the hash breaks if an operation mislabels, a
+    // commit is skipped, or maintenance self-triggers extra versions.
+    QueryDef(
+      "q124_describe_history",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q124cat")
+        client.createSchema("q124cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q124-hist").toString + "/t"
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .filter(col("l_linenumber") === 1)
+        new graft.tables.TxTable(s, loc).create(li)                 // v0 CREATE
+        client.registerAsTable("q124cat", "s", "t",
+          graft.catalog.FileType.DELTA, loc)
+        s.sql("INSERT INTO q124cat.s.t VALUES (999999999, 1)")      // v1 APPEND
+        s.sql("DELETE FROM q124cat.s.t WHERE l_quantity > 45")      // v2 DELETE
+        s.sql("OPTIMIZE q124cat.s.t ZORDER BY (l_orderkey)")        // v3 ZORDER
+        s.sql("DESCRIBE HISTORY q124cat.s.t")
+          .select(col("version"), col("operation"))
+          .orderBy(col("version"))
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(0 AS BIGINT), 'CREATE'), (1, 'APPEND'),
+          (2, 'DELETE'), (3, 'ZORDER')) AS t(version, operation)
+        ORDER BY version""")),
+
     // ---- q119: SHALLOW CLONE of an ICEBERG table pins a state ----
     // The source is an Iceberg v2 table mutated merge-on-read (DELETE →
     // position-delete snapshot, never a rewrite). The clone is a
