@@ -1127,6 +1127,44 @@ object InteropQueries {
           (2, 'DELETE'), (3, 'ZORDER')) AS t(version, operation)
         ORDER BY version""")),
 
+    // ---- q125: STREAMING materialized-view maintenance ----
+    // maintainView drives IncrementalView from the TxTable streaming
+    // source: two AvailableNow runs bracket a source append, so the
+    // second trigger must fold ONLY the new commit (the stream is the
+    // commit signal; refresh reads the unapplied range under its own
+    // watermark). The oracle recomputes the final aggregate — the hash
+    // breaks if a trigger double-folds, misses the append, or the
+    // checkpoint and view watermark disagree.
+    QueryDef(
+      "q125_streaming_mv",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q125-smv").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("double").as("l_quantity"))
+        val src = new graft.tables.TxTable(s, s"$loc/src")
+        src.create(li.filter(col("l_linenumber") <= 2))
+        def runOnce(): Unit = {
+          val q = graft.streaming.StreamOps.maintainView(s, s"$loc/src",
+            s"$loc/mv", Seq("l_returnflag"), Seq("l_quantity"), s"$loc/ckpt")
+          q.awaitTermination(120000)
+          q.stop()
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (s.streams.active.nonEmpty && System.nanoTime() < deadline)
+            Thread.sleep(50)
+        }
+        runOnce()
+        src.append(li.filter(col("l_linenumber") > 2))
+        runOnce()
+        graft.tables.TxTable.forLocation(s, s"$loc/mv").toDF
+          .select(col("l_returnflag"), col("n_rows"),
+            col("sum_l_quantity").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- q119: SHALLOW CLONE of an ICEBERG table pins a state ----
     // The source is an Iceberg v2 table mutated merge-on-read (DELETE →
     // position-delete snapshot, never a rewrite). The clone is a
