@@ -1165,6 +1165,39 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- q126: CONVERT TO DELTA migrates parquet in place ----
+    // A hive-partitioned parquet directory written by plain Spark gains
+    // a real _delta_log via SQL CONVERT (zero bytes copied), registers
+    // in the catalog, and takes a transactional DELETE. The grouping key
+    // IS the partition column, so the hash breaks if conversion drops or
+    // duplicates files, mis-parses partition values from the layout, or
+    // the post-convert write surface misbehaves.
+    QueryDef(
+      "q126_convert_to_delta",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q126cat")
+        client.createSchema("q126cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q126-convert").toString + "/t"
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"))
+          .filter(col("l_linenumber") === 1)
+          .write.partitionBy("l_returnflag").parquet(loc)
+        s.sql(s"CONVERT TO DELTA parquet.`$loc`")
+        client.registerAsTable("q126cat", "s", "t", graft.catalog.FileType.DELTA, loc)
+        s.sql("DELETE FROM q126cat.s.t WHERE l_quantity > 40")
+        s.sql("SELECT * FROM q126cat.s.t")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem WHERE l_linenumber = 1 AND l_quantity <= 40
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- q119: SHALLOW CLONE of an ICEBERG table pins a state ----
     // The source is an Iceberg v2 table mutated merge-on-read (DELETE →
     // position-delete snapshot, never a rewrite). The clone is a

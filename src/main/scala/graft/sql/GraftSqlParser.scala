@@ -57,6 +57,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // SHOW PARTITIONS cat.sch.t — metadata-only partition stats
   private val ShowParts =
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*""".r
+  // CONVERT TO DELTA parquet.`/path` — in-place zero-copy migration
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*""".r
 
   /** Validate + split the MV select list into (keys, sum columns, min
     * columns, max columns). None -> not our shape, delegate (and its
@@ -267,6 +270,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 }
             }
           case None => // not a catalog table — Spark's SHOW PARTITIONS
+        }
+      case _ =>
+    }
+    else if (head.startsWith("CONVERT T")) sqlText match {
+      case ConvertRe(path) =>
+        return GraftSqlDml.GraftQueryCommand(s"CONVERT TO DELTA parquet.`$path`",
+          Seq(AttributeReference("files_converted", LongType, nullable = false)())) { () =>
+          val t = graft.tables.Convert.parquetToDelta(session, path)
+          Seq(org.apache.spark.sql.Row(t.snapshot.files.size.toLong))
         }
       case _ =>
     }

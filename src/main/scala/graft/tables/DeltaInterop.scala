@@ -1576,7 +1576,7 @@ object DeltaLogWriter {
   def createFromFiles(spark: SparkSession, location: String,
       schema: org.apache.spark.sql.types.StructType, partitionColumns: Seq[String],
       properties: Map[String, String], added: Seq[TxLog.AddFile],
-      sourceRowIdHighWaterMark: Long = -1L): Unit = {
+      sourceRowIdHighWaterMark: Long = -1L, operation: String = "CLONE"): Unit = {
     if (DeltaLog.isDeltaTable(spark, location))
       throw graft.catalog.AlreadyExistsError(s"Delta table already exists at $location")
     val meta = JsonMethods.compact(JsonMethods.render(JObject("metaData" -> JObject(
@@ -1594,7 +1594,7 @@ object DeltaLogWriter {
     val commitInfo = JsonMethods.compact(JsonMethods.render(JObject("commitInfo" -> JObject(
       List[(String, JValue)](
         "timestamp" -> JLong(System.currentTimeMillis()),
-        "operation" -> JString("CLONE"),
+        "operation" -> JString(operation),
         "operationParameters" -> JObject()) ++ ictField))))
     // row-tracked sources: cloned adds KEEP their baseRowId (lineage
     // continuity — the point of cloning metadata, not data), but the new

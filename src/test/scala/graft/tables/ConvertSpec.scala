@@ -1,0 +1,67 @@
+package graft.tables
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.UnsupportedOperationError
+
+/** CONVERT TO DELTA: a plain parquet directory gains a real _delta_log
+  * in place — zero bytes copied, full write surface afterwards.
+  */
+class ConvertSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("unpartitioned parquet dir converts; reads and writes work after") {
+    val loc = TestSpark.tmpDir("convert-flat") + "/t"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .repartition(2).write.parquet(loc)
+    val before = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    val t = Convert.parquetToDelta(spark, loc)
+    assert(DeltaLog.isDeltaTable(spark, loc), "a real _delta_log must exist")
+    // zero-copy: the SAME files, referenced relatively
+    assert(t.snapshot.files.map(_.path).toSet == before)
+    assert(t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+
+    // the converted table has the full write surface
+    t.append(Seq((4L, "d")).toDF("id", "s"))
+    t.delete("id = 1")
+    assert(t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    // rows were unknown at convert time; countRows scans stat-less files
+    assert(t.countRows() == 3L)
+  }
+
+  test("hive-partitioned dir: partition values parse from the layout and prune") {
+    val loc = TestSpark.tmpDir("convert-hive") + "/t"
+    Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p2"))
+      .toDF("id", "s", "pt").write.partitionBy("pt").parquet(loc)
+
+    val t = Convert.parquetToDelta(spark, loc)
+    assert(t.snapshot.partitionColumns == Seq("pt"))
+    assert(t.snapshot.files.forall(a => a.partitionValues.contains("pt")))
+    assert(t.toDF.filter("pt = 'p2'").collect().map(_.getLong(0)).toSeq.sorted ==
+      Seq(2L, 3L))
+    // selective partition overwrite works on the converted table
+    t.replaceWhere(Seq((9L, "w", "p1")).toDF("id", "s", "pt"), "pt = 'p1'")
+    assert(t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 9L))
+  }
+
+  test("SQL: CONVERT TO DELTA parquet.`path` reports the file count") {
+    val loc = TestSpark.tmpDir("convert-sql") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(2).write.parquet(loc)
+    val n = spark.sql(s"CONVERT TO DELTA parquet.`$loc`").collect()(0).getLong(0)
+    assert(n == 2L)
+    assert(DeltaLog.isDeltaTable(spark, loc))
+  }
+
+  test("guards: already-transactional locations and empty dirs refuse") {
+    val loc = TestSpark.tmpDir("convert-guard") + "/t"
+    new TxTable(spark, loc).create(Seq((1L, "a")).toDF("id", "s"))
+    intercept[graft.catalog.AlreadyExistsError](Convert.parquetToDelta(spark, loc))
+    val empty = TestSpark.tmpDir("convert-empty")
+    intercept[UnsupportedOperationError](Convert.parquetToDelta(spark, empty))
+  }
+}
