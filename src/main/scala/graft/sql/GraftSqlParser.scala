@@ -50,10 +50,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // DESCRIBE HISTORY cat.sch.t (Delta's utility; not in Spark's grammar)
   private val DescHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
-  // RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+  // RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts' —
+  // each kind is tied to ITS value form (a quoted version or a bare
+  // timestamp must fail to parse, not NPE at execution)
   private val Restore =
-    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+""" +
-      """(?:(\d+)|'([^']+)')\s*;?\s*""").r
+    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+""" +
+      """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""").r
   // SHOW PARTITIONS cat.sch.t — metadata-only partition stats
   private val ShowParts =
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*""".r
@@ -229,21 +231,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case _ =>
     }
     else if (head.startsWith("RESTORE ")) sqlText match {
-      case Restore(ident, kind, ver, ts) =>
+      case Restore(ident, ver, ts) =>
         parts3(ident).flatMap(txTable) match {
           case Some((name, t)) =>
             return GraftSqlDml.GraftQueryCommand(
-              s"RESTORE TABLE $name TO ${kind.toUpperCase(Locale.ROOT)} AS OF " +
-                Option(ver).getOrElse(s"'$ts'"),
+              s"RESTORE TABLE $name TO " +
+                Option(ver).map(v => s"VERSION AS OF $v")
+                  .getOrElse(s"TIMESTAMP AS OF '$ts'"),
               Seq(AttributeReference("table_version", LongType, nullable = false)())) { () =>
-              if (kind.equalsIgnoreCase("VERSION")) t.restore(ver.toLong)
+              if (ver != null) t.restore(ver.toLong)
               else {
-                // accept 'yyyy-MM-dd[ HH:mm:ss[.f]]' like the timestamp
-                // travel syntax
-                val s = ts.trim
-                val full = if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
-                  else s + " 00:00:00"
-                t.restoreToTimestamp(java.sql.Timestamp.valueOf(full).getTime)
+                // 'yyyy-MM-dd[ HH:mm:ss[.f]]', resolved in the SESSION
+                // timezone — the same instant the timestamp-travel
+                // syntax targets (the JVM default zone may differ)
+                val s = ts.trim.replace(" ", "T")
+                val full = if (s.contains("T")) s else s + "T00:00:00"
+                val zone = java.time.ZoneId.of(
+                  session.sessionState.conf.sessionLocalTimeZone)
+                t.restoreToTimestamp(java.time.LocalDateTime.parse(full)
+                  .atZone(zone).toInstant.toEpochMilli)
               }
               Seq(org.apache.spark.sql.Row(t.version))
             }

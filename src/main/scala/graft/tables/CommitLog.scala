@@ -127,15 +127,15 @@ private[tables] object PartitionLookup {
       partitionColumns: Seq[String], files: Seq[AddFile],
       withMeta: Boolean): DataFrame = {
     val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+    // shared by both plan shapes below
+    val metaSel: Seq[Column] =
+      if (withMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
+        col("_metadata.row_index").as(DeltaLog.RowMetaCol))
+      else Seq.empty
+    val metaNames = if (withMeta) Seq(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol) else Seq.empty
     val byTuple = files.groupBy(_.partitionValues)
     if (files.nonEmpty && byTuple.size <= UnionFanoutMax)
       return byTuple.toSeq.map { case (pv, fs) =>
-        val metaSel: Seq[Column] =
-          if (withMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
-            col("_metadata.row_index").as(DeltaLog.RowMetaCol))
-          else Seq.empty
-        val metaNames = if (withMeta) Seq(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
-          else Seq.empty
         spark.read.schema(dataSchema)
           .parquet(fs.map(f => TxLog.resolve(location, f.path)): _*)
           .select(dataSchema.fieldNames.map(col).toIndexedSeq ++ metaSel: _*)
@@ -162,11 +162,6 @@ private[tables] object PartitionLookup {
     }
     val lookup = spark.createDataFrame(
       spark.sparkContext.parallelize(lookupRows, 1), lookupSchema)
-    val metaSel: Seq[Column] =
-      if (withMeta) Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
-        col("_metadata.row_index").as(DeltaLog.RowMetaCol))
-      else Seq.empty
-    val metaNames = if (withMeta) Seq(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol) else Seq.empty
     // _metadata must resolve against the scan, so project it (and the
     // join key) BEFORE the join
     val scan = spark.read.schema(dataSchema)

@@ -53,15 +53,16 @@ object Convert {
       val pStr = f.makeQualified(p).toUri.getPath
       pStr.stripPrefix(rootStr).stripPrefix("/")
     }
-    // partition values from the k=v directory segments; values are
-    // URL-decoded the way hive writers encode them, and the hive null
+    // partition values from the k=v directory segments, %xx-unescaped
+    // the way hive writers escape them (NOT URLDecoder: hive leaves '+'
+    // literal, URLDecoder would turn it into a space); the hive null
     // sentinel maps to an ABSENT entry (Delta's null partition value)
     def tupleOf(rel: String): Seq[(String, Option[String])] =
       rel.split('/').dropRight(1).toSeq.flatMap { seg =>
         val i = seg.indexOf('=')
         if (i <= 0) None
         else {
-          val v = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+          val v = TxLog.unescapePathName(seg.substring(i + 1))
           Some(seg.substring(0, i) ->
             (if (v == HiveNullPartition) None else Some(v)))
         }
@@ -73,9 +74,28 @@ object Convert {
         s"CONVERT TO DELTA: inconsistent partition layout — '$r' does not follow " +
           s"[${partCols.mkString(", ")}]")
     }
-    // schema via Spark's own discovery: data columns from the footers,
-    // partition columns typed from the directory values
-    val schema = spark.read.parquet(location).schema
+    // data-column schema from the footers of the files ALREADY listed —
+    // reading by explicit paths avoids a second recursive listing of the
+    // tree (the dominant metadata cost on object stores). Partition
+    // column types are inferred from the parsed values: all-integral →
+    // long, all-numeric → double, else string (declare-your-own-schema
+    // callers can ALTER afterwards; Delta stores the values as strings
+    // either way).
+    val dataSchema = spark.read
+      .parquet(rels.map(_._1.getPath.toString): _*).schema
+    val partFields = partCols.map { c =>
+      val vs = rels.flatMap { case (_, r) =>
+        tupleOf(r).collectFirst { case (`c`, Some(v)) => v }
+      }
+      val dt: org.apache.spark.sql.types.DataType =
+        if (vs.nonEmpty && vs.forall(_.toLongOption.isDefined))
+          org.apache.spark.sql.types.LongType
+        else if (vs.nonEmpty && vs.forall(_.toDoubleOption.isDefined))
+          org.apache.spark.sql.types.DoubleType
+        else org.apache.spark.sql.types.StringType
+      org.apache.spark.sql.types.StructField(c, dt, nullable = true)
+    }
+    val schema = org.apache.spark.sql.types.StructType(dataSchema.fields ++ partFields)
     val adds = rels.map { case (st, rel) =>
       TxLog.AddFile(rel,
         tupleOf(rel).collect { case (k, Some(v)) => k -> v }.toMap,

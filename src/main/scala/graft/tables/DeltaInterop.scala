@@ -1218,8 +1218,13 @@ object DeltaLogWriter {
         k -> jv
       }
     })
-    val base = List[(String, JValue)](
-      "numRecords" -> JLong(math.max(0L, a.rows)),
+    // rows < 0 means UNKNOWN (a CONVERTed file no one has counted yet):
+    // numRecords must be ABSENT, not clamped to 0 — a written zero reads
+    // back as a known-empty file and every stats consumer (countRows,
+    // SHOW PARTITIONS, external engines' stats-based count(*)) lies
+    val base = (if (a.rows < 0) Nil
+      else List[(String, JValue)]("numRecords" -> JLong(a.rows))) ++
+      List[(String, JValue)](
       "minValues" -> typed(a.minValues.getOrElse(Map.empty)),
       "maxValues" -> typed(a.maxValues.getOrElse(Map.empty)),
       "nullCount" -> JObject(a.nullCounts.getOrElse(Map.empty).toList.map {

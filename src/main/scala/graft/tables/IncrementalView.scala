@@ -119,21 +119,33 @@ object IncrementalView {
         catch { case _: graft.catalog.AlreadyExistsError => () }
       t
     }
-    val from = view.latestTxnVersion(appId).getOrElse(-1L)
+    // a STAMPED definition (SQL CREATE records it in the view's
+    // properties) is authoritative: a maintainer passing a narrower list
+    // — e.g. a streaming maintainView wired up before min/max columns
+    // were added to the view — must not silently stop maintaining them
+    val vSnap = view.snapshot
+    def stampedList(p: String) = vSnap.properties.getOrElse(p, "")
+      .split(",").toSeq.filter(_.nonEmpty)
+    val (ks, sums, mins, maxs) =
+      if (vSnap.properties.contains(KeysProp))
+        (stampedList(KeysProp), stampedList(SumsProp),
+          stampedList(MinsProp), stampedList(MaxsProp))
+      else (keys, sumCols, minCols, maxCols)
+    val from = vSnap.transactions.getOrElse(appId, -1L)
     if (to <= from) return Refresh("noop", from, to)
 
-    val keyCond = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+    val keyCond = ks.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
     def updateSet(dn: String) = Map(
       CountCol -> s"t.`$CountCol` + s.`$dn`") ++
-      sumCols.map(c => sumCol(c) -> s"t.`${sumCol(c)}` + s.`${sumCol(c)}`") ++
+      sums.map(c => sumCol(c) -> s"t.`${sumCol(c)}` + s.`${sumCol(c)}`") ++
       // Spark's LEAST/GREATEST skip nulls, so these are null-safe folds
-      minCols.map(c => minCol(c) -> s"LEAST(t.`${minCol(c)}`, s.`${minCol(c)}`)") ++
-      maxCols.map(c => maxCol(c) -> s"GREATEST(t.`${maxCol(c)}`, s.`${maxCol(c)}`)")
-    def insertVals = (keys.map(k => k -> s"s.`$k`") :+
+      mins.map(c => minCol(c) -> s"LEAST(t.`${minCol(c)}`, s.`${minCol(c)}`)") ++
+      maxs.map(c => maxCol(c) -> s"GREATEST(t.`${maxCol(c)}`, s.`${maxCol(c)}`)")
+    def insertVals = (ks.map(k => k -> s"s.`$k`") :+
       (CountCol -> s"s.`$CountCol`")) ++
-      sumCols.map(c => sumCol(c) -> s"s.`${sumCol(c)}`") ++
-      minCols.map(c => minCol(c) -> s"s.`${minCol(c)}`") ++
-      maxCols.map(c => maxCol(c) -> s"s.`${maxCol(c)}`")
+      sums.map(c => sumCol(c) -> s"s.`${sumCol(c)}`") ++
+      mins.map(c => minCol(c) -> s"s.`${minCol(c)}`") ++
+      maxs.map(c => maxCol(c) -> s"s.`${maxCol(c)}`")
 
     // a losing concurrent refresher is a NO-OP, not a crash: the winner's
     // merge rewrote view files, our replanned merge detects the conflict
@@ -154,7 +166,7 @@ object IncrementalView {
       // than replaying its commit history — a log whose early commits
       // were cleaned up after checkpointing (standard Delta retention)
       // replays incompletely but snapshots exactly
-      val fresh = aggregate(source.toDF(to), keys, sumCols, None, minCols, maxCols)
+      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs)
       committing("initial") {
         view.merge(fresh, keyCond, "s", "t")
           .whenMatchedUpdateAll()
@@ -169,7 +181,7 @@ object IncrementalView {
       // range), and MERGE with zero source rows commits exactly that
       val delta = aggregate(
         source.changesSince(from, Some(to)).drop("_commit_version"),
-        keys, sumCols, None, minCols, maxCols)
+        ks, sums, None, mins, maxs)
       committing("incremental") {
         view.merge(delta, keyCond, "s", "t")
           .whenMatchedUpdate(updateSet(CountCol))
@@ -177,7 +189,7 @@ object IncrementalView {
           .withTransaction(appId, to)
           .execute()
       }
-    } else if (cdfSource && minCols.isEmpty && maxCols.isEmpty) {
+    } else if (cdfSource && mins.isEmpty && maxs.isEmpty) {
       // min/max are NOT self-maintainable under deletes (removing the
       // current extremum needs the runner-up, which the view never kept)
       // — views carrying them fall through to the full re-sync instead
@@ -188,7 +200,7 @@ object IncrementalView {
       val sign = when(col(DeltaCdf.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
       val delta = aggregate(
-        ch.withColumn("__sign", sign), keys, sumCols, Some(col("__sign")))
+        ch.withColumn("__sign", sign), ks, sums, Some(col("__sign")))
       committing("cdf") {
         view.merge(delta, keyCond, "s", "t")
           // a group folded to zero rows leaves the view entirely
@@ -202,7 +214,7 @@ object IncrementalView {
       // non-append history without CDF: one full re-sync merge converges
       // the view to the fresh aggregate — O(source scan), the price of a
       // rewriting source without a row-level feed
-      val fresh = aggregate(source.toDF(to), keys, sumCols, None, minCols, maxCols)
+      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs)
       committing("full") {
         view.merge(fresh, keyCond, "s", "t")
           .whenMatchedUpdateAll()

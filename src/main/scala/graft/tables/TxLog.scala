@@ -506,7 +506,7 @@ object TxLog {
     }.toMap
   }
 
-  private def unescapePathName(s: String): String = {
+  private[tables] def unescapePathName(s: String): String = {
     // hive-style %xx unescaping, as Spark's ExternalCatalogUtils does
     val sb = new StringBuilder
     var i = 0

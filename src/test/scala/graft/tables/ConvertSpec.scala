@@ -25,6 +25,12 @@ class ConvertSpec extends AnyFunSuite {
     // zero-copy: the SAME files, referenced relatively
     assert(t.snapshot.files.map(_.path).toSet == before)
     assert(t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // converted adds carry UNKNOWN row counts (-1), never a false 0 —
+    // countRows must scan the stat-less files and answer 3 BEFORE any
+    // rewrite backfills stats
+    assert(t.snapshot.files.forall(_.rows == -1L),
+      s"unknown counts must read back unknown, got ${t.snapshot.files.map(_.rows)}")
+    assert(t.countRows() == 3L)
 
     // the converted table has the full write surface
     t.append(Seq((4L, "d")).toDF("id", "s"))
@@ -38,15 +44,20 @@ class ConvertSpec extends AnyFunSuite {
     val loc = TestSpark.tmpDir("convert-hive") + "/t"
     Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p2"))
       .toDF("id", "s", "pt").write.partitionBy("pt").parquet(loc)
+    // a literal '+' survives conversion (hive escaping leaves it alone;
+    // URL-decoding would corrupt it to a space)
+    Seq((4L, "w", "a+b")).toDF("id", "s", "pt")
+      .write.mode("append").partitionBy("pt").parquet(loc)
 
     val t = Convert.parquetToDelta(spark, loc)
     assert(t.snapshot.partitionColumns == Seq("pt"))
     assert(t.snapshot.files.forall(a => a.partitionValues.contains("pt")))
     assert(t.toDF.filter("pt = 'p2'").collect().map(_.getLong(0)).toSeq.sorted ==
       Seq(2L, 3L))
+    assert(t.toDF.filter("pt = 'a+b'").collect().map(_.getLong(0)).toSeq == Seq(4L))
     // selective partition overwrite works on the converted table
     t.replaceWhere(Seq((9L, "w", "p1")).toDF("id", "s", "pt"), "pt = 'p1'")
-    assert(t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 9L))
+    assert(t.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 9L))
   }
 
   test("SQL: CONVERT TO DELTA parquet.`path` reports the file count") {
