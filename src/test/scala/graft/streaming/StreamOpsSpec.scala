@@ -591,6 +591,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(corpusIds() == Seq(1L, 2L, 11L, 12L))
   }
 
+  test("dedupIngest onto an existing Iceberg corpus appends into it, never shadows it") {
+    import spark.implicits._
+    def doc(seed: String): String =
+      (1 to 30).map(i => s"$seed token$i word${i % 7}").mkString(" ")
+    val corpusLoc = TestSpark.tmpDir("ingest-ice-corpus") + "/c"
+    val idxLoc = TestSpark.tmpDir("ingest-ice-index") + "/i"
+    val ckpt = TestSpark.tmpDir("ingest-ice-ckpt")
+    graft.tables.IcebergWriter.create(spark, corpusLoc,
+      Seq((1L, doc("alpha"))).toDF("doc_id", "text"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((10L, doc("alpha")), (11L, doc("beta"))) // one dup, one fresh
+    val q = StreamOps.dedupIngest(input.toDF().toDF("doc_id", "text"),
+      corpusLoc, idxLoc, ckpt)
+    q.awaitTermination(120000)
+    q.stop()
+
+    assert(!graft.tables.TxLog.exists(spark, corpusLoc),
+      "a native log was created over the Iceberg corpus")
+    assert(TxTable.forAnyLocation(spark, corpusLoc).toDF
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 11L))
+  }
+
   test("CDC apply onto an existing Iceberg table merges into it, never shadows it") {
     import spark.implicits._
     val tbl = TestSpark.tmpDir("cdc-ice") + "/t"
