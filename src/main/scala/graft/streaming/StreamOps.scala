@@ -213,15 +213,9 @@ object StreamOps {
               vsCorpus, idCol, textCol, threshold = threshold)
               .select(col("id_b").as(idCol)).distinct()
             val fresh = vsCorpus.join(selfDups, Seq(idCol), "left_anti")
-            if (corpus.log == graft.tables.IcebergCommitLog)
-              // the Iceberg log has no SetTransaction; a plain append is
-              // still replay-safe HERE because the index is the
-              // idempotence mechanism: a crash after this append leaves
-              // it as a corpus commit the NEXT trigger's leading
-              // DedupIndex.refresh folds in, so the replayed batch's
-              // documents are already indexed and filterNew drops them
-              corpus.append(fresh)
-            else corpus.appendIdempotent(fresh, id, batchId)
+            // exactly-once on all three logs (Iceberg encodes the
+            // SetTransaction watermark as an atomic metadata property)
+            corpus.appendIdempotent(fresh, id, batchId)
             graft.ext.DedupIndex.refresh(corpus, indexLocation, idCol, textCol)
           } finally vsCorpus.unpersist()
         } finally batch.unpersist()

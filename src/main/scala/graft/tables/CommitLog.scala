@@ -431,10 +431,21 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
 private[graft] object IcebergCommitLog extends CommitLog {
   private implicit val formats: Formats = DefaultFormats
 
+  /** Metadata-property prefix encoding SetTransaction watermarks (the
+    * Iceberg format has no txn action; the property rides the atomic
+    * metadata swap — see tryCommit).
+    */
+  private[tables] val TxnPropPrefix = "graft.txn."
+
   def snapshot(spark: SparkSession, location: String, asOfVersion: Option[Long]): Snapshot = {
     val st = IcebergLog.stateAt(spark, location, asOfVersion)
+    val allProps = IcebergLog.propertiesOf(st.meta)
+    val (txnProps, userProps) = allProps.partition(_._1.startsWith(TxnPropPrefix))
     Snapshot(st.metadataVersion, st.schema, st.partitionColumns,
-      attachDeletes(spark, st), IcebergLog.propertiesOf(st.meta))
+      attachDeletes(spark, st), userProps,
+      transactions = txnProps.flatMap { case (k, v) =>
+        v.toLongOption.map(k.stripPrefix(TxnPropPrefix) -> _)
+      })
   }
 
   /** Fold the snapshot's position-delete files into per-data-file inline
@@ -499,11 +510,8 @@ private[graft] object IcebergCommitLog extends CommitLog {
   def tryCommit(spark: SparkSession, location: String, base: Snapshot, op: String,
       added: Seq[AddFile], removedPaths: Seq[String],
       schema: StructType, partitionColumns: Seq[String],
-      properties: Map[String, String], cdc: Seq[AddFile],
+      properties0: Map[String, String], cdc: Seq[AddFile],
       txn: Option[TxLog.SetTxn]): Boolean = {
-    if (txn.isDefined)
-      throw graft.catalog.UnsupportedOperationError(
-        "SetTransaction idempotence requires a Delta or native log")
     if (cdc.nonEmpty)
       throw graft.catalog.UnsupportedOperationError(
         "change data feed is not supported on Iceberg tables")
@@ -512,6 +520,16 @@ private[graft] object IcebergCommitLog extends CommitLog {
         "iceberg: changing partition columns requires a new table")
     val f = IcebergLog.fs(spark, location)
     val st = IcebergLog.stateAt(spark, location, Some(base.version))
+    // the Iceberg format has no SetTransaction action; watermarks ride
+    // the SAME metadata commit as `graft.txn.<appId>` table properties
+    // (the document swap is atomic, so idempotence semantics are
+    // identical). snapshot() strips them OUT of Snapshot.properties and
+    // surfaces them as Snapshot.transactions, so the stored ones are
+    // re-read from the metadata here and carried through every commit.
+    val storedTxn = IcebergLog.propertiesOf(st.meta)
+      .filter(_._1.startsWith(IcebergCommitLog.TxnPropPrefix))
+    val properties = properties0 ++ storedTxn ++ txn.map(t =>
+      IcebergCommitLog.TxnPropPrefix + t.appId -> t.version.toString).toMap
     val partFields = IcebergWriter.writablePartFields(st)
     val seq = IcebergWriter.lastSeq(st.meta) + 1
     val snapId = IcebergWriter.nextSnapId(st.meta)
@@ -519,7 +537,7 @@ private[graft] object IcebergCommitLog extends CommitLog {
     // schema / properties changes rewrite the metadata fields, with field
     // ids preserved for columns that survive (id-based resolution)
     val schemaChanged = schema.json != base.schema.json
-    val propsChanged = properties != base.properties
+    val propsChanged = properties0 != base.properties || txn.isDefined
     val (schemaFields, topIds) =
       if (schemaChanged) IcebergWriter.evolvedSchemaFields(st.meta, schema)
       else (Map.empty[String, JValue],

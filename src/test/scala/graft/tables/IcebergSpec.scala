@@ -416,10 +416,14 @@ class IcebergSpec extends AnyFunSuite {
     // scan pruning works through the generic path too
     assert(t.filesAfterPruning("id > 100") <= t.filesAfterPruning("id >= -1"))
 
-    // SetTransaction has no Iceberg analogue — typed refusal
-    intercept[graft.catalog.UnsupportedOperationError] {
-      t.appendIdempotent(Seq((99L, "x", 0.0, "n")).toDF("id", "s", "v", "note"), "app", 1L)
-    }
+    // SetTransaction watermarks ride the metadata commit (see
+    // SetTransactionSpec's iceberg case for the full matrix)
+    val nBefore = t.toDF.count()
+    assert(t.appendIdempotent(
+      Seq((99L, "x", 0.0, "n")).toDF("id", "s", "v", "note"), "app", 1L))
+    assert(!t.appendIdempotent(
+      Seq((99L, "x", 0.0, "n")).toDF("id", "s", "v", "note"), "app", 1L))
+    assert(t.toDF.count() == nBefore + 1)
   }
 
   test("changesSince and the streaming source ride the Iceberg log") {

@@ -59,6 +59,32 @@ class SetTransactionSpec extends AnyFunSuite {
     assert(!t.appendIdempotent(rows(1, "dup"), "job-ck", 7L))
   }
 
+  test("iceberg log: watermarks ride the metadata commit; duplicates skipped; props stay clean") {
+    val loc = TestSpark.tmpDir("txn-ice") + "/t"
+    IcebergWriter.create(spark, loc, rows(2, "base"))
+    val t = TxTable.forIceberg(spark, loc)
+    assert(t.latestTxnVersion("job-i").isEmpty)
+
+    assert(t.appendIdempotent(rows(3, "b0"), "job-i", 0L))
+    assert(t.toDF.count() == 5)
+    assert(t.latestTxnVersion("job-i").contains(0L))
+    // replayed batch is a no-op; lower versions already applied
+    assert(!t.appendIdempotent(rows(3, "b0"), "job-i", 0L))
+    assert(!t.appendIdempotent(rows(3, "b-1"), "job-i", -1L))
+    assert(t.toDF.count() == 5)
+    // the encoding property never leaks into user-facing properties
+    assert(!t.snapshot.properties.keys.exists(_.startsWith("graft.txn.")))
+    // a later batch + an independent appId land; watermarks survive
+    // UNRELATED commits (the metadata carry)
+    assert(t.appendIdempotent(rows(1, "b1"), "job-i", 1L))
+    t.append(rows(1, "plain"))
+    assert(t.latestTxnVersion("job-i").contains(1L))
+    assert(t.appendIdempotent(rows(1, "other"), "job-x", 5L))
+    assert(t.latestTxnVersion("job-i").contains(1L))
+    assert(t.latestTxnVersion("job-x").contains(5L))
+    assert(t.toDF.count() == 8)
+  }
+
   test("foreign Delta: txn action is spec-shaped JSON and replays; duplicates skipped") {
     val loc = TestSpark.tmpDir("txn-delta") + "/t"
     DeltaLogWriter.create(spark, loc, rows(2, "base"))
