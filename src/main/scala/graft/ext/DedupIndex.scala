@@ -59,7 +59,11 @@ object DedupIndex {
     val exists = TxLog.exists(spark, indexLocation)
     val idx = new TxTable(spark, indexLocation)
     if (!exists)
-      try idx.create(sign(corpus.toDF.limit(0)))
+      // auto-compact by default: every incremental refresh appends a
+      // small band file, and the per-batch filter join reads the WHOLE
+      // index — debris would tax every arrival
+      try idx.create(sign(corpus.toDF.limit(0)),
+        properties = Map(TxTable.AutoCompactEnabledProp -> "true"))
       catch { case _: graft.catalog.AlreadyExistsError => () }
     val from = idx.latestTxnVersion(appId).getOrElse(-1L)
     if (to <= from) "noop"

@@ -112,10 +112,13 @@ object IncrementalView {
       val t = new TxTable(spark, viewLocation)
       if (!existing)
         // an empty view at the schema the merges expect; harmless on
-        // concurrent/replayed creates (AlreadyExists loses the race)
+        // concurrent/replayed creates (AlreadyExists loses the race).
+        // Auto-compaction is on by default: every refresh merge writes
+        // a small file, and a dashboard-read view should not accrete
+        // one file per refresh forever (callers can override).
         try t.create(
           aggregate(source.toDF.limit(0), keys, sumCols, None, minCols, maxCols),
-          properties = createProperties)
+          properties = Map(TxTable.AutoCompactEnabledProp -> "true") ++ createProperties)
         catch { case _: graft.catalog.AlreadyExistsError => () }
       t
     }
