@@ -1235,6 +1235,59 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem
         WHERE l_linenumber = 1 AND l_quantity <= 40 AND l_quantity > 3
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q127: REORG TABLE ... APPLY (PURGE) ----
+    // Merge-on-read DELETEs leave the dead rows ON DISK (the file stays
+    // live; only a bitmap says which rows to skip) — PURGE is the
+    // deferred rewrite that materializes survivors for exactly the files
+    // carrying deletion vectors. The query deletes twice (DVs merge),
+    // purges via SQL, then PROVES the physical state inside the plan:
+    // `n_dv_files` counts DV-carrying files after the purge (must be 0)
+    // and `physical_rows` sums the log's per-file row counts (must equal
+    // the live count — dead rows really left the storage). The oracle
+    // recomputes both from the fixture: any purge bug — lost survivors,
+    // resurrected deletes, files skipped — breaks the hash.
+    QueryDef(
+      "q127_reorg_purge",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q127cat")
+        client.createSchema("q127cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q127-reorg").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        graft.tables.DeltaLogWriter.create(s, loc,
+          li.filter(col("l_linenumber") <= 2).repartition(4),
+          properties = Map("delta.enableDeletionVectors" -> "true"))
+        client.registerAsTable("q127cat", "s", "t", graft.catalog.FileType.DELTA, loc)
+        s.sql("DELETE FROM q127cat.s.t WHERE l_quantity <= 5")
+        s.sql("DELETE FROM q127cat.s.t WHERE l_returnflag = 'A' AND l_quantity <= 15")
+        s.sql("REORG TABLE q127cat.s.t APPLY (PURGE)")
+        val snap = client.getTxTable("q127cat", "s", "t").snapshot
+        val nDvFiles = snap.files.count(_.deletionVector.exists(_.cardinality > 0)).toLong
+        val physicalRows = snap.files.map(_.rows).sum
+        s.sql("SELECT * FROM q127cat.s.t")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .withColumn("n_dv_files", lit(nDvFiles))
+          .withColumn("physical_rows", lit(physicalRows))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH live AS (
+          SELECT * FROM lineitem
+          WHERE l_linenumber <= 2 AND NOT (l_quantity <= 5)
+            AND NOT (l_returnflag = 'A' AND l_quantity <= 15)
+        )
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlSum("l_extendedprice")} AS revenue,
+          CAST(0 AS BIGINT) AS n_dv_files,
+          (SELECT COUNT(*) FROM live) AS physical_rows
+        FROM live
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -62,6 +62,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // CONVERT TO DELTA parquet.`/path` — in-place zero-copy migration
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  // REORG TABLE t APPLY (PURGE) — rewrite only the files carrying
+  // deletion vectors / position deletes (Delta's REORG syntax)
+  private val Reorg =
+    """(?is)\s*REORG\s+TABLE\s+([\w.`]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
 
   /** Validate + split the MV select list into (keys, sum columns, min
     * columns, max columns). None -> not our shape, delegate (and its
@@ -285,6 +289,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           Seq(AttributeReference("files_converted", LongType, nullable = false)())) { () =>
           val t = graft.tables.Convert.parquetToDelta(session, path)
           Seq(org.apache.spark.sql.Row(t.snapshot.files.size.toLong))
+        }
+      case _ =>
+    }
+    else if (head.startsWith("REORG ")) sqlText match {
+      case Reorg(ident) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftQueryCommand(s"REORG TABLE $name APPLY (PURGE)",
+              Seq(AttributeReference("purged", org.apache.spark.sql.types.BooleanType,
+                nullable = false)())) { () =>
+              Seq(org.apache.spark.sql.Row(t.reorgPurge()))
+            }
+          case None => // not a catalog table — delegate raises its error
         }
       case _ =>
     }

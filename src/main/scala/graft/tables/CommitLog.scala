@@ -209,13 +209,15 @@ private[graft] object NativeCommitLog extends CommitLog {
     TxLog.commitsBetween(spark, location, fromExclusive, toInclusive)
       // compaction commits rearrange bytes, not data — surfacing their
       // adds would re-emit the whole table into change feeds / streams
-      .filterNot(c => c.operation == "OPTIMIZE" || c.operation == "ZORDER")
+      .filterNot(c => c.operation == "OPTIMIZE" || c.operation == "ZORDER" ||
+        c.operation == "REORG")
       .map(c => c.version -> c.added)
 
   def appendOnlyBetween(spark: SparkSession, location: String, fromExclusive: Long,
       toInclusive: Option[Long]): Boolean =
     TxLog.commitsBetween(spark, location, fromExclusive, toInclusive).forall(c =>
-      c.removed.isEmpty || c.operation == "OPTIMIZE" || c.operation == "ZORDER")
+      c.removed.isEmpty || c.operation == "OPTIMIZE" || c.operation == "ZORDER" ||
+        c.operation == "REORG")
 
   def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -328,7 +330,7 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
         "lastUpdated" -> JLong(t.lastUpdated.getOrElse(System.currentTimeMillis())))))))
     // compaction rearranges bytes, not data: its add/remove actions carry
     // dataChange=false so CDF readers and streaming sources skip them
-    val dataChange = op != "OPTIMIZE" && op != "ZORDER"
+    val dataChange = op != "OPTIMIZE" && op != "ZORDER" && op != "REORG"
     // a metadata change (schema evolution, property update) must be a new
     // metaData action in the same commit, preserving the table's identity
     val metaChanged = schema.json != base.schema.json ||
@@ -587,7 +589,7 @@ private[graft] object IcebergCommitLog extends CommitLog {
     val operation = op match {
       case "APPEND" | "CREATE" => "append"
       case "DELETE" => "delete"
-      case "OPTIMIZE" | "ZORDER" => "replace"
+      case "OPTIMIZE" | "ZORDER" | "REORG" => "replace"
       case _ => "overwrite" // OVERWRITE, REPLACE_WHERE, MERGE, UPDATE, ...
     }
     val mlPath = IcebergWriter.writeManifestList(f, location, snapId, mlRecords)

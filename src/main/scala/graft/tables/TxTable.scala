@@ -769,6 +769,64 @@ final class TxTable(val spark: SparkSession, val location: String,
       }
     }
 
+  /** REORG ... APPLY (PURGE) (Delta's REORG TABLE shape): physically
+    * rewrite ONLY the files carrying soft-deleted rows — deletion vectors
+    * on foreign Delta, position deletes folded into DV descriptors on
+    * Iceberg — materializing the surviving rows and dropping the rest.
+    * Merge-on-read keeps DELETE/UPDATE cheap (a KB bitmap instead of a
+    * file rewrite), but the dead rows still occupy the data files: they
+    * are re-read and re-filtered on every scan, and they survive VACUUM
+    * (the file is live). PURGE is the deferred rewrite — run once, off
+    * the write path, touching O(files-with-deletes), so a 100 TB table
+    * whose last week of DELETEs hit 2% of files rewrites 2%.
+    *
+    * Files whose every row is deleted (cardinality == rows) are dropped
+    * without a read. Logical data is unchanged, so the commit is a
+    * dataChange=false rewrite: row ids and commit versions survive on
+    * row-tracked tables, and CDF emits nothing. Returns whether a commit
+    * was published (false = no file carries a deletion vector). The
+    * vacated data files (and the now-unreferenced DV/delete files)
+    * become reclaimable by the next VACUUM / expireSnapshots.
+    */
+  def reorgPurge(targetFileBytes: Long = 128L * 1024 * 1024): Boolean =
+    commitWithRetryIf("REORG") { snap =>
+      val picked = snap.files.filter(_.deletionVector.exists(_.cardinality > 0))
+      if (picked.isEmpty) None
+      else {
+        val (dead, toRewrite) = picked.partition(f =>
+          f.rows >= 0L && f.deletionVector.exists(_.cardinality >= f.rows))
+        val (added, props) =
+          if (toRewrite.isEmpty) (Seq.empty[AddFile], snap.properties)
+          else {
+            // live-byte estimate sizes the output; the DV filter is
+            // applied by the read (dfFor), so only survivors are written
+            val liveBytes = toRewrite.map { f =>
+              val liveFrac =
+                if (f.rows <= 0L) 1.0
+                else 1.0 - f.deletionVector.map(_.cardinality).getOrElse(0L).toDouble / f.rows
+              (f.sizeBytes * liveFrac).toLong
+            }.sum
+            val targetFiles = math.max(1, math.ceil(
+              liveBytes.toDouble / math.max(1L, targetFileBytes)).toInt)
+            val survivors =
+              if (snap.partitionColumns.isEmpty)
+                readForRewrite(snap, toRewrite).repartition(targetFiles)
+              else {
+                // cluster by tuple (see optimizeCompact): one task — and
+                // so one output file — per touched partition tuple
+                val tuples = toRewrite.map(_.partitionValues).distinct.size
+                readForRewrite(snap, toRewrite)
+                  .repartition(math.max(1, math.min(tuples, math.max(targetFiles,
+                    spark.sessionState.conf.numShufflePartitions))),
+                    snap.partitionColumns.map(col): _*)
+              }
+            stageRewrite(survivors, snap)
+          }
+        Some(TxTable.Planned(added, (dead ++ toRewrite).map(_.path), snap.schema,
+          snap.partitionColumns, props))
+      }
+    }
+
   /** Compaction (OPTIMIZE): rewrite the active file set into
     * ~targetFileBytes files (per partition for partitioned tables). Data
     * is unchanged — one commit swaps the whole file list.

@@ -323,4 +323,24 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows == Seq(("pt=p1", 2L), ("pt=p2", 1L)), rows.toString)
   }
+
+  test("REORG TABLE APPLY (PURGE) rewrites DV files through SQL") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("dml15")
+    client.createSchema("dml15", "s")
+    val loc = graft.TestSpark.tmpDir("sql-reorg") + "/t"
+    graft.tables.DeltaLogWriter.create(spark, loc,
+      (0 until 50).map(i => (i.toLong, s"r$i")).toDF("id", "name").repartition(3),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    client.registerAsTable("dml15", "s", "t", FileType.DELTA, loc)
+    spark.sql("DELETE FROM dml15.s.t WHERE id < 10")
+    val t = client.getTxTable("dml15", "s", "t")
+    assert(t.snapshot.files.exists(_.deletionVector.exists(_.cardinality > 0)),
+      "DELETE on a DV table must commit bitmaps")
+    assert(spark.sql("REORG TABLE dml15.s.t APPLY (PURGE)").collect()(0).getBoolean(0))
+    assert(t.snapshot.files.forall(!_.deletionVector.exists(_.cardinality > 0)))
+    assert(spark.sql("SELECT COUNT(*) FROM dml15.s.t").collect()(0).getLong(0) == 40)
+    // idempotent: nothing left to purge
+    assert(!spark.sql("REORG TABLE dml15.s.t APPLY (PURGE)").collect()(0).getBoolean(0))
+  }
 }

@@ -1,0 +1,124 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** REORG TABLE ... APPLY (PURGE): the deferred physical rewrite behind
+  * merge-on-read. DELETE/UPDATE on DV-enabled Delta (and position-delete
+  * Iceberg) commit bitmaps, not rewrites — PURGE materializes the
+  * survivors for exactly the files carrying deletes, leaving clean files
+  * untouched, so its cost is O(files-with-deletes) not O(table).
+  */
+class ReorgSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample: DataFrame =
+    (0 until 100).map(i => (i.toLong, s"s$i", i % 7)).toDF("id", "s", "grp")
+
+  test("purge rewrites only DV-carrying files; clean files survive untouched") {
+    val loc = TestSpark.tmpDir("reorg")
+    DeltaLogWriter.create(spark, loc, sample.repartition(4, col("id")),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    t.delete("id < 10") // DVs land on the subset of files holding id<10
+    val before = t.snapshot
+    val dirty = before.files.filter(_.deletionVector.exists(_.cardinality > 0))
+    val clean = before.files.filterNot(_.deletionVector.exists(_.cardinality > 0))
+    assert(dirty.nonEmpty, "fixture must place DVs on some files")
+
+    assert(t.reorgPurge())
+    val after = t.snapshot
+    // no file carries a DV any more, and logical content is unchanged
+    assert(after.files.forall(!_.deletionVector.exists(_.cardinality > 0)))
+    assert(t.toDF.count() === 90L)
+    assert(t.toDF.agg(sum("id")).as[Long].head() === (10L until 100L).sum)
+    // untouched clean files keep their identity; dirty paths are gone
+    val afterPaths = after.files.map(_.path).toSet
+    assert(clean.forall(f => afterPaths.contains(f.path)))
+    assert(dirty.forall(f => !afterPaths.contains(f.path)))
+    // physical row counts now match live rows (deleted rows gone from disk)
+    assert(after.files.map(_.rows).sum === 90L)
+
+    // nothing left to purge: second call is a no-op, no commit published
+    val v = t.version
+    assert(!t.reorgPurge())
+    assert(t.version === v)
+  }
+
+  test("purge drops fully-deleted files without reading them") {
+    val loc = TestSpark.tmpDir("reorg-full")
+    // one file per grp value; grp=3 will be deleted wholesale
+    DeltaLogWriter.create(spark, loc, sample, partitionColumns = Seq("grp"),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    t.delete("grp = 3")
+    t.delete("grp = 5 AND id < 30")
+    assert(t.reorgPurge())
+    val after = t.snapshot
+    assert(after.files.forall(!_.deletionVector.exists(_.cardinality > 0)))
+    assert(after.files.forall(f => f.partitionValues.get("grp") != Some("3")))
+    assert(t.toDF.count() === sample.filter(!(col("grp") === 3) &&
+      !(col("grp") === 5 && col("id") < 30)).count())
+  }
+
+  test("purge is dataChange=false: CDF and streaming skip it, row ids survive") {
+    val loc = TestSpark.tmpDir("reorg-cdf")
+    DeltaLogWriter.create(spark, loc, sample.repartition(2),
+      properties = Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.enableRowTracking" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    // pin each surviving row's id before the purge
+    val idsBefore = DeltaLog.toDFWithRowIds(spark, loc)
+      .filter(col("id") >= 10)
+      .select(col("id"), col(RowTracking.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+    t.delete("id < 10")
+    val vDelete = t.version
+    assert(t.reorgPurge())
+    // the purge's adds must NOT re-enter change feeds / streams
+    assert(t.changesSince(vDelete).count() === 0L)
+    assert(t.appendOnlySince(vDelete))
+    // row ids are preserved through the rewrite
+    val idsAfter = DeltaLog.toDFWithRowIds(spark, loc)
+      .select(col("id"), col(RowTracking.RowIdCol))
+      .as[(Long, Long)].collect().toMap
+    assert(idsAfter === idsBefore)
+  }
+
+  test("purge on an Iceberg table folds position deletes away") {
+    val loc = TestSpark.tmpDir("reorg-ice") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(sample.repartition(4, col("id")))
+    t.delete("id % 10 = 7")
+    val before = t.snapshot
+    assert(before.files.exists(_.deletionVector.exists(_.cardinality > 0)))
+    assert(t.reorgPurge())
+    val after = t.snapshot
+    assert(after.files.forall(!_.deletionVector.exists(_.cardinality > 0)))
+    assert(t.toDF.count() === 90L)
+    assert(t.toDF.agg(sum("id")).as[Long].head() ===
+      (0L until 100L).filterNot(_ % 10 == 7).sum)
+    // direct Iceberg read path agrees (dangling delete files are ignored)
+    assert(IcebergLog.toDF(spark, loc).count() === 90L)
+    // streaming/appendOnly consumers treat the purge as a non-data commit
+    assert(IcebergCommitLog.appendOnlyBetween(spark, loc,
+      t.version - 1, Some(t.version)))
+  }
+
+  test("purge on a table without deletes is a no-op on all backends") {
+    val locD = TestSpark.tmpDir("reorg-noop")
+    DeltaLogWriter.create(spark, locD, sample)
+    assert(!TxTable.forForeignDelta(spark, locD).reorgPurge())
+    val locN = TestSpark.tmpDir("reorg-noop-native")
+    val tn = TxTable.forLocation(spark, locN)
+    tn.create(sample)
+    assert(!tn.reorgPurge())
+  }
+}
