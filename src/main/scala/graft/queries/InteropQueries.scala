@@ -1288,6 +1288,57 @@ object InteropQueries {
           CAST(0 AS BIGINT) AS n_dv_files,
           (SELECT COUNT(*) FROM live) AS physical_rows
         FROM live
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q128: CONVERT TO ICEBERG over a hive-partitioned parquet dir ----
+    // Zero-copy migration: one listing + one footer pass mints Iceberg v2
+    // metadata IN PLACE over files a plain `write.partitionBy` produced
+    // (the files do NOT contain the partition column — reads must
+    // substitute the manifest's identity-partition value per the spec's
+    // column-projection rule). The converted table then takes a
+    // merge-on-read DELETE and an append through the same TxTable surface.
+    // `meta_rows` pins the metadata-only count (manifest record_count
+    // minus delete cardinalities — zero data read); the oracle recomputes
+    // the surviving rows from the fixture.
+    QueryDef(
+      "q128_convert_to_iceberg",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q128cat")
+        client.createSchema("q128cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q128-convert").toString + "/t"
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"))
+          .filter(col("l_linenumber") === 1)
+          .write.partitionBy("l_returnflag").parquet(loc)
+        s.sql(s"CONVERT TO ICEBERG parquet.`$loc`")
+        client.registerAsTable("q128cat", "s", "t", graft.catalog.FileType.ICEBERG, loc)
+        s.sql("DELETE FROM q128cat.s.t WHERE l_quantity > 40")
+        // hive layout puts the partition column LAST in the converted
+        // schema — insert BY NAME, not positionally
+        s.sql("INSERT INTO q128cat.s.t BY NAME " +
+          "SELECT * FROM q128cat.s.t WHERE l_quantity = 1")
+        val metaRows = client.getTxTable("q128cat", "s", "t").countRows()
+        s.sql("SELECT * FROM q128cat.s.t")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .withColumn("meta_rows", lit(metaRows))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH live AS (
+          SELECT l_returnflag, l_quantity FROM lineitem
+          WHERE l_linenumber = 1 AND l_quantity <= 40
+        ), final AS (
+          SELECT * FROM live
+          UNION ALL
+          SELECT * FROM live WHERE l_quantity = 1
+        )
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          (SELECT COUNT(*) FROM final) AS meta_rows
+        FROM final
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

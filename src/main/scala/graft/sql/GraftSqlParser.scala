@@ -59,9 +59,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // SHOW PARTITIONS cat.sch.t — metadata-only partition stats
   private val ShowParts =
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*""".r
-  // CONVERT TO DELTA parquet.`/path` — in-place zero-copy migration
+  // CONVERT TO DELTA|ICEBERG parquet.`/path` — in-place zero-copy migration
   private val ConvertRe =
-    """(?is)\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*""".r
+    """(?is)\s*CONVERT\s+TO\s+(DELTA|ICEBERG)\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*""".r
   // REORG TABLE t APPLY (PURGE) — rewrite only the files carrying
   // deletion vectors / position deletes (Delta's REORG syntax)
   private val Reorg =
@@ -284,10 +284,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case _ =>
     }
     else if (head.startsWith("CONVERT T")) sqlText match {
-      case ConvertRe(path) =>
-        return GraftSqlDml.GraftQueryCommand(s"CONVERT TO DELTA parquet.`$path`",
+      case ConvertRe(fmt, path) =>
+        val toIceberg = fmt.equalsIgnoreCase("ICEBERG")
+        return GraftSqlDml.GraftQueryCommand(
+          s"CONVERT TO ${fmt.toUpperCase(Locale.ROOT)} parquet.`$path`",
           Seq(AttributeReference("files_converted", LongType, nullable = false)())) { () =>
-          val t = graft.tables.Convert.parquetToDelta(session, path)
+          val t =
+            if (toIceberg) graft.tables.Convert.parquetToIceberg(session, path)
+            else graft.tables.Convert.parquetToDelta(session, path)
           Seq(org.apache.spark.sql.Row(t.snapshot.files.size.toLong))
         }
       case _ =>

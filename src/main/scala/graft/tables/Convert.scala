@@ -5,35 +5,45 @@ import org.apache.spark.sql.SparkSession
 
 import graft.catalog.UnsupportedOperationError
 
-/** CONVERT TO DELTA: commit a real `_delta_log` over a pre-existing
-  * parquet directory IN PLACE — the standard zero-copy migration path
-  * from a plain (optionally hive-partitioned) parquet dataset to a
-  * transactional table. One recursive listing builds the version-0 adds
-  * (relative paths, partition values parsed from `k=v` directory
-  * segments, sizes from the listing); no data byte moves, and the
-  * directory keeps working for legacy path-based readers while gaining
-  * the full TxTable write surface (and any foreign Delta engine can
-  * read it — the log is protocol-real).
+/** CONVERT TO DELTA / CONVERT TO ICEBERG: commit transactional metadata
+  * over a pre-existing parquet directory IN PLACE — the standard
+  * zero-copy migration path from a plain (optionally hive-partitioned)
+  * parquet dataset to a transactional table. One recursive listing
+  * builds the version-0 adds (relative paths, partition values parsed
+  * from `k=v` directory segments, sizes from the listing); no data byte
+  * moves, and the directory keeps working for legacy path-based readers
+  * while gaining the full TxTable write surface (and any foreign
+  * Delta/Iceberg engine can read it — the logs are protocol-real).
   *
   * At 100 TB this is O(files) driver metadata work: the listing and one
-  * JSON commit. Row counts are not in the listing, so the adds carry
-  * rows = -1 (unknown) — metadata-only `countRows` falls back to
-  * scanning just the stat-less files, exactly like foreign-written
-  * Delta files without stats; stats backfill on the first OPTIMIZE.
+  * commit. The DELTA path stays pure-metadata — row counts are not in
+  * the listing, so its adds carry rows = -1 (unknown; metadata-only
+  * `countRows` falls back to scanning just the stat-less files, stats
+  * backfill on the first OPTIMIZE). The ICEBERG path additionally runs
+  * ONE distributed footer pass (executors read O(KB) footers, never
+  * data pages) because the Iceberg spec makes `record_count` a required
+  * manifest field and this library's `$partitions` / metadata-count
+  * surfaces trust manifest stats; the same pass yields lower/upper
+  * bounds, so the converted table prunes immediately.
   */
 object Convert {
 
   private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
 
-  /** Convert the parquet directory at `location`; returns the TxTable
-    * handle over the new Delta log.
+  private final case class Listed(
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String],
+      adds: Seq[TxLog.AddFile])
+
+  /** One recursive listing → (full schema incl. inferred partition
+    * columns, partition columns, version-0 adds with relative paths).
     */
-  def parquetToDelta(spark: SparkSession, location: String,
-      properties: Map[String, String] = Map.empty): TxTable = {
+  private def listParquetTree(spark: SparkSession, location: String,
+      op: String): Listed = {
     if (DeltaLog.isDeltaTable(spark, location) || TxLog.exists(spark, location) ||
         IcebergLog.isIcebergTable(spark, location))
       throw graft.catalog.AlreadyExistsError(
-        s"CONVERT TO DELTA: a transactional table already exists at $location")
+        s"$op: a transactional table already exists at $location")
     val f = TxLog.fs(spark, location)
     val root = f.makeQualified(new Path(location))
     def listRec(dir: Path): Seq[FileStatus] =
@@ -46,7 +56,7 @@ object Convert {
       }
     val files = listRec(root)
     if (files.isEmpty)
-      throw UnsupportedOperationError(s"CONVERT TO DELTA: no parquet files under $location")
+      throw UnsupportedOperationError(s"$op: no parquet files under $location")
 
     def relOf(p: Path): String = {
       val rootStr = root.toUri.getPath.stripSuffix("/")
@@ -56,7 +66,7 @@ object Convert {
     // partition values from the k=v directory segments, %xx-unescaped
     // the way hive writers escape them (NOT URLDecoder: hive leaves '+'
     // literal, URLDecoder would turn it into a space); the hive null
-    // sentinel maps to an ABSENT entry (Delta's null partition value)
+    // sentinel maps to an ABSENT entry (the null partition value)
     def tupleOf(rel: String): Seq[(String, Option[String])] =
       rel.split('/').dropRight(1).toSeq.flatMap { seg =>
         val i = seg.indexOf('=')
@@ -71,7 +81,7 @@ object Convert {
     val partCols = tupleOf(rels.head._2).map(_._1)
     rels.find { case (_, r) => tupleOf(r).map(_._1) != partCols }.foreach { case (_, r) =>
       throw UnsupportedOperationError(
-        s"CONVERT TO DELTA: inconsistent partition layout — '$r' does not follow " +
+        s"$op: inconsistent partition layout — '$r' does not follow " +
           s"[${partCols.mkString(", ")}]")
     }
     // data-column schema from the footers of the files ALREADY listed —
@@ -79,8 +89,7 @@ object Convert {
     // tree (the dominant metadata cost on object stores). Partition
     // column types are inferred from the parsed values: all-integral →
     // long, all-numeric → double, else string (declare-your-own-schema
-    // callers can ALTER afterwards; Delta stores the values as strings
-    // either way).
+    // callers can ALTER afterwards).
     val dataSchema = spark.read
       .parquet(rels.map(_._1.getPath.toString): _*).schema
     val partFields = partCols.map { c =>
@@ -101,8 +110,64 @@ object Convert {
         tupleOf(rel).collect { case (k, Some(v)) => k -> v }.toMap,
         rows = -1L, sizeBytes = st.getLen)
     }
-    DeltaLogWriter.createFromFiles(spark, location, schema, partCols,
-      properties, adds, operation = "CONVERT")
+    Listed(schema, partCols, adds)
+  }
+
+  /** Backfill row counts + min/max bounds + null counts from the parquet
+    * footers in ONE distributed pass (footers are O(KB); data pages are
+    * never read). Executors each handle a slice of the file list — at
+    * 100 TB with millions of files this is an embarrassingly parallel
+    * metadata job, not a data scan.
+    */
+  private def withFooterStats(spark: SparkSession, location: String,
+      adds: Seq[TxLog.AddFile]): Seq[TxLog.AddFile] = {
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val statsByRel: Map[String, (Long, Map[String, String], Map[String, String], Map[String, Long])] =
+      if (adds.size <= 4)
+        adds.map(a => a.path ->
+          FileStats.fromParquetFooter(hconf.value,
+            new Path(TxLog.resolve(location, a.path)))).toMap
+      else
+        spark.sparkContext
+          .parallelize(adds.map(_.path), math.max(1, math.min(adds.size, 64)))
+          .map(rel => rel ->
+            FileStats.fromParquetFooter(hconf.value,
+              new Path(TxLog.resolve(location, rel))))
+          .collect().toMap
+    adds.map { a =>
+      val (rows, mins, maxs, nulls) = statsByRel(a.path)
+      a.copy(rows = rows,
+        minValues = if (mins.isEmpty) None else Some(mins),
+        maxValues = if (maxs.isEmpty) None else Some(maxs),
+        nullCounts = if (nulls.isEmpty) None else Some(nulls))
+    }
+  }
+
+  /** Convert the parquet directory at `location` to Delta; returns the
+    * TxTable handle over the new `_delta_log`.
+    */
+  def parquetToDelta(spark: SparkSession, location: String,
+      properties: Map[String, String] = Map.empty): TxTable = {
+    val l = listParquetTree(spark, location, "CONVERT TO DELTA")
+    DeltaLogWriter.createFromFiles(spark, location, l.schema, l.partCols,
+      properties, l.adds, operation = "CONVERT")
     TxTable.forForeignDelta(spark, location)
+  }
+
+  /** Convert the parquet directory at `location` to Iceberg v2; returns
+    * the TxTable handle over the new `metadata/` log. Hive-partitioned
+    * layouts become identity-partitioned specs; the partition columns
+    * are absent from the data files, so reads substitute the manifest's
+    * partition value per the spec's column-projection rule (the standard
+    * hive-migration shape `add_files` produces).
+    */
+  def parquetToIceberg(spark: SparkSession, location: String,
+      properties: Map[String, String] = Map.empty): TxTable = {
+    val l = listParquetTree(spark, location, "CONVERT TO ICEBERG")
+    val adds = withFooterStats(spark, location, l.adds)
+    IcebergWriter.createFromFiles(spark, location, l.schema, l.partCols, adds,
+      properties + ("graft.converted-from" -> "parquet"))
+    TxTable.forIceberg(spark, location)
   }
 }

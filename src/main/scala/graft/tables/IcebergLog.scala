@@ -1880,6 +1880,62 @@ object IcebergWriter {
     * the Iceberg log on a published location are not meaningful — the
     * Delta log would not see them; keep Delta the write path.
     */
+  /** Mint version-1 Iceberg v2 metadata at `location` over an EXISTING
+    * file set — the create half shared by `publishFromDelta` (files from
+    * a Delta snapshot) and `Convert.parquetToIceberg` (files from a
+    * directory listing). Fresh field ids are assigned, hive-style
+    * partition columns become an identity spec, and one manifest lists
+    * the adds with whatever stats they carry — no data byte moves.
+    */
+  private[tables] def createFromFiles(spark: SparkSession, location: String,
+      schema: StructType, partitionColumns: Seq[String],
+      adds: Seq[TxLog.AddFile], properties: Map[String, String]): Unit = {
+    val f = IcebergLog.fs(spark, location)
+    val now = System.currentTimeMillis()
+    val specFieldsOf = partitionColumns.map { c =>
+      val field = schema.fields.find(_.name == c).getOrElse(
+        throw UnsupportedOperationError(s"partition column $c is not in the schema"))
+      IcebergLog.ResolvedSpecField(c, IceTransforms.Identity, c, field.dataType)
+    }
+    val partFields = specFieldsOf.map(sf => sf.name -> sf.resultType)
+    val entrySchema = entrySchemaFor(partFields)
+    val (schemaJson, lastColId, topIds) = icebergSchemaJson(schema)
+    val snapId = 1L
+    val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, adds,
+      schema, partFields, topIds, snapId, seq = 1L, content = 0)
+    val mlPath = writeManifestList(f, location, snapId,
+      Seq(mlRecord(mPath.toString, mLen, 0, 1L, snapId, adds.size, mRows)))
+    val specFieldsJson = specFieldsOf.zipWithIndex.map { case (sf, i) =>
+      JObject("name" -> JString(sf.name), "transform" -> JString(sf.t.spec),
+        "source-id" -> JInt(topIds(sf.source)), "field-id" -> JInt(1000 + i)): JValue
+    }
+    val body = JsonMethods.compact(JsonMethods.render(JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(java.util.UUID.randomUUID().toString),
+      "location" -> JString(location),
+      "last-sequence-number" -> JLong(1L),
+      "last-updated-ms" -> JLong(now),
+      "last-column-id" -> JInt(lastColId),
+      "current-schema-id" -> JInt(0),
+      "schemas" -> JArray(List(JsonMethods.parse(schemaJson))),
+      "default-spec-id" -> JInt(0),
+      "partition-specs" -> JArray(List(JObject(
+        "spec-id" -> JInt(0), "fields" -> JArray(specFieldsJson.toList)))),
+      "last-partition-id" -> JInt(999 + specFieldsOf.size),
+      "default-sort-order-id" -> JInt(0),
+      "sort-orders" -> JArray(List(JObject(
+        "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "properties" -> JObject(properties.toList.map { case (k, v) =>
+        k -> (JString(v): JValue)
+      }),
+      "current-snapshot-id" -> JLong(snapId),
+      "snapshots" -> JArray(List(snapshotJson(snapId, now, 1L, mlPath, "append"))),
+      "snapshot-log" -> JArray(List(JObject(
+        "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapId)))),
+      "metadata-log" -> JArray(Nil))))
+    writeMetadata(f, location, 1L, body)
+  }
+
   def publishFromDelta(spark: SparkSession, location: String): Unit = {
     val snap = DeltaLog.snapshot(spark, location)
     if (snap.files.exists(_.deletionVector.exists(_.cardinality > 0)))
@@ -1898,45 +1954,13 @@ object IcebergWriter {
         throw UnsupportedOperationError(s"partition column $c is not in the schema"))
       IcebergLog.ResolvedSpecField(c, IceTransforms.Identity, c, field.dataType)
     }
-    val partFields = specFieldsOf.map(sf => sf.name -> sf.resultType)
-    val entrySchema = entrySchemaFor(partFields)
     if (!IcebergLog.isIcebergTable(spark, location)) {
-      val (schemaJson, lastColId, topIds) = icebergSchemaJson(snap.schema)
-      val snapId = 1L
-      val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, adds,
-        snap.schema, partFields, topIds, snapId, seq = 1L, content = 0)
-      val mlPath = writeManifestList(f, location, snapId,
-        Seq(mlRecord(mPath.toString, mLen, 0, 1L, snapId, adds.size, mRows)))
-      val specFieldsJson = specFieldsOf.zipWithIndex.map { case (sf, i) =>
-        JObject("name" -> JString(sf.name), "transform" -> JString(sf.t.spec),
-          "source-id" -> JInt(topIds(sf.source)), "field-id" -> JInt(1000 + i)): JValue
-      }
-      val body = JsonMethods.compact(JsonMethods.render(JObject(
-        "format-version" -> JInt(2),
-        "table-uuid" -> JString(java.util.UUID.randomUUID().toString),
-        "location" -> JString(location),
-        "last-sequence-number" -> JLong(1L),
-        "last-updated-ms" -> JLong(now),
-        "last-column-id" -> JInt(lastColId),
-        "current-schema-id" -> JInt(0),
-        "schemas" -> JArray(List(JsonMethods.parse(schemaJson))),
-        "default-spec-id" -> JInt(0),
-        "partition-specs" -> JArray(List(JObject(
-          "spec-id" -> JInt(0), "fields" -> JArray(specFieldsJson.toList)))),
-        "last-partition-id" -> JInt(999 + specFieldsOf.size),
-        "default-sort-order-id" -> JInt(0),
-        "sort-orders" -> JArray(List(JObject(
-          "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
-        "properties" -> JObject(List(
-          "graft.published-from" -> (JString("delta"): JValue),
-          "graft.delta-version" -> (JString(snap.version.toString): JValue))),
-        "current-snapshot-id" -> JLong(snapId),
-        "snapshots" -> JArray(List(snapshotJson(snapId, now, 1L, mlPath, "append"))),
-        "snapshot-log" -> JArray(List(JObject(
-          "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(snapId)))),
-        "metadata-log" -> JArray(Nil))))
-      writeMetadata(f, location, 1L, body)
+      createFromFiles(spark, location, snap.schema, snap.partitionColumns, adds,
+        Map("graft.published-from" -> "delta",
+          "graft.delta-version" -> snap.version.toString))
     } else {
+      val partFields = specFieldsOf.map(sf => sf.name -> sf.resultType)
+      val entrySchema = entrySchemaFor(partFields)
       val st = IcebergLog.stateAt(spark, location, None)
       // schema drift since the last publish evolves with preserved ids
       val schemaChanged = snap.schema.json != st.schema.json

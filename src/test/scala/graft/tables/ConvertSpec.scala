@@ -72,7 +72,59 @@ class ConvertSpec extends AnyFunSuite {
     val loc = TestSpark.tmpDir("convert-guard") + "/t"
     new TxTable(spark, loc).create(Seq((1L, "a")).toDF("id", "s"))
     intercept[graft.catalog.AlreadyExistsError](Convert.parquetToDelta(spark, loc))
+    intercept[graft.catalog.AlreadyExistsError](Convert.parquetToIceberg(spark, loc))
     val empty = TestSpark.tmpDir("convert-empty")
     intercept[UnsupportedOperationError](Convert.parquetToDelta(spark, empty))
+    intercept[UnsupportedOperationError](Convert.parquetToIceberg(spark, empty))
+  }
+
+  test("CONVERT TO ICEBERG: flat dir gains spec-real v2 metadata with footer stats") {
+    val loc = TestSpark.tmpDir("convert-ice") + "/t"
+    (0 until 100).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+      .repartition(3).write.parquet(loc)
+    val before = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    val t = Convert.parquetToIceberg(spark, loc)
+    assert(IcebergLog.isIcebergTable(spark, loc))
+    // zero-copy: the SAME files
+    assert(t.snapshot.files.map(_.path.split('/').last).toSet == before)
+    // the footer pass backfilled real counts and bounds — record_count
+    // is spec-required and metadata-only counts trust it
+    assert(t.snapshot.files.forall(_.rows > 0L))
+    assert(t.snapshot.files.map(_.rows).sum == 100L)
+    assert(t.countRows() == 100L)
+    assert(t.snapshot.files.forall(_.minValues.exists(_.contains("id"))))
+    // direct Iceberg read path agrees
+    assert(IcebergLog.toDF(spark, loc).count() == 100L)
+    // full write surface afterwards (position-delete merge-on-read)
+    t.delete("id < 10")
+    assert(t.toDF.count() == 90L)
+    t.append(Seq((1000L, "x")).toDF("id", "s"))
+    assert(t.toDF.count() == 91L)
+  }
+
+  test("CONVERT TO ICEBERG: hive layout becomes an identity spec, values substitute") {
+    val loc = TestSpark.tmpDir("convert-ice-hive") + "/t"
+    Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p2"))
+      .toDF("id", "s", "pt").write.partitionBy("pt").parquet(loc)
+    val t = Convert.parquetToIceberg(spark, loc)
+    assert(t.snapshot.partitionColumns == Seq("pt"))
+    // hive layout dropped pt from the data files; the manifest's
+    // partition value substitutes per the spec's column-projection rule
+    assert(t.toDF.filter("pt = 'p2'").collect().map(_.getLong(0)).toSeq.sorted ==
+      Seq(2L, 3L))
+    assert(IcebergLog.toDF(spark, loc).filter("pt = 'p1'").count() == 1L)
+    // per-tuple metadata stats come straight from the manifest
+    val stats = t.partitionStats().toMap
+    assert(stats(Map("pt" -> "p2")).rowCount == 2L)
+  }
+
+  test("SQL: CONVERT TO ICEBERG parquet.`path` reports the file count") {
+    val loc = TestSpark.tmpDir("convert-ice-sql") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").repartition(2).write.parquet(loc)
+    val n = spark.sql(s"CONVERT TO ICEBERG parquet.`$loc`").collect()(0).getLong(0)
+    assert(n == 2L)
+    assert(IcebergLog.isIcebergTable(spark, loc))
   }
 }
