@@ -105,4 +105,38 @@ object Sampling {
       .filter(col(cumCol) <= col("__budget"))
       .drop("__pid", "__lcum", "__offset", "__budget")
   }
+
+  /** Deterministic global corpus shuffle + fixed-size shard assignment —
+    * the "shuffle the corpus, cut it into training shards" step every
+    * epoch-0 data pipeline ends with. Training order must be (a) globally
+    * shuffled (no source/time runs — loss curves degrade on clumped
+    * data), (b) reproducible bit-for-bit (restarts, audits), and (c)
+    * assigned WITHOUT a global sort bottleneck. The shuffle key is the
+    * same multiplicative hash as `hashSample` — for distinct ids in
+    * [0, 2^31) the map id→(id·K) mod 2^32 is INJECTIVE (multiplication
+    * by an odd constant is a bijection mod 2^32, and the folded domain
+    * is half of it), so the key is a total order with no ties and the
+    * resulting permutation is pseudorandom but engine-portable.
+    *
+    * `shardCol` = rank div docsPerShard, `posCol` = rank mod
+    * docsPerShard, where rank is the 0-based global rank by shuffle key —
+    * computed with the two-phase distributed prefix sum (arithmetic
+    * buckets over the key space + per-bucket window + O(#partitions)
+    * driver fold), NOT `Window.orderBy` over everything (one-task
+    * funnel) and NOT a global sort. Every shard except the last holds
+    * exactly `docsPerShard` docs. Writing the physical shards is then
+    * `df.repartition(col(shardCol)).write.partitionBy(shardCol)...` —
+    * each shard's rows co-locate in one task.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, docsPerShard: Long,
+      shardCol: String = "shard_id", posCol: String = "pos_in_shard",
+      keyCol: String = "shuffle_key"): DataFrame = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    val keyed = df.withColumn(keyCol, hash32(col(idCol)))
+      .withColumn("__one", lit(1L))
+    Packing.withRunningTotal(keyed, keyCol, "__one", "__rank")
+      .withColumn(shardCol, expr(s"(__rank - 1) div $docsPerShard"))
+      .withColumn(posCol, expr(s"(__rank - 1) % $docsPerShard"))
+      .drop("__one", "__rank")
+  }
 }

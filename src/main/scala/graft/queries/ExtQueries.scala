@@ -527,6 +527,46 @@ object ExtQueries {
           QUALIFY ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_segments,
           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
-        FROM keep GROUP BY doc_id"""))
+        FROM keep GROUP BY doc_id""")),
+
+    // ---- deterministic corpus shuffle into fixed-size training shards ----
+    // The epoch-0 finale: globally shuffle the corpus (multiplicative-hash
+    // permutation — reproducible on any engine/partitioning) and cut it
+    // into 97-doc shards by global rank. Rank comes from the two-phase
+    // distributed prefix sum over arithmetic key buckets, NOT a global
+    // sort or a one-task window. The oracle replays the permutation with
+    // ROW_NUMBER over the same hash, so the hash pins the key formula,
+    // the rank arithmetic, and the shard/pos split; per-shard aggregates
+    // (count, id range, char mass, key range) make any rank drift visible
+    // while keeping the output O(#shards).
+    QueryDef(
+      "q129_corpus_shards",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+        graft.ext.Sampling.shuffleShards(d, "doc_id", docsPerShard = 97L)
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+            sum(col("n_chars").cast(LongType)).as("sum_chars"),
+            min(col("shuffle_key")).as("min_key"), max(col("shuffle_key")).as("max_key"))
+          .orderBy(col("shard_id"))
+      },
+      Some("""WITH h AS (
+          SELECT doc_id, n_chars,
+            ((doc_id % 2147483648) * 2654435761) % 4294967296 AS k
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, n_chars, k,
+            ROW_NUMBER() OVER (ORDER BY k) - 1 AS rk
+          FROM h
+        )
+        SELECT CAST(rk // 97 AS BIGINT) AS shard_id,
+          COUNT(*) AS n_docs,
+          MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+          CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+          CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
+        FROM r GROUP BY 1 ORDER BY 1"""))
   )
 }

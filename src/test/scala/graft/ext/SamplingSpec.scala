@@ -66,4 +66,30 @@ class SamplingSpec extends AnyFunSuite {
     // s0 ids are 0,5,10,...; 10 tokens each, budget 100 => first 10 docs
     assert(a == (0L until 50L by 5L).toSeq)
   }
+
+  test("shuffleShards: exact shard sizes, a real permutation, partitioning-independent") {
+    val n = 1000L
+    val d = (0L until n).map(i => (i, s"doc$i")).toDF("id", "s")
+    val out = Sampling.shuffleShards(d, "id", docsPerShard = 97L)
+      .select("id", "shard_id", "pos_in_shard").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._2, r._3))
+    // every id exactly once; every shard except the last holds exactly 97
+    assert(out.map(_._1).sorted.toSeq == (0L until n).toSeq)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val lastShard = sizes.keys.max
+    assert(sizes.filterNot(_._1 == lastShard).values.forall(_ == 97))
+    assert(sizes(lastShard) == (n % 97L).toInt)
+    // positions are 0..size-1 within each shard
+    assert(out.groupBy(_._2).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq })
+    // genuinely shuffled: consecutive ids do not stay adjacent
+    val posOf = out.map(r => r._1 -> (r._2 * 97 + r._3)).toMap
+    val adjacent = (0L until n - 1).count(i => math.abs(posOf(i) - posOf(i + 1)) == 1)
+    assert(adjacent < 20, s"suspiciously sequential: $adjacent adjacent pairs")
+    // deterministic under repartitioning
+    val out2 = Sampling.shuffleShards(d.repartition(17), "id", 97L)
+      .select("id", "shard_id", "pos_in_shard").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._2, r._3))
+    assert(out.toSeq == out2.toSeq)
+  }
 }
