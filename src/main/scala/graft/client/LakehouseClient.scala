@@ -175,6 +175,26 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
     * property set the reference op exists for); `graft.table.version` /
     * `numFiles` diagnostics ride along.
     */
+  /** Re-read the log schema and push it into the catalog record — the
+    * W10 reconciliation shape, for metadata-only DDL (RENAME/DROP
+    * COLUMN) that changes the schema without a write. partition_index
+    * and surviving-column identity are preserved like mergeColumns.
+    */
+  def syncTableSchema(catalog: String, schema: String, name: String): TableInfo = {
+    val t = getTable(catalog, schema, name)
+    val snapSchema = getTxTable(catalog, schema, name).snapshot.schema
+    val old = t.columns.map(c => c.name -> c).toMap
+    val cols = snapSchema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      old.get(f.name) match {
+        case Some(c) => c.copy(dataType = graft.types.UcType.fromSpark(f.dataType),
+          position = i, nullable = f.nullable)
+        case None => graft.catalog.ColumnInfo(f.name,
+          graft.types.UcType.fromSpark(f.dataType), i, nullable = f.nullable)
+      }
+    }
+    store.overwriteTable(t.copy(columns = cols))
+  }
+
   def syncTableProperties(catalog: String, schema: String, name: String): TableInfo = {
     val t = getTable(catalog, schema, name)
     val snap = getTxTable(catalog, schema, name).snapshot

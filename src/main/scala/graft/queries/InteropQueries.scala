@@ -1339,6 +1339,56 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           (SELECT COUNT(*) FROM final) AS meta_rows
         FROM final
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q130: metadata-only RENAME/DROP COLUMN through SQL ----
+    // A real-`_delta_log` table is renamed (column mapping auto-upgraded
+    // in the same commit — physical layout untouched, old files resolve
+    // through the mapping) and a column is dropped; a post-rename append
+    // and a predicate on the renamed column prove the write path runs
+    // through the mapping too. `n_files_rewritten` pins metadata-only-ness
+    // in the hash: the pre-DDL file set must survive both statements
+    // verbatim. The oracle replays the logical effect from the fixture.
+    QueryDef(
+      "q130_rename_drop_column",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q130cat")
+        client.createSchema("q130cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q130-rename").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        graft.tables.DeltaLogWriter.create(s, loc,
+          li.filter(col("l_linenumber") === 1).repartition(4))
+        client.registerAsTable("q130cat", "s", "t", graft.catalog.FileType.DELTA, loc)
+        val before = client.getTxTable("q130cat", "s", "t").snapshot.files.map(_.path).toSet
+        s.sql("ALTER TABLE q130cat.s.t RENAME COLUMN l_quantity TO qty")
+        s.sql("ALTER TABLE q130cat.s.t DROP COLUMN l_extendedprice")
+        // the write path threads the mapping: appended rows land under
+        // the renamed column's physical name
+        s.sql("INSERT INTO q130cat.s.t BY NAME " +
+          "SELECT l_orderkey, l_linenumber, l_returnflag, qty FROM q130cat.s.t WHERE qty = 1")
+        val after = client.getTxTable("q130cat", "s", "t").snapshot.files.map(_.path).toSet
+        val rewritten = (before -- after).size.toLong
+        s.sql("SELECT * FROM q130cat.s.t WHERE qty <= 40")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast(LongType)).as("sum_qty"))
+          .withColumn("n_files_rewritten", lit(rewritten))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH base AS (
+          SELECT l_returnflag, l_quantity AS qty FROM lineitem WHERE l_linenumber = 1
+        ), final AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT * FROM base WHERE qty = 1
+        )
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(qty AS BIGINT)) AS BIGINT) AS sum_qty,
+          CAST(0 AS BIGINT) AS n_files_rewritten
+        FROM final WHERE qty <= 40
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -399,6 +399,45 @@ object GraftSqlDml {
       }
     }
 
+  /** ALTER TABLE ... RENAME COLUMN old TO new — metadata-only on
+    * column-mapped Delta (auto-upgraded) and Iceberg; see
+    * TxTable.renameColumn for the per-log contract. The catalog record
+    * follows in the same command.
+    */
+  def rewriteRenameColumn(session: ClassicSparkSession, client: LakehouseClient,
+      r: RenameColumn): Option[LogicalPlan] =
+    alterTarget3(client, r.table).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      if (r.column.name.length != 1) throw UnsupportedOperationError(
+        "ALTER TABLE RENAME COLUMN: nested column paths are not supported")
+      val oldName = r.column.name.head
+      GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl RENAME COLUMN $oldName TO ${r.newName}") { () =>
+        client.getTxTable(cat, sch, tbl).renameColumn(oldName, r.newName)
+        client.syncTableSchema(cat, sch, tbl)
+      }
+    }
+
+  /** ALTER TABLE ... DROP COLUMN(S) — metadata-only; see
+    * TxTable.dropColumn.
+    */
+  def rewriteDropColumns(session: ClassicSparkSession, client: LakehouseClient,
+      d: DropColumns): Option[LogicalPlan] =
+    alterTarget3(client, d.table).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      val names = d.columnsToDrop.map { c =>
+        if (c.name.length != 1) throw UnsupportedOperationError(
+          "ALTER TABLE DROP COLUMN: nested column paths are not supported")
+        c.name.head
+      }
+      if (d.ifExists) throw UnsupportedOperationError(
+        "ALTER TABLE DROP COLUMN IF EXISTS is not supported")
+      GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl DROP COLUMNS (${names.mkString(", ")})") { () =>
+        val t = client.getTxTable(cat, sch, tbl)
+        names.foreach(t.dropColumn)
+        client.syncTableSchema(cat, sch, tbl)
+      }
+    }
+
   /** Properties land in BOTH places they are read from: the transaction
     * log (a metadata commit — the write path and external engines read
     * `snapshot.properties`) for transactional tables, and the catalog

@@ -74,6 +74,10 @@ object GraftSqlExtensions {
           GraftSqlDml.rewriteDropTable(session, client, d).getOrElse(d)
         case a: AddColumns =>
           GraftSqlDml.rewriteAddColumns(session, client, a).getOrElse(a)
+        case r: RenameColumn =>
+          GraftSqlDml.rewriteRenameColumn(session, client, r).getOrElse(r)
+        case dc: DropColumns =>
+          GraftSqlDml.rewriteDropColumns(session, client, dc).getOrElse(dc)
         case sp: SetTableProperties =>
           GraftSqlDml.rewriteSetProperties(session, client, sp).getOrElse(sp)
         case up: UnsetTableProperties =>

@@ -141,6 +141,43 @@ object DeltaLog {
     (StructType(fields), outProps)
   }
 
+  /** Upgrade a table to `name`-mode column mapping IN PLACE (the
+    * precondition for metadata-only RENAME/DROP COLUMN): every field
+    * lacking mapping metadata keeps its CURRENT name as the physical
+    * name and gets a sequential column id — existing files stay
+    * readable verbatim because their parquet columns already carry
+    * those names. Nested struct fields are mapped the same way (their
+    * physical path equals their current path). Idempotent: a table
+    * already in name/id mode returns unchanged.
+    */
+  private[tables] def withMappingEnabled(schema: StructType,
+      props: Map[String, String]): (StructType, Map[String, String]) = {
+    if (props.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id"))
+      return (schema, props)
+    var maxId = maxColumnIdIn(schema)
+    def meta(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.Metadata =
+      if (f.metadata.contains(PhysicalNameKey)) f.metadata
+      else {
+        maxId += 1
+        new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysicalNameKey, f.name)
+          .putLong(ColumnIdKey, maxId).build()
+      }
+    def mapType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, mapType(f.dataType), f.nullable, meta(f))))
+      case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = mapType(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = mapType(m.keyType), valueType = mapType(m.valueType))
+      case other => other
+    }
+    val mapped = StructType(schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, mapType(f.dataType), f.nullable, meta(f))))
+    (mapped, props +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> maxId.toString))
+  }
+
   /** Recursively rename a type's struct fields to their physical names
     * (nested structs carry their own mapping metadata). With
     * `withFieldIds`, each renamed field also carries the spec's column id

@@ -177,13 +177,17 @@ object IcebergLog {
     */
   private[tables] def renamedEver(meta: JValue): Boolean = {
     val current = topFields(meta).map { case (id, n, _) => id -> n }.toMap
+    val currentByName = topFields(meta).map { case (id, n, _) => n -> id }.toMap
     (meta \ "schemas").extractOpt[Seq[JValue]].getOrElse(Seq.empty).exists { s =>
       (s \ "fields").extractOpt[Seq[JValue]].getOrElse(Seq.empty).exists { f =>
         (for {
           id <- (f \ "id").extractOpt[Int]
           n <- (f \ "name").extractOpt[String]
-          cur <- current.get(id)
-        } yield cur != n).getOrElse(false)
+        } yield current.get(id).exists(_ != n) ||
+          // a historical name now bound to a DIFFERENT id (drop +
+          // re-add): name resolution would resurrect the dropped bytes
+          // from old files — id resolution reads them as NULL
+          currentByName.get(n).exists(_ != id)).getOrElse(false)
       }
     }
   }
@@ -1179,6 +1183,72 @@ object IcebergWriter {
       "current-schema-id" -> JInt(nextSchemaId),
       "last-column-id" -> JInt(math.max(b.nextId,
         (meta \ "last-column-id").extractOrElse[Int](0)))), topIds.toMap)
+  }
+
+  /** RENAME COLUMN, the Iceberg-native way: a new schema joins the
+    * `schemas` history carrying the SAME field id under the new name —
+    * id-based resolution (spec §Schemas: "columns are matched by field
+    * id") keeps every existing data file readable, and a renamed history
+    * flips this library's readers into id resolution automatically.
+    * Metadata-only commit; no snapshot is minted (renames move no data).
+    */
+  def renameColumn(spark: SparkSession, location: String,
+      oldName: String, newName: String): Unit = {
+    val st = IcebergLog.state(spark, location)
+    val cur = IcebergLog.currentSchemaJson(st.meta)
+    val fields = (cur \ "fields").extract[Seq[JValue]]
+    if (!fields.exists(f => (f \ "name").extract[String] == oldName))
+      throw graft.catalog.UnsupportedOperationError(s"RENAME COLUMN: unknown column $oldName")
+    if (fields.exists(f => (f \ "name").extract[String] == newName))
+      throw graft.catalog.AlreadyExistsError(s"RENAME COLUMN: column $newName already exists")
+    val renamed = fields.map {
+      case JObject(kvs) if kvs.exists { case (k, v) =>
+          k == "name" && v == JString(oldName) } =>
+        JObject(kvs.map {
+          case ("name", _) => "name" -> (JString(newName): JValue)
+          case kv => kv
+        }): JValue
+      case f => f
+    }
+    commitSchemaHistory(spark, location, st, renamed)
+  }
+
+  /** DROP COLUMN: the field leaves the current schema (its id is NEVER
+    * reused — spec invariant, enforced by last-column-id monotonicity);
+    * data files keep the physical column, which id-based readers simply
+    * stop projecting. Metadata-only; storage reclaims on the next
+    * rewrite.
+    */
+  def dropColumn(spark: SparkSession, location: String, name: String): Unit = {
+    val st = IcebergLog.state(spark, location)
+    val cur = IcebergLog.currentSchemaJson(st.meta)
+    val fields = (cur \ "fields").extract[Seq[JValue]]
+    if (!fields.exists(f => (f \ "name").extract[String] == name))
+      throw graft.catalog.UnsupportedOperationError(s"DROP COLUMN: unknown column $name")
+    if (fields.size == 1)
+      throw graft.catalog.UnsupportedOperationError("DROP COLUMN: cannot drop the last column")
+    // a declared sort order referencing the column would dangle
+    if (IcebergLog.sortOrderFields(st.meta).exists(_._1 == name))
+      throw graft.catalog.UnsupportedOperationError(
+        s"DROP COLUMN: $name is referenced by the table's sort order; replace it first")
+    commitSchemaHistory(spark, location, st,
+      fields.filterNot(f => (f \ "name").extract[String] == name))
+  }
+
+  /** Append a new current schema (built from `fields`, ids already
+    * assigned) to the schemas history in one metadata-only commit.
+    */
+  private def commitSchemaHistory(spark: SparkSession, location: String,
+      st: IcebergLog.IceState, fields: Seq[JValue]): Unit = {
+    val prior = (st.meta \ "schemas").extractOpt[Seq[JValue]]
+      .getOrElse(Seq(IcebergLog.currentSchemaJson(st.meta)))
+    val nextSchemaId = prior.flatMap(s => (s \ "schema-id").extractOpt[Int])
+      .maxOption.getOrElse(0) + 1
+    val schemaJson = JObject("type" -> JString("struct"),
+      "schema-id" -> JInt(nextSchemaId), "fields" -> JArray(fields.toList))
+    commitMetaOnly(IcebergLog.fs(spark, location), location, st, Map(
+      "schemas" -> JArray((prior :+ (schemaJson: JValue)).toList),
+      "current-schema-id" -> JInt(nextSchemaId)))
   }
 
   private def writeMetadata(f: FileSystem, location: String, version: Long,

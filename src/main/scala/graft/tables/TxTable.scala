@@ -355,6 +355,142 @@ final class TxTable(val spark: SparkSession, val location: String,
       TxTable.Planned(Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, merged)
     }
 
+  /** Refuse a rename/drop whose target a constraint or generation
+    * expression still references — the stored SQL would silently stop
+    * matching rows (or hard-fail) on the next write. Word-boundary
+    * containment is conservative: a false positive asks the user to drop
+    * the constraint first, a false negative would corrupt enforcement.
+    */
+  private def checkNotReferenced(snap: Snapshot, colName: String, op: String): Unit = {
+    val word = java.util.regex.Pattern.compile(
+      "\\b" + java.util.regex.Pattern.quote(colName) + "\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    snap.properties.collectFirst {
+      case (k, v) if k.startsWith(Constraints.PropPrefix) && word.matcher(v).find() => k
+    }.foreach { k =>
+      throw UnsupportedOperationError(
+        s"$op: column $colName is referenced by constraint ${k.stripPrefix(Constraints.PropPrefix)}; drop it first")
+    }
+    snap.schema.fields.find(f =>
+      f.metadata.contains(GeneratedColumns.ExprKey) &&
+        word.matcher(f.metadata.getString(GeneratedColumns.ExprKey)).find()).foreach { f =>
+      throw UnsupportedOperationError(
+        s"$op: column $colName is referenced by generated column ${f.name}")
+    }
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN old TO new — METADATA-ONLY, never a
+    * data rewrite (at 100 TB a rename that rewrites is an outage). The
+    * logical name changes; files keep their physical layout:
+    *   - foreign Delta: requires column mapping; a table still in mode
+    *     `none` is upgraded to `name` mode IN the same commit, each
+    *     existing field keeping its current name as the physical name
+    *     (Delta's documented upgrade path — existing files stay
+    *     readable verbatim, the protocol gains the columnMapping
+    *     feature so other engines resolve physically too).
+    *   - Iceberg: the spec's id-based resolution makes renames native —
+    *     a new schema joins the history with the SAME field id, and
+    *     readers (ours switches to id resolution on any renamed
+    *     history) keep resolving old files.
+    *   - native log: a copy-on-write rewrite (O(table), the one backend
+    *     without a physical/logical mapping layer — a metadata-only
+    *     rename would silently null the column in existing files). Use
+    *     a Delta/Iceberg-backed table when renames must be cheap.
+    * Partition columns are refused on all backends (their values are
+    * encoded under the old name in every log entry and path).
+    */
+  def renameColumn(oldName: String, newName: String): Unit = log match {
+    case ForeignDeltaCommitLog =>
+      commitWithRetry("RENAME COLUMN") { snap =>
+        if (!snap.schema.fieldNames.contains(oldName))
+          throw UnsupportedOperationError(s"RENAME COLUMN: unknown column $oldName")
+        if (snap.schema.fieldNames.contains(newName))
+          throw graft.catalog.AlreadyExistsError(s"RENAME COLUMN: column $newName already exists")
+        if (snap.partitionColumns.contains(oldName))
+          throw UnsupportedOperationError(
+            s"RENAME COLUMN: $oldName is a partition column")
+        checkNotReferenced(snap, oldName, "RENAME COLUMN")
+        val (schema1, props1) = DeltaLog.withMappingEnabled(snap.schema, snap.properties)
+        val renamed = org.apache.spark.sql.types.StructType(schema1.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f))
+        TxTable.Planned(Seq.empty, Seq.empty, renamed, snap.partitionColumns, props1)
+      }
+    case IcebergCommitLog =>
+      val snap = snapshot
+      if (snap.partitionColumns.contains(oldName))
+        throw UnsupportedOperationError(s"RENAME COLUMN: $oldName is a partition column")
+      checkNotReferenced(snap, oldName, "RENAME COLUMN")
+      IcebergWriter.renameColumn(spark, location, oldName, newName)
+    case _ =>
+      commitWithRetry("RENAME COLUMN") { snap =>
+        if (!snap.schema.fieldNames.contains(oldName))
+          throw UnsupportedOperationError(s"RENAME COLUMN: unknown column $oldName")
+        if (snap.schema.fieldNames.contains(newName))
+          throw graft.catalog.AlreadyExistsError(s"RENAME COLUMN: column $newName already exists")
+        if (snap.partitionColumns.contains(oldName))
+          throw UnsupportedOperationError(s"RENAME COLUMN: $oldName is a partition column")
+        checkNotReferenced(snap, oldName, "RENAME COLUMN")
+        val renamed = org.apache.spark.sql.types.StructType(snap.schema.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f))
+        val rewritten = readForRewrite(snap, snap.files)
+          .withColumnRenamed(oldName, newName)
+        val (added, props) = stageRewrite(
+          alignForWrite(rewritten, snap.partitionColumns),
+          snap.copy(schema = renamed))
+        TxTable.Planned(added, snap.files.map(_.path), renamed,
+          snap.partitionColumns, props)
+      }
+  }
+
+  /** ALTER TABLE ... DROP COLUMN. On Delta and Iceberg: METADATA-ONLY —
+    * the field leaves the schema, the physical column stays in existing
+    * files and readers stop projecting it (storage reclaims on the next
+    * rewrite — Delta's documented deferred contract). Foreign Delta
+    * tables are upgraded to column mapping in the same commit: the
+    * protocol requires it, because without mapping a later same-named
+    * ADD COLUMNS would silently resurrect the old bytes (under mapping
+    * the new column gets a fresh UUID physical name, so old data stays
+    * invisible). The NATIVE log has no mapping layer, so there the drop
+    * is an explicit copy-on-write rewrite (O(table), documented — use a
+    * Delta/Iceberg-backed table for metadata-only drops).
+    */
+  def dropColumn(name: String): Unit = {
+    def guards(snap: Snapshot): Unit = {
+      if (!snap.schema.fieldNames.contains(name))
+        throw UnsupportedOperationError(s"DROP COLUMN: unknown column $name")
+      if (snap.partitionColumns.contains(name))
+        throw UnsupportedOperationError(s"DROP COLUMN: $name is a partition column")
+      if (snap.schema.fields.length == 1)
+        throw UnsupportedOperationError("DROP COLUMN: cannot drop the last column")
+      checkNotReferenced(snap, name, "DROP COLUMN")
+    }
+    log match {
+      case IcebergCommitLog =>
+        guards(snapshot)
+        IcebergWriter.dropColumn(spark, location, name)
+      case ForeignDeltaCommitLog =>
+        commitWithRetry("DROP COLUMN") { snap =>
+          guards(snap)
+          val (schema1, props1) = DeltaLog.withMappingEnabled(snap.schema, snap.properties)
+          val dropped = org.apache.spark.sql.types.StructType(
+            schema1.fields.filterNot(_.name == name))
+          TxTable.Planned(Seq.empty, Seq.empty, dropped, snap.partitionColumns, props1)
+        }
+      case _ =>
+        commitWithRetry("DROP COLUMN") { snap =>
+          guards(snap)
+          val dropped = org.apache.spark.sql.types.StructType(
+            snap.schema.fields.filterNot(_.name == name))
+          val rewritten = readForRewrite(snap, snap.files).drop(name)
+          val (added, props) = stageRewrite(
+            alignForWrite(rewritten, snap.partitionColumns),
+            snap.copy(schema = dropped))
+          TxTable.Planned(added, snap.files.map(_.path), dropped,
+            snap.partitionColumns, props)
+        }
+    }
+  }
+
   /** ALTER TABLE ADD CONSTRAINT name CHECK (sql): existing rows are
     * validated first (a distributed scan that aborts at the first
     * violation, like Delta), then the constraint lands as a

@@ -1,0 +1,161 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.UnsupportedOperationError
+
+/** RENAME/DROP COLUMN across the three logs. The contract under test:
+  * metadata-only on Delta (column mapping auto-upgraded in the same
+  * commit) and Iceberg (same field id, new schema in the history);
+  * copy-on-write on the native log; and the resurrect hazard — drop
+  * then re-add a same-named column — must read NULL, never old bytes.
+  */
+class AlterColumnsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("id", "name", "v")
+
+  test("delta rename: metadata-only, mapping auto-upgraded, files untouched") {
+    val loc = TestSpark.tmpDir("alter-d-rn")
+    DeltaLogWriter.create(spark, loc, sample)
+    val t = TxTable.forForeignDelta(spark, loc)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+
+    t.renameColumn("name", "title")
+    val snap = t.snapshot
+    // not a rewrite: identical physical file set
+    assert(snap.files.map(_.path).toSet === filesBefore)
+    assert(snap.schema.fieldNames.toSeq === Seq("id", "title", "v"))
+    // mapping upgraded in the same commit: physical name stays 'name'
+    assert(snap.properties.get("delta.columnMapping.mode") === Some("name"))
+    assert(DeltaLog.physicalNameOf(snap.schema("title")) === "name")
+    // old files read under the new logical name
+    assert(t.toDF.select("title").as[String].collect().sorted.toSeq ===
+      Seq("a", "b", "c"))
+    // writes keep working: append + predicate on the renamed column
+    t.append(Seq((4L, "d", 40.0)).toDF("id", "title", "v"))
+    t.delete("title = 'a'")
+    assert(t.toDF.select("title").as[String].collect().sorted.toSeq ===
+      Seq("b", "c", "d"))
+  }
+
+  test("delta drop + re-add must NOT resurrect old bytes") {
+    val loc = TestSpark.tmpDir("alter-d-drop")
+    DeltaLogWriter.create(spark, loc, sample)
+    val t = TxTable.forForeignDelta(spark, loc)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    t.dropColumn("name")
+    assert(t.snapshot.files.map(_.path).toSet === filesBefore, "drop is metadata-only")
+    assert(t.snapshot.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(!t.toDF.columns.contains("name"))
+    // re-add the same logical name: mapping mints a FRESH physical name,
+    // so the dropped bytes stay invisible
+    t.append(Seq((9L, 90.0, "fresh")).toDF("id", "v", "name"),
+      evolution = graft.catalog.SchemaEvolution.MERGE)
+    val byId = t.toDF.select("id", "name").as[(Long, Option[String])]
+      .collect().toMap
+    assert(byId(1L).isEmpty && byId(2L).isEmpty && byId(3L).isEmpty,
+      s"old rows must read NULL, got $byId")
+    assert(byId(9L) === Some("fresh"))
+  }
+
+  test("iceberg rename keeps the field id; old files resolve by id") {
+    val loc = TestSpark.tmpDir("alter-i-rn") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(sample)
+    val idBefore = IcebergLog.topFields(
+      IcebergLog.state(spark, loc).meta).collectFirst {
+      case (id, "name", _) => id }.get
+    t.renameColumn("name", "title")
+    val meta = IcebergLog.state(spark, loc).meta
+    val idAfter = IcebergLog.topFields(meta).collectFirst {
+      case (id, "title", _) => id }.get
+    assert(idAfter === idBefore, "rename must keep the field id")
+    assert(t.toDF.select("title").as[String].collect().sorted.toSeq ===
+      Seq("a", "b", "c"))
+    assert(IcebergLog.toDF(spark, loc).select("title").count() === 3L)
+    // writes keep working after the rename
+    t.append(Seq((4L, "d", 40.0)).toDF("id", "title", "v"))
+    assert(t.toDF.count() === 4L)
+    t.delete("title = 'a'")
+    assert(t.toDF.count() === 3L)
+  }
+
+  test("iceberg drop is metadata-only and re-add reads NULL") {
+    val loc = TestSpark.tmpDir("alter-i-drop") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(sample)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    t.dropColumn("name")
+    assert(t.snapshot.files.map(_.path).toSet === filesBefore)
+    assert(t.snapshot.schema.fieldNames.toSeq === Seq("id", "v"))
+    // fresh id for the re-added column: old values stay invisible
+    t.append(Seq((9L, 90.0, "fresh")).toDF("id", "v", "name"),
+      evolution = graft.catalog.SchemaEvolution.MERGE)
+    val byId = t.toDF.select("id", "name").as[(Long, Option[String])]
+      .collect().toMap
+    assert(byId(1L).isEmpty && byId(3L).isEmpty)
+    assert(byId(9L) === Some("fresh"))
+  }
+
+  test("native: rename and drop rewrite copy-on-write") {
+    val loc = TestSpark.tmpDir("alter-n")
+    val t = TxTable.forLocation(spark, loc)
+    t.create(sample)
+    t.renameColumn("name", "title")
+    assert(t.snapshot.schema.fieldNames.toSeq === Seq("id", "title", "v"))
+    assert(t.toDF.select("title").as[String].collect().sorted.toSeq ===
+      Seq("a", "b", "c"))
+    t.renameColumn("title", "name")
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    t.dropColumn("name")
+    assert(t.snapshot.schema.fieldNames.toSeq === Seq("id", "v"))
+    // copy-on-write: physical files replaced, bytes really gone
+    assert(t.snapshot.files.map(_.path).toSet.intersect(filesBefore).isEmpty)
+    t.append(Seq((9L, 90.0, "fresh")).toDF("id", "v", "name"),
+      evolution = graft.catalog.SchemaEvolution.MERGE)
+    val byId = t.toDF.select("id", "name").as[(Long, Option[String])]
+      .collect().toMap
+    assert(byId(1L).isEmpty && byId(9L) === Some("fresh"))
+  }
+
+  test("guards: partition columns, unknown columns, constraint references") {
+    val loc = TestSpark.tmpDir("alter-guards")
+    DeltaLogWriter.create(spark, loc, sample.withColumn("p", lit("x")),
+      partitionColumns = Seq("p"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    intercept[UnsupportedOperationError](t.renameColumn("p", "q"))
+    intercept[UnsupportedOperationError](t.dropColumn("p"))
+    intercept[UnsupportedOperationError](t.renameColumn("nope", "x"))
+    intercept[UnsupportedOperationError](t.dropColumn("nope"))
+    t.addConstraint("v_pos", "v > 0")
+    intercept[UnsupportedOperationError](t.renameColumn("v", "w"))
+    intercept[UnsupportedOperationError](t.dropColumn("v"))
+    t.dropConstraint("v_pos")
+    t.renameColumn("v", "w") // allowed once the constraint is gone
+    assert(t.snapshot.schema.fieldNames.contains("w"))
+  }
+
+  test("SQL: ALTER TABLE RENAME COLUMN / DROP COLUMN on 3-part names") {
+    val client = new graft.client.LakehouseClient(spark)
+    client.createCatalog("altc")
+    client.createSchema("altc", "s")
+    val dir = TestSpark.tmpDir("alter-sql")
+    client.createAsTable(sample, "altc", "s", "t",
+      graft.catalog.FileType.DELTA, s"$dir/t")
+    spark.sql("ALTER TABLE altc.s.t RENAME COLUMN name TO title")
+    assert(spark.sql("SELECT title FROM altc.s.t ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    // the catalog record followed
+    assert(client.getTable("altc", "s", "t").columns.map(_.name)
+      .contains("title"))
+    spark.sql("ALTER TABLE altc.s.t DROP COLUMN v")
+    assert(!spark.sql("SELECT * FROM altc.s.t").columns.contains("v"))
+    assert(!client.getTable("altc", "s", "t").columns.map(_.name).contains("v"))
+  }
+}
