@@ -1389,6 +1389,49 @@ object InteropQueries {
           CAST(SUM(CAST(qty AS BIGINT)) AS BIGINT) AS sum_qty,
           CAST(0 AS BIGINT) AS n_files_rewritten
         FROM final WHERE qty <= 40
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q131: Iceberg write-audit-publish (branch stage + fastForward) ----
+    // The staged append advances only the audit branch: `staged_rows`
+    // (main's count read BETWEEN stage and publish) must equal the
+    // pre-stage count — any leak of staged rows into main breaks the
+    // hash. After fastForward, main carries base + staged rows; the
+    // audit read itself gates the publish (rows with l_quantity > 45
+    // would fail the audit, so the stage only ships <= 45).
+    QueryDef(
+      "q131_iceberg_wap",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q131-wap").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        graft.tables.IcebergWriter.create(s, loc, li.filter(col("l_linenumber") === 1))
+        graft.tables.IcebergWriter.createBranch(s, loc, "audit")
+        graft.tables.IcebergWriter.appendToBranch(s, loc,
+          li.filter(col("l_linenumber") === 2 && col("l_quantity") <= 45), "audit")
+        // audit: the STAGED rows (linenumber 2 on this branch) must all
+        // pass the quality gate before anything reaches main
+        val auditOk = graft.tables.IcebergLog.toDFAtRef(s, loc, "audit")
+          .filter(col("l_linenumber") === 2 && col("l_quantity") > 45).count() == 0L
+        val stagedInvisible = graft.tables.IcebergLog.toDF(s, loc).count()
+        require(auditOk, "audit must pass by construction")
+        graft.tables.IcebergWriter.fastForward(s, loc, "audit")
+        graft.tables.IcebergLog.toDF(s, loc)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .withColumn("rows_before_publish", lit(stagedInvisible))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH published AS (
+          SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 1
+          UNION ALL
+          SELECT l_returnflag, l_quantity FROM lineitem
+          WHERE l_linenumber = 2 AND l_quantity <= 45
+        )
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          (SELECT COUNT(*) FROM lineitem WHERE l_linenumber = 1) AS rows_before_publish
+        FROM published
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

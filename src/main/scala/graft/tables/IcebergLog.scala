@@ -1687,6 +1687,126 @@ object IcebergWriter {
       Map("refs" -> JObject(prior :+ (name -> (entry: JValue)))))
   }
 
+  /** WRITE-AUDIT-PUBLISH, stage half: append `df` as a snapshot that
+    * advances ONLY `branch` — `current-snapshot-id`, the `main` ref and
+    * the snapshot-log stay untouched, so every reader of the table (and
+    * of `main`) is blind to the staged rows while audit queries read
+    * them via `toDFAtRef(branch)` / `VERSION AS OF 'branch'`. The new
+    * snapshot's parent is the BRANCH head and its manifest list carries
+    * the branch head's manifests, so repeated stages stack on the
+    * branch; sequence numbers are table-global per the spec. Publish
+    * with `fastForward` after the audit passes; abandon by dropping the
+    * ref (`removeRef`) and letting expire/vacuum reclaim.
+    */
+  def appendToBranch(spark: SparkSession, location: String, df: DataFrame,
+      branch: String): Unit = {
+    if (branch == "main")
+      throw UnsupportedOperationError(
+        "appendToBranch: use append for main — branch staging targets a side branch")
+    val stCur = IcebergLog.state(spark, location)
+    val refType = (stCur.meta \ "refs" \ branch \ "type").extractOpt[String]
+    if (refType.isEmpty)
+      throw graft.catalog.DoesNotExistError(
+        s"iceberg: no branch '$branch' at $location (createBranch first)")
+    if (refType.get != "branch")
+      throw UnsupportedOperationError(s"iceberg: ref '$branch' is a tag, not a branch")
+    val headId = IcebergLog.refSnapshotId(stCur.meta, branch).get
+    val stB = IcebergLog.state(spark, location, Some(headId))
+    val f = IcebergLog.fs(spark, location)
+    val data = conformed(stB, df)
+    val specFields = resolvedSpecFields(stB)
+    val partFields = specFields.map(sf => sf.name -> sf.resultType)
+    val topIds = IcebergLog.topFields(stB.meta).map { case (id, n, _) => n -> id }.toMap
+    val added = stage(spark, location, data, specFields,
+      IcebergLog.currentSchemaJson(stB.meta), IcebergLog.sortOrderFields(stB.meta))
+    val seq = lastSeq(stCur.meta) + 1
+    val snapId = nextSnapId(stCur.meta)
+    val now = System.currentTimeMillis()
+    val entrySchema = entrySchemaFor(partFields)
+    val (mPath, mLen, mRows) = writeManifest(f, location, entrySchema, added,
+      stB.schema, partFields, topIds, snapId, seq, content = 0)
+    val ml = priorManifestRecords(spark, location, stB) :+
+      mlRecord(mPath.toString, mLen, 0, seq, snapId, added.size, mRows)
+    val mlPath = writeManifestList(f, location, snapId, ml)
+    val snap = snapshotJson(snapId, now, seq, mlPath, "append", Some(headId))
+    // commit: snapshots += snap, refs[branch] -> snap; main untouched
+    val meta = stCur.meta.asInstanceOf[JObject]
+    val priorSnaps = (meta \ "snapshots").extractOrElse[Seq[JValue]](Seq.empty)
+    val refs = (meta \ "refs") match {
+      case JObject(fields) => fields.map {
+        case (n, v) if n == branch => n -> v.replace(List("snapshot-id"), JLong(snapId))
+        case other => other
+      }
+      case _ => Nil
+    }
+    val priorMetaLog = (meta \ "metadata-log").extractOrElse[Seq[JValue]](Seq.empty)
+    val prevEntry: JValue = JObject(
+      "timestamp-ms" -> JLong((meta \ "last-updated-ms").extractOrElse[Long](0L)),
+      "metadata-file" -> JString(new Path(IcebergLog.metadataDir(location),
+        s"v${stCur.metadataVersion}.metadata.json").toString))
+    val managed = Set("last-sequence-number", "last-updated-ms", "snapshots",
+      "metadata-log", "refs")
+    val kept = meta.obj.filterNot { case (k, _) => managed.contains(k) }
+    val body = JsonMethods.compact(JsonMethods.render(JObject(kept ++ List[(String, JValue)](
+      "last-sequence-number" -> JLong(seq),
+      "last-updated-ms" -> JLong(now),
+      "refs" -> JObject(refs),
+      "snapshots" -> JArray((priorSnaps :+ (snap: JValue)).toList),
+      "metadata-log" -> JArray((priorMetaLog :+ prevEntry).toList)))))
+    writeMetadata(f, location, stCur.metadataVersion + 1, body)
+  }
+
+  /** WRITE-AUDIT-PUBLISH, publish half: fast-forward `main` to the head
+    * of `branch`. Refused unless main's current snapshot is an ANCESTOR
+    * of the branch head (walking parent-snapshot-id) — the fast-forward
+    * invariant that guarantees publishing loses nothing that landed on
+    * main; a diverged main needs a fresh staging cycle instead. One
+    * metadata-only commit moves `current-snapshot-id`, the `main` ref,
+    * and the snapshot-log together.
+    */
+  def fastForward(spark: SparkSession, location: String, branch: String): Unit = {
+    val st = IcebergLog.state(spark, location)
+    val target = IcebergLog.refSnapshotId(st.meta, branch).getOrElse(
+      throw graft.catalog.DoesNotExistError(
+        s"iceberg: no ref '$branch' at $location"))
+    val mainHead = (st.meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+    val parents: Map[Long, Option[Long]] =
+      (st.meta \ "snapshots").extractOrElse[Seq[JValue]](Seq.empty).map(s =>
+        (s \ "snapshot-id").extract[Long] ->
+          (s \ "parent-snapshot-id").extractOpt[Long]).toMap
+    def isAncestor(of: Long, candidate: Option[Long]): Boolean = candidate match {
+      case None => false
+      case Some(c) if c == of => true
+      case Some(c) => isAncestor(of, parents.get(c).flatten)
+    }
+    mainHead.foreach { h =>
+      if (h != target && !isAncestor(h, Some(target)))
+        throw UnsupportedOperationError(
+          s"iceberg: cannot fast-forward main to '$branch' — main ($h) is not an " +
+            s"ancestor of the branch head ($target); main has diverged")
+    }
+    val now = System.currentTimeMillis()
+    val priorLog = (st.meta \ "snapshot-log").extractOrElse[Seq[JValue]](Seq.empty)
+    val refs = (st.meta \ "refs") match {
+      case JObject(fields) =>
+        val hasMain = fields.exists(_._1 == "main")
+        val updated = fields.map {
+          case ("main", v) => "main" -> v.replace(List("snapshot-id"), JLong(target))
+          case other => other
+        }
+        if (hasMain) updated
+        else updated :+ ("main" -> (JObject("snapshot-id" -> JLong(target),
+          "type" -> JString("branch")): JValue))
+      case _ => List("main" -> (JObject("snapshot-id" -> JLong(target),
+        "type" -> JString("branch")): JValue))
+    }
+    commitMetaOnly(IcebergLog.fs(spark, location), location, st, Map(
+      "current-snapshot-id" -> JLong(target),
+      "refs" -> JObject(refs),
+      "snapshot-log" -> JArray((priorLog :+ (JObject(
+        "timestamp-ms" -> JLong(now), "snapshot-id" -> JLong(target)): JValue)).toList)))
+  }
+
   /** Declare the table's sort order (spec "Sort Orders"): a fresh order
     * under a new order-id becomes default-sort-order-id in one
     * metadata-only commit. Every subsequent write range-partitions and

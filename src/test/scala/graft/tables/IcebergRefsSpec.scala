@@ -94,4 +94,54 @@ class IcebergRefsSpec extends AnyFunSuite {
     assert(IcebergLog.latestMetadataVersion(spark, loc).get == vBefore + 1)
     assert(IcebergLog.toDF(spark, loc).count() == 3)
   }
+
+  test("WAP: staged branch appends are invisible to main until fastForward") {
+    val loc = TestSpark.tmpDir("ice-wap") + "/t"
+    IcebergWriter.create(spark, loc, seed)
+    IcebergWriter.createBranch(spark, loc, "audit")
+
+    // two staged appends stack on the branch
+    IcebergWriter.appendToBranch(spark, loc, Seq((4L, "d")).toDF("id", "s"), "audit")
+    IcebergWriter.appendToBranch(spark, loc, Seq((5L, "e")).toDF("id", "s"), "audit")
+    // main readers see nothing
+    assert(IcebergLog.toDF(spark, loc).count() == 3)
+    // the audit query reads the staged state
+    assert(IcebergLog.toDFAtRef(spark, loc, "audit")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+
+    // publish: one metadata-only commit moves main to the branch head
+    IcebergWriter.fastForward(spark, loc, "audit")
+    assert(IcebergLog.toDF(spark, loc)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // cleanup: the branch can go; data stays on main
+    IcebergWriter.removeRef(spark, loc, "audit")
+    assert(IcebergLog.toDF(spark, loc).count() == 5)
+  }
+
+  test("WAP: fastForward refuses a diverged main; abandoned stage reclaims") {
+    val loc = TestSpark.tmpDir("ice-wap-div") + "/t"
+    IcebergWriter.create(spark, loc, seed)
+    IcebergWriter.createBranch(spark, loc, "stage")
+    IcebergWriter.appendToBranch(spark, loc, Seq((4L, "d")).toDF("id", "s"), "stage")
+    // main moves independently -> the branch head no longer descends from it
+    IcebergWriter.append(spark, loc, Seq((9L, "z")).toDF("id", "s"))
+    intercept[UnsupportedOperationError] {
+      IcebergWriter.fastForward(spark, loc, "stage")
+    }
+    // abandon: drop the ref; main unaffected
+    IcebergWriter.removeRef(spark, loc, "stage")
+    assert(IcebergLog.toDF(spark, loc)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 9L))
+    // staging errors: unknown branch, tag target, main target
+    intercept[DoesNotExistError] {
+      IcebergWriter.appendToBranch(spark, loc, seed, "nope")
+    }
+    IcebergWriter.createTag(spark, loc, "atag")
+    intercept[UnsupportedOperationError] {
+      IcebergWriter.appendToBranch(spark, loc, seed, "atag")
+    }
+    intercept[UnsupportedOperationError] {
+      IcebergWriter.appendToBranch(spark, loc, seed, "main")
+    }
+  }
 }
