@@ -278,6 +278,55 @@ case class RepetitionStatsGen(child: Expression)
   override def prettyName: String = "repetition_stats"
 }
 
+/** Hashed linear text classifier — the fastText-shape quality filter
+  * every production corpus pipeline runs (score each doc with a linear
+  * model over hashed token features, keep docs above threshold), fused
+  * into ONE tokenizing pass per row: no shuffle, no per-token explode,
+  * map-only at any scale. Feature hashing: token → bucket in [0, 2^20)
+  * via the 31-polynomial rolling hash over its chars (overflow-free —
+  * the accumulator stays under 2^25). The weight VECTOR here is the
+  * deterministic pseudo-model w(b) = ((b·2654435761) mod 2^32) − 2^31 —
+  * integer weights make cross-engine score sums exact; a production
+  * deployment broadcasts a trained vector instead and the plumbing
+  * (hash, gather, reduce, mean) is identical. Emits one row:
+  * (n_tokens, raw_score = Σ w(bucket(tok)), score = raw/n, keep = raw>0).
+  */
+case class ClassifierScoreGen(child: Expression)
+    extends UnaryExpression with CollectionGenerator with CodegenFallback {
+
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("raw_score", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("keep", BooleanType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val toks = TokenizeUtil.tokens(text)
+    var raw = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0L
+      var j = 0
+      while (j < t.length) { h = (h * 31L + t.charAt(j).toLong) % 1048576L; j += 1 }
+      raw += ((h * 2654435761L) % 4294967296L) - 2147483648L
+      i += 1
+    }
+    val n = toks.length.toLong
+    val score = if (n == 0) 0.0 else raw.toDouble / n.toDouble
+    Iterator.single(InternalRow(n, raw, score, raw > 0L))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "classifier_score"
+}
+
 object TextNativeFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
@@ -295,4 +344,7 @@ object TextNativeFunctions {
 
   def fingerprint(text: Column, shingleK: Int = 3, window: Int = 4): Column =
     toCol(FingerprintExpr(toExpr(text), shingleK, window))
+
+  def classifierScore(text: Column): Column =
+    toCol(ClassifierScoreGen(toExpr(text)))
 }

@@ -481,7 +481,48 @@ object TextQueries {
         SELECT doc_id, score_q, rank FROM (
           SELECT doc_id, score_q,
             CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank
-          FROM ds) WHERE rank <= 10"""))
+          FROM ds) WHERE rank <= 10""")),
+
+    // ---- hashed linear quality classifier (fastText-shape filter) ----
+    // Feature-hash each token into 2^20 buckets (31-polynomial rolling
+    // hash), score with a deterministic integer pseudo-weight vector,
+    // keep docs whose summed weight is positive — the model-driven
+    // keep/drop step of production corpus curation, fused into one
+    // native tokenizing pass per row (map-only; no explode, no shuffle
+    // until the final aggregation a real pipeline wouldn't even run).
+    // Integer weights make the score engine-exact: the oracle replays
+    // hash, weights, sum and mean bit-for-bit in DuckDB.
+    QueryDef(
+      "q132_quality_classifier",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"),
+            graft.functions.TextNativeFunctions.classifierScore(col("text"))
+              .as(Seq("n_tokens", "raw_score", "score", "keep")))
+          .filter(col("n_tokens") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+          FROM documents
+        ),
+        hb AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+              (acc, x) -> (acc * 31 + x) % 1048576) AS b
+          FROM w
+        ),
+        sc AS (
+          SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(SUM((b * 2654435761) % 4294967296 - 2147483648) AS BIGINT) AS raw_score
+          FROM hb GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, raw_score,
+          CAST(raw_score AS DOUBLE) / n_tokens AS score,
+          raw_score > 0 AS keep
+        FROM sc ORDER BY doc_id"""))
   )
 
   /** DuckDB CTE fragment producing the q72 exact-Jaccard pair list
