@@ -106,6 +106,37 @@ object Sampling {
       .drop("__pid", "__lcum", "__offset", "__budget")
   }
 
+  /** Deterministic fractional-epoch upsampling — the "2.7 epochs of
+    * wikipedia, 0.4 of crawl" mixing primitive (domain weights above 1
+    * mean REPEATS, not samples). Each doc emits floor(epochs) full
+    * copies plus one more iff its hash falls under frac(epochs) — so a
+    * source with epochs=2.7 replicates every doc 2 or 3 times and the
+    * corpus-level expectation is exactly 2.7×, deterministically (same
+    * ids selected for the extra copy on any engine/partitioning, and
+    * the EXTRA-copy decision is hash-independent of `hashSample`'s keep
+    * decision thanks to the epoch-salted id). Emitted `repeatCol`
+    * (0-based copy index) lets downstream sharding treat copies as
+    * distinct rows; sources absent from `epochs` pass through once.
+    * Map-side explode of a tiny int range — no shuffle, no join.
+    */
+  def epochRepeat(df: DataFrame, strataCol: String, idCol: String,
+      epochs: Map[String, Double], repeatCol: String = "repeat_idx"): DataFrame = {
+    require(epochs.values.forall(e => e >= 0.0 && e < 1000.0),
+      "epochs must be in [0, 1000)")
+    val e = epochs.foldLeft(lit(1.0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val whole = floor(e).cast("long")
+    // salt the id with the whole-epoch count so the fractional draw is
+    // independent of the plain-id draws used by hashSample/shuffleShards
+    val extra = (hash32(col(idCol) * lit(1000003L) + whole) <
+      floor((e - whole.cast("double")) * lit(M32.toDouble)).cast("long")).cast("long")
+    df.withColumn("__n", (whole + extra).cast("int"))
+      .filter(col("__n") > 0)
+      .withColumn(repeatCol, explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Deterministic global corpus shuffle + fixed-size shard assignment —
     * the "shuffle the corpus, cut it into training shards" step every
     * epoch-0 data pipeline ends with. Training order must be (a) globally

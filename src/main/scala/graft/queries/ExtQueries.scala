@@ -567,6 +567,49 @@ object ExtQueries {
           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
           CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
-        FROM r GROUP BY 1 ORDER BY 1"""))
+        FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // ---- fractional-epoch upsampling (domain weights above 1) ----
+    // src1 runs 2.5 epochs, src2 0.25, everything else 1.0: every src1
+    // doc appears 2 or 3 times (hash-chosen extra copy, expectation
+    // exactly 2.5x), three quarters of src2 vanishes. The oracle
+    // replays floor+hash-extra+range-explode per doc, so the hash pins
+    // the whole replication rule, including the epoch-salted draw.
+    QueryDef(
+      "q133_epoch_upsampling",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        graft.ext.Sampling.epochRepeat(d, "source", "doc_id",
+          Map("src1" -> 2.5, "src2" -> 0.25))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("n_chars").cast(LongType)).as("sum_chars"),
+            max(col("repeat_idx")).cast(LongType).as("max_repeat"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH e AS (
+          SELECT doc_id, source, n_chars,
+            CASE source WHEN 'src1' THEN 2.5 WHEN 'src2' THEN 0.25 ELSE 1.0 END AS ep
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_chars,
+            CAST(FLOOR(ep) AS BIGINT) +
+            CASE WHEN CAST((((doc_id * 1000003 + CAST(FLOOR(ep) AS BIGINT)) % 2147483648)
+                   * 2654435761) % 4294967296 AS BIGINT)
+                 < CAST(FLOOR((ep - FLOOR(ep)) * 4294967296) AS BIGINT)
+              THEN 1 ELSE 0 END AS n
+          FROM e
+        ),
+        r AS (
+          SELECT doc_id, source, n_chars, CAST(u.i AS BIGINT) AS repeat_idx
+          FROM c, UNNEST(range(n)) AS u(i) WHERE n > 0
+        )
+        SELECT source, COUNT(*) AS n_rows,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+          CAST(MAX(repeat_idx) AS BIGINT) AS max_repeat
+        FROM r GROUP BY source ORDER BY source"""))
   )
 }

@@ -67,6 +67,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == (0L until 50L by 5L).toSeq)
   }
 
+  test("epochRepeat: floor copies + hash-chosen extra, deterministic, ~expected mass") {
+    val d = (0L until 2000L).map(i => (i, s"s${i % 2}")).toDF("id", "src")
+    val out = Sampling.epochRepeat(d, "src", "id", Map("s0" -> 2.5, "s1" -> 0.25))
+      .select("id", "src", "repeat_idx").as[(Long, String, Long)].collect()
+    val s0 = out.filter(_._2 == "s0")
+    val s1 = out.filter(_._2 == "s1")
+    // every s0 doc appears 2 or 3 times; repeat_idx is 0..n-1
+    val perDoc = s0.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(perDoc.values.forall(v => v == Seq(0L, 1L) || v == Seq(0L, 1L, 2L)))
+    assert(math.abs(s0.length - 2500) < 150, s"s0 mass ${s0.length} far from 2.5x")
+    // s1 docs appear at most once, ~25% of them
+    assert(s1.groupBy(_._1).values.forall(_.length == 1))
+    assert(math.abs(s1.length - 250) < 60, s"s1 mass ${s1.length} far from 0.25x")
+    // deterministic under repartitioning
+    val out2 = Sampling.epochRepeat(d.repartition(13), "src", "id",
+      Map("s0" -> 2.5, "s1" -> 0.25))
+      .select("id", "src", "repeat_idx").as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq == out2.sortBy(r => (r._1, r._3)).toSeq)
+    // unmapped strata pass through exactly once
+    val out3 = Sampling.epochRepeat(d, "src", "id", Map("s0" -> 2.0))
+    assert(out3.filter(col("src") === "s1").count() == 1000L)
+  }
+
   test("shuffleShards: exact shard sizes, a real permutation, partitioning-independent") {
     val n = 1000L
     val d = (0L until n).map(i => (i, s"doc$i")).toDF("id", "s")
