@@ -111,6 +111,53 @@ object GraftSqlDml {
       case other => other.sql
     }
 
+  /** 4-part branch target `cat.s.t.branch_<name>` — Iceberg's suffix
+    * syntax for writing to a snapshot branch (the WAP staging write).
+    */
+  private def branchTarget(client: LakehouseClient,
+      plan: LogicalPlan): Option[(Seq[String], String)] = plan match {
+    case UnresolvedRelation(parts, _, _) if parts.length == 4 &&
+        parts(3).startsWith("branch_") =>
+      val p = parts.take(3)
+      try { client.getTable(p(0), p(1), p(2)); Some((p, parts(3).stripPrefix("branch_"))) }
+      catch { case _: DoesNotExistError => None }
+    case _ => None
+  }
+
+  /** INSERT INTO cat.s.t.branch_<b> SELECT ... — stage rows on an Iceberg
+    * branch (write-audit-publish): the append advances only the branch;
+    * main readers see nothing until FAST FORWARD publishes it.
+    */
+  def rewriteInsertToBranch(session: ClassicSparkSession, client: LakehouseClient,
+      i: InsertIntoStatement): Option[LogicalPlan] =
+    branchTarget(client, i.table).map { case (parts, branch) =>
+      val Seq(cat, sch, tbl) = parts
+      if (i.overwrite || i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
+        throw UnsupportedOperationError(
+          "branch staging supports plain INSERT INTO (append) only")
+      GraftDmlCommand(cmdLabel(s"INSERT INTO $cat.$sch.$tbl.branch_$branch", i)) { () =>
+        val info = client.getTable(cat, sch, tbl)
+        if (info.fileType != graft.catalog.FileType.ICEBERG)
+          throw UnsupportedOperationError(
+            s"branch writes require an ICEBERG table; ${info.fullName} is ${info.fileType}")
+        val loc = graft.io.TableIO.normalize(info.storageLocation.get)
+        val targetSchema = client.readTable(cat, sch, tbl).schema
+        val src = org.apache.spark.sql.GraftColumnBridge.ofRows(session, i.query)
+        val positioned =
+          if (i.byName) src.select(targetSchema.fieldNames.toIndexedSeq.map(n => col(n)): _*)
+          else {
+            if (src.columns.length != targetSchema.fields.length)
+              throw UnsupportedOperationError(
+                s"INSERT: query produces ${src.columns.length} columns, " +
+                  s"target expects ${targetSchema.fields.length}")
+            src.toDF(targetSchema.fieldNames.toIndexedSeq: _*)
+          }
+        val aligned = positioned.select(targetSchema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        graft.tables.IcebergWriter.appendToBranch(session, loc, aligned, branch)
+      }
+    }
+
   def rewriteInsert(session: ClassicSparkSession, client: LakehouseClient,
       i: InsertIntoStatement): Option[LogicalPlan] =
     target3(client, i.table).map { case (parts, _) =>

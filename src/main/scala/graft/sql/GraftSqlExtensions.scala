@@ -56,7 +56,8 @@ object GraftSqlExtensions {
       // re-entrant analysis inside this rule.
       val afterDml = plan.resolveOperatorsDown {
         case i: InsertIntoStatement =>
-          GraftSqlDml.rewriteInsert(session, client, i).getOrElse(i)
+          GraftSqlDml.rewriteInsertToBranch(session, client, i)
+            .orElse(GraftSqlDml.rewriteInsert(session, client, i)).getOrElse(i)
         case d @ DeleteFromTable(target, condition) =>
           GraftSqlDml.rewriteDelete(session, client, target, condition).getOrElse(d)
         case u @ UpdateTable(target, assignments, condition) =>
@@ -96,6 +97,26 @@ object GraftSqlExtensions {
           resolveTravel(client, parts(0), parts(1), parts(2), tsExpr, version).getOrElse(tt)
         case u @ UnresolvedRelation(parts, _, _) if parts.length == 3 =>
           resolve(client, parts(0), parts(1), parts(2)).getOrElse(u)
+        // Iceberg ref suffix reads: cat.sch.tbl.branch_<b> / .tag_<t> —
+        // the audit half of write-audit-publish
+        case u @ UnresolvedRelation(parts, _, _) if parts.length == 4 &&
+            (parts(3).startsWith("branch_") || parts(3).startsWith("tag_")) =>
+          resolveRefRead(client, parts).getOrElse(u)
+      }
+    }
+
+    private def resolveRefRead(client: LakehouseClient,
+        parts: Seq[String]): Option[LogicalPlan] = {
+      val info =
+        try client.getTable(parts(0), parts(1), parts(2))
+        catch { case _: graft.catalog.DoesNotExistError => return None }
+      if (info.fileType != graft.catalog.FileType.ICEBERG) None
+      else {
+        val loc = graft.io.TableIO.normalize(info.storageLocation.get)
+        val ref = parts(3).stripPrefix("branch_").stripPrefix("tag_")
+        // an unknown REF on a known table raises its own clear error
+        Some(graft.tables.IcebergLog.toDFAtRef(session, loc, ref)
+          .queryExecution.analyzed)
       }
     }
 
@@ -111,6 +132,15 @@ object GraftSqlExtensions {
             s"time travel requires a transactional table; ${info.fullName} is ${info.fileType}")
         val loc = graft.io.TableIO.normalize(info.storageLocation.get)
         val t = graft.tables.TxTable.forAnyLocation(session, loc)
+        // VERSION AS OF 'refname' on Iceberg: tags and branches travel
+        // by name (the audit read of write-audit-publish)
+        if (version.exists(_.toLongOption.isEmpty)) {
+          if (info.fileType != FileType.ICEBERG)
+            throw graft.catalog.UnsupportedOperationError(
+              s"VERSION AS OF '${version.get}': named refs need an ICEBERG table")
+          return Some(graft.tables.IcebergLog.toDFAtRef(session, loc, version.get)
+            .queryExecution.analyzed)
+        }
         val v: Long = version.map(_.toLong).getOrElse {
           val micros = org.apache.spark.sql.catalyst.expressions.Cast(
             tsExpr.get, org.apache.spark.sql.types.TimestampType,

@@ -66,6 +66,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // deletion vectors / position deletes (Delta's REORG syntax)
   private val Reorg =
     """(?is)\s*REORG\s+TABLE\s+([\w.`]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+  // Iceberg snapshot-ref DDL + the WAP publish (Spark-Iceberg's ALTER
+  // TABLE branch syntax; FAST FORWARD mirrors the fast_forward procedure)
+  private val BranchDdl =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+([\w.-]+)\s*;?\s*""".r
+  private val FastForward =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+FAST\s+FORWARD\s+TO\s+([\w.-]+)\s*;?\s*""".r
 
   /** Validate + split the MV select list into (keys, sum columns, min
     * columns, max columns). None -> not our shape, delegate (and its
@@ -295,6 +301,40 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           Seq(org.apache.spark.sql.Row(t.snapshot.files.size.toLong))
         }
       case _ =>
+    }
+    else if (head.startsWith("ALTER TAB")) sqlText match {
+      case BranchDdl(ident, verb, kind, refName) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) if t.log eq graft.tables.IcebergCommitLog =>
+            val label = s"ALTER TABLE $name ${verb.toUpperCase(Locale.ROOT)} " +
+              s"${kind.toUpperCase(Locale.ROOT)} $refName"
+            return GraftSqlDml.GraftDmlCommand(label) { () =>
+              (verb.toUpperCase(Locale.ROOT), kind.toUpperCase(Locale.ROOT)) match {
+                case ("CREATE", "BRANCH") =>
+                  graft.tables.IcebergWriter.createBranch(session, t.location, refName)
+                case ("CREATE", "TAG") =>
+                  graft.tables.IcebergWriter.createTag(session, t.location, refName)
+                case _ =>
+                  graft.tables.IcebergWriter.removeRef(session, t.location, refName)
+              }
+            }
+          case Some((name, _)) =>
+            throw graft.catalog.UnsupportedOperationError(
+              s"branches and tags need an ICEBERG table; $name is not one")
+          case None => // not a catalog table — delegate
+        }
+      case FastForward(ident, branch) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) if t.log eq graft.tables.IcebergCommitLog =>
+            return GraftSqlDml.GraftDmlCommand(s"ALTER TABLE $name FAST FORWARD TO $branch") { () =>
+              graft.tables.IcebergWriter.fastForward(session, t.location, branch)
+            }
+          case Some((name, _)) =>
+            throw graft.catalog.UnsupportedOperationError(
+              s"FAST FORWARD needs an ICEBERG table; $name is not one")
+          case None =>
+        }
+      case _ => // other ALTER TABLE forms — Spark's grammar + analyzer rule
     }
     else if (head.startsWith("REORG ")) sqlText match {
       case Reorg(ident) =>

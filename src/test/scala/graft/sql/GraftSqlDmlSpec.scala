@@ -324,6 +324,41 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     assert(rows == Seq(("pt=p1", 2L), ("pt=p2", 1L)), rows.toString)
   }
 
+  test("SQL write-audit-publish: branch DDL, staged INSERT, ref reads, FAST FORWARD") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("wap1")
+    client.createSchema("wap1", "s")
+    val dir = graft.TestSpark.tmpDir("sql-wap")
+    client.createAsTable(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v"),
+      "wap1", "s", "t", FileType.ICEBERG, s"$dir/t")
+
+    spark.sql("ALTER TABLE wap1.s.t CREATE BRANCH audit")
+    // staged write advances only the branch
+    spark.sql("INSERT INTO wap1.s.t.branch_audit VALUES (3, 'c', 30.0)")
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.s.t").collect()(0).getLong(0) == 2)
+    // audit reads: suffix syntax AND VERSION AS OF 'ref'
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.s.t.branch_audit")
+      .collect()(0).getLong(0) == 3)
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.s.t VERSION AS OF 'audit'")
+      .collect()(0).getLong(0) == 3)
+    // publish
+    spark.sql("ALTER TABLE wap1.s.t FAST FORWARD TO audit")
+    assert(spark.sql("SELECT id FROM wap1.s.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // tag the published state, drop the work branch
+    spark.sql("ALTER TABLE wap1.s.t CREATE TAG published")
+    spark.sql("ALTER TABLE wap1.s.t DROP BRANCH audit")
+    spark.sql("INSERT INTO wap1.s.t VALUES (4, 'd', 40.0)")
+    assert(spark.sql("SELECT COUNT(*) FROM wap1.s.t.tag_published")
+      .collect()(0).getLong(0) == 3, "tag stays pinned while main moves")
+    // guards: branch DDL on a non-Iceberg table refuses
+    val dir2 = graft.TestSpark.tmpDir("sql-wap-delta")
+    client.createAsTable(Seq((1L, "x")).toDF("id", "s"),
+      "wap1", "s", "d", FileType.DELTA, s"$dir2/d")
+    intercept[Exception] { spark.sql("ALTER TABLE wap1.s.d CREATE BRANCH b") }
+  }
+
   test("REORG TABLE APPLY (PURGE) rewrites DV files through SQL") {
     val client = new LakehouseClient(spark)
     client.createCatalog("dml15")
