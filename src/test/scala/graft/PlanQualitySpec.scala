@@ -121,6 +121,57 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q117 keep-first lost map-side partial aggregation\n$exec")
   }
 
+  test("corpus sharding has no global sort and no one-task window (q129)") {
+    val q = graft.SparkEntry.allDefs.find(_.name == "q129_corpus_shards").get
+    val exec = q.fn(spark, sf).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the global rank must come from the two-phase prefix sum: windows
+    // may only be partitioned by the bucket id (parallel), never
+    // unpartitioned (single-task funnel), and no global SortExec may
+    // order the whole corpus
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"q129 rank regressed to an unpartitioned window (one-task funnel)\n$exec")
+    }
+    // global sorts are only allowed over AGGREGATED output (the tiny
+    // per-shard summary), never the raw corpus: every global SortExec
+    // must have an aggregate somewhere beneath it
+    val globalSorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    globalSorts.foreach { s =>
+      val aggsBelow = s.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty, s"q129 globally sorts unaggregated corpus rows\n$exec")
+    }
+  }
+
+  test("classifier scoring is one generate pass: no shuffle below the aggregation (q132)") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.queries.Tables.documents(spark, sf)
+    val scored = d.select(col("doc_id"),
+      graft.functions.TextNativeFunctions.classifierScore(col("text"))
+        .as(Seq("n_tokens", "raw_score", "score", "keep")))
+    val exec = scored.queryExecution.executedPlan
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"classifier scoring must be map-only (no shuffle)\n$exec")
+    val generates = exec.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.size == 1,
+      s"expected exactly one fused generate pass, got ${generates.size}\n$exec")
+  }
+
   test("dedup-index batch filtering is equi-join only: no cartesian, no nested loop") {
     import spark.implicits._
     val loc = graft.TestSpark.tmpDir("pq-dedupidx")
