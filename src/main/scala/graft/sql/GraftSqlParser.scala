@@ -30,7 +30,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
   // CREATE TABLE tgt [SHALLOW|DEEP] CLONE src [VERSION AS OF n] LOCATION '...'
@@ -129,24 +130,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = {
     val head = sqlText.trim.take(9).toUpperCase(Locale.ROOT)
     if (head.startsWith("OPTIMIZE ")) sqlText match {
-      case Optimize(ident, curve, cols) =>
+      case Optimize(ident, whereClause, curve, cols) =>
         parts3(ident).flatMap(txTable) match {
           case Some((name, t)) =>
             val colList = Option(cols).toSeq
               .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
               .filter(_.nonEmpty)
+            val where = Option(whereClause).map(_.trim).filter(_.nonEmpty)
             Option(curve).map(_.toUpperCase(Locale.ROOT)) match {
               case Some("ZORDER") =>
+                if (where.isDefined) throw graft.catalog.UnsupportedOperationError(
+                  "OPTIMIZE ... WHERE applies to compaction only; ZORDER is a full rewrite")
                 return GraftSqlDml.GraftDmlCommand(s"OPTIMIZE $name ZORDER") { () =>
                   t.optimizeZOrder(colList)
                 }
               case Some("HILBERT") =>
+                if (where.isDefined) throw graft.catalog.UnsupportedOperationError(
+                  "OPTIMIZE ... WHERE applies to compaction only; HILBERT is a full rewrite")
                 return GraftSqlDml.GraftDmlCommand(s"OPTIMIZE $name HILBERT") { () =>
                   t.optimizeHilbert(colList)
                 }
               case _ =>
-                return GraftSqlDml.GraftDmlCommand(s"OPTIMIZE $name") { () =>
-                  t.optimizeCompact()
+                val label = s"OPTIMIZE $name" + where.map(w => s" WHERE $w").getOrElse("")
+                return GraftSqlDml.GraftDmlCommand(label) { () =>
+                  t.optimizeCompact(where = where)
                 }
             }
           case None => // not ours — fall through to the delegate

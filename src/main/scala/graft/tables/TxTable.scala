@@ -872,9 +872,32 @@ final class TxTable(val spark: SparkSession, val location: String,
     * survive on row-tracked tables (dataChange=false rewrite path).
     */
   def optimizeCompact(minFileBytes: Long = 16L * 1024 * 1024,
-      targetFileBytes: Long = 128L * 1024 * 1024): Boolean =
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      where: Option[String] = None): Boolean =
     commitWithRetryIf("OPTIMIZE") { snap =>
-      val picked = snap.files.groupBy(_.partitionValues).valuesIterator.flatMap { fs =>
+      // OPTIMIZE ... WHERE: scope the compaction to partitions matching a
+      // partition-column predicate (Delta's rule — at 100 TB the nightly
+      // job compacts the partitions that RECEIVED data, not the table).
+      // Restricted to prunable conjuncts over partition columns so the
+      // scope is decided from the log alone; anything else is refused
+      // rather than silently widened.
+      val inScope = where match {
+        case None => snap.files
+        case Some(p) =>
+          val conjuncts = FileStats.prunableConjuncts(
+            spark.sessionState.sqlParser.parseExpression(p))
+          if (conjuncts.isEmpty)
+            throw UnsupportedOperationError(
+              s"OPTIMIZE WHERE: predicate '$p' has no prunable conjuncts " +
+                "(use comparisons/IS NULL over partition columns)")
+          conjuncts.find(c => !snap.partitionColumns.contains(c.colName)).foreach { c =>
+            throw UnsupportedOperationError(
+              s"OPTIMIZE WHERE: ${c.colName} is not a partition column " +
+                s"(partition columns: ${snap.partitionColumns.mkString(", ")})")
+          }
+          FileStats.survivingFiles(spark, snap, p)
+      }
+      val picked = inScope.groupBy(_.partitionValues).valuesIterator.flatMap { fs =>
         val small = fs.filter(_.sizeBytes < minFileBytes)
         if (small.size >= 2) small else Seq.empty
       }.toSeq

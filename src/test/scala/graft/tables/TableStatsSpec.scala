@@ -165,6 +165,44 @@ class TableStatsSpec extends AnyFunSuite {
     assert(t.toDF.filter(col("p") === "y").count() == 5)
   }
 
+  test("OPTIMIZE ... WHERE scopes compaction to matching partitions") {
+    val loc = TestSpark.tmpDir("compact-where")
+    val t = new TxTable(spark, loc)
+    t.create(Seq((0L, "x"), (1L, "y")).toDF("id", "p").repartition(1),
+      partitionColumns = Seq("p"))
+    (0 until 4).foreach { k =>
+      t.append(Seq((10L + k, "x"), (20L + k, "y")).toDF("id", "p").repartition(1))
+    }
+    val before = t.snapshot
+    assert(before.files.count(_.partitionValues("p") == "x") == 5)
+    assert(t.optimizeCompact(minFileBytes = 1L << 20, targetFileBytes = 1L << 30,
+      where = Some("p = 'x'")))
+    val after = t.snapshot
+    // x compacted to one file; y untouched — same five files as before
+    assert(after.files.count(_.partitionValues("p") == "x") == 1)
+    assert(after.files.filter(_.partitionValues("p") == "y").map(_.path).toSet ==
+      before.files.filter(_.partitionValues("p") == "y").map(_.path).toSet)
+    assert(t.toDF.count() == 10L)
+    // predicates outside partition columns (or unparseable scope) refuse
+    intercept[graft.catalog.UnsupportedOperationError] {
+      t.optimizeCompact(where = Some("id > 3"))
+    }
+    intercept[graft.catalog.UnsupportedOperationError] {
+      t.optimizeCompact(where = Some("p = 'x' OR p = 'y'"))
+    }
+    // SQL surface
+    val client = new graft.client.LakehouseClient(spark)
+    client.createCatalog("ow1")
+    client.createSchema("ow1", "s")
+    client.registerAsTable("ow1", "s", "t", graft.catalog.FileType.DELTA, loc)
+    (0 until 3).foreach { k =>
+      t.append(Seq((30L + k, "y")).toDF("id", "p").repartition(1))
+    }
+    spark.sql("OPTIMIZE ow1.s.t WHERE p = 'y'")
+    assert(t.snapshot.files.count(_.partitionValues("p") == "y") == 1)
+    intercept[Exception] { spark.sql("OPTIMIZE ow1.s.t WHERE id > 3") }
+  }
+
   test("optimizeCompact works through the Delta and Iceberg logs too") {
     for (backend <- Seq("delta", "iceberg")) {
       val loc = TestSpark.tmpDir(s"compact-$backend") + "/t"
