@@ -51,6 +51,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // DESCRIBE HISTORY cat.sch.t (Delta's utility; not in Spark's grammar)
   private val DescHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  // DESCRIBE DETAIL cat.sch.t — one metadata-only summary row
+  private val DescDetail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   // RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts' —
   // each kind is tied to ITS value form (a quoted version or a bare
   // timestamp must fail to parse, not NPE at execution)
@@ -244,6 +247,34 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               t.describeHistory.collect().toSeq
             }
           case None => // not a catalog table — Spark's DESCRIBE handles it
+        }
+      case DescDetail(ident) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftQueryCommand(s"DESCRIBE DETAIL $name",
+              Seq(AttributeReference("format", StringType, nullable = false)(),
+                AttributeReference("location", StringType, nullable = false)(),
+                AttributeReference("table_version", LongType, nullable = false)(),
+                AttributeReference("num_files", LongType, nullable = false)(),
+                AttributeReference("size_bytes", LongType, nullable = false)(),
+                AttributeReference("num_rows", LongType, nullable = false)(),
+                AttributeReference("partition_columns", StringType, nullable = false)(),
+                AttributeReference("properties", StringType, nullable = false)())) { () =>
+              // metadata-only, like SHOW PARTITIONS: counts from the log
+              // (minus DV cardinalities), zero data read for stat-carrying
+              // tables
+              val snap = t.snapshot
+              val fmt =
+                if (t.log eq graft.tables.IcebergCommitLog) "iceberg"
+                else if (t.log eq graft.tables.ForeignDeltaCommitLog) "delta"
+                else "graft"
+              Seq(org.apache.spark.sql.Row(fmt, t.location, snap.version,
+                snap.files.size.toLong, snap.files.map(_.sizeBytes).sum,
+                t.countRows(), snap.partitionColumns.mkString(","),
+                snap.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+                  .mkString(";")))
+            }
+          case None =>
         }
       case _ =>
     }

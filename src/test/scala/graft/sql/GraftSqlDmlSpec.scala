@@ -359,6 +359,21 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("ALTER TABLE wap1.s.d CREATE BRANCH b") }
   }
 
+  test("DESCRIBE DETAIL returns one metadata-only summary row") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("dd1")
+    client.createSchema("dd1", "s")
+    val dir = graft.TestSpark.tmpDir("sql-detail")
+    client.createAsTable(
+      Seq((1L, "p1"), (2L, "p1"), (3L, "p2")).toDF("id", "pt"),
+      "dd1", "s", "t", FileType.DELTA, s"$dir/t", partitionColumns = Seq("pt"))
+    val r = spark.sql("DESCRIBE DETAIL dd1.s.t").collect()(0)
+    assert(r.getString(0) == "graft")
+    assert(r.getLong(3) >= 1L)                       // num_files
+    assert(r.getLong(5) == 3L)                       // num_rows (metadata)
+    assert(r.getString(6) == "pt")                   // partition_columns
+  }
+
   test("REORG TABLE APPLY (PURGE) rewrites DV files through SQL") {
     val client = new LakehouseClient(spark)
     client.createCatalog("dml15")
