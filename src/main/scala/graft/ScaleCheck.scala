@@ -82,8 +82,54 @@ object ScaleCheck {
       (a, b)
     }
 
+    // round-9 operators: the distributed-prefix-sum shard assignment
+    // (two shuffles regardless of size), the map-only classifier pass
+    // (pure scan scaling), and the fractional-epoch explode
+    val shards = best("corpus_shards")(
+      graft.ext.Sampling.shuffleShards(
+        graft.queries.Tables.documents(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("doc_id")),
+        "doc_id", docsPerShard = 4096L))
+    val classifier = best("quality_classifier")(
+      graft.queries.Tables.documents(spark, sfDir).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextNativeFunctions.classifierScore(
+          org.apache.spark.sql.functions.col("text"))
+          .as(Seq("n_tokens", "raw_score", "score", "keep"))))
+    val epochs = best("epoch_upsampling")(
+      graft.ext.Sampling.epochRepeat(
+        graft.queries.Tables.documents(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("source")),
+        "source", "doc_id", Map("src1" -> 2.5, "src2" -> 0.25)))
+
+    // REORG PURGE at scale: cost must track files-WITH-deletes, not the
+    // table. Delete ~1% of rows MoR (bitmaps land on every file), then
+    // purge — the interesting number vs sf0.1 is the rewrite time's
+    // growth, which follows data volume (every file got a bitmap here,
+    // the worst case; a selective delete would rewrite fewer files).
+    val reorg = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-reorg").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      graft.tables.DeltaLogWriter.create(spark, loc, li,
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      val t = graft.tables.TxTable.forForeignDelta(spark, loc)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val d = timed(t.delete("l_orderkey % 97 = 0"))
+      val p = timed(t.reorgPurge())
+      System.err.println(f"[scalecheck] reorg_mor_delete $d%.2fs reorg_purge $p%.2fs")
+      (d, p)
+    }
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
-      "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr))
+      "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
+      "corpus_shards" -> shards, "quality_classifier" -> classifier,
+      "epoch_upsampling" -> epochs,
+      "reorg_mor_delete" -> reorg._1, "reorg_purge" -> reorg._2))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -112,6 +112,41 @@ class ReorgSpec extends AnyFunSuite {
       t.version - 1, Some(t.version)))
   }
 
+  test("a concurrent MoR delete racing the purge is never lost") {
+    // REORG plans against a snapshot and commits optimistically; a DV
+    // delete landing in between bumps the version, the purge's CAS
+    // fails, and commitWithRetryIf REPLANS against the fresh snapshot —
+    // so the delete's bitmaps are either purged too (replan saw them)
+    // or still present (delete landed after the purge won). Both end
+    // states must show the delete applied; a second purge then leaves
+    // zero DVs. Run the race several times — any interleaving must
+    // satisfy the invariants.
+    for (round <- 0 until 3) {
+      val loc = TestSpark.tmpDir(s"reorg-race-$round")
+      DeltaLogWriter.create(spark, loc,
+        (0 until 400).map(i => (i.toLong, s"s$i")).toDF("id", "s").repartition(8),
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      val t = TxTable.forForeignDelta(spark, loc)
+      t.delete("id < 40") // seed DVs so the purge has work
+      val deleter = new Thread(() =>
+        TxTable.forForeignDelta(spark, loc).delete("id >= 360"))
+      val purger = new Thread(() =>
+        TxTable.forForeignDelta(spark, loc).reorgPurge())
+      deleter.start(); purger.start()
+      deleter.join(120000); purger.join(120000)
+      // both effects applied, whatever the interleaving
+      assert(t.toDF.count() === 320L,
+        s"round $round: content wrong after race")
+      assert(t.toDF.agg(min(col("id")), max(col("id"))).as[(Long, Long)].head() ===
+        ((40L, 359L)))
+      // a final purge settles any bitmaps the late delete left
+      t.reorgPurge()
+      val snap = t.snapshot
+      assert(snap.files.forall(!_.deletionVector.exists(_.cardinality > 0)))
+      assert(snap.files.map(_.rows).sum === 320L)
+    }
+  }
+
   test("purge on a table without deletes is a no-op on all backends") {
     val locD = TestSpark.tmpDir("reorg-noop")
     DeltaLogWriter.create(spark, locD, sample)
