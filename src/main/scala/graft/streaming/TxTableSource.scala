@@ -21,11 +21,15 @@ import graft.tables.{TxLog, TxTable}
   * Scale posture: discovering a batch is a log-tail read (O(new commits),
   * no directory listing, no full-table scan); the batch itself is a
   * distributed parquet read of just the new files.
-  * `maxVersionsPerTrigger` bounds each micro-batch to that many commits —
-  * without it, a cold start against a long-history table (or a backlog
-  * after downtime) becomes one giant first batch. A commit is the atomic
-  * unit: its files are never split across batches, so batch boundaries
-  * stay transactional.
+  * `maxVersionsPerTrigger` bounds each micro-batch to that many commits,
+  * `maxBytesPerTrigger` ("128m", "1g", or plain bytes) to roughly that
+  * many added bytes (a soft cap at commit granularity — an oversized
+  * single commit still arrives whole, so progress is guaranteed) —
+  * without a limit, a cold start against a long-history table (or a
+  * backlog after downtime) becomes one giant first batch. A commit is
+  * the atomic unit: its files are never split across batches, so batch
+  * boundaries stay transactional. Both limits compose; the byte walk
+  * costs one log-tail metadata read per trigger, never a data scan.
   */
 class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -47,7 +51,8 @@ class TxTableSourceProvider extends StreamSourceProvider with DataSourceRegister
       parameters: Map[String, String]): Source =
     new TxTableSource(sqlContext.sparkSession, TxTableSource.path(parameters),
       TxTableSource.maxVersionsPerTrigger(parameters),
-      TxTableSource.readChangeFeed(parameters))
+      TxTableSource.readChangeFeed(parameters),
+      TxTableSource.maxBytesPerTrigger(parameters))
 }
 
 object TxTableSource {
@@ -60,6 +65,23 @@ object TxTableSource {
       case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.toLong
     }.map { n =>
       require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+      n
+    }
+
+  /** Delta-style size strings: plain bytes or k/m/g suffixes. */
+  private[streaming] def maxBytesPerTrigger(parameters: Map[String, String]): Option[Long] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") =>
+        val s = v.trim.toLowerCase(java.util.Locale.ROOT)
+        val (num, mult) = s.last match {
+          case 'k' => (s.dropRight(1), 1L << 10)
+          case 'm' => (s.dropRight(1), 1L << 20)
+          case 'g' => (s.dropRight(1), 1L << 30)
+          case _ => (s, 1L)
+        }
+        num.toLong * mult
+    }.map { n =>
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
       n
     }
 
@@ -90,7 +112,8 @@ object TxTableSource {
 
 class TxTableSource(spark: SparkSession, location: String,
     maxVersionsPerTrigger: Option[Long] = None,
-    readChangeFeed: Boolean = false) extends Source {
+    readChangeFeed: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   private case class TxOffset(version: Long) extends Offset {
     override def json: String = s"""{"version":$version}"""
@@ -122,12 +145,35 @@ class TxTableSource(spark: SparkSession, location: String,
 
   override def getOffset: Option[Offset] = {
     val latest = table.log.latestVersion(spark, location)
-    (latest, maxVersionsPerTrigger) match {
-      case (Some(l), Some(max)) =>
+    latest match {
+      case Some(l) if maxVersionsPerTrigger.isDefined || maxBytesPerTrigger.isDefined =>
         val base = lastSeen.getOrElse(-1L)
-        val capped = math.min(l, base + max)
+        val byVersions = maxVersionsPerTrigger.map(m => math.min(l, base + m)).getOrElse(l)
+        val capped = maxBytesPerTrigger match {
+          case None => byVersions
+          case Some(maxB) if byVersions <= base => byVersions
+          case Some(maxB) =>
+            // walk the commit tail, stopping at the first COMMIT boundary
+            // that would push the batch past the byte budget — but always
+            // take at least one commit, so an oversized single commit
+            // still makes progress (Delta's maxBytesPerTrigger contract:
+            // a soft cap at atomic commit granularity)
+            val byV: Map[Long, Long] =
+              table.log.addsBetween(spark, location, base, Some(byVersions))
+                .map { case (v, adds) => v -> adds.map(_.sizeBytes).sum }.toMap
+            var acc = 0L
+            var end = base
+            var v = base + 1
+            var full = false
+            while (v <= byVersions && !full) {
+              val sz = byV.getOrElse(v, 0L)
+              if (end > base && acc + sz > maxB) full = true
+              else { acc += sz; end = v; v += 1 }
+            }
+            end
+        }
         if (capped <= base) Some(TxOffset(base)) else Some(TxOffset(capped))
-      case (l, _) => l.map(TxOffset)
+      case l => l.map(TxOffset)
     }
   }
 

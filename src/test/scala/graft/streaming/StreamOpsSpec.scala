@@ -180,6 +180,50 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(resumed.flatten.toSet == Set(4L, 5L))
   }
 
+  test("TxTableSource: maxBytesPerTrigger soft-caps batches at commit boundaries") {
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("txsrc-bytes") + "/t"
+    val ckpt = TestSpark.tmpDir("txsrc-bytes-ckpt")
+    val t = new TxTable(spark, loc)
+    t.create((0 until 200).map(i => (i.toLong, "x" * 50)).toDF("id", "s"))  // v0
+    (1 to 3).foreach { k =>                                                  // v1..v3
+      t.append((0 until 200).map(i => (k * 1000L + i, "y" * 50)).toDF("id", "s"))
+    }
+    val perFileBytes = t.snapshot.files.map(_.sizeBytes).max
+
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    val q = spark.readStream
+      .format("graft.streaming.TxTableSourceProvider")
+      // budget below one commit's size: every batch must still deliver
+      // exactly one whole commit (soft cap, never starvation)
+      .option("maxBytesPerTrigger", (perFileBytes / 2).toString)
+      .load(loc)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val vs = df.select("_commit_version").distinct().collect()
+          .map(_.getLong(0)).toSet
+        batches.merge(id, vs, (a, b) => a ++ b)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val perBatch = batches.asScala.values.toSeq
+    assert(perBatch.forall(_.size == 1),
+      s"sub-commit budget must yield exactly one commit per batch: $perBatch")
+    assert(perBatch.flatten.toSet == Set(0L, 1L, 2L, 3L))
+    // size-string parsing
+    assert(graft.streaming.TxTableSource.maxBytesPerTrigger(
+      Map("maxBytesPerTrigger" -> "128m")) == Some(128L << 20))
+    assert(graft.streaming.TxTableSource.maxBytesPerTrigger(
+      Map("maxBytesPerTrigger" -> "1g")) == Some(1L << 30))
+    intercept[IllegalArgumentException] {
+      graft.streaming.TxTableSource.maxBytesPerTrigger(Map("maxBytesPerTrigger" -> "0"))
+    }
+  }
+
   test("TxTableSource readChangeFeed streams inserts AND deletes with change types") {
     import spark.implicits._
     val loc = TestSpark.tmpDir("txsrc-cdf") + "/t"
