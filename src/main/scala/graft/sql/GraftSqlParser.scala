@@ -70,6 +70,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // deletion vectors / position deletes (Delta's REORG syntax)
   private val Reorg =
     """(?is)\s*REORG\s+TABLE\s+([\w.`]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+  // GENERATE symlink_format_manifest FOR TABLE t (Delta's GENERATE)
+  private val Generate =
+    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+([\w.`]+)\s*;?\s*""".r
   // Iceberg snapshot-ref DDL + the WAP publish (Spark-Iceberg's ALTER
   // TABLE branch syntax; FAST FORWARD mirrors the fast_forward procedure)
   private val BranchDdl =
@@ -373,6 +376,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case None =>
         }
       case _ => // other ALTER TABLE forms — Spark's grammar + analyzer rule
+    }
+    else if (head.startsWith("GENERATE ")) sqlText match {
+      case Generate(ident) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftQueryCommand(
+              s"GENERATE symlink_format_manifest FOR TABLE $name",
+              Seq(AttributeReference("manifests_written", IntegerType, nullable = false)())) { () =>
+              Seq(org.apache.spark.sql.Row(t.generateSymlinkManifest()))
+            }
+          case None =>
+        }
+      case _ =>
     }
     else if (head.startsWith("REORG ")) sqlText match {
       case Reorg(ident) =>

@@ -506,6 +506,22 @@ object TxLog {
     }.toMap
   }
 
+  /** Hive-style %xx escaping for partition path segments — the inverse
+    * of unescapePathName, matching Spark's ExternalCatalogUtils charset
+    * (control chars, path separators, glob metacharacters, '%').
+    */
+  private[tables] def escapePathName(s: String): String = {
+    def needs(c: Char): Boolean =
+      c < ' ' || c == 0x7f.toChar || c == '"' || c == '#' || c == '%' ||
+        c == '\'' || c == '*' || c == '/' || c == ':' || c == '=' ||
+        c == '?' || c == '\\' || c == '{' || c == '[' || c == ']' || c == '^'
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (needs(c)) sb.append(f"%%${c.toInt}%02X") else sb.append(c)
+    }
+    sb.toString
+  }
+
   private[tables] def unescapePathName(s: String): String = {
     // hive-style %xx unescaping, as Spark's ExternalCatalogUtils does
     val sb = new StringBuilder

@@ -1093,6 +1093,43 @@ final class TxTable(val spark: SparkSession, val location: String,
     * files, so it must be forced explicitly (Delta's
     * retentionDurationCheck.enabled=false equivalent).
     */
+  /** GENERATE symlink_format_manifest (Delta's GENERATE command): write
+    * `_symlink_format_manifest/[<k>=<v>/...]manifest` text files, each
+    * listing the absolute URIs of the CURRENT data files (one per line,
+    * partition-scoped for partitioned tables) — the format Presto, Trino
+    * and Athena's Hive connectors consume to read Delta tables without a
+    * Delta reader. Regenerate after every data change (Delta's contract;
+    * the manifest is a snapshot, not a live view). Refused when any live
+    * file carries a deletion vector: a symlink reader would resurrect
+    * the soft-deleted rows — run REORG APPLY (PURGE) first. Returns the
+    * number of manifest files written. O(files) driver metadata work;
+    * stale partition manifests from previous generations are removed so
+    * dropped partitions do not linger.
+    */
+  def generateSymlinkManifest(): Int = {
+    val snap = snapshot
+    if (snap.files.exists(_.deletionVector.exists(_.cardinality > 0)))
+      throw UnsupportedOperationError(
+        "GENERATE symlink_format_manifest: table has live deletion vectors; " +
+          "symlink readers cannot apply them — REORG TABLE ... APPLY (PURGE) first")
+    val f = TxLog.fs(spark, location)
+    val root = new org.apache.hadoop.fs.Path(location, "_symlink_format_manifest")
+    if (f.exists(root)) f.delete(root, true)
+    val byTuple = snap.files.groupBy(a =>
+      snap.partitionColumns.map(c =>
+        s"$c=${TxLog.escapePathName(a.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__"))}"))
+    byTuple.foreach { case (segs, files) =>
+      val dir = segs.foldLeft(root)((p, s) => new org.apache.hadoop.fs.Path(p, s))
+      f.mkdirs(dir)
+      val body = files.map(a => f.makeQualified(
+          new org.apache.hadoop.fs.Path(TxLog.resolve(location, a.path))).toUri.toString)
+        .sorted.mkString("", "\n", "\n")
+      val out = f.create(new org.apache.hadoop.fs.Path(dir, "manifest"), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    byTuple.size
+  }
+
   def vacuum(retainVersions: Int = 1, retentionMs: Long = TxTable.DefaultVacuumRetentionMs,
       force: Boolean = false): Int = {
     if (retentionMs < TxTable.DefaultVacuumRetentionMs && !force)

@@ -147,6 +147,46 @@ class ReorgSpec extends AnyFunSuite {
     }
   }
 
+  test("GENERATE symlink_format_manifest: partition-scoped file lists, DV refusal") {
+    val loc = TestSpark.tmpDir("symlink")
+    DeltaLogWriter.create(spark, loc, sample, partitionColumns = Seq("grp"),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    val n = t.generateSymlinkManifest()
+    assert(n === 7, "one manifest per grp partition")
+    // each manifest lists exactly that partition's live files as URIs
+    val snap = t.snapshot
+    val m3 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      loc, "_symlink_format_manifest", "grp=3", "manifest")).trim.split("\n").toSet
+    val expected = snap.files.filter(_.partitionValues("grp") == "3")
+      .map(a => TxLog.fs(spark, loc).makeQualified(
+        new org.apache.hadoop.fs.Path(TxLog.resolve(loc, a.path))).toUri.toString).toSet
+    assert(m3 === expected)
+    // the manifest paths are readable parquet covering the partition
+    assert(spark.read.parquet(m3.toSeq: _*).count() ===
+      sample.filter(col("grp") === 3).count())
+
+    // a MoR delete leaves DVs -> refuse (symlink readers would resurrect)
+    t.delete("id < 10")
+    intercept[graft.catalog.UnsupportedOperationError](t.generateSymlinkManifest())
+    // after the purge, regeneration drops stale manifests
+    assert(t.reorgPurge())
+    val n2 = t.generateSymlinkManifest()
+    assert(n2 <= 7)
+    val root = new java.io.File(s"$loc/_symlink_format_manifest")
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === t.snapshot.files.map(a => s"grp=${a.partitionValues("grp")}").toSet)
+
+    // SQL surface on a catalog name
+    val client = new graft.client.LakehouseClient(spark)
+    client.createCatalog("gen1")
+    client.createSchema("gen1", "s")
+    client.registerAsTable("gen1", "s", "t", graft.catalog.FileType.DELTA, loc)
+    val written = spark.sql("GENERATE symlink_format_manifest FOR TABLE gen1.s.t")
+      .collect()(0).getInt(0)
+    assert(written === n2)
+  }
+
   test("purge on a table without deletes is a no-op on all backends") {
     val locD = TestSpark.tmpDir("reorg-noop")
     DeltaLogWriter.create(spark, locD, sample)
