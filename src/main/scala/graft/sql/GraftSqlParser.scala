@@ -33,7 +33,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     ("""(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+(ZORDER|HILBERT)\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   // CREATE TABLE tgt [SHALLOW|DEEP] CLONE src [VERSION AS OF n] LOCATION '...'
   // (Delta CLONE syntax; not in Spark's grammar, so parsed ahead of it)
   private val Clone =
@@ -404,10 +404,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case _ =>
     }
     else if (head.startsWith("VACUUM ")) sqlText match {
-      case Vacuum(ident, hours) =>
+      case Vacuum(ident, hours, dry) =>
         parts3(ident).flatMap(txTable) match {
           case Some((name, t)) =>
             val retention = Option(hours).map(_.toLong * 3600L * 1000L)
+            if (dry != null)
+              // DRY RUN lists the would-be-deleted paths, removes nothing
+              return GraftSqlDml.GraftQueryCommand(s"VACUUM $name DRY RUN",
+                Seq(AttributeReference("path", StringType, nullable = false)())) { () =>
+                // a preview deletes nothing, so the sub-floor safety gate
+                // does not apply — the whole point is seeing what a forced
+                // vacuum WOULD take
+                val paths = retention match {
+                  case Some(ms) => t.vacuumDryRun(retentionMs = ms, force = true)
+                  case None => t.vacuumDryRun()
+                }
+                paths.sorted.map(org.apache.spark.sql.Row(_))
+              }
             return GraftSqlDml.GraftQueryCommand(s"VACUUM $name",
               Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())) { () =>
               val deleted = retention match {

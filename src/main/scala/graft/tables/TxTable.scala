@@ -1131,7 +1131,21 @@ final class TxTable(val spark: SparkSession, val location: String,
   }
 
   def vacuum(retainVersions: Int = 1, retentionMs: Long = TxTable.DefaultVacuumRetentionMs,
-      force: Boolean = false): Int = {
+      force: Boolean = false): Int =
+    vacuumInternal(retainVersions, retentionMs, force, dryRun = false).size
+
+  /** VACUUM ... DRY RUN: the location-relative paths `vacuum` WOULD
+    * delete under the same retention rules — nothing is removed. The
+    * audit step before reclaiming storage on a table other readers may
+    * still be time-traveling.
+    */
+  def vacuumDryRun(retainVersions: Int = 1,
+      retentionMs: Long = TxTable.DefaultVacuumRetentionMs,
+      force: Boolean = false): Seq[String] =
+    vacuumInternal(retainVersions, retentionMs, force, dryRun = true)
+
+  private def vacuumInternal(retainVersions: Int, retentionMs: Long,
+      force: Boolean, dryRun: Boolean): Seq[String] = {
     if (retentionMs < TxTable.DefaultVacuumRetentionMs && !force)
       throw UnsupportedOperationError(
         s"vacuum retention ${retentionMs}ms is below the ${TxTable.DefaultVacuumRetentionMs}ms safety floor; " +
@@ -1166,7 +1180,7 @@ final class TxTable(val spark: SparkSession, val location: String,
       catch { case _: graft.catalog.DoesNotExistError => () }
     }
     val cutoffMs = System.currentTimeMillis() - math.max(0L, retentionMs)
-    var deleted = 0
+    val deleted = Seq.newBuilder[String]
     val reserved = log.reservedPrefixes
     val it = f.listFiles(base, true)
     while (it.hasNext) {
@@ -1178,12 +1192,12 @@ final class TxTable(val spark: SparkSession, val location: String,
         val isData = (rel.endsWith(".parquet") || rel.endsWith(".bin")) &&
           !reserved.exists(rel.startsWith)
         if (isData && !keep.contains(rel) && st.getModificationTime < cutoffMs) {
-          f.delete(st.getPath, false)
-          deleted += 1
+          if (!dryRun) f.delete(st.getPath, false)
+          deleted += rel
         }
       }
     }
-    deleted
+    deleted.result()
   }
 
   // ---- internals ----

@@ -226,6 +226,18 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     // sub-floor retention is refused (the safety floor needs force=true,
     // which SQL deliberately does not expose)
     intercept[Exception] { spark.sql("VACUUM mnt1.s.t RETAIN 1 HOURS") }
+    // DRY RUN previews the candidates without deleting — sub-floor
+    // retention is fine here (nothing is removed), and the compacted-away
+    // small files from the OPTIMIZE above are exactly what it lists
+    val preview = spark.sql("VACUUM mnt1.s.t RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getString(0)).toSet
+    assert(preview.nonEmpty, "OPTIMIZE left superseded files to preview")
+    val t2 = client.getTxTable("mnt1", "s", "t")
+    val live = t2.snapshot.files.map(_.path).toSet
+    assert(preview.intersect(live).isEmpty, "a live file must never be a candidate")
+    // nothing was deleted by the preview
+    assert(spark.sql("SELECT COUNT(*) FROM mnt1.s.t VERSION AS OF 0").collect()(0)
+      .getLong(0) >= 1, "time travel still works — no file was removed")
   }
 
   test("INSERT OVERWRITE under dynamic partitionOverwriteMode replaces only touched partitions") {
