@@ -1432,6 +1432,65 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           (SELECT COUNT(*) FROM lineitem WHERE l_linenumber = 1) AS rows_before_publish
         FROM published
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q134: GENERATE symlink_format_manifest round trip ----
+    // The manifest is how Presto/Trino/Athena read a Delta table with no
+    // Delta reader: text files of absolute parquet URIs, one per
+    // partition. The query DELETEs (copy-on-write here — no DVs, so
+    // generation is legal), generates, then reads the table back THROUGH
+    // the manifests alone (spark.read.parquet over the listed URIs, the
+    // external engine's view) — plus `n_manifests` = live partition
+    // count. Any stale/missing/extra path breaks the hash.
+    QueryDef(
+      "q134_symlink_manifest",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q134cat")
+        client.createSchema("q134cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q134-gen").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        graft.tables.DeltaLogWriter.create(s, loc,
+          li.filter(col("l_linenumber") === 1), partitionColumns = Seq("l_returnflag"))
+        client.registerAsTable("q134cat", "s", "t", graft.catalog.FileType.DELTA, loc)
+        s.sql("DELETE FROM q134cat.s.t WHERE l_quantity > 40") // copy-on-write
+        val nManifests = s.sql(
+          "GENERATE symlink_format_manifest FOR TABLE q134cat.s.t")
+          .collect()(0).getInt(0).toLong
+        // the external engine's read: manifests -> file URIs -> parquet
+        val root = java.nio.file.Paths.get(loc, "_symlink_format_manifest")
+        val paths = java.nio.file.Files.walk(root).iterator()
+        val uris = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (paths.hasNext) {
+          val p = paths.next()
+          if (p.getFileName.toString == "manifest") {
+            val part = graft.tables.TxLog.unescapePathName(
+              p.getParent.getFileName.toString.stripPrefix("l_returnflag="))
+            java.nio.file.Files.readString(p).trim.split("\n")
+              .foreach(u => uris += ((part, u)))
+          }
+        }
+        val perPart = uris.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        val frames = perPart.toSeq.sortBy(_._1).map { case (part, us) =>
+          s.read.parquet(us: _*).select(
+            lit(part).as("l_returnflag"), col("l_quantity"))
+        }
+        frames.reduce(_ unionAll _)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .withColumn("n_manifests", lit(nManifests))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH live AS (
+          SELECT l_returnflag, l_quantity FROM lineitem
+          WHERE l_linenumber = 1 AND l_quantity <= 40
+        )
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          (SELECT COUNT(DISTINCT l_returnflag) FROM live) AS n_manifests
+        FROM live
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

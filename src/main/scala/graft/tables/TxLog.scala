@@ -510,7 +510,7 @@ object TxLog {
     * of unescapePathName, matching Spark's ExternalCatalogUtils charset
     * (control chars, path separators, glob metacharacters, '%').
     */
-  private[tables] def escapePathName(s: String): String = {
+  private[graft] def escapePathName(s: String): String = {
     def needs(c: Char): Boolean =
       c < ' ' || c == 0x7f.toChar || c == '"' || c == '#' || c == '%' ||
         c == '\'' || c == '*' || c == '/' || c == ':' || c == '=' ||
@@ -522,7 +522,7 @@ object TxLog {
     sb.toString
   }
 
-  private[tables] def unescapePathName(s: String): String = {
+  private[graft] def unescapePathName(s: String): String = {
     // hive-style %xx unescaping, as Spark's ExternalCatalogUtils does
     val sb = new StringBuilder
     var i = 0
