@@ -291,5 +291,7 @@ object SketchFunctions {
       exprs => HyperplaneSigExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("classifier_score",
+      exprs => ClassifierScoreGen(exprs.head), "scala_udf")
   }
 }

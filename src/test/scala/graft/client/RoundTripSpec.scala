@@ -90,6 +90,12 @@ class RoundTripSpec extends AnyFunSuite {
     assert(dot == 11.0)
     val sig = spark.sql("SELECT minhash_sig(array('a b c', 'b c d'), 16) AS s").collect()(0).getSeq[Long](0)
     assert(sig.length == 16)
+    // generator expression: LATERAL VIEW-style table function in SQL
+    val cls = spark.sql(
+      "SELECT c.* FROM (SELECT 'good clean text here' AS t) LATERAL VIEW classifier_score(t) c")
+      .collect()(0)
+    assert(cls.getLong(0) == 4L, "n_tokens")
+    assert(cls.getBoolean(3) == (cls.getLong(1) > 0L), "keep <=> raw_score > 0")
   }
 
   test("bypass-layer cross-check: catalog-written parquet readable by raw Spark") {
