@@ -176,9 +176,12 @@ final class LakehouseClient(val spark: SparkSession, val store: CatalogStore = n
     * `numFiles` diagnostics ride along.
     */
   /** Re-read the log schema and push it into the catalog record — the
-    * W10 reconciliation shape, for metadata-only DDL (RENAME/DROP
-    * COLUMN) that changes the schema without a write. partition_index
-    * and surviving-column identity are preserved like mergeColumns.
+    * W10 reconciliation shape, for metadata-only DDL (DROP COLUMN etc.)
+    * that changes the schema without a write. Columns are matched BY
+    * NAME: same-named survivors keep their identity (comment,
+    * partition_index); renames must update the catalog record directly
+    * instead (see rewriteRenameColumn) or the renamed column's identity
+    * is lost.
     */
   def syncTableSchema(catalog: String, schema: String, name: String): TableInfo = {
     val t = getTable(catalog, schema, name)

@@ -128,8 +128,12 @@ object Sampling {
     }
     val whole = floor(e).cast("long")
     // salt the id with the whole-epoch count so the fractional draw is
-    // independent of the plain-id draws used by hashSample/shuffleShards
-    val extra = (hash32(col(idCol) * lit(1000003L) + whole) <
+    // independent of the plain-id draws used by hashSample/shuffleShards.
+    // The id folds to [0, 2^31) BEFORE the salt multiply (hash32's own
+    // overflow-free discipline): folded * 1000003 + whole stays under
+    // 2^51, so the arithmetic never wraps on any engine or ANSI mode.
+    val salted = pmod(col(idCol).cast("long"), lit(M31)) * lit(1000003L) + whole
+    val extra = (hash32(salted) <
       floor((e - whole.cast("double")) * lit(M32.toDouble)).cast("long")).cast("long")
     df.withColumn("__n", (whole + extra).cast("int"))
       .filter(col("__n") > 0)

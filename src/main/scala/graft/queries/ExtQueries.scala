@@ -596,8 +596,9 @@ object ExtQueries {
         c AS (
           SELECT doc_id, source, n_chars,
             CAST(FLOOR(ep) AS BIGINT) +
-            CASE WHEN CAST((((doc_id * 1000003 + CAST(FLOOR(ep) AS BIGINT)) % 2147483648)
-                   * 2654435761) % 4294967296 AS BIGINT)
+            CASE WHEN CAST((((((doc_id % 2147483648) * 1000003
+                      + CAST(FLOOR(ep) AS BIGINT)) % 2147483648)
+                   * 2654435761) % 4294967296) AS BIGINT)
                  < CAST(FLOOR((ep - FLOOR(ep)) * 4294967296) AS BIGINT)
               THEN 1 ELSE 0 END AS n
           FROM e

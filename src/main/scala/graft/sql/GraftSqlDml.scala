@@ -460,7 +460,12 @@ object GraftSqlDml {
       val oldName = r.column.name.head
       GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl RENAME COLUMN $oldName TO ${r.newName}") { () =>
         client.getTxTable(cat, sch, tbl).renameColumn(oldName, r.newName)
-        client.syncTableSchema(cat, sch, tbl)
+        // rename the catalog column IN PLACE so its identity (comment,
+        // partition index) survives — the name-matched schema sync would
+        // mint a fresh ColumnInfo and silently drop them
+        val info = client.getTable(cat, sch, tbl)
+        client.store.overwriteTable(info.copy(columns = info.columns.map(c =>
+          if (c.name == oldName) c.copy(name = r.newName) else c)))
       }
     }
 
@@ -479,8 +484,9 @@ object GraftSqlDml {
       if (d.ifExists) throw UnsupportedOperationError(
         "ALTER TABLE DROP COLUMN IF EXISTS is not supported")
       GraftDmlCommand(s"ALTER TABLE $cat.$sch.$tbl DROP COLUMNS (${names.mkString(", ")})") { () =>
-        val t = client.getTxTable(cat, sch, tbl)
-        names.foreach(t.dropColumn)
+        // ONE commit for the whole list — per-column commits would leave
+        // the statement half-applied if a later column's guard fires
+        client.getTxTable(cat, sch, tbl).dropColumns(names)
         client.syncTableSchema(cat, sch, tbl)
       }
     }

@@ -113,7 +113,11 @@ object GraftSqlExtensions {
       if (info.fileType != graft.catalog.FileType.ICEBERG) None
       else {
         val loc = graft.io.TableIO.normalize(info.storageLocation.get)
-        val ref = parts(3).stripPrefix("branch_").stripPrefix("tag_")
+        // exactly ONE prefix strips — a branch literally named
+        // "tag_nightly" must resolve as-is after "branch_" comes off
+        val ref =
+          if (parts(3).startsWith("branch_")) parts(3).stripPrefix("branch_")
+          else parts(3).stripPrefix("tag_")
         // an unknown REF on a known table raises its own clear error
         Some(graft.tables.IcebergLog.toDFAtRef(session, loc, ref)
           .queryExecution.analyzed)

@@ -68,21 +68,26 @@ object TxTableSource {
       n
     }
 
-  /** Delta-style size strings: plain bytes or k/m/g suffixes. */
+  /** Delta-style size strings: plain bytes or k/kb/m/mb/g/gb suffixes. */
   private[streaming] def maxBytesPerTrigger(parameters: Map[String, String]): Option[Long] =
     parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") =>
         val s = v.trim.toLowerCase(java.util.Locale.ROOT)
-        val (num, mult) = s.last match {
-          case 'k' => (s.dropRight(1), 1L << 10)
-          case 'm' => (s.dropRight(1), 1L << 20)
-          case 'g' => (s.dropRight(1), 1L << 30)
-          case _ => (s, 1L)
+        val m = """(\d+)\s*(kb?|mb?|gb?)?""".r
+        val n = s match {
+          case m(num, suffix) =>
+            val mult = Option(suffix).map(_.head) match {
+              case Some('k') => 1L << 10
+              case Some('m') => 1L << 20
+              case Some('g') => 1L << 30
+              case _ => 1L
+            }
+            num.toLong * mult
+          case _ => throw new IllegalArgumentException(
+            s"maxBytesPerTrigger: unparseable size '$v' (use bytes or k/m/g suffixes)")
         }
-        num.toLong * mult
-    }.map { n =>
-      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
-      n
+        require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+        n
     }
 
   private[streaming] def readChangeFeed(parameters: Map[String, String]): Boolean =

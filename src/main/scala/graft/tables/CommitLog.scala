@@ -91,6 +91,13 @@ private[graft] sealed trait CommitLog {
     */
   def auxiliaryLivePaths(spark: SparkSession, location: String,
       version: Long): Seq[String] = Seq.empty
+
+  /** Paths pinned by named refs regardless of version retention (Iceberg
+    * tags and branches — a WAP branch's staged files are referenced by
+    * NO retained version's current snapshot, only by the ref). Vacuum
+    * keeps them; empty for logs without refs.
+    */
+  def refPinnedPaths(spark: SparkSession, location: String): Seq[String] = Seq.empty
 }
 
 /** One-scan reads for partitioned snapshots whose file paths can't ride
@@ -207,17 +214,20 @@ private[graft] object NativeCommitLog extends CommitLog {
   def addsBetween(spark: SparkSession, location: String, fromExclusive: Long,
       toInclusive: Option[Long]): Seq[(Long, Seq[AddFile])] =
     TxLog.commitsBetween(spark, location, fromExclusive, toInclusive)
-      // compaction commits rearrange bytes, not data — surfacing their
-      // adds would re-emit the whole table into change feeds / streams
+      // compaction and column-DDL commits rearrange bytes or schema, not
+      // rows — surfacing their adds would re-emit the whole table into
+      // change feeds / streams
       .filterNot(c => c.operation == "OPTIMIZE" || c.operation == "ZORDER" ||
-        c.operation == "REORG")
+        c.operation == "REORG" || c.operation == "RENAME COLUMN" ||
+        c.operation == "DROP COLUMN")
       .map(c => c.version -> c.added)
 
   def appendOnlyBetween(spark: SparkSession, location: String, fromExclusive: Long,
       toInclusive: Option[Long]): Boolean =
     TxLog.commitsBetween(spark, location, fromExclusive, toInclusive).forall(c =>
       c.removed.isEmpty || c.operation == "OPTIMIZE" || c.operation == "ZORDER" ||
-        c.operation == "REORG")
+        c.operation == "REORG" || c.operation == "RENAME COLUMN" ||
+        c.operation == "DROP COLUMN")
 
   def dfForSnapshot(spark: SparkSession, location: String, s: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -746,6 +756,29 @@ private[graft] object IcebergCommitLog extends CommitLog {
       version: Long): Seq[String] =
     try IcebergLog.stateAt(spark, location, Some(version)).deletes.map(_.path)
     catch { case _: graft.catalog.DoesNotExistError => Seq.empty }
+
+  /** Every ref's snapshot pins its data AND delete files: a WAP branch's
+    * staged files exist in no retained version's CURRENT snapshot, only
+    * behind the branch ref, and must survive vacuum until the ref drops
+    * (expireSnapshots already honors the same pins).
+    */
+  override def refPinnedPaths(spark: SparkSession, location: String): Seq[String] = {
+    import org.json4s.JObject
+    val st = try IcebergLog.state(spark, location)
+      catch { case _: graft.catalog.DoesNotExistError => return Seq.empty }
+    val refIds = (st.meta \ "refs") match {
+      case JObject(fields) => fields.flatMap { case (_, v) =>
+        (v \ "snapshot-id").extractOpt[Long]
+      }
+      case _ => Nil
+    }
+    refIds.distinct.flatMap { id =>
+      try {
+        val s = IcebergLog.state(spark, location, Some(id))
+        s.files.map(_.path) ++ s.deletes.map(_.path)
+      } catch { case _: graft.catalog.DoesNotExistError => Seq.empty }
+    }
+  }
 
   def reservedPrefixes: Seq[String] = Seq("metadata", TxLog.StagingPrefix)
 }

@@ -1219,20 +1219,40 @@ object IcebergWriter {
     * stop projecting. Metadata-only; storage reclaims on the next
     * rewrite.
     */
-  def dropColumn(spark: SparkSession, location: String, name: String): Unit = {
+  def dropColumn(spark: SparkSession, location: String, name: String): Unit =
+    dropColumns(spark, location, Seq(name))
+
+  def dropColumns(spark: SparkSession, location: String, names: Seq[String]): Unit = {
     val st = IcebergLog.state(spark, location)
     val cur = IcebergLog.currentSchemaJson(st.meta)
     val fields = (cur \ "fields").extract[Seq[JValue]]
-    if (!fields.exists(f => (f \ "name").extract[String] == name))
-      throw graft.catalog.UnsupportedOperationError(s"DROP COLUMN: unknown column $name")
-    if (fields.size == 1)
-      throw graft.catalog.UnsupportedOperationError("DROP COLUMN: cannot drop the last column")
-    // a declared sort order referencing the column would dangle
-    if (IcebergLog.sortOrderFields(st.meta).exists(_._1 == name))
-      throw graft.catalog.UnsupportedOperationError(
-        s"DROP COLUMN: $name is referenced by the table's sort order; replace it first")
+    val specRefs = (st.meta \ "partition-specs").extractOrElse[Seq[JValue]](Seq.empty)
+      .flatMap(s => (s \ "fields").extractOrElse[Seq[JValue]](Seq.empty))
+      .flatMap(f => (f \ "source-id").extractOpt[Int])
+      .toSet
+    names.foreach { name =>
+      if (!fields.exists(f => (f \ "name").extract[String] == name))
+        throw graft.catalog.UnsupportedOperationError(s"DROP COLUMN: unknown column $name")
+      // a declared sort order referencing the column would dangle
+      if (IcebergLog.sortOrderFields(st.meta).exists(_._1 == name))
+        throw graft.catalog.UnsupportedOperationError(
+          s"DROP COLUMN: $name is referenced by the table's sort order; replace it first")
+      // ANY partition spec sourcing the column (identity OR transform —
+      // bucket/truncate/year/...) forbids the drop: the spec would
+      // reference a dead field id and every later write would fail with
+      // no recovery path. TxTable's guard only sees identity columns, so
+      // transform sources must be checked here against the field id.
+      val dropId = fields.collectFirst {
+        case f if (f \ "name").extract[String] == name => (f \ "id").extract[Int]
+      }.get
+      if (specRefs.contains(dropId))
+        throw graft.catalog.UnsupportedOperationError(
+          s"DROP COLUMN: $name (field id $dropId) is a partition-spec source column")
+    }
+    if (fields.size - names.size < 1)
+      throw graft.catalog.UnsupportedOperationError("DROP COLUMN: cannot drop every column")
     commitSchemaHistory(spark, location, st,
-      fields.filterNot(f => (f \ "name").extract[String] == name))
+      fields.filterNot(f => names.contains((f \ "name").extract[String])))
   }
 
   /** Append a new current schema (built from `fields`, ids already
@@ -1713,7 +1733,12 @@ object IcebergWriter {
     val headId = IcebergLog.refSnapshotId(stCur.meta, branch).get
     val stB = IcebergLog.state(spark, location, Some(headId))
     val f = IcebergLog.fs(spark, location)
-    val data = conformed(stB, df)
+    // the same validation every other write path applies — a staged
+    // branch publishes to main via fastForward, so constraint-violating
+    // rows must be refused HERE, not discovered after the publish
+    val props = IcebergLog.propertiesOf(stB.meta)
+    val data = Constraints.enforce(
+      GeneratedColumns.validate(conformed(stB, df), stB.schema), props, stB.schema)
     val specFields = resolvedSpecFields(stB)
     val partFields = specFields.map(sf => sf.name -> sf.resultType)
     val topIds = IcebergLog.topFields(stB.meta).map { case (id, n, _) => n -> id }.toMap

@@ -454,34 +454,45 @@ final class TxTable(val spark: SparkSession, val location: String,
     * is an explicit copy-on-write rewrite (O(table), documented — use a
     * Delta/Iceberg-backed table for metadata-only drops).
     */
-  def dropColumn(name: String): Unit = {
+  def dropColumn(name: String): Unit = dropColumns(Seq(name))
+
+  /** Drop several columns in ONE commit (one rewrite on the native log) —
+    * `ALTER TABLE ... DROP COLUMNS (a, b)` must be atomic: per-column
+    * commits would leave the DDL half-applied when a later column's
+    * guard fires.
+    */
+  def dropColumns(names: Seq[String]): Unit = {
+    require(names.nonEmpty, "dropColumns needs at least one column")
+    require(names.distinct.size == names.size, s"duplicate columns in $names")
     def guards(snap: Snapshot): Unit = {
-      if (!snap.schema.fieldNames.contains(name))
-        throw UnsupportedOperationError(s"DROP COLUMN: unknown column $name")
-      if (snap.partitionColumns.contains(name))
-        throw UnsupportedOperationError(s"DROP COLUMN: $name is a partition column")
-      if (snap.schema.fields.length == 1)
-        throw UnsupportedOperationError("DROP COLUMN: cannot drop the last column")
-      checkNotReferenced(snap, name, "DROP COLUMN")
+      names.foreach { name =>
+        if (!snap.schema.fieldNames.contains(name))
+          throw UnsupportedOperationError(s"DROP COLUMN: unknown column $name")
+        if (snap.partitionColumns.contains(name))
+          throw UnsupportedOperationError(s"DROP COLUMN: $name is a partition column")
+        checkNotReferenced(snap, name, "DROP COLUMN")
+      }
+      if (snap.schema.fields.length - names.size < 1)
+        throw UnsupportedOperationError("DROP COLUMN: cannot drop every column")
     }
     log match {
       case IcebergCommitLog =>
         guards(snapshot)
-        IcebergWriter.dropColumn(spark, location, name)
+        IcebergWriter.dropColumns(spark, location, names)
       case ForeignDeltaCommitLog =>
         commitWithRetry("DROP COLUMN") { snap =>
           guards(snap)
           val (schema1, props1) = DeltaLog.withMappingEnabled(snap.schema, snap.properties)
           val dropped = org.apache.spark.sql.types.StructType(
-            schema1.fields.filterNot(_.name == name))
+            schema1.fields.filterNot(f => names.contains(f.name)))
           TxTable.Planned(Seq.empty, Seq.empty, dropped, snap.partitionColumns, props1)
         }
       case _ =>
         commitWithRetry("DROP COLUMN") { snap =>
           guards(snap)
           val dropped = org.apache.spark.sql.types.StructType(
-            snap.schema.fields.filterNot(_.name == name))
-          val rewritten = readForRewrite(snap, snap.files).drop(name)
+            snap.schema.fields.filterNot(f => names.contains(f.name)))
+          val rewritten = readForRewrite(snap, snap.files).drop(names: _*)
           val (added, props) = stageRewrite(
             alignForWrite(rewritten, snap.partitionColumns),
             snap.copy(schema = dropped))
@@ -884,12 +895,24 @@ final class TxTable(val spark: SparkSession, val location: String,
       val inScope = where match {
         case None => snap.files
         case Some(p) =>
-          val conjuncts = FileStats.prunableConjuncts(
-            spark.sessionState.sqlParser.parseExpression(p))
-          if (conjuncts.isEmpty)
-            throw UnsupportedOperationError(
-              s"OPTIMIZE WHERE: predicate '$p' has no prunable conjuncts " +
-                "(use comparisons/IS NULL over partition columns)")
+          // EVERY top-level conjunct must be prunable (a dropped leaf
+          // would silently widen the scope — 'p = 1 AND lower(q) = ..'
+          // compacting all of p = 1) and over a partition column
+          val parsed = spark.sessionState.sqlParser.parseExpression(p)
+          def leaves(e: org.apache.spark.sql.catalyst.expressions.Expression)
+              : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              leaves(l) ++ leaves(r)
+            case other => Seq(other)
+          }
+          val conjuncts = leaves(parsed).map { leaf =>
+            FileStats.prunableConjuncts(leaf) match {
+              case Seq(c) => c
+              case _ => throw UnsupportedOperationError(
+                s"OPTIMIZE WHERE: '${leaf.sql}' is not a prunable conjunct " +
+                  "(use comparisons/IS [NOT] NULL over partition columns)")
+            }
+          }
           conjuncts.find(c => !snap.partitionColumns.contains(c.colName)).foreach { c =>
             throw UnsupportedOperationError(
               s"OPTIMIZE WHERE: ${c.colName} is not a partition column " +
@@ -1179,6 +1202,9 @@ final class TxTable(val spark: SparkSession, val location: String,
       }
       catch { case _: graft.catalog.DoesNotExistError => () }
     }
+    // ref-pinned files (Iceberg tags/branches — WAP stages live ONLY
+    // behind their ref) survive regardless of version retention
+    log.refPinnedPaths(spark, location).foreach(p => keep += relativized(p))
     val cutoffMs = System.currentTimeMillis() - math.max(0L, retentionMs)
     val deleted = Seq.newBuilder[String]
     val reserved = log.reservedPrefixes

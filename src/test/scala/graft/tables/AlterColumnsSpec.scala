@@ -141,6 +141,34 @@ class AlterColumnsSpec extends AnyFunSuite {
     assert(t.snapshot.schema.fieldNames.contains("w"))
   }
 
+  test("iceberg: dropping a transform-partition source column refuses") {
+    val loc = TestSpark.tmpDir("alter-i-spec") + "/t"
+    IcebergWriter.create(spark, loc,
+      (0 until 20).map(i => (i.toLong, s"s$i", i % 3)).toDF("id", "s", "v"),
+      Seq("bucket(4, id)"))
+    val t = TxTable.forIceberg(spark, loc)
+    // TxTable's identity-partition guard cannot see the bucket source —
+    // the Iceberg-level spec check must catch it or the table bricks
+    intercept[UnsupportedOperationError](t.dropColumn("id"))
+    t.append(Seq((100L, "x", 9)).toDF("id", "s", "v")) // still writable
+    assert(t.toDF.count() === 21L)
+  }
+
+  test("DROP COLUMNS (a, b) is one commit; a bad list applies nothing") {
+    val loc = TestSpark.tmpDir("alter-multi")
+    DeltaLogWriter.create(spark, loc,
+      Seq((1L, "a", 10.0, true)).toDF("id", "name", "v", "flag"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    val vBefore = t.version
+    // second column is invalid -> the WHOLE statement must no-op
+    intercept[UnsupportedOperationError](t.dropColumns(Seq("name", "nope")))
+    assert(t.version === vBefore, "failed multi-drop must not commit")
+    assert(t.snapshot.schema.fieldNames.contains("name"))
+    t.dropColumns(Seq("name", "flag"))
+    assert(t.version === vBefore + 1, "multi-drop is ONE commit")
+    assert(t.snapshot.schema.fieldNames.toSeq === Seq("id", "v"))
+  }
+
   test("SQL: ALTER TABLE RENAME COLUMN / DROP COLUMN on 3-part names") {
     val client = new graft.client.LakehouseClient(spark)
     client.createCatalog("altc")

@@ -118,6 +118,40 @@ class IcebergRefsSpec extends AnyFunSuite {
     assert(IcebergLog.toDF(spark, loc).count() == 5)
   }
 
+  test("WAP: staged files survive VACUUM while the branch ref pins them") {
+    val loc = TestSpark.tmpDir("ice-wap-vac") + "/t"
+    IcebergWriter.create(spark, loc, seed)
+    IcebergWriter.createBranch(spark, loc, "stage")
+    IcebergWriter.appendToBranch(spark, loc, Seq((4L, "d")).toDF("id", "s"), "stage")
+    // main never referenced the staged file — only the ref does. A forced
+    // zero-retention vacuum must STILL keep it, or the later publish
+    // points at a deleted file.
+    val t = TxTable.forIceberg(spark, loc)
+    t.vacuum(retentionMs = 0L, force = true)
+    IcebergWriter.fastForward(spark, loc, "stage")
+    assert(IcebergLog.toDF(spark, loc)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // once the ref is gone and main moved past it, the file can go
+    IcebergWriter.removeRef(spark, loc, "stage")
+  }
+
+  test("WAP: branch staging enforces CHECK constraints like every write") {
+    val loc = TestSpark.tmpDir("ice-wap-chk") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(Seq((1L, "a")).toDF("id", "s"))
+    t.addConstraint("id_pos", "id > 0")
+    IcebergWriter.createBranch(spark, loc, "audit")
+    // a violating staged row must be refused at STAGE time — fastForward
+    // publishes branches with no further validation
+    intercept[Exception] {
+      IcebergWriter.appendToBranch(spark, loc, Seq((-5L, "bad")).toDF("id", "s"), "audit")
+    }
+    IcebergWriter.appendToBranch(spark, loc, Seq((2L, "ok")).toDF("id", "s"), "audit")
+    IcebergWriter.fastForward(spark, loc, "audit")
+    assert(IcebergLog.toDF(spark, loc)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("WAP: fastForward refuses a diverged main; abandoned stage reclaims") {
     val loc = TestSpark.tmpDir("ice-wap-div") + "/t"
     IcebergWriter.create(spark, loc, seed)
