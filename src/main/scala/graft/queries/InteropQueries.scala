@@ -1491,6 +1491,62 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           (SELECT COUNT(DISTINCT l_returnflag) FROM live) AS n_manifests
         FROM live
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q135: the WAP cycle entirely through SQL ----
+    // Same contract as q131 but every step is a statement a SQL-only
+    // user would run: CREATE BRANCH, staged INSERT via the suffix
+    // relation, audit via VERSION AS OF 'branch', FAST FORWARD, DROP
+    // BRANCH, and a post-publish tag whose pinned count rides the hash
+    // (the tag must NOT see the row inserted after it).
+    QueryDef(
+      "q135_sql_wap_cycle",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q135cat")
+        client.createSchema("q135cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q135-wap").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        client.createAsTable(li.filter(col("l_linenumber") === 1),
+          "q135cat", "s", "t", graft.catalog.FileType.ICEBERG, loc)
+        s.sql("ALTER TABLE q135cat.s.t CREATE BRANCH audit")
+        s.sql("INSERT INTO q135cat.s.t.branch_audit " +
+          "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity " +
+          "FROM q135cat.s.t WHERE l_quantity <= 5")
+        val mainBlind = s.sql("SELECT COUNT(*) FROM q135cat.s.t")
+          .collect()(0).getLong(0)
+        val auditSees = s.sql("SELECT COUNT(*) FROM q135cat.s.t VERSION AS OF 'audit'")
+          .collect()(0).getLong(0)
+        s.sql("ALTER TABLE q135cat.s.t FAST FORWARD TO audit")
+        s.sql("ALTER TABLE q135cat.s.t DROP BRANCH audit")
+        s.sql("ALTER TABLE q135cat.s.t CREATE TAG published")
+        s.sql("INSERT INTO q135cat.s.t BY NAME SELECT 999999999 AS l_orderkey, " +
+          "9 AS l_linenumber, 'Z' AS l_returnflag, 1 AS l_quantity")
+        val tagPinned = s.sql("SELECT COUNT(*) FROM q135cat.s.t.tag_published")
+          .collect()(0).getLong(0)
+        s.sql("SELECT * FROM q135cat.s.t WHERE l_returnflag <> 'Z'")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .withColumn("rows_main_blind", lit(mainBlind))
+          .withColumn("rows_audit_sees", lit(auditSees))
+          .withColumn("rows_tag_pinned", lit(tagPinned))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH base AS (
+          SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 1
+        ), staged AS (
+          SELECT * FROM base WHERE l_quantity <= 5
+        ), published AS (
+          SELECT * FROM base UNION ALL SELECT * FROM staged
+        )
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          (SELECT COUNT(*) FROM base) AS rows_main_blind,
+          (SELECT COUNT(*) FROM published) AS rows_audit_sees,
+          (SELECT COUNT(*) FROM published) AS rows_tag_pinned
+        FROM published
         GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
