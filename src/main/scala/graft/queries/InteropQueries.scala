@@ -1547,6 +1547,52 @@ object InteropQueries {
           (SELECT COUNT(*) FROM published) AS rows_audit_sees,
           (SELECT COUNT(*) FROM published) AS rows_tag_pinned
         FROM published
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q136: Iceberg snapshot-diff changelog (CDF without a log of row
+    // events) ----
+    // Iceberg has no cdc actions; the row feed is DERIVED: appends diff
+    // to inserts, position-delete files join back to exactly the dying
+    // rows (read under the PREVIOUS deletes, so re-deleting a dead
+    // position emits nothing — the second DELETE below overlaps the
+    // first and must surface only newly-dead rows). The oracle
+    // reconstructs the same per-version feed from the fixture; an
+    // OPTIMIZE between the deletes pins that replace snapshots emit no
+    // change rows.
+    QueryDef(
+      "q136_iceberg_changelog",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q136-chlog").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        val t = graft.tables.TxTable.forIceberg(s, loc)
+        t.create(li.filter(col("l_linenumber") === 1))                  // v1: inserts
+        t.append(li.filter(col("l_linenumber") === 2))                  // v2: inserts
+        t.delete("l_quantity <= 10")                                    // v3: deletes
+        t.optimizeCompact(minFileBytes = 1L << 30)                      // v4 replace: nothing
+        t.delete("l_quantity <= 20 AND l_returnflag = 'A'")             // v5: overlaps v3
+        graft.tables.IcebergLog.tableChanges(s, loc, 1L)
+          .groupBy(col("_commit_version").as("v"), col("_change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .orderBy(col("v"), col("_change_type"))
+      },
+      Some("""WITH l1 AS (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 1),
+        l2 AS (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber = 2),
+        lall AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2),
+        feed AS (
+          SELECT 1 AS v, 'insert' AS ct, l_quantity FROM l1
+          UNION ALL
+          SELECT 2, 'insert', l_quantity FROM l2
+          UNION ALL
+          SELECT 3, 'delete', l_quantity FROM lall WHERE l_quantity <= 10
+          UNION ALL
+          SELECT 5, 'delete', l_quantity FROM lall
+          WHERE l_quantity > 10 AND l_quantity <= 20 AND l_returnflag = 'A'
+        )
+        SELECT CAST(v AS BIGINT) AS v, ct AS _change_type,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM feed GROUP BY v, ct ORDER BY v, ct"""))
   )
 }

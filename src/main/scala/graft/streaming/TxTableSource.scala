@@ -136,11 +136,15 @@ class TxTableSource(spark: SparkSession, location: String,
     TxTableSource.streamSchema(spark, location, readChangeFeed)
 
   private val table = TxTableSource.table(spark, location)
-  // fail fast: CDF streaming needs the Delta change feed
-  if (readChangeFeed && !(table.log eq graft.tables.ForeignDeltaCommitLog))
+  // fail fast: CDF streaming needs a row-level feed — the Delta change
+  // feed, or the Iceberg snapshot-diff changelog (which raises
+  // mid-stream on overwrite/equality-delete commits; bound those
+  // histories with a fresh start instead)
+  if (readChangeFeed && !(table.log eq graft.tables.ForeignDeltaCommitLog) &&
+      !(table.log eq graft.tables.IcebergCommitLog))
     throw graft.catalog.UnsupportedOperationError(
-      "readChangeFeed streaming requires a Delta (_delta_log) table with " +
-        "change data feed; the native/Iceberg logs stream appends only")
+      "readChangeFeed streaming requires a Delta (_delta_log) or Iceberg " +
+        "table; the native log streams appends only")
 
   /** Highest version already handed out in a batch — the rate limit's
     * base. Synced from the checkpoint on restart: the engine replays the

@@ -834,6 +834,110 @@ object IcebergLog {
   def toDFAtRef(spark: SparkSession, location: String, ref: String): DataFrame =
     toDF(spark, location, Some(snapshotIdForRef(spark, location, ref)))
 
+  /** Row-level CHANGELOG over metadata versions [fromVersion, toVersion]
+    * — the Iceberg analogue of the Delta change feed, in the same shape
+    * (`_change_type` insert/delete, `_commit_version`,
+    * `_commit_timestamp`), derived entirely from snapshot diffs:
+    *   - append snapshots → the new files' rows as inserts;
+    *   - replace snapshots (compaction/REORG) and metadata-only commits
+    *     (refs, properties, branch stages) → nothing, byte/metadata
+    *     rearrangement is not change;
+    *   - delete snapshots → the NEW position-delete files' (path, pos)
+    *     entries joined back to their data rows — read as of the
+    *     PREVIOUS deletes (a row can only die once), so re-deletes of
+    *     already-dead positions never surface;
+    *   - overwrite snapshots and new EQUALITY deletes raise
+    *     UnsupportedOperationError — their row delta is not recoverable
+    *     from file diffs alone; consumers fall back to a re-sync.
+    * Incremental consumers (materialized views) fold this as a signed
+    * row feed, making MoR DELETEs incremental on Iceberg sources too.
+    */
+  def tableChanges(spark: SparkSession, location: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val latest = latestMetadataVersion(spark, location).getOrElse(
+      throw graft.catalog.DoesNotExistError(s"no iceberg table at $location"))
+    val to = toVersion.getOrElse(latest)
+    val outState = stateAt(spark, location, Some(to))
+    val outFields = outState.schema.fields.toSeq
+    def tag(df: DataFrame, tpe: String, v: Long, tsMs: Long): DataFrame =
+      df.select(outFields.map(f =>
+          (if (df.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+        .withColumn(DeltaCdf.ChangeTypeCol, lit(tpe))
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(tsMs)).cast(org.apache.spark.sql.types.TimestampType))
+    val frames = (math.max(1L, fromVersion) to to).flatMap { v =>
+      val meta = metaAt(spark, location, v)
+      val curId = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
+      val prevId =
+        if (v == 1) None
+        else (metaAt(spark, location, v - 1) \ "current-snapshot-id")
+          .extractOpt[Long].filter(_ != -1L)
+      if (curId == prevId) None // metadata-only (refs/props/branch stage)
+      else {
+        val tsMs = snapshots(meta).find(s => curId.contains(s.snapshotId))
+          .map(_.timestampMs).getOrElse(0L)
+        val st = stateAt(spark, location, Some(v))
+        // v1 is the create commit: there is no v0 document; the previous
+        // state is the empty table
+        def stPrev = stateAt(spark, location, Some(v - 1))
+        currentOperation(meta) match {
+          case "replace" => None
+          case "append" =>
+            val prevPaths =
+              if (v == 1) Set.empty[String] else stPrev.files.map(_.path).toSet
+            val added = st.files.filterNot(f => prevPaths.contains(f.path))
+            if (added.isEmpty) None
+            else Some(tag(dfFor(spark, st.copy(files = added, deletes = Seq.empty)),
+              "insert", v, tsMs))
+          case "delete" =>
+            val prevDel = stPrev.deletes.map(_.path).toSet
+            val newDel = st.deletes.filterNot(d => prevDel.contains(d.path))
+            if (newDel.exists(_.content == 2))
+              throw graft.catalog.UnsupportedOperationError(
+                s"iceberg changelog: version $v wrote equality deletes; " +
+                  "their row delta needs a re-sync")
+            if (newDel.isEmpty) None
+            else {
+              // the dying rows: new (path, pos) entries joined to their
+              // data files read under the PREVIOUS deletes only
+              val entries = spark.read.parquet(newDel.map(_.path): _*)
+                .select(toCol(NormalizedPath(toExpr(col("file_path")))).as("__np"),
+                  col("pos").cast("long").as("__pos"))
+              val touched = entries.select("__np").distinct()
+                .collect().map(_.getString(0)).toSet
+              val dataFiles = stPrev.files.filter(f =>
+                touched.contains(DeletionVectors.normalizedUri(f.path)))
+              val base = dfFor(spark,
+                stPrev.copy(files = dataFiles), withMeta = true)
+                .withColumn("__np",
+                  toCol(NormalizedPath(toExpr(col(DeltaLog.FileMetaCol)))))
+                .withColumnRenamed(DeltaLog.RowMetaCol, "__pos")
+              // plain equi-join (AQE broadcasts small delete deltas on
+              // its own; forcing broadcast would OOM on a mass delete)
+              Some(tag(base.join(entries, Seq("__np", "__pos"))
+                .drop("__np", "__pos", DeltaLog.FileMetaCol), "delete", v, tsMs))
+            }
+          case other =>
+            throw graft.catalog.UnsupportedOperationError(
+              s"iceberg changelog: unsupported operation '$other' at version $v " +
+                "(overwrite histories need a re-sync)")
+        }
+      }
+    }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      val schema = org.apache.spark.sql.types.StructType(outFields ++ Seq(
+        org.apache.spark.sql.types.StructField(DeltaCdf.ChangeTypeCol, StringType),
+        org.apache.spark.sql.types.StructField("_commit_version", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** Latest snapshot at or before `tsMs` (snapshot-log order). */
   def snapshotIdAtTimestamp(spark: SparkSession, location: String, tsMs: Long): Long = {
     val all = snapshots(metaOf(spark, location)).sortBy(_.timestampMs)

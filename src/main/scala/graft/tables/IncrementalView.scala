@@ -162,8 +162,27 @@ object IncrementalView {
           else throw e
       }
 
-    val cdfSource = source.log == ForeignDeltaCommitLog &&
-      DeltaCdf.enabled(source.snapshot.properties)
+    // row-level feeds: Delta CDF when enabled, or the Iceberg
+    // snapshot-diff changelog (always derivable — but it RAISES on
+    // overwrite/equality-delete history, handled by fallback below)
+    def fullResync(): Refresh = {
+      // non-append history without a usable row feed: one full re-sync
+      // merge converges the view to the fresh aggregate — O(source
+      // scan), the price of a rewriting source without a row-level feed
+      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs)
+      committing("full") {
+        view.merge(fresh, keyCond, "s", "t")
+          .whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll()
+          .whenNotMatchedBySourceDelete()
+          .withTransaction(appId, to)
+          .execute()
+      }
+    }
+
+    val cdfSource = (source.log == ForeignDeltaCommitLog &&
+      DeltaCdf.enabled(source.snapshot.properties)) ||
+      source.log == IcebergCommitLog
     if (from < 0) {
       // FIRST fold: aggregate the source's full state-at-version rather
       // than replaying its commit history — a log whose early commits
@@ -198,35 +217,28 @@ object IncrementalView {
       // — views carrying them fall through to the full re-sync instead
       // exact signed delta from the row-level change feed — note
       // tableChanges is INCLUSIVE-from (CDF convention) where
-      // changesSince is exclusive-from, so start one past the watermark
-      val ch = source.tableChanges(from + 1, Some(to))
-      val sign = when(col(DeltaCdf.ChangeTypeCol)
-        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-      val delta = aggregate(
-        ch.withColumn("__sign", sign), ks, sums, Some(col("__sign")))
-      committing("cdf") {
-        view.merge(delta, keyCond, "s", "t")
-          // a group folded to zero rows leaves the view entirely
-          .whenMatchedDelete(Some(s"t.`$CountCol` + s.`$CountCol` = 0"))
-          .whenMatchedUpdate(updateSet(CountCol))
-          .whenNotMatchedInsert(insertVals.toMap)
-          .withTransaction(appId, to)
-          .execute()
+      // changesSince is exclusive-from, so start one past the watermark.
+      // The Iceberg changelog RAISES on histories it cannot derive
+      // (overwrites, equality deletes) — recoverable: full re-sync.
+      try {
+        val ch = source.tableChanges(from + 1, Some(to))
+        val sign = when(col(DeltaCdf.ChangeTypeCol)
+          .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+        val delta = aggregate(
+          ch.withColumn("__sign", sign), ks, sums, Some(col("__sign")))
+        committing("cdf") {
+          view.merge(delta, keyCond, "s", "t")
+            // a group folded to zero rows leaves the view entirely
+            .whenMatchedDelete(Some(s"t.`$CountCol` + s.`$CountCol` = 0"))
+            .whenMatchedUpdate(updateSet(CountCol))
+            .whenNotMatchedInsert(insertVals.toMap)
+            .withTransaction(appId, to)
+            .execute()
+        }
+      } catch {
+        case _: graft.catalog.UnsupportedOperationError => fullResync()
       }
-    } else {
-      // non-append history without CDF: one full re-sync merge converges
-      // the view to the fresh aggregate — O(source scan), the price of a
-      // rewriting source without a row-level feed
-      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs)
-      committing("full") {
-        view.merge(fresh, keyCond, "s", "t")
-          .whenMatchedUpdateAll()
-          .whenNotMatchedInsertAll()
-          .whenNotMatchedBySourceDelete()
-          .withTransaction(appId, to)
-          .execute()
-      }
-    }
+    } else fullResync()
   }
 
   /** Read helper: the view with `avg_<c>` columns derived on the fly. */

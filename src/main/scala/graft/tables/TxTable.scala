@@ -100,8 +100,14 @@ final class TxTable(val spark: SparkSession, val location: String,
     */
   def tableChanges(fromVersion: Long, toVersion: Option[Long] = None): DataFrame =
     if (log == ForeignDeltaCommitLog) DeltaCdf.tableChanges(spark, location, fromVersion, toVersion)
+    else if (log == IcebergCommitLog)
+      // snapshot-diff changelog: appends as inserts, position deletes
+      // joined back to their rows; raises for overwrite/equality-delete
+      // histories (the caller re-syncs)
+      IcebergLog.tableChanges(spark, location, fromVersion, toVersion)
     else throw UnsupportedOperationError(
-      "tableChanges requires a Delta (_delta_log) table; use changesSince for the native append feed")
+      "tableChanges requires a Delta (_delta_log) or Iceberg table; " +
+        "use changesSince for the native append feed")
 
   /** DataFrame over a subset of a snapshot's files (merge file pruning). */
   private[tables] def dfForFiles(s: Snapshot, relPaths: Seq[String]): DataFrame = {

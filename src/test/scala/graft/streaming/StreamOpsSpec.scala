@@ -224,6 +224,37 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TxTableSource readChangeFeed streams an ICEBERG table via the snapshot-diff changelog") {
+    import spark.implicits._
+    val loc = TestSpark.tmpDir("txsrc-icecdf") + "/t"
+    val ckpt = TestSpark.tmpDir("txsrc-icecdf-ckpt")
+    val t = graft.tables.TxTable.forIceberg(spark, loc)
+    t.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))  // v1
+    t.append(Seq((4L, "d")).toDF("id", "s"))                         // v2
+    t.delete("id = 2")                                               // v3 (position delete)
+
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream
+      .format("graft.streaming.TxTableSourceProvider")
+      .option("readChangeFeed", "true")
+      .load(loc)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id", "_change_type", "_commit_version").collect()
+          .foreach(r => received.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = received.asScala.toSet
+    assert(got == Set(
+      (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L),
+      (4L, "insert", 2L), (2L, "delete", 3L)), got.toString)
+  }
+
   test("TxTableSource readChangeFeed streams inserts AND deletes with change types") {
     import spark.implicits._
     val loc = TestSpark.tmpDir("txsrc-cdf") + "/t"

@@ -102,11 +102,45 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "incremental")
     assert(rowsOf(TxTable.forLocation(spark, viewLoc)) ==
       Set(("a", 2L, 3.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
-    // an Iceberg merge-on-read DELETE is a non-append snapshot -> re-sync
+    // an Iceberg merge-on-read DELETE folds through the snapshot-diff
+    // changelog — incremental, no source rescan
     src.delete("k = 'b'")
-    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "full")
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "cdf")
     assert(rowsOf(TxTable.forLocation(spark, viewLoc)) ==
       Set(("a", 2L, 3.0), ("c", 1L, 7.0)))
+    // an OVERWRITE is not derivable from file diffs: the changelog
+    // raises and refresh falls back to one full re-sync
+    src.overwrite(Seq(("z", 1.0), ("z", 2.0)).toDF("k", "v"))
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "full")
+    assert(rowsOf(TxTable.forLocation(spark, viewLoc)) == Set(("z", 2L, 3.0)))
+  }
+
+  test("iceberg changelog: appends as inserts, MoR deletes as exact dying rows") {
+    val loc = TestSpark.tmpDir("ice-changelog") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))     // v1
+    t.append(Seq((4L, "d")).toDF("id", "s"))                            // v2
+    t.delete("id <= 2")                                                 // v3 (position deletes)
+    t.optimizeCompact(minFileBytes = 1L << 20)                          // replace: no change rows
+    IcebergWriter.createTag(spark, loc, "pin")                          // metadata-only: none
+
+    val ch = IcebergLog.tableChanges(spark, loc, 1L)
+      .select("id", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ch == Set(
+      (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L),
+      (4L, "insert", 2L),
+      (1L, "delete", 3L), (2L, "delete", 3L)), ch.toString)
+    // range start is inclusive; later windows skip earlier commits
+    val tail = IcebergLog.tableChanges(spark, loc, 3L)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(tail == Set("delete"))
+    // a second delete overlapping already-dead positions emits only the
+    // NEWLY dying rows
+    t.delete("id <= 3")                                                 // kills only 3
+    val last = IcebergLog.tableChanges(spark, loc, t.version, Some(t.version))
+      .select("id", "_change_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(last == Set((3L, "delete")), last.toString)
   }
 
   test("crash replay: re-running refresh after the merge committed is a no-op") {
