@@ -1593,6 +1593,48 @@ object InteropQueries {
         SELECT CAST(v AS BIGINT) AS v, ct AS _change_type,
           COUNT(*) AS n_rows,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-        FROM feed GROUP BY v, ct ORDER BY v, ct"""))
+        FROM feed GROUP BY v, ct ORDER BY v, ct""")),
+
+    // ---- q137: incremental MV maintenance over Iceberg MoR deletes ----
+    // q121's lifecycle on an ICEBERG source: before the changelog, every
+    // DELETE forced a full source rescan; now it folds as a signed row
+    // feed (inline-required mode strings pin that: the delete refresh
+    // MUST report "cdf", appends "incremental"). The oracle recomputes
+    // the final aggregate — a double-counted delete, a stale group, or a
+    // sign error breaks the hash.
+    QueryDef(
+      "q137_mv_iceberg_mor",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q137-mv").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("double").as("l_quantity"))
+        val src = graft.tables.TxTable.forIceberg(s, s"$loc/src")
+        src.create(li.filter(col("l_linenumber") <= 2))
+        val mv = s"$loc/mv"
+        def refresh(expect: String): Unit = {
+          val r = graft.tables.IncrementalView.refresh(
+            src, mv, Seq("l_returnflag"), Seq("l_quantity"))
+          require(r.mode == expect, s"expected $expect refresh, got ${r.mode}")
+        }
+        refresh("initial")
+        src.append(li.filter(col("l_linenumber") === 3))
+        refresh("incremental")
+        src.delete("l_orderkey % 10 = 0")   // MoR position deletes -> cdf fold
+        refresh("cdf")
+        src.delete("l_returnflag = 'N' AND l_orderkey % 10 = 1") // overlap-free second delete
+        refresh("cdf")
+        refresh("noop")
+        graft.tables.TxTable.forLocation(s, mv).toDF
+          .select(col("l_returnflag"), col("n_rows"),
+            col("sum_l_quantity").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_linenumber <= 3 AND l_orderkey % 10 <> 0
+          AND NOT (l_returnflag = 'N' AND l_orderkey % 10 = 1)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }
