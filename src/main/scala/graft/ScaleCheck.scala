@@ -125,11 +125,32 @@ object ScaleCheck {
       (d, p)
     }
 
+    // Iceberg changelog: consuming the derived row feed after a ~1% MoR
+    // delete — cost must track (new files + dying rows' files), i.e.
+    // the delete's footprint, not table size
+    val changelog = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-chlog").toString + "/t"
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val t = graft.tables.TxTable.forIceberg(spark, loc)
+      t.create(li)
+      t.delete("l_orderkey % 97 = 0")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val c = timed(graft.tables.IcebergLog.tableChanges(spark, loc, t.version, Some(t.version))
+        .write.format("noop").mode("overwrite").save())
+      System.err.println(f"[scalecheck] iceberg_changelog_delete $c%.2fs")
+      c
+    }
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
       "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
       "corpus_shards" -> shards, "quality_classifier" -> classifier,
       "epoch_upsampling" -> epochs,
-      "reorg_mor_delete" -> reorg._1, "reorg_purge" -> reorg._2))
+      "reorg_mor_delete" -> reorg._1, "reorg_purge" -> reorg._2,
+      "iceberg_changelog_delete" -> changelog))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -24,11 +24,14 @@ import graft.catalog.UnsupportedOperationError
   *     log): aggregate just the new rows (`changesSince`) and MERGE the
   *     per-group deltas into the view — counts and sums are
   *     self-maintainable, so `t.n + s.dn` is exact;
-  *   - a foreign Delta source with Change Data Feed enabled: the exact
-  *     row-level feed (`tableChanges`) folds with sign — inserts and
-  *     update postimages +1, deletes and preimages -1 — so DELETE /
-  *     UPDATE / MERGE on the source stay incremental too, and a group
-  *     whose count reaches zero is deleted from the view;
+  *   - a row-level feed is available — a foreign Delta source with
+  *     Change Data Feed enabled, or ANY Iceberg source (the snapshot-diff
+  *     changelog is always derivable): the exact feed (`tableChanges`)
+  *     folds with sign — inserts and update postimages +1, deletes and
+  *     preimages -1 — so DELETE / UPDATE / MERGE on the source stay
+  *     incremental too, and a group whose count reaches zero is deleted
+  *     from the view; an Iceberg history the changelog cannot derive
+  *     (overwrite, equality deletes) raises and falls back to re-sync;
   *   - anything else (a non-append commit on a CDF-less source): fall
   *     back to one full re-sync MERGE that converges the view to the
   *     freshly-computed aggregate (matched update, unmatched insert,
