@@ -594,6 +594,31 @@ object GraftSqlDml {
       }
     }
 
+  /** SHOW TBLPROPERTIES cat.s.t [('key')]: the catalog record's
+    * properties merged over the transaction log's (the log is
+    * authoritative for delta.*-style configuration; the catalog may
+    * carry extra graft.table.* diagnostics).
+    */
+  def rewriteShowTblProperties(session: ClassicSparkSession, client: LakehouseClient,
+      st: ShowTableProperties): Option[LogicalPlan] =
+    alterTarget3(client, st.table).map { parts =>
+      val Seq(cat, sch, tbl) = parts
+      GraftQueryCommand(s"SHOW TBLPROPERTIES $cat.$sch.$tbl", st.output) { () =>
+        val info = client.getTable(cat, sch, tbl)
+        val fromLog =
+          if (info.fileType == graft.catalog.FileType.DELTA ||
+              info.fileType == graft.catalog.FileType.ICEBERG)
+            client.getTxTable(cat, sch, tbl).snapshot.properties
+          else Map.empty[String, String]
+        val all = info.properties ++ fromLog
+        st.propertyKey match {
+          case Some(k) => Seq(Row(k, all.getOrElse(k,
+            s"Table ${cat}.${sch}.${tbl} does not have property: $k")))
+          case None => all.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+        }
+      }
+    }
+
   def rewriteMerge(session: ClassicSparkSession, client: LakehouseClient,
       m: MergeIntoTable): Option[LogicalPlan] =
     target3(client, m.targetTable).map { case (parts, targetAliasOpt) =>

@@ -87,6 +87,8 @@ object GraftSqlExtensions {
           GraftSqlDml.rewriteShowTables(session, client, st).getOrElse(st)
         case dr: DescribeRelation =>
           GraftSqlDml.rewriteDescribe(session, client, dr).getOrElse(dr)
+        case sp: ShowTableProperties =>
+          GraftSqlDml.rewriteShowTblProperties(session, client, sp).getOrElse(sp)
       }
       // Pass 2, bottom-up: reads and time travel
       afterDml.resolveOperatorsUp {

@@ -371,6 +371,19 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("ALTER TABLE wap1.s.d CREATE BRANCH b") }
   }
 
+  test("SHOW TBLPROPERTIES merges catalog and log properties") {
+    val client = freshTable("stp1")
+    spark.sql("ALTER TABLE stp1.s.t SET TBLPROPERTIES ('graft.autoCompact.enabled' = 'true')")
+    val all = spark.sql("SHOW TBLPROPERTIES stp1.s.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(all.get("graft.autoCompact.enabled") == Some("true"))
+    val one = spark.sql("SHOW TBLPROPERTIES stp1.s.t ('graft.autoCompact.enabled')")
+      .collect()(0)
+    assert(one.getString(1) == "true")
+    val missing = spark.sql("SHOW TBLPROPERTIES stp1.s.t ('nope')").collect()(0)
+    assert(missing.getString(1).contains("does not have property"))
+  }
+
   test("DESCRIBE DETAIL returns one metadata-only summary row") {
     val client = new LakehouseClient(spark)
     client.createCatalog("dd1")
