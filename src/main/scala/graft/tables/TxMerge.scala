@@ -105,8 +105,29 @@ final class TxMerge(
           .join(source.alias(sourceAlias), expr(condition), "inner")
           .select(col("__graft_file")).distinct()
           .collect().map(_.getString(0))
-        Some(snap.files.map(_.path)
-          .filter(rel => probe.exists(p => p.endsWith("/" + rel) || p.endsWith(rel))))
+        // Relativize the snapshot's files ONCE into a normalized-URI map —
+        // keyed through both the raw resolved string and Hadoop's
+        // URL-encoded URI form, since input_file_name() yields whichever
+        // the scan's FileSystem produced. O(F + T) instead of the previous
+        // O(F × T) endsWith scan (10⁶ files × 10⁵ touched = minutes of
+        // driver CPU), and exact matching also removes the
+        // suffix-collision false-positive (rel "1.parquet" no longer
+        // matches "other/1.parquet").
+        val byAbs: Map[String, String] = snap.files.iterator.flatMap { f =>
+          val resolved = TxLog.resolve(table.location, f.path)
+          val encoded = new org.apache.hadoop.fs.Path(resolved).toUri.toString
+          Iterator(DeletionVectors.normalizedUri(resolved) -> f.path,
+            DeletionVectors.normalizedUri(encoded) -> f.path)
+        }.toMap
+        val (hit, miss) = probe.partition(p => byAbs.contains(DeletionVectors.normalizedUri(p)))
+        val resolvedHits = hit.map(p => byAbs(DeletionVectors.normalizedUri(p)))
+        // a probe path the map can't place means our normalization missed
+        // an FS quirk — fall back to the slash-guarded suffix scan for
+        // just those paths (correctness-safe; expected empty)
+        val fallback =
+          if (miss.isEmpty) Seq.empty
+          else snap.files.map(_.path).filter(rel => miss.exists(_.endsWith("/" + rel)))
+        Some((resolvedHits ++ fallback).distinct.toSeq)
       } else None
 
     val touchedAddFiles: Seq[TxLog.AddFile] = touchedRelPaths match {

@@ -270,6 +270,44 @@ class TxTableSpec extends AnyFunSuite {
       (11L, "d", 4.0), (20L, "e", 5.0), (21L, "f", 6.0), (99L, "z", 99.0)))
   }
 
+  test("merge probe resolves touched files exactly under suffix-sharing names across directories") {
+    // Files "1.parquet" and "sub/1.parquet" share a path suffix. The old
+    // endsWith probe filter false-positived the root file into the rewrite
+    // set whenever the nested one was touched (and was O(files × touched)
+    // on the driver); the normalized-URI map must place each probe path
+    // exactly.
+    val loc = TestSpark.tmpDir("tx-suffix")
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def writeOne(rows: Seq[(Long, String)], rel: String): TxLog.AddFile = {
+      val stage = TestSpark.tmpDir("tx-suffix-stage")
+      rows.toDF("id", "str_col").repartition(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(loc, rel)
+      fs.mkdirs(dst.getParent)
+      assert(fs.rename(part, dst))
+      TxLog.AddFile(rel, Map.empty, rows.size.toLong, fs.getFileStatus(dst).getLen)
+    }
+    val f1 = writeOne(Seq((0L, "a"), (1L, "b")), "1.parquet")
+    val f2 = writeOne(Seq((10L, "c"), (11L, "d")), "sub/1.parquet")
+    val schema = Seq((0L, "a")).toDF("id", "str_col").schema
+    assert(TxLog.tryCommit(spark, loc, TxLog.Commit(0L, System.currentTimeMillis(),
+      "CREATE", schema.json, Seq.empty, Seq(f1, f2), Seq.empty, Map.empty)))
+
+    val t = new TxTable(spark, loc)
+    t.merge(Seq((10L, "C")).toDF("id", "str_col"), "s.id = t.id")
+      .whenMatchedUpdateAll().execute()
+
+    val afterPaths = t.snapshot.files.map(_.path).toSet
+    assert(afterPaths.contains("1.parquet"),
+      s"untouched suffix-sharing file must survive the merge, got $afterPaths")
+    assert(!afterPaths.contains("sub/1.parquet"),
+      s"touched file must have been rewritten, got $afterPaths")
+    assert(t.toDF.orderBy("id").collect().toSeq.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((0L, "a"), (1L, "b"), (10L, "C"), (11L, "d")))
+  }
+
   test("merge with by-source clauses rewrites the full table (no pruning possible)") {
     val loc = TestSpark.tmpDir("tx")
     val t = new TxTable(spark, loc)
