@@ -284,23 +284,29 @@ case class RepetitionStatsGen(child: Expression)
   * into ONE tokenizing pass per row: no shuffle, no per-token explode,
   * map-only at any scale. Feature hashing: token → bucket in [0, 2^20)
   * via the 31-polynomial rolling hash over its chars (overflow-free —
-  * the accumulator stays under 2^25). The weight VECTOR here is the
-  * deterministic pseudo-model w(b) = ((b·2654435761) mod 2^32) − 2^31 —
-  * integer weights make cross-engine score sums exact; a production
-  * deployment broadcasts a trained vector instead and the plumbing
-  * (hash, gather, reduce, mean) is identical. Emits one row:
+  * the accumulator stays under 2^25). Two weight sources: a TRAINED
+  * vector supplied by the caller (broadcast `Array[Float]` of 2^20
+  * entries — the form a fastText-style model exports; see
+  * `TextNativeFunctions.classifierScore(text, weights)` and the
+  * weights-from-table loader), or, with no vector given, the
+  * deterministic zero-config pseudo-model
+  * w(b) = ((b·2654435761) mod 2^32) − 2^31 — integer weights make
+  * cross-engine score sums exact. Emits one row:
   * (n_tokens, raw_score = Σ w(bucket(tok)), score = raw/n, keep = raw>0).
   */
-case class ClassifierScoreGen(child: Expression)
+case class ClassifierScoreGen(child: Expression,
+    weights: Option[org.apache.spark.broadcast.Broadcast[Array[Float]]] = None)
     extends UnaryExpression with CollectionGenerator with CodegenFallback {
 
   override def position: Boolean = false
   override def inline: Boolean = false
   override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
 
+  // trained path scores with floats → raw is a DOUBLE; the zero-config
+  // pseudo-model keeps its integer LONG raw (engine-exact by construction)
   override def elementSchema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
-    StructField("raw_score", LongType, nullable = false),
+    StructField("raw_score", if (weights.isDefined) DoubleType else LongType, nullable = false),
     StructField("score", DoubleType, nullable = false),
     StructField("keep", BooleanType, nullable = false)))
 
@@ -308,23 +314,49 @@ case class ClassifierScoreGen(child: Expression)
     val v = child.eval(input)
     val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
     val toks = TokenizeUtil.tokens(text)
-    var raw = 0L
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      var h = 0L
-      var j = 0
-      while (j < t.length) { h = (h * 31L + t.charAt(j).toLong) % 1048576L; j += 1 }
-      raw += ((h * 2654435761L) % 4294967296L) - 2147483648L
-      i += 1
-    }
     val n = toks.length.toLong
-    val score = if (n == 0) 0.0 else raw.toDouble / n.toDouble
-    Iterator.single(InternalRow(n, raw, score, raw > 0L))
+    weights match {
+      case Some(bc) =>
+        val w = bc.value
+        require(w.length == ClassifierScoreGen.NumBuckets,
+          s"classifier weight vector must have ${ClassifierScoreGen.NumBuckets} entries, got ${w.length}")
+        var raw = 0.0
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          var h = 0L
+          var j = 0
+          while (j < t.length) { h = (h * 31L + t.charAt(j).toLong) % 1048576L; j += 1 }
+          raw += w(h.toInt)
+          i += 1
+        }
+        val score = if (n == 0) 0.0 else raw / n.toDouble
+        Iterator.single(InternalRow(n, raw, score, raw > 0.0))
+      case None =>
+        var raw = 0L
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          var h = 0L
+          var j = 0
+          while (j < t.length) { h = (h * 31L + t.charAt(j).toLong) % 1048576L; j += 1 }
+          raw += ((h * 2654435761L) % 4294967296L) - 2147483648L
+          i += 1
+        }
+        val score = if (n == 0) 0.0 else raw.toDouble / n.toDouble
+        Iterator.single(InternalRow(n, raw, score, raw > 0L))
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "classifier_score"
+}
+
+object ClassifierScoreGen {
+  /** Feature-hash bucket count (2^20) — fixed so a weight vector and the
+    * scorer can never disagree on dimensionality.
+    */
+  val NumBuckets: Int = 1048576
 }
 
 object TextNativeFunctions {
@@ -347,4 +379,40 @@ object TextNativeFunctions {
 
   def classifierScore(text: Column): Column =
     toCol(ClassifierScoreGen(toExpr(text)))
+
+  /** Score with a TRAINED weight vector (fastText-shape export): one
+    * float per feature-hash bucket, broadcast once and gathered map-side —
+    * the expression ships only the broadcast handle, so a 4 MB model costs
+    * one torrent fetch per executor, not one copy per task.
+    */
+  def classifierScore(text: Column,
+      weights: org.apache.spark.broadcast.Broadcast[Array[Float]]): Column =
+    toCol(ClassifierScoreGen(toExpr(text), Some(weights)))
+
+  /** Convenience overload: broadcasts the vector through the active session. */
+  def classifierScore(text: Column, weights: Array[Float]): Column = {
+    require(weights.length == ClassifierScoreGen.NumBuckets,
+      s"classifier weight vector must have ${ClassifierScoreGen.NumBuckets} entries, got ${weights.length}")
+    classifierScore(text,
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(weights))
+  }
+
+  /** Load a (bucket, weight) table — the on-disk form a training job
+    * writes — into the dense 2^20-float vector the scorer gathers from.
+    * Sparse: absent buckets weigh 0. The collect is model-sized (≤ 2^20
+    * rows ≈ 4 MB), never corpus-sized.
+    */
+  def classifierWeightsFromTable(df: org.apache.spark.sql.DataFrame,
+      bucketCol: String = "bucket", weightCol: String = "weight"): Array[Float] = {
+    val w = new Array[Float](ClassifierScoreGen.NumBuckets)
+    df.select(org.apache.spark.sql.functions.col(bucketCol).cast("int"),
+        org.apache.spark.sql.functions.col(weightCol).cast("float"))
+      .collect().foreach { r =>
+        val b = r.getInt(0)
+        require(b >= 0 && b < ClassifierScoreGen.NumBuckets,
+          s"classifier weight bucket $b outside [0, ${ClassifierScoreGen.NumBuckets})")
+        w(b) = r.getFloat(1)
+      }
+    w
+  }
 }

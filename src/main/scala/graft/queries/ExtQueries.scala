@@ -62,14 +62,51 @@ object ExtQueries {
       }),
 
     // ---- winnowing fingerprints ----
+    // Oracle-anchored via the winnowing GUARANTEES (Schleimer et al.,
+    // SIGMOD'03) rather than the raw hash values DuckDB can't replay:
+    // (1) planted exact-copy rows produce identical fingerprint SETS;
+    // (2) any two docs sharing a token run of length >= w+k-1 = 6 (the
+    //     guarantee threshold) share >= 1 fingerprint — probed with a
+    //     per-doc constructed neighbor: the doc's 6-token prefix plus
+    //     unique salt tokens;
+    // (3) a doc built from salt tokens alone (disjoint shingles) shares
+    //     none (64-bit xxhash collisions are beyond fixture scale).
+    // Every boolean is TRUE by the theorems, so the oracle is exact and
+    // a winnowing bug (wrong window walk, positional instead of value
+    // dedup, hash drift) flips a concrete row.
     QueryDef(
       "q45_fingerprint",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
-        d.select(col("doc_id"),
-          size(TextOps.fingerprint(col("text"))).cast(LongType).as("n_fingerprints"))
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val planted = d.unionAll(d.withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        val fps = planted.select(col("doc_id"),
+          sort_array(TextOps.fingerprint(col("text"))).as("fp"))
+        val copyPairs = fps.filter(col("doc_id") < 10000000L).alias("a")
+          .join(fps.filter(col("doc_id") >= 10000000L).alias("b"),
+            col("b.doc_id") === col("a.doc_id") + lit(10000000L))
+          .select(col("a.doc_id").as("doc_id"),
+            (col("a.fp") === col("b.fp")).as("copy_identical"))
+        val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9']+"), lit(0))
+        val salts = array((0 until 8).map(i =>
+          concat(lit("zq"), col("doc_id").cast(StringType), lit(s"s$i"))): _*)
+        val probes = d
+          .select(col("doc_id"), size(toks).as("n_toks"),
+            TextOps.fingerprint(col("text")).as("fp_a"),
+            TextOps.fingerprint(array_join(concat(slice(toks, 1, 6), salts), " ")).as("fp_b"),
+            TextOps.fingerprint(array_join(salts, " ")).as("fp_c"))
+          .select(col("doc_id"),
+            when(col("n_toks") >= 6,
+              size(array_intersect(col("fp_a"), col("fp_b"))) >= 1)
+              .otherwise(lit(true)).as("shares_window"),
+            (size(array_intersect(col("fp_a"), col("fp_c"))) === 0).as("disjoint_none"),
+            (size(col("fp_a")) >= 1).as("has_fingerprints"))
+        copyPairs.join(probes, Seq("doc_id"))
+          .select(col("doc_id"), col("copy_identical"), col("shares_window"),
+            col("disjoint_none"), col("has_fingerprints"))
       },
-      None),
+      Some("""SELECT doc_id, TRUE AS copy_identical, TRUE AS shares_window,
+          TRUE AS disjoint_none, TRUE AS has_fingerprints
+        FROM documents ORDER BY doc_id""")),
 
     // ---- MinHash LSH near-dup on corpus + planted duplicates ----
     // Oracle-anchored recall: every document is planted an exact copy

@@ -522,6 +522,48 @@ object TextQueries {
         SELECT doc_id, n_tokens, raw_score,
           CAST(raw_score AS DOUBLE) / n_tokens AS score,
           raw_score > 0 AS keep
+        FROM sc ORDER BY doc_id""")),
+
+    // ---- classifier with a USER-SUPPLIED (trained) weight vector ----
+    // The form a real deployment runs: a fastText-style training job
+    // exports one float per feature-hash bucket, the vector is broadcast
+    // once, and scoring gathers from it map-side. The fixture vector is a
+    // deterministic LCG draw quantized to the 2^-10 grid — every weight is
+    // exact in float AND double, so the dot product is a sum of 2^-10
+    // multiples bounded far below 2^52: bit-exact in any summation order,
+    // which is what lets DuckDB replay it for the hash check.
+    QueryDef(
+      "q138_classifier_trained_weights",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val w = Array.tabulate(graft.functions.ClassifierScoreGen.NumBuckets)(b =>
+          (((b.toLong * 1664525L + 1013904223L) % 4096L) - 2048L).toFloat / 1024.0f)
+        d.select(col("doc_id"),
+            graft.functions.TextNativeFunctions.classifierScore(col("text"), w)
+              .as(Seq("n_tokens", "raw_score", "score", "keep")))
+          .filter(col("n_tokens") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+          FROM documents
+        ),
+        hb AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+              (acc, x) -> (acc * 31 + x) % 1048576) AS b
+          FROM w
+        ),
+        sc AS (
+          SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            SUM(CAST((b * 1664525 + 1013904223) % 4096 - 2048 AS DOUBLE) / 1024.0) AS raw_score
+          FROM hb GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, raw_score,
+          raw_score / n_tokens AS score,
+          raw_score > 0 AS keep
         FROM sc ORDER BY doc_id"""))
   )
 
