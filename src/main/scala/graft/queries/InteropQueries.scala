@@ -1624,6 +1624,13 @@ object InteropQueries {
         refresh("cdf")
         src.delete("l_returnflag = 'N' AND l_orderkey % 10 = 1") // overlap-free second delete
         refresh("cdf")
+        // an EQUALITY delete (the Flink-upsert shape) is also derivable:
+        // the refresh must stay on the cdf path, not fall back to re-sync
+        graft.tables.IcebergWriter.equalityDelete(s, s"$loc/src", Seq("l_orderkey"),
+          li.filter(col("l_linenumber") <= 3)
+            .filter(col("l_orderkey") % 10 === 2)
+            .select(col("l_orderkey")).distinct())
+        refresh("cdf")
         refresh("noop")
         graft.tables.TxTable.forLocation(s, mv).toDF
           .select(col("l_returnflag"), col("n_rows"),
@@ -1635,6 +1642,58 @@ object InteropQueries {
         FROM lineitem
         WHERE l_linenumber <= 3 AND l_orderkey % 10 <> 0
           AND NOT (l_returnflag = 'N' AND l_orderkey % 10 = 1)
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+          AND l_orderkey % 10 <> 2
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q139: changelog over a Flink-upsert-shaped Iceberg history ----
+    // Streaming upsert engines commit EQUALITY deletes (content=2):
+    // O(keys) delete files, no data rewrite. Their row delta IS
+    // derivable — the previous live state semi-joined on the delete's
+    // key columns under the spec's strictly-smaller-sequence rule. The
+    // history pins the two subtle cases: a key re-inserted AFTER its
+    // delete survives (higher data sequence), and a second delete of the
+    // same key kills ONLY the re-inserted row (the first victim is
+    // already dead in the previous state).
+    QueryDef(
+      "q139_iceberg_upsert_changelog",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q139-upsert").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        val l1 = li.filter(col("l_linenumber") === 1)
+        val l2 = li.filter(col("l_linenumber") === 2 && col("l_orderkey") % 7 === 0)
+        val t = graft.tables.TxTable.forIceberg(s, loc)
+        t.create(l1)                                                     // v1: inserts
+        graft.tables.IcebergWriter.equalityDelete(s, loc, Seq("l_orderkey"),
+          l1.filter(col("l_orderkey") % 7 === 0).select("l_orderkey").distinct()) // v2
+        t.append(l2)                                                     // v3: re-inserts survive
+        graft.tables.IcebergWriter.equalityDelete(s, loc, Seq("l_orderkey"),
+          li.filter(col("l_orderkey") % 14 === 0).select("l_orderkey").distinct()) // v4
+        graft.tables.IcebergLog.tableChanges(s, loc, 1L)
+          .groupBy(col("_commit_version").as("v"), col("_change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .orderBy(col("v"), col("_change_type"))
+      },
+      Some("""WITH l1 AS (
+          SELECT l_orderkey, l_quantity FROM lineitem WHERE l_linenumber = 1
+        ),
+        l2 AS (
+          SELECT l_orderkey, l_quantity FROM lineitem
+          WHERE l_linenumber = 2 AND l_orderkey % 7 = 0
+        ),
+        feed AS (
+          SELECT 1 AS v, 'insert' AS ct, l_quantity FROM l1
+          UNION ALL
+          SELECT 2, 'delete', l_quantity FROM l1 WHERE l_orderkey % 7 = 0
+          UNION ALL
+          SELECT 3, 'insert', l_quantity FROM l2
+          UNION ALL
+          SELECT 4, 'delete', l_quantity FROM l2 WHERE l_orderkey % 14 = 0
+        )
+        SELECT CAST(v AS BIGINT) AS v, ct AS _change_type,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM feed GROUP BY v, ct ORDER BY v, ct"""))
   )
 }

@@ -466,24 +466,33 @@ private[graft] object IcebergCommitLog extends CommitLog {
     */
   private def attachDeletes(spark: SparkSession,
       st: IcebergLog.IceState): Seq[AddFile] = {
-    // equality deletes (content=2) are key-matched, not position-matched —
-    // they cannot be folded into per-file bitmaps without a table scan, so
-    // the TxTable surface refuses them; IcebergLog.toDF/scan apply them
-    // correctly on the direct read path
-    if (st.deletes.exists(_.content == 2))
-      throw graft.catalog.UnsupportedOperationError(
-        "iceberg: table has live equality deletes; read it via IcebergLog.toDF/scan, " +
-          "or compact (apply equality deletes) before writing through TxTable")
     if (st.deletes.isEmpty) return st.files
     // bitmaps build on EXECUTORS (one shuffle keyed by data-file path);
     // the driver sees only one serialized bitmap per touched file —
     // O(files), not O(deleted rows), so a table with billions of deleted
-    // positions folds without driver-memory pressure
+    // positions folds without driver-memory pressure.
+    // Equality deletes (content=2, the Flink-upsert shape) are
+    // key-matched, not position-matched: ONE sequence-scoped scan
+    // locates each victim's (file, position), and those entries union
+    // into the same bitmaps — so the whole TxTable surface (reads,
+    // MERGE, version) treats both delete shapes uniformly. The scan
+    // runs per snapshot() call while equality deletes are live; REORG
+    // or compaction retires them.
     import spark.implicits._
-    val byFile: Map[String, Array[Byte]] =
-      spark.read.parquet(st.deletes.map(_.path): _*)
+    val posDel = st.deletes.filter(_.content == 1)
+    val eqDel = st.deletes.filter(_.content == 2)
+    val posEntries =
+      if (posDel.isEmpty) None
+      else Some(spark.read.parquet(posDel.map(_.path): _*)
         .select(org.apache.spark.sql.functions.col("file_path").cast("string"),
           org.apache.spark.sql.functions.col("pos").cast("long"))
+        .toDF("file_path", "pos"))
+    val eqEntries =
+      if (eqDel.isEmpty) None
+      else Some(IcebergLog.equalityVictimPositions(spark, st)
+        .toDF("file_path", "pos"))
+    val byFile: Map[String, Array[Byte]] =
+      (posEntries.toSeq ++ eqEntries.toSeq).reduce(_ unionByName _)
         .as[(String, Long)]
         .groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
         .mapGroups { (p, it) =>

@@ -41,10 +41,11 @@ import graft.catalog.UnsupportedOperationError
   *     (content=2) are read AND written: key-matched files applied with
   *     the spec's strictly-smaller-sequence rule (per-file data
   *     sequence numbers tracked in IceState.dataSeq), so later
-  *     re-inserts of a deleted key survive. The TxTable WRITE surface
-  *     still refuses tables with live equality deletes (they cannot be
-  *     folded into per-file bitmaps without a table scan) — read those
-  *     via toDF/scan or compact first.
+  *     re-inserts of a deleted key survive. The TxTable surface folds
+  *     live equality deletes into the same per-file position bitmaps
+  *     position deletes use — one sequence-scoped victim-locating scan
+  *     per snapshot() (equalityVictimPositions); compaction retires the
+  *     cost.
   *
   * Scale posture mirrors DeltaLog: snapshot state is file metadata only;
   * the data read is a manifest-planned distributed parquet scan (no
@@ -727,6 +728,7 @@ object IcebergLog {
 
   private def stateFromMeta(spark: SparkSession, location: String, meta: JValue,
       metaVersion: Long, asOfSnapshotId: Option[Long]): IceState = {
+    stateDerivations.set(stateDerivations.get + 1L)
     val schema = currentSchema(meta)
     val parts = identityPartCols(meta).filter(schema.fieldNames.contains)
     val tf = transformFieldsOf(meta).filter { case (_, _, src) => schema.fieldNames.contains(src) }
@@ -842,15 +844,30 @@ object IcebergLog {
     *   - replace snapshots (compaction/REORG) and metadata-only commits
     *     (refs, properties, branch stages) → nothing, byte/metadata
     *     rearrangement is not change;
-    *   - delete snapshots → the NEW position-delete files' (path, pos)
+    *   - delete snapshots, position deletes → the NEW (path, pos)
     *     entries joined back to their data rows — read as of the
     *     PREVIOUS deletes (a row can only die once), so re-deletes of
     *     already-dead positions never surface;
-    *   - overwrite snapshots and new EQUALITY deletes raise
-    *     UnsupportedOperationError — their row delta is not recoverable
-    *     from file diffs alone; consumers fall back to a re-sync.
+    *   - delete snapshots, EQUALITY deletes (the Flink-upsert shape) →
+    *     the dying rows are the previous live state semi-joined on each
+    *     delete file's `equality_ids` columns under the spec's
+    *     strictly-smaller-sequence rule — the same match the reader's
+    *     anti-join applies, flipped;
+    *   - overwrite snapshots raise UnsupportedOperationError — their row
+    *     delta is not recoverable from file diffs alone; consumers fall
+    *     back to a re-sync.
     * Incremental consumers (materialized views) fold this as a signed
     * row feed, making MoR DELETEs incremental on Iceberg sources too.
+    *
+    * Scale shape: ONE state reconstruction per version — each
+    * iteration's state carries forward as the next iteration's previous
+    * state (metadata-only commits refresh schema/spec from the single
+    * JSON document without re-walking manifests). Plan size is bounded:
+    * beyond [[ChangelogUnionFanoutMax]] append commits, the per-commit
+    * literal-tagged branches collapse into ONE scan of every appended
+    * file plus a broadcast (file path → version, timestamp) lookup —
+    * the same hybrid CommitLog.PartitionLookup uses for clone reads, so
+    * a 1,000-commit feed costs one plan, not 1,000 branches.
     */
   def tableChanges(spark: SparkSession, location: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
@@ -869,65 +886,106 @@ object IcebergLog {
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp",
           lit(new java.sql.Timestamp(tsMs)).cast(org.apache.spark.sql.types.TimestampType))
-    val frames = (math.max(1L, fromVersion) to to).flatMap { v =>
+    val start = math.max(1L, fromVersion)
+    // previous-version state, threaded through the loop — v1 is the
+    // create commit (no previous document → empty table ≡ None)
+    var stPrev: Option[IceState] =
+      if (start <= 1) None else Some(stateAt(spark, location, Some(start - 1)))
+    val appendGroups =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[TxLog.AddFile], IceState)]
+    val deleteFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (start to to).foreach { v =>
       val meta = metaAt(spark, location, v)
       val curId = (meta \ "current-snapshot-id").extractOpt[Long].filter(_ != -1L)
-      val prevId =
-        if (v == 1) None
-        else (metaAt(spark, location, v - 1) \ "current-snapshot-id")
-          .extractOpt[Long].filter(_ != -1L)
-      if (curId == prevId) None // metadata-only (refs/props/branch stage)
-      else {
+      val prevId = stPrev.flatMap(_.snapshotId)
+      if (curId == prevId) {
+        // metadata-only (refs/props/branch stage/column DDL): same
+        // snapshot, so files/deletes/sequences are unchanged — refresh
+        // only the schema-bearing fields from the one-JSON-read document
+        stPrev = stPrev.map { p =>
+          val schema = currentSchema(meta)
+          p.copy(meta = meta, metadataVersion = v, schema = schema,
+            partitionColumns = identityPartCols(meta).filter(schema.fieldNames.contains),
+            transformFields = transformFieldsOf(meta).filter {
+              case (_, _, src) => schema.fieldNames.contains(src)
+            })
+        }
+      } else {
         val tsMs = snapshots(meta).find(s => curId.contains(s.snapshotId))
           .map(_.timestampMs).getOrElse(0L)
         val st = stateAt(spark, location, Some(v))
-        // v1 is the create commit: there is no v0 document; the previous
-        // state is the empty table
-        def stPrev = stateAt(spark, location, Some(v - 1))
+        val prevFiles = stPrev.map(_.files).getOrElse(Seq.empty)
+        val prevDeletes = stPrev.map(_.deletes).getOrElse(Seq.empty)
         currentOperation(meta) match {
-          case "replace" => None
+          case "replace" => // compaction/REORG: no row-level change
           case "append" =>
-            val prevPaths =
-              if (v == 1) Set.empty[String] else stPrev.files.map(_.path).toSet
+            val prevPaths = prevFiles.map(_.path).toSet
             val added = st.files.filterNot(f => prevPaths.contains(f.path))
-            if (added.isEmpty) None
-            else Some(tag(dfFor(spark, st.copy(files = added, deletes = Seq.empty)),
-              "insert", v, tsMs))
+            if (added.nonEmpty) appendGroups += ((v, tsMs, added, st))
           case "delete" =>
-            val prevDel = stPrev.deletes.map(_.path).toSet
+            val prevDel = prevDeletes.map(_.path).toSet
             val newDel = st.deletes.filterNot(d => prevDel.contains(d.path))
-            if (newDel.exists(_.content == 2))
-              throw graft.catalog.UnsupportedOperationError(
-                s"iceberg changelog: version $v wrote equality deletes; " +
-                  "their row delta needs a re-sync")
-            if (newDel.isEmpty) None
-            else {
+            val posDel = newDel.filter(_.content == 1)
+            val eqDel = newDel.filter(_.content == 2)
+            if (posDel.nonEmpty && stPrev.isDefined) {
+              val prev = stPrev.get
               // the dying rows: new (path, pos) entries joined to their
               // data files read under the PREVIOUS deletes only
-              val entries = spark.read.parquet(newDel.map(_.path): _*)
+              val entries = spark.read.parquet(posDel.map(_.path): _*)
                 .select(toCol(NormalizedPath(toExpr(col("file_path")))).as("__np"),
                   col("pos").cast("long").as("__pos"))
               val touched = entries.select("__np").distinct()
                 .collect().map(_.getString(0)).toSet
-              val dataFiles = stPrev.files.filter(f =>
+              val dataFiles = prev.files.filter(f =>
                 touched.contains(DeletionVectors.normalizedUri(f.path)))
               val base = dfFor(spark,
-                stPrev.copy(files = dataFiles), withMeta = true)
+                prev.copy(files = dataFiles), withMeta = true)
                 .withColumn("__np",
                   toCol(NormalizedPath(toExpr(col(DeltaLog.FileMetaCol)))))
                 .withColumnRenamed(DeltaLog.RowMetaCol, "__pos")
               // plain equi-join (AQE broadcasts small delete deltas on
               // its own; forcing broadcast would OOM on a mass delete)
-              Some(tag(base.join(entries, Seq("__np", "__pos"))
-                .drop("__np", "__pos", DeltaLog.FileMetaCol), "delete", v, tsMs))
+              deleteFrames += tag(base.join(entries, Seq("__np", "__pos"))
+                .drop("__np", "__pos", DeltaLog.FileMetaCol), "delete", v, tsMs)
             }
+            if (eqDel.nonEmpty && stPrev.isDefined)
+              deleteFrames += tag(equalityDying(spark, stPrev.get, eqDel),
+                "delete", v, tsMs)
           case other =>
             throw graft.catalog.UnsupportedOperationError(
               s"iceberg changelog: unsupported operation '$other' at version $v " +
                 "(overwrite histories need a re-sync)")
         }
+        stPrev = Some(st)
       }
     }
+    val appendFrames: Seq[DataFrame] =
+      if (appendGroups.size <= ChangelogUnionFanoutMax)
+        // few commits: literal version/timestamp columns per branch keep
+        // everything constant-foldable
+        appendGroups.toSeq.map { case (v, tsMs, added, st) =>
+          tag(dfFor(spark, st.copy(files = added, deletes = Seq.empty)),
+            "insert", v, tsMs)
+        }
+      else {
+        // many commits: one field-id-resolved scan of every appended file
+        // at the `to` schema + a broadcast path→(version, ts) lookup
+        val lookupRows = appendGroups.toSeq.flatMap { case (v, tsMs, added, _) =>
+          added.map(f => (DeletionVectors.normalizedUri(f.path), v,
+            new java.sql.Timestamp(tsMs)))
+        }
+        val lookup = spark.createDataFrame(lookupRows)
+          .toDF("__np", "_commit_version", "_commit_timestamp")
+        val allAdded = appendGroups.toSeq.flatMap(_._3)
+        val scan = dfFor(spark,
+            outState.copy(files = allAdded, deletes = Seq.empty), withMeta = true)
+          .withColumn("__np", toCol(NormalizedPath(toExpr(col(DeltaLog.FileMetaCol)))))
+        Seq(scan.join(broadcast(lookup), Seq("__np"))
+          .select(outFields.map(f => col(f.name)) ++ Seq(
+            lit("insert").as(DeltaCdf.ChangeTypeCol),
+            col("_commit_version"), col("_commit_timestamp")): _*))
+      }
+    val frames = appendFrames ++ deleteFrames
     frames.reduceOption(_ unionByName _).getOrElse {
       val schema = org.apache.spark.sql.types.StructType(outFields ++ Seq(
         org.apache.spark.sql.types.StructField(DeltaCdf.ChangeTypeCol, StringType),
@@ -1056,6 +1114,98 @@ object IcebergLog {
     import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
     df.filter(toCol(DvIsRowLive(
       toExpr(col(DeltaLog.FileMetaCol)), toExpr(col(DeltaLog.RowMetaCol)), bc)))
+  }
+
+  /** Append-commit branch cap for tableChanges plans — beyond this many
+    * append commits the per-commit literal branches collapse into one
+    * scan + broadcast lookup (mirrors CommitLog.PartitionLookup's
+    * UnionFanoutMax for clone reads).
+    */
+  private[tables] val ChangelogUnionFanoutMax = 32
+
+  /** Test-visible count of full state reconstructions (manifest-list +
+    * manifest traversals) — pins tableChanges' one-derivation-per-version
+    * contract. Thread-local so concurrently running suites can't skew a
+    * measurement (state derivation is always a driver-thread-synchronous
+    * call).
+    */
+  private[tables] val stateDerivations: ThreadLocal[java.lang.Long] =
+    ThreadLocal.withInitial(() => java.lang.Long.valueOf(0L))
+
+  /** (normalized data-file path, row position) of every row the state's
+    * LIVE equality-delete files kill — located by ONE sequence-scoped
+    * scan (the same match the reader's anti-join applies). Lets the
+    * TxTable surface fold equality deletes into the per-file position
+    * bitmaps it already uses for position deletes, so reads/MERGE/version
+    * work uniformly over Flink-upsert-shaped tables. Rows also covered by
+    * a position delete may appear (they union into the same bitmap).
+    */
+  private[tables] def equalityVictimPositions(spark: SparkSession,
+      st: IceState): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val eqDel = st.deletes.filter(_.content == 2)
+    val byId = topFields(st.meta).map { case (id, n, _) => id -> n }.toMap
+    val metaSel = Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
+      col("_metadata.row_index").as(DeltaLog.RowMetaCol))
+    val base = readData(spark, st.meta, st.schema, st.files, metaSel)
+    val seqRows = st.files.map(a =>
+      (DeletionVectors.normalizedUri(a.path), st.dataSeq.getOrElse(a.path, 0L)))
+    val seqDf = spark.createDataFrame(seqRows).toDF("__np", "__dataseq")
+    val withSeq = base
+      .withColumn("__np", toCol(NormalizedPath(toExpr(col(DeltaLog.FileMetaCol)))))
+      .join(broadcast(seqDf), Seq("__np"), "left")
+    eqDel.groupBy(_.equalityIds).map { case (ids, files) =>
+      val cols = ids.map(id => byId.getOrElse(id, throw UnsupportedOperationError(
+        s"iceberg: equality_ids $ids reference unknown field id $id")))
+      val delRows = files.map { d =>
+        spark.read.parquet(d.path)
+          .select(cols.map(col).toIndexedSeq: _*)
+          .withColumn("__delseq", lit(d.seq))
+      }.reduce(_ unionByName _)
+      val renamed = cols.foldLeft(delRows)((acc, c) =>
+        acc.withColumnRenamed(c, s"__eq_$c"))
+      val cond = cols.map(c => withSeq(c) <=> renamed(s"__eq_$c"))
+        .reduce(_ && _) && withSeq("__dataseq") < renamed("__delseq")
+      withSeq.join(broadcast(renamed), cond, "left_semi")
+    }.reduce(_ unionByName _)
+      .select(col("__np"), col(DeltaLog.RowMetaCol).as("__pos"))
+      .distinct()
+  }
+
+  /** Rows of `stPrev`'s live state KILLED by the given new
+    * equality-delete files — the reader's sequence-scoped anti-join
+    * (applyEqualityDeletes) flipped to a semi-join, deduplicated by
+    * (file, pos) so a row matching several delete groups dies exactly
+    * once. Delete rows are O(deleted keys), so each group broadcasts.
+    */
+  private def equalityDying(spark: SparkSession, stPrev: IceState,
+      eqDel: Seq[IceFile]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val byId = topFields(stPrev.meta).map { case (id, n, _) => id -> n }.toMap
+    val seqRows = stPrev.files.map(a =>
+      (DeletionVectors.normalizedUri(a.path), stPrev.dataSeq.getOrElse(a.path, 0L)))
+    val seqDf = spark.createDataFrame(seqRows).toDF("__np", "__dataseq")
+    val live = dfFor(spark, stPrev, withMeta = true)
+      .withColumn("__np", toCol(NormalizedPath(toExpr(col(DeltaLog.FileMetaCol)))))
+      .join(broadcast(seqDf), Seq("__np"), "left")
+    val dying = eqDel.groupBy(_.equalityIds).map { case (ids, files) =>
+      val cols = ids.map(id => byId.getOrElse(id, throw UnsupportedOperationError(
+        s"iceberg changelog: equality_ids $ids reference unknown field id $id")))
+      val delRows = files.map { d =>
+        spark.read.parquet(d.path)
+          .select(cols.map(col).toIndexedSeq: _*)
+          .withColumn("__delseq", lit(d.seq))
+      }.reduce(_ unionByName _)
+      val renamed = cols.foldLeft(delRows)((acc, c) =>
+        acc.withColumnRenamed(c, s"__eq_$c"))
+      val cond = cols.map(c => live(c) <=> renamed(s"__eq_$c"))
+        .reduce(_ && _) && live("__dataseq") < renamed("__delseq")
+      live.join(broadcast(renamed), cond, "left_semi")
+    }.reduce(_ unionByName _)
+    dying.dropDuplicates(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
+      .drop("__np", "__dataseq", DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
   }
 
   /** Merge-on-read EQUALITY deletes (content=2 — the shape streaming

@@ -260,11 +260,13 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergLog.toDF(spark, loc).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
 
-    // the TxTable write surface refuses until deletes are compacted —
-    // key-matched deletes cannot be folded into per-file position bitmaps
-    intercept[UnsupportedOperationError] {
-      TxTable.forIceberg(spark, loc).snapshot
-    }
+    // the TxTable surface folds live equality deletes into per-file
+    // position bitmaps (one victim-locating scan per snapshot), so reads
+    // through it agree with the direct IcebergLog path
+    val t = TxTable.forIceberg(spark, loc)
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(t.snapshot.files.flatMap(_.deletionVector).map(_.cardinality).sum >= 3L)
   }
 
   test("identity-partitioned create/append: full rows in data files, manifest pruning") {

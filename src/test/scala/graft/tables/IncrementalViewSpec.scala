@@ -108,6 +108,11 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "cdf")
     assert(rowsOf(TxTable.forLocation(spark, viewLoc)) ==
       Set(("a", 2L, 3.0), ("c", 1L, 7.0)))
+    // an EQUALITY delete (the Flink-upsert shape) IS derivable — the
+    // refresh stays on the cdf path, no source rescan
+    IcebergWriter.equalityDelete(spark, srcLoc, Seq("k"), Seq("a").toDF("k"))
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "cdf")
+    assert(rowsOf(TxTable.forLocation(spark, viewLoc)) == Set(("c", 1L, 7.0)))
     // an OVERWRITE is not derivable from file diffs: the changelog
     // raises and refresh falls back to one full re-sync
     src.overwrite(Seq(("z", 1.0), ("z", 2.0)).toDF("k", "v"))
@@ -141,6 +146,58 @@ class IncrementalViewSpec extends AnyFunSuite {
     val last = IcebergLog.tableChanges(spark, loc, t.version, Some(t.version))
       .select("id", "_change_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(last == Set((3L, "delete")), last.toString)
+  }
+
+  test("iceberg changelog derives equality-delete row deltas under the sequence rule") {
+    val loc = TestSpark.tmpDir("ice-eqdel") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))        // v1
+    // v2: equality delete on id — kills id=2; id=9 matches nothing
+    IcebergWriter.equalityDelete(spark, loc, Seq("id"), Seq(2L, 9L).toDF("id"))
+    // v3: re-insert id=2 AFTER the delete — higher data sequence, so the
+    // spec's strictly-smaller rule keeps it alive
+    t.append(Seq((2L, "b2")).toDF("id", "s"))
+    val ch = IcebergLog.tableChanges(spark, loc, 1L)
+      .select("id", "s", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(ch == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L), (3L, "c", "insert", 1L),
+      (2L, "b", "delete", 2L),
+      (2L, "b2", "insert", 3L)), ch.toString)
+    // a SECOND equality delete on the same key kills only the re-inserted
+    // row — the first victim is already dead in the previous state
+    IcebergWriter.equalityDelete(spark, loc, Seq("id"), Seq(2L).toDF("id"))  // v4
+    val last = IcebergLog.tableChanges(spark, loc, t.version, Some(t.version))
+      .select("id", "s", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(last == Set((2L, "b2", "delete")), last.toString)
+    // the feed folds to the readable state
+    assert(t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (3L, "c")))
+  }
+
+  test("changelog over 50 commits: one state derivation per version, bounded plan") {
+    val loc = TestSpark.tmpDir("ice-manyv") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(Seq((0L, 0L)).toDF("id", "v"))
+    (1 until 50).foreach(i => t.append(Seq((i.toLong, i.toLong)).toDF("id", "v")))
+    val top = t.version
+    IcebergLog.stateDerivations.set(0L)
+    val ch = IcebergLog.tableChanges(spark, loc, 1L)
+    val derivs: Long = IcebergLog.stateDerivations.get
+    // one stateAt per data version + the `to` state; the r9 shape paid
+    // TWO full manifest traversals per version
+    assert(derivs <= top + 2,
+      s"$derivs state derivations for a $top-version history")
+    // bounded plan: the 50 append commits collapse into ONE scan plus a
+    // broadcast path→version lookup, not 50 union branches
+    val scans = ch.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 2, s"expected a collapsed scan, got ${scans.size}")
+    val rows = ch.select("id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == (0 until 50).map(i => (i.toLong, i.toLong + 1L)).toSet)
   }
 
   test("crash replay: re-running refresh after the merge committed is a no-op") {
