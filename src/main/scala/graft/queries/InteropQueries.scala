@@ -1694,6 +1694,41 @@ object InteropQueries {
         SELECT CAST(v AS BIGINT) AS v, ct AS _change_type,
           COUNT(*) AS n_rows,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-        FROM feed GROUP BY v, ct ORDER BY v, ct"""))
+        FROM feed GROUP BY v, ct ORDER BY v, ct""")),
+
+    // ---- q140: DESCRIBE DETAIL + VACUUM DRY RUN, oracle-anchored ----
+    // The storage-audit pair: DESCRIBE DETAIL's file/row/size counters
+    // come straight from the log (zero data read), and VACUUM DRY RUN
+    // lists what reclamation WOULD delete without touching anything. The
+    // fixture makes both deterministic: an explicit repartition pins the
+    // live file count, an overwrite strands a known number of stale
+    // files, and the oracle recomputes the row counts from the source —
+    // the dry run deleting anything would break rows_after_dry_run.
+    QueryDef(
+      "q140_detail_vacuum_audit",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q140cat")
+        client.createSchema("q140cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q140-detail").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        client.createAsTable(li.repartition(4), "q140cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$loc/t")                     // v0: 4 files
+        val t = new graft.tables.TxTable(s, s"$loc/t")
+        t.overwrite(li.filter(col("l_quantity") <= 25).repartition(3)) // v1: 3 live, 4 stale
+        val candidates = t.vacuumDryRun(retainVersions = 1, retentionMs = 0L, force = true)
+        val after = t.toDF.count()
+        s.sql("DESCRIBE DETAIL q140cat.s.t")
+          .select(col("num_files"), col("num_rows"),
+            (col("size_bytes") > 0L).as("size_positive"),
+            lit(candidates.size.toLong).as("dry_run_candidates"),
+            lit(after).as("rows_after_dry_run"))
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS num_files,
+          (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 25) AS num_rows,
+          TRUE AS size_positive,
+          CAST(4 AS BIGINT) AS dry_run_candidates,
+          (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 25) AS rows_after_dry_run"""))
   )
 }

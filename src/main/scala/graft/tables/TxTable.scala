@@ -1147,14 +1147,40 @@ final class TxTable(val spark: SparkSession, val location: String,
     val byTuple = snap.files.groupBy(a =>
       snap.partitionColumns.map(c =>
         s"$c=${TxLog.escapePathName(a.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__"))}"))
-    byTuple.foreach { case (segs, files) =>
+    // (relative manifest dir, fully-qualified file URIs) — resolved on
+    // the driver so executors need no table-layout knowledge
+    val work: Seq[(Seq[String], Seq[String])] = byTuple.toSeq.map { case (segs, files) =>
+      segs -> files.map(a => f.makeQualified(
+        new org.apache.hadoop.fs.Path(TxLog.resolve(location, a.path))).toUri.toString)
+    }
+    def writeOne(fsys: org.apache.hadoop.fs.FileSystem,
+        segs: Seq[String], uris: Seq[String]): Unit = {
       val dir = segs.foldLeft(root)((p, s) => new org.apache.hadoop.fs.Path(p, s))
-      f.mkdirs(dir)
-      val body = files.map(a => f.makeQualified(
-          new org.apache.hadoop.fs.Path(TxLog.resolve(location, a.path))).toUri.toString)
-        .sorted.mkString("", "\n", "\n")
-      val out = f.create(new org.apache.hadoop.fs.Path(dir, "manifest"), true)
+      fsys.mkdirs(dir)
+      val body = uris.sorted.mkString("", "\n", "\n")
+      val out = fsys.create(new org.apache.hadoop.fs.Path(dir, "manifest"), true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    if (work.size <= TxTable.SymlinkDriverMaxTuples)
+      work.foreach { case (segs, uris) => writeOne(f, segs, uris) }
+    else {
+      // a 10k-partition table would pay 10k sequential driver round-trips
+      // — distribute the writes like Convert's footer pass (each task
+      // handles a slice; the payload is metadata-sized path lists)
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val rootStr = root.toString
+      spark.sparkContext
+        .parallelize(work, math.max(1, math.min(work.size, 64)))
+        .foreach { case (segs, uris) =>
+          val r = new org.apache.hadoop.fs.Path(rootStr)
+          val fsys = r.getFileSystem(hconf.value)
+          val dir = segs.foldLeft(r)((p, s) => new org.apache.hadoop.fs.Path(p, s))
+          fsys.mkdirs(dir)
+          val body = uris.sorted.mkString("", "\n", "\n")
+          val out = fsys.create(new org.apache.hadoop.fs.Path(dir, "manifest"), true)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+        }
     }
     byTuple.size
   }
@@ -1357,6 +1383,11 @@ final class TxTable(val spark: SparkSession, val location: String,
 }
 
 object TxTable {
+  /** Partition-tuple count above which symlink-manifest writes distribute
+    * to executors instead of looping on the driver.
+    */
+  private[tables] val SymlinkDriverMaxTuples = 64
+
   /** One planned commit: the file-level outcome a write operation hands to
     * the commit log. `cdc` carries staged change-data files (foreign Delta
     * CDF only; ignored by the native log).

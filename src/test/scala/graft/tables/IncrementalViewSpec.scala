@@ -218,5 +218,20 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
     assert(rowsOf(view) == state)
     assert(state == Set(("a", 2L, 3.0)))
+
+    // harder restart: fresh handles (new TxTable instances ≈ a new
+    // process — nothing is cached driver-side), replay still a PURE
+    // no-op: not just same rows, zero new commits on the view log
+    val vBefore = TxTable.forLocation(spark, viewLoc).version
+    val srcFresh = new TxTable(spark, srcLoc)
+    assert(IncrementalView.refresh(srcFresh, viewLoc, Seq("k"), Seq("v")).mode == "noop")
+    assert(TxTable.forLocation(spark, viewLoc).version == vBefore,
+      "a replayed refresh must not commit")
+    // and the next REAL increment still folds incrementally after the
+    // replay storm — the watermark is intact, not wedged
+    srcFresh.append(Seq(("b", 5.0)).toDF("k", "v"))
+    assert(IncrementalView.refresh(srcFresh, viewLoc, Seq("k"), Seq("v")).mode == "incremental")
+    assert(rowsOf(TxTable.forLocation(spark, viewLoc)) ==
+      Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
   }
 }

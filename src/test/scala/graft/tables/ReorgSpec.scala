@@ -187,6 +187,28 @@ class ReorgSpec extends AnyFunSuite {
     assert(written === n2)
   }
 
+  test("symlink manifests distribute above the driver-loop tuple threshold") {
+    // ~500 partition tuples > SymlinkDriverMaxTuples → the executor path
+    // writes them; content contract identical to the driver loop
+    val loc = TestSpark.tmpDir("symlink-many")
+    val many = spark.range(500).selectExpr("id", "cast(id as string) AS grp")
+    val t = new TxTable(spark, loc)
+    t.create(many, partitionColumns = Seq("grp"))
+    val n = t.generateSymlinkManifest()
+    assert(n === 500)
+    val snap = t.snapshot
+    // spot-check a partition's manifest lists exactly its live files
+    val m = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      loc, "_symlink_format_manifest", "grp=371", "manifest")).trim.split("\n").toSet
+    val expected = snap.files.filter(_.partitionValues("grp") == "371")
+      .map(a => TxLog.fs(spark, loc).makeQualified(
+        new org.apache.hadoop.fs.Path(TxLog.resolve(loc, a.path))).toUri.toString).toSet
+    assert(m === expected && m.nonEmpty)
+    // every tuple got a manifest dir
+    val root = new java.io.File(s"$loc/_symlink_format_manifest")
+    assert(root.listFiles().count(_.isDirectory) === 500)
+  }
+
   test("purge on a table without deletes is a no-op on all backends") {
     val locD = TestSpark.tmpDir("reorg-noop")
     DeltaLogWriter.create(spark, locD, sample)
