@@ -454,7 +454,7 @@ private[graft] object IcebergCommitLog extends CommitLog {
     val allProps = IcebergLog.propertiesOf(st.meta)
     val (txnProps, userProps) = allProps.partition(_._1.startsWith(TxnPropPrefix))
     Snapshot(st.metadataVersion, st.schema, st.partitionColumns,
-      attachDeletes(spark, st), userProps,
+      attachDeletes(spark, location, st), userProps,
       transactions = txnProps.flatMap { case (k, v) =>
         v.toLongOption.map(k.stripPrefix(TxnPropPrefix) -> _)
       })
@@ -464,7 +464,15 @@ private[graft] object IcebergCommitLog extends CommitLog {
     * DV descriptors (Z85 bitmap in the descriptor itself — no extra
     * file), so rewrites and reads treat deleted rows uniformly.
     */
-  private def attachDeletes(spark: SparkSession,
+  /** Bounded memo of folded delete bitmaps (snapshots are immutable, so
+    * a (location, version, snapshot, file-set fingerprint) key can never
+    * go stale); cleared wholesale past the cap.
+    */
+  private val deleteFoldCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int), Map[String, Array[Byte]]]()
+  private val DeleteFoldCacheMax = 64
+
+  private def attachDeletes(spark: SparkSession, location: String,
       st: IcebergLog.IceState): Seq[AddFile] = {
     if (st.deletes.isEmpty) return st.files
     // bitmaps build on EXECUTORS (one shuffle keyed by data-file path);
@@ -475,31 +483,45 @@ private[graft] object IcebergCommitLog extends CommitLog {
     // key-matched, not position-matched: ONE sequence-scoped scan
     // locates each victim's (file, position), and those entries union
     // into the same bitmaps — so the whole TxTable surface (reads,
-    // MERGE, version) treats both delete shapes uniformly. The scan
-    // runs per snapshot() call while equality deletes are live; REORG
-    // or compaction retires them.
-    import spark.implicits._
-    val posDel = st.deletes.filter(_.content == 1)
-    val eqDel = st.deletes.filter(_.content == 2)
-    val posEntries =
-      if (posDel.isEmpty) None
-      else Some(spark.read.parquet(posDel.map(_.path): _*)
-        .select(org.apache.spark.sql.functions.col("file_path").cast("string"),
-          org.apache.spark.sql.functions.col("pos").cast("long"))
-        .toDF("file_path", "pos"))
-    val eqEntries =
-      if (eqDel.isEmpty) None
-      else Some(IcebergLog.equalityVictimPositions(spark, st)
-        .toDF("file_path", "pos"))
-    val byFile: Map[String, Array[Byte]] =
-      (posEntries.toSeq ++ eqEntries.toSeq).reduce(_ unionByName _)
-        .as[(String, Long)]
-        .groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
-        .mapGroups { (p, it) =>
-          val bm = new DeletionVectors.Bitmap64
-          it.foreach { case (_, pos) => bm.add(pos) }
-          (p, bm.serialize)
-        }.collect().toMap
+    // MERGE, version) treats both delete shapes uniformly. The fold is
+    // memoized per (location, snapshot, file-set fingerprint): snapshots
+    // are immutable per the spec, so repeated snapshot() calls (version
+    // → read → merge in one flow) pay the victim scan once; REORG or
+    // compaction retires it entirely.
+    val cacheKey = (location, st.metadataVersion, st.snapshotId.getOrElse(-1L),
+      scala.util.hashing.MurmurHash3.orderedHash(
+        st.files.map(_.path) ++ st.deletes.map(_.path)))
+    val byFile: Map[String, Array[Byte]] = {
+      val hit = deleteFoldCache.get(cacheKey)
+      if (hit != null) hit
+      else {
+        import spark.implicits._
+        val posDel = st.deletes.filter(_.content == 1)
+        val eqDel = st.deletes.filter(_.content == 2)
+        val posEntries =
+          if (posDel.isEmpty) None
+          else Some(spark.read.parquet(posDel.map(_.path): _*)
+            .select(org.apache.spark.sql.functions.col("file_path").cast("string"),
+              org.apache.spark.sql.functions.col("pos").cast("long"))
+            .toDF("file_path", "pos"))
+        val eqEntries =
+          if (eqDel.isEmpty) None
+          else Some(IcebergLog.equalityVictimPositions(spark, st)
+            .toDF("file_path", "pos"))
+        val computed =
+          (posEntries.toSeq ++ eqEntries.toSeq).reduce(_ unionByName _)
+            .as[(String, Long)]
+            .groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
+            .mapGroups { (p, it) =>
+              val bm = new DeletionVectors.Bitmap64
+              it.foreach { case (_, pos) => bm.add(pos) }
+              (p, bm.serialize)
+            }.collect().toMap
+        if (deleteFoldCache.size >= DeleteFoldCacheMax) deleteFoldCache.clear()
+        deleteFoldCache.put(cacheKey, computed)
+        computed
+      }
+    }
     st.files.map { a =>
       byFile.get(DeletionVectors.normalizedUri(a.path)) match {
         case Some(data) =>

@@ -1148,8 +1148,18 @@ object IcebergLog {
     val byId = topFields(st.meta).map { case (id, n, _) => id -> n }.toMap
     val metaSel = Seq(col("_metadata.file_path").as(DeltaLog.FileMetaCol),
       col("_metadata.row_index").as(DeltaLog.RowMetaCol))
-    val base = readData(spark, st.meta, st.schema, st.files, metaSel)
-    val seqRows = st.files.map(a =>
+    // files appended at-or-after every delete's sequence cannot hold
+    // victims (strictly-smaller rule) — prune them from the scan, so on
+    // an upsert-heavy table the cost tracks the OLD files still in
+    // scope, not the whole table
+    val maxDelSeq = eqDel.map(_.seq).max
+    val candidates = st.files.filter(f =>
+      st.dataSeq.getOrElse(f.path, 0L) < maxDelSeq)
+    if (candidates.isEmpty)
+      return spark.createDataFrame(Seq.empty[(String, Long)])
+        .toDF("__np", "__pos")
+    val base = readData(spark, st.meta, st.schema, candidates, metaSel)
+    val seqRows = candidates.map(a =>
       (DeletionVectors.normalizedUri(a.path), st.dataSeq.getOrElse(a.path, 0L)))
     val seqDf = spark.createDataFrame(seqRows).toDF("__np", "__dataseq")
     val withSeq = base
@@ -1184,10 +1194,15 @@ object IcebergLog {
     import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
     import org.apache.spark.sql.functions.{broadcast, lit}
     val byId = topFields(stPrev.meta).map { case (id, n, _) => id -> n }.toMap
-    val seqRows = stPrev.files.map(a =>
-      (DeletionVectors.normalizedUri(a.path), stPrev.dataSeq.getOrElse(a.path, 0L)))
+    // same sequence-scope pruning as equalityVictimPositions: only files
+    // older than the newest delete can bleed rows
+    val maxDelSeq = eqDel.map(_.seq).max
+    val scoped = stPrev.copy(files = stPrev.files.filter(f =>
+      stPrev.dataSeq.getOrElse(f.path, 0L) < maxDelSeq))
+    val seqRows = scoped.files.map(a =>
+      (DeletionVectors.normalizedUri(a.path), scoped.dataSeq.getOrElse(a.path, 0L)))
     val seqDf = spark.createDataFrame(seqRows).toDF("__np", "__dataseq")
-    val live = dfFor(spark, stPrev, withMeta = true)
+    val live = dfFor(spark, scoped, withMeta = true)
       .withColumn("__np", toCol(NormalizedPath(toExpr(col(DeltaLog.FileMetaCol)))))
       .join(broadcast(seqDf), Seq("__np"), "left")
     val dying = eqDel.groupBy(_.equalityIds).map { case (ids, files) =>
