@@ -145,12 +145,51 @@ object ScaleCheck {
       c
     }
 
+    // round-10 operators: the trained-weight classifier (broadcast
+    // gather must stay scan-bound like the pseudo-model), and the
+    // equality-delete pipeline — the changelog's dying-rows derivation
+    // and the TxTable read that folds live equality deletes into
+    // bitmaps. Both must track the OLD files in sequence scope plus the
+    // delete keys, not blow up with table size.
+    val classifierTrained = best("quality_classifier_trained") {
+      val w = Array.tabulate(graft.functions.ClassifierScoreGen.NumBuckets)(b =>
+        (((b.toLong * 1664525L + 1013904223L) % 4096L) - 2048L).toFloat / 1024.0f)
+      graft.queries.Tables.documents(spark, sfDir).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextNativeFunctions.classifierScore(
+          org.apache.spark.sql.functions.col("text"), w)
+          .as(Seq("n_tokens", "raw_score", "score", "keep")))
+    }
+    val (eqChangelog, eqFoldRead) = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-eqdel").toString + "/t"
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val t = graft.tables.TxTable.forIceberg(spark, loc)
+      t.create(li)
+      graft.tables.IcebergWriter.equalityDelete(spark, loc, Seq("l_orderkey"),
+        li.filter(col("l_orderkey") % 97 === 0).select("l_orderkey").distinct())
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val v = t.history.last
+      val a = timed(graft.tables.IcebergLog.tableChanges(spark, loc, v, Some(v))
+        .write.format("noop").mode("overwrite").save())
+      val b = timed(t.toDF.write.format("noop").mode("overwrite").save())
+      System.err.println(
+        f"[scalecheck] iceberg_eq_changelog $a%.2fs eq_delete_fold_read $b%.2fs")
+      (a, b)
+    }
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
       "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
       "corpus_shards" -> shards, "quality_classifier" -> classifier,
+      "quality_classifier_trained" -> classifierTrained,
       "epoch_upsampling" -> epochs,
       "reorg_mor_delete" -> reorg._1, "reorg_purge" -> reorg._2,
-      "iceberg_changelog_delete" -> changelog))
+      "iceberg_changelog_delete" -> changelog,
+      "iceberg_eq_changelog" -> eqChangelog,
+      "eq_delete_fold_read" -> eqFoldRead))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -232,6 +232,8 @@ class StreamOpsSpec extends AnyFunSuite {
     t.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))  // v1
     t.append(Seq((4L, "d")).toDF("id", "s"))                         // v2
     t.delete("id = 2")                                               // v3 (position delete)
+    graft.tables.IcebergWriter.equalityDelete(spark, loc, Seq("id"),
+      Seq(3L).toDF("id"))                                            // v4 (equality delete)
 
     val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
     val q = spark.readStream
@@ -252,7 +254,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val got = received.asScala.toSet
     assert(got == Set(
       (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 1L),
-      (4L, "insert", 2L), (2L, "delete", 3L)), got.toString)
+      (4L, "insert", 2L), (2L, "delete", 3L), (3L, "delete", 4L)), got.toString)
   }
 
   test("TxTableSource readChangeFeed streams inserts AND deletes with change types") {
