@@ -172,6 +172,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly one fused generate pass, got ${generates.size}\n$exec")
   }
 
+  test("equality-delete paths are hash-joins: no cartesian, no nested loop") {
+    import spark.implicits._
+    val loc = graft.TestSpark.tmpDir("pq-eqdel") + "/t"
+    val t = graft.tables.TxTable.forIceberg(spark, loc)
+    t.create((1L to 100L).map(i => (i, s"s$i")).toDF("id", "s"))
+    graft.tables.IcebergWriter.equalityDelete(spark, loc, Seq("id"),
+      Seq(3L, 5L).toDF("id"))
+    // the folded TxTable read (victim scan inside attachDeletes ran on
+    // snapshot) and the direct merge-on-read path
+    val readPlan = t.toDF.queryExecution.executedPlan.toString
+    assert(!readPlan.contains("CartesianProduct"), readPlan)
+    val direct = graft.tables.IcebergLog.toDF(spark, loc)
+      .queryExecution.executedPlan.toString
+    assert(!direct.contains("CartesianProduct"), direct)
+    assert(!direct.contains("BroadcastNestedLoopJoin"),
+      s"equality-delete anti-join must extract hash keys\n$direct")
+    // the changelog's dying-rows semi-join
+    val v = t.history.last
+    val ch = graft.tables.IcebergLog.tableChanges(spark, loc, v, Some(v))
+      .queryExecution.executedPlan.toString
+    assert(!ch.contains("CartesianProduct"), ch)
+    assert(!ch.contains("BroadcastNestedLoopJoin"),
+      s"dying-rows semi-join must extract hash keys\n$ch")
+  }
+
   test("dedup-index batch filtering is equi-join only: no cartesian, no nested loop") {
     import spark.implicits._
     val loc = graft.TestSpark.tmpDir("pq-dedupidx")
