@@ -39,6 +39,49 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(keepExpr(col(idCol), fraction))
 
+  /** Fold a STRING key to a stable long for the hash-keyed operators —
+    * the same 31-polynomial (over code points, mod 2^31) the classifier
+    * bucket hash uses, so it is overflow-free and replayable in SQL on
+    * any engine (`list_reduce` in DuckDB). Use for domain/URL keys.
+    */
+  def stringKey(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(M31)))
+
+  /** Cut points of `splits` on the 32-bit hash line: cumulative weight
+    * scaled to 2^32, rounded — exposed so an external replayer (the
+    * DuckDB oracle, an audit notebook) can embed the EXACT integers this
+    * assignment uses rather than re-deriving them through its own
+    * floating-point accumulation order.
+    */
+  def splitCuts(splits: Seq[(String, Double)]): Seq[Long] = {
+    val total = splits.map(_._2).sum
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(w => math.round(w / total * M32))
+  }
+
+  /** Leakage-safe deterministic dataset split: every row lands in exactly
+    * one named split by the hash of a GROUP key — the URL domain, the
+    * near-dup cluster survivor id, the source shard — rather than the
+    * row id. All rows sharing the key land in the SAME split, so
+    * near-duplicates that share a domain/cluster can never straddle
+    * train and eval (the classic contamination leak a row-wise random
+    * split produces). Pure map-side when-chain on the engine-portable
+    * multiplicative hash; weights are normalized and cut into exact
+    * integer thresholds ([[splitCuts]]). Pass [[stringKey]] for string
+    * keys.
+    */
+  def splitAssign(df: DataFrame, keyCol: Column, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0),
+      "splitAssign needs at least one split with positive weight")
+    val h = hash32(keyCol)
+    val assign = splits.map(_._1).zip(splitCuts(splits)).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, cut), acc) =>
+        when(h < lit(cut), lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assign)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (missing
     * strata default to `defaultFraction`). The standard "dataset mixture"
     * primitive — e.g. keep 100% of high-quality sources, 10% of crawl.

@@ -564,7 +564,58 @@ object TextQueries {
         SELECT doc_id, n_tokens, raw_score,
           raw_score / n_tokens AS score,
           raw_score > 0 AS keep
-        FROM sc ORDER BY doc_id"""))
+        FROM sc ORDER BY doc_id""")),
+
+    // ---- leakage-safe train/val/test split ----
+    // Rows are assigned to a split by the hash of their GROUP key (here
+    // the source; in production the URL domain or the near-dup cluster
+    // id), so documents sharing a key can never straddle train and eval
+    // — the contamination leak a row-wise random split produces. The
+    // result pins exactly that invariant (n_splits per source MUST be 1)
+    // and the oracle replays the full assignment arithmetic — string
+    // polynomial key, multiplicative hash, and the EXACT integer cut
+    // points exported by splitCuts (re-deriving them through SQL's own
+    // float accumulation would diverge by one ulp and flip a boundary
+    // key).
+    QueryDef(
+      "q141_leakage_safe_split",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        graft.ext.Sampling.splitAssign(d, graft.ext.Sampling.stringKey(col("source")), splits)
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_in_split"))
+          .groupBy(col("source"))
+          .agg(max(col("split")).as("group_split"),
+            count(lit(1)).as("n_splits"),
+            sum(col("n_in_split")).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val cuts = graft.ext.Sampling.splitCuts(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        s"""WITH h AS (
+          SELECT source,
+            (list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(source, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483648) * 2654435761) % 4294967296 AS h32
+          FROM documents
+        ),
+        assigned AS (
+          SELECT source,
+            CASE WHEN h32 < ${cuts(0)} THEN 'train'
+                 WHEN h32 < ${cuts(1)} THEN 'val'
+                 ELSE 'test' END AS split
+          FROM h
+        ),
+        bysrc AS (
+          SELECT source, split, COUNT(*) AS n_in_split
+          FROM assigned GROUP BY source, split
+        )
+        SELECT source, MAX(split) AS group_split,
+          CAST(COUNT(*) AS BIGINT) AS n_splits,
+          CAST(SUM(n_in_split) AS BIGINT) AS n_docs
+        FROM bysrc GROUP BY source ORDER BY source"""
+      })
   )
 
   /** DuckDB CTE fragment producing the q72 exact-Jaccard pair list

@@ -115,4 +115,45 @@ class SamplingSpec extends AnyFunSuite {
       .collect().sortBy(r => (r._2, r._3))
     assert(out.toSeq == out2.toSeq)
   }
+
+  test("splitAssign: exactly one split per key, ~weight fractions, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // 50 groups x 40 rows: every row of a group must land in the group's split
+    val df = spark.range(2000).selectExpr("id", "id % 50 AS grp")
+    val out = Sampling.splitAssign(df, col("grp"), splits)
+    val perGroup = out.groupBy("grp").agg(
+      org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 1L), "a group must never straddle splits")
+    // fractions over many distinct keys approximate the weights
+    val wide = Sampling.splitAssign(spark.range(20000).toDF("id"), col("id"), splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(wide("train") / 20000.0 - 0.8) < 0.03, wide.toString)
+    assert(math.abs(wide("val") / 20000.0 - 0.1) < 0.03, wide.toString)
+    // weights need not be pre-normalized
+    val unnorm = Sampling.splitAssign(spark.range(20000).toDF("id"), col("id"),
+      Seq("a" -> 8.0, "b" -> 1.0, "c" -> 1.0))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unnorm == Map("a" -> wide("train"), "b" -> wide("val"), "c" -> wide("test")))
+    // repartitioning cannot move a row between splits
+    val a = out.orderBy("id").collect().map(_.toString).toSeq
+    val b = Sampling.splitAssign(df.repartition(7), col("grp"), splits)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("stringKey folds strings stably and feeds splitAssign") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("example.com", "other.org", "example.com", "").toDF("domain")
+    val keys = df.select(Sampling.stringKey(col("domain")).as("k"))
+      .collect().map(_.getLong(0))
+    assert(keys(0) == keys(2), "same string, same key")
+    assert(keys(0) != keys(1))
+    assert(keys.forall(k => k >= 0 && k < 2147483648L))
+    // hand-rolled 31-polynomial over code points, mod 2^31
+    val expected = "example.com".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483648L)
+    assert(keys(0) == expected)
+    assert(keys(3) == 0L, "empty string folds to the seed")
+  }
 }
