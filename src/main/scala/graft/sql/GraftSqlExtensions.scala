@@ -161,12 +161,76 @@ object GraftSqlExtensions {
 
     private def resolve(client: LakehouseClient, cat: String, sch: String, tbl: String): Option[LogicalPlan] =
       try {
-        client.getTable(cat, sch, tbl) // existence check with catalog-store semantics
+        val info = client.getTable(cat, sch, tbl) // existence check with catalog-store semantics
         val df = client.readTable(cat, sch, tbl)
-        Some(df.queryExecution.analyzed)
+        val plan = df.queryExecution.analyzed
+        // transactional formats know their exact live row count from the
+        // log (per-file rows minus DV cardinalities) — leave a DEFERRED
+        // count on the plan so MetadataOnlyCount can answer COUNT(*)
+        // without a scan; the closure only runs if that rewrite fires
+        import graft.catalog.FileType
+        if (info.fileType == FileType.DELTA || info.fileType == FileType.ICEBERG) {
+          val loc = graft.io.TableIO.normalize(info.storageLocation.get)
+          plan.setTagValue(GraftSqlExtensions.ExactCountTag,
+            () => GraftSqlExtensions.exactRowCount(session, loc))
+        }
+        Some(plan)
       } catch {
         case _: graft.catalog.DoesNotExistError => None
       }
+  }
+
+  /** Deferred exact-count tag left by ResolveGraftRelations on the read
+    * plans of transactional catalog tables.
+    */
+  private[sql] val ExactCountTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[() => Long]("graft.exactRowCount")
+
+  private[sql] def exactRowCount(session: ClassicSparkSession, loc: String): Long =
+    try {
+      val snap = graft.tables.TxTable.forAnyLocation(session, loc).snapshot
+      if (snap.files.exists(_.rows < 0)) -1L
+      else snap.files.iterator.map(f =>
+        f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
+    } catch { case _: Throwable => -1L }
+
+  /** `SELECT COUNT(*) FROM cat.sch.t` answered from the LOG — the
+    * metadata-only count every lakehouse engine special-cases, because at
+    * 100 TB the difference is one snapshot read versus a full scan. Fires
+    * ONLY on an ungrouped all-COUNT(1) aggregate whose child walks down
+    * to a tagged catalog-table read through row-preserving nodes
+    * (Project/SubqueryAlias); any Filter, Limit, join, grouping, DISTINCT
+    * or FILTER clause leaves the plan untouched. Counts come from
+    * per-file row counts minus deletion-vector cardinalities (the same
+    * arithmetic DESCRIBE DETAIL reports, q140-oracled); a snapshot with
+    * unknown file rows bails to the scan.
+    */
+  final case class MetadataOnlyCount(session: ClassicSparkSession) extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+
+    private def tagged(plan: LogicalPlan): Option[() => Long] =
+      plan.getTagValue(GraftSqlExtensions.ExactCountTag).orElse(plan match {
+        case Project(_, child) => tagged(child)
+        case SubqueryAlias(_, child) => tagged(child)
+        case _ => None
+      })
+
+    private def isCountStar(e: Expression): Boolean = e match {
+      case Alias(child, _) => isCountStar(child)
+      case AggregateExpression(Count(Seq(Literal(1, _))), Complete, false, None, _) => true
+      case _ => false
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty && exprs.forall(isCountStar) =>
+        tagged(child).flatMap { deferred =>
+          val n = deferred()
+          if (n < 0) None
+          else Some(LocalRelation(agg.output,
+            Seq(org.apache.spark.sql.catalyst.InternalRow(exprs.map(_ => n): _*))))
+        }.getOrElse(agg)
+    }
   }
 
   /** Install into a builder: SparkSession.builder()
@@ -178,6 +242,11 @@ object GraftSqlExtensions {
     // would otherwise throw REQUIRES_SINGLE_PART_NAMESPACE on 3-part names
     // it cannot map to a registered catalog plugin
     extensions.injectHintResolutionRule(s => ResolveGraftRelations(s.asInstanceOf[ClassicSparkSession]))
+    // COUNT(*) on a transactional catalog table answers from the log.
+    // Post-hoc resolution (not the optimizer): the deferred-count tag
+    // rides the analyzed relation node, and optimizer column pruning
+    // re-creates relations via case-class copy, which drops tags.
+    extensions.injectPostHocResolutionRule(s => MetadataOnlyCount(s.asInstanceOf[ClassicSparkSession]))
     // custom physical operators (SURVEY preference tier c)
     extensions.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     // maintenance statements Spark's grammar lacks (OPTIMIZE / VACUUM)

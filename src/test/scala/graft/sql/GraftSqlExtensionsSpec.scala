@@ -68,6 +68,54 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("transactional") || ex.toString.contains("transactional"))
   }
 
+  test("COUNT(*) on a transactional catalog table answers from the log, not a scan") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakec")
+    client.createSchema("lakec", "core")
+    val dir = TestSpark.tmpDir("sqlcount")
+    val df = (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name")
+    client.createAsTable(df, "lakec", "core", "t", FileType.DELTA, s"$dir/t")
+
+    def planOf(sql: String) =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    def scansIn(p: String) = p.count(_ == '\n') > 0 && p.contains("FileScan")
+
+    val q = spark.sql("SELECT COUNT(*) FROM lakec.core.t")
+    assert(q.collect()(0).getLong(0) == 100L)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan") && !p.contains("FileScan"),
+      s"metadata-only count must not scan\n$p")
+
+    // stays exact through deletes (rows minus DV cardinalities on MoR)
+    client.getTxTable("lakec", "core", "t").delete("id <= 10")
+    assert(spark.sql("SELECT COUNT(*) FROM lakec.core.t").collect()(0).getLong(0) == 90L)
+
+    // a WHERE clause must fall back to the scan and stay correct
+    val filtered = spark.sql("SELECT COUNT(*) FROM lakec.core.t WHERE id > 50")
+    assert(filtered.collect()(0).getLong(0) == 50L)
+    assert(scansIn(filtered.queryExecution.executedPlan.toString),
+      "filtered count must scan")
+
+    // COUNT(col) is null-sensitive: not rewritten, still correct
+    val byCol = spark.sql("SELECT COUNT(name) FROM lakec.core.t")
+    assert(byCol.collect()(0).getLong(0) == 90L)
+    assert(scansIn(byCol.queryExecution.executedPlan.toString))
+
+    // grouped counts are untouched
+    assert(spark.sql("SELECT id % 2, COUNT(*) FROM lakec.core.t GROUP BY 1")
+      .collect().map(_.getLong(1)).sum == 90L)
+
+    // iceberg tables get the same rewrite
+    client.createAsTable(df, "lakec", "core", "ice", FileType.ICEBERG, s"$dir/ice")
+    val qi = spark.sql("SELECT COUNT(*) FROM lakec.core.ice")
+    assert(qi.collect()(0).getLong(0) == 100L)
+    assert(qi.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
+    // plain parquet has no log: correct via scan
+    client.createAsTable(df, "lakec", "core", "p", FileType.PARQUET, s"$dir/p.parquet")
+    assert(spark.sql("SELECT COUNT(*) FROM lakec.core.p").collect()(0).getLong(0) == 100L)
+  }
+
   test("merge results visible via SQL immediately (no view re-registration)") {
     val client = new LakehouseClient(spark)
     client.createCatalog("lake2")
