@@ -1729,6 +1729,48 @@ object InteropQueries {
           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 25) AS num_rows,
           TRUE AS size_positive,
           CAST(4 AS BIGINT) AS dry_run_candidates,
-          (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 25) AS rows_after_dry_run"""))
+          (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 25) AS rows_after_dry_run""")),
+
+    // ---- q142: the change feed as a SQL table-valued function ----
+    // Delta's `table_changes('cat.sch.t', from[, to])` user surface,
+    // resolved by the analyzer extension over BOTH feed implementations
+    // (Delta CDF, Iceberg snapshot-diff changelog) — the TVF output
+    // composes with ordinary SQL (grouping here). Same derived-feed
+    // semantics q136 pins; this entry pins the SQL route end-to-end.
+    QueryDef(
+      "q142_sql_table_changes",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q142cat")
+        client.createSchema("q142cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q142-tvf").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        client.createAsTable(li.filter(col("l_linenumber") === 1),
+          "q142cat", "s", "t", graft.catalog.FileType.ICEBERG, s"$loc/t") // v1
+        val t = client.getTxTable("q142cat", "s", "t")
+        t.append(li.filter(col("l_linenumber") === 2))                   // v2
+        t.delete("l_quantity <= 10")                                     // v3
+        s.sql("SELECT * FROM table_changes('q142cat.s.t', 1)")
+          .groupBy(col("_commit_version").as("v"), col("_change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .orderBy(col("v"), col("_change_type"))
+      },
+      Some("""WITH l1 AS (SELECT l_quantity FROM lineitem WHERE l_linenumber = 1),
+        l2 AS (SELECT l_quantity FROM lineitem WHERE l_linenumber = 2),
+        feed AS (
+          SELECT 1 AS v, 'insert' AS ct, l_quantity FROM l1
+          UNION ALL
+          SELECT 2, 'insert', l_quantity FROM l2
+          UNION ALL
+          SELECT 3, 'delete', l_quantity FROM l1 WHERE l_quantity <= 10
+          UNION ALL
+          SELECT 3, 'delete', l_quantity FROM l2 WHERE l_quantity <= 10
+        )
+        SELECT CAST(v AS BIGINT) AS v, ct AS _change_type,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM feed GROUP BY v, ct ORDER BY v, ct"""))
   )
 }

@@ -104,8 +104,40 @@ object GraftSqlExtensions {
         case u @ UnresolvedRelation(parts, _, _) if parts.length == 4 &&
             (parts(3).startsWith("branch_") || parts(3).startsWith("tag_")) =>
           resolveRefRead(client, parts).getOrElse(u)
+        // Delta-style change-feed TVF over BOTH change-feed
+        // implementations (Delta CDF, Iceberg snapshot-diff changelog):
+        //   SELECT * FROM table_changes('cat.sch.t', from [, to])
+        case tvf @ org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction(
+            nameParts, args, _)
+            if nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("table_changes") =>
+          resolveTableChanges(client, args).getOrElse(tvf)
       }
     }
+
+    private def resolveTableChanges(client: LakehouseClient,
+        args: Seq[Expression]): Option[LogicalPlan] =
+      try {
+        if (args.size < 2 || args.size > 3 || !args.forall(_.foldable))
+          throw graft.catalog.UnsupportedOperationError(
+            "table_changes(table_name, from_version[, to_version]) takes literal arguments")
+        val name = args.head.eval(null) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => String.valueOf(other)
+        }
+        val parts = name.split('.')
+        if (parts.length != 3)
+          throw graft.catalog.UnsupportedOperationError(
+            s"table_changes: expected a 3-part catalog.schema.table name, got '$name'")
+        val info = client.getTable(parts(0), parts(1), parts(2))
+        val loc = graft.io.TableIO.normalize(info.storageLocation.get)
+        val t = graft.tables.TxTable.forAnyLocation(session, loc)
+        def lng(e: Expression): Long = String.valueOf(e.eval(null)).toLong
+        Some(t.tableChanges(lng(args(1)),
+          if (args.size == 3) Some(lng(args(2))) else None)
+          .queryExecution.analyzed)
+      } catch {
+        case _: graft.catalog.DoesNotExistError => None
+      }
 
     private def resolveRefRead(client: LakehouseClient,
         parts: Seq[String]): Option[LogicalPlan] = {

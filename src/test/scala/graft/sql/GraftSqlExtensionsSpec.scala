@@ -116,6 +116,37 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM lakec.core.p").collect()(0).getLong(0) == 100L)
   }
 
+  test("table_changes TVF streams the change feed through SQL") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakecdf")
+    client.createSchema("lakecdf", "core")
+    val dir = TestSpark.tmpDir("sqlcdf")
+    client.createAsTable(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      "lakecdf", "core", "t", FileType.ICEBERG, s"$dir/t")            // v1
+    val t = client.getTxTable("lakecdf", "core", "t")
+    t.append(Seq((3L, "c")).toDF("id", "s"))                           // v2
+    t.delete("id = 1")                                                 // v3
+
+    val all = spark.sql(
+      "SELECT id, _change_type, _commit_version FROM table_changes('lakecdf.core.t', 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(all == Set((1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 2L), (1L, "delete", 3L)), all.toString)
+
+    // bounded window + projection/aggregation compose over the TVF
+    val win = spark.sql(
+      """SELECT _change_type, COUNT(*) AS n
+         FROM table_changes('lakecdf.core.t', 2, 3) GROUP BY 1""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(win == Map("insert" -> 1L, "delete" -> 1L))
+
+    // malformed name raises a clear error
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('core.t', 1)").collect()
+    }
+    assert(ex.getMessage.contains("3-part") || ex.toString.contains("3-part"))
+  }
+
   test("merge results visible via SQL immediately (no view re-registration)") {
     val client = new LakehouseClient(spark)
     client.createCatalog("lake2")
