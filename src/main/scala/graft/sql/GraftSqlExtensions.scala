@@ -186,7 +186,11 @@ object GraftSqlExtensions {
             .eval(null).asInstanceOf[Long]
           t.log.versionAtTimestamp(session, loc, Math.floorDiv(micros, 1000L))
         }
-        Some(t.toDF(v).queryExecution.analyzed)
+        val plan = t.toDF(v).queryExecution.analyzed
+        // time-traveled COUNT(*) is metadata-only too, pinned at v
+        plan.setTagValue(GraftSqlExtensions.ExactCountTag,
+          () => GraftSqlExtensions.exactRowCount(session, loc, Some(v)))
+        Some(plan)
       } catch {
         case _: graft.catalog.DoesNotExistError => None
       }
@@ -218,9 +222,11 @@ object GraftSqlExtensions {
   private[sql] val ExactCountTag =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[() => Long]("graft.exactRowCount")
 
-  private[sql] def exactRowCount(session: ClassicSparkSession, loc: String): Long =
+  private[sql] def exactRowCount(session: ClassicSparkSession, loc: String,
+      version: Option[Long] = None): Long =
     try {
-      val snap = graft.tables.TxTable.forAnyLocation(session, loc).snapshot
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
       if (snap.files.exists(_.rows < 0)) -1L
       else snap.files.iterator.map(f =>
         f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum

@@ -111,6 +111,11 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(qi.collect()(0).getLong(0) == 100L)
     assert(qi.queryExecution.executedPlan.toString.contains("LocalTableScan"))
 
+    // time-traveled counts are metadata-only too, pinned at the version
+    val qv = spark.sql("SELECT COUNT(*) FROM lakec.core.t VERSION AS OF 0")
+    assert(qv.collect()(0).getLong(0) == 100L)
+    assert(qv.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
     // plain parquet has no log: correct via scan
     client.createAsTable(df, "lakec", "core", "p", FileType.PARQUET, s"$dir/p.parquet")
     assert(spark.sql("SELECT COUNT(*) FROM lakec.core.p").collect()(0).getLong(0) == 100L)
