@@ -198,4 +198,45 @@ object TextOps {
         row_number().over(Window.orderBy(col("score_q").desc, col("doc_id"))).cast(LongType))
       .select(col("doc_id"), col("score_q"), col("rank"))
   }
+
+  /** Cross-corpus boilerplate-line removal (the RefinedWeb/C4 curation
+    * pass the within-doc span dedup does NOT cover): a line whose
+    * space-trimmed form appears in at least `minDocs` DISTINCT documents
+    * is navigation/footer/cookie-banner furniture, and every occurrence
+    * is dropped; empty lines are document structure and always survive.
+    * Emits (id, n_lines_before, n_lines_removed, clean_text) for every
+    * document, clean_text rebuilt in original line order.
+    *
+    * Scale shape: one line explode + one count-distinct aggregation keyed
+    * by the line text (high cardinality — boilerplate is the small tail
+    * that crosses the threshold), an anti-join back (AQE broadcasts the
+    * boilerplate set when it is small, which it is by definition), and a
+    * per-document collect_list bounded by document size. No driver-side
+    * row work.
+    */
+  def removeBoilerplateLines(df: DataFrame, minDocs: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("line_norm", trim(col("line")))
+    val boiler = lines.filter(col("line_norm") =!= "")
+      .groupBy(col("line_norm"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= lit(minDocs))
+      .select(col("line_norm"))
+    val kept = lines.join(boiler, Seq("line_norm"), "left_anti")
+    val before = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_before"))
+    val keptAgg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+    // left join from `before`: a document whose every line was
+    // boilerplate still comes back (empty clean_text), it does not vanish
+    before.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_lines_before"),
+        (col("n_lines_before") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -615,7 +615,58 @@ object TextQueries {
           CAST(COUNT(*) AS BIGINT) AS n_splits,
           CAST(SUM(n_in_split) AS BIGINT) AS n_docs
         FROM bysrc GROUP BY source ORDER BY source"""
-      })
+      }),
+
+    // ---- cross-corpus boilerplate-line removal ----
+    // The RefinedWeb/C4 curation pass the within-document span dedup
+    // (q91/q92) does NOT cover: lines whose trimmed form recurs in >= 3
+    // distinct documents (nav menus, cookie banners, newsletter footers)
+    // are dropped from every document. The fixture PLANTS the furniture —
+    // a shared header on doc_id % 5 == 0 and a shared footer on % 3 == 0
+    // — so removal counts are deterministic and the oracle replays split,
+    // trim-match, threshold, and the line-order text rebuild exactly.
+    QueryDef(
+      "q143_boilerplate_lines",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val planted = d.withColumn("text", concat(
+          when(col("doc_id") % 5 === 0, lit("Cookie notice: we use cookies\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nSubscribe to our newsletter"))
+            .otherwise(lit(""))))
+        graft.ext.TextOps.removeBoilerplateLines(planted, minDocs = 3L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 5 = 0 THEN 'Cookie notice: we use cookies' || chr(10) ELSE '' END)
+            || text ||
+            (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END) AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, generate_subscripts(l, 1) AS pos, UNNEST(l) AS line
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)
+        ),
+        n AS (SELECT doc_id, pos, line, trim(line, ' ') AS t FROM lines),
+        boiler AS (
+          SELECT t FROM n WHERE t <> ''
+          GROUP BY t HAVING COUNT(DISTINCT doc_id) >= 3
+        ),
+        kept AS (
+          SELECT doc_id, pos, line FROM n
+          WHERE t = '' OR t NOT IN (SELECT t FROM boiler)
+        ),
+        bf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_before FROM lines GROUP BY doc_id),
+        ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text
+               FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, b.n_lines_before,
+          CAST(b.n_lines_before - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_lines_removed,
+          COALESCE(ka.clean_text, '') AS clean_text
+        FROM bf b LEFT JOIN ka ON b.doc_id = ka.doc_id
+        ORDER BY b.doc_id"""))
   )
 
   /** DuckDB CTE fragment producing the q72 exact-Jaccard pair list

@@ -301,4 +301,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(kept0.getLong(1) === 2L)
     assert(out.filter($"n_kept_segments" === 2L).count() === 1L)
   }
+
+  test("removeBoilerplateLines: threshold, trim-matching, all-boiler docs survive empty") {
+    val docs = Seq(
+      (1L, "unique alpha\nFooter line\nbody one"),
+      (2L, "  Footer line  \nbody two"),       // trim-matches the footer
+      (3L, "Footer line\nbody three"),
+      (4L, "only once here\n\ntail"),           // empty line is structure, kept
+      (5L, "Footer line")                       // ALL lines boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplateLines(docs, minDocs = 3L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 1L, "unique alpha\nbody one")))
+    assert(out(1) == ((2L, 2L, 1L, "body two")))
+    assert(out(2) == ((3L, 2L, 1L, "body three")))
+    assert(out(3) == ((4L, 3L, 0L, "only once here\n\ntail")))
+    assert(out(4) == ((5L, 1L, 1L, "")), "an all-boilerplate doc must not vanish")
+    // four-doc furniture stays below a five-doc threshold
+    val below = TextOps.removeBoilerplateLines(docs, minDocs = 5L)
+    assert(below.agg(org.apache.spark.sql.functions.sum("n_lines_removed"))
+      .collect()(0).getLong(0) == 0L)
+  }
 }
