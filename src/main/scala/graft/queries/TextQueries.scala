@@ -667,6 +667,87 @@ object TextQueries {
           COALESCE(ka.clean_text, '') AS clean_text
         FROM bf b LEFT JOIN ka ON b.doc_id = ka.doc_id
         ORDER BY b.doc_id"""))
+  ) ++ Seq(
+
+    // ---- end-to-end curation pipeline composition ----
+    // The operators above chained the way a real corpus build runs them:
+    // model-based quality filter (q132's engine-exact classifier) →
+    // exact dedup keep-first (q40's shape) → leakage-safe split (q141's
+    // assignment) → per-split document/token budget accounting. Each
+    // stage is individually hash-proven; THIS entry pins that they
+    // compose — the filter feeds the dedup feeds the split with no
+    // column/semantics drift — because the oracle replays the whole
+    // chain and any stage-boundary mismatch shifts a count.
+    QueryDef(
+      "q144_curation_pipeline",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val scored = d.select(col("doc_id"), col("source"), col("text"),
+          graft.functions.TextNativeFunctions.classifierScore(col("text"))
+            .as(Seq("n_tokens", "raw_score", "score", "keep")))
+        val kept = scored.filter(col("keep"))
+        val deduped = kept
+          .groupBy(col("text"))
+          .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+            col("r.n_tokens").as("n_tokens"))
+        val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+        graft.ext.Sampling.splitAssign(deduped,
+            graft.ext.Sampling.stringKey(col("source")), splits)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy(col("split"))
+      },
+      Some {
+        val cuts = graft.ext.Sampling.splitCuts(
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        s"""WITH w AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+          FROM documents
+        ),
+        hb AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+              (acc, x) -> (acc * 31 + x) % 1048576) AS b
+          FROM w
+        ),
+        sc AS (
+          SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(SUM((b * 2654435761) % 4294967296 - 2147483648) AS BIGINT) AS raw_score
+          FROM hb GROUP BY doc_id
+        ),
+        keepdocs AS (
+          SELECT d.doc_id, d.source, d.text, sc.n_tokens
+          FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+          WHERE sc.raw_score > 0
+        ),
+        survivors AS (
+          SELECT k.doc_id, k.source, k.n_tokens
+          FROM keepdocs k
+          JOIN (SELECT text, MIN(doc_id) AS keep_id FROM keepdocs GROUP BY text) dd
+            ON k.doc_id = dd.keep_id
+        ),
+        assigned AS (
+          SELECT doc_id, source, n_tokens,
+            CASE WHEN h32 < ${cuts(0)} THEN 'train'
+                 WHEN h32 < ${cuts(1)} THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (
+            SELECT *,
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(source, ''), c -> CAST(unicode(c) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % 2147483648) * 2654435761) % 4294967296 AS h32
+            FROM survivors)
+        )
+        SELECT split, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM assigned GROUP BY split ORDER BY split"""
+      })
   )
 
   /** DuckDB CTE fragment producing the q72 exact-Jaccard pair list
