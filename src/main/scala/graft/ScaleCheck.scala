@@ -160,6 +160,19 @@ object ScaleCheck {
           org.apache.spark.sql.functions.col("text"), w)
           .as(Seq("n_tokens", "raw_score", "score", "keep")))
     }
+    // cross-corpus boilerplate-line removal: one line shuffle + a
+    // count-distinct threshold + anti-join back — must track corpus
+    // line volume, like the other one-shuffle text ops
+    val boiler = best("boilerplate_lines") {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val d = graft.queries.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val planted = d.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("\nSubscribe to our newsletter"))
+          .otherwise(lit(""))))
+      graft.ext.TextOps.removeBoilerplateLines(planted, minDocs = 3L)
+    }
+
     val (eqChangelog, eqFoldRead) = {
       import org.apache.spark.sql.functions.col
       val loc = java.nio.file.Files.createTempDirectory("scalecheck-eqdel").toString + "/t"
@@ -189,7 +202,8 @@ object ScaleCheck {
       "reorg_mor_delete" -> reorg._1, "reorg_purge" -> reorg._2,
       "iceberg_changelog_delete" -> changelog,
       "iceberg_eq_changelog" -> eqChangelog,
-      "eq_delete_fold_read" -> eqFoldRead))
+      "eq_delete_fold_read" -> eqFoldRead,
+      "boilerplate_lines" -> boiler))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
