@@ -880,12 +880,25 @@ object IcebergLog {
     val outFields = outState.schema.fields.toSeq
     def tag(df: DataFrame, tpe: String, v: Long, tsMs: Long): DataFrame =
       df.select(outFields.map(f =>
-          (if (df.columns.contains(f.name)) col(f.name)
+          (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
            else lit(null).cast(f.dataType)).as(f.name)): _*)
         .withColumn(DeltaCdf.ChangeTypeCol, lit(tpe))
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp",
           lit(new java.sql.Timestamp(tsMs)).cast(org.apache.spark.sql.types.TimestampType))
+    // An era's frame carries that era's COLUMN NAMES; the feed's column
+    // space is the `to` schema. Field ids are the stable identity across
+    // renames (spec "Schema Evolution"), so map era names to out names
+    // by id before tag() aligns by name — otherwise every pre-rename
+    // row surfaces with null in the renamed column.
+    val outById = topFields(outState.meta)
+    def alignToOut(df: DataFrame, eraMeta: JValue): DataFrame = {
+      val eraById = topFields(eraMeta).map { case (id, n, _) => id -> n }.toMap
+      df.select(outById.flatMap { case (id, outName, _) =>
+        eraById.get(id).filter(df.columns.contains)
+          .map(eraName => col(eraName).as(outName))
+      }: _*)
+    }
     val start = math.max(1L, fromVersion)
     // previous-version state, threaded through the loop — v1 is the
     // create commit (no previous document → empty table ≡ None)
@@ -945,12 +958,12 @@ object IcebergLog {
                 .withColumnRenamed(DeltaLog.RowMetaCol, "__pos")
               // plain equi-join (AQE broadcasts small delete deltas on
               // its own; forcing broadcast would OOM on a mass delete)
-              deleteFrames += tag(base.join(entries, Seq("__np", "__pos"))
-                .drop("__np", "__pos", DeltaLog.FileMetaCol), "delete", v, tsMs)
+              deleteFrames += tag(alignToOut(base.join(entries, Seq("__np", "__pos"))
+                .drop("__np", "__pos", DeltaLog.FileMetaCol), prev.meta), "delete", v, tsMs)
             }
             if (eqDel.nonEmpty && stPrev.isDefined)
-              deleteFrames += tag(equalityDying(spark, stPrev.get, eqDel),
-                "delete", v, tsMs)
+              deleteFrames += tag(alignToOut(equalityDying(spark, stPrev.get, eqDel),
+                stPrev.get.meta), "delete", v, tsMs)
           case other =>
             throw graft.catalog.UnsupportedOperationError(
               s"iceberg changelog: unsupported operation '$other' at version $v " +
@@ -964,8 +977,8 @@ object IcebergLog {
         // few commits: literal version/timestamp columns per branch keep
         // everything constant-foldable
         appendGroups.toSeq.map { case (v, tsMs, added, st) =>
-          tag(dfFor(spark, st.copy(files = added, deletes = Seq.empty)),
-            "insert", v, tsMs)
+          tag(alignToOut(dfFor(spark, st.copy(files = added, deletes = Seq.empty)),
+            st.meta), "insert", v, tsMs)
         }
       else {
         // many commits: one field-id-resolved scan of every appended file

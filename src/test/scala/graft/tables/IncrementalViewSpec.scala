@@ -176,6 +176,25 @@ class IncrementalViewSpec extends AnyFunSuite {
       Set((1L, "a"), (3L, "c")))
   }
 
+  test("changelog aligns eras by FIELD ID across a column rename") {
+    val loc = TestSpark.tmpDir("ice-ren-ch") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))   // v1: pre-rename era
+    t.renameColumn("s", "label")                           // v2: metadata-only
+    t.append(Seq((3L, "c")).toDF("id", "label"))           // v3: post-rename era
+    t.delete("id = 1")                                     // v4: kills a PRE-rename row
+    val ch = IcebergLog.tableChanges(spark, loc, 1L)
+      .select("id", "label", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // pre-rename rows must surface under the CURRENT column name with
+    // their values — field ids are the identity, not names (the r10 bug
+    // nulled every pre-rename row's renamed column)
+    assert(ch == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 3L),
+      (1L, "a", "delete", 4L)), ch.toString)
+  }
+
   test("changelog over 50 commits: one state derivation per version, bounded plan") {
     val loc = TestSpark.tmpDir("ice-manyv") + "/t"
     val t = TxTable.forIceberg(spark, loc)
