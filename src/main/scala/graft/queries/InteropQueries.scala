@@ -1631,6 +1631,12 @@ object InteropQueries {
             .filter(col("l_orderkey") % 10 === 2)
             .select(col("l_orderkey")).distinct())
         refresh("cdf")
+        // an OVERWRITE-labeled commit (CoW UPDATE rewrite) is derivable
+        // from file diffs too — the refresh must STAY on the cdf path
+        // (carried rows surface as delete+insert pairs and net to zero
+        // under the signed fold), never fall back to a full re-sync
+        src.update("l_orderkey % 10 = 3", Map("l_quantity" -> "l_quantity + 1"))
+        refresh("cdf")
         refresh("noop")
         graft.tables.TxTable.forLocation(s, mv).toDF
           .select(col("l_returnflag"), col("n_rows"),
@@ -1638,7 +1644,8 @@ object InteropQueries {
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
-          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
+          CAST(SUM(CAST(l_quantity AS BIGINT))
+            + SUM(CASE WHEN l_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS sum_qty
         FROM lineitem
         WHERE l_linenumber <= 3 AND l_orderkey % 10 <> 0
           AND NOT (l_returnflag = 'N' AND l_orderkey % 10 = 1)
@@ -1771,6 +1778,82 @@ object InteropQueries {
         SELECT CAST(v AS BIGINT) AS v, ct AS _change_type,
           COUNT(*) AS n_rows,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-        FROM feed GROUP BY v, ct ORDER BY v, ct"""))
+        FROM feed GROUP BY v, ct ORDER BY v, ct""")),
+
+    // ---- q145: changelog over OVERWRITE snapshots ----
+    // Spark's own Iceberg writer labels dynamic-partition-overwrite and
+    // CoW MERGE commits `overwrite` — the single most common write shape
+    // on batch-maintained tables. Their row delta derives from file
+    // diffs: removed files' still-live rows (read under the previous
+    // deletes) are the delete feed, added files' rows the insert feed.
+    // A CoW rewrite also CARRIES untouched rows of rewritten files —
+    // those surface as delete+insert pairs at the same version and net
+    // to zero under the signed fold, so the verification is two-grain:
+    // the partition-aligned v2 overwrite is pinned with EXACT per-version
+    // counts, the file-boundary-dependent v3 merge through the signed
+    // net fold (which must equal the final table state DuckDB replays).
+    QueryDef(
+      "q145_iceberg_overwrite_changelog",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q145-ovw").toString + "/t"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("l_quantity"))
+        val t = graft.tables.TxTable.forIceberg(s, loc)
+        t.create(li.filter(col("l_linenumber") === 1), Seq("l_returnflag"))    // v1
+        // v2: dynamic partition overwrite — replaces EXACTLY partition 'A'
+        t.overwritePartitionsDynamic(
+          li.filter(col("l_linenumber") === 2 && col("l_returnflag") === "A"))
+        // v3: CoW MERGE (source aggregated to a unique key grain;
+        // matched rows bump quantity, unmatched insert)
+        val src = li.filter(col("l_linenumber").isin(1, 4) && col("l_returnflag") === "N")
+          .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("l_quantity"))
+        t.merge(src, "s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber" +
+            " AND s.l_returnflag = t.l_returnflag")
+          .whenMatchedUpdate(Map("l_quantity" -> "t.l_quantity + 100"))
+          .whenNotMatchedInsertAll()
+          .execute()
+        val chg = graft.tables.IcebergLog.tableChanges(s, loc, 1L).persist()
+        def n(v: Int, ct: String): Long =
+          chg.filter(col("_commit_version") === v && col("_change_type") === ct).count()
+        val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+        val out = chg.groupBy(col("l_returnflag"))
+          .agg(sum(sign).as("net_rows"), sum(sign * col("l_quantity")).as("net_qty"))
+          .withColumn("v1_inserts", lit(n(1, "insert")))
+          .withColumn("v2_deletes", lit(n(2, "delete")))
+          .withColumn("v2_inserts", lit(n(2, "insert")))
+          .orderBy(col("l_returnflag"))
+        chg.unpersist()
+        out
+      },
+      Some("""WITH l AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+            CAST(l_quantity AS BIGINT) AS l_quantity FROM lineitem),
+        l1 AS (SELECT * FROM l WHERE l_linenumber = 1),
+        l2a AS (SELECT * FROM l WHERE l_linenumber = 2 AND l_returnflag = 'A'),
+        tgt AS (SELECT * FROM l1 WHERE l_returnflag <> 'A' UNION ALL SELECT * FROM l2a),
+        src AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+            CAST(SUM(l_quantity) AS BIGINT) AS l_quantity
+          FROM l WHERE l_linenumber IN (1, 4) AND l_returnflag = 'N' GROUP BY 1, 2, 3),
+        merged AS (
+          SELECT t.l_returnflag,
+            CASE WHEN s.l_orderkey IS NOT NULL THEN t.l_quantity + 100
+                 ELSE t.l_quantity END AS l_quantity
+          FROM tgt t LEFT JOIN src s
+            ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+              AND s.l_returnflag = t.l_returnflag
+          UNION ALL
+          SELECT s.l_returnflag, s.l_quantity
+          FROM src s LEFT JOIN tgt t
+            ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+              AND s.l_returnflag = t.l_returnflag
+          WHERE t.l_orderkey IS NULL)
+        SELECT m.l_returnflag,
+          COUNT(*) AS net_rows,
+          CAST(SUM(l_quantity) AS BIGINT) AS net_qty,
+          (SELECT COUNT(*) FROM l1) AS v1_inserts,
+          (SELECT COUNT(*) FROM l1 WHERE l_returnflag = 'A') AS v2_deletes,
+          (SELECT COUNT(*) FROM l2a) AS v2_inserts
+        FROM merged m GROUP BY m.l_returnflag ORDER BY m.l_returnflag"""))
   )
 }

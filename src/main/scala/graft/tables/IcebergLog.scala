@@ -853,9 +853,16 @@ object IcebergLog {
     *     delete file's `equality_ids` columns under the spec's
     *     strictly-smaller-sequence rule — the same match the reader's
     *     anti-join applies, flipped;
-    *   - overwrite snapshots raise UnsupportedOperationError — their row
-    *     delta is not recoverable from file diffs alone; consumers fall
-    *     back to a re-sync.
+    *   - overwrite snapshots (dynamic partition overwrite, CoW
+    *     MERGE/UPDATE/REPLACE WHERE — the labels Spark's own Iceberg
+    *     writer uses for the most common batch-maintenance commits) →
+    *     the SAME file-diff machinery: data files leaving the live set
+    *     contribute their still-live rows (read under the previous
+    *     deletes) as deletes, entering files contribute inserts, and
+    *     any same-commit delete files fold in like delete snapshots.
+    *     A row a CoW rewrite merely CARRIES (file rewritten, value
+    *     unchanged) surfaces as a delete+insert pair at that version —
+    *     net zero under the signed fold incremental consumers apply.
     * Incremental consumers (materialized views) fold this as a signed
     * row feed, making MoR DELETEs incremental on Iceberg sources too.
     *
@@ -906,6 +913,7 @@ object IcebergLog {
       if (start <= 1) None else Some(stateAt(spark, location, Some(start - 1)))
     val appendGroups =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[TxLog.AddFile], IceState)]
+    val insertFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val deleteFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (start to to).foreach { v =>
       val meta = metaAt(spark, location, v)
@@ -931,16 +939,46 @@ object IcebergLog {
         val prevDeletes = stPrev.map(_.deletes).getOrElse(Seq.empty)
         currentOperation(meta) match {
           case "replace" => // compaction/REORG: no row-level change
-          case "append" =>
+          case _ =>
+            // GENERIC file-diff derivation: append, delete AND
+            // overwrite-labeled snapshots reduce to the same three
+            // ingredients, so dynamic-partition-overwrite and CoW
+            // MERGE/UPDATE commits no longer force consumers to re-sync.
+            val curPaths = st.files.map(_.path).toSet
             val prevPaths = prevFiles.map(_.path).toSet
             val added = st.files.filterNot(f => prevPaths.contains(f.path))
-            if (added.nonEmpty) appendGroups += ((v, tsMs, added, st))
-          case "delete" =>
+            val removed = prevFiles.filterNot(f => curPaths.contains(f.path))
             val prevDel = prevDeletes.map(_.path).toSet
             val newDel = st.deletes.filterNot(d => prevDel.contains(d.path))
+            // 1) entering data files → inserts. With same-commit delete
+            // files present (MoR engines commit data + deletes together),
+            // apply exactly those to the added files so a row that never
+            // became visible is not reported — position deletes can hit
+            // same-sequence files, equality deletes cannot
+            // (strictly-smaller rule), and dfFor enforces both. Such
+            // groups can't join the batched one-scan plan, so they emit
+            // their own frame (rare shape; our writer never produces it).
+            if (added.nonEmpty) {
+              if (newDel.isEmpty) appendGroups += ((v, tsMs, added, st))
+              else insertFrames += tag(alignToOut(
+                dfFor(spark, st.copy(files = added, deletes = newDel)),
+                st.meta), "insert", v, tsMs)
+            }
+            // 2) data files leaving the live set → their still-live rows
+            // (read under the PREVIOUS deletes: already-dead positions
+            // died in an earlier version) are deletes
+            if (removed.nonEmpty && stPrev.isDefined) {
+              val prev = stPrev.get
+              deleteFrames += tag(alignToOut(
+                dfFor(spark, prev.copy(files = removed)), prev.meta),
+                "delete", v, tsMs)
+            }
+            // 3) new delete files kill rows among the SURVIVING previous
+            // files only — removed files' rows already died via (2)
+            val surviving = prevFiles.filter(f => curPaths.contains(f.path))
             val posDel = newDel.filter(_.content == 1)
             val eqDel = newDel.filter(_.content == 2)
-            if (posDel.nonEmpty && stPrev.isDefined) {
+            if (posDel.nonEmpty && stPrev.isDefined && surviving.nonEmpty) {
               val prev = stPrev.get
               // the dying rows: new (path, pos) entries joined to their
               // data files read under the PREVIOUS deletes only
@@ -949,7 +987,7 @@ object IcebergLog {
                   col("pos").cast("long").as("__pos"))
               val touched = entries.select("__np").distinct()
                 .collect().map(_.getString(0)).toSet
-              val dataFiles = prev.files.filter(f =>
+              val dataFiles = surviving.filter(f =>
                 touched.contains(DeletionVectors.normalizedUri(f.path)))
               val base = dfFor(spark,
                 prev.copy(files = dataFiles), withMeta = true)
@@ -961,13 +999,10 @@ object IcebergLog {
               deleteFrames += tag(alignToOut(base.join(entries, Seq("__np", "__pos"))
                 .drop("__np", "__pos", DeltaLog.FileMetaCol), prev.meta), "delete", v, tsMs)
             }
-            if (eqDel.nonEmpty && stPrev.isDefined)
-              deleteFrames += tag(alignToOut(equalityDying(spark, stPrev.get, eqDel),
+            if (eqDel.nonEmpty && stPrev.isDefined && surviving.nonEmpty)
+              deleteFrames += tag(alignToOut(
+                equalityDying(spark, stPrev.get.copy(files = surviving), eqDel),
                 stPrev.get.meta), "delete", v, tsMs)
-          case other =>
-            throw graft.catalog.UnsupportedOperationError(
-              s"iceberg changelog: unsupported operation '$other' at version $v " +
-                "(overwrite histories need a re-sync)")
         }
         stPrev = Some(st)
       }
@@ -998,7 +1033,7 @@ object IcebergLog {
             lit("insert").as(DeltaCdf.ChangeTypeCol),
             col("_commit_version"), col("_commit_timestamp")): _*))
       }
-    val frames = appendFrames ++ deleteFrames
+    val frames = appendFrames ++ insertFrames ++ deleteFrames
     frames.reduceOption(_ unionByName _).getOrElse {
       val schema = org.apache.spark.sql.types.StructType(outFields ++ Seq(
         org.apache.spark.sql.types.StructField(DeltaCdf.ChangeTypeCol, StringType),
@@ -1190,7 +1225,13 @@ object IcebergLog {
         acc.withColumnRenamed(c, s"__eq_$c"))
       val cond = cols.map(c => withSeq(c) <=> renamed(s"__eq_$c"))
         .reduce(_ && _) && withSeq("__dataseq") < renamed("__delseq")
-      withSeq.join(broadcast(renamed), cond, "left_semi")
+      // plain semi-join: the null-safe key equalities extract as hash
+      // join keys and the sequence predicate rides as a post-join filter,
+      // so AQE broadcasts a small delete delta on its own — forcing
+      // broadcast would OOM on a bulk equality delete (a compliance
+      // purge arrives as ONE group with O(table keys) rows), exactly the
+      // trap the position-delete path avoids
+      withSeq.join(renamed, cond, "left_semi")
     }.reduce(_ unionByName _)
       .select(col("__np"), col(DeltaLog.RowMetaCol).as("__pos"))
       .distinct()
@@ -1200,7 +1241,8 @@ object IcebergLog {
     * equality-delete files — the reader's sequence-scoped anti-join
     * (applyEqualityDeletes) flipped to a semi-join, deduplicated by
     * (file, pos) so a row matching several delete groups dies exactly
-    * once. Delete rows are O(deleted keys), so each group broadcasts.
+    * once. The join is left to AQE (small delete deltas broadcast on
+    * their own; a bulk purge sort-merges instead of OOMing).
     */
   private def equalityDying(spark: SparkSession, stPrev: IceState,
       eqDel: Seq[IceFile]): DataFrame = {
@@ -1230,7 +1272,7 @@ object IcebergLog {
         acc.withColumnRenamed(c, s"__eq_$c"))
       val cond = cols.map(c => live(c) <=> renamed(s"__eq_$c"))
         .reduce(_ && _) && live("__dataseq") < renamed("__delseq")
-      live.join(broadcast(renamed), cond, "left_semi")
+      live.join(renamed, cond, "left_semi")
     }.reduce(_ unionByName _)
     dying.dropDuplicates(DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
       .drop("__np", "__dataseq", DeltaLog.FileMetaCol, DeltaLog.RowMetaCol)
@@ -1245,10 +1287,12 @@ object IcebergLog {
     *
     * Plan shape: the per-file sequence number broadcast-joins onto the
     * scan by file path (metadata-sized, map-side); each distinct
-    * equality-ids set becomes ONE broadcast anti-join against the union
-    * of its delete files (delete rows are O(deleted keys) — the reason
-    * engines write equality deletes at all). Null-safe equality matches
-    * null keys, like Iceberg's own readers.
+    * equality-ids set becomes ONE anti-join against the union of its
+    * delete files, with the strategy left to AQE — a Flink-upsert
+    * micro-batch is tiny and broadcasts at runtime, while a bulk
+    * equality delete (compliance purge, O(table keys) rows in one
+    * group) sort-merges instead of OOMing the driver. Null-safe
+    * equality matches null keys, like Iceberg's own readers.
     */
   private def applyEqualityDeletes(spark: SparkSession, df: DataFrame,
       st: IceState): DataFrame = {
@@ -1277,7 +1321,7 @@ object IcebergLog {
       val renamed = cols.foldLeft(delRows) { (acc, c) => acc.withColumnRenamed(c, s"__eq_$c") }
       val cond = cols.map(c => out(c) <=> renamed(s"__eq_$c"))
         .reduce(_ && _) && out("__dataseq") < renamed("__delseq")
-      out = out.join(broadcast(renamed), cond, "left_anti")
+      out = out.join(renamed, cond, "left_anti")
     }
     out.drop("__dataseq")
   }

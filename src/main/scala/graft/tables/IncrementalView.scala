@@ -30,8 +30,11 @@ import graft.catalog.UnsupportedOperationError
   *     folds with sign — inserts and update postimages +1, deletes and
   *     preimages -1 — so DELETE / UPDATE / MERGE on the source stay
   *     incremental too, and a group whose count reaches zero is deleted
-  *     from the view; an Iceberg history the changelog cannot derive
-  *     (overwrite, equality deletes) raises and falls back to re-sync;
+  *     from the view — the Iceberg changelog derives every data-changing
+  *     snapshot shape (appends, position/equality deletes, AND
+  *     overwrite-labeled commits like dynamic partition overwrite or a
+  *     CoW MERGE, via file diffs); a genuinely underivable history
+  *     raises and falls back to re-sync;
   *   - anything else (a non-append commit on a CDF-less source): fall
   *     back to one full re-sync MERGE that converges the view to the
   *     freshly-computed aggregate (matched update, unmatched insert,
@@ -166,8 +169,8 @@ object IncrementalView {
       }
 
     // row-level feeds: Delta CDF when enabled, or the Iceberg
-    // snapshot-diff changelog (always derivable — but it RAISES on
-    // overwrite/equality-delete history, handled by fallback below)
+    // snapshot-diff changelog (derives appends, MoR deletes AND
+    // overwrite commits; a raise on anything else falls back below)
     def fullResync(): Refresh = {
       // non-append history without a usable row feed: one full re-sync
       // merge converges the view to the fresh aggregate — O(source
@@ -221,8 +224,10 @@ object IncrementalView {
       // exact signed delta from the row-level change feed — note
       // tableChanges is INCLUSIVE-from (CDF convention) where
       // changesSince is exclusive-from, so start one past the watermark.
-      // The Iceberg changelog RAISES on histories it cannot derive
-      // (overwrites, equality deletes) — recoverable: full re-sync.
+      // A CoW rewrite surfaces carried rows as delete+insert pairs at
+      // the same version; the signed fold nets them to zero, so the
+      // merge below stays exact. A feed that RAISES (underivable
+      // history) is recoverable: full re-sync.
       try {
         val ch = source.tableChanges(from + 1, Some(to))
         val sign = when(col(DeltaCdf.ChangeTypeCol)

@@ -113,10 +113,11 @@ class IncrementalViewSpec extends AnyFunSuite {
     IcebergWriter.equalityDelete(spark, srcLoc, Seq("k"), Seq("a").toDF("k"))
     assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "cdf")
     assert(rowsOf(TxTable.forLocation(spark, viewLoc)) == Set(("c", 1L, 7.0)))
-    // an OVERWRITE is not derivable from file diffs: the changelog
-    // raises and refresh falls back to one full re-sync
+    // an OVERWRITE is derivable from file diffs too (removed files'
+    // live rows out, added files' rows in) — the refresh STAYS on the
+    // cdf path and still converges to the overwritten contents
     src.overwrite(Seq(("z", 1.0), ("z", 2.0)).toDF("k", "v"))
-    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "full")
+    assert(IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v")).mode == "cdf")
     assert(rowsOf(TxTable.forLocation(spark, viewLoc)) == Set(("z", 2L, 3.0)))
   }
 
@@ -174,6 +175,38 @@ class IncrementalViewSpec extends AnyFunSuite {
     // the feed folds to the readable state
     assert(t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "a"), (3L, "c")))
+  }
+
+  test("changelog derives OVERWRITE snapshots from file diffs") {
+    val loc = TestSpark.tmpDir("ice-ovw-ch") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(Seq((1L, "p", 10L), (2L, "p", 20L), (3L, "q", 30L))
+      .toDF("id", "part", "v"), Seq("part"))                           // v1
+    // v2: dynamic partition overwrite of 'p' — exact partition diff
+    t.overwritePartitionsDynamic(Seq((7L, "p", 70L)).toDF("id", "part", "v"))
+    val v2 = IcebergLog.tableChanges(spark, loc, 2L, Some(2L))
+      .select("id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v2 == Set((1L, "delete"), (2L, "delete"), (7L, "insert")), v2.toString)
+    // v3: CoW UPDATE (overwrite-labeled rewrite) — carried rows emit
+    // delete+insert pairs; the SIGNED fold must equal the final state
+    t.update("id = 3", Map("v" -> "v + 5"))
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    val ch = IcebergLog.tableChanges(spark, loc, 1L)
+    val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    val net = ch.groupBy(col("id"))
+      .agg(sum(sign).as("n"), sum(sign * col("v")).as("v"))
+      .filter(col("n") =!= 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(net == Set((3L, 1L, 35L), (7L, 1L, 70L)), net.toString)
+    // already-dead rows never resurface: a MoR delete then an overwrite
+    // of that partition must not re-emit the dead row as a delete
+    t.delete("id = 7")                                                 // v4 (position delete)
+    t.overwritePartitionsDynamic(Seq((8L, "p", 80L)).toDF("id", "part", "v")) // v5
+    val v5 = IcebergLog.tableChanges(spark, loc, 5L, Some(5L))
+      .select("id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v5 == Set((8L, "insert")), v5.toString)
   }
 
   test("changelog aligns eras by FIELD ID across a column rename") {
