@@ -1854,6 +1854,52 @@ object InteropQueries {
           (SELECT COUNT(*) FROM l1) AS v1_inserts,
           (SELECT COUNT(*) FROM l1 WHERE l_returnflag = 'A') AS v2_deletes,
           (SELECT COUNT(*) FROM l2a) AS v2_inserts
-        FROM merged m GROUP BY m.l_returnflag ORDER BY m.l_returnflag"""))
+        FROM merged m GROUP BY m.l_returnflag ORDER BY m.l_returnflag""")),
+
+    // ---- q146: table_changes with TIMESTAMP bounds ----
+    // Schedulers write timestamp-bounded feeds ("changes since last
+    // night"), not version-bounded ones. The TVF's from/to dispatch on
+    // TYPE (integral = version, string/timestamp = timestamp); a FROM
+    // timestamp resolves to the first commit at-or-after it, a TO
+    // timestamp to the last at-or-before — pinned here by querying with
+    // the EXACT commit timestamps of v2 and v3 (both boundaries
+    // inclusive), one as a STRING literal and one as TIMESTAMP'...'.
+    QueryDef(
+      "q146_sql_table_changes_timestamps",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q146cat")
+        client.createSchema("q146cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q146-ts").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        client.createAsTable(li.filter(col("l_linenumber") === 1),
+          "q146cat", "s", "t", graft.catalog.FileType.ICEBERG, s"$loc/t") // v1
+        val t = client.getTxTable("q146cat", "s", "t")
+        t.append(li.filter(col("l_linenumber") === 2))                    // v2
+        t.delete("l_quantity <= 10")                                      // v3
+        val vts = s.sql("""SELECT DISTINCT _commit_version, _commit_timestamp
+            FROM table_changes('q146cat.s.t', 1)""")
+          .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+        val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+        fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        s.sql(s"""SELECT _change_type, COUNT(*) AS n_rows,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM table_changes('q146cat.s.t',
+            '${fmt.format(vts(2L))}', TIMESTAMP'${fmt.format(vts(3L))}')
+          GROUP BY _change_type ORDER BY _change_type""")
+      },
+      Some("""WITH l1 AS (SELECT l_quantity FROM lineitem WHERE l_linenumber = 1),
+        l2 AS (SELECT l_quantity FROM lineitem WHERE l_linenumber = 2),
+        feed AS (
+          SELECT 'insert' AS ct, l_quantity FROM l2
+          UNION ALL
+          SELECT 'delete', l_quantity FROM l1 WHERE l_quantity <= 10
+          UNION ALL
+          SELECT 'delete', l_quantity FROM l2 WHERE l_quantity <= 10
+        )
+        SELECT ct AS _change_type, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM feed GROUP BY ct ORDER BY ct"""))
   )
 }

@@ -115,29 +115,65 @@ object GraftSqlExtensions {
     }
 
     private def resolveTableChanges(client: LakehouseClient,
-        args: Seq[Expression]): Option[LogicalPlan] =
-      try {
-        if (args.size < 2 || args.size > 3 || !args.forall(_.foldable))
-          throw graft.catalog.UnsupportedOperationError(
-            "table_changes(table_name, from_version[, to_version]) takes literal arguments")
-        val name = args.head.eval(null) match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-          case other => String.valueOf(other)
-        }
-        val parts = name.split('.')
-        if (parts.length != 3)
-          throw graft.catalog.UnsupportedOperationError(
-            s"table_changes: expected a 3-part catalog.schema.table name, got '$name'")
-        val info = client.getTable(parts(0), parts(1), parts(2))
-        val loc = graft.io.TableIO.normalize(info.storageLocation.get)
-        val t = graft.tables.TxTable.forAnyLocation(session, loc)
-        def lng(e: Expression): Long = String.valueOf(e.eval(null)).toLong
-        Some(t.tableChanges(lng(args(1)),
-          if (args.size == 3) Some(lng(args(2))) else None)
-          .queryExecution.analyzed)
-      } catch {
-        case _: graft.catalog.DoesNotExistError => None
+        args: Seq[Expression]): Option[LogicalPlan] = {
+      if (args.size < 2 || args.size > 3 || !args.forall(_.foldable))
+        throw graft.catalog.UnsupportedOperationError(
+          "table_changes(table_name, from[, to]) takes literal arguments: " +
+            "versions (BIGINT) or timestamps (TIMESTAMP, or a STRING like " +
+            "'2024-01-01 00:00:00')")
+      val name = args.head.eval(null) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => String.valueOf(other)
       }
+      val parts = name.split('.')
+      if (parts.length != 3)
+        throw graft.catalog.UnsupportedOperationError(
+          s"table_changes: expected a 3-part catalog.schema.table name, got '$name'")
+      val info =
+        try client.getTable(parts(0), parts(1), parts(2))
+        catch { case _: graft.catalog.DoesNotExistError => return None }
+      val loc = graft.io.TableIO.normalize(info.storageLocation.getOrElse(
+        throw graft.catalog.UnsupportedOperationError(
+          s"table_changes: table $name has no storage location")))
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      // Delta's TVF convention decides by TYPE: integral literals are
+      // versions, timestamp/string literals are timestamps. A FROM
+      // timestamp resolves to the first commit AT or AFTER it, a TO
+      // timestamp to the last commit at or before it — with millisecond
+      // commit times, "first >= ts" is exactly "(last <= ts-1) + 1", so
+      // both bounds reuse the log's one versionAtTimestamp primitive.
+      def tsMs(e: Expression): Option[Long] = e.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          Some(Math.floorDiv(e.eval(null).asInstanceOf[Long], 1000L))
+        case org.apache.spark.sql.types.StringType =>
+          val raw = e.eval(null).toString
+          // ANSI mode makes a malformed cast THROW; either way surface
+          // one uniform error naming the literal
+          val micros = try org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.TimestampType,
+            Some(session.sessionState.conf.sessionLocalTimeZone)).eval(null)
+          catch { case _: Exception => null }
+          if (micros == null)
+            throw graft.catalog.UnsupportedOperationError(
+              s"table_changes: cannot parse timestamp '$raw'")
+          Some(Math.floorDiv(micros.asInstanceOf[Long], 1000L))
+        case _ => None // integral → version
+      }
+      def bound(e: Expression, isFrom: Boolean): Long = tsMs(e) match {
+        case None => String.valueOf(e.eval(null)).toLong
+        case Some(ms) if isFrom =>
+          try t.log.versionAtTimestamp(session, loc, ms - 1) + 1
+          catch { case _: graft.catalog.DoesNotExistError => 0L } // predates the log → everything
+        case Some(ms) =>
+          t.log.versionAtTimestamp(session, loc, ms) // predates the log → its own clear error
+      }
+      Some(t.tableChanges(bound(args(1), isFrom = true),
+        if (args.size == 3) Some(bound(args(2), isFrom = false)) else None)
+        .queryExecution.analyzed)
+    }
 
     private def resolveRefRead(client: LakehouseClient,
         parts: Seq[String]): Option[LogicalPlan] = {
@@ -198,19 +234,25 @@ object GraftSqlExtensions {
     private def resolve(client: LakehouseClient, cat: String, sch: String, tbl: String): Option[LogicalPlan] =
       try {
         val info = client.getTable(cat, sch, tbl) // existence check with catalog-store semantics
-        val df = client.readTable(cat, sch, tbl)
-        val plan = df.queryExecution.analyzed
-        // transactional formats know their exact live row count from the
-        // log (per-file rows minus DV cardinalities) — leave a DEFERRED
-        // count on the plan so MetadataOnlyCount can answer COUNT(*)
-        // without a scan; the closure only runs if that rewrite fires
         import graft.catalog.FileType
-        if (info.fileType == FileType.DELTA || info.fileType == FileType.ICEBERG) {
+        if ((info.fileType == FileType.DELTA || info.fileType == FileType.ICEBERG)
+            && info.storageLocation.isDefined) {
+          // transactional formats: build the read PINNED at the current
+          // version and tag the plan with a deferred count AT THAT
+          // VERSION — a DataFrame held across a later commit must keep
+          // answering from the snapshot its file list was planned
+          // against (df.count() and df.collect() have to agree), exactly
+          // like the time-travel path below. Tagging a latest-version
+          // closure here would re-resolve at count() time and break
+          // snapshot consistency.
           val loc = graft.io.TableIO.normalize(info.storageLocation.get)
+          val t = graft.tables.TxTable.forAnyLocation(session, loc)
+          val v = t.version
+          val plan = t.toDF(v).queryExecution.analyzed
           plan.setTagValue(GraftSqlExtensions.ExactCountTag,
-            () => GraftSqlExtensions.exactRowCount(session, loc))
-        }
-        Some(plan)
+            () => GraftSqlExtensions.exactRowCount(session, loc, Some(v)))
+          Some(plan)
+        } else Some(client.readTable(cat, sch, tbl).queryExecution.analyzed)
       } catch {
         case _: graft.catalog.DoesNotExistError => None
       }

@@ -150,6 +150,58 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM table_changes('core.t', 1)").collect()
     }
     assert(ex.getMessage.contains("3-part") || ex.toString.contains("3-part"))
+
+    // TIMESTAMP bounds: the from/to literals map through the log's
+    // versionAtTimestamp — from is first-commit-at-or-after, to is
+    // last-commit-at-or-before (Delta's TVF convention, type-dispatched)
+    val vts = spark.sql(
+      "SELECT DISTINCT _commit_version, _commit_timestamp FROM table_changes('lakecdf.core.t', 1)")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    def lit(v: Long) = fmt.format(vts(v))
+    val byTs = spark.sql(
+      s"""SELECT id, _change_type FROM
+          table_changes('lakecdf.core.t', '${lit(2)}', '${lit(3)}')""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(byTs == Set((3L, "insert"), (1L, "delete")), byTs.toString)
+    // TIMESTAMP-typed literal, from-only, exact boundary is INCLUSIVE
+    val fromOnly = spark.sql(
+      s"SELECT COUNT(*) AS n FROM table_changes('lakecdf.core.t', TIMESTAMP'${lit(3)}')")
+      .collect()(0).getLong(0)
+    assert(fromOnly == 1L)
+    // a from-timestamp before the first commit means the whole feed
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM table_changes('lakecdf.core.t', TIMESTAMP'1999-01-01 00:00:00')")
+      .collect()(0).getLong(0) == 4L)
+    // unparseable timestamp string raises a clear error
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('lakecdf.core.t', 'not-a-time')").collect()
+    }
+    assert(bad.getMessage.contains("cannot parse timestamp") ||
+      bad.toString.contains("cannot parse timestamp"))
+  }
+
+  test("COUNT(*) snapshot consistency: a held DataFrame counts its own snapshot") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakesnap")
+    client.createSchema("lakesnap", "core")
+    val dir = TestSpark.tmpDir("sqlsnap")
+    client.createAsTable((1L to 40L).toDF("id"),
+      "lakesnap", "core", "t", FileType.DELTA, s"$dir/t")
+    // resolve the read BEFORE the commit and hold it
+    val held = spark.sql("SELECT * FROM lakesnap.core.t")
+    client.getTxTable("lakesnap", "core", "t").append((41L to 60L).toDF("id"))
+    // the held plan pinned its file list at resolution time — count()
+    // (which may answer metadata-only) and collect() must AGREE on the
+    // pinned snapshot, not leak the concurrent commit's rows into one
+    // of them
+    assert(held.count() == 40L, "held df count must reflect the pinned snapshot")
+    assert(held.collect().length == 40)
+    // a fresh resolution sees the new commit, still metadata-only
+    val fresh = spark.sql("SELECT COUNT(*) FROM lakesnap.core.t")
+    assert(fresh.collect()(0).getLong(0) == 60L)
+    assert(fresh.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
   test("merge results visible via SQL immediately (no view re-registration)") {
