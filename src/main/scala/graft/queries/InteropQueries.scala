@@ -1900,6 +1900,54 @@ object InteropQueries {
         )
         SELECT ct AS _change_type, COUNT(*) AS n_rows,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-        FROM feed GROUP BY ct ORDER BY ct"""))
+        FROM feed GROUP BY ct ORDER BY ct""")),
+
+    // ---- q147: metadata-only MIN/MAX from per-file log stats ----
+    // The other query every dashboard fires at a 100 TB table:
+    // ungrouped COUNT(*)/MIN/MAX on stats-covered columns answers from
+    // ONE snapshot read (per-file footer min/max folded on the driver),
+    // zero data scanned — plan-pinned by the metadata_only column. The
+    // provability rules bail to the scan when the answer could differ:
+    // string extremes (writers may truncate string stats) are pinned
+    // here taking the FileScan path and still hash-matching.
+    QueryDef(
+      "q147_metadata_minmax",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q147cat")
+        client.createSchema("q147cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q147-minmax").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+        client.createAsTable(li.filter(col("l_linenumber") <= 3).repartition(3),
+          "q147cat", "s", "t", graft.catalog.FileType.DELTA, s"$loc/t")
+        client.getTxTable("q147cat", "s", "t")
+          .append(li.filter(col("l_linenumber") > 3).repartition(2))
+        val q = s.sql("""SELECT COUNT(*) AS n_rows,
+            MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+            MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+          FROM q147cat.s.t""")
+        val plan = q.queryExecution.executedPlan.toString
+        val metadataOnly = plan.contains("LocalTableScan") && !plan.contains("FileScan")
+        val flagQ = s.sql("SELECT MIN(l_returnflag) AS min_flag FROM q147cat.s.t")
+        val flagScanned = flagQ.queryExecution.executedPlan.toString.contains("FileScan")
+        q.withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("min_flag", lit(flagQ.collect()(0).getString(0)))
+          .withColumn("flag_scanned", lit(flagScanned))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+          CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+          CAST(MAX(l_orderkey) AS BIGINT) AS max_ok,
+          CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+          CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+          MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+          TRUE AS metadata_only,
+          MIN(l_returnflag) AS min_flag,
+          TRUE AS flag_scanned
+        FROM lineitem"""))
   )
 }

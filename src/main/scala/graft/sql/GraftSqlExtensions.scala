@@ -223,9 +223,10 @@ object GraftSqlExtensions {
           t.log.versionAtTimestamp(session, loc, Math.floorDiv(micros, 1000L))
         }
         val plan = t.toDF(v).queryExecution.analyzed
-        // time-traveled COUNT(*) is metadata-only too, pinned at v
+        // time-traveled COUNT(*)/MIN/MAX are metadata-only too, pinned at v
         plan.setTagValue(GraftSqlExtensions.ExactCountTag,
           () => GraftSqlExtensions.exactRowCount(session, loc, Some(v)))
+        plan.setTagValue(GraftSqlExtensions.StatsRefTag, (loc, Some(v)))
         Some(plan)
       } catch {
         case _: graft.catalog.DoesNotExistError => None
@@ -251,6 +252,7 @@ object GraftSqlExtensions {
           val plan = t.toDF(v).queryExecution.analyzed
           plan.setTagValue(GraftSqlExtensions.ExactCountTag,
             () => GraftSqlExtensions.exactRowCount(session, loc, Some(v)))
+          plan.setTagValue(GraftSqlExtensions.StatsRefTag, (loc, Some(v)))
           Some(plan)
         } else Some(client.readTable(cat, sch, tbl).queryExecution.analyzed)
       } catch {
@@ -264,6 +266,13 @@ object GraftSqlExtensions {
   private[sql] val ExactCountTag =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[() => Long]("graft.exactRowCount")
 
+  /** (location, pinned version) of the snapshot a tagged read plan was
+    * built from — the handle MetadataOnlyCount's MIN/MAX arm resolves
+    * file stats through.
+    */
+  private[sql] val StatsRefTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[(String, Option[Long])]("graft.statsRef")
+
   private[sql] def exactRowCount(session: ClassicSparkSession, loc: String,
       version: Option[Long] = None): Long =
     try {
@@ -274,27 +283,76 @@ object GraftSqlExtensions {
         f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
     } catch { case _: Throwable => -1L }
 
-  /** `SELECT COUNT(*) FROM cat.sch.t` answered from the LOG — the
-    * metadata-only count every lakehouse engine special-cases, because at
-    * 100 TB the difference is one snapshot read versus a full scan. Fires
-    * ONLY on an ungrouped all-COUNT(1) aggregate whose child walks down
-    * to a tagged catalog-table read through row-preserving nodes
-    * (Project/SubqueryAlias); any Filter, Limit, join, grouping, DISTINCT
-    * or FILTER clause leaves the plan untouched. Counts come from
+  /** Exact ungrouped MIN/MAX of `colName` from per-file log stats — or
+    * None when the log cannot PROVE the answer, in which case the plan
+    * falls back to the scan (always safe). Provable requires, per file:
+    * a recorded min/max (or exact partition value) of an
+    * exactly-representable ordering type (integral, date, timestamp —
+    * see FileStats.orderedStatValue for why floats and strings bail),
+    * OR a null count proving the column is all-null in that file; plus
+    * NO live deletion vector anywhere (a DV row could be the extreme)
+    * and known row counts. An empty or all-null column answers SQL NULL
+    * (Some(null)).
+    */
+  private[sql] def exactMinMax(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String, isMin: Boolean): Option[Any] =
+    try {
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val field = snap.schema.fields.find(_.name == colName).getOrElse(return None)
+      if (snap.files.exists(_.deletionVector.exists(_.cardinality > 0))) return None
+      val isPart = snap.partitionColumns.contains(colName)
+      var acc: Option[Long] = None
+      snap.files.foreach { f =>
+        if (f.rows != 0L) {
+          if (f.rows < 0L) return None
+          val stat =
+            if (isPart) f.partitionValues.get(colName)
+            else (if (isMin) f.minValues else f.maxValues).flatMap(_.get(colName))
+          stat.filter(_ != null)
+            .flatMap(s => graft.tables.FileStats.orderedStatValue(field.dataType, s)) match {
+            case Some(v) =>
+              acc = Some(acc.fold(v)(a => if (isMin) math.min(a, v) else math.max(a, v)))
+            case None =>
+              // a file without a usable extreme is ignorable ONLY when
+              // its null count proves the column holds no values there
+              if (!f.nullCounts.flatMap(_.get(colName)).contains(f.rows)) return None
+          }
+        }
+      }
+      Some(acc.map(v =>
+        graft.tables.FileStats.orderedValueToCatalyst(field.dataType, v)).orNull)
+    } catch { case _: Throwable => None }
+
+  /** `SELECT COUNT(*), MIN(x), MAX(x) FROM cat.sch.t` answered from the
+    * LOG — the metadata-only aggregates every lakehouse engine
+    * special-cases, because at 100 TB the difference is one snapshot
+    * read versus a full scan. Fires ONLY on an ungrouped aggregate whose
+    * every output is COUNT(1), MIN(col) or MAX(col) and whose child
+    * walks down to a tagged catalog-table read through row-preserving
+    * nodes (Project/SubqueryAlias); any Filter, Limit, join, grouping,
+    * DISTINCT or FILTER clause leaves the plan untouched, and MIN/MAX
+    * arguments must be the RELATION's own attributes (matched by exprId,
+    * so a Project alias or computed column bails). Counts come from
     * per-file row counts minus deletion-vector cardinalities (the same
-    * arithmetic DESCRIBE DETAIL reports, q140-oracled); a snapshot with
-    * unknown file rows bails to the scan.
+    * arithmetic DESCRIBE DETAIL reports, q140-oracled); extremes from
+    * per-file min/max stats or exact partition values under the
+    * provability rules of exactMinMax. Anything unprovable (unknown
+    * rows, live DVs, float/string extremes, missing stats without an
+    * all-null proof) keeps the scan.
     */
   final case class MetadataOnlyCount(session: ClassicSparkSession) extends Rule[LogicalPlan] {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 
-    private def tagged(plan: LogicalPlan): Option[() => Long] =
-      plan.getTagValue(GraftSqlExtensions.ExactCountTag).orElse(plan match {
-        case Project(_, child) => tagged(child)
-        case SubqueryAlias(_, child) => tagged(child)
+    private def taggedNode(plan: LogicalPlan): Option[LogicalPlan] =
+      if (plan.getTagValue(GraftSqlExtensions.ExactCountTag).isDefined ||
+          plan.getTagValue(GraftSqlExtensions.StatsRefTag).isDefined) Some(plan)
+      else plan match {
+        case Project(_, child) => taggedNode(child)
+        case SubqueryAlias(_, child) => taggedNode(child)
         case _ => None
-      })
+      }
 
     private def isCountStar(e: Expression): Boolean = e match {
       case Alias(child, _) => isCountStar(child)
@@ -302,13 +360,36 @@ object GraftSqlExtensions {
       case _ => false
     }
 
+    private def minMaxOf(e: Expression): Option[(AttributeReference, Boolean)] = e match {
+      case Alias(child, _) => minMaxOf(child)
+      case AggregateExpression(Min(a: AttributeReference), Complete, false, None, _) =>
+        Some((a, true))
+      case AggregateExpression(Max(a: AttributeReference), Complete, false, None, _) =>
+        Some((a, false))
+      case _ => None
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty && exprs.forall(isCountStar) =>
-        tagged(child).flatMap { deferred =>
-          val n = deferred()
-          if (n < 0) None
+      case agg @ Aggregate(Nil, exprs, child, _)
+          if exprs.nonEmpty && exprs.forall(e => isCountStar(e) || minMaxOf(e).isDefined) =>
+        taggedNode(child).flatMap { node =>
+          val values: Seq[Option[Any]] = exprs.map { e =>
+            if (isCountStar(e))
+              node.getTagValue(GraftSqlExtensions.ExactCountTag)
+                .map(_()).filter(_ >= 0L).map(identity[Any])
+            else minMaxOf(e).flatMap { case (a, isMin) =>
+              // by exprId: the attribute must be the relation's own
+              // column, not a Project alias over something computed
+              if (!node.outputSet.contains(a)) None
+              else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                case (loc, v) =>
+                  GraftSqlExtensions.exactMinMax(session, loc, v, a.name, isMin)
+              }
+            }
+          }
+          if (values.exists(_.isEmpty)) None
           else Some(LocalRelation(agg.output,
-            Seq(org.apache.spark.sql.catalyst.InternalRow(exprs.map(_ => n): _*))))
+            Seq(org.apache.spark.sql.catalyst.InternalRow(values.map(_.get): _*))))
         }.getOrElse(agg)
     }
   }

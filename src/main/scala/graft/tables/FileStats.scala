@@ -217,6 +217,40 @@ object FileStats {
       Math.multiplyExact(inst.getEpochSecond, 1000000L) + inst.getNano / 1000L
     }
 
+  /** Decode a serialized per-file stat (footer min/max, Delta stats
+    * JSON value, Iceberg bound, or hive partition value) of an
+    * EXACTLY-representable ordering type into its Long ordering domain —
+    * the shared currency of the metadata-only MIN/MAX rewrite. Returns
+    * None on unsupported types or unparseable input (the caller then
+    * falls back to a scan, always safe).
+    *
+    * Float/double are excluded ON PURPOSE: parquet footers omit NaN from
+    * extremes while SQL MAX ranks NaN above everything, so a footer
+    * answer could differ from the scan on NaN-carrying data. Strings
+    * are excluded because writers may truncate string stats (Delta
+    * truncates to 32 chars) — fine for conservative pruning, unsound
+    * for an exact answer.
+    */
+  def orderedStatValue(dt: DataType, s: String): Option[Long] =
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
+      case DateType => Some(toEpochDays(s))
+      case TimestampType => Some(toEpochMicros(s, java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
+      case TimestampNTZType => Some(toEpochMicros(s, java.time.ZoneOffset.UTC))
+      case _ => None
+    } catch { case NonFatal(_) => None }
+
+  /** Inverse of [[orderedStatValue]]'s domain: a Long ordering value back
+    * to the column type's Catalyst-internal representation.
+    */
+  def orderedValueToCatalyst(dt: DataType, v: Long): Any = dt match {
+    case ByteType => v.toByte
+    case ShortType => v.toShort
+    case IntegerType | DateType => v.toInt
+    case _ => v
+  }
+
   /** Manifest-level file pruning shared by the native and foreign-Delta
     * scan paths: keep only the files whose partition values or min/max
     * stats might satisfy `predicate`.

@@ -182,6 +182,60 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       bad.toString.contains("cannot parse timestamp"))
   }
 
+  test("MIN/MAX on stats-covered columns answer from the log; unprovable cases scan") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakemm")
+    client.createSchema("lakemm", "core")
+    val dir = TestSpark.tmpDir("sqlminmax")
+    val df = Seq(
+      (5L, 3, java.sql.Date.valueOf("2024-03-01"), "x", Some(1.5)),
+      (1L, 9, java.sql.Date.valueOf("2023-01-15"), "y", None),
+      (7L, 4, java.sql.Date.valueOf("2024-07-09"), "z", Some(2.5)))
+      .toDF("id", "k", "d", "s", "f")
+    client.createAsTable(df.repartition(2), "lakemm", "core", "t",
+      FileType.DELTA, s"$dir/t")
+
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    val q = spark.sql(
+      "SELECT COUNT(*), MIN(id), MAX(id), MIN(k), MAX(k), MIN(d), MAX(d) FROM lakemm.core.t")
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)) ==
+      (3L, 1L, 7L, 3, 9))
+    assert((r.getDate(5).toString, r.getDate(6).toString) == ("2023-01-15", "2024-07-09"))
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan"),
+      s"stats-covered MIN/MAX must not scan\n${planOf(q)}")
+
+    // unprovable shapes fall back to the scan and stay correct:
+    // strings (truncatable stats) and floats (NaN-unsound extremes)
+    val qs = spark.sql("SELECT MIN(s), MAX(f) FROM lakemm.core.t")
+    assert(planOf(qs).contains("FileScan"))
+    assert((qs.collect()(0).getString(0), qs.collect()(0).getDouble(1)) == ("x", 2.5))
+    // filtered / grouped aggregates are untouched
+    assert(planOf(spark.sql("SELECT MIN(id) FROM lakemm.core.t WHERE k > 3"))
+      .contains("FileScan"))
+    // a Project ALIAS over a computed column must not be mistaken for
+    // the relation's own attribute (exprId mismatch → scan)
+    val qa = spark.sql(
+      "SELECT MIN(x) FROM (SELECT id + 1 AS x FROM lakemm.core.t)")
+    assert(planOf(qa).contains("FileScan"))
+    assert(qa.collect()(0).getLong(0) == 2L)
+    // but a pass-through subquery SELECT keeps the rewrite
+    val qp = spark.sql("SELECT MAX(id) FROM (SELECT id FROM lakemm.core.t)")
+    assert(qp.collect()(0).getLong(0) == 7L)
+    assert(planOf(qp).contains("LocalTableScan") && !planOf(qp).contains("FileScan"))
+
+    // a live deletion vector could have deleted the extreme → scan
+    graft.tables.DeltaLogWriter.create(spark, s"$dir/dv",
+      (1L to 50L).toDF("id"),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    client.registerAsTable("lakemm", "core", "dv", FileType.DELTA, s"$dir/dv")
+    graft.tables.TxTable.forForeignDelta(spark, s"$dir/dv").delete("id >= 49")
+    val qdv = spark.sql("SELECT MIN(id), MAX(id) FROM lakemm.core.dv")
+    assert(planOf(qdv).contains("FileScan"))
+    assert((qdv.collect()(0).getLong(0), qdv.collect()(0).getLong(1)) == (1L, 48L))
+  }
+
   test("COUNT(*) snapshot consistency: a held DataFrame counts its own snapshot") {
     val client = new LakehouseClient(spark)
     client.createCatalog("lakesnap")
