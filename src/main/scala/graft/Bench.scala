@@ -252,9 +252,61 @@ object Bench {
         line("iceberg_changelog_delete", c)
         c
       }
+      // round-10/11 operators, so BENCH tracks the current frontier:
+      // the trained-weight classifier (broadcast gather, map-only), the
+      // cross-corpus boilerplate-line removal (two partial-agg
+      // shuffles), the composed curation pipeline (classifier → dedup →
+      // split, q144's exact shape), and the overwrite-snapshot
+      // changelog derivation (delete feed = removed files' rows,
+      // insert feed = added files' rows)
+      val classifierTrained = timed {
+        val w = Array.tabulate(graft.functions.ClassifierScoreGen.NumBuckets)(b =>
+          (((b.toLong * 1664525L + 1013904223L) % 4096L) - 2048L).toFloat / 1024.0f)
+        graft.queries.Tables.documents(spark, sfDir).select(
+          col("doc_id"),
+          graft.functions.TextNativeFunctions.classifierScore(col("text"), w)
+            .as(Seq("n_tokens", "raw_score", "score", "keep")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("classifier_trained", classifierTrained)
+      val boiler = timed {
+        import org.apache.spark.sql.functions.{concat, when}
+        val d = graft.queries.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val planted = d.withColumn("text", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nSubscribe to our newsletter"))
+            .otherwise(lit(""))))
+        graft.ext.TextOps.removeBoilerplateLines(planted, minDocs = 3L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("boilerplate_lines", boiler)
+      val curation = timed {
+        SparkEntry.queries("q144_curation_pipeline")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("curation_pipeline", curation)
+      val chlogOverwrite = {
+        val loc = java.nio.file.Files.createTempDirectory("bench-chovw").toString + "/t"
+        val li = graft.queries.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        val t = graft.tables.TxTable.forIceberg(spark, loc)
+        t.create(li, Seq("l_returnflag"))
+        t.overwritePartitionsDynamic(
+          li.filter(col("l_returnflag") === "A").withColumn("l_quantity", col("l_quantity") + lit(1)))
+        val c = timed {
+          graft.tables.IcebergLog.tableChanges(spark, loc, t.version, Some(t.version))
+            .write.format("noop").mode("overwrite").save()
+        }
+        line("iceberg_changelog_overwrite", c)
+        c
+      }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
-        "corpus_shards" -> shards, "iceberg_changelog_delete" -> chlog)
+        "corpus_shards" -> shards, "iceberg_changelog_delete" -> chlog,
+        "classifier_trained" -> classifierTrained,
+        "boilerplate_lines" -> boiler,
+        "curation_pipeline" -> curation,
+        "iceberg_changelog_overwrite" -> chlogOverwrite)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -125,6 +125,34 @@ object ScaleCheck {
       (d, p)
     }
 
+    // REORG PURGE with FIXED touched bytes: the proportional probe above
+    // rewrites every DV-carrying file by construction, so its ×10 ratio
+    // tracks table size. This one pins the claimed cost model — linear
+    // in TOUCHED bytes, not table size: the table is range-clustered
+    // into ~200k-row files, the delete hits the same ABSOLUTE key range
+    // at any sf (so the DV lands on a bounded file set of fixed bytes),
+    // and the purge time must stay ≈flat from sf0.1 to sf1.
+    val reorgFixed = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-reorgfix").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val nFiles = math.max(1, (li.count() / 200000L).toInt)
+      graft.tables.DeltaLogWriter.create(spark, loc,
+        li.repartitionByRange(nFiles, col("l_orderkey")),
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      val t = graft.tables.TxTable.forForeignDelta(spark, loc)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val d = timed(t.delete("l_orderkey <= 2000"))
+      val touched = t.snapshot.files.count(_.deletionVector.exists(_.cardinality > 0))
+      val p = timed(t.reorgPurge())
+      System.err.println(
+        f"[scalecheck] reorg_fixed_delete $d%.2fs reorg_purge_fixed $p%.2fs (files touched: $touched)")
+      (d, p)
+    }
+
     // Iceberg changelog: consuming the derived row feed after a ~1% MoR
     // delete — cost must track (new files + dying rows' files), i.e.
     // the delete's footprint, not table size
@@ -200,6 +228,7 @@ object ScaleCheck {
       "quality_classifier_trained" -> classifierTrained,
       "epoch_upsampling" -> epochs,
       "reorg_mor_delete" -> reorg._1, "reorg_purge" -> reorg._2,
+      "reorg_fixed_delete" -> reorgFixed._1, "reorg_purge_fixed" -> reorgFixed._2,
       "iceberg_changelog_delete" -> changelog,
       "iceberg_eq_changelog" -> eqChangelog,
       "eq_delete_fold_read" -> eqFoldRead,

@@ -40,13 +40,50 @@ object Sampling {
     df.filter(keepExpr(col(idCol), fraction))
 
   /** Fold a STRING key to a stable long for the hash-keyed operators —
-    * the same 31-polynomial (over code points, mod 2^31) the classifier
-    * bucket hash uses, so it is overflow-free and replayable in SQL on
-    * any engine (`list_reduce` in DuckDB). Use for domain/URL keys.
+    * a 31-polynomial over UNICODE CODE POINTS, mod 2^31: overflow-free
+    * (code point < 2^21, acc < 2^31, so acc*31 + cp < 2^37) and
+    * replayable in SQL on any engine — the DuckDB replay is
+    * `list_reduce(list_transform(string_split(k, ''), c -> unicode(c)),
+    * (acc, x) -> (acc * 31 + x) % 2147483648)`.
+    *
+    * Code points, not bytes: `ascii()` returns the first UTF-8 BYTE of
+    * a multi-byte character, which diverges from `unicode()` replays on
+    * IDN domains and non-English source names. A BMP character encodes
+    * to one UTF-16BE unit (= its code point); an astral character
+    * arrives from split() as a surrogate-pair string (4 UTF-16BE bytes)
+    * and decodes through the surrogate formula — emoji keys replay
+    * exactly too.
+    *
+    * Use for KEYS (domains, URLs, cluster/source ids), never document
+    * text: the fold is one lambda step per character, so a 100 KB
+    * document key would burn 100k steps per row. [[stringKeyChecked]]
+    * enforces that contract when inputs are untrusted.
     */
   def stringKey(c: Column): Column =
     aggregate(split(c, ""), lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(M31)))
+      (acc, ch) => pmod(acc * lit(31L) + codePoint(ch), lit(M31)))
+
+  /** Code point of a one-character string; surrogate pairs decoded.
+    * The empty string (split("") of "" yields one empty element) folds
+    * as 0, like ascii('') — the seed value, so "" keys hash to 0.
+    */
+  private def codePoint(ch: Column): Column = {
+    val b = encode(ch, "UTF-16BE")
+    val v = coalesce(conv(hex(b), 16, 10).cast("long"), lit(0L))
+    when(length(b) <= lit(2), v)
+      .otherwise((shiftright(v, 16) - lit(0xD800L)) * lit(0x400L) +
+        pmod(v, lit(0x10000L)) - lit(0xDC00L) + lit(0x10000L))
+  }
+
+  /** [[stringKey]] with an enforced length cap: raises when a key
+    * exceeds `maxLen` characters, so an untrusted pipeline cannot
+    * silently feed document-sized text into the per-character fold.
+    */
+  def stringKeyChecked(c: Column, maxLen: Int = 256): Column =
+    when(length(c) <= lit(maxLen), stringKey(c))
+      .otherwise(raise_error(concat(
+        lit(s"stringKey: key longer than $maxLen chars — hash a key, not document text: '"),
+        substring(c, 1, 40), lit("…'"))).cast("long"))
 
   /** Cut points of `splits` on the 32-bit hash line: cumulative weight
     * scaled to 2^32, rounded — exposed so an external replayer (the

@@ -460,25 +460,46 @@ private[graft] object IcebergCommitLog extends CommitLog {
       })
   }
 
-  /** Fold the snapshot's position-delete files into per-data-file inline
-    * DV descriptors (Z85 bitmap in the descriptor itself — no extra
-    * file), so rewrites and reads treat deleted rows uniformly.
+  /** Fold the snapshot's position-delete files into per-data-file DV
+    * descriptors — inline ("i", Z85 in the descriptor, no extra file)
+    * below [[InlineFoldMaxDeleteBytes]], deletion-vector sidecar files
+    * written by the EXECUTORS ("u", Delta's own large-DV design) above
+    * it — so rewrites and reads treat deleted rows uniformly.
     */
-  /** Bounded memo of folded delete bitmaps (snapshots are immutable, so
-    * a (location, version, snapshot, file-set fingerprint) key can never
-    * go stale); cleared wholesale past the cap.
+  /** Bounded memo of folded delete descriptors (snapshots are immutable,
+    * so a (location, version, snapshot, file-set fingerprint) key can
+    * never go stale); cleared wholesale past the cap.
     */
   private val deleteFoldCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int), Map[String, Array[Byte]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Int),
+      Map[String, DeletionVectors.Descriptor]]()
   private val DeleteFoldCacheMax = 64
+
+  private[tables] def clearDeleteFoldCacheForTest(): Unit = deleteFoldCache.clear()
+
+  /** Delete-file manifest bytes above which the fold's bitmaps spill to
+    * DV sidecar files instead of inlining into the driver-held memo —
+    * known from the manifests BEFORE any scan. Below it (the common
+    * micro-batch shape) the memo holds O(delete bytes) inline Z85;
+    * above it (a mass delete over a large table) the memo holds only
+    * path→descriptor tuples, O(files), while the bitmap bytes stay in
+    * .bin files the executors wrote — a 10^6-file table with pervasive
+    * dense deletes no longer parks 100s of MB on the driver across the
+    * memo's lifetime. Vacuum keeps live sidecars (its keep-walk follows
+    * "u" descriptors) and reclaims retired ones past retention.
+    */
+  private[tables] val InlineFoldMaxDeleteBytesConf =
+    "graft.iceberg.deleteFold.inlineMaxBytes"
+  private[tables] val InlineFoldMaxDeleteBytes: Long = 16L << 20
 
   private def attachDeletes(spark: SparkSession, location: String,
       st: IcebergLog.IceState): Seq[AddFile] = {
     if (st.deletes.isEmpty) return st.files
     // bitmaps build on EXECUTORS (one shuffle keyed by data-file path);
-    // the driver sees only one serialized bitmap per touched file —
-    // O(files), not O(deleted rows), so a table with billions of deleted
-    // positions folds without driver-memory pressure.
+    // the driver sees one serialized bitmap (small fold) or one
+    // descriptor tuple (spilled fold) per touched file — never the raw
+    // delete rows, so a table with billions of deleted positions folds
+    // without driver-memory pressure.
     // Equality deletes (content=2, the Flink-upsert shape) are
     // key-matched, not position-matched: ONE sequence-scoped scan
     // locates each victim's (file, position), and those entries union
@@ -491,7 +512,7 @@ private[graft] object IcebergCommitLog extends CommitLog {
     val cacheKey = (location, st.metadataVersion, st.snapshotId.getOrElse(-1L),
       scala.util.hashing.MurmurHash3.orderedHash(
         st.files.map(_.path) ++ st.deletes.map(_.path)))
-    val byFile: Map[String, Array[Byte]] = {
+    val byFile: Map[String, DeletionVectors.Descriptor] = {
       val hit = deleteFoldCache.get(cacheKey)
       if (hit != null) hit
       else {
@@ -508,7 +529,7 @@ private[graft] object IcebergCommitLog extends CommitLog {
           if (eqDel.isEmpty) None
           else Some(IcebergLog.equalityVictimPositions(spark, st)
             .toDF("file_path", "pos"))
-        val computed =
+        val grouped =
           (posEntries.toSeq ++ eqEntries.toSeq).reduce(_ unionByName _)
             .as[(String, Long)]
             .groupByKey { case (p, _) => DeletionVectors.normalizedUri(p) }
@@ -516,7 +537,43 @@ private[graft] object IcebergCommitLog extends CommitLog {
               val bm = new DeletionVectors.Bitmap64
               it.foreach { case (_, pos) => bm.add(pos) }
               (p, bm.serialize)
-            }.collect().toMap
+            }
+        val inlineMax = spark.conf.getOption(InlineFoldMaxDeleteBytesConf)
+          .map(_.toLong).getOrElse(InlineFoldMaxDeleteBytes)
+        val computed: Map[String, DeletionVectors.Descriptor] =
+          if (st.deletes.map(_.bytes).sum <= inlineMax)
+            grouped.collect().toMap.map { case (p, data) =>
+              p -> DeletionVectors.Descriptor(
+                storageType = "i",
+                pathOrInlineDv = DeletionVectors.encodeData(data),
+                offset = None,
+                sizeInBytes = data.length,
+                cardinality = DeletionVectors.Bitmap64.deserialize(data).cardinality)
+            }
+          else {
+            // spill: each shuffle partition writes its bitmaps into ONE
+            // .bin sidecar (executor-side), the driver collects only the
+            // descriptor tuples
+            val bcConf = spark.sparkContext.broadcast(
+              new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+            val tableLoc = location
+            grouped.mapPartitions { it =>
+              val items = it.map { case (p, data) =>
+                (p, DeletionVectors.Bitmap64.deserialize(data))
+              }.toSeq
+              if (items.isEmpty) Iterator.empty
+              else {
+                val descs = DeletionVectors.writeDvFile(
+                  bcConf.value.value, tableLoc, items.map(_._2))
+                items.iterator.zip(descs.iterator).map { case ((p, _), d) =>
+                  (p, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes, d.cardinality)
+                }
+              }
+            }.collect().iterator.map { case (p, pd, off, size, card) =>
+              p -> DeletionVectors.Descriptor("u", pd,
+                if (off < 0) None else Some(off), size, card)
+            }.toMap
+          }
         if (deleteFoldCache.size >= DeleteFoldCacheMax) deleteFoldCache.clear()
         deleteFoldCache.put(cacheKey, computed)
         computed
@@ -524,14 +581,7 @@ private[graft] object IcebergCommitLog extends CommitLog {
     }
     st.files.map { a =>
       byFile.get(DeletionVectors.normalizedUri(a.path)) match {
-        case Some(data) =>
-          val bm = DeletionVectors.Bitmap64.deserialize(data)
-          a.copy(deletionVector = Some(DeletionVectors.Descriptor(
-            storageType = "i",
-            pathOrInlineDv = DeletionVectors.encodeData(data),
-            offset = None,
-            sizeInBytes = data.length,
-            cardinality = bm.cardinality)))
+        case Some(d) => a.copy(deletionVector = Some(d))
         case None => a
       }
     }

@@ -156,4 +156,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(keys(0) == expected)
     assert(keys(3) == 0L, "empty string folds to the seed")
   }
+
+  test("stringKey hashes CODE POINTS (non-ASCII and astral keys replay)") {
+    import org.apache.spark.sql.functions.col
+    // IDN domain (BMP multi-byte), CJK source name, emoji (astral:
+    // surrogate pair in UTF-16, 4 UTF-8 bytes)
+    val inputs = Seq("münchen.de", "数据集", "a😀b")
+    val keys = inputs.toDF("k").select(Sampling.stringKey(col("k")).as("h"))
+      .collect().map(_.getLong(0))
+    // the documented engine-portable replay: fold over CODE POINTS —
+    // exactly what DuckDB's unicode(c) yields per split character
+    def replay(s: String): Long = {
+      val cps = s.codePoints().toArray
+      cps.foldLeft(0L)((a, cp) => (a * 31 + cp.toLong) % 2147483648L)
+    }
+    inputs.zip(keys).foreach { case (s, k) =>
+      assert(k == replay(s), s"code-point replay diverged for '$s'")
+    }
+  }
+
+  test("stringKeyChecked enforces the key-not-text contract") {
+    import org.apache.spark.sql.functions.col
+    val ok = Seq("example.com").toDF("k")
+      .select(Sampling.stringKeyChecked(col("k")).as("h"))
+      .collect()(0).getLong(0)
+    val direct = Seq("example.com").toDF("k")
+      .select(Sampling.stringKey(col("k")).as("h")).collect()(0).getLong(0)
+    assert(ok == direct, "checked variant must match stringKey below the cap")
+    val doc = ("lorem ipsum " * 40).trim // 479 chars > 256
+    val ex = intercept[Exception] {
+      Seq(doc).toDF("k").select(Sampling.stringKeyChecked(col("k")).as("h")).collect()
+    }
+    assert(ex.getMessage.contains("hash a key, not document text") ||
+      ex.toString.contains("hash a key, not document text"))
+  }
 }

@@ -64,4 +64,40 @@ class BulkEqualityDeleteSpec extends AnyFunSuite {
       assert(t.toDF.count() == n / 2)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("dense mass delete: fold spills to executor-written DV sidecars above the threshold") {
+    import spark.implicits._
+    val loc = graft.TestSpark.tmpDir("dv-spill") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(spark.range(20000L).select(col("id"), (col("id") % 7).as("g"))
+      .repartition(3))
+    t.delete("id % 5 != 0") // dense MoR position deletes: 80% of every file
+    val expectLive = (0L until 20000L by 5L)
+
+    // force the spill path: threshold below any real delete file
+    spark.conf.set(IcebergCommitLog.InlineFoldMaxDeleteBytesConf, "1")
+    try {
+      IcebergCommitLog.clearDeleteFoldCacheForTest()
+      val snap = IcebergCommitLog.snapshot(spark, loc, None)
+      val dvs = snap.files.flatMap(_.deletionVector)
+      assert(dvs.nonEmpty && dvs.forall(_.storageType == "u"),
+        s"above the threshold every folded descriptor must reference a sidecar, got ${dvs.map(_.storageType)}")
+      // the sidecar .bin files exist in the table dir and reads fold them
+      val bins = new java.io.File(loc).listFiles().filter(_.getName.endsWith(".bin"))
+      assert(bins.nonEmpty, "executor-written sidecar .bin files expected")
+      assert(t.toDF.select("id").as[Long].collect().sorted.toSeq == expectLive)
+      // vacuum keeps live sidecars (the keep-walk follows "u" descriptors)
+      t.vacuum(retainVersions = 1, retentionMs = 0L, force = true)
+      IcebergCommitLog.clearDeleteFoldCacheForTest()
+      assert(t.toDF.count() == expectLive.size)
+    } finally spark.conf.unset(IcebergCommitLog.InlineFoldMaxDeleteBytesConf)
+
+    // below the threshold (default) the fold inlines — no new sidecars
+    IcebergCommitLog.clearDeleteFoldCacheForTest()
+    val snapInline = IcebergCommitLog.snapshot(spark, loc, None)
+    val inlineDvs = snapInline.files.flatMap(_.deletionVector)
+    assert(inlineDvs.nonEmpty && inlineDvs.forall(_.storageType == "i"),
+      s"below the threshold the fold must inline, got ${inlineDvs.map(_.storageType)}")
+    assert(t.toDF.count() == expectLive.size)
+  }
 }
