@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Registrable-domain (eTLD+1) extraction under a caller-provided
+  * public-suffix set — the URL/domain layer of corpus curation: crawl
+  * source attribution, per-domain caps and blocklists, and
+  * leakage-safe splits keyed by the REGISTRABLE domain rather than the
+  * raw hostname (en.example.co.uk and fr.example.co.uk are the same
+  * publisher; a hostname-keyed split would leak their near-duplicate
+  * pages across train/eval).
+  *
+  * Algorithm: the public-suffix list's matching rule
+  * (publicsuffix.org/list) — the LONGEST suffix present in the rule
+  * set wins, the registrable domain is that suffix plus one more
+  * label; a host with no matching rule falls to the implicit `*` rule
+  * (its last label is the suffix). A host that IS a bare suffix, a
+  * single label, or empty has no registrable domain → null.
+  *
+  * Scale shape: the suffix set (~9k entries in the real PSL) is
+  * broadcast ONCE and probed as a hash set per candidate suffix —
+  * O(#labels) lookups per row, map-only, no join, so the pass over a
+  * 100 TB url column is scan-bound. Matching is on the lowercased
+  * host; ports and trailing dots are stripped.
+  */
+case class RegistrableDomainExpr(child: Expression,
+    suffixes: org.apache.spark.broadcast.Broadcast[Set[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    var host = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+    val colon = host.indexOf(':')
+    if (colon >= 0) host = host.substring(0, colon)
+    host = host.stripSuffix(".")
+    if (host.isEmpty || host.startsWith(".") || host.contains("..")) return null
+    val labels = host.split('.')
+    val n = labels.length
+    if (n < 2) return null
+    val set = suffixes.value
+    // the PREVAILING rule is the longest match, the whole host included:
+    // a host that IS a suffix (github.io) has no registrable domain
+    if (set.contains(host)) return null
+    // longest-match first below the whole host: k labels, n-1 down to 1
+    var k = n - 1
+    while (k >= 1) {
+      if (set.contains(labels.takeRight(k).mkString("."))) {
+        return UTF8String.fromString(labels.takeRight(k + 1).mkString("."))
+      }
+      k -= 1
+    }
+    UTF8String.fromString(labels.takeRight(2).mkString(".")) // implicit * rule
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "registrable_domain"
+}
+
+object UrlNativeFunctions {
+  import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
+
+  /** Registrable domain of a HOSTNAME column under `suffixes` (a
+    * public-suffix-style rule list). The set is broadcast through the
+    * active session once per call site.
+    */
+  def registrableDomain(host: Column, suffixes: Seq[String]): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(suffixes.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+    toCol(RegistrableDomainExpr(toExpr(host), bc))
+  }
+
+  /** Registrable domain of a full URL column: host extracted by Spark's
+    * native try_parse_url (null on junk rather than an ANSI error — a
+    * crawl column always contains junk), then the suffix walk.
+    */
+  def urlRegistrableDomain(url: Column, suffixes: Seq[String]): Column =
+    registrableDomain(
+      org.apache.spark.sql.functions.try_parse_url(url,
+        org.apache.spark.sql.functions.lit("HOST")), suffixes)
+}

@@ -220,6 +220,42 @@ object MoreQueries {
           COUNT(DISTINCT l_orderkey) AS exact_orders
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // ---- frequent-items sketch (SpaceSaving), k counters, mergeable ----
+    // "Top domains / top tokens" at 100 TB without shuffling every
+    // distinct item: k counters per partial, merged with error
+    // accumulation. Like q39, the sketch VALUES are engine-specific but
+    // the CONTRACT is oracle-able: the fixture plants 3 hot items at
+    // ~N/6 each over a long uniform cold tail (every cold item unique),
+    // so with k=64 the floor (≤ N/64 summed across merges) sits far
+    // below the hot counts — each hot item MUST be present (found) and
+    // its estimate must bracket the exact count (est - err <= n <= est).
+    // A broken eviction, floor, or merge flips a boolean and the hash.
+    QueryDef(
+      "q149_frequent_items_sketch",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val items = d.select(
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("hot"), pmod(col("doc_id"), lit(3)).cast("string")))
+            .otherwise(concat(lit("cold"), col("doc_id").cast("string"))).as("item"))
+        val sketch = items.agg(
+          graft.functions.FrequentItemsFunctions.spaceSavingTopK(col("item"), 64).as("sk"))
+          .select(explode(col("sk")).as("e"))
+          .select(col("e.item").as("item"), col("e.est").as("est"), col("e.err").as("err"))
+        val exact = items.filter(col("item").startsWith("hot"))
+          .groupBy(col("item")).agg(count(lit(1)).as("n_exact"))
+        exact.join(sketch, Seq("item"), "left")
+          .select(col("item"), col("n_exact"),
+            col("est").isNotNull.as("found"),
+            coalesce(col("est") >= col("n_exact") &&
+              col("est") - col("err") <= col("n_exact"), lit(false)).as("bounds_ok"))
+          .orderBy(col("item"))
+      },
+      Some("""SELECT 'hot' || CAST(CAST(doc_id % 3 AS BIGINT) AS VARCHAR) AS item,
+          COUNT(*) AS n_exact, TRUE AS found, TRUE AS bounds_ok
+        FROM documents WHERE doc_id % 2 = 0
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- explode + array ops: corpus word count, top-50 ----
     QueryDef(
       "q64_word_count",

@@ -747,7 +747,54 @@ object TextQueries {
           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
         FROM assigned GROUP BY split ORDER BY split"""
-      })
+      }),
+
+    // ---- registrable-domain (eTLD+1) extraction + blocklist filter ----
+    // The URL layer of crawl curation: attribute documents to their
+    // REGISTRABLE domain under a public-suffix-style rule list (longest
+    // suffix wins, registrable = suffix + one label, implicit `*` rule
+    // for unknown TLDs — publicsuffix.org semantics), then drop blocked
+    // publishers at that grain (blocking example.co.uk kills every
+    // subdomain in one rule). The fixture synthesizes URLs whose hosts
+    // exercise all four rule shapes — plain TLD, multi-label suffix
+    // (co.uk), PRIVATE registry suffix (github.io — where naive
+    // TLD-splitting misattributes every project site to github.io's
+    // registrant), and an unknown TLD falling to the `*` rule. The
+    // whole pass is map-only (broadcast suffix set, no join); the
+    // oracle recomputes domains and group totals from the same
+    // construction.
+    QueryDef(
+      "q148_url_domain_filter",
+      (s, dir) => {
+        val suffixes = Seq("com", "org", "uk", "co.uk", "io", "github.io")
+        val blocked = Seq("src3.github.io", "src7.co.uk")
+        // doc_id ≡ source-index (mod 20) in the fixture, so suffix
+        // selection uses doc_id DIV 20 — every source cycles through
+        // all four suffix shapes and the blocked domains really exist
+        val urled = Tables.documents(s, dir).withColumn("url",
+          concat(lit("https://"), col("lang"), lit("."), col("source"),
+            element_at(
+              array(lit(".com"), lit(".co.uk"), lit(".github.io"), lit(".xyz")),
+              (pmod(expr("doc_id div 20"), lit(4)) + 1).cast("int")),
+            lit("/p/"), col("doc_id")))
+        val filtered = graft.ext.UrlOps.filterBlockedDomains(
+          urled, "url", suffixes, blocked)
+        graft.ext.UrlOps.withRegistrableDomain(filtered, "url", suffixes)
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH u AS (
+          SELECT n_chars,
+            source || CASE CAST((doc_id // 20) % 4 AS INTEGER)
+              WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+              WHEN 2 THEN '.github.io' ELSE '.xyz' END AS domain
+          FROM documents
+        )
+        SELECT domain, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM u WHERE domain NOT IN ('src3.github.io', 'src7.co.uk')
+        GROUP BY domain ORDER BY domain"""))
   )
 
   /** DuckDB CTE fragment producing the q72 exact-Jaccard pair list

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.UrlNativeFunctions
+
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val suffixes = Seq("com", "org", "uk", "co.uk", "io", "github.io")
+
+  private def domainOf(host: String): Option[String] =
+    Seq(Option(host)).toDF("h")
+      .select(UrlNativeFunctions.registrableDomain(col("h"), suffixes).as("d"))
+      .collect()(0) match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getString(0))
+    }
+
+  test("registrable domain follows the public-suffix matching rules") {
+    assert(domainOf("example.com") == Some("example.com"))
+    assert(domainOf("www.example.com") == Some("example.com"))
+    // longest suffix wins: co.uk beats uk
+    assert(domainOf("en.example.co.uk") == Some("example.co.uk"))
+    // private-registry suffix: a project site registers UNDER github.io
+    assert(domainOf("myproj.github.io") == Some("myproj.github.io"))
+    assert(domainOf("cdn.myproj.github.io") == Some("myproj.github.io"))
+    // unknown TLD: the implicit * rule — last label is the suffix
+    assert(domainOf("a.b.unknowntld") == Some("b.unknowntld"))
+    // a bare suffix, a single label, and junk have no registrable domain
+    assert(domainOf("com") == None)
+    assert(domainOf("github.io") == None)
+    assert(domainOf("localhost") == None)
+    assert(domainOf("bad..host") == None)
+    assert(domainOf("") == None)
+    // normalization: case, port, trailing dot
+    assert(domainOf("WWW.Example.COM:8080") == Some("example.com"))
+    assert(domainOf("example.com.") == Some("example.com"))
+  }
+
+  test("blocklist filtering drops blocked registrable domains map-only") {
+    val df = Seq(
+      (1L, "https://en.keep.com/p/1"),
+      (2L, "https://www.bad.co.uk/x"),
+      (3L, "https://cdn.bad.co.uk:443/y"),      // same publisher, other subdomain
+      (4L, "https://other.org/z"),
+      (5L, "not a url at all"),
+      (6L, "https://keep.com/q")).toDF("id", "url")
+    val out = UrlOps.filterBlockedDomains(df, "url", suffixes, Seq("bad.co.uk"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 6L))
+    // unparseable rows survive only when asked
+    val kept = UrlOps.filterBlockedDomains(df, "url", suffixes, Seq("bad.co.uk"),
+      keepUnparseable = true)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L, 6L))
+    // the pass is map-only: no shuffle anywhere in the filter plan
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "domain filtering must not shuffle")
+  }
+
+  test("withRegistrableDomain feeds domain-keyed splits (leakage grain)") {
+    val df = Seq(
+      "https://en.pub.co.uk/a", "https://fr.pub.co.uk/b", "https://x.pub.co.uk/c")
+      .toDF("url")
+    val d = UrlOps.withRegistrableDomain(df, "url", suffixes)
+    // one registrable domain for all three hosts → one split bucket
+    val splits = Sampling.splitAssign(d, Sampling.stringKey(col("domain")),
+      Seq("train" -> 0.5, "eval" -> 0.5))
+      .select("split").distinct().collect()
+    assert(splits.length == 1, "same publisher must land in one split")
+  }
+}
