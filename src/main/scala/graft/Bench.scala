@@ -300,13 +300,61 @@ object Bench {
         line("iceberg_changelog_overwrite", c)
         c
       }
+      // round-11 operators: bigram-LM fluency scoring (explode + two
+      // model equi-joins), sliding-window chunking (map-only explode),
+      // and the partition-grouped metadata-only rollup vs the same
+      // rollup forced through a scan — the at-scale delta IS the point
+      val lmScore = timed {
+        graft.ext.TextOps.bigramLmScore(
+          graft.queries.Tables.documents(spark, sfDir))
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("bigram_lm_score", lmScore)
+      val chunking = timed {
+        graft.ext.TextOps.chunkDocuments(
+          graft.queries.Tables.documents(spark, sfDir),
+          chunkTokens = 64, overlapTokens = 16)
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("doc_chunking", chunking)
+      val (grpMeta, grpScan) = {
+        val client = new graft.client.LakehouseClient(spark)
+        client.createCatalog("benchgrp")
+        client.createSchema("benchgrp", "s")
+        val loc = java.nio.file.Files.createTempDirectory("bench-grp").toString
+        val li = graft.queries.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        graft.tables.DeltaLogWriter.create(spark, s"$loc/t", li.repartition(8),
+          partitionColumns = Seq("l_returnflag"))
+        client.registerAsTable("benchgrp", "s", "t",
+          graft.catalog.FileType.DELTA, s"$loc/t")
+        val a = timed {
+          spark.sql("""SELECT l_returnflag, COUNT(*) AS n,
+              MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+            FROM benchgrp.s.t GROUP BY l_returnflag""").collect()
+        }
+        val b = timed {
+          graft.tables.TxTable.forForeignDelta(spark, s"$loc/t").toDF
+            .groupBy(col("l_returnflag"))
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+              org.apache.spark.sql.functions.min(col("l_orderkey")).as("lo"),
+              org.apache.spark.sql.functions.max(col("l_orderkey")).as("hi"))
+            .collect()
+        }
+        line("grouped_rollup_metadata", a); line("grouped_rollup_scan", b)
+        (a, b)
+      }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
         "corpus_shards" -> shards, "iceberg_changelog_delete" -> chlog,
         "classifier_trained" -> classifierTrained,
         "boilerplate_lines" -> boiler,
         "curation_pipeline" -> curation,
-        "iceberg_changelog_overwrite" -> chlogOverwrite)
+        "iceberg_changelog_overwrite" -> chlogOverwrite,
+        "bigram_lm_score" -> lmScore,
+        "doc_chunking" -> chunking,
+        "grouped_rollup_metadata" -> grpMeta,
+        "grouped_rollup_scan" -> grpScan)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -222,6 +222,21 @@ object ScaleCheck {
       (a, b)
     }
 
+    // round-11 operators: bigram-LM scoring (the transition explode and
+    // its two model equi-joins are the cost; must track corpus tokens),
+    // sliding-window chunking (map-only explode — pure scan scaling),
+    // and mojibake scoring (single regex scan per row)
+    val lmScore = best("bigram_lm_score")(
+      graft.ext.TextOps.bigramLmScore(
+        graft.queries.Tables.documents(spark, sfDir)))
+    val chunking = best("doc_chunking")(
+      graft.ext.TextOps.chunkDocuments(
+        graft.queries.Tables.documents(spark, sfDir),
+        chunkTokens = 64, overlapTokens = 16))
+    val mojibake = best("encoding_artifacts")(
+      graft.ext.TextOps.encodingArtifacts(
+        graft.queries.Tables.documents(spark, sfDir)))
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
       "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
       "corpus_shards" -> shards, "quality_classifier" -> classifier,
@@ -232,7 +247,10 @@ object ScaleCheck {
       "iceberg_changelog_delete" -> changelog,
       "iceberg_eq_changelog" -> eqChangelog,
       "eq_delete_fold_read" -> eqFoldRead,
-      "boilerplate_lines" -> boiler))
+      "boilerplate_lines" -> boiler,
+      "bigram_lm_score" -> lmScore,
+      "doc_chunking" -> chunking,
+      "encoding_artifacts" -> mojibake))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

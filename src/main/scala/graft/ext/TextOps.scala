@@ -148,6 +148,138 @@ object TextOps {
         col("n_unique").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
   }
 
+  /** Encoding-artifact (mojibake) scoring — the signal behind ftfy-style
+    * cleanup passes: crawled text decoded with the wrong charset leaves
+    * fingerprints a curation pipeline filters or repairs on. Counted
+    * classes, each a distinct artifact family:
+    *   - U+FFFD replacement characters (decoder already gave up),
+    *   - C1 control chars U+0080–U+009F (CP1252 bytes read as Latin-1),
+    *   - 'Ã'/'Â' followed by anything (2-byte UTF-8 read as Latin-1 —
+    *     the "Ã©" family), and 'â€' + one char (3-byte punctuation,
+    *     the "â€™" smart-quote family).
+    * Emits the artifact occurrence count and its exact ratio to text
+    * length; `clean` is the count==0 filter bit. Map-only, one regex
+    * scan per row, no shuffle — the usual 100 TB posture for per-doc
+    * signals. Regex is leftmost/non-overlapping alternation in both
+    * Java and RE2, so the oracle replays the count exactly.
+    */
+  def encodingArtifacts(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // U+FFFD, the C1 block, U+00E2 U+20AC (the CP1252 moji-pair), C3/C2 + any
+    val pat = "\uFFFD|[\u0080-\u009F]|\u00E2\u20AC.|[\u00C3\u00C2]."
+    val n = size(regexp_extract_all(t, lit(pat), lit(0))).cast(LongType)
+    df.select(col(idCol), n.as("n_artifacts"),
+      when(length(t) > 0, n.cast(DoubleType) / length(t).cast(DoubleType))
+        .otherwise(lit(0.0)).as("artifact_ratio"),
+      (n === 0L).as("clean"))
+  }
+
+  /** Sliding-window document chunking — the retrieval/embedding prep
+    * step: split each document into token windows of `chunkTokens` that
+    * overlap by `overlapTokens` (stride = chunk − overlap), so a fact
+    * straddling a boundary appears whole in at least one chunk. Chunk
+    * text is the normalized token stream rejoined with single spaces
+    * (the same normalization every downstream dedup/embedding step here
+    * applies), and chunk count is
+    *   1 + ceil(max(0, n − chunk) / stride)
+    * — the last window is allowed to run short rather than re-reading
+    * far backwards, the convention retrieval splitters use. Documents
+    * with zero tokens emit nothing.
+    *
+    * Scale shape: pure per-row transform + explode — no shuffle, no
+    * state; output size is input tokens × (1 + overlap/stride), known
+    * in advance. Downstream writers repartition by size as usual.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkTokens: Int = 64,
+      overlapTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got chunk=$chunkTokens overlap=$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+    val n = size(col("__t"))
+    // integer ceil((n - chunk)/stride) without touching negatives;
+    // floor of an exact double quotient of ints < 2^31 is exact
+    val nChunks = when(n <= chunkTokens, lit(1L))
+      .otherwise(lit(1L) + floor((n - lit(chunkTokens) + lit(stride - 1)) / lit(stride)))
+    toks
+      .select(col(idCol), col("__t"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__t"), i * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        size(col("__chunk")).cast(LongType).as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  /** Bigram-language-model fluency scoring — the CCNet/KenLM-shaped
+    * quality signal: train transition statistics on a reference slice of
+    * the corpus, score EVERY document by how predictable its token
+    * transitions are under that model. Documents whose transitions the
+    * reference model has never seen (spam, keyword stuffing, mojibake,
+    * wrong-language text) score low; fluent in-distribution prose scores
+    * high. Reference slice here = `doc_id % trainMod == 0` so the oracle
+    * can replay it; a production pipeline passes its curated reference
+    * corpus as the training side instead.
+    *
+    * Model: add-one-smoothed bigram MLE. For each transition (w1, w2),
+    *   p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)
+    * with c over the training slice's transitions and V the training
+    * vocabulary size. The per-document score is the ARITHMETIC mean of
+    * p over its transitions — deliberately not the log-domain geometric
+    * mean: `ln` is the one operation whose low bits differ across
+    * engines (see bm25TopK), while +,-,*,/ are IEEE-exact everywhere, so
+    * the arithmetic mean hash-matches DuckDB bit-for-bit and ranks
+    * documents the same direction (higher = more fluent). n_unseen (the
+    * count of transitions absent from the model) is the complementary
+    * integer signal — the "OOV rate" CCNet reports next to perplexity.
+    *
+    * Scale shape: one O(tokens) explode to transitions; bigram/prefix
+    * counts are partial-agg-friendly shuffles over the TRAINING slice
+    * only; scoring is two equi-joins of the full transition stream
+    * against those counts (AQE broadcasts them when small — the model,
+    * not the corpus, bounds their size) plus a 1-row vocabulary
+    * broadcast; then one per-doc aggregate. No collect, no windows —
+    * the same plan at 100 TB, with model size the only driver-free
+    * knob (cap the training slice to cap the model).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", trainMod: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val toks = df.select(col(idCol),
+      expr(s"regexp_extract_all(lower($textCol), '[a-z0-9\\']+', 0)").as("__t"))
+    val trans = toks.filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__tr"))
+      .select(col(idCol), col("__tr.w1").as("__w1"), col("__tr.w2").as("__w2"))
+    val trainTrans = trans.filter(col(idCol) % trainMod === 0)
+    val bigramCounts = trainTrans.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val prefixCounts = trainTrans.groupBy(col("__w1"))
+      .agg(count(lit(1)).as("__cp"))
+    // V = |training vocabulary| (all tokens, not just transition
+    // prefixes) as a 1-row broadcast — stays in-plan, no collect
+    val vocabV = toks.filter(col(idCol) % trainMod === 0)
+      .select(explode(col("__t")).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("__v"))
+    val p = (coalesce(col("__cb"), lit(0L)) + lit(1L)).cast(DoubleType) /
+      (coalesce(col("__cp"), lit(0L)) + col("__v")).cast(DoubleType)
+    trans
+      .join(bigramCounts, Seq("__w1", "__w2"), "left")
+      .join(prefixCounts, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocabV))
+      .select(col(idCol), p.as("__p"),
+        when(col("__cb").isNull, 1L).otherwise(0L).as("__unseen"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_transitions"),
+        sum(col("__unseen")).cast(LongType).as("n_unseen"),
+        (graft.queries.Det.dsum(col("__p")) / count(lit(1))).as("avg_p"))
+  }
+
   /** BM25 ranked keyword retrieval (Robertson/Sparck-Jones, the lexical
     * baseline next to the embedding-ANN route): score every document
     * against a bag of query terms and keep the global top `k`.

@@ -1948,6 +1948,78 @@ object InteropQueries {
           TRUE AS metadata_only,
           MIN(l_returnflag) AS min_flag,
           TRUE AS flag_scanned
-        FROM lineitem"""))
+        FROM lineitem""")),
+
+    // ---- q151: partition-grouped metadata-only aggregates ----
+    // `SELECT part, COUNT(*), MIN/MAX(x) GROUP BY part` on a partitioned
+    // transactional table answers from the FILE LIST when every group
+    // key is a partition column: files carry exact partition values, so
+    // the rollup is one snapshot read (plan-pinned LocalTableScan, no
+    // FileScan). After a merge-on-read DELETE plants deletion vectors,
+    // grouped COUNT(*) stays metadata-only (per-file DV cardinalities
+    // subtract per group) while grouped MIN/MAX correctly falls back to
+    // the scan — a DV row could have been a group's extreme.
+    QueryDef(
+      "q151_metadata_grouped_agg",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q151cat")
+        client.createSchema("q151cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q151-grp").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"), col("l_shipdate"))
+        // foreign Delta with DVs enabled so the DELETE below is
+        // merge-on-read (bitmaps, no file rewrite) — the shape that
+        // exercises the per-group DV-cardinality subtraction
+        DeltaLogWriter.create(s, s"$loc/t", li.repartition(4),
+          partitionColumns = Seq("l_returnflag"),
+          properties = Map("delta.enableDeletionVectors" -> "true"))
+        client.registerAsTable("q151cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$loc/t")
+        val pre = s.sql("""SELECT l_returnflag, COUNT(*) AS n_rows,
+            MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+            MIN(l_shipdate) AS min_ship
+          FROM q151cat.s.t GROUP BY l_returnflag""")
+        val prePlan = pre.queryExecution.executedPlan.toString
+        val preMeta = prePlan.contains("LocalTableScan") && !prePlan.contains("FileScan")
+        client.getTxTable("q151cat", "s", "t").delete("l_quantity <= 2")
+        val post = s.sql("""SELECT l_returnflag, COUNT(*) AS n_live
+          FROM q151cat.s.t GROUP BY l_returnflag""")
+        val postPlan = post.queryExecution.executedPlan.toString
+        val postMeta = postPlan.contains("LocalTableScan") && !postPlan.contains("FileScan")
+        val mm = s.sql("""SELECT l_returnflag, MIN(l_quantity) AS min_q
+          FROM q151cat.s.t GROUP BY l_returnflag""")
+        val mmScanned = mm.queryExecution.executedPlan.toString.contains("FileScan")
+        pre.join(post, Seq("l_returnflag")).join(mm, Seq("l_returnflag"))
+          .withColumn("grouped_metadata_only", lit(preMeta))
+          .withColumn("count_post_dv_metadata_only", lit(postMeta))
+          .withColumn("minmax_post_dv_scanned", lit(mmScanned))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH li AS (
+          SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q,
+            l_returnflag, l_shipdate
+          FROM lineitem
+        ),
+        pre AS (
+          SELECT l_returnflag, COUNT(*) AS n_rows,
+            CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+            CAST(MAX(l_orderkey) AS BIGINT) AS max_ok,
+            MIN(l_shipdate) AS min_ship
+          FROM li GROUP BY l_returnflag
+        ),
+        post AS (
+          SELECT l_returnflag, COUNT(*) AS n_live, MIN(q) AS min_q
+          FROM li WHERE NOT q <= 2 GROUP BY l_returnflag
+        )
+        SELECT pre.l_returnflag, pre.n_rows, pre.min_ok, pre.max_ok,
+          pre.min_ship, post.n_live, post.min_q,
+          TRUE AS grouped_metadata_only,
+          TRUE AS count_post_dv_metadata_only,
+          TRUE AS minmax_post_dv_scanned
+        FROM pre JOIN post USING (l_returnflag)
+        ORDER BY l_returnflag"""))
   )
 }

@@ -794,7 +794,116 @@ object TextQueries {
         SELECT domain, COUNT(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM u WHERE domain NOT IN ('src3.github.io', 'src7.co.uk')
-        GROUP BY domain ORDER BY domain"""))
+        GROUP BY domain ORDER BY domain""")),
+
+    // ---- bigram-LM fluency scoring (CCNet-shaped perplexity signal) ----
+    // Train add-one-smoothed bigram transition statistics on the
+    // doc_id%5==0 reference slice, score every document by its mean
+    // transition probability plus its unseen-transition count. The mean
+    // is arithmetic (not log-geometric) so all arithmetic is IEEE-exact
+    // +,-,*,/ — the oracle replays the counts, the single double
+    // division per transition, and the exact decimal mean bit-for-bit
+    // (see ext/TextOps.bigramLmScore for the determinism argument).
+    QueryDef(
+      "q150_bigram_lm_score",
+      (s, dir) => graft.ext.TextOps.bigramLmScore(Tables.documents(s, dir))
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+          FROM documents
+        ),
+        tr AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+          FROM toks, UNNEST(range(1, len(t))) AS u(i)
+          WHERE len(t) >= 2
+        ),
+        train_tr AS (SELECT w1, w2 FROM tr WHERE doc_id % 5 = 0),
+        big AS (SELECT w1, w2, COUNT(*) AS cb FROM train_tr GROUP BY 1, 2),
+        pre AS (SELECT w1, COUNT(*) AS cp FROM train_tr GROUP BY 1),
+        v AS (
+          SELECT COUNT(DISTINCT tok) AS vv
+          FROM (SELECT UNNEST(t) AS tok FROM toks WHERE doc_id % 5 = 0)
+        ),
+        scored AS (
+          SELECT tr.doc_id,
+            CAST(COALESCE(big.cb, 0) + 1 AS DOUBLE) /
+              CAST(COALESCE(pre.cp, 0) + v.vv AS DOUBLE) AS p,
+            CASE WHEN big.cb IS NULL THEN 1 ELSE 0 END AS unseen
+          FROM tr
+          LEFT JOIN big ON tr.w1 = big.w1 AND tr.w2 = big.w2
+          LEFT JOIN pre ON tr.w1 = pre.w1
+          CROSS JOIN v
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+          CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+          """ + Det.sqlSum("p") + """ / COUNT(*) AS avg_p
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- sliding-window chunking (retrieval/embedding prep) ----
+    // 64-token windows overlapping by 16 (stride 48), the last window
+    // allowed to run short; map-only explode, no shuffle. The oracle
+    // replays the window math with DuckDB's 1-based inclusive list
+    // slices and integer division.
+    QueryDef(
+      "q152_doc_chunking",
+      (s, dir) => graft.ext.TextOps.chunkDocuments(Tables.documents(s, dir),
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+          FROM documents
+        ),
+        nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        k AS (
+          SELECT doc_id, t,
+            CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nc
+          FROM nz
+        ),
+        ch AS (
+          SELECT doc_id, i AS chunk_idx, t[i * 48 + 1 : i * 48 + 64] AS c
+          FROM k, UNNEST(range(0, nc)) AS u(i)
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+          array_to_string(c, ' ') AS chunk_text
+        FROM ch ORDER BY doc_id, chunk_idx""")),
+
+    // ---- mojibake / encoding-artifact scoring (ftfy-shaped signal) ----
+    // The fixture corpus is clean ASCII, so artifacts are PLANTED
+    // deterministically (the "Ã©" 2-byte family on doc_id%7, the "â€™"
+    // smart-quote family on %11, U+FFFD on %13) and both engines count
+    // them with the same leftmost/non-overlapping alternation — Spark
+    // via Java-regex unicode escapes, DuckDB via RE2 \x{...} classes.
+    QueryDef(
+      "q153_encoding_artifacts",
+      (s, dir) => {
+        val planted = Tables.documents(s, dir).withColumn("text", concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0, lit("Ã©")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("â€™")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("�")).otherwise(lit(""))))
+        graft.ext.TextOps.encodingArtifacts(planted).orderBy(col("doc_id"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id,
+            text || CASE WHEN doc_id % 7 = 0 THEN 'Ã©' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN 'â€™' ELSE '' END
+              || CASE WHEN doc_id % 13 = 0 THEN '�' ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}].')) AS BIGINT)
+            AS n_artifacts,
+          CASE WHEN length(text) > 0 THEN
+            CAST(len(regexp_extract_all(text,
+              '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}].')) AS DOUBLE)
+              / length(text)
+          ELSE 0.0 END AS artifact_ratio,
+          len(regexp_extract_all(text,
+            '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}].')) = 0
+            AS clean
+        FROM planted ORDER BY doc_id"""))
   )
 
   /** DuckDB CTE fragment producing the q72 exact-Jaccard pair list

@@ -324,6 +324,107 @@ object GraftSqlExtensions {
         graft.tables.FileStats.orderedValueToCatalyst(field.dataType, v)).orNull)
     } catch { case _: Throwable => None }
 
+  /** A partition-value STRING to the column's Catalyst-internal value.
+    * Unlike min/max stats, partition values are exact (never truncated),
+    * so strings are convertible here even though exactMinMax excludes
+    * them; floats still bail (their partition-string round-trip is
+    * writer-dependent).
+    */
+  private def partitionValueToCatalyst(dt: org.apache.spark.sql.types.DataType,
+      s: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case BooleanType =>
+        if (s == "true") Some(true) else if (s == "false") Some(false) else None
+      case other =>
+        graft.tables.FileStats.orderedStatValue(other, s)
+          .map(graft.tables.FileStats.orderedValueToCatalyst(other, _))
+    }
+  }
+
+  /** One output column of a partition-grouped metadata-only aggregate. */
+  private[sql] sealed trait GroupedOut
+  private[sql] final case class GroupedKey(col: String) extends GroupedOut
+  private[sql] case object GroupedCount extends GroupedOut
+  private[sql] final case class GroupedMinMax(col: String, isMin: Boolean) extends GroupedOut
+
+  /** `SELECT part, COUNT(*), MIN(x), MAX(x) ... GROUP BY part` answered
+    * from the LOG when every group key is a PARTITION column: files
+    * already carry exact partition values, so the whole answer is one
+    * grouping of the snapshot's file list — per group, counts are
+    * Σ(rows − DV cardinality) and extremes fold per-file stats under the
+    * same provability rules as [[exactMinMax]]. Returns one value row
+    * per partition group with ≥1 live row (SQL GROUP BY emits no row
+    * for a group whose every row is deleted), or None when anything is
+    * unprovable — non-partition group key, missing/null partition
+    * value, unknown row counts, any live DV while extremes are asked
+    * for, a file without a usable extreme that isn't provably all-null.
+    */
+  private[sql] def exactGroupedAgg(session: ClassicSparkSession, loc: String,
+      version: Option[Long], groupCols: Seq[String],
+      outputs: Seq[GroupedOut]): Option[Seq[Seq[Any]]] =
+    try {
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val partSet = snap.partitionColumns.toSet
+      if (groupCols.isEmpty || !groupCols.forall(partSet.contains)) return None
+      val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      if (outputs.exists { case GroupedMinMax(c, _) => !fieldType.contains(c); case _ => false })
+        return None
+      val needsExtremes = outputs.exists(_.isInstanceOf[GroupedMinMax])
+      if (needsExtremes &&
+          snap.files.exists(_.deletionVector.exists(_.cardinality > 0))) return None
+      val groups = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[String], scala.collection.mutable.ArrayBuffer[graft.tables.TxLog.AddFile]]
+      snap.files.foreach { f =>
+        if (f.rows < 0L) return None
+        val key = groupCols.map { c =>
+          f.partitionValues.get(c) match {
+            case Some(v) if v != null => v
+            case _ => return None // null/missing partition value: fall to scan
+          }
+        }
+        groups.getOrElseUpdate(key,
+          scala.collection.mutable.ArrayBuffer.empty) += f
+      }
+      val rows = groups.iterator.flatMap { case (key, files) =>
+        val live = files.iterator.map(f =>
+          f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
+        if (live == 0L) Iterator.empty
+        else {
+          val keyByCol = groupCols.zip(key).toMap
+          val row = outputs.map {
+            case GroupedKey(c) =>
+              partitionValueToCatalyst(fieldType(c), keyByCol(c)).getOrElse(return None)
+            case GroupedCount => live
+            case GroupedMinMax(c, isMin) =>
+              val dt = fieldType(c)
+              val isPart = partSet.contains(c)
+              var acc: Option[Long] = None
+              files.foreach { f =>
+                if (f.rows != 0L) {
+                  val stat =
+                    if (isPart) f.partitionValues.get(c)
+                    else (if (isMin) f.minValues else f.maxValues).flatMap(_.get(c))
+                  stat.filter(_ != null)
+                    .flatMap(s => graft.tables.FileStats.orderedStatValue(dt, s)) match {
+                    case Some(v) =>
+                      acc = Some(acc.fold(v)(a => if (isMin) math.min(a, v) else math.max(a, v)))
+                    case None =>
+                      if (!f.nullCounts.flatMap(_.get(c)).contains(f.rows)) return None
+                  }
+                }
+              }
+              acc.map(v =>
+                graft.tables.FileStats.orderedValueToCatalyst(dt, v)).orNull
+          }
+          Iterator.single(row)
+        }
+      }.toSeq
+      Some(rows)
+    } catch { case _: Throwable => None }
+
   /** `SELECT COUNT(*), MIN(x), MAX(x) FROM cat.sch.t` answered from the
     * LOG — the metadata-only aggregates every lakehouse engine
     * special-cases, because at 100 TB the difference is one snapshot
@@ -369,6 +470,17 @@ object GraftSqlExtensions {
       case _ => None
     }
 
+    /** A grouping-key output: a (possibly aliased) direct reference to
+      * one of the grouping attributes.
+      */
+    private def groupKeyOf(e: Expression,
+        groupSet: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+        : Option[AttributeReference] = e match {
+      case Alias(child, _) => groupKeyOf(child, groupSet)
+      case a: AttributeReference if groupSet.contains(a.exprId) => Some(a)
+      case _ => None
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(Nil, exprs, child, _)
           if exprs.nonEmpty && exprs.forall(e => isCountStar(e) || minMaxOf(e).isDefined) =>
@@ -390,6 +502,44 @@ object GraftSqlExtensions {
           if (values.exists(_.isEmpty)) None
           else Some(LocalRelation(agg.output,
             Seq(org.apache.spark.sql.catalyst.InternalRow(values.map(_.get): _*))))
+        }.getOrElse(agg)
+
+      // `SELECT part, COUNT(*)[, MIN(x), MAX(x)] ... GROUP BY part` on a
+      // tagged catalog table, all group keys plain attributes: answered
+      // from the file list when those keys turn out to be PARTITION
+      // columns (exactGroupedAgg proves that; anything else keeps the
+      // scan). At 100 TB this turns the per-partition dashboard rollup
+      // into one snapshot read.
+      case agg @ Aggregate(groupExprs, exprs, child, _)
+          if groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        val groupSet = groupExprs.map(_.asInstanceOf[AttributeReference].exprId).toSet
+        taggedNode(child).flatMap { node =>
+          val relAttrs = node.outputSet
+          if (!groupExprs.forall(g =>
+              relAttrs.contains(g.asInstanceOf[AttributeReference]))) None
+          else {
+            val outs: Seq[Option[GraftSqlExtensions.GroupedOut]] = exprs.map { e =>
+              groupKeyOf(e, groupSet) match {
+                case Some(a) => Some(GraftSqlExtensions.GroupedKey(a.name))
+                case None if isCountStar(e) => Some(GraftSqlExtensions.GroupedCount)
+                case None => minMaxOf(e).collect {
+                  case (a, isMin) if relAttrs.contains(a) =>
+                    GraftSqlExtensions.GroupedMinMax(a.name, isMin)
+                }
+              }
+            }
+            if (outs.exists(_.isEmpty)) None
+            else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+              case (loc, v) =>
+                GraftSqlExtensions.exactGroupedAgg(session, loc, v,
+                  groupExprs.map(_.asInstanceOf[AttributeReference].name),
+                  outs.map(_.get))
+            }.map { rows =>
+              LocalRelation(agg.output, rows.map(r =>
+                org.apache.spark.sql.catalyst.InternalRow(r: _*)))
+            }
+          }
         }.getOrElse(agg)
     }
   }

@@ -323,4 +323,80 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(below.agg(org.apache.spark.sql.functions.sum("n_lines_removed"))
       .collect()(0).getLong(0) == 0L)
   }
+
+  test("encodingArtifacts: each mojibake family counted, clean text passes") {
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "cafÃ© menu"),                // "Ã©" 2-byte family
+      (3L, "itâ€™s here"),          // "â€™" smart-quote family
+      (4L, "lost � char and  control"), // replacement + C1
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.encodingArtifacts(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.map(t => (t._1, t._2, t._4)).toSeq == Seq(
+      (1L, 0L, true), (2L, 1L, false), (3L, 1L, false), (4L, 2L, false), (5L, 0L, true)))
+    assert(out(1)._3 == 1.0 / 10)  // "cafÃ© menu" is 10 code points
+    // map-only: no shuffle
+    val plan = TextOps.encodingArtifacts(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("bigramLmScore: hand-checked add-one model over the doc_id%5==0 slice") {
+    val docs = Seq(
+      (0L, "a b a b"),   // train: transitions (a,b)x2, (b,a)
+      (1L, "a b x"),     // (a,b) seen, (b,x) unseen
+      (2L, "zz qq"),     // fully out-of-model
+      (5L, "a b c"),     // train: (a,b), (b,c)
+      (6L, ""))          // no transitions → absent from output
+      .toDF("doc_id", "text")
+    // model: c(a,b)=3, c(b,a)=1, c(b,c)=1; prefixes a→3, b→2; V={a,b,c}=3
+    val out = TextOps.bigramLmScore(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0L, 3L, 0L), (1L, 2L, 1L), (2L, 1L, 1L), (5L, 2L, 0L)))
+    // doc 0: (4/6 + 2/5 + 4/6)/3; doc 1: (4/6 + 1/5)/2; doc 2: 1/3
+    assert(math.abs(out(0)._4 - (4.0 / 6 + 2.0 / 5 + 4.0 / 6) / 3) < 1e-9)
+    assert(math.abs(out(1)._4 - (4.0 / 6 + 1.0 / 5) / 2) < 1e-9)
+    assert(math.abs(out(2)._4 - 1.0 / 3) < 1e-9)
+    // fluent text under the model outranks out-of-model text
+    assert(out(0)._4 > out(2)._4)
+  }
+
+  test("bigramLmScore plan: no collect, model joined not broadcast-forced") {
+    val docs = (0L to 40L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.bigramLmScore(docs).queryExecution.optimizedPlan.toString
+    // the model sides join; only the 1-row vocabulary carries a hint
+    assert(!plan.contains("CollectLimit"))
+    val out = TextOps.bigramLmScore(docs).collect()
+    assert(out.length == 41 && out.forall(_.getLong(1) == 2L))
+  }
+
+  test("chunkDocuments: window math, overlap, short tail, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // 10 tokens
+      (2L, (1 to 11).map(i => s"t$i").mkString(" ")),  // short tail chunk
+      (3L, "a b"),                                     // <= chunk → 1 chunk
+      (4L, ""))                                        // nothing
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 5 && d2.last._4 == "t9 t10 t11" && d2.last._3 == 3L)
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq("a b"))
+    assert(!out.exists(_._1 == 4L))
+    // every adjacent pair overlaps by exactly `overlap` tokens (full windows)
+    assert(d1.sliding(2).forall { case Array(a, b) =>
+      a._4.split(" ").takeRight(2).sameElements(b._4.split(" ").take(2))
+    })
+    // map-only: no shuffle in the plan
+    val plan = TextOps.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle\n$plan")
+  }
 }

@@ -271,4 +271,52 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     val out = spark.sql("SELECT v FROM lake2.core.t ORDER BY id").collect().map(_.getDouble(0))
     assert(out.toSeq == Seq(1.0, 20.0, 30.0))
   }
+
+  test("partition-grouped COUNT/MIN/MAX answer from the file list") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakegrp")
+    client.createSchema("lakegrp", "core")
+    val dir = TestSpark.tmpDir("sqlgrp")
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 20), (3L, "a", 30),
+      (4L, "b", 5), (5L, "b", 15),
+      (6L, "c", 99)).toDF("id", "p", "k")
+    // foreign Delta with DVs so the DELETE below is merge-on-read
+    graft.tables.DeltaLogWriter.create(spark, s"$dir/t", df.repartition(2),
+      partitionColumns = Seq("p"),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    client.registerAsTable("lakegrp", "core", "t", FileType.DELTA, s"$dir/t")
+
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    val q = spark.sql("""SELECT p, COUNT(*) AS n, MIN(id) AS lo, MAX(k) AS hi
+      FROM lakegrp.core.t GROUP BY p ORDER BY p""")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq ==
+      Seq(("a", 3L, 1L, 30), ("b", 2L, 4L, 15), ("c", 1L, 6L, 99)))
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan"),
+      s"partition-grouped rollup must not scan\n${planOf(q)}")
+    // grouping by the partition column ITSELF with MIN/MAX of it works
+    // (exact partition values serve as both key and extreme)
+    val qp = spark.sql("SELECT p, MIN(p) FROM lakegrp.core.t GROUP BY p")
+    assert(planOf(qp).contains("FileScan"), "string extremes keep the scan")
+    // a NON-partition group key keeps the scan and stays correct
+    val qk = spark.sql("SELECT k, COUNT(*) AS n FROM lakegrp.core.t GROUP BY k")
+    assert(planOf(qk).contains("FileScan"))
+    assert(qk.collect().length == 6)
+
+    // merge-on-read delete: per-group counts subtract DV cardinalities
+    // metadata-only; MIN/MAX correctly falls back to the scan; a group
+    // whose EVERY row is deleted is omitted, as SQL GROUP BY demands
+    graft.tables.TxTable.forForeignDelta(spark, s"$dir/t").delete("k >= 20 OR p = 'c'")
+    val q2 = spark.sql("""SELECT p, COUNT(*) AS n
+      FROM lakegrp.core.t GROUP BY p ORDER BY p""")
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L)), "group c (fully deleted) must be omitted")
+    assert(planOf(q2).contains("LocalTableScan") && !planOf(q2).contains("FileScan"),
+      s"grouped count under DVs is still metadata-only\n${planOf(q2)}")
+    val q3 = spark.sql("SELECT p, MAX(k) AS hi FROM lakegrp.core.t GROUP BY p ORDER BY p")
+    assert(planOf(q3).contains("FileScan"), "a DV row could be a group's extreme")
+    assert(q3.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 10), ("b", 15)))
+  }
 }
