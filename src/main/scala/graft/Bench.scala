@@ -344,6 +344,30 @@ object Bench {
         line("grouped_rollup_metadata", a); line("grouped_rollup_scan", b)
         (a, b)
       }
+      // bloom file-skipping index: sidecar build cost, then the SAME
+      // point lookup on an unclustered high-cardinality key with
+      // stats-only pruning (min/max straddle every file -> reads all)
+      // vs bloom pruning (reads the ~1 file that might hold the key) —
+      // at 10^5 files the delta is the difference between a task storm
+      // and a single-file read
+      val (bloomBuild, bloomLookupStats, bloomLookupPruned) = {
+        val loc = java.nio.file.Files.createTempDirectory("bench-bloom").toString + "/t"
+        val li = graft.queries.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+        val t = new graft.tables.TxTable(spark, loc)
+        t.create(li.repartition(16))
+        val key = li.select(col("l_partkey")).head().getLong(0)
+        val a = timed {
+          t.scan(s"l_partkey = $key").write.format("noop").mode("overwrite").save()
+        }
+        val b = timed(graft.tables.BloomIndex.enable(t, Seq("l_partkey")))
+        val c = timed {
+          t.scan(s"l_partkey = $key").write.format("noop").mode("overwrite").save()
+        }
+        line("bloom_index_build", b)
+        line("bloom_lookup_stats_only", a); line("bloom_lookup_pruned", c)
+        (b, a, c)
+      }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
         "corpus_shards" -> shards, "iceberg_changelog_delete" -> chlog,
@@ -354,7 +378,10 @@ object Bench {
         "bigram_lm_score" -> lmScore,
         "doc_chunking" -> chunking,
         "grouped_rollup_metadata" -> grpMeta,
-        "grouped_rollup_scan" -> grpScan)
+        "grouped_rollup_scan" -> grpScan,
+        "bloom_index_build" -> bloomBuild,
+        "bloom_lookup_stats_only" -> bloomLookupStats,
+        "bloom_lookup_pruned" -> bloomLookupPruned)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

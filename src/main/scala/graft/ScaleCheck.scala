@@ -237,6 +237,34 @@ object ScaleCheck {
       graft.ext.TextOps.encodingArtifacts(
         graft.queries.Tables.documents(spark, sfDir)))
 
+    // bloom file-skipping index: the build is one column-pruned scan +
+    // hash agg (tracks data volume); the point lookup splits — stats-only
+    // reads every file (tracks table size), bloom-pruned reads the ~1
+    // file that might hold the key, so it must stay ≈FLAT from sf0.1 to
+    // sf1 — that flat line is the operator's 100 TB story
+    val (bloomBuild, bloomStats, bloomPruned) = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-bloom").toString + "/t"
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      val nFiles = math.max(16, (li.count() / 200000L).toInt)
+      val t = new graft.tables.TxTable(spark, loc)
+      t.create(li.repartition(nFiles))
+      val key = li.select(col("l_partkey")).head().getLong(0)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val a = timed(t.scan(s"l_partkey = $key")
+        .write.format("noop").mode("overwrite").save())
+      val b = timed(graft.tables.BloomIndex.enable(t, Seq("l_partkey")))
+      val c = timed(t.scan(s"l_partkey = $key")
+        .write.format("noop").mode("overwrite").save())
+      System.err.println(
+        f"[scalecheck] bloom_index_build $b%.2fs bloom_lookup_stats_only $a%.2fs " +
+          f"bloom_lookup_pruned $c%.2fs (files: ${t.filesAfterPruning(s"l_partkey = $key")}/$nFiles)")
+      (b, a, c)
+    }
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
       "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
       "corpus_shards" -> shards, "quality_classifier" -> classifier,
@@ -250,7 +278,10 @@ object ScaleCheck {
       "boilerplate_lines" -> boiler,
       "bigram_lm_score" -> lmScore,
       "doc_chunking" -> chunking,
-      "encoding_artifacts" -> mojibake))
+      "encoding_artifacts" -> mojibake,
+      "bloom_index_build" -> bloomBuild,
+      "bloom_lookup_stats_only" -> bloomStats,
+      "bloom_lookup_pruned" -> bloomPruned))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -2020,6 +2020,63 @@ object InteropQueries {
           TRUE AS count_post_dv_metadata_only,
           TRUE AS minmax_post_dv_scanned
         FROM pre JOIN post USING (l_returnflag)
-        ORDER BY l_returnflag"""))
+        ORDER BY l_returnflag""")),
+
+    // ---- q154: Bloom file-skipping index (manifest-level point-lookup
+    // pruning) ----
+    // min/max stats can't prune equality lookups on a high-cardinality
+    // UNCLUSTERED column: hash-repartitioned files all span the full
+    // doc_id range, so every file "might" hold any key. The per-file
+    // Bloom sidecar (BloomIndex, Delta's bloom-index DDL shape) proves
+    // absence, so the point lookup reads ~1 file of 8 instead of all 8.
+    // Pinned here end-to-end THROUGH the SQL surface: CREATE BLOOMFILTER
+    // INDEX builds the sidecar, an append leaves the new file
+    // conservatively unpruned until REFRESH BLOOMFILTER INDEX indexes
+    // exactly the missing (file, column) pairs. Booleans pin the pruning
+    // (stats alone = all files; bloom < half; absent key = 0 files
+    // modulo one legal false positive); row values pin exactness.
+    QueryDef(
+      "q154_bloom_index_scan",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q154cat")
+        client.createSchema("q154cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q154-bloom").toString
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        // 8 hash-partitioned files: every file's [min,max] on doc_id
+        // spans ~the whole range -> stats pruning is provably useless
+        client.createAsTable(docs.filter(col("doc_id") < 400).repartition(8),
+          "q154cat", "s", "t", graft.catalog.FileType.DELTA, s"$loc/t")
+        s.sql("CREATE BLOOMFILTER INDEX ON q154cat.s.t FOR COLUMNS (doc_id) OPTIONS (fpp = 0.01)")
+        val t = client.getTxTable("q154cat", "s", "t")
+        val total = t.snapshot.files.size
+        val statsOnly = graft.tables.FileStats
+          .survivingFiles(s, t.snapshot, "doc_id = 42").size
+        val bloomed = t.filesAfterPruning("doc_id = 42")
+        val absent = t.filesAfterPruning("doc_id = 100000")
+        // append arrives unindexed: lookups into it stay conservative
+        // (exact results), then REFRESH indexes exactly the new file
+        t.append(docs.filter(col("doc_id") >= 400).repartition(1))
+        val preRefresh = t.scan("doc_id = 473").count()
+        val built = s.sql("REFRESH BLOOMFILTER INDEX ON q154cat.s.t")
+          .collect()(0).getLong(0)
+        t.scan("doc_id IN (42, 473)")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("stats_cannot_prune", lit(statsOnly == total))
+          .withColumn("bloom_pruned", lit(bloomed <= total / 2))
+          .withColumn("absent_proven", lit(absent <= 1))
+          .withColumn("unindexed_exact", lit(preRefresh == 1L))
+          .withColumn("refresh_incremental", lit(built == 1L))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, n_chars,
+          TRUE AS stats_cannot_prune,
+          TRUE AS bloom_pruned,
+          TRUE AS absent_proven,
+          TRUE AS unindexed_exact,
+          TRUE AS refresh_incremental
+        FROM documents WHERE doc_id IN (42, 473)
+        ORDER BY doc_id"""))
   )
 }

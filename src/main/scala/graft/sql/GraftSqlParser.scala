@@ -48,6 +48,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+([\w.`,\s]+?)\s*;?\s*""").r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+  // CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (a, b)
+  //   [OPTIONS (fpp [=] 0.01)]       (Delta's bloom-index DDL, table-level
+  //   options) — builds BloomIndex's file-skipping sidecar
+  private val CreateBloomIdx =
+    ("""(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.`]+)""" +
+      """\s+FOR\s+COLUMNS\s*\(([^)]*)\)""" +
+      """(?:\s+OPTIONS\s*\(\s*fpp\s*=?\s*([\d.eE+-]+)\s*\))?\s*;?\s*""").r
+  private val RefreshBloomIdx =
+    """(?is)\s*REFRESH\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
   // DESCRIBE HISTORY cat.sch.t (Delta's utility; not in Spark's grammar)
   private val DescHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
@@ -79,6 +88,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+([\w.-]+)\s*;?\s*""".r
   private val FastForward =
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+FAST\s+FORWARD\s+TO\s+([\w.-]+)\s*;?\s*""".r
+  // Delta's CHECK-constraint DDL (delta.constraints.<name> table
+  // properties; writes enforce via Constraints.enforce). Spark's own
+  // grammar parses ADD CONSTRAINT but its analyzer can't target our
+  // catalog tables, so the statement is claimed here.
+  private val AddConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)""" +
+      """\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   /** Validate + split the MV select list into (keys, sum columns, min
     * columns, max columns). None -> not our shape, delegate (and its
@@ -167,6 +185,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case _ => // malformed OPTIMIZE — let the delegate raise its error
     }
     else if (head.startsWith("CREATE ")) sqlText match {
+      case CreateBloomIdx(ident, cols, fpp) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            val colList = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).toSeq
+            return GraftSqlDml.GraftDmlCommand(s"CREATE BLOOMFILTER INDEX ON $name") { () =>
+              Option(fpp).map(_.toDouble) match {
+                case Some(p) => graft.tables.BloomIndex.enable(t, colList, fpp = p)
+                case None => graft.tables.BloomIndex.enable(t, colList)
+              }
+            }
+          case None => // not ours — fall through to the delegate
+        }
       case Clone(tgtIdent, kind, srcIdent, ver, loc) =>
         val srcParts = parts3(srcIdent)
         (parts3(tgtIdent), srcParts.flatMap(txTable)) match {
@@ -208,6 +239,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               ()
             }
           case _ => // not our shape — delegate decides
+        }
+      case _ =>
+    }
+    else if (head.startsWith("REFRESH B")) sqlText match {
+      case RefreshBloomIdx(ident) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftQueryCommand(s"REFRESH BLOOMFILTER INDEX ON $name",
+              Seq(AttributeReference("pairs_built", LongType, nullable = false)())) { () =>
+              Seq(org.apache.spark.sql.Row(graft.tables.BloomIndex.refresh(t).toLong))
+            }
+          case None =>
         }
       case _ =>
     }
@@ -373,6 +416,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case Some((name, _)) =>
             throw graft.catalog.UnsupportedOperationError(
               s"FAST FORWARD needs an ICEBERG table; $name is not one")
+          case None =>
+        }
+      case AddConstraint(ident, cName, checkSql) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftDmlCommand(
+              s"ALTER TABLE $name ADD CONSTRAINT $cName") { () =>
+              t.addConstraint(cName, checkSql.trim)
+            }
+          case None =>
+        }
+      case DropConstraint(ident, cName) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftDmlCommand(
+              s"ALTER TABLE $name DROP CONSTRAINT $cName") { () =>
+              t.dropConstraint(cName)
+            }
           case None =>
         }
       case _ => // other ALTER TABLE forms — Spark's grammar + analyzer rule

@@ -267,7 +267,8 @@ private[graft] object NativeCommitLog extends CommitLog {
       throw graft.catalog.AlreadyExistsError(s"concurrent create at $location")
   }
 
-  def reservedPrefixes: Seq[String] = Seq(TxLog.LogDirName, TxLog.StagingPrefix)
+  def reservedPrefixes: Seq[String] =
+    Seq(TxLog.LogDirName, TxLog.StagingPrefix, BloomIndex.IndexRoot)
 }
 
 /** Real Delta protocol backend: snapshots replayed from `_delta_log`,
@@ -417,7 +418,8 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
       partitionColumns: Seq[String], properties: Map[String, String]): Unit =
     DeltaLogWriter.create(spark, location, df, partitionColumns, properties)
 
-  def reservedPrefixes: Seq[String] = Seq(DeltaLog.LogDirName, TxLog.StagingPrefix)
+  def reservedPrefixes: Seq[String] =
+    Seq(DeltaLog.LogDirName, TxLog.StagingPrefix, BloomIndex.IndexRoot)
 }
 
 /** Apache Iceberg backend: snapshots planned from `metadata/` (manifest
@@ -861,5 +863,6 @@ private[graft] object IcebergCommitLog extends CommitLog {
     }
   }
 
-  def reservedPrefixes: Seq[String] = Seq("metadata", TxLog.StagingPrefix)
+  def reservedPrefixes: Seq[String] =
+    Seq("metadata", TxLog.StagingPrefix, BloomIndex.IndexRoot)
 }

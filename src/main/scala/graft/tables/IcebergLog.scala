@@ -193,6 +193,14 @@ object IcebergLog {
     }
   }
 
+  /** Does the CURRENT metadata's schema history contain any top-level
+    * rename? (BloomIndex's enable-time soundness gate: a historical
+    * rename means an old data file may bind a column name to a
+    * different field id than today's.)
+    */
+  private[tables] def hasRenamedHistory(spark: SparkSession, location: String): Boolean =
+    renamedEver(stateAt(spark, location, None).meta)
+
   /** Parquet read schema for a table state: plain names normally (works
     * for id-less and id-bearing files alike); id-attached with Spark's
     * fieldId resolution turned on once a rename exists in the schema

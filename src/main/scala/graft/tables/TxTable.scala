@@ -383,6 +383,17 @@ final class TxTable(val spark: SparkSession, val location: String,
       throw UnsupportedOperationError(
         s"$op: column $colName is referenced by generated column ${f.name}")
     }
+    // a bloom-indexed column must keep its name for the table's life:
+    // sidecar rows are keyed by (file, LOGICAL name), so rename a→x
+    // followed by rename b→a would bind old a's filters to b's data —
+    // false absence proofs, i.e. wrong results. Refusing here is what
+    // makes plain-name resolution of indexed columns sound on every
+    // backend (see BloomIndex).
+    if (snap.properties.get(BloomIndex.ColumnsProp)
+        .exists(_.split(",").map(_.trim).exists(_.equalsIgnoreCase(colName))))
+      throw UnsupportedOperationError(
+        s"$op: column $colName is bloom-indexed; drop the index first " +
+          s"(BloomIndex.disable / unset ${BloomIndex.ColumnsProp})")
   }
 
   /** ALTER TABLE ... RENAME COLUMN old TO new — METADATA-ONLY, never a
@@ -802,20 +813,27 @@ final class TxTable(val spark: SparkSession, val location: String,
   /** Filtered scan with manifest-level data skipping: files whose
     * partition values or min/max column stats provably cannot satisfy the
     * predicate are dropped before the parquet reader ever sees them
-    * (Delta-style file pruning on top of Spark's own row-group pruning).
-    * The full predicate is still applied to the surviving rows.
+    * (Delta-style file pruning on top of Spark's own row-group pruning),
+    * then — when the table carries a bloom file-skipping index — files
+    * whose per-file Bloom filter PROVES an equality/IN key absent are
+    * subtracted too (BloomIndex). The full predicate is still applied to
+    * the surviving rows.
     */
   def scan(predicate: String): DataFrame = {
     val snap = snapshot
-    val surviving = FileStats.survivingFiles(spark, snap, predicate)
+    val surviving = BloomIndex.prune(spark, location, snap,
+      FileStats.survivingFiles(spark, snap, predicate), predicate)
     dfFor(snap.copy(files = surviving)).filter(expr(predicate))
   }
 
-  /** Number of files the manifest-level pruner would read for a predicate
-    * (for tests/inspection).
+  /** Number of files the manifest-level pruner (stats + bloom index)
+    * would read for a predicate (for tests/inspection).
     */
-  def filesAfterPruning(predicate: String): Int =
-    FileStats.survivingFiles(spark, snapshot, predicate).size
+  def filesAfterPruning(predicate: String): Int = {
+    val snap = snapshot
+    BloomIndex.prune(spark, location, snap,
+      FileStats.survivingFiles(spark, snap, predicate), predicate).size
+  }
 
   /** O(metadata) row count: Σ per-file record counts − Σ deletion-vector
     * cardinalities, straight from the log — at 100 TB a `count(*)` must

@@ -240,6 +240,62 @@ class GraftSqlDmlSpec extends AnyFunSuite {
       .getLong(0) >= 1, "time travel still works — no file was removed")
   }
 
+  test("CREATE/REFRESH BLOOMFILTER INDEX through SQL builds and maintains the sidecar") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("bfi1")
+    client.createSchema("bfi1", "s")
+    val dir = TestSpark.tmpDir("dml-bfi1")
+    // 6 hash-partitioned files, ids interleaved so min/max stats can't
+    // separate any point lookup — pruning below is the bloom's doing
+    client.createAsTable(
+      (0 until 600).map(j => (j.toLong, s"u$j")).toDF("id", "u").repartition(6),
+      "bfi1", "s", "t", FileType.DELTA, s"$dir/t")
+    spark.sql("CREATE BLOOMFILTER INDEX ON TABLE bfi1.s.t FOR COLUMNS (u) OPTIONS (fpp = 0.005)")
+    val t = client.getTxTable("bfi1", "s", "t")
+    assert(t.snapshot.properties(graft.tables.BloomIndex.ColumnsProp) == "u")
+    assert(t.snapshot.properties(graft.tables.BloomIndex.FppProp).toDouble == 0.005)
+    assert(t.filesAfterPruning("u = 'u123'") <= 2)
+    assert(t.scan("u = 'u123'").collect().map(_.getLong(0)).toSeq == Seq(123L))
+    // append -> new file unindexed (conservative); REFRESH returns the
+    // number of (file, column) pairs built — exactly 1
+    spark.sql("INSERT INTO bfi1.s.t VALUES (9000, 'u9000')")
+    assert(t.scan("u = 'u9000'").count() == 1)
+    val built = spark.sql("REFRESH BLOOMFILTER INDEX ON bfi1.s.t")
+    assert(built.columns.toSeq == Seq("pairs_built"))
+    assert(built.collect()(0).getLong(0) == 1L)
+    assert(spark.sql("REFRESH BLOOMFILTER INDEX ON bfi1.s.t").collect()(0).getLong(0) == 0L)
+    // malformed column list still errors clearly through the SQL path
+    intercept[Exception] {
+      spark.sql("CREATE BLOOMFILTER INDEX ON bfi1.s.t FOR COLUMNS (nope)")
+    }
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT: CHECK enforced on SQL and programmatic writes") {
+    val client = freshTable("ctr1")
+    spark.sql("ALTER TABLE ctr1.s.t ADD CONSTRAINT v_positive CHECK (v > 0)")
+    val t = client.getTxTable("ctr1", "s", "t")
+    assert(t.snapshot.properties.get("delta.constraints.v_positive").contains("v > 0"))
+    // violating INSERT is rejected atomically — no partial commit
+    intercept[Exception] {
+      spark.sql("INSERT INTO ctr1.s.t VALUES (3, 'c', -1.0)")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM ctr1.s.t").collect()(0).getLong(0) == 2)
+    spark.sql("INSERT INTO ctr1.s.t VALUES (3, 'c', 30.0)")
+    assert(spark.sql("SELECT COUNT(*) FROM ctr1.s.t").collect()(0).getLong(0) == 3)
+    // adding a constraint an existing row violates is refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ctr1.s.t ADD CONSTRAINT v_small CHECK (v < 25)")
+    }
+    // nested parens in the expression parse fine
+    spark.sql("ALTER TABLE ctr1.s.t ADD CONSTRAINT id_rng CHECK (id > 0 AND (id < 100))")
+    spark.sql("ALTER TABLE ctr1.s.t DROP CONSTRAINT v_positive")
+    spark.sql("INSERT INTO ctr1.s.t VALUES (4, 'd', -5.0)") // now allowed
+    assert(spark.sql("SELECT COUNT(*) FROM ctr1.s.t").collect()(0).getLong(0) == 4)
+    intercept[Exception] { // id_rng still enforced
+      spark.sql("INSERT INTO ctr1.s.t VALUES (500, 'e', 1.0)")
+    }
+  }
+
   test("INSERT OVERWRITE under dynamic partitionOverwriteMode replaces only touched partitions") {
     val client = new LakehouseClient(spark)
     client.createCatalog("dml9")
