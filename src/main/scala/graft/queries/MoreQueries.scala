@@ -256,6 +256,70 @@ object MoreQueries {
         FROM documents WHERE doc_id % 2 = 0
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- KMV / theta sketch: cross-corpus distinct set algebra ----
+    // "How much does corpus B overlap corpus A?" at 100 TB: HLL only
+    // merges to a union; the KMV sketch retains the k smallest hashes —
+    // a uniform sample of the distinct set — so intersection / union /
+    // Jaccard estimates come from ONE scan + k longs per group, no join
+    // and no shuffle of distinct keys. Fixture: order keys of
+    // low-quantity vs high-quantity lineitems (heavily overlapping,
+    // ~13.6k distinct each, well past k=1024 -> genuine estimate
+    // regime). The sketch VALUES are engine-specific but the accuracy
+    // CONTRACT is oracle-able like q39/q149: exact DuckDB set ops pin
+    // TRUE booleans at ~3x the 1/sqrt(k) envelope; a broken hash,
+    // eviction, merge, or θ cut flips a boolean and the hash.
+    QueryDef(
+      "q155_kmv_corpus_overlap",
+      (s, dir) => {
+        val k = 1024
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").cast(StringType).as("key"), col("l_quantity"))
+        val sk = li.agg(
+          graft.functions.KmvFunctions.kmvSketch(
+            when(col("l_quantity") <= 30, col("key")), k).as("ska"),
+          graft.functions.KmvFunctions.kmvSketch(
+            when(col("l_quantity") >= 20, col("key")), k).as("skb"))
+        val est = sk.select(
+          graft.functions.KmvFunctions.kmvCardinality(col("ska"), k).as("ca"),
+          graft.functions.KmvFunctions.kmvCardinality(col("skb"), k).as("cb"),
+          graft.functions.KmvFunctions.kmvSetOps(col("ska"), col("skb"), k).as("ops"))
+          .select(col("ca"), col("cb"),
+            col("ops.intersection").as("inter"),
+            col("ops.union").as("uni"), col("ops.jaccard").as("jac"))
+        val ex = li.agg(
+          countDistinct(when(col("l_quantity") <= 30, col("key"))).as("ea"),
+          countDistinct(when(col("l_quantity") >= 20, col("key"))).as("eb"),
+          countDistinct(when(col("l_quantity") >= 20 && col("l_quantity") <= 30,
+            col("key"))).as("naive_both"))
+        // exact intersection needs per-key set membership, not a row
+        // filter (a key can reach quantity 20..30 via DIFFERENT rows)
+        val exactSets = li.groupBy(col("key")).agg(
+          max(col("l_quantity") <= 30).as("in_a"),
+          max(col("l_quantity") >= 20).as("in_b"))
+          .agg(count(when(col("in_a") && col("in_b"), 1)).as("e_inter"),
+            count(when(col("in_a") || col("in_b"), 1)).as("e_union"))
+        est.crossJoin(ex).crossJoin(exactSets)
+          .select(col("ea").as("exact_a"), col("eb").as("exact_b"),
+            col("e_inter").as("exact_inter"), col("e_union").as("exact_union"),
+            (abs(col("ca") - col("ea")) / col("ea") < 0.10).as("card_a_ok"),
+            (abs(col("cb") - col("eb")) / col("eb") < 0.10).as("card_b_ok"),
+            (abs(col("inter") - col("e_inter")) / col("e_inter") < 0.12).as("inter_ok"),
+            (abs(col("uni") - col("e_union")) / col("e_union") < 0.10).as("union_ok"),
+            (abs(col("jac") - col("e_inter") / col("e_union")) < 0.08).as("jaccard_ok"))
+      },
+      Some("""WITH sets AS (
+          SELECT CAST(l_orderkey AS VARCHAR) AS key,
+            MAX(l_quantity <= 30) AS in_a, MAX(l_quantity >= 20) AS in_b
+          FROM lineitem GROUP BY 1
+        )
+        SELECT COUNT(*) FILTER (in_a) AS exact_a,
+          COUNT(*) FILTER (in_b) AS exact_b,
+          COUNT(*) FILTER (in_a AND in_b) AS exact_inter,
+          COUNT(*) FILTER (in_a OR in_b) AS exact_union,
+          TRUE AS card_a_ok, TRUE AS card_b_ok, TRUE AS inter_ok,
+          TRUE AS union_ok, TRUE AS jaccard_ok
+        FROM sets""")),
+
     // ---- explode + array ops: corpus word count, top-50 ----
     QueryDef(
       "q64_word_count",
