@@ -83,7 +83,7 @@ case class KmvSketchAgg(child: Expression, k: Int,
 
   require(k >= 16, s"kmv_sketch: k must be >= 16, got $k")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
@@ -224,6 +224,47 @@ case class KmvSetOps(left: Expression, right: Expression, k: Int)
   override def prettyName: String = "kmv_set_ops"
 }
 
+/** `kmv_merge(a, b, k)` → the merged sketch (k smallest distinct shifted
+  * hashes of the union, ascending). This is what makes KMV state
+  * INCREMENTALLY MAINTAINABLE: a materialized view can keep one sketch
+  * per group and fold each append batch's sketch in with a sorted
+  * merge — the distinct-count estimate stays as if built from scratch.
+  * NULL is the empty sketch (a group's first batch).
+  */
+case class KmvMerge(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null && r == null) return new GenericArrayData(Array.empty[Any])
+    if (l == null) return r
+    if (r == null) return l
+    val a = KmvEstimate.toArray(l.asInstanceOf[ArrayData])
+    val b = KmvEstimate.toArray(r.asInstanceOf[ArrayData])
+    val out = new Array[Long](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    new GenericArrayData(
+      (if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+        .map(identity[Any]))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    throw new IllegalStateException("unreachable: eval overridden")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvMerge =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "kmv_merge"
+}
+
 object KmvFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 
@@ -240,4 +281,21 @@ object KmvFunctions {
     */
   def kmvSetOps(a: Column, b: Column, k: Int): Column =
     toCol(KmvSetOps(toExpr(a), toExpr(b), k))
+
+  /** Merged sketch of two sketches built with the same k (NULL = empty). */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    toCol(KmvMerge(toExpr(a), toExpr(b), k))
+
+  /** Register SQL-callable forms — `kmv_merge(a, b, k)` and
+    * `kmv_cardinality(sketch, k)` — so sketch state folds inside SQL
+    * expressions (IncrementalView's MERGE SET clauses, ad-hoc reads).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def intLit(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction("kmv_merge",
+      exprs => KmvMerge(exprs.head, exprs(1), intLit(exprs(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_cardinality",
+      exprs => KmvCardinality(exprs.head, intLit(exprs(1))), "scala_udf")
+  }
 }

@@ -2077,6 +2077,58 @@ object InteropQueries {
           TRUE AS unindexed_exact,
           TRUE AS refresh_incremental
         FROM documents WHERE doc_id IN (42, 473)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- q156: incremental MV with APPROX_COUNT_DISTINCT state ----
+    // Daily-uniques at 100 TB: the view keeps a KMV sketch per group
+    // (`uniq_<c>`, array of the 4096 smallest value hashes) and each
+    // append refresh folds the BATCH's sketch in with kmv_merge inside
+    // the MERGE — never re-scanning the source. The merged estimate
+    // must behave as if built from scratch: l_suppkey (100 distinct per
+    // flag, exact regime) is pinned EQUAL to DuckDB's exact
+    // COUNT(DISTINCT); l_orderkey (~11k distinct per flag, genuine
+    // estimate regime) is pinned inside 4x the 1/sqrt(k) envelope.
+    // Mode assertions are inline: a refresh that re-syncs instead of
+    // folding throws -> err.
+    QueryDef(
+      "q156_mv_approx_distinct",
+      (s, dir) => {
+        val loc = java.nio.file.Files.createTempDirectory("q156-mvuniq").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity").cast("double").as("l_quantity"))
+        val src = new graft.tables.TxTable(s, s"$loc/src")
+        src.create(li.filter(col("l_linenumber") <= 3))
+        val mv = s"$loc/mv"
+        def refresh(expect: String): Unit = {
+          val r = graft.tables.IncrementalView.refresh(
+            src, mv, Seq("l_returnflag"), Seq("l_quantity"),
+            uniqCols = Seq("l_orderkey", "l_suppkey"))
+          require(r.mode == expect, s"expected $expect refresh, got ${r.mode}")
+        }
+        refresh("initial")
+        src.append(li.filter(col("l_linenumber") > 3))
+        refresh("incremental")
+        refresh("noop")
+        val view = graft.tables.IncrementalView.withDistinctEstimates(
+          graft.tables.TxTable.forLocation(s, mv).toDF,
+          Seq("l_orderkey", "l_suppkey"))
+        val exact = li.groupBy(col("l_returnflag")).agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        view.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_rows"),
+            col("exact_orders"), col("exact_supps"),
+            (abs(col("approx_uniq_l_orderkey") - col("exact_orders")) /
+              col("exact_orders") < 0.0625).as("orders_est_ok"),
+            (col("approx_uniq_l_suppkey") === col("exact_supps")
+              .cast(DoubleType)).as("supps_exact"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+          COUNT(DISTINCT l_orderkey) AS exact_orders,
+          COUNT(DISTINCT l_suppkey) AS exact_supps,
+          TRUE AS orders_est_ok, TRUE AS supps_exact
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

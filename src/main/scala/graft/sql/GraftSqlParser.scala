@@ -99,20 +99,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   /** Validate + split the MV select list into (keys, sum columns, min
-    * columns, max columns). None -> not our shape, delegate (and its
-    * error message) decide.
+    * columns, max columns, approx-distinct columns). None -> not our
+    * shape, delegate (and its error message) decide.
     */
   private def parseMvSelect(selectList: String, groupBy: String)
-      : Option[(Seq[String], Seq[String], Seq[String], Seq[String])] = {
+      : Option[(Seq[String], Seq[String], Seq[String], Seq[String], Seq[String])] = {
     def strip(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
     val groupKeys = groupBy.split(",").map(strip).filter(_.nonEmpty).toSeq
     val CountRe = """(?i)\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
-    val AggRe = """(?i)\s*(SUM|MIN|MAX)\s*\(\s*([\w`]+)\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
+    val AggRe =
+      """(?i)\s*(SUM|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*([\w`]+)\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
     val KeyRe = """\s*([\w`]+)\s*""".r
     val keys = Seq.newBuilder[String]
     val sums = Seq.newBuilder[String]
     val mins = Seq.newBuilder[String]
     val maxs = Seq.newBuilder[String]
+    val uniqs = Seq.newBuilder[String]
     var hasCount = false
     var ok = true
     import graft.tables.IncrementalView
@@ -125,7 +127,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         val (canonical, sink) = fn.toUpperCase(Locale.ROOT) match {
           case "SUM" => (IncrementalView.sumCol(cc), sums)
           case "MIN" => (IncrementalView.minCol(cc), mins)
-          case _ => (IncrementalView.maxCol(cc), maxs)
+          case "MAX" => (IncrementalView.maxCol(cc), maxs)
+          case _ => (IncrementalView.uniqCol(cc), uniqs)
         }
         if (alias != null && strip(alias) != canonical) ok = false
         sink += cc
@@ -134,7 +137,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
     val ks = keys.result()
     if (ok && hasCount && ks.nonEmpty && ks.sorted == groupKeys.sorted)
-      Some((ks, sums.result(), mins.result(), maxs.result()))
+      Some((ks, sums.result(), mins.result(), maxs.result(), uniqs.result()))
     else None
   }
 
@@ -220,11 +223,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case CreateMv(tgtIdent, loc, selectList, srcIdent, groupBy) =>
         (parts3(tgtIdent), parts3(srcIdent).flatMap(txTable),
             parseMvSelect(selectList, groupBy)) match {
-          case (Some(tp), Some((srcName, srcT)), Some((keys, sums, mins, maxs))) =>
+          case (Some(tp), Some((srcName, srcT)), Some((keys, sums, mins, maxs, uniqs))) =>
             val client = GraftSqlExtensions.clientFor(session).get
             val label = s"CREATE MATERIALIZED VIEW ${tp.mkString(".")} OVER $srcName " +
               s"KEYS(${keys.mkString(",")}) SUMS(${sums.mkString(",")}) " +
-              s"MINS(${mins.mkString(",")}) MAXS(${maxs.mkString(",")})"
+              s"MINS(${mins.mkString(",")}) MAXS(${maxs.mkString(",")}) " +
+              s"UNIQS(${uniqs.mkString(",")})"
             return GraftSqlDml.GraftDmlCommand(label) { () =>
               import graft.tables.IncrementalView
               IncrementalView.refresh(srcT, loc, keys, sums, createProperties = Map(
@@ -232,8 +236,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 IncrementalView.KeysProp -> keys.mkString(","),
                 IncrementalView.SumsProp -> sums.mkString(","),
                 IncrementalView.MinsProp -> mins.mkString(","),
-                IncrementalView.MaxsProp -> maxs.mkString(",")),
-                minCols = mins, maxCols = maxs)
+                IncrementalView.MaxsProp -> maxs.mkString(","),
+                IncrementalView.UniqsProp -> uniqs.mkString(",")),
+                minCols = mins, maxCols = maxs, uniqCols = uniqs)
               client.registerAsTable(tp(0), tp(1), tp(2),
                 graft.catalog.FileType.DELTA, loc)
               ()
@@ -273,7 +278,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               val r = IncrementalView.refresh(src, viewT.location,
                 listProp(IncrementalView.KeysProp), listProp(IncrementalView.SumsProp),
                 minCols = listProp(IncrementalView.MinsProp),
-                maxCols = listProp(IncrementalView.MaxsProp))
+                maxCols = listProp(IncrementalView.MaxsProp),
+                uniqCols = listProp(IncrementalView.UniqsProp))
               Seq(org.apache.spark.sql.Row(r.mode, r.fromVersion, r.toVersion))
             }
           case None =>

@@ -57,6 +57,15 @@ import graft.catalog.UnsupportedOperationError
   * (removing the extremum needs the runner-up the view never kept), so
   * a view carrying them skips the CDF fast path and re-syncs on any
   * non-append source commit.
+  *
+  * Distinct counts (`uniq_<c>`): APPROX_COUNT_DISTINCT state as a KMV
+  * sketch per group (array<long> of the [[KmvK]] smallest value
+  * hashes) — incremental daily-uniques at 100 TB: each append batch
+  * contributes its own sketch and `kmv_merge` folds it into the
+  * group's state inside the refresh MERGE, as if built from scratch
+  * (exact below KmvK distinct, ~1.6% relative error above). Like
+  * min/max, a hash cannot be UN-inserted, so deletes force the full
+  * re-sync path.
   */
 object IncrementalView {
 
@@ -66,6 +75,14 @@ object IncrementalView {
   def sumCol(c: String): String = s"sum_$c"
   def minCol(c: String): String = s"min_$c"
   def maxCol(c: String): String = s"max_$c"
+  def uniqCol(c: String): String = s"uniq_$c"
+
+  /** Sketch size for `uniq_<c>` columns (KMV k-smallest-hashes state):
+    * exact below 4096 distinct per group, ~1.6% relative error above.
+    * Part of the stored state's identity — the merge fold assumes every
+    * batch sketch was built at the same k.
+    */
+  val KmvK = 4096
 
   /** View-definition properties the SQL surface stamps at CREATE so
     * REFRESH MATERIALIZED VIEW can re-derive the maintenance plan.
@@ -75,6 +92,7 @@ object IncrementalView {
   val SumsProp = "graft.mv.sums"
   val MinsProp = "graft.mv.mins"
   val MaxsProp = "graft.mv.maxs"
+  val UniqsProp = "graft.mv.uniqs"
 
   final case class Refresh(mode: String, fromVersion: Long, toVersion: Long)
 
@@ -88,7 +106,7 @@ object IncrementalView {
     */
   private def aggregate(rows: DataFrame, keys: Seq[String], sumCols: Seq[String],
       sign: Option[Column], minCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil): DataFrame = {
+      maxCols: Seq[String] = Nil, uniqCols: Seq[String] = Nil): DataFrame = {
     val s = sign.getOrElse(lit(1L))
     rows.groupBy(keys.map(col): _*).agg(
       sum(s).cast(LongType).as(CountCol),
@@ -97,7 +115,13 @@ object IncrementalView {
       // round past 2^53 and compound across refreshes)
       (sumCols.map(c => coalesce(sum(col(c) * s), lit(0)).as(sumCol(c))) ++
         minCols.map(c => min(col(c)).as(minCol(c))) ++
-        maxCols.map(c => max(col(c)).as(maxCol(c)))): _*)
+        maxCols.map(c => max(col(c)).as(maxCol(c))) ++
+        // distinct-count state: a KMV sketch per group, hashed on the
+        // value's string rendering (engine-stable). Folds under appends
+        // via kmv_merge; like min/max, NOT maintainable under deletes
+        uniqCols.map(c => graft.functions.KmvFunctions
+          .kmvSketch(col(c).cast(org.apache.spark.sql.types.StringType), KmvK)
+          .as(uniqCol(c)))): _*)
   }
 
   /** Refresh the view at `viewLocation` from `source`, creating it on
@@ -109,7 +133,8 @@ object IncrementalView {
   def refresh(source: TxTable, viewLocation: String, keys: Seq[String],
       sumCols: Seq[String],
       createProperties: Map[String, String] = Map.empty,
-      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Refresh = {
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      uniqCols: Seq[String] = Nil): Refresh = {
     val spark = source.spark
     val appId = appIdFor(source.location)
     val to = source.version
@@ -123,7 +148,7 @@ object IncrementalView {
         // a small file, and a dashboard-read view should not accrete
         // one file per refresh forever (callers can override).
         try t.create(
-          aggregate(source.toDF.limit(0), keys, sumCols, None, minCols, maxCols),
+          aggregate(source.toDF.limit(0), keys, sumCols, None, minCols, maxCols, uniqCols),
           properties = Map(TxTable.AutoCompactEnabledProp -> "true") ++ createProperties)
         catch { case _: graft.catalog.AlreadyExistsError => () }
       t
@@ -135,11 +160,13 @@ object IncrementalView {
     val vSnap = view.snapshot
     def stampedList(p: String) = vSnap.properties.getOrElse(p, "")
       .split(",").toSeq.filter(_.nonEmpty)
-    val (ks, sums, mins, maxs) =
+    val (ks, sums, mins, maxs, uniqs) =
       if (vSnap.properties.contains(KeysProp))
         (stampedList(KeysProp), stampedList(SumsProp),
-          stampedList(MinsProp), stampedList(MaxsProp))
-      else (keys, sumCols, minCols, maxCols)
+          stampedList(MinsProp), stampedList(MaxsProp), stampedList(UniqsProp))
+      else (keys, sumCols, minCols, maxCols, uniqCols)
+    if (uniqs.nonEmpty) // kmv_merge must resolve in the MERGE SET clauses
+      graft.functions.KmvFunctions.registerSql(spark)
     val from = vSnap.transactions.getOrElse(appId, -1L)
     if (to <= from) return Refresh("noop", from, to)
 
@@ -149,12 +176,17 @@ object IncrementalView {
       sums.map(c => sumCol(c) -> s"t.`${sumCol(c)}` + s.`${sumCol(c)}`") ++
       // Spark's LEAST/GREATEST skip nulls, so these are null-safe folds
       mins.map(c => minCol(c) -> s"LEAST(t.`${minCol(c)}`, s.`${minCol(c)}`)") ++
-      maxs.map(c => maxCol(c) -> s"GREATEST(t.`${maxCol(c)}`, s.`${maxCol(c)}`)")
+      maxs.map(c => maxCol(c) -> s"GREATEST(t.`${maxCol(c)}`, s.`${maxCol(c)}`)") ++
+      // sorted-merge of the group's sketch with the batch's (null-safe:
+      // kmv_merge treats NULL as the empty sketch)
+      uniqs.map(c => uniqCol(c) ->
+        s"kmv_merge(t.`${uniqCol(c)}`, s.`${uniqCol(c)}`, $KmvK)")
     def insertVals = (ks.map(k => k -> s"s.`$k`") :+
       (CountCol -> s"s.`$CountCol`")) ++
       sums.map(c => sumCol(c) -> s"s.`${sumCol(c)}`") ++
       mins.map(c => minCol(c) -> s"s.`${minCol(c)}`") ++
-      maxs.map(c => maxCol(c) -> s"s.`${maxCol(c)}`")
+      maxs.map(c => maxCol(c) -> s"s.`${maxCol(c)}`") ++
+      uniqs.map(c => uniqCol(c) -> s"s.`${uniqCol(c)}`")
 
     // a losing concurrent refresher is a NO-OP, not a crash: the winner's
     // merge rewrote view files, our replanned merge detects the conflict
@@ -175,7 +207,7 @@ object IncrementalView {
       // non-append history without a usable row feed: one full re-sync
       // merge converges the view to the fresh aggregate — O(source
       // scan), the price of a rewriting source without a row-level feed
-      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs)
+      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs, uniqs)
       committing("full") {
         view.merge(fresh, keyCond, "s", "t")
           .whenMatchedUpdateAll()
@@ -194,7 +226,7 @@ object IncrementalView {
       // than replaying its commit history — a log whose early commits
       // were cleaned up after checkpointing (standard Delta retention)
       // replays incompletely but snapshots exactly
-      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs)
+      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs, uniqs)
       committing("initial") {
         view.merge(fresh, keyCond, "s", "t")
           .whenMatchedUpdateAll()
@@ -209,7 +241,7 @@ object IncrementalView {
       // range), and MERGE with zero source rows commits exactly that
       val delta = aggregate(
         source.changesSince(from, Some(to)).drop("_commit_version"),
-        ks, sums, None, mins, maxs)
+        ks, sums, None, mins, maxs, uniqs)
       committing("incremental") {
         view.merge(delta, keyCond, "s", "t")
           .whenMatchedUpdate(updateSet(CountCol))
@@ -217,9 +249,11 @@ object IncrementalView {
           .withTransaction(appId, to)
           .execute()
       }
-    } else if (cdfSource && mins.isEmpty && maxs.isEmpty) {
+    } else if (cdfSource && mins.isEmpty && maxs.isEmpty && uniqs.isEmpty) {
       // min/max are NOT self-maintainable under deletes (removing the
-      // current extremum needs the runner-up, which the view never kept)
+      // current extremum needs the runner-up, which the view never kept),
+      // and neither are distinct sketches (a deleted row's hash cannot be
+      // un-inserted — the value may survive in other rows)
       // — views carrying them fall through to the full re-sync instead
       // exact signed delta from the row-level change feed — note
       // tableChanges is INCLUSIVE-from (CDF convention) where
@@ -253,4 +287,13 @@ object IncrementalView {
   def withAverages(view: DataFrame, sumCols: Seq[String]): DataFrame =
     sumCols.foldLeft(view)((d, c) =>
       d.withColumn(s"avg_$c", col(sumCol(c)) / col(CountCol)))
+
+  /** Read helper: `approx_uniq_<c>` distinct-count estimates derived
+    * from the stored sketch state (exact while a group's distinct count
+    * stays under [[KmvK]]).
+    */
+  def withDistinctEstimates(view: DataFrame, uniqCols: Seq[String]): DataFrame =
+    uniqCols.foldLeft(view)((d, c) =>
+      d.withColumn(s"approx_uniq_$c",
+        graft.functions.KmvFunctions.kmvCardinality(col(uniqCol(c)), KmvK)))
 }

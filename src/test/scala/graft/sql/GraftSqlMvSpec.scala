@@ -78,6 +78,37 @@ class GraftSqlMvSpec extends AnyFunSuite {
     assert(rows() == Seq(("a", 3L, 2L, 9L), ("b", 1L, 10L, 10L)))
   }
 
+  test("APPROX_COUNT_DISTINCT columns fold sketches under appends, re-sync on deletes") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("mvsql4")
+    client.createSchema("mvsql4", "s")
+    val dir = TestSpark.tmpDir("mv-sql4")
+    client.createAsTable(
+      Seq(("a", "u1"), ("a", "u2"), ("a", "u1"), ("b", "u1")).toDF("k", "u"),
+      "mvsql4", "s", "src", FileType.DELTA, s"$dir/src")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW mvsql4.s.v LOCATION '$dir/v' AS
+         SELECT k, COUNT(*) AS n_rows, APPROX_COUNT_DISTINCT(u) AS uniq_u
+         FROM mvsql4.s.src GROUP BY k""")
+    import graft.tables.IncrementalView
+    def uniques() = IncrementalView.withDistinctEstimates(
+      graft.tables.TxTable.forLocation(spark,
+        client.getTable("mvsql4", "s", "v").storageLocation.get).toDF, Seq("u"))
+      .select("k", "approx_uniq_u").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(uniques() == Map("a" -> 2.0, "b" -> 1.0)) // exact below k
+    // overlap across batches must not double-count: u2 is old news for a
+    spark.sql("INSERT INTO mvsql4.s.src VALUES ('a', 'u2'), ('a', 'u3'), ('b', 'u9')")
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvsql4.s.v").collect()(0).getString(0) ==
+      "incremental")
+    assert(uniques() == Map("a" -> 3.0, "b" -> 2.0))
+    // a delete cannot un-insert a hash -> full re-sync, still exact
+    spark.sql("DELETE FROM mvsql4.s.src WHERE u = 'u3'")
+    assert(spark.sql("REFRESH MATERIALIZED VIEW mvsql4.s.v").collect()(0).getString(0) ==
+      "full")
+    assert(uniques() == Map("a" -> 2.0, "b" -> 2.0))
+  }
+
   test("mis-shapen select lists fall through to Spark's own parser error") {
     val client = new LakehouseClient(spark)
     client.createCatalog("mvsql2")

@@ -286,4 +286,71 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(rowsOf(TxTable.forLocation(spark, viewLoc)) ==
       Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
   }
+
+  test("uniq_<c> distinct sketches fold incrementally under appends, exactly below k") {
+    import org.apache.spark.sql.functions.col
+    val srcLoc = TestSpark.tmpDir("mv-uniq-src")
+    val viewLoc = TestSpark.tmpDir("mv-uniq-view") + "/v"
+    val src = new TxTable(spark, srcLoc)
+    // group a: users u0..u49 (with duplicates), group b: u0..u19
+    def batch(grp: String, lo: Int, hi: Int) =
+      (lo until hi).flatMap(u => Seq((grp, s"u$u", 1.0), (grp, s"u$u", 2.0)))
+        .toDF("k", "user", "v")
+    src.create(batch("a", 0, 50).union(batch("b", 0, 20)))
+
+    val r1 = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"),
+      uniqCols = Seq("user"))
+    assert(r1.mode == "initial")
+    def uniques(): Map[String, Double] = {
+      val v = TxTable.forLocation(spark, viewLoc)
+      IncrementalView.withDistinctEstimates(v.toDF, Seq("user"))
+        .select(col("k"), col("approx_uniq_user"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    // below KmvK distinct per group, the sketch is EXACT
+    assert(uniques() == Map("a" -> 50.0, "b" -> 20.0))
+
+    // append: 30 NEW users to a, 10 OVERLAPPING users to b — the merged
+    // sketch must count distinct across batches, not sum batch counts
+    src.append(batch("a", 50, 80).union(batch("b", 10, 20)))
+    val r2 = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"),
+      uniqCols = Seq("user"))
+    assert(r2.mode == "incremental", "appends must fold, not re-sync")
+    assert(uniques() == Map("a" -> 80.0, "b" -> 20.0))
+
+    // a delete on the source: sketches cannot un-insert a hash, so the
+    // refresh must take the full re-sync path and converge exactly
+    src.delete("user = 'u0'")
+    val r3 = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"),
+      uniqCols = Seq("user"))
+    assert(r3.mode == "full", s"deletes must force re-sync, got ${r3.mode}")
+    assert(uniques() == Map("a" -> 79.0, "b" -> 19.0))
+
+    // replay after the fact stays a pure no-op (fresh handles)
+    val vBefore = TxTable.forLocation(spark, viewLoc).version
+    assert(IncrementalView.refresh(new TxTable(spark, srcLoc), viewLoc,
+      Seq("k"), Seq("v"), uniqCols = Seq("user")).mode == "noop")
+    assert(TxTable.forLocation(spark, viewLoc).version == vBefore)
+  }
+
+  test("uniq estimate stays within the error envelope past k distinct") {
+    import org.apache.spark.sql.functions.col
+    val srcLoc = TestSpark.tmpDir("mv-uniq-big")
+    val viewLoc = TestSpark.tmpDir("mv-uniq-bigv") + "/v"
+    val src = new TxTable(spark, srcLoc)
+    val n1 = 6000; val n2 = 12000 // both past KmvK = 4096
+    src.create((0 until n1).map(u => ("g", s"user_$u", 1.0)).toDF("k", "user", "v"))
+    IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"), uniqCols = Seq("user"))
+    // second batch overlaps the first half and extends to n2
+    src.append((n1 / 2 until n2).map(u => ("g", s"user_$u", 1.0)).toDF("k", "user", "v"))
+    val r = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"),
+      uniqCols = Seq("user"))
+    assert(r.mode == "incremental")
+    val est = IncrementalView.withDistinctEstimates(
+      TxTable.forLocation(spark, viewLoc).toDF, Seq("user"))
+      .select(col("approx_uniq_user")).collect()(0).getDouble(0)
+    val rel = math.abs(est - n2) / n2
+    assert(rel < 4.0 / math.sqrt(IncrementalView.KmvK - 2),
+      s"merged-sketch estimate $est vs $n2 (rel $rel)")
+  }
 }
