@@ -903,7 +903,133 @@ object TextQueries {
           len(regexp_extract_all(text,
             '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}].')) = 0
             AS clean
-        FROM planted ORDER BY doc_id"""))
+        FROM planted ORDER BY doc_id""")),
+
+    // ---- quality-bucketed token-budget corpus mixing ----
+    // How pretraining mixes are actually built: score every document
+    // with the (engine-exact, q132-oracled) hashed classifier, bucket
+    // into quality tiers on INTEGER thresholds (raw_score vs per-token
+    // cutoffs — no float compares anywhere near a boundary), then give
+    // each tier its own token budget and cut deterministically with the
+    // distributed-prefix-sum mix (q103's operator): high quality gets
+    // the big budget, low quality a trickle. One scan + the prefix
+    // sum's two bounded shuffles; the oracle replays scoring,
+    // bucketing, and the per-tier running cut in DuckDB.
+    QueryDef(
+      "q157_quality_bucket_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val scored = d.select(col("doc_id"),
+          graft.functions.TextNativeFunctions.classifierScore(col("text"))
+            .as(Seq("n_tokens", "raw_score", "score", "keep")))
+          .filter(col("n_tokens") > 0)
+        val bucketed = scored.withColumn("bucket",
+          when(col("raw_score") > lit(360000000L) * col("n_tokens"), "high")
+            .when(col("raw_score") > lit(207000000L) * col("n_tokens"), "mid")
+            .otherwise("low"))
+        val budgets = Map("high" -> 6000L, "mid" -> 3000L, "low" -> 1200L)
+        graft.ext.Sampling.tokenBudgetMix(
+            bucketed.select(col("doc_id"), col("bucket"), col("n_tokens")),
+            "bucket", "doc_id", "n_tokens", budgets)
+          .select(col("doc_id"), col("bucket"), col("n_tokens"), col("cum_tokens"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS tok
+          FROM documents
+        ),
+        hb AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+              (acc, x) -> (acc * 31 + x) % 1048576) AS b
+          FROM w
+        ),
+        sc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(SUM((b * 2654435761) % 4294967296 - 2147483648) AS BIGINT) AS raw_score
+          FROM hb GROUP BY doc_id
+        ),
+        bk AS (
+          SELECT doc_id, n_tokens,
+            CASE WHEN raw_score > 360000000 * n_tokens THEN 'high'
+                 WHEN raw_score > 207000000 * n_tokens THEN 'mid'
+                 ELSE 'low' END AS bucket
+          FROM sc
+        ),
+        cum AS (
+          SELECT doc_id, bucket, n_tokens,
+            CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM bk
+        )
+        SELECT doc_id, bucket, n_tokens, cum_tokens
+        FROM cum
+        WHERE cum_tokens <= CASE bucket WHEN 'high' THEN 6000
+          WHEN 'mid' THEN 3000 ELSE 1200 END""")),
+
+    // ---- cross-corpus overlap matrix from ONE sketch pass ----
+    // "Which of my corpora duplicate each other?" — at 100 TB the naive
+    // answer is O(pairs) distinct-joins; the KMV answer is ONE grouped
+    // sketch aggregate (k longs per corpus) and pairwise set algebra on
+    // the sketches. Fixture: distinct token BIGRAMS per source (~700
+    // each, heavy but non-trivial overlap). Every corpus here is below
+    // k=1024, so the sketch holds the whole distinct set and the matrix
+    // is EXACT — the oracle recomputes every pairwise
+    // intersection/union/Jaccard with real distinct-joins and the hash
+    // must match bit-for-bit (the estimate regime's error envelope is
+    // covered by q155 and KmvSketchSpec).
+    QueryDef(
+      "q158_source_overlap_matrix",
+      (s, dir) => {
+        val k = 1024
+        val srcs = (0 to 5).map(i => s"src$i")
+        val toks = Tables.documents(s, dir)
+          .filter(col("source").isin(srcs: _*))
+          .select(col("source"),
+            expr("regexp_extract_all(lower(text), '[a-z0-9\\']+', 0)").as("__t"))
+          .filter(size(col("__t")) >= 2)
+        val bigrams = toks.select(col("source"), explode(transform(
+            sequence(lit(0), size(col("__t")) - 2),
+            i => concat(element_at(col("__t"), i + 1), lit("_"),
+              element_at(col("__t"), i + 2)))).as("bg"))
+        val sketches = bigrams.groupBy(col("source"))
+          .agg(graft.functions.KmvFunctions.kmvSketch(col("bg"), k).as("sk"))
+        val a = sketches.select(col("source").as("source_a"), col("sk").as("ska"))
+        val b = sketches.select(col("source").as("source_b"), col("sk").as("skb"))
+        a.join(b, col("source_a") < col("source_b"))
+          .select(col("source_a"), col("source_b"),
+            graft.functions.KmvFunctions.kmvSetOps(col("ska"), col("skb"), k).as("ops"))
+          .select(col("source_a"), col("source_b"),
+            col("ops.intersection").cast(LongType).as("inter_bg"),
+            col("ops.union").cast(LongType).as("union_bg"),
+            col("ops.jaccard").as("jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH toks AS (
+          SELECT source, regexp_extract_all(lower(text), '[a-z0-9'']+') AS t
+          FROM documents
+          WHERE source IN ('src0','src1','src2','src3','src4','src5')
+        ),
+        bi AS (
+          SELECT DISTINCT source, t[i] || '_' || t[i+1] AS bg
+          FROM toks, UNNEST(range(1, len(t))) AS u(i)
+          WHERE len(t) >= 2
+        ),
+        pairs AS (
+          SELECT x.source AS source_a, y.source AS source_b,
+            COUNT(*) AS both
+          FROM bi x JOIN bi y ON x.bg = y.bg AND x.source < y.source
+          GROUP BY 1, 2
+        ),
+        cards AS (SELECT source, COUNT(*) AS c FROM bi GROUP BY 1)
+        SELECT p.source_a, p.source_b,
+          CAST(p.both AS BIGINT) AS inter_bg,
+          CAST(ca.c + cb.c - p.both AS BIGINT) AS union_bg,
+          CAST(p.both AS DOUBLE) / (ca.c + cb.c - p.both) AS jaccard
+        FROM pairs p
+        JOIN cards ca ON ca.source = p.source_a
+        JOIN cards cb ON cb.source = p.source_b
+        ORDER BY 1, 2"""))
   )
 
   /** DuckDB CTE fragment producing the q72 exact-Jaccard pair list

@@ -104,6 +104,16 @@ object GraftSqlExtensions {
         case u @ UnresolvedRelation(parts, _, _) if parts.length == 4 &&
             (parts(3).startsWith("branch_") || parts(3).startsWith("tag_")) =>
           resolveRefRead(client, parts).getOrElse(u)
+        // Inspection-table suffix reads, Iceberg's own SQL convention
+        // (SELECT * FROM db.table.files): metadata-SIZED relations built
+        // from log/manifest replay — no data file is opened, so "what
+        // files / partitions / snapshots does this table hold" answers
+        // at O(metadata) cost on a 100 TB table. Iceberg tables expose
+        // the full set via IcebergMeta; Delta/native tables expose
+        // `files` and `partitions` derived from the commit-log snapshot.
+        case u @ UnresolvedRelation(parts, _, _) if parts.length == 4 &&
+            MetaTableNames.contains(parts(3).toLowerCase(java.util.Locale.ROOT)) =>
+          resolveMetaRead(client, parts).getOrElse(u)
         // Delta-style change-feed TVF over BOTH change-feed
         // implementations (Delta CDF, Iceberg snapshot-diff changelog):
         //   SELECT * FROM table_changes('cat.sch.t', from [, to])
@@ -173,6 +183,46 @@ object GraftSqlExtensions {
       Some(t.tableChanges(bound(args(1), isFrom = true),
         if (args.size == 3) Some(bound(args(2), isFrom = false)) else None)
         .queryExecution.analyzed)
+    }
+
+    private val MetaTableNames = Set(
+      "snapshots", "history", "manifests", "files", "delete_files",
+      "partitions", "refs")
+
+    private def resolveMetaRead(client: LakehouseClient,
+        parts: Seq[String]): Option[LogicalPlan] = {
+      val info =
+        try client.getTable(parts(0), parts(1), parts(2))
+        catch { case _: graft.catalog.DoesNotExistError => return None }
+      val loc = graft.io.TableIO.normalize(info.storageLocation.getOrElse(return None))
+      val name = parts(3).toLowerCase(java.util.Locale.ROOT)
+      val df: org.apache.spark.sql.DataFrame = info.fileType match {
+        case graft.catalog.FileType.ICEBERG =>
+          graft.tables.IcebergMeta.table(session, loc, name)
+        case graft.catalog.FileType.DELTA => name match {
+          // Delta/native logs expose the two shapes their snapshot can
+          // answer; the Iceberg-specific ones raise a clear error
+          case "files" =>
+            val snap = graft.tables.TxTable.forAnyLocation(session, loc).snapshot
+            import session.implicits._
+            snap.files.map(f => (f.path, f.rows,
+              f.sizeBytes, f.partitionValues,
+              f.deletionVector.map(_.cardinality).getOrElse(0L))).toDF(
+              "file_path", "record_count", "file_size_in_bytes",
+              "partition", "dv_cardinality")
+          case "partitions" =>
+            val t = graft.tables.TxTable.forAnyLocation(session, loc)
+            import session.implicits._
+            t.partitionStats().map { case (pv, st) =>
+              (pv, st.rowCount, st.fileCount, st.sizeBytes)
+            }.toDF("partition", "record_count", "file_count", "total_size_bytes")
+          case other => throw graft.catalog.UnsupportedOperationError(
+            s"metadata table '$other' needs an ICEBERG table; " +
+              s"${info.fullName} exposes files and partitions")
+        }
+        case _ => return None // plain formats: let Spark's resolver error
+      }
+      Some(df.queryExecution.analyzed)
     }
 
     private def resolveRefRead(client: LakehouseClient,
@@ -503,6 +553,27 @@ object GraftSqlExtensions {
           else Some(LocalRelation(agg.output,
             Seq(org.apache.spark.sql.catalyst.InternalRow(values.map(_.get): _*))))
         }.getOrElse(agg)
+
+      // `SELECT DISTINCT part` — the grouped rule's degenerate case, but
+      // at analysis time it is still Distinct(Project(...)) (Spark only
+      // rewrites Distinct to Aggregate in the optimizer, after this
+      // rule): answered from the file list when every projected column
+      // is a plain relation attribute that proves to be a partition
+      // column. "Which days exist" on a day-partitioned 100 TB table is
+      // one snapshot read.
+      case d @ Distinct(child) if child.output.nonEmpty =>
+        taggedNode(child).flatMap { node =>
+          if (!child.output.forall(a => node.outputSet.contains(a))) None
+          else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+            case (loc, v) =>
+              val names = child.output.map(_.name)
+              GraftSqlExtensions.exactGroupedAgg(session, loc, v, names,
+                names.map(GraftSqlExtensions.GroupedKey))
+          }.map { rows =>
+            LocalRelation(d.output, rows.map(r =>
+              org.apache.spark.sql.catalyst.InternalRow(r: _*)))
+          }
+        }.getOrElse(d)
 
       // `SELECT part, COUNT(*)[, MIN(x), MAX(x)] ... GROUP BY part` on a
       // tagged catalog table, all group keys plain attributes: answered

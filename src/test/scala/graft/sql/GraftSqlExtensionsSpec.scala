@@ -318,5 +318,48 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(planOf(q3).contains("FileScan"), "a DV row could be a group's extreme")
     assert(q3.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
       Seq(("a", 10), ("b", 15)))
+
+    // SELECT DISTINCT partition_col is the grouped rule's degenerate
+    // case (group key only, no aggregates): answered from the file
+    // list, fully-deleted groups omitted — "which days exist" on a 100
+    // TB day-partitioned table is one snapshot read, not a scan
+    val qd = spark.sql("SELECT DISTINCT p FROM lakegrp.core.t ORDER BY p")
+    assert(qd.collect().map(_.getString(0)).toSeq == Seq("a", "b"),
+      "fully-deleted partition c must not surface")
+    assert(planOf(qd).contains("LocalTableScan") && !planOf(qd).contains("FileScan"),
+      s"DISTINCT partition-col must not scan\n${planOf(qd)}")
+  }
+
+  test("inspection-table suffix reads: cat.s.t.files / .partitions / Iceberg set") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakemeta")
+    client.createSchema("lakemeta", "core")
+    val dir = TestSpark.tmpDir("sqlmeta")
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p")
+    client.createAsTable(df.repartition(1), "lakemeta", "core", "t",
+      FileType.DELTA, s"$dir/t")
+    // Delta/native: files + partitions derive from the snapshot
+    val files = spark.sql("SELECT file_path, record_count FROM lakemeta.core.t.files")
+    assert(files.collect().map(_.getLong(1)).sum == 3L)
+    val parts = spark.sql(
+      "SELECT record_count FROM lakemeta.core.t.partitions")
+    assert(parts.collect().map(_.getLong(0)).sum == 3L)
+    // Iceberg-only inspection names raise a clear error on a Delta table
+    val e = intercept[Exception](spark.sql("SELECT * FROM lakemeta.core.t.snapshots"))
+    assert(e.getMessage.contains("ICEBERG"), e.getMessage)
+
+    // Iceberg: the full inspection set, metadata-sized
+    val locI = TestSpark.tmpDir("sqlmeta-ice")
+    client.createAsTable(df.repartition(1), "lakemeta", "core", "ti",
+      FileType.ICEBERG, s"$locI/ti")
+    client.getTxTable("lakemeta", "core", "ti")
+      .append(Seq((4L, "b")).toDF("id", "p").repartition(1))
+    assert(spark.sql("SELECT snapshot_id FROM lakemeta.core.ti.snapshots").count() == 2L)
+    assert(spark.sql(
+      "SELECT file_path FROM lakemeta.core.ti.files").count() == 2L)
+    assert(spark.sql(
+      "SELECT SUM(record_count) FROM lakemeta.core.ti.files").collect()(0).getLong(0) == 4L)
+    // a non-catalog 4-part name still falls through to Spark's error
+    intercept[Exception](spark.sql("SELECT * FROM nosuch.cat.t.files").collect())
   }
 }
