@@ -2129,6 +2129,65 @@ object InteropQueries {
           COUNT(DISTINCT l_orderkey) AS exact_orders,
           COUNT(DISTINCT l_suppkey) AS exact_supps,
           TRUE AS orders_est_ok, TRUE AS supps_exact
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q159: ANALYZE TABLE column stats + stats-served approx agg ----
+    // One ANALYZE scan stamps per-column NDV (KMV, exact below 4096
+    // distinct) with a snapshot fingerprint; while the fingerprint
+    // matches, ungrouped APPROX_COUNT_DISTINCT answers from the stamped
+    // stat — one snapshot read on a 100 TB table — and ANY data commit
+    // silently invalidates (fingerprint mismatch → scan). Booleans pin:
+    // below-k columns EQUAL exact, the estimate-regime column inside
+    // the envelope, the approx query plan-pinned scan-free, and the
+    // post-append staleness fallback plan-pinned scanning.
+    QueryDef(
+      "q159_analyze_ndv",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q159cat")
+        client.createSchema("q159cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q159-ndv").toString
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+        client.createAsTable(li, "q159cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$loc/t")
+        val ndv = s.sql("""ANALYZE TABLE q159cat.s.t COMPUTE STATISTICS
+            FOR COLUMNS l_returnflag, l_suppkey, l_orderkey""")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val q = s.sql("SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du FROM q159cat.s.t")
+        val servedMeta = {
+          val p = q.queryExecution.executedPlan.toString
+          q.collect()(0).getLong(0) == ndv("l_suppkey") &&
+            p.contains("LocalTableScan") && !p.contains("FileScan")
+        }
+        // staleness: one appended row must flip the plan back to a scan
+        client.getTxTable("q159cat", "s", "t").append(li.limit(1))
+        val stale = s.sql("SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du FROM q159cat.s.t")
+        val staleScans = stale.queryExecution.executedPlan.toString.contains("FileScan")
+        val ex = li.agg(
+          countDistinct(col("l_returnflag")).as("ef"),
+          countDistinct(col("l_suppkey")).as("es"),
+          countDistinct(col("l_orderkey")).as("eo")).collect()(0)
+        import s.implicits._
+        Seq(
+          ("l_returnflag", ex.getLong(0), ndv("l_returnflag") == ex.getLong(0)),
+          ("l_suppkey", ex.getLong(1), ndv("l_suppkey") == ex.getLong(1)),
+          ("l_orderkey", ex.getLong(2),
+            math.abs(ndv("l_orderkey") - ex.getLong(2)).toDouble / ex.getLong(2) < 0.0625))
+          .toDF("column", "exact_ndv", "ndv_ok")
+          .withColumn("served_metadata_only", lit(servedMeta))
+          .withColumn("stale_falls_back", lit(staleScans))
+          .orderBy(col("column"))
+      },
+      Some("""SELECT * FROM (
+          SELECT 'l_returnflag' AS "column",
+            COUNT(DISTINCT l_returnflag) AS exact_ndv,
+            TRUE AS ndv_ok, TRUE AS served_metadata_only, TRUE AS stale_falls_back
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_suppkey', COUNT(DISTINCT l_suppkey), TRUE, TRUE, TRUE FROM lineitem
+          UNION ALL
+          SELECT 'l_orderkey', COUNT(DISTINCT l_orderkey), TRUE, TRUE, TRUE FROM lineitem
+        ) ORDER BY "column""""))
   )
 }

@@ -374,6 +374,17 @@ object GraftSqlExtensions {
         graft.tables.FileStats.orderedValueToCatalyst(field.dataType, v)).orNull)
     } catch { case _: Throwable => None }
 
+  /** ANALYZE-time NDV of `colName` IF the stamped stats still describe
+    * the snapshot (ColumnStats fingerprint match), else None → scan.
+    */
+  private[sql] def statsNdv(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String): Option[Any] =
+    try {
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      graft.tables.ColumnStats.currentNdv(snap, colName).map(identity[Any])
+    } catch { case _: Throwable => None }
+
   /** A partition-value STRING to the column's Catalyst-internal value.
     * Unlike min/max stats, partition values are exact (never truncated),
     * so strings are convertible here even though exactMinMax excludes
@@ -520,6 +531,21 @@ object GraftSqlExtensions {
       case _ => None
     }
 
+    /** `APPROX_COUNT_DISTINCT(col)` on a relation attribute — answerable
+      * from ANALYZE-time stats when the stamped fingerprint still
+      * matches the snapshot (ColumnStats.currentNdv proves that).
+      */
+    private def approxDistinctOf(e: Expression): Option[AttributeReference] = e match {
+      case Alias(child, _) => approxDistinctOf(child)
+      case AggregateExpression(hll: org.apache.spark.sql.catalyst.expressions.aggregate
+          .HyperLogLogPlusPlus, Complete, false, None, _) =>
+        hll.child match {
+          case a: AttributeReference => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+
     /** A grouping-key output: a (possibly aliased) direct reference to
       * one of the grouping attributes.
       */
@@ -533,19 +559,31 @@ object GraftSqlExtensions {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(Nil, exprs, child, _)
-          if exprs.nonEmpty && exprs.forall(e => isCountStar(e) || minMaxOf(e).isDefined) =>
+          if exprs.nonEmpty && exprs.forall(e => isCountStar(e) ||
+            minMaxOf(e).isDefined || approxDistinctOf(e).isDefined) =>
         taggedNode(child).flatMap { node =>
+          def ownAttr(a: AttributeReference): Boolean = node.outputSet.contains(a)
           val values: Seq[Option[Any]] = exprs.map { e =>
             if (isCountStar(e))
               node.getTagValue(GraftSqlExtensions.ExactCountTag)
                 .map(_()).filter(_ >= 0L).map(identity[Any])
-            else minMaxOf(e).flatMap { case (a, isMin) =>
-              // by exprId: the attribute must be the relation's own
-              // column, not a Project alias over something computed
-              if (!node.outputSet.contains(a)) None
-              else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
-                case (loc, v) =>
-                  GraftSqlExtensions.exactMinMax(session, loc, v, a.name, isMin)
+            else minMaxOf(e) match {
+              case Some((a, isMin)) =>
+                // by exprId: the attribute must be the relation's own
+                // column, not a Project alias over something computed
+                if (!ownAttr(a)) None
+                else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                  case (loc, v) =>
+                    GraftSqlExtensions.exactMinMax(session, loc, v, a.name, isMin)
+                }
+              case None => approxDistinctOf(e).flatMap { a =>
+                // ANALYZE-time NDV, served ONLY while the stamped
+                // fingerprint matches the snapshot's (path, DV) set —
+                // any data-changing commit invalidates silently
+                if (!ownAttr(a)) None
+                else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                  case (loc, v) => GraftSqlExtensions.statsNdv(session, loc, v, a.name)
+                }
               }
             }
           }

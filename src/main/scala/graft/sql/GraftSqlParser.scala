@@ -57,6 +57,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(?:\s+OPTIONS\s*\(\s*fpp\s*=?\s*([\d.eE+-]+)\s*\))?\s*;?\s*""").r
   private val RefreshBloomIdx =
     """(?is)\s*REFRESH\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
+  // ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS a, b (Spark's own
+  // column-stats syntax, parens tolerated) — one scan stamps persisted
+  // NDV stats (ColumnStats) and returns them
+  private val AnalyzeRe =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS""" +
+      """\s+FOR\s+COLUMNS\s+\(?([\w`,\s]+?)\)?\s*;?\s*""").r
   // DESCRIBE HISTORY cat.sch.t (Delta's utility; not in Spark's grammar)
   private val DescHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
@@ -244,6 +250,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               ()
             }
           case _ => // not our shape — delegate decides
+        }
+      case _ =>
+    }
+    else if (head.startsWith("ANALYZE ")) sqlText match {
+      case AnalyzeRe(ident, colsRaw) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            val cols = colsRaw.split(",")
+              .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+            return GraftSqlDml.GraftQueryCommand(s"ANALYZE TABLE $name",
+              Seq(AttributeReference("column", StringType, nullable = false)(),
+                AttributeReference("ndv", LongType, nullable = false)())) { () =>
+              graft.tables.ColumnStats.analyze(t, cols)
+                .map { case (c, n) => org.apache.spark.sql.Row(c, n) }
+            }
+          case None => // not a catalog table — Spark's own ANALYZE
         }
       case _ =>
     }

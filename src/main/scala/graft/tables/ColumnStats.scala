@@ -1,0 +1,90 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.catalog.UnsupportedOperationError
+
+/** ANALYZE TABLE — persisted per-column NDV statistics.
+  *
+  * One scan computes a KMV distinct-count sketch per requested column
+  * (all columns in the same pass — column-pruned, map-side combined,
+  * k longs per partial) and stamps the estimates into table properties:
+  *
+  *   graft.stats.ndv.<col>   = the NDV estimate (long; EXACT when the
+  *                             column's distinct count is below k)
+  *   graft.stats.fingerprint = a hash of the analyzed snapshot's
+  *                             (path, dvCardinality) set
+  *
+  * The fingerprint is what makes CONSUMING the stats sound: a reader
+  * (the `APPROX_COUNT_DISTINCT` metadata-only rewrite, a join planner,
+  * a dashboard) recomputes the fingerprint from the CURRENT snapshot —
+  * O(metadata) — and uses the stats only on exact match. Any
+  * data-changing commit (append, delete, merge, even OPTIMIZE) changes
+  * the file set and silently invalidates; property-only commits
+  * (including the stamping commit itself) don't touch it. Stale stats
+  * are never silently served.
+  *
+  * Why NDV at 100 TB: distinct counts drive join-strategy and
+  * aggregation-sizing decisions, and "how many distinct users/URLs does
+  * this table hold" is a permanent dashboard fixture — one ANALYZE scan
+  * amortizes over every later metadata-only answer.
+  */
+object ColumnStats {
+  val NdvPropPrefix = "graft.stats.ndv."
+  val FingerprintProp = "graft.stats.fingerprint"
+  val KProp = "graft.stats.k"
+
+  /** Sketch size: exact below 4096 distinct, ~1.6% relative error above. */
+  val K = 4096
+
+  /** Order-insensitive fingerprint of a snapshot's live-data identity:
+    * the sorted (path, DV cardinality) pairs. DV cardinality rides along
+    * because a merge-on-read delete changes visible rows WITHOUT
+    * changing the file list.
+    */
+  def fingerprint(snap: TxLog.Snapshot): Long = {
+    val entries = snap.files
+      .map(f => s"${f.path}#${f.deletionVector.map(_.cardinality).getOrElse(0L)}")
+      .sorted
+    scala.util.hashing.MurmurHash3.orderedHash(entries).toLong & 0xffffffffL |
+      (entries.size.toLong << 32)
+  }
+
+  /** Compute NDV for `columns` in ONE scan and stamp the stats. Returns
+    * (column, ndv) in the requested order.
+    */
+  def analyze(table: TxTable, columns: Seq[String]): Seq[(String, Long)] = {
+    require(columns.nonEmpty, "ANALYZE: at least one column required")
+    val snap = table.snapshot
+    val known = snap.schema.fieldNames.toSet
+    columns.foreach(c => if (!known.contains(c))
+      throw UnsupportedOperationError(
+        s"ANALYZE: column $c not found in ${snap.schema.fieldNames.mkString(", ")}"))
+    val aggs = columns.map(c => graft.functions.KmvFunctions
+      .kmvSketch(col(s"`$c`").cast(StringType), K).as(c))
+    // scan pinned at the fingerprinted version: a concurrent commit
+    // between scan and stamp then simply invalidates (fingerprint
+    // mismatch) instead of mislabeling the new state
+    val row = table.toDF(snap.version).agg(aggs.head, aggs.tail: _*).collect()(0)
+    val ndvs = columns.zipWithIndex.map { case (c, i) =>
+      c -> math.round(graft.functions.KmvEstimate.cardinality(
+        row.getSeq[Long](i).toArray, K))
+    }
+    table.setProperties(
+      ndvs.map { case (c, n) => s"$NdvPropPrefix$c" -> n.toString }.toMap ++
+        Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString))
+    ndvs
+  }
+
+  /** The stamped NDV of `column` IF the stats still describe the
+    * current snapshot (fingerprint match), else None.
+    */
+  def currentNdv(snap: TxLog.Snapshot, column: String): Option[Long] =
+    for {
+      fp <- snap.properties.get(FingerprintProp)
+      if fp == fingerprint(snap).toString
+      v <- snap.properties.get(s"$NdvPropPrefix$column")
+      n <- v.toLongOption
+    } yield n
+}

@@ -330,6 +330,47 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       s"DISTINCT partition-col must not scan\n${planOf(qd)}")
   }
 
+  test("ANALYZE stamps NDV stats; APPROX_COUNT_DISTINCT answers metadata-only while fresh") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakestats")
+    client.createSchema("lakestats", "core")
+    val dir = TestSpark.tmpDir("sqlstats")
+    client.createAsTable(
+      (0 until 900).map(i => (i.toLong, s"u${i % 120}")).toDF("id", "u"),
+      "lakestats", "core", "t", FileType.DELTA, s"$dir/t")
+
+    // one scan, exact below k: 900 ids, 120 users
+    val analyzed = spark.sql(
+      "ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS id, u")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(analyzed == Map("id" -> 900L, "u" -> 120L))
+
+    def planOf(q: org.apache.spark.sql.DataFrame) = q.queryExecution.executedPlan.toString
+    val q = spark.sql(
+      "SELECT COUNT(*) AS n, APPROX_COUNT_DISTINCT(u) AS du FROM lakestats.core.t")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((900L, 120L)))
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan"),
+      s"fresh stats must answer metadata-only\n${planOf(q)}")
+
+    // any data-changing commit silently invalidates: the fingerprint no
+    // longer matches, the query falls back to the scan and stays correct
+    spark.sql("INSERT INTO lakestats.core.t VALUES (9000, 'u_new')")
+    val q2 = spark.sql("SELECT APPROX_COUNT_DISTINCT(id) AS di FROM lakestats.core.t")
+    assert(planOf(q2).contains("FileScan"), "stale stats must not be served")
+    assert(q2.collect()(0).getLong(0) >= 890L)
+    // re-ANALYZE restores the metadata-only answer at the new state
+    spark.sql("ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS u")
+    val q3 = spark.sql("SELECT APPROX_COUNT_DISTINCT(u) AS du FROM lakestats.core.t")
+    assert(q3.collect()(0).getLong(0) == 121L)
+    assert(!planOf(q3).contains("FileScan"))
+    // a column never analyzed keeps the scan
+    val q4 = spark.sql("SELECT APPROX_COUNT_DISTINCT(id) AS di FROM lakestats.core.t")
+    assert(planOf(q4).contains("FileScan"))
+    // unknown column raises the typed error
+    intercept[Exception](spark.sql(
+      "ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS nope"))
+  }
+
   test("inspection-table suffix reads: cat.s.t.files / .partitions / Iceberg set") {
     val client = new LakehouseClient(spark)
     client.createCatalog("lakemeta")
