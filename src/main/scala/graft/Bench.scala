@@ -368,6 +368,64 @@ object Bench {
         line("bloom_lookup_stats_only", a); line("bloom_lookup_pruned", c)
         (b, a, c)
       }
+      // round-11 sketch/URL/mix operators (same round-lag rule: BENCH
+      // carries each round's additions so the NEXT round is comparable):
+      // the one-pass grouped-KMV overlap matrix, SpaceSaving frequent
+      // items, eTLD+1 domain filtering, the quality-bucketed
+      // token-budget mix, and the sketch-state incremental MV refresh
+      val kmvOverlap = timed {
+        SparkEntry.queries("q158_source_overlap_matrix")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("kmv_overlap_matrix", kmvOverlap)
+      val freqItems = timed {
+        SparkEntry.queries("q149_frequent_items_sketch")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("frequent_items", freqItems)
+      val urlDomain = timed {
+        SparkEntry.queries("q148_url_domain_filter")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("url_domain_filter", urlDomain)
+      val qualityMix = timed {
+        SparkEntry.queries("q157_quality_bucket_mix")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("quality_bucket_mix", qualityMix)
+      val mvApprox = {
+        val loc = java.nio.file.Files.createTempDirectory("bench-mvkmv").toString
+        val li = graft.queries.Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), col("l_quantity").cast("double").as("l_quantity"),
+            col("l_orderkey"))
+        val src = new graft.tables.TxTable(spark, s"$loc/src")
+        src.create(li)
+        graft.tables.IncrementalView.refresh(src, s"$loc/mv",
+          Seq("l_returnflag"), Seq("l_quantity"), uniqCols = Seq("l_orderkey"))
+        src.append(li.limit(10000))
+        val b = timed(graft.tables.IncrementalView.refresh(src, s"$loc/mv",
+          Seq("l_returnflag"), Seq("l_quantity"), uniqCols = Seq("l_orderkey")))
+        line("mv_approx_distinct_refresh", b)
+        b
+      }
+      // round-12: the partition-only-WHERE metadata answer vs the same
+      // filtered aggregate forced through a scan
+      val (pfMeta, pfScan) = {
+        val a = timed {
+          spark.sql("""SELECT COUNT(*) AS n, MIN(l_orderkey) AS lo
+            FROM benchgrp.s.t WHERE l_returnflag = 'A'""").collect()
+        }
+        val b = timed {
+          graft.tables.TxTable.forForeignDelta(spark,
+              spark.sql("DESCRIBE DETAIL benchgrp.s.t").select("location").head().getString(0))
+            .toDF.filter(col("l_returnflag") === "A")
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+              org.apache.spark.sql.functions.min(col("l_orderkey")).as("lo"))
+            .collect()
+        }
+        line("partition_filter_metadata", a); line("partition_filter_scan", b)
+        (a, b)
+      }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
         "corpus_shards" -> shards, "iceberg_changelog_delete" -> chlog,
@@ -381,7 +439,14 @@ object Bench {
         "grouped_rollup_scan" -> grpScan,
         "bloom_index_build" -> bloomBuild,
         "bloom_lookup_stats_only" -> bloomLookupStats,
-        "bloom_lookup_pruned" -> bloomLookupPruned)
+        "bloom_lookup_pruned" -> bloomLookupPruned,
+        "kmv_overlap_matrix" -> kmvOverlap,
+        "frequent_items" -> freqItems,
+        "url_domain_filter" -> urlDomain,
+        "quality_bucket_mix" -> qualityMix,
+        "mv_approx_distinct_refresh" -> mvApprox,
+        "partition_filter_metadata" -> pfMeta,
+        "partition_filter_scan" -> pfScan)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -154,9 +154,12 @@ object TextOps {
     * classes, each a distinct artifact family:
     *   - U+FFFD replacement characters (decoder already gave up),
     *   - C1 control chars U+0080–U+009F (CP1252 bytes read as Latin-1),
-    *   - 'Ã'/'Â' followed by anything (2-byte UTF-8 read as Latin-1 —
-    *     the "Ã©" family), and 'â€' + one char (3-byte punctuation,
-    *     the "â€™" smart-quote family).
+    *   - 'Ã'/'Â' followed by a char in U+0080–U+00BF — the Latin-1
+    *     rendering of a UTF-8 continuation byte (the "Ã©" family;
+    *     restricting the follower keeps legitimate accented uppercase
+    *     text like "SÃO"/"Âge" clean, at the cost of missing the rare
+    *     CP1252-rendered follower and a lone trailing 'Ã') — and
+    *     'â€' + one char (3-byte punctuation, the "â€™" family).
     * Emits the artifact occurrence count and its exact ratio to text
     * length; `clean` is the count==0 filter bit. Map-only, one regex
     * scan per row, no shuffle — the usual 100 TB posture for per-doc
@@ -166,8 +169,9 @@ object TextOps {
   def encodingArtifacts(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    // U+FFFD, the C1 block, U+00E2 U+20AC (the CP1252 moji-pair), C3/C2 + any
-    val pat = "\uFFFD|[\u0080-\u009F]|\u00E2\u20AC.|[\u00C3\u00C2]."
+    // U+FFFD, the C1 block, U+00E2 U+20AC (the CP1252 moji-pair),
+    // C3/C2 + a Latin-1-rendered continuation byte
+    val pat = "\uFFFD|[\u0080-\u009F]|\u00E2\u20AC.|[\u00C3\u00C2][\u0080-\u00BF]"
     val n = size(regexp_extract_all(t, lit(pat), lit(0))).cast(LongType)
     df.select(col(idCol), n.as("n_artifacts"),
       when(length(t) > 0, n.cast(DoubleType) / length(t).cast(DoubleType))

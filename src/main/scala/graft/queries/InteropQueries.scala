@@ -2164,6 +2164,14 @@ object InteropQueries {
         client.getTxTable("q159cat", "s", "t").append(li.limit(1))
         val stale = s.sql("SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du FROM q159cat.s.t")
         val staleScans = stale.queryExecution.executedPlan.toString.contains("FileScan")
+        // partial re-ANALYZE: restamping ONE column refreshes the table
+        // fingerprint, so the stamping commit must CLEAR the other
+        // columns' NDV keys — a never-restamped column has to plan a
+        // scan, not get re-validated into a stale metadata-only answer
+        s.sql("ANALYZE TABLE q159cat.s.t COMPUTE STATISTICS FOR COLUMNS l_suppkey")
+        val qPart = s.sql("SELECT APPROX_COUNT_DISTINCT(l_orderkey) AS dv FROM q159cat.s.t")
+        val partialSafe =
+          qPart.queryExecution.executedPlan.toString.contains("FileScan")
         val ex = li.agg(
           countDistinct(col("l_returnflag")).as("ef"),
           countDistinct(col("l_suppkey")).as("es"),
@@ -2177,17 +2185,78 @@ object InteropQueries {
           .toDF("column", "exact_ndv", "ndv_ok")
           .withColumn("served_metadata_only", lit(servedMeta))
           .withColumn("stale_falls_back", lit(staleScans))
+          .withColumn("partial_reanalyze_safe", lit(partialSafe))
           .orderBy(col("column"))
       },
       Some("""SELECT * FROM (
           SELECT 'l_returnflag' AS "column",
             COUNT(DISTINCT l_returnflag) AS exact_ndv,
-            TRUE AS ndv_ok, TRUE AS served_metadata_only, TRUE AS stale_falls_back
+            TRUE AS ndv_ok, TRUE AS served_metadata_only, TRUE AS stale_falls_back,
+            TRUE AS partial_reanalyze_safe
           FROM lineitem
           UNION ALL
-          SELECT 'l_suppkey', COUNT(DISTINCT l_suppkey), TRUE, TRUE, TRUE FROM lineitem
+          SELECT 'l_suppkey', COUNT(DISTINCT l_suppkey), TRUE, TRUE, TRUE, TRUE FROM lineitem
           UNION ALL
-          SELECT 'l_orderkey', COUNT(DISTINCT l_orderkey), TRUE, TRUE, TRUE FROM lineitem
-        ) ORDER BY "column""""))
+          SELECT 'l_orderkey', COUNT(DISTINCT l_orderkey), TRUE, TRUE, TRUE, TRUE FROM lineitem
+        ) ORDER BY "column"""")),
+
+    // ---- q160: partition-only WHERE absorbed by the metadata-only
+    // aggregate rules ----
+    // `SELECT COUNT(*), MIN(x), MAX(x) FROM t WHERE part = 'A'` (and the
+    // IN-list + grouped variants) answer from the FILE LIST: partition
+    // values are exact, so a partition-only equality/IN predicate just
+    // drops whole file groups from the same per-file arithmetic — one
+    // snapshot read instead of a scan on the most common filtered
+    // dashboard shape. Plan-pinned scan-free; the non-partition-filter
+    // twin (l_quantity > 25) is plan-pinned SCANNING — the log cannot
+    // prove row-level predicates. Values all recomputed by DuckDB.
+    QueryDef(
+      "q160_metadata_partition_filter",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q160cat")
+        client.createSchema("q160cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q160-pf").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"))
+        client.createAsTable(li.repartition(4), "q160cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$loc/t",
+          partitionColumns = Seq("l_returnflag"))
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val eq = s.sql("""SELECT COUNT(*) AS n_a, MIN(l_orderkey) AS lo_a,
+            MAX(l_orderkey) AS hi_a
+          FROM q160cat.s.t WHERE l_returnflag = 'A'""")
+        val eqMeta = planOf(eq).contains("LocalTableScan") &&
+          !planOf(eq).contains("FileScan")
+        val grp = s.sql("""SELECT l_returnflag, COUNT(*) AS n
+          FROM q160cat.s.t WHERE l_returnflag IN ('A', 'R')
+          GROUP BY l_returnflag""")
+        val grpMeta = !planOf(grp).contains("FileScan")
+        val twin = s.sql(
+          "SELECT COUNT(*) AS n_q25 FROM q160cat.s.t WHERE l_quantity > 25")
+        val twinScans = planOf(twin).contains("FileScan")
+        eq.crossJoin(grp.groupBy().pivot("l_returnflag", Seq("A", "R")).sum("n")
+            .select(col("A").as("n_in_a"), col("R").as("n_in_r")))
+          .crossJoin(twin)
+          .withColumn("part_eq_metadata_only", lit(eqMeta))
+          .withColumn("part_in_grouped_metadata_only", lit(grpMeta))
+          .withColumn("nonpart_filter_scans", lit(twinScans))
+      },
+      Some("""SELECT
+          (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'A') AS n_a,
+          (SELECT CAST(MIN(l_orderkey) AS BIGINT) FROM lineitem
+            WHERE l_returnflag = 'A') AS lo_a,
+          (SELECT CAST(MAX(l_orderkey) AS BIGINT) FROM lineitem
+            WHERE l_returnflag = 'A') AS hi_a,
+          (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'A') AS n_in_a,
+          (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R') AS n_in_r,
+          (SELECT COUNT(*) FROM lineitem
+            WHERE CAST(l_quantity AS BIGINT) > 25) AS n_q25,
+          TRUE AS part_eq_metadata_only,
+          TRUE AS part_in_grouped_metadata_only,
+          TRUE AS nonpart_filter_scans"""))
   )
 }

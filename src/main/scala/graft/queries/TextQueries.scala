@@ -893,15 +893,15 @@ object TextQueries {
         )
         SELECT doc_id,
           CAST(len(regexp_extract_all(text,
-            '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}].')) AS BIGINT)
+            '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}][\x{0080}-\x{00BF}]')) AS BIGINT)
             AS n_artifacts,
           CASE WHEN length(text) > 0 THEN
             CAST(len(regexp_extract_all(text,
-              '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}].')) AS DOUBLE)
+              '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}][\x{0080}-\x{00BF}]')) AS DOUBLE)
               / length(text)
           ELSE 0.0 END AS artifact_ratio,
           len(regexp_extract_all(text,
-            '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}].')) = 0
+            '\x{FFFD}|[\x{0080}-\x{009F}]|\x{00E2}\x{20AC}.|[\x{00C3}\x{00C2}][\x{0080}-\x{00BF}]')) = 0
             AS clean
         FROM planted ORDER BY doc_id""")),
 

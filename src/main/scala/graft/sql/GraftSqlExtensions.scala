@@ -424,22 +424,45 @@ object GraftSqlExtensions {
     */
   private[sql] def exactGroupedAgg(session: ClassicSparkSession, loc: String,
       version: Option[Long], groupCols: Seq[String],
-      outputs: Seq[GroupedOut]): Option[Seq[Seq[Any]]] =
+      outputs: Seq[GroupedOut],
+      partFilter: Seq[(String, Set[Any])] = Seq.empty): Option[Seq[Seq[Any]]] =
     try {
       val t = graft.tables.TxTable.forAnyLocation(session, loc)
       val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
       val partSet = snap.partitionColumns.toSet
-      if (groupCols.isEmpty || !groupCols.forall(partSet.contains)) return None
+      if (groupCols.isEmpty && partFilter.isEmpty) return None
+      if (!groupCols.forall(partSet.contains)) return None
       val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
       if (outputs.exists { case GroupedMinMax(c, _) => !fieldType.contains(c); case _ => false })
         return None
+      // every filter conjunct must target a partition column of a
+      // convertible type — anything else is unprovable from the log
+      if (!partFilter.forall { case (c, _) =>
+          partSet.contains(c) && fieldType.contains(c) }) return None
+      // files surviving the partition-only predicate (exact: partition
+      // values are never truncated); an unconvertible or null partition
+      // value makes membership unprovable -> scan
+      val inScope = snap.files.filter { f =>
+        if (f.rows < 0L) return None
+        partFilter.forall { case (c, wanted) =>
+          f.partitionValues.get(c) match {
+            case Some(v) if v != null =>
+              partitionValueToCatalyst(fieldType(c), v) match {
+                case Some(cv) => wanted.contains(cv)
+                case None => return None
+              }
+            case _ => return None
+          }
+        }
+      }
       val needsExtremes = outputs.exists(_.isInstanceOf[GroupedMinMax])
+      // only DVs on files IN SCOPE can hide an extreme — a deletion in
+      // an excluded partition is irrelevant
       if (needsExtremes &&
-          snap.files.exists(_.deletionVector.exists(_.cardinality > 0))) return None
+          inScope.exists(_.deletionVector.exists(_.cardinality > 0))) return None
       val groups = scala.collection.mutable.LinkedHashMap
         .empty[Seq[String], scala.collection.mutable.ArrayBuffer[graft.tables.TxLog.AddFile]]
-      snap.files.foreach { f =>
-        if (f.rows < 0L) return None
+      inScope.foreach { f =>
         val key = groupCols.map { c =>
           f.partitionValues.get(c) match {
             case Some(v) if v != null => v
@@ -448,6 +471,45 @@ object GraftSqlExtensions {
         }
         groups.getOrElseUpdate(key,
           scala.collection.mutable.ArrayBuffer.empty) += f
+      }
+      // outer None = unprovable (fall to scan); inner value may be SQL
+      // NULL (empty or all-null scope)
+      def fold(files: Seq[graft.tables.TxLog.AddFile], c: String,
+          isMin: Boolean): Option[Any] = {
+        val dt = fieldType(c)
+        val isPart = partSet.contains(c)
+        var acc: Option[Long] = None
+        files.foreach { f =>
+          if (f.rows != 0L) {
+            val stat =
+              if (isPart) f.partitionValues.get(c)
+              else (if (isMin) f.minValues else f.maxValues).flatMap(_.get(c))
+            stat.filter(_ != null)
+              .flatMap(s => graft.tables.FileStats.orderedStatValue(dt, s)) match {
+              case Some(v) =>
+                acc = Some(acc.fold(v)(a => if (isMin) math.min(a, v) else math.max(a, v)))
+              case None =>
+                if (!f.nullCounts.flatMap(_.get(c)).contains(f.rows)) return None
+            }
+          }
+        }
+        Some(Option(acc.map(v =>
+          graft.tables.FileStats.orderedValueToCatalyst(dt, v)).orNull))
+      }
+      if (groupCols.isEmpty) {
+        // ungrouped-with-filter: SQL emits exactly ONE row even over an
+        // empty scope (COUNT 0, extremes NULL)
+        val files = inScope
+        val live = files.iterator.map(f =>
+          f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
+        val row = outputs.map {
+          case GroupedKey(_) => return None // no keys without GROUP BY
+          case GroupedCount => live
+          case GroupedMinMax(c, isMin) =>
+            fold(files, c, isMin).getOrElse(return None)
+              .asInstanceOf[Option[Any]].orNull
+        }
+        return Some(Seq(row))
       }
       val rows = groups.iterator.flatMap { case (key, files) =>
         val live = files.iterator.map(f =>
@@ -460,25 +522,8 @@ object GraftSqlExtensions {
               partitionValueToCatalyst(fieldType(c), keyByCol(c)).getOrElse(return None)
             case GroupedCount => live
             case GroupedMinMax(c, isMin) =>
-              val dt = fieldType(c)
-              val isPart = partSet.contains(c)
-              var acc: Option[Long] = None
-              files.foreach { f =>
-                if (f.rows != 0L) {
-                  val stat =
-                    if (isPart) f.partitionValues.get(c)
-                    else (if (isMin) f.minValues else f.maxValues).flatMap(_.get(c))
-                  stat.filter(_ != null)
-                    .flatMap(s => graft.tables.FileStats.orderedStatValue(dt, s)) match {
-                    case Some(v) =>
-                      acc = Some(acc.fold(v)(a => if (isMin) math.min(a, v) else math.max(a, v)))
-                    case None =>
-                      if (!f.nullCounts.flatMap(_.get(c)).contains(f.rows)) return None
-                  }
-                }
-              }
-              acc.map(v =>
-                graft.tables.FileStats.orderedValueToCatalyst(dt, v)).orNull
+              fold(files.toSeq, c, isMin).getOrElse(return None)
+                .asInstanceOf[Option[Any]].orNull
           }
           Iterator.single(row)
         }
@@ -492,8 +537,12 @@ object GraftSqlExtensions {
     * read versus a full scan. Fires ONLY on an ungrouped aggregate whose
     * every output is COUNT(1), MIN(col) or MAX(col) and whose child
     * walks down to a tagged catalog-table read through row-preserving
-    * nodes (Project/SubqueryAlias); any Filter, Limit, join, grouping,
-    * DISTINCT or FILTER clause leaves the plan untouched, and MIN/MAX
+    * nodes (Project/SubqueryAlias). A WHERE whose every conjunct is a
+    * partition-column equality/IN with same-typed literals is ABSORBED
+    * (the file list answers the filtered aggregate exactly — the most
+    * common dashboard shape after the ungrouped ones); any other
+    * Filter, any Limit, join, grouping beyond partition keys, DISTINCT
+    * or FILTER clause leaves the plan untouched, and MIN/MAX
     * arguments must be the RELATION's own attributes (matched by exprId,
     * so a Project alias or computed column bails). Counts come from
     * per-file row counts minus deletion-vector cardinalities (the same
@@ -507,14 +556,63 @@ object GraftSqlExtensions {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 
-    private def taggedNode(plan: LogicalPlan): Option[LogicalPlan] =
+    /** Walk down to the tagged relation through row-preserving nodes,
+      * COLLECTING Filter conditions on the way (as top-level conjuncts).
+      * The caller decides whether the collected predicate is absorbable
+      * (partition-only equality/IN — see [[partitionEqFilter]]); any
+      * other node shape still bails.
+      */
+    private def taggedNodeF(plan: LogicalPlan): Option[(LogicalPlan, Seq[Expression])] =
       if (plan.getTagValue(GraftSqlExtensions.ExactCountTag).isDefined ||
-          plan.getTagValue(GraftSqlExtensions.StatsRefTag).isDefined) Some(plan)
+          plan.getTagValue(GraftSqlExtensions.StatsRefTag).isDefined) Some((plan, Nil))
       else plan match {
-        case Project(_, child) => taggedNode(child)
-        case SubqueryAlias(_, child) => taggedNode(child)
+        case Project(_, child) => taggedNodeF(child)
+        case SubqueryAlias(_, child) => taggedNodeF(child)
+        case Filter(cond, child) =>
+          taggedNodeF(child).map { case (n, cs) => (n, splitAnd(cond) ++ cs) }
         case _ => None
       }
+
+    private def splitAnd(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+
+    /** The collected conjuncts as a partition-equality filter — every
+      * conjunct must be `attr = lit`, `lit = attr`, `attr <=> lit` or
+      * `attr IN (lits)` on the RELATION's own attribute with same-typed
+      * non-null literals (an analyzer-inserted Cast means the types
+      * didn't match — bail). Whether the attrs are PARTITION columns is
+      * proven later by exactGroupedAgg against the log; here only the
+      * shape is checked. Multiple conjuncts on one column intersect.
+      */
+    private def partitionEqFilter(conjuncts: Seq[Expression], node: LogicalPlan)
+        : Option[Seq[(String, Set[Any])]] = {
+      import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, In}
+      val own = node.outputSet
+      def eq(a: AttributeReference, l: Literal): Option[(String, Set[Any])] =
+        if (own.contains(a) && l.value != null && l.dataType == a.dataType)
+          Some(a.name -> Set[Any](l.value))
+        else None
+      val parsed: Seq[Option[(String, Set[Any])]] = conjuncts.map {
+        case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
+        case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
+        case EqualNullSafe(a: AttributeReference, l: Literal) => eq(a, l)
+        case EqualNullSafe(l: Literal, a: AttributeReference) => eq(a, l)
+        case In(a: AttributeReference, elems)
+            if own.contains(a) && elems.nonEmpty && elems.forall {
+              case l: Literal => l.value != null && l.dataType == a.dataType
+              case _ => false
+            } =>
+          Some(a.name -> elems.map(_.asInstanceOf[Literal].value).toSet[Any])
+        case _ => None
+      }
+      if (parsed.exists(_.isEmpty)) None
+      else Some(parsed.flatten.groupBy(_._1).toSeq.map { case (c, vs) =>
+        c -> vs.map(_._2).reduce(_ intersect _)
+      })
+    }
 
     private def isCountStar(e: Expression): Boolean = e match {
       case Alias(child, _) => isCountStar(child)
@@ -561,8 +659,35 @@ object GraftSqlExtensions {
       case agg @ Aggregate(Nil, exprs, child, _)
           if exprs.nonEmpty && exprs.forall(e => isCountStar(e) ||
             minMaxOf(e).isDefined || approxDistinctOf(e).isDefined) =>
-        taggedNode(child).flatMap { node =>
+        taggedNodeF(child).flatMap { case (node, conjuncts) =>
           def ownAttr(a: AttributeReference): Boolean = node.outputSet.contains(a)
+          if (conjuncts.nonEmpty) {
+            // `SELECT COUNT(*), MIN(x) FROM t WHERE part = 'x'` — a
+            // partition-only predicate drops whole file groups from the
+            // same per-file arithmetic; exactGroupedAgg proves the
+            // filtered columns ARE partition columns (else scan).
+            // APPROX_COUNT_DISTINCT can't absorb a filter (the stamped
+            // NDV is table-wide) — bail to the scan.
+            if (exprs.exists(e => approxDistinctOf(e).isDefined)) None
+            else partitionEqFilter(conjuncts, node).flatMap { pf =>
+              val outs: Seq[Option[GraftSqlExtensions.GroupedOut]] = exprs.map { e =>
+                if (isCountStar(e)) Some(GraftSqlExtensions.GroupedCount)
+                else minMaxOf(e).collect {
+                  case (a, isMin) if ownAttr(a) =>
+                    GraftSqlExtensions.GroupedMinMax(a.name, isMin)
+                }
+              }
+              if (outs.exists(_.isEmpty)) None
+              else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                case (loc, v) =>
+                  GraftSqlExtensions.exactGroupedAgg(session, loc, v, Nil,
+                    outs.map(_.get), pf)
+              }.map { rows =>
+                LocalRelation(agg.output, rows.map(r =>
+                  org.apache.spark.sql.catalyst.InternalRow(r: _*)))
+              }
+            }
+          } else {
           val values: Seq[Option[Any]] = exprs.map { e =>
             if (isCountStar(e))
               node.getTagValue(GraftSqlExtensions.ExactCountTag)
@@ -590,6 +715,7 @@ object GraftSqlExtensions {
           if (values.exists(_.isEmpty)) None
           else Some(LocalRelation(agg.output,
             Seq(org.apache.spark.sql.catalyst.InternalRow(values.map(_.get): _*))))
+          }
         }.getOrElse(agg)
 
       // `SELECT DISTINCT part` — the grouped rule's degenerate case, but
@@ -600,13 +726,15 @@ object GraftSqlExtensions {
       // column. "Which days exist" on a day-partitioned 100 TB table is
       // one snapshot read.
       case d @ Distinct(child) if child.output.nonEmpty =>
-        taggedNode(child).flatMap { node =>
+        taggedNodeF(child).flatMap { case (node, conjuncts) =>
           if (!child.output.forall(a => node.outputSet.contains(a))) None
-          else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
-            case (loc, v) =>
-              val names = child.output.map(_.name)
-              GraftSqlExtensions.exactGroupedAgg(session, loc, v, names,
-                names.map(GraftSqlExtensions.GroupedKey))
+          else partitionEqFilter(conjuncts, node).flatMap { pf =>
+            node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+              case (loc, v) =>
+                val names = child.output.map(_.name)
+                GraftSqlExtensions.exactGroupedAgg(session, loc, v, names,
+                  names.map(GraftSqlExtensions.GroupedKey), pf)
+            }
           }.map { rows =>
             LocalRelation(d.output, rows.map(r =>
               org.apache.spark.sql.catalyst.InternalRow(r: _*)))
@@ -623,11 +751,11 @@ object GraftSqlExtensions {
           if groupExprs.nonEmpty &&
             groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
         val groupSet = groupExprs.map(_.asInstanceOf[AttributeReference].exprId).toSet
-        taggedNode(child).flatMap { node =>
+        taggedNodeF(child).flatMap { case (node, conjuncts) =>
           val relAttrs = node.outputSet
           if (!groupExprs.forall(g =>
               relAttrs.contains(g.asInstanceOf[AttributeReference]))) None
-          else {
+          else partitionEqFilter(conjuncts, node).flatMap { pf =>
             val outs: Seq[Option[GraftSqlExtensions.GroupedOut]] = exprs.map { e =>
               groupKeyOf(e, groupSet) match {
                 case Some(a) => Some(GraftSqlExtensions.GroupedKey(a.name))
@@ -643,7 +771,7 @@ object GraftSqlExtensions {
               case (loc, v) =>
                 GraftSqlExtensions.exactGroupedAgg(session, loc, v,
                   groupExprs.map(_.asInstanceOf[AttributeReference].name),
-                  outs.map(_.get))
+                  outs.map(_.get), pf)
             }.map { rows =>
               LocalRelation(agg.output, rows.map(r =>
                 org.apache.spark.sql.catalyst.InternalRow(r: _*)))

@@ -57,6 +57,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(?:\s+OPTIONS\s*\(\s*fpp\s*=?\s*([\d.eE+-]+)\s*\))?\s*;?\s*""").r
   private val RefreshBloomIdx =
     """(?is)\s*REFRESH\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
+  // DROP BLOOMFILTER INDEX ON [TABLE] t — unregisters the index (clears
+  // the enabling properties and the rename-pin; sidecar files become
+  // dead data removable by VACUUM) so lookups plan unpruned again
+  private val DropBloomIdx =
+    """(?is)\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
   // ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS a, b (Spark's own
   // column-stats syntax, parens tolerated) — one scan stamps persisted
   // NDV stats (ColumnStats) and returns them
@@ -266,6 +271,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 .map { case (c, n) => org.apache.spark.sql.Row(c, n) }
             }
           case None => // not a catalog table — Spark's own ANALYZE
+        }
+      case _ =>
+    }
+    else if (head.startsWith("DROP BLOO")) sqlText match {
+      case DropBloomIdx(ident) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftDmlCommand(s"DROP BLOOMFILTER INDEX ON $name") { () =>
+              graft.tables.BloomIndex.disable(t)
+            }
+          case None =>
         }
       case _ =>
     }

@@ -83,6 +83,12 @@ object BloomIndex {
   private val DefaultMaxBits = 1 << 23 // 1 MiB per (file, column)
   private val DefaultRowsPerFile = 1L << 20 // sizing fallback for stat-less files
 
+  /** Above this many live (file, column) pairs, `refresh` probes the
+    * sidecar with an executor-side anti-join instead of collecting the
+    * existing key set to the driver. */
+  val CollectThresholdConf = "spark.graft.bloomIndex.collectThreshold"
+  private val DefaultCollectThreshold = 1L << 16
+
   private val sidecarSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("col", StringType, nullable = false),
@@ -159,18 +165,44 @@ object BloomIndex {
 
     val dir = indexDir(table.location)
     val fs = TxLog.fs(spark, table.location)
-    val existing: Set[(String, String)] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Set.empty
-      else spark.read.schema(sidecarSchema).parquet(dir)
-        .select("file", "col").distinct().collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
+    // Which live (file, column) pairs does the sidecar lack? Small
+    // indexes answer with a driver-side key-set collect; past
+    // `collectThreshold` pairs the probe flips to an executor-side
+    // anti-join — the driver ships the O(files) path list it ALREADY
+    // holds (the snapshot) and only the MISSING pairs come back, so
+    // driver residency stays O(new files) even at 10^6 files × many
+    // indexed columns.
+    val threshold = spark.conf.getOption(CollectThresholdConf)
+      .map(_.toLong).getOrElse(DefaultCollectThreshold)
+    val missingFor: Map[String, Set[String]] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        snap.files.map(f => f.path -> cols.toSet).toMap
+      else if (snap.files.size.toLong * cols.size <= threshold) {
+        val existing = spark.read.schema(sidecarSchema).parquet(dir)
+          .select("file", "col").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        snap.files.iterator
+          .map(f => f.path -> cols.filterNot(c => existing((f.path, c))).toSet)
+          .filter(_._2.nonEmpty).toMap
+      } else {
+        val cand = spark.createDataFrame(
+          spark.sparkContext.parallelize(snap.files.map(f => Row(f.path)), 32),
+          StructType(Seq(StructField("file", StringType, nullable = false))))
+          .withColumn("col", explode(typedLit(cols)))
+        cand.join(spark.read.schema(sidecarSchema).parquet(dir)
+            .select("file", "col"), Seq("file", "col"), "left_anti")
+          .collect().groupBy(_.getString(0))
+          .map { case (p, rows) => p -> rows.map(_.getString(1)).toSet }
+      }
 
     // group files by the column subset they still need — normally ONE
     // group (new files missing every indexed column); a second appears
     // transiently after a column is added to the index
     val missingByFile: Seq[(TxLog.AddFile, Seq[String])] = snap.files
-      .map(f => f -> cols.filterNot(c => existing.contains((f.path, c))))
-      .filter(_._2.nonEmpty)
+      .flatMap { f =>
+        val m = missingFor.getOrElse(f.path, Set.empty)
+        if (m.isEmpty) None else Some(f -> cols.filter(m.contains))
+      }
     if (missingByFile.isEmpty) return 0
     val mapping = DeltaLog.columnMappingOf(snap.schema) // logical -> physical (empty = identity)
     val typeOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap

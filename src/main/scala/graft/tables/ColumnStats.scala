@@ -47,8 +47,13 @@ object ColumnStats {
     val entries = snap.files
       .map(f => s"${f.path}#${f.deletionVector.map(_.cardinality).getOrElse(0L)}")
       .sorted
-    scala.util.hashing.MurmurHash3.orderedHash(entries).toLong & 0xffffffffL |
-      (entries.size.toLong << 32)
+    // Two independently-seeded 32-bit Murmur hashes packed into 64 bits:
+    // file-count-only collisions (two equal-size file sets) would pass a
+    // 32-bit check with ~2^-32 probability; 64 bits makes a silent stale
+    // serve astronomically unlikely.
+    val lo = scala.util.hashing.MurmurHash3.orderedHash(entries).toLong & 0xffffffffL
+    val hi = scala.util.hashing.MurmurHash3.orderedHash(entries, 0x9747b28c).toLong & 0xffffffffL
+    (hi << 32) | lo
   }
 
   /** Compute NDV for `columns` in ONE scan and stamp the stats. Returns
@@ -71,8 +76,18 @@ object ColumnStats {
       c -> math.round(graft.functions.KmvEstimate.cardinality(
         row.getSeq[Long](i).toArray, K))
     }
+    // A partial re-ANALYZE refreshes the ONE table-level fingerprint, so
+    // any graft.stats.ndv.* key left over from a PREVIOUS analyze of other
+    // columns would be re-validated against the new fingerprint and served
+    // stale. Unset every prefixed key we are not restamping in the SAME
+    // commit (setProperties treats null as delete).
+    val stale = table.snapshot.properties.keys
+      .filter(k => k.startsWith(NdvPropPrefix) &&
+        !columns.contains(k.stripPrefix(NdvPropPrefix)))
+      .map(_ -> (null: String)).toMap
     table.setProperties(
-      ndvs.map { case (c, n) => s"$NdvPropPrefix$c" -> n.toString }.toMap ++
+      stale ++
+        ndvs.map { case (c, n) => s"$NdvPropPrefix$c" -> n.toString }.toMap ++
         Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString))
     ndvs
   }

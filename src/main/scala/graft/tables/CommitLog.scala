@@ -796,11 +796,16 @@ private[graft] object IcebergCommitLog extends CommitLog {
       IcebergLog.readData(spark, metaJson, s.schema, files, metaSel)
     }
     if (dvFiles.isEmpty) return read(s.files, withMeta = false)
+    // broadcast DESCRIPTORS, not bitmap bytes: driver and broadcast stay
+    // O(files); each executor lazily materializes only the bitmaps of
+    // files its tasks scan (inline ones decode in place, sidecar ones
+    // read their .bin range from storage) — a mass-deleted table's read
+    // no longer parks O(files × bitmap bytes) everywhere
     val m = dvFiles.map { a =>
-      DeletionVectors.normalizedUri(a.path) ->
-        DeletionVectors.readData(spark, location, a.deletionVector.get)
+      DeletionVectors.normalizedUri(a.path) -> a.deletionVector.get
     }.toMap
-    val bc = spark.sparkContext.broadcast(new DvLookup(m))
+    val bc = spark.sparkContext.broadcast(new DvDescriptorLookup(location, m,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf())): DvProbe)
     import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
     val live = read(dvFiles, withMeta = true)
       .filter(toCol(DvIsRowLive(

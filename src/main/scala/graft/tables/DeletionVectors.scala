@@ -361,10 +361,18 @@ private[tables] final class SerializableHadoopConf(
   }
 }
 
+/** Probe interface of the DV filter's broadcast payload — either the
+  * bitmaps themselves (small folds) or descriptors the executors
+  * materialize lazily (large folds).
+  */
+sealed trait DvProbe extends Serializable {
+  def deleted(filePathUri: String, rowIndex: Long): Boolean
+}
+
 /** Broadcast payload of the DV filter: serialized bitmaps keyed by
   * normalized absolute file path, parsed lazily once per executor JVM.
   */
-final class DvLookup(serialized: Map[String, Array[Byte]]) extends Serializable {
+final class DvLookup(serialized: Map[String, Array[Byte]]) extends DvProbe {
   @transient private lazy val parsed: Map[String, DeletionVectors.Bitmap64] =
     serialized.map { case (k, v) => k -> DeletionVectors.Bitmap64.deserialize(v) }
 
@@ -373,6 +381,37 @@ final class DvLookup(serialized: Map[String, Array[Byte]]) extends Serializable 
       case Some(bm) => bm.contains(rowIndex)
       case None => false
     }
+}
+
+/** Descriptor-keyed DV probe: the broadcast carries O(files) descriptor
+  * TUPLES (~100 bytes each), never bitmap bytes — each executor
+  * materializes only the bitmaps of files its own tasks actually scan,
+  * decoding inline ("i") descriptors in place and reading sidecar
+  * ("u"/"p") ranges straight from storage. This is what keeps a
+  * mass-deleted 10^6-file table readable without parking
+  * O(files × bitmap bytes) on the driver and in every executor's
+  * broadcast block: driver and broadcast stay O(files), executor
+  * residency tracks its own task assignment.
+  */
+final class DvDescriptorLookup(tableLocation: String,
+    descriptors: Map[String, DeletionVectors.Descriptor],
+    conf: SerializableHadoopConf) extends DvProbe {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DeletionVectors.Bitmap64]()
+
+  def deleted(filePathUri: String, rowIndex: Long): Boolean = {
+    val key = DeletionVectors.normalizedUri(filePathUri)
+    descriptors.get(key) match {
+      case None => false
+      case Some(d) =>
+        var bm = cache.get(key)
+        if (bm == null) {
+          bm = DeletionVectors.readBitmap(conf.value, tableLocation, d)
+          cache.put(key, bm)
+        }
+        bm.contains(rowIndex)
+    }
+  }
 }
 
 /** Scheme/authority-free view of a path URI (DeletionVectors.normalizedUri
@@ -404,7 +443,7 @@ case class NormalizedPath(child: Expression)
   * filter applied over `_metadata.file_path` / `_metadata.row_index`.
   * Codegen'd so DV'd scans stay inside whole-stage codegen.
   */
-case class DvIsRowLive(left: Expression, right: Expression, lookup: Broadcast[DvLookup])
+case class DvIsRowLive(left: Expression, right: Expression, lookup: Broadcast[DvProbe])
     extends BinaryExpression with Predicate {
 
   override def nullable: Boolean = false
@@ -415,7 +454,7 @@ case class DvIsRowLive(left: Expression, right: Expression, lookup: Broadcast[Dv
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dvLookup", lookup, classOf[Broadcast[_]].getName)
     nullSafeCodeGen(ctx, ev, (p, i) =>
-      s"${ev.value} = !((graft.tables.DvLookup) $ref.value()).deleted($p.toString(), $i);")
+      s"${ev.value} = !((graft.tables.DvProbe) $ref.value()).deleted($p.toString(), $i);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DvIsRowLive =

@@ -919,11 +919,14 @@ object DeltaLog {
       df: DataFrame, files: Seq[TxLog.AddFile]): DataFrame = {
     val withDv = files.filter(_.deletionVector.exists(_.cardinality > 0))
     if (withDv.isEmpty) return df
+    // descriptors only in the broadcast — executors lazy-load each
+    // file's bitmap on first probe (see DvDescriptorLookup)
     val m = withDv.map { a =>
       DeletionVectors.normalizedAbs(spark, location, a.path) ->
-        DeletionVectors.readData(spark, location, a.deletionVector.get)
+        a.deletionVector.get
     }.toMap
-    val bc = spark.sparkContext.broadcast(new DvLookup(m))
+    val bc = spark.sparkContext.broadcast(new DvDescriptorLookup(location, m,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf())): DvProbe)
     import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
     df.filter(toCol(DvIsRowLive(toExpr(col(FileMetaCol)), toExpr(col(RowMetaCol)), bc)))
   }

@@ -1165,11 +1165,37 @@ object IcebergLog {
       st: IceState): DataFrame = {
     val posDeletes = st.deletes.filter(_.content == 1)
     if (posDeletes.isEmpty) return df
-    val byFile = positionDeleteBitmaps(spark, posDeletes)
-    val bc = spark.sparkContext.broadcast(new DvLookup(byFile))
     import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
-    df.filter(toCol(DvIsRowLive(
-      toExpr(col(DeltaLog.FileMetaCol)), toExpr(col(DeltaLog.RowMetaCol)), bc)))
+    // Size-dispatched on delete-file manifest bytes — known BEFORE any
+    // scan, the same threshold the TxTable fold spills at. Below it
+    // (the micro-batch shape) the bitmaps broadcast into the codegen'd
+    // DvIsRowLive filter: no join on the data path, pushdown intact.
+    // Above it (a mass delete) broadcasting bitmaps would park
+    // O(touched files × bitmap bytes) on the driver AND in every
+    // executor, so the deletes apply as a plain shuffle anti-join on
+    // (normalized path, position) instead — AQE picks the build side,
+    // driver residency zero, the same design as the bulk
+    // equality-delete joins. (A sidecar spill would also cap residency
+    // but makes a READ write files; the join needs neither.)
+    val inlineMax = spark.conf.getOption(IcebergCommitLog.InlineFoldMaxDeleteBytesConf)
+      .map(_.toLong).getOrElse(IcebergCommitLog.InlineFoldMaxDeleteBytes)
+    if (posDeletes.map(_.bytes).sum <= inlineMax) {
+      val byFile = positionDeleteBitmaps(spark, posDeletes)
+      val bc = spark.sparkContext.broadcast(new DvLookup(byFile): DvProbe)
+      df.filter(toCol(DvIsRowLive(
+        toExpr(col(DeltaLog.FileMetaCol)), toExpr(col(DeltaLog.RowMetaCol)), bc)))
+    } else {
+      val del = spark.read.parquet(posDeletes.map(_.path): _*)
+        .select(toCol(NormalizedPath(toExpr(col("file_path")))).as("__np"),
+          col("pos").cast("long").as("__pos"))
+      val withNp = df.withColumn("__np",
+        toCol(NormalizedPath(toExpr(col(DeltaLog.FileMetaCol)))))
+      withNp.join(del,
+          withNp("__np") === del("__np") &&
+            withNp(DeltaLog.RowMetaCol) === del("__pos"),
+          "left_anti")
+        .drop("__np")
+    }
   }
 
   /** Append-commit branch cap for tableChanges plans — beyond this many

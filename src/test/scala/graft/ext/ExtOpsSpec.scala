@@ -330,12 +330,14 @@ class ExtOpsSpec extends AnyFunSuite {
       (2L, "cafÃ© menu"),                // "Ã©" 2-byte family
       (3L, "itâ€™s here"),          // "â€™" smart-quote family
       (4L, "lost � char and  control"), // replacement + C1
-      (5L, ""))
+      (5L, ""),
+      (6L, "SÃO PAULO, Âge"))           // legit accented uppercase: NOT mojibake
       .toDF("doc_id", "text")
     val out = TextOps.encodingArtifacts(docs).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     assert(out.map(t => (t._1, t._2, t._4)).toSeq == Seq(
-      (1L, 0L, true), (2L, 1L, false), (3L, 1L, false), (4L, 2L, false), (5L, 0L, true)))
+      (1L, 0L, true), (2L, 1L, false), (3L, 1L, false), (4L, 2L, false), (5L, 0L, true),
+      (6L, 0L, true)))
     assert(out(1)._3 == 1.0 / 10)  // "cafÃ© menu" is 10 code points
     // map-only: no shuffle
     val plan = TextOps.encodingArtifacts(docs).queryExecution.executedPlan.toString

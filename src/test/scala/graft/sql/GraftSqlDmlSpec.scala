@@ -268,6 +268,16 @@ class GraftSqlDmlSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("CREATE BLOOMFILTER INDEX ON bfi1.s.t FOR COLUMNS (nope)")
     }
+    // DROP: lookups plan unpruned again, the rename-pin on the indexed
+    // column lifts, and results stay exact throughout
+    spark.sql("DROP BLOOMFILTER INDEX ON TABLE bfi1.s.t")
+    assert(!t.snapshot.properties.contains(graft.tables.BloomIndex.ColumnsProp))
+    // all 6 interleaved files come back (the u9000-only appended file
+    // still min/max-stats-prunes — that's not the bloom's doing)
+    assert(t.filesAfterPruning("u = 'u123'") >= 6)
+    assert(t.scan("u = 'u123'").collect().map(_.getLong(0)).toSeq == Seq(123L))
+    t.renameColumn("u", "u2") // pinned while indexed; allowed after DROP
+    assert(t.snapshot.schema.fieldNames.contains("u2"))
   }
 
   test("ALTER TABLE ADD/DROP CONSTRAINT: CHECK enforced on SQL and programmatic writes") {

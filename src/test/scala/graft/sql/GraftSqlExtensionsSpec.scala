@@ -330,6 +330,56 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       s"DISTINCT partition-col must not scan\n${planOf(qd)}")
   }
 
+  test("partition-only WHERE absorbs into the metadata-only aggregates") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakepf")
+    client.createSchema("lakepf", "core")
+    val dir = TestSpark.tmpDir("sqlpf")
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 20), (3L, "a", 30),
+      (4L, "b", 5), (5L, "b", 15),
+      (6L, "c", 99)).toDF("id", "p", "k")
+    client.createAsTable(df.repartition(2), "lakepf", "core", "t",
+      FileType.DELTA, s"$dir/t", partitionColumns = Seq("p"))
+
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    // ungrouped with a partition equality: scan-free and exact
+    val q = spark.sql(
+      "SELECT COUNT(*) AS n, MIN(id) AS lo, MAX(k) AS hi FROM lakepf.core.t WHERE p = 'a'")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((3L, 1L, 30)))
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan"),
+      s"partition-filtered aggregate must not scan\n${planOf(q)}")
+    // IN list; empty-match partition yields the SQL empty-scope row
+    val qin = spark.sql(
+      "SELECT COUNT(*) AS n FROM lakepf.core.t WHERE p IN ('b', 'c')")
+    assert(qin.collect()(0).getLong(0) == 3L)
+    assert(!planOf(qin).contains("FileScan"))
+    val qnone = spark.sql(
+      "SELECT COUNT(*) AS n, MIN(id) AS lo FROM lakepf.core.t WHERE p = 'zz'")
+    assert(qnone.collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq == Seq((0L, true)))
+    assert(!planOf(qnone).contains("FileScan"))
+    // grouped rollup under a partition filter
+    val qg = spark.sql("""SELECT p, COUNT(*) AS n FROM lakepf.core.t
+      WHERE p IN ('a', 'b') GROUP BY p ORDER BY p""")
+    assert(qg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 3L), ("b", 2L)))
+    assert(!planOf(qg).contains("FileScan"))
+    // NON-partition filter keeps the scan and stays correct
+    val qk = spark.sql("SELECT COUNT(*) AS n FROM lakepf.core.t WHERE k > 10")
+    assert(planOf(qk).contains("FileScan"), "non-partition predicates must scan")
+    assert(qk.collect()(0).getLong(0) == 4L)
+    // mixed partition + non-partition conjuncts keep the scan
+    val qm = spark.sql("SELECT COUNT(*) AS n FROM lakepf.core.t WHERE p = 'a' AND k > 10")
+    assert(planOf(qm).contains("FileScan"))
+    assert(qm.collect()(0).getLong(0) == 2L)
+    // DISTINCT under a partition filter
+    val qd = spark.sql("SELECT DISTINCT p FROM lakepf.core.t WHERE p IN ('a', 'zz')")
+    assert(qd.collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(!planOf(qd).contains("FileScan"))
+  }
+
   test("ANALYZE stamps NDV stats; APPROX_COUNT_DISTINCT answers metadata-only while fresh") {
     val client = new LakehouseClient(spark)
     client.createCatalog("lakestats")

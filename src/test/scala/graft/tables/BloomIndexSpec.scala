@@ -81,6 +81,26 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(t.scan("tag = 'tag_new_0'").count() == 1)
   }
 
+  test("anti-join existing-pair probe (big-index path) makes identical build decisions") {
+    // Force the executor-side anti-join path with a zero threshold and
+    // assert refresh builds EXACTLY what the collect path would have:
+    // 0 pairs when current, exactly the new (file, col) pairs after an
+    // append, and lookups still prune afterwards.
+    val loc = TestSpark.tmpDir("bloomidx-anti")
+    val t = mkTable(loc, nFiles = 4)
+    spark.conf.set(BloomIndex.CollectThresholdConf, "0")
+    try {
+      BloomIndex.enable(t, Seq("tag", "id")) // build runs through the anti-join probe
+      assert(BloomIndex.refresh(t) == 0)     // current -> no work, same as collect path
+      t.append(Seq((99999L, "tag_new_0", "vx")).toDF("id", "tag", "v").repartition(1))
+      assert(BloomIndex.refresh(t) == 2)     // exactly the new file x 2 indexed cols
+      assert(BloomIndex.refresh(t) == 0)
+      val n = t.filesAfterPruning("tag = 'tag_1_3'")
+      assert(n >= 1 && n <= 2, s"expected ~1 file after bloom pruning, got $n")
+      assert(t.scan("tag = 'tag_new_0'").count() == 1)
+    } finally spark.conf.unset(BloomIndex.CollectThresholdConf)
+  }
+
   test("guards: partition column, unsupported type, renamed-history iceberg refused") {
     val locP = TestSpark.tmpDir("bloomidx4")
     val tp = new TxTable(spark, locP)

@@ -100,4 +100,48 @@ class BulkEqualityDeleteSpec extends AnyFunSuite {
       s"below the threshold the fold must inline, got ${inlineDvs.map(_.storageType)}")
     assert(t.toDF.count() == expectLive.size)
   }
+
+  test("dense mass delete: the DIRECT read path caps residency above the threshold") {
+    import spark.implicits._
+    val loc = graft.TestSpark.tmpDir("direct-massdel") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create(spark.range(20000L).select(col("id"), (col("id") % 7).as("g"))
+      .repartition(3))
+    t.delete("id % 5 != 0") // dense MoR position deletes: 80% of every file
+    val expectLive = (0L until 20000L by 5L)
+
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+
+    // below the threshold: codegen'd broadcast-bitmap filter, no join
+    val small = IcebergLog.toDF(spark, loc)
+    assert(small.select("id").as[Long].collect().sorted.toSeq == expectLive)
+    assert(!planOf(small).contains("LeftAnti"),
+      s"small deletes must apply as the bitmap filter, not a join:\n${planOf(small)}")
+
+    // above the threshold (forced to 1 byte): IcebergLog.toDF/dfFor must
+    // NOT collect+broadcast O(files × bitmap bytes) — the deletes apply
+    // as a plain anti-join on (path, pos) with the build side left to
+    // the planner. Threshold -1 disables auto-broadcast entirely, so a
+    // BroadcastHashJoin here could only come from a forced hint — the
+    // exact scale bug this pins against (AQE re-enables broadcast on
+    // real configs when the delete delta is genuinely small).
+    spark.conf.set(IcebergCommitLog.InlineFoldMaxDeleteBytesConf, "1")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val direct = IcebergLog.toDF(spark, loc)
+      assert(direct.select("id").as[Long].collect().sorted.toSeq == expectLive)
+      val p = planOf(direct)
+      assert(p.contains("LeftAnti"),
+        s"mass position deletes must apply as an anti-join:\n$p")
+      val badBc = p.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")).toSeq
+      assert(badBc.isEmpty,
+        s"mass-delete anti-join must not broadcast:\n${badBc.mkString("\n")}")
+    } finally {
+      spark.conf.unset(IcebergCommitLog.InlineFoldMaxDeleteBytesConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
