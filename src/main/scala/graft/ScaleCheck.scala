@@ -265,6 +265,67 @@ object ScaleCheck {
       (b, a, c)
     }
 
+    // round-11/12 additions: the one-pass grouped-KMV overlap matrix
+    // (k longs per corpus — must track ONE scan, no distinct-key
+    // shuffle), the partition-grouped metadata rollup and the
+    // partition-only-WHERE answer (both O(file list) driver folds —
+    // must stay ≈FLAT from sf0.1 to sf1 even as the scan twin grows),
+    // and the direct Iceberg read under a DENSE mass position delete
+    // with the inline threshold forced low (the anti-join path — cost
+    // must track data volume, residency must not track files × bitmap
+    // bytes anywhere)
+    val kmvOverlap = best("kmv_overlap_matrix")(
+      SparkEntry.queries("q158_source_overlap_matrix")(spark, sfDir))
+    val (grpMeta, grpScan, pfMeta) = {
+      import org.apache.spark.sql.functions.{col, count, lit, max, min}
+      val client = new graft.client.LakehouseClient(spark)
+      client.createCatalog("scalegrp")
+      client.createSchema("scalegrp", "s")
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-grp").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      graft.tables.DeltaLogWriter.create(spark, s"$loc/t", li.repartition(32),
+        partitionColumns = Seq("l_returnflag"))
+      client.registerAsTable("scalegrp", "s", "t",
+        graft.catalog.FileType.DELTA, s"$loc/t")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val a = timed(spark.sql("""SELECT l_returnflag, COUNT(*) AS n,
+          MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
+        FROM scalegrp.s.t GROUP BY l_returnflag""").collect())
+      val b = timed {
+        graft.tables.TxTable.forForeignDelta(spark, s"$loc/t").toDF
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("lo"),
+            max(col("l_orderkey")).as("hi"))
+          .collect()
+      }
+      val c = timed(spark.sql("""SELECT COUNT(*) AS n, MIN(l_orderkey) AS lo
+        FROM scalegrp.s.t WHERE l_returnflag = 'A'""").collect())
+      System.err.println(f"[scalecheck] grouped_rollup_metadata $a%.2fs " +
+        f"grouped_rollup_scan $b%.2fs partition_filter_metadata $c%.2fs")
+      (a, b, c)
+    }
+    val massDelRead = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-massdel").toString + "/t"
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val t = graft.tables.TxTable.forIceberg(spark, loc)
+      t.create(li)
+      t.delete("l_orderkey % 5 != 0") // dense: ~80% of every file
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      spark.conf.set(graft.tables.IcebergCommitLog.InlineFoldMaxDeleteBytesConf, "1")
+      val d = try timed(graft.tables.IcebergLog.toDF(spark, loc)
+          .write.format("noop").mode("overwrite").save())
+        finally spark.conf.unset(graft.tables.IcebergCommitLog.InlineFoldMaxDeleteBytesConf)
+      System.err.println(f"[scalecheck] massdel_direct_read $d%.2fs")
+      d
+    }
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
       "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
       "corpus_shards" -> shards, "quality_classifier" -> classifier,
@@ -281,7 +342,12 @@ object ScaleCheck {
       "encoding_artifacts" -> mojibake,
       "bloom_index_build" -> bloomBuild,
       "bloom_lookup_stats_only" -> bloomStats,
-      "bloom_lookup_pruned" -> bloomPruned))
+      "bloom_lookup_pruned" -> bloomPruned,
+      "kmv_overlap_matrix" -> kmvOverlap,
+      "grouped_rollup_metadata" -> grpMeta,
+      "grouped_rollup_scan" -> grpScan,
+      "partition_filter_metadata" -> pfMeta,
+      "massdel_direct_read" -> massDelRead))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

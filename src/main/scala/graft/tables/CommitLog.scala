@@ -490,9 +490,9 @@ private[graft] object IcebergCommitLog extends CommitLog {
     * memo's lifetime. Vacuum keeps live sidecars (its keep-walk follows
     * "u" descriptors) and reclaims retired ones past retention.
     */
-  private[tables] val InlineFoldMaxDeleteBytesConf =
+  private[graft] val InlineFoldMaxDeleteBytesConf =
     "graft.iceberg.deleteFold.inlineMaxBytes"
-  private[tables] val InlineFoldMaxDeleteBytes: Long = 16L << 20
+  private[graft] val InlineFoldMaxDeleteBytes: Long = 16L << 20
 
   private def attachDeletes(spark: SparkSession, location: String,
       st: IcebergLog.IceState): Seq[AddFile] = {
