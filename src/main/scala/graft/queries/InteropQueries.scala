@@ -2235,14 +2235,21 @@ object InteropQueries {
           FROM q160cat.s.t WHERE l_returnflag IN ('A', 'R')
           GROUP BY l_returnflag""")
         val grpMeta = !planOf(grp).contains("FileScan")
+        // RANGE over the partition column — binary string ordering,
+        // identical in Spark (default collation) and DuckDB
+        val rng = s.sql(
+          "SELECT COUNT(*) AS n_ge_n FROM q160cat.s.t WHERE l_returnflag >= 'N'")
+        val rngMeta = !planOf(rng).contains("FileScan")
         val twin = s.sql(
           "SELECT COUNT(*) AS n_q25 FROM q160cat.s.t WHERE l_quantity > 25")
         val twinScans = planOf(twin).contains("FileScan")
         eq.crossJoin(grp.groupBy().pivot("l_returnflag", Seq("A", "R")).sum("n")
             .select(col("A").as("n_in_a"), col("R").as("n_in_r")))
+          .crossJoin(rng)
           .crossJoin(twin)
           .withColumn("part_eq_metadata_only", lit(eqMeta))
           .withColumn("part_in_grouped_metadata_only", lit(grpMeta))
+          .withColumn("part_range_metadata_only", lit(rngMeta))
           .withColumn("nonpart_filter_scans", lit(twinScans))
       },
       Some("""SELECT
@@ -2253,10 +2260,12 @@ object InteropQueries {
             WHERE l_returnflag = 'A') AS hi_a,
           (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'A') AS n_in_a,
           (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R') AS n_in_r,
+          (SELECT COUNT(*) FROM lineitem WHERE l_returnflag >= 'N') AS n_ge_n,
           (SELECT COUNT(*) FROM lineitem
             WHERE CAST(l_quantity AS BIGINT) > 25) AS n_q25,
           TRUE AS part_eq_metadata_only,
           TRUE AS part_in_grouped_metadata_only,
+          TRUE AS part_range_metadata_only,
           TRUE AS nonpart_filter_scans"""))
   )
 }

@@ -404,6 +404,34 @@ object GraftSqlExtensions {
     }
   }
 
+  /** One absorbed partition-predicate conjunct, evaluated against the
+    * column's Catalyst-converted partition value.
+    */
+  private[sql] sealed trait PartPred { def col: String; def matches(v: Any): Boolean }
+  private[sql] final case class PartIn(col: String, values: Set[Any]) extends PartPred {
+    def matches(v: Any): Boolean = values.contains(v)
+  }
+  /** `op` in <, <=, >, >= against a SAME-TYPED literal value. The
+    * convertible partition types (Int/Long/Date-as-Int/UTF8String/
+    * Boolean) are all Comparable with exactly SQL's ordering —
+    * UTF8String compares binary, Spark's default string collation — so
+    * a range over a date/int/string partition column is answerable from
+    * the file list. Floats never reach here (partitionValueToCatalyst
+    * bails on them).
+    */
+  private[sql] final case class PartCmp(col: String, op: String, value: Any)
+      extends PartPred {
+    def matches(v: Any): Boolean = {
+      val c = v.asInstanceOf[Comparable[Any]].compareTo(value)
+      op match {
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case ">" => c > 0
+        case ">=" => c >= 0
+      }
+    }
+  }
+
   /** One output column of a partition-grouped metadata-only aggregate. */
   private[sql] sealed trait GroupedOut
   private[sql] final case class GroupedKey(col: String) extends GroupedOut
@@ -425,7 +453,7 @@ object GraftSqlExtensions {
   private[sql] def exactGroupedAgg(session: ClassicSparkSession, loc: String,
       version: Option[Long], groupCols: Seq[String],
       outputs: Seq[GroupedOut],
-      partFilter: Seq[(String, Set[Any])] = Seq.empty): Option[Seq[Seq[Any]]] =
+      partFilter: Seq[PartPred] = Seq.empty): Option[Seq[Seq[Any]]] =
     try {
       val t = graft.tables.TxTable.forAnyLocation(session, loc)
       val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
@@ -437,18 +465,18 @@ object GraftSqlExtensions {
         return None
       // every filter conjunct must target a partition column of a
       // convertible type — anything else is unprovable from the log
-      if (!partFilter.forall { case (c, _) =>
-          partSet.contains(c) && fieldType.contains(c) }) return None
+      if (!partFilter.forall(p =>
+          partSet.contains(p.col) && fieldType.contains(p.col))) return None
       // files surviving the partition-only predicate (exact: partition
       // values are never truncated); an unconvertible or null partition
       // value makes membership unprovable -> scan
       val inScope = snap.files.filter { f =>
         if (f.rows < 0L) return None
-        partFilter.forall { case (c, wanted) =>
-          f.partitionValues.get(c) match {
+        partFilter.forall { p =>
+          f.partitionValues.get(p.col) match {
             case Some(v) if v != null =>
-              partitionValueToCatalyst(fieldType(c), v) match {
-                case Some(cv) => wanted.contains(cv)
+              partitionValueToCatalyst(fieldType(p.col), v) match {
+                case Some(cv) => p.matches(cv)
                 case None => return None
               }
             case _ => return None
@@ -576,42 +604,64 @@ object GraftSqlExtensions {
     private def splitAnd(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
         splitAnd(l) ++ splitAnd(r)
+      // BETWEEN (and friends) analyze to RuntimeReplaceable wrappers —
+      // the replacement is the real And-of-comparisons, possibly under a
+      // With common-subexpression node whose refs must inline first
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        splitAnd(r.replacement)
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        splitAnd(w.child.transformUp {
+          case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            byId.getOrElse(ref.id, ref)
+        })
       case other => Seq(other)
     }
 
-    /** The collected conjuncts as a partition-equality filter — every
-      * conjunct must be `attr = lit`, `lit = attr`, `attr <=> lit` or
-      * `attr IN (lits)` on the RELATION's own attribute with same-typed
-      * non-null literals (an analyzer-inserted Cast means the types
-      * didn't match — bail). Whether the attrs are PARTITION columns is
-      * proven later by exactGroupedAgg against the log; here only the
-      * shape is checked. Multiple conjuncts on one column intersect.
+    /** The collected conjuncts as partition predicates — every conjunct
+      * must be `attr = lit`, `lit = attr`, `attr <=> lit`,
+      * `attr IN (lits)`, or a comparison `attr (<|<=|>|>=) lit` (either
+      * operand order; BETWEEN arrives as the two comparisons) on the
+      * RELATION's own attribute with same-typed non-null literals (an
+      * analyzer-inserted Cast means the types didn't match — bail).
+      * Whether the attrs are PARTITION columns is proven later by
+      * exactGroupedAgg against the log; here only the shape is checked.
+      * Multiple conjuncts on one column AND together naturally.
       */
     private def partitionEqFilter(conjuncts: Seq[Expression], node: LogicalPlan)
-        : Option[Seq[(String, Set[Any])]] = {
-      import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, In}
+        : Option[Seq[GraftSqlExtensions.PartPred]] = {
+      import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo,
+        GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+      import GraftSqlExtensions.{PartCmp, PartIn, PartPred}
       val own = node.outputSet
-      def eq(a: AttributeReference, l: Literal): Option[(String, Set[Any])] =
-        if (own.contains(a) && l.value != null && l.dataType == a.dataType)
-          Some(a.name -> Set[Any](l.value))
-        else None
-      val parsed: Seq[Option[(String, Set[Any])]] = conjuncts.map {
+      def ok(a: AttributeReference, l: Literal): Boolean =
+        own.contains(a) && l.value != null && l.dataType == a.dataType
+      def eq(a: AttributeReference, l: Literal): Option[PartPred] =
+        if (ok(a, l)) Some(PartIn(a.name, Set[Any](l.value))) else None
+      def cmp(a: AttributeReference, op: String, l: Literal): Option[PartPred] =
+        if (ok(a, l)) Some(PartCmp(a.name, op, l.value)) else None
+      val parsed: Seq[Option[PartPred]] = conjuncts.map {
         case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
         case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
         case EqualNullSafe(a: AttributeReference, l: Literal) => eq(a, l)
         case EqualNullSafe(l: Literal, a: AttributeReference) => eq(a, l)
+        case GreaterThan(a: AttributeReference, l: Literal) => cmp(a, ">", l)
+        case GreaterThan(l: Literal, a: AttributeReference) => cmp(a, "<", l)
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmp(a, ">=", l)
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmp(a, "<=", l)
+        case LessThan(a: AttributeReference, l: Literal) => cmp(a, "<", l)
+        case LessThan(l: Literal, a: AttributeReference) => cmp(a, ">", l)
+        case LessThanOrEqual(a: AttributeReference, l: Literal) => cmp(a, "<=", l)
+        case LessThanOrEqual(l: Literal, a: AttributeReference) => cmp(a, ">=", l)
         case In(a: AttributeReference, elems)
             if own.contains(a) && elems.nonEmpty && elems.forall {
               case l: Literal => l.value != null && l.dataType == a.dataType
               case _ => false
             } =>
-          Some(a.name -> elems.map(_.asInstanceOf[Literal].value).toSet[Any])
+          Some(PartIn(a.name, elems.map(_.asInstanceOf[Literal].value).toSet[Any]))
         case _ => None
       }
-      if (parsed.exists(_.isEmpty)) None
-      else Some(parsed.flatten.groupBy(_._1).toSeq.map { case (c, vs) =>
-        c -> vs.map(_._2).reduce(_ intersect _)
-      })
+      if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)
     }
 
     private def isCountStar(e: Expression): Boolean = e match {

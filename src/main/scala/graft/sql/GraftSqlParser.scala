@@ -68,6 +68,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val AnalyzeRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS""" +
       """\s+FOR\s+COLUMNS\s+\(?([\w`,\s]+?)\)?\s*;?\s*""").r
+  private val AnalyzeAllRe =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS""" +
+      """\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""").r
   // DESCRIBE HISTORY cat.sch.t (Delta's utility; not in Spark's grammar)
   private val DescHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
@@ -258,21 +261,29 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         }
       case _ =>
     }
-    else if (head.startsWith("ANALYZE ")) sqlText match {
-      case AnalyzeRe(ident, colsRaw) =>
-        parts3(ident).flatMap(txTable) match {
-          case Some((name, t)) =>
-            val cols = colsRaw.split(",")
-              .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
-            return GraftSqlDml.GraftQueryCommand(s"ANALYZE TABLE $name",
-              Seq(AttributeReference("column", StringType, nullable = false)(),
-                AttributeReference("ndv", LongType, nullable = false)())) { () =>
-              graft.tables.ColumnStats.analyze(t, cols)
-                .map { case (c, n) => org.apache.spark.sql.Row(c, n) }
-            }
-          case None => // not a catalog table — Spark's own ANALYZE
+    else if (head.startsWith("ANALYZE ")) {
+      def analyzeCmd(ident: String, colsOf: graft.tables.TxTable => Seq[String])
+          : Option[LogicalPlan] =
+        parts3(ident).flatMap(txTable).map { case (name, t) =>
+          GraftSqlDml.GraftQueryCommand(s"ANALYZE TABLE $name",
+            Seq(AttributeReference("column", StringType, nullable = false)(),
+              AttributeReference("ndv", LongType, nullable = false)())) { () =>
+            graft.tables.ColumnStats.analyze(t, colsOf(t))
+              .map { case (c, n) => org.apache.spark.sql.Row(c, n) }
+          }
         }
-      case _ =>
+      sqlText match {
+        // ALL first — the narrower FOR COLUMNS regex would otherwise
+        // capture the literal word ALL as a column name
+        case AnalyzeAllRe(ident) =>
+          analyzeCmd(ident, _.snapshot.schema.fieldNames.toSeq)
+            .foreach(p => return p)
+        case AnalyzeRe(ident, colsRaw) =>
+          analyzeCmd(ident, _ => colsRaw.split(",")
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq)
+            .foreach(p => return p)
+        case _ => // not a catalog table — Spark's own ANALYZE
+      }
     }
     else if (head.startsWith("DROP BLOO")) sqlText match {
       case DropBloomIdx(ident) =>

@@ -152,8 +152,44 @@ object BloomIndex {
     if (fs.exists(dir)) { fs.delete(dir, true); () }
   }
 
+  /** Rewrite the sidecar keeping only rows for LIVE data files; returns
+    * rows dropped. Dead rows (files retired by OPTIMIZE / overwrite /
+    * vacuum) never affect correctness — pruning subtracts from the live
+    * list — but they grow the sidecar and the probe scan without bound
+    * on a long-lived compacted table. The rewrite is executor-side (a
+    * semi-join against the metadata-sized live path list) and, like the
+    * sidecar itself, non-transactional: a probe racing the swap sees a
+    * missing/partial sidecar and simply skips pruning — never wrong
+    * results. `refresh` calls this automatically once dead rows exceed
+    * live ones, so periodic REFRESH keeps the index both complete and
+    * bounded.
+    */
+  def compact(table: TxTable): Long = {
+    val spark = table.spark
+    val dirStr = indexDir(table.location)
+    val dir = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = TxLog.fs(spark, table.location)
+    if (!fs.exists(dir)) return 0L
+    val side = spark.read.schema(sidecarSchema).parquet(dirStr)
+    val live = spark.createDataFrame(
+      spark.sparkContext.parallelize(table.snapshot.files.map(f => Row(f.path)), 32),
+      StructType(Seq(StructField("file", StringType, nullable = false))))
+    val total = side.count()
+    val tmp = new org.apache.hadoop.fs.Path(
+      dirStr + ".compact-" + java.util.UUID.randomUUID().toString.take(8))
+    side.join(broadcast(live), Seq("file"), "left_semi")
+      .write.parquet(tmp.toString)
+    val kept = spark.read.parquet(tmp.toString).count()
+    if (kept == total) { fs.delete(tmp, true); return 0L }
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+    total - kept
+  }
+
   /** Build filters for live (file, column) pairs missing from the
     * sidecar. Returns the number of pairs built (0 = index current).
+    * Also compacts away dead-file rows once they outnumber live ones
+    * (see [[compact]]), so refresh is the ONE maintenance entry point.
     */
   def refresh(table: TxTable): Int = {
     val spark = table.spark
@@ -174,36 +210,52 @@ object BloomIndex {
     // indexed columns.
     val threshold = spark.conf.getOption(CollectThresholdConf)
       .map(_.toLong).getOrElse(DefaultCollectThreshold)
-    val missingFor: Map[String, Set[String]] =
+    // a provably EMPTY file (rows == 0) needs no sidecar row: the scan
+    // of it yields no groups, so a "missing" pair could never be built
+    // and refresh would re-attempt it forever; unknown row counts
+    // (rows < 0, stat-less foreign files) still index
+    val indexable = snap.files.filter(_.rows != 0L)
+    val livePaths = snap.files.map(_.path).toSet
+    // deadPairs rides along for the lazy-compaction decision below
+    val (missingFor, deadPairs): (Map[String, Set[String]], Long) =
       if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
-        snap.files.map(f => f.path -> cols.toSet).toMap
-      else if (snap.files.size.toLong * cols.size <= threshold) {
+        (indexable.map(f => f.path -> cols.toSet).toMap, 0L)
+      else if (indexable.size.toLong * cols.size <= threshold) {
         val existing = spark.read.schema(sidecarSchema).parquet(dir)
           .select("file", "col").distinct().collect()
           .map(r => (r.getString(0), r.getString(1))).toSet
-        snap.files.iterator
+        (indexable.iterator
           .map(f => f.path -> cols.filterNot(c => existing((f.path, c))).toSet)
-          .filter(_._2.nonEmpty).toMap
+          .filter(_._2.nonEmpty).toMap,
+          existing.iterator.count { case (f, _) => !livePaths(f) }.toLong)
       } else {
+        val side = spark.read.schema(sidecarSchema).parquet(dir)
+          .select("file", "col")
         val cand = spark.createDataFrame(
-          spark.sparkContext.parallelize(snap.files.map(f => Row(f.path)), 32),
+          spark.sparkContext.parallelize(indexable.map(f => Row(f.path)), 32),
           StructType(Seq(StructField("file", StringType, nullable = false))))
-          .withColumn("col", explode(typedLit(cols)))
-        cand.join(spark.read.schema(sidecarSchema).parquet(dir)
-            .select("file", "col"), Seq("file", "col"), "left_anti")
+        val missing = cand.withColumn("col", explode(typedLit(cols)))
+          .join(side, Seq("file", "col"), "left_anti")
           .collect().groupBy(_.getString(0))
           .map { case (p, rows) => p -> rows.map(_.getString(1)).toSet }
+        val dead = side.join(broadcast(cand), Seq("file"), "left_anti").count()
+        (missing, dead)
       }
 
     // group files by the column subset they still need — normally ONE
     // group (new files missing every indexed column); a second appears
     // transiently after a column is added to the index
-    val missingByFile: Seq[(TxLog.AddFile, Seq[String])] = snap.files
+    val missingByFile: Seq[(TxLog.AddFile, Seq[String])] = indexable
       .flatMap { f =>
         val m = missingFor.getOrElse(f.path, Set.empty)
         if (m.isEmpty) None else Some(f -> cols.filter(m.contains))
       }
-    if (missingByFile.isEmpty) return 0
+    // lazy hygiene: once dead-file rows outnumber the live pair count,
+    // rewrite the sidecar live-only (correctness is unaffected either
+    // way — this bounds sidecar size and probe cost)
+    def maybeCompact(): Unit =
+      if (deadPairs > indexable.size.toLong * cols.size) { compact(table); () }
+    if (missingByFile.isEmpty) { maybeCompact(); return 0 }
     val mapping = DeltaLog.columnMappingOf(snap.schema) // logical -> physical (empty = identity)
     val typeOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
 
@@ -244,6 +296,7 @@ object BloomIndex {
         .select(col("file"), col("e.col").as("col"), lit(k).as("k"), col("e.bits").as("bits"))
         .write.mode("append").parquet(dir)
     }
+    maybeCompact()
     missingByFile.map(_._2.size).sum
   }
 

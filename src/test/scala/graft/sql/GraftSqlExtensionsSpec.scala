@@ -378,6 +378,32 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     val qd = spark.sql("SELECT DISTINCT p FROM lakepf.core.t WHERE p IN ('a', 'zz')")
     assert(qd.collect().map(_.getString(0)).toSeq == Seq("a"))
     assert(!planOf(qd).contains("FileScan"))
+    // RANGE predicates on the partition column (binary string ordering
+    // — matches Spark's default collation exactly)
+    val qr = spark.sql("SELECT COUNT(*) AS n FROM lakepf.core.t WHERE p >= 'b'")
+    assert(qr.collect()(0).getLong(0) == 3L)
+    assert(!planOf(qr).contains("FileScan"), "partition range must not scan")
+    val qb = spark.sql(
+      "SELECT COUNT(*) AS n FROM lakepf.core.t WHERE p BETWEEN 'a' AND 'b'")
+    assert(qb.collect()(0).getLong(0) == 5L)
+    assert(!planOf(qb).contains("FileScan"))
+    val qgt = spark.sql(
+      "SELECT COUNT(*) AS n, MAX(id) AS hi FROM lakepf.core.t WHERE 'b' > p")
+    assert(qgt.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 3L)))
+    assert(!planOf(qgt).contains("FileScan"))
+
+    // DATE-partitioned table: the day-range dashboard shape
+    val dir2 = TestSpark.tmpDir("sqlpf-date")
+    client.createAsTable(
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"),
+        (4L, "2024-01-03")).toDF("id", "d")
+        .selectExpr("id", "CAST(d AS DATE) AS d"),
+      "lakepf", "core", "td", FileType.DELTA, s"$dir2/td",
+      partitionColumns = Seq("d"))
+    val qdr = spark.sql(
+      "SELECT COUNT(*) AS n FROM lakepf.core.td WHERE d >= DATE'2024-01-02'")
+    assert(qdr.collect()(0).getLong(0) == 3L)
+    assert(!planOf(qdr).contains("FileScan"), "date range must not scan")
   }
 
   test("ANALYZE stamps NDV stats; APPROX_COUNT_DISTINCT answers metadata-only while fresh") {
@@ -419,6 +445,15 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     // unknown column raises the typed error
     intercept[Exception](spark.sql(
       "ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS nope"))
+    // FOR ALL COLUMNS stamps every schema field in one scan
+    val all = spark.sql(
+      "ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all.keySet == Set("id", "u"))
+    assert(all("id") == 901L && all("u") == 121L)
+    val qa = spark.sql("SELECT APPROX_COUNT_DISTINCT(id) AS di FROM lakestats.core.t")
+    assert(qa.collect()(0).getLong(0) == 901L)
+    assert(!planOf(qa).contains("FileScan"))
   }
 
   test("inspection-table suffix reads: cat.s.t.files / .partitions / Iceberg set") {

@@ -101,6 +101,32 @@ class BloomIndexSpec extends AnyFunSuite {
     } finally spark.conf.unset(BloomIndex.CollectThresholdConf)
   }
 
+  test("compaction drops dead-file rows once they outnumber live pairs") {
+    val loc = TestSpark.tmpDir("bloomidx-cmp")
+    val t = mkTable(loc, nFiles = 6)
+    BloomIndex.enable(t, Seq("tag"))
+    def sidecarRows() = spark.read
+      .parquet(s"$loc/${BloomIndex.IndexRoot}/bloom").count()
+    assert(sidecarRows() == 6L)
+    // full overwrite retires every indexed file -> all 6 rows dead
+    // (round-robin repartition may leave an empty partition file, which
+    // correctly gets NO sidecar row — only non-empty files index)
+    t.overwrite((0 until 2)
+      .map(j => (j.toLong, s"tag_new_$j", "v")).toDF("id", "tag", "v").repartition(2))
+    val liveIdx = t.snapshot.files.count(_.rows != 0L).toLong
+    // refresh builds the live pairs AND compacts the 6 dead rows away
+    assert(BloomIndex.refresh(t) == liveIdx)
+    assert(sidecarRows() == liveIdx, "dead rows must compact away")
+    // results stay exact and lookups still prune through the new rows
+    assert(t.scan("tag = 'tag_new_1'").count() == 1)
+    assert(t.scan("tag = 'tag_0_1'").count() == 0)
+    // idempotent: nothing left to build or drop
+    assert(BloomIndex.refresh(t) == 0)
+    assert(sidecarRows() == liveIdx)
+    // explicit compact on a current index is a no-op
+    assert(BloomIndex.compact(t) == 0L)
+  }
+
   test("guards: partition column, unsupported type, renamed-history iceberg refused") {
     val locP = TestSpark.tmpDir("bloomidx4")
     val tp = new TxTable(spark, locP)
