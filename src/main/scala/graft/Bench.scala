@@ -408,6 +408,20 @@ object Bench {
         line("mv_approx_distinct_refresh", b)
         b
       }
+      // round-12: COPY INTO — the initial drop-zone load (tracks new
+      // bytes) and the re-run no-op (tracks ingest-log metadata only)
+      val (copyInitial, copyNoop) = {
+        val root = java.nio.file.Files.createTempDirectory("bench-cpin").toString
+        val li = graft.queries.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity"))
+        li.repartition(8).write.mode("append").parquet(s"$root/drop")
+        val t = new graft.tables.TxTable(spark, s"$root/t")
+        t.create(li.limit(0))
+        val a = timed(graft.tables.CopyInto.run(t, s"$root/drop"))
+        val b = timed(graft.tables.CopyInto.run(t, s"$root/drop"))
+        line("copy_into_initial", a); line("copy_into_noop", b)
+        (a, b)
+      }
       // round-12: the partition-only-WHERE metadata answer vs the same
       // filtered aggregate forced through a scan
       val (pfMeta, pfScan) = {
@@ -446,7 +460,9 @@ object Bench {
         "quality_bucket_mix" -> qualityMix,
         "mv_approx_distinct_refresh" -> mvApprox,
         "partition_filter_metadata" -> pfMeta,
-        "partition_filter_scan" -> pfScan)
+        "partition_filter_scan" -> pfScan,
+        "copy_into_initial" -> copyInitial,
+        "copy_into_noop" -> copyNoop)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

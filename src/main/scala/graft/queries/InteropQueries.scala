@@ -2266,6 +2266,48 @@ object InteropQueries {
           TRUE AS part_eq_metadata_only,
           TRUE AS part_in_grouped_metadata_only,
           TRUE AS part_range_metadata_only,
-          TRUE AS nonpart_filter_scans"""))
+          TRUE AS nonpart_filter_scans""")),
+
+    // ---- q161: COPY INTO — exactly-once bulk file ingestion ----
+    // The nightly drop-zone pickup: files land in a directory, COPY INTO
+    // loads each exactly once across any number of re-runs (write-ahead
+    // intent in an ingest-log TxTable + SetTransaction-confirmed target
+    // append — see tables/CopyInto.scala). Pinned: the first run loads
+    // everything, an immediate re-run is a no-op, newly landed files
+    // load incrementally without re-reading the old ones, and the final
+    // table equals the full source (DuckDB recomputes count + sums from
+    // the same lineitem slice).
+    QueryDef(
+      "q161_copy_into",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("q161-cpin").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"))
+        // two drops: the first two thirds, then the rest
+        li.filter(col("l_orderkey") % 3 =!= 0).repartition(3)
+          .write.mode("append").parquet(s"$root/drop")
+        val t = new graft.tables.TxTable(s, s"$root/t")
+        t.create(li.limit(0))
+        val r1 = graft.tables.CopyInto.run(t, s"$root/drop")
+        val r2 = graft.tables.CopyInto.run(t, s"$root/drop") // no-op
+        li.filter(col("l_orderkey") % 3 === 0).repartition(2)
+          .write.mode("append").parquet(s"$root/drop")
+        val r3 = graft.tables.CopyInto.run(t, s"$root/drop") // only the new files
+        import s.implicits._
+        t.toDF.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"))
+          .withColumn("first_run_loaded", lit(r1.filesLoaded == 3L && r1.rowsLoaded > 0L))
+          .withColumn("rerun_noop", lit(r2.filesLoaded == 0L && r2.rowsLoaded == 0L))
+          .withColumn("incremental_only_new", lit(r3.filesLoaded == 2L))
+          .withColumn("batches", lit(r3.batch))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          TRUE AS first_run_loaded, TRUE AS rerun_noop,
+          TRUE AS incremental_only_new, CAST(2 AS BIGINT) AS batches
+        FROM lineitem"""))
   )
 }

@@ -268,7 +268,7 @@ private[graft] object NativeCommitLog extends CommitLog {
   }
 
   def reservedPrefixes: Seq[String] =
-    Seq(TxLog.LogDirName, TxLog.StagingPrefix, BloomIndex.IndexRoot)
+    Seq(TxLog.LogDirName, TxLog.StagingPrefix, BloomIndex.IndexRoot, CopyInto.IngestRoot)
 }
 
 /** Real Delta protocol backend: snapshots replayed from `_delta_log`,
@@ -419,7 +419,7 @@ private[graft] object ForeignDeltaCommitLog extends CommitLog {
     DeltaLogWriter.create(spark, location, df, partitionColumns, properties)
 
   def reservedPrefixes: Seq[String] =
-    Seq(DeltaLog.LogDirName, TxLog.StagingPrefix, BloomIndex.IndexRoot)
+    Seq(DeltaLog.LogDirName, TxLog.StagingPrefix, BloomIndex.IndexRoot, CopyInto.IngestRoot)
 }
 
 /** Apache Iceberg backend: snapshots planned from `metadata/` (manifest
@@ -869,5 +869,5 @@ private[graft] object IcebergCommitLog extends CommitLog {
   }
 
   def reservedPrefixes: Seq[String] =
-    Seq("metadata", TxLog.StagingPrefix, BloomIndex.IndexRoot)
+    Seq("metadata", TxLog.StagingPrefix, BloomIndex.IndexRoot, CopyInto.IngestRoot)
 }
