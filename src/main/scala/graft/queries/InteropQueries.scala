@@ -2308,6 +2308,97 @@ object InteropQueries {
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           TRUE AS first_run_loaded, TRUE AS rerun_noop,
           TRUE AS incremental_only_new, CAST(2 AS BIGINT) AS batches
+        FROM lineitem""")),
+
+    // ---- q162: null-sensitive COUNT(col) answered from null counts ----
+    // `SELECT COUNT(x)` (and the partition-grouped form) answers from
+    // per-file NULL COUNT stats — Σ(rows − nullCount) — one snapshot
+    // read instead of a scan, with the same provability discipline as
+    // MIN/MAX: any file missing the null count, or any live deletion
+    // vector (a deleted row's nullness is unknowable from metadata),
+    // falls back to the scan. Nulls are PLANTED (doc_id % 7) so the
+    // subtraction is non-trivial, and both the ungrouped and grouped
+    // plans are pinned scan-free.
+    QueryDef(
+      "q162_metadata_count_col",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q162cat")
+        client.createSchema("q162cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q162-cc").toString
+        val d = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, lit(null).cast(StringType))
+            .otherwise(col("lang")).as("maybe_lang"))
+        client.createAsTable(d.repartition(4), "q162cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$loc/t",
+          partitionColumns = Seq("source"))
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val u = s.sql("""SELECT COUNT(*) AS n_rows, COUNT(maybe_lang) AS n_lang
+          FROM q162cat.s.t""")
+        val uMeta = planOf(u).contains("LocalTableScan") && !planOf(u).contains("FileScan")
+        val g = s.sql("""SELECT source, COUNT(maybe_lang) AS n_lang_src
+          FROM q162cat.s.t GROUP BY source""")
+        val gMeta = !planOf(g).contains("FileScan")
+        u.crossJoin(g.agg(min(col("n_lang_src")).as("min_src_lang"),
+            max(col("n_lang_src")).as("max_src_lang")))
+          .withColumn("ungrouped_metadata_only", lit(uMeta))
+          .withColumn("grouped_metadata_only", lit(gMeta))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS maybe_lang
+          FROM documents
+        ),
+        g AS (
+          SELECT source, COUNT(maybe_lang) AS n FROM d GROUP BY source
+        )
+        SELECT (SELECT COUNT(*) FROM d) AS n_rows,
+          (SELECT COUNT(maybe_lang) FROM d) AS n_lang,
+          (SELECT MIN(n) FROM g) AS min_src_lang,
+          (SELECT MAX(n) FROM g) AS max_src_lang,
+          TRUE AS ungrouped_metadata_only,
+          TRUE AS grouped_metadata_only""")),
+
+    // ---- q163: ANALYZE-stamped EXACT SUM served scan-free ----
+    // The ANALYZE scan that stamps NDVs also stamps exact integral sums
+    // (decimal-38 accumulation, so a 100 TB sum can't wrap) under the
+    // same snapshot fingerprint: `SELECT SUM(x)` answers from one
+    // property read while fresh, and ANY data commit silently
+    // invalidates back to the scan — both directions plan-pinned, the
+    // values recomputed by DuckDB.
+    QueryDef(
+      "q163_analyze_sum",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q163cat")
+        client.createSchema("q163cat", "s")
+        val loc = java.nio.file.Files.createTempDirectory("q163-sum").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"))
+        client.createAsTable(li, "q163cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$loc/t")
+        s.sql("ANALYZE TABLE q163cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val fresh = s.sql(
+          "SELECT SUM(l_quantity) AS sum_qty, SUM(l_orderkey) AS sum_ok FROM q163cat.s.t")
+        val freshMeta = planOf(fresh).contains("LocalTableScan") &&
+          !planOf(fresh).contains("FileScan")
+        s.sql("INSERT INTO q163cat.s.t VALUES (0, 0)") // sum-neutral, stats-stale
+        val stale = s.sql("SELECT SUM(l_quantity) AS sum_qty2 FROM q163cat.s.t")
+        val staleScans = planOf(stale).contains("FileScan")
+        fresh.crossJoin(stale)
+          .withColumn("fresh_metadata_only", lit(freshMeta))
+          .withColumn("stale_falls_back", lit(staleScans))
+      },
+      Some("""SELECT
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS sum_ok,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty2,
+          TRUE AS fresh_metadata_only, TRUE AS stale_falls_back
         FROM lineitem"""))
   )
 }

@@ -385,6 +385,16 @@ object GraftSqlExtensions {
       graft.tables.ColumnStats.currentNdv(snap, colName).map(identity[Any])
     } catch { case _: Throwable => None }
 
+  /** ANALYZE-time exact SUM while fresh: outer None = not servable
+    * (stale/absent/overflow), inner None = SQL NULL. */
+  private[sql] def statsSum(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String): Option[Option[Long]] =
+    try {
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      graft.tables.ColumnStats.currentSum(snap, colName)
+    } catch { case _: Throwable => None }
+
   /** A partition-value STRING to the column's Catalyst-internal value.
     * Unlike min/max stats, partition values are exact (never truncated),
     * so strings are convertible here even though exactMinMax excludes
@@ -436,6 +446,12 @@ object GraftSqlExtensions {
   private[sql] sealed trait GroupedOut
   private[sql] final case class GroupedKey(col: String) extends GroupedOut
   private[sql] case object GroupedCount extends GroupedOut
+  /** Null-sensitive COUNT(col): Σ(rows − nullCount) over in-scope files
+    * — provable when every file records a null count for the column (or
+    * it IS a partition column, whose nullness the partition value
+    * decides whole-file) and no live DV exists (a deleted row's
+    * nullness is unknowable from metadata). */
+  private[sql] final case class GroupedCountCol(col: String) extends GroupedOut
   private[sql] final case class GroupedMinMax(col: String, isMin: Boolean) extends GroupedOut
 
   /** `SELECT part, COUNT(*), MIN(x), MAX(x) ... GROUP BY part` answered
@@ -458,10 +474,12 @@ object GraftSqlExtensions {
       val t = graft.tables.TxTable.forAnyLocation(session, loc)
       val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
       val partSet = snap.partitionColumns.toSet
-      if (groupCols.isEmpty && partFilter.isEmpty) return None
       if (!groupCols.forall(partSet.contains)) return None
       val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-      if (outputs.exists { case GroupedMinMax(c, _) => !fieldType.contains(c); case _ => false })
+      if (outputs.exists {
+          case GroupedMinMax(c, _) => !fieldType.contains(c)
+          case GroupedCountCol(c) => !fieldType.contains(c)
+          case _ => false })
         return None
       // every filter conjunct must target a partition column of a
       // convertible type — anything else is unprovable from the log
@@ -483,7 +501,8 @@ object GraftSqlExtensions {
           }
         }
       }
-      val needsExtremes = outputs.exists(_.isInstanceOf[GroupedMinMax])
+      val needsExtremes = outputs.exists(o =>
+        o.isInstanceOf[GroupedMinMax] || o.isInstanceOf[GroupedCountCol])
       // only DVs on files IN SCOPE can hide an extreme — a deletion in
       // an excluded partition is irrelevant
       if (needsExtremes &&
@@ -499,6 +518,26 @@ object GraftSqlExtensions {
         }
         groups.getOrElseUpdate(key,
           scala.collection.mutable.ArrayBuffer.empty) += f
+      }
+      // None = unprovable -> scan. Null-sensitive COUNT(col):
+      // Σ(rows − nullCount); a partition column's nullness is decided
+      // whole-file by its partition value.
+      def countNonNull(files: Seq[graft.tables.TxLog.AddFile], c: String): Option[Long] = {
+        val isPart = partSet.contains(c)
+        var acc = 0L
+        files.foreach { f =>
+          if (f.rows != 0L) {
+            if (isPart) f.partitionValues.get(c) match {
+              case Some(v) => if (v != null) acc += f.rows
+              case None => return None
+            }
+            else f.nullCounts.flatMap(_.get(c)) match {
+              case Some(nc) => acc += f.rows - nc
+              case None => return None
+            }
+          }
+        }
+        Some(acc)
       }
       // outer None = unprovable (fall to scan); inner value may be SQL
       // NULL (empty or all-null scope)
@@ -533,6 +572,7 @@ object GraftSqlExtensions {
         val row = outputs.map {
           case GroupedKey(_) => return None // no keys without GROUP BY
           case GroupedCount => live
+          case GroupedCountCol(c) => countNonNull(files, c).getOrElse(return None)
           case GroupedMinMax(c, isMin) =>
             fold(files, c, isMin).getOrElse(return None)
               .asInstanceOf[Option[Any]].orNull
@@ -549,6 +589,8 @@ object GraftSqlExtensions {
             case GroupedKey(c) =>
               partitionValueToCatalyst(fieldType(c), keyByCol(c)).getOrElse(return None)
             case GroupedCount => live
+            case GroupedCountCol(c) =>
+              countNonNull(files.toSeq, c).getOrElse(return None)
             case GroupedMinMax(c, isMin) =>
               fold(files.toSeq, c, isMin).getOrElse(return None)
                 .asInstanceOf[Option[Any]].orNull
@@ -679,6 +721,33 @@ object GraftSqlExtensions {
       case _ => None
     }
 
+    /** `SUM(col)` on an INTEGRAL relation attribute — answerable from
+      * the exact sum ANALYZE stamped while the fingerprint is fresh. */
+    private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+    private def sumOf(e: Expression): Option[AttributeReference] = e match {
+      case Alias(child, _) => sumOf(child)
+      case AggregateExpression(sm: org.apache.spark.sql.catalyst.expressions.aggregate.Sum,
+          Complete, false, None, _) =>
+        sm.child match {
+          case a: AttributeReference if integralType(a.dataType) => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+
+    /** Null-sensitive `COUNT(col)` on a relation attribute. */
+    private def countColOf(e: Expression): Option[AttributeReference] = e match {
+      case Alias(child, _) => countColOf(child)
+      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, false, None, _) =>
+        Some(a)
+      case _ => None
+    }
+
     /** `APPROX_COUNT_DISTINCT(col)` on a relation attribute — answerable
       * from ANALYZE-time stats when the stamped fingerprint still
       * matches the snapshot (ColumnStats.currentNdv proves that).
@@ -708,7 +777,8 @@ object GraftSqlExtensions {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(Nil, exprs, child, _)
           if exprs.nonEmpty && exprs.forall(e => isCountStar(e) ||
-            minMaxOf(e).isDefined || approxDistinctOf(e).isDefined) =>
+            minMaxOf(e).isDefined || countColOf(e).isDefined ||
+            sumOf(e).isDefined || approxDistinctOf(e).isDefined) =>
         taggedNodeF(child).flatMap { case (node, conjuncts) =>
           def ownAttr(a: AttributeReference): Boolean = node.outputSet.contains(a)
           if (conjuncts.nonEmpty) {
@@ -725,7 +795,9 @@ object GraftSqlExtensions {
                 else minMaxOf(e).collect {
                   case (a, isMin) if ownAttr(a) =>
                     GraftSqlExtensions.GroupedMinMax(a.name, isMin)
-                }
+                }.orElse(countColOf(e).collect {
+                  case a if ownAttr(a) => GraftSqlExtensions.GroupedCountCol(a.name)
+                })
               }
               if (outs.exists(_.isEmpty)) None
               else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
@@ -751,13 +823,36 @@ object GraftSqlExtensions {
                   case (loc, v) =>
                     GraftSqlExtensions.exactMinMax(session, loc, v, a.name, isMin)
                 }
-              case None => approxDistinctOf(e).flatMap { a =>
-                // ANALYZE-time NDV, served ONLY while the stamped
-                // fingerprint matches the snapshot's (path, DV) set —
-                // any data-changing commit invalidates silently
-                if (!ownAttr(a)) None
-                else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
-                  case (loc, v) => GraftSqlExtensions.statsNdv(session, loc, v, a.name)
+              case None => countColOf(e) match {
+                case Some(a) =>
+                  // null-sensitive COUNT(col) from per-file null counts
+                  if (!ownAttr(a)) None
+                  else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                    case (loc, v) =>
+                      GraftSqlExtensions.exactGroupedAgg(session, loc, v, Nil,
+                        Seq(GraftSqlExtensions.GroupedCountCol(a.name)))
+                        .flatMap(_.headOption).flatMap(_.headOption)
+                  }
+                case None => sumOf(e) match {
+                  case Some(a) =>
+                    // exact ANALYZE-stamped sum, fingerprint-fresh only;
+                    // the stamped "null" marker serves SQL NULL (empty /
+                    // all-null column)
+                    if (!ownAttr(a)) None
+                    else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                      case (loc, v) =>
+                        GraftSqlExtensions.statsSum(session, loc, v, a.name)
+                          .map(_.map(identity[Any]).orNull)
+                    }
+                  case None => approxDistinctOf(e).flatMap { a =>
+                    // ANALYZE-time NDV, served ONLY while the stamped
+                    // fingerprint matches the snapshot's (path, DV) set —
+                    // any data-changing commit invalidates silently
+                    if (!ownAttr(a)) None
+                    else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                      case (loc, v) => GraftSqlExtensions.statsNdv(session, loc, v, a.name)
+                    }
+                  }
                 }
               }
             }
@@ -813,7 +908,10 @@ object GraftSqlExtensions {
                 case None => minMaxOf(e).collect {
                   case (a, isMin) if relAttrs.contains(a) =>
                     GraftSqlExtensions.GroupedMinMax(a.name, isMin)
-                }
+                }.orElse(countColOf(e).collect {
+                  case a if relAttrs.contains(a) =>
+                    GraftSqlExtensions.GroupedCountCol(a.name)
+                })
               }
             }
             if (outs.exists(_.isEmpty)) None

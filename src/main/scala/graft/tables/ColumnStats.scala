@@ -32,6 +32,11 @@ import graft.catalog.UnsupportedOperationError
   */
 object ColumnStats {
   val NdvPropPrefix = "graft.stats.ndv."
+  /** Exact column SUM (integral columns only), stamped by the same
+    * ANALYZE scan as a decimal string ("null" for an empty or all-null
+    * column, where SQL SUM answers NULL). Same fingerprint freshness
+    * rule as NDV: any data commit silently invalidates. */
+  val SumPropPrefix = "graft.stats.sum."
   val FingerprintProp = "graft.stats.fingerprint"
   val KProp = "graft.stats.k"
 
@@ -66,8 +71,17 @@ object ColumnStats {
     columns.foreach(c => if (!known.contains(c))
       throw UnsupportedOperationError(
         s"ANALYZE: column $c not found in ${snap.schema.fieldNames.mkString(", ")}"))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = columns.filter(c =>
+      snap.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
     val aggs = columns.map(c => graft.functions.KmvFunctions
-      .kmvSketch(col(s"`$c`").cast(StringType), K).as(c))
+      .kmvSketch(col(s"`$c`").cast(StringType), K).as(c)) ++
+      // exact sums ride the SAME scan: decimal(38,0) accumulation so a
+      // 100 TB-scale sum cannot silently wrap
+      integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__sum_$c"))
     // scan pinned at the fingerprinted version: a concurrent commit
     // between scan and stamp then simply invalidates (fingerprint
     // mismatch) instead of mislabeling the new state
@@ -76,18 +90,24 @@ object ColumnStats {
       c -> math.round(graft.functions.KmvEstimate.cardinality(
         row.getSeq[Long](i).toArray, K))
     }
+    val sums = integral.zipWithIndex.map { case (c, i) =>
+      val v = row.get(columns.size + i)
+      c -> (if (v == null) "null" else v.asInstanceOf[java.math.BigDecimal].toBigInteger.toString)
+    }
     // A partial re-ANALYZE refreshes the ONE table-level fingerprint, so
     // any graft.stats.ndv.* key left over from a PREVIOUS analyze of other
     // columns would be re-validated against the new fingerprint and served
     // stale. Unset every prefixed key we are not restamping in the SAME
     // commit (setProperties treats null as delete).
     val stale = table.snapshot.properties.keys
-      .filter(k => k.startsWith(NdvPropPrefix) &&
-        !columns.contains(k.stripPrefix(NdvPropPrefix)))
+      .filter(k =>
+        (k.startsWith(NdvPropPrefix) && !columns.contains(k.stripPrefix(NdvPropPrefix))) ||
+        (k.startsWith(SumPropPrefix) && !integral.contains(k.stripPrefix(SumPropPrefix))))
       .map(_ -> (null: String)).toMap
     table.setProperties(
       stale ++
         ndvs.map { case (c, n) => s"$NdvPropPrefix$c" -> n.toString }.toMap ++
+        sums.map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
         Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString))
     ndvs
   }
@@ -102,4 +122,19 @@ object ColumnStats {
       v <- snap.properties.get(s"$NdvPropPrefix$column")
       n <- v.toLongOption
     } yield n
+
+  /** The stamped exact SUM of `column` IF the stats still describe the
+    * current snapshot. Some(None) = a fresh stamp of an empty/all-null
+    * column (SQL SUM answers NULL); values that no longer fit a Long
+    * answer None (the scan's own Long accumulation is the engine's
+    * semantics — never serve what a scan couldn't produce).
+    */
+  def currentSum(snap: TxLog.Snapshot, column: String): Option[Option[Long]] =
+    for {
+      fp <- snap.properties.get(FingerprintProp)
+      if fp == fingerprint(snap).toString
+      v <- snap.properties.get(s"$SumPropPrefix$column")
+      parsed <- if (v == "null") Some(None)
+        else v.toLongOption.map(n => Some(n))
+    } yield parsed
 }

@@ -96,10 +96,29 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(scansIn(filtered.queryExecution.executedPlan.toString),
       "filtered count must scan")
 
-    // COUNT(col) is null-sensitive: not rewritten, still correct
+    // COUNT(col) is null-sensitive: answered from per-file NULL COUNTS
+    // (Σ rows − nullCount) — metadata-only here because the delete above
+    // was copy-on-write (no DVs survive on the native log)
     val byCol = spark.sql("SELECT COUNT(name) FROM lakec.core.t")
     assert(byCol.collect()(0).getLong(0) == 90L)
-    assert(scansIn(byCol.queryExecution.executedPlan.toString))
+    assert(!scansIn(byCol.queryExecution.executedPlan.toString),
+      "COUNT(col) with full null-count stats must answer metadata-only")
+    // planted nulls subtract exactly; a merge-on-read DV forces the scan
+    // (a deleted row's nullness is unknowable from metadata)
+    val dirN = TestSpark.tmpDir("sqlcount-nulls")
+    val dfN = (1L to 50L).map(i => (i, if (i % 5 == 0) null else s"n$i"))
+      .toDF("id", "name")
+    graft.tables.DeltaLogWriter.create(spark, s"$dirN/t", dfN.repartition(2),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    client.registerAsTable("lakec", "core", "tn", FileType.DELTA, s"$dirN/t")
+    val qn = spark.sql("SELECT COUNT(name) AS n FROM lakec.core.tn")
+    assert(qn.collect()(0).getLong(0) == 40L)
+    assert(!scansIn(qn.queryExecution.executedPlan.toString))
+    graft.tables.TxTable.forForeignDelta(spark, s"$dirN/t").delete("id <= 3")
+    val qnd = spark.sql("SELECT COUNT(name) AS n FROM lakec.core.tn")
+    assert(qnd.collect()(0).getLong(0) == 37L)
+    assert(scansIn(qnd.queryExecution.executedPlan.toString),
+      "COUNT(col) under live DVs must scan")
 
     // grouped counts are untouched
     assert(spark.sql("SELECT id % 2, COUNT(*) FROM lakec.core.t GROUP BY 1")
@@ -427,6 +446,12 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((900L, 120L)))
     assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan"),
       s"fresh stats must answer metadata-only\n${planOf(q)}")
+    // the same ANALYZE scan stamps EXACT integral sums — SUM(id) serves
+    // scan-free while fresh
+    val qs = spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t")
+    assert(qs.collect()(0).getLong(0) == (0L until 900L).sum)
+    assert(!planOf(qs).contains("FileScan"),
+      s"fresh exact sum must answer metadata-only\n${planOf(qs)}")
 
     // any data-changing commit silently invalidates: the fingerprint no
     // longer matches, the query falls back to the scan and stays correct
@@ -434,6 +459,14 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     val q2 = spark.sql("SELECT APPROX_COUNT_DISTINCT(id) AS di FROM lakestats.core.t")
     assert(planOf(q2).contains("FileScan"), "stale stats must not be served")
     assert(q2.collect()(0).getLong(0) >= 890L)
+    // the sum is stale too: scan, and stays exact
+    val qs2 = spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t")
+    assert(planOf(qs2).contains("FileScan"), "stale sum must not be served")
+    assert(qs2.collect()(0).getLong(0) == (0L until 900L).sum + 9000L)
+    // partial re-ANALYZE of u clears sum.id as well (not restamped)
+    spark.sql("ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS u")
+    assert(planOf(spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t"))
+      .contains("FileScan"), "a cleared sum key must not resurrect")
     // re-ANALYZE restores the metadata-only answer at the new state
     spark.sql("ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS u")
     val q3 = spark.sql("SELECT APPROX_COUNT_DISTINCT(u) AS du FROM lakestats.core.t")
