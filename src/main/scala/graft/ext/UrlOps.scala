@@ -47,4 +47,27 @@ object UrlOps {
       else d.isNotNull && !d.isin(blockedNorm: _*)
     df.filter(if (keepUnparseable) d.isNull || pass else pass)
   }
+
+  /** `df` plus `canonicalCol` = the canonical dedup key of `urlCol`
+    * (CanonicalUrlExpr's normalization; null for junk / non-http).
+    * Map-only.
+    */
+  def withCanonicalUrl(df: DataFrame, urlCol: String,
+      canonicalCol: String = "canonical_url"): DataFrame =
+    df.withColumn(canonicalCol, UrlNativeFunctions.canonicalUrl(col(urlCol)))
+
+  /** URL-level exact dedup: one survivor (smallest `idCol`) per
+    * canonical URL; rows whose URL has no canonical form are DROPPED
+    * (same unkeepable-provenance stance as the blocklist filter). One
+    * group-by shuffle on the canonical key — the C4-style "dedup by
+    * URL" pass.
+    */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = withCanonicalUrl(df, urlCol, "__cu")
+      .filter(col("__cu").isNotNull)
+    val winners = keyed.groupBy(col("__cu"))
+      .agg(min(col(idCol)).as(idCol))
+    keyed.join(winners, Seq("__cu", idCol)).drop("__cu")
+  }
 }

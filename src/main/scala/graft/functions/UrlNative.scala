@@ -64,6 +64,64 @@ case class RegistrableDomainExpr(child: Expression,
   override def prettyName: String = "registrable_domain"
 }
 
+/** URL canonicalization — the dedup key every crawl pipeline derives
+  * before URL-level dedup (C4 deduplicated by URL; CCNet/RefinedWeb
+  * normalize first): the same page arrives as `HTTPS://WWW.Ex.COM:443/a/`
+  * and `https://ex.com/a?utm_source=x`, and a raw-string key misses the
+  * duplicate. Normalization applied (documented here because it IS the
+  * equality contract):
+  *  1. scheme/host lowercased; only http/https with a host qualify
+  *     (anything else → null: no-provenance rows are unkeepable);
+  *  2. ONE leading `www.` label and a trailing host dot stripped;
+  *  3. the scheme's default port (80/443) dropped, others kept;
+  *  4. the fragment dropped;
+  *  5. query params split on `&`: empties and tracking params dropped
+  *     (`utm_*`, fbclid, gclid, msclkid, mc_eid, ref, ref_src, igshid),
+  *     the rest sorted bytewise and rejoined (`?` dropped when none
+  *     survive) — parameter ORDER never distinguishes two URLs;
+  *  6. empty path → `/`; a trailing slash stripped except at the root.
+  * Map-only, no shuffle; the dedup itself is the usual group-by-key.
+  */
+case class CanonicalUrlExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  private val tracking = Set("fbclid", "gclid", "msclkid", "mc_eid",
+    "ref", "ref_src", "igshid")
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    val uri =
+      try new java.net.URI(raw.trim)
+      catch { case _: java.net.URISyntaxException => return null }
+    val scheme = Option(uri.getScheme).map(_.toLowerCase(java.util.Locale.ROOT)).orNull
+    if (scheme != "http" && scheme != "https") return null
+    var host = Option(uri.getHost).map(_.toLowerCase(java.util.Locale.ROOT)).orNull
+    if (host == null || host.isEmpty) return null
+    host = host.stripSuffix(".")
+    if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
+    val defaultPort = if (scheme == "http") 80 else 443
+    val port = if (uri.getPort == -1 || uri.getPort == defaultPort) "" else s":${uri.getPort}"
+    var path = Option(uri.getRawPath).getOrElse("")
+    if (path.isEmpty) path = "/"
+    else if (path.length > 1 && path.endsWith("/")) path = path.dropRight(1)
+    val query = Option(uri.getRawQuery).map { q =>
+      val kept = q.split('&').filter { p =>
+        val name = p.takeWhile(_ != '=').toLowerCase(java.util.Locale.ROOT)
+        p.nonEmpty && !name.startsWith("utm_") && !tracking.contains(name)
+      }.sorted
+      if (kept.isEmpty) "" else "?" + kept.mkString("&")
+    }.getOrElse("")
+    UTF8String.fromString(s"$scheme://$host$port$path$query")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "canonical_url"
+}
+
 object UrlNativeFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
 
@@ -85,4 +143,8 @@ object UrlNativeFunctions {
     registrableDomain(
       org.apache.spark.sql.functions.try_parse_url(url,
         org.apache.spark.sql.functions.lit("HOST")), suffixes)
+
+  /** Canonical dedup key of a URL column (see [[CanonicalUrlExpr]]);
+    * null for junk and non-http(s) URLs. */
+  def canonicalUrl(url: Column): Column = toCol(CanonicalUrlExpr(toExpr(url)))
 }

@@ -796,6 +796,52 @@ object TextQueries {
         FROM u WHERE domain NOT IN ('src3.github.io', 'src7.co.uk')
         GROUP BY domain ORDER BY domain""")),
 
+    // ---- q164: canonical-URL dedup (C4's "dedup by URL" with CCNet-
+    // style normalization first) ----
+    // Five deterministically-planted MESSY variants of each page URL —
+    // upper-cased scheme/host, `www.`, the default :443 port, trailing
+    // slash, tracking params (`utm_*`), shuffled param order, fragments —
+    // must collapse to ONE canonical key per (page, kept-params) group.
+    // Spark canonicalizes by PARSING (CanonicalUrlExpr); the oracle
+    // CONSTRUCTS the expected canonical strings directly from the same
+    // components — an independent derivation, not a replay. Variants
+    // 0-2 carry no surviving params, 3-4 keep a=1&b=2 in either order.
+    QueryDef(
+      "q164_canonical_url_dedup",
+      (s, dir) => {
+        val gid = expr("doc_id div 100")
+        val variant = pmod(expr("doc_id div 20"), lit(5))
+        val urled = Tables.documents(s, dir).withColumn("url",
+          when(variant === 0,
+            concat(lit("https://www."), col("source"), lit(".com/a/"), gid))
+          .when(variant === 1,
+            concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/a/"),
+              gid, lit("/")))
+          .when(variant === 2,
+            concat(lit("https://"), col("source"), lit(".com/a/"), gid,
+              lit("?utm_source=x&utm_campaign=y")))
+          .when(variant === 3,
+            concat(lit("https://www."), col("source"), lit(".com/a/"), gid,
+              lit("?b=2&a=1#frag")))
+          .otherwise(
+            concat(lit("https://"), col("source"), lit(".com:443/a/"), gid,
+              lit("?a=1&b=2&utm_medium=z"))))
+        graft.ext.UrlOps.withCanonicalUrl(urled, "url")
+          .groupBy(col("canonical_url"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .orderBy(col("canonical_url"))
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            'https://' || source || '.com/a/' || CAST(doc_id // 100 AS VARCHAR)
+              || CASE WHEN CAST((doc_id // 20) % 5 AS INTEGER) IN (3, 4)
+                 THEN '?a=1&b=2' ELSE '' END AS cu
+          FROM documents
+        )
+        SELECT cu AS canonical_url, COUNT(*) AS n_docs,
+          CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM u GROUP BY cu ORDER BY cu""")),
+
     // ---- bigram-LM fluency scoring (CCNet-shaped perplexity signal) ----
     // Train add-one-smoothed bigram transition statistics on the
     // doc_id%5==0 reference slice, score every document by its mean

@@ -61,6 +61,51 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(exchanges.isEmpty, "domain filtering must not shuffle")
   }
 
+  test("canonicalUrl: every normalization family, junk to null") {
+    val cases = Seq(
+      // scheme/host case, www., default port, trailing slash
+      "HTTPS://WWW.Example.COM:443/a/b/" -> "https://example.com/a/b",
+      "http://www.example.com:80/" -> "http://example.com/",
+      // non-default port kept; fragment dropped
+      "https://example.com:8443/x#frag" -> "https://example.com:8443/x",
+      // tracking params dropped, survivors SORTED, ? dropped when none left
+      "https://example.com/p?utm_source=x&b=2&a=1&fbclid=z" ->
+        "https://example.com/p?a=1&b=2",
+      "https://example.com/p?utm_campaign=only" -> "https://example.com/p",
+      // empty path -> /
+      "https://example.com" -> "https://example.com/",
+      // bare www. host is NOT stripped to empty (single-label host kept)
+      "https://www./x" -> "https://www/x",
+      // junk / non-http
+      "not a url" -> null,
+      "ftp://example.com/f" -> null,
+      "mailto:x@example.com" -> null)
+    val out = cases.map(_._1).toDF("url")
+      .select(graft.functions.UrlNativeFunctions.canonicalUrl(col("url")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    cases.map(_._2).zip(out).zip(cases.map(_._1)).foreach { case ((want, got), in) =>
+      assert(got == want, s"canonicalUrl($in): got $got want $want")
+    }
+    // parameter order NEVER distinguishes two URLs
+    val a = Seq("https://e.com/p?x=1&y=2").toDF("url")
+      .select(graft.functions.UrlNativeFunctions.canonicalUrl(col("url"))).head.getString(0)
+    val b = Seq("https://e.com/p?y=2&x=1").toDF("url")
+      .select(graft.functions.UrlNativeFunctions.canonicalUrl(col("url"))).head.getString(0)
+    assert(a == b)
+  }
+
+  test("dedupByCanonicalUrl keeps one survivor per canonical key, drops junk") {
+    val df = Seq(
+      (1L, "https://www.e.com/a/"),
+      (2L, "HTTPS://E.COM:443/a"),
+      (3L, "https://e.com/a?utm_source=x"),
+      (4L, "https://e.com/b"),
+      (5L, "garbage url")).toDF("doc_id", "url")
+    val out = UrlOps.dedupByCanonicalUrl(df, "url")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L),
+      "smallest doc_id survives per canonical group; junk dropped")
+  }
+
   test("withRegistrableDomain feeds domain-keyed splits (leakage grain)") {
     val df = Seq(
       "https://en.pub.co.uk/a", "https://fr.pub.co.uk/b", "https://x.pub.co.uk/c")

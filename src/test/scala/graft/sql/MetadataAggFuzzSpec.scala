@@ -1,0 +1,86 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.FileType
+import graft.client.LakehouseClient
+
+/** Differential fuzz over the metadata-only aggregate rewrites: random
+  * partitioned tables × random aggregate/WHERE/GROUP BY combinations,
+  * each query answered twice — through the catalog table (where the
+  * MetadataOnlyCount rules may rewrite to a LocalRelation) and through a
+  * plain temp view of the same rows (no tags, never rewritten). The two
+  * must agree EXACTLY on every sample; additionally a healthy fraction
+  * of the catalog-side plans must actually be scan-free, proving the
+  * fuzz exercises the rewrite and not just its fallbacks.
+  */
+class MetadataAggFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val aggPool = Vector(
+    "COUNT(*)", "COUNT(k)", "COUNT(s)", "MIN(id)", "MAX(id)",
+    "MIN(k)", "MAX(k)", "MIN(s)", "SUM(id)", "SUM(k)")
+  private val wherePool = Vector(
+    None,
+    Some("p = 'a'"), Some("p IN ('a', 'c')"), Some("p >= 'b'"),
+    Some("p BETWEEN 'a' AND 'b'"), Some("p = 'b' AND p <= 'c'"),
+    Some("p < 'c'"), Some("'b' <= p"),
+    Some("k > 5"),              // non-partition: must scan, stay exact
+    Some("p = 'a' AND k > 5"),  // mixed: must scan, stay exact
+    Some("p <> 'a'"))           // unsupported op: must scan, stay exact
+
+  test("random tables x random aggregates: catalog answers == plain-view answers") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("fuzzmeta")
+    client.createSchema("fuzzmeta", "s")
+    var rewritten = 0
+    var total = 0
+
+    (0 until 6).foreach { ti =>
+      val rnd = new scala.util.Random(1000 + ti)
+      val n = rnd.nextInt(260) // 0-row tables included
+      val parts = Vector("a", "b", "c", "d")
+      val rows = (0 until n).map { i =>
+        (i.toLong,
+          parts(rnd.nextInt(parts.size)),
+          rnd.nextInt(20),
+          if (rnd.nextInt(5) == 0) null else s"s${rnd.nextInt(50)}")
+      }
+      val df = rows.toDF("id", "p", "k", "s")
+      val dir = TestSpark.tmpDir(s"fuzzmeta$ti")
+      client.createAsTable(df.repartition(1 + rnd.nextInt(4)),
+        "fuzzmeta", "s", s"t$ti", FileType.DELTA, s"$dir/t",
+        partitionColumns = Seq("p"))
+      // half the tables get ANALYZE so SUM/APPROX serving paths engage
+      if (ti % 2 == 0)
+        spark.sql(s"ANALYZE TABLE fuzzmeta.s.t$ti COMPUTE STATISTICS FOR ALL COLUMNS")
+      df.createOrReplaceTempView(s"raw$ti")
+
+      (0 until 14).foreach { qi =>
+        val aggs = (0 to rnd.nextInt(2))
+          .map(_ => aggPool(rnd.nextInt(aggPool.size))).distinct
+          .zipWithIndex.map { case (a, j) => s"$a AS c$j" }.mkString(", ")
+        val where = wherePool(rnd.nextInt(wherePool.size))
+          .map(w => s" WHERE $w").getOrElse("")
+        val group = if (rnd.nextInt(3) == 0) " GROUP BY p" else ""
+        val select = if (group.nonEmpty) s"p, $aggs" else aggs
+        val order = if (group.nonEmpty) " ORDER BY p" else ""
+        val qCat = s"SELECT $select FROM fuzzmeta.s.t$ti$where$group$order"
+        val qRaw = s"SELECT $select FROM raw$ti$where$group$order"
+        val got = spark.sql(qCat)
+        val want = spark.sql(qRaw).collect().map(_.toString).toSeq
+        assert(got.collect().map(_.toString).toSeq == want,
+          s"mismatch for: $qCat\nplan:\n${got.queryExecution.executedPlan}")
+        total += 1
+        val plan = got.queryExecution.executedPlan.toString
+        if (!plan.contains("FileScan")) rewritten += 1
+      }
+    }
+    // the fuzz must actually exercise the rewrite, not just fallbacks
+    assert(rewritten >= total / 5,
+      s"only $rewritten of $total plans were scan-free — generator drifted?")
+  }
+}
