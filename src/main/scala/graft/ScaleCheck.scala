@@ -326,6 +326,38 @@ object ScaleCheck {
       d
     }
 
+    // round-12 operators: COPY INTO (initial load tracks new bytes, the
+    // re-run no-op must track ingest-log metadata only — ≈flat) and the
+    // canonical-URL dedup (map-only key derivation + one group-by
+    // shuffle — must track url volume)
+    val (copyInitial, copyNoop) = {
+      import org.apache.spark.sql.functions.col
+      val root = java.nio.file.Files.createTempDirectory("scalecheck-cpin").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      li.repartition(16).write.mode("append").parquet(s"$root/drop")
+      val t = new graft.tables.TxTable(spark, s"$root/t")
+      t.create(li.limit(0))
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val a = timed(graft.tables.CopyInto.run(t, s"$root/drop"))
+      val b = timed(graft.tables.CopyInto.run(t, s"$root/drop"))
+      System.err.println(f"[scalecheck] copy_into_initial $a%.2fs copy_into_noop $b%.2fs")
+      (a, b)
+    }
+    val urlDedup = best("canonical_url_dedup") {
+      import org.apache.spark.sql.functions.{col, concat, lit, pmod, expr, when, upper}
+      val urled = graft.queries.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("url", when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/a/"),
+              expr("doc_id div 3"), lit("/?utm_source=x&b=2&a=1#f")))
+          .otherwise(concat(lit("https://"), col("source"), lit(".com/a/"),
+            expr("doc_id div 3"), lit("?a=1&b=2"))))
+      graft.ext.UrlOps.dedupByCanonicalUrl(urled, "url")
+    }
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
       "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
       "corpus_shards" -> shards, "quality_classifier" -> classifier,
@@ -347,7 +379,10 @@ object ScaleCheck {
       "grouped_rollup_metadata" -> grpMeta,
       "grouped_rollup_scan" -> grpScan,
       "partition_filter_metadata" -> pfMeta,
-      "massdel_direct_read" -> massDelRead))
+      "massdel_direct_read" -> massDelRead,
+      "copy_into_initial" -> copyInitial,
+      "copy_into_noop" -> copyNoop,
+      "canonical_url_dedup" -> urlDedup))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
