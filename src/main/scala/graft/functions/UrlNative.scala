@@ -64,35 +64,17 @@ case class RegistrableDomainExpr(child: Expression,
   override def prettyName: String = "registrable_domain"
 }
 
-/** URL canonicalization — the dedup key every crawl pipeline derives
-  * before URL-level dedup (C4 deduplicated by URL; CCNet/RefinedWeb
-  * normalize first): the same page arrives as `HTTPS://WWW.Ex.COM:443/a/`
-  * and `https://ex.com/a?utm_source=x`, and a raw-string key misses the
-  * duplicate. Normalization applied (documented here because it IS the
-  * equality contract):
-  *  1. scheme/host lowercased; only http/https with a host qualify
-  *     (anything else → null: no-provenance rows are unkeepable);
-  *  2. ONE leading `www.` label and a trailing host dot stripped;
-  *  3. the scheme's default port (80/443) dropped, others kept;
-  *  4. the fragment dropped;
-  *  5. query params split on `&`: empties and tracking params dropped
-  *     (`utm_*`, fbclid, gclid, msclkid, mc_eid, ref, ref_src, igshid),
-  *     the rest sorted bytewise and rejoined (`?` dropped when none
-  *     survive) — parameter ORDER never distinguishes two URLs;
-  *  6. empty path → `/`; a trailing slash stripped except at the root.
-  * Map-only, no shuffle; the dedup itself is the usual group-by-key.
+/** Static URL-normalization kernel — one method call per row so the
+  * expression codegens into the surrounding WholeStageCodegen span
+  * (same shape as MediaKernels/Kernels).
   */
-case class CanonicalUrlExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = StringType
-  override def nullable: Boolean = true
-
-  private val tracking = Set("fbclid", "gclid", "msclkid", "mc_eid",
-    "ref", "ref_src", "igshid")
-
-  override def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString
+object UrlKernels {
+  /** Canonical form of `input` under `tracking` (lowercase query-param
+    * names to drop); null for junk / non-http(s) URLs. See
+    * [[CanonicalUrlExpr]] for the normalization contract.
+    */
+  def canonicalUrl(input: UTF8String, tracking: java.util.Set[String]): UTF8String = {
+    val raw = input.toString
     val uri =
       try new java.net.URI(raw.trim)
       catch { case _: java.net.URISyntaxException => return null }
@@ -116,10 +98,71 @@ case class CanonicalUrlExpr(child: Expression)
     }.getOrElse("")
     UTF8String.fromString(s"$scheme://$host$port$path$query")
   }
+}
+
+/** URL canonicalization — the dedup key every crawl pipeline derives
+  * before URL-level dedup (C4 deduplicated by URL; CCNet/RefinedWeb
+  * normalize first): the same page arrives as `HTTPS://WWW.Ex.COM:443/a/`
+  * and `https://ex.com/a?utm_source=x`, and a raw-string key misses the
+  * duplicate. Normalization applied (documented here because it IS the
+  * equality contract):
+  *  1. scheme/host lowercased; only http/https with a host qualify
+  *     (anything else → null: no-provenance rows are unkeepable). The
+  *     scheme SURVIVES in the key — http:// and https:// variants of a
+  *     page stay distinct origins; pass both through a regexp_replace
+  *     first if a pipeline wants them folded;
+  *  2. ONE leading `www.` label and a trailing host dot stripped;
+  *  3. the scheme's default port (80/443) dropped, others kept;
+  *  4. the fragment dropped;
+  *  5. query params split on `&`: empties and tracking params dropped
+  *     (`utm_*` plus the click-ID set fbclid, gclid, msclkid, mc_eid,
+  *     igshid by default — NOT bare `ref`, which is frequently
+  *     load-bearing, e.g. `?ref=<branch>` selectors; extend via
+  *     `extraTracking`), the rest sorted bytewise and rejoined (`?`
+  *     dropped when none survive) — parameter ORDER never
+  *     distinguishes two URLs;
+  *  6. empty path → `/`; a trailing slash stripped except at the root.
+  * Map-only, no shuffle; the dedup itself is the usual group-by-key.
+  * Codegen'd: one static kernel call, the tracking set a reference
+  * object — no interpreted fallback inside the scan stage.
+  */
+case class CanonicalUrlExpr(child: Expression,
+    extraTracking: Seq[String] = Seq.empty) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val tracking: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    CanonicalUrlExpr.DefaultTracking.foreach(s.add)
+    extraTracking.foreach(t => s.add(t.toLowerCase(java.util.Locale.ROOT)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UrlKernels.canonicalUrl(input.asInstanceOf[UTF8String], tracking)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val setRef = ctx.addReferenceObj("tracking", tracking, "java.util.Set<String>")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlKernels.canonicalUrl($c, $setRef);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "canonical_url"
+}
+
+object CanonicalUrlExpr {
+  /** Click-ID params that never distinguish pages. Bare `ref`/`ref_src`
+    * are deliberately absent (load-bearing on many sites). */
+  val DefaultTracking: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "mc_eid", "igshid")
 }
 
 object UrlNativeFunctions {
@@ -145,6 +188,8 @@ object UrlNativeFunctions {
         org.apache.spark.sql.functions.lit("HOST")), suffixes)
 
   /** Canonical dedup key of a URL column (see [[CanonicalUrlExpr]]);
-    * null for junk and non-http(s) URLs. */
-  def canonicalUrl(url: Column): Column = toCol(CanonicalUrlExpr(toExpr(url)))
+    * null for junk and non-http(s) URLs. `extraTracking` extends the
+    * default click-ID drop set (names lowercased). */
+  def canonicalUrl(url: Column, extraTracking: Seq[String] = Seq.empty): Column =
+    toCol(CanonicalUrlExpr(toExpr(url), extraTracking))
 }

@@ -71,12 +71,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val AnalyzeAllRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS""" +
       """\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""").r
-  // COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
-  //   [PATTERN = '<glob>'] — exactly-once bulk file ingestion (Delta's
-  //   COPY INTO shape; CopyInto's write-ahead-intent protocol)
+  // COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON|AVRO]
+  //   [PATTERN = '<glob>'] [FORCE = TRUE] — exactly-once bulk file
+  //   ingestion (Delta's COPY INTO shape; CopyInto's write-ahead-intent
+  //   protocol; FORCE reloads every listed file as a new batch)
   private val CopyIntoRe =
     ("""(?is)\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+'([^']+)'""" +
-      """(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""").r
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+      """(?:\s+FORCE\s*=\s*(TRUE|FALSE))?\s*;?\s*""").r
   // DESCRIBE HISTORY cat.sch.t (Delta's utility; not in Spark's grammar)
   private val DescHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
@@ -292,15 +294,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
     }
     else if (head.startsWith("COPY INTO")) sqlText match {
-      case CopyIntoRe(ident, src, fmt, pat) =>
+      case CopyIntoRe(ident, src, fmt, pat, forceRaw) =>
         parts3(ident).flatMap(txTable) match {
           case Some((name, t)) =>
             val format = Option(fmt).map(_.toLowerCase(Locale.ROOT)).getOrElse("parquet")
+            val force = Option(forceRaw).exists(_.equalsIgnoreCase("TRUE"))
             return GraftSqlDml.GraftQueryCommand(s"COPY INTO $name FROM '$src'",
               Seq(AttributeReference("files_loaded", LongType, nullable = false)(),
                 AttributeReference("rows_loaded", LongType, nullable = false)(),
                 AttributeReference("batch", LongType, nullable = false)())) { () =>
-              val r = graft.tables.CopyInto.run(t, src, format, Option(pat))
+              val r = graft.tables.CopyInto.run(t, src, format, Option(pat), force)
               Seq(org.apache.spark.sql.Row(r.filesLoaded, r.rowsLoaded, r.batch))
             }
           case None =>

@@ -169,20 +169,39 @@ object BloomIndex {
     val dirStr = indexDir(table.location)
     val dir = new org.apache.hadoop.fs.Path(dirStr)
     val fs = TxLog.fs(spark, table.location)
+    // sweep temp/aside dirs leaked by a crashed previous compact —
+    // nothing else ever reads them, so this is the one cleanup point
+    val parent = dir.getParent
+    if (parent != null && fs.exists(parent)) {
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(dir.getName + ".compact-") ||
+            n.startsWith(dir.getName + ".old-")) { fs.delete(st.getPath, true); () }
+      }
+    }
     if (!fs.exists(dir)) return 0L
     val side = spark.read.schema(sidecarSchema).parquet(dirStr)
     val live = spark.createDataFrame(
       spark.sparkContext.parallelize(table.snapshot.files.map(f => Row(f.path)), 32),
       StructType(Seq(StructField("file", StringType, nullable = false))))
     val total = side.count()
-    val tmp = new org.apache.hadoop.fs.Path(
-      dirStr + ".compact-" + java.util.UUID.randomUUID().toString.take(8))
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(dirStr + ".compact-" + stamp)
     side.join(broadcast(live), Seq("file"), "left_semi")
       .write.parquet(tmp.toString)
     val kept = spark.read.parquet(tmp.toString).count()
     if (kept == total) { fs.delete(tmp, true); return 0L }
-    fs.delete(dir, true)
-    fs.rename(tmp, dir)
+    // swap via rename-ASIDE (rename is atomic; a crash at any point
+    // leaves either the old or the new sidecar in place — never a
+    // window with NO sidecar, which would silently rebuild the whole
+    // index); the aside dir is garbage the next sweep reclaims
+    val aside = new org.apache.hadoop.fs.Path(dirStr + ".old-" + stamp)
+    if (!fs.rename(dir, aside)) { fs.delete(tmp, true); return 0L }
+    if (!fs.rename(tmp, dir)) {
+      // restore the original rather than leave no sidecar at all
+      fs.rename(aside, dir); fs.delete(tmp, true); return 0L
+    }
+    fs.delete(aside, true)
     total - kept
   }
 

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.UnsupportedOperationError
+import graft.catalog.{AlreadyExistsError, SchemaEvolution, UnsupportedOperationError}
 
 /** COPY INTO — idempotent bulk file ingestion (Delta's `COPY INTO`
   * statement shape; the reference's write surface has no ingest-dedup
@@ -14,12 +14,19 @@ import graft.catalog.UnsupportedOperationError
   * Semantics: load every data file under a source directory into the
   * target table EXACTLY ONCE across any number of invocations — the
   * nightly "pick up whatever landed in the drop zone" job can simply
-  * re-run after any failure.
+  * re-run after any failure. Files are keyed by PATH: a re-dropped
+  * file whose content changed (size/mtime differ) is still skipped —
+  * the drop-zone contract is immutable files under fresh names. The
+  * recorded size/mtime make the skip auditable in the ingest log, and
+  * `force = true` (SQL `FORCE = TRUE`) escapes the dedup entirely:
+  * every listed file loads again as a new batch (possible duplicates,
+  * exactly Delta's documented FORCE semantics).
   *
   * Exactly-once protocol (write-ahead intent + transactional confirm):
   *  1. `newFiles` = source listing ∖ files already recorded in the
   *     INGEST LOG — itself a native TxTable under
-  *     `<target>/_graft_ingest/log`, one row per loaded source file.
+  *     `<target>/_graft_ingest/log`, one row per loaded source file
+  *     carrying (path, size, mtime, batch, format, pattern).
   *  2. Record the INTENT: append `newFiles` rows to the ingest log
   *     stamped with batch number B, committed idempotently
   *     (SetTransaction appId `graft.copyInto.intent`, version B) — a
@@ -31,8 +38,10 @@ import graft.catalog.UnsupportedOperationError
   * A crash between 2 and 3 leaves a recorded intent whose batch never
   * confirmed on the target: the next run detects
   * `target.transactions(appId) < maxBatch(ingest log)` and REPLAYS step
-  * 3 for exactly the recorded file list before computing new work.
-  * Every step is an atomic commit on one of the two logs, so any
+  * 3 for exactly the recorded file list — with the FILEFORMAT the
+  * intent RECORDED, not whatever format the recovering invocation was
+  * asked for (a csv intent recovered by a parquet run must replay as
+  * csv). Every step is an atomic commit on one of the two logs, so any
   * interleaving of crashes and re-runs loads each file once.
   *
   * Scale shape: the source listing is driver-held file METADATA (the
@@ -55,11 +64,18 @@ object CopyInto {
     s"${target.location}/$IngestRoot/log"
 
   private[tables] def supportedFormat(f: String): Boolean =
-    Seq("parquet", "csv", "json").contains(f.toLowerCase(java.util.Locale.ROOT))
+    Seq("parquet", "csv", "json", "avro").contains(f.toLowerCase(java.util.Locale.ROOT))
+
+  /** Test hook: invoked after the intent commit wins and before the
+    * confirming target append — throwing here simulates the crash
+    * window the replay protocol exists for. */
+  private[graft] var onIntentRecorded: () => Unit = () => ()
 
   /** (absolute URI, size, mtime) of every visible data file of `format`
     * under `sourceDir` (hidden `_`/`.` segments skipped, hadoop
-    * convention), optionally filtered by a glob over the relative path.
+    * convention), optionally filtered by a glob over the relative path
+    * (hadoop GlobPattern — the same syntax FileSystem.globStatus uses,
+    * matched against the full relative path string).
     */
   private def listSource(spark: SparkSession, sourceDir: String, format: String,
       pattern: Option[String]): Seq[(String, Long, Long)] = {
@@ -68,8 +84,7 @@ object CopyInto {
     if (!fs.exists(p))
       throw UnsupportedOperationError(s"COPY INTO: source '$sourceDir' does not exist")
     val ext = "." + format.toLowerCase(java.util.Locale.ROOT)
-    val matcher = pattern.map(g =>
-      java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + g))
+    val matcher = pattern.map(g => new org.apache.hadoop.fs.GlobPattern(g))
     val baseUri = p.toUri.getPath
     val out = Seq.newBuilder[(String, Long, Long)]
     val it = fs.listFiles(p, true)
@@ -78,7 +93,7 @@ object CopyInto {
       if (st.isFile) {
         val rel = st.getPath.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
         val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-        val wanted = matcher.forall(_.matches(java.nio.file.Paths.get(rel)))
+        val wanted = matcher.forall(_.matches(rel))
         if (!hidden && wanted && rel.toLowerCase(java.util.Locale.ROOT).endsWith(ext))
           out += ((st.getPath.toUri.toString, st.getLen, st.getModificationTime))
       }
@@ -88,7 +103,8 @@ object CopyInto {
 
   /** Read `paths` as `format` aligned to the target's columns — parquet
     * resolves by name; csv/json read with the target schema declared
-    * (csv headers are required and matched by name).
+    * (csv headers are required and matched by name); avro through the
+    * engine's own container codec (io/AvroIO).
     */
   private def readFiles(spark: SparkSession, target: TxTable, format: String,
       paths: Seq[String]): DataFrame = {
@@ -97,8 +113,9 @@ object CopyInto {
       case "parquet" => spark.read.parquet(paths: _*)
       case "csv" => spark.read.schema(schema).option("header", "true").csv(paths: _*)
       case "json" => spark.read.schema(schema).json(paths: _*)
+      case "avro" => graft.io.AvroIO.read(spark, paths.mkString(","), Some(schema))
       case other => throw UnsupportedOperationError(
-        s"COPY INTO: FILEFORMAT $other not supported (parquet, csv, json)")
+        s"COPY INTO: FILEFORMAT $other not supported (parquet, csv, json, avro)")
     }
     val missing = schema.fieldNames.filterNot(base.columns.contains)
     if (missing.nonEmpty)
@@ -107,15 +124,47 @@ object CopyInto {
     base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Replay the confirming append for every recorded-but-unconfirmed
+    * intent batch in (confirmed, maxBatch], each with the FILEFORMAT
+    * its intent row recorded. An ingest log written before formats were
+    * recorded (no `format` column, or null values) cannot be replayed
+    * safely — a parquet intent replayed as csv with a declared schema
+    * appends garbage — so that is a hard error, not a guess.
+    */
+  private def replayUnconfirmed(spark: SparkSession, target: TxTable,
+      recorded: DataFrame, confirmed: Long, maxBatch: Long): Unit = {
+    import spark.implicits._
+    val hasFormat = recorded.columns.contains("format")
+    ((confirmed + 1) to maxBatch).foreach { b =>
+      val inBatch = recorded.where(col("batch") === lit(b))
+      val batchRows =
+        (if (hasFormat) inBatch.select(col("source_path"), col("format"))
+         else inBatch.select(col("source_path"),
+           lit(null).cast("string").as("format")))
+          .as[(String, String)].collect()
+      if (batchRows.nonEmpty) {
+        val formats = batchRows.map(_._2).distinct
+        if (formats.length != 1 || formats(0) == null)
+          throw UnsupportedOperationError(
+            s"COPY INTO: cannot replay intent batch $b — the ingest log predates " +
+              "format recording (or holds mixed formats); confirm the batch " +
+              "manually or re-create the ingest log")
+        target.appendIdempotent(
+          readFiles(spark, target, formats(0), batchRows.map(_._1).toSeq),
+          TxnAppId, b)
+      }
+    }
+  }
+
   def run(target: TxTable, sourceDir: String, format: String = "parquet",
-      pattern: Option[String] = None): Result = {
+      pattern: Option[String] = None, force: Boolean = false): Result = {
     if (!supportedFormat(format))
       throw UnsupportedOperationError(
-        s"COPY INTO: FILEFORMAT $format not supported (parquet, csv, json)")
+        s"COPY INTO: FILEFORMAT $format not supported (parquet, csv, json, avro)")
+    val fmt = format.toLowerCase(java.util.Locale.ROOT)
     val spark = target.spark
-    val listing = listSource(spark, sourceDir, format, pattern)
+    val listing = listSource(spark, sourceDir, fmt, pattern)
     val ingest = new TxTable(spark, logLocation(target))
-    val ingestExists = NativeCommitLog.latestVersion(spark, ingest.location).isDefined
 
     var attempts = 0
     while (true) {
@@ -123,9 +172,8 @@ object CopyInto {
       if (attempts > 5)
         throw UnsupportedOperationError(
           "COPY INTO: lost the intent-batch race 5 times; concurrent runners?")
-      import spark.implicits._
       val recorded: Option[DataFrame] =
-        if (ingestExists || NativeCommitLog.latestVersion(spark, ingest.location).isDefined)
+        if (NativeCommitLog.latestVersion(spark, ingest.location).isDefined)
           Some(ingest.toDF)
         else None
       val maxBatch: Long = recorded
@@ -135,20 +183,27 @@ object CopyInto {
         }).getOrElse(0L)
 
       // crash recovery: an intent whose batch never confirmed on the
-      // target replays EXACTLY its recorded files (idempotent: the
-      // SetTransaction guard makes a double replay a no-op)
+      // target replays EXACTLY its recorded files with its recorded
+      // format (idempotent: the SetTransaction guard makes a double
+      // replay a no-op). A target watermark AHEAD of the ingest log
+      // means the log was deleted/recreated out from under the table —
+      // recording new intents against it would silently skip their
+      // appends, so refuse loudly instead.
       val confirmed = target.snapshot.transactions.getOrElse(TxnAppId, 0L)
-      if (confirmed < maxBatch) {
-        ((confirmed + 1) to maxBatch).foreach { b =>
-          val bPaths = recorded.get.filter(col("batch") === lit(b))
-            .select("source_path").as[String].collect().toSeq
-          if (bPaths.nonEmpty)
-            target.appendIdempotent(readFiles(spark, target, format, bPaths), TxnAppId, b)
-        }
-      }
+      if (confirmed > maxBatch)
+        throw UnsupportedOperationError(
+          s"COPY INTO: target already confirmed batch $confirmed but the ingest " +
+            s"log only records up to $maxBatch — was ${ingest.location} deleted? " +
+            "Restore it (or drop the graft.copyInto transaction watermark) first")
+      if (confirmed < maxBatch)
+        replayUnconfirmed(spark, target, recorded.get, confirmed, maxBatch)
 
-      // dedup: executor-side anti-join — the driver sees only NEW paths
+      // dedup: executor-side anti-join — the driver sees only NEW paths.
+      // FORCE skips the dedup: every listed file loads again (possible
+      // duplicates — Delta's documented FORCE contract).
+      import spark.implicits._
       val newFiles: Seq[(String, Long, Long)] = recorded match {
+        case _ if force => listing
         case None => listing
         case Some(df) =>
           val listDf = listing.toDF("source_path", "size_bytes", "mtime")
@@ -160,18 +215,27 @@ object CopyInto {
       val batch = maxBatch + 1
       val records = newFiles.toDF("source_path", "size_bytes", "mtime")
         .withColumn("batch", lit(batch))
+        .withColumn("format", lit(fmt))
+        .withColumn("pattern", lit(pattern.orNull).cast("string"))
       // write-ahead intent, idempotent per batch number: a concurrent
-      // runner racing to the same batch loses and retries
+      // runner racing to the same batch loses and retries (two
+      // concurrent FIRST runs race on the log's create commit instead)
       val won =
-        if (recorded.isEmpty) { ingest.create(records); true }
-        else ingest.appendIdempotent(records, IntentAppId, batch)
+        if (recorded.isEmpty)
+          try { ingest.create(records); true }
+          catch { case _: AlreadyExistsError => false }
+        else ingest.appendIdempotent(records, IntentAppId, batch,
+          evolution = SchemaEvolution.MERGE)
       if (won) {
-        val before = target.countRows()
-        target.appendIdempotent(
-          readFiles(spark, target, format, newFiles.map(_._1)), TxnAppId, batch)
-        val after = target.countRows()
-        val rows = if (before >= 0L && after >= 0L) after - before else -1L
-        return Result(newFiles.size.toLong, rows, batch)
+        onIntentRecorded()
+        val df = readFiles(spark, target, fmt, newFiles.map(_._1))
+        // false here means a concurrent runner found our intent
+        // unconfirmed and replayed it for us — either way batch is now
+        // confirmed, and the rows belong to this call's listing
+        target.appendIdempotent(df, TxnAppId, batch)
+        // rows of the ingested batch itself (never a table-level count
+        // diff, which a concurrent writer would skew)
+        return Result(newFiles.size.toLong, df.count(), batch)
       }
       // lost the race: refreshed state next iteration
     }

@@ -106,6 +106,39 @@ class UrlOpsSpec extends AnyFunSuite {
       "smallest doc_id survives per canonical group; junk dropped")
   }
 
+  test("canonicalUrl: `ref` is load-bearing by default, droppable via extraTracking") {
+    def canon(u: String, extra: Seq[String] = Seq.empty): String =
+      Seq(u).toDF("url")
+        .select(UrlNativeFunctions.canonicalUrl(col("url"), extra))
+        .head.getString(0)
+    // ?ref=<branch> selects a DIFFERENT page — must survive the key
+    assert(canon("https://e.com/tree?ref=main") == "https://e.com/tree?ref=main")
+    assert(canon("https://e.com/tree?ref=main") != canon("https://e.com/tree?ref=dev"))
+    // click IDs still die
+    assert(canon("https://e.com/p?gclid=z&ref=r") == "https://e.com/p?ref=r")
+    // a pipeline that wants C4-style ref-stripping opts in
+    assert(canon("https://e.com/p?ref=r&a=1", extra = Seq("ref")) ==
+      "https://e.com/p?a=1")
+  }
+
+  test("canonicalUrl codegens (no CodegenFallback): kernel call inside the stage") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val e = graft.functions.CanonicalUrlExpr(
+      org.apache.spark.sql.GraftColumnBridge.toExpr(col("url")))
+    assert(!e.isInstanceOf[CodegenFallback],
+      "CanonicalUrlExpr must participate in whole-stage codegen")
+    // the generated stage actually calls the static kernel (spark.range
+    // keeps the projection un-foldable so a WholeStageCodegen span exists)
+    val df = spark.range(2)
+      .select(concat(lit("https://www.e.com/a/"), col("id")).as("url"))
+      .select(UrlNativeFunctions.canonicalUrl(col("url")).as("cu"))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("UrlKernels.canonicalUrl"),
+      s"expected a direct kernel call in generated code, got:\n$gen")
+    assert(df.orderBy("cu").head.getString(0) == "https://e.com/a/0")
+  }
+
   test("withRegistrableDomain feeds domain-keyed splits (leakage grain)") {
     val df = Seq(
       "https://en.pub.co.uk/a", "https://fr.pub.co.uk/b", "https://x.pub.co.uk/c")

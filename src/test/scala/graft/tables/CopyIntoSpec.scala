@@ -69,7 +69,9 @@ class CopyIntoSpec extends AnyFunSuite {
     val ingest = new TxTable(spark, s"$root/t/${CopyInto.IngestRoot}/log")
     ingest.appendIdempotent(
       Seq(fresh).toDF("source_path", "size_bytes", "mtime")
-        .withColumn("batch", lit(2L)),
+        .withColumn("batch", lit(2L))
+        .withColumn("format", lit("parquet"))
+        .withColumn("pattern", lit(null).cast("string")),
       "graft.copyInto.intent", 2L)
     assert(t.toDF.count() == 10L) // data NOT loaded yet
 
@@ -118,5 +120,105 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM cpin.s.t").collect()(0).getLong(0) == 20L)
     // second run through SQL: no-op
     assert(spark.sql(s"COPY INTO cpin.s.t FROM '$src'").collect()(0).getLong(0) == 0L)
+  }
+
+  test("crash after intent: recovery replays with the RECORDED format, not the caller's") {
+    val root = TestSpark.tmpDir("copyinto5")
+    val src = s"$root/drop"
+    (0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+      .write.option("header", "true").mode("append").csv(src)
+    val t = new TxTable(spark, s"$root/t")
+    t.create(Seq.empty[(Long, String)].toDF("id", "v"))
+    // crash window: the csv intent lands, the confirming append never runs
+    CopyInto.onIntentRecorded = () => throw new RuntimeException("boom")
+    try {
+      intercept[RuntimeException] { CopyInto.run(t, src, "csv") }
+    } finally CopyInto.onIntentRecorded = () => ()
+    assert(t.toDF.count() == 0L, "crashed before the confirm")
+    // the recovering invocation asks for PARQUET (the default) — replay
+    // must still read the batch as CSV because the intent recorded it
+    val r = CopyInto.run(t, src) // no .parquet files listed; pure recovery
+    assert(r.filesLoaded == 0L)
+    assert(t.toDF.count() == 40L, "csv intent replayed as csv")
+    assert(t.toDF.select(sum(col("id"))).head().getLong(0) == (0L until 40L).sum)
+  }
+
+  test("FORCE reloads every listed file; changed-content file is skipped without it") {
+    val root = TestSpark.tmpDir("copyinto6")
+    val src = s"$root/drop"
+    dropFiles(src, 0 until 10)
+    val t = new TxTable(spark, s"$root/t")
+    t.create(Seq.empty[(Long, String)].toDF("id", "v"))
+    assert(CopyInto.run(t, src).filesLoaded == 1L)
+    assert(t.toDF.count() == 10L)
+
+    // re-drop the SAME path with different content (more rows)
+    val fs = TxLog.fs(spark, src)
+    val orig = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(src), true)
+      var found: org.apache.hadoop.fs.Path = null
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) found = st.getPath
+      }
+      found
+    }
+    val tmp = s"$root/tmp"
+    (100 until 125).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+      .write.parquet(tmp)
+    val replacement = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(orig, false)
+    fs.rename(replacement, orig)
+
+    // default: path-keyed exactly-once — the changed file does NOT reload
+    val r = CopyInto.run(t, src)
+    assert(r.filesLoaded == 0L && t.toDF.count() == 10L,
+      "path-keyed dedup skips a re-dropped changed file")
+    // FORCE: every listed file loads again as a new batch
+    val rf = CopyInto.run(t, src, force = true)
+    assert(rf.filesLoaded == 1L && rf.rowsLoaded == 25L)
+    assert(t.toDF.count() == 35L)
+    // and the forced rows are now recorded: a plain re-run still no-ops
+    assert(CopyInto.run(t, src).filesLoaded == 0L)
+  }
+
+  test("FILEFORMAT AVRO loads through the native avro codec") {
+    val root = TestSpark.tmpDir("copyinto7")
+    val src = s"$root/drop"
+    val df = (0 until 30).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    graft.io.AvroIO.writeSingleFile(spark, df.filter(col("id") < 15), s"$src/a.avro")
+    graft.io.AvroIO.writeSingleFile(spark, df.filter(col("id") >= 15), s"$src/b.avro")
+    val t = new TxTable(spark, s"$root/t")
+    t.create(Seq.empty[(Long, String)].toDF("id", "v"))
+    val r = CopyInto.run(t, src, "avro")
+    assert(r.filesLoaded == 2L && r.rowsLoaded == 30L)
+    assert(t.toDF.select(sum(col("id"))).head().getLong(0) == (0L until 30L).sum)
+    assert(CopyInto.run(t, src, "avro").filesLoaded == 0L, "avro re-run no-ops")
+    // SQL surface
+    val client = new graft.client.LakehouseClient(spark)
+    client.createCatalog("cpav")
+    client.createSchema("cpav", "s")
+    client.registerAsTable("cpav", "s", "t", graft.catalog.FileType.DELTA, s"$root/t")
+    graft.io.AvroIO.writeSingleFile(spark, df.limit(5), s"$src/c.avro")
+    val res = spark.sql(s"COPY INTO cpav.s.t FROM '$src' FILEFORMAT = AVRO")
+    assert(res.collect()(0).getLong(0) == 1L)
+  }
+
+  test("ingest log behind the target watermark is refused, not silently skipped") {
+    val root = TestSpark.tmpDir("copyinto8")
+    val src = s"$root/drop"
+    dropFiles(src, 0 until 10)
+    val t = new TxTable(spark, s"$root/t")
+    t.create(Seq.empty[(Long, String)].toDF("id", "v"))
+    assert(CopyInto.run(t, src).filesLoaded == 1L)
+    // simulate "someone deleted the ingest log": target remembers batch 1,
+    // a fresh log would restart at batch 1 and the append would be
+    // silently skipped — the run must refuse instead
+    val fs = TxLog.fs(spark, src)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/t/${CopyInto.IngestRoot}"), true)
+    dropFiles(src, 10 until 20)
+    val e = intercept[graft.catalog.UnsupportedOperationError] { CopyInto.run(t, src) }
+    assert(e.getMessage.contains("ingest"))
   }
 }
