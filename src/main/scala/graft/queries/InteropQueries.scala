@@ -2243,14 +2243,45 @@ object InteropQueries {
         val twin = s.sql(
           "SELECT COUNT(*) AS n_q25 FROM q160cat.s.t WHERE l_quantity > 25")
         val twinScans = planOf(twin).contains("FileScan")
+        // negation: `<>` is provable from exact partition values (null
+        // partitions drop under three-valued logic)
+        val ne = s.sql(
+          "SELECT COUNT(*) AS n_ne_a FROM q160cat.s.t WHERE l_returnflag <> 'A'")
+        val neMeta = !planOf(ne).contains("FileScan")
+        // a second table with PLANTED NULL partition values ('N' → null):
+        // IS NULL is exactly the provable-true case for the hive default
+        // partition, IS NOT NULL its complement, and OR-of-equalities
+        // normalizes to IN — all one snapshot read
+        client.createAsTable(
+          li.withColumn("p", expr("nullif(l_returnflag, 'N')"))
+            .repartition(4),
+          "q160cat", "s", "tn", graft.catalog.FileType.DELTA, s"$loc/tn",
+          partitionColumns = Seq("p"))
+        val isn = s.sql(
+          "SELECT COUNT(*) AS n_p_null FROM q160cat.s.tn WHERE p IS NULL")
+        val isnMeta = !planOf(isn).contains("FileScan")
+        val inn = s.sql(
+          "SELECT COUNT(*) AS n_p_notnull FROM q160cat.s.tn WHERE p IS NOT NULL")
+        val innMeta = !planOf(inn).contains("FileScan")
+        val orq = s.sql(
+          "SELECT COUNT(*) AS n_or FROM q160cat.s.tn WHERE p = 'A' OR p = 'R'")
+        val orMeta = !planOf(orq).contains("FileScan")
         eq.crossJoin(grp.groupBy().pivot("l_returnflag", Seq("A", "R")).sum("n")
             .select(col("A").as("n_in_a"), col("R").as("n_in_r")))
           .crossJoin(rng)
           .crossJoin(twin)
+          .crossJoin(ne)
+          .crossJoin(isn)
+          .crossJoin(inn)
+          .crossJoin(orq)
           .withColumn("part_eq_metadata_only", lit(eqMeta))
           .withColumn("part_in_grouped_metadata_only", lit(grpMeta))
           .withColumn("part_range_metadata_only", lit(rngMeta))
           .withColumn("nonpart_filter_scans", lit(twinScans))
+          .withColumn("part_ne_metadata_only", lit(neMeta))
+          .withColumn("part_isnull_metadata_only", lit(isnMeta))
+          .withColumn("part_isnotnull_metadata_only", lit(innMeta))
+          .withColumn("part_or_metadata_only", lit(orMeta))
       },
       Some("""SELECT
           (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'A') AS n_a,
@@ -2263,10 +2294,22 @@ object InteropQueries {
           (SELECT COUNT(*) FROM lineitem WHERE l_returnflag >= 'N') AS n_ge_n,
           (SELECT COUNT(*) FROM lineitem
             WHERE CAST(l_quantity AS BIGINT) > 25) AS n_q25,
+          (SELECT COUNT(*) FROM lineitem WHERE l_returnflag <> 'A') AS n_ne_a,
+          (SELECT COUNT(*) FROM lineitem
+            WHERE NULLIF(l_returnflag, 'N') IS NULL) AS n_p_null,
+          (SELECT COUNT(*) FROM lineitem
+            WHERE NULLIF(l_returnflag, 'N') IS NOT NULL) AS n_p_notnull,
+          (SELECT COUNT(*) FROM lineitem
+            WHERE NULLIF(l_returnflag, 'N') = 'A'
+               OR NULLIF(l_returnflag, 'N') = 'R') AS n_or,
           TRUE AS part_eq_metadata_only,
           TRUE AS part_in_grouped_metadata_only,
           TRUE AS part_range_metadata_only,
-          TRUE AS nonpart_filter_scans""")),
+          TRUE AS nonpart_filter_scans,
+          TRUE AS part_ne_metadata_only,
+          TRUE AS part_isnull_metadata_only,
+          TRUE AS part_isnotnull_metadata_only,
+          TRUE AS part_or_metadata_only""")),
 
     // ---- q161: COPY INTO — exactly-once bulk file ingestion ----
     // The nightly drop-zone pickup: files land in a directory, COPY INTO

@@ -356,8 +356,13 @@ object GraftSqlExtensions {
       snap.files.foreach { f =>
         if (f.rows != 0L) {
           if (f.rows < 0L) return None
+          // a NULL partition value (JSON null or the hive path sentinel
+          // `__HIVE_DEFAULT_PARTITION__`) proves the partition column
+          // all-null in this file — ignorable without a null count
+          if (isPart && rawPartValue(f, colName).contains(null)) ()
+          else {
           val stat =
-            if (isPart) f.partitionValues.get(colName)
+            if (isPart) rawPartValue(f, colName)
             else (if (isMin) f.minValues else f.maxValues).flatMap(_.get(colName))
           stat.filter(_ != null)
             .flatMap(s => graft.tables.FileStats.orderedStatValue(field.dataType, s)) match {
@@ -367,6 +372,7 @@ object GraftSqlExtensions {
               // a file without a usable extreme is ignorable ONLY when
               // its null count proves the column holds no values there
               if (!f.nullCounts.flatMap(_.get(colName)).contains(f.rows)) return None
+          }
           }
         }
       }
@@ -414,12 +420,54 @@ object GraftSqlExtensions {
     }
   }
 
-  /** One absorbed partition-predicate conjunct, evaluated against the
-    * column's Catalyst-converted partition value.
+  /** A partition value as the log records it, normalized to SQL
+    * semantics: `__HIVE_DEFAULT_PARTITION__` is the hive/Spark path
+    * sentinel for a NULL partition value (the native log parses values
+    * from hive paths; foreign Delta writes a JSON null) — a scan reads
+    * those rows as NULL, so the metadata path must too. None = the file
+    * records no value for the column at all (unprovable membership). */
+  private def rawPartValue(f: graft.tables.TxLog.AddFile, col: String): Option[String] =
+    f.partitionValues.get(col).map {
+      case null => null
+      case "__HIVE_DEFAULT_PARTITION__" => null
+      case v => v
+    }
+
+  /** One absorbed partition-predicate conjunct. `eval` is SQL
+    * three-valued logic reduced to "does the row survive the WHERE":
+    * the raw partition value may be NULL (every comparison with a
+    * non-null literal is then UNKNOWN → row filtered, while IS NULL is
+    * exactly TRUE), and an unconvertible value answers None →
+    * unprovable, fall to scan.
     */
-  private[sql] sealed trait PartPred { def col: String; def matches(v: Any): Boolean }
+  private[sql] sealed trait PartPred {
+    def col: String
+    /** Some(survives) when exactly decidable from the (possibly null)
+      * partition value string; None = unprovable. */
+    def eval(raw: String, conv: String => Option[Any]): Option[Boolean]
+  }
   private[sql] final case class PartIn(col: String, values: Set[Any]) extends PartPred {
-    def matches(v: Any): Boolean = values.contains(v)
+    def eval(raw: String, conv: String => Option[Any]): Option[Boolean] =
+      if (raw == null) Some(false) // NULL = x / NULL IN (...) is UNKNOWN
+      else conv(raw).map(values.contains)
+  }
+  /** `col <> lit` / `col NOT IN (lits)` — provable from exact partition
+    * values: a null partition value is UNKNOWN → filtered (SQL `<>`
+    * drops nulls), any other value survives iff it differs from every
+    * literal (the literals are non-null by construction).
+    */
+  private[sql] final case class PartNotIn(col: String, values: Set[Any]) extends PartPred {
+    def eval(raw: String, conv: String => Option[Any]): Option[Boolean] =
+      if (raw == null) Some(false)
+      else conv(raw).map(v => !values.contains(v))
+  }
+  /** `col IS NULL` / `col IS NOT NULL` — the one predicate family for
+    * which a NULL partition value is the provable-TRUE case, not a
+    * bail-out. No value conversion involved.
+    */
+  private[sql] final case class PartIsNull(col: String, negated: Boolean) extends PartPred {
+    def eval(raw: String, conv: String => Option[Any]): Option[Boolean] =
+      Some((raw == null) != negated)
   }
   /** `op` in <, <=, >, >= against a SAME-TYPED literal value. The
     * convertible partition types (Int/Long/Date-as-Int/UTF8String/
@@ -431,15 +479,17 @@ object GraftSqlExtensions {
     */
   private[sql] final case class PartCmp(col: String, op: String, value: Any)
       extends PartPred {
-    def matches(v: Any): Boolean = {
-      val c = v.asInstanceOf[Comparable[Any]].compareTo(value)
-      op match {
-        case "<" => c < 0
-        case "<=" => c <= 0
-        case ">" => c > 0
-        case ">=" => c >= 0
+    def eval(raw: String, conv: String => Option[Any]): Option[Boolean] =
+      if (raw == null) Some(false)
+      else conv(raw).map { v =>
+        val c = v.asInstanceOf[Comparable[Any]].compareTo(value)
+        op match {
+          case "<" => c < 0
+          case "<=" => c <= 0
+          case ">" => c > 0
+          case ">=" => c >= 0
+        }
       }
-    }
   }
 
   /** One output column of a partition-grouped metadata-only aggregate. */
@@ -486,18 +536,17 @@ object GraftSqlExtensions {
       if (!partFilter.forall(p =>
           partSet.contains(p.col) && fieldType.contains(p.col))) return None
       // files surviving the partition-only predicate (exact: partition
-      // values are never truncated); an unconvertible or null partition
-      // value makes membership unprovable -> scan
+      // values are never truncated). A NULL partition value is exactly
+      // decidable under three-valued logic (PartPred.eval); only a
+      // MISSING or unconvertible value makes membership unprovable -> scan
       val inScope = snap.files.filter { f =>
         if (f.rows < 0L) return None
         partFilter.forall { p =>
-          f.partitionValues.get(p.col) match {
-            case Some(v) if v != null =>
-              partitionValueToCatalyst(fieldType(p.col), v) match {
-                case Some(cv) => p.matches(cv)
-                case None => return None
-              }
-            case _ => return None
+          rawPartValue(f, p.col) match {
+            case Some(v) =>
+              p.eval(v, s => partitionValueToCatalyst(fieldType(p.col), s))
+                .getOrElse(return None)
+            case None => return None
           }
         }
       }
@@ -511,9 +560,12 @@ object GraftSqlExtensions {
         .empty[Seq[String], scala.collection.mutable.ArrayBuffer[graft.tables.TxLog.AddFile]]
       inScope.foreach { f =>
         val key = groupCols.map { c =>
-          f.partitionValues.get(c) match {
+          rawPartValue(f, c) match {
             case Some(v) if v != null => v
-            case _ => return None // null/missing partition value: fall to scan
+            // null (incl. the hive path sentinel) or missing group key:
+            // SQL would emit a NULL-keyed group — fall to scan rather
+            // than emit the sentinel string as a key
+            case _ => return None
           }
         }
         groups.getOrElseUpdate(key,
@@ -527,7 +579,9 @@ object GraftSqlExtensions {
         var acc = 0L
         files.foreach { f =>
           if (f.rows != 0L) {
-            if (isPart) f.partitionValues.get(c) match {
+            // a NULL partition value (incl. the hive path sentinel) makes
+            // the column all-null in that file — contributes 0, exactly
+            if (isPart) rawPartValue(f, c) match {
               case Some(v) => if (v != null) acc += f.rows
               case None => return None
             }
@@ -548,8 +602,12 @@ object GraftSqlExtensions {
         var acc: Option[Long] = None
         files.foreach { f =>
           if (f.rows != 0L) {
+            // a NULL partition value (incl. the hive sentinel) proves the
+            // column all-null in the file — no extreme to contribute
+            if (isPart && rawPartValue(f, c).contains(null)) ()
+            else {
             val stat =
-              if (isPart) f.partitionValues.get(c)
+              if (isPart) rawPartValue(f, c)
               else (if (isMin) f.minValues else f.maxValues).flatMap(_.get(c))
             stat.filter(_ != null)
               .flatMap(s => graft.tables.FileStats.orderedStatValue(dt, s)) match {
@@ -557,6 +615,7 @@ object GraftSqlExtensions {
                 acc = Some(acc.fold(v)(a => if (isMin) math.min(a, v) else math.max(a, v)))
               case None =>
                 if (!f.nullCounts.flatMap(_.get(c)).contains(f.rows)) return None
+            }
             }
           }
         }
@@ -662,19 +721,23 @@ object GraftSqlExtensions {
 
     /** The collected conjuncts as partition predicates — every conjunct
       * must be `attr = lit`, `lit = attr`, `attr <=> lit`,
-      * `attr IN (lits)`, or a comparison `attr (<|<=|>|>=) lit` (either
-      * operand order; BETWEEN arrives as the two comparisons) on the
-      * RELATION's own attribute with same-typed non-null literals (an
-      * analyzer-inserted Cast means the types didn't match — bail).
-      * Whether the attrs are PARTITION columns is proven later by
-      * exactGroupedAgg against the log; here only the shape is checked.
-      * Multiple conjuncts on one column AND together naturally.
+      * `attr [NOT] IN (lits)`, `attr <> lit`, `attr IS [NOT] NULL`,
+      * an OR of same-attribute equalities/INs (normalized to one IN —
+      * the hand-written `p='a' OR p='b'`), or a comparison
+      * `attr (<|<=|>|>=) lit` (either operand order; BETWEEN arrives as
+      * the two comparisons) on the RELATION's own attribute with
+      * same-typed non-null literals (an analyzer-inserted Cast means
+      * the types didn't match — bail). Whether the attrs are PARTITION
+      * columns is proven later by exactGroupedAgg against the log; here
+      * only the shape is checked. Multiple conjuncts on one column AND
+      * together naturally.
       */
     private def partitionEqFilter(conjuncts: Seq[Expression], node: LogicalPlan)
         : Option[Seq[GraftSqlExtensions.PartPred]] = {
       import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo,
-        GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-      import GraftSqlExtensions.{PartCmp, PartIn, PartPred}
+        GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+        LessThanOrEqual, Not, Or}
+      import GraftSqlExtensions.{PartCmp, PartIn, PartIsNull, PartNotIn, PartPred}
       val own = node.outputSet
       def ok(a: AttributeReference, l: Literal): Boolean =
         own.contains(a) && l.value != null && l.dataType == a.dataType
@@ -682,6 +745,38 @@ object GraftSqlExtensions {
         if (ok(a, l)) Some(PartIn(a.name, Set[Any](l.value))) else None
       def cmp(a: AttributeReference, op: String, l: Literal): Option[PartPred] =
         if (ok(a, l)) Some(PartCmp(a.name, op, l.value)) else None
+      def inValues(a: AttributeReference, elems: Seq[Expression]): Option[Set[Any]] =
+        if (own.contains(a) && elems.nonEmpty && elems.forall {
+            case l: Literal => l.value != null && l.dataType == a.dataType
+            case _ => false
+          }) Some(elems.map(_.asInstanceOf[Literal].value).toSet[Any])
+        else None
+      // an OR tree whose every leaf is `attr = lit` / `attr IN (lits)` on
+      // ONE common attribute folds to a single IN — disjunction of
+      // memberships of the same column
+      def orToIn(e: Expression): Option[PartPred] = {
+        def leaves(x: Expression): Seq[Expression] = x match {
+          case Or(l, r) => leaves(l) ++ leaves(r)
+          case other => Seq(other)
+        }
+        val ls = leaves(e)
+        val parsed = ls.map {
+          case EqualTo(a: AttributeReference, l: Literal) if ok(a, l) =>
+            Some(a.name -> Set[Any](l.value))
+          case EqualTo(l: Literal, a: AttributeReference) if ok(a, l) =>
+            Some(a.name -> Set[Any](l.value))
+          case EqualNullSafe(a: AttributeReference, l: Literal) if ok(a, l) =>
+            Some(a.name -> Set[Any](l.value))
+          case In(a: AttributeReference, elems) =>
+            inValues(a, elems).map(a.name -> _)
+          case _ => None
+        }
+        if (parsed.exists(_.isEmpty)) return None
+        val flat = parsed.flatten
+        val cols = flat.map(_._1).distinct
+        if (cols.size != 1) None
+        else Some(PartIn(cols.head, flat.iterator.map(_._2).reduce(_ ++ _)))
+      }
       val parsed: Seq[Option[PartPred]] = conjuncts.map {
         case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
         case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
@@ -695,12 +790,19 @@ object GraftSqlExtensions {
         case LessThan(l: Literal, a: AttributeReference) => cmp(a, ">", l)
         case LessThanOrEqual(a: AttributeReference, l: Literal) => cmp(a, "<=", l)
         case LessThanOrEqual(l: Literal, a: AttributeReference) => cmp(a, ">=", l)
-        case In(a: AttributeReference, elems)
-            if own.contains(a) && elems.nonEmpty && elems.forall {
-              case l: Literal => l.value != null && l.dataType == a.dataType
-              case _ => false
-            } =>
-          Some(PartIn(a.name, elems.map(_.asInstanceOf[Literal].value).toSet[Any]))
+        case In(a: AttributeReference, elems) =>
+          inValues(a, elems).map(PartIn(a.name, _))
+        case Not(EqualTo(a: AttributeReference, l: Literal)) if ok(a, l) =>
+          Some(PartNotIn(a.name, Set[Any](l.value)))
+        case Not(EqualTo(l: Literal, a: AttributeReference)) if ok(a, l) =>
+          Some(PartNotIn(a.name, Set[Any](l.value)))
+        case Not(In(a: AttributeReference, elems)) =>
+          inValues(a, elems).map(PartNotIn(a.name, _))
+        case IsNull(a: AttributeReference) if own.contains(a) =>
+          Some(PartIsNull(a.name, negated = false))
+        case IsNotNull(a: AttributeReference) if own.contains(a) =>
+          Some(PartIsNull(a.name, negated = true))
+        case o: Or => orToIn(o)
         case _ => None
       }
       if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)

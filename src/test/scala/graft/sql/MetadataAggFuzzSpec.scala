@@ -21,7 +21,7 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val aggPool = Vector(
-    "COUNT(*)", "COUNT(k)", "COUNT(s)", "MIN(id)", "MAX(id)",
+    "COUNT(*)", "COUNT(k)", "COUNT(s)", "COUNT(p)", "MIN(id)", "MAX(id)",
     "MIN(k)", "MAX(k)", "MIN(s)", "SUM(id)", "SUM(k)")
   private val wherePool = Vector(
     None,
@@ -30,7 +30,17 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
     Some("p < 'c'"), Some("'b' <= p"),
     Some("k > 5"),              // non-partition: must scan, stay exact
     Some("p = 'a' AND k > 5"),  // mixed: must scan, stay exact
-    Some("p <> 'a'"))           // unsupported op: must scan, stay exact
+    Some("p <> 'a'"),           // absorbed: nulls filtered, 'a' excluded
+    Some("p <> 'a' AND p >= 'b'"),
+    Some("p NOT IN ('a', 'd')"),
+    Some("p IS NULL"),          // the one shape where null partitions are TRUE
+    Some("p IS NOT NULL"),
+    Some("p = 'a' OR p = 'b'"), // normalized to IN
+    Some("p = 'a' OR p IN ('c', 'd')"),
+    Some("p = 'a' OR k > 5"),   // mixed OR: must scan, stay exact
+    // a REAL string value equal to the hive null-path sentinel must not
+    // be conflated with SQL NULL by either side
+    Some("p = '__HIVE_DEFAULT_PARTITION__'"))
 
   test("random tables x random aggregates: catalog answers == plain-view answers") {
     val client = new LakehouseClient(spark)
@@ -42,7 +52,10 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
     (0 until 6).foreach { ti =>
       val rnd = new scala.util.Random(1000 + ti)
       val n = rnd.nextInt(260) // 0-row tables included
-      val parts = Vector("a", "b", "c", "d")
+      // p nullable: a null partition value lands in the hive default
+      // partition on disk — three-valued logic + the sentinel handling
+      // must agree exactly with the scan
+      val parts = Vector("a", "b", "c", "d", null)
       val rows = (0 until n).map { i =>
         (i.toLong,
           parts(rnd.nextInt(parts.size)),
