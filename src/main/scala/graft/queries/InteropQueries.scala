@@ -2160,8 +2160,9 @@ object InteropQueries {
           q.collect()(0).getLong(0) == ndv("l_suppkey") &&
             p.contains("LocalTableScan") && !p.contains("FileScan")
         }
-        // staleness: one appended row must flip the plan back to a scan
-        client.getTxTable("q159cat", "s", "t").append(li.limit(1))
+        // staleness: a DELETE (not fold-able — appends now FOLD into the
+        // stamp, see q165) must flip the plan back to a scan
+        client.getTxTable("q159cat", "s", "t").delete("l_returnflag = 'A'")
         val stale = s.sql("SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du FROM q159cat.s.t")
         val staleScans = stale.queryExecution.executedPlan.toString.contains("FileScan")
         // partial re-ANALYZE: restamping ONE column refreshes the table
@@ -2430,18 +2431,101 @@ object InteropQueries {
           "SELECT SUM(l_quantity) AS sum_qty, SUM(l_orderkey) AS sum_ok FROM q163cat.s.t")
         val freshMeta = planOf(fresh).contains("LocalTableScan") &&
           !planOf(fresh).contains("FileScan")
-        s.sql("INSERT INTO q163cat.s.t VALUES (0, 0)") // sum-neutral, stats-stale
-        val stale = s.sql("SELECT SUM(l_quantity) AS sum_qty2 FROM q163cat.s.t")
+        // an APPEND folds into the stamp (sum-neutral rows here): still
+        // scan-free, still exact
+        s.sql("INSERT INTO q163cat.s.t VALUES (-1, 0)")
+        val folded = s.sql("SELECT SUM(l_quantity) AS sum_qty2 FROM q163cat.s.t")
+        val foldedMeta = !planOf(folded).contains("FileScan")
+        // a DELETE is not fold-able: scan, stays exact (removing the
+        // planted zero row restores the original sums)
+        s.sql("DELETE FROM q163cat.s.t WHERE l_orderkey = -1")
+        val stale = s.sql("SELECT SUM(l_quantity) AS sum_qty3 FROM q163cat.s.t")
         val staleScans = planOf(stale).contains("FileScan")
-        fresh.crossJoin(stale)
+        fresh.crossJoin(folded)
+          .crossJoin(stale)
           .withColumn("fresh_metadata_only", lit(freshMeta))
+          .withColumn("append_folds_scan_free", lit(foldedMeta))
           .withColumn("stale_falls_back", lit(staleScans))
       },
       Some("""SELECT
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS sum_ok,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty2,
-          TRUE AS fresh_metadata_only, TRUE AS stale_falls_back
-        FROM lineitem"""))
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty3,
+          TRUE AS fresh_metadata_only, TRUE AS append_folds_scan_free,
+          TRUE AS stale_falls_back
+        FROM lineitem""")),
+
+    // ---- q165: incrementally-MAINTAINED ANALYZE stats across appends ----
+    // The 100 TB production path: a COPY INTO-fed table appends nightly;
+    // a point-in-time stamp would die on the first drop and force a full
+    // re-scan ANALYZE each morning. Instead every append FOLDS its batch
+    // into the stamp (exact KMV sketch merge + sum addition, one
+    // column-pruned O(batch) aggregate over just the appended files —
+    // tables/ColumnStats.foldAppend), so APPROX_COUNT_DISTINCT and
+    // SUM keep answering SCAN-FREE after ANALYZE → COPY INTO → append,
+    // with values DuckDB recomputes over the fully-grown table. A DELETE
+    // twin pins the honest bail-out: its row delta is not derivable from
+    // an append fold, so the stamp invalidates and the plan scans.
+    QueryDef(
+      "q165_incremental_analyze_fold",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q165cat")
+        client.createSchema("q165cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q165-fold").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_suppkey").cast(LongType).as("l_suppkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"))
+        // a third of the data is born with the table; the rest arrives
+        // later through BOTH append paths (COPY INTO + plain append)
+        client.createAsTable(li.filter(col("l_orderkey") % 3 === 1),
+          "q165cat", "s", "t", graft.catalog.FileType.DELTA, s"$root/t")
+        s.sql("ANALYZE TABLE q165cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        li.filter(col("l_orderkey") % 3 === 2).repartition(2)
+          .write.mode("append").parquet(s"$root/drop")
+        val t = client.getTxTable("q165cat", "s", "t")
+        graft.tables.CopyInto.run(t, s"$root/drop")          // appendIdempotent fold
+        t.append(li.filter(col("l_orderkey") % 3 === 0))     // plain append fold
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val q = s.sql("""SELECT COUNT(*) AS n_rows,
+            APPROX_COUNT_DISTINCT(l_suppkey) AS du_suppkey,
+            APPROX_COUNT_DISTINCT(l_orderkey) AS du_orderkey,
+            SUM(l_quantity) AS sum_qty
+          FROM q165cat.s.t""")
+        val servedMeta = planOf(q).contains("LocalTableScan") &&
+          !planOf(q).contains("FileScan")
+        val row = q.collect()(0)
+        // suppkey is in the sketch's EXACT regime (< k distinct) — must
+        // equal DuckDB's COUNT(DISTINCT); orderkey is estimate-regime —
+        // pinned inside the KMV error envelope against the exact count
+        val exactOrders = li.agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+        val estOk =
+          math.abs(row.getLong(2) - exactOrders).toDouble / exactOrders < 0.0625
+        // the delete twin: not fold-able -> fingerprint mismatch -> scan
+        t.delete("l_quantity = 1")
+        val q2 = s.sql("SELECT SUM(l_quantity) AS sum_after_delete FROM q165cat.s.t")
+        val deleteScans = planOf(q2).contains("FileScan")
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), row.getLong(3)))
+          .toDF("n_rows", "du_suppkey", "sum_qty")
+          .crossJoin(q2)
+          .withColumn("orderkey_est_ok", lit(estOk))
+          .withColumn("served_scan_free", lit(servedMeta))
+          .withColumn("delete_falls_back", lit(deleteScans))
+      },
+      Some("""SELECT
+          (SELECT COUNT(*) FROM lineitem) AS n_rows,
+          (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem) AS du_suppkey,
+          (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+            FROM lineitem) AS sum_qty,
+          (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+            FROM lineitem
+            WHERE CAST(l_quantity AS BIGINT) <> 1) AS sum_after_delete,
+          TRUE AS orderkey_est_ok,
+          TRUE AS served_scan_free,
+          TRUE AS delete_falls_back"""))
   )
 }

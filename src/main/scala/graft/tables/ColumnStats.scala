@@ -5,25 +5,51 @@ import org.apache.spark.sql.types.StringType
 
 import graft.catalog.UnsupportedOperationError
 
-/** ANALYZE TABLE — persisted per-column NDV statistics.
+/** ANALYZE TABLE — persisted, incrementally-maintained per-column
+  * statistics.
   *
   * One scan computes a KMV distinct-count sketch per requested column
   * (all columns in the same pass — column-pruned, map-side combined,
-  * k longs per partial) and stamps the estimates into table properties:
+  * k longs per partial) plus exact integral sums, and stamps them into
+  * table properties:
   *
   *   graft.stats.ndv.<col>   = the NDV estimate (long; EXACT when the
   *                             column's distinct count is below k)
+  *   graft.stats.kmv.<col>   = the SKETCH itself (base64 of the sorted
+  *                             shifted hashes, ~8 bytes/entry) — what
+  *                             makes the stat MAINTAINABLE: sketches
+  *                             merge exactly, scalars don't
+  *   graft.stats.sum.<col>   = exact SUM as a decimal string
   *   graft.stats.fingerprint = a hash of the analyzed snapshot's
-  *                             (path, dvCardinality) set
+  *                             (path, dvCardinality) set + schema shape
   *
   * The fingerprint is what makes CONSUMING the stats sound: a reader
-  * (the `APPROX_COUNT_DISTINCT` metadata-only rewrite, a join planner,
-  * a dashboard) recomputes the fingerprint from the CURRENT snapshot —
-  * O(metadata) — and uses the stats only on exact match. Any
-  * data-changing commit (append, delete, merge, even OPTIMIZE) changes
-  * the file set and silently invalidates; property-only commits
-  * (including the stamping commit itself) don't touch it. Stale stats
-  * are never silently served.
+  * (the `APPROX_COUNT_DISTINCT`/`SUM` metadata-only rewrites, the
+  * planner-statistics surface, a dashboard) recomputes the fingerprint
+  * from the CURRENT snapshot — O(metadata) — and uses the stats only on
+  * exact match. Any commit that changes visible rows or the schema
+  * shape silently invalidates; property-only commits (including the
+  * stamping commit itself) don't touch it. Stale stats are never
+  * silently served. The schema shape rides in the fingerprint because
+  * metadata-only column DDL (DROP COLUMN c; ADD COLUMN c) can reuse a
+  * name WITHOUT changing the file set — a file-only fingerprint would
+  * re-validate the old column's stats for the new one.
+  *
+  * INCREMENTAL MAINTENANCE (the 100 TB production path): a COPY
+  * INTO-fed table appends nightly, and a point-in-time stamp would die
+  * on the first drop, forcing a full re-scan ANALYZE each morning.
+  * Instead, every APPEND to a freshly-stamped table FOLDS the batch in
+  * ([[foldAppend]], hooked from TxTable's append paths): one
+  * column-pruned aggregate over JUST the appended files (data the
+  * writer has hot anyway) merges the batch's sketch into the stamped
+  * sketch — exact for KMV: the k smallest hashes of a union are the
+  * k smallest of the parts' k-smallest — and adds the batch's sum, then
+  * restamps under the post-commit fingerprint. Stats therefore stay
+  * scan-free across any append chain at O(batch) maintenance cost,
+  * while deletes/updates/overwrites/compaction still invalidate (their
+  * row deltas are not derivable from an append-shaped fold). A fold
+  * that fails or loses a race degrades to a stale stamp — never a
+  * wrong answer.
   *
   * Why NDV at 100 TB: distinct counts drive join-strategy and
   * aggregation-sizing decisions, and "how many distinct users/URLs does
@@ -32,10 +58,12 @@ import graft.catalog.UnsupportedOperationError
   */
 object ColumnStats {
   val NdvPropPrefix = "graft.stats.ndv."
+  /** The persisted KMV sketch per analyzed column (base64 longs). */
+  val KmvPropPrefix = "graft.stats.kmv."
   /** Exact column SUM (integral columns only), stamped by the same
     * ANALYZE scan as a decimal string ("null" for an empty or all-null
     * column, where SQL SUM answers NULL). Same fingerprint freshness
-    * rule as NDV: any data commit silently invalidates. */
+    * rule as NDV: any non-append data commit silently invalidates. */
   val SumPropPrefix = "graft.stats.sum."
   val FingerprintProp = "graft.stats.fingerprint"
   val KProp = "graft.stats.k"
@@ -44,14 +72,21 @@ object ColumnStats {
   val K = 4096
 
   /** Order-insensitive fingerprint of a snapshot's live-data identity:
-    * the sorted (path, DV cardinality) pairs. DV cardinality rides along
-    * because a merge-on-read delete changes visible rows WITHOUT
-    * changing the file list.
+    * the sorted (path, DV cardinality) pairs plus the schema SHAPE
+    * (name:type:nullable per field — not metadata, so identity-column
+    * watermark bumps riding an append don't spuriously invalidate
+    * between fold and read). DV cardinality rides along because a
+    * merge-on-read delete changes visible rows WITHOUT changing the
+    * file list; the schema rides along because column DDL can reuse a
+    * name without changing it (see class doc).
     */
   def fingerprint(snap: TxLog.Snapshot): Long = {
     val entries = snap.files
       .map(f => s"${f.path}#${f.deletionVector.map(_.cardinality).getOrElse(0L)}")
-      .sorted
+      .sorted :+
+      snap.schema.fields
+        .map(f => s"${f.name}:${f.dataType.catalogString}:${f.nullable}")
+        .mkString("schema|", "|", "")
     // Two independently-seeded 32-bit Murmur hashes packed into 64 bits:
     // file-count-only collisions (two equal-size file sets) would pass a
     // 32-bit check with ~2^-32 probability; 64 bits makes a silent stale
@@ -59,6 +94,72 @@ object ColumnStats {
     val lo = scala.util.hashing.MurmurHash3.orderedHash(entries).toLong & 0xffffffffL
     val hi = scala.util.hashing.MurmurHash3.orderedHash(entries, 0x9747b28c).toLong & 0xffffffffL
     (hi << 32) | lo
+  }
+
+  /** Whether a fresh stamp exists for this snapshot (cheap pre-check:
+    * no fingerprint property → no hashing at all). */
+  def isFresh(snap: TxLog.Snapshot): Boolean =
+    snap.properties.get(FingerprintProp).exists(_ == fingerprint(snap).toString)
+
+  // ---- sketch property codec: sorted shifted hashes <-> base64 ----
+
+  private[tables] def encodeSketch(hashes: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(hashes.length * 8)
+    hashes.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private[tables] def decodeSketch(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  /** Exact KMV merge of two sorted sketch arrays: k smallest DISTINCT
+    * shifted hashes of the union (same math as the KmvMerge expression,
+    * driver-side over metadata-sized arrays). */
+  private[tables] def mergeSketches(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    val out = new Array[Long](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  private def integralColumns(snap: TxLog.Snapshot, columns: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    columns.filter(c =>
+      snap.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+  }
+
+  /** One column-pruned aggregate pass over `df`: KMV sketch per column
+    * plus decimal(38,0) sums for the integral subset. Returns
+    * (sketches aligned to `columns`, sums aligned to `integral` as
+    * decimal strings with "null" for SQL NULL). */
+  private def scanStats(df: org.apache.spark.sql.DataFrame, columns: Seq[String],
+      integral: Seq[String], k: Int): (Seq[Array[Long]], Seq[String]) = {
+    val aggs = columns.map(c => graft.functions.KmvFunctions
+      .kmvSketch(col(s"`$c`").cast(StringType), k).as(c)) ++
+      // exact sums ride the SAME scan: decimal(38,0) accumulation so a
+      // 100 TB-scale sum cannot silently wrap
+      integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__sum_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val sketches = columns.indices.map(i => row.getSeq[Long](i).toArray)
+    val sums = integral.indices.map { i =>
+      val v = row.get(columns.size + i)
+      if (v == null) "null" else v.asInstanceOf[java.math.BigDecimal].toBigInteger.toString
+    }
+    (sketches, sums)
   }
 
   /** Compute NDV for `columns` in ONE scan and stamp the stats. Returns
@@ -71,45 +172,95 @@ object ColumnStats {
     columns.foreach(c => if (!known.contains(c))
       throw UnsupportedOperationError(
         s"ANALYZE: column $c not found in ${snap.schema.fieldNames.mkString(", ")}"))
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral = columns.filter(c =>
-      snap.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      })
-    val aggs = columns.map(c => graft.functions.KmvFunctions
-      .kmvSketch(col(s"`$c`").cast(StringType), K).as(c)) ++
-      // exact sums ride the SAME scan: decimal(38,0) accumulation so a
-      // 100 TB-scale sum cannot silently wrap
-      integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__sum_$c"))
+    val integral = integralColumns(snap, columns)
     // scan pinned at the fingerprinted version: a concurrent commit
     // between scan and stamp then simply invalidates (fingerprint
     // mismatch) instead of mislabeling the new state
-    val row = table.toDF(snap.version).agg(aggs.head, aggs.tail: _*).collect()(0)
-    val ndvs = columns.zipWithIndex.map { case (c, i) =>
-      c -> math.round(graft.functions.KmvEstimate.cardinality(
-        row.getSeq[Long](i).toArray, K))
-    }
-    val sums = integral.zipWithIndex.map { case (c, i) =>
-      val v = row.get(columns.size + i)
-      c -> (if (v == null) "null" else v.asInstanceOf[java.math.BigDecimal].toBigInteger.toString)
+    val (sketches, sums) = scanStats(table.toDF(snap.version), columns, integral, K)
+    val ndvs = columns.zip(sketches).map { case (c, sk) =>
+      c -> math.round(graft.functions.KmvEstimate.cardinality(sk, K))
     }
     // A partial re-ANALYZE refreshes the ONE table-level fingerprint, so
-    // any graft.stats.ndv.* key left over from a PREVIOUS analyze of other
+    // any graft.stats.* key left over from a PREVIOUS analyze of other
     // columns would be re-validated against the new fingerprint and served
     // stale. Unset every prefixed key we are not restamping in the SAME
     // commit (setProperties treats null as delete).
     val stale = table.snapshot.properties.keys
       .filter(k =>
-        (k.startsWith(NdvPropPrefix) && !columns.contains(k.stripPrefix(NdvPropPrefix))) ||
-        (k.startsWith(SumPropPrefix) && !integral.contains(k.stripPrefix(SumPropPrefix))))
+        ((k.startsWith(NdvPropPrefix) && !columns.contains(k.stripPrefix(NdvPropPrefix))) ||
+         (k.startsWith(KmvPropPrefix) && !columns.contains(k.stripPrefix(KmvPropPrefix))) ||
+         (k.startsWith(SumPropPrefix) && !integral.contains(k.stripPrefix(SumPropPrefix)))))
       .map(_ -> (null: String)).toMap
     table.setProperties(
       stale ++
         ndvs.map { case (c, n) => s"$NdvPropPrefix$c" -> n.toString }.toMap ++
-        sums.map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
+        columns.zip(sketches).map { case (c, sk) =>
+          s"$KmvPropPrefix$c" -> encodeSketch(sk) }.toMap ++
+        integral.zip(sums).map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
         Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString))
     ndvs
+  }
+
+  /** Fold an APPEND batch into a stamp that was fresh when the append
+    * was planned: one column-pruned aggregate over exactly the files
+    * the commit added (O(batch), not O(table)), sketch-merged and
+    * sum-added driver-side, restamped under the fingerprint of the
+    * committed snapshot. Called by TxTable after a successful append
+    * commit at `commitVersion` that added `addedPaths`.
+    *
+    * Any failure or missing piece (a stamp predating sketch
+    * persistence, a stamped column gone from the schema, a concurrent
+    * commit) just leaves the old stamp in place — its fingerprint no
+    * longer matches, readers scan, nothing is ever wrong.
+    */
+  private[tables] def foldAppend(table: TxTable, commitVersion: Long,
+      addedPaths: Seq[String]): Unit = {
+    if (addedPaths.isEmpty) return // file set unchanged: stamp still fresh as-is
+    try {
+      val snap = table.snapshotAt(commitVersion)
+      val props = snap.properties
+      val k = props.get(KProp).flatMap(_.toIntOption).getOrElse(return)
+      val ndvCols = props.keys.filter(_.startsWith(NdvPropPrefix))
+        .map(_.stripPrefix(NdvPropPrefix)).toSeq.sorted
+      val sumCols = props.keys.filter(_.startsWith(SumPropPrefix))
+        .map(_.stripPrefix(SumPropPrefix)).toSeq.sorted
+      if (ndvCols.isEmpty && sumCols.isEmpty) return
+      val known = snap.schema.fieldNames.toSet
+      if (!(ndvCols ++ sumCols).forall(known.contains)) return
+      // every NDV column needs its persisted sketch — a scalar alone
+      // cannot merge (pre-sketch stamps fall back to full re-ANALYZE)
+      val oldSketches = ndvCols.map(c => props.get(KmvPropPrefix + c))
+      if (oldSketches.exists(_.isEmpty)) return
+      val scanCols = (ndvCols ++ sumCols).distinct
+      val batchDf = table.dfForFiles(snap, addedPaths)
+        .select(scanCols.map(c => col(s"`$c`")): _*)
+      val (batchSketches, batchSums) = scanStats(batchDf, ndvCols, sumCols, k)
+      val mergedSketches = ndvCols.indices.map { i =>
+        mergeSketches(decodeSketch(oldSketches(i).get), batchSketches(i), k)
+      }
+      val newSums = sumCols.zip(batchSums).map { case (c, b) =>
+        val old = props(SumPropPrefix + c)
+        val v =
+          if (old == "null" && b == "null") "null"
+          else if (old == "null") b
+          else if (b == "null") old
+          else (BigInt(old) + BigInt(b)).toString
+        c -> v
+      }
+      table.setProperties(
+        ndvCols.zip(mergedSketches).flatMap { case (c, sk) =>
+          Seq(
+            s"$NdvPropPrefix$c" ->
+              math.round(graft.functions.KmvEstimate.cardinality(sk, k)).toString,
+            s"$KmvPropPrefix$c" -> encodeSketch(sk))
+        }.toMap ++
+          newSums.map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
+          Map(FingerprintProp -> fingerprint(snap).toString))
+    } catch {
+      // stats maintenance must never fail the append; a skipped fold
+      // leaves a stale (fingerprint-mismatched) stamp -> readers scan
+      case scala.util.control.NonFatal(_) => ()
+    }
   }
 
   /** The stamped NDV of `column` IF the stats still describe the

@@ -211,7 +211,12 @@ final class TxTable(val spark: SparkSession, val location: String,
       properties: Map[String, String] = Map.empty): Unit =
     log.create(spark, location, IdentityColumns.stampCreate(df), partitionColumns, properties)
 
-  def append(df0: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
+  def append(df0: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit = {
+    // stamped column stats that are FRESH when this append is planned
+    // get the batch FOLDED in after the commit (ColumnStats.foldAppend:
+    // O(batch) maintenance instead of stats dying on every data commit);
+    // captured from the FINAL (winning) planning iteration
+    var statsFold: Option[(Long, Seq[String])] = None
     commitWithRetry("APPEND") { snap =>
       val (df, hwms) = IdentityColumns.assign(
         GeneratedColumns.complete(df0, snap.schema), snap.schema)
@@ -221,8 +226,13 @@ final class TxTable(val spark: SparkSession, val location: String,
       val newSchema = IdentityColumns.withWatermarks(newSchema0, hwms)
       val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
         snap.copy(schema = newSchema, properties = newProps))
+      statsFold =
+        if (ColumnStats.isFresh(snap)) Some((snap.version + 1, added.map(_.path)))
+        else None
       TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps)
     }
+    statsFold.foreach { case (v, paths) => ColumnStats.foldAppend(this, v, paths) }
+  }
 
   /** Latest SetTransaction watermark committed for `appId` (Delta
     * "Transaction Identifiers"), from either log format — delta-rs's
@@ -242,8 +252,9 @@ final class TxTable(val spark: SparkSession, val location: String,
     * committed (false = already applied).
     */
   def appendIdempotent(df: DataFrame, appId: String, txnVersion: Long,
-      evolution: SchemaEvolution = SchemaEvolution.STRICT): Boolean =
-    commitWithRetryIf("APPEND") { snap =>
+      evolution: SchemaEvolution = SchemaEvolution.STRICT): Boolean = {
+    var statsFold: Option[(Long, Seq[String])] = None
+    val committed = commitWithRetryIf("APPEND") { snap =>
       if (snap.transactions.get(appId).exists(_ >= txnVersion)) None
       else {
         val (dfg, hwms) = IdentityColumns.assign(
@@ -253,10 +264,17 @@ final class TxTable(val spark: SparkSession, val location: String,
         val newSchema = IdentityColumns.withWatermarks(newSchema0, hwms)
         val added = log.stage(spark, location, alignForWrite(dfg, snap.partitionColumns),
           snap.copy(schema = newSchema, properties = newProps))
+        statsFold =
+          if (ColumnStats.isFresh(snap)) Some((snap.version + 1, added.map(_.path)))
+          else None
         Some(TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps,
           txn = Some(TxLog.SetTxn(appId, txnVersion))))
       }
     }
+    if (committed)
+      statsFold.foreach { case (v, paths) => ColumnStats.foldAppend(this, v, paths) }
+    committed
+  }
 
   def overwrite(df0: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
     commitWithRetry("OVERWRITE") { snap =>

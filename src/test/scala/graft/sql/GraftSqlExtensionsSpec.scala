@@ -453,16 +453,26 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(!planOf(qs).contains("FileScan"),
       s"fresh exact sum must answer metadata-only\n${planOf(qs)}")
 
-    // any data-changing commit silently invalidates: the fingerprint no
-    // longer matches, the query falls back to the scan and stays correct
+    // an APPEND no longer invalidates: the batch FOLDS into the stamp
+    // (sketch merge + sum add, O(batch)) and both answers stay
+    // scan-free AND exact — the COPY INTO-fed-table production path
     spark.sql("INSERT INTO lakestats.core.t VALUES (9000, 'u_new')")
     val q2 = spark.sql("SELECT APPROX_COUNT_DISTINCT(id) AS di FROM lakestats.core.t")
-    assert(planOf(q2).contains("FileScan"), "stale stats must not be served")
-    assert(q2.collect()(0).getLong(0) >= 890L)
-    // the sum is stale too: scan, and stays exact
+    assert(!planOf(q2).contains("FileScan"),
+      s"append must fold into the stamp, not invalidate it\n${planOf(q2)}")
+    assert(q2.collect()(0).getLong(0) == 901L)
     val qs2 = spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t")
-    assert(planOf(qs2).contains("FileScan"), "stale sum must not be served")
+    assert(!planOf(qs2).contains("FileScan"))
     assert(qs2.collect()(0).getLong(0) == (0L until 900L).sum + 9000L)
+    // a DELETE is NOT fold-able (its row delta cannot be derived from an
+    // append-shaped fold): fingerprint mismatch, scan, stays correct
+    spark.sql("DELETE FROM lakestats.core.t WHERE id = 0")
+    val q2d = spark.sql("SELECT APPROX_COUNT_DISTINCT(id) AS di FROM lakestats.core.t")
+    assert(planOf(q2d).contains("FileScan"), "stale stats must not be served")
+    assert(math.abs(q2d.collect()(0).getLong(0) - 900L) < 50L)
+    val qs2d = spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t")
+    assert(planOf(qs2d).contains("FileScan"), "stale sum must not be served")
+    assert(qs2d.collect()(0).getLong(0) == (1L until 900L).sum + 9000L)
     // partial re-ANALYZE of u clears sum.id as well (not restamped)
     spark.sql("ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS u")
     assert(planOf(spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t"))
@@ -483,10 +493,17 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       "ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR ALL COLUMNS")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(all.keySet == Set("id", "u"))
-    assert(all("id") == 901L && all("u") == 121L)
+    assert(all("id") == 900L && all("u") == 121L) // id=0 deleted, 9000 added
     val qa = spark.sql("SELECT APPROX_COUNT_DISTINCT(id) AS di FROM lakestats.core.t")
-    assert(qa.collect()(0).getLong(0) == 901L)
+    assert(qa.collect()(0).getLong(0) == 900L)
     assert(!planOf(qa).contains("FileScan"))
+    // and the maintained stamp keeps serving across a further append
+    spark.sql("INSERT INTO lakestats.core.t VALUES (9001, 'u_new2')")
+    val qf = spark.sql("""SELECT APPROX_COUNT_DISTINCT(id) AS di,
+        APPROX_COUNT_DISTINCT(u) AS du, SUM(id) AS s FROM lakestats.core.t""")
+    assert(!planOf(qf).contains("FileScan"), "fold must keep the stamp fresh")
+    assert(qf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((901L, 122L, (1L until 900L).sum + 9000L + 9001L)))
   }
 
   test("inspection-table suffix reads: cat.s.t.files / .partitions / Iceberg set") {

@@ -70,7 +70,21 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
       // half the tables get ANALYZE so SUM/APPROX serving paths engage
       if (ti % 2 == 0)
         spark.sql(s"ANALYZE TABLE fuzzmeta.s.t$ti COMPUTE STATISTICS FOR ALL COLUMNS")
-      df.createOrReplaceTempView(s"raw$ti")
+      // ...and some of THOSE get post-ANALYZE appends: the stamp must
+      // FOLD the batch (ColumnStats.foldAppend) and keep agreeing with
+      // the scan exactly — the incremental-maintenance wrong-answer trap
+      val extra =
+        if (ti % 2 == 0 && rnd.nextBoolean()) (0 until 1 + rnd.nextInt(60)).map { i =>
+          ((n + i).toLong,
+            parts(rnd.nextInt(parts.size)),
+            rnd.nextInt(20),
+            if (rnd.nextInt(5) == 0) null else s"s${rnd.nextInt(50)}")
+        } else Seq.empty
+      if (extra.nonEmpty)
+        client.getTxTable("fuzzmeta", "s", s"t$ti")
+          .append(extra.toDF("id", "p", "k", "s").repartition(1 + rnd.nextInt(2)))
+      val all = rows ++ extra
+      all.toDF("id", "p", "k", "s").createOrReplaceTempView(s"raw$ti")
 
       (0 until 14).foreach { qi =>
         val aggs = (0 to rnd.nextInt(2))
