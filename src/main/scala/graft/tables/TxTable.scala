@@ -160,7 +160,30 @@ final class TxTable(val spark: SparkSession, val location: String,
         props, cdc, txn = txn)
     }
 
-  private def dfFor(s: Snapshot): DataFrame = log.dfForSnapshot(spark, location, s)
+  private def dfFor(s: Snapshot): DataFrame = {
+    val df = log.dfForSnapshot(spark, location, s)
+    // while an ANALYZE stamp is fresh (fingerprint match — maintained
+    // across appends by ColumnStats.foldAppend), hand the planner the
+    // TRUTHFUL size: exact metadata row count × in-memory row width
+    // plus stamped per-column NDVs. Parquet file bytes understate a
+    // compressed table's memory footprint by 10-20×, so join-strategy
+    // (broadcast) decisions made from them are wrong exactly when it
+    // hurts most; stale/absent stats leave the plan untouched.
+    if (!ColumnStats.isFresh(s)) df
+    else {
+      val rows = {
+        if (s.files.exists(_.rows < 0L)) return df // unknowable exactly
+        s.files.iterator
+          .map(f => f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
+      }
+      val ndv = s.properties.collect {
+        case (k, v) if k.startsWith(ColumnStats.NdvPropPrefix) && v.toLongOption.isDefined =>
+          k.stripPrefix(ColumnStats.NdvPropPrefix) -> v.toLong
+      }
+      org.apache.spark.sql.GraftPlannerStats.attach(
+        df, location.split('/').lastOption.getOrElse("graft_table"), s.schema, rows, ndv)
+    }
+  }
 
   /** True when rewrites on this table must preserve row ids by
     * materializing them into the replacement files (PROTOCOL.md "Row
