@@ -440,6 +440,45 @@ object Bench {
         line("partition_filter_metadata", a); line("partition_filter_scan", b)
         (a, b)
       }
+      // round-12 operator (round-lag rule): the C4-shaped canonical-URL
+      // dedup pass — codegen'd normalize + one group-by shuffle
+      val urlDedup = timed {
+        SparkEntry.queries("q164_canonical_url_dedup")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      line("canonical_url_dedup", urlDedup)
+      // round-13: the metadata-stats family — null-count COUNT(col),
+      // the one ANALYZE stamp scan, the stamped scan-free SUM/NDV
+      // answer, the O(batch) append FOLD, and the post-fold answer
+      // proving stats survived the append without a re-scan
+      val (countCol, analyzeStamp, sumNdvMeta, statsFoldAppend, sumPostFold) = {
+        val a = timed {
+          spark.sql("SELECT COUNT(l_orderkey) AS n FROM benchgrp.s.t").collect()
+        }
+        val b = timed {
+          spark.sql("""ANALYZE TABLE benchgrp.s.t COMPUTE STATISTICS
+              FOR COLUMNS l_orderkey""").collect()
+        }
+        val c = timed {
+          spark.sql("""SELECT SUM(l_orderkey) AS s,
+              APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM benchgrp.s.t""").collect()
+        }
+        val loc = spark.sql("DESCRIBE DETAIL benchgrp.s.t")
+          .select("location").head().getString(0)
+        val t = graft.tables.TxTable.forForeignDelta(spark, loc)
+        val batch = graft.queries.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .limit(10000)
+        val d = timed(t.append(batch)) // includes the fold's batch aggregate
+        val e = timed {
+          spark.sql("""SELECT SUM(l_orderkey) AS s,
+              APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM benchgrp.s.t""").collect()
+        }
+        line("metadata_count_col", a); line("analyze_stamp_scan", b)
+        line("metadata_sum_ndv", c); line("stats_fold_append", d)
+        line("metadata_sum_post_fold", e)
+        (a, b, c, d, e)
+      }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
         "corpus_shards" -> shards, "iceberg_changelog_delete" -> chlog,
@@ -462,7 +501,13 @@ object Bench {
         "partition_filter_metadata" -> pfMeta,
         "partition_filter_scan" -> pfScan,
         "copy_into_initial" -> copyInitial,
-        "copy_into_noop" -> copyNoop)
+        "copy_into_noop" -> copyNoop,
+        "canonical_url_dedup" -> urlDedup,
+        "metadata_count_col" -> countCol,
+        "analyze_stamp_scan" -> analyzeStamp,
+        "metadata_sum_ndv" -> sumNdvMeta,
+        "stats_fold_append" -> statsFoldAppend,
+        "metadata_sum_post_fold" -> sumPostFold)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -358,6 +358,43 @@ object ScaleCheck {
       graft.ext.UrlOps.dedupByCanonicalUrl(urled, "url")
     }
 
+    // round-13: incrementally-maintained ANALYZE stats — the stamp scan
+    // tracks the table (linear), but the FOLD on a FIXED 10k-row append
+    // must track the batch (≈flat across ×10 table growth), and the
+    // post-fold metadata answer must stay flat: that flat-vs-linear gap
+    // is the whole point of maintaining stats instead of re-scanning
+    val (analyzeStamp, statsFoldFixed, sumPostFold) = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-stats").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val t = new graft.tables.TxTable(spark, s"$loc/t")
+      t.create(li)
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val client = new graft.client.LakehouseClient(spark)
+      client.createCatalog("scalestats")
+      client.createSchema("scalestats", "s")
+      client.registerAsTable("scalestats", "s", "t",
+        graft.catalog.FileType.DELTA, s"$loc/t")
+      val a = timed(graft.tables.ColumnStats.analyze(t, Seq("l_orderkey", "l_suppkey")))
+      val batch = li.limit(10000).collect() // materialize so the append times only itself
+      val batchDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(batch.toIndexedSeq, 4), li.schema)
+      val b = timed(t.append(batchDf))
+      val c = timed {
+        val got = spark.sql("""SELECT SUM(l_orderkey) AS s,
+            APPROX_COUNT_DISTINCT(l_suppkey) AS d FROM scalestats.s.t""").collect()
+        require(got.nonEmpty)
+      }
+      require(graft.tables.ColumnStats.currentSum(t.snapshot, "l_orderkey").isDefined,
+        "fold must keep the stamp fresh after the append")
+      System.err.println(f"[scalecheck] analyze_stamp_scan $a%.2fs " +
+        f"stats_fold_append_fixed $b%.2fs metadata_sum_post_fold $c%.2fs")
+      (a, b, c)
+    }
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
       "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
       "corpus_shards" -> shards, "quality_classifier" -> classifier,
@@ -382,7 +419,10 @@ object ScaleCheck {
       "massdel_direct_read" -> massDelRead,
       "copy_into_initial" -> copyInitial,
       "copy_into_noop" -> copyNoop,
-      "canonical_url_dedup" -> urlDedup))
+      "canonical_url_dedup" -> urlDedup,
+      "analyze_stamp_scan" -> analyzeStamp,
+      "stats_fold_append_fixed" -> statsFoldFixed,
+      "metadata_sum_post_fold" -> sumPostFold))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
