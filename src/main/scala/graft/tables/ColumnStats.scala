@@ -263,6 +263,20 @@ object ColumnStats {
     }
   }
 
+  /** Re-issue ONLY the fingerprint after a content-preserving rewrite
+    * (OPTIMIZE/ZORDER/REORG, hooked from TxTable's commit path): the
+    * visible rows — and therefore every stamped statistic — are
+    * unchanged, only the file-set identity moved. Same failure
+    * posture as the fold: any problem leaves a stale stamp, never a
+    * wrong answer.
+    */
+  private[tables] def restampFingerprint(table: TxTable, commitVersion: Long): Unit =
+    try {
+      val snap = table.snapshotAt(commitVersion)
+      if (snap.properties.contains(FingerprintProp))
+        table.setProperties(Map(FingerprintProp -> fingerprint(snap).toString))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** The stamped NDV of `column` IF the stats still describe the
     * current snapshot (fingerprint match), else None.
     */

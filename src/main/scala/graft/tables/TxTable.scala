@@ -1425,6 +1425,15 @@ final class TxTable(val spark: SparkSession, val location: String,
           p.partitionColumns, p.properties, p.cdc, p.txn)) {
         // periodic checkpoint so snapshot replay stays O(interval)
         log.maybeCheckpoint(spark, location, snap.version + 1)
+        // OPTIMIZE/ZORDER/REORG preserve the VISIBLE rows exactly (a
+        // compaction re-lays bytes; REORG PURGE materializes deletes
+        // already subtracted from every stat) — so a column-stats stamp
+        // that was fresh going in stays VALID coming out, and only its
+        // file-set fingerprint needs re-issuing. Without this, nightly
+        // maintenance would silently kill stats that one nightly COPY
+        // INTO just paid an O(batch) fold to keep.
+        if (TxTable.StatsPreservingOps.contains(op) && ColumnStats.isFresh(snap))
+          ColumnStats.restampFingerprint(this, snap.version + 1)
         maybeAutoCompact(op, p.properties)
         return true
       }
@@ -1446,6 +1455,11 @@ object TxTable {
     * to executors instead of looping on the driver.
     */
   private[tables] val SymlinkDriverMaxTuples = 64
+
+  /** Commit operations that preserve visible rows exactly — a fresh
+    * column-stats stamp survives them via a fingerprint-only restamp.
+    */
+  private[tables] val StatsPreservingOps = Set("OPTIMIZE", "ZORDER", "REORG")
 
   /** One planned commit: the file-level outcome a write operation hands to
     * the commit log. `cdc` carries staged change-data files (foreign Delta

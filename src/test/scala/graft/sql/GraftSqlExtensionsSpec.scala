@@ -504,6 +504,15 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(!planOf(qf).contains("FileScan"), "fold must keep the stamp fresh")
     assert(qf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((901L, 122L, (1L until 900L).sum + 9000L + 9001L)))
+    // content-preserving maintenance keeps the stamp too: OPTIMIZE
+    // rewrites files but not rows — fingerprint re-issued in the same
+    // hook, answers still scan-free and exact
+    spark.sql("OPTIMIZE lakestats.core.t")
+    val qo = spark.sql("SELECT SUM(id) AS s, APPROX_COUNT_DISTINCT(id) AS d FROM lakestats.core.t")
+    assert(!planOf(qo).contains("FileScan"),
+      s"OPTIMIZE must restamp, not kill, fresh stats\n${planOf(qo)}")
+    assert(qo.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq(((1L until 900L).sum + 9000L + 9001L, 901L)))
   }
 
   test("inspection-table suffix reads: cat.s.t.files / .partitions / Iceberg set") {

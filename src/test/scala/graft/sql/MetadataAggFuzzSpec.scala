@@ -83,6 +83,11 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
       if (extra.nonEmpty)
         client.getTxTable("fuzzmeta", "s", s"t$ti")
           .append(extra.toDF("id", "p", "k", "s").repartition(1 + rnd.nextInt(2)))
+      // ...and sometimes OPTIMIZE on top: content-preserving, so a
+      // folded stamp must survive via the fingerprint restamp and the
+      // metadata answers must still agree exactly
+      if (ti % 2 == 0 && rnd.nextBoolean())
+        spark.sql(s"OPTIMIZE fuzzmeta.s.t$ti")
       val all = rows ++ extra
       all.toDF("id", "p", "k", "s").createOrReplaceTempView(s"raw$ti")
 
