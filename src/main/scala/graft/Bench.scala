@@ -451,17 +451,23 @@ object Bench {
       // the one ANALYZE stamp scan, the stamped scan-free SUM/NDV
       // answer, the O(batch) append FOLD, and the post-fold answer
       // proving stats survived the append without a re-scan
-      val (countCol, analyzeStamp, sumNdvMeta, statsFoldAppend, sumPostFold) = {
+      val (countCol, analyzeStamp, sumNdvMeta, minMaxMeta, statsFoldAppend, sumPostFold) = {
         val a = timed {
           spark.sql("SELECT COUNT(l_orderkey) AS n FROM benchgrp.s.t").collect()
         }
         val b = timed {
           spark.sql("""ANALYZE TABLE benchgrp.s.t COMPUTE STATISTICS
-              FOR COLUMNS l_orderkey""").collect()
+              FOR COLUMNS l_orderkey, l_quantity""").collect()
         }
         val c = timed {
           spark.sql("""SELECT SUM(l_orderkey) AS s,
               APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM benchgrp.s.t""").collect()
+        }
+        // round-13: stamped exact extremes for a footer-refused type
+        // (doubles) — scan-free while fresh
+        val mm = timed {
+          spark.sql("""SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+              FROM benchgrp.s.t""").collect()
         }
         val loc = spark.sql("DESCRIBE DETAIL benchgrp.s.t")
           .select("location").head().getString(0)
@@ -475,9 +481,10 @@ object Bench {
               APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM benchgrp.s.t""").collect()
         }
         line("metadata_count_col", a); line("analyze_stamp_scan", b)
-        line("metadata_sum_ndv", c); line("stats_fold_append", d)
+        line("metadata_sum_ndv", c); line("metadata_minmax_double", mm)
+        line("stats_fold_append", d)
         line("metadata_sum_post_fold", e)
-        (a, b, c, d, e)
+        (a, b, c, mm, d, e)
       }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
@@ -506,6 +513,7 @@ object Bench {
         "metadata_count_col" -> countCol,
         "analyze_stamp_scan" -> analyzeStamp,
         "metadata_sum_ndv" -> sumNdvMeta,
+        "metadata_minmax_double" -> minMaxMeta,
         "stats_fold_append" -> statsFoldAppend,
         "metadata_sum_post_fold" -> sumPostFold)
     }

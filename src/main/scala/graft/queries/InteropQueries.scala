@@ -2526,6 +2526,68 @@ object InteropQueries {
             WHERE CAST(l_quantity AS BIGINT) <> 1) AS sum_after_delete,
           TRUE AS orderkey_est_ok,
           TRUE AS served_scan_free,
-          TRUE AS delete_falls_back"""))
+          TRUE AS delete_falls_back""")),
+
+    // ---- q166: ANALYZE-stamped exact MIN/MAX for footer-refused types ----
+    // Per-file footer stats can NEVER soundly answer string extremes
+    // (writers truncate them) or float extremes (NaN/-0.0 hazards), so
+    // the metadata-only MIN/MAX rule honestly scans — pinned here
+    // pre-ANALYZE. But the ANALYZE scan computes the TRUE extreme with
+    // Spark's own ordering and stamps it ("n"/"v"-encoded, type-faithful),
+    // so afterwards MIN(string)/MAX(double) answer scan-free; an append
+    // with PLANTED new extremes folds them in exactly (min/max merge);
+    // a delete falls back. Values recomputed by DuckDB (LEAST/GREATEST
+    // fold the planted row in independently).
+    QueryDef(
+      "q166_analyze_minmax",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q166cat")
+        client.createSchema("q166cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q166-mm").toString
+        val li = Tables.lineitem(s, dir)
+        client.createAsTable(li, "q166cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val exprsSql = """MIN(l_returnflag) AS min_rf,
+            MAX(l_extendedprice) AS max_price, MIN(l_extendedprice) AS min_price"""
+        // pre-ANALYZE: string/double extremes are unprovable from
+        // footers -> the plan must scan
+        val preScans =
+          planOf(s.sql(s"SELECT $exprsSql FROM q166cat.s.t")).contains("FileScan")
+        s.sql("ANALYZE TABLE q166cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        val q1 = s.sql(s"SELECT $exprsSql FROM q166cat.s.t")
+        val stampedMeta = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        // planted NEW extremes arrive by append: the fold must pick
+        // them up without a scan
+        val t = client.getTxTable("q166cat", "s", "t")
+        t.append(li.limit(1)
+          .withColumn("l_returnflag", lit("0"))
+          .withColumn("l_extendedprice", lit(9999999.25)))
+        val q2 = s.sql("""SELECT MIN(l_returnflag) AS min_rf_2,
+            MAX(l_extendedprice) AS max_price_2 FROM q166cat.s.t""")
+        val foldMeta = !planOf(q2).contains("FileScan")
+        // delete the planted row: not fold-able -> scan, values revert
+        t.delete("l_returnflag = '0'")
+        val q3 = s.sql("SELECT MIN(l_returnflag) AS min_rf_3 FROM q166cat.s.t")
+        val delScans = planOf(q3).contains("FileScan")
+        q1.crossJoin(q2).crossJoin(q3)
+          .withColumn("prestats_scans", lit(preScans))
+          .withColumn("stamped_metadata_only", lit(stampedMeta))
+          .withColumn("fold_keeps_metadata", lit(foldMeta))
+          .withColumn("delete_falls_back", lit(delScans))
+      },
+      Some("""SELECT
+          (SELECT MIN(l_returnflag) FROM lineitem) AS min_rf,
+          (SELECT MAX(l_extendedprice) FROM lineitem) AS max_price,
+          (SELECT MIN(l_extendedprice) FROM lineitem) AS min_price,
+          LEAST((SELECT MIN(l_returnflag) FROM lineitem), '0') AS min_rf_2,
+          GREATEST((SELECT MAX(l_extendedprice) FROM lineitem),
+            9999999.25) AS max_price_2,
+          (SELECT MIN(l_returnflag) FROM lineitem) AS min_rf_3,
+          TRUE AS prestats_scans, TRUE AS stamped_metadata_only,
+          TRUE AS fold_keeps_metadata, TRUE AS delete_falls_back"""))
   )
 }

@@ -380,6 +380,20 @@ object GraftSqlExtensions {
         graft.tables.FileStats.orderedValueToCatalyst(field.dataType, v)).orNull)
     } catch { case _: Throwable => None }
 
+  /** ANALYZE-stamped exact MIN/MAX while the fingerprint is fresh —
+    * the fallback when [[exactMinMax]] bails (strings truncate in
+    * footer stats, floats have NaN/-0.0 hazards, live DVs hide
+    * extremes — but the ANALYZE scan computed the TRUE extreme with
+    * Spark's own ordering, and appends fold it forward exactly).
+    * Outer None = not servable; inner null = SQL NULL. */
+  private[sql] def statsMinMax(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String, isMin: Boolean): Option[Any] =
+    try {
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      graft.tables.ColumnStats.currentMinMax(snap, colName, isMin).map(_.orNull)
+    } catch { case _: Throwable => None }
+
   /** ANALYZE-time NDV of `colName` IF the stamped stats still describe
     * the snapshot (ColumnStats fingerprint match), else None → scan.
     */
@@ -923,7 +937,11 @@ object GraftSqlExtensions {
                 if (!ownAttr(a)) None
                 else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
                   case (loc, v) =>
+                    // footer-stat extremes first; where they honestly
+                    // bail (strings/floats/DVs), a fresh ANALYZE stamp
+                    // still answers exactly
                     GraftSqlExtensions.exactMinMax(session, loc, v, a.name, isMin)
+                      .orElse(GraftSqlExtensions.statsMinMax(session, loc, v, a.name, isMin))
                 }
               case None => countColOf(e) match {
                 case Some(a) =>

@@ -65,6 +65,15 @@ object ColumnStats {
     * column, where SQL SUM answers NULL). Same fingerprint freshness
     * rule as NDV: any non-append data commit silently invalidates. */
   val SumPropPrefix = "graft.stats.sum."
+  /** EXACT column extremes from the same one ANALYZE scan, for every
+    * orderable type — including the ones per-file footer stats can
+    * NEVER soundly serve (strings truncate, floats have NaN/-0.0
+    * hazards): the scan computes the true MIN/MAX with Spark's own
+    * ordering, so there is nothing to distrust. Encoded "n" for SQL
+    * NULL (empty/all-null) else "v" + a type-faithful rendering;
+    * appends fold (min/max merge exactly), deletes invalidate. */
+  val MinPropPrefix = "graft.stats.min."
+  val MaxPropPrefix = "graft.stats.max."
   val FingerprintProp = "graft.stats.fingerprint"
   val KProp = "graft.stats.k"
 
@@ -103,14 +112,18 @@ object ColumnStats {
 
   // ---- sketch property codec: sorted shifted hashes <-> base64 ----
 
+  // leading "b" so the EMPTY sketch (an all-null column saw zero
+  // distinct values) still encodes non-empty — setProperties treats an
+  // empty value as an UNSET, which would silently drop the key and
+  // disable the fold for that column
   private[tables] def encodeSketch(hashes: Array[Long]): String = {
     val bb = java.nio.ByteBuffer.allocate(hashes.length * 8)
     hashes.foreach(bb.putLong)
-    java.util.Base64.getEncoder.encodeToString(bb.array())
+    "b" + java.util.Base64.getEncoder.encodeToString(bb.array())
   }
 
   private[tables] def decodeSketch(s: String): Array[Long] = {
-    val bytes = java.util.Base64.getDecoder.decode(s)
+    val bytes = java.util.Base64.getDecoder.decode(s.stripPrefix("b"))
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val out = new Array[Long](bytes.length / 8)
     var i = 0
@@ -142,24 +155,108 @@ object ColumnStats {
       })
   }
 
-  /** One column-pruned aggregate pass over `df`: KMV sketch per column
-    * plus decimal(38,0) sums for the integral subset. Returns
-    * (sketches aligned to `columns`, sums aligned to `integral` as
-    * decimal strings with "null" for SQL NULL). */
+  // ---- typed codec for stamped extremes (INTERNAL Catalyst values) ----
+
+  import org.apache.spark.sql.types._
+
+  /** Types whose exact extremes are stamp-able: a total SQL ordering
+    * plus a round-trippable string rendering. */
+  private[tables] def orderable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | StringType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Internal value -> round-trippable string. Float/Double toString
+    * round-trips exactly (Java guarantee); decimals via plain string. */
+  private[tables] def renderValue(dt: DataType, v: Any): String = dt match {
+    case StringType => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
+    case _ => v.toString
+  }
+
+  /** String -> internal Catalyst value of `dt`. */
+  private[tables] def parseValue(dt: DataType, s: String): Any = dt match {
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType | DateType => s.toInt
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case BooleanType => s.toBoolean
+    case d: DecimalType => Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+    case other => throw new IllegalStateException(s"unstampable extreme type $other")
+  }
+
+  /** SQL ordering over internal values — strings binary (UTF8String,
+    * Spark's default collation), floats with NaN greatest and
+    * -0.0 == 0.0 (SQLOrderingUtil semantics), decimals numeric. */
+  private def compareValues(dt: DataType, a: Any, b: Any): Int = dt match {
+    case StringType =>
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    case FloatType =>
+      val (x, y) = (a.asInstanceOf[Float], b.asInstanceOf[Float])
+      if (x == y) 0 else java.lang.Float.compare(x, y)
+    case DoubleType =>
+      val (x, y) = (a.asInstanceOf[Double], b.asInstanceOf[Double])
+      if (x == y) 0 else java.lang.Double.compare(x, y)
+    case _: DecimalType => a.asInstanceOf[Decimal].compare(b.asInstanceOf[Decimal])
+    case BooleanType =>
+      java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case _ =>
+      java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue())
+  }
+
+  /** Merge two encoded extremes ("n" | "v"+rendered) under `dt`'s
+    * ordering; the OLD value wins ties (either is SQL-correct). */
+  private def foldExtreme(dt: DataType, oldEnc: String, batchEnc: String,
+      isMin: Boolean): String = {
+    if (oldEnc == "n") return batchEnc
+    if (batchEnc == "n") return oldEnc
+    val o = parseValue(dt, oldEnc.drop(1))
+    val b = parseValue(dt, batchEnc.drop(1))
+    val c = compareValues(dt, b, o)
+    val batchWins = if (isMin) c < 0 else c > 0
+    if (batchWins) batchEnc else oldEnc
+  }
+
+  /** One column-pruned aggregate pass over `df`: KMV sketch per column,
+    * decimal(38,0) sums for the integral subset, exact MIN/MAX for the
+    * orderable subset — collected as INTERNAL rows so extremes keep
+    * their Catalyst representations (UTF8String, days-int, micros-long,
+    * Decimal). Returns (sketches aligned to `columns`, sums aligned to
+    * `integral` as decimal strings with "null" for SQL NULL, encoded
+    * (min, max) pairs aligned to `extremes`). */
   private def scanStats(df: org.apache.spark.sql.DataFrame, columns: Seq[String],
-      integral: Seq[String], k: Int): (Seq[Array[Long]], Seq[String]) = {
+      integral: Seq[String], extremes: Seq[(String, DataType)], k: Int)
+      : (Seq[Array[Long]], Seq[String], Seq[(String, String)]) = {
     val aggs = columns.map(c => graft.functions.KmvFunctions
-      .kmvSketch(col(s"`$c`").cast(StringType), k).as(c)) ++
+      .kmvSketch(col(s"`$c`").cast(StringType), k).as(s"__kmv_$c")) ++
       // exact sums ride the SAME scan: decimal(38,0) accumulation so a
       // 100 TB-scale sum cannot silently wrap
-      integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__sum_$c"))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val sketches = columns.indices.map(i => row.getSeq[Long](i).toArray)
+      integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__sum_$c")) ++
+      extremes.flatMap { case (c, _) =>
+        Seq(min(col(s"`$c`")).as(s"__min_$c"), max(col(s"`$c`")).as(s"__max_$c")) }
+    val plan = df.agg(aggs.head, aggs.tail: _*)
+    val row = plan.queryExecution.executedPlan.executeCollect()(0)
+    val sketches = columns.indices.map(i =>
+      row.getArray(i).toLongArray())
     val sums = integral.indices.map { i =>
-      val v = row.get(columns.size + i)
-      if (v == null) "null" else v.asInstanceOf[java.math.BigDecimal].toBigInteger.toString
+      val idx = columns.size + i
+      if (row.isNullAt(idx)) "null"
+      else row.getDecimal(idx, 38, 0).toJavaBigDecimal.toBigInteger.toString
     }
-    (sketches, sums)
+    val base = columns.size + integral.size
+    val mms = extremes.zipWithIndex.map { case ((_, dt), i) =>
+      def enc(idx: Int): String =
+        if (row.isNullAt(idx)) "n" else "v" + renderValue(dt, row.get(idx, dt))
+      (enc(base + 2 * i), enc(base + 2 * i + 1))
+    }
+    (sketches, sums, mms)
   }
 
   /** Compute NDV for `columns` in ONE scan and stamp the stats. Returns
@@ -173,10 +270,13 @@ object ColumnStats {
       throw UnsupportedOperationError(
         s"ANALYZE: column $c not found in ${snap.schema.fieldNames.mkString(", ")}"))
     val integral = integralColumns(snap, columns)
+    val extremes = columns.filter(c => orderable(snap.schema(c).dataType))
+      .map(c => c -> snap.schema(c).dataType)
     // scan pinned at the fingerprinted version: a concurrent commit
     // between scan and stamp then simply invalidates (fingerprint
     // mismatch) instead of mislabeling the new state
-    val (sketches, sums) = scanStats(table.toDF(snap.version), columns, integral, K)
+    val (sketches, sums, mms) =
+      scanStats(table.toDF(snap.version), columns, integral, extremes, K)
     val ndvs = columns.zip(sketches).map { case (c, sk) =>
       c -> math.round(graft.functions.KmvEstimate.cardinality(sk, K))
     }
@@ -185,11 +285,14 @@ object ColumnStats {
     // columns would be re-validated against the new fingerprint and served
     // stale. Unset every prefixed key we are not restamping in the SAME
     // commit (setProperties treats null as delete).
+    val mmCols = extremes.map(_._1)
     val stale = table.snapshot.properties.keys
       .filter(k =>
         ((k.startsWith(NdvPropPrefix) && !columns.contains(k.stripPrefix(NdvPropPrefix))) ||
          (k.startsWith(KmvPropPrefix) && !columns.contains(k.stripPrefix(KmvPropPrefix))) ||
-         (k.startsWith(SumPropPrefix) && !integral.contains(k.stripPrefix(SumPropPrefix)))))
+         (k.startsWith(SumPropPrefix) && !integral.contains(k.stripPrefix(SumPropPrefix))) ||
+         (k.startsWith(MinPropPrefix) && !mmCols.contains(k.stripPrefix(MinPropPrefix))) ||
+         (k.startsWith(MaxPropPrefix) && !mmCols.contains(k.stripPrefix(MaxPropPrefix)))))
       .map(_ -> (null: String)).toMap
     table.setProperties(
       stale ++
@@ -197,6 +300,8 @@ object ColumnStats {
         columns.zip(sketches).map { case (c, sk) =>
           s"$KmvPropPrefix$c" -> encodeSketch(sk) }.toMap ++
         integral.zip(sums).map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
+        extremes.zip(mms).flatMap { case ((c, _), (mn, mx)) =>
+          Seq(s"$MinPropPrefix$c" -> mn, s"$MaxPropPrefix$c" -> mx) }.toMap ++
         Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString))
     ndvs
   }
@@ -224,17 +329,23 @@ object ColumnStats {
         .map(_.stripPrefix(NdvPropPrefix)).toSeq.sorted
       val sumCols = props.keys.filter(_.startsWith(SumPropPrefix))
         .map(_.stripPrefix(SumPropPrefix)).toSeq.sorted
-      if (ndvCols.isEmpty && sumCols.isEmpty) return
+      val mmCols = props.keys.filter(_.startsWith(MinPropPrefix))
+        .map(_.stripPrefix(MinPropPrefix)).toSeq.sorted
+        .filter(c => props.contains(MaxPropPrefix + c))
+      if (ndvCols.isEmpty && sumCols.isEmpty && mmCols.isEmpty) return
       val known = snap.schema.fieldNames.toSet
-      if (!(ndvCols ++ sumCols).forall(known.contains)) return
+      if (!(ndvCols ++ sumCols ++ mmCols).forall(known.contains)) return
+      val extremes = mmCols.map(c => c -> snap.schema(c).dataType)
+      if (extremes.exists { case (_, dt) => !orderable(dt) }) return
       // every NDV column needs its persisted sketch — a scalar alone
       // cannot merge (pre-sketch stamps fall back to full re-ANALYZE)
       val oldSketches = ndvCols.map(c => props.get(KmvPropPrefix + c))
       if (oldSketches.exists(_.isEmpty)) return
-      val scanCols = (ndvCols ++ sumCols).distinct
+      val scanCols = (ndvCols ++ sumCols ++ mmCols).distinct
       val batchDf = table.dfForFiles(snap, addedPaths)
         .select(scanCols.map(c => col(s"`$c`")): _*)
-      val (batchSketches, batchSums) = scanStats(batchDf, ndvCols, sumCols, k)
+      val (batchSketches, batchSums, batchMms) =
+        scanStats(batchDf, ndvCols, sumCols, extremes, k)
       val mergedSketches = ndvCols.indices.map { i =>
         mergeSketches(decodeSketch(oldSketches(i).get), batchSketches(i), k)
       }
@@ -247,6 +358,13 @@ object ColumnStats {
           else (BigInt(old) + BigInt(b)).toString
         c -> v
       }
+      val newMms = extremes.zip(batchMms).flatMap { case ((c, dt), (bMin, bMax)) =>
+        Seq(
+          s"$MinPropPrefix$c" ->
+            foldExtreme(dt, props(MinPropPrefix + c), bMin, isMin = true),
+          s"$MaxPropPrefix$c" ->
+            foldExtreme(dt, props(MaxPropPrefix + c), bMax, isMin = false))
+      }
       table.setProperties(
         ndvCols.zip(mergedSketches).flatMap { case (c, sk) =>
           Seq(
@@ -255,6 +373,7 @@ object ColumnStats {
             s"$KmvPropPrefix$c" -> encodeSketch(sk))
         }.toMap ++
           newSums.map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
+          newMms.toMap ++
           Map(FingerprintProp -> fingerprint(snap).toString))
     } catch {
       // stats maintenance must never fail the append; a skipped fold
@@ -302,4 +421,25 @@ object ColumnStats {
       parsed <- if (v == "null") Some(None)
         else v.toLongOption.map(n => Some(n))
     } yield parsed
+
+  /** The stamped exact MIN/MAX of `column` as an INTERNAL Catalyst
+    * value IF the stats still describe the current snapshot. Covers the
+    * types per-file footer stats can never soundly answer (strings,
+    * floats) because ANALYZE computed the true extreme with Spark's own
+    * ordering. Some(None) = a fresh stamp of an empty/all-null column
+    * (SQL answers NULL); outer None = stale/absent/undecodable → scan.
+    */
+  def currentMinMax(snap: TxLog.Snapshot, column: String,
+      isMin: Boolean): Option[Option[Any]] =
+    try {
+      for {
+        fp <- snap.properties.get(FingerprintProp)
+        if fp == fingerprint(snap).toString
+        field <- snap.schema.fields.find(_.name == column)
+        enc <- snap.properties.get(
+          (if (isMin) MinPropPrefix else MaxPropPrefix) + column)
+        v <- if (enc == "n") Some(None)
+          else Some(Some(parseValue(field.dataType, enc.drop(1))))
+      } yield v
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -1,0 +1,107 @@
+package graft.tables
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Edge cases of the stamped-extremes codec and fold: SQL-NULL
+  * extremes (empty/all-null columns), NaN ordering, non-BMP unicode
+  * (UTF-8 binary vs UTF-16 code-unit order diverge exactly there), and
+  * the append fold across all of them — each checked DIFFERENTIALLY
+  * against a scan of the same session (the one authority on Spark's
+  * own ordering semantics).
+  */
+class ColumnStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stampedVsScan(t: TxTable, colName: String): Unit = {
+    val snap = t.snapshot
+    val scan = t.toDF.agg(min(col(colName)), max(col(colName))).collect()(0)
+    def ext(isMin: Boolean): Any =
+      ColumnStats.currentMinMax(snap, colName, isMin) match {
+        case Some(v) => v.map {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+          case other => other
+        }.orNull
+        case None => fail(s"stamp for $colName must be fresh and present")
+      }
+    def eqv(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        (x.isNaN && y.isNaN) || x == y
+      case (x: java.lang.Float, y: java.lang.Float) =>
+        (x.isNaN && y.isNaN) || x == y
+      case _ => a == b
+    }
+    assert(eqv(ext(isMin = true), scan.get(0)),
+      s"MIN($colName): stamp ${ext(isMin = true)} vs scan ${scan.get(0)}")
+    assert(eqv(ext(isMin = false), scan.get(1)),
+      s"MAX($colName): stamp ${ext(isMin = false)} vs scan ${scan.get(1)}")
+  }
+
+  test("empty and all-null columns stamp SQL NULL extremes") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-null") + "/t")
+    t.create(Seq((1L, null: String), (2L, null: String)).toDF("id", "s"))
+    ColumnStats.analyze(t, Seq("id", "s"))
+    stampedVsScan(t, "s") // all-null -> both extremes NULL
+    stampedVsScan(t, "id")
+    // a fold of MORE nulls keeps NULL; a fold of a real value replaces it
+    t.append(Seq((3L, null: String)).toDF("id", "s"))
+    stampedVsScan(t, "s")
+    t.append(Seq((4L, "zz")).toDF("id", "s"))
+    stampedVsScan(t, "s")
+    assert(ColumnStats.currentMinMax(t.snapshot, "s", isMin = true)
+      .get.get.toString == "zz")
+  }
+
+  test("NaN and negative-zero doubles follow Spark's ordering through the fold") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-nan") + "/t")
+    t.create(Seq((1L, 1.5), (2L, -3.25)).toDF("id", "d"))
+    ColumnStats.analyze(t, Seq("d"))
+    stampedVsScan(t, "d")
+    // NaN arrives by append: Spark treats NaN as the LARGEST double —
+    // the folded max must agree with the scan
+    t.append(Seq((3L, Double.NaN), (4L, 99.0)).toDF("id", "d"))
+    stampedVsScan(t, "d")
+    assert(ColumnStats.currentMinMax(t.snapshot, "d", isMin = false)
+      .get.get.asInstanceOf[Double].isNaN)
+    // -0.0 == 0.0 in SQL: folding the other sign is NOT a new extreme
+    t.append(Seq((5L, -0.0), (6L, 0.0)).toDF("id", "d"))
+    stampedVsScan(t, "d")
+  }
+
+  test("non-BMP strings: stamped extremes use UTF-8 binary order like Spark") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-utf") + "/t")
+    // U+FFFF (BMP, 3-byte UTF-8) vs U+1F600 (supplementary, 4-byte):
+    // UTF-16 code-unit order puts the surrogate pair FIRST, UTF-8 byte
+    // order puts it LAST — exactly the divergence that would break a
+    // java.lang.String-compared fold
+    val bmpMax = "\uFFFF"
+    val emoji = new String(Character.toChars(0x1F600))
+    t.create(Seq((1L, bmpMax), (2L, "a")).toDF("id", "s"))
+    ColumnStats.analyze(t, Seq("s"))
+    stampedVsScan(t, "s")
+    t.append(Seq((3L, emoji)).toDF("id", "s"))
+    stampedVsScan(t, "s")
+    assert(ColumnStats.currentMinMax(t.snapshot, "s", isMin = false)
+      .get.get.toString == emoji,
+      "the 4-byte supplementary char must be the UTF-8-binary max")
+  }
+
+  test("timestamp and decimal extremes round-trip the stamp") {
+    val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
+    val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-ts") + "/t")
+    t.create(Seq((1L, ts1, BigDecimal("12.34")), (2L, ts2, BigDecimal("-99.99")))
+      .toDF("id", "ts", "dec"))
+    ColumnStats.analyze(t, Seq("ts", "dec"))
+    val snap = t.snapshot
+    assert(ColumnStats.currentMinMax(snap, "ts", isMin = false).get.isDefined)
+    assert(ColumnStats.currentMinMax(snap, "dec", isMin = true)
+      .get.get.asInstanceOf[org.apache.spark.sql.types.Decimal]
+      .toJavaBigDecimal.compareTo(new java.math.BigDecimal("-99.99")) == 0)
+  }
+}
