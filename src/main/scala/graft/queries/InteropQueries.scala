@@ -2588,6 +2588,59 @@ object InteropQueries {
             9999999.25) AS max_price_2,
           (SELECT MIN(l_returnflag) FROM lineitem) AS min_rf_3,
           TRUE AS prestats_scans, TRUE AS stamped_metadata_only,
-          TRUE AS fold_keeps_metadata, TRUE AS delete_falls_back"""))
+          TRUE AS fold_keeps_metadata, TRUE AS delete_falls_back""")),
+
+    // ---- q167: COPY INTO transform-at-load (FROM (SELECT ...)) ----
+    // The drop zone holds RAW csv (header-named string columns); the
+    // statement's SELECT casts and derives a bucket column at load —
+    // Databricks' transform surface — and the projection is RECORDED in
+    // the write-ahead intent, so a crash replay transforms identically
+    // (CopyIntoSpec pins that window; here the no-op re-run and the
+    // final grouped table are DuckDB-recomputed from the same slice).
+    QueryDef(
+      "q167_copy_into_transform",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("q167-cpt").toString
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 4 === 1)
+          .select(col("l_orderkey").cast(LongType).as("l_orderkey"),
+            col("l_quantity").cast(LongType).as("l_quantity"))
+        li.repartition(3).write.option("header", "true")
+          .mode("append").csv(s"$root/drop")
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q167cat")
+        client.createSchema("q167cat", "s")
+        import s.implicits._
+        client.createAsTable(
+          Seq.empty[(Long, Long, Long)].toDF("l_orderkey", "l_quantity", "bucket"),
+          "q167cat", "s", "t", graft.catalog.FileType.DELTA, s"$root/t")
+        val r1 = s.sql(s"""COPY INTO q167cat.s.t FROM
+            (SELECT cast(l_orderkey as bigint) as l_orderkey,
+                    cast(l_quantity as bigint) as l_quantity,
+                    cast(l_orderkey as bigint) % 7 as bucket
+             FROM '$root/drop')
+          FILEFORMAT = CSV""").collect()(0)
+        val r2 = s.sql(s"""COPY INTO q167cat.s.t FROM
+            (SELECT cast(l_orderkey as bigint) as l_orderkey,
+                    cast(l_quantity as bigint) as l_quantity,
+                    cast(l_orderkey as bigint) % 7 as bucket
+             FROM '$root/drop')
+          FILEFORMAT = CSV""").collect()(0)
+        s.sql("""SELECT bucket, COUNT(*) AS n,
+            SUM(l_quantity) AS sum_qty FROM q167cat.s.t
+          GROUP BY bucket""")
+          .withColumn("first_loaded", lit(r1.getLong(0) == 3L && r1.getLong(1) > 0L))
+          .withColumn("rerun_noop", lit(r2.getLong(0) == 0L && r2.getLong(1) == 0L))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok,
+                 CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem WHERE l_orderkey % 4 = 1
+        )
+        SELECT ok % 7 AS bucket, COUNT(*) AS n,
+          CAST(SUM(q) AS BIGINT) AS sum_qty,
+          TRUE AS first_loaded, TRUE AS rerun_noop
+        FROM src GROUP BY bucket ORDER BY bucket"""))
   )
 }

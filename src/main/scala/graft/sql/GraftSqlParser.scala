@@ -71,14 +71,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val AnalyzeAllRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS""" +
       """\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""").r
-  // COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON|AVRO]
-  //   [PATTERN = '<glob>'] [FORCE = TRUE] — exactly-once bulk file
-  //   ingestion (Delta's COPY INTO shape; CopyInto's write-ahead-intent
-  //   protocol; FORCE reloads every listed file as a new batch)
+  // COPY INTO t FROM '<dir>' | (SELECT <exprs> FROM '<dir>')
+  //   [FILEFORMAT = PARQUET|CSV|JSON|AVRO] [PATTERN = '<glob>']
+  //   [FORCE = TRUE] [COPY_OPTIONS ('mergeSchema' = 'true')] —
+  //   exactly-once bulk file ingestion (Delta's COPY INTO shape;
+  //   CopyInto's write-ahead-intent protocol; the SELECT form
+  //   transforms at load, recorded in the intent for crash replay;
+  //   FORCE reloads every listed file as a new batch)
   private val CopyIntoRe =
-    ("""(?is)\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+'([^']+)'""" +
+    ("""(?is)\s*COPY\s+INTO\s+([\w.`]+)\s+FROM\s+""" +
+      """(?:'([^']+)'|\(\s*SELECT\s+(.+?)\s+FROM\s+'([^']+)'\s*\))""" +
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
-      """(?:\s+FORCE\s*=\s*(TRUE|FALSE))?\s*;?\s*""").r
+      """(?:\s+FORCE\s*=\s*(TRUE|FALSE))?""" +
+      """(?:\s+COPY_OPTIONS\s*\(\s*'mergeSchema'\s*=\s*'(\w+)'\s*\))?\s*;?\s*""").r
   // DESCRIBE HISTORY cat.sch.t (Delta's utility; not in Spark's grammar)
   private val DescHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
@@ -294,16 +299,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
     }
     else if (head.startsWith("COPY INTO")) sqlText match {
-      case CopyIntoRe(ident, src, fmt, pat, forceRaw) =>
+      case CopyIntoRe(ident, srcPlain, exprs, srcSub, fmt, pat, forceRaw, msRaw) =>
         parts3(ident).flatMap(txTable) match {
           case Some((name, t)) =>
+            val src = Option(srcPlain).getOrElse(srcSub)
+            val transform = Option(exprs).map(_.trim).filter(_.nonEmpty)
             val format = Option(fmt).map(_.toLowerCase(Locale.ROOT)).getOrElse("parquet")
             val force = Option(forceRaw).exists(_.equalsIgnoreCase("TRUE"))
+            val ms = Option(msRaw).exists(_.equalsIgnoreCase("true"))
             return GraftSqlDml.GraftQueryCommand(s"COPY INTO $name FROM '$src'",
               Seq(AttributeReference("files_loaded", LongType, nullable = false)(),
                 AttributeReference("rows_loaded", LongType, nullable = false)(),
                 AttributeReference("batch", LongType, nullable = false)())) { () =>
-              val r = graft.tables.CopyInto.run(t, src, format, Option(pat), force)
+              val r = graft.tables.CopyInto.run(t, src, format, Option(pat), force,
+                transform, ms)
               Seq(org.apache.spark.sql.Row(r.filesLoaded, r.rowsLoaded, r.batch))
             }
           case None =>

@@ -101,27 +101,86 @@ object CopyInto {
     out.result()
   }
 
+  /** Split a SELECT projection list on TOP-LEVEL commas (parens and
+    * quoted strings/backticks tracked) — `cast(a as int), concat(b, c)`
+    * is two expressions, not three. */
+  private[tables] def splitProjection(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result().filter(_.nonEmpty)
+  }
+
   /** Read `paths` as `format` aligned to the target's columns — parquet
     * resolves by name; csv/json read with the target schema declared
     * (csv headers are required and matched by name); avro through the
     * engine's own container codec (io/AvroIO).
+    *
+    * With `transform` (the `FROM (SELECT exprs FROM 'dir')` surface),
+    * the raw files read with their OWN shape (csv as header-named
+    * strings, json/parquet/avro inferred) and the projection runs
+    * before alignment — casts/renames/computed columns happen at load,
+    * Databricks-style — then every target column casts to its declared
+    * type. With `mergeSchema`, transformed columns beyond the target
+    * schema EVOLVE it (MERGE policy) instead of being dropped.
     */
   private def readFiles(spark: SparkSession, target: TxTable, format: String,
-      paths: Seq[String]): DataFrame = {
+      paths: Seq[String], transform: Option[String] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val schema = target.snapshot.schema
+    val declared = if (transform.isDefined) None else Some(schema)
     val base = format.toLowerCase(java.util.Locale.ROOT) match {
       case "parquet" => spark.read.parquet(paths: _*)
-      case "csv" => spark.read.schema(schema).option("header", "true").csv(paths: _*)
-      case "json" => spark.read.schema(schema).json(paths: _*)
-      case "avro" => graft.io.AvroIO.read(spark, paths.mkString(","), Some(schema))
+      case "csv" =>
+        val r = declared.map(spark.read.schema).getOrElse(spark.read)
+        r.option("header", "true").csv(paths: _*)
+      case "json" =>
+        declared.map(spark.read.schema).getOrElse(spark.read).json(paths: _*)
+      case "avro" => graft.io.AvroIO.read(spark, paths.mkString(","), declared)
       case other => throw UnsupportedOperationError(
         s"COPY INTO: FILEFORMAT $other not supported (parquet, csv, json, avro)")
     }
-    val missing = schema.fieldNames.filterNot(base.columns.contains)
+    val projected = transform match {
+      case None => base
+      case Some(t) =>
+        val exprs = splitProjection(t)
+        if (exprs.isEmpty)
+          throw UnsupportedOperationError("COPY INTO: empty SELECT projection")
+        base.selectExpr(exprs: _*)
+    }
+    val missing = schema.fieldNames.filterNot(projected.columns.contains)
     if (missing.nonEmpty)
       throw UnsupportedOperationError(
         s"COPY INTO: source lacks target columns ${missing.mkString(", ")}")
-    base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (mergeSchema) {
+      // keep extra columns (schema evolution at append); still cast the
+      // KNOWN target columns to their declared types
+      val known = schema.fields.map(f => f.name -> f.dataType).toMap
+      projected.select(projected.columns.toIndexedSeq.map(c =>
+        known.get(c).map(dt => col(s"`$c`").cast(dt).as(c))
+          .getOrElse(col(s"`$c`"))): _*)
+    } else if (transform.isDefined)
+      projected.select(schema.fields.toIndexedSeq.map(f =>
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+    else
+      projected.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Replay the confirming append for every recorded-but-unconfirmed
@@ -134,30 +193,42 @@ object CopyInto {
   private def replayUnconfirmed(spark: SparkSession, target: TxTable,
       recorded: DataFrame, confirmed: Long, maxBatch: Long): Unit = {
     import spark.implicits._
-    val hasFormat = recorded.columns.contains("format")
+    def opt(name: String): org.apache.spark.sql.Column =
+      if (recorded.columns.contains(name)) col(name)
+      else lit(null).cast("string")
     ((confirmed + 1) to maxBatch).foreach { b =>
       val inBatch = recorded.where(col("batch") === lit(b))
-      val batchRows =
-        (if (hasFormat) inBatch.select(col("source_path"), col("format"))
-         else inBatch.select(col("source_path"),
-           lit(null).cast("string").as("format")))
-          .as[(String, String)].collect()
+      val batchRows = inBatch
+        .select(col("source_path"), opt("format"), opt("transform"),
+          opt("merge_schema").cast("string"))
+        .as[(String, String, String, String)].collect()
       if (batchRows.nonEmpty) {
-        val formats = batchRows.map(_._2).distinct
-        if (formats.length != 1 || formats(0) == null)
+        val metas = batchRows.map(r => (r._2, r._3, r._4)).distinct
+        if (metas.length != 1 || metas(0)._1 == null)
           throw UnsupportedOperationError(
             s"COPY INTO: cannot replay intent batch $b — the ingest log predates " +
               "format recording (or holds mixed formats); confirm the batch " +
               "manually or re-create the ingest log")
+        val (fmt, transform, ms) = metas(0)
         target.appendIdempotent(
-          readFiles(spark, target, formats(0), batchRows.map(_._1).toSeq),
-          TxnAppId, b)
+          readFiles(spark, target, fmt, batchRows.map(_._1).toSeq,
+            Option(transform), ms == "true"),
+          TxnAppId, b,
+          evolution = if (ms == "true") SchemaEvolution.MERGE else SchemaEvolution.STRICT)
       }
     }
   }
 
+  /** @param transform the projection list of a `FROM (SELECT exprs
+    *   FROM 'dir')` source — applied to the raw files before
+    *   target-schema alignment, and RECORDED in the intent so crash
+    *   replay transforms identically
+    * @param mergeSchema evolve the target with transformed columns
+    *   beyond its schema (Databricks `COPY_OPTIONS ('mergeSchema')`)
+    */
   def run(target: TxTable, sourceDir: String, format: String = "parquet",
-      pattern: Option[String] = None, force: Boolean = false): Result = {
+      pattern: Option[String] = None, force: Boolean = false,
+      transform: Option[String] = None, mergeSchema: Boolean = false): Result = {
     if (!supportedFormat(format))
       throw UnsupportedOperationError(
         s"COPY INTO: FILEFORMAT $format not supported (parquet, csv, json, avro)")
@@ -217,6 +288,8 @@ object CopyInto {
         .withColumn("batch", lit(batch))
         .withColumn("format", lit(fmt))
         .withColumn("pattern", lit(pattern.orNull).cast("string"))
+        .withColumn("transform", lit(transform.orNull).cast("string"))
+        .withColumn("merge_schema", lit(mergeSchema))
       // write-ahead intent, idempotent per batch number: a concurrent
       // runner racing to the same batch loses and retries (two
       // concurrent FIRST runs race on the log's create commit instead)
@@ -228,11 +301,13 @@ object CopyInto {
           evolution = SchemaEvolution.MERGE)
       if (won) {
         onIntentRecorded()
-        val df = readFiles(spark, target, fmt, newFiles.map(_._1))
+        val df = readFiles(spark, target, fmt, newFiles.map(_._1),
+          transform, mergeSchema)
         // false here means a concurrent runner found our intent
         // unconfirmed and replayed it for us — either way batch is now
         // confirmed, and the rows belong to this call's listing
-        target.appendIdempotent(df, TxnAppId, batch)
+        target.appendIdempotent(df, TxnAppId, batch,
+          evolution = if (mergeSchema) SchemaEvolution.MERGE else SchemaEvolution.STRICT)
         // rows of the ingested batch itself (never a table-level count
         // diff, which a concurrent writer would skew)
         return Result(newFiles.size.toLong, df.count(), batch)

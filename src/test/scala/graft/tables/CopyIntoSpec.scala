@@ -71,7 +71,9 @@ class CopyIntoSpec extends AnyFunSuite {
       Seq(fresh).toDF("source_path", "size_bytes", "mtime")
         .withColumn("batch", lit(2L))
         .withColumn("format", lit("parquet"))
-        .withColumn("pattern", lit(null).cast("string")),
+        .withColumn("pattern", lit(null).cast("string"))
+        .withColumn("transform", lit(null).cast("string"))
+        .withColumn("merge_schema", lit(false)),
       "graft.copyInto.intent", 2L)
     assert(t.toDF.count() == 10L) // data NOT loaded yet
 
@@ -203,6 +205,72 @@ class CopyIntoSpec extends AnyFunSuite {
     graft.io.AvroIO.writeSingleFile(spark, df.limit(5), s"$src/c.avro")
     val res = spark.sql(s"COPY INTO cpav.s.t FROM '$src' FILEFORMAT = AVRO")
     assert(res.collect()(0).getLong(0) == 1L)
+  }
+
+  test("transform-at-load: FROM (SELECT ...) casts/renames/computes, replay transforms identically") {
+    val root = TestSpark.tmpDir("copyinto9")
+    val src = s"$root/drop"
+    // raw csv: all-string columns with DIFFERENT names than the target
+    (0 until 25).map(i => (i.toString, s"$i.5"))
+      .toDF("raw_id", "raw_score").repartition(1)
+      .write.option("header", "true").mode("append").csv(src)
+    val t = new TxTable(spark, s"$root/t")
+    t.create(Seq.empty[(Long, Double, Long)].toDF("id", "score", "twice"))
+    val transform = Some(
+      "cast(raw_id as bigint) as id, cast(raw_score as double) as score, " +
+        "cast(raw_id as bigint) * 2 as twice")
+    val r = CopyInto.run(t, src, "csv", transform = transform)
+    assert(r.filesLoaded == 1L && r.rowsLoaded == 25L)
+    val got = t.toDF.orderBy("id").collect()
+    assert(got.length == 25 && got(3).getLong(0) == 3L &&
+      got(3).getDouble(1) == 3.5 && got(3).getLong(2) == 6L)
+
+    // crash window on a NEW drop: recovery (with NO transform argument)
+    // must replay the RECORDED transform, not load raw columns
+    (25 until 40).map(i => (i.toString, s"$i.5"))
+      .toDF("raw_id", "raw_score").repartition(1)
+      .write.option("header", "true").mode("append").csv(src)
+    CopyInto.onIntentRecorded = () => throw new RuntimeException("boom")
+    try intercept[RuntimeException] { CopyInto.run(t, src, "csv", transform = transform) }
+    finally CopyInto.onIntentRecorded = () => ()
+    assert(t.toDF.count() == 25L)
+    val rec = CopyInto.run(t, src) // plain parquet recovery run: replays csv+transform
+    assert(rec.filesLoaded == 0L)
+    assert(t.toDF.count() == 40L)
+    assert(t.toDF.filter(col("id") === 30L).head.getLong(2) == 60L,
+      "replay must apply the recorded transform")
+  }
+
+  test("COPY_OPTIONS mergeSchema evolves the target with transformed extra columns") {
+    val root = TestSpark.tmpDir("copyinto10")
+    val src = s"$root/drop"
+    dropFiles(src, 0 until 10)
+    val client = new graft.client.LakehouseClient(spark)
+    client.createCatalog("cpms")
+    client.createSchema("cpms", "s")
+    client.createAsTable(Seq.empty[(Long, String)].toDF("id", "v"),
+      "cpms", "s", "t", graft.catalog.FileType.DELTA, s"$root/t")
+    val res = spark.sql(s"""COPY INTO cpms.s.t FROM
+        (SELECT id, v, id * 10 AS extra FROM '$src')
+      FILEFORMAT = PARQUET COPY_OPTIONS ('mergeSchema' = 'true')""")
+    assert(res.collect()(0).getLong(0) == 1L)
+    val t = new TxTable(spark, s"$root/t")
+    assert(t.snapshot.schema.fieldNames.toSeq == Seq("id", "v", "extra"),
+      "mergeSchema must evolve the target with the transformed column")
+    assert(t.toDF.filter(col("id") === 4L).head.getLong(2) == 40L)
+    // without mergeSchema a surplus transformed column is projected away
+    dropFiles(s"$root/drop2", 100 until 105)
+    val r2 = spark.sql(s"""COPY INTO cpms.s.t FROM
+        (SELECT id, v, id AS extra, id AS surplus FROM '$root/drop2')
+      FILEFORMAT = PARQUET""")
+    assert(r2.collect()(0).getLong(0) == 1L)
+    assert(t.snapshot.schema.fieldNames.length == 3)
+  }
+
+  test("splitProjection honors nested parens and quotes") {
+    assert(CopyInto.splitProjection("a, cast(b as int), concat(c, ',', d) as e") ==
+      Seq("a", "cast(b as int)", "concat(c, ',', d) as e"))
+    assert(CopyInto.splitProjection("f(g(x, y), z) as w") == Seq("f(g(x, y), z) as w"))
   }
 
   test("ingest log behind the target watermark is refused, not silently skipped") {
