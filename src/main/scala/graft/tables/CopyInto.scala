@@ -303,14 +303,21 @@ object CopyInto {
         onIntentRecorded()
         val df = readFiles(spark, target, fmt, newFiles.map(_._1),
           transform, mergeSchema)
-        // false here means a concurrent runner found our intent
+        // None here means a concurrent runner found our intent
         // unconfirmed and replayed it for us — either way batch is now
         // confirmed, and the rows belong to this call's listing
-        target.appendIdempotent(df, TxnAppId, batch,
+        val added = target.appendIdempotentDetailed(df, TxnAppId, batch,
           evolution = if (mergeSchema) SchemaEvolution.MERGE else SchemaEvolution.STRICT)
-        // rows of the ingested batch itself (never a table-level count
-        // diff, which a concurrent writer would skew)
-        return Result(newFiles.size.toLong, df.count(), batch)
+        // rows of the ingested batch itself straight from the commit's
+        // per-file stats (never a table-level count diff, which a
+        // concurrent writer would skew; never a second read of the
+        // batch) — a stat-less file or the replayed-by-peer path pays
+        // the one fallback count
+        val rows = added match {
+          case Some(files) if files.forall(_.rows >= 0L) => files.map(_.rows).sum
+          case _ => df.count()
+        }
+        return Result(newFiles.size.toLong, rows, batch)
       }
       // lost the race: refreshed state next iteration
     }

@@ -275,8 +275,19 @@ final class TxTable(val spark: SparkSession, val location: String,
     * committed (false = already applied).
     */
   def appendIdempotent(df: DataFrame, appId: String, txnVersion: Long,
-      evolution: SchemaEvolution = SchemaEvolution.STRICT): Boolean = {
+      evolution: SchemaEvolution = SchemaEvolution.STRICT): Boolean =
+    appendIdempotentDetailed(df, appId, txnVersion, evolution).isDefined
+
+  /** Like appendIdempotent, but a commit returns the AddFile entries it
+    * published — per-file row counts included, so a caller reporting
+    * "rows loaded" (COPY INTO) reads them from the commit instead of
+    * paying a second pass over the data. None = skipped (watermark
+    * already at or past txnVersion).
+    */
+  def appendIdempotentDetailed(df: DataFrame, appId: String, txnVersion: Long,
+      evolution: SchemaEvolution = SchemaEvolution.STRICT): Option[Seq[TxLog.AddFile]] = {
     var statsFold: Option[(Long, Seq[String])] = None
+    var published: Seq[TxLog.AddFile] = Seq.empty
     val committed = commitWithRetryIf("APPEND") { snap =>
       if (snap.transactions.get(appId).exists(_ >= txnVersion)) None
       else {
@@ -290,13 +301,15 @@ final class TxTable(val spark: SparkSession, val location: String,
         statsFold =
           if (ColumnStats.isFresh(snap)) Some((snap.version + 1, added.map(_.path)))
           else None
+        published = added
         Some(TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps,
           txn = Some(TxLog.SetTxn(appId, txnVersion))))
       }
     }
-    if (committed)
+    if (committed) {
       statsFold.foreach { case (v, paths) => ColumnStats.foldAppend(this, v, paths) }
-    committed
+      Some(published)
+    } else None
   }
 
   def overwrite(df0: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
