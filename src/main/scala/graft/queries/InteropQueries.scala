@@ -2641,6 +2641,41 @@ object InteropQueries {
         SELECT ok % 7 AS bucket, COUNT(*) AS n,
           CAST(SUM(q) AS BIGINT) AS sum_qty,
           TRUE AS first_loaded, TRUE AS rerun_noop
-        FROM src GROUP BY bucket ORDER BY bucket"""))
+        FROM src GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- q168: SHOW STATISTICS FOR t — the stamp's inspection surface ----
+    // A user maintaining the metadata-only path needs to SEE what is
+    // stamped and whether it still binds: one row per analyzed column
+    // with NDV / exact sum / exact min / max (rendered) and the
+    // freshness verdict. Both columns sit in the sketch's EXACT regime
+    // (< 4096 distinct), so every value — including the NDVs — is
+    // recomputed independently by DuckDB.
+    QueryDef(
+      "q168_show_statistics",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q168cat")
+        client.createSchema("q168cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q168-st").toString
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_linenumber"), col("l_returnflag"))
+        client.createAsTable(li, "q168cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t")
+        s.sql("ANALYZE TABLE q168cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        s.sql("SHOW STATISTICS FOR q168cat.s.t").orderBy(col("column"))
+      },
+      Some("""SELECT * FROM (
+          SELECT 'l_linenumber' AS "column",
+            COUNT(DISTINCT l_linenumber) AS ndv,
+            CAST(SUM(l_linenumber) AS VARCHAR) AS "sum",
+            CAST(MIN(l_linenumber) AS VARCHAR) AS "min",
+            CAST(MAX(l_linenumber) AS VARCHAR) AS "max",
+            TRUE AS fresh
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag),
+            CAST(NULL AS VARCHAR), MIN(l_returnflag), MAX(l_returnflag), TRUE
+          FROM lineitem
+        ) ORDER BY "column""""))
   )
 }

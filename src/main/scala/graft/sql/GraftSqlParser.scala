@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
 
 import graft.catalog.DoesNotExistError
 
@@ -99,6 +99,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // SHOW PARTITIONS cat.sch.t — metadata-only partition stats
   private val ShowParts =
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*""".r
+  // SHOW STATISTICS FOR [TABLE] cat.sch.t — one row per ANALYZE-stamped
+  // column (NDV / exact sum / exact min / max, rendered) plus whether
+  // the stamp still describes the CURRENT snapshot (fresh=false means
+  // readers are scanning; re-ANALYZE to restore the metadata-only path)
+  private val ShowStats =
+    """(?is)\s*SHOW\s+STATISTICS\s+FOR\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
   // CONVERT TO DELTA|ICEBERG parquet.`/path` — in-place zero-copy migration
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+(DELTA|ICEBERG)\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*""".r
@@ -437,6 +443,44 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               Seq(org.apache.spark.sql.Row(t.version))
             }
           case None =>
+        }
+      case _ =>
+    }
+    else if (head.startsWith("SHOW STAT")) sqlText match {
+      case ShowStats(ident) =>
+        parts3(ident).flatMap(txTable) match {
+          case Some((name, t)) =>
+            return GraftSqlDml.GraftQueryCommand(s"SHOW STATISTICS FOR $name",
+              Seq(AttributeReference("column", StringType, nullable = false)(),
+                AttributeReference("ndv", LongType, nullable = true)(),
+                AttributeReference("sum", StringType, nullable = true)(),
+                AttributeReference("min", StringType, nullable = true)(),
+                AttributeReference("max", StringType, nullable = true)(),
+                AttributeReference("fresh", BooleanType, nullable = false)())) { () =>
+              // metadata-only: the stamp lives in table properties
+              import graft.tables.ColumnStats._
+              val snap = t.snapshot
+              val p = snap.properties
+              val fresh = isFresh(snap)
+              val cols = p.keys.collect {
+                case k if k.startsWith(NdvPropPrefix) => k.stripPrefix(NdvPropPrefix)
+                case k if k.startsWith(SumPropPrefix) => k.stripPrefix(SumPropPrefix)
+                case k if k.startsWith(MinPropPrefix) => k.stripPrefix(MinPropPrefix)
+              }.toSeq.distinct.sorted
+              def mm(prefix: String, c: String): String =
+                p.get(prefix + c).map {
+                  case "n" => null
+                  case v => v.drop(1)
+                }.orNull
+              cols.map { c =>
+                org.apache.spark.sql.Row(c,
+                  p.get(NdvPropPrefix + c).flatMap(_.toLongOption)
+                    .map(java.lang.Long.valueOf).orNull,
+                  p.get(SumPropPrefix + c).map(v => if (v == "null") null else v).orNull,
+                  mm(MinPropPrefix, c), mm(MaxPropPrefix, c), fresh)
+              }
+            }
+          case None => // not a catalog table
         }
       case _ =>
     }

@@ -513,6 +513,18 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       s"OPTIMIZE must restamp, not kill, fresh stats\n${planOf(qo)}")
     assert(qo.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq(((1L until 900L).sum + 9000L + 9001L, 901L)))
+    // SHOW STATISTICS: the stamp's inspection surface — one row per
+    // analyzed column, fresh verdict flipping with staleness
+    val shown = spark.sql("SHOW STATISTICS FOR lakestats.core.t")
+    assert(shown.columns.toSeq == Seq("column", "ndv", "sum", "min", "max", "fresh"))
+    val rows = shown.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("id", "u"))
+    assert(rows("id").getBoolean(5) && rows("u").getBoolean(5))
+    assert(rows("id").getString(3) == "1" && rows("id").getString(4) == "9001")
+    assert(rows("u").getString(2) == null, "no sum for a string column")
+    spark.sql("DELETE FROM lakestats.core.t WHERE id = 1")
+    assert(spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
+      .forall(!_.getBoolean(5)), "fresh must flip to false after a delete")
   }
 
   test("inspection-table suffix reads: cat.s.t.files / .partitions / Iceberg set") {
