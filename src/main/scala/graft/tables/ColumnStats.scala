@@ -319,8 +319,8 @@ object ColumnStats {
     * longer matches, readers scan, nothing is ever wrong.
     */
   private[tables] def foldAppend(table: TxTable, commitVersion: Long,
-      addedPaths: Seq[String]): Unit = {
-    if (addedPaths.isEmpty) return // file set unchanged: stamp still fresh as-is
+      added: Seq[TxLog.AddFile]): Unit = {
+    if (added.isEmpty) return // file set unchanged: stamp still fresh as-is
     try {
       val snap = table.snapshotAt(commitVersion)
       val props = snap.properties
@@ -342,8 +342,21 @@ object ColumnStats {
       val oldSketches = ndvCols.map(c => props.get(KmvPropPrefix + c))
       if (oldSketches.exists(_.isEmpty)) return
       val scanCols = (ndvCols ++ sumCols ++ mmCols).distinct
-      val batchDf = table.dfForFiles(snap, addedPaths)
+      // identify the batch inside the COMMITTED snapshot by the files'
+      // unique (uuid-bearing) final name segment — staged AddFile paths
+      // and snapshot paths can render differently (Iceberg manifests
+      // record absolute paths, stage returns names), and a silent
+      // path-string mismatch here once stamped UNFOLDED values as fresh
+      val names = added.map(_.path.split('/').last).toSet
+      val committedAdds = snap.files.filter(f => names.contains(f.path.split('/').last))
+      if (committedAdds.size != added.size) return // can't bind the batch -> stay stale
+      val batchDf = table.dfForAddedFiles(snap, committedAdds)
         .select(scanCols.map(c => col(s"`$c`")): _*)
+      // belt-and-braces for the same hazard: the batch the fold reads
+      // must hold the rows the commit added (when the stats say so)
+      val expectRows = added.map(_.rows)
+      if (expectRows.forall(_ >= 0L) && expectRows.sum > 0L && batchDf.isEmpty)
+        return
       val (batchSketches, batchSums, batchMms) =
         scanStats(batchDf, ndvCols, sumCols, extremes, k)
       val mergedSketches = ndvCols.indices.map { i =>
@@ -378,7 +391,8 @@ object ColumnStats {
     } catch {
       // stats maintenance must never fail the append; a skipped fold
       // leaves a stale (fingerprint-mismatched) stamp -> readers scan
-      case scala.util.control.NonFatal(_) => ()
+      case scala.util.control.NonFatal(e) =>
+        if (sys.props.contains("graft.debugFold")) e.printStackTrace()
     }
   }
 

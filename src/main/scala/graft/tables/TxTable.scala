@@ -109,6 +109,13 @@ final class TxTable(val spark: SparkSession, val location: String,
       "tableChanges requires a Delta (_delta_log) or Iceberg table; " +
         "use changesSince for the native append feed")
 
+  /** DataFrame over exactly `added` staged file entries under this
+    * snapshot's schema — the column-stats fold's batch read (the
+    * entries come straight from the commit, never re-matched by path
+    * string against the snapshot's own rendering). */
+  private[tables] def dfForAddedFiles(s: Snapshot, added: Seq[TxLog.AddFile]): DataFrame =
+    dfFor(s.copy(files = added))
+
   /** DataFrame over a subset of a snapshot's files (merge file pruning). */
   private[tables] def dfForFiles(s: Snapshot, relPaths: Seq[String]): DataFrame = {
     val set = relPaths.toSet
@@ -239,7 +246,7 @@ final class TxTable(val spark: SparkSession, val location: String,
     // get the batch FOLDED in after the commit (ColumnStats.foldAppend:
     // O(batch) maintenance instead of stats dying on every data commit);
     // captured from the FINAL (winning) planning iteration
-    var statsFold: Option[(Long, Seq[String])] = None
+    var statsFold: Option[(Long, Seq[TxLog.AddFile])] = None
     commitWithRetry("APPEND") { snap =>
       val (df, hwms) = IdentityColumns.assign(
         GeneratedColumns.complete(df0, snap.schema), snap.schema)
@@ -250,11 +257,11 @@ final class TxTable(val spark: SparkSession, val location: String,
       val added = log.stage(spark, location, alignForWrite(df, snap.partitionColumns),
         snap.copy(schema = newSchema, properties = newProps))
       statsFold =
-        if (ColumnStats.isFresh(snap)) Some((snap.version + 1, added.map(_.path)))
+        if (ColumnStats.isFresh(snap)) Some((snap.version + 1, added))
         else None
       TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps)
     }
-    statsFold.foreach { case (v, paths) => ColumnStats.foldAppend(this, v, paths) }
+    statsFold.foreach { case (v, files) => ColumnStats.foldAppend(this, v, files) }
   }
 
   /** Latest SetTransaction watermark committed for `appId` (Delta
@@ -286,7 +293,7 @@ final class TxTable(val spark: SparkSession, val location: String,
     */
   def appendIdempotentDetailed(df: DataFrame, appId: String, txnVersion: Long,
       evolution: SchemaEvolution = SchemaEvolution.STRICT): Option[Seq[TxLog.AddFile]] = {
-    var statsFold: Option[(Long, Seq[String])] = None
+    var statsFold: Option[(Long, Seq[TxLog.AddFile])] = None
     var published: Seq[TxLog.AddFile] = Seq.empty
     val committed = commitWithRetryIf("APPEND") { snap =>
       if (snap.transactions.get(appId).exists(_ >= txnVersion)) None
@@ -299,7 +306,7 @@ final class TxTable(val spark: SparkSession, val location: String,
         val added = log.stage(spark, location, alignForWrite(dfg, snap.partitionColumns),
           snap.copy(schema = newSchema, properties = newProps))
         statsFold =
-          if (ColumnStats.isFresh(snap)) Some((snap.version + 1, added.map(_.path)))
+          if (ColumnStats.isFresh(snap)) Some((snap.version + 1, added))
           else None
         published = added
         Some(TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps,
@@ -307,7 +314,7 @@ final class TxTable(val spark: SparkSession, val location: String,
       }
     }
     if (committed) {
-      statsFold.foreach { case (v, paths) => ColumnStats.foldAppend(this, v, paths) }
+      statsFold.foreach { case (v, files) => ColumnStats.foldAppend(this, v, files) }
       Some(published)
     } else None
   }
