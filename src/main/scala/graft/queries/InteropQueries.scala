@@ -2267,6 +2267,10 @@ object InteropQueries {
         val orq = s.sql(
           "SELECT COUNT(*) AS n_or FROM q160cat.s.tn WHERE p = 'A' OR p = 'R'")
         val orMeta = !planOf(orq).contains("FileScan")
+        // trailing-% LIKE is exact prefix equality on partition values
+        val lk = s.sql(
+          "SELECT COUNT(*) AS n_like FROM q160cat.s.tn WHERE p LIKE 'A%'")
+        val lkMeta = !planOf(lk).contains("FileScan")
         eq.crossJoin(grp.groupBy().pivot("l_returnflag", Seq("A", "R")).sum("n")
             .select(col("A").as("n_in_a"), col("R").as("n_in_r")))
           .crossJoin(rng)
@@ -2275,6 +2279,7 @@ object InteropQueries {
           .crossJoin(isn)
           .crossJoin(inn)
           .crossJoin(orq)
+          .crossJoin(lk)
           .withColumn("part_eq_metadata_only", lit(eqMeta))
           .withColumn("part_in_grouped_metadata_only", lit(grpMeta))
           .withColumn("part_range_metadata_only", lit(rngMeta))
@@ -2283,6 +2288,7 @@ object InteropQueries {
           .withColumn("part_isnull_metadata_only", lit(isnMeta))
           .withColumn("part_isnotnull_metadata_only", lit(innMeta))
           .withColumn("part_or_metadata_only", lit(orMeta))
+          .withColumn("part_like_metadata_only", lit(lkMeta))
       },
       Some("""SELECT
           (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'A') AS n_a,
@@ -2303,6 +2309,8 @@ object InteropQueries {
           (SELECT COUNT(*) FROM lineitem
             WHERE NULLIF(l_returnflag, 'N') = 'A'
                OR NULLIF(l_returnflag, 'N') = 'R') AS n_or,
+          (SELECT COUNT(*) FROM lineitem
+            WHERE NULLIF(l_returnflag, 'N') LIKE 'A%') AS n_like,
           TRUE AS part_eq_metadata_only,
           TRUE AS part_in_grouped_metadata_only,
           TRUE AS part_range_metadata_only,
@@ -2310,7 +2318,8 @@ object InteropQueries {
           TRUE AS part_ne_metadata_only,
           TRUE AS part_isnull_metadata_only,
           TRUE AS part_isnotnull_metadata_only,
-          TRUE AS part_or_metadata_only""")),
+          TRUE AS part_or_metadata_only,
+          TRUE AS part_like_metadata_only""")),
 
     // ---- q161: COPY INTO — exactly-once bulk file ingestion ----
     // The nightly drop-zone pickup: files land in a directory, COPY INTO

@@ -483,6 +483,19 @@ object GraftSqlExtensions {
     def eval(raw: String, conv: String => Option[Any]): Option[Boolean] =
       Some((raw == null) != negated)
   }
+  /** `col [NOT] LIKE 'prefix%'` on a STRING partition column — the
+    * `day LIKE '2026-08%'` dashboard shape. A trailing-`%`-only pattern
+    * is exact prefix equality on the exact partition value (LIKE's `%`
+    * matches any tail including empty); null partition values are
+    * UNKNOWN → filtered either way. Patterns with interior wildcards,
+    * `_`, or escapes never build this predicate (parse-time bail).
+    */
+  private[sql] final case class PartPrefix(col: String, prefix: String,
+      negated: Boolean) extends PartPred {
+    def eval(raw: String, conv: String => Option[Any]): Option[Boolean] =
+      if (raw == null) Some(false)
+      else Some(raw.startsWith(prefix) != negated)
+  }
   /** `op` in <, <=, >, >= against a SAME-TYPED literal value. The
     * convertible partition types (Int/Long/Date-as-Int/UTF8String/
     * Boolean) are all Comparable with exactly SQL's ordering —
@@ -750,8 +763,9 @@ object GraftSqlExtensions {
         : Option[Seq[GraftSqlExtensions.PartPred]] = {
       import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo,
         GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
-        LessThanOrEqual, Not, Or}
-      import GraftSqlExtensions.{PartCmp, PartIn, PartIsNull, PartNotIn, PartPred}
+        LessThanOrEqual, Like, Not, Or}
+      import GraftSqlExtensions.{PartCmp, PartIn, PartIsNull, PartNotIn,
+        PartPred, PartPrefix}
       val own = node.outputSet
       def ok(a: AttributeReference, l: Literal): Boolean =
         own.contains(a) && l.value != null && l.dataType == a.dataType
@@ -791,6 +805,21 @@ object GraftSqlExtensions {
         if (cols.size != 1) None
         else Some(PartIn(cols.head, flat.iterator.map(_._2).reduce(_ ++ _)))
       }
+      def likePrefixOf(lk: Like): Option[(AttributeReference, String)] = lk match {
+        case Like(a: AttributeReference, Literal(pat, t), esc)
+            if own.contains(a) &&
+              a.dataType == org.apache.spark.sql.types.StringType &&
+              t == org.apache.spark.sql.types.StringType && pat != null =>
+          val p = pat.toString
+          // only `prefix%`: one trailing % and a wildcard/escape-free prefix
+          if (p.nonEmpty && p.last == '%' &&
+              !p.dropRight(1).exists(c => c == '%' || c == '_' || c == esc))
+            Some((a, p.dropRight(1)))
+          else None
+        case _ => None
+      }
+      def likePrefix(lk: Like, negated: Boolean): Option[PartPred] =
+        likePrefixOf(lk).map { case (a, prefix) => PartPrefix(a.name, prefix, negated) }
       val parsed: Seq[Option[PartPred]] = conjuncts.map {
         case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
         case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
@@ -816,6 +845,8 @@ object GraftSqlExtensions {
           Some(PartIsNull(a.name, negated = false))
         case IsNotNull(a: AttributeReference) if own.contains(a) =>
           Some(PartIsNull(a.name, negated = true))
+        case lk: Like => likePrefix(lk, negated = false)
+        case Not(lk: Like) => likePrefix(lk, negated = true)
         case o: Or => orToIn(o)
         case _ => None
       }

@@ -38,6 +38,10 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
     Some("p = 'a' OR p = 'b'"), // normalized to IN
     Some("p = 'a' OR p IN ('c', 'd')"),
     Some("p = 'a' OR k > 5"),   // mixed OR: must scan, stay exact
+    Some("p LIKE 'a%'"),        // trailing-% prefix: absorbed
+    Some("p NOT LIKE 'b%'"),
+    Some("p LIKE '%a'"),        // leading %: must scan, stay exact
+    Some("p LIKE 'a_'"),        // _ wildcard: must scan, stay exact
     // a REAL string value equal to the hive null-path sentinel must not
     // be conflated with SQL NULL by either side
     Some("p = '__HIVE_DEFAULT_PARTITION__'"))
@@ -64,8 +68,12 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
       }
       val df = rows.toDF("id", "p", "k", "s")
       val dir = TestSpark.tmpDir(s"fuzzmeta$ti")
+      // alternate backends: the same rules must hold over the native
+      // log AND Iceberg manifests (different partition-value and path
+      // renderings — exactly where a silent divergence hides)
+      val fileType = if (ti % 3 == 2) FileType.ICEBERG else FileType.DELTA
       client.createAsTable(df.repartition(1 + rnd.nextInt(4)),
-        "fuzzmeta", "s", s"t$ti", FileType.DELTA, s"$dir/t",
+        "fuzzmeta", "s", s"t$ti", fileType, s"$dir/t",
         partitionColumns = Seq("p"))
       // half the tables get ANALYZE so SUM/APPROX serving paths engage
       if (ti % 2 == 0)
