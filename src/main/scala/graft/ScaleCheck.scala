@@ -363,7 +363,7 @@ object ScaleCheck {
     // must track the batch (≈flat across ×10 table growth), and the
     // post-fold metadata answer must stay flat: that flat-vs-linear gap
     // is the whole point of maintaining stats instead of re-scanning
-    val (analyzeStamp, statsFoldFixed, sumPostFold) = {
+    val (analyzeStamp, statsFoldFixed, sumPostFold, minMaxPostFold) = {
       import org.apache.spark.sql.functions.col
       val loc = java.nio.file.Files.createTempDirectory("scalecheck-stats").toString
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -390,9 +390,17 @@ object ScaleCheck {
       }
       require(graft.tables.ColumnStats.currentSum(t.snapshot, "l_orderkey").isDefined,
         "fold must keep the stamp fresh after the append")
+      // round-13 tail (round-lag rule): the stamped-extremes read —
+      // long columns here, but the stamp path is the same one strings/
+      // floats take; must stay ~flat at x10 data
+      val mm = timed {
+        spark.sql("""SELECT MIN(l_orderkey) AS mn, MAX(l_suppkey) AS mx
+            FROM scalestats.s.t""").collect()
+      }
+      System.err.println(f"[scalecheck] metadata_minmax_post_fold $mm%.2fs")
       System.err.println(f"[scalecheck] analyze_stamp_scan $a%.2fs " +
         f"stats_fold_append_fixed $b%.2fs metadata_sum_post_fold $c%.2fs")
-      (a, b, c)
+      (a, b, c, mm)
     }
 
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
@@ -422,7 +430,8 @@ object ScaleCheck {
       "canonical_url_dedup" -> urlDedup,
       "analyze_stamp_scan" -> analyzeStamp,
       "stats_fold_append_fixed" -> statsFoldFixed,
-      "metadata_sum_post_fold" -> sumPostFold))
+      "metadata_sum_post_fold" -> sumPostFold,
+      "metadata_minmax_post_fold" -> minMaxPostFold))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
