@@ -247,7 +247,9 @@ final class TxTable(val spark: SparkSession, val location: String,
     // O(batch) maintenance instead of stats dying on every data commit);
     // captured from the FINAL (winning) planning iteration
     var statsFold: Option[(Long, Seq[TxLog.AddFile])] = None
-    commitWithRetry("APPEND") { snap =>
+    commitWithRetryIf("APPEND",
+      postCommit = _ => statsFold.foreach { case (v, files) =>
+        ColumnStats.foldAppend(this, v, files) }) { snap => Some {
       val (df, hwms) = IdentityColumns.assign(
         GeneratedColumns.complete(df0, snap.schema), snap.schema)
       val (newSchema0, newProps) = log.evolveMapping(snap.schema,
@@ -260,8 +262,8 @@ final class TxTable(val spark: SparkSession, val location: String,
         if (ColumnStats.isFresh(snap)) Some((snap.version + 1, added))
         else None
       TxTable.Planned(added, Seq.empty, newSchema, snap.partitionColumns, newProps)
-    }
-    statsFold.foreach { case (v, files) => ColumnStats.foldAppend(this, v, files) }
+    } }
+    ()
   }
 
   /** Latest SetTransaction watermark committed for `appId` (Delta
@@ -295,7 +297,9 @@ final class TxTable(val spark: SparkSession, val location: String,
       evolution: SchemaEvolution = SchemaEvolution.STRICT): Option[Seq[TxLog.AddFile]] = {
     var statsFold: Option[(Long, Seq[TxLog.AddFile])] = None
     var published: Seq[TxLog.AddFile] = Seq.empty
-    val committed = commitWithRetryIf("APPEND") { snap =>
+    val committed = commitWithRetryIf("APPEND",
+      postCommit = _ => statsFold.foreach { case (v, files) =>
+        ColumnStats.foldAppend(this, v, files) }) { snap =>
       if (snap.transactions.get(appId).exists(_ >= txnVersion)) None
       else {
         val (dfg, hwms) = IdentityColumns.assign(
@@ -313,10 +317,7 @@ final class TxTable(val spark: SparkSession, val location: String,
           txn = Some(TxLog.SetTxn(appId, txnVersion))))
       }
     }
-    if (committed) {
-      statsFold.foreach { case (v, files) => ColumnStats.foldAppend(this, v, files) }
-      Some(published)
-    } else None
+    if (committed) Some(published) else None
   }
 
   def overwrite(df0: DataFrame, evolution: SchemaEvolution = SchemaEvolution.STRICT): Unit =
@@ -1425,13 +1426,15 @@ final class TxTable(val spark: SparkSession, val location: String,
       plan: Snapshot => TxTable.Planned): Unit =
     commitWithRetryIf(op)(s => Some(plan(s)))
 
+
   /** Like commitWithRetry, but the planner may return None against a fresh
     * snapshot to turn the whole operation into a no-op (e.g. an idempotent
     * append discovering its txn watermark already landed — including via a
     * CONCURRENT writer that won a version race mid-retry). Returns whether
     * a commit was published.
     */
-  private def commitWithRetryIf(op: String)(
+  private def commitWithRetryIf(op: String,
+      postCommit: Long => Unit = _ => ())(
       plan: Snapshot => Option[TxTable.Planned]): Boolean = {
     log.checkWritable(spark, location, op)
     var attempts = 0
@@ -1454,6 +1457,14 @@ final class TxTable(val spark: SparkSession, val location: String,
         // INTO just paid an O(batch) fold to keep.
         if (TxTable.StatsPreservingOps.contains(op) && ColumnStats.isFresh(snap))
           ColumnStats.restampFingerprint(this, snap.version + 1)
+        // the caller's post-commit step (the append paths' stats FOLD)
+        // must land BEFORE auto-compaction: the fold re-freshens the
+        // stamp, so the compaction's own OPTIMIZE restamp can then carry
+        // it through — reversed, the compaction would see a stale stamp
+        // and the fold would stamp a fingerprint the compaction already
+        // outdated (an analyzed auto-compacting table losing its stats
+        // on every append)
+        postCommit(snap.version + 1)
         maybeAutoCompact(op, p.properties)
         return true
       }

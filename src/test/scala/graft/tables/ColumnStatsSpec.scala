@@ -91,6 +91,28 @@ class ColumnStatsSpec extends AnyFunSuite {
       "the 4-byte supplementary char must be the UTF-8-binary max")
   }
 
+  test("auto-compacting analyzed table: fold + compaction restamp chain stays fresh") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-ac") + "/t")
+    t.create((0 until 300).map(i => (i.toLong, s"v${i % 25}")).toDF("id", "s"),
+      properties = Map(
+        TxTable.AutoCompactEnabledProp -> "true",
+        TxTable.AutoCompactMinFilesProp -> "2",
+        TxTable.AutoCompactMinFileBytesProp -> (1024L * 1024L).toString))
+    ColumnStats.analyze(t, Seq("id", "s"))
+    // each append leaves >=2 sub-threshold files -> auto-compaction runs
+    // right after it; the fold lands FIRST, the OPTIMIZE restamp then
+    // carries the refreshed stamp through the rewrite
+    t.append(Seq((1000L, "v_x")).toDF("id", "s"))
+    t.append(Seq((1001L, "v_y")).toDF("id", "s"))
+    assert(t.describeHistory.select("operation").collect()
+      .exists(_.getString(0) == "OPTIMIZE"), "auto-compaction must have fired")
+    assert(ColumnStats.isFresh(t.snapshot),
+      "fold + restamp must survive the append->compact chain")
+    assert(ColumnStats.currentNdv(t.snapshot, "id").contains(302L))
+    assert(ColumnStats.currentSum(t.snapshot, "id")
+      .contains(Some((0L until 300L).sum + 1000L + 1001L)))
+  }
+
   test("timestamp and decimal extremes round-trip the stamp") {
     val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
     val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")
