@@ -28,24 +28,32 @@ class CopyIntoFuzzSpec extends AnyFunSuite {
       new java.io.File(src).mkdirs()
       val t = new TxTable(spark, s"$root/t")
       t.create(Seq.empty[(Long, String)].toDF("id", "v"))
+      // a third of the programs run the transform surface end-to-end:
+      // raw files carry DIFFERENT column names, every run (and every
+      // crash REPLAY, which must use the RECORDED projection) maps them
+      // back — the model stays "each id exactly once"
+      val transformed = pi % 3 == 0
+      val transform =
+        if (transformed) Some("raw_id as id, upper(raw_v) as v") else None
       var nextId = 0L
       def drop(): Unit = {
         val k = 1 + rnd.nextInt(4)
-        (nextId until nextId + k).map(i => (i, s"v$i")).toDF("id", "v")
+        val rows = (nextId until nextId + k).map(i => (i, s"v$i"))
+        (if (transformed) rows.toDF("raw_id", "raw_v") else rows.toDF("id", "v"))
           .repartition(1).write.mode("append").parquet(src)
         nextId += k
       }
-      def runOk(): Unit = { CopyInto.run(t, src); () }
+      def runOk(): Unit = { CopyInto.run(t, src, transform = transform); () }
       def runCrash(): Unit = {
         CopyInto.onIntentRecorded = () => throw new RuntimeException("fuzz-crash")
         try {
-          try { CopyInto.run(t, src); () }
+          try { CopyInto.run(t, src, transform = transform); () }
           catch { case e: RuntimeException if e.getMessage == "fuzz-crash" => () }
         } finally CopyInto.onIntentRecorded = () => ()
       }
       def runConcurrent(): Unit = {
         val threads = (0 until 2).map(_ => new Thread(() =>
-          try { CopyInto.run(t, src); () }
+          try { CopyInto.run(t, src, transform = transform); () }
           catch {
             // losing the intent race repeatedly is a legal outcome for
             // one runner; the data invariant still must hold at the end
