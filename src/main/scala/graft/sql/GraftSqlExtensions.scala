@@ -352,6 +352,7 @@ object GraftSqlExtensions {
       val field = snap.schema.fields.find(_.name == colName).getOrElse(return None)
       if (snap.files.exists(_.deletionVector.exists(_.cardinality > 0))) return None
       val isPart = snap.partitionColumns.contains(colName)
+      lazy val sentinelNull = sentinelIsNullFor(t, snap)
       var acc: Option[Long] = None
       snap.files.foreach { f =>
         if (f.rows != 0L) {
@@ -359,10 +360,10 @@ object GraftSqlExtensions {
           // a NULL partition value (JSON null or the hive path sentinel
           // `__HIVE_DEFAULT_PARTITION__`) proves the partition column
           // all-null in this file — ignorable without a null count
-          if (isPart && rawPartValue(f, colName).contains(null)) ()
+          if (isPart && rawPartValue(f, colName, sentinelNull).contains(null)) ()
           else {
           val stat =
-            if (isPart) rawPartValue(f, colName)
+            if (isPart) rawPartValue(f, colName, sentinelNull)
             else (if (isMin) f.minValues else f.maxValues).flatMap(_.get(colName))
           stat.filter(_ != null)
             .flatMap(s => graft.tables.FileStats.orderedStatValue(field.dataType, s)) match {
@@ -434,17 +435,40 @@ object GraftSqlExtensions {
     }
   }
 
+  /** Whether a log-recorded `__HIVE_DEFAULT_PARTITION__` partition
+    * value provably denotes SQL NULL for THIS snapshot — i.e. the scan
+    * itself reads those rows as NULL. Always true for path-parsed
+    * sources (the native log and Iceberg parse values out of hive-style
+    * paths, where the sentinel IS the encoding of null — a real string
+    * equal to it is unrepresentable, exactly as in hive/Spark partition
+    * discovery). A foreign-Delta log records values as JSON, where null
+    * is unambiguous and a sentinel STRING could be a REAL value; there
+    * the decode is sound only when the snapshot takes the
+    * hive-discovery read route (every file's path rendering matches its
+    * JSON values — the same test DeltaLog.dfForSnapshot makes before
+    * choosing basePath discovery, which conflates identically).
+    * Anything else → the caller bails to the scan rather than guess.
+    */
+  private def sentinelIsNullFor(t: graft.tables.TxTable,
+      snap: graft.tables.TxLog.Snapshot): Boolean =
+    t.log != graft.tables.ForeignDeltaCommitLog ||
+      snap.files.forall(f =>
+        !graft.tables.TxLog.isAbsolute(f.path) &&
+          graft.tables.TxLog.partitionValuesOf(f.path) == f.partitionValues)
+
   /** A partition value as the log records it, normalized to SQL
-    * semantics: `__HIVE_DEFAULT_PARTITION__` is the hive/Spark path
-    * sentinel for a NULL partition value (the native log parses values
-    * from hive paths; foreign Delta writes a JSON null) — a scan reads
-    * those rows as NULL, so the metadata path must too. None = the file
-    * records no value for the column at all (unprovable membership). */
-  private def rawPartValue(f: graft.tables.TxLog.AddFile, col: String): Option[String] =
-    f.partitionValues.get(col).map {
-      case null => null
-      case "__HIVE_DEFAULT_PARTITION__" => null
-      case v => v
+    * semantics: `__HIVE_DEFAULT_PARTITION__` decodes to NULL only when
+    * `sentinelIsNull` proves the scan reads it that way (see
+    * [[sentinelIsNullFor]]) — otherwise the value is ambiguous and the
+    * file is unprovable. None = no decodable value for the column
+    * (unprovable membership → callers fall to the scan). */
+  private def rawPartValue(f: graft.tables.TxLog.AddFile, col: String,
+      sentinelIsNull: => Boolean): Option[String] =
+    f.partitionValues.get(col).flatMap {
+      case null => Some(null)
+      case "__HIVE_DEFAULT_PARTITION__" =>
+        if (sentinelIsNull) Some(null) else None
+      case v => Some(v)
     }
 
   /** One absorbed partition-predicate conjunct. `eval` is SQL
@@ -562,6 +586,7 @@ object GraftSqlExtensions {
       // convertible type — anything else is unprovable from the log
       if (!partFilter.forall(p =>
           partSet.contains(p.col) && fieldType.contains(p.col))) return None
+      lazy val sentinelNull = sentinelIsNullFor(t, snap)
       // files surviving the partition-only predicate (exact: partition
       // values are never truncated). A NULL partition value is exactly
       // decidable under three-valued logic (PartPred.eval); only a
@@ -569,7 +594,7 @@ object GraftSqlExtensions {
       val inScope = snap.files.filter { f =>
         if (f.rows < 0L) return None
         partFilter.forall { p =>
-          rawPartValue(f, p.col) match {
+          rawPartValue(f, p.col, sentinelNull) match {
             case Some(v) =>
               p.eval(v, s => partitionValueToCatalyst(fieldType(p.col), s))
                 .getOrElse(return None)
@@ -587,7 +612,7 @@ object GraftSqlExtensions {
         .empty[Seq[String], scala.collection.mutable.ArrayBuffer[graft.tables.TxLog.AddFile]]
       inScope.foreach { f =>
         val key = groupCols.map { c =>
-          rawPartValue(f, c) match {
+          rawPartValue(f, c, sentinelNull) match {
             case Some(v) if v != null => v
             // null (incl. the hive path sentinel) or missing group key:
             // SQL would emit a NULL-keyed group — fall to scan rather
@@ -608,7 +633,7 @@ object GraftSqlExtensions {
           if (f.rows != 0L) {
             // a NULL partition value (incl. the hive path sentinel) makes
             // the column all-null in that file — contributes 0, exactly
-            if (isPart) rawPartValue(f, c) match {
+            if (isPart) rawPartValue(f, c, sentinelNull) match {
               case Some(v) => if (v != null) acc += f.rows
               case None => return None
             }
@@ -631,10 +656,10 @@ object GraftSqlExtensions {
           if (f.rows != 0L) {
             // a NULL partition value (incl. the hive sentinel) proves the
             // column all-null in the file — no extreme to contribute
-            if (isPart && rawPartValue(f, c).contains(null)) ()
+            if (isPart && rawPartValue(f, c, sentinelNull).contains(null)) ()
             else {
             val stat =
-              if (isPart) rawPartValue(f, c)
+              if (isPart) rawPartValue(f, c, sentinelNull)
               else (if (isMin) f.minValues else f.maxValues).flatMap(_.get(c))
             stat.filter(_ != null)
               .flatMap(s => graft.tables.FileStats.orderedStatValue(dt, s)) match {

@@ -81,6 +81,10 @@ object BloomIndex {
 
   private val DefaultFpp = 0.01
   private val DefaultMaxBits = 1 << 23 // 1 MiB per (file, column)
+  /** Only compact leftovers OLDER than this are swept — a younger
+    * .compact-/.old- dir may be a concurrent compact's live state.
+    * Overridable for tests (sweeping is time-based by design). */
+  private[tables] var SweepAgeMs: Long = 60L * 60L * 1000L
   private val DefaultRowsPerFile = 1L << 20 // sizing fallback for stat-less files
 
   /** Above this many live (file, column) pairs, `refresh` probes the
@@ -169,14 +173,20 @@ object BloomIndex {
     val dirStr = indexDir(table.location)
     val dir = new org.apache.hadoop.fs.Path(dirStr)
     val fs = TxLog.fs(spark, table.location)
-    // sweep temp/aside dirs leaked by a crashed previous compact —
-    // nothing else ever reads them, so this is the one cleanup point
+    // sweep temp/aside dirs leaked by a CRASHED previous compact —
+    // nothing else ever reads them, so this is the one cleanup point.
+    // Age-gated: a dir younger than the window may belong to a compact
+    // still RUNNING concurrently (deleting its live tmp, or its aside
+    // mid-swap, could leave no sidecar at all — a silent full-index
+    // rebuild); an hour-old one is provably a crash leftover.
     val parent = dir.getParent
     if (parent != null && fs.exists(parent)) {
+      val cutoff = System.currentTimeMillis() - SweepAgeMs
       fs.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(dir.getName + ".compact-") ||
-            n.startsWith(dir.getName + ".old-")) { fs.delete(st.getPath, true); () }
+        if ((n.startsWith(dir.getName + ".compact-") ||
+            n.startsWith(dir.getName + ".old-")) &&
+            st.getModificationTime < cutoff) { fs.delete(st.getPath, true); () }
       }
     }
     if (!fs.exists(dir)) return 0L
@@ -191,10 +201,11 @@ object BloomIndex {
       .write.parquet(tmp.toString)
     val kept = spark.read.parquet(tmp.toString).count()
     if (kept == total) { fs.delete(tmp, true); return 0L }
-    // swap via rename-ASIDE (rename is atomic; a crash at any point
-    // leaves either the old or the new sidecar in place — never a
-    // window with NO sidecar, which would silently rebuild the whole
-    // index); the aside dir is garbage the next sweep reclaims
+    // swap via rename-ASIDE (each rename is atomic, so the no-sidecar
+    // window is narrowed to the instant BETWEEN the two renames — a
+    // crash exactly there leaves no sidecar and the next refresh pays a
+    // full rebuild: a perf loss, never a correctness one); the aside
+    // dir is garbage the next age-gated sweep reclaims
     val aside = new org.apache.hadoop.fs.Path(dirStr + ".old-" + stamp)
     if (!fs.rename(dir, aside)) { fs.delete(tmp, true); return 0L }
     if (!fs.rename(tmp, dir)) {

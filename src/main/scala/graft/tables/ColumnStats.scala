@@ -74,8 +74,35 @@ object ColumnStats {
     * appends fold (min/max merge exactly), deletes invalidate. */
   val MinPropPrefix = "graft.stats.min."
   val MaxPropPrefix = "graft.stats.max."
+  /** Exact NON-NULL count per analyzed column (decimal string). Folds
+    * both ways (appends add, provable deletes subtract) and is what
+    * makes two things decidable from the stamp alone: SUM's SQL
+    * NULL-vs-0 boundary after a delete (zero non-null values remaining
+    * → NULL), and the planner's CatalogColumnStat.nullCount
+    * (rowCount − cnt). Absent on pre-r14 stamps — every consumer
+    * treats absence as "unknown", never as zero. */
+  val CntPropPrefix = "graft.stats.cnt."
+  /** Per-PARTITION KMV sketches (partitioned tables only, bounded by
+    * [[MaxStampedPartitions]]): pvals holds the ordered JSON list of
+    * stamped partition tuples, pkmv.<col>.<i> the sketch of column
+    * <col> restricted to tuple i. What makes APPROX_COUNT_DISTINCT
+    * absorbable under a partition-only WHERE: KMV sketches merge
+    * exactly, so the surviving partitions' sketches recombine into the
+    * filtered answer at O(#partitions × k) driver cost. */
+  val PkmvPropPrefix = "graft.stats.pkmv."
+  val PvalsProp = "graft.stats.pvals"
+  /** The snapshot version the stamp currently BINDS to (analyze scan /
+    * latest fold / restamp target) — SHOW STATISTICS surfaces it so an
+    * operator can judge the stamp's age at a glance. */
+  val VersionProp = "graft.stats.version"
   val FingerprintProp = "graft.stats.fingerprint"
   val KProp = "graft.stats.k"
+
+  /** Per-partition sketches are stamped only up to this many partition
+    * tuples — each sketch is ~32 KB of property text, and table
+    * properties ride every commit. Beyond the cap only the table-wide
+    * sketch is stamped (filtered APPROX falls back to the scan). */
+  val MaxStampedPartitions = 64
 
   /** Sketch size: exact below 4096 distinct, ~1.6% relative error above. */
   val K = 4096
@@ -329,9 +356,17 @@ object ColumnStats {
         .map(_.stripPrefix(NdvPropPrefix)).toSeq.sorted
       val sumCols = props.keys.filter(_.startsWith(SumPropPrefix))
         .map(_.stripPrefix(SumPropPrefix)).toSeq.sorted
-      val mmCols = props.keys.filter(_.startsWith(MinPropPrefix))
-        .map(_.stripPrefix(MinPropPrefix)).toSeq.sorted
-        .filter(c => props.contains(MaxPropPrefix + c))
+      val minCols = props.keys.filter(_.startsWith(MinPropPrefix))
+        .map(_.stripPrefix(MinPropPrefix)).toSet
+      val maxCols = props.keys.filter(_.startsWith(MaxPropPrefix))
+        .map(_.stripPrefix(MaxPropPrefix)).toSet
+      // an UNPAIRED extreme (min without max or vice versa — e.g. a
+      // manual UNSET TBLPROPERTIES) means the stamp is no longer the
+      // shape ANALYZE wrote: abort the WHOLE fold (stamp stays stale),
+      // exactly like a missing sketch — silently dropping the column
+      // would re-freshen the un-folded survivor as servable
+      if (minCols != maxCols) return
+      val mmCols = minCols.toSeq.sorted
       if (ndvCols.isEmpty && sumCols.isEmpty && mmCols.isEmpty) return
       val known = snap.schema.fieldNames.toSet
       if (!(ndvCols ++ sumCols ++ mmCols).forall(known.contains)) return

@@ -114,7 +114,13 @@ object CopyInto {
       val c = s.charAt(i)
       if (quote != 0) {
         cur.append(c)
-        if (c == quote) quote = 0
+        // a backslash escapes the NEXT char inside string literals
+        // (Spark SQL rules: 'it\'s' stays one literal) — without this a
+        // \' would close the quote early and a later top-level comma
+        // would mis-split, with the bad split RECORDED in the intent
+        if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          cur.append(s.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur.append(c)
         case '(' => depth += 1; cur.append(c)
@@ -145,7 +151,14 @@ object CopyInto {
       paths: Seq[String], transform: Option[String] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val schema = target.snapshot.schema
-    val declared = if (transform.isDefined) None else Some(schema)
+    // mergeSchema must SEE source columns beyond the target's: csv/json/
+    // avro read with the target schema DECLARED would silently drop
+    // them (no column ever surfaces to evolve the target), so read raw
+    // — exactly like the transform path — and cast the known target
+    // columns below. Extra csv columns evolve as strings (the header
+    // carries no types), matching the transform surface.
+    val declared =
+      if (transform.isDefined || mergeSchema) None else Some(schema)
     val base = format.toLowerCase(java.util.Locale.ROOT) match {
       case "parquet" => spark.read.parquet(paths: _*)
       case "csv" =>

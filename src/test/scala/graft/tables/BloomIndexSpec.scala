@@ -127,6 +127,27 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(BloomIndex.compact(t) == 0L)
   }
 
+  test("leftover sweep is age-gated: young compact dirs survive, old ones go") {
+    val loc = TestSpark.tmpDir("bloomidx-sweep")
+    val t = mkTable(loc, nFiles = 3)
+    BloomIndex.enable(t, Seq("tag"))
+    val fs = TxLog.fs(spark, loc)
+    val young = new org.apache.hadoop.fs.Path(
+      s"$loc/${BloomIndex.IndexRoot}/bloom.compact-young")
+    fs.mkdirs(young)
+    // default gate (1 h): a freshly-created dir may be a CONCURRENT
+    // compact's live tmp — the sweep must leave it alone
+    BloomIndex.compact(t)
+    assert(fs.exists(young), "young leftover must survive the sweep")
+    // with the gate at zero the same dir is provably a crash leftover
+    val prev = BloomIndex.SweepAgeMs
+    try {
+      BloomIndex.SweepAgeMs = -1L
+      BloomIndex.compact(t)
+      assert(!fs.exists(young), "aged leftover must be reclaimed")
+    } finally BloomIndex.SweepAgeMs = prev
+  }
+
   test("guards: partition column, unsupported type, renamed-history iceberg refused") {
     val locP = TestSpark.tmpDir("bloomidx4")
     val tp = new TxTable(spark, locP)

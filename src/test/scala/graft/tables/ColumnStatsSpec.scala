@@ -57,6 +57,22 @@ class ColumnStatsSpec extends AnyFunSuite {
       .get.get.toString == "zz")
   }
 
+  test("an UNPAIRED stamped extreme (manual UNSET) aborts the fold, never re-freshens") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-unpair") + "/t")
+    t.create(Seq((1L, "b"), (5L, "m")).toDF("id", "s"))
+    ColumnStats.analyze(t, Seq("id", "s"))
+    // simulate an operator unsetting ONE half of a pair
+    t.setProperties(Map(ColumnStats.MaxPropPrefix + "s" -> null))
+    assert(ColumnStats.isFresh(t.snapshot), "property-only commit keeps the stamp fresh")
+    // the append fold must ABORT (stamp goes stale), not silently drop
+    // the column and restamp the surviving un-folded min as fresh
+    t.append(Seq((9L, "a")).toDF("id", "s")) // new MIN for s rides the batch
+    assert(!ColumnStats.isFresh(t.snapshot),
+      "fold with an unpaired extreme must leave the stamp stale")
+    assert(ColumnStats.currentMinMax(t.snapshot, "s", isMin = true).isEmpty,
+      "a stale stamp must never serve the un-folded extreme")
+  }
+
   test("NaN and negative-zero doubles follow Spark's ordering through the fold") {
     val t = new TxTable(spark, TestSpark.tmpDir("cs-nan") + "/t")
     t.create(Seq((1L, 1.5), (2L, -3.25)).toDF("id", "d"))

@@ -271,6 +271,30 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(CopyInto.splitProjection("a, cast(b as int), concat(c, ',', d) as e") ==
       Seq("a", "cast(b as int)", "concat(c, ',', d) as e"))
     assert(CopyInto.splitProjection("f(g(x, y), z) as w") == Seq("f(g(x, y), z) as w"))
+    // a backslash-escaped quote must NOT close the literal (Spark SQL
+    // string rules) — before the fix the ',' after it split the expr
+    assert(CopyInto.splitProjection("""concat(a, 'it\'s, fine') as x, b""") ==
+      Seq("""concat(a, 'it\'s, fine') as x""", "b"))
+    assert(CopyInto.splitProjection("""'a\\', b""") == Seq("""'a\\'""", "b"))
+  }
+
+  test("mergeSchema without a transform surfaces extra csv/json source columns") {
+    val root = TestSpark.tmpDir("copyinto-msraw")
+    Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "v", "extra")
+      .repartition(1).write.option("header", "true").csv(s"$root/drop")
+    val t = new TxTable(spark, s"$root/t")
+    t.create(Seq.empty[(Long, String)].toDF("id", "v"))
+    val r = CopyInto.run(t, s"$root/drop", format = "csv", mergeSchema = true)
+    assert(r.filesLoaded == 1L && r.rowsLoaded == 2L)
+    // the extra column EVOLVED the target (previously the declared-
+    // schema read silently dropped it despite mergeSchema=true); csv
+    // headers carry no types, so it evolves as string — same contract
+    // as the transform path
+    assert(t.snapshot.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(t.toDF.filter(col("id") === 2L).head.getString(2) == "20")
+    // known target columns still arrive CAST to their declared types
+    assert(t.snapshot.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 
   test("ingest log behind the target watermark is refused, not silently skipped") {
