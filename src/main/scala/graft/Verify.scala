@@ -13,6 +13,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // cost-based optimizer ON: the stamped column statistics the
+      // engine attaches (GraftPlannerStats) feed filter selectivity and
+      // join-reorder costing; relations without stats fall back to
+      // size-only estimation exactly as before
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       // events.parquet stores TIMESTAMP(NANOS); read as epoch-ns long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtensions")

@@ -2418,9 +2418,11 @@ object InteropQueries {
     // The ANALYZE scan that stamps NDVs also stamps exact integral sums
     // (decimal-38 accumulation, so a 100 TB sum can't wrap) under the
     // same snapshot fingerprint: `SELECT SUM(x)` answers from one
-    // property read while fresh, and ANY data commit silently
-    // invalidates back to the scan — both directions plan-pinned, the
-    // values recomputed by DuckDB.
+    // property read while fresh. Appends FOLD (sketch merge + sum add),
+    // and since round 14 a provable copy-on-write DELETE folds too
+    // (subtraction); an UPDATE's value delta is never derivable, so it
+    // silently invalidates back to the scan — every direction
+    // plan-pinned, the values recomputed by DuckDB.
     QueryDef(
       "q163_analyze_sum",
       (s, dir) => {
@@ -2445,15 +2447,23 @@ object InteropQueries {
         s.sql("INSERT INTO q163cat.s.t VALUES (-1, 0)")
         val folded = s.sql("SELECT SUM(l_quantity) AS sum_qty2 FROM q163cat.s.t")
         val foldedMeta = !planOf(folded).contains("FileScan")
-        // a DELETE is not fold-able: scan, stays exact (removing the
-        // planted zero row restores the original sums)
+        // round 14: a provable DELETE now folds TOO — the removed rows'
+        // sum subtracts (removing the planted zero row restores the
+        // original sums), SUM keeps answering scan-free
         s.sql("DELETE FROM q163cat.s.t WHERE l_orderkey = -1")
-        val stale = s.sql("SELECT SUM(l_quantity) AS sum_qty3 FROM q163cat.s.t")
+        val afterDel = s.sql("SELECT SUM(l_quantity) AS sum_qty3 FROM q163cat.s.t")
+        val delMeta = !planOf(afterDel).contains("FileScan")
+        // an UPDATE's value changes are never derivable: honest
+        // invalidation back to the scan, still exact (no-op assignment)
+        s.sql("UPDATE q163cat.s.t SET l_quantity = l_quantity WHERE l_orderkey = 1")
+        val stale = s.sql("SELECT SUM(l_quantity) AS sum_qty4 FROM q163cat.s.t")
         val staleScans = planOf(stale).contains("FileScan")
         fresh.crossJoin(folded)
+          .crossJoin(afterDel)
           .crossJoin(stale)
           .withColumn("fresh_metadata_only", lit(freshMeta))
           .withColumn("append_folds_scan_free", lit(foldedMeta))
+          .withColumn("delete_folds_scan_free", lit(delMeta))
           .withColumn("stale_falls_back", lit(staleScans))
       },
       Some("""SELECT
@@ -2461,8 +2471,9 @@ object InteropQueries {
           CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS sum_ok,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty2,
           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty3,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty4,
           TRUE AS fresh_metadata_only, TRUE AS append_folds_scan_free,
-          TRUE AS stale_falls_back
+          TRUE AS delete_folds_scan_free, TRUE AS stale_falls_back
         FROM lineitem""")),
 
     // ---- q165: incrementally-MAINTAINED ANALYZE stats across appends ----
@@ -2474,8 +2485,10 @@ object InteropQueries {
     // tables/ColumnStats.foldAppend), so APPROX_COUNT_DISTINCT and
     // SUM keep answering SCAN-FREE after ANALYZE → COPY INTO → append,
     // with values DuckDB recomputes over the fully-grown table. A DELETE
-    // twin pins the honest bail-out: its row delta is not derivable from
-    // an append fold, so the stamp invalidates and the plan scans.
+    // twin pins round 14's split verdict: SUM folds the removal by
+    // subtraction (still scan-free, DuckDB-recomputed post-delete),
+    // while the KMV sketch honestly cannot un-see removed values, so
+    // APPROX_COUNT_DISTINCT falls back to the scan.
     QueryDef(
       "q165_incremental_analyze_fold",
       (s, dir) => {
@@ -2511,19 +2524,30 @@ object InteropQueries {
         // equal DuckDB's COUNT(DISTINCT); orderkey is estimate-regime —
         // pinned inside the KMV error envelope against the exact count
         val exactOrders = li.agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+        // tightened round 14: ~3x the KMV theoretical RSE at k=4096
+        // (1/sqrt(k-2) ≈ 1.56%) so an estimator regression actually
+        // surfaces instead of hiding under a generous envelope
         val estOk =
-          math.abs(row.getLong(2) - exactOrders).toDouble / exactOrders < 0.0625
-        // the delete twin: not fold-able -> fingerprint mismatch -> scan
+          math.abs(row.getLong(2) - exactOrders).toDouble / exactOrders < 0.05
+        // the delete twin (round 14): a provable retention DELETE FOLDS
+        // — SUM keeps answering scan-free by subtraction (DuckDB
+        // recomputes over the post-delete rows) — while the sketch
+        // honestly CANNOT un-see the removed values, so
+        // APPROX_COUNT_DISTINCT falls back to the scan until re-ANALYZE
         t.delete("l_quantity = 1")
         val q2 = s.sql("SELECT SUM(l_quantity) AS sum_after_delete FROM q165cat.s.t")
-        val deleteScans = planOf(q2).contains("FileScan")
+        val deleteSumFolds = !planOf(q2).contains("FileScan")
+        val q3 = s.sql(
+          "SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS d FROM q165cat.s.t")
+        val deleteNdvScans = planOf(q3).contains("FileScan")
         import s.implicits._
         Seq((row.getLong(0), row.getLong(1), row.getLong(3)))
           .toDF("n_rows", "du_suppkey", "sum_qty")
           .crossJoin(q2)
           .withColumn("orderkey_est_ok", lit(estOk))
           .withColumn("served_scan_free", lit(servedMeta))
-          .withColumn("delete_falls_back", lit(deleteScans))
+          .withColumn("delete_sum_folds", lit(deleteSumFolds))
+          .withColumn("delete_ndv_falls_back", lit(deleteNdvScans))
       },
       Some("""SELECT
           (SELECT COUNT(*) FROM lineitem) AS n_rows,
@@ -2535,7 +2559,8 @@ object InteropQueries {
             WHERE CAST(l_quantity AS BIGINT) <> 1) AS sum_after_delete,
           TRUE AS orderkey_est_ok,
           TRUE AS served_scan_free,
-          TRUE AS delete_falls_back""")),
+          TRUE AS delete_sum_folds,
+          TRUE AS delete_ndv_falls_back""")),
 
     // ---- q166: ANALYZE-stamped exact MIN/MAX for footer-refused types ----
     // Per-file footer stats can NEVER soundly answer string extremes
@@ -2578,7 +2603,9 @@ object InteropQueries {
         val q2 = s.sql("""SELECT MIN(l_returnflag) AS min_rf_2,
             MAX(l_extendedprice) AS max_price_2 FROM q166cat.s.t""")
         val foldMeta = !planOf(q2).contains("FileScan")
-        // delete the planted row: not fold-able -> scan, values revert
+        // delete the planted row: it TIES the stamped string-min AND
+        // double-max, so the delete fold must DROP those pairs (the
+        // extreme-holder is gone) -> scan, values revert
         t.delete("l_returnflag = '0'")
         val q3 = s.sql("SELECT MIN(l_returnflag) AS min_rf_3 FROM q166cat.s.t")
         val delScans = planOf(q3).contains("FileScan")
@@ -2655,10 +2682,15 @@ object InteropQueries {
     // ---- q168: SHOW STATISTICS FOR t — the stamp's inspection surface ----
     // A user maintaining the metadata-only path needs to SEE what is
     // stamped and whether it still binds: one row per analyzed column
-    // with NDV / exact sum / exact min / max (rendered) and the
-    // freshness verdict. Both columns sit in the sketch's EXACT regime
-    // (< 4096 distinct), so every value — including the NDVs — is
-    // recomputed independently by DuckDB.
+    // with NDV / exact sum / exact min / max (rendered), the
+    // exact-vs-estimate regime marker (`exact` = ndv < k, so "7
+    // exactly" and "≈812,345 ±1.6%" are distinguishable at a glance),
+    // the snapshot version the stamp binds to, and the freshness
+    // verdict. Both columns sit in the sketch's EXACT regime (< 4096
+    // distinct), so every value — including the NDVs and the exact
+    // booleans (COUNT(DISTINCT c) < 4096) — is recomputed
+    // independently by DuckDB; the stamped version is the CTAS
+    // snapshot (0), deterministic by construction.
     QueryDef(
       "q168_show_statistics",
       (s, dir) => {
@@ -2679,12 +2711,173 @@ object InteropQueries {
             CAST(SUM(l_linenumber) AS VARCHAR) AS "sum",
             CAST(MIN(l_linenumber) AS VARCHAR) AS "min",
             CAST(MAX(l_linenumber) AS VARCHAR) AS "max",
+            COUNT(DISTINCT l_linenumber) < 4096 AS exact,
+            CAST(0 AS BIGINT) AS stamped_version,
             TRUE AS fresh
           FROM lineitem
           UNION ALL
           SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag),
-            CAST(NULL AS VARCHAR), MIN(l_returnflag), MAX(l_returnflag), TRUE
+            CAST(NULL AS VARCHAR), MIN(l_returnflag), MAX(l_returnflag),
+            COUNT(DISTINCT l_returnflag) < 4096, CAST(0 AS BIGINT), TRUE
           FROM lineitem
-        ) ORDER BY "column""""))
+        ) ORDER BY "column"""")),
+
+    // ---- q169: DELETE-fold — stats survive a retention delete ----
+    // The 100 TB norm is append-mostly with an occasional retention
+    // DELETE; before round 14 that one delete killed the whole stamp
+    // until a full re-ANALYZE scan. Now the delete FOLDS where
+    // provable: SUM subtracts the removed rows' sum, MIN/MAX survive
+    // when one O(touched) aggregate over the removed rows proves no
+    // removed value ties a stamped extreme. Planted sentinel rows hold
+    // every extreme, so the interior delete is provably safe — SUM,
+    // MIN(string), MAX(double) all keep answering scan-free with
+    // values DuckDB recomputes over the post-delete rows. The twin
+    // then deletes the LOW sentinel itself: every min TIES, the pairs
+    // drop, MIN honestly scans — while SUM still folds.
+    QueryDef(
+      "q169_delete_fold_stats",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q169cat")
+        client.createSchema("q169cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q169-df").toString
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_extendedprice").cast(DoubleType).as("l_extendedprice"),
+          col("l_returnflag"))
+        val lo = Seq((-5L, -7L, -1.5, "0"))
+          .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        val hi = Seq((9000000000L, 999L, 9.9e9, "zz"))
+          .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        client.createAsTable(li.unionByName(lo).unionByName(hi),
+          "q169cat", "s", "t", graft.catalog.FileType.DELTA, s"$root/t")
+        s.sql("ANALYZE TABLE q169cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        // the retention delete: interior rows only — provably
+        // extreme-safe, so EVERYTHING below answers scan-free
+        s.sql("DELETE FROM q169cat.s.t WHERE l_quantity = 25")
+        val q1 = s.sql("""SELECT SUM(l_quantity) AS sum_qty,
+            MIN(l_returnflag) AS min_rf, MAX(l_extendedprice) AS max_price,
+            COUNT(*) AS n_rows FROM q169cat.s.t""")
+        val foldMeta = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        // extreme-touching twin: the low sentinel holds every MIN — the
+        // fold must drop the tied pairs (the holder is gone), MIN scans
+        s.sql("DELETE FROM q169cat.s.t WHERE l_returnflag = '0'")
+        val qMin = s.sql("SELECT MIN(l_returnflag) AS min_rf_2 FROM q169cat.s.t")
+        val minScans = planOf(qMin).contains("FileScan")
+        // ...while SUM keeps folding straight through BOTH deletes
+        val qSum = s.sql("SELECT SUM(l_quantity) AS sum_qty_2 FROM q169cat.s.t")
+        val sumStillFolds = !planOf(qSum).contains("FileScan")
+        q1.crossJoin(qMin).crossJoin(qSum)
+          .withColumn("retention_fold_scan_free", lit(foldMeta))
+          .withColumn("extreme_touch_falls_back", lit(minScans))
+          .withColumn("sum_survives_both_deletes", lit(sumStillFolds))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_quantity AS BIGINT) AS q,
+                 CAST(l_extendedprice AS DOUBLE) AS p, l_returnflag AS rf
+          FROM lineitem
+          UNION ALL SELECT -5, -7, -1.5, '0'
+          UNION ALL SELECT 9000000000, 999, 9.9e9, 'zz'
+        ), d1 AS (SELECT * FROM src WHERE q <> 25)
+        SELECT
+          (SELECT CAST(SUM(q) AS BIGINT) FROM d1) AS sum_qty,
+          (SELECT MIN(rf) FROM d1) AS min_rf,
+          (SELECT MAX(p) FROM d1) AS max_price,
+          (SELECT COUNT(*) FROM d1) AS n_rows,
+          (SELECT MIN(rf) FROM d1 WHERE rf <> '0') AS min_rf_2,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM d1 WHERE rf <> '0') AS sum_qty_2,
+          TRUE AS retention_fold_scan_free,
+          TRUE AS extreme_touch_falls_back,
+          TRUE AS sum_survives_both_deletes""")),
+
+    // ---- q170: APPROX_COUNT_DISTINCT absorbs a partition-only WHERE ----
+    // "Distinct suppliers WHERE flag >= X" is the permanent dashboard
+    // shape the TABLE-WIDE stamped sketch can never serve (it can't be
+    // filtered). ANALYZE on a partitioned table therefore also stamps
+    // one KMV sketch PER PARTITION tuple (bounded at 64 tuples ×
+    // ~32 KB); under the same absorbed predicate family the surviving
+    // partitions' sketches exact-merge into the filtered answer —
+    // O(#partitions × k) driver work, zero files opened. Exact-regime
+    // values (suppkey, < 4096 distinct) are DuckDB-recomputed; the
+    // estimate-regime answer (orderkey) rides as an envelope boolean;
+    // appends FOLD per partition; a non-partition WHERE honestly scans.
+    QueryDef(
+      "q170_partition_ndv",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q170cat")
+        client.createSchema("q170cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q170-pn").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_suppkey").cast(LongType).as("l_suppkey"),
+          col("l_returnflag"))
+        client.createAsTable(li.repartition(4), "q170cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q170cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val q1 = s.sql("""SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du_supp
+          FROM q170cat.s.t WHERE l_returnflag <> 'A'""")
+        val meta1 = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        // estimate regime under a range predicate: envelope, not value
+        val q2 = s.sql("""SELECT APPROX_COUNT_DISTINCT(l_orderkey) AS du_ok
+          FROM q170cat.s.t WHERE l_returnflag >= 'N'""")
+        val meta2 = !planOf(q2).contains("FileScan")
+        val exactOk = li.filter(col("l_returnflag") >= "N")
+          .agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+        val est2 = q2.collect()(0).getLong(0)
+        val estOk = math.abs(est2 - exactOk).toDouble / exactOk < 0.05
+        // sketch-served and exact per-file arithmetic mix in ONE
+        // statement, still one LocalTableScan
+        val q3 = s.sql("""SELECT COUNT(*) AS n_r,
+            APPROX_COUNT_DISTINCT(l_suppkey) AS du_r, MAX(l_orderkey) AS max_ok_r
+          FROM q170cat.s.t WHERE l_returnflag = 'R'""")
+        val meta3 = planOf(q3).contains("LocalTableScan") &&
+          !planOf(q3).contains("FileScan")
+        // an append folds the per-partition layer too: a NEW distinct
+        // suppkey lands in partition 'N' without any rescan
+        import s.implicits._
+        client.getTxTable("q170cat", "s", "t").append(
+          Seq((9999999L, -1L, "N")).toDF("l_orderkey", "l_suppkey", "l_returnflag"))
+        val q4 = s.sql("""SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du_supp2
+          FROM q170cat.s.t WHERE l_returnflag <> 'A'""")
+        val meta4 = !planOf(q4).contains("FileScan")
+        // a NON-partition conjunct is never absorbable — honest scan
+        val q5 = s.sql("""SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du_np
+          FROM q170cat.s.t WHERE l_orderkey > 0""")
+        val nonPartScans = planOf(q5).contains("FileScan")
+        q1.crossJoin(q3).crossJoin(q4)
+          .withColumn("filtered_sketch_scan_free", lit(meta1))
+          .withColumn("range_sketch_scan_free", lit(meta2))
+          .withColumn("orderkey_est_ok", lit(estOk))
+          .withColumn("mixed_scan_free", lit(meta3))
+          .withColumn("append_folds_partitions", lit(meta4))
+          .withColumn("non_partition_where_scans", lit(nonPartScans))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_suppkey AS BIGINT) AS sk,
+                 l_returnflag AS rf
+          FROM lineitem
+        )
+        SELECT
+          (SELECT COUNT(DISTINCT sk) FROM src WHERE rf <> 'A') AS du_supp,
+          (SELECT COUNT(*) FROM src WHERE rf = 'R') AS n_r,
+          (SELECT COUNT(DISTINCT sk) FROM src WHERE rf = 'R') AS du_r,
+          (SELECT MAX(ok) FROM src WHERE rf = 'R') AS max_ok_r,
+          (SELECT COUNT(DISTINCT sk) FROM src WHERE rf <> 'A') + 1 AS du_supp2,
+          TRUE AS filtered_sketch_scan_free,
+          TRUE AS range_sketch_scan_free,
+          TRUE AS orderkey_est_ok,
+          TRUE AS mixed_scan_free,
+          TRUE AS append_folds_partitions,
+          TRUE AS non_partition_where_scans"""))
   )
 }

@@ -416,6 +416,40 @@ object GraftSqlExtensions {
       graft.tables.ColumnStats.currentSum(snap, colName)
     } catch { case _: Throwable => None }
 
+  /** `APPROX_COUNT_DISTINCT(col)` under an absorbed partition-only
+    * WHERE, answered by exact-merging the ANALYZE-stamped PER-PARTITION
+    * KMV sketches of exactly the partitions the predicate keeps
+    * ("distinct users WHERE day >= X" — the permanent dashboard shape
+    * the table-wide sketch can't serve). Requires a fresh fingerprint,
+    * every predicate column to be a partition column at stamp time, and
+    * every stamped tuple's membership to be exactly decidable under the
+    * same three-valued PartPred logic the exact aggregates use; the
+    * merge is O(#partitions × k) driver work over property bytes — no
+    * file is opened. None = unprovable → scan.
+    */
+  private[sql] def statsPartitionNdv(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String,
+      preds: Seq[PartPred]): Option[Long] =
+    try {
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val pcols = snap.partitionColumns
+      if (pcols.isEmpty || pcols.contains(colName)) return None
+      if (!preds.forall(p => pcols.contains(p.col))) return None
+      val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      val tuples = graft.tables.ColumnStats.currentPartitionTuples(snap)
+        .getOrElse(return None)
+      val keep = tuples.zipWithIndex.filter { case (tuple, _) =>
+        preds.forall { p =>
+          val raw = tuple(pcols.indexOf(p.col))
+          p.eval(raw, s => graft.tables.ColumnStats
+              .stampedPartitionValue(fieldType(p.col), s))
+            .getOrElse(return None)
+        }
+      }.map(_._2)
+      graft.tables.ColumnStats.mergedPartitionNdv(snap, colName, keep)
+    } catch { case _: Throwable => None }
+
   /** A partition-value STRING to the column's Catalyst-internal value.
     * Unlike min/max stats, partition values are exact (never truncated),
     * so strings are convertible here even though exactMinMax excludes
@@ -958,27 +992,53 @@ object GraftSqlExtensions {
             // partition-only predicate drops whole file groups from the
             // same per-file arithmetic; exactGroupedAgg proves the
             // filtered columns ARE partition columns (else scan).
-            // APPROX_COUNT_DISTINCT can't absorb a filter (the stamped
-            // NDV is table-wide) — bail to the scan.
-            if (exprs.exists(e => approxDistinctOf(e).isDefined)) None
-            else partitionEqFilter(conjuncts, node).flatMap { pf =>
-              val outs: Seq[Option[GraftSqlExtensions.GroupedOut]] = exprs.map { e =>
-                if (isCountStar(e)) Some(GraftSqlExtensions.GroupedCount)
-                else minMaxOf(e).collect {
-                  case (a, isMin) if ownAttr(a) =>
-                    GraftSqlExtensions.GroupedMinMax(a.name, isMin)
-                }.orElse(countColOf(e).collect {
-                  case a if ownAttr(a) => GraftSqlExtensions.GroupedCountCol(a.name)
-                })
-              }
+            // APPROX_COUNT_DISTINCT absorbs the same predicate family
+            // through the stamped PER-PARTITION sketches (merged over
+            // exactly the surviving partitions); a table without that
+            // layer keeps the scan.
+            partitionEqFilter(conjuncts, node).flatMap { pf =>
+              // Left = exact per-file arithmetic, Right = sketch-served
+              val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, String]]] =
+                exprs.map { e =>
+                  if (isCountStar(e)) Some(Left(GraftSqlExtensions.GroupedCount))
+                  else minMaxOf(e).collect {
+                    case (a, isMin) if ownAttr(a) =>
+                      Left(GraftSqlExtensions.GroupedMinMax(a.name, isMin))
+                  }.orElse(countColOf(e).collect {
+                    case a if ownAttr(a) =>
+                      Left(GraftSqlExtensions.GroupedCountCol(a.name))
+                  }).orElse(approxDistinctOf(e).collect {
+                    case a if ownAttr(a) => Right(a.name)
+                  })
+                }
               if (outs.exists(_.isEmpty)) None
               else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
                 case (loc, v) =>
-                  GraftSqlExtensions.exactGroupedAgg(session, loc, v, Nil,
-                    outs.map(_.get), pf)
-              }.map { rows =>
-                LocalRelation(agg.output, rows.map(r =>
-                  org.apache.spark.sql.catalyst.InternalRow(r: _*)))
+                  val flat = outs.map(_.get)
+                  val approxPairs = flat.collect { case Right(c) => c }.distinct
+                    .map(c => GraftSqlExtensions
+                      .statsPartitionNdv(session, loc, v, c, pf)
+                      .map(n => c -> (n: Any)))
+                  // any unservable sketch or unprovable exact arm → scan
+                  if (approxPairs.exists(_.isEmpty)) None
+                  else {
+                    val approx = approxPairs.flatten.toMap
+                    val grouped = flat.collect { case Left(o) => o }
+                    val groupedVals: Option[Seq[Any]] =
+                      if (grouped.isEmpty) Some(Seq.empty)
+                      else GraftSqlExtensions.exactGroupedAgg(session, loc, v, Nil,
+                        grouped, pf).flatMap(_.headOption)
+                    groupedVals.map { gv =>
+                      val it = gv.iterator
+                      flat.map {
+                        case Left(_) => it.next()
+                        case Right(c) => approx(c)
+                      }
+                    }
+                  }
+              }.map { row =>
+                LocalRelation(agg.output,
+                  Seq(org.apache.spark.sql.catalyst.InternalRow(row: _*)))
               }
             }
           } else {

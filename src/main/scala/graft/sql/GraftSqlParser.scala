@@ -456,16 +456,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 AttributeReference("sum", StringType, nullable = true)(),
                 AttributeReference("min", StringType, nullable = true)(),
                 AttributeReference("max", StringType, nullable = true)(),
+                AttributeReference("exact", BooleanType, nullable = true)(),
+                AttributeReference("stamped_version", LongType, nullable = true)(),
                 AttributeReference("fresh", BooleanType, nullable = false)())) { () =>
               // metadata-only: the stamp lives in table properties
               import graft.tables.ColumnStats._
               val snap = t.snapshot
               val p = snap.properties
               val fresh = isFresh(snap)
+              // `exact`: an NDV below the sketch size k is the sketch's
+              // EXACT regime (every distinct hash retained) — "4,012
+              // exactly" vs "≈812,345 ±1.6%" at a glance; null when no
+              // NDV is stamped for the column. `stamped_version`: the
+              // snapshot version the stamp currently binds to (analyze
+              // scan / latest fold / maintenance restamp).
+              val k = p.get(KProp).flatMap(_.toLongOption)
+              val stampedV = p.get(VersionProp).flatMap(_.toLongOption)
+                .map(java.lang.Long.valueOf).orNull
               val cols = p.keys.collect {
-                case k if k.startsWith(NdvPropPrefix) => k.stripPrefix(NdvPropPrefix)
-                case k if k.startsWith(SumPropPrefix) => k.stripPrefix(SumPropPrefix)
-                case k if k.startsWith(MinPropPrefix) => k.stripPrefix(MinPropPrefix)
+                case key if key.startsWith(NdvPropPrefix) => key.stripPrefix(NdvPropPrefix)
+                case key if key.startsWith(SumPropPrefix) => key.stripPrefix(SumPropPrefix)
+                case key if key.startsWith(MinPropPrefix) => key.stripPrefix(MinPropPrefix)
               }.toSeq.distinct.sorted
               def mm(prefix: String, c: String): String =
                 p.get(prefix + c).map {
@@ -473,11 +484,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                   case v => v.drop(1)
                 }.orNull
               cols.map { c =>
+                val ndv = p.get(NdvPropPrefix + c).flatMap(_.toLongOption)
                 org.apache.spark.sql.Row(c,
-                  p.get(NdvPropPrefix + c).flatMap(_.toLongOption)
-                    .map(java.lang.Long.valueOf).orNull,
+                  ndv.map(java.lang.Long.valueOf).orNull,
                   p.get(SumPropPrefix + c).map(v => if (v == "null") null else v).orNull,
-                  mm(MinPropPrefix, c), mm(MaxPropPrefix, c), fresh)
+                  mm(MinPropPrefix, c), mm(MaxPropPrefix, c),
+                  ndv.flatMap(n => k.map(kk => java.lang.Boolean.valueOf(n < kk))).orNull,
+                  stampedV, fresh)
               }
             }
           case None => // not a catalog table

@@ -91,6 +91,13 @@ object ColumnStats {
     * filtered answer at O(#partitions × k) driver cost. */
   val PkmvPropPrefix = "graft.stats.pkmv."
   val PvalsProp = "graft.stats.pvals"
+  /** The per-partition sketches' OWN k (graft.stats.pk): table
+    * properties ride every native-log commit, so this layer gets a
+    * smaller sketch (22 KB/cell at 2048 vs 44 KB at 4096) and a hard
+    * cell budget below. Exact below 2048 distinct per partition,
+    * ~2.2% relative error above. */
+  val PkProp = "graft.stats.pk"
+  val PartitionK = 2048
   /** The snapshot version the stamp currently BINDS to (analyze scan /
     * latest fold / restamp target) — SHOW STATISTICS surfaces it so an
     * operator can judge the stamp's age at a glance. */
@@ -99,10 +106,13 @@ object ColumnStats {
   val KProp = "graft.stats.k"
 
   /** Per-partition sketches are stamped only up to this many partition
-    * tuples — each sketch is ~32 KB of property text, and table
-    * properties ride every commit. Beyond the cap only the table-wide
-    * sketch is stamped (filtered APPROX falls back to the scan). */
+    * tuples, AND only while tuples × sketched-columns stays within
+    * [[MaxPartitionSketchCells]] (~2 MB of property text worst-case —
+    * properties ride every commit, so the layer self-limits). Beyond
+    * either cap only the table-wide sketch is stamped (filtered APPROX
+    * falls back to the scan). */
   val MaxStampedPartitions = 64
+  val MaxPartitionSketchCells = 96
 
   /** Sketch size: exact below 4096 distinct, ~1.6% relative error above. */
   val K = 4096
@@ -253,21 +263,24 @@ object ColumnStats {
 
   /** One column-pruned aggregate pass over `df`: KMV sketch per column,
     * decimal(38,0) sums for the integral subset, exact MIN/MAX for the
-    * orderable subset — collected as INTERNAL rows so extremes keep
-    * their Catalyst representations (UTF8String, days-int, micros-long,
-    * Decimal). Returns (sketches aligned to `columns`, sums aligned to
-    * `integral` as decimal strings with "null" for SQL NULL, encoded
-    * (min, max) pairs aligned to `extremes`). */
+    * orderable subset, exact non-null COUNT for `countCols` — collected
+    * as INTERNAL rows so extremes keep their Catalyst representations
+    * (UTF8String, days-int, micros-long, Decimal). Returns (sketches
+    * aligned to `columns`, sums aligned to `integral` as decimal
+    * strings with "null" for SQL NULL, encoded (min, max) pairs aligned
+    * to `extremes`, counts aligned to `countCols`). */
   private def scanStats(df: org.apache.spark.sql.DataFrame, columns: Seq[String],
-      integral: Seq[String], extremes: Seq[(String, DataType)], k: Int)
-      : (Seq[Array[Long]], Seq[String], Seq[(String, String)]) = {
+      integral: Seq[String], extremes: Seq[(String, DataType)], k: Int,
+      countCols: Seq[String] = Seq.empty)
+      : (Seq[Array[Long]], Seq[String], Seq[(String, String)], Seq[Long]) = {
     val aggs = columns.map(c => graft.functions.KmvFunctions
       .kmvSketch(col(s"`$c`").cast(StringType), k).as(s"__kmv_$c")) ++
       // exact sums ride the SAME scan: decimal(38,0) accumulation so a
       // 100 TB-scale sum cannot silently wrap
       integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__sum_$c")) ++
       extremes.flatMap { case (c, _) =>
-        Seq(min(col(s"`$c`")).as(s"__min_$c"), max(col(s"`$c`")).as(s"__max_$c")) }
+        Seq(min(col(s"`$c`")).as(s"__min_$c"), max(col(s"`$c`")).as(s"__max_$c")) } ++
+      countCols.map(c => count(col(s"`$c`")).as(s"__cnt_$c"))
     val plan = df.agg(aggs.head, aggs.tail: _*)
     val row = plan.queryExecution.executedPlan.executeCollect()(0)
     val sketches = columns.indices.map(i =>
@@ -283,7 +296,9 @@ object ColumnStats {
         if (row.isNullAt(idx)) "n" else "v" + renderValue(dt, row.get(idx, dt))
       (enc(base + 2 * i), enc(base + 2 * i + 1))
     }
-    (sketches, sums, mms)
+    val cbase = base + 2 * extremes.size
+    val cnts = countCols.indices.map(i => row.getLong(cbase + i))
+    (sketches, sums, mms, cnts)
   }
 
   /** Compute NDV for `columns` in ONE scan and stamp the stats. Returns
@@ -302,8 +317,9 @@ object ColumnStats {
     // scan pinned at the fingerprinted version: a concurrent commit
     // between scan and stamp then simply invalidates (fingerprint
     // mismatch) instead of mislabeling the new state
-    val (sketches, sums, mms) =
-      scanStats(table.toDF(snap.version), columns, integral, extremes, K)
+    val (sketches, sums, mms, cnts) =
+      scanStats(table.toDF(snap.version), columns, integral, extremes, K,
+        countCols = columns)
     val ndvs = columns.zip(sketches).map { case (c, sk) =>
       c -> math.round(graft.functions.KmvEstimate.cardinality(sk, K))
     }
@@ -311,7 +327,9 @@ object ColumnStats {
     // any graft.stats.* key left over from a PREVIOUS analyze of other
     // columns would be re-validated against the new fingerprint and served
     // stale. Unset every prefixed key we are not restamping in the SAME
-    // commit (setProperties treats null as delete).
+    // commit (setProperties treats null as delete). Per-partition
+    // sketches are restamped wholesale below, so any existing pkmv key
+    // for a column outside this analyze goes too.
     val mmCols = extremes.map(_._1)
     val stale = table.snapshot.properties.keys
       .filter(k =>
@@ -319,7 +337,9 @@ object ColumnStats {
          (k.startsWith(KmvPropPrefix) && !columns.contains(k.stripPrefix(KmvPropPrefix))) ||
          (k.startsWith(SumPropPrefix) && !integral.contains(k.stripPrefix(SumPropPrefix))) ||
          (k.startsWith(MinPropPrefix) && !mmCols.contains(k.stripPrefix(MinPropPrefix))) ||
-         (k.startsWith(MaxPropPrefix) && !mmCols.contains(k.stripPrefix(MaxPropPrefix)))))
+         (k.startsWith(MaxPropPrefix) && !mmCols.contains(k.stripPrefix(MaxPropPrefix))) ||
+         (k.startsWith(CntPropPrefix) && !columns.contains(k.stripPrefix(CntPropPrefix))) ||
+         k.startsWith(PkmvPropPrefix) || k == PvalsProp || k == PkProp))
       .map(_ -> (null: String)).toMap
     table.setProperties(
       stale ++
@@ -329,8 +349,82 @@ object ColumnStats {
         integral.zip(sums).map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
         extremes.zip(mms).flatMap { case ((c, _), (mn, mx)) =>
           Seq(s"$MinPropPrefix$c" -> mn, s"$MaxPropPrefix$c" -> mx) }.toMap ++
-        Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString))
+        columns.zip(cnts).map { case (c, n) => s"$CntPropPrefix$c" -> n.toString }.toMap ++
+        partitionSketchProps(table, snap, columns) ++
+        Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString,
+          VersionProp -> snap.version.toString))
     ndvs
+  }
+
+  /** Per-partition KMV sketches for `columns` at `snap` — one GROUPED
+    * aggregate over the partition columns, stamped as an ordered JSON
+    * list of partition tuples plus one sketch property per (column,
+    * tuple index). Empty (no per-partition stamping) when the table is
+    * unpartitioned or holds more than [[MaxStampedPartitions]] distinct
+    * tuples (the cap check is O(metadata): file partition values).
+    */
+  private def partitionSketchProps(table: TxTable, snap: TxLog.Snapshot,
+      columns: Seq[String]): Map[String, String] = {
+    val pcols = snap.partitionColumns
+    if (pcols.isEmpty) return Map.empty
+    if (snap.files.map(_.partitionValues).distinct.size > MaxStampedPartitions)
+      return Map.empty
+    // a partition column's own distinct set IS the partition list —
+    // nothing a per-partition sketch adds for it
+    val sketchCols = columns.filterNot(pcols.contains)
+    if (sketchCols.isEmpty) return Map.empty
+    val aggs = sketchCols.map(c => graft.functions.KmvFunctions
+      .kmvSketch(col(s"`$c`").cast(StringType), PartitionK).as(s"__pkmv_$c"))
+    val rows = table.toDF(snap.version)
+      .groupBy(pcols.map(c => col(s"`$c`")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .queryExecution.executedPlan.executeCollect()
+    if (rows.length > MaxStampedPartitions ||
+        rows.length * sketchCols.size > MaxPartitionSketchCells)
+      return Map.empty
+    val ptypes = pcols.map(c => snap.schema(c).dataType)
+    val tuples = rows.toSeq.map { r =>
+      pcols.indices.map(i =>
+        if (r.isNullAt(i)) null
+        else renderValue(ptypes(i), r.get(i, ptypes(i))))
+    }
+    val sketchProps = rows.toSeq.zipWithIndex.flatMap { case (r, ti) =>
+      sketchCols.zipWithIndex.map { case (c, ci) =>
+        s"$PkmvPropPrefix$c.$ti" ->
+          encodeSketch(r.getArray(pcols.size + ci).toLongArray())
+      }
+    }.toMap
+    sketchProps + (PvalsProp -> encodeTuples(tuples)) +
+      (PkProp -> PartitionK.toString)
+  }
+
+  /** Partition tuples <-> one JSON property value (json4s, the engine's
+    * JSON codec). Tuple order IS the pkmv index space. */
+  private[tables] def encodeTuples(tuples: Seq[Seq[String]]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // explicit JNull (the DSL's Option route renders None as JNothing,
+    // which silently DROPS the slot from the array — a null partition
+    // value must keep its position)
+    JsonMethods.compact(JsonMethods.render(JArray(
+      tuples.map(t => JArray(t.map(v =>
+        if (v == null) JNull else JString(v): JValue).toList)).toList)))
+  }
+
+  private[tables] def decodeTuples(s: String): Seq[Seq[String]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(s) match {
+      case JArray(ts) => ts.map {
+        case JArray(vs) => vs.map {
+          case JString(v) => v
+          case JNull => null
+          case other => throw new IllegalStateException(s"bad pval $other")
+        }: Seq[String]
+        case other => throw new IllegalStateException(s"bad pval tuple $other")
+      }
+      case other => throw new IllegalStateException(s"bad pvals $other")
+    }
   }
 
   /** Fold an APPEND batch into a stamp that was fresh when the append
@@ -376,7 +470,10 @@ object ColumnStats {
       // cannot merge (pre-sketch stamps fall back to full re-ANALYZE)
       val oldSketches = ndvCols.map(c => props.get(KmvPropPrefix + c))
       if (oldSketches.exists(_.isEmpty)) return
-      val scanCols = (ndvCols ++ sumCols ++ mmCols).distinct
+      val cntCols = props.keys.filter(_.startsWith(CntPropPrefix))
+        .map(_.stripPrefix(CntPropPrefix)).toSeq.sorted
+      if (!cntCols.forall(known.contains)) return
+      val scanCols = (ndvCols ++ sumCols ++ mmCols ++ cntCols).distinct
       // identify the batch inside the COMMITTED snapshot by the files'
       // unique (uuid-bearing) final name segment — staged AddFile paths
       // and snapshot paths can render differently (Iceberg manifests
@@ -385,17 +482,29 @@ object ColumnStats {
       val names = added.map(_.path.split('/').last).toSet
       val committedAdds = snap.files.filter(f => names.contains(f.path.split('/').last))
       if (committedAdds.size != added.size) return // can't bind the batch -> stay stale
-      val batchDf = table.dfForAddedFiles(snap, committedAdds)
-        .select(scanCols.map(c => col(s"`$c`")): _*)
+      val batchFull = table.dfForAddedFiles(snap, committedAdds)
+      val batchDf = batchFull.select(scanCols.map(c => col(s"`$c`")): _*)
       // belt-and-braces for the same hazard: the batch the fold reads
       // must hold the rows the commit added (when the stats say so)
       val expectRows = added.map(_.rows)
       if (expectRows.forall(_ >= 0L) && expectRows.sum > 0L && batchDf.isEmpty)
         return
-      val (batchSketches, batchSums, batchMms) =
-        scanStats(batchDf, ndvCols, sumCols, extremes, k)
+      val (batchSketches, batchSums, batchMms, batchCnts) =
+        scanStats(batchDf, ndvCols, sumCols, extremes, k, countCols = cntCols)
       val mergedSketches = ndvCols.indices.map { i =>
         mergeSketches(decodeSketch(oldSketches(i).get), batchSketches(i), k)
+      }
+      // per-partition sketches fold the same way, per surviving tuple —
+      // a SECOND (grouped) aggregate over the same hot batch; None =
+      // the layer can't be maintained (tuple cap crossed) and its keys
+      // unset, while an inconsistency aborts the whole fold (throw)
+      val pkmvProps: Map[String, String] = props.get(PvalsProp) match {
+        case None => Map.empty
+        case Some(pv) =>
+          foldPartitionSketches(props, pv, snap, batchFull, k).getOrElse(
+            props.keys.filter(k2 => k2.startsWith(PkmvPropPrefix) ||
+                k2 == PvalsProp || k2 == PkProp)
+              .map(_ -> (null: String)).toMap)
       }
       val newSums = sumCols.zip(batchSums).map { case (c, b) =>
         val old = props(SumPropPrefix + c)
@@ -413,6 +522,10 @@ object ColumnStats {
           s"$MaxPropPrefix$c" ->
             foldExtreme(dt, props(MaxPropPrefix + c), bMax, isMin = false))
       }
+      val newCnts = cntCols.zip(batchCnts).map { case (c, b) =>
+        s"$CntPropPrefix$c" ->
+          (BigInt(props(CntPropPrefix + c)) + BigInt(b)).toString
+      }
       table.setProperties(
         ndvCols.zip(mergedSketches).flatMap { case (c, sk) =>
           Seq(
@@ -421,8 +534,9 @@ object ColumnStats {
             s"$KmvPropPrefix$c" -> encodeSketch(sk))
         }.toMap ++
           newSums.map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
-          newMms.toMap ++
-          Map(FingerprintProp -> fingerprint(snap).toString))
+          newMms.toMap ++ newCnts.toMap ++ pkmvProps ++
+          Map(FingerprintProp -> fingerprint(snap).toString,
+            VersionProp -> commitVersion.toString))
     } catch {
       // stats maintenance must never fail the append; a skipped fold
       // leaves a stale (fingerprint-mismatched) stamp -> readers scan
@@ -431,18 +545,216 @@ object ColumnStats {
     }
   }
 
-  /** Re-issue ONLY the fingerprint after a content-preserving rewrite
-    * (OPTIMIZE/ZORDER/REORG, hooked from TxTable's commit path): the
-    * visible rows — and therefore every stamped statistic — are
-    * unchanged, only the file-set identity moved. Same failure
-    * posture as the fold: any problem leaves a stale stamp, never a
-    * wrong answer.
+  /** Fold the appended batch into the per-partition sketch layer: one
+    * GROUPED aggregate over the same hot batch (kmv per stamped column
+    * per batch partition tuple), merged into the stamped tuples —
+    * brand-new tuples append to the pvals list with fresh indices.
+    * Some(props to restamp) on success; None when the layer can no
+    * longer be maintained (tuple cap crossed → the caller unsets it,
+    * the table-wide stats still fold); THROWS on any inconsistency
+    * (index gaps, unpartitioned pvals — the caller's catch aborts the
+    * whole fold to a stale stamp).
+    */
+  private def foldPartitionSketches(props: Map[String, String], pvalsEnc: String,
+      snap: TxLog.Snapshot, batchFull: org.apache.spark.sql.DataFrame,
+      k: Int): Option[Map[String, String]] = {
+    val pcols = snap.partitionColumns
+    require(pcols.nonEmpty, "pvals stamped on an unpartitioned table")
+    val tuples = decodeTuples(pvalsEnc)
+    val pkmvKeys = props.keys.filter(_.startsWith(PkmvPropPrefix)).toSeq
+    val byCol = pkmvKeys.groupBy { key =>
+      val rest = key.stripPrefix(PkmvPropPrefix)
+      rest.substring(0, rest.lastIndexOf('.'))
+    }
+    val sketchCols = byCol.keys.toSeq.sorted
+    require(sketchCols.nonEmpty, "pvals without pkmv sketches")
+    sketchCols.foreach { c =>
+      val idxs = byCol(c).map(_.stripPrefix(PkmvPropPrefix + c + ".").toInt).toSet
+      require(idxs == tuples.indices.toSet, s"pkmv index gap for $c")
+    }
+    val pk = props.get(PkProp).flatMap(_.toIntOption)
+      .getOrElse(throw new IllegalStateException("pvals without pk"))
+    val ptypes = pcols.map(c => snap.schema(c).dataType)
+    val aggs = sketchCols.map(c => graft.functions.KmvFunctions
+      .kmvSketch(col(s"`$c`").cast(StringType), pk).as(s"__pkmv_$c"))
+    val rows = batchFull
+      .groupBy(pcols.map(c => col(s"`$c`")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .queryExecution.executedPlan.executeCollect()
+    val allTuples = tuples.toBuffer
+    val out = Map.newBuilder[String, String]
+    rows.foreach { r =>
+      val tuple = pcols.indices.map(i =>
+        if (r.isNullAt(i)) null else renderValue(ptypes(i), r.get(i, ptypes(i))))
+      val existing = allTuples.indexOf(tuple)
+      val ti = if (existing >= 0) existing else { allTuples += tuple; allTuples.size - 1 }
+      sketchCols.zipWithIndex.foreach { case (c, ci) =>
+        val batchSk = r.getArray(pcols.size + ci).toLongArray()
+        val merged =
+          if (existing >= 0)
+            mergeSketches(decodeSketch(props(s"$PkmvPropPrefix$c.$ti")), batchSk, pk)
+          else batchSk
+        out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(merged)
+      }
+    }
+    if (allTuples.size > MaxStampedPartitions ||
+        allTuples.size * sketchCols.size > MaxPartitionSketchCells) None
+    else Some(out.result() + (PvalsProp -> encodeTuples(allTuples.toSeq)))
+  }
+
+  /** Fold a copy-on-write DELETE into a stamp that was fresh against
+    * the PRE-delete snapshot (`baseVersion`), from ONE column-pruned
+    * aggregate over just the removed files' matching rows — data the
+    * rewrite read anyway, O(touched) not O(table):
+    *
+    *  - NDV/KMV (table-wide and per-partition) honestly CANNOT fold a
+    *    removal (a sketch can't un-see a value) — those keys are UNSET;
+    *    APPROX_COUNT_DISTINCT falls back to the scan until re-ANALYZE.
+    *  - exact SUM folds by subtraction, with the SQL NULL-vs-0 boundary
+    *    decided by the folded non-null count (zero non-null values
+    *    remaining → the stamp serves NULL, exactly what a scan answers;
+    *    a pre-cnt stamp that can't prove the boundary drops the key).
+    *  - stamped MIN/MAX survive exactly when the removed rows PROVABLY
+    *    don't touch them: removed-min STRICTLY above the stamped min
+    *    (a tie means the extreme-holder may be gone — duplicates are
+    *    unknowable from metadata), symmetrically for max; an
+    *    unprovable direction drops the column's PAIR.
+    *
+    * This is the append-mostly + occasional-retention-delete shape that
+    * IS the 100 TB norm: one retention DELETE no longer forces a full
+    * re-ANALYZE scan to keep SUM/MIN/MAX scan-free. Any failure or
+    * inconsistency leaves the stale stamp — never a wrong answer.
+    * Deletes through merge-on-read paths (deletion vectors, Iceberg
+    * position deletes) do not fold — their commits invalidate as
+    * before.
+    */
+  private[tables] def foldDelete(table: TxTable, commitVersion: Long,
+      baseVersion: Long, removedPaths: Seq[String], predicate: String): Unit = {
+    if (removedPaths.isEmpty) return // file set unchanged: stamp still fresh
+    try {
+      val snap = table.snapshotAt(commitVersion)
+      val props = snap.properties
+      val base = table.snapshotAt(baseVersion)
+      // the stamp must describe the PRE-delete snapshot exactly
+      if (!props.get(FingerprintProp).contains(fingerprint(base).toString)) return
+      val k = props.get(KProp).flatMap(_.toIntOption).getOrElse(return)
+      val sumCols = props.keys.filter(_.startsWith(SumPropPrefix))
+        .map(_.stripPrefix(SumPropPrefix)).toSeq.sorted
+      val minCols = props.keys.filter(_.startsWith(MinPropPrefix))
+        .map(_.stripPrefix(MinPropPrefix)).toSet
+      val maxCols = props.keys.filter(_.startsWith(MaxPropPrefix))
+        .map(_.stripPrefix(MaxPropPrefix)).toSet
+      if (minCols != maxCols) return // unpaired extreme: stay stale
+      val mmCols = minCols.toSeq.sorted
+      val cntCols = props.keys.filter(_.startsWith(CntPropPrefix))
+        .map(_.stripPrefix(CntPropPrefix)).toSeq.sorted
+      val known = snap.schema.fieldNames.toSet
+      if (!(sumCols ++ mmCols ++ cntCols).forall(known.contains)) return
+      val extremes = mmCols.map(c => c -> snap.schema(c).dataType)
+      if (extremes.exists { case (_, dt) => !orderable(dt) }) return
+      // an emptied table serves SQL NULL/0 shapes a stamp with no cnt
+      // history can't always prove — cheap to just re-ANALYZE (a scan
+      // of nothing), so stay stale
+      if (snap.files.exists(_.rows < 0L)) return
+      val live = snap.files.iterator
+        .map(f => f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
+      if (live == 0L) return
+      if (sumCols.isEmpty && mmCols.isEmpty && cntCols.isEmpty) {
+        // only sketches were stamped: nothing foldable survives, but the
+        // restamped fingerprint keeps the PLANNER surface (exact row
+        // count) alive across the delete
+        val unsets = props.keys.collect {
+          case key if key.startsWith(NdvPropPrefix) || key.startsWith(KmvPropPrefix) ||
+              key.startsWith(PkmvPropPrefix) || key == PvalsProp || key == PkProp =>
+            key -> (null: String)
+        }.toMap
+        table.setProperties(unsets ++
+          Map(FingerprintProp -> fingerprint(snap).toString,
+            VersionProp -> commitVersion.toString))
+        return
+      }
+      import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val removedDf = table.dfForFiles(base, removedPaths)
+        .filter(coalesce(expr(predicate), lit(false)))
+      val (_, remSums, remMms, remCnts) =
+        scanStats(removedDf.select(((sumCols ++ mmCols ++ cntCols).distinct)
+            .map(c => col(s"`$c`")): _*),
+          Nil, sumCols, extremes, k, countCols = cntCols)
+      val remCnt = cntCols.zip(remCnts).toMap
+      val unset = Map.newBuilder[String, String]
+      val set = Map.newBuilder[String, String]
+      // sketches cannot un-see removed values: table-wide and
+      // per-partition NDV layers go (scan until the next ANALYZE)
+      props.keys.foreach { key =>
+        if (key.startsWith(NdvPropPrefix) || key.startsWith(KmvPropPrefix) ||
+            key.startsWith(PkmvPropPrefix) || key == PvalsProp || key == PkProp)
+          unset += key -> (null: String)
+      }
+      // non-null counts subtract exactly
+      val newCnts = cntCols.map { c =>
+        val v = BigInt(props(CntPropPrefix + c)) - BigInt(remCnt(c))
+        if (v < 0) return // inconsistent: removed more than stamped
+        c -> v
+      }.toMap
+      newCnts.foreach { case (c, v) => set += s"$CntPropPrefix$c" -> v.toString }
+      sumCols.zip(remSums).foreach { case (c, rem) =>
+        val old = props(SumPropPrefix + c)
+        if (rem == "null") () // no non-null value removed: sum unchanged
+        else if (old == "null") return // inconsistent
+        else newCnts.get(c) match {
+          case Some(n) if n == 0 =>
+            // every non-null value removed: SQL SUM answers NULL
+            set += s"$SumPropPrefix$c" -> "null"
+          case Some(_) =>
+            set += s"$SumPropPrefix$c" -> (BigInt(old) - BigInt(rem)).toString
+          case None =>
+            // pre-cnt stamp: the NULL-vs-0 boundary is unprovable
+            unset += s"$SumPropPrefix$c" -> (null: String)
+        }
+      }
+      extremes.zip(remMms).foreach { case ((c, dt), (rMin, rMax)) =>
+        val oMin = props(MinPropPrefix + c)
+        val oMax = props(MaxPropPrefix + c)
+        if (oMin == "n" || oMax == "n") {
+          // all-null column: a removal can't have held a value
+          if (rMin != "n" || rMax != "n") return // inconsistent
+        } else if (rMin == "n") {
+          () // no non-null value removed: pair survives as-is
+        } else {
+          val minCmp = compareValues(dt, parseValue(dt, rMin.drop(1)),
+            parseValue(dt, oMin.drop(1)))
+          val maxCmp = compareValues(dt, parseValue(dt, rMax.drop(1)),
+            parseValue(dt, oMax.drop(1)))
+          if (minCmp < 0 || maxCmp > 0) return // removed beyond the stamp: inconsistent
+          if (minCmp == 0 || maxCmp == 0) {
+            // a removed row TIES an extreme — the holder may be gone
+            unset += s"$MinPropPrefix$c" -> (null: String)
+            unset += s"$MaxPropPrefix$c" -> (null: String)
+          }
+        }
+      }
+      table.setProperties(unset.result() ++ set.result() ++
+        Map(FingerprintProp -> fingerprint(snap).toString,
+          VersionProp -> commitVersion.toString))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (sys.props.contains("graft.debugFold")) e.printStackTrace()
+    }
+  }
+
+  /** Re-issue ONLY the fingerprint (and the bound version) after a
+    * content-preserving rewrite (OPTIMIZE/ZORDER/REORG, hooked from
+    * TxTable's commit path): the visible rows — and therefore every
+    * stamped statistic — are unchanged, only the file-set identity
+    * moved. Same failure posture as the fold: any problem leaves a
+    * stale stamp, never a wrong answer.
     */
   private[tables] def restampFingerprint(table: TxTable, commitVersion: Long): Unit =
     try {
       val snap = table.snapshotAt(commitVersion)
       if (snap.properties.contains(FingerprintProp))
-        table.setProperties(Map(FingerprintProp -> fingerprint(snap).toString))
+        table.setProperties(Map(FingerprintProp -> fingerprint(snap).toString,
+          VersionProp -> commitVersion.toString))
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The stamped NDV of `column` IF the stats still describe the
@@ -470,6 +782,57 @@ object ColumnStats {
       parsed <- if (v == "null") Some(None)
         else v.toLongOption.map(n => Some(n))
     } yield parsed
+
+  /** The stamped per-partition tuple list IF the stats still describe
+    * the current snapshot (fingerprint match): ordered tuples of
+    * renderValue-encoded strings over the snapshot's partition columns,
+    * null = a NULL partition value. Tuple order is the pkmv index
+    * space. None = stale/absent/undecodable.
+    */
+  def currentPartitionTuples(snap: TxLog.Snapshot): Option[Seq[Seq[String]]] =
+    try {
+      for {
+        fp <- snap.properties.get(FingerprintProp)
+        if fp == fingerprint(snap).toString
+        enc <- snap.properties.get(PvalsProp)
+        ts = decodeTuples(enc)
+        if ts.forall(_.size == snap.partitionColumns.size)
+      } yield ts
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A renderValue-encoded STAMPED partition value to the column's
+    * internal Catalyst value — the codec [[currentPartitionTuples]]
+    * tuples use (NOT the log's raw partition-string convention).
+    * Floats bail, mirroring the absorbed-predicate family's
+    * conservatism everywhere else. */
+  def stampedPartitionValue(dt: DataType, s: String): Option[Any] = dt match {
+    case FloatType | DoubleType => None
+    case _ if orderable(dt) =>
+      try Some(parseValue(dt, s)) catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
+  }
+
+  /** Exact-merge the stamped per-partition sketches of `keep` tuple
+    * indices for `column` and estimate the union's distinct count —
+    * how APPROX_COUNT_DISTINCT under an absorbed partition-only WHERE
+    * answers scan-free (KMV merges are exact, so the filtered estimate
+    * carries the same k-governed error as the table-wide one). None =
+    * any surviving sketch missing (stale layer) → scan. An empty
+    * `keep` (the WHERE excluded every partition) is distinct count 0.
+    */
+  def mergedPartitionNdv(snap: TxLog.Snapshot, column: String,
+      keep: Seq[Int]): Option[Long] =
+    try {
+      val k = snap.properties.get(PkProp).flatMap(_.toIntOption).getOrElse(return None)
+      val sketches = keep.map { i =>
+        snap.properties.get(s"$PkmvPropPrefix$column.$i") match {
+          case Some(enc) => decodeSketch(enc)
+          case None => return None
+        }
+      }
+      val merged = sketches.foldLeft(Array.empty[Long])((a, b) => mergeSketches(a, b, k))
+      Some(math.round(graft.functions.KmvEstimate.cardinality(merged, k)))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The stamped exact MIN/MAX of `column` as an INTERNAL Catalyst
     * value IF the stats still describe the current snapshot. Covers the

@@ -170,12 +170,16 @@ final class TxTable(val spark: SparkSession, val location: String,
   private def dfFor(s: Snapshot): DataFrame = {
     val df = log.dfForSnapshot(spark, location, s)
     // while an ANALYZE stamp is fresh (fingerprint match — maintained
-    // across appends by ColumnStats.foldAppend), hand the planner the
-    // TRUTHFUL size: exact metadata row count × in-memory row width
-    // plus stamped per-column NDVs. Parquet file bytes understate a
-    // compressed table's memory footprint by 10-20×, so join-strategy
-    // (broadcast) decisions made from them are wrong exactly when it
-    // hurts most; stale/absent stats leave the plan untouched.
+    // across appends AND provable deletes by ColumnStats.foldAppend/
+    // foldDelete), hand the planner the TRUTHFUL size — exact metadata
+    // row count × in-memory row width — plus the full stamped
+    // per-column statistics (NDV, exact min/max, null count). Parquet
+    // file bytes understate a compressed table's memory footprint by
+    // 10-20×, so join-strategy (broadcast) decisions made from them are
+    // wrong exactly when it hurts most; with CBO on (the engine's
+    // sessions enable it) the colStats additionally drive filter
+    // selectivity and join-reorder costing. Stale/absent stats leave
+    // the plan untouched.
     if (!ColumnStats.isFresh(s)) df
     else {
       val rows = {
@@ -183,12 +187,47 @@ final class TxTable(val spark: SparkSession, val location: String,
         s.files.iterator
           .map(f => f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
       }
-      val ndv = s.properties.collect {
-        case (k, v) if k.startsWith(ColumnStats.NdvPropPrefix) && v.toLongOption.isDefined =>
-          k.stripPrefix(ColumnStats.NdvPropPrefix) -> v.toLong
+      import org.apache.spark.sql.GraftPlannerStats.ColHint
+      val props = s.properties
+      val fieldType = s.schema.fields.map(f => f.name -> f.dataType).toMap
+      // min/max feed CBO only for the types Spark's own ANALYZE would
+      // stat (numeric/date/timestamp/decimal) — string/boolean extremes
+      // stay engine-internal
+      def cboOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+               DoubleType | DateType | TimestampType | TimestampNTZType => true
+          case _: DecimalType => true
+          case _ => false
+        }
       }
+      val statCols = props.keys.collect {
+        case k if k.startsWith(ColumnStats.NdvPropPrefix) =>
+          k.stripPrefix(ColumnStats.NdvPropPrefix)
+        case k if k.startsWith(ColumnStats.MinPropPrefix) =>
+          k.stripPrefix(ColumnStats.MinPropPrefix)
+        case k if k.startsWith(ColumnStats.CntPropPrefix) =>
+          k.stripPrefix(ColumnStats.CntPropPrefix)
+      }.toSet.filter(fieldType.contains)
+      val hints = statCols.map { c =>
+        val dt = fieldType(c)
+        def mm(prefix: String): Option[Any] =
+          props.get(prefix + c).filter(_ != "n").filter(_ => cboOrderable(dt))
+            .flatMap { enc =>
+              try Some(ColumnStats.parseValue(dt, enc.drop(1)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            }
+        val nullCnt = props.get(ColumnStats.CntPropPrefix + c)
+          .flatMap(_.toLongOption).map(rows - _).filter(_ >= 0L)
+        c -> ColHint(
+          ndv = props.get(ColumnStats.NdvPropPrefix + c).flatMap(_.toLongOption),
+          min = mm(ColumnStats.MinPropPrefix),
+          max = mm(ColumnStats.MaxPropPrefix),
+          nullCount = nullCnt)
+      }.toMap
       org.apache.spark.sql.GraftPlannerStats.attach(
-        df, location.split('/').lastOption.getOrElse("graft_table"), s.schema, rows, ndv)
+        df, location.split('/').lastOption.getOrElse("graft_table"), s.schema, rows, hints)
     }
   }
 
@@ -781,7 +820,11 @@ final class TxTable(val spark: SparkSession, val location: String,
   private def deleteCopyOnWrite(predicate: String): Unit =
     rewriteMatchingFiles("DELETE", predicate,
       cdcOf = Some(affected => DeltaCdf.tagged(
-        affected.filter(coalesce(expr(predicate), lit(false))), "delete"))) { affected =>
+        affected.filter(coalesce(expr(predicate), lit(false))), "delete")),
+      // stats that were fresh when the delete was planned FOLD where
+      // provable (SUM by subtraction, MIN/MAX when no removed row ties
+      // an extreme, NDV honestly invalidates) — ColumnStats.foldDelete
+      foldStats = true) { affected =>
       // SQL DELETE removes only rows where the predicate is TRUE; rows
       // where it evaluates to NULL must be kept, so negate under coalesce.
       affected.filter(!coalesce(expr(predicate), lit(false)))
@@ -835,11 +878,21 @@ final class TxTable(val spark: SparkSession, val location: String,
 
   /** Shared copy-on-write driver for DELETE/UPDATE: figure out which files
     * might contain predicate-matching rows, rewrite only those.
+    * `foldStats` (DELETE only — an UPDATE's value changes are never
+    * derivable) folds a fresh column-stats stamp through the removal
+    * post-commit instead of letting it die (ColumnStats.foldDelete).
     */
   private def rewriteMatchingFiles(op: String, predicate: String,
-      cdcOf: Option[DataFrame => DataFrame] = None)(
-      transform: DataFrame => DataFrame): Unit =
-    commitWithRetry(op) { snap =>
+      cdcOf: Option[DataFrame => DataFrame] = None,
+      foldStats: Boolean = false)(
+      transform: DataFrame => DataFrame): Unit = {
+    // captured from the FINAL (winning) planning iteration, like the
+    // append paths' fold
+    var statsFold: Option[(Long, Seq[String])] = None
+    commitWithRetryIf(op,
+      postCommit = v => statsFold.foreach { case (baseV, removed) =>
+        ColumnStats.foldDelete(this, v, baseV, removed, predicate) }) { snap => Some {
+      statsFold = None
       val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
       val conjuncts = FileStats.prunableConjuncts(parsed)
       val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -861,6 +914,8 @@ final class TxTable(val spark: SparkSession, val location: String,
       if (maybe.isEmpty) {
         TxTable.Planned(Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, snap.properties)
       } else {
+        if (foldStats && ColumnStats.isFresh(snap))
+          statsFold = Some((snap.version, maybe.map(_.path)))
         val affected = readForRewrite(snap, maybe)
         val rewritten = transform(affected)
         val (added, props) = stageRewrite(rewritten, snap)
@@ -870,7 +925,8 @@ final class TxTable(val spark: SparkSession, val location: String,
         TxTable.Planned(added, maybe.map(_.path), snap.schema, snap.partitionColumns,
           props, cdc)
       }
-    }
+    } }
+  }
 
   /** Filtered scan with manifest-level data skipping: files whose
     * partition values or min/max column stats provably cannot satisfy the

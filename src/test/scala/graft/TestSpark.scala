@@ -11,6 +11,12 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // cost-based optimizer ON: the stamped column statistics the
+      // engine attaches (GraftPlannerStats) feed filter selectivity and
+      // join-reorder costing; relations without stats fall back to
+      // size-only estimation exactly as before
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -464,14 +464,16 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     val qs2 = spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t")
     assert(!planOf(qs2).contains("FileScan"))
     assert(qs2.collect()(0).getLong(0) == (0L until 900L).sum + 9000L)
-    // a DELETE is NOT fold-able (its row delta cannot be derived from an
-    // append-shaped fold): fingerprint mismatch, scan, stays correct
+    // a provable DELETE folds (round 14): SUM subtracts and stays
+    // scan-free, while the sketch honestly CANNOT un-see the removed
+    // id — APPROX falls back to the scan, stays correct
     spark.sql("DELETE FROM lakestats.core.t WHERE id = 0")
     val q2d = spark.sql("SELECT APPROX_COUNT_DISTINCT(id) AS di FROM lakestats.core.t")
-    assert(planOf(q2d).contains("FileScan"), "stale stats must not be served")
+    assert(planOf(q2d).contains("FileScan"), "a sketch cannot fold a removal")
     assert(math.abs(q2d.collect()(0).getLong(0) - 900L) < 50L)
     val qs2d = spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t")
-    assert(planOf(qs2d).contains("FileScan"), "stale sum must not be served")
+    assert(!planOf(qs2d).contains("FileScan"),
+      s"a provable delete must fold SUM, not kill it\n${planOf(qs2d)}")
     assert(qs2d.collect()(0).getLong(0) == (1L until 900L).sum + 9000L)
     // partial re-ANALYZE of u clears sum.id as well (not restamped)
     spark.sql("ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS u")
@@ -516,15 +518,33 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     // SHOW STATISTICS: the stamp's inspection surface — one row per
     // analyzed column, fresh verdict flipping with staleness
     val shown = spark.sql("SHOW STATISTICS FOR lakestats.core.t")
-    assert(shown.columns.toSeq == Seq("column", "ndv", "sum", "min", "max", "fresh"))
+    assert(shown.columns.toSeq ==
+      Seq("column", "ndv", "sum", "min", "max", "exact", "stamped_version", "fresh"))
     val rows = shown.collect().map(r => r.getString(0) -> r).toMap
     assert(rows.keySet == Set("id", "u"))
-    assert(rows("id").getBoolean(5) && rows("u").getBoolean(5))
+    assert(rows("id").getBoolean(7) && rows("u").getBoolean(7))
     assert(rows("id").getString(3) == "1" && rows("id").getString(4) == "9001")
     assert(rows("u").getString(2) == null, "no sum for a string column")
+    // both columns sit under k=4096 distinct: exact regime, flagged so
+    assert(rows("id").getBoolean(5) && rows("u").getBoolean(5))
+    // the stamp binds to the latest fold/restamp commit, not version 0
+    assert(!rows("id").isNullAt(6) && rows("id").getLong(6) > 0L)
+    // a provable DELETE folds (round 14): the stamp STAYS fresh with
+    // the sum subtracted, the tied extreme pair dropped (id=1 IS the
+    // stamped min), and NDV honestly gone
     spark.sql("DELETE FROM lakestats.core.t WHERE id = 1")
+    val shown2 = spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(shown2("id").getBoolean(7), "delete fold must keep the stamp fresh")
+    assert(shown2("id").getString(2) ==
+      ((2L until 900L).sum + 9000L + 9001L).toString, "sum must subtract")
+    assert(shown2("id").getString(3) == null && shown2("id").getString(4) == null,
+      "a tied extreme pair must drop")
+    assert(shown2("id").isNullAt(1), "NDV cannot fold a removal")
+    // an UPDATE is never derivable: fresh flips to false
+    spark.sql("UPDATE lakestats.core.t SET u = u WHERE id = 2")
     assert(spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
-      .forall(!_.getBoolean(5)), "fresh must flip to false after a delete")
+      .forall(!_.getBoolean(7)), "fresh must flip to false after an update")
   }
 
   test("inspection-table suffix reads: cat.s.t.files / .partitions / Iceberg set") {

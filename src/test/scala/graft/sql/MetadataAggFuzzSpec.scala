@@ -107,12 +107,21 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
       // metadata answers must still agree exactly
       if (ti % 2 == 0 && rnd.nextBoolean())
         spark.sql(s"OPTIMIZE fuzzmeta.s.t$ti")
+      // ...and some analyzed tables then take a DELETE: the round-14
+      // delete fold (SUM subtraction, tie-dropped extremes, honest NDV
+      // kill; merge-on-read backends just go stale) must keep agreeing
+      // with the scan EXACTLY — the fold wrong-answer trap, delete form
+      val delK: Option[Int] =
+        if (ti % 2 == 0 && rnd.nextBoolean()) Some(rnd.nextInt(20)) else None
+      delK.foreach(kv =>
+        client.getTxTable("fuzzmeta", "s", s"t$ti").delete(s"k = $kv"))
       // the raw-view model applies the storage-level conflation: a REAL
       // sentinel-string partition value is unrepresentable in hive
       // layout and reads back as NULL (vanilla Spark behaves the same)
-      val all = (rows ++ extra).map { case (id, p, k, s2) =>
-        (id, if (p == "__HIVE_DEFAULT_PARTITION__") null else p, k, s2)
-      }
+      val all = (rows ++ extra).filterNot(r => delK.contains(r._3))
+        .map { case (id, p, k, s2) =>
+          (id, if (p == "__HIVE_DEFAULT_PARTITION__") null else p, k, s2)
+        }
       all.toDF("id", "p", "k", "s").createOrReplaceTempView(s"raw$ti")
 
       (0 until 14).foreach { qi =>

@@ -57,6 +57,79 @@ class ColumnStatsSpec extends AnyFunSuite {
       .get.get.toString == "zz")
   }
 
+  test("delete fold decides SUM's SQL NULL boundary from the folded non-null count") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-sumnull") + "/t")
+    // k carries values ONLY on rows 10..19; elsewhere null
+    t.create((0 until 30).map(i =>
+      (i.toLong, if (i >= 10 && i < 20) java.lang.Long.valueOf(i) else null))
+      .toDF("id", "k"))
+    ColumnStats.analyze(t, Seq("id", "k"))
+    assert(ColumnStats.currentSum(t.snapshot, "k").contains(Some((10L until 20L).sum)))
+    // remove EVERY non-null k value: a scan now answers SUM(k) = NULL,
+    // and the folded count (10 - 10 = 0) must stamp exactly that
+    t.delete("k IS NOT NULL")
+    assert(ColumnStats.isFresh(t.snapshot), "provable delete must fold")
+    assert(ColumnStats.currentSum(t.snapshot, "k").contains(None),
+      "zero non-null values remaining serves SQL NULL, never 0")
+    assert(ColumnStats.currentSum(t.snapshot, "id")
+      .contains(Some((0L until 30L).sum - (10L until 20L).sum)))
+    // deleting the LAST row leaves an empty table: un-stampable shapes
+    // (COUNT semantics etc.) — honest bail to stale
+    t.delete("id >= 0")
+    assert(!ColumnStats.isFresh(t.snapshot),
+      "an emptied table must go stale, not serve stamped shapes")
+  }
+
+  test("per-partition sketches: stamp, append fold, merge, cap") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-pkmv") + "/t")
+    t.create((0 until 300).map(i => (i.toLong, s"p${i % 3}", i % 50))
+      .toDF("id", "p", "k").repartition(2), partitionColumns = Seq("p"))
+    ColumnStats.analyze(t, Seq("id", "k"))
+    val snap = t.snapshot
+    val tuples = ColumnStats.currentPartitionTuples(snap).get
+    assert(tuples.toSet == Set(Seq("p0"), Seq("p1"), Seq("p2")))
+    // exact regime: merged distinct counts equal true counts
+    def ndvOf(parts: Set[String], c: String): Long = {
+      val ts = ColumnStats.currentPartitionTuples(t.snapshot).get
+      val keep = ts.zipWithIndex.collect { case (tp, i) if parts(tp.head) => i }
+      ColumnStats.mergedPartitionNdv(t.snapshot, c, keep).get
+    }
+    assert(ndvOf(Set("p0"), "id") == 100L)
+    assert(ndvOf(Set("p0", "p2"), "id") == 200L)
+    // k's values repeat across partitions: the merge must DEDUP them
+    // (50 distinct overall, ~17 per partition)
+    assert(ndvOf(Set("p0", "p1", "p2"), "k") == 50L)
+    // an append folds per partition AND extends the tuple list
+    t.append(Seq((1000L, "p0", 999), (1001L, "p9", 999)).toDF("id", "p", "k"))
+    assert(ColumnStats.isFresh(t.snapshot), "per-partition fold must stay fresh")
+    assert(ColumnStats.currentPartitionTuples(t.snapshot).get.size == 4)
+    assert(ndvOf(Set("p0"), "id") == 101L)
+    assert(ndvOf(Set("p9"), "id") == 1L)
+    assert(ndvOf(Set("p0", "p9"), "k") == 51L) // 999 planted in both
+    // crossing the tuple cap drops ONLY the per-partition layer; the
+    // table-wide stats keep folding
+    t.append((0 until ColumnStats.MaxStampedPartitions + 5)
+      .map(i => (2000L + i, s"q$i", 0)).toDF("id", "p", "k"))
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.currentPartitionTuples(t.snapshot).isEmpty,
+      "beyond the cap the per-partition layer unsets")
+    assert(ColumnStats.currentNdv(t.snapshot, "id").contains(
+      300L + 2L + ColumnStats.MaxStampedPartitions + 5L))
+  }
+
+  test("a NULL partition value rides the per-partition layer as a null tuple") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-pnull") + "/t")
+    t.create(Seq((1L, "a"), (2L, "a"), (3L, null: String))
+      .toDF("id", "p"), partitionColumns = Seq("p"))
+    ColumnStats.analyze(t, Seq("id"))
+    val tuples = ColumnStats.currentPartitionTuples(t.snapshot).get
+    assert(tuples.toSet == Set(Seq("a"), Seq(null)))
+    val nullIdx = tuples.indexWhere(_.head == null)
+    assert(ColumnStats.mergedPartitionNdv(t.snapshot, "id", Seq(nullIdx)).contains(1L))
+    assert(ColumnStats.mergedPartitionNdv(t.snapshot, "id",
+      tuples.indices).contains(3L))
+  }
+
   test("an UNPAIRED stamped extreme (manual UNSET) aborts the fold, never re-freshens") {
     val t = new TxTable(spark, TestSpark.tmpDir("cs-unpair") + "/t")
     t.create(Seq((1L, "b"), (5L, "m")).toDF("id", "s"))

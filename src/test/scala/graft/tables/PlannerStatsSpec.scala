@@ -72,12 +72,85 @@ class PlannerStatsSpec extends AnyFunSuite {
       val folded = t.toDF.join(probe, "id")
       assert(broadcastJoins(folded) == 0)
 
-      // a DELETE invalidates: behavior reverts EXACTLY to the
-      // no-stats plan — stale stats must never keep steering the planner
-      t.delete("id = 0")
+      // a provable copy-on-write DELETE folds (round 14): the truthful
+      // sizing SURVIVES the retention delete — still no broadcast
+      t.delete("id = 1")
+      assert(ColumnStats.isFresh(t.snapshot), "delete fold must keep the stamp")
+      val afterDelete = t.toDF.join(probe, "id")
+      assert(broadcastJoins(afterDelete) == 0,
+        "truthful sizing must survive a folded delete")
+
+      // an UPDATE invalidates (value changes are never derivable):
+      // behavior reverts EXACTLY to the no-stats plan — stale stats
+      // must never keep steering the planner
+      t.update("id = 0", Map("pad" -> "'y'"))
       val stale = t.toDF.join(probe, "id")
       assert(broadcastJoins(stale) > 0,
         s"stale stats must not be served to the planner\n${stale.queryExecution.executedPlan}")
+    } finally spark.conf.set(conf, old)
+  }
+
+  test("CBO consumes stamped colStats: filter selectivity flips the join; stale reverts exactly") {
+    val dir = TestSpark.tmpDir("plannerstats-cbo")
+    val t = new TxTable(spark, s"$dir/t")
+    // INCOMPRESSIBLE pads (sha2): file bytes ≈ memory bytes, so the
+    // flip below is purely the colStats-driven filter ESTIMATE — no
+    // compressed-size artifact can produce it. The FILTER column `k`
+    // is deliberately NOT the join key: a key predicate would infer
+    // onto the probe side, whose Range stats are exact with or without
+    // our stamp, and the broadcast flip would stop isolating colStats.
+    t.create(spark.range(200000).toDF("id")
+      .withColumn("k", col("id"))
+      .withColumn("pad", sha2(col("id").cast("string"), 256)).repartition(2))
+    val fileBytes = t.snapshot.files.map(_.sizeBytes).sum
+    val probe = spark.range(3000000).toDF("id") // 24 MB estimate: never broadcast
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(conf)
+    try {
+      val threshold = 1024 * 1024
+      assert(fileBytes > threshold * 4L,
+        s"fixture drifted: files $fileBytes b must dwarf the $threshold threshold")
+      spark.conf.set(conf, threshold.toString)
+      def filtered = t.toDF.filter(col("k") < 2000).join(probe, "id")
+
+      // no stats: the filter's estimate is the WHOLE (big) relation
+      // size — shuffle join
+      assert(broadcastJoins(filtered) == 0,
+        s"size-only estimation must not broadcast\n${filtered.queryExecution.executedPlan}")
+
+      ColumnStats.analyze(t, Seq("id", "k"))
+      // fresh: FilterEstimation range math over the stamped min/max
+      // shrinks `k < 2000` to ~1% of rows → the filtered side drops
+      // under the threshold → THE JOIN FLIPS TO BROADCAST. This is the
+      // decision that depends on colStats, not just sizeInBytes.
+      val fresh = filtered
+      assert(broadcastJoins(fresh) > 0,
+        s"colStats range selectivity must broadcast the filtered side\n" +
+          s"${fresh.queryExecution.optimizedPlan.stats}\n${fresh.queryExecution.executedPlan}")
+      // the row estimates themselves: range predicate ≈ rows×(2000/200000),
+      // equality ≈ rows/ndv ≈ 1 — both visible on the optimized plan
+      val range = t.toDF.filter(col("k") < 2000).queryExecution.optimizedPlan.stats
+      assert(range.rowCount.exists(rc => rc > BigInt(500) && rc < BigInt(10000)),
+        s"range estimate drifted: $range")
+      val eq = t.toDF.filter(col("k") === 42).queryExecution.optimizedPlan.stats
+      assert(eq.rowCount.exists(_ < BigInt(50)), s"equality estimate drifted: $eq")
+      // nullCount rides from the folded non-null count: zero nulls here
+      val lr = fresh.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.catalogTable.exists(_.stats.isDefined) => l
+      }
+      val cs = lr.head.catalogTable.get.stats.get.colStats("id")
+      assert(cs.nullCount.contains(BigInt(0)) && cs.min.contains("0") &&
+        cs.max.contains("199999"), s"colStats drifted: $cs")
+
+      // an UPDATE invalidates: the SAME query reverts EXACTLY to the
+      // no-stats shuffle plan, and the row estimate disappears
+      t.update("id = 0", Map("pad" -> "'x'"))
+      val stale = filtered
+      assert(broadcastJoins(stale) == 0,
+        s"stale colStats must not keep steering CBO\n${stale.queryExecution.executedPlan}")
+      assert(t.toDF.filter(col("k") < 2000).queryExecution.optimizedPlan
+        .stats.rowCount.isEmpty, "stale stats must drop the row estimate")
     } finally spark.conf.set(conf, old)
   }
 }

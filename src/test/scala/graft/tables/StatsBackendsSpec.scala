@@ -7,7 +7,9 @@ import graft.TestSpark
 
 /** The column-stats stamp must behave identically on ALL THREE commit
   * logs — native, real _delta_log, Iceberg: analyze, serve, fold on
-  * append, invalidate on delete.
+  * append, fold a provable copy-on-write delete (SUM subtracts, ties
+  * drop extremes, sketches honestly invalidate), go stale on anything
+  * unprovable (UPDATE, merge-on-read deletes).
   */
 class StatsBackendsSpec extends AnyFunSuite {
 
@@ -30,10 +32,28 @@ class StatsBackendsSpec extends AnyFunSuite {
       .contains(Some((0L until 500L).sum + 1000L)))
     assert(ColumnStats.currentMinMax(t.snapshot, "v", isMin = false)
       .get.get.toString == "v_new")
-    // delete invalidates
-    t.delete("id = 0")
+    // a provable copy-on-write DELETE folds: SUM subtracts, the
+    // sketch honestly drops (it cannot un-see a value), interior
+    // extremes survive
+    t.delete("id = 250") // removes (250, "v10") — interior on both columns
+    assert(ColumnStats.isFresh(t.snapshot), "provable delete must fold, not kill")
+    assert(ColumnStats.currentNdv(t.snapshot, "id").isEmpty,
+      "NDV cannot fold a removal")
+    assert(ColumnStats.currentSum(t.snapshot, "id")
+      .contains(Some((0L until 500L).sum + 1000L - 250L)))
+    assert(ColumnStats.currentMinMax(t.snapshot, "v", isMin = false)
+      .get.get.toString == "v_new", "non-tied extremes survive the delete fold")
+    // a delete that TIES an extreme drops that column's pair (the
+    // holder may be gone), while the rest keeps folding
+    t.delete("id = 0") // ties MIN(id) and MIN(v)="v0"
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.currentMinMax(t.snapshot, "id", isMin = true).isEmpty)
+    assert(ColumnStats.currentSum(t.snapshot, "id")
+      .contains(Some((0L until 500L).sum + 1000L - 250L)))
+    // an UPDATE's value changes are never derivable — stale
+    t.update("id = 5", Map("v" -> "'zz'"))
     assert(!ColumnStats.isFresh(t.snapshot))
-    assert(ColumnStats.currentNdv(t.snapshot, "id").isEmpty)
+    assert(ColumnStats.currentNdv(t.snapshot, "v").isEmpty)
   }
 
   test("native log") {
@@ -53,8 +73,12 @@ class StatsBackendsSpec extends AnyFunSuite {
     t.append(Seq((1000L, "v_new")).toDF("id", "v"))
     assert(ColumnStats.isFresh(t.snapshot), "fold must keep a foreign-Delta stamp fresh")
     assert(ColumnStats.currentNdv(t.snapshot, "v").contains(41L))
+    // CoW delete on a foreign log folds the same way
     t.delete("id = 0")
-    assert(!ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.isFresh(t.snapshot), "foreign CoW delete must fold")
+    assert(ColumnStats.currentSum(t.snapshot, "id")
+      .contains(Some((0L until 500L).sum + 1000L)))
+    assert(ColumnStats.currentNdv(t.snapshot, "id").isEmpty)
   }
 
   test("iceberg log") {
@@ -67,6 +91,8 @@ class StatsBackendsSpec extends AnyFunSuite {
     t.append(Seq((1000L, "v_new")).toDF("id", "v"))
     assert(ColumnStats.isFresh(t.snapshot), "fold must keep an Iceberg stamp fresh")
     assert(ColumnStats.currentNdv(t.snapshot, "v").contains(41L))
+    // Iceberg deletes are merge-on-read (a position-delete snapshot,
+    // not a CoW rewrite): their row delta never folds — stale, scan
     t.delete("id = 0")
     assert(!ColumnStats.isFresh(t.snapshot))
   }
