@@ -23,6 +23,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // cost-based optimizer ON: the stamped column statistics the
+      // engine attaches (GraftPlannerStats) feed filter selectivity and
+      // join-reorder costing; relations without stats fall back to
+      // size-only estimation exactly as before
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtensions")
       .config("spark.ui.enabled", "false")
@@ -194,8 +200,15 @@ object Bench {
     // full fold vs O(changed rows) refresh), the persisted dedup index
     // (corpus signing vs O(batch) candidate filtering), corpus
     // shuffle-sharding, and the Iceberg snapshot-diff changelog after a
-    // MoR delete.
-    val opsDemo: Seq[(String, Double)] = {
+    // MoR delete. ONE FULL PASS — the caller runs two and records the
+    // per-label minimum (round 14: the r13 single-shot protocol posted
+    // 2-4x outliers on this shared-CPU host that the min-of-two SCALE
+    // record at the same HEAD disproved; min-of-two makes
+    // round-over-round deltas trustworthy). Fixtures are rebuilt per
+    // pass (fresh temp dirs, pass-suffixed catalog), so stateful ops
+    // time the same work both times.
+    def opsDemoRun(pass: Int): Seq[(String, Double)] = {
+      val grpCat = s"benchgrp$pass"
       import org.apache.spark.sql.functions.{col, lit}
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -319,19 +332,19 @@ object Bench {
       line("doc_chunking", chunking)
       val (grpMeta, grpScan) = {
         val client = new graft.client.LakehouseClient(spark)
-        client.createCatalog("benchgrp")
-        client.createSchema("benchgrp", "s")
+        client.createCatalog(grpCat)
+        client.createSchema(grpCat, "s")
         val loc = java.nio.file.Files.createTempDirectory("bench-grp").toString
         val li = graft.queries.Tables.lineitem(spark, sfDir)
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
         graft.tables.DeltaLogWriter.create(spark, s"$loc/t", li.repartition(8),
           partitionColumns = Seq("l_returnflag"))
-        client.registerAsTable("benchgrp", "s", "t",
+        client.registerAsTable(grpCat, "s", "t",
           graft.catalog.FileType.DELTA, s"$loc/t")
         val a = timed {
-          spark.sql("""SELECT l_returnflag, COUNT(*) AS n,
+          spark.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
               MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi
-            FROM benchgrp.s.t GROUP BY l_returnflag""").collect()
+            FROM $grpCat.s.t GROUP BY l_returnflag""").collect()
         }
         val b = timed {
           graft.tables.TxTable.forForeignDelta(spark, s"$loc/t").toDF
@@ -426,12 +439,12 @@ object Bench {
       // filtered aggregate forced through a scan
       val (pfMeta, pfScan) = {
         val a = timed {
-          spark.sql("""SELECT COUNT(*) AS n, MIN(l_orderkey) AS lo
-            FROM benchgrp.s.t WHERE l_returnflag = 'A'""").collect()
+          spark.sql(s"""SELECT COUNT(*) AS n, MIN(l_orderkey) AS lo
+            FROM $grpCat.s.t WHERE l_returnflag = 'A'""").collect()
         }
         val b = timed {
           graft.tables.TxTable.forForeignDelta(spark,
-              spark.sql("DESCRIBE DETAIL benchgrp.s.t").select("location").head().getString(0))
+              spark.sql(s"DESCRIBE DETAIL $grpCat.s.t").select("location").head().getString(0))
             .toDF.filter(col("l_returnflag") === "A")
             .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
               org.apache.spark.sql.functions.min(col("l_orderkey")).as("lo"))
@@ -453,23 +466,23 @@ object Bench {
       // proving stats survived the append without a re-scan
       val (countCol, analyzeStamp, sumNdvMeta, minMaxMeta, statsFoldAppend, sumPostFold) = {
         val a = timed {
-          spark.sql("SELECT COUNT(l_orderkey) AS n FROM benchgrp.s.t").collect()
+          spark.sql(s"SELECT COUNT(l_orderkey) AS n FROM $grpCat.s.t").collect()
         }
         val b = timed {
-          spark.sql("""ANALYZE TABLE benchgrp.s.t COMPUTE STATISTICS
+          spark.sql(s"""ANALYZE TABLE $grpCat.s.t COMPUTE STATISTICS
               FOR COLUMNS l_orderkey, l_quantity""").collect()
         }
         val c = timed {
-          spark.sql("""SELECT SUM(l_orderkey) AS s,
-              APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM benchgrp.s.t""").collect()
+          spark.sql(s"""SELECT SUM(l_orderkey) AS s,
+              APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM $grpCat.s.t""").collect()
         }
         // round-13: stamped exact extremes for a footer-refused type
         // (doubles) — scan-free while fresh
         val mm = timed {
-          spark.sql("""SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
-              FROM benchgrp.s.t""").collect()
+          spark.sql(s"""SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+              FROM $grpCat.s.t""").collect()
         }
-        val loc = spark.sql("DESCRIBE DETAIL benchgrp.s.t")
+        val loc = spark.sql(s"DESCRIBE DETAIL $grpCat.s.t")
           .select("location").head().getString(0)
         val t = graft.tables.TxTable.forForeignDelta(spark, loc)
         val batch = graft.queries.Tables.lineitem(spark, sfDir)
@@ -477,14 +490,58 @@ object Bench {
           .limit(10000)
         val d = timed(t.append(batch)) // includes the fold's batch aggregate
         val e = timed {
-          spark.sql("""SELECT SUM(l_orderkey) AS s,
-              APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM benchgrp.s.t""").collect()
+          spark.sql(s"""SELECT SUM(l_orderkey) AS s,
+              APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM $grpCat.s.t""").collect()
         }
         line("metadata_count_col", a); line("analyze_stamp_scan", b)
         line("metadata_sum_ndv", c); line("metadata_minmax_double", mm)
         line("stats_fold_append", d)
         line("metadata_sum_post_fold", e)
         (a, b, c, mm, d, e)
+      }
+      // round-14 rows: the COPY INTO transform premium (same drop zone
+      // as copy_into_initial but with a projection at load), the
+      // delete FOLD (O(touched) maintenance instead of a dead stamp),
+      // the post-delete scan-free SUM proving the fold paid off, and
+      // the per-partition-sketch APPROX_COUNT_DISTINCT under a
+      // partition WHERE vs the same answer forced through a scan
+      val copyTransform = {
+        val root = java.nio.file.Files.createTempDirectory("bench-cptr").toString
+        val li = graft.queries.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_quantity"))
+        li.repartition(8).write.mode("append").parquet(s"$root/drop")
+        val t = new graft.tables.TxTable(spark, s"$root/t")
+        import org.apache.spark.sql.types.LongType
+        t.create(li.limit(0).withColumn("bucket", lit(0L).cast(LongType)))
+        val v = timed(graft.tables.CopyInto.run(t, s"$root/drop",
+          transform = Some("l_orderkey, l_quantity, l_orderkey % 7 as bucket")))
+        line("copy_into_transform", v)
+        v
+      }
+      val (statsFoldDelete, sumPostDelete, pndvMeta, pndvScan) = {
+        val loc2 = spark.sql(s"DESCRIBE DETAIL $grpCat.s.t")
+          .select("location").head().getString(0)
+        val t = graft.tables.TxTable.forForeignDelta(spark, loc2)
+        // per-partition APPROX under a partition WHERE: stamped sketch
+        // merge (scan-free) vs the same estimate forced through a scan
+        val pm = timed {
+          spark.sql(s"""SELECT APPROX_COUNT_DISTINCT(l_orderkey) AS d
+            FROM $grpCat.s.t WHERE l_returnflag = 'A'""").collect()
+        }
+        val ps = timed {
+          t.toDF.filter(col("l_returnflag") === "A")
+            .agg(org.apache.spark.sql.functions
+              .approx_count_distinct(col("l_orderkey")).as("d")).collect()
+        }
+        // the delete FOLD rides the delete itself (O(touched rows)
+        // aggregate over the removed files), then SUM answers scan-free
+        val d = timed(t.delete("l_quantity = 17"))
+        val e = timed {
+          spark.sql(s"SELECT SUM(l_orderkey) AS s FROM $grpCat.s.t").collect()
+        }
+        line("partition_ndv_metadata", pm); line("partition_ndv_scan", ps)
+        line("stats_fold_delete", d); line("metadata_sum_post_delete", e)
+        (d, e, pm, ps)
       }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
@@ -515,7 +572,21 @@ object Bench {
         "metadata_sum_ndv" -> sumNdvMeta,
         "metadata_minmax_double" -> minMaxMeta,
         "stats_fold_append" -> statsFoldAppend,
-        "metadata_sum_post_fold" -> sumPostFold)
+        "metadata_sum_post_fold" -> sumPostFold,
+        "copy_into_transform" -> copyTransform,
+        "stats_fold_delete" -> statsFoldDelete,
+        "metadata_sum_post_delete" -> sumPostDelete,
+        "partition_ndv_metadata" -> pndvMeta,
+        "partition_ndv_scan" -> pndvScan)
+    }
+
+    // min-of-two FULL ops passes (the SCALE protocol at one scale):
+    // per-label minimum, so a one-shot scheduler hiccup can no longer
+    // masquerade as an operator regression in the round-over-round diff
+    val opsDemo: Seq[(String, Double)] = {
+      val p1 = opsDemoRun(1)
+      val p2 = opsDemoRun(2).toMap
+      p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -526,7 +597,7 @@ object Bench {
       s""""dv_demo":{"cow_delete_sec":$cowSec,"dv_delete_sec":$dvSec},""" +
       s""""iceberg_demo":{"write_sec":$iceWrite,"full_scan_sec":$iceFull,"pruned_scan_sec":$icePruned},""" +
       s""""ops_demo":$ops,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir","total_sec":$total}""")
     spark.stop()
   }
 }

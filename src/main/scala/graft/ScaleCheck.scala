@@ -27,6 +27,12 @@ object ScaleCheck {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // cost-based optimizer ON: the stamped column statistics the
+      // engine attaches (GraftPlannerStats) feed filter selectivity and
+      // join-reorder costing; relations without stats fall back to
+      // size-only estimation exactly as before
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtensions")
       .config("spark.ui.enabled", "false")
@@ -379,7 +385,11 @@ object ScaleCheck {
       client.registerAsTable("scalestats", "s", "t",
         graft.catalog.FileType.DELTA, s"$loc/t")
       val a = timed(graft.tables.ColumnStats.analyze(t, Seq("l_orderkey", "l_suppkey")))
-      val batch = li.limit(10000).collect() // materialize so the append times only itself
+      // deliberate driver-side collect of a FIXED 10k-row probe batch
+      // (fixture-sized, never data-scaled): materializing it first
+      // isolates the timed append+fold from the batch's own read cost —
+      // this is measurement plumbing, not an operator pattern
+      val batch = li.limit(10000).collect()
       val batchDf = spark.createDataFrame(
         spark.sparkContext.parallelize(batch.toIndexedSeq, 4), li.schema)
       val b = timed(t.append(batchDf))
@@ -401,6 +411,60 @@ object ScaleCheck {
       System.err.println(f"[scalecheck] analyze_stamp_scan $a%.2fs " +
         f"stats_fold_append_fixed $b%.2fs metadata_sum_post_fold $c%.2fs")
       (a, b, c, mm)
+    }
+
+    // round-14: the DELETE fold — maintenance must track the delete's
+    // TOUCHED bytes, not the table. Range-clustered ~200k-row files +
+    // an absolute-key retention delete = a bounded touched set at any
+    // sf, so the delete (rewrite + fold's removed-rows aggregate) and
+    // the post-delete scan-free SUM must both stay ≈flat from sf0.1 to
+    // sf1, while a stamp-killing design would pay a full re-ANALYZE
+    // scan (the `analyze_stamp_scan` line above) to get SUM back.
+    val (deleteFoldFixed, sumPostDelete) = {
+      import org.apache.spark.sql.functions.col
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-delfold").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val nFiles = math.max(1, (li.count() / 200000L).toInt)
+      val t = new graft.tables.TxTable(spark, s"$loc/t")
+      t.create(li.repartitionByRange(nFiles, col("l_orderkey")))
+      graft.tables.ColumnStats.analyze(t, Seq("l_orderkey", "l_suppkey"))
+      val client2 = new graft.client.LakehouseClient(spark)
+      client2.createCatalog("scaledf")
+      client2.createSchema("scaledf", "s")
+      client2.registerAsTable("scaledf", "s", "t",
+        graft.catalog.FileType.DELTA, s"$loc/t")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val d = timed(t.delete("l_orderkey <= 2000"))
+      require(graft.tables.ColumnStats.currentSum(t.snapshot, "l_suppkey").isDefined,
+        "the delete fold must keep SUM servable")
+      val e = timed {
+        val got = spark.sql("SELECT SUM(l_suppkey) AS s FROM scaledf.s.t").collect()
+        require(got.nonEmpty)
+      }
+      System.err.println(
+        f"[scalecheck] stats_fold_delete_fixed $d%.2fs metadata_sum_post_delete $e%.2fs")
+      (d, e)
+    }
+    // round-14: per-partition KMV sketches — the filtered
+    // APPROX_COUNT_DISTINCT answer is an O(#partitions × k) driver
+    // merge over property bytes, so it must stay ≈flat at ×10 data
+    // (the scalegrp table: 3 partition values at every sf)
+    val pndvMeta = {
+      spark.sql("""ANALYZE TABLE scalegrp.s.t COMPUTE STATISTICS
+          FOR COLUMNS l_orderkey""").collect()
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val v = timed {
+        val got = spark.sql("""SELECT APPROX_COUNT_DISTINCT(l_orderkey) AS d
+          FROM scalegrp.s.t WHERE l_returnflag = 'A'""").collect()
+        require(got.nonEmpty)
+      }
+      System.err.println(f"[scalecheck] partition_ndv_metadata $v%.2fs")
+      v
     }
 
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
@@ -431,7 +495,10 @@ object ScaleCheck {
       "analyze_stamp_scan" -> analyzeStamp,
       "stats_fold_append_fixed" -> statsFoldFixed,
       "metadata_sum_post_fold" -> sumPostFold,
-      "metadata_minmax_post_fold" -> minMaxPostFold))
+      "metadata_minmax_post_fold" -> minMaxPostFold,
+      "stats_fold_delete_fixed" -> deleteFoldFixed,
+      "metadata_sum_post_delete" -> sumPostDelete,
+      "partition_ndv_metadata" -> pndvMeta))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
