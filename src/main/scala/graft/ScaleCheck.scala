@@ -451,16 +451,29 @@ object ScaleCheck {
     // round-14: per-partition KMV sketches — the filtered
     // APPROX_COUNT_DISTINCT answer is an O(#partitions × k) driver
     // merge over property bytes, so it must stay ≈flat at ×10 data
-    // (the scalegrp table: 3 partition values at every sf)
+    // (3 partition values at every sf). Self-contained catalog: client
+    // registration is last-wins per session, so reusing an earlier
+    // block's catalog would resolve against the wrong store.
     val pndvMeta = {
-      spark.sql("""ANALYZE TABLE scalegrp.s.t COMPUTE STATISTICS
+      import org.apache.spark.sql.functions.col
+      val client3 = new graft.client.LakehouseClient(spark)
+      client3.createCatalog("scalendv")
+      client3.createSchema("scalendv", "s")
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-pndv").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      graft.tables.DeltaLogWriter.create(spark, s"$loc/t", li.repartition(32),
+        partitionColumns = Seq("l_returnflag"))
+      client3.registerAsTable("scalendv", "s", "t",
+        graft.catalog.FileType.DELTA, s"$loc/t")
+      spark.sql("""ANALYZE TABLE scalendv.s.t COMPUTE STATISTICS
           FOR COLUMNS l_orderkey""").collect()
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       val v = timed {
         val got = spark.sql("""SELECT APPROX_COUNT_DISTINCT(l_orderkey) AS d
-          FROM scalegrp.s.t WHERE l_returnflag = 'A'""").collect()
+          FROM scalendv.s.t WHERE l_returnflag = 'A'""").collect()
         require(got.nonEmpty)
       }
       System.err.println(f"[scalecheck] partition_ndv_metadata $v%.2fs")
