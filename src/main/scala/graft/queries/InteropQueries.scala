@@ -2878,6 +2878,80 @@ object InteropQueries {
           TRUE AS orderkey_est_ok,
           TRUE AS mixed_scan_free,
           TRUE AS append_folds_partitions,
-          TRUE AS non_partition_where_scans"""))
+          TRUE AS non_partition_where_scans""")),
+
+    // ---- q171: the DELETE fold on MERGE-ON-READ deletion vectors ----
+    // The modern Delta default is delta.enableDeletionVectors=true, so
+    // the retention delete that q169 folds copy-on-write arrives as a
+    // BITMAP commit here — no file is rewritten, and the fold rides the
+    // same pinned commit (DeltaDvWriter commits exactly base+1, so the
+    // restamped fingerprint can never mislabel a concurrent commit's
+    // state). Same split verdict as q169, now with the deletion vector
+    // pinned PRESENT in the output: SUM/MIN/MAX keep answering
+    // scan-free after the provably-interior delete, the sentinel-
+    // touching twin drops the tied pairs, and values are recomputed by
+    // DuckDB over the post-delete rows.
+    QueryDef(
+      "q171_dv_delete_fold",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q171cat")
+        client.createSchema("q171cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q171-dvf").toString
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"))
+        val lo = Seq((-5L, -7L, "0"))
+          .toDF("l_orderkey", "l_quantity", "l_returnflag")
+        val hi = Seq((9000000000L, 999L, "zz"))
+          .toDF("l_orderkey", "l_quantity", "l_returnflag")
+        graft.tables.DeltaLogWriter.create(s, s"$root/t",
+          li.unionByName(lo).unionByName(hi),
+          properties = Map("delta.enableDeletionVectors" -> "true"))
+        client.registerAsTable("q171cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t")
+        s.sql("ANALYZE TABLE q171cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        s.sql("DELETE FROM q171cat.s.t WHERE l_quantity = 25")
+        val t = client.getTxTable("q171cat", "s", "t")
+        val dvPresent = t.snapshot.files
+          .exists(_.deletionVector.exists(_.cardinality > 0))
+        val q1 = s.sql("""SELECT SUM(l_quantity) AS sum_qty,
+            MIN(l_returnflag) AS min_rf, MAX(l_orderkey) AS max_ok,
+            COUNT(*) AS n_rows FROM q171cat.s.t""")
+        val foldMeta = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        s.sql("DELETE FROM q171cat.s.t WHERE l_returnflag = '0'")
+        val qMin = s.sql("SELECT MIN(l_returnflag) AS min_rf_2 FROM q171cat.s.t")
+        val minScans = planOf(qMin).contains("FileScan")
+        val qSum = s.sql("SELECT SUM(l_quantity) AS sum_qty_2 FROM q171cat.s.t")
+        val sumStillFolds = !planOf(qSum).contains("FileScan")
+        q1.crossJoin(qMin).crossJoin(qSum)
+          .withColumn("merge_on_read", lit(dvPresent))
+          .withColumn("dv_fold_scan_free", lit(foldMeta))
+          .withColumn("extreme_touch_falls_back", lit(minScans))
+          .withColumn("sum_survives_both_deletes", lit(sumStillFolds))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok,
+                 CAST(l_quantity AS BIGINT) AS q, l_returnflag AS rf
+          FROM lineitem
+          UNION ALL SELECT -5, -7, '0'
+          UNION ALL SELECT 9000000000, 999, 'zz'
+        ), d1 AS (SELECT * FROM src WHERE q <> 25)
+        SELECT
+          (SELECT CAST(SUM(q) AS BIGINT) FROM d1) AS sum_qty,
+          (SELECT MIN(rf) FROM d1) AS min_rf,
+          (SELECT MAX(ok) FROM d1) AS max_ok,
+          (SELECT COUNT(*) FROM d1) AS n_rows,
+          (SELECT MIN(rf) FROM d1 WHERE rf <> '0') AS min_rf_2,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM d1 WHERE rf <> '0') AS sum_qty_2,
+          TRUE AS merge_on_read,
+          TRUE AS dv_fold_scan_free,
+          TRUE AS extreme_touch_falls_back,
+          TRUE AS sum_survives_both_deletes"""))
   )
 }

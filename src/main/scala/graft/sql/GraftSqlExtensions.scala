@@ -434,7 +434,7 @@ object GraftSqlExtensions {
       val t = graft.tables.TxTable.forAnyLocation(session, loc)
       val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
       val pcols = snap.partitionColumns
-      if (pcols.isEmpty || pcols.contains(colName)) return None
+      if (pcols.isEmpty) return None
       if (!preds.forall(p => pcols.contains(p.col))) return None
       val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
       val tuples = graft.tables.ColumnStats.currentPartitionTuples(snap)
@@ -447,7 +447,14 @@ object GraftSqlExtensions {
             .getOrElse(return None)
         }
       }.map(_._2)
-      graft.tables.ColumnStats.mergedPartitionNdv(snap, colName, keep)
+      if (pcols.contains(colName)) {
+        // the argument IS a partition column: its filtered distinct set
+        // is EXACTLY the surviving tuples' values for that slot (every
+        // stamped tuple holds >=1 live row — appends only extend the
+        // layer, any removal unsets it). DISTINCT excludes SQL NULL.
+        val slot = pcols.indexOf(colName)
+        Some(keep.map(tuples(_)(slot)).filter(_ != null).distinct.size.toLong)
+      } else graft.tables.ColumnStats.mergedPartitionNdv(snap, colName, keep)
     } catch { case _: Throwable => None }
 
   /** A partition-value STRING to the column's Catalyst-internal value.

@@ -44,12 +44,14 @@ import graft.catalog.UnsupportedOperationError
   * writer has hot anyway) merges the batch's sketch into the stamped
   * sketch — exact for KMV: the k smallest hashes of a union are the
   * k smallest of the parts' k-smallest — and adds the batch's sum, then
-  * restamps under the post-commit fingerprint. Stats therefore stay
-  * scan-free across any append chain at O(batch) maintenance cost,
-  * while deletes/updates/overwrites/compaction still invalidate (their
-  * row deltas are not derivable from an append-shaped fold). A fold
-  * that fails or loses a race degrades to a stale stamp — never a
-  * wrong answer.
+  * restamps under the post-commit fingerprint. Since round 14 a
+  * provable DELETE folds too ([[foldDelete]]: SUM subtracts, extremes
+  * survive unless a removed row ties them, sketches honestly unset),
+  * so stats stay scan-free across the whole append-mostly +
+  * retention-delete lifecycle at O(batch)/O(touched) maintenance cost,
+  * while updates/overwrites (value deltas are never derivable) and
+  * compaction-free rewrites still invalidate. A fold that fails or
+  * loses a race degrades to a stale stamp — never a wrong answer.
   *
   * Why NDV at 100 TB: distinct counts drive join-strategy and
   * aggregation-sizing decisions, and "how many distinct users/URLs does
@@ -71,7 +73,8 @@ object ColumnStats {
     * hazards): the scan computes the true MIN/MAX with Spark's own
     * ordering, so there is nothing to distrust. Encoded "n" for SQL
     * NULL (empty/all-null) else "v" + a type-faithful rendering;
-    * appends fold (min/max merge exactly), deletes invalidate. */
+    * appends fold (min/max merge exactly); a delete keeps the pair
+    * only when PROVABLY untouched (no removed row ties an extreme). */
   val MinPropPrefix = "graft.stats.min."
   val MaxPropPrefix = "graft.stats.max."
   /** Exact NON-NULL count per analyzed column (decimal string). Folds
@@ -624,9 +627,14 @@ object ColumnStats {
     * IS the 100 TB norm: one retention DELETE no longer forces a full
     * re-ANALYZE scan to keep SUM/MIN/MAX scan-free. Any failure or
     * inconsistency leaves the stale stamp — never a wrong answer.
-    * Deletes through merge-on-read paths (deletion vectors, Iceberg
-    * position deletes) do not fold — their commits invalidate as
-    * before.
+    * BOTH Delta delete paths fold — copy-on-write (hooked from the
+    * rewrite) and merge-on-read deletion vectors (hooked from
+    * DeltaDvWriter, whose commit is pinned at base+1 so the fold can
+    * never mislabel a concurrent commit's state); Iceberg position
+    * deletes still invalidate (their writer returns no committed-
+    * version handle, and folding against "latest" could stamp a
+    * concurrent commit's unfolded rows as fresh — stale-never-wrong
+    * wins).
     */
   private[tables] def foldDelete(table: TxTable, commitVersion: Long,
       baseVersion: Long, removedPaths: Seq[String], predicate: String): Unit = {

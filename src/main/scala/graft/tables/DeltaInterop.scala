@@ -2043,9 +2043,19 @@ object DeltaDvWriter {
         }
         DeltaCdf.stageCdc(spark, location, changes, snap)
       }
-    commitDv(spark, location, snap, op, predicate,
+    val committed = commitDv(spark, location, snap, op, predicate,
       removedPaths, dvAdds ++ newAdds, cdcAdds,
       newProps = if (props == snap.properties) None else Some(props))
+    // a merge-on-read DELETE folds column stats exactly like the
+    // copy-on-write path: the marked rows are `candidates ⋂ predicate`
+    // over the PRE-delete snapshot (old DVs applied), and commitDv
+    // pinned our commit at exactly snap.version + 1, so the fold's
+    // fingerprint can never mislabel a concurrent commit's state.
+    // UPDATEs change values — never foldable.
+    if (committed && set.isEmpty)
+      ColumnStats.foldDelete(TxTable.forForeignDelta(spark, location),
+        snap.version + 1, snap.version, candidates.map(_.path), predicate)
+    committed
   }
 
   /** The protocol action permitting DVs, when the table lacks it. Legacy

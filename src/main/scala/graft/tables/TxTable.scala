@@ -226,8 +226,12 @@ final class TxTable(val spark: SparkSession, val location: String,
           max = mm(ColumnStats.MaxPropPrefix),
           nullCount = nullCnt)
       }.toMap
-      org.apache.spark.sql.GraftPlannerStats.attach(
+      // the stats attach is advisory: a codec surprise (an exotic
+      // stamped type Spark's external-string renderer refuses) must
+      // degrade to a plan without statistics, never fail the READ
+      try org.apache.spark.sql.GraftPlannerStats.attach(
         df, location.split('/').lastOption.getOrElse("graft_table"), s.schema, rows, hints)
+      catch { case scala.util.control.NonFatal(_) => df }
     }
   }
 

@@ -1,0 +1,112 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.catalog.FileType
+import graft.client.LakehouseClient
+
+/** Differential fuzz over the per-partition-sketch
+  * APPROX_COUNT_DISTINCT rewrite: random partitioned tables × the
+  * absorbed predicate family, every distinct set kept in the sketch's
+  * EXACT regime (< pk per merged scope) so the served value must EQUAL
+  * DuckDB-style COUNT(DISTINCT) recomputation — and the plan must be
+  * scan-free. Non-absorbable predicates must keep the scan. Appends
+  * fold the layer mid-stream; a table over the tuple cap pins the
+  * honest bail (correct via scan).
+  */
+class PartitionNdvFuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wherePool: Vector[(String, Boolean)] = Vector(
+    // (predicate, absorbable)
+    ("p = 'a'", true),
+    ("p IN ('a', 'c')", true),
+    ("p >= 'b'", true),
+    ("p <> 'a'", true),
+    ("p IS NULL", true),
+    ("p IS NOT NULL", true),
+    ("p LIKE 'a%'", true),
+    ("p = 'a' OR p = 'b'", true),
+    ("k > 5", false),           // non-partition: must scan
+    ("p = 'a' AND k > 5", false))
+
+  test("filtered APPROX_COUNT_DISTINCT == exact recomputation, scan-free under absorbed WHEREs") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("fuzzpndv")
+    client.createSchema("fuzzpndv", "s")
+    var rewritten = 0
+    var total = 0
+    (0 until 4).foreach { ti =>
+      val rnd = new scala.util.Random(7000 + ti)
+      val parts = Vector("a", "b", "c", null)
+      val n = 40 + rnd.nextInt(200)
+      val rows = (0 until n).map { i =>
+        (i.toLong, parts(rnd.nextInt(parts.size)), rnd.nextInt(60).toLong)
+      }
+      val fileType = if (ti % 2 == 1) FileType.ICEBERG else FileType.DELTA
+      val dir = TestSpark.tmpDir(s"fuzzpndv$ti")
+      client.createAsTable(rows.toDF("id", "p", "k").repartition(1 + rnd.nextInt(3)),
+        "fuzzpndv", "s", s"t$ti", fileType, s"$dir/t",
+        partitionColumns = Seq("p"))
+      spark.sql(s"ANALYZE TABLE fuzzpndv.s.t$ti COMPUTE STATISTICS FOR ALL COLUMNS")
+      // half the tables append after the stamp: the layer must FOLD
+      val extra =
+        if (rnd.nextBoolean()) (0 until 1 + rnd.nextInt(40)).map { i =>
+          ((n + i).toLong, parts(rnd.nextInt(parts.size)), (60 + rnd.nextInt(20)).toLong)
+        } else Seq.empty
+      if (extra.nonEmpty)
+        client.getTxTable("fuzzpndv", "s", s"t$ti").append(extra.toDF("id", "p", "k"))
+      val all = rows ++ extra
+      (0 until 10).foreach { qi =>
+        val (where, absorbable) = wherePool(rnd.nextInt(wherePool.size))
+        val colName = if (rnd.nextBoolean()) "k" else "p"
+        val q = spark.sql(
+          s"SELECT APPROX_COUNT_DISTINCT(`$colName`) AS d FROM fuzzpndv.s.t$ti WHERE $where")
+        val plan = q.queryExecution.executedPlan.toString
+        total += 1
+        if (absorbable) {
+          // exact regime everywhere (<= 80 distinct values): the merged
+          // sketch answer must EQUAL the exact filtered distinct count
+          val view = all.toDF("id", "p", "k")
+          view.createOrReplaceTempView(s"rawpndv$ti")
+          val exact = spark.sql(
+            s"SELECT COUNT(DISTINCT `$colName`) FROM rawpndv$ti WHERE $where")
+            .collect()(0).getLong(0)
+          assert(q.collect()(0).getLong(0) == exact,
+            s"value mismatch for WHERE $where on $colName\n$plan")
+          assert(!plan.contains("FileScan"),
+            s"absorbed predicate must serve scan-free: WHERE $where on $colName\n$plan")
+          rewritten += 1
+        } else {
+          assert(plan.contains("FileScan"),
+            s"non-absorbable predicate must keep the scan: WHERE $where\n$plan")
+        }
+      }
+    }
+    assert(rewritten >= total / 2, s"only $rewritten of $total served — generator drifted?")
+  }
+
+  test("beyond the tuple cap the layer bails honestly; the answer stays correct via scan") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("fuzzpndvcap")
+    client.createSchema("fuzzpndvcap", "s")
+    val m = graft.tables.ColumnStats.MaxStampedPartitions + 3
+    val rows = (0 until m * 2).map(i => (i.toLong, s"p${i % m}", (i % 7).toLong))
+    val dir = TestSpark.tmpDir("fuzzpndv-cap")
+    client.createAsTable(rows.toDF("id", "p", "k"),
+      "fuzzpndvcap", "s", "t", FileType.DELTA, s"$dir/t", partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE fuzzpndvcap.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val t = client.getTxTable("fuzzpndvcap", "s", "t")
+    assert(graft.tables.ColumnStats.currentPartitionTuples(t.snapshot).isEmpty,
+      "over the cap nothing per-partition may stamp")
+    val q = spark.sql(
+      "SELECT APPROX_COUNT_DISTINCT(k) AS d FROM fuzzpndvcap.s.t WHERE p = 'p1'")
+    assert(q.queryExecution.executedPlan.toString.contains("FileScan"),
+      "capped layer must fall back to the scan")
+    val exact = rows.filter(_._2 == "p1").map(_._3).distinct.size.toLong
+    assert(q.collect()(0).getLong(0) == exact)
+  }
+}

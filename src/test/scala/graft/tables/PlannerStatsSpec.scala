@@ -90,6 +90,42 @@ class PlannerStatsSpec extends AnyFunSuite {
     } finally spark.conf.set(conf, old)
   }
 
+  test("stats attach is advisory across every stamped type — reads never fail") {
+    val dir = TestSpark.tmpDir("plannerstats-types")
+    val t = new TxTable(spark, s"$dir/t")
+    t.create(spark.range(50).toDF("id")
+      .withColumn("d", expr("DATE'2024-01-02' + CAST(id AS INT)"))
+      .withColumn("ts", expr("TIMESTAMP'2024-01-02 03:04:05' + make_interval(0,0,0,0,0,0,id)"))
+      .withColumn("tn", expr("TIMESTAMP_NTZ'2024-01-02 03:04:05' + make_interval(0,0,0,0,0,0,id)"))
+      .withColumn("dec", expr("CAST(id AS DECIMAL(12,2)) / 7"))
+      .withColumn("f", col("id").cast("float"))
+      .withColumn("s", concat(lit("v"), col("id")))
+      .withColumn("b", (col("id") % 2 === 0)))
+    ColumnStats.analyze(t, t.snapshot.schema.fieldNames.toSeq)
+    assert(ColumnStats.isFresh(t.snapshot))
+    // the read must work with the stats attached...
+    val df = t.toDF
+    assert(df.count() == 50)
+    // ...and the CBO-estimable types must actually land as colStats
+    val lr = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.catalogTable.exists(_.stats.isDefined) => l
+    }
+    assert(lr.nonEmpty, "fresh stamp must attach catalog statistics")
+    val cs = lr.head.catalogTable.get.stats.get.colStats
+    Seq("id", "d", "ts", "tn", "dec", "f").foreach { c =>
+      assert(cs.get(c).exists(s0 => s0.min.isDefined && s0.max.isDefined),
+        s"min/max missing for CBO-able column $c: ${cs.get(c)}")
+      assert(cs(c).nullCount.contains(BigInt(0)), s"nullCount for $c")
+    }
+    // strings/booleans keep their extremes engine-internal (Spark's own
+    // ANALYZE doesn't stat them either) but still carry NDV + nullCount
+    Seq("s", "b").foreach { c =>
+      assert(cs.get(c).exists(s0 => s0.min.isEmpty && s0.max.isEmpty &&
+        s0.distinctCount.isDefined), s"string/bool colStat drifted for $c")
+    }
+  }
+
   test("CBO consumes stamped colStats: filter selectivity flips the join; stale reverts exactly") {
     val dir = TestSpark.tmpDir("plannerstats-cbo")
     val t = new TxTable(spark, s"$dir/t")

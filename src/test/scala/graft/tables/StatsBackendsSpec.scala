@@ -81,6 +81,35 @@ class StatsBackendsSpec extends AnyFunSuite {
     assert(ColumnStats.currentNdv(t.snapshot, "id").isEmpty)
   }
 
+  test("foreign _delta_log with DELETION VECTORS: merge-on-read delete folds too") {
+    val loc = TestSpark.tmpDir("statsb-dv") + "/t"
+    val df = (0 until 500).map(i => (i.toLong, s"v${i % 40}")).toDF("id", "v")
+    DeltaLogWriter.create(spark, loc, df,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    val t = TxTable.forForeignDelta(spark, loc)
+    ColumnStats.analyze(t, Seq("id", "v"))
+    // the DV delete marks bits instead of rewriting — the fold rides
+    // the SAME pinned commit (base+1), so the maintenance story holds
+    // on the modern merge-on-read default too
+    t.delete("id = 250")
+    assert(t.snapshot.files.exists(_.deletionVector.exists(_.cardinality > 0)),
+      "fixture must actually be merge-on-read")
+    assert(ColumnStats.isFresh(t.snapshot), "DV delete must fold, not kill")
+    assert(ColumnStats.currentSum(t.snapshot, "id")
+      .contains(Some((0L until 500L).sum - 250L)))
+    assert(ColumnStats.currentNdv(t.snapshot, "id").isEmpty,
+      "NDV cannot fold a removal")
+    assert(ColumnStats.currentMinMax(t.snapshot, "id", isMin = true)
+      .get.contains(0L), "untied extremes survive the DV fold")
+    // tie -> pair drops, stamp stays fresh
+    t.delete("id = 0")
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.currentMinMax(t.snapshot, "id", isMin = true).isEmpty)
+    // a DV UPDATE changes values: never foldable -> stale
+    t.update("id = 5", Map("v" -> "'zz'"))
+    assert(!ColumnStats.isFresh(t.snapshot))
+  }
+
   test("iceberg log") {
     val loc = TestSpark.tmpDir("statsb-ice") + "/t"
     val df = (0 until 500).map(i => (i.toLong, s"v${i % 40}")).toDF("id", "v")
