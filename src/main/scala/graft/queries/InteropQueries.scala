@@ -2952,6 +2952,173 @@ object InteropQueries {
           TRUE AS merge_on_read,
           TRUE AS dv_fold_scan_free,
           TRUE AS extreme_touch_falls_back,
-          TRUE AS sum_survives_both_deletes"""))
+          TRUE AS sum_survives_both_deletes""")),
+
+    // ---- q172: the retention DELETE keeps APPROX_COUNT_DISTINCT alive ----
+    // A pure partition DROP (`DELETE WHERE day < X` — THE 100 TB
+    // retention shape) removes whole partitions and nothing else, so the
+    // surviving partitions' stamped sketches never saw a removed row:
+    // the per-partition layer SURVIVES the delete (removed tuples drop,
+    // survivors reindex) instead of dying until a full re-ANALYZE, and
+    // the unfiltered APPROX_COUNT_DISTINCT falls back to merging ALL
+    // surviving tuples' sketches now that the table-wide sketch is
+    // honestly gone. Lifecycle pinned end-to-end: ANALYZE → partition
+    // drop (unfiltered + filtered + partition-column APPROX all
+    // scan-free, SUM folded by subtraction) → append (the layer still
+    // folds) — while a NON-partition delete twin honestly unsets the
+    // layer and scans. Values DuckDB-recomputed over the post-delete
+    // rows (suppkey in the sketches' exact regime).
+    QueryDef(
+      "q172_retention_ndv_survival",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q172cat")
+        client.createSchema("q172cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q172-rn").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_suppkey").cast(LongType).as("l_suppkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"))
+        client.createAsTable(li.repartition(4), "q172cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
+        client.createAsTable(li.repartition(4), "q172cat", "s", "t2",
+          graft.catalog.FileType.DELTA, s"$root/t2",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q172cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        s.sql("ANALYZE TABLE q172cat.s.t2 COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        // the retention delete: whole partition 'A' drops, no rewrite
+        s.sql("DELETE FROM q172cat.s.t WHERE l_returnflag = 'A'")
+        val q1 = s.sql("""SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du_supp,
+            SUM(l_quantity) AS sum_qty FROM q172cat.s.t""")
+        val meta1 = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        val q2 = s.sql("""SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du_r
+          FROM q172cat.s.t WHERE l_returnflag = 'R'""")
+        val meta2 = !planOf(q2).contains("FileScan")
+        // partition-column argument: exact from the surviving tuples
+        val q3 = s.sql(
+          "SELECT APPROX_COUNT_DISTINCT(l_returnflag) AS du_rf FROM q172cat.s.t")
+        val meta3 = !planOf(q3).contains("FileScan")
+        // the layer keeps FOLDING after the drop: a brand-new suppkey
+        // appends into a surviving partition, no rescan
+        import s.implicits._
+        client.getTxTable("q172cat", "s", "t").append(
+          Seq((9999999L, -1L, 7L, "N"))
+            .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_returnflag"))
+        val q4 = s.sql(
+          "SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du_supp2 FROM q172cat.s.t")
+        val meta4 = !planOf(q4).contains("FileScan")
+        // the twin's delete is NOT a partition drop: the layer honestly
+        // unsets and APPROX scans (stale-never-wrong)
+        s.sql("DELETE FROM q172cat.s.t2 WHERE l_quantity = 25")
+        val q5 = s.sql(
+          "SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du_np FROM q172cat.s.t2")
+        val partialScans = planOf(q5).contains("FileScan")
+        q1.crossJoin(q2).crossJoin(q3).crossJoin(q4)
+          .withColumn("drop_served_scan_free", lit(meta1))
+          .withColumn("filtered_served_scan_free", lit(meta2))
+          .withColumn("partition_col_scan_free", lit(meta3))
+          .withColumn("append_after_drop_folds", lit(meta4))
+          .withColumn("partial_delete_scans", lit(partialScans))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_suppkey AS BIGINT) AS sk,
+                 CAST(l_quantity AS BIGINT) AS q, l_returnflag AS rf
+          FROM lineitem
+        ), d1 AS (SELECT * FROM src WHERE rf <> 'A')
+        SELECT
+          (SELECT COUNT(DISTINCT sk) FROM d1) AS du_supp,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM d1) AS sum_qty,
+          (SELECT COUNT(DISTINCT sk) FROM d1 WHERE rf = 'R') AS du_r,
+          (SELECT COUNT(DISTINCT rf) FROM d1) AS du_rf,
+          (SELECT COUNT(DISTINCT sk) FROM d1) + 1 AS du_supp2,
+          TRUE AS drop_served_scan_free,
+          TRUE AS filtered_served_scan_free,
+          TRUE AS partition_col_scan_free,
+          TRUE AS append_after_drop_folds,
+          TRUE AS partial_delete_scans""")),
+
+    // ---- q173: the per-day distinct-users rollup, metadata-only ----
+    // `SELECT day, COUNT(*), APPROX_COUNT_DISTINCT(user) GROUP BY day`
+    // is the canonical 100 TB dashboard query. The grouped metadata
+    // rewrite already served COUNT/MIN/MAX per partition from the file
+    // list; APPROX_COUNT_DISTINCT now rides the same rewrite from the
+    // stamped per-partition sketches (each group = its tuples' sketches
+    // exact-merged), composing with the absorbed WHERE family — one
+    // snapshot read, zero files opened. Exact-regime values recomputed
+    // by DuckDB; appends fold; a non-partition group key honestly scans.
+    QueryDef(
+      "q173_grouped_approx_distinct",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q173cat")
+        client.createSchema("q173cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q173-ga").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_suppkey").cast(LongType).as("l_suppkey"),
+          col("l_returnflag"))
+        client.createAsTable(li.repartition(4), "q173cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q173cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        // mixed exact + sketch-served outputs, one LocalTableScan
+        val q1 = s.sql("""SELECT l_returnflag, COUNT(*) AS n_rows,
+            APPROX_COUNT_DISTINCT(l_suppkey) AS du_supp,
+            MAX(l_orderkey) AS max_ok
+          FROM q173cat.s.t GROUP BY l_returnflag""")
+        val meta1 = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        // absorbed WHERE composes with the grouping
+        val q2 = s.sql("""SELECT l_returnflag,
+            APPROX_COUNT_DISTINCT(l_suppkey) AS du_f
+          FROM q173cat.s.t WHERE l_returnflag >= 'N' GROUP BY l_returnflag""")
+        val meta2 = !planOf(q2).contains("FileScan")
+        // an append folds into ONE group's sketch, the rollup stays
+        // scan-free with the new value
+        import s.implicits._
+        client.getTxTable("q173cat", "s", "t").append(
+          Seq((9999999L, -1L, "N")).toDF("l_orderkey", "l_suppkey", "l_returnflag"))
+        val q3 = s.sql("""SELECT l_returnflag,
+            APPROX_COUNT_DISTINCT(l_suppkey) AS du_2
+          FROM q173cat.s.t GROUP BY l_returnflag""")
+        val meta3 = !planOf(q3).contains("FileScan")
+        // a NON-partition group key is never metadata-answerable
+        val q4 = s.sql("""SELECT l_orderkey, APPROX_COUNT_DISTINCT(l_suppkey) AS d
+          FROM q173cat.s.t GROUP BY l_orderkey""")
+        val nonPartScans = planOf(q4).contains("FileScan")
+        q1.join(q2, Seq("l_returnflag"), "left")
+          .join(q3, Seq("l_returnflag"), "left")
+          .withColumn("grouped_scan_free", lit(meta1))
+          .withColumn("filtered_grouped_scan_free", lit(meta2))
+          .withColumn("append_folds_group", lit(meta3))
+          .withColumn("non_partition_group_scans", lit(nonPartScans))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_suppkey AS BIGINT) AS sk,
+                 l_returnflag AS rf
+          FROM lineitem
+        ), post AS (
+          SELECT ok, sk, rf FROM src
+          UNION ALL SELECT 9999999, -1, 'N'
+        )
+        SELECT rf AS l_returnflag,
+          (SELECT COUNT(*) FROM src WHERE rf = g.rf) AS n_rows,
+          (SELECT COUNT(DISTINCT sk) FROM src WHERE rf = g.rf) AS du_supp,
+          (SELECT MAX(ok) FROM src WHERE rf = g.rf) AS max_ok,
+          (SELECT CASE WHEN g.rf >= 'N'
+            THEN (SELECT COUNT(DISTINCT sk) FROM src WHERE rf = g.rf) END) AS du_f,
+          (SELECT COUNT(DISTINCT sk) FROM post WHERE rf = g.rf) AS du_2,
+          TRUE AS grouped_scan_free,
+          TRUE AS filtered_grouped_scan_free,
+          TRUE AS append_folds_group,
+          TRUE AS non_partition_group_scans
+        FROM (SELECT DISTINCT rf FROM src) g"""))
   )
 }

@@ -450,11 +450,65 @@ object GraftSqlExtensions {
       if (pcols.contains(colName)) {
         // the argument IS a partition column: its filtered distinct set
         // is EXACTLY the surviving tuples' values for that slot (every
-        // stamped tuple holds >=1 live row — appends only extend the
-        // layer, any removal unsets it). DISTINCT excludes SQL NULL.
+        // stamped tuple holds >=1 live row — appends extend the layer,
+        // a pure partition DROP shrinks it exactly, any other removal
+        // unsets it). DISTINCT excludes SQL NULL.
         val slot = pcols.indexOf(colName)
         Some(keep.map(tuples(_)(slot)).filter(_ != null).distinct.size.toLong)
       } else graft.tables.ColumnStats.mergedPartitionNdv(snap, colName, keep)
+    } catch { case _: Throwable => None }
+
+  /** GROUPED `APPROX_COUNT_DISTINCT(col) ... GROUP BY pcol` from the
+    * stamped per-partition sketches: surviving tuples (under the same
+    * absorbed predicate family) grouped by the decoded group-key values,
+    * each group's sketches exact-merged — the per-day distinct-users
+    * dashboard rollup as one property read. Keys are Catalyst-internal
+    * values (comparable with exactGroupedAgg's keys, so mixed
+    * exact+approx outputs join on them). A NULL group-key value falls to
+    * the scan, consistent with [[exactGroupedAgg]]. None = unprovable.
+    */
+  private[sql] def statsGroupedPartitionNdv(session: ClassicSparkSession,
+      loc: String, version: Option[Long], colName: String,
+      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Long]] =
+    try {
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val pcols = snap.partitionColumns
+      if (pcols.isEmpty) return None
+      if (!groupCols.forall(pcols.contains)) return None
+      if (!preds.forall(p => pcols.contains(p.col))) return None
+      val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      val tuples = graft.tables.ColumnStats.currentPartitionTuples(snap)
+        .getOrElse(return None)
+      val keep = tuples.zipWithIndex.filter { case (tuple, _) =>
+        preds.forall { p =>
+          val raw = tuple(pcols.indexOf(p.col))
+          p.eval(raw, s => graft.tables.ColumnStats
+              .stampedPartitionValue(fieldType(p.col), s))
+            .getOrElse(return None)
+        }
+      }
+      val slots = groupCols.map(pcols.indexOf)
+      val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Vector[Int]]
+      keep.foreach { case (tuple, i) =>
+        val key = slots.map { s =>
+          val raw = tuple(s)
+          if (raw == null) return None // NULL-keyed group → scan
+          graft.tables.ColumnStats.stampedPartitionValue(fieldType(pcols(s)), raw)
+            .getOrElse(return None)
+        }
+        groups(key) = groups.getOrElse(key, Vector.empty) :+ i
+      }
+      if (pcols.contains(colName)) {
+        // partition-column argument: exact per group from the tuples
+        val slot = pcols.indexOf(colName)
+        Some(groups.map { case (k, idxs) =>
+          k -> idxs.map(tuples(_)(slot)).filter(_ != null).distinct.size.toLong
+        }.toMap)
+      } else Some(groups.map { case (k, idxs) =>
+        k -> graft.tables.ColumnStats.mergedPartitionNdv(snap, colName, idxs)
+          .getOrElse(return None)
+      }.toMap)
     } catch { case _: Throwable => None }
 
   /** A partition-value STRING to the column's Catalyst-internal value.
@@ -1090,10 +1144,18 @@ object GraftSqlExtensions {
                   case None => approxDistinctOf(e).flatMap { a =>
                     // ANALYZE-time NDV, served ONLY while the stamped
                     // fingerprint matches the snapshot's (path, DV) set —
-                    // any data-changing commit invalidates silently
+                    // any data-changing commit invalidates silently.
+                    // After a pure partition-drop delete the table-wide
+                    // sketch is honestly gone but the per-partition layer
+                    // survives: merging ALL stamped tuples' sketches (an
+                    // empty predicate keeps every tuple) serves the
+                    // unfiltered answer too.
                     if (!ownAttr(a)) None
                     else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
                       case (loc, v) => GraftSqlExtensions.statsNdv(session, loc, v, a.name)
+                        .orElse(GraftSqlExtensions
+                          .statsPartitionNdv(session, loc, v, a.name, Seq.empty)
+                          .map(identity[Any]))
                     }
                   }
                 }
@@ -1129,12 +1191,15 @@ object GraftSqlExtensions {
           }
         }.getOrElse(d)
 
-      // `SELECT part, COUNT(*)[, MIN(x), MAX(x)] ... GROUP BY part` on a
-      // tagged catalog table, all group keys plain attributes: answered
-      // from the file list when those keys turn out to be PARTITION
-      // columns (exactGroupedAgg proves that; anything else keeps the
-      // scan). At 100 TB this turns the per-partition dashboard rollup
-      // into one snapshot read.
+      // `SELECT part, COUNT(*)[, MIN(x), MAX(x), APPROX_COUNT_DISTINCT(u)]
+      // ... GROUP BY part` on a tagged catalog table, all group keys
+      // plain attributes: answered from the file list when those keys
+      // turn out to be PARTITION columns (exactGroupedAgg proves that;
+      // anything else keeps the scan), with APPROX_COUNT_DISTINCT served
+      // per group from the stamped PER-PARTITION sketches (each group's
+      // surviving tuples exact-merged). At 100 TB this turns the
+      // per-partition dashboard rollup — including per-day distinct
+      // users — into one snapshot read.
       case agg @ Aggregate(groupExprs, exprs, child, _)
           if groupExprs.nonEmpty &&
             groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
@@ -1144,25 +1209,68 @@ object GraftSqlExtensions {
           if (!groupExprs.forall(g =>
               relAttrs.contains(g.asInstanceOf[AttributeReference]))) None
           else partitionEqFilter(conjuncts, node).flatMap { pf =>
-            val outs: Seq[Option[GraftSqlExtensions.GroupedOut]] = exprs.map { e =>
-              groupKeyOf(e, groupSet) match {
-                case Some(a) => Some(GraftSqlExtensions.GroupedKey(a.name))
-                case None if isCountStar(e) => Some(GraftSqlExtensions.GroupedCount)
-                case None => minMaxOf(e).collect {
-                  case (a, isMin) if relAttrs.contains(a) =>
-                    GraftSqlExtensions.GroupedMinMax(a.name, isMin)
-                }.orElse(countColOf(e).collect {
-                  case a if relAttrs.contains(a) =>
-                    GraftSqlExtensions.GroupedCountCol(a.name)
-                })
+            // Left = exact per-file arithmetic, Right = sketch-served
+            val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, String]]] =
+              exprs.map { e =>
+                groupKeyOf(e, groupSet) match {
+                  case Some(a) => Some(Left(GraftSqlExtensions.GroupedKey(a.name)))
+                  case None if isCountStar(e) =>
+                    Some(Left(GraftSqlExtensions.GroupedCount))
+                  case None => minMaxOf(e).collect {
+                    case (a, isMin) if relAttrs.contains(a) =>
+                      Left(GraftSqlExtensions.GroupedMinMax(a.name, isMin))
+                  }.orElse(countColOf(e).collect {
+                    case a if relAttrs.contains(a) =>
+                      Left(GraftSqlExtensions.GroupedCountCol(a.name))
+                  }).orElse(approxDistinctOf(e).collect {
+                    case a if relAttrs.contains(a) => Right(a.name)
+                  })
+                }
               }
-            }
             if (outs.exists(_.isEmpty)) None
             else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
               case (loc, v) =>
+                val flat = outs.map(_.get)
+                val groupNames =
+                  groupExprs.map(_.asInstanceOf[AttributeReference].name)
+                val approxCols = flat.collect { case Right(c) => c }.distinct
+                // hidden trailing group-key slots so each exact row can
+                // join the sketch-served per-group map on its full key
+                val exactOuts = flat.collect { case Left(o) => o } ++
+                  (if (approxCols.nonEmpty)
+                    groupNames.map(GraftSqlExtensions.GroupedKey) else Nil)
                 GraftSqlExtensions.exactGroupedAgg(session, loc, v,
-                  groupExprs.map(_.asInstanceOf[AttributeReference].name),
-                  outs.map(_.get), pf)
+                  groupNames, exactOuts, pf).flatMap { rows =>
+                  if (approxCols.isEmpty) Some(rows)
+                  else {
+                    val maps = approxCols.map(c => c ->
+                      GraftSqlExtensions.statsGroupedPartitionNdv(
+                        session, loc, v, c, groupNames, pf))
+                    if (maps.exists(_._2.isEmpty)) None
+                    else {
+                      val byCol = maps.map { case (c, m) => c -> m.get }.toMap
+                      val nExact = flat.count(_.isLeft)
+                      val built: Seq[Option[Seq[Any]]] = rows.map { r =>
+                        val key = r.drop(nExact)
+                        val it = r.iterator
+                        val cells: Seq[Option[Any]] = flat.map {
+                          case Left(_) => Some(it.next())
+                          // a live group the sketch layer doesn't know
+                          // would be an inconsistency — scan
+                          case Right(c) => byCol(c).get(key)
+                        }
+                        if (cells.exists(_.isEmpty)) None
+                        else Some(cells.map(_.get))
+                      }
+                      // both sides must see the SAME groups — a sketch
+                      // group the files don't show (or vice versa) means
+                      // the layer is out of shape
+                      if (built.exists(_.isEmpty) ||
+                          byCol.valuesIterator.exists(_.size != rows.size)) None
+                      else Some(built.map(_.get))
+                    }
+                  }
+                }
             }.map { rows =>
               LocalRelation(agg.output, rows.map(r =>
                 org.apache.spark.sql.catalyst.InternalRow(r: _*)))

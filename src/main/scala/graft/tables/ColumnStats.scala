@@ -464,7 +464,13 @@ object ColumnStats {
       // would re-freshen the un-folded survivor as servable
       if (minCols != maxCols) return
       val mmCols = minCols.toSeq.sorted
-      if (ndvCols.isEmpty && sumCols.isEmpty && mmCols.isEmpty) return
+      val cntCols = props.keys.filter(_.startsWith(CntPropPrefix))
+        .map(_.stripPrefix(CntPropPrefix)).toSeq.sorted
+      // cnt rides the check too: after a retention delete the stamp can
+      // be cnt + per-partition sketches only (sum/extremes tie-dropped,
+      // table-wide NDV honestly unset) — appends must keep folding it
+      if (ndvCols.isEmpty && sumCols.isEmpty && mmCols.isEmpty && cntCols.isEmpty)
+        return
       val known = snap.schema.fieldNames.toSet
       if (!(ndvCols ++ sumCols ++ mmCols).forall(known.contains)) return
       val extremes = mmCols.map(c => c -> snap.schema(c).dataType)
@@ -473,8 +479,6 @@ object ColumnStats {
       // cannot merge (pre-sketch stamps fall back to full re-ANALYZE)
       val oldSketches = ndvCols.map(c => props.get(KmvPropPrefix + c))
       if (oldSketches.exists(_.isEmpty)) return
-      val cntCols = props.keys.filter(_.startsWith(CntPropPrefix))
-        .map(_.stripPrefix(CntPropPrefix)).toSeq.sorted
       if (!cntCols.forall(known.contains)) return
       val scanCols = (ndvCols ++ sumCols ++ mmCols ++ cntCols).distinct
       // identify the batch inside the COMMITTED snapshot by the files'
@@ -668,15 +672,17 @@ object ColumnStats {
         .map(f => f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
       if (live == 0L) return
       if (sumCols.isEmpty && mmCols.isEmpty && cntCols.isEmpty) {
-        // only sketches were stamped: nothing foldable survives, but the
-        // restamped fingerprint keeps the PLANNER surface (exact row
-        // count) alive across the delete
+        // only sketches were stamped: no scalar folds, but the restamped
+        // fingerprint keeps the PLANNER surface (exact row count) alive
+        // across the delete — and a pure partition DROP still keeps the
+        // per-partition layer (see below)
         val unsets = props.keys.collect {
           case key if key.startsWith(NdvPropPrefix) || key.startsWith(KmvPropPrefix) ||
               key.startsWith(PkmvPropPrefix) || key == PvalsProp || key == PkProp =>
             key -> (null: String)
         }.toMap
-        table.setProperties(unsets ++
+        val keep = partitionDropKeep(table, props, base, snap, removedPaths).getOrElse(Map.empty)
+        table.setProperties(unsets ++ keep ++
           Map(FingerprintProp -> fingerprint(snap).toString,
             VersionProp -> commitVersion.toString))
         return
@@ -691,13 +697,19 @@ object ColumnStats {
       val remCnt = cntCols.zip(remCnts).toMap
       val unset = Map.newBuilder[String, String]
       val set = Map.newBuilder[String, String]
-      // sketches cannot un-see removed values: table-wide and
-      // per-partition NDV layers go (scan until the next ANALYZE)
+      // sketches cannot un-see removed VALUES: the table-wide NDV layer
+      // always goes. The PER-PARTITION layer survives one delete shape —
+      // the pure partition DROP (retention: whole partitions removed, no
+      // rewrite survivors) — because there the removed rows are exactly
+      // the removed tuples' rows: surviving tuples' sketches never saw
+      // them. partitionDropKeep proves that from the two snapshots'
+      // metadata (else None → the layer unsets like before).
       props.keys.foreach { key =>
         if (key.startsWith(NdvPropPrefix) || key.startsWith(KmvPropPrefix) ||
             key.startsWith(PkmvPropPrefix) || key == PvalsProp || key == PkProp)
           unset += key -> (null: String)
       }
+      partitionDropKeep(table, props, base, snap, removedPaths).foreach(set ++= _)
       // non-null counts subtract exactly
       val newCnts = cntCols.map { c =>
         val v = BigInt(props(CntPropPrefix + c)) - BigInt(remCnt(c))
@@ -749,6 +761,110 @@ object ColumnStats {
         if (sys.props.contains("graft.debugFold")) e.printStackTrace()
     }
   }
+
+  /** Whether a DELETE was a pure PARTITION DROP — whole partitions
+    * removed, nothing else touched — and if so, the per-partition sketch
+    * layer's surviving keys, reindexed. This is the retention shape
+    * (`DELETE WHERE day < X` on a day-partitioned table): the removed
+    * rows are exactly the dropped tuples' rows, so every surviving
+    * tuple's sketch is untouched and APPROX_COUNT_DISTINCT keeps
+    * answering scan-free across the delete (merged over the survivors),
+    * instead of dying until a full re-ANALYZE.
+    *
+    * Provable iff, from metadata alone:
+    *  - the commit ADDED no file (a rewrite survivor means some removed
+    *    file was only partially deleted);
+    *  - every removed and every surviving file's partition tuple
+    *    converts unambiguously to the stamped encoding (the hive null
+    *    sentinel string is ambiguous in a JSON-sourced log — bail);
+    *  - no surviving file shares a removed tuple (else that partition
+    *    was partially deleted);
+    *  - every removed tuple IS stamped, with every surviving tuple's
+    *    sketch present (a fresh layer lists all live partitions — a gap
+    *    means the stamp isn't the shape ANALYZE wrote).
+    *
+    * None = not a pure drop (or unprovable) → the caller unsets the
+    * layer, exactly the pre-round-14 behavior.
+    */
+  private def partitionDropKeep(table: TxTable, props: Map[String, String],
+      base: TxLog.Snapshot, snap: TxLog.Snapshot,
+      removedPaths: Seq[String]): Option[Map[String, String]] = {
+    // the hive sentinel IS null for path-parsed logs (native, Iceberg —
+    // a real string equal to it is unrepresentable there); a foreign
+    // Delta log records values as JSON where the sentinel STRING could
+    // be a real value — never guess, bail to an unset layer
+    val sentinelIsNull = table.log != ForeignDeltaCommitLog
+    val pvalsEnc = props.get(PvalsProp).getOrElse(return None)
+    val pk = props.get(PkProp).getOrElse(return None)
+    val pcols = base.partitionColumns
+    if (pcols.isEmpty || snap.partitionColumns != pcols) return None
+    val basePaths = base.files.map(_.path).toSet
+    if (snap.files.exists(f => !basePaths.contains(f.path))) return None
+    val removedSet = removedPaths.toSet
+    val removedFiles = base.files.filter(f => removedSet.contains(f.path))
+    if (removedFiles.size != removedSet.size) return None // can't bind the batch
+    val ptypes = pcols.map(c => base.schema(c).dataType)
+    // a file's log-recorded partition tuple in the STAMPED encoding
+    // (renderValue over internal values); None = ambiguous/unconvertible
+    def tupleOf(f: TxLog.AddFile): Option[Seq[String]] = {
+      val out = pcols.zip(ptypes).map { case (c, dt) =>
+        f.partitionValues.get(c) match {
+          case Some(null) => null
+          case Some("__HIVE_DEFAULT_PARTITION__") =>
+            if (sentinelIsNull) null else return None
+          case Some(raw) => logPartValueToStamped(dt, raw).getOrElse(return None)
+          case None => return None
+        }
+      }
+      Some(out)
+    }
+    val removedTuples = removedFiles
+      .map(f => tupleOf(f).getOrElse(return None)).toSet
+    val tuples = decodeTuples(pvalsEnc)
+    val stamped = tuples.toSet
+    snap.files.foreach { f =>
+      val t = tupleOf(f).getOrElse(return None)
+      if (removedTuples.contains(t)) return None // partition partially deleted
+      // a live tuple the layer doesn't list would silently VANISH from
+      // merged answers — the stamp isn't the shape ANALYZE wrote
+      if (!stamped.contains(t)) return None
+    }
+    if (!removedTuples.subsetOf(stamped)) return None // stamp out of shape
+    val keep = tuples.zipWithIndex.filterNot { case (t, _) => removedTuples.contains(t) }
+    val sketchCols = props.keys.filter(_.startsWith(PkmvPropPrefix)).toSeq
+      .map { key =>
+        val rest = key.stripPrefix(PkmvPropPrefix)
+        rest.substring(0, rest.lastIndexOf('.'))
+      }.distinct.sorted
+    if (sketchCols.isEmpty) return None
+    val out = Map.newBuilder[String, String]
+    keep.zipWithIndex.foreach { case ((_, oldIdx), newIdx) =>
+      sketchCols.foreach { c =>
+        out += s"$PkmvPropPrefix$c.$newIdx" ->
+          props.getOrElse(s"$PkmvPropPrefix$c.$oldIdx", return None)
+      }
+    }
+    Some(out.result() +
+      (PvalsProp -> encodeTuples(keep.map(_._1))) + (PkProp -> pk))
+  }
+
+  /** A LOG-convention partition value string to the STAMPED encoding
+    * ([[renderValue]] over the internal Catalyst value) — how a file's
+    * partitionValues entry is matched against a pvals tuple slot. Floats
+    * and decimals bail (their partition-string round-trip is
+    * writer-dependent), mirroring the absorbed-predicate family.
+    */
+  private def logPartValueToStamped(dt: DataType, raw: String): Option[String] =
+    dt match {
+      case StringType => Some(raw) // partition values are exact, never truncated
+      case BooleanType =>
+        if (raw == "true" || raw == "false") Some(raw) else None
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType =>
+        FileStats.orderedStatValue(dt, raw)
+          .map(v => renderValue(dt, FileStats.orderedValueToCatalyst(dt, v)))
+      case _ => None
+    }
 
   /** Re-issue ONLY the fingerprint (and the bound version) after a
     * content-preserving rewrite (OPTIMIZE/ZORDER/REORG, hooked from

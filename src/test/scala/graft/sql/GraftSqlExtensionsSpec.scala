@@ -547,6 +547,68 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       .forall(!_.getBoolean(7)), "fresh must flip to false after an update")
   }
 
+  test("grouped APPROX_COUNT_DISTINCT serves from per-partition sketches; retention deletes keep the layer") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakegndv")
+    client.createSchema("lakegndv", "core")
+    val dir = TestSpark.tmpDir("sqlgndv")
+    // per-partition k ranges are DISJOINT with distinct sizes 10/11/13
+    // (moduli coprime with 3, so each partition fills its whole range)
+    // — every grouped distinct count is its own recognizable value
+    val kGen: Int => (Int, Int) = Map(0 -> (0, 10), 1 -> (10, 11), 2 -> (21, 13))
+    val df = (0 until 240).map { i =>
+      val part = i % 3
+      val (base, m) = kGen(part)
+      (i.toLong, s"p$part", (base + i % m).toLong)
+    }.toDF("id", "p", "k")
+    client.createAsTable(df.repartition(2), "lakegndv", "core", "t",
+      FileType.DELTA, s"$dir/t", partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE lakegndv.core.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    // mixed exact + sketch outputs per group, one LocalTableScan
+    val q = spark.sql("""SELECT p, COUNT(*) AS n, APPROX_COUNT_DISTINCT(k) AS d,
+        MAX(id) AS hi FROM lakegndv.core.t GROUP BY p ORDER BY p""")
+    assert(q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("p0", 80L, 10L, 237L), ("p1", 80L, 11L, 238L), ("p2", 80L, 13L, 239L)))
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan"),
+      s"grouped approx must serve from the sketches\n${planOf(q)}")
+    // the absorbed WHERE family composes with the grouping
+    val qf = spark.sql("""SELECT p, APPROX_COUNT_DISTINCT(k) AS d
+      FROM lakegndv.core.t WHERE p <> 'p0' GROUP BY p""")
+    assert(qf.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("p1", 11L), ("p2", 13L)))
+    assert(!planOf(qf).contains("FileScan"))
+    // grouped by the partition column, counting IT: exact from tuples
+    val qp = spark.sql("""SELECT p, APPROX_COUNT_DISTINCT(p) AS d
+      FROM lakegndv.core.t GROUP BY p""")
+    assert(qp.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("p0", 1L), ("p1", 1L), ("p2", 1L)))
+    assert(!planOf(qp).contains("FileScan"))
+    // the retention DELETE is a pure partition drop: the layer SURVIVES,
+    // grouped and ungrouped APPROX keep serving scan-free
+    spark.sql("DELETE FROM lakegndv.core.t WHERE p = 'p1'")
+    val q2 = spark.sql("""SELECT p, APPROX_COUNT_DISTINCT(k) AS d
+      FROM lakegndv.core.t GROUP BY p ORDER BY p""")
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("p0", 10L), ("p2", 13L)))
+    assert(planOf(q2).contains("LocalTableScan") && !planOf(q2).contains("FileScan"),
+      s"the layer must survive a pure partition drop\n${planOf(q2)}")
+    // ...including the UNFILTERED table-wide answer, now that the
+    // table-wide sketch is honestly gone (merge of all survivors)
+    val q3 = spark.sql(
+      "SELECT APPROX_COUNT_DISTINCT(id) AS d FROM lakegndv.core.t")
+    assert(q3.collect()(0).getLong(0) == 160L)
+    assert(!planOf(q3).contains("FileScan"),
+      s"unfiltered approx must fall back to the partition layer\n${planOf(q3)}")
+    // a non-partition group key keeps the scan, values stay right
+    val qk = spark.sql("""SELECT k, APPROX_COUNT_DISTINCT(id) AS d
+      FROM lakegndv.core.t GROUP BY k""")
+    assert(planOf(qk).contains("FileScan"))
+    assert(qk.collect().length == 23)
+  }
+
   test("inspection-table suffix reads: cat.s.t.files / .partitions / Iceberg set") {
     val client = new LakehouseClient(spark)
     client.createCatalog("lakemeta")

@@ -59,7 +59,15 @@ class PartitionNdvFuzzSpec extends AnyFunSuite {
         } else Seq.empty
       if (extra.nonEmpty)
         client.getTxTable("fuzzpndv", "s", s"t$ti").append(extra.toDF("id", "p", "k"))
-      val all = rows ++ extra
+      // a third of the DELTA tables then run a RETENTION delete (pure
+      // partition drop — the layer must SURVIVE it and keep serving);
+      // Iceberg deletes are merge-on-read (never a pure drop) so there
+      // the layer must honestly unset — both ways the VALUES stay right
+      val dropPred: Option[String] =
+        if (rnd.nextInt(3) == 0 && fileType == FileType.DELTA) Some("p = 'b'")
+        else None
+      dropPred.foreach(pr => spark.sql(s"DELETE FROM fuzzpndv.s.t$ti WHERE $pr"))
+      val all = (rows ++ extra).filterNot(r => dropPred.isDefined && r._2 == "b")
       (0 until 10).foreach { qi =>
         val (where, absorbable) = wherePool(rnd.nextInt(wherePool.size))
         val colName = if (rnd.nextBoolean()) "k" else "p"
@@ -76,13 +84,47 @@ class PartitionNdvFuzzSpec extends AnyFunSuite {
             s"SELECT COUNT(DISTINCT `$colName`) FROM rawpndv$ti WHERE $where")
             .collect()(0).getLong(0)
           assert(q.collect()(0).getLong(0) == exact,
-            s"value mismatch for WHERE $where on $colName\n$plan")
+            s"value mismatch for WHERE $where on $colName (drop=$dropPred)\n$plan")
           assert(!plan.contains("FileScan"),
-            s"absorbed predicate must serve scan-free: WHERE $where on $colName\n$plan")
+            s"absorbed predicate must serve scan-free: WHERE $where on $colName " +
+              s"(drop=$dropPred)\n$plan")
           rewritten += 1
         } else {
           assert(plan.contains("FileScan"),
             s"non-absorbable predicate must keep the scan: WHERE $where\n$plan")
+        }
+        // the grouped rollup (GROUP BY the partition column): when it
+        // serves from the sketches (scan-free) the exact-regime values
+        // must EQUAL the recomputation; when it scans (null-keyed
+        // groups, non-absorbable WHERE) the answer is Spark's own HLL++
+        // ESTIMATE — group keys must match and values stay in its
+        // documented error band
+        if (qi == 0) {
+          val g = spark.sql(
+            s"""SELECT p, APPROX_COUNT_DISTINCT(k) AS d
+               FROM fuzzpndv.s.t$ti WHERE $where GROUP BY p""")
+          val servedMeta =
+            !g.queryExecution.executedPlan.toString.contains("FileScan")
+          val view = all.toDF("id", "p", "k")
+          view.createOrReplaceTempView(s"rawpndv$ti")
+          val exactG = spark.sql(
+            s"SELECT p, COUNT(DISTINCT k) AS d FROM rawpndv$ti WHERE $where GROUP BY p")
+          val got = g.collect().map(r =>
+            (Option(r.get(0)), r.getLong(1))).toMap
+          val want = exactG.collect().map(r =>
+            (Option(r.get(0)), r.getLong(1))).toMap
+          assert(got.keySet == want.keySet,
+            s"grouped keys mismatch for WHERE $where (drop=$dropPred)")
+          want.foreach { case (k2, exact) =>
+            val v = got(k2)
+            if (servedMeta)
+              assert(v == exact,
+                s"sketch-served group $k2 must be exact for WHERE $where " +
+                  s"(drop=$dropPred): $v vs $exact")
+            else
+              assert(math.abs(v - exact) <= math.max(2L, (exact * 0.15).toLong),
+                s"scanned HLL++ group $k2 out of band for WHERE $where: $v vs $exact")
+          }
         }
       }
     }

@@ -202,6 +202,39 @@ class ColumnStatsSpec extends AnyFunSuite {
       .contains(Some((0L until 300L).sum + 1000L + 1001L)))
   }
 
+  test("a pure partition-drop DELETE keeps the per-partition layer; partial deletes unset it") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-pdrop") + "/t")
+    t.create((0 until 300).map(i => (i.toLong, s"p${i % 3}", (i % 50).toLong))
+      .toDF("id", "p", "k").repartition(2), partitionColumns = Seq("p"))
+    ColumnStats.analyze(t, Seq("id", "k"))
+    // the retention shape: whole partition p1 drops, nothing rewritten
+    t.delete("p = 'p1'")
+    val snap = t.snapshot
+    assert(ColumnStats.isFresh(snap), "the drop must fold and restamp")
+    val tuples = ColumnStats.currentPartitionTuples(snap).get
+    assert(tuples.toSet == Set(Seq("p0"), Seq("p2")),
+      "removed tuple drops, survivors reindex")
+    // the table-wide sketch honestly cannot un-see the removed values...
+    assert(ColumnStats.currentNdv(snap, "id").isEmpty)
+    // ...but the surviving partitions' sketches never saw them
+    assert(ColumnStats.mergedPartitionNdv(snap, "id", tuples.indices)
+      .contains(200L))
+    // and the scalar folds ride the same restamp (SUM by subtraction)
+    assert(ColumnStats.currentSum(snap, "id").contains(Some(
+      (0L until 300L).filterNot(_ % 3 == 1).sum)))
+    // appends keep folding the kept layer
+    t.append(Seq((5000L, "p0", 999L)).toDF("id", "p", "k"))
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.mergedPartitionNdv(t.snapshot, "id",
+      ColumnStats.currentPartitionTuples(t.snapshot).get.indices).contains(201L))
+    // a delete that touches only PART of a partition is never a drop:
+    // the layer unsets (stale-never-wrong) while scalars still fold
+    t.delete("k = 7")
+    assert(ColumnStats.isFresh(t.snapshot), "scalar folds still restamp")
+    assert(ColumnStats.currentPartitionTuples(t.snapshot).isEmpty,
+      "a partial delete must unset the per-partition layer")
+  }
+
   test("timestamp and decimal extremes round-trip the stamp") {
     val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
     val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")
