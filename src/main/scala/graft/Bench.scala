@@ -543,6 +543,48 @@ object Bench {
         line("stats_fold_delete", d); line("metadata_sum_post_delete", e)
         (d, e, pm, ps)
       }
+      // round-14 late rows: the grouped distinct-users rollup (sketch
+      // layer vs scan), the retention partition-drop that now KEEPS the
+      // layer (drop fold cost + the post-drop unfiltered APPROX served
+      // from the surviving sketches), and the insert-only MERGE fold
+      val (grpApproxMeta, grpApproxScan, retentionDrop, retApprox, mergeFold) = {
+        val cat = s"benchret$pass"
+        val client = new graft.client.LakehouseClient(spark)
+        client.createCatalog(cat); client.createSchema(cat, "s")
+        val root = java.nio.file.Files.createTempDirectory("bench-ret").toString
+        val li = graft.queries.Tables.lineitem(spark, sfDir).select(
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_quantity").cast("long").as("l_quantity"),
+          col("l_returnflag"))
+        client.createAsTable(li.repartition(8), cat, "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
+        spark.sql(s"ANALYZE TABLE $cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        val t = client.getTxTable(cat, "s", "t")
+        val gm = timed { spark.sql(s"""SELECT l_returnflag, COUNT(*) AS n,
+            APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM $cat.s.t
+            GROUP BY l_returnflag""").collect() }
+        val gs = timed { t.toDF.groupBy(col("l_returnflag"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            org.apache.spark.sql.functions
+              .approx_count_distinct(col("l_orderkey")).as("d")).collect() }
+        val rd = timed(spark.sql(s"DELETE FROM $cat.s.t WHERE l_returnflag = 'A'"))
+        val ra = timed { spark.sql(
+          s"SELECT APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM $cat.s.t").collect() }
+        // disjoint keys: everything lands NOT MATCHED — the commit is an
+        // append and the (surviving) stamp folds it in
+        val src = li.filter(col("l_returnflag") =!= "A")
+          .select((col("l_orderkey") + lit(100000000L)).as("l_orderkey"),
+            col("l_quantity"), col("l_returnflag")).limit(10000)
+        val mf = timed {
+          t.merge(src, "s.l_orderkey = t.l_orderkey")
+            .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        }
+        line("grouped_approx_metadata", gm); line("grouped_approx_scan", gs)
+        line("retention_drop_fold", rd); line("retention_approx_post_drop", ra)
+        line("insert_only_merge_fold", mf)
+        (gm, gs, rd, ra, mf)
+      }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
         "corpus_shards" -> shards, "iceberg_changelog_delete" -> chlog,
@@ -577,7 +619,12 @@ object Bench {
         "stats_fold_delete" -> statsFoldDelete,
         "metadata_sum_post_delete" -> sumPostDelete,
         "partition_ndv_metadata" -> pndvMeta,
-        "partition_ndv_scan" -> pndvScan)
+        "partition_ndv_scan" -> pndvScan,
+        "grouped_approx_metadata" -> grpApproxMeta,
+        "grouped_approx_scan" -> grpApproxScan,
+        "retention_drop_fold" -> retentionDrop,
+        "retention_approx_post_drop" -> retApprox,
+        "insert_only_merge_fold" -> mergeFold)
     }
 
     // min-of-two FULL ops passes (the SCALE protocol at one scale):

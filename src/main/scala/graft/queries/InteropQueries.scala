@@ -3119,6 +3119,82 @@ object InteropQueries {
           TRUE AS filtered_grouped_scan_free,
           TRUE AS append_folds_group,
           TRUE AS non_partition_group_scans
-        FROM (SELECT DISTINCT rf FROM src) g"""))
+        FROM (SELECT DISTINCT rf FROM src) g""")),
+
+    // ---- q174: insert-only MERGE folds the stats stamp like an append ----
+    // The dedup-upsert steady state (MERGE ... WHEN NOT MATCHED INSERT
+    // where everything lands NOT MATCHED) removes no target file — the
+    // commit IS an append, so a fresh ANALYZE stamp folds the inserted
+    // batch in (O(batch)) instead of dying until the next full scan.
+    // Pinned: ANALYZE → disjoint-key MERGE → COUNT/APPROX/SUM/MIN/MAX
+    // all scan-free with values DuckDB recomputes over the merged rows
+    // → a MATCHED merge twin (values rewritten, never derivable)
+    // honestly invalidates and scans.
+    QueryDef(
+      "q174_insert_only_merge_fold",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q174cat")
+        client.createSchema("q174cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q174-imf").toString
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey").cast(LongType).as("l_orderkey"),
+            col("l_quantity").cast(LongType).as("l_quantity"),
+            col("l_returnflag"))
+        client.createAsTable(li, "q174cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t")
+        s.sql("ANALYZE TABLE q174cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        val t = client.getTxTable("q174cat", "s", "t")
+        // odd orderkeys: every source row lands NOT MATCHED
+        val src = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 2 === 1)
+          .select(col("l_orderkey").cast(LongType).as("l_orderkey"),
+            col("l_quantity").cast(LongType).as("l_quantity"),
+            col("l_returnflag"))
+        t.merge(src, "s.l_orderkey = t.l_orderkey")
+          .whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll()
+          .execute()
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val q1 = s.sql("""SELECT COUNT(*) AS n_rows,
+            APPROX_COUNT_DISTINCT(l_returnflag) AS du_rf,
+            SUM(l_quantity) AS sum_qty,
+            MIN(l_returnflag) AS min_rf, MAX(l_returnflag) AS max_rf
+          FROM q174cat.s.t""")
+        val foldMeta = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        // the twin: the smallest even orderkey's rows get MATCHED-updated
+        // (deterministic; one source row may match many target rows) —
+        // a file rewrites, the stamp honestly dies
+        import s.implicits._
+        val kSel = li.agg(min(col("l_orderkey"))).collect()(0).getLong(0)
+        t.merge(Seq((kSel, 999L, "zz")).toDF("l_orderkey", "l_quantity", "l_returnflag"),
+            "s.l_orderkey = t.l_orderkey")
+          .whenMatchedUpdate(Map("l_quantity" -> "999"))
+          .whenNotMatchedInsertAll()
+          .execute()
+        val q2 = s.sql("SELECT SUM(l_quantity) AS sum_after_match FROM q174cat.s.t")
+        val matchScans = planOf(q2).contains("FileScan")
+        q1.crossJoin(q2)
+          .withColumn("insert_only_merge_folds", lit(foldMeta))
+          .withColumn("matched_merge_scans", lit(matchScans))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok,
+                 CAST(l_quantity AS BIGINT) AS q, l_returnflag AS rf
+          FROM lineitem
+        ), ksel AS (SELECT MIN(ok) AS k FROM src WHERE ok % 2 = 0)
+        SELECT
+          (SELECT COUNT(*) FROM src) AS n_rows,
+          (SELECT COUNT(DISTINCT rf) FROM src) AS du_rf,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM src) AS sum_qty,
+          (SELECT MIN(rf) FROM src) AS min_rf,
+          (SELECT MAX(rf) FROM src) AS max_rf,
+          (SELECT CAST(SUM(CASE WHEN ok = (SELECT k FROM ksel)
+              THEN 999 ELSE q END) AS BIGINT) FROM src) AS sum_after_match,
+          TRUE AS insert_only_merge_folds,
+          TRUE AS matched_merge_scans"""))
   )
 }

@@ -134,8 +134,18 @@ final class TxTable(val spark: SparkSession, val location: String,
     */
   private[tables] def commitRewrite(df: DataFrame, removedPaths: Seq[String],
       baseVersion: Long, cdcDf: Option[DataFrame] = None,
-      txn: Option[TxLog.SetTxn] = None): Unit =
-    commitWithRetry("MERGE") { snap =>
+      txn: Option[TxLog.SetTxn] = None): Unit = {
+    // an INSERT-ONLY merge (no target file touched — the common
+    // dedup-upsert steady state where everything lands NOT MATCHED)
+    // removes nothing: the commit IS an append, and a fresh stats stamp
+    // folds it exactly like TxTable.append instead of dying until the
+    // next ANALYZE. Any removal keeps the normal invalidate-on-rewrite
+    // posture (merge value changes are never derivable).
+    var statsFold: Option[(Long, Seq[TxLog.AddFile])] = None
+    commitWithRetryIf("MERGE",
+      postCommit = _ => statsFold.foreach { case (v, files) =>
+        ColumnStats.foldAppend(this, v, files) }) { snap => Some {
+      statsFold = None
       // `df` and `removedPaths` were planned against `baseVersion`; if a
       // concurrent commit landed since, recommitting blindly would be
       // wrong two ways: (a) the rewrite would resurrect stale rows a
@@ -161,11 +171,14 @@ final class TxTable(val spark: SparkSession, val location: String,
               "their rows were not visible to the merge join")
       }
       val (added, props) = stageRewrite(df, snap)
+      if (removedPaths.isEmpty && ColumnStats.isFresh(snap))
+        statsFold = Some((snap.version + 1, added))
       val cdc = cdcDf.filter(_ => cdfOn(snap.properties))
         .map(d => DeltaCdf.stageCdc(spark, location, d, snap)).getOrElse(Seq.empty)
       TxTable.Planned(added, removedPaths, snap.schema, snap.partitionColumns,
         props, cdc, txn = txn)
-    }
+    } }
+  }
 
   private def dfFor(s: Snapshot): DataFrame = {
     val df = log.dfForSnapshot(spark, location, s)

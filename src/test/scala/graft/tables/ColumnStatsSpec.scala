@@ -235,6 +235,30 @@ class ColumnStatsSpec extends AnyFunSuite {
       "a partial delete must unset the per-partition layer")
   }
 
+  test("an insert-only MERGE folds like an append; a matched rewrite invalidates") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-mrg") + "/t")
+    t.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    ColumnStats.analyze(t, Seq("k", "v"))
+    // disjoint keys: no target file is touched, the commit is an append
+    t.merge(Seq((10L, "x"), (11L, "y")).toDF("k", "v"), "s.k = t.k")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(ColumnStats.isFresh(t.snapshot),
+      "an insert-only merge must fold, not invalidate")
+    assert(ColumnStats.currentNdv(t.snapshot, "k").contains(5L))
+    assert(ColumnStats.currentSum(t.snapshot, "k").contains(Some(1L + 2L + 3L + 10L + 11L)))
+    assert(ColumnStats.currentMinMax(t.snapshot, "v", isMin = false)
+      .get.get.toString == "y")
+    // a merge that MATCHES rewrites values — never derivable, stamp dies
+    t.merge(Seq((10L, "zz")).toDF("k", "v"), "s.k = t.k")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(!ColumnStats.isFresh(t.snapshot),
+      "a matched merge must invalidate (values changed)")
+  }
+
   test("timestamp and decimal extremes round-trip the stamp") {
     val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
     val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")
