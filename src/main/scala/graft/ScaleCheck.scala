@@ -454,20 +454,21 @@ object ScaleCheck {
     // (3 partition values at every sf). Self-contained catalog: client
     // registration is last-wins per session, so reusing an earlier
     // block's catalog would resolve against the wrong store.
-    val pndvMeta = {
+    val (pndvMeta, grpSumMeta, retDrop, retServe) = {
       import org.apache.spark.sql.functions.col
       val client3 = new graft.client.LakehouseClient(spark)
       client3.createCatalog("scalendv")
       client3.createSchema("scalendv", "s")
       val loc = java.nio.file.Files.createTempDirectory("scalecheck-pndv").toString
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("l_quantity"),
+          col("l_returnflag"))
       graft.tables.DeltaLogWriter.create(spark, s"$loc/t", li.repartition(32),
         partitionColumns = Seq("l_returnflag"))
       client3.registerAsTable("scalendv", "s", "t",
         graft.catalog.FileType.DELTA, s"$loc/t")
       spark.sql("""ANALYZE TABLE scalendv.s.t COMPUTE STATISTICS
-          FOR COLUMNS l_orderkey""").collect()
+          FOR COLUMNS l_orderkey, l_quantity""").collect()
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
@@ -476,8 +477,34 @@ object ScaleCheck {
           FROM scalendv.s.t WHERE l_returnflag = 'A'""").collect()
         require(got.nonEmpty)
       }
-      System.err.println(f"[scalecheck] partition_ndv_metadata $v%.2fs")
-      v
+      // round-14 late: the per-day SUM rollup from the scalar layer
+      // (O(#partitions) property merge — must stay flat at x10 data)
+      val g = timed {
+        val got = spark.sql("""SELECT l_returnflag, SUM(l_quantity) AS s
+          FROM scalendv.s.t GROUP BY l_returnflag""").collect()
+        require(got.length == 3)
+      }
+      // the retention delete: whole-partition fast path (no read) +
+      // metadata-only stats recombination — the WHOLE drop must stay
+      // ~flat at x10 data, where the pre-round-14 shape paid a full
+      // read-and-rewrite of the dropped partition
+      val d = timed(spark.sql("DELETE FROM scalendv.s.t WHERE l_returnflag = 'A'")
+        .collect())
+      // and everything keeps serving scan-free AFTER the drop
+      val r = timed {
+        val got = spark.sql("""SELECT APPROX_COUNT_DISTINCT(l_orderkey) AS d,
+            SUM(l_quantity) AS s, MAX(l_quantity) AS mx
+          FROM scalendv.s.t""").collect()
+        require(got.nonEmpty)
+      }
+      require(graft.tables.ColumnStats.currentSum(
+          graft.tables.TxTable.forForeignDelta(spark, s"$loc/t").snapshot,
+          "l_quantity").isDefined,
+        "the retention drop must keep the stamp fresh via recombination")
+      System.err.println(f"[scalecheck] partition_ndv_metadata $v%.2fs " +
+        f"grouped_sum_metadata $g%.2fs retention_drop_metadata $d%.2fs " +
+        f"retention_post_drop_serve $r%.2fs")
+      (v, g, d, r)
     }
 
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
@@ -511,7 +538,10 @@ object ScaleCheck {
       "metadata_minmax_post_fold" -> minMaxPostFold,
       "stats_fold_delete_fixed" -> deleteFoldFixed,
       "metadata_sum_post_delete" -> sumPostDelete,
-      "partition_ndv_metadata" -> pndvMeta))
+      "partition_ndv_metadata" -> pndvMeta,
+      "grouped_sum_metadata" -> grpSumMeta,
+      "retention_drop_metadata" -> retDrop,
+      "retention_post_drop_serve" -> retServe))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

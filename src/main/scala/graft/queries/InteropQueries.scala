@@ -2701,7 +2701,8 @@ object InteropQueries {
         val li = Tables.lineitem(s, dir)
           .select(col("l_linenumber"), col("l_returnflag"))
         client.createAsTable(li, "q168cat", "s", "t",
-          graft.catalog.FileType.DELTA, s"$root/t")
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
         s.sql("ANALYZE TABLE q168cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
         s.sql("SHOW STATISTICS FOR q168cat.s.t").orderBy(col("column"))
       },
@@ -2712,13 +2713,15 @@ object InteropQueries {
             CAST(MIN(l_linenumber) AS VARCHAR) AS "min",
             CAST(MAX(l_linenumber) AS VARCHAR) AS "max",
             COUNT(DISTINCT l_linenumber) < 4096 AS exact,
+            COUNT(DISTINCT l_returnflag) AS partition_tuples,
             CAST(0 AS BIGINT) AS stamped_version,
             TRUE AS fresh
           FROM lineitem
           UNION ALL
           SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag),
             CAST(NULL AS VARCHAR), MIN(l_returnflag), MAX(l_returnflag),
-            COUNT(DISTINCT l_returnflag) < 4096, CAST(0 AS BIGINT), TRUE
+            COUNT(DISTINCT l_returnflag) < 4096, CAST(NULL AS BIGINT),
+            CAST(0 AS BIGINT), TRUE
           FROM lineitem
         ) ORDER BY "column"""")),
 
@@ -3195,6 +3198,93 @@ object InteropQueries {
           (SELECT CAST(SUM(CASE WHEN ok = (SELECT k FROM ksel)
               THEN 999 ELSE q END) AS BIGINT) FROM src) AS sum_after_match,
           TRUE AS insert_only_merge_folds,
-          TRUE AS matched_merge_scans"""))
+          TRUE AS matched_merge_scans""")),
+
+    // ---- q175: per-partition SCALAR stats — grouped/filtered SUM and ----
+    // string extremes scan-free, retention deletes fully metadata-only.
+    // ANALYZE on a partitioned table stamps, besides the per-partition
+    // sketches, bytes-tiny exact scalars per tuple (sum/cnt/min/max):
+    // `SELECT day, SUM(bytes) GROUP BY day` and `SUM(x) WHERE day >= d`
+    // (SUM has NO per-file footer stat — only this layer can serve it)
+    // and grouped/filtered MIN/MAX of footer-refused types (strings)
+    // all become one property read. And a pure partition-drop DELETE
+    // re-derives the TABLE-WIDE stats by recombining survivors — zero
+    // data read, exact extremes (no subtraction tie hazard), pinned
+    // here with the dropped partition HOLDING the global max string.
+    // Appends keep folding the scalar cells. Values DuckDB-recomputed.
+    QueryDef(
+      "q175_partition_scalar_stats",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q175cat")
+        client.createSchema("q175cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q175-ps").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"),
+          concat(lit("tag-"), lpad(col("l_orderkey").cast("string"), 12, "0"))
+            .as("tag"))
+        client.createAsTable(li.repartition(4), "q175cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q175cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val q1 = s.sql("""SELECT SUM(l_quantity) AS sum_f FROM q175cat.s.t
+          WHERE l_returnflag >= 'N'""")
+        val sumFilteredMeta = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        // grouped rollup: exact COUNT + layer SUM + string extremes
+        val q2 = s.sql("""SELECT l_returnflag, COUNT(*) AS n_rows,
+            SUM(l_quantity) AS sum_qty, MIN(tag) AS min_tag, MAX(tag) AS max_tag
+          FROM q175cat.s.t GROUP BY l_returnflag""")
+        val groupedMeta = planOf(q2).contains("LocalTableScan") &&
+          !planOf(q2).contains("FileScan")
+        // the retention drop removes whole partition 'A' (table-wide
+        // stats re-derive from the survivors, zero data read); then an
+        // append plants a NEW global-max tag in 'N' — the fold must
+        // carry it into the derived stamp
+        s.sql("DELETE FROM q175cat.s.t WHERE l_returnflag = 'A'")
+        import s.implicits._
+        client.getTxTable("q175cat", "s", "t").append(
+          Seq((9999999999L, 7L, "N", "tag-zzzzzzzzzzzz"))
+            .toDF("l_orderkey", "l_quantity", "l_returnflag", "tag"))
+        val q3 = s.sql(
+          "SELECT MAX(tag) AS max_tag2, SUM(l_quantity) AS sum_qty2 FROM q175cat.s.t")
+        val postDropMeta = planOf(q3).contains("LocalTableScan") &&
+          !planOf(q3).contains("FileScan")
+        val q4 = s.sql("""SELECT l_returnflag, SUM(l_quantity) AS sum_2
+          FROM q175cat.s.t WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag""")
+        val postDropGroupedMeta = !planOf(q4).contains("FileScan")
+        q2.join(q4, Seq("l_returnflag"), "left").crossJoin(q1).crossJoin(q3)
+          .withColumn("sum_filtered_scan_free", lit(sumFilteredMeta))
+          .withColumn("grouped_scan_free", lit(groupedMeta))
+          .withColumn("post_drop_scan_free", lit(postDropMeta))
+          .withColumn("post_drop_grouped_scan_free", lit(postDropGroupedMeta))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_quantity AS BIGINT) AS q,
+                 l_returnflag AS rf,
+                 'tag-' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0') AS tag
+          FROM lineitem
+        ), post AS (
+          SELECT ok, q, rf, tag FROM src WHERE rf <> 'A'
+          UNION ALL SELECT 9999999999, 7, 'N', 'tag-zzzzzzzzzzzz'
+        )
+        SELECT rf AS l_returnflag,
+          (SELECT COUNT(*) FROM src WHERE rf = g.rf) AS n_rows,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM src WHERE rf = g.rf) AS sum_qty,
+          (SELECT MIN(tag) FROM src WHERE rf = g.rf) AS min_tag,
+          (SELECT MAX(tag) FROM src WHERE rf = g.rf) AS max_tag,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM post WHERE rf = g.rf) AS sum_2,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM src WHERE rf >= 'N') AS sum_f,
+          (SELECT MAX(tag) FROM post) AS max_tag2,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM post) AS sum_qty2,
+          TRUE AS sum_filtered_scan_free,
+          TRUE AS grouped_scan_free,
+          TRUE AS post_drop_scan_free,
+          TRUE AS post_drop_grouped_scan_free
+        FROM (SELECT DISTINCT rf FROM src) g"""))
   )
 }

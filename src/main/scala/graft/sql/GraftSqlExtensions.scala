@@ -427,26 +427,41 @@ object GraftSqlExtensions {
     * merge is O(#partitions × k) driver work over property bytes — no
     * file is opened. None = unprovable → scan.
     */
+  /** A FRESH per-partition layer's tuples surviving the absorbed
+    * predicate family: (snapshot, all stamped tuples, surviving tuple
+    * indices). None = unprovable (stale/absent layer, a non-partition
+    * predicate column, an undecidable tuple). The shared core of every
+    * stamped-layer serve below.
+    */
+  private def survivingTuples(session: ClassicSparkSession, loc: String,
+      version: Option[Long], preds: Seq[PartPred])
+      : Option[(graft.tables.TxLog.Snapshot, Seq[Seq[String]], Seq[Int])] = {
+    val t = graft.tables.TxTable.forAnyLocation(session, loc)
+    val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+    val pcols = snap.partitionColumns
+    if (pcols.isEmpty) return None
+    if (!preds.forall(p => pcols.contains(p.col))) return None
+    val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val tuples = graft.tables.ColumnStats.currentPartitionTuples(snap)
+      .getOrElse(return None)
+    val keep = tuples.zipWithIndex.filter { case (tuple, _) =>
+      preds.forall { p =>
+        val raw = tuple(pcols.indexOf(p.col))
+        p.eval(raw, s => graft.tables.ColumnStats
+            .stampedPartitionValue(fieldType(p.col), s))
+          .getOrElse(return None)
+      }
+    }.map(_._2)
+    Some((snap, tuples, keep))
+  }
+
   private[sql] def statsPartitionNdv(session: ClassicSparkSession, loc: String,
       version: Option[Long], colName: String,
       preds: Seq[PartPred]): Option[Long] =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (snap, tuples, keep) =
+        survivingTuples(session, loc, version, preds).getOrElse(return None)
       val pcols = snap.partitionColumns
-      if (pcols.isEmpty) return None
-      if (!preds.forall(p => pcols.contains(p.col))) return None
-      val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-      val tuples = graft.tables.ColumnStats.currentPartitionTuples(snap)
-        .getOrElse(return None)
-      val keep = tuples.zipWithIndex.filter { case (tuple, _) =>
-        preds.forall { p =>
-          val raw = tuple(pcols.indexOf(p.col))
-          p.eval(raw, s => graft.tables.ColumnStats
-              .stampedPartitionValue(fieldType(p.col), s))
-            .getOrElse(return None)
-        }
-      }.map(_._2)
       if (pcols.contains(colName)) {
         // the argument IS a partition column: its filtered distinct set
         // is EXACTLY the surviving tuples' values for that slot (every
@@ -458,6 +473,33 @@ object GraftSqlExtensions {
       } else graft.tables.ColumnStats.mergedPartitionNdv(snap, colName, keep)
     } catch { case _: Throwable => None }
 
+  /** Exact `SUM(col)` under an absorbed partition-only WHERE from the
+    * stamped per-partition scalars (Σ surviving psum, SQL NULL decided
+    * by Σ surviving pcnt). Some(None) = SQL NULL; outer None = scan.
+    */
+  private[sql] def statsPartitionSum(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String,
+      preds: Seq[PartPred]): Option[Option[Long]] =
+    try {
+      val (snap, _, keep) =
+        survivingTuples(session, loc, version, preds).getOrElse(return None)
+      graft.tables.ColumnStats.mergedPartitionSum(snap, colName, keep)
+    } catch { case _: Throwable => None }
+
+  /** Exact `MIN/MAX(col)` under an absorbed partition-only WHERE from
+    * the stamped per-partition extremes — the route for exactly the
+    * types per-file footer stats refuse (strings, floats), and for
+    * partition columns themselves (slot values). Some(None) = SQL NULL.
+    */
+  private[sql] def statsPartitionMinMax(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String, isMin: Boolean,
+      preds: Seq[PartPred]): Option[Option[Any]] =
+    try {
+      val (snap, _, keep) =
+        survivingTuples(session, loc, version, preds).getOrElse(return None)
+      graft.tables.ColumnStats.mergedPartitionMinMax(snap, colName, isMin, keep)
+    } catch { case _: Throwable => None }
+
   /** GROUPED `APPROX_COUNT_DISTINCT(col) ... GROUP BY pcol` from the
     * stamped per-partition sketches: surviving tuples (under the same
     * absorbed predicate family) grouped by the decoded group-key values,
@@ -467,30 +509,26 @@ object GraftSqlExtensions {
     * exact+approx outputs join on them). A NULL group-key value falls to
     * the scan, consistent with [[exactGroupedAgg]]. None = unprovable.
     */
-  private[sql] def statsGroupedPartitionNdv(session: ClassicSparkSession,
-      loc: String, version: Option[Long], colName: String,
-      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Long]] =
+  /** Surviving tuples GROUPED by the decoded group-key values — the
+    * shared core of the grouped stamped-layer serves. Keys are
+    * Catalyst-internal values (comparable with exactGroupedAgg's keys,
+    * so mixed exact+stamped outputs join on them); a NULL group-key
+    * value falls to the scan, consistent with [[exactGroupedAgg]].
+    */
+  private def groupedSurviving(session: ClassicSparkSession, loc: String,
+      version: Option[Long], groupCols: Seq[String], preds: Seq[PartPred])
+      : Option[(graft.tables.TxLog.Snapshot, Seq[Seq[String]],
+        scala.collection.mutable.LinkedHashMap[Seq[Any], Vector[Int]])] =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (snap, tuples, keepIdx) =
+        survivingTuples(session, loc, version, preds).getOrElse(return None)
       val pcols = snap.partitionColumns
-      if (pcols.isEmpty) return None
       if (!groupCols.forall(pcols.contains)) return None
-      if (!preds.forall(p => pcols.contains(p.col))) return None
       val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-      val tuples = graft.tables.ColumnStats.currentPartitionTuples(snap)
-        .getOrElse(return None)
-      val keep = tuples.zipWithIndex.filter { case (tuple, _) =>
-        preds.forall { p =>
-          val raw = tuple(pcols.indexOf(p.col))
-          p.eval(raw, s => graft.tables.ColumnStats
-              .stampedPartitionValue(fieldType(p.col), s))
-            .getOrElse(return None)
-        }
-      }
       val slots = groupCols.map(pcols.indexOf)
       val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Vector[Int]]
-      keep.foreach { case (tuple, i) =>
+      keepIdx.foreach { i =>
+        val tuple = tuples(i)
         val key = slots.map { s =>
           val raw = tuple(s)
           if (raw == null) return None // NULL-keyed group → scan
@@ -499,6 +537,20 @@ object GraftSqlExtensions {
         }
         groups(key) = groups.getOrElse(key, Vector.empty) :+ i
       }
+      Some((snap, tuples, groups))
+    } catch { case _: Throwable => None }
+
+  /** `APPROX_COUNT_DISTINCT(col) ... GROUP BY pcol` from the stamped
+    * per-partition sketches: each group's surviving tuples exact-merged
+    * (the per-day distinct-users dashboard rollup as one property read).
+    */
+  private[sql] def statsGroupedPartitionNdv(session: ClassicSparkSession,
+      loc: String, version: Option[Long], colName: String,
+      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Long]] =
+    try {
+      val (snap, tuples, groups) =
+        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
+      val pcols = snap.partitionColumns
       if (pcols.contains(colName)) {
         // partition-column argument: exact per group from the tuples
         val slot = pcols.indexOf(colName)
@@ -508,6 +560,37 @@ object GraftSqlExtensions {
       } else Some(groups.map { case (k, idxs) =>
         k -> graft.tables.ColumnStats.mergedPartitionNdv(snap, colName, idxs)
           .getOrElse(return None)
+      }.toMap)
+    } catch { case _: Throwable => None }
+
+  /** Exact `SUM(col) ... GROUP BY pcol` from the stamped per-partition
+    * scalars — `SELECT day, SUM(bytes) GROUP BY day` as one property
+    * read. A group's SQL NULL (all surviving values null) rides as a
+    * null map value. */
+  private[sql] def statsGroupedPartitionSum(session: ClassicSparkSession,
+      loc: String, version: Option[Long], colName: String,
+      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Any]] =
+    try {
+      val (snap, _, groups) =
+        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
+      Some(groups.map { case (k, idxs) =>
+        k -> graft.tables.ColumnStats.mergedPartitionSum(snap, colName, idxs)
+          .getOrElse(return None).map(identity[Any]).orNull
+      }.toMap)
+    } catch { case _: Throwable => None }
+
+  /** Exact `MIN/MAX(col) ... GROUP BY pcol` from the stamped
+    * per-partition extremes — the grouped route for footer-refused
+    * types (strings, floats) and partition columns. */
+  private[sql] def statsGroupedPartitionMinMax(session: ClassicSparkSession,
+      loc: String, version: Option[Long], colName: String, isMin: Boolean,
+      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Any]] =
+    try {
+      val (snap, _, groups) =
+        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
+      Some(groups.map { case (k, idxs) =>
+        k -> graft.tables.ColumnStats.mergedPartitionMinMax(snap, colName, isMin, idxs)
+          .getOrElse(return None).orNull
       }.toMap)
     } catch { case _: Throwable => None }
 
@@ -637,6 +720,14 @@ object GraftSqlExtensions {
         }
       }
   }
+
+  /** An output served from the stamped PER-PARTITION layer (sketches /
+    * scalars) rather than per-file arithmetic. */
+  private[sql] sealed trait StampedOut { def col: String }
+  private[sql] final case class StampedApprox(col: String) extends StampedOut
+  private[sql] final case class StampedSum(col: String) extends StampedOut
+  private[sql] final case class StampedMinMax(col: String, isMin: Boolean)
+      extends StampedOut
 
   /** One output column of a partition-grouped metadata-only aggregate. */
   private[sql] sealed trait GroupedOut
@@ -1058,8 +1149,15 @@ object GraftSqlExtensions {
             // exactly the surviving partitions); a table without that
             // layer keeps the scan.
             partitionEqFilter(conjuncts, node).flatMap { pf =>
-              // Left = exact per-file arithmetic, Right = sketch-served
-              val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, String]]] =
+              // Left = exact per-file arithmetic, Right = served from
+              // the stamped per-partition layer (sketches + scalars).
+              // SUM has no per-file footer stat, so it is ALWAYS
+              // layer-served under a WHERE; MIN/MAX prefer the exact
+              // file route and fall back to the stamped extremes when
+              // the footers honestly refuse (strings, floats, DVs).
+              import GraftSqlExtensions.{StampedApprox, StampedMinMax,
+                StampedOut, StampedSum}
+              val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, StampedOut]]] =
                 exprs.map { e =>
                   if (isCountStar(e)) Some(Left(GraftSqlExtensions.GroupedCount))
                   else minMaxOf(e).collect {
@@ -1068,34 +1166,53 @@ object GraftSqlExtensions {
                   }.orElse(countColOf(e).collect {
                     case a if ownAttr(a) =>
                       Left(GraftSqlExtensions.GroupedCountCol(a.name))
+                  }).orElse(sumOf(e).collect {
+                    case a if ownAttr(a) => Right(StampedSum(a.name))
                   }).orElse(approxDistinctOf(e).collect {
-                    case a if ownAttr(a) => Right(a.name)
+                    case a if ownAttr(a) => Right(StampedApprox(a.name))
                   })
                 }
               if (outs.exists(_.isEmpty)) None
               else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
                 case (loc, v) =>
-                  val flat = outs.map(_.get)
-                  val approxPairs = flat.collect { case Right(c) => c }.distinct
-                    .map(c => GraftSqlExtensions
-                      .statsPartitionNdv(session, loc, v, c, pf)
-                      .map(n => c -> (n: Any)))
-                  // any unservable sketch or unprovable exact arm → scan
-                  if (approxPairs.exists(_.isEmpty)) None
-                  else {
-                    val approx = approxPairs.flatten.toMap
+                  def stampedValue(s: StampedOut): Option[Any] = s match {
+                    case StampedApprox(c) => GraftSqlExtensions
+                      .statsPartitionNdv(session, loc, v, c, pf).map(identity[Any])
+                    case StampedSum(c) => GraftSqlExtensions
+                      .statsPartitionSum(session, loc, v, c, pf)
+                      .map(_.map(identity[Any]).orNull)
+                    case StampedMinMax(c, isMin) => GraftSqlExtensions
+                      .statsPartitionMinMax(session, loc, v, c, isMin, pf)
+                      .map(_.orNull)
+                  }
+                  def attempt(flat: Seq[Either[GraftSqlExtensions.GroupedOut, StampedOut]])
+                      : Option[Seq[Any]] = {
+                    val stampedOuts = flat.collect { case Right(s) => s }.distinct
+                    val pairs = stampedOuts.map(s => stampedValue(s).map(s -> _))
+                    if (pairs.exists(_.isEmpty)) return None
+                    val stamped = pairs.flatten.toMap
                     val grouped = flat.collect { case Left(o) => o }
-                    val groupedVals: Option[Seq[Any]] =
-                      if (grouped.isEmpty) Some(Seq.empty)
+                    val gv: Seq[Any] =
+                      if (grouped.isEmpty) Seq.empty
                       else GraftSqlExtensions.exactGroupedAgg(session, loc, v, Nil,
-                        grouped, pf).flatMap(_.headOption)
-                    groupedVals.map { gv =>
-                      val it = gv.iterator
-                      flat.map {
-                        case Left(_) => it.next()
-                        case Right(c) => approx(c)
-                      }
+                        grouped, pf).flatMap(_.headOption).getOrElse(return None)
+                    val it = gv.iterator
+                    Some(flat.map {
+                      case Left(_) => it.next()
+                      case Right(s) => stamped(s)
+                    })
+                  }
+                  val flat = outs.map(_.get)
+                  attempt(flat).orElse {
+                    // the exact arm refused (a string/float/DV extreme):
+                    // retry with MIN/MAX moved to the stamped layer
+                    val flat2 = flat.map {
+                      case Left(GraftSqlExtensions.GroupedMinMax(c, isMin)) =>
+                        Right(StampedMinMax(c, isMin)): Either[
+                          GraftSqlExtensions.GroupedOut, StampedOut]
+                      case other => other
                     }
+                    if (flat2 == flat) None else attempt(flat2)
                   }
               }.map { row =>
                 LocalRelation(agg.output,
@@ -1209,8 +1326,13 @@ object GraftSqlExtensions {
           if (!groupExprs.forall(g =>
               relAttrs.contains(g.asInstanceOf[AttributeReference]))) None
           else partitionEqFilter(conjuncts, node).flatMap { pf =>
-            // Left = exact per-file arithmetic, Right = sketch-served
-            val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, String]]] =
+            // Left = exact per-file arithmetic, Right = served from the
+            // stamped per-partition layer. SUM is always layer-served;
+            // MIN/MAX prefer the exact file route, falling back to the
+            // stamped per-partition extremes (strings, floats).
+            import GraftSqlExtensions.{StampedApprox, StampedMinMax,
+              StampedOut, StampedSum}
+            val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, StampedOut]]] =
               exprs.map { e =>
                 groupKeyOf(e, groupSet) match {
                   case Some(a) => Some(Left(GraftSqlExtensions.GroupedKey(a.name)))
@@ -1222,54 +1344,76 @@ object GraftSqlExtensions {
                   }.orElse(countColOf(e).collect {
                     case a if relAttrs.contains(a) =>
                       Left(GraftSqlExtensions.GroupedCountCol(a.name))
+                  }).orElse(sumOf(e).collect {
+                    case a if relAttrs.contains(a) => Right(StampedSum(a.name))
                   }).orElse(approxDistinctOf(e).collect {
-                    case a if relAttrs.contains(a) => Right(a.name)
+                    case a if relAttrs.contains(a) => Right(StampedApprox(a.name))
                   })
                 }
               }
             if (outs.exists(_.isEmpty)) None
             else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
               case (loc, v) =>
-                val flat = outs.map(_.get)
                 val groupNames =
                   groupExprs.map(_.asInstanceOf[AttributeReference].name)
-                val approxCols = flat.collect { case Right(c) => c }.distinct
-                // hidden trailing group-key slots so each exact row can
-                // join the sketch-served per-group map on its full key
-                val exactOuts = flat.collect { case Left(o) => o } ++
-                  (if (approxCols.nonEmpty)
-                    groupNames.map(GraftSqlExtensions.GroupedKey) else Nil)
-                GraftSqlExtensions.exactGroupedAgg(session, loc, v,
-                  groupNames, exactOuts, pf).flatMap { rows =>
-                  if (approxCols.isEmpty) Some(rows)
-                  else {
-                    val maps = approxCols.map(c => c ->
-                      GraftSqlExtensions.statsGroupedPartitionNdv(
-                        session, loc, v, c, groupNames, pf))
-                    if (maps.exists(_._2.isEmpty)) None
+                def stampedMap(s: StampedOut): Option[Map[Seq[Any], Any]] = s match {
+                  case StampedApprox(c) => GraftSqlExtensions
+                    .statsGroupedPartitionNdv(session, loc, v, c, groupNames, pf)
+                    .map(_.map { case (k2, n) => k2 -> (n: Any) })
+                  case StampedSum(c) => GraftSqlExtensions
+                    .statsGroupedPartitionSum(session, loc, v, c, groupNames, pf)
+                  case StampedMinMax(c, isMin) => GraftSqlExtensions
+                    .statsGroupedPartitionMinMax(session, loc, v, c, isMin,
+                      groupNames, pf)
+                }
+                def attempt(flat: Seq[Either[GraftSqlExtensions.GroupedOut, StampedOut]])
+                    : Option[Seq[Seq[Any]]] = {
+                  val stampedOuts = flat.collect { case Right(s) => s }.distinct
+                  val maps = stampedOuts.map(s => stampedMap(s).map(s -> _))
+                  if (maps.exists(_.isEmpty)) return None
+                  val byOut = maps.flatten.toMap
+                  // hidden trailing group-key slots so each exact row can
+                  // join the layer-served per-group maps on its full key
+                  val exactOuts = flat.collect { case Left(o) => o } ++
+                    (if (stampedOuts.nonEmpty)
+                      groupNames.map(GraftSqlExtensions.GroupedKey) else Nil)
+                  GraftSqlExtensions.exactGroupedAgg(session, loc, v,
+                    groupNames, exactOuts, pf).flatMap { rows =>
+                    if (stampedOuts.isEmpty) Some(rows)
                     else {
-                      val byCol = maps.map { case (c, m) => c -> m.get }.toMap
                       val nExact = flat.count(_.isLeft)
                       val built: Seq[Option[Seq[Any]]] = rows.map { r =>
                         val key = r.drop(nExact)
                         val it = r.iterator
                         val cells: Seq[Option[Any]] = flat.map {
                           case Left(_) => Some(it.next())
-                          // a live group the sketch layer doesn't know
-                          // would be an inconsistency — scan
-                          case Right(c) => byCol(c).get(key)
+                          // a live group the layer doesn't know would be
+                          // an inconsistency — scan. A legitimately NULL
+                          // cell (e.g. an all-null group SUM) rides as a
+                          // null VALUE inside the map, not a missing key.
+                          case Right(s) => byOut(s).get(key)
                         }
                         if (cells.exists(_.isEmpty)) None
                         else Some(cells.map(_.get))
                       }
-                      // both sides must see the SAME groups — a sketch
+                      // both sides must see the SAME groups — a layer
                       // group the files don't show (or vice versa) means
-                      // the layer is out of shape
+                      // the stamp is out of shape
                       if (built.exists(_.isEmpty) ||
-                          byCol.valuesIterator.exists(_.size != rows.size)) None
+                          byOut.valuesIterator.exists(_.size != rows.size)) None
                       else Some(built.map(_.get))
                     }
                   }
+                }
+                val flat = outs.map(_.get)
+                attempt(flat).orElse {
+                  val flat2 = flat.map {
+                    case Left(GraftSqlExtensions.GroupedMinMax(c, isMin)) =>
+                      Right(StampedMinMax(c, isMin)): Either[
+                        GraftSqlExtensions.GroupedOut, StampedOut]
+                    case other => other
+                  }
+                  if (flat2 == flat) None else attempt(flat2)
                 }
             }.map { rows =>
               LocalRelation(agg.output, rows.map(r =>

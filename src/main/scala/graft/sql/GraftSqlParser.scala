@@ -457,6 +457,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 AttributeReference("min", StringType, nullable = true)(),
                 AttributeReference("max", StringType, nullable = true)(),
                 AttributeReference("exact", BooleanType, nullable = true)(),
+                AttributeReference("partition_tuples", LongType, nullable = true)(),
                 AttributeReference("stamped_version", LongType, nullable = true)(),
                 AttributeReference("fresh", BooleanType, nullable = false)())) { () =>
               // metadata-only: the stamp lives in table properties
@@ -485,11 +486,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 }.orNull
               cols.map { c =>
                 val ndv = p.get(NdvPropPrefix + c).flatMap(_.toLongOption)
+                // the per-partition layer's visibility: how many stamped
+                // partition tuples hold this column's sketch+scalar cells
+                // (null = the layer doesn't cover the column)
+                val ptuples = p.keys.count(_.startsWith(s"$PkmvPropPrefix$c."))
                 org.apache.spark.sql.Row(c,
                   ndv.map(java.lang.Long.valueOf).orNull,
                   p.get(SumPropPrefix + c).map(v => if (v == "null") null else v).orNull,
                   mm(MinPropPrefix, c), mm(MaxPropPrefix, c),
                   ndv.flatMap(n => k.map(kk => java.lang.Boolean.valueOf(n < kk))).orNull,
+                  if (ptuples > 0) java.lang.Long.valueOf(ptuples.toLong) else null,
                   stampedV, fresh)
               }
             }

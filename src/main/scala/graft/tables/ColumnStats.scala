@@ -93,7 +93,40 @@ object ColumnStats {
     * exactly, so the surviving partitions' sketches recombine into the
     * filtered answer at O(#partitions × k) driver cost. */
   val PkmvPropPrefix = "graft.stats.pkmv."
+  /** Per-partition SCALARS, same pvals index space as the sketches but
+    * bytes-tiny (a decimal string / an encoded extreme per cell vs the
+    * sketch's ~22 KB): exact SUM (integral columns, [[PsumPropPrefix]]),
+    * exact non-null COUNT ([[PcntPropPrefix]]), exact MIN/MAX
+    * ([[PminPropPrefix]]/[[PmaxPropPrefix]], "n"/"v" encoding). What
+    * they buy at 100 TB: grouped/filtered SUM and footer-refused
+    * MIN/MAX (strings, floats) answer per partition scan-free, and a
+    * pure partition-drop DELETE re-derives the TABLE-WIDE stats by
+    * recombining the survivors — the retention delete becomes fully
+    * metadata-only (zero data read). */
+  val PsumPropPrefix = "graft.stats.psum."
+  val PcntPropPrefix = "graft.stats.pcnt."
+  val PminPropPrefix = "graft.stats.pmin."
+  val PmaxPropPrefix = "graft.stats.pmax."
   val PvalsProp = "graft.stats.pvals"
+
+  /** Every per-tuple prefix of the partition layer (key shape
+    * `<prefix><col>.<tupleIndex>`). */
+  private val PerTuplePrefixes =
+    Seq(PkmvPropPrefix, PsumPropPrefix, PcntPropPrefix, PminPropPrefix, PmaxPropPrefix)
+
+  /** Whether `k` belongs to the per-partition layer (unset wholesale
+    * whenever the layer can't be maintained). */
+  private def isPartitionLayerKey(k: String): Boolean =
+    PerTuplePrefixes.exists(k.startsWith) || k == PvalsProp || k == PkProp
+
+  /** `<prefix><col>.<idx>` -> (prefix, col, idx). */
+  private def splitLayerKey(k: String): Option[(String, String, Int)] =
+    PerTuplePrefixes.find(k.startsWith).flatMap { p =>
+      val rest = k.stripPrefix(p)
+      val dot = rest.lastIndexOf('.')
+      if (dot <= 0) None
+      else rest.substring(dot + 1).toIntOption.map(i => (p, rest.substring(0, dot), i))
+    }
   /** The per-partition sketches' OWN k (graft.stats.pk): table
     * properties ride every native-log commit, so this layer gets a
     * smaller sketch (22 KB/cell at 2048 vs 44 KB at 4096) and a hard
@@ -342,7 +375,7 @@ object ColumnStats {
          (k.startsWith(MinPropPrefix) && !mmCols.contains(k.stripPrefix(MinPropPrefix))) ||
          (k.startsWith(MaxPropPrefix) && !mmCols.contains(k.stripPrefix(MaxPropPrefix))) ||
          (k.startsWith(CntPropPrefix) && !columns.contains(k.stripPrefix(CntPropPrefix))) ||
-         k.startsWith(PkmvPropPrefix) || k == PvalsProp || k == PkProp))
+         isPartitionLayerKey(k)))
       .map(_ -> (null: String)).toMap
     table.setProperties(
       stale ++
@@ -359,12 +392,84 @@ object ColumnStats {
     ndvs
   }
 
-  /** Per-partition KMV sketches for `columns` at `snap` — one GROUPED
-    * aggregate over the partition columns, stamped as an ordered JSON
-    * list of partition tuples plus one sketch property per (column,
-    * tuple index). Empty (no per-partition stamping) when the table is
-    * unpartitioned or holds more than [[MaxStampedPartitions]] distinct
-    * tuples (the cap check is O(metadata): file partition values).
+  /** One grouped aggregate keyed by the partition columns — the
+    * partition layer's stamp/fold workhorse: per live tuple, a KMV
+    * sketch + exact non-null count per `sketchCols`, exact decimal sums
+    * for the `integral` subset, exact encoded extremes for the
+    * orderable `extremes` subset. Same measure layout as [[scanStats]],
+    * collected as INTERNAL rows.
+    */
+  private def scanPartitionLayer(df: org.apache.spark.sql.DataFrame,
+      pcols: Seq[String], ptypes: Seq[DataType], sketchCols: Seq[String],
+      integral: Seq[String], extremes: Seq[(String, DataType)], pk: Int)
+      : Seq[(Seq[String], Seq[Array[Long]], Seq[String], Seq[(String, String)], Seq[Long])] = {
+    val aggs = sketchCols.map(c => graft.functions.KmvFunctions
+        .kmvSketch(col(s"`$c`").cast(StringType), pk).as(s"__pkmv_$c")) ++
+      integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__psum_$c")) ++
+      extremes.flatMap { case (c, _) =>
+        Seq(min(col(s"`$c`")).as(s"__pmin_$c"), max(col(s"`$c`")).as(s"__pmax_$c")) } ++
+      sketchCols.map(c => count(col(s"`$c`")).as(s"__pcnt_$c"))
+    val rows = df.groupBy(pcols.map(c => col(s"`$c`")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .queryExecution.executedPlan.executeCollect()
+    rows.toSeq.map { r =>
+      val tuple = pcols.indices.map(i =>
+        if (r.isNullAt(i)) null else renderValue(ptypes(i), r.get(i, ptypes(i))))
+      val base0 = pcols.size
+      val sketches = sketchCols.indices.map(i => r.getArray(base0 + i).toLongArray())
+      val base1 = base0 + sketchCols.size
+      val sums = integral.indices.map { i =>
+        if (r.isNullAt(base1 + i)) "null"
+        else r.getDecimal(base1 + i, 38, 0).toJavaBigDecimal.toBigInteger.toString
+      }
+      val base2 = base1 + integral.size
+      val mms = extremes.zipWithIndex.map { case ((_, dt), i) =>
+        def enc(idx: Int): String =
+          if (r.isNullAt(idx)) "n" else "v" + renderValue(dt, r.get(idx, dt))
+        (enc(base2 + 2 * i), enc(base2 + 2 * i + 1))
+      }
+      val base3 = base2 + 2 * extremes.size
+      val cnts = sketchCols.indices.map(i => r.getLong(base3 + i))
+      (tuple, sketches, sums, mms, cnts)
+    }
+  }
+
+  /** The per-column measure sets of the partition layer for `sketchCols`
+    * under `snap`'s schema: (integral subset, orderable (col, type)
+    * pairs). */
+  private def layerMeasures(snap: TxLog.Snapshot, sketchCols: Seq[String])
+      : (Seq[String], Seq[(String, DataType)]) =
+    (integralColumns(snap, sketchCols),
+      sketchCols.filter(c => orderable(snap.schema(c).dataType))
+        .map(c => c -> snap.schema(c).dataType))
+
+  /** Per-tuple property map for one layer row. */
+  private def layerCellProps(ti: Int, sketchCols: Seq[String],
+      integral: Seq[String], extremes: Seq[(String, DataType)],
+      sketches: Seq[Array[Long]], sums: Seq[String],
+      mms: Seq[(String, String)], cnts: Seq[Long]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    sketchCols.zipWithIndex.foreach { case (c, ci) =>
+      out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(sketches(ci))
+      out += s"$PcntPropPrefix$c.$ti" -> cnts(ci).toString
+    }
+    integral.zipWithIndex.foreach { case (c, ci) =>
+      out += s"$PsumPropPrefix$c.$ti" -> sums(ci)
+    }
+    extremes.zipWithIndex.foreach { case ((c, _), ci) =>
+      out += s"$PminPropPrefix$c.$ti" -> mms(ci)._1
+      out += s"$PmaxPropPrefix$c.$ti" -> mms(ci)._2
+    }
+    out.result()
+  }
+
+  /** The per-partition layer for `columns` at `snap` — sketches AND
+    * scalars (sum/cnt/min/max) per tuple from ONE grouped aggregate,
+    * stamped as an ordered JSON list of partition tuples plus one
+    * property per (measure, column, tuple index). Empty (no
+    * per-partition stamping) when the table is unpartitioned or holds
+    * more than [[MaxStampedPartitions]] distinct tuples (the cap check
+    * is O(metadata): file partition values).
     */
   private def partitionSketchProps(table: TxTable, snap: TxLog.Snapshot,
       columns: Seq[String]): Map[String, String] = {
@@ -373,31 +478,23 @@ object ColumnStats {
     if (snap.files.map(_.partitionValues).distinct.size > MaxStampedPartitions)
       return Map.empty
     // a partition column's own distinct set IS the partition list —
-    // nothing a per-partition sketch adds for it
+    // nothing a per-partition sketch adds for it (and its per-tuple
+    // scalars are derivable from the tuple value + file row counts)
     val sketchCols = columns.filterNot(pcols.contains)
     if (sketchCols.isEmpty) return Map.empty
-    val aggs = sketchCols.map(c => graft.functions.KmvFunctions
-      .kmvSketch(col(s"`$c`").cast(StringType), PartitionK).as(s"__pkmv_$c"))
-    val rows = table.toDF(snap.version)
-      .groupBy(pcols.map(c => col(s"`$c`")): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .queryExecution.executedPlan.executeCollect()
-    if (rows.length > MaxStampedPartitions ||
-        rows.length * sketchCols.size > MaxPartitionSketchCells)
-      return Map.empty
     val ptypes = pcols.map(c => snap.schema(c).dataType)
-    val tuples = rows.toSeq.map { r =>
-      pcols.indices.map(i =>
-        if (r.isNullAt(i)) null
-        else renderValue(ptypes(i), r.get(i, ptypes(i))))
+    val (integral, extremes) = layerMeasures(snap, sketchCols)
+    val groups = scanPartitionLayer(table.toDF(snap.version), pcols, ptypes,
+      sketchCols, integral, extremes, PartitionK)
+    if (groups.length > MaxStampedPartitions ||
+        groups.length * sketchCols.size > MaxPartitionSketchCells)
+      return Map.empty
+    val out = Map.newBuilder[String, String]
+    groups.zipWithIndex.foreach { case ((_, sketches, sums, mms, cnts), ti) =>
+      out ++= layerCellProps(ti, sketchCols, integral, extremes,
+        sketches, sums, mms, cnts)
     }
-    val sketchProps = rows.toSeq.zipWithIndex.flatMap { case (r, ti) =>
-      sketchCols.zipWithIndex.map { case (c, ci) =>
-        s"$PkmvPropPrefix$c.$ti" ->
-          encodeSketch(r.getArray(pcols.size + ci).toLongArray())
-      }
-    }.toMap
-    sketchProps + (PvalsProp -> encodeTuples(tuples)) +
+    out.result() + (PvalsProp -> encodeTuples(groups.map(_._1))) +
       (PkProp -> PartitionK.toString)
   }
 
@@ -509,8 +606,7 @@ object ColumnStats {
         case None => Map.empty
         case Some(pv) =>
           foldPartitionSketches(props, pv, snap, batchFull, k).getOrElse(
-            props.keys.filter(k2 => k2.startsWith(PkmvPropPrefix) ||
-                k2 == PvalsProp || k2 == PkProp)
+            props.keys.filter(isPartitionLayerKey)
               .map(_ -> (null: String)).toMap)
       }
       val newSums = sumCols.zip(batchSums).map { case (c, b) =>
@@ -582,26 +678,70 @@ object ColumnStats {
     val pk = props.get(PkProp).flatMap(_.toIntOption)
       .getOrElse(throw new IllegalStateException("pvals without pk"))
     val ptypes = pcols.map(c => snap.schema(c).dataType)
-    val aggs = sketchCols.map(c => graft.functions.KmvFunctions
-      .kmvSketch(col(s"`$c`").cast(StringType), pk).as(s"__pkmv_$c"))
-    val rows = batchFull
-      .groupBy(pcols.map(c => col(s"`$c`")): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .queryExecution.executedPlan.executeCollect()
+    // the SCALAR half (sum/cnt/min/max per tuple): a pre-scalar legacy
+    // stamp (no pcnt keys at all) folds sketches only; a PARTIAL scalar
+    // shape (some keys but index gaps) is out of shape — abort
+    val hasScalars = props.keys.exists(_.startsWith(PcntPropPrefix))
+    val (integral, extremes) =
+      if (hasScalars) layerMeasures(snap, sketchCols)
+      else (Seq.empty[String], Seq.empty[(String, DataType)])
+    if (hasScalars) {
+      sketchCols.foreach { c =>
+        tuples.indices.foreach { i =>
+          require(props.contains(s"$PcntPropPrefix$c.$i"), s"pcnt gap for $c.$i")
+        }
+      }
+      integral.foreach { c =>
+        tuples.indices.foreach { i =>
+          require(props.contains(s"$PsumPropPrefix$c.$i"), s"psum gap for $c.$i")
+        }
+      }
+      extremes.foreach { case (c, _) =>
+        tuples.indices.foreach { i =>
+          require(props.contains(s"$PminPropPrefix$c.$i") &&
+            props.contains(s"$PmaxPropPrefix$c.$i"), s"pmin/pmax gap for $c.$i")
+        }
+      }
+    }
+    val groups = scanPartitionLayer(batchFull, pcols, ptypes, sketchCols,
+      integral, extremes, pk)
     val allTuples = tuples.toBuffer
     val out = Map.newBuilder[String, String]
-    rows.foreach { r =>
-      val tuple = pcols.indices.map(i =>
-        if (r.isNullAt(i)) null else renderValue(ptypes(i), r.get(i, ptypes(i))))
+    groups.foreach { case (tuple, sketches, sums, mms, cnts) =>
       val existing = allTuples.indexOf(tuple)
       val ti = if (existing >= 0) existing else { allTuples += tuple; allTuples.size - 1 }
-      sketchCols.zipWithIndex.foreach { case (c, ci) =>
-        val batchSk = r.getArray(pcols.size + ci).toLongArray()
-        val merged =
-          if (existing >= 0)
-            mergeSketches(decodeSketch(props(s"$PkmvPropPrefix$c.$ti")), batchSk, pk)
-          else batchSk
-        out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(merged)
+      if (existing < 0) {
+        if (hasScalars)
+          out ++= layerCellProps(ti, sketchCols, integral, extremes,
+            sketches, sums, mms, cnts)
+        else // legacy sketch-only stamp: don't start a partial scalar shape
+          sketchCols.zipWithIndex.foreach { case (c, ci) =>
+            out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(sketches(ci))
+          }
+      } else {
+        sketchCols.zipWithIndex.foreach { case (c, ci) =>
+          out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(
+            mergeSketches(decodeSketch(props(s"$PkmvPropPrefix$c.$ti")), sketches(ci), pk))
+          if (hasScalars)
+            out += s"$PcntPropPrefix$c.$ti" ->
+              (BigInt(props(s"$PcntPropPrefix$c.$ti")) + BigInt(cnts(ci))).toString
+        }
+        integral.zipWithIndex.foreach { case (c, ci) =>
+          val old = props(s"$PsumPropPrefix$c.$ti")
+          val b = sums(ci)
+          val v =
+            if (old == "null" && b == "null") "null"
+            else if (old == "null") b
+            else if (b == "null") old
+            else (BigInt(old) + BigInt(b)).toString
+          out += s"$PsumPropPrefix$c.$ti" -> v
+        }
+        extremes.zipWithIndex.foreach { case ((c, dt), ci) =>
+          out += s"$PminPropPrefix$c.$ti" ->
+            foldExtreme(dt, props(s"$PminPropPrefix$c.$ti"), mms(ci)._1, isMin = true)
+          out += s"$PmaxPropPrefix$c.$ti" ->
+            foldExtreme(dt, props(s"$PmaxPropPrefix$c.$ti"), mms(ci)._2, isMin = false)
+        }
       }
     }
     if (allTuples.size > MaxStampedPartitions ||
@@ -678,23 +818,16 @@ object ColumnStats {
         // per-partition layer (see below)
         val unsets = props.keys.collect {
           case key if key.startsWith(NdvPropPrefix) || key.startsWith(KmvPropPrefix) ||
-              key.startsWith(PkmvPropPrefix) || key == PvalsProp || key == PkProp =>
+              isPartitionLayerKey(key) =>
             key -> (null: String)
         }.toMap
-        val keep = partitionDropKeep(table, props, base, snap, removedPaths).getOrElse(Map.empty)
+        val keep = partitionDropKeep(table, props, base, snap, removedPaths)
+          .map(_.props).getOrElse(Map.empty)
         table.setProperties(unsets ++ keep ++
           Map(FingerprintProp -> fingerprint(snap).toString,
             VersionProp -> commitVersion.toString))
         return
       }
-      import org.apache.spark.sql.functions.{coalesce, expr, lit}
-      val removedDf = table.dfForFiles(base, removedPaths)
-        .filter(coalesce(expr(predicate), lit(false)))
-      val (_, remSums, remMms, remCnts) =
-        scanStats(removedDf.select(((sumCols ++ mmCols ++ cntCols).distinct)
-            .map(c => col(s"`$c`")): _*),
-          Nil, sumCols, extremes, k, countCols = cntCols)
-      val remCnt = cntCols.zip(remCnts).toMap
       val unset = Map.newBuilder[String, String]
       val set = Map.newBuilder[String, String]
       // sketches cannot un-see removed VALUES: the table-wide NDV layer
@@ -706,10 +839,30 @@ object ColumnStats {
       // metadata (else None → the layer unsets like before).
       props.keys.foreach { key =>
         if (key.startsWith(NdvPropPrefix) || key.startsWith(KmvPropPrefix) ||
-            key.startsWith(PkmvPropPrefix) || key == PvalsProp || key == PkProp)
+            isPartitionLayerKey(key))
           unset += key -> (null: String)
       }
-      partitionDropKeep(table, props, base, snap, removedPaths).foreach(set ++= _)
+      val dropKeep = partitionDropKeep(table, props, base, snap, removedPaths)
+      dropKeep.foreach(dk => set ++= dk.props)
+      // a pure drop with a SCALAR layer re-derives every table-wide
+      // sum/cnt/min/max by RECOMBINING the survivors — zero data read,
+      // the retention delete becomes fully metadata-only. Extremes come
+      // back exact (no tie hazard: they're recomputed, not subtracted).
+      val derived = dropKeep.flatMap(dk =>
+        deriveScalarsFromLayer(snap, dk, sumCols, mmCols, cntCols))
+      derived match {
+        case Some(vals) => set ++= vals
+        case None =>
+      // underivable: one column-pruned aggregate over exactly the
+      // removed rows (data the rewrite read anyway), subtract/tie-check
+      import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val removedDf = table.dfForFiles(base, removedPaths)
+        .filter(coalesce(expr(predicate), lit(false)))
+      val (_, remSums, remMms, remCnts) =
+        scanStats(removedDf.select(((sumCols ++ mmCols ++ cntCols).distinct)
+            .map(c => col(s"`$c`")): _*),
+          Nil, sumCols, extremes, k, countCols = cntCols)
+      val remCnt = cntCols.zip(remCnts).toMap
       // non-null counts subtract exactly
       val newCnts = cntCols.map { c =>
         val v = BigInt(props(CntPropPrefix + c)) - BigInt(remCnt(c))
@@ -753,6 +906,7 @@ object ColumnStats {
           }
         }
       }
+      }
       table.setProperties(unset.result() ++ set.result() ++
         Map(FingerprintProp -> fingerprint(snap).toString,
           VersionProp -> commitVersion.toString))
@@ -788,7 +942,7 @@ object ColumnStats {
     */
   private def partitionDropKeep(table: TxTable, props: Map[String, String],
       base: TxLog.Snapshot, snap: TxLog.Snapshot,
-      removedPaths: Seq[String]): Option[Map[String, String]] = {
+      removedPaths: Seq[String]): Option[DropKeep] = {
     // the hive sentinel IS null for path-parsed logs (native, Iceberg —
     // a real string equal to it is unrepresentable there); a foreign
     // Delta log records values as JSON where the sentinel STRING could
@@ -839,13 +993,112 @@ object ColumnStats {
     if (sketchCols.isEmpty) return None
     val out = Map.newBuilder[String, String]
     keep.zipWithIndex.foreach { case ((_, oldIdx), newIdx) =>
+      // carry EVERY layer measure (sketch required; scalars as present)
       sketchCols.foreach { c =>
         out += s"$PkmvPropPrefix$c.$newIdx" ->
           props.getOrElse(s"$PkmvPropPrefix$c.$oldIdx", return None)
       }
+      PerTuplePrefixes.filterNot(_ == PkmvPropPrefix).foreach { p =>
+        sketchCols.foreach { c =>
+          props.get(s"$p$c.$oldIdx").foreach(v => out += s"$p$c.$newIdx" -> v)
+        }
+      }
     }
-    Some(out.result() +
-      (PvalsProp -> encodeTuples(keep.map(_._1))) + (PkProp -> pk))
+    // per-tuple LIVE row counts of the survivors (for deriving a
+    // partition column's table-wide cnt/sum from the tuple values);
+    // None when any surviving file's row count is unknown
+    val liveByTuple: Option[Map[Seq[String], Long]] =
+      if (snap.files.exists(_.rows < 0L)) None
+      else Some(snap.files.groupBy(f => tupleOf(f).get).map { case (t, fs) =>
+        t -> fs.iterator.map(f =>
+          f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
+      })
+    Some(DropKeep(
+      out.result() + (PvalsProp -> encodeTuples(keep.map(_._1))) + (PkProp -> pk),
+      keep.map(_._1), keep.map(_._2), liveByTuple))
+  }
+
+  /** A provable pure partition DROP: the surviving layer (reindexed),
+    * the kept tuples with their OLD stamped indices, and the survivors'
+    * live row counts per tuple (when derivable from file metadata). */
+  private final case class DropKeep(props: Map[String, String],
+      keptTuples: Seq[Seq[String]], keptOldIdx: Seq[Int],
+      liveByTuple: Option[Map[Seq[String], Long]])
+
+  /** After a pure partition drop, the TABLE-WIDE sum/cnt/min/max
+    * re-derived by recombining the SURVIVING partitions' stamped
+    * scalars — O(#tuples) driver work over property bytes, zero data
+    * read. Non-partition columns read the scalar layer (every kept
+    * index must hold the measure); a partition column derives from the
+    * kept tuple values themselves (+ file row counts for cnt/sum).
+    * Extremes come back EXACT — recomputed from survivors, so the
+    * tie-with-removed-row hazard of subtraction doesn't exist here.
+    * None = anything underivable → the caller falls back to the
+    * removed-rows aggregate.
+    */
+  private def deriveScalarsFromLayer(snap: TxLog.Snapshot, dk: DropKeep,
+      sumCols: Seq[String], mmCols: Seq[String], cntCols: Seq[String])
+      : Option[Map[String, String]] = {
+    val pcols = snap.partitionColumns
+    val props = snap.properties
+    val out = Map.newBuilder[String, String]
+    val cntVal = scala.collection.mutable.Map.empty[String, BigInt]
+    cntCols.foreach { c =>
+      val acc =
+        if (pcols.contains(c)) {
+          val live = dk.liveByTuple.getOrElse(return None)
+          val s = pcols.indexOf(c)
+          dk.keptTuples.iterator.filter(_(s) != null)
+            .map(t => BigInt(live.getOrElse(t, return None))).sum
+        } else dk.keptOldIdx.iterator
+          .map(i => BigInt(props.getOrElse(s"$PcntPropPrefix$c.$i", return None))).sum
+      cntVal(c) = acc
+      out += s"$CntPropPrefix$c" -> acc.toString
+    }
+    sumCols.foreach { c =>
+      // SUM's SQL NULL boundary needs the non-null count; a stamp with
+      // sum but no cnt for the column is pre-r14 — underivable
+      val n = cntVal.getOrElse(c, return None)
+      val v: String =
+        if (n == 0) "null"
+        else if (pcols.contains(c)) {
+          val live = dk.liveByTuple.getOrElse(return None)
+          val s = pcols.indexOf(c)
+          val dt = snap.schema(c).dataType
+          dk.keptTuples.iterator.filter(_(s) != null).map { t =>
+            BigInt(parseValue(dt, t(s)).asInstanceOf[Number].longValue()) *
+              BigInt(live.getOrElse(t, return None))
+          }.sum.toString
+        } else dk.keptOldIdx.iterator.map { i =>
+          props.getOrElse(s"$PsumPropPrefix$c.$i", return None) match {
+            case "null" => BigInt(0)
+            case sv => BigInt(sv)
+          }
+        }.sum.toString
+      out += s"$SumPropPrefix$c" -> v
+    }
+    mmCols.foreach { c =>
+      val dt = snap.schema(c).dataType
+      var mn = "n"; var mx = "n"
+      if (pcols.contains(c)) {
+        val s = pcols.indexOf(c)
+        dk.keptTuples.foreach { t =>
+          if (t(s) != null) {
+            val enc = "v" + t(s)
+            mn = foldExtreme(dt, mn, enc, isMin = true)
+            mx = foldExtreme(dt, mx, enc, isMin = false)
+          }
+        }
+      } else dk.keptOldIdx.foreach { i =>
+        mn = foldExtreme(dt, mn,
+          props.getOrElse(s"$PminPropPrefix$c.$i", return None), isMin = true)
+        mx = foldExtreme(dt, mx,
+          props.getOrElse(s"$PmaxPropPrefix$c.$i", return None), isMin = false)
+      }
+      out += s"$MinPropPrefix$c" -> mn
+      out += s"$MaxPropPrefix$c" -> mx
+    }
+    Some(out.result())
   }
 
   /** A LOG-convention partition value string to the STAMPED encoding
@@ -956,6 +1209,75 @@ object ColumnStats {
       }
       val merged = sketches.foldLeft(Array.empty[Long])((a, b) => mergeSketches(a, b, k))
       Some(math.round(graft.functions.KmvEstimate.cardinality(merged, k)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Exact SUM of `column` over the `keep` partition tuples from the
+    * stamped per-partition scalars (same caller contract as
+    * [[mergedPartitionNdv]]: `keep` indexes a fresh pvals list) — how
+    * `SUM(x) WHERE day >= d` (and the grouped per-day rollup) answers
+    * scan-free. Some(None) = SQL NULL (zero surviving non-null values);
+    * outer None = not servable (missing scalar cell / overflow beyond
+    * Long — never serve what the scan's own Long accumulation couldn't).
+    */
+  def mergedPartitionSum(snap: TxLog.Snapshot, column: String,
+      keep: Seq[Int]): Option[Option[Long]] =
+    try {
+      var cnt = BigInt(0)
+      var sum = BigInt(0)
+      keep.foreach { i =>
+        cnt += BigInt(snap.properties.get(s"$PcntPropPrefix$column.$i")
+          .getOrElse(return None))
+        snap.properties.get(s"$PsumPropPrefix$column.$i").getOrElse(return None) match {
+          case "null" => ()
+          case sv => sum += BigInt(sv)
+        }
+      }
+      if (cnt == 0) Some(None)
+      else if (!sum.isValidLong) None
+      else Some(Some(sum.toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Exact non-null COUNT of `column` over the `keep` tuples from the
+    * stamped per-partition scalars. None = not servable. */
+  def mergedPartitionCount(snap: TxLog.Snapshot, column: String,
+      keep: Seq[Int]): Option[Long] =
+    try {
+      var cnt = BigInt(0)
+      keep.foreach { i =>
+        cnt += BigInt(snap.properties.get(s"$PcntPropPrefix$column.$i")
+          .getOrElse(return None))
+      }
+      if (cnt.isValidLong) Some(cnt.toLong) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Exact MIN/MAX of `column` over the `keep` tuples — from the
+    * stamped per-partition extremes (covers the footer-refused types:
+    * strings, floats), or, for a PARTITION column, from the kept tuple
+    * values themselves. Some(None) = SQL NULL (no surviving non-null
+    * value); outer None = not servable. Returned as the INTERNAL
+    * Catalyst value.
+    */
+  def mergedPartitionMinMax(snap: TxLog.Snapshot, column: String,
+      isMin: Boolean, keep: Seq[Int]): Option[Option[Any]] =
+    try {
+      val dt = snap.schema(column).dataType
+      if (!orderable(dt)) return None
+      var acc = "n"
+      if (snap.partitionColumns.contains(column)) {
+        val slot = snap.partitionColumns.indexOf(column)
+        val tuples = decodeTuples(snap.properties.get(PvalsProp).getOrElse(return None))
+        keep.foreach { i =>
+          val raw = tuples(i)(slot)
+          if (raw != null) acc = foldExtreme(dt, acc, "v" + raw, isMin)
+        }
+      } else {
+        val p = if (isMin) PminPropPrefix else PmaxPropPrefix
+        keep.foreach { i =>
+          acc = foldExtreme(dt, acc,
+            snap.properties.get(s"$p$column.$i").getOrElse(return None), isMin)
+        }
+      }
+      Some(if (acc == "n") None else Some(parseValue(dt, acc.drop(1))))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The stamped exact MIN/MAX of `column` as an INTERNAL Catalyst

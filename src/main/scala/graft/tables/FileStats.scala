@@ -141,6 +141,92 @@ object FileStats {
     * stats → must keep (conservative). `rows < 0` means the row count is
     * unknown (never treat it as a bound).
     */
+  /** An evaluator deciding whether `parsed` is EXACTLY TRUE for every
+    * row of a file, from its partition values alone — the predicate
+    * must reference only partition columns (single-part names, no
+    * subqueries), and is then analyzed by Spark's OWN analyzer against
+    * the partition schema (so type coercion, LIKE, IN, BETWEEN — the
+    * whole expression language — behave exactly as the scan would) and
+    * interpreted-eval'd on each file's tuple. Powers DELETE's
+    * whole-file drop: a TRUE file loses every row without being read,
+    * which is what keeps `DELETE WHERE day < X` from reading 100 TB of
+    * dropped bytes to write nothing back. None = this route can't
+    * decide (non-partition reference, analyzer refusal,
+    * non-deterministic expression); per-file false = take the rewrite
+    * path (always safe).
+    */
+  def partitionTrueEvaluator(spark: org.apache.spark.sql.SparkSession,
+      parsed: Expression, snap: TxLog.Snapshot, sentinelIsNull: Boolean)
+      : Option[TxLog.AddFile => Boolean] =
+    try {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+      val pcols = snap.partitionColumns
+      if (pcols.isEmpty) return None
+      val names = parsed.collect { case u: UnresolvedAttribute => u }.map { u =>
+        if (u.nameParts.size != 1) return None
+        u.nameParts.head
+      }
+      if (names.isEmpty || !names.forall(pcols.contains)) return None
+      if (parsed.exists(_.isInstanceOf[SubqueryExpression])) return None
+      val attrs = pcols.map(c => AttributeReference(c, snap.schema(c).dataType)())
+      val analyzed = spark.sessionState.analyzer
+        .execute(Filter(parsed, LocalRelation(attrs)))
+      val cond0 = analyzed match {
+        case Filter(c, _: LocalRelation) => c
+        case _ => return None
+      }
+      if (!cond0.resolved || !cond0.deterministic) return None
+      // inline RuntimeReplaceable wrappers (BETWEEN and friends) and
+      // their common-subexpression refs so interpreted eval works
+      val inlined = cond0.transformUp {
+        case r: RuntimeReplaceable => r.replacement
+      }
+      val cond = inlined.transformUp {
+        case w: With =>
+          val byId = w.defs.map(d => d.id -> d.child).toMap
+          w.child.transformUp {
+            case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
+          }
+      }
+      val bound = BindReferences.bindReference(cond,
+        org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
+      val ptypes = pcols.map(c => snap.schema(c).dataType)
+      Some { f =>
+        val vals = new Array[Any](pcols.size)
+        var ok = true
+        var i = 0
+        while (i < pcols.size && ok) {
+          f.partitionValues.get(pcols(i)) match {
+            case Some(null) => vals(i) = null
+            case Some("__HIVE_DEFAULT_PARTITION__") =>
+              if (sentinelIsNull) vals(i) = null else ok = false
+            case Some(raw) => partitionInternalValue(ptypes(i), raw) match {
+              case Some(v) => vals(i) = v
+              case None => ok = false
+            }
+            case None => ok = false
+          }
+          i += 1
+        }
+        ok && (try bound.eval(InternalRow.fromSeq(vals.toIndexedSeq)) == true
+          catch { case NonFatal(_) => false })
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** A log-recorded partition value string as the column's
+    * Catalyst-internal value; floats/decimals bail (writer-dependent
+    * renderings), mirroring the conservatism of the absorbed-predicate
+    * family. */
+  private def partitionInternalValue(dt: DataType, raw: String): Option[Any] =
+    dt match {
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+      case BooleanType =>
+        if (raw == "true") Some(true) else if (raw == "false") Some(false) else None
+      case _ => orderedStatValue(dt, raw).map(v => orderedValueToCatalyst(dt, v))
+    }
+
   def mightMatch(c: Conjunct, dt: DataType,
       minVal: Option[String], maxVal: Option[String],
       nullCount: Option[Long] = None, rows: Long = -1L): Boolean = {

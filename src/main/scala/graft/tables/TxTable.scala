@@ -933,7 +933,28 @@ final class TxTable(val spark: SparkSession, val location: String,
       } else {
         if (foldStats && ColumnStats.isFresh(snap))
           statsFold = Some((snap.version, maybe.map(_.path)))
-        val affected = readForRewrite(snap, maybe)
+        // DELETE whole-file fast path: a candidate whose PARTITION
+        // values prove the ENTIRE predicate TRUE loses every row, so it
+        // drops from the manifest WITHOUT being read — `DELETE WHERE
+        // day < X` (the retention shape) on a 100 TB table must not
+        // read the dropped bytes just to write nothing back. Gated off
+        // when CDF is on (the feed must emit the removed rows) and
+        // evaluated with Spark's own analyzer/coercion on the partition
+        // tuple, so semantics are exactly the scan's.
+        val fullMatch: Set[String] =
+          if (op != "DELETE" || cdcOf.isDefined && cdfOn(snap.properties)) Set.empty
+          else FileStats.partitionTrueEvaluator(spark, parsed, snap,
+              sentinelIsNull = log != ForeignDeltaCommitLog) match {
+            case Some(ev) => maybe.iterator.filter(ev).map(_.path).toSet
+            case None => Set.empty
+          }
+        val toRewrite = maybe.filterNot(f => fullMatch.contains(f.path))
+        if (toRewrite.isEmpty) {
+          // every candidate provably drops whole: a pure metadata commit
+          TxTable.Planned(Seq.empty, maybe.map(_.path), snap.schema,
+            snap.partitionColumns, snap.properties)
+        } else {
+        val affected = readForRewrite(snap, toRewrite)
         val rewritten = transform(affected)
         val (added, props) = stageRewrite(rewritten, snap)
         val cdc = cdcOf.filter(_ => cdfOn(snap.properties))
@@ -941,6 +962,7 @@ final class TxTable(val spark: SparkSession, val location: String,
           .getOrElse(Seq.empty)
         TxTable.Planned(added, maybe.map(_.path), snap.schema, snap.partitionColumns,
           props, cdc)
+        }
       }
     } }
   }

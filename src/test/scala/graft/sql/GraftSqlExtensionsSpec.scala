@@ -519,23 +519,26 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     // analyzed column, fresh verdict flipping with staleness
     val shown = spark.sql("SHOW STATISTICS FOR lakestats.core.t")
     assert(shown.columns.toSeq ==
-      Seq("column", "ndv", "sum", "min", "max", "exact", "stamped_version", "fresh"))
+      Seq("column", "ndv", "sum", "min", "max", "exact", "partition_tuples",
+        "stamped_version", "fresh"))
     val rows = shown.collect().map(r => r.getString(0) -> r).toMap
     assert(rows.keySet == Set("id", "u"))
-    assert(rows("id").getBoolean(7) && rows("u").getBoolean(7))
+    assert(rows("id").getBoolean(8) && rows("u").getBoolean(8))
+    // unpartitioned table: no per-partition layer to report
+    assert(rows("id").isNullAt(6) && rows("u").isNullAt(6))
     assert(rows("id").getString(3) == "1" && rows("id").getString(4) == "9001")
     assert(rows("u").getString(2) == null, "no sum for a string column")
     // both columns sit under k=4096 distinct: exact regime, flagged so
     assert(rows("id").getBoolean(5) && rows("u").getBoolean(5))
     // the stamp binds to the latest fold/restamp commit, not version 0
-    assert(!rows("id").isNullAt(6) && rows("id").getLong(6) > 0L)
+    assert(!rows("id").isNullAt(7) && rows("id").getLong(7) > 0L)
     // a provable DELETE folds (round 14): the stamp STAYS fresh with
     // the sum subtracted, the tied extreme pair dropped (id=1 IS the
     // stamped min), and NDV honestly gone
     spark.sql("DELETE FROM lakestats.core.t WHERE id = 1")
     val shown2 = spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(shown2("id").getBoolean(7), "delete fold must keep the stamp fresh")
+    assert(shown2("id").getBoolean(8), "delete fold must keep the stamp fresh")
     assert(shown2("id").getString(2) ==
       ((2L until 900L).sum + 9000L + 9001L).toString, "sum must subtract")
     assert(shown2("id").getString(3) == null && shown2("id").getString(4) == null,
@@ -544,7 +547,7 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     // an UPDATE is never derivable: fresh flips to false
     spark.sql("UPDATE lakestats.core.t SET u = u WHERE id = 2")
     assert(spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
-      .forall(!_.getBoolean(7)), "fresh must flip to false after an update")
+      .forall(!_.getBoolean(8)), "fresh must flip to false after an update")
   }
 
   test("grouped APPROX_COUNT_DISTINCT serves from per-partition sketches; retention deletes keep the layer") {
@@ -607,6 +610,63 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       FROM lakegndv.core.t GROUP BY k""")
     assert(planOf(qk).contains("FileScan"))
     assert(qk.collect().length == 23)
+  }
+
+  test("filtered/grouped SUM and string MIN/MAX serve from per-partition scalars") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakepsc")
+    client.createSchema("lakepsc", "core")
+    val dir = TestSpark.tmpDir("sqlpsc")
+    // p=c is an ALL-NULL k partition (the SQL-NULL sum group); the
+    // global max STRING lives in partition b (dropped below)
+    val df = (0 until 90).map { i =>
+      val p = Seq("a", "b", "c")(i % 3)
+      val k: java.lang.Long = if (p == "c") null else java.lang.Long.valueOf(i.toLong)
+      val s = if (p == "b" && i == 85) "zzz" else f"s$i%03d"
+      (i.toLong, p, k, s)
+    }.toDF("id", "p", "k", "s")
+    client.createAsTable(df.repartition(2), "lakepsc", "core", "t",
+      FileType.DELTA, s"$dir/t", partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE lakepsc.core.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    val exactSumAB = (0 until 90).filter(i => i % 3 != 2).map(_.toLong).sum
+    // filtered SUM: no per-file footer stat exists for SUM — this is
+    // only answerable through the stamped per-partition scalars
+    val q1 = spark.sql("SELECT SUM(k) AS s FROM lakepsc.core.t WHERE p <> 'c'")
+    assert(q1.collect()(0).getLong(0) == exactSumAB)
+    assert(planOf(q1).contains("LocalTableScan") && !planOf(q1).contains("FileScan"),
+      s"filtered SUM must serve from the scalar layer\n${planOf(q1)}")
+    // grouped rollup mixing exact COUNT, layer SUM, and STRING extremes
+    // (footer stats refuse strings -> the stamped per-partition extremes
+    // serve them); the all-null group's SUM is SQL NULL
+    val q2 = spark.sql("""SELECT p, COUNT(*) AS n, SUM(k) AS s,
+        MIN(s) AS mn, MAX(s) AS mx
+      FROM lakepsc.core.t GROUP BY p ORDER BY p""")
+    val rows = q2.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(30L, 30L, 30L))
+    assert(rows(0).getLong(2) == (0 until 90).filter(_ % 3 == 0).sum)
+    assert(rows(1).getLong(2) == (0 until 90).filter(_ % 3 == 1).sum)
+    assert(rows(2).isNullAt(2), "the all-null group's SUM must be SQL NULL")
+    assert(rows(1).getString(4) == "zzz")
+    assert(rows(2).getString(3) == "s002")
+    assert(planOf(q2).contains("LocalTableScan") && !planOf(q2).contains("FileScan"),
+      s"grouped SUM + string extremes must serve from the layer\n${planOf(q2)}")
+    // the retention drop removes the partition HOLDING the global max
+    // string: table-wide stats re-derive from the survivors (exact, no
+    // tie hazard), so the unfiltered answers stay scan-free and right
+    spark.sql("DELETE FROM lakepsc.core.t WHERE p = 'b'")
+    val q3 = spark.sql("SELECT MAX(s) AS mx, SUM(k) AS s FROM lakepsc.core.t")
+    val r3 = q3.collect()(0)
+    assert(r3.getString(0) == "s089") // max over a+c after zzz left with b
+    assert(r3.getLong(1) == (0 until 90).filter(_ % 3 == 0).map(_.toLong).sum)
+    assert(planOf(q3).contains("LocalTableScan") && !planOf(q3).contains("FileScan"),
+      s"post-drop unfiltered extremes/sum must stay scan-free\n${planOf(q3)}")
+    // a filtered SUM hitting ONLY the all-null partition answers NULL
+    val q4 = spark.sql("SELECT SUM(k) AS s FROM lakepsc.core.t WHERE p = 'c'")
+    assert(q4.collect()(0).isNullAt(0))
+    assert(!planOf(q4).contains("FileScan"))
   }
 
   test("inspection-table suffix reads: cat.s.t.files / .partitions / Iceberg set") {

@@ -68,6 +68,7 @@ class PartitionNdvFuzzSpec extends AnyFunSuite {
         else None
       dropPred.foreach(pr => spark.sql(s"DELETE FROM fuzzpndv.s.t$ti WHERE $pr"))
       val all = (rows ++ extra).filterNot(r => dropPred.isDefined && r._2 == "b")
+      all.toDF("id", "p", "k").createOrReplaceTempView(s"rawpndv$ti")
       (0 until 10).foreach { qi =>
         val (where, absorbable) = wherePool(rnd.nextInt(wherePool.size))
         val colName = if (rnd.nextBoolean()) "k" else "p"
@@ -75,11 +76,29 @@ class PartitionNdvFuzzSpec extends AnyFunSuite {
           s"SELECT APPROX_COUNT_DISTINCT(`$colName`) AS d FROM fuzzpndv.s.t$ti WHERE $where")
         val plan = q.queryExecution.executedPlan.toString
         total += 1
+        // the SCALAR serves (SUM from per-partition sums; MIN of the
+        // partition column via tuple values — footers refuse strings)
+        // are EXACT whichever route executes: values must always match,
+        // and an absorbable WHERE must serve them scan-free
+        if (qi < 2) {
+          val qs = spark.sql(s"""SELECT SUM(k) AS sk, MIN(p) AS mp, MAX(k) AS xk
+            FROM fuzzpndv.s.t$ti WHERE $where""")
+          val es = spark.sql(
+            s"SELECT SUM(k), MIN(p), MAX(k) FROM rawpndv$ti WHERE $where")
+          val got = qs.collect()(0)
+          val want = es.collect()(0)
+          (0 until 3).foreach { i =>
+            assert(got.isNullAt(i) == want.isNullAt(i) &&
+                (got.isNullAt(i) || got.get(i) == want.get(i)),
+              s"scalar mismatch col $i for WHERE $where (drop=$dropPred): $got vs $want")
+          }
+          if (absorbable)
+            assert(!qs.queryExecution.executedPlan.toString.contains("FileScan"),
+              s"absorbed scalar aggregate must serve scan-free: WHERE $where")
+        }
         if (absorbable) {
           // exact regime everywhere (<= 80 distinct values): the merged
           // sketch answer must EQUAL the exact filtered distinct count
-          val view = all.toDF("id", "p", "k")
-          view.createOrReplaceTempView(s"rawpndv$ti")
           val exact = spark.sql(
             s"SELECT COUNT(DISTINCT `$colName`) FROM rawpndv$ti WHERE $where")
             .collect()(0).getLong(0)

@@ -206,7 +206,9 @@ class ColumnStatsSpec extends AnyFunSuite {
     val t = new TxTable(spark, TestSpark.tmpDir("cs-pdrop") + "/t")
     t.create((0 until 300).map(i => (i.toLong, s"p${i % 3}", (i % 50).toLong))
       .toDF("id", "p", "k").repartition(2), partitionColumns = Seq("p"))
-    ColumnStats.analyze(t, Seq("id", "k"))
+    // p rides too: a PARTITION column's table-wide stats derive from the
+    // surviving tuple values + file row counts on a drop
+    ColumnStats.analyze(t, Seq("id", "k", "p"))
     // the retention shape: whole partition p1 drops, nothing rewritten
     t.delete("p = 'p1'")
     val snap = t.snapshot
@@ -219,9 +221,21 @@ class ColumnStatsSpec extends AnyFunSuite {
     // ...but the surviving partitions' sketches never saw them
     assert(ColumnStats.mergedPartitionNdv(snap, "id", tuples.indices)
       .contains(200L))
-    // and the scalar folds ride the same restamp (SUM by subtraction)
+    // the scalar folds ride the same restamp — DERIVED by recombining
+    // the survivors' per-partition scalars, zero data read
     assert(ColumnStats.currentSum(snap, "id").contains(Some(
       (0L until 300L).filterNot(_ % 3 == 1).sum)))
+    // k's extremes (0 and 49) had holders INSIDE the dropped partition —
+    // subtraction would tie-drop the pair; recombination keeps it exact
+    assert(ColumnStats.currentMinMax(snap, "k", isMin = true).contains(Some(0L)))
+    assert(ColumnStats.currentMinMax(snap, "k", isMin = false).contains(Some(49L)))
+    // a PARTITION column's extremes derive from the surviving tuples
+    assert(ColumnStats.currentMinMax(snap, "p", isMin = false).map(_.map(_.toString))
+      .contains(Some("p2")))
+    // per-partition scalars are themselves queryable per surviving tuple
+    assert(ColumnStats.mergedPartitionSum(snap, "id", tuples.indices).contains(Some(
+      (0L until 300L).filterNot(_ % 3 == 1).sum)))
+    assert(ColumnStats.mergedPartitionCount(snap, "k", Seq(0)).contains(100L))
     // appends keep folding the kept layer
     t.append(Seq((5000L, "p0", 999L)).toDF("id", "p", "k"))
     assert(ColumnStats.isFresh(t.snapshot))

@@ -236,6 +236,55 @@ class TxTableSpec extends AnyFunSuite {
     assert(collectById(t).map(_._1) == Seq(0L, 1L, 11L))
   }
 
+  test("DELETE whole-partition fast path: dropped files are never read") {
+    val loc = TestSpark.tmpDir("tx-wfd")
+    val t = new TxTable(spark, loc)
+    t.create(Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String))
+      .toDF("id", "p").repartition(1), partitionColumns = Seq("p"))
+    // corrupt every parquet byte under the partitions the delete drops:
+    // any attempt to READ them now throws, so a passing delete PROVES
+    // the fast path removed them manifest-only
+    def corrupt(dir: String): Unit = {
+      val d = new java.io.File(dir)
+      assert(d.isDirectory, s"missing partition dir $dir")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, Array.fill[Byte](64)(0x7f))
+      }
+    }
+    corrupt(s"$loc/p=a")
+    corrupt(s"$loc/p=__HIVE_DEFAULT_PARTITION__")
+    def ids(tt: TxTable): Seq[Long] =
+      tt.toDF.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    // OR of a partition equality and IS NULL — both partitions prove
+    // TRUE from their tuples alone (three-valued logic included)
+    t.delete("p = 'a' OR p IS NULL")
+    assert(ids(t) == Seq(2L, 3L))
+    // a predicate referencing a NON-partition column takes the rewrite
+    // path and stays exact
+    t.delete("p = 'b' AND id > 100")
+    assert(ids(t) == Seq(2L, 3L))
+    // three-valued logic: `p <> 'c'` is UNKNOWN on a null partition —
+    // those rows must SURVIVE (the rewrite path keeps them)
+    val t2 = new TxTable(spark, TestSpark.tmpDir("tx-wfd2"))
+    t2.create(Seq((0L, "a"), (1L, null: String)).toDF("id", "p").repartition(1),
+      partitionColumns = Seq("p"))
+    t2.delete("p <> 'a'")
+    assert(ids(t2) == Seq(0L, 1L))
+    // with CDF ON the feed must emit the removed rows, so the fast path
+    // is gated off and the delete still reads what it drops
+    val loc3 = TestSpark.tmpDir("tx-wfd3")
+    DeltaLogWriter.create(spark, loc3,
+      Seq((0L, "a"), (1L, "b")).toDF("id", "p").repartition(1),
+      partitionColumns = Seq("p"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val t3 = TxTable.forForeignDelta(spark, loc3)
+    t3.delete("p = 'a'")
+    val changes = t3.tableChanges(1L, None)
+      .filter(col("_change_type") === "delete").collect()
+    assert(changes.length == 1 && changes(0).getAs[Long]("id") == 0L,
+      "CDF delete must still emit the dropped partition's rows")
+  }
+
   test("UPDATE: conditional column rewrite with expression values") {
     val loc = TestSpark.tmpDir("tx")
     val t = new TxTable(spark, loc)
