@@ -547,7 +547,8 @@ object Bench {
       // layer vs scan), the retention partition-drop that now KEEPS the
       // layer (drop fold cost + the post-drop unfiltered APPROX served
       // from the surviving sketches), and the insert-only MERGE fold
-      val (grpApproxMeta, grpApproxScan, retentionDrop, retApprox, mergeFold) = {
+      val (grpApproxMeta, grpApproxScan, retentionDrop, retApprox, mergeFold,
+          icebergRetDrop) = {
         val cat = s"benchret$pass"
         val client = new graft.client.LakehouseClient(spark)
         client.createCatalog(cat); client.createSchema(cat, "s")
@@ -580,10 +581,18 @@ object Bench {
           t.merge(src, "s.l_orderkey = t.l_orderkey")
             .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
         }
+        // the same retention drop on ICEBERG: a pinned metadata commit
+        // removing the files, no position-delete write, stamp folds
+        client.createAsTable(li.repartition(8), cat, "s", "ti",
+          graft.catalog.FileType.ICEBERG, s"$root/ti",
+          partitionColumns = Seq("l_returnflag"))
+        spark.sql(s"ANALYZE TABLE $cat.s.ti COMPUTE STATISTICS FOR ALL COLUMNS")
+        val rdi = timed(spark.sql(s"DELETE FROM $cat.s.ti WHERE l_returnflag = 'A'"))
         line("grouped_approx_metadata", gm); line("grouped_approx_scan", gs)
         line("retention_drop_fold", rd); line("retention_approx_post_drop", ra)
         line("insert_only_merge_fold", mf)
-        (gm, gs, rd, ra, mf)
+        line("iceberg_retention_drop", rdi)
+        (gm, gs, rd, ra, mf, rdi)
       }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
@@ -624,7 +633,8 @@ object Bench {
         "grouped_approx_scan" -> grpApproxScan,
         "retention_drop_fold" -> retentionDrop,
         "retention_approx_post_drop" -> retApprox,
-        "insert_only_merge_fold" -> mergeFold)
+        "insert_only_merge_fold" -> mergeFold,
+        "iceberg_retention_drop" -> icebergRetDrop)
     }
 
     // min-of-two FULL ops passes (the SCALE protocol at one scale):

@@ -3021,12 +3021,27 @@ object InteropQueries {
         val q5 = s.sql(
           "SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du_np FROM q172cat.s.t2")
         val partialScans = planOf(q5).contains("FileScan")
-        q1.crossJoin(q2).crossJoin(q3).crossJoin(q4)
+        // the ICEBERG leg: the same retention drop is a pinned
+        // metadata-only file removal (no position-delete file written),
+        // and the layer survives identically
+        client.createAsTable(li.repartition(4), "q172cat", "s", "t3",
+          graft.catalog.FileType.ICEBERG, s"$root/t3",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q172cat.s.t3 COMPUTE STATISTICS FOR ALL COLUMNS")
+        s.sql("DELETE FROM q172cat.s.t3 WHERE l_returnflag = 'A'")
+        val noDeleteFiles = !client.getTxTable("q172cat", "s", "t3")
+          .snapshot.files.exists(_.deletionVector.isDefined)
+        val q6 = s.sql(
+          "SELECT APPROX_COUNT_DISTINCT(l_suppkey) AS du_ice FROM q172cat.s.t3")
+        val meta6 = !planOf(q6).contains("FileScan")
+        q1.crossJoin(q2).crossJoin(q3).crossJoin(q4).crossJoin(q6)
           .withColumn("drop_served_scan_free", lit(meta1))
           .withColumn("filtered_served_scan_free", lit(meta2))
           .withColumn("partition_col_scan_free", lit(meta3))
           .withColumn("append_after_drop_folds", lit(meta4))
           .withColumn("partial_delete_scans", lit(partialScans))
+          .withColumn("iceberg_drop_metadata_only", lit(noDeleteFiles))
+          .withColumn("iceberg_drop_scan_free", lit(meta6))
       },
       Some("""WITH src AS (
           SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_suppkey AS BIGINT) AS sk,
@@ -3039,11 +3054,14 @@ object InteropQueries {
           (SELECT COUNT(DISTINCT sk) FROM d1 WHERE rf = 'R') AS du_r,
           (SELECT COUNT(DISTINCT rf) FROM d1) AS du_rf,
           (SELECT COUNT(DISTINCT sk) FROM d1) + 1 AS du_supp2,
+          (SELECT COUNT(DISTINCT sk) FROM d1) AS du_ice,
           TRUE AS drop_served_scan_free,
           TRUE AS filtered_served_scan_free,
           TRUE AS partition_col_scan_free,
           TRUE AS append_after_drop_folds,
-          TRUE AS partial_delete_scans""")),
+          TRUE AS partial_delete_scans,
+          TRUE AS iceberg_drop_metadata_only,
+          TRUE AS iceberg_drop_scan_free""")),
 
     // ---- q173: the per-day distinct-users rollup, metadata-only ----
     // `SELECT day, COUNT(*), APPROX_COUNT_DISTINCT(user) GROUP BY day`

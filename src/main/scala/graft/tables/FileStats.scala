@@ -141,23 +141,26 @@ object FileStats {
     * stats → must keep (conservative). `rows < 0` means the row count is
     * unknown (never treat it as a bound).
     */
-  /** An evaluator deciding whether `parsed` is EXACTLY TRUE for every
-    * row of a file, from its partition values alone — the predicate
-    * must reference only partition columns (single-part names, no
-    * subqueries), and is then analyzed by Spark's OWN analyzer against
-    * the partition schema (so type coercion, LIKE, IN, BETWEEN — the
-    * whole expression language — behave exactly as the scan would) and
-    * interpreted-eval'd on each file's tuple. Powers DELETE's
-    * whole-file drop: a TRUE file loses every row without being read,
-    * which is what keeps `DELETE WHERE day < X` from reading 100 TB of
-    * dropped bytes to write nothing back. None = this route can't
-    * decide (non-partition reference, analyzer refusal,
-    * non-deterministic expression); per-file false = take the rewrite
-    * path (always safe).
+  /** An evaluator deciding, from a file's partition values alone,
+    * whether `parsed` holds for its rows: Some(true) = EXACTLY TRUE for
+    * every row (the predicate references only partition columns, so it
+    * is constant per file), Some(false) = TRUE for NO row (evaluates
+    * FALSE or NULL — SQL keeps those rows), None = undecidable for this
+    * file (an unconvertible partition value). The predicate must
+    * reference only partition columns (single-part names, no
+    * subqueries) and is analyzed by Spark's OWN analyzer against the
+    * partition schema (type coercion, LIKE, IN, BETWEEN — the whole
+    * expression language — behave exactly as the scan would), then
+    * interpreted-eval'd per tuple. Powers DELETE's whole-file paths: a
+    * TRUE file loses every row without being read (`DELETE WHERE day <
+    * X` must not read 100 TB of dropped bytes to write nothing back),
+    * a FALSE file is untouched without being read. Outer None = this
+    * route can't decide at all (non-partition reference, analyzer
+    * refusal, non-deterministic expression).
     */
   def partitionTrueEvaluator(spark: org.apache.spark.sql.SparkSession,
       parsed: Expression, snap: TxLog.Snapshot, sentinelIsNull: Boolean)
-      : Option[TxLog.AddFile => Boolean] =
+      : Option[TxLog.AddFile => Option[Boolean]] =
     try {
       import org.apache.spark.sql.catalyst.InternalRow
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -210,8 +213,9 @@ object FileStats {
           }
           i += 1
         }
-        ok && (try bound.eval(InternalRow.fromSeq(vals.toIndexedSeq)) == true
-          catch { case NonFatal(_) => false })
+        if (!ok) None
+        else try Some(bound.eval(InternalRow.fromSeq(vals.toIndexedSeq)) == true)
+        catch { case NonFatal(_) => None }
       }
     } catch { case NonFatal(_) => None }
 

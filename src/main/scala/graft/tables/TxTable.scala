@@ -828,11 +828,62 @@ final class TxTable(val spark: SparkSession, val location: String,
   def delete(predicate: String): Unit =
     if (log == ForeignDeltaCommitLog && DeltaDvWriter.enabled(snapshot.properties))
       DeltaDvWriter.delete(spark, location, predicate)
-    else if (log == IcebergCommitLog)
-      // Iceberg v2's native merge-on-read: a position-delete snapshot,
-      // never a file rewrite
-      IcebergWriter.delete(spark, location, predicate)
-    else deleteCopyOnWrite(predicate)
+    else if (log == IcebergCommitLog) {
+      // the whole-file fast path first (a partition-only predicate that
+      // decides EVERY file removes the matching ones metadata-only and
+      // folds a fresh stats stamp); anything undecidable falls to
+      // Iceberg v2's native merge-on-read position-delete snapshot
+      if (!deleteIcebergWholeFiles(predicate))
+        IcebergWriter.delete(spark, location, predicate)
+    } else deleteCopyOnWrite(predicate)
+
+  /** Iceberg DELETE whole-file fast path: when a partition-only
+    * predicate decides EVERY live file from its partition tuple alone
+    * (TRUE = all rows match, FALSE/NULL = none do — the predicate is
+    * constant per file), the matching files are REMOVED in one pinned
+    * metadata commit: no data read, no position-delete file written,
+    * and a fresh column-stats stamp FOLDS through (the commit version
+    * is pinned at base+1 by the optimistic tryCommit, so the fold can
+    * never mislabel a concurrent commit's state — exactly the guarantee
+    * the MoR writer can't give). Returns true when the delete was fully
+    * handled here (including the nothing-matches no-op); false = fall
+    * back to the position-delete path.
+    */
+  private def deleteIcebergWholeFiles(predicate: String): Boolean = {
+    var statsFold: Option[(Long, Seq[String])] = None
+    var outcome = false
+    commitWithRetryIf("DELETE",
+      postCommit = v => statsFold.foreach { case (baseV, removed) =>
+        ColumnStats.foldDelete(this, v, baseV, removed, predicate) }) { snap =>
+      statsFold = None
+      outcome = false
+      if (snap.files.isEmpty) { outcome = true; None } // nothing to delete
+      else {
+        val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+        // Iceberg manifests record typed partition values (nulls are
+        // real nulls — IcebergLog normalizes the sentinel on read)
+        FileStats.partitionTrueEvaluator(spark, parsed, snap,
+            sentinelIsNull = true) match {
+          case None => None
+          case Some(ev) =>
+            val decided = snap.files.map(f => f -> ev(f))
+            if (decided.exists(_._2.isEmpty)) None // a file undecided: MoR path
+            else {
+              val dropped = decided.collect { case (f, Some(true)) => f }
+              if (dropped.isEmpty) { outcome = true; None } // no row matches
+              else {
+                outcome = true
+                if (ColumnStats.isFresh(snap))
+                  statsFold = Some((snap.version, dropped.map(_.path)))
+                Some(TxTable.Planned(Seq.empty, dropped.map(_.path), snap.schema,
+                  snap.partitionColumns, snap.properties))
+              }
+            }
+        }
+      }
+    }
+    outcome
+  }
 
   private def deleteCopyOnWrite(predicate: String): Unit =
     rewriteMatchingFiles("DELETE", predicate,
@@ -931,36 +982,50 @@ final class TxTable(val spark: SparkSession, val location: String,
       if (maybe.isEmpty) {
         TxTable.Planned(Seq.empty, Seq.empty, snap.schema, snap.partitionColumns, snap.properties)
       } else {
-        if (foldStats && ColumnStats.isFresh(snap))
-          statsFold = Some((snap.version, maybe.map(_.path)))
         // DELETE whole-file fast path: a candidate whose PARTITION
         // values prove the ENTIRE predicate TRUE loses every row, so it
         // drops from the manifest WITHOUT being read — `DELETE WHERE
         // day < X` (the retention shape) on a 100 TB table must not
-        // read the dropped bytes just to write nothing back. Gated off
-        // when CDF is on (the feed must emit the removed rows) and
-        // evaluated with Spark's own analyzer/coercion on the partition
-        // tuple, so semantics are exactly the scan's.
-        val fullMatch: Set[String] =
-          if (op != "DELETE" || cdcOf.isDefined && cdfOn(snap.properties)) Set.empty
+        // read the dropped bytes just to write nothing back — and one
+        // proven FALSE-or-NULL for every row keeps them all, so it
+        // stays untouched without being read either. Gated off when CDF
+        // is on (the feed must emit the removed rows) and evaluated
+        // with Spark's own analyzer/coercion on the partition tuple, so
+        // semantics are exactly the scan's.
+        val decide: TxLog.AddFile => Option[Boolean] =
+          if (op != "DELETE" || cdcOf.isDefined && cdfOn(snap.properties)) _ => None
           else FileStats.partitionTrueEvaluator(spark, parsed, snap,
-              sentinelIsNull = log != ForeignDeltaCommitLog) match {
-            case Some(ev) => maybe.iterator.filter(ev).map(_.path).toSet
-            case None => Set.empty
+              sentinelIsNull = log != ForeignDeltaCommitLog)
+            .getOrElse((_: TxLog.AddFile) => None)
+        val dropped = Seq.newBuilder[TxLog.AddFile]
+        val toRewrite = Seq.newBuilder[TxLog.AddFile]
+        maybe.foreach { f =>
+          decide(f) match {
+            case Some(true) => dropped += f
+            case Some(false) => () // provably row-free of matches: untouched
+            case None => toRewrite += f
           }
-        val toRewrite = maybe.filterNot(f => fullMatch.contains(f.path))
-        if (toRewrite.isEmpty) {
-          // every candidate provably drops whole: a pure metadata commit
-          TxTable.Planned(Seq.empty, maybe.map(_.path), snap.schema,
+        }
+        val drop = dropped.result()
+        val rewrite = toRewrite.result()
+        val removed = (drop ++ rewrite).map(_.path)
+        if (foldStats && ColumnStats.isFresh(snap) && removed.nonEmpty)
+          statsFold = Some((snap.version, removed))
+        if (removed.isEmpty) {
+          TxTable.Planned(Seq.empty, Seq.empty, snap.schema,
+            snap.partitionColumns, snap.properties)
+        } else if (rewrite.isEmpty) {
+          // every touched candidate provably drops whole: pure metadata
+          TxTable.Planned(Seq.empty, removed, snap.schema,
             snap.partitionColumns, snap.properties)
         } else {
-        val affected = readForRewrite(snap, toRewrite)
+        val affected = readForRewrite(snap, rewrite)
         val rewritten = transform(affected)
         val (added, props) = stageRewrite(rewritten, snap)
         val cdc = cdcOf.filter(_ => cdfOn(snap.properties))
           .map(c => DeltaCdf.stageCdc(spark, location, c(dropRowIdCols(affected)), snap))
           .getOrElse(Seq.empty)
-        TxTable.Planned(added, maybe.map(_.path), snap.schema, snap.partitionColumns,
+        TxTable.Planned(added, removed, snap.schema, snap.partitionColumns,
           props, cdc)
         }
       }

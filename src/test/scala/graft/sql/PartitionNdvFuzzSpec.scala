@@ -59,12 +59,13 @@ class PartitionNdvFuzzSpec extends AnyFunSuite {
         } else Seq.empty
       if (extra.nonEmpty)
         client.getTxTable("fuzzpndv", "s", s"t$ti").append(extra.toDF("id", "p", "k"))
-      // a third of the DELTA tables then run a RETENTION delete (pure
-      // partition drop — the layer must SURVIVE it and keep serving);
-      // Iceberg deletes are merge-on-read (never a pure drop) so there
-      // the layer must honestly unset — both ways the VALUES stay right
+      // a third of the tables then run a RETENTION delete (pure
+      // partition drop) — BOTH backends take the whole-file fast path
+      // now (Delta drops the files copy-on-write-free, Iceberg removes
+      // them in a pinned metadata commit), so the layer must SURVIVE
+      // and keep serving scan-free after the drop on either log
       val dropPred: Option[String] =
-        if (rnd.nextInt(3) == 0 && fileType == FileType.DELTA) Some("p = 'b'")
+        if (rnd.nextInt(3) == 0) Some("p = 'b'")
         else None
       dropPred.foreach(pr => spark.sql(s"DELETE FROM fuzzpndv.s.t$ti WHERE $pr"))
       val all = (rows ++ extra).filterNot(r => dropPred.isDefined && r._2 == "b")

@@ -125,4 +125,35 @@ class StatsBackendsSpec extends AnyFunSuite {
     t.delete("id = 0")
     assert(!ColumnStats.isFresh(t.snapshot))
   }
+
+  test("iceberg whole-partition delete: metadata-only removal, stats fold through") {
+    val loc = TestSpark.tmpDir("statsb-icedrop") + "/t"
+    val df = (0 until 300).map(i => (i.toLong, s"p${i % 3}", (i % 50).toLong))
+      .toDF("id", "p", "k")
+    IcebergWriter.create(spark, loc, df.repartition(2), partitionColumns = Seq("p"))
+    val t = TxTable.forIceberg(spark, loc)
+    ColumnStats.analyze(t, Seq("id", "k", "p"))
+    val filesBefore = t.snapshot.files.size
+    // the retention shape: a partition-only predicate decides every
+    // file, so the matching files REMOVE in one pinned metadata commit
+    // — no position-delete file is written, and the stamp folds
+    t.delete("p = 'p1'")
+    val snap = t.snapshot
+    assert(snap.files.size < filesBefore, "files must drop from the manifest")
+    assert(!snap.files.exists(_.deletionVector.isDefined),
+      "no position-delete file may be written by the fast path")
+    assert(ColumnStats.isFresh(snap), "the Iceberg partition drop must fold")
+    assert(ColumnStats.currentSum(snap, "id").contains(Some(
+      (0L until 300L).filterNot(_ % 3 == 1).sum)))
+    assert(ColumnStats.currentPartitionTuples(snap).get.toSet ==
+      Set(Seq("p0"), Seq("p2")))
+    assert(t.toDF.count() == 200L)
+    // an undecidable (non-partition) predicate falls back to the MoR
+    // position-delete path and honestly invalidates
+    t.delete("k = 7")
+    assert(t.snapshot.files.exists(_.deletionVector.isDefined),
+      "the MoR path must still write position deletes")
+    assert(!ColumnStats.isFresh(t.snapshot))
+    assert(t.toDF.filter("k = 7").count() == 0L)
+  }
 }
