@@ -2709,7 +2709,14 @@ object InteropQueries {
       Some("""SELECT * FROM (
           SELECT 'l_linenumber' AS "column",
             COUNT(DISTINCT l_linenumber) AS ndv,
+            COUNT(l_linenumber) AS cnt,
             CAST(SUM(l_linenumber) AS VARCHAR) AS "sum",
+            CAST(SUM(l_linenumber) AS DOUBLE) / COUNT(l_linenumber) AS "avg",
+            SQRT(CAST(COUNT(l_linenumber) *
+                SUM(CAST(l_linenumber AS HUGEINT) * l_linenumber) -
+                CAST(SUM(l_linenumber) AS HUGEINT) * SUM(l_linenumber) AS DOUBLE)
+              / CAST(CAST(COUNT(l_linenumber) AS HUGEINT) *
+                COUNT(l_linenumber) AS DOUBLE)) AS stddev,
             CAST(MIN(l_linenumber) AS VARCHAR) AS "min",
             CAST(MAX(l_linenumber) AS VARCHAR) AS "max",
             COUNT(DISTINCT l_linenumber) < 4096 AS exact,
@@ -2719,7 +2726,9 @@ object InteropQueries {
           FROM lineitem
           UNION ALL
           SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag),
-            CAST(NULL AS VARCHAR), MIN(l_returnflag), MAX(l_returnflag),
+            COUNT(l_returnflag),
+            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            MIN(l_returnflag), MAX(l_returnflag),
             COUNT(DISTINCT l_returnflag) < 4096, CAST(NULL AS BIGINT),
             CAST(0 AS BIGINT), TRUE
           FROM lineitem
@@ -3303,6 +3312,120 @@ object InteropQueries {
           TRUE AS grouped_scan_free,
           TRUE AS post_drop_scan_free,
           TRUE AS post_drop_grouped_scan_free
-        FROM (SELECT DISTINCT rf FROM src) g"""))
+        FROM (SELECT DISTINCT rf FROM src) g""")),
+
+    // ---- q176: the stats family closes over the FULL aggregate ----
+    // surface — AVG and VAR/STDDEV serve scan-free from stamped moments.
+    // ANALYZE stamps (n, Σx, Σx²) per integral column (plus per-
+    // partition cells); AVG = exact-sum ÷ count and the four central-
+    // moment forms = (n·Σx² − (Σx)²) over exact integers, divided and
+    // rounded ONCE — bit-identical to DuckDB recomputing the same
+    // moment formulas over the same rows (both sides: exact integer
+    // moments → one double division), and at least as accurate as any
+    // scan's streaming accumulation. Appends FOLD the batch moments in
+    // (O(batch)); a provable DELETE subtracts them; filtered and
+    // grouped forms absorb the partition-WHERE family through the
+    // per-partition cells. The plan-shape booleans pin every serve
+    // scan-free and the post-delete serve still scan-free.
+    QueryDef(
+      "q176_moment_stats",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q176cat")
+        client.createSchema("q176cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q176-mom").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"))
+        client.createAsTable(li.repartition(4), "q176cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q176cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        def scanFree(q: org.apache.spark.sql.DataFrame) =
+          planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan")
+        val q1 = s.sql("""SELECT AVG(l_quantity) AS a_qty,
+            VAR_POP(l_quantity) AS vp, VAR_SAMP(l_quantity) AS vs,
+            STDDEV_POP(l_quantity) AS sp, STDDEV_SAMP(l_quantity) AS ss
+          FROM q176cat.s.t""")
+        val b1 = scanFree(q1)
+        val q2 = s.sql("""SELECT AVG(l_quantity) AS a_f FROM q176cat.s.t
+          WHERE l_returnflag >= 'N'""")
+        val b2 = scanFree(q2)
+        val q3 = s.sql("""SELECT l_returnflag, AVG(l_quantity) AS a_g,
+            STDDEV_POP(l_quantity) AS s_g
+          FROM q176cat.s.t GROUP BY l_returnflag""")
+        val b3 = scanFree(q3)
+        // the append folds (n, Σx, Σx²) forward; still scan-free, with
+        // DuckDB recomputing over the GROWN rows
+        import s.implicits._
+        client.getTxTable("q176cat", "s", "t").append(
+          Seq((9999999999L, 7L, "N")).toDF("l_orderkey", "l_quantity", "l_returnflag"))
+        val q4 = s.sql("""SELECT AVG(l_quantity) AS a_post,
+            VAR_POP(l_quantity) AS vp_post FROM q176cat.s.t""")
+        val b4 = scanFree(q4)
+        // a provable delete SUBTRACTS the removed rows' moments — the
+        // append-mostly + retention-delete lifecycle never re-scans
+        s.sql("DELETE FROM q176cat.s.t WHERE l_quantity = 1")
+        val q5 = s.sql("""SELECT AVG(l_quantity) AS a_del,
+            VAR_SAMP(l_quantity) AS vs_del FROM q176cat.s.t""")
+        val b5 = scanFree(q5)
+        q3.crossJoin(q1).crossJoin(q2).crossJoin(q4).crossJoin(q5)
+          .withColumn("tablewide_scan_free", lit(b1))
+          .withColumn("filtered_scan_free", lit(b2))
+          .withColumn("grouped_scan_free", lit(b3))
+          .withColumn("post_append_scan_free", lit(b4))
+          .withColumn("post_delete_scan_free", lit(b5))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_quantity AS BIGINT) AS q, l_returnflag AS rf FROM lineitem
+        ), grown AS (
+          SELECT q, rf FROM src UNION ALL SELECT 7, 'N'
+        ), del AS (
+          SELECT q, rf FROM grown WHERE q <> 1
+        ), m AS (
+          SELECT COUNT(q) AS n, SUM(q) AS s, SUM(CAST(q AS HUGEINT) * q) AS qq
+          FROM src
+        ), mg AS (
+          SELECT COUNT(q) AS n, SUM(q) AS s, SUM(CAST(q AS HUGEINT) * q) AS qq
+          FROM grown
+        ), md AS (
+          SELECT COUNT(q) AS n, SUM(q) AS s, SUM(CAST(q AS HUGEINT) * q) AS qq
+          FROM del
+        ), mf AS (
+          SELECT COUNT(q) AS n, SUM(q) AS s FROM src WHERE rf >= 'N'
+        )
+        SELECT g.rf AS l_returnflag,
+          CAST(g.s AS DOUBLE) / g.n AS a_g,
+          SQRT(CAST(g.n * g.qq - CAST(g.s AS HUGEINT) * g.s AS DOUBLE)
+            / CAST(CAST(g.n AS HUGEINT) * g.n AS DOUBLE)) AS s_g,
+          CAST(m.s AS DOUBLE) / m.n AS a_qty,
+          CAST(m.n * m.qq - CAST(m.s AS HUGEINT) * m.s AS DOUBLE)
+            / CAST(CAST(m.n AS HUGEINT) * m.n AS DOUBLE) AS vp,
+          CAST(m.n * m.qq - CAST(m.s AS HUGEINT) * m.s AS DOUBLE)
+            / CAST(CAST(m.n AS HUGEINT) * (m.n - 1) AS DOUBLE) AS vs,
+          SQRT(CAST(m.n * m.qq - CAST(m.s AS HUGEINT) * m.s AS DOUBLE)
+            / CAST(CAST(m.n AS HUGEINT) * m.n AS DOUBLE)) AS sp,
+          SQRT(CAST(m.n * m.qq - CAST(m.s AS HUGEINT) * m.s AS DOUBLE)
+            / CAST(CAST(m.n AS HUGEINT) * (m.n - 1) AS DOUBLE)) AS ss,
+          CAST(mf.s AS DOUBLE) / mf.n AS a_f,
+          CAST(mg.s AS DOUBLE) / mg.n AS a_post,
+          CAST(mg.n * mg.qq - CAST(mg.s AS HUGEINT) * mg.s AS DOUBLE)
+            / CAST(CAST(mg.n AS HUGEINT) * mg.n AS DOUBLE) AS vp_post,
+          CAST(md.s AS DOUBLE) / md.n AS a_del,
+          CAST(md.n * md.qq - CAST(md.s AS HUGEINT) * md.s AS DOUBLE)
+            / CAST(CAST(md.n AS HUGEINT) * (md.n - 1) AS DOUBLE) AS vs_del,
+          TRUE AS tablewide_scan_free,
+          TRUE AS filtered_scan_free,
+          TRUE AS grouped_scan_free,
+          TRUE AS post_append_scan_free,
+          TRUE AS post_delete_scan_free
+        FROM (
+          SELECT rf, COUNT(q) AS n, SUM(q) AS s,
+            SUM(CAST(q AS HUGEINT) * q) AS qq
+          FROM src GROUP BY rf
+        ) g, m, mg, md, mf"""))
   )
 }

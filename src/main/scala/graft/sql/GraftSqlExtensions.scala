@@ -500,6 +500,122 @@ object GraftSqlExtensions {
       graft.tables.ColumnStats.mergedPartitionMinMax(snap, colName, isMin, keep)
     } catch { case _: Throwable => None }
 
+  /** Exact `AVG(col)` from the table-wide stamped moments while fresh:
+    * exact-BigInt sum ÷ non-null count, rounded once — the engine's own
+    * davg determinism contract served as metadata. Some(null) = SQL
+    * NULL (zero non-null values); None = scan. */
+  private[sql] def statsAvg(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String): Option[Any] =
+    try {
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val cnt = graft.tables.ColumnStats.currentCount(snap, colName)
+        .getOrElse(return None)
+      if (cnt == 0L) return Some(null) // zero non-null values: SQL NULL
+      graft.tables.ColumnStats.currentSumBig(snap, colName)
+        .getOrElse(return None)
+        .map(s => java.lang.Double.valueOf(s.toDouble / cnt.toDouble): Any)
+        .orElse(return None) // cnt>0 but sum "null": stamp out of shape
+    } catch { case _: Throwable => None }
+
+  /** `VAR`/`STDDEV` forms of `(col)` from the table-wide stamped moments while
+    * fresh (see [[momentValue]] for the SQL shape). None = scan. */
+  private[sql] def statsVar(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String, mk: MomentKind): Option[Any] =
+    try {
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val cnt = graft.tables.ColumnStats.currentCount(snap, colName)
+        .getOrElse(return None)
+      if (cnt == 0L) return Some(null)
+      val s = graft.tables.ColumnStats.currentSumBig(snap, colName)
+        .getOrElse(return None).getOrElse(return None)
+      val q = graft.tables.ColumnStats.currentSumSqBig(snap, colName)
+        .getOrElse(return None).getOrElse(return None)
+      Some(momentValue(BigInt(cnt), s, q, mk))
+    } catch { case _: Throwable => None }
+
+  /** Exact `AVG(col)` under an absorbed partition-only WHERE from the
+    * per-partition scalars (Σ surviving psum ÷ Σ surviving pcnt). */
+  private[sql] def statsPartitionAvg(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String,
+      preds: Seq[PartPred]): Option[Any] =
+    try {
+      val (snap, _, keep) =
+        survivingTuples(session, loc, version, preds).getOrElse(return None)
+      val cnt = graft.tables.ColumnStats.mergedPartitionCount(snap, colName, keep)
+        .getOrElse(return None)
+      if (cnt == 0L) Some(null)
+      else graft.tables.ColumnStats
+        .mergedPartitionMoment(snap, colName, keep, isSq = false)
+        .map(s => java.lang.Double.valueOf(s.toDouble / cnt.toDouble))
+    } catch { case _: Throwable => None }
+
+  /** `VAR`/`STDDEV` forms of `(col)` under an absorbed partition-only WHERE from
+    * the per-partition moment cells. */
+  private[sql] def statsPartitionVar(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String, mk: MomentKind,
+      preds: Seq[PartPred]): Option[Any] =
+    try {
+      val (snap, _, keep) =
+        survivingTuples(session, loc, version, preds).getOrElse(return None)
+      partitionMoments(snap, colName, keep).map { case (n, s, q) =>
+        momentValue(n, s, q, mk)
+      }
+    } catch { case _: Throwable => None }
+
+  /** (n, Σx, Σx²) over the `keep` tuples, or None when any cell is
+    * missing/overflowed. n==0 short-circuits to (0,0,0) — the moment
+    * serves answer NULL there without needing sum/sq cells. */
+  private def partitionMoments(snap: graft.tables.TxLog.Snapshot,
+      colName: String, keep: Seq[Int]): Option[(BigInt, BigInt, BigInt)] = {
+    val cnt = graft.tables.ColumnStats.mergedPartitionCount(snap, colName, keep)
+      .getOrElse(return None)
+    if (cnt == 0L) return Some((BigInt(0), BigInt(0), BigInt(0)))
+    for {
+      s <- graft.tables.ColumnStats
+        .mergedPartitionMoment(snap, colName, keep, isSq = false)
+      q <- graft.tables.ColumnStats
+        .mergedPartitionMoment(snap, colName, keep, isSq = true)
+    } yield (BigInt(cnt), s, q)
+  }
+
+  /** `AVG(col) ... GROUP BY pcol` from the per-partition scalars — the
+    * per-day average dashboard rollup as one property read. A group's
+    * SQL NULL (all surviving values null) rides as a null map value. */
+  private[sql] def statsGroupedPartitionAvg(session: ClassicSparkSession,
+      loc: String, version: Option[Long], colName: String,
+      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Any]] =
+    try {
+      val (snap, _, groups) =
+        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
+      Some(groups.map { case (k, idxs) =>
+        val cnt = graft.tables.ColumnStats.mergedPartitionCount(snap, colName, idxs)
+          .getOrElse(return None)
+        val v: Any =
+          if (cnt == 0L) null
+          else graft.tables.ColumnStats
+            .mergedPartitionMoment(snap, colName, idxs, isSq = false)
+            .map(s => java.lang.Double.valueOf(s.toDouble / cnt.toDouble): Any)
+            .getOrElse(return None)
+        k -> v
+      }.toMap)
+    } catch { case _: Throwable => None }
+
+  /** `VAR`/`STDDEV` forms of `(col) ... GROUP BY pcol` from the
+    * per-partition moment cells. */
+  private[sql] def statsGroupedPartitionVar(session: ClassicSparkSession,
+      loc: String, version: Option[Long], colName: String, mk: MomentKind,
+      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Any]] =
+    try {
+      val (snap, _, groups) =
+        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
+      Some(groups.map { case (k, idxs) =>
+        val (n, s, q) = partitionMoments(snap, colName, idxs).getOrElse(return None)
+        k -> momentValue(n, s, q, mk)
+      }.toMap)
+    } catch { case _: Throwable => None }
+
   /** GROUPED `APPROX_COUNT_DISTINCT(col) ... GROUP BY pcol` from the
     * stamped per-partition sketches: surviving tuples (under the same
     * absorbed predicate family) grouped by the decoded group-key values,
@@ -728,6 +844,34 @@ object GraftSqlExtensions {
   private[sql] final case class StampedSum(col: String) extends StampedOut
   private[sql] final case class StampedMinMax(col: String, isMin: Boolean)
       extends StampedOut
+  /** AVG(col) — exact sum / non-null count, both stamped. */
+  private[sql] final case class StampedAvg(col: String) extends StampedOut
+  /** VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(col) — derived from the
+    * stamped moments (n, Σx, Σx²): (n·Σx² − (Σx)²) over the exact
+    * integers, divided and rounded ONCE at the end — at least as
+    * accurate as any scan's streaming accumulation. `nullOnDiv` mirrors
+    * the matched aggregate's divide-by-zero semantics (the SAMP
+    * variants' n==1 answer). */
+  private[sql] final case class StampedMoment(col: String, mk: MomentKind)
+      extends StampedOut
+  private[sql] final case class MomentKind(isStd: Boolean, isSamp: Boolean,
+      nullOnDiv: Boolean)
+
+  /** The served double for a central-moment aggregate from exact
+    * integer moments. SQL shape: n==0 → NULL (all four); SAMP n==1 →
+    * NULL/NaN per `nullOnDiv`; POP n==1 falls out of the formula as
+    * exactly 0.0 (Σx² == (Σx)²/n). */
+  private[sql] def momentValue(n: BigInt, s: BigInt, q: BigInt,
+      mk: MomentKind): Any =
+    if (n == 0) null
+    else if (mk.isSamp && n == 1) {
+      if (mk.nullOnDiv) null else java.lang.Double.valueOf(Double.NaN)
+    } else {
+      val num = n * q - s * s
+      val den = if (mk.isSamp) n * (n - 1) else n * n
+      val v = num.toDouble / den.toDouble
+      java.lang.Double.valueOf(if (mk.isStd) math.sqrt(v) else v)
+    }
 
   /** One output column of a partition-grouped metadata-only aggregate. */
   private[sql] sealed trait GroupedOut
@@ -1121,6 +1265,60 @@ object GraftSqlExtensions {
       case _ => None
     }
 
+    /** `AVG(col)` on an INTEGRAL relation attribute — derivable from
+      * the stamped exact sum + non-null count (the engine's davg
+      * determinism contract: one division over the exact integers). */
+    private def avgOf(e: Expression): Option[AttributeReference] = e match {
+      case Alias(child, _) => avgOf(child)
+      case AggregateExpression(av: org.apache.spark.sql.catalyst.expressions
+          .aggregate.Average, Complete, false, None, _) =>
+        av.child match {
+          case a: AttributeReference if integralType(a.dataType) => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+
+    /** `VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(col)` on an INTEGRAL
+      * relation attribute — derivable from the stamped (n, Σx, Σx²)
+      * moments. Skewness/kurtosis need the 3rd/4th moment and stay on
+      * the scan. */
+    private def momentOf(e: Expression)
+        : Option[(AttributeReference, GraftSqlExtensions.MomentKind)] = e match {
+      case Alias(child, _) => momentOf(child)
+      case AggregateExpression(v: org.apache.spark.sql.catalyst.expressions
+          .aggregate.CentralMomentAgg, Complete, false, None, _) =>
+        import org.apache.spark.sql.catalyst.expressions.aggregate._
+        import GraftSqlExtensions.MomentKind
+        val mk = v match {
+          case x: VariancePop =>
+            Some(MomentKind(isStd = false, isSamp = false, x.nullOnDivideByZero))
+          case x: VarianceSamp =>
+            Some(MomentKind(isStd = false, isSamp = true, x.nullOnDivideByZero))
+          case x: StddevPop =>
+            Some(MomentKind(isStd = true, isSamp = false, x.nullOnDivideByZero))
+          case x: StddevSamp =>
+            Some(MomentKind(isStd = true, isSamp = true, x.nullOnDivideByZero))
+          case _ => None
+        }
+        mk.flatMap { k =>
+          // analysis wraps the argument in CAST(x AS DOUBLE) — the
+          // lossless integral→double widening preserves the exact
+          // moment derivation (every long is summed exactly upstream)
+          val arg = v.child match {
+            case c: org.apache.spark.sql.catalyst.expressions.Cast
+                if c.dataType == org.apache.spark.sql.types.DoubleType =>
+              c.child
+            case other => other
+          }
+          arg match {
+            case a: AttributeReference if integralType(a.dataType) => Some((a, k))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+
     /** A grouping-key output: a (possibly aliased) direct reference to
       * one of the grouping attributes.
       */
@@ -1136,7 +1334,8 @@ object GraftSqlExtensions {
       case agg @ Aggregate(Nil, exprs, child, _)
           if exprs.nonEmpty && exprs.forall(e => isCountStar(e) ||
             minMaxOf(e).isDefined || countColOf(e).isDefined ||
-            sumOf(e).isDefined || approxDistinctOf(e).isDefined) =>
+            sumOf(e).isDefined || approxDistinctOf(e).isDefined ||
+            avgOf(e).isDefined || momentOf(e).isDefined) =>
         taggedNodeF(child).flatMap { case (node, conjuncts) =>
           def ownAttr(a: AttributeReference): Boolean = node.outputSet.contains(a)
           if (conjuncts.nonEmpty) {
@@ -1155,8 +1354,8 @@ object GraftSqlExtensions {
               // layer-served under a WHERE; MIN/MAX prefer the exact
               // file route and fall back to the stamped extremes when
               // the footers honestly refuse (strings, floats, DVs).
-              import GraftSqlExtensions.{StampedApprox, StampedMinMax,
-                StampedOut, StampedSum}
+              import GraftSqlExtensions.{StampedApprox, StampedAvg,
+                StampedMinMax, StampedMoment, StampedOut, StampedSum}
               val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, StampedOut]]] =
                 exprs.map { e =>
                   if (isCountStar(e)) Some(Left(GraftSqlExtensions.GroupedCount))
@@ -1170,6 +1369,10 @@ object GraftSqlExtensions {
                     case a if ownAttr(a) => Right(StampedSum(a.name))
                   }).orElse(approxDistinctOf(e).collect {
                     case a if ownAttr(a) => Right(StampedApprox(a.name))
+                  }).orElse(avgOf(e).collect {
+                    case a if ownAttr(a) => Right(StampedAvg(a.name))
+                  }).orElse(momentOf(e).collect {
+                    case (a, mk) if ownAttr(a) => Right(StampedMoment(a.name, mk))
                   })
                 }
               if (outs.exists(_.isEmpty)) None
@@ -1184,6 +1387,10 @@ object GraftSqlExtensions {
                     case StampedMinMax(c, isMin) => GraftSqlExtensions
                       .statsPartitionMinMax(session, loc, v, c, isMin, pf)
                       .map(_.orNull)
+                    case StampedAvg(c) => GraftSqlExtensions
+                      .statsPartitionAvg(session, loc, v, c, pf)
+                    case StampedMoment(c, mk) => GraftSqlExtensions
+                      .statsPartitionVar(session, loc, v, c, mk, pf)
                   }
                   def attempt(flat: Seq[Either[GraftSqlExtensions.GroupedOut, StampedOut]])
                       : Option[Seq[Any]] = {
@@ -1258,7 +1465,8 @@ object GraftSqlExtensions {
                         GraftSqlExtensions.statsSum(session, loc, v, a.name)
                           .map(_.map(identity[Any]).orNull)
                     }
-                  case None => approxDistinctOf(e).flatMap { a =>
+                  case None => approxDistinctOf(e) match {
+                    case Some(a) =>
                     // ANALYZE-time NDV, served ONLY while the stamped
                     // fingerprint matches the snapshot's (path, DV) set —
                     // any data-changing commit invalidates silently.
@@ -1273,6 +1481,23 @@ object GraftSqlExtensions {
                         .orElse(GraftSqlExtensions
                           .statsPartitionNdv(session, loc, v, a.name, Seq.empty)
                           .map(identity[Any]))
+                    }
+                    case None => avgOf(e) match {
+                      // exact AVG / central moments from the stamped
+                      // (n, Σx, Σx²) — one division over exact integers
+                      case Some(a) =>
+                        if (!ownAttr(a)) None
+                        else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                          case (loc, v) =>
+                            GraftSqlExtensions.statsAvg(session, loc, v, a.name)
+                        }
+                      case None => momentOf(e).flatMap { case (a, mk) =>
+                        if (!ownAttr(a)) None
+                        else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                          case (loc, v) =>
+                            GraftSqlExtensions.statsVar(session, loc, v, a.name, mk)
+                        }
+                      }
                     }
                   }
                 }
@@ -1330,8 +1555,8 @@ object GraftSqlExtensions {
             // stamped per-partition layer. SUM is always layer-served;
             // MIN/MAX prefer the exact file route, falling back to the
             // stamped per-partition extremes (strings, floats).
-            import GraftSqlExtensions.{StampedApprox, StampedMinMax,
-              StampedOut, StampedSum}
+            import GraftSqlExtensions.{StampedApprox, StampedAvg,
+              StampedMinMax, StampedMoment, StampedOut, StampedSum}
             val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, StampedOut]]] =
               exprs.map { e =>
                 groupKeyOf(e, groupSet) match {
@@ -1348,6 +1573,11 @@ object GraftSqlExtensions {
                     case a if relAttrs.contains(a) => Right(StampedSum(a.name))
                   }).orElse(approxDistinctOf(e).collect {
                     case a if relAttrs.contains(a) => Right(StampedApprox(a.name))
+                  }).orElse(avgOf(e).collect {
+                    case a if relAttrs.contains(a) => Right(StampedAvg(a.name))
+                  }).orElse(momentOf(e).collect {
+                    case (a, mk) if relAttrs.contains(a) =>
+                      Right(StampedMoment(a.name, mk))
                   })
                 }
               }
@@ -1365,6 +1595,10 @@ object GraftSqlExtensions {
                   case StampedMinMax(c, isMin) => GraftSqlExtensions
                     .statsGroupedPartitionMinMax(session, loc, v, c, isMin,
                       groupNames, pf)
+                  case StampedAvg(c) => GraftSqlExtensions
+                    .statsGroupedPartitionAvg(session, loc, v, c, groupNames, pf)
+                  case StampedMoment(c, mk) => GraftSqlExtensions
+                    .statsGroupedPartitionVar(session, loc, v, c, mk, groupNames, pf)
                 }
                 def attempt(flat: Seq[Either[GraftSqlExtensions.GroupedOut, StampedOut]])
                     : Option[Seq[Seq[Any]]] = {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
 
 import graft.catalog.DoesNotExistError
 
@@ -453,7 +453,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             return GraftSqlDml.GraftQueryCommand(s"SHOW STATISTICS FOR $name",
               Seq(AttributeReference("column", StringType, nullable = false)(),
                 AttributeReference("ndv", LongType, nullable = true)(),
+                AttributeReference("cnt", LongType, nullable = true)(),
                 AttributeReference("sum", StringType, nullable = true)(),
+                AttributeReference("avg", DoubleType, nullable = true)(),
+                AttributeReference("stddev", DoubleType, nullable = true)(),
                 AttributeReference("min", StringType, nullable = true)(),
                 AttributeReference("max", StringType, nullable = true)(),
                 AttributeReference("exact", BooleanType, nullable = true)(),
@@ -490,9 +493,33 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 // partition tuples hold this column's sketch+scalar cells
                 // (null = the layer doesn't cover the column)
                 val ptuples = p.keys.count(_.startsWith(s"$PkmvPropPrefix$c."))
+                // derived moment surface: AVG = exact sum ÷ non-null
+                // count, STDDEV (population) from (n, Σx, Σx²) — the
+                // same one-division-over-exact-integers the serve path
+                // answers with; null when underivable (non-integral
+                // column, "of" overflow, zero non-null values)
+                val cnt = p.get(CntPropPrefix + c).flatMap(_.toLongOption)
+                def moment(prefix: String): Option[BigInt] =
+                  p.get(prefix + c).filter(v => v != "null" && v != "of")
+                    .flatMap(v => scala.util.Try(BigInt(v)).toOption)
+                val avg = for {
+                  n <- cnt if n > 0L
+                  s <- moment(SumPropPrefix)
+                } yield java.lang.Double.valueOf(s.toDouble / n.toDouble)
+                val stddev = for {
+                  n <- cnt if n > 0L
+                  s <- moment(SumPropPrefix)
+                  q <- moment(SqPropPrefix)
+                } yield {
+                  val bn = BigInt(n)
+                  java.lang.Double.valueOf(math.sqrt(
+                    (bn * q - s * s).toDouble / (bn * bn).toDouble))
+                }
                 org.apache.spark.sql.Row(c,
                   ndv.map(java.lang.Long.valueOf).orNull,
+                  cnt.map(java.lang.Long.valueOf).orNull,
                   p.get(SumPropPrefix + c).map(v => if (v == "null") null else v).orNull,
+                  avg.orNull, stddev.orNull,
                   mm(MinPropPrefix, c), mm(MaxPropPrefix, c),
                   ndv.flatMap(n => k.map(kk => java.lang.Boolean.valueOf(n < kk))).orNull,
                   if (ptuples > 0) java.lang.Long.valueOf(ptuples.toLong) else null,

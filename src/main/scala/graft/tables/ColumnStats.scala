@@ -85,6 +85,17 @@ object ColumnStats {
     * (rowCount − cnt). Absent on pre-r14 stamps — every consumer
     * treats absence as "unknown", never as zero. */
   val CntPropPrefix = "graft.stats.cnt."
+  /** Exact Σx² per integral column (decimal string), the second moment
+    * that closes the stats family over AVG and VAR/STDDEV: with cnt and
+    * sum it derives `VAR_POP/VAR_SAMP/STDDEV_*` EXACTLY ((n·Σx² − Σx²ᵉ)
+    * over the exact integers, rounded once at the end — at least as
+    * accurate as any scan's streaming accumulation). Folds both ways
+    * like SUM (appends add, provable deletes subtract). "null" = no
+    * non-null value; "of" = the scan's decimal(38,0) accumulation
+    * overflowed — kept (not dropped) so the stamp's shape survives, but
+    * never servable. Absent on older stamps — consumers treat absence
+    * as "unknown". */
+  val SqPropPrefix = "graft.stats.sq."
   /** Per-PARTITION KMV sketches (partitioned tables only, bounded by
     * [[MaxStampedPartitions]]): pvals holds the ordered JSON list of
     * stamped partition tuples, pkmv.<col>.<i> the sketch of column
@@ -107,12 +118,17 @@ object ColumnStats {
   val PcntPropPrefix = "graft.stats.pcnt."
   val PminPropPrefix = "graft.stats.pmin."
   val PmaxPropPrefix = "graft.stats.pmax."
+  /** Per-tuple Σx² ([[SqPropPrefix]] semantics per partition cell) —
+    * grouped/filtered AVG and VAR/STDDEV under the absorbed predicate
+    * family, and the drop-delete recombination of the table-wide sq. */
+  val PsqPropPrefix = "graft.stats.psq."
   val PvalsProp = "graft.stats.pvals"
 
   /** Every per-tuple prefix of the partition layer (key shape
     * `<prefix><col>.<tupleIndex>`). */
   private val PerTuplePrefixes =
-    Seq(PkmvPropPrefix, PsumPropPrefix, PcntPropPrefix, PminPropPrefix, PmaxPropPrefix)
+    Seq(PkmvPropPrefix, PsumPropPrefix, PcntPropPrefix, PminPropPrefix,
+      PmaxPropPrefix, PsqPropPrefix)
 
   /** Whether `k` belongs to the per-partition layer (unset wholesale
     * whenever the layer can't be maintained). */
@@ -219,6 +235,16 @@ object ColumnStats {
     if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
+  /** Fold-addition over the sq encoding: "null" = no non-null value
+    * (identity), "of" = overflowed/unserveable (sticky absorbing
+    * element), else exact BigInt digits. */
+  private def addMoment(a: String, b: String): String =
+    if (a == "of" || b == "of") "of"
+    else if (a == "null" && b == "null") "null"
+    else if (a == "null") b
+    else if (b == "null") a
+    else (BigInt(a) + BigInt(b)).toString
+
   private def integralColumns(snap: TxLog.Snapshot, columns: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     columns.filter(c =>
@@ -307,8 +333,8 @@ object ColumnStats {
     * to `extremes`, counts aligned to `countCols`). */
   private def scanStats(df: org.apache.spark.sql.DataFrame, columns: Seq[String],
       integral: Seq[String], extremes: Seq[(String, DataType)], k: Int,
-      countCols: Seq[String] = Seq.empty)
-      : (Seq[Array[Long]], Seq[String], Seq[(String, String)], Seq[Long]) = {
+      countCols: Seq[String] = Seq.empty, sqCols: Seq[String] = Seq.empty)
+      : (Seq[Array[Long]], Seq[String], Seq[(String, String)], Seq[Long], Seq[String]) = {
     val aggs = columns.map(c => graft.functions.KmvFunctions
       .kmvSketch(col(s"`$c`").cast(StringType), k).as(s"__kmv_$c")) ++
       // exact sums ride the SAME scan: decimal(38,0) accumulation so a
@@ -316,7 +342,16 @@ object ColumnStats {
       integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__sum_$c")) ++
       extremes.flatMap { case (c, _) =>
         Seq(min(col(s"`$c`")).as(s"__min_$c"), max(col(s"`$c`")).as(s"__max_$c")) } ++
-      countCols.map(c => count(col(s"`$c`")).as(s"__cnt_$c"))
+      countCols.map(c => count(col(s"`$c`")).as(s"__cnt_$c")) ++
+      // Σx² for the second-moment stamp: each SQUARE fits decimal(38,0)
+      // exactly (max-long² ≈ 8.5e37 < 1e38), only the SUM can overflow —
+      // try_sum answers null there in BOTH ANSI modes (plain sum throws
+      // under ANSI), and the paired count turns that null into the
+      // honest "of" marker instead of a silent all-null conflation
+      sqCols.flatMap(c => Seq(
+        expr(s"try_sum(cast(`$c` as decimal(38,0)) * cast(`$c` as decimal(38,0)))")
+          .as(s"__sq_$c"),
+        count(col(s"`$c`")).as(s"__sqcnt_$c")))
     val plan = df.agg(aggs.head, aggs.tail: _*)
     val row = plan.queryExecution.executedPlan.executeCollect()(0)
     val sketches = columns.indices.map(i =>
@@ -334,7 +369,21 @@ object ColumnStats {
     }
     val cbase = base + 2 * extremes.size
     val cnts = countCols.indices.map(i => row.getLong(cbase + i))
-    (sketches, sums, mms, cnts)
+    val sqbase = cbase + countCols.size
+    val sqs = sqCols.indices.map { i =>
+      val vIdx = sqbase + 2 * i
+      if (!row.isNullAt(vIdx)) {
+        // decimal multiply inherits the operands' scale metadata; read
+        // at the PLAN's precision/scale, normalized to an integer string
+        val dt = plan.schema(plan.schema.length - 2 * sqCols.size + 2 * i)
+          .dataType.asInstanceOf[DecimalType]
+        row.getDecimal(vIdx, dt.precision, dt.scale)
+          .toJavaBigDecimal.stripTrailingZeros.toBigIntegerExact.toString
+      }
+      else if (row.getLong(vIdx + 1) == 0L) "null" // zero non-null values
+      else "of" // the decimal(38,0) accumulation overflowed: unserveable
+    }
+    (sketches, sums, mms, cnts, sqs)
   }
 
   /** Compute NDV for `columns` in ONE scan and stamp the stats. Returns
@@ -353,9 +402,9 @@ object ColumnStats {
     // scan pinned at the fingerprinted version: a concurrent commit
     // between scan and stamp then simply invalidates (fingerprint
     // mismatch) instead of mislabeling the new state
-    val (sketches, sums, mms, cnts) =
+    val (sketches, sums, mms, cnts, sqs) =
       scanStats(table.toDF(snap.version), columns, integral, extremes, K,
-        countCols = columns)
+        countCols = columns, sqCols = integral)
     val ndvs = columns.zip(sketches).map { case (c, sk) =>
       c -> math.round(graft.functions.KmvEstimate.cardinality(sk, K))
     }
@@ -375,6 +424,7 @@ object ColumnStats {
          (k.startsWith(MinPropPrefix) && !mmCols.contains(k.stripPrefix(MinPropPrefix))) ||
          (k.startsWith(MaxPropPrefix) && !mmCols.contains(k.stripPrefix(MaxPropPrefix))) ||
          (k.startsWith(CntPropPrefix) && !columns.contains(k.stripPrefix(CntPropPrefix))) ||
+         (k.startsWith(SqPropPrefix) && !integral.contains(k.stripPrefix(SqPropPrefix))) ||
          isPartitionLayerKey(k)))
       .map(_ -> (null: String)).toMap
     table.setProperties(
@@ -386,6 +436,7 @@ object ColumnStats {
         extremes.zip(mms).flatMap { case ((c, _), (mn, mx)) =>
           Seq(s"$MinPropPrefix$c" -> mn, s"$MaxPropPrefix$c" -> mx) }.toMap ++
         columns.zip(cnts).map { case (c, n) => s"$CntPropPrefix$c" -> n.toString }.toMap ++
+        integral.zip(sqs).map { case (c, v) => s"$SqPropPrefix$c" -> v }.toMap ++
         partitionSketchProps(table, snap, columns) ++
         Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString,
           VersionProp -> snap.version.toString))
@@ -402,16 +453,26 @@ object ColumnStats {
   private def scanPartitionLayer(df: org.apache.spark.sql.DataFrame,
       pcols: Seq[String], ptypes: Seq[DataType], sketchCols: Seq[String],
       integral: Seq[String], extremes: Seq[(String, DataType)], pk: Int)
-      : Seq[(Seq[String], Seq[Array[Long]], Seq[String], Seq[(String, String)], Seq[Long])] = {
+      : Seq[(Seq[String], Seq[Array[Long]], Seq[String], Seq[(String, String)],
+        Seq[Long], Seq[String])] = {
     val aggs = sketchCols.map(c => graft.functions.KmvFunctions
         .kmvSketch(col(s"`$c`").cast(StringType), pk).as(s"__pkmv_$c")) ++
       integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__psum_$c")) ++
       extremes.flatMap { case (c, _) =>
         Seq(min(col(s"`$c`")).as(s"__pmin_$c"), max(col(s"`$c`")).as(s"__pmax_$c")) } ++
-      sketchCols.map(c => count(col(s"`$c`")).as(s"__pcnt_$c"))
-    val rows = df.groupBy(pcols.map(c => col(s"`$c`")): _*)
+      sketchCols.map(c => count(col(s"`$c`")).as(s"__pcnt_$c")) ++
+      // per-tuple Σx² (same "of"-on-overflow posture as scanStats; the
+      // paired non-null count to decide it rides above when the column
+      // is also a sketch column — integral ⊆ sketchCols here)
+      integral.map(c =>
+        expr(s"try_sum(cast(`$c` as decimal(38,0)) * cast(`$c` as decimal(38,0)))")
+          .as(s"__psq_$c"))
+    val agged = df.groupBy(pcols.map(c => col(s"`$c`")): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .queryExecution.executedPlan.executeCollect()
+    val rows = agged.queryExecution.executedPlan.executeCollect()
+    val sqTypes = integral.indices.map(i =>
+      agged.schema(agged.schema.length - integral.size + i)
+        .dataType.asInstanceOf[DecimalType])
     rows.toSeq.map { r =>
       val tuple = pcols.indices.map(i =>
         if (r.isNullAt(i)) null else renderValue(ptypes(i), r.get(i, ptypes(i))))
@@ -430,7 +491,15 @@ object ColumnStats {
       }
       val base3 = base2 + 2 * extremes.size
       val cnts = sketchCols.indices.map(i => r.getLong(base3 + i))
-      (tuple, sketches, sums, mms, cnts)
+      val base4 = base3 + sketchCols.size
+      val sqs = integral.zipWithIndex.map { case (c, i) =>
+        if (!r.isNullAt(base4 + i))
+          r.getDecimal(base4 + i, sqTypes(i).precision, sqTypes(i).scale)
+            .toJavaBigDecimal.stripTrailingZeros.toBigIntegerExact.toString
+        else if (cnts(sketchCols.indexOf(c)) == 0L) "null"
+        else "of"
+      }
+      (tuple, sketches, sums, mms, cnts, sqs)
     }
   }
 
@@ -443,11 +512,14 @@ object ColumnStats {
       sketchCols.filter(c => orderable(snap.schema(c).dataType))
         .map(c => c -> snap.schema(c).dataType))
 
-  /** Per-tuple property map for one layer row. */
+  /** Per-tuple property map for one layer row. `withSq` = stamp the
+    * second-moment cells too (a fold into a legacy stamp without psq
+    * keys must not start a PARTIAL psq shape). */
   private def layerCellProps(ti: Int, sketchCols: Seq[String],
       integral: Seq[String], extremes: Seq[(String, DataType)],
       sketches: Seq[Array[Long]], sums: Seq[String],
-      mms: Seq[(String, String)], cnts: Seq[Long]): Map[String, String] = {
+      mms: Seq[(String, String)], cnts: Seq[Long],
+      sqs: Seq[String], withSq: Boolean): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     sketchCols.zipWithIndex.foreach { case (c, ci) =>
       out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(sketches(ci))
@@ -455,6 +527,7 @@ object ColumnStats {
     }
     integral.zipWithIndex.foreach { case (c, ci) =>
       out += s"$PsumPropPrefix$c.$ti" -> sums(ci)
+      if (withSq) out += s"$PsqPropPrefix$c.$ti" -> sqs(ci)
     }
     extremes.zipWithIndex.foreach { case ((c, _), ci) =>
       out += s"$PminPropPrefix$c.$ti" -> mms(ci)._1
@@ -490,9 +563,9 @@ object ColumnStats {
         groups.length * sketchCols.size > MaxPartitionSketchCells)
       return Map.empty
     val out = Map.newBuilder[String, String]
-    groups.zipWithIndex.foreach { case ((_, sketches, sums, mms, cnts), ti) =>
+    groups.zipWithIndex.foreach { case ((_, sketches, sums, mms, cnts, sqs), ti) =>
       out ++= layerCellProps(ti, sketchCols, integral, extremes,
-        sketches, sums, mms, cnts)
+        sketches, sums, mms, cnts, sqs, withSq = true)
     }
     out.result() + (PvalsProp -> encodeTuples(groups.map(_._1))) +
       (PkProp -> PartitionK.toString)
@@ -563,13 +636,16 @@ object ColumnStats {
       val mmCols = minCols.toSeq.sorted
       val cntCols = props.keys.filter(_.startsWith(CntPropPrefix))
         .map(_.stripPrefix(CntPropPrefix)).toSeq.sorted
+      val sqCols = props.keys.filter(_.startsWith(SqPropPrefix))
+        .map(_.stripPrefix(SqPropPrefix)).toSeq.sorted
       // cnt rides the check too: after a retention delete the stamp can
       // be cnt + per-partition sketches only (sum/extremes tie-dropped,
       // table-wide NDV honestly unset) — appends must keep folding it
-      if (ndvCols.isEmpty && sumCols.isEmpty && mmCols.isEmpty && cntCols.isEmpty)
+      if (ndvCols.isEmpty && sumCols.isEmpty && mmCols.isEmpty && cntCols.isEmpty &&
+          sqCols.isEmpty)
         return
       val known = snap.schema.fieldNames.toSet
-      if (!(ndvCols ++ sumCols ++ mmCols).forall(known.contains)) return
+      if (!(ndvCols ++ sumCols ++ mmCols ++ sqCols).forall(known.contains)) return
       val extremes = mmCols.map(c => c -> snap.schema(c).dataType)
       if (extremes.exists { case (_, dt) => !orderable(dt) }) return
       // every NDV column needs its persisted sketch — a scalar alone
@@ -577,7 +653,7 @@ object ColumnStats {
       val oldSketches = ndvCols.map(c => props.get(KmvPropPrefix + c))
       if (oldSketches.exists(_.isEmpty)) return
       if (!cntCols.forall(known.contains)) return
-      val scanCols = (ndvCols ++ sumCols ++ mmCols ++ cntCols).distinct
+      val scanCols = (ndvCols ++ sumCols ++ mmCols ++ cntCols ++ sqCols).distinct
       // identify the batch inside the COMMITTED snapshot by the files'
       // unique (uuid-bearing) final name segment — staged AddFile paths
       // and snapshot paths can render differently (Iceberg manifests
@@ -593,8 +669,9 @@ object ColumnStats {
       val expectRows = added.map(_.rows)
       if (expectRows.forall(_ >= 0L) && expectRows.sum > 0L && batchDf.isEmpty)
         return
-      val (batchSketches, batchSums, batchMms, batchCnts) =
-        scanStats(batchDf, ndvCols, sumCols, extremes, k, countCols = cntCols)
+      val (batchSketches, batchSums, batchMms, batchCnts, batchSqs) =
+        scanStats(batchDf, ndvCols, sumCols, extremes, k, countCols = cntCols,
+          sqCols = sqCols)
       val mergedSketches = ndvCols.indices.map { i =>
         mergeSketches(decodeSketch(oldSketches(i).get), batchSketches(i), k)
       }
@@ -629,6 +706,11 @@ object ColumnStats {
         s"$CntPropPrefix$c" ->
           (BigInt(props(CntPropPrefix + c)) + BigInt(b)).toString
       }
+      // second moment adds like the sum; an "of" on either side is
+      // sticky (once unserveable, only a re-ANALYZE can resurrect it)
+      val newSqs = sqCols.zip(batchSqs).map { case (c, b) =>
+        s"$SqPropPrefix$c" -> addMoment(props(SqPropPrefix + c), b)
+      }
       table.setProperties(
         ndvCols.zip(mergedSketches).flatMap { case (c, sk) =>
           Seq(
@@ -637,7 +719,7 @@ object ColumnStats {
             s"$KmvPropPrefix$c" -> encodeSketch(sk))
         }.toMap ++
           newSums.map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
-          newMms.toMap ++ newCnts.toMap ++ pkmvProps ++
+          newMms.toMap ++ newCnts.toMap ++ newSqs.toMap ++ pkmvProps ++
           Map(FingerprintProp -> fingerprint(snap).toString,
             VersionProp -> commitVersion.toString))
     } catch {
@@ -685,6 +767,10 @@ object ColumnStats {
     val (integral, extremes) =
       if (hasScalars) layerMeasures(snap, sketchCols)
       else (Seq.empty[String], Seq.empty[(String, DataType)])
+    // the SECOND-MOMENT cells are their own optional sub-layer: a
+    // round-14.0 stamp has scalars but no psq keys — folding must not
+    // start a partial psq shape there (same rule as legacy sketch-only)
+    val hasSq = props.keys.exists(_.startsWith(PsqPropPrefix))
     if (hasScalars) {
       sketchCols.foreach { c =>
         tuples.indices.foreach { i =>
@@ -694,6 +780,8 @@ object ColumnStats {
       integral.foreach { c =>
         tuples.indices.foreach { i =>
           require(props.contains(s"$PsumPropPrefix$c.$i"), s"psum gap for $c.$i")
+          if (hasSq)
+            require(props.contains(s"$PsqPropPrefix$c.$i"), s"psq gap for $c.$i")
         }
       }
       extremes.foreach { case (c, _) =>
@@ -707,13 +795,13 @@ object ColumnStats {
       integral, extremes, pk)
     val allTuples = tuples.toBuffer
     val out = Map.newBuilder[String, String]
-    groups.foreach { case (tuple, sketches, sums, mms, cnts) =>
+    groups.foreach { case (tuple, sketches, sums, mms, cnts, sqs) =>
       val existing = allTuples.indexOf(tuple)
       val ti = if (existing >= 0) existing else { allTuples += tuple; allTuples.size - 1 }
       if (existing < 0) {
         if (hasScalars)
           out ++= layerCellProps(ti, sketchCols, integral, extremes,
-            sketches, sums, mms, cnts)
+            sketches, sums, mms, cnts, sqs, withSq = hasSq)
         else // legacy sketch-only stamp: don't start a partial scalar shape
           sketchCols.zipWithIndex.foreach { case (c, ci) =>
             out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(sketches(ci))
@@ -727,14 +815,11 @@ object ColumnStats {
               (BigInt(props(s"$PcntPropPrefix$c.$ti")) + BigInt(cnts(ci))).toString
         }
         integral.zipWithIndex.foreach { case (c, ci) =>
-          val old = props(s"$PsumPropPrefix$c.$ti")
-          val b = sums(ci)
-          val v =
-            if (old == "null" && b == "null") "null"
-            else if (old == "null") b
-            else if (b == "null") old
-            else (BigInt(old) + BigInt(b)).toString
-          out += s"$PsumPropPrefix$c.$ti" -> v
+          out += s"$PsumPropPrefix$c.$ti" ->
+            addMoment(props(s"$PsumPropPrefix$c.$ti"), sums(ci))
+          if (hasSq)
+            out += s"$PsqPropPrefix$c.$ti" ->
+              addMoment(props(s"$PsqPropPrefix$c.$ti"), sqs(ci))
         }
         extremes.zipWithIndex.foreach { case ((c, dt), ci) =>
           out += s"$PminPropPrefix$c.$ti" ->
@@ -800,8 +885,10 @@ object ColumnStats {
       val mmCols = minCols.toSeq.sorted
       val cntCols = props.keys.filter(_.startsWith(CntPropPrefix))
         .map(_.stripPrefix(CntPropPrefix)).toSeq.sorted
+      val sqCols = props.keys.filter(_.startsWith(SqPropPrefix))
+        .map(_.stripPrefix(SqPropPrefix)).toSeq.sorted
       val known = snap.schema.fieldNames.toSet
-      if (!(sumCols ++ mmCols ++ cntCols).forall(known.contains)) return
+      if (!(sumCols ++ mmCols ++ cntCols ++ sqCols).forall(known.contains)) return
       val extremes = mmCols.map(c => c -> snap.schema(c).dataType)
       if (extremes.exists { case (_, dt) => !orderable(dt) }) return
       // an emptied table serves SQL NULL/0 shapes a stamp with no cnt
@@ -811,7 +898,7 @@ object ColumnStats {
       val live = snap.files.iterator
         .map(f => f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
       if (live == 0L) return
-      if (sumCols.isEmpty && mmCols.isEmpty && cntCols.isEmpty) {
+      if (sumCols.isEmpty && mmCols.isEmpty && cntCols.isEmpty && sqCols.isEmpty) {
         // only sketches were stamped: no scalar folds, but the restamped
         // fingerprint keeps the PLANNER surface (exact row count) alive
         // across the delete — and a pure partition DROP still keeps the
@@ -849,7 +936,7 @@ object ColumnStats {
       // the retention delete becomes fully metadata-only. Extremes come
       // back exact (no tie hazard: they're recomputed, not subtracted).
       val derived = dropKeep.flatMap(dk =>
-        deriveScalarsFromLayer(snap, dk, sumCols, mmCols, cntCols))
+        deriveScalarsFromLayer(snap, dk, sumCols, mmCols, cntCols, sqCols))
       derived match {
         case Some(vals) => set ++= vals
         case None =>
@@ -858,10 +945,10 @@ object ColumnStats {
       import org.apache.spark.sql.functions.{coalesce, expr, lit}
       val removedDf = table.dfForFiles(base, removedPaths)
         .filter(coalesce(expr(predicate), lit(false)))
-      val (_, remSums, remMms, remCnts) =
-        scanStats(removedDf.select(((sumCols ++ mmCols ++ cntCols).distinct)
+      val (_, remSums, remMms, remCnts, remSqs) =
+        scanStats(removedDf.select(((sumCols ++ mmCols ++ cntCols ++ sqCols).distinct)
             .map(c => col(s"`$c`")): _*),
-          Nil, sumCols, extremes, k, countCols = cntCols)
+          Nil, sumCols, extremes, k, countCols = cntCols, sqCols = sqCols)
       val remCnt = cntCols.zip(remCnts).toMap
       // non-null counts subtract exactly
       val newCnts = cntCols.map { c =>
@@ -883,6 +970,25 @@ object ColumnStats {
           case None =>
             // pre-cnt stamp: the NULL-vs-0 boundary is unprovable
             unset += s"$SumPropPrefix$c" -> (null: String)
+        }
+      }
+      // the second moment subtracts like the sum; "of" stays sticky on
+      // either side (unserveable in, unserveable out — never a guess)
+      sqCols.zip(remSqs).foreach { case (c, rem) =>
+        val old = props(SqPropPrefix + c)
+        if (old == "of" || rem == "of") set += s"$SqPropPrefix$c" -> "of"
+        else if (rem == "null") () // no non-null value removed: unchanged
+        else if (old == "null") return // inconsistent
+        else newCnts.get(c) match {
+          case Some(n) if n == 0 =>
+            set += s"$SqPropPrefix$c" -> "null"
+          case Some(_) =>
+            val v = BigInt(old) - BigInt(rem)
+            if (v < 0) return // inconsistent: removed more than stamped
+            set += s"$SqPropPrefix$c" -> v.toString
+          case None =>
+            // no folded cnt for the column: NULL-vs-0 unprovable
+            unset += s"$SqPropPrefix$c" -> (null: String)
         }
       }
       extremes.zip(remMms).foreach { case ((c, dt), (rMin, rMax)) =>
@@ -1037,7 +1143,8 @@ object ColumnStats {
     * removed-rows aggregate.
     */
   private def deriveScalarsFromLayer(snap: TxLog.Snapshot, dk: DropKeep,
-      sumCols: Seq[String], mmCols: Seq[String], cntCols: Seq[String])
+      sumCols: Seq[String], mmCols: Seq[String], cntCols: Seq[String],
+      sqCols: Seq[String] = Seq.empty)
       : Option[Map[String, String]] = {
     val pcols = snap.partitionColumns
     val props = snap.properties
@@ -1076,6 +1183,33 @@ object ColumnStats {
           }
         }.sum.toString
       out += s"$SumPropPrefix$c" -> v
+    }
+    sqCols.foreach { c =>
+      val n = cntVal.getOrElse(c, return None)
+      val v: String =
+        if (n == 0) "null"
+        else if (pcols.contains(c)) {
+          val live = dk.liveByTuple.getOrElse(return None)
+          val s = pcols.indexOf(c)
+          val dt = snap.schema(c).dataType
+          dk.keptTuples.iterator.filter(_(s) != null).map { t =>
+            val x = BigInt(parseValue(dt, t(s)).asInstanceOf[Number].longValue())
+            x * x * BigInt(live.getOrElse(t, return None))
+          }.sum.toString
+        } else {
+          // an "of" cell among the survivors keeps the recombined sq
+          // honestly unserveable (but present, so folds keep tracking)
+          var of = false
+          val acc = dk.keptOldIdx.iterator.map { i =>
+            props.getOrElse(s"$PsqPropPrefix$c.$i", return None) match {
+              case "null" => BigInt(0)
+              case "of" => of = true; BigInt(0)
+              case sv => BigInt(sv)
+            }
+          }.sum
+          if (of) "of" else acc.toString
+        }
+      out += s"$SqPropPrefix$c" -> v
     }
     mmCols.foreach { c =>
       val dt = snap.schema(c).dataType
@@ -1159,6 +1293,62 @@ object ColumnStats {
       parsed <- if (v == "null") Some(None)
         else v.toLongOption.map(n => Some(n))
     } yield parsed
+
+  /** The stamped exact non-null COUNT of `column` while fresh. */
+  def currentCount(snap: TxLog.Snapshot, column: String): Option[Long] =
+    try {
+      for {
+        fp <- snap.properties.get(FingerprintProp)
+        if fp == fingerprint(snap).toString
+        v <- snap.properties.get(s"$CntPropPrefix$column")
+        n = BigInt(v)
+        if n.isValidLong
+      } yield n.toLong
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The stamped exact SUM of `column` as a BigInt while fresh — the
+    * moment form AVG/VAR derive from (no Long cap: the derived double
+    * is rounded ONCE from the exact integer, which is at least as
+    * accurate as any scan's accumulation order). Some(None) = SQL NULL
+    * (no non-null value); outer None = stale/absent/unserveable. */
+  def currentSumBig(snap: TxLog.Snapshot, column: String): Option[Option[BigInt]] =
+    momentProp(snap, s"$SumPropPrefix$column")
+
+  /** The stamped exact Σx² of `column` while fresh ([[currentSumBig]]
+    * contract; "of" — the overflowed marker — is unserveable). */
+  def currentSumSqBig(snap: TxLog.Snapshot, column: String): Option[Option[BigInt]] =
+    momentProp(snap, s"$SqPropPrefix$column")
+
+  private def momentProp(snap: TxLog.Snapshot, key: String): Option[Option[BigInt]] =
+    try {
+      for {
+        fp <- snap.properties.get(FingerprintProp)
+        if fp == fingerprint(snap).toString
+        v <- snap.properties.get(key)
+        if v != "of"
+        parsed <- if (v == "null") Some(None) else Some(Some(BigInt(v)))
+      } yield parsed
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Σ of the `keep` tuples' stamped per-partition cells for `prefix` —
+    * the moment form the filtered/grouped AVG and VAR serves derive
+    * from ("null" cells contribute 0; an "of" cell or a missing cell is
+    * unserveable). Callers must have proved freshness (the `keep`
+    * indices come from [[currentPartitionTuples]]). */
+  def mergedPartitionMoment(snap: TxLog.Snapshot, column: String,
+      keep: Seq[Int], isSq: Boolean): Option[BigInt] =
+    try {
+      val p = if (isSq) PsqPropPrefix else PsumPropPrefix
+      var acc = BigInt(0)
+      keep.foreach { i =>
+        snap.properties.get(s"$p$column.$i").getOrElse(return None) match {
+          case "null" => ()
+          case "of" => return None
+          case sv => acc += BigInt(sv)
+        }
+      }
+      Some(acc)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The stamped per-partition tuple list IF the stats still describe
     * the current snapshot (fingerprint match): ordered tuples of

@@ -519,35 +519,48 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     // analyzed column, fresh verdict flipping with staleness
     val shown = spark.sql("SHOW STATISTICS FOR lakestats.core.t")
     assert(shown.columns.toSeq ==
-      Seq("column", "ndv", "sum", "min", "max", "exact", "partition_tuples",
-        "stamped_version", "fresh"))
+      Seq("column", "ndv", "cnt", "sum", "avg", "stddev", "min", "max",
+        "exact", "partition_tuples", "stamped_version", "fresh"))
     val rows = shown.collect().map(r => r.getString(0) -> r).toMap
     assert(rows.keySet == Set("id", "u"))
-    assert(rows("id").getBoolean(8) && rows("u").getBoolean(8))
+    assert(rows("id").getBoolean(11) && rows("u").getBoolean(11))
     // unpartitioned table: no per-partition layer to report
-    assert(rows("id").isNullAt(6) && rows("u").isNullAt(6))
-    assert(rows("id").getString(3) == "1" && rows("id").getString(4) == "9001")
-    assert(rows("u").getString(2) == null, "no sum for a string column")
+    assert(rows("id").isNullAt(9) && rows("u").isNullAt(9))
+    assert(rows("id").getString(6) == "1" && rows("id").getString(7) == "9001")
+    assert(rows("u").getString(3) == null, "no sum for a string column")
+    // derived moment surface: cnt for every analyzed column, AVG and
+    // STDDEV(pop) for the integral one — exact-integer math, one
+    // division, matching the serve path
+    assert(rows("id").getLong(2) == 901L && rows("u").getLong(2) == 901L)
+    val idVals = (1L until 900L) ++ Seq(9000L, 9001L)
+    assert(rows("id").getDouble(4) ==
+      idVals.map(BigInt(_)).sum.toDouble / idVals.size.toDouble)
+    val (bn, bs, bq) = (BigInt(idVals.size), idVals.map(BigInt(_)).sum,
+      idVals.map(x => BigInt(x) * x).sum)
+    assert(rows("id").getDouble(5) ==
+      math.sqrt((bn * bq - bs * bs).toDouble / (bn * bn).toDouble))
+    assert(rows("u").isNullAt(4) && rows("u").isNullAt(5),
+      "no moments for a string column")
     // both columns sit under k=4096 distinct: exact regime, flagged so
-    assert(rows("id").getBoolean(5) && rows("u").getBoolean(5))
+    assert(rows("id").getBoolean(8) && rows("u").getBoolean(8))
     // the stamp binds to the latest fold/restamp commit, not version 0
-    assert(!rows("id").isNullAt(7) && rows("id").getLong(7) > 0L)
+    assert(!rows("id").isNullAt(10) && rows("id").getLong(10) > 0L)
     // a provable DELETE folds (round 14): the stamp STAYS fresh with
     // the sum subtracted, the tied extreme pair dropped (id=1 IS the
     // stamped min), and NDV honestly gone
     spark.sql("DELETE FROM lakestats.core.t WHERE id = 1")
     val shown2 = spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(shown2("id").getBoolean(8), "delete fold must keep the stamp fresh")
-    assert(shown2("id").getString(2) ==
+    assert(shown2("id").getBoolean(11), "delete fold must keep the stamp fresh")
+    assert(shown2("id").getString(3) ==
       ((2L until 900L).sum + 9000L + 9001L).toString, "sum must subtract")
-    assert(shown2("id").getString(3) == null && shown2("id").getString(4) == null,
+    assert(shown2("id").getString(6) == null && shown2("id").getString(7) == null,
       "a tied extreme pair must drop")
     assert(shown2("id").isNullAt(1), "NDV cannot fold a removal")
     // an UPDATE is never derivable: fresh flips to false
     spark.sql("UPDATE lakestats.core.t SET u = u WHERE id = 2")
     assert(spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
-      .forall(!_.getBoolean(8)), "fresh must flip to false after an update")
+      .forall(!_.getBoolean(11)), "fresh must flip to false after an update")
   }
 
   test("grouped APPROX_COUNT_DISTINCT serves from per-partition sketches; retention deletes keep the layer") {
@@ -700,5 +713,107 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       "SELECT SUM(record_count) FROM lakemeta.core.ti.files").collect()(0).getLong(0) == 4L)
     // a non-catalog 4-part name still falls through to Spark's error
     intercept[Exception](spark.sql("SELECT * FROM nosuch.cat.t.files").collect())
+  }
+
+  test("AVG and VAR/STDDEV serve from stamped moments; folds keep them scan-free") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakemom")
+    client.createSchema("lakemom", "core")
+    val dir = TestSpark.tmpDir("sqlmom")
+    client.createAsTable(
+      (0 until 900).map(i => (i.toLong, i % 7)).toDF("id", "k"),
+      "lakemom", "core", "t", FileType.DELTA, s"$dir/t")
+    spark.sql("ANALYZE TABLE lakemom.core.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    def planOf(q: org.apache.spark.sql.DataFrame) = q.queryExecution.executedPlan.toString
+    // the served double IS the exact rational rounded once: recompute it
+    // the same way from exact integer moments
+    def expectVar(xs: Seq[Long], samp: Boolean, std: Boolean): Double = {
+      val n = BigInt(xs.size)
+      val s = xs.map(BigInt(_)).sum
+      val q = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val v = (n * q - s * s).toDouble /
+        (if (samp) n * (n - 1) else n * n).toDouble
+      if (std) math.sqrt(v) else v
+    }
+    val ids = (0L until 900L).toSeq
+    val q = spark.sql("""SELECT AVG(id) AS a, VAR_POP(id) AS vp,
+        VAR_SAMP(id) AS vs, STDDEV_POP(id) AS sp, STDDEV_SAMP(id) AS ss
+      FROM lakemom.core.t""")
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan"),
+      s"fresh moments must answer metadata-only\n${planOf(q)}")
+    val r = q.collect()(0)
+    assert(r.getDouble(0) == 449.5)
+    assert(r.getDouble(1) == expectVar(ids, samp = false, std = false))
+    assert(r.getDouble(2) == expectVar(ids, samp = true, std = false))
+    assert(r.getDouble(3) == expectVar(ids, samp = false, std = true))
+    assert(r.getDouble(4) == expectVar(ids, samp = true, std = true))
+    // ...and within streaming-rounding distance of the actual scan
+    val scan = (0 until 900).map(i => (i.toLong, i % 7)).toDF("id", "k")
+      .selectExpr("avg(id)", "var_pop(id)", "stddev_samp(id)").collect()(0)
+    assert(math.abs(r.getDouble(0) - scan.getDouble(0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - scan.getDouble(1)) / scan.getDouble(1) < 1e-9)
+    assert(math.abs(r.getDouble(4) - scan.getDouble(2)) / scan.getDouble(2) < 1e-9)
+
+    // append folds the second moment too: still scan-free, still exact
+    spark.sql("INSERT INTO lakemom.core.t VALUES (9000, 3)")
+    val q2 = spark.sql(
+      "SELECT AVG(id) AS a, STDDEV_POP(id) AS sp FROM lakemom.core.t")
+    assert(!planOf(q2).contains("FileScan"),
+      s"append must fold the moments, not invalidate\n${planOf(q2)}")
+    val ids2 = ids :+ 9000L
+    assert(q2.collect()(0).getDouble(1) == expectVar(ids2, samp = false, std = true))
+    // a provable delete SUBTRACTS the removed rows' moments
+    spark.sql("DELETE FROM lakemom.core.t WHERE id < 10")
+    val q3 = spark.sql(
+      "SELECT AVG(id) AS a, VAR_SAMP(id) AS vs FROM lakemom.core.t")
+    assert(!planOf(q3).contains("FileScan"),
+      s"a provable delete must fold the moments\n${planOf(q3)}")
+    val ids3 = ids2.filter(_ >= 10L)
+    val r3 = q3.collect()(0)
+    assert(r3.getDouble(0) == ids3.map(BigInt(_)).sum.toDouble / ids3.size.toDouble)
+    assert(r3.getDouble(1) == expectVar(ids3, samp = true, std = false))
+    // an UPDATE (value change, never derivable) invalidates: scan, correct
+    spark.sql("UPDATE lakemom.core.t SET k = 0 WHERE id = 9000")
+    assert(planOf(spark.sql("SELECT VAR_POP(id) AS v FROM lakemom.core.t"))
+      .contains("FileScan"), "a rewrite must invalidate the moments")
+
+    // partitioned: filtered and grouped moment serves from the layer
+    client.createAsTable(
+      (0 until 600).map(i => (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("v", "p"),
+      "lakemom", "core", "pt", FileType.DELTA, s"$dir/pt",
+      partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE lakemom.core.pt COMPUTE STATISTICS FOR ALL COLUMNS")
+    val va = (0 until 600).filter(_ % 3 == 0).map(_.toLong)
+    val qf = spark.sql(
+      "SELECT AVG(v) AS a, STDDEV_POP(v) AS s FROM lakemom.core.pt WHERE p = 'a'")
+    assert(!planOf(qf).contains("FileScan"),
+      s"filtered moments must serve from the partition layer\n${planOf(qf)}")
+    val rf = qf.collect()(0)
+    assert(rf.getDouble(0) == va.map(BigInt(_)).sum.toDouble / va.size.toDouble)
+    assert(rf.getDouble(1) == expectVar(va, samp = false, std = true))
+    val qg = spark.sql("""SELECT p, AVG(v) AS a, VAR_SAMP(v) AS vs
+      FROM lakemom.core.pt GROUP BY p ORDER BY p""")
+    assert(!planOf(qg).contains("FileScan"),
+      s"grouped moments must serve from the partition layer\n${planOf(qg)}")
+    val expByP = Seq("a", "b", "c").zipWithIndex.map { case (p, off) =>
+      val vs = (0 until 600).filter(_ % 3 == off).map(_.toLong)
+      (p, vs.map(BigInt(_)).sum.toDouble / vs.size.toDouble,
+        expectVar(vs, samp = true, std = false))
+    }
+    assert(qg.collect().toSeq.map(r2 => (r2.getString(0), r2.getDouble(1),
+      r2.getDouble(2))) == expByP)
+    // VAR_SAMP of a single row answers NULL — served and scanned alike
+    client.createAsTable(Seq((5L, "x")).toDF("v", "p"),
+      "lakemom", "core", "one", FileType.DELTA, s"$dir/one",
+      partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE lakemom.core.one COMPUTE STATISTICS FOR ALL COLUMNS")
+    val q1r = spark.sql(
+      "SELECT VAR_SAMP(v) AS vs, VAR_POP(v) AS vp, AVG(v) AS a FROM lakemom.core.one")
+    assert(!planOf(q1r).contains("FileScan"))
+    val r1 = q1r.collect()(0)
+    assert(r1.isNullAt(0) && r1.getDouble(1) == 0.0 && r1.getDouble(2) == 5.0)
+    // a non-integral argument keeps the scan (no moment stamp to serve)
+    assert(planOf(spark.sql("SELECT AVG(v + 0.5) AS a FROM lakemom.core.one"))
+      .contains("FileScan"))
   }
 }

@@ -20,9 +20,12 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // AVG rides the EXACT pool: both sides divide the same exactly-
+  // representable integer sum (< 2^53 at fixture scale) by the same
+  // count, so the doubles agree bit-for-bit
   private val aggPool = Vector(
     "COUNT(*)", "COUNT(k)", "COUNT(s)", "COUNT(p)", "MIN(id)", "MAX(id)",
-    "MIN(k)", "MAX(k)", "MIN(s)", "SUM(id)", "SUM(k)")
+    "MIN(k)", "MAX(k)", "MIN(s)", "SUM(id)", "SUM(k)", "AVG(k)", "AVG(id)")
   private val wherePool = Vector(
     None,
     Some("p = 'a'"), Some("p IN ('a', 'c')"), Some("p >= 'b'"),
@@ -147,5 +150,75 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
     // the fuzz must actually exercise the rewrite, not just fallbacks
     assert(rewritten >= total / 5,
       s"only $rewritten of $total plans were scan-free — generator drifted?")
+  }
+
+  // VAR/STDDEV live in their own loop: the served value is the exact
+  // rational rounded once while the scan's Welford accumulation rounds
+  // per row — equal only to ~1e-12 relative, so the compare is
+  // tolerance-based instead of the exact row-string match above.
+  test("variance fuzz: served central moments match the scan to rounding") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("fuzzvar")
+    client.createSchema("fuzzvar", "s")
+    val varPool = Vector("VAR_POP(k)", "VAR_SAMP(k)", "STDDEV_POP(k)",
+      "STDDEV_SAMP(k)", "VAR_POP(id)", "STDDEV_SAMP(id)")
+    var rewritten = 0
+    var total = 0
+    (0 until 4).foreach { ti =>
+      val rnd = new scala.util.Random(7000 + ti)
+      val n = rnd.nextInt(220) // includes 0- and 1-row shapes
+      val parts = Vector("a", "b", "c", null)
+      val rows = (0 until n).map { i =>
+        (i.toLong, parts(rnd.nextInt(parts.size)), rnd.nextInt(40))
+      }
+      val df = rows.toDF("id", "p", "k")
+      val dir = TestSpark.tmpDir(s"fuzzvar$ti")
+      val fileType = if (ti % 2 == 1) FileType.ICEBERG else FileType.DELTA
+      client.createAsTable(df.repartition(1 + rnd.nextInt(3)),
+        "fuzzvar", "s", s"t$ti", fileType, s"$dir/t",
+        partitionColumns = Seq("p"))
+      spark.sql(s"ANALYZE TABLE fuzzvar.s.t$ti COMPUTE STATISTICS FOR ALL COLUMNS")
+      // post-ANALYZE append: the sq fold must keep agreeing
+      val extra = (0 until rnd.nextInt(40)).map { i =>
+        ((n + i).toLong, parts(rnd.nextInt(parts.size)), rnd.nextInt(40))
+      }
+      if (extra.nonEmpty)
+        client.getTxTable("fuzzvar", "s", s"t$ti").append(extra.toDF("id", "p", "k"))
+      (rows ++ extra).toDF("id", "p", "k").createOrReplaceTempView(s"rawvar$ti")
+      (0 until 10).foreach { qi =>
+        val a = varPool(rnd.nextInt(varPool.size))
+        val where = Vector("", " WHERE p = 'a'", " WHERE p >= 'b'",
+          " WHERE p IS NULL", " WHERE k > 5")(rnd.nextInt(5))
+        val group = if (rnd.nextInt(3) == 0) " GROUP BY p" else ""
+        val select = if (group.nonEmpty) s"p, $a AS c0" else s"$a AS c0"
+        val order = if (group.nonEmpty) " ORDER BY p" else ""
+        val got = spark.sql(s"SELECT $select FROM fuzzvar.s.t$ti$where$group$order")
+        val want = spark.sql(s"SELECT $select FROM rawvar$ti$where$group$order")
+        def vals(r: Array[org.apache.spark.sql.Row]) = r.map { row =>
+          val i = row.length - 1
+          (if (group.nonEmpty) row.getString(0) else "",
+            if (row.isNullAt(i)) null else java.lang.Double.valueOf(row.getDouble(i)))
+        }.toSeq
+        val g = vals(got.collect()); val w = vals(want.collect())
+        assert(g.size == w.size, s"row count mismatch for $a$where$group")
+        g.zip(w).foreach { case ((gk, gv), (wk, wv)) =>
+          assert(gk == wk)
+          (gv, wv) match {
+            case (null, null) => ()
+            case (x: java.lang.Double, y: java.lang.Double) =>
+              assert(x.isNaN == y.isNaN)
+              if (!x.isNaN)
+                assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+                  s"value drift for $a$where$group: served $x vs scan $y")
+            case other => fail(s"null/value mismatch for $a$where$group: $other")
+          }
+        }
+        total += 1
+        if (!got.queryExecution.executedPlan.toString.contains("FileScan"))
+          rewritten += 1
+      }
+    }
+    assert(rewritten >= total / 4,
+      s"only $rewritten of $total variance plans were scan-free")
   }
 }

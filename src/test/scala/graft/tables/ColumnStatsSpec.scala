@@ -273,6 +273,56 @@ class ColumnStatsSpec extends AnyFunSuite {
       "a matched merge must invalidate (values changed)")
   }
 
+  test("second moment: stamps, folds both ways, overflows to 'of', recombines on drop") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-sq") + "/t")
+    t.create((1L to 10L).map(i => (i, i * i)).toDF("id", "v"))
+    ColumnStats.analyze(t, Seq("id", "v"))
+    def sq(c: String): Option[Option[BigInt]] =
+      ColumnStats.currentSumSqBig(t.snapshot, c)
+    // Σid² for 1..10 = 385; Σ(i²)² = Σi⁴
+    assert(sq("id") == Some(Some(BigInt(385))))
+    assert(sq("v") == Some(Some((1L to 10L).map(i => BigInt(i * i) * (i * i)).sum)))
+    // append folds by addition
+    t.append(Seq((11L, 121L)).toDF("id", "v"))
+    assert(sq("id") == Some(Some(BigInt(385 + 121))))
+    // a provable delete subtracts
+    t.delete("id = 11")
+    assert(sq("id") == Some(Some(BigInt(385))))
+    // all rows deleted for a value-set: boundary to "null" via cnt
+    t.delete("id >= 1")
+    assert(sq("id") == Some(Some(BigInt(0))) || sq("id").isEmpty ||
+      ColumnStats.currentCount(t.snapshot, "id").contains(0L))
+
+    // overflow: two near-max longs square-sum past decimal(38,0) — the
+    // stamp records the honest "of" marker (never a silent null), AVG
+    // still serves from sum+cnt, VAR refuses
+    val big = 9000000000000000000L // 9e18, square 8.1e37; ×2 > 1e38
+    val t2 = new TxTable(spark, TestSpark.tmpDir("cs-sq-of") + "/t")
+    t2.create(Seq(big, big).toDF("x"))
+    ColumnStats.analyze(t2, Seq("x"))
+    assert(t2.snapshot.properties(ColumnStats.SqPropPrefix + "x") == "of")
+    assert(ColumnStats.currentSumSqBig(t2.snapshot, "x").isEmpty)
+    assert(ColumnStats.currentSumBig(t2.snapshot, "x")
+      == Some(Some(BigInt(big) * 2)))
+    // a fold into an "of" stamp stays "of" (sticky)
+    t2.append(Seq(1L).toDF("x"))
+    assert(t2.snapshot.properties(ColumnStats.SqPropPrefix + "x") == "of")
+    assert(ColumnStats.isFresh(t2.snapshot), "the fold itself must still land")
+
+    // partition-drop recombination carries the per-tuple sq cells
+    val t3 = new TxTable(spark, TestSpark.tmpDir("cs-sq-drop") + "/t")
+    t3.create(
+      (1L to 12L).map(i => (i, if (i <= 6) "a" else "b")).toDF("v", "p"),
+      partitionColumns = Seq("p"))
+    ColumnStats.analyze(t3, Seq("v"))
+    t3.delete("p = 'a'")
+    assert(ColumnStats.isFresh(t3.snapshot),
+      "a pure partition drop must restamp fresh")
+    assert(ColumnStats.currentSumSqBig(t3.snapshot, "v")
+      == Some(Some((7L to 12L).map(i => BigInt(i) * i).sum)),
+      "table-wide sq must recombine from the surviving partitions")
+  }
+
   test("timestamp and decimal extremes round-trip the stamp") {
     val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
     val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")
