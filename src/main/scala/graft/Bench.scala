@@ -499,6 +499,40 @@ object Bench {
         line("metadata_sum_post_fold", e)
         (a, b, c, mm, d, e)
       }
+      // round-14 late rows: the full-aggregate-surface serves — AVG +
+      // central moments from the stamped (n, Σx, Σx²) and
+      // APPROX_PERCENTILE from the stamped quantile sketch, each
+      // against the same answer forced through a scan. Measured AFTER
+      // the append fold above, so they also prove the fold carried the
+      // moment and quantile layers forward without a re-scan.
+      val (avgVarMeta, avgVarScan, pctMeta, pctScan) = {
+        val a = timed {
+          spark.sql(s"""SELECT AVG(l_orderkey) AS a, STDDEV_POP(l_orderkey) AS s,
+              VAR_SAMP(l_orderkey) AS v FROM $grpCat.s.t""").collect()
+        }
+        val loc = spark.sql(s"DESCRIBE DETAIL $grpCat.s.t")
+          .select("location").head().getString(0)
+        val t = graft.tables.TxTable.forForeignDelta(spark, loc)
+        val b = timed {
+          t.toDF.agg(
+            org.apache.spark.sql.functions.avg(col("l_orderkey")).as("a"),
+            org.apache.spark.sql.functions.stddev_pop(col("l_orderkey")).as("s"),
+            org.apache.spark.sql.functions.var_samp(col("l_orderkey")).as("v"))
+            .collect()
+        }
+        val c = timed {
+          spark.sql(s"""SELECT APPROX_PERCENTILE(l_orderkey, array(0.5, 0.95, 0.99),
+              100) AS p FROM $grpCat.s.t""").collect()
+        }
+        val d = timed {
+          t.toDF.selectExpr(
+            "approx_percentile(l_orderkey, array(0.5, 0.95, 0.99), 100) AS p")
+            .collect()
+        }
+        line("metadata_avg_var", a); line("avg_var_scan", b)
+        line("approx_percentile_metadata", c); line("approx_percentile_scan", d)
+        (a, b, c, d)
+      }
       // round-14 rows: the COPY INTO transform premium (same drop zone
       // as copy_into_initial but with a projection at load), the
       // delete FOLD (O(touched) maintenance instead of a dead stamp),
@@ -624,6 +658,10 @@ object Bench {
         "metadata_minmax_double" -> minMaxMeta,
         "stats_fold_append" -> statsFoldAppend,
         "metadata_sum_post_fold" -> sumPostFold,
+        "metadata_avg_var" -> avgVarMeta,
+        "avg_var_scan" -> avgVarScan,
+        "approx_percentile_metadata" -> pctMeta,
+        "approx_percentile_scan" -> pctScan,
         "copy_into_transform" -> copyTransform,
         "stats_fold_delete" -> statsFoldDelete,
         "metadata_sum_post_delete" -> sumPostDelete,

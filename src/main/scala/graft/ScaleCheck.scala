@@ -369,7 +369,8 @@ object ScaleCheck {
     // must track the batch (≈flat across ×10 table growth), and the
     // post-fold metadata answer must stay flat: that flat-vs-linear gap
     // is the whole point of maintaining stats instead of re-scanning
-    val (analyzeStamp, statsFoldFixed, sumPostFold, minMaxPostFold) = {
+    val (analyzeStamp, statsFoldFixed, sumPostFold, minMaxPostFold,
+        momentsPostFold, pctPostFold) = {
       import org.apache.spark.sql.functions.col
       val loc = java.nio.file.Files.createTempDirectory("scalecheck-stats").toString
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -407,10 +408,27 @@ object ScaleCheck {
         spark.sql("""SELECT MIN(l_orderkey) AS mn, MAX(l_suppkey) AS mx
             FROM scalestats.s.t""").collect()
       }
-      System.err.println(f"[scalecheck] metadata_minmax_post_fold $mm%.2fs")
+      // round-14 tail: the full-aggregate-surface serves — AVG/central
+      // moments from (n, Σx, Σx²) and APPROX_PERCENTILE from the
+      // stamped quantile sketch, both POST-FOLD (the append above
+      // merged the batch's sketch and added its moments). O(property
+      // bytes) driver work — must stay flat at ×10 data
+      val mo = timed {
+        val got = spark.sql("""SELECT AVG(l_orderkey) AS a,
+            STDDEV_POP(l_suppkey) AS s, VAR_SAMP(l_orderkey) AS v
+          FROM scalestats.s.t""").collect()
+        require(got.nonEmpty && !got(0).isNullAt(1))
+      }
+      val pc = timed {
+        val got = spark.sql("""SELECT APPROX_PERCENTILE(l_orderkey,
+            array(0.5, 0.99), 100) AS p FROM scalestats.s.t""").collect()
+        require(got.nonEmpty && !got(0).isNullAt(0))
+      }
+      System.err.println(f"[scalecheck] metadata_minmax_post_fold $mm%.2fs " +
+        f"metadata_moments_post_fold $mo%.2fs approx_percentile_post_fold $pc%.2fs")
       System.err.println(f"[scalecheck] analyze_stamp_scan $a%.2fs " +
         f"stats_fold_append_fixed $b%.2fs metadata_sum_post_fold $c%.2fs")
-      (a, b, c, mm)
+      (a, b, c, mm, mo, pc)
     }
 
     // round-14: the DELETE fold — maintenance must track the delete's
@@ -536,6 +554,8 @@ object ScaleCheck {
       "stats_fold_append_fixed" -> statsFoldFixed,
       "metadata_sum_post_fold" -> sumPostFold,
       "metadata_minmax_post_fold" -> minMaxPostFold,
+      "metadata_moments_post_fold" -> momentsPostFold,
+      "approx_percentile_post_fold" -> pctPostFold,
       "stats_fold_delete_fixed" -> deleteFoldFixed,
       "metadata_sum_post_delete" -> sumPostDelete,
       "partition_ndv_metadata" -> pndvMeta,

@@ -3426,6 +3426,151 @@ object InteropQueries {
           SELECT rf, COUNT(q) AS n, SUM(q) AS s,
             SUM(CAST(q AS HUGEINT) * q) AS qq
           FROM src GROUP BY rf
-        ) g, m, mg, md, mf"""))
+        ) g, m, mg, md, mf""")),
+
+    // ---- q177: stamped QUANTILE sketches — APPROX_PERCENTILE scan-free ----
+    // ANALYZE stamps a per-numeric-column quantile sketch (Spark's own
+    // deterministic Greenwald-Khanna summary at ε=1%, ~40 KB at 10¹²
+    // rows); an `APPROX_PERCENTILE(col, p, accuracy)` call whose rank
+    // tolerance 1/accuracy is no TIGHTER than the stamp's ε answers
+    // from the digest — zero files opened — while a default-accuracy
+    // call (1/10000) honestly keeps the scan (the stamp cannot promise
+    // that precision; the gate reads the digest's own recorded ε).
+    // Appends FOLD by sketch merge — the identical compress+merge step
+    // Spark's own partial-aggregate tree runs, so the folded stamp
+    // carries the same guarantee as a fresh scan's digest. Deletes
+    // cannot be un-seen and unset. Served values are estimator-valued,
+    // so they ride as rank-envelope booleans (served p must land
+    // between the EXACT percentiles at p∓3σ margins, computed by
+    // Spark's exact `percentile` over the same grown data) with
+    // DuckDB-recomputable COUNT/SUM anchors pinning the data itself.
+    QueryDef(
+      "q177_quantile_stats",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q177cat")
+        client.createSchema("q177cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q177-qs").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_extendedprice").cast(DoubleType).as("l_extendedprice"))
+        client.createAsTable(li.filter(col("l_orderkey") % 3 =!= 0),
+          "q177cat", "s", "t", graft.catalog.FileType.DELTA, s"$root/t")
+        s.sql("ANALYZE TABLE q177cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        val t = client.getTxTable("q177cat", "s", "t")
+        t.append(li.filter(col("l_orderkey") % 3 === 0)) // fold: sketch MERGE
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val q1 = s.sql("""SELECT APPROX_PERCENTILE(l_quantity, 0.5, 100) AS p50q,
+            APPROX_PERCENTILE(l_extendedprice, array(0.25, 0.75), 100) AS pp
+          FROM q177cat.s.t""")
+        val servedMeta = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        val r = q1.collect()(0)
+        val p50q = r.getLong(0).toDouble
+        val pp = r.getSeq[Double](1)
+        // exact rank envelopes over the SAME grown data (margins at
+        // ~3-5x the stamp's 1% rank guarantee)
+        val ex = li.agg(
+          expr("percentile(l_quantity, array(0.45, 0.55))").as("eq"),
+          expr("percentile(l_extendedprice, array(0.21, 0.29, 0.71, 0.79))").as("ep"))
+          .collect()(0)
+        val eq = ex.getSeq[Double](0); val ep = ex.getSeq[Double](1)
+        val p50Ok = p50q >= eq(0) && p50q <= eq(1)
+        val p25Ok = pp(0) >= ep(0) && pp(0) <= ep(1)
+        val p75Ok = pp(1) >= ep(2) && pp(1) <= ep(3)
+        // default accuracy asks for 0.01% rank error — the 1% stamp
+        // honestly refuses and the scan answers
+        val qd = s.sql(
+          "SELECT APPROX_PERCENTILE(l_quantity, 0.5) AS p FROM q177cat.s.t")
+        val defaultScans = planOf(qd).contains("FileScan")
+        // a delete cannot be un-seen: sketch unsets, scan answers
+        s.sql("DELETE FROM q177cat.s.t WHERE l_quantity = 1")
+        val qdel = s.sql(
+          "SELECT APPROX_PERCENTILE(l_quantity, 0.5, 100) AS p FROM q177cat.s.t")
+        val deleteScans = planOf(qdel).contains("FileScan")
+        val anchors = s.sql(
+          "SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty FROM q177cat.s.t")
+        anchors
+          .withColumn("served_scan_free", lit(servedMeta))
+          .withColumn("p50_in_envelope", lit(p50Ok))
+          .withColumn("p25_in_envelope", lit(p25Ok))
+          .withColumn("p75_in_envelope", lit(p75Ok))
+          .withColumn("default_accuracy_scans", lit(defaultScans))
+          .withColumn("delete_falls_back", lit(deleteScans))
+      },
+      Some("""SELECT
+          (SELECT COUNT(*) FROM lineitem
+            WHERE CAST(l_quantity AS BIGINT) <> 1) AS n_rows,
+          (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+            WHERE CAST(l_quantity AS BIGINT) <> 1) AS sum_qty,
+          TRUE AS served_scan_free,
+          TRUE AS p50_in_envelope,
+          TRUE AS p25_in_envelope,
+          TRUE AS p75_in_envelope,
+          TRUE AS default_accuracy_scans,
+          TRUE AS delete_falls_back""")),
+
+    // ---- q178: COUNT(DISTINCT partition_col) from the file list ----
+    // "How many days does this table span" is a snapshot-metadata fact:
+    // partition values ride every AddFile exactly, so COUNT(DISTINCT p)
+    // on a partition column answers from the log — DV-aware (a value
+    // whose every row is deleted stops counting), composing with the
+    // absorbed WHERE family, no ANALYZE stamp needed. A non-partition
+    // argument honestly keeps the scan. All values DuckDB-recomputed.
+    QueryDef(
+      "q178_count_distinct_partition",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q178cat")
+        client.createSchema("q178cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q178-cd").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"), col("l_linestatus"))
+        client.createAsTable(li.repartition(4), "q178cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag", "l_linestatus"))
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val q1 = s.sql("""SELECT COUNT(DISTINCT l_returnflag) AS d_rf,
+            COUNT(DISTINCT l_linestatus) AS d_ls, COUNT(*) AS n
+          FROM q178cat.s.t""")
+        val b1 = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        val q2 = s.sql("""SELECT COUNT(DISTINCT l_linestatus) AS d_ls_f
+          FROM q178cat.s.t WHERE l_returnflag >= 'N'""")
+        val b2 = !planOf(q2).contains("FileScan")
+        // drop every row of one partition value: it must stop counting
+        s.sql("DELETE FROM q178cat.s.t WHERE l_returnflag = 'A'")
+        val q3 = s.sql(
+          "SELECT COUNT(DISTINCT l_returnflag) AS d_rf_2 FROM q178cat.s.t")
+        val b3 = !planOf(q3).contains("FileScan")
+        // non-partition argument: honest scan, exact value
+        val q4 = s.sql(
+          "SELECT COUNT(DISTINCT l_quantity) AS d_qty FROM q178cat.s.t")
+        val b4 = planOf(q4).contains("FileScan")
+        q1.crossJoin(q2).crossJoin(q3).crossJoin(q4)
+          .withColumn("tablewide_scan_free", lit(b1))
+          .withColumn("filtered_scan_free", lit(b2))
+          .withColumn("post_drop_scan_free", lit(b3))
+          .withColumn("non_partition_scans", lit(b4))
+      },
+      Some("""SELECT
+          (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS d_rf,
+          (SELECT COUNT(DISTINCT l_linestatus) FROM lineitem) AS d_ls,
+          (SELECT COUNT(*) FROM lineitem) AS n,
+          (SELECT COUNT(DISTINCT l_linestatus) FROM lineitem
+            WHERE l_returnflag >= 'N') AS d_ls_f,
+          (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem
+            WHERE l_returnflag <> 'A') AS d_rf_2,
+          (SELECT COUNT(DISTINCT CAST(l_quantity AS BIGINT)) FROM lineitem
+            WHERE l_returnflag <> 'A') AS d_qty,
+          TRUE AS tablewide_scan_free,
+          TRUE AS filtered_scan_free,
+          TRUE AS post_drop_scan_free,
+          TRUE AS non_partition_scans"""))
   )
 }

@@ -535,6 +535,29 @@ object GraftSqlExtensions {
       Some(momentValue(BigInt(cnt), s, q, mk))
     } catch { case _: Throwable => None }
 
+  /** `APPROX_PERCENTILE(col, p[, accuracy])` from the ANALYZE-stamped
+    * quantile sketch while fresh — served ONLY when the call's rank
+    * tolerance (1/accuracy) is no tighter than the stamp's ε (the
+    * stamped digest carries its own relativeError, so the gate reads
+    * the truth, not a build constant). Some(Seq.empty) = empty column
+    * (SQL NULL); outer None = stale/absent/too-tight → scan. The
+    * answer is the SAME GK summary Spark's own approx_percentile
+    * builds, folded forward across appends by the same compress+merge
+    * step its partial-aggregate tree runs. */
+  private[sql] def statsPercentile(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String, percentages: Array[Double],
+      accuracy: Long): Option[Seq[Double]] =
+    try {
+      if (accuracy <= 0 || percentages.exists(p => p < 0.0 || p > 1.0)) return None
+      val t = graft.tables.TxTable.forAnyLocation(session, loc)
+      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val d = graft.tables.ColumnStats.currentQuantileDigest(snap, colName)
+        .getOrElse(return None)
+      if (1.0 / accuracy.toDouble < d.quantileSummaries.relativeError) return None
+      if (graft.functions.QuantileDigest.count(d) == 0L) return Some(Seq.empty)
+      Some(graft.functions.QuantileDigest.percentiles(d, percentages).toSeq)
+    } catch { case _: Throwable => None }
+
   /** Exact `AVG(col)` under an absorbed partition-only WHERE from the
     * per-partition scalars (Σ surviving psum ÷ Σ surviving pcnt). */
   private[sql] def statsPartitionAvg(session: ClassicSparkSession, loc: String,
@@ -883,6 +906,11 @@ object GraftSqlExtensions {
     * decides whole-file) and no live DV exists (a deleted row's
     * nullness is unknowable from metadata). */
   private[sql] final case class GroupedCountCol(col: String) extends GroupedOut
+  /** Exact COUNT(DISTINCT col) for a PARTITION column: the distinct
+    * non-null partition values holding >= 1 live row — "how many days
+    * does this table span" as one snapshot read, DV-aware (a value
+    * whose every row is deleted does not count). */
+  private[sql] final case class GroupedCountDistinct(col: String) extends GroupedOut
   private[sql] final case class GroupedMinMax(col: String, isMin: Boolean) extends GroupedOut
 
   /** `SELECT part, COUNT(*), MIN(x), MAX(x) ... GROUP BY part` answered
@@ -910,6 +938,8 @@ object GraftSqlExtensions {
       if (outputs.exists {
           case GroupedMinMax(c, _) => !fieldType.contains(c)
           case GroupedCountCol(c) => !fieldType.contains(c)
+          // COUNT(DISTINCT c) is only provable for a partition column
+          case GroupedCountDistinct(c) => !partSet.contains(c)
           case _ => false })
         return None
       // every filter conjunct must target a partition column of a
@@ -975,6 +1005,29 @@ object GraftSqlExtensions {
         }
         Some(acc)
       }
+      // distinct non-null partition values of `c` with >= 1 live row in
+      // `files` — DV cardinalities subtract, so a fully-deleted value
+      // vanishes exactly as SQL's COUNT(DISTINCT) would report
+      def countDistinctPart(files: Seq[graft.tables.TxLog.AddFile],
+          c: String): Option[Long] = {
+        // keyed by the TYPED value (not the raw string), so two writers
+        // rendering the same value differently ("1" vs "01") cannot
+        // overcount; an unconvertible value is unprovable -> scan
+        val liveByVal = scala.collection.mutable.Map.empty[Any, Long]
+        files.foreach { f =>
+          rawPartValue(f, c, sentinelNull) match {
+            case Some(v) =>
+              if (v != null) {
+                val typed = partitionValueToCatalyst(fieldType(c), v)
+                  .getOrElse(return None)
+                liveByVal(typed) = liveByVal.getOrElse(typed, 0L) +
+                  f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)
+              }
+            case None => return None
+          }
+        }
+        Some(liveByVal.valuesIterator.count(_ > 0L).toLong)
+      }
       // outer None = unprovable (fall to scan); inner value may be SQL
       // NULL (empty or all-null scope)
       def fold(files: Seq[graft.tables.TxLog.AddFile], c: String,
@@ -1014,6 +1067,8 @@ object GraftSqlExtensions {
           case GroupedKey(_) => return None // no keys without GROUP BY
           case GroupedCount => live
           case GroupedCountCol(c) => countNonNull(files, c).getOrElse(return None)
+          case GroupedCountDistinct(c) =>
+            countDistinctPart(files, c).getOrElse(return None)
           case GroupedMinMax(c, isMin) =>
             fold(files, c, isMin).getOrElse(return None)
               .asInstanceOf[Option[Any]].orNull
@@ -1032,6 +1087,8 @@ object GraftSqlExtensions {
             case GroupedCount => live
             case GroupedCountCol(c) =>
               countNonNull(files.toSeq, c).getOrElse(return None)
+            case GroupedCountDistinct(c) =>
+              countDistinctPart(files.toSeq, c).getOrElse(return None)
             case GroupedMinMax(c, isMin) =>
               fold(files.toSeq, c, isMin).getOrElse(return None)
                 .asInstanceOf[Option[Any]].orNull
@@ -1250,6 +1307,18 @@ object GraftSqlExtensions {
       case _ => None
     }
 
+    /** `COUNT(DISTINCT col)` on a relation attribute — exactly
+      * answerable from the file list when the column proves to be a
+      * PARTITION column (exactGroupedAgg checks that; anything else
+      * keeps the scan). Matched at ANALYSIS time, before the
+      * optimizer's distinct-aggregate expand rewrite. */
+    private def countDistinctOf(e: Expression): Option[AttributeReference] = e match {
+      case Alias(child, _) => countDistinctOf(child)
+      case AggregateExpression(Count(Seq(a: AttributeReference)), Complete, true, None, _) =>
+        Some(a)
+      case _ => None
+    }
+
     /** `APPROX_COUNT_DISTINCT(col)` on a relation attribute — answerable
       * from ANALYZE-time stats when the stamped fingerprint still
       * matches the snapshot (ColumnStats.currentNdv proves that).
@@ -1319,6 +1388,64 @@ object GraftSqlExtensions {
       case _ => None
     }
 
+    /** `APPROX_PERCENTILE(col, p[, accuracy])` on a NUMERIC relation
+      * attribute with FOLDABLE percentage/accuracy — servable from the
+      * stamped quantile sketch when the call's tolerance is no tighter
+      * than the stamp's (checked downstream against the digest's own
+      * relativeError). Returns (attr, percentages, returnsArray,
+      * accuracy). */
+    private def percentileOf(e: Expression): Option[(AttributeReference,
+        Array[Double], Boolean, Long)] = e match {
+      case Alias(child, _) => percentileOf(child)
+      case AggregateExpression(ap: org.apache.spark.sql.catalyst.expressions
+          .aggregate.ApproximatePercentile, Complete, false, None, _) =>
+        val a = ap.child match {
+          case attr: AttributeReference
+              if integralType(attr.dataType) ||
+                attr.dataType == org.apache.spark.sql.types.FloatType ||
+                attr.dataType == org.apache.spark.sql.types.DoubleType => attr
+          case _ => return None
+        }
+        if (!ap.percentageExpression.foldable || !ap.accuracyExpression.foldable)
+          return None
+        val (pcts, isArray) = ap.percentageExpression.eval(null) match {
+          case d: java.lang.Double => (Array(d.doubleValue()), false)
+          case arr: org.apache.spark.sql.catalyst.util.ArrayData
+              if !(0 until arr.numElements()).exists(arr.isNullAt) =>
+            (arr.toDoubleArray(), true)
+          case _ => return None
+        }
+        val acc = ap.accuracyExpression.eval(null) match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case _ => return None
+        }
+        Some((a, pcts, isArray, acc))
+      case _ => None
+    }
+
+    /** The percentile serve's doubles converted back to the matched
+      * aggregate's RESULT representation (mirrors Spark's own
+      * ApproximatePercentile.eval conversions). */
+    private def percentileResult(vals: Seq[Double],
+        dt: org.apache.spark.sql.types.DataType, isArray: Boolean): Any = {
+      import org.apache.spark.sql.types._
+      if (vals.isEmpty) null // empty column: SQL NULL, array or not
+      else {
+        val conv: Seq[Any] = dt match {
+          case ByteType => vals.map(_.toByte)
+          case ShortType => vals.map(_.toShort)
+          case IntegerType => vals.map(_.toInt)
+          case LongType => vals.map(_.toLong)
+          case FloatType => vals.map(_.toFloat)
+          case _ => vals
+        }
+        if (isArray)
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(conv.toArray)
+        else conv.head
+      }
+    }
+
     /** A grouping-key output: a (possibly aliased) direct reference to
       * one of the grouping attributes.
       */
@@ -1335,7 +1462,8 @@ object GraftSqlExtensions {
           if exprs.nonEmpty && exprs.forall(e => isCountStar(e) ||
             minMaxOf(e).isDefined || countColOf(e).isDefined ||
             sumOf(e).isDefined || approxDistinctOf(e).isDefined ||
-            avgOf(e).isDefined || momentOf(e).isDefined) =>
+            avgOf(e).isDefined || momentOf(e).isDefined ||
+            percentileOf(e).isDefined || countDistinctOf(e).isDefined) =>
         taggedNodeF(child).flatMap { case (node, conjuncts) =>
           def ownAttr(a: AttributeReference): Boolean = node.outputSet.contains(a)
           if (conjuncts.nonEmpty) {
@@ -1367,6 +1495,9 @@ object GraftSqlExtensions {
                       Left(GraftSqlExtensions.GroupedCountCol(a.name))
                   }).orElse(sumOf(e).collect {
                     case a if ownAttr(a) => Right(StampedSum(a.name))
+                  }).orElse(countDistinctOf(e).collect {
+                    case a if ownAttr(a) =>
+                      Left(GraftSqlExtensions.GroupedCountDistinct(a.name))
                   }).orElse(approxDistinctOf(e).collect {
                     case a if ownAttr(a) => Right(StampedApprox(a.name))
                   }).orElse(avgOf(e).collect {
@@ -1465,6 +1596,16 @@ object GraftSqlExtensions {
                         GraftSqlExtensions.statsSum(session, loc, v, a.name)
                           .map(_.map(identity[Any]).orNull)
                     }
+                  case None if countDistinctOf(e).exists(ownAttr) =>
+                    // exact COUNT(DISTINCT partition_col) from the file
+                    // list — no stamp needed, DV-aware
+                    node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                      case (loc, v) =>
+                        GraftSqlExtensions.exactGroupedAgg(session, loc, v, Nil,
+                          Seq(GraftSqlExtensions.GroupedCountDistinct(
+                            countDistinctOf(e).get.name)))
+                          .flatMap(_.headOption).flatMap(_.headOption)
+                    }
                   case None => approxDistinctOf(e) match {
                     case Some(a) =>
                     // ANALYZE-time NDV, served ONLY while the stamped
@@ -1491,11 +1632,24 @@ object GraftSqlExtensions {
                           case (loc, v) =>
                             GraftSqlExtensions.statsAvg(session, loc, v, a.name)
                         }
-                      case None => momentOf(e).flatMap { case (a, mk) =>
-                        if (!ownAttr(a)) None
-                        else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
-                          case (loc, v) =>
-                            GraftSqlExtensions.statsVar(session, loc, v, a.name, mk)
+                      case None => momentOf(e) match {
+                        case Some((a, mk)) =>
+                          if (!ownAttr(a)) None
+                          else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
+                            case (loc, v) =>
+                              GraftSqlExtensions.statsVar(session, loc, v, a.name, mk)
+                          }
+                        case None => percentileOf(e).flatMap {
+                          case (a, pcts, isArray, acc) =>
+                            // stamped quantile sketch, gated on the
+                            // call's tolerance covering the stamp's ε
+                            if (!ownAttr(a)) None
+                            else node.getTagValue(GraftSqlExtensions.StatsRefTag)
+                              .flatMap { case (loc, v) =>
+                                GraftSqlExtensions.statsPercentile(
+                                  session, loc, v, a.name, pcts, acc)
+                              }.map(vals =>
+                                percentileResult(vals, a.dataType, isArray))
                         }
                       }
                     }
@@ -1571,6 +1725,9 @@ object GraftSqlExtensions {
                       Left(GraftSqlExtensions.GroupedCountCol(a.name))
                   }).orElse(sumOf(e).collect {
                     case a if relAttrs.contains(a) => Right(StampedSum(a.name))
+                  }).orElse(countDistinctOf(e).collect {
+                    case a if relAttrs.contains(a) =>
+                      Left(GraftSqlExtensions.GroupedCountDistinct(a.name))
                   }).orElse(approxDistinctOf(e).collect {
                     case a if relAttrs.contains(a) => Right(StampedApprox(a.name))
                   }).orElse(avgOf(e).collect {

@@ -96,6 +96,22 @@ object ColumnStats {
     * never servable. Absent on older stamps — consumers treat absence
     * as "unknown". */
   val SqPropPrefix = "graft.stats.sq."
+  /** Serialized quantile sketch per NUMERIC column (base64 of Spark's
+    * own Greenwald-Khanna `QuantileSummaries`, rank error
+    * [[QuantileEps]]) — `APPROX_PERCENTILE(col, p, accuracy)` serves
+    * scan-free while fresh whenever the CALL's tolerance is no tighter
+    * than the stamp's (1/accuracy ≥ ε, i.e. accuracy ≤ 1/ε). Appends
+    * FOLD by sketch merge (the same compress+merge step Spark's own
+    * partial-aggregate tree runs); deletes honestly unset (a quantile
+    * summary cannot un-see values). Space is O((1/ε)·log(εn));
+    * [[QsByteCap]] unsets a column's sketch rather than let a table
+    * property balloon — self-limiting, stale-never-wrong. */
+  val QsPropPrefix = "graft.stats.qs."
+  /** Stamped rank error: 1% — `accuracy ≤ 100` calls serve. ~40 KB per
+    * column at 10¹² rows (log growth), the KMV sketch's neighborhood. */
+  val QuantileEps = 0.01
+  /** Raw serialized-size cap per column sketch (base64 adds 4/3). */
+  val QsByteCap = 131072
   /** Per-PARTITION KMV sketches (partitioned tables only, bounded by
     * [[MaxStampedPartitions]]): pvals holds the ordered JSON list of
     * stamped partition tuples, pkmv.<col>.<i> the sketch of column
@@ -254,6 +270,20 @@ object ColumnStats {
       })
   }
 
+  /** Columns the quantile sketch covers: the numeric family whose
+    * double conversion matches ApproximatePercentile's own internal
+    * buffering (it too holds doubles for these types). */
+  private def numericColumns(snap: TxLog.Snapshot, columns: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+      IntegerType, LongType, ShortType}
+    columns.filter(c =>
+      snap.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => true
+        case _ => false
+      })
+  }
+
   // ---- typed codec for stamped extremes (INTERNAL Catalyst values) ----
 
   import org.apache.spark.sql.types._
@@ -333,8 +363,10 @@ object ColumnStats {
     * to `extremes`, counts aligned to `countCols`). */
   private def scanStats(df: org.apache.spark.sql.DataFrame, columns: Seq[String],
       integral: Seq[String], extremes: Seq[(String, DataType)], k: Int,
-      countCols: Seq[String] = Seq.empty, sqCols: Seq[String] = Seq.empty)
-      : (Seq[Array[Long]], Seq[String], Seq[(String, String)], Seq[Long], Seq[String]) = {
+      countCols: Seq[String] = Seq.empty, sqCols: Seq[String] = Seq.empty,
+      qsCols: Seq[String] = Seq.empty)
+      : (Seq[Array[Long]], Seq[String], Seq[(String, String)], Seq[Long],
+        Seq[String], Seq[Array[Byte]]) = {
     val aggs = columns.map(c => graft.functions.KmvFunctions
       .kmvSketch(col(s"`$c`").cast(StringType), k).as(s"__kmv_$c")) ++
       // exact sums ride the SAME scan: decimal(38,0) accumulation so a
@@ -351,7 +383,11 @@ object ColumnStats {
       sqCols.flatMap(c => Seq(
         expr(s"try_sum(cast(`$c` as decimal(38,0)) * cast(`$c` as decimal(38,0)))")
           .as(s"__sq_$c"),
-        count(col(s"`$c`")).as(s"__sqcnt_$c")))
+        count(col(s"`$c`")).as(s"__sqcnt_$c"))) ++
+      // quantile sketch per numeric column — Spark's own GK summary,
+      // buffered as doubles exactly like approx_percentile itself
+      qsCols.map(c => graft.functions.QuantileDigest
+        .sketch(col(s"`$c`").cast("double"), QuantileEps).as(s"__qs_$c"))
     val plan = df.agg(aggs.head, aggs.tail: _*)
     val row = plan.queryExecution.executedPlan.executeCollect()(0)
     val sketches = columns.indices.map(i =>
@@ -375,15 +411,16 @@ object ColumnStats {
       if (!row.isNullAt(vIdx)) {
         // decimal multiply inherits the operands' scale metadata; read
         // at the PLAN's precision/scale, normalized to an integer string
-        val dt = plan.schema(plan.schema.length - 2 * sqCols.size + 2 * i)
-          .dataType.asInstanceOf[DecimalType]
+        val dt = plan.schema(vIdx).dataType.asInstanceOf[DecimalType]
         row.getDecimal(vIdx, dt.precision, dt.scale)
           .toJavaBigDecimal.stripTrailingZeros.toBigIntegerExact.toString
       }
       else if (row.getLong(vIdx + 1) == 0L) "null" // zero non-null values
       else "of" // the decimal(38,0) accumulation overflowed: unserveable
     }
-    (sketches, sums, mms, cnts, sqs)
+    val qsbase = sqbase + 2 * sqCols.size
+    val qss = qsCols.indices.map(i => row.getBinary(qsbase + i))
+    (sketches, sums, mms, cnts, sqs, qss)
   }
 
   /** Compute NDV for `columns` in ONE scan and stamp the stats. Returns
@@ -402,9 +439,10 @@ object ColumnStats {
     // scan pinned at the fingerprinted version: a concurrent commit
     // between scan and stamp then simply invalidates (fingerprint
     // mismatch) instead of mislabeling the new state
-    val (sketches, sums, mms, cnts, sqs) =
+    val numeric = numericColumns(snap, columns)
+    val (sketches, sums, mms, cnts, sqs, qss) =
       scanStats(table.toDF(snap.version), columns, integral, extremes, K,
-        countCols = columns, sqCols = integral)
+        countCols = columns, sqCols = integral, qsCols = numeric)
     val ndvs = columns.zip(sketches).map { case (c, sk) =>
       c -> math.round(graft.functions.KmvEstimate.cardinality(sk, K))
     }
@@ -425,6 +463,7 @@ object ColumnStats {
          (k.startsWith(MaxPropPrefix) && !mmCols.contains(k.stripPrefix(MaxPropPrefix))) ||
          (k.startsWith(CntPropPrefix) && !columns.contains(k.stripPrefix(CntPropPrefix))) ||
          (k.startsWith(SqPropPrefix) && !integral.contains(k.stripPrefix(SqPropPrefix))) ||
+         (k.startsWith(QsPropPrefix) && !numeric.contains(k.stripPrefix(QsPropPrefix))) ||
          isPartitionLayerKey(k)))
       .map(_ -> (null: String)).toMap
     table.setProperties(
@@ -437,6 +476,12 @@ object ColumnStats {
           Seq(s"$MinPropPrefix$c" -> mn, s"$MaxPropPrefix$c" -> mx) }.toMap ++
         columns.zip(cnts).map { case (c, n) => s"$CntPropPrefix$c" -> n.toString }.toMap ++
         integral.zip(sqs).map { case (c, v) => s"$SqPropPrefix$c" -> v }.toMap ++
+        // quantile sketches: stamped only while under the size cap (a
+        // skipped column simply keeps the scan — self-limiting)
+        numeric.zip(qss).collect {
+          case (c, bytes) if bytes.length <= QsByteCap =>
+            s"$QsPropPrefix$c" -> graft.functions.QuantileDigest.encode(bytes)
+        }.toMap ++
         partitionSketchProps(table, snap, columns) ++
         Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString,
           VersionProp -> snap.version.toString))
@@ -638,14 +683,17 @@ object ColumnStats {
         .map(_.stripPrefix(CntPropPrefix)).toSeq.sorted
       val sqCols = props.keys.filter(_.startsWith(SqPropPrefix))
         .map(_.stripPrefix(SqPropPrefix)).toSeq.sorted
+      val qsCols = props.keys.filter(_.startsWith(QsPropPrefix))
+        .map(_.stripPrefix(QsPropPrefix)).toSeq.sorted
       // cnt rides the check too: after a retention delete the stamp can
       // be cnt + per-partition sketches only (sum/extremes tie-dropped,
       // table-wide NDV honestly unset) — appends must keep folding it
       if (ndvCols.isEmpty && sumCols.isEmpty && mmCols.isEmpty && cntCols.isEmpty &&
-          sqCols.isEmpty)
+          sqCols.isEmpty && qsCols.isEmpty)
         return
       val known = snap.schema.fieldNames.toSet
-      if (!(ndvCols ++ sumCols ++ mmCols ++ sqCols).forall(known.contains)) return
+      if (!(ndvCols ++ sumCols ++ mmCols ++ sqCols ++ qsCols).forall(known.contains))
+        return
       val extremes = mmCols.map(c => c -> snap.schema(c).dataType)
       if (extremes.exists { case (_, dt) => !orderable(dt) }) return
       // every NDV column needs its persisted sketch — a scalar alone
@@ -653,7 +701,8 @@ object ColumnStats {
       val oldSketches = ndvCols.map(c => props.get(KmvPropPrefix + c))
       if (oldSketches.exists(_.isEmpty)) return
       if (!cntCols.forall(known.contains)) return
-      val scanCols = (ndvCols ++ sumCols ++ mmCols ++ cntCols ++ sqCols).distinct
+      val scanCols =
+        (ndvCols ++ sumCols ++ mmCols ++ cntCols ++ sqCols ++ qsCols).distinct
       // identify the batch inside the COMMITTED snapshot by the files'
       // unique (uuid-bearing) final name segment — staged AddFile paths
       // and snapshot paths can render differently (Iceberg manifests
@@ -669,9 +718,9 @@ object ColumnStats {
       val expectRows = added.map(_.rows)
       if (expectRows.forall(_ >= 0L) && expectRows.sum > 0L && batchDf.isEmpty)
         return
-      val (batchSketches, batchSums, batchMms, batchCnts, batchSqs) =
+      val (batchSketches, batchSums, batchMms, batchCnts, batchSqs, batchQss) =
         scanStats(batchDf, ndvCols, sumCols, extremes, k, countCols = cntCols,
-          sqCols = sqCols)
+          sqCols = sqCols, qsCols = qsCols)
       val mergedSketches = ndvCols.indices.map { i =>
         mergeSketches(decodeSketch(oldSketches(i).get), batchSketches(i), k)
       }
@@ -711,6 +760,16 @@ object ColumnStats {
       val newSqs = sqCols.zip(batchSqs).map { case (c, b) =>
         s"$SqPropPrefix$c" -> addMoment(props(SqPropPrefix + c), b)
       }
+      // quantile sketches MERGE (the same compress+merge step Spark's
+      // own partial-aggregate tree runs); a sketch grown past the size
+      // cap unsets — self-limiting, the column just keeps the scan
+      val newQss = qsCols.zip(batchQss).map { case (c, batchBytes) =>
+        val merged = graft.functions.QuantileDigest.mergeEncoded(
+          props(QsPropPrefix + c),
+          graft.functions.QuantileDigest.encode(batchBytes))
+        s"$QsPropPrefix$c" ->
+          (if ((merged.length - 1L) * 3 / 4 <= QsByteCap) merged else null)
+      }
       table.setProperties(
         ndvCols.zip(mergedSketches).flatMap { case (c, sk) =>
           Seq(
@@ -719,7 +778,8 @@ object ColumnStats {
             s"$KmvPropPrefix$c" -> encodeSketch(sk))
         }.toMap ++
           newSums.map { case (c, v) => s"$SumPropPrefix$c" -> v }.toMap ++
-          newMms.toMap ++ newCnts.toMap ++ newSqs.toMap ++ pkmvProps ++
+          newMms.toMap ++ newCnts.toMap ++ newSqs.toMap ++ newQss.toMap ++
+          pkmvProps ++
           Map(FingerprintProp -> fingerprint(snap).toString,
             VersionProp -> commitVersion.toString))
     } catch {
@@ -905,7 +965,7 @@ object ColumnStats {
         // per-partition layer (see below)
         val unsets = props.keys.collect {
           case key if key.startsWith(NdvPropPrefix) || key.startsWith(KmvPropPrefix) ||
-              isPartitionLayerKey(key) =>
+              key.startsWith(QsPropPrefix) || isPartitionLayerKey(key) =>
             key -> (null: String)
         }.toMap
         val keep = partitionDropKeep(table, props, base, snap, removedPaths)
@@ -924,9 +984,10 @@ object ColumnStats {
       // the removed tuples' rows: surviving tuples' sketches never saw
       // them. partitionDropKeep proves that from the two snapshots'
       // metadata (else None → the layer unsets like before).
+      // sketches (KMV and quantile alike) cannot un-see removed values
       props.keys.foreach { key =>
         if (key.startsWith(NdvPropPrefix) || key.startsWith(KmvPropPrefix) ||
-            isPartitionLayerKey(key))
+            key.startsWith(QsPropPrefix) || isPartitionLayerKey(key))
           unset += key -> (null: String)
       }
       val dropKeep = partitionDropKeep(table, props, base, snap, removedPaths)
@@ -945,7 +1006,7 @@ object ColumnStats {
       import org.apache.spark.sql.functions.{coalesce, expr, lit}
       val removedDf = table.dfForFiles(base, removedPaths)
         .filter(coalesce(expr(predicate), lit(false)))
-      val (_, remSums, remMms, remCnts, remSqs) =
+      val (_, remSums, remMms, remCnts, remSqs, _) =
         scanStats(removedDf.select(((sumCols ++ mmCols ++ cntCols ++ sqCols).distinct)
             .map(c => col(s"`$c`")): _*),
           Nil, sumCols, extremes, k, countCols = cntCols, sqCols = sqCols)
@@ -1318,6 +1379,20 @@ object ColumnStats {
     * contract; "of" — the overflowed marker — is unserveable). */
   def currentSumSqBig(snap: TxLog.Snapshot, column: String): Option[Option[BigInt]] =
     momentProp(snap, s"$SqPropPrefix$column")
+
+  /** The stamped quantile digest of `column` while fresh — decoded to
+    * Spark's own PercentileDigest, ready for getPercentiles. None =
+    * stale/absent/undecodable → scan. */
+  def currentQuantileDigest(snap: TxLog.Snapshot, column: String)
+      : Option[org.apache.spark.sql.catalyst.expressions.aggregate
+        .ApproximatePercentile.PercentileDigest] =
+    try {
+      for {
+        fp <- snap.properties.get(FingerprintProp)
+        if fp == fingerprint(snap).toString
+        enc <- snap.properties.get(s"$QsPropPrefix$column")
+      } yield graft.functions.QuantileDigest.decode(enc)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def momentProp(snap: TxLog.Snapshot, key: String): Option[Option[BigInt]] =
     try {

@@ -816,4 +816,95 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(planOf(spark.sql("SELECT AVG(v + 0.5) AS a FROM lakemom.core.one"))
       .contains("FileScan"))
   }
+
+  test("COUNT(DISTINCT partition_col) answers exactly from the file list") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakecd")
+    client.createSchema("lakecd", "core")
+    val dir = TestSpark.tmpDir("sqlcd")
+    client.createAsTable(
+      (0 until 300).map(i => (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("v", "p"),
+      "lakecd", "core", "t", FileType.DELTA, s"$dir/t",
+      partitionColumns = Seq("p"))
+    def planOf(q: org.apache.spark.sql.DataFrame) = q.queryExecution.executedPlan.toString
+    // no ANALYZE needed: the file list IS the truth
+    val q = spark.sql("SELECT COUNT(DISTINCT p) AS d FROM lakecd.core.t")
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan"),
+      s"partition COUNT(DISTINCT) must answer from the log\n${planOf(q)}")
+    assert(q.collect()(0).getLong(0) == 3L)
+    // absorbed partition WHERE composes
+    val qf = spark.sql(
+      "SELECT COUNT(DISTINCT p) AS d, COUNT(*) AS n FROM lakecd.core.t WHERE p >= 'b'")
+    assert(!planOf(qf).contains("FileScan"))
+    assert(qf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 200L)))
+    // a fully-deleted partition value stops counting
+    spark.sql("DELETE FROM lakecd.core.t WHERE p = 'c'")
+    val qd = spark.sql("SELECT COUNT(DISTINCT p) AS d FROM lakecd.core.t")
+    assert(!planOf(qd).contains("FileScan"))
+    assert(qd.collect()(0).getLong(0) == 2L)
+    // a non-partition argument keeps the scan, stays exact
+    val qk = spark.sql("SELECT COUNT(DISTINCT v) AS d FROM lakecd.core.t")
+    assert(planOf(qk).contains("FileScan"))
+    assert(qk.collect()(0).getLong(0) == 200L)
+  }
+
+  test("APPROX_PERCENTILE serves from the stamped quantile sketch while fresh") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakeqs")
+    client.createSchema("lakeqs", "core")
+    val dir = TestSpark.tmpDir("sqlqs")
+    val vals = (0 until 5000).map(i => (i * 37 % 5000).toLong) // permutation of 0..4999
+    client.createAsTable(vals.map(v => (v, v.toDouble / 10.0)).toDF("v", "d"),
+      "lakeqs", "core", "t", FileType.DELTA, s"$dir/t")
+    spark.sql("ANALYZE TABLE lakeqs.core.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    def planOf(q: org.apache.spark.sql.DataFrame) = q.queryExecution.executedPlan.toString
+    // rank-error contract: at accuracy<=100 (the stamp's eps=0.01) the
+    // served p-quantile must land within rank p +/- eps of the exact order
+    def rankOk(served: Double, p: Double): Boolean = {
+      val exactLo = (5000 * (p - 0.015)).toLong.max(0L)
+      val exactHi = (5000 * (p + 0.015)).toLong.min(4999L)
+      served >= exactLo && served <= exactHi
+    }
+    val q = spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p50 FROM lakeqs.core.t")
+    assert(planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan"),
+      s"a covered-accuracy call must serve from the stamp\n${planOf(q)}")
+    assert(rankOk(q.collect()(0).getLong(0).toDouble, 0.5))
+    // array form, double column
+    val qa = spark.sql("""SELECT APPROX_PERCENTILE(d, array(0.1, 0.9), 50) AS ps
+      FROM lakeqs.core.t""")
+    assert(!planOf(qa).contains("FileScan"))
+    val ps = qa.collect()(0).getSeq[Double](0)
+    assert(rankOk(ps(0) * 10.0, 0.1) && rankOk(ps(1) * 10.0, 0.9))
+    // the DEFAULT accuracy (10000) asks for a TIGHTER rank error than
+    // the stamp guarantees: honestly keeps the scan
+    assert(planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5) AS p FROM lakeqs.core.t"))
+      .contains("FileScan"), "a tighter-than-stamp call must scan")
+    // append folds by sketch merge; still scan-free and still in-rank
+    spark.sql("INSERT INTO lakeqs.core.t VALUES (5000, 500.0), (5001, 500.1)")
+    val q2 = spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.99, 100) AS p99 FROM lakeqs.core.t")
+    assert(!planOf(q2).contains("FileScan"),
+      s"append must fold the sketch, not invalidate\n${planOf(q2)}")
+    assert(q2.collect()(0).getLong(0) >= (5002 * 0.975).toLong)
+    // a delete cannot be un-seen: the sketch unsets, the scan answers
+    spark.sql("DELETE FROM lakeqs.core.t WHERE v < 100")
+    assert(planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p FROM lakeqs.core.t"))
+      .contains("FileScan"), "a delete must unset the quantile sketch")
+    // a filtered call keeps the scan (the sketch is table-wide)
+    spark.sql("ANALYZE TABLE lakeqs.core.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p FROM lakeqs.core.t WHERE v > 1000"))
+      .contains("FileScan"), "a WHERE must keep the scan")
+    // empty table: served SQL NULL, same as the scan
+    client.createAsTable(Seq.empty[(Long, Double)].toDF("v", "d"),
+      "lakeqs", "core", "empty", FileType.DELTA, s"$dir/e")
+    spark.sql("ANALYZE TABLE lakeqs.core.empty COMPUTE STATISTICS FOR ALL COLUMNS")
+    val qe = spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p FROM lakeqs.core.empty")
+    assert(!planOf(qe).contains("FileScan"))
+    assert(qe.collect()(0).isNullAt(0))
+  }
 }

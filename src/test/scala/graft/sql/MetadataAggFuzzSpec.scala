@@ -25,7 +25,9 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
   // count, so the doubles agree bit-for-bit
   private val aggPool = Vector(
     "COUNT(*)", "COUNT(k)", "COUNT(s)", "COUNT(p)", "MIN(id)", "MAX(id)",
-    "MIN(k)", "MAX(k)", "MIN(s)", "SUM(id)", "SUM(k)", "AVG(k)", "AVG(id)")
+    "MIN(k)", "MAX(k)", "MIN(s)", "SUM(id)", "SUM(k)", "AVG(k)", "AVG(id)",
+    "COUNT(DISTINCT p)", // partition column: exact from the file list
+    "COUNT(DISTINCT k)") // non-partition: must scan, stay exact
   private val wherePool = Vector(
     None,
     Some("p = 'a'"), Some("p IN ('a', 'c')"), Some("p >= 'b'"),
