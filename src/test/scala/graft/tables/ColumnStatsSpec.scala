@@ -323,6 +323,28 @@ class ColumnStatsSpec extends AnyFunSuite {
       "table-wide sq must recombine from the surviving partitions")
   }
 
+  test("streaming-shaped idempotent appends fold; a replayed batch no-ops the stamp") {
+    // the streaming sink path: every micro-batch lands via
+    // appendIdempotent — each commit must FOLD (stamp stays fresh,
+    // scan-free serving across the whole stream), and a crash-replayed
+    // batch must no-op BOTH the data and the stamp
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-stream") + "/t")
+    t.create((1L to 100L).toDF("v"))
+    ColumnStats.analyze(t, Seq("v"))
+    (0L until 3L).foreach { b =>
+      t.appendIdempotent((1L to 50L).map(_ + 100L * (b + 1)).toDF("v"), "streamapp", b)
+      assert(ColumnStats.isFresh(t.snapshot), s"batch $b must fold, not invalidate")
+    }
+    val expect = BigInt((1L to 100L).sum) +
+      (0L until 3L).map(b => BigInt((1L to 50L).map(_ + 100L * (b + 1)).sum)).sum
+    assert(ColumnStats.currentSumBig(t.snapshot, "v") == Some(Some(expect)))
+    // replay of an already-committed batch id: no data, no stamp drift
+    t.appendIdempotent((9000L to 9050L).toDF("v"), "streamapp", 1L)
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.currentSumBig(t.snapshot, "v") == Some(Some(expect)),
+      "a replayed batch must not re-fold")
+  }
+
   test("timestamp and decimal extremes round-trip the stamp") {
     val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
     val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")
