@@ -552,7 +552,8 @@ object Bench {
         line("copy_into_transform", v)
         v
       }
-      val (statsFoldDelete, sumPostDelete, pndvMeta, pndvScan) = {
+      val (statsFoldDelete, sumPostDelete, pndvMeta, pndvScan,
+          ppctMeta, ppctScan) = {
         val loc2 = spark.sql(s"DESCRIBE DETAIL $grpCat.s.t")
           .select("location").head().getString(0)
         val t = graft.tables.TxTable.forForeignDelta(spark, loc2)
@@ -567,6 +568,17 @@ object Bench {
             .agg(org.apache.spark.sql.functions
               .approx_count_distinct(col("l_orderkey")).as("d")).collect()
         }
+        // round-14 late: filtered APPROX_PERCENTILE from the
+        // per-partition digests vs the same answer forced through a scan
+        val qpm = timed {
+          spark.sql(s"""SELECT APPROX_PERCENTILE(l_orderkey, 0.5, 50) AS p
+            FROM $grpCat.s.t WHERE l_returnflag = 'A'""").collect()
+        }
+        val qps = timed {
+          t.toDF.filter(col("l_returnflag") === "A")
+            .selectExpr("approx_percentile(l_orderkey, 0.5, 50) AS p").collect()
+        }
+        line("partition_pct_metadata", qpm); line("partition_pct_scan", qps)
         // the delete FOLD rides the delete itself (O(touched rows)
         // aggregate over the removed files), then SUM answers scan-free
         val d = timed(t.delete("l_quantity = 17"))
@@ -575,7 +587,7 @@ object Bench {
         }
         line("partition_ndv_metadata", pm); line("partition_ndv_scan", ps)
         line("stats_fold_delete", d); line("metadata_sum_post_delete", e)
-        (d, e, pm, ps)
+        (d, e, pm, ps, qpm, qps)
       }
       // round-14 late rows: the grouped distinct-users rollup (sketch
       // layer vs scan), the retention partition-drop that now KEEPS the
@@ -667,6 +679,8 @@ object Bench {
         "metadata_sum_post_delete" -> sumPostDelete,
         "partition_ndv_metadata" -> pndvMeta,
         "partition_ndv_scan" -> pndvScan,
+        "partition_pct_metadata" -> ppctMeta,
+        "partition_pct_scan" -> ppctScan,
         "grouped_approx_metadata" -> grpApproxMeta,
         "grouped_approx_scan" -> grpApproxScan,
         "retention_drop_fold" -> retentionDrop,

@@ -3571,6 +3571,94 @@ object InteropQueries {
           TRUE AS tablewide_scan_free,
           TRUE AS filtered_scan_free,
           TRUE AS post_drop_scan_free,
-          TRUE AS non_partition_scans"""))
+          TRUE AS non_partition_scans""")),
+
+    // ---- q179: PER-PARTITION quantile digests — filtered and grouped ----
+    // APPROX_PERCENTILE under the absorbed WHERE family, and the
+    // retention drop RESURRECTING the table-wide digest. ANALYZE on a
+    // partitioned table stamps one quantile digest per (column, tuple)
+    // at the layer's coarser ε=2% (budgeted cells); the surviving
+    // tuples' digests merge — quantile summaries over DISJOINT row
+    // sets merge with the same guarantee as the append fold — so
+    // "p95 latency WHERE day >= d" and the per-day percentile rollup
+    // are one property read. A pure partition-drop DELETE re-derives
+    // the TABLE-WIDE digest by merging survivors (served under the
+    // digest's own recorded ε, so the coarser rebuild never
+    // over-promises: accuracy-50 serves, accuracy-100 honestly scans).
+    // Served values ride as rank-envelope booleans against Spark's
+    // exact percentile; COUNT/SUM anchors are DuckDB-recomputed.
+    QueryDef(
+      "q179_partition_quantile_stats",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q179cat")
+        client.createSchema("q179cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q179-pq").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_extendedprice").cast(DoubleType).as("l_extendedprice"),
+          col("l_returnflag"))
+        client.createAsTable(li.repartition(4), "q179cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q179cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val q1 = s.sql("""SELECT APPROX_PERCENTILE(l_extendedprice, 0.95, 50) AS p95
+          FROM q179cat.s.t WHERE l_returnflag >= 'N'""")
+        val filteredMeta = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        val served95 = q1.collect()(0).getDouble(0)
+        val env1 = li.filter(col("l_returnflag") >= "N").agg(
+          expr("percentile(l_extendedprice, array(0.89, 1.0))").as("e"))
+          .collect()(0).getSeq[Double](0)
+        val p95Ok = served95 >= env1(0) && served95 <= env1(1)
+        val q2 = s.sql("""SELECT l_returnflag, APPROX_PERCENTILE(l_quantity, 0.5, 50)
+            AS p50 FROM q179cat.s.t GROUP BY l_returnflag""")
+        val groupedMeta = planOf(q2).contains("LocalTableScan") &&
+          !planOf(q2).contains("FileScan")
+        val g50 = q2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val gEnv = li.groupBy(col("l_returnflag")).agg(
+          expr("percentile(l_quantity, array(0.44, 0.56))").as("e"))
+          .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+        val g50Ok = g50.forall { case (rf, v) =>
+          v >= gEnv(rf)(0) - 1 && v <= gEnv(rf)(1) + 1 }
+        // the retention drop resurrects the TABLE-WIDE digest from the
+        // survivors — still scan-free at the layer's ε (accuracy 50),
+        // honestly scanning at the table-wide stamp's old ε (accuracy 100)
+        s.sql("DELETE FROM q179cat.s.t WHERE l_returnflag = 'A'")
+        val q3 = s.sql("""SELECT APPROX_PERCENTILE(l_quantity, 0.5, 50) AS p50_post
+          FROM q179cat.s.t""")
+        val postDropMeta = !planOf(q3).contains("FileScan")
+        val served50 = q3.collect()(0).getLong(0)
+        val env3 = li.filter(col("l_returnflag") =!= "A").agg(
+          expr("percentile(l_quantity, array(0.44, 0.56))").as("e"))
+          .collect()(0).getSeq[Double](0)
+        val postOk = served50 >= env3(0) - 1 && served50 <= env3(1) + 1
+        val q4 = s.sql("""SELECT APPROX_PERCENTILE(l_quantity, 0.5, 100) AS p
+          FROM q179cat.s.t""")
+        val coarseGates = planOf(q4).contains("FileScan")
+        val anchors = s.sql("""SELECT COUNT(*) AS n_rows,
+          SUM(l_quantity) AS sum_qty FROM q179cat.s.t""")
+        anchors
+          .withColumn("filtered_scan_free", lit(filteredMeta))
+          .withColumn("p95_in_envelope", lit(p95Ok))
+          .withColumn("grouped_scan_free", lit(groupedMeta))
+          .withColumn("grouped_p50_in_envelope", lit(g50Ok))
+          .withColumn("post_drop_scan_free", lit(postDropMeta))
+          .withColumn("post_drop_in_envelope", lit(postOk))
+          .withColumn("coarse_eps_gates_accuracy_100", lit(coarseGates))
+      },
+      Some("""SELECT
+          (SELECT COUNT(*) FROM lineitem WHERE l_returnflag <> 'A') AS n_rows,
+          (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+            WHERE l_returnflag <> 'A') AS sum_qty,
+          TRUE AS filtered_scan_free,
+          TRUE AS p95_in_envelope,
+          TRUE AS grouped_scan_free,
+          TRUE AS grouped_p50_in_envelope,
+          TRUE AS post_drop_scan_free,
+          TRUE AS post_drop_in_envelope,
+          TRUE AS coarse_eps_gates_accuracy_100"""))
   )
 }

@@ -558,6 +558,52 @@ object GraftSqlExtensions {
       Some(graft.functions.QuantileDigest.percentiles(d, percentages).toSeq)
     } catch { case _: Throwable => None }
 
+  /** `APPROX_PERCENTILE(col, p, accuracy)` under an absorbed
+    * partition-only WHERE: the surviving tuples' stamped digests merge
+    * (disjoint row sets — the same exactness argument as the append
+    * fold), gated on the call's tolerance covering the MERGED digest's
+    * own recorded ε (the layer's coarser PartitionQuantileEps).
+    * Some(Seq.empty) = SQL NULL (empty scope / all-null column). */
+  private[sql] def statsPartitionPercentile(session: ClassicSparkSession,
+      loc: String, version: Option[Long], colName: String,
+      percentages: Array[Double], accuracy: Long,
+      preds: Seq[PartPred]): Option[Seq[Double]] =
+    try {
+      if (accuracy <= 0 || percentages.exists(p => p < 0.0 || p > 1.0)) return None
+      val (snap, _, keep) =
+        survivingTuples(session, loc, version, preds).getOrElse(return None)
+      graft.tables.ColumnStats.mergedPartitionQuantile(snap, colName, keep)
+        .flatMap {
+          case None => Some(Seq.empty) // WHERE excluded every partition
+          case Some(d) =>
+            if (1.0 / accuracy.toDouble < d.quantileSummaries.relativeError) None
+            else if (graft.functions.QuantileDigest.count(d) == 0L) Some(Seq.empty)
+            else Some(graft.functions.QuantileDigest
+              .percentiles(d, percentages).toSeq)
+        }
+    } catch { case _: Throwable => None }
+
+  /** `APPROX_PERCENTILE(col, p, accuracy) ... GROUP BY pcol` — each
+    * group's surviving tuples' digests merged ([[statsPartitionPercentile]]
+    * contract per group; an all-null group rides as an empty Seq). */
+  private[sql] def statsGroupedPartitionPercentile(session: ClassicSparkSession,
+      loc: String, version: Option[Long], colName: String,
+      percentages: Array[Double], accuracy: Long, groupCols: Seq[String],
+      preds: Seq[PartPred]): Option[Map[Seq[Any], Seq[Double]]] =
+    try {
+      if (accuracy <= 0 || percentages.exists(p => p < 0.0 || p > 1.0)) return None
+      val (snap, _, groups) =
+        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
+      Some(groups.map { case (k, idxs) =>
+        val d = graft.tables.ColumnStats
+          .mergedPartitionQuantile(snap, colName, idxs)
+          .getOrElse(return None).getOrElse(return None) // a stamped group always has >=1 tuple
+        if (1.0 / accuracy.toDouble < d.quantileSummaries.relativeError) return None
+        k -> (if (graft.functions.QuantileDigest.count(d) == 0L) Seq.empty[Double]
+          else graft.functions.QuantileDigest.percentiles(d, percentages).toSeq)
+      }.toMap)
+    } catch { case _: Throwable => None }
+
   /** Exact `AVG(col)` under an absorbed partition-only WHERE from the
     * per-partition scalars (Σ surviving psum ÷ Σ surviving pcnt). */
   private[sql] def statsPartitionAvg(session: ClassicSparkSession, loc: String,
@@ -879,6 +925,11 @@ object GraftSqlExtensions {
       extends StampedOut
   private[sql] final case class MomentKind(isStd: Boolean, isSamp: Boolean,
       nullOnDiv: Boolean)
+  /** APPROX_PERCENTILE(col, p, accuracy) — served by merging the
+    * surviving partitions' stamped quantile digests. */
+  private[sql] final case class StampedPercentile(col: String,
+      pcts: Seq[Double], isArray: Boolean, acc: Long,
+      dt: org.apache.spark.sql.types.DataType) extends StampedOut
 
   /** The served double for a central-moment aggregate from exact
     * integer moments. SQL shape: n==0 → NULL (all four); SAMP n==1 →
@@ -1483,7 +1534,8 @@ object GraftSqlExtensions {
               // file route and fall back to the stamped extremes when
               // the footers honestly refuse (strings, floats, DVs).
               import GraftSqlExtensions.{StampedApprox, StampedAvg,
-                StampedMinMax, StampedMoment, StampedOut, StampedSum}
+                StampedMinMax, StampedMoment, StampedOut, StampedPercentile,
+                StampedSum}
               val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, StampedOut]]] =
                 exprs.map { e =>
                   if (isCountStar(e)) Some(Left(GraftSqlExtensions.GroupedCount))
@@ -1504,6 +1556,10 @@ object GraftSqlExtensions {
                     case a if ownAttr(a) => Right(StampedAvg(a.name))
                   }).orElse(momentOf(e).collect {
                     case (a, mk) if ownAttr(a) => Right(StampedMoment(a.name, mk))
+                  }).orElse(percentileOf(e).collect {
+                    case (a, pcts, isArray, acc) if ownAttr(a) =>
+                      Right(StampedPercentile(a.name, pcts.toSeq, isArray, acc,
+                        a.dataType))
                   })
                 }
               if (outs.exists(_.isEmpty)) None
@@ -1522,6 +1578,10 @@ object GraftSqlExtensions {
                       .statsPartitionAvg(session, loc, v, c, pf)
                     case StampedMoment(c, mk) => GraftSqlExtensions
                       .statsPartitionVar(session, loc, v, c, mk, pf)
+                    case StampedPercentile(c, pcts, isArray, acc, dt) =>
+                      GraftSqlExtensions.statsPartitionPercentile(
+                        session, loc, v, c, pcts.toArray, acc, pf)
+                        .map(vals => percentileResult(vals, dt, isArray))
                   }
                   def attempt(flat: Seq[Either[GraftSqlExtensions.GroupedOut, StampedOut]])
                       : Option[Seq[Any]] = {
@@ -1710,7 +1770,8 @@ object GraftSqlExtensions {
             // MIN/MAX prefer the exact file route, falling back to the
             // stamped per-partition extremes (strings, floats).
             import GraftSqlExtensions.{StampedApprox, StampedAvg,
-              StampedMinMax, StampedMoment, StampedOut, StampedSum}
+              StampedMinMax, StampedMoment, StampedOut, StampedPercentile,
+              StampedSum}
             val outs: Seq[Option[Either[GraftSqlExtensions.GroupedOut, StampedOut]]] =
               exprs.map { e =>
                 groupKeyOf(e, groupSet) match {
@@ -1735,6 +1796,10 @@ object GraftSqlExtensions {
                   }).orElse(momentOf(e).collect {
                     case (a, mk) if relAttrs.contains(a) =>
                       Right(StampedMoment(a.name, mk))
+                  }).orElse(percentileOf(e).collect {
+                    case (a, pcts, isArray, acc) if relAttrs.contains(a) =>
+                      Right(StampedPercentile(a.name, pcts.toSeq, isArray, acc,
+                        a.dataType))
                   })
                 }
               }
@@ -1756,6 +1821,11 @@ object GraftSqlExtensions {
                     .statsGroupedPartitionAvg(session, loc, v, c, groupNames, pf)
                   case StampedMoment(c, mk) => GraftSqlExtensions
                     .statsGroupedPartitionVar(session, loc, v, c, mk, groupNames, pf)
+                  case StampedPercentile(c, pcts, isArray, acc, dt) =>
+                    GraftSqlExtensions.statsGroupedPartitionPercentile(
+                      session, loc, v, c, pcts.toArray, acc, groupNames, pf)
+                      .map(_.map { case (k2, vals) =>
+                        k2 -> percentileResult(vals, dt, isArray) })
                 }
                 def attempt(flat: Seq[Either[GraftSqlExtensions.GroupedOut, StampedOut]])
                     : Option[Seq[Seq[Any]]] = {

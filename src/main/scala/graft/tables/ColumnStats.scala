@@ -138,13 +138,26 @@ object ColumnStats {
     * grouped/filtered AVG and VAR/STDDEV under the absorbed predicate
     * family, and the drop-delete recombination of the table-wide sq. */
   val PsqPropPrefix = "graft.stats.psq."
+  /** Per-tuple quantile digest ([[QsPropPrefix]] semantics per
+    * partition cell, but at the coarser [[PartitionQuantileEps]] so
+    * #tuples × #columns cells stay affordable): filtered and grouped
+    * `APPROX_PERCENTILE ... WHERE day >= d` serve by merging the
+    * surviving tuples' digests — quantile summaries of DISJOINT row
+    * sets merge exactly like the append fold — and a pure partition
+    * DROP re-derives the TABLE-WIDE digest from the survivors (served
+    * under the digest's own recorded ε, so the coarser rebuild can
+    * never over-promise). Stamped only within [[MaxPartitionQsCells]];
+    * past the budget the sub-layer is simply absent (scan). */
+  val PqsPropPrefix = "graft.stats.pqs."
+  val PartitionQuantileEps = 0.02
+  val MaxPartitionQsCells = 48
   val PvalsProp = "graft.stats.pvals"
 
   /** Every per-tuple prefix of the partition layer (key shape
     * `<prefix><col>.<tupleIndex>`). */
   private val PerTuplePrefixes =
     Seq(PkmvPropPrefix, PsumPropPrefix, PcntPropPrefix, PminPropPrefix,
-      PmaxPropPrefix, PsqPropPrefix)
+      PmaxPropPrefix, PsqPropPrefix, PqsPropPrefix)
 
   /** Whether `k` belongs to the per-partition layer (unset wholesale
     * whenever the layer can't be maintained). */
@@ -497,9 +510,10 @@ object ColumnStats {
     */
   private def scanPartitionLayer(df: org.apache.spark.sql.DataFrame,
       pcols: Seq[String], ptypes: Seq[DataType], sketchCols: Seq[String],
-      integral: Seq[String], extremes: Seq[(String, DataType)], pk: Int)
+      integral: Seq[String], extremes: Seq[(String, DataType)], pk: Int,
+      qsCols: Seq[String] = Seq.empty)
       : Seq[(Seq[String], Seq[Array[Long]], Seq[String], Seq[(String, String)],
-        Seq[Long], Seq[String])] = {
+        Seq[Long], Seq[String], Seq[Array[Byte]])] = {
     val aggs = sketchCols.map(c => graft.functions.KmvFunctions
         .kmvSketch(col(s"`$c`").cast(StringType), pk).as(s"__pkmv_$c")) ++
       integral.map(c => sum(col(s"`$c`").cast("decimal(38,0)")).as(s"__psum_$c")) ++
@@ -511,12 +525,15 @@ object ColumnStats {
       // is also a sketch column — integral ⊆ sketchCols here)
       integral.map(c =>
         expr(s"try_sum(cast(`$c` as decimal(38,0)) * cast(`$c` as decimal(38,0)))")
-          .as(s"__psq_$c"))
+          .as(s"__psq_$c")) ++
+      // per-tuple quantile digest at the layer's coarser eps
+      qsCols.map(c => graft.functions.QuantileDigest
+        .sketch(col(s"`$c`").cast("double"), PartitionQuantileEps).as(s"__pqs_$c"))
     val agged = df.groupBy(pcols.map(c => col(s"`$c`")): _*)
       .agg(aggs.head, aggs.tail: _*)
     val rows = agged.queryExecution.executedPlan.executeCollect()
     val sqTypes = integral.indices.map(i =>
-      agged.schema(agged.schema.length - integral.size + i)
+      agged.schema(agged.schema.length - qsCols.size - integral.size + i)
         .dataType.asInstanceOf[DecimalType])
     rows.toSeq.map { r =>
       val tuple = pcols.indices.map(i =>
@@ -544,7 +561,9 @@ object ColumnStats {
         else if (cnts(sketchCols.indexOf(c)) == 0L) "null"
         else "of"
       }
-      (tuple, sketches, sums, mms, cnts, sqs)
+      val base5 = base4 + integral.size
+      val qss = qsCols.indices.map(i => r.getBinary(base5 + i))
+      (tuple, sketches, sums, mms, cnts, sqs, qss)
     }
   }
 
@@ -564,7 +583,9 @@ object ColumnStats {
       integral: Seq[String], extremes: Seq[(String, DataType)],
       sketches: Seq[Array[Long]], sums: Seq[String],
       mms: Seq[(String, String)], cnts: Seq[Long],
-      sqs: Seq[String], withSq: Boolean): Map[String, String] = {
+      sqs: Seq[String], withSq: Boolean,
+      qsCols: Seq[String] = Seq.empty,
+      qss: Seq[Array[Byte]] = Seq.empty): Map[String, String] = {
     val out = Map.newBuilder[String, String]
     sketchCols.zipWithIndex.foreach { case (c, ci) =>
       out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(sketches(ci))
@@ -573,6 +594,9 @@ object ColumnStats {
     integral.zipWithIndex.foreach { case (c, ci) =>
       out += s"$PsumPropPrefix$c.$ti" -> sums(ci)
       if (withSq) out += s"$PsqPropPrefix$c.$ti" -> sqs(ci)
+    }
+    qsCols.zipWithIndex.foreach { case (c, ci) =>
+      out += s"$PqsPropPrefix$c.$ti" -> graft.functions.QuantileDigest.encode(qss(ci))
     }
     extremes.zipWithIndex.foreach { case ((c, _), ci) =>
       out += s"$PminPropPrefix$c.$ti" -> mms(ci)._1
@@ -602,15 +626,23 @@ object ColumnStats {
     if (sketchCols.isEmpty) return Map.empty
     val ptypes = pcols.map(c => snap.schema(c).dataType)
     val (integral, extremes) = layerMeasures(snap, sketchCols)
+    // quantile cells only within their own (tighter) budget — the
+    // tuple-count cap is only knowable after the grouped scan, so
+    // over-budget results just drop the qs cells, keeping the rest
+    val qsCols = numericColumns(snap, sketchCols)
     val groups = scanPartitionLayer(table.toDF(snap.version), pcols, ptypes,
-      sketchCols, integral, extremes, PartitionK)
+      sketchCols, integral, extremes, PartitionK, qsCols = qsCols)
     if (groups.length > MaxStampedPartitions ||
         groups.length * sketchCols.size > MaxPartitionSketchCells)
       return Map.empty
+    val withQs = qsCols.nonEmpty &&
+      groups.length * qsCols.size <= MaxPartitionQsCells
     val out = Map.newBuilder[String, String]
-    groups.zipWithIndex.foreach { case ((_, sketches, sums, mms, cnts, sqs), ti) =>
+    groups.zipWithIndex.foreach { case ((_, sketches, sums, mms, cnts, sqs, qss), ti) =>
       out ++= layerCellProps(ti, sketchCols, integral, extremes,
-        sketches, sums, mms, cnts, sqs, withSq = true)
+        sketches, sums, mms, cnts, sqs, withSq = true,
+        qsCols = if (withQs) qsCols else Seq.empty,
+        qss = if (withQs) qss else Seq.empty)
     }
     out.result() + (PvalsProp -> encodeTuples(groups.map(_._1))) +
       (PkProp -> PartitionK.toString)
@@ -831,6 +863,20 @@ object ColumnStats {
     // round-14.0 stamp has scalars but no psq keys — folding must not
     // start a partial psq shape there (same rule as legacy sketch-only)
     val hasSq = props.keys.exists(_.startsWith(PsqPropPrefix))
+    // ...and so are the per-tuple quantile digests
+    val hasPqs = props.keys.exists(_.startsWith(PqsPropPrefix))
+    // pqs without scalars is not a shape any stamp writer produces — a
+    // new tuple would get sketch-only cells and poison the next fold's
+    // gap check; abort to a stale stamp instead
+    require(!hasPqs || hasScalars, "pqs cells on a scalar-less layer")
+    val qsCols = if (hasPqs) numericColumns(snap, sketchCols) else Seq.empty
+    if (hasPqs) {
+      qsCols.foreach { c =>
+        tuples.indices.foreach { i =>
+          require(props.contains(s"$PqsPropPrefix$c.$i"), s"pqs gap for $c.$i")
+        }
+      }
+    }
     if (hasScalars) {
       sketchCols.foreach { c =>
         tuples.indices.foreach { i =>
@@ -852,16 +898,17 @@ object ColumnStats {
       }
     }
     val groups = scanPartitionLayer(batchFull, pcols, ptypes, sketchCols,
-      integral, extremes, pk)
+      integral, extremes, pk, qsCols = qsCols)
     val allTuples = tuples.toBuffer
     val out = Map.newBuilder[String, String]
-    groups.foreach { case (tuple, sketches, sums, mms, cnts, sqs) =>
+    groups.foreach { case (tuple, sketches, sums, mms, cnts, sqs, qss) =>
       val existing = allTuples.indexOf(tuple)
       val ti = if (existing >= 0) existing else { allTuples += tuple; allTuples.size - 1 }
       if (existing < 0) {
         if (hasScalars)
           out ++= layerCellProps(ti, sketchCols, integral, extremes,
-            sketches, sums, mms, cnts, sqs, withSq = hasSq)
+            sketches, sums, mms, cnts, sqs, withSq = hasSq,
+            qsCols = qsCols, qss = qss)
         else // legacy sketch-only stamp: don't start a partial scalar shape
           sketchCols.zipWithIndex.foreach { case (c, ci) =>
             out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(sketches(ci))
@@ -881,6 +928,12 @@ object ColumnStats {
             out += s"$PsqPropPrefix$c.$ti" ->
               addMoment(props(s"$PsqPropPrefix$c.$ti"), sqs(ci))
         }
+        qsCols.zipWithIndex.foreach { case (c, ci) =>
+          out += s"$PqsPropPrefix$c.$ti" ->
+            graft.functions.QuantileDigest.mergeEncoded(
+              props(s"$PqsPropPrefix$c.$ti"),
+              graft.functions.QuantileDigest.encode(qss(ci)))
+        }
         extremes.zipWithIndex.foreach { case ((c, dt), ci) =>
           out += s"$PminPropPrefix$c.$ti" ->
             foldExtreme(dt, props(s"$PminPropPrefix$c.$ti"), mms(ci)._1, isMin = true)
@@ -891,7 +944,18 @@ object ColumnStats {
     }
     if (allTuples.size > MaxStampedPartitions ||
         allTuples.size * sketchCols.size > MaxPartitionSketchCells) None
-    else Some(out.result() + (PvalsProp -> encodeTuples(allTuples.toSeq)))
+    else {
+      val built = out.result()
+      // the quantile sub-layer has its own budget: past it, unset just
+      // those cells (the KMV/scalar layers keep folding)
+      val res =
+        if (hasPqs && allTuples.size * qsCols.size > MaxPartitionQsCells)
+          built.filterNot(_._1.startsWith(PqsPropPrefix)) ++
+            props.keys.filter(_.startsWith(PqsPropPrefix))
+              .map(_ -> (null: String)).toMap
+        else built
+      Some(res + (PvalsProp -> encodeTuples(allTuples.toSeq)))
+    }
   }
 
   /** Fold a copy-on-write DELETE into a stamp that was fresh against
@@ -968,9 +1032,10 @@ object ColumnStats {
               key.startsWith(QsPropPrefix) || isPartitionLayerKey(key) =>
             key -> (null: String)
         }.toMap
-        val keep = partitionDropKeep(table, props, base, snap, removedPaths)
-          .map(_.props).getOrElse(Map.empty)
-        table.setProperties(unsets ++ keep ++
+        val dk0 = partitionDropKeep(table, props, base, snap, removedPaths)
+        val keep = dk0.map(_.props).getOrElse(Map.empty)
+        val qsBack = dk0.map(deriveQuantileFromLayer(props, _)).getOrElse(Map.empty)
+        table.setProperties(unsets ++ keep ++ qsBack ++
           Map(FingerprintProp -> fingerprint(snap).toString,
             VersionProp -> commitVersion.toString))
         return
@@ -992,6 +1057,9 @@ object ColumnStats {
       }
       val dropKeep = partitionDropKeep(table, props, base, snap, removedPaths)
       dropKeep.foreach(dk => set ++= dk.props)
+      // a pure drop also resurrects the TABLE-WIDE quantile digest by
+      // merging the surviving tuples' cells (set wins over the unset)
+      dropKeep.foreach(dk => set ++= deriveQuantileFromLayer(props, dk))
       // a pure drop with a SCALAR layer re-derives every table-wide
       // sum/cnt/min/max by RECOMBINING the survivors — zero data read,
       // the retention delete becomes fully metadata-only. Extremes come
@@ -1296,6 +1364,31 @@ object ColumnStats {
     Some(out.result())
   }
 
+  /** After a pure partition drop, the TABLE-WIDE quantile digest per
+    * stamped column re-derived by MERGING the survivors' per-tuple
+    * digests — quantile summaries of disjoint row sets merge exactly
+    * like the append fold. The rebuilt digest carries the layer's
+    * coarser recorded ε, and the serve gate reads ε from the digest
+    * itself, so the rebuild can never over-promise precision. Only
+    * columns whose every kept tuple holds a cell re-derive; others
+    * stay honestly unset.
+    */
+  private def deriveQuantileFromLayer(props: Map[String, String],
+      dk: DropKeep): Map[String, String] = {
+    val qsCols = props.keys.filter(_.startsWith(QsPropPrefix))
+      .map(_.stripPrefix(QsPropPrefix)).toSeq.sorted
+    qsCols.flatMap { c =>
+      val cells = dk.keptOldIdx.map(i => props.get(s"$PqsPropPrefix$c.$i"))
+      if (cells.isEmpty || cells.exists(_.isEmpty)) None
+      else {
+        val merged = cells.flatten
+          .reduce(graft.functions.QuantileDigest.mergeEncoded)
+        if ((merged.length - 1L) * 3 / 4 > QsByteCap) None
+        else Some(s"$QsPropPrefix$c" -> merged)
+      }
+    }.toMap
+  }
+
   /** A LOG-convention partition value string to the STAMPED encoding
     * ([[renderValue]] over the internal Catalyst value) — how a file's
     * partitionValues entry is matched against a pvals tuple slot. Floats
@@ -1392,6 +1485,23 @@ object ColumnStats {
         if fp == fingerprint(snap).toString
         enc <- snap.properties.get(s"$QsPropPrefix$column")
       } yield graft.functions.QuantileDigest.decode(enc)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Merge the `keep` tuples' stamped per-partition quantile digests
+    * for `column` — the filtered/grouped APPROX_PERCENTILE serve.
+    * Some(None) = empty keep (SQL NULL); outer None = any missing
+    * cell → scan. Callers must have proved freshness (the indices
+    * come from [[currentPartitionTuples]]). */
+  def mergedPartitionQuantile(snap: TxLog.Snapshot, column: String,
+      keep: Seq[Int]): Option[Option[org.apache.spark.sql.catalyst.expressions
+        .aggregate.ApproximatePercentile.PercentileDigest]] =
+    try {
+      if (keep.isEmpty) return Some(None)
+      val cells = keep.map(i =>
+        snap.properties.get(s"$PqsPropPrefix$column.$i").getOrElse(return None))
+      val d = graft.functions.QuantileDigest.decode(cells.head)
+      cells.tail.foreach(c2 => d.merge(graft.functions.QuantileDigest.decode(c2)))
+      Some(Some(d))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def momentProp(snap: TxLog.Snapshot, key: String): Option[Option[BigInt]] =

@@ -848,6 +848,77 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(qk.collect()(0).getLong(0) == 200L)
   }
 
+  test("filtered/grouped APPROX_PERCENTILE serve from per-partition digests") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakepqs")
+    client.createSchema("lakepqs", "core")
+    val dir = TestSpark.tmpDir("sqlpqs")
+    // p='a' holds 0..999, 'b' 1000..1999, 'c' 2000..2999
+    client.createAsTable(
+      (0 until 3000).map(i => (i.toLong, Seq("a", "b", "c")(i / 1000))).toDF("v", "p"),
+      "lakepqs", "core", "t", FileType.DELTA, s"$dir/t",
+      partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE lakepqs.core.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    def planOf(q: org.apache.spark.sql.DataFrame) = q.queryExecution.executedPlan.toString
+    // filtered: WHERE p = 'b' — served by the ONE surviving tuple's digest
+    val qf = spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 50) AS p50 FROM lakepqs.core.t WHERE p = 'b'")
+    assert(planOf(qf).contains("LocalTableScan") && !planOf(qf).contains("FileScan"),
+      s"partition-filtered percentile must serve from the layer\n${planOf(qf)}")
+    assert(math.abs(qf.collect()(0).getLong(0) - 1500L) <= 60L)
+    // range WHERE merges two tuples' digests
+    val qr = spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 50) AS p50 FROM lakepqs.core.t WHERE p >= 'b'")
+    assert(!planOf(qr).contains("FileScan"))
+    assert(math.abs(qr.collect()(0).getLong(0) - 2000L) <= 120L)
+    // grouped rollup: per-group digests
+    val qg = spark.sql("""SELECT p, APPROX_PERCENTILE(v, 0.5, 50) AS p50
+      FROM lakepqs.core.t GROUP BY p ORDER BY p""")
+    assert(!planOf(qg).contains("FileScan"),
+      s"grouped percentile must serve from the layer\n${planOf(qg)}")
+    val gm = qg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(gm("a") - 500L) <= 60L && math.abs(gm("b") - 1500L) <= 60L &&
+      math.abs(gm("c") - 2500L) <= 60L)
+    // the layer's ε is the COARSER 0.02: an accuracy-100 call asks for
+    // 0.01 rank error — honestly keeps the scan (while the TABLE-WIDE
+    // unfiltered digest at ε=0.01 still serves it)
+    assert(planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p FROM lakepqs.core.t WHERE p = 'b'"))
+      .contains("FileScan"), "tighter-than-layer accuracy must scan")
+    assert(!planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p FROM lakepqs.core.t"))
+      .contains("FileScan"))
+    // append folds the cells; the filtered serve tracks the grown data
+    spark.sql("INSERT INTO lakepqs.core.t SELECT id + 3000, 'b' FROM range(1000)")
+    val qf2 = spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 50) AS p50 FROM lakepqs.core.t WHERE p = 'b'")
+    assert(!planOf(qf2).contains("FileScan"),
+      s"append must fold the partition digests\n${planOf(qf2)}")
+    // b now holds 1000..1999 ∪ 3000..3999: median near the 2000/3000 gap
+    val v2 = qf2.collect()(0).getLong(0)
+    assert(v2 >= 1900L && v2 <= 3100L, s"served $v2")
+    // retention drop: the TABLE-WIDE digest resurrects from survivors
+    // (coarser ε — accuracy 50 serves, 100 would honestly scan)
+    spark.sql("DELETE FROM lakepqs.core.t WHERE p = 'c'")
+    val qd = spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 50) AS p50 FROM lakepqs.core.t")
+    assert(!planOf(qd).contains("FileScan"),
+      s"a pure partition drop must rebuild the table-wide digest\n${planOf(qd)}")
+    // survivors: 0..1999 ∪ 3000..3999 (3000 rows): median ≈ 1500
+    assert(math.abs(qd.collect()(0).getLong(0) - 1500L) <= 200L)
+    assert(planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p FROM lakepqs.core.t"))
+      .contains("FileScan"), "the rebuilt digest's coarser ε must gate accuracy-100")
+    // ...and the surviving partitions keep their filtered serve
+    assert(!planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 50) AS p FROM lakepqs.core.t WHERE p = 'a'"))
+      .contains("FileScan"))
+    // a non-partition WHERE keeps the scan
+    assert(planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 50) AS p FROM lakepqs.core.t WHERE v > 10"))
+      .contains("FileScan"))
+  }
+
   test("APPROX_PERCENTILE serves from the stamped quantile sketch while fresh") {
     val client = new LakehouseClient(spark)
     client.createCatalog("lakeqs")

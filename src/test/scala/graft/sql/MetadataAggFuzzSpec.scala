@@ -223,4 +223,84 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
     assert(rewritten >= total / 4,
       s"only $rewritten of $total variance plans were scan-free")
   }
+
+  // APPROX_PERCENTILE fuzz: estimator-valued, so the oracle is the
+  // deterministic GK rank guarantee itself — the served value must lie
+  // between the EXACT order statistics at p ∓ (ε + slack), computed
+  // scala-side from the raw rows (table-wide stamp ε=0.01, partition
+  // layer ε=0.02 → slack 0.03 covers both plus discrete-tie wobble).
+  // Unserved shapes (non-partition WHERE, deletes) scan and land inside
+  // the envelope trivially, so every row is checked the same way.
+  test("percentile fuzz: served quantiles stay inside the GK rank envelope") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("fuzzpct")
+    client.createSchema("fuzzpct", "s")
+    var rewritten = 0
+    var total = 0
+    def envelopeOk(vals: Seq[Long], p: Double, served: Long): Boolean = {
+      if (vals.isEmpty) return false
+      val sorted = vals.sorted
+      val n = sorted.size
+      val lo = sorted(math.max(0, math.floor(n * (p - 0.035)).toInt.min(n - 1)))
+      val hi = sorted(math.min(n - 1, math.ceil(n * (p + 0.035)).toInt))
+      served >= lo && served <= hi
+    }
+    (0 until 4).foreach { ti =>
+      val rnd = new scala.util.Random(9100 + ti)
+      val n = 40 + rnd.nextInt(300)
+      val parts = Vector("a", "b", "c")
+      val rows = (0 until n).map { i =>
+        (i.toLong, parts(rnd.nextInt(parts.size)), rnd.nextInt(500).toLong)
+      }
+      val dir = TestSpark.tmpDir(s"fuzzpct$ti")
+      val fileType = if (ti % 2 == 1) FileType.ICEBERG else FileType.DELTA
+      client.createAsTable(rows.toDF("id", "p", "k").repartition(1 + rnd.nextInt(3)),
+        "fuzzpct", "s", s"t$ti", fileType, s"$dir/t",
+        partitionColumns = Seq("p"))
+      spark.sql(s"ANALYZE TABLE fuzzpct.s.t$ti COMPUTE STATISTICS FOR ALL COLUMNS")
+      val extra = (0 until rnd.nextInt(80)).map { i =>
+        ((n + i).toLong, parts(rnd.nextInt(parts.size)), rnd.nextInt(500).toLong)
+      }
+      if (extra.nonEmpty)
+        client.getTxTable("fuzzpct", "s", s"t$ti")
+          .append(extra.toDF("id", "p", "k"))
+      val all = rows ++ extra
+      (0 until 8).foreach { qi =>
+        val p = Vector(0.1, 0.25, 0.5, 0.9, 0.99)(rnd.nextInt(5))
+        val (whereSql, pred) = Vector[(String, ((Long, String, Long)) => Boolean)](
+          ("", _ => true),
+          (" WHERE p = 'a'", _._2 == "a"),
+          (" WHERE p >= 'b'", _._2 >= "b"),
+          (" WHERE k > 100", _._3 > 100L))(rnd.nextInt(4))
+        val grouped = rnd.nextInt(3) == 0
+        val q =
+          if (grouped) spark.sql(s"""SELECT p, APPROX_PERCENTILE(k, $p, 50) AS c0
+            FROM fuzzpct.s.t$ti$whereSql GROUP BY p ORDER BY p""")
+          else spark.sql(s"""SELECT APPROX_PERCENTILE(k, $p, 50) AS c0
+            FROM fuzzpct.s.t$ti$whereSql""")
+        val res = q.collect()
+        if (grouped) {
+          val byP = all.filter(pred).groupBy(_._2)
+          res.foreach { r =>
+            val vals = byP.getOrElse(r.getString(0), Seq.empty).map(_._3)
+            assert(envelopeOk(vals, p, r.getLong(1)),
+              s"group ${r.getString(0)} p=$p served ${r.getLong(1)} outside envelope" +
+                s" (n=${vals.size}) for$whereSql")
+          }
+        } else {
+          val vals = all.filter(pred).map(_._3)
+          val r = res(0)
+          if (vals.isEmpty) assert(r.isNullAt(0))
+          else assert(envelopeOk(vals, p, r.getLong(0)),
+            s"p=$p served ${r.getLong(0)} outside envelope (n=${vals.size})" +
+              s" for$whereSql")
+        }
+        total += 1
+        if (!q.queryExecution.executedPlan.toString.contains("FileScan"))
+          rewritten += 1
+      }
+    }
+    assert(rewritten >= total / 3,
+      s"only $rewritten of $total percentile plans were scan-free")
+  }
 }
