@@ -3659,6 +3659,67 @@ object InteropQueries {
           TRUE AS grouped_p50_in_envelope,
           TRUE AS post_drop_scan_free,
           TRUE AS post_drop_in_envelope,
-          TRUE AS coarse_eps_gates_accuracy_100"""))
+          TRUE AS coarse_eps_gates_accuracy_100""")),
+
+    // ---- q180: incrementally-maintained per-group VARIANCE in MVs ----
+    // The MV layer's second-moment state (cnt_<c>, sq_<c>, declared as
+    // VAR_POP in the SQL CREATE) is RETRACTABLE — the signed CDF fold
+    // subtracts both cells exactly — so per-group AVG/VAR_POP/STDDEV
+    // stay fully incremental under source DELETEs too (where min/max/
+    // uniq views must fall back to a full re-sync). The refresh-mode
+    // assertions are inline (a delete refresh that re-syncs instead of
+    // folding throws → err); every derived double is DuckDB-recomputed
+    // over the post-delete rows with the identical exact-integer-
+    // moments formula — bit-for-bit, as in q176.
+    QueryDef(
+      "q180_mv_incremental_variance",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q180cat")
+        client.createSchema("q180cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q180-mvv").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_linenumber"))
+        // Iceberg source: the snapshot-diff changelog IS the row feed
+        client.createAsTable(li.filter(col("l_linenumber") <= 3)
+            .drop("l_linenumber"),
+          "q180cat", "s", "src", graft.catalog.FileType.ICEBERG, s"$root/src")
+        s.sql(s"""CREATE MATERIALIZED VIEW q180cat.s.mv LOCATION '$root/mv' AS
+          SELECT l_returnflag, COUNT(*), SUM(l_quantity), VAR_POP(l_quantity)
+          FROM q180cat.s.src GROUP BY l_returnflag""")
+        val src = client.getTxTable("q180cat", "s", "src")
+        def refresh(expect: String): Unit = {
+          val mode = s.sql("REFRESH MATERIALIZED VIEW q180cat.s.mv")
+            .collect()(0).getString(0)
+          require(mode == expect, s"expected $expect refresh, got $mode")
+        }
+        src.append(li.filter(col("l_linenumber") > 3).drop("l_linenumber"))
+        refresh("incremental")
+        s.sql("DELETE FROM q180cat.s.src WHERE l_quantity = 5")
+        refresh("cdf") // retractable moments: the delete FOLDS
+        val view = graft.tables.IncrementalView.withVariances(
+          client.getTxTable("q180cat", "s", "mv").toDF, Seq("l_quantity"))
+        view.select(col("l_returnflag"), col("n_rows"),
+            col("sum_l_quantity"), col("cnt_l_quantity"),
+            col("avg_l_quantity"), col("var_pop_l_quantity"),
+            col("stddev_l_quantity"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+          CAST(SUM(q) AS BIGINT) AS sum_l_quantity, COUNT(q) AS cnt_l_quantity,
+          CAST(SUM(q) AS DOUBLE) / CAST(COUNT(q) AS DOUBLE) AS avg_l_quantity,
+          CAST(COUNT(q) * SUM(CAST(q AS HUGEINT) * q) -
+              CAST(SUM(q) AS HUGEINT) * SUM(q) AS DOUBLE)
+            / (CAST(COUNT(q) AS DOUBLE) * CAST(COUNT(q) AS DOUBLE))
+            AS var_pop_l_quantity,
+          SQRT(CAST(COUNT(q) * SUM(CAST(q AS HUGEINT) * q) -
+              CAST(SUM(q) AS HUGEINT) * SUM(q) AS DOUBLE)
+            / (CAST(COUNT(q) AS DOUBLE) * CAST(COUNT(q) AS DOUBLE)))
+            AS stddev_l_quantity
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem WHERE CAST(l_quantity AS BIGINT) <> 5)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

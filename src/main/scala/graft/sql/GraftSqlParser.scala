@@ -136,18 +136,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * shape, delegate (and its error message) decide.
     */
   private def parseMvSelect(selectList: String, groupBy: String)
-      : Option[(Seq[String], Seq[String], Seq[String], Seq[String], Seq[String])] = {
+      : Option[(Seq[String], Seq[String], Seq[String], Seq[String], Seq[String],
+        Seq[String])] = {
     def strip(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
     val groupKeys = groupBy.split(",").map(strip).filter(_.nonEmpty).toSeq
     val CountRe = """(?i)\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
     val AggRe =
-      """(?i)\s*(SUM|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*([\w`]+)\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
+      """(?i)\s*(SUM|MIN|MAX|APPROX_COUNT_DISTINCT|VAR_POP)\s*\(\s*([\w`]+)\s*\)(?:\s+AS\s+([\w`]+))?\s*""".r
     val KeyRe = """\s*([\w`]+)\s*""".r
     val keys = Seq.newBuilder[String]
     val sums = Seq.newBuilder[String]
     val mins = Seq.newBuilder[String]
     val maxs = Seq.newBuilder[String]
     val uniqs = Seq.newBuilder[String]
+    val moments = Seq.newBuilder[String]
     var hasCount = false
     var ok = true
     import graft.tables.IncrementalView
@@ -161,6 +163,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case "SUM" => (IncrementalView.sumCol(cc), sums)
           case "MIN" => (IncrementalView.minCol(cc), mins)
           case "MAX" => (IncrementalView.maxCol(cc), maxs)
+          // VAR_POP stores the RETRACTABLE moment state (cnt_<c>,
+          // sq_<c>); avg/var/stddev derive on read (withVariances)
+          case "VAR_POP" => (IncrementalView.sqCol(cc), moments)
           case _ => (IncrementalView.uniqCol(cc), uniqs)
         }
         if (alias != null && strip(alias) != canonical) ok = false
@@ -169,8 +174,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case _ => ok = false
     }
     val ks = keys.result()
+    // a VAR_POP column needs its SUM in the same view (the state the
+    // derivation divides by); auto-adding it would surprise the schema
+    val ms = moments.result()
+    if (!ms.forall(sums.result().contains)) ok = false
     if (ok && hasCount && ks.nonEmpty && ks.sorted == groupKeys.sorted)
-      Some((ks, sums.result(), mins.result(), maxs.result(), uniqs.result()))
+      Some((ks, sums.result(), mins.result(), maxs.result(), uniqs.result(), ms))
     else None
   }
 
@@ -256,12 +265,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case CreateMv(tgtIdent, loc, selectList, srcIdent, groupBy) =>
         (parts3(tgtIdent), parts3(srcIdent).flatMap(txTable),
             parseMvSelect(selectList, groupBy)) match {
-          case (Some(tp), Some((srcName, srcT)), Some((keys, sums, mins, maxs, uniqs))) =>
+          case (Some(tp), Some((srcName, srcT)),
+              Some((keys, sums, mins, maxs, uniqs, moments))) =>
             val client = GraftSqlExtensions.clientFor(session).get
             val label = s"CREATE MATERIALIZED VIEW ${tp.mkString(".")} OVER $srcName " +
               s"KEYS(${keys.mkString(",")}) SUMS(${sums.mkString(",")}) " +
               s"MINS(${mins.mkString(",")}) MAXS(${maxs.mkString(",")}) " +
-              s"UNIQS(${uniqs.mkString(",")})"
+              s"UNIQS(${uniqs.mkString(",")}) MOMENTS(${moments.mkString(",")})"
             return GraftSqlDml.GraftDmlCommand(label) { () =>
               import graft.tables.IncrementalView
               IncrementalView.refresh(srcT, loc, keys, sums, createProperties = Map(
@@ -270,8 +280,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 IncrementalView.SumsProp -> sums.mkString(","),
                 IncrementalView.MinsProp -> mins.mkString(","),
                 IncrementalView.MaxsProp -> maxs.mkString(","),
-                IncrementalView.UniqsProp -> uniqs.mkString(",")),
-                minCols = mins, maxCols = maxs, uniqCols = uniqs)
+                IncrementalView.UniqsProp -> uniqs.mkString(","),
+                IncrementalView.MomentsProp -> moments.mkString(",")),
+                minCols = mins, maxCols = maxs, uniqCols = uniqs,
+                momentCols = moments)
               client.registerAsTable(tp(0), tp(1), tp(2),
                 graft.catalog.FileType.DELTA, loc)
               ()
@@ -368,7 +380,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 listProp(IncrementalView.KeysProp), listProp(IncrementalView.SumsProp),
                 minCols = listProp(IncrementalView.MinsProp),
                 maxCols = listProp(IncrementalView.MaxsProp),
-                uniqCols = listProp(IncrementalView.UniqsProp))
+                uniqCols = listProp(IncrementalView.UniqsProp),
+                momentCols = listProp(IncrementalView.MomentsProp))
               Seq(org.apache.spark.sql.Row(r.mode, r.fromVersion, r.toVersion))
             }
           case None =>

@@ -58,6 +58,15 @@ import graft.catalog.UnsupportedOperationError
   * a view carrying them skips the CDF fast path and re-syncs on any
   * non-append source commit.
   *
+  * Second moments (`cnt_<c>` + `sq_<c>`, declared as VAR_POP in the
+  * SQL surface): per-group non-null count and exact decimal Σx² —
+  * with `sum_<c>` these derive AVG/VAR_POP/STDDEV on read
+  * ([[withVariances]], the same exact-integer-moments derivation the
+  * table-level stats family serves). Unlike min/max/uniq, BOTH cells
+  * are RETRACTABLE — the signed CDF fold subtracts them exactly — so
+  * per-group variance stays fully incremental under source deletes
+  * and updates, not just appends.
+  *
   * Distinct counts (`uniq_<c>`): APPROX_COUNT_DISTINCT state as a KMV
   * sketch per group (array<long> of the [[KmvK]] smallest value
   * hashes) — incremental daily-uniques at 100 TB: each append batch
@@ -76,6 +85,8 @@ object IncrementalView {
   def minCol(c: String): String = s"min_$c"
   def maxCol(c: String): String = s"max_$c"
   def uniqCol(c: String): String = s"uniq_$c"
+  def cntCol(c: String): String = s"cnt_$c"
+  def sqCol(c: String): String = s"sq_$c"
 
   /** Sketch size for `uniq_<c>` columns (KMV k-smallest-hashes state):
     * exact below 4096 distinct per group, ~1.6% relative error above.
@@ -93,6 +104,7 @@ object IncrementalView {
   val MinsProp = "graft.mv.mins"
   val MaxsProp = "graft.mv.maxs"
   val UniqsProp = "graft.mv.uniqs"
+  val MomentsProp = "graft.mv.moments"
 
   final case class Refresh(mode: String, fromVersion: Long, toVersion: Long)
 
@@ -106,7 +118,8 @@ object IncrementalView {
     */
   private def aggregate(rows: DataFrame, keys: Seq[String], sumCols: Seq[String],
       sign: Option[Column], minCols: Seq[String] = Nil,
-      maxCols: Seq[String] = Nil, uniqCols: Seq[String] = Nil): DataFrame = {
+      maxCols: Seq[String] = Nil, uniqCols: Seq[String] = Nil,
+      momentCols: Seq[String] = Nil): DataFrame = {
     val s = sign.getOrElse(lit(1L))
     rows.groupBy(keys.map(col): _*).agg(
       sum(s).cast(LongType).as(CountCol),
@@ -121,7 +134,18 @@ object IncrementalView {
         // via kmv_merge; like min/max, NOT maintainable under deletes
         uniqCols.map(c => graft.functions.KmvFunctions
           .kmvSketch(col(c).cast(org.apache.spark.sql.types.StringType), KmvK)
-          .as(uniqCol(c)))): _*)
+          .as(uniqCol(c))) ++
+        // second-moment state (cnt_<c>, sq_<c>): per-group non-null
+        // count and Σx² as exact decimal(38,0) — with sum_<c> these
+        // derive AVG/VAR/STDDEV on read, and UNLIKE min/max/uniq both
+        // are RETRACTABLE: the signed CDF fold subtracts exactly, so
+        // per-group variance stays incremental under source deletes
+        momentCols.flatMap(c => Seq(
+          sum(when(col(c).isNotNull, s).otherwise(lit(0L)))
+            .cast(LongType).as(cntCol(c)),
+          coalesce(sum(col(c).cast("decimal(38,0)") *
+            col(c).cast("decimal(38,0)") * s),
+            lit(0).cast("decimal(38,0)")).as(sqCol(c))))): _*)
   }
 
   /** Refresh the view at `viewLocation` from `source`, creating it on
@@ -134,7 +158,7 @@ object IncrementalView {
       sumCols: Seq[String],
       createProperties: Map[String, String] = Map.empty,
       minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-      uniqCols: Seq[String] = Nil): Refresh = {
+      uniqCols: Seq[String] = Nil, momentCols: Seq[String] = Nil): Refresh = {
     val spark = source.spark
     val appId = appIdFor(source.location)
     val to = source.version
@@ -148,7 +172,8 @@ object IncrementalView {
         // a small file, and a dashboard-read view should not accrete
         // one file per refresh forever (callers can override).
         try t.create(
-          aggregate(source.toDF.limit(0), keys, sumCols, None, minCols, maxCols, uniqCols),
+          aggregate(source.toDF.limit(0), keys, sumCols, None, minCols, maxCols,
+            uniqCols, momentCols),
           properties = Map(TxTable.AutoCompactEnabledProp -> "true") ++ createProperties)
         catch { case _: graft.catalog.AlreadyExistsError => () }
       t
@@ -160,11 +185,28 @@ object IncrementalView {
     val vSnap = view.snapshot
     def stampedList(p: String) = vSnap.properties.getOrElse(p, "")
       .split(",").toSeq.filter(_.nonEmpty)
-    val (ks, sums, mins, maxs, uniqs) =
+    val (ks, sums, mins, maxs, uniqs, moments) =
       if (vSnap.properties.contains(KeysProp))
         (stampedList(KeysProp), stampedList(SumsProp),
-          stampedList(MinsProp), stampedList(MaxsProp), stampedList(UniqsProp))
-      else (keys, sumCols, minCols, maxCols, uniqCols)
+          stampedList(MinsProp), stampedList(MaxsProp), stampedList(UniqsProp),
+          stampedList(MomentsProp))
+      else (keys, sumCols, minCols, maxCols, uniqCols, momentCols)
+    // the moment state only derives VAR with the matching exact sum,
+    // and the decimal Σx² fold assumes integral values (a double's
+    // square would round); both are definition errors, not data errors
+    moments.foreach { c =>
+      if (!sums.contains(c))
+        throw UnsupportedOperationError(
+          s"moment column $c needs SUM($c) in the same view")
+      source.snapshot.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType) => ()
+        case other => throw UnsupportedOperationError(
+          s"moment column $c must be integral, got $other")
+      }
+    }
     if (uniqs.nonEmpty) // kmv_merge must resolve in the MERGE SET clauses
       graft.functions.KmvFunctions.registerSql(spark)
     val from = vSnap.transactions.getOrElse(appId, -1L)
@@ -174,6 +216,9 @@ object IncrementalView {
     def updateSet(dn: String) = Map(
       CountCol -> s"t.`$CountCol` + s.`$dn`") ++
       sums.map(c => sumCol(c) -> s"t.`${sumCol(c)}` + s.`${sumCol(c)}`") ++
+      moments.flatMap(c => Seq(
+        cntCol(c) -> s"t.`${cntCol(c)}` + s.`${cntCol(c)}`",
+        sqCol(c) -> s"t.`${sqCol(c)}` + s.`${sqCol(c)}`")) ++
       // Spark's LEAST/GREATEST skip nulls, so these are null-safe folds
       mins.map(c => minCol(c) -> s"LEAST(t.`${minCol(c)}`, s.`${minCol(c)}`)") ++
       maxs.map(c => maxCol(c) -> s"GREATEST(t.`${maxCol(c)}`, s.`${maxCol(c)}`)") ++
@@ -184,6 +229,8 @@ object IncrementalView {
     def insertVals = (ks.map(k => k -> s"s.`$k`") :+
       (CountCol -> s"s.`$CountCol`")) ++
       sums.map(c => sumCol(c) -> s"s.`${sumCol(c)}`") ++
+      moments.flatMap(c => Seq(cntCol(c) -> s"s.`${cntCol(c)}`",
+        sqCol(c) -> s"s.`${sqCol(c)}`")) ++
       mins.map(c => minCol(c) -> s"s.`${minCol(c)}`") ++
       maxs.map(c => maxCol(c) -> s"s.`${maxCol(c)}`") ++
       uniqs.map(c => uniqCol(c) -> s"s.`${uniqCol(c)}`")
@@ -207,7 +254,8 @@ object IncrementalView {
       // non-append history without a usable row feed: one full re-sync
       // merge converges the view to the fresh aggregate — O(source
       // scan), the price of a rewriting source without a row-level feed
-      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs, uniqs)
+      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs, uniqs,
+        moments)
       committing("full") {
         view.merge(fresh, keyCond, "s", "t")
           .whenMatchedUpdateAll()
@@ -226,7 +274,8 @@ object IncrementalView {
       // than replaying its commit history — a log whose early commits
       // were cleaned up after checkpointing (standard Delta retention)
       // replays incompletely but snapshots exactly
-      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs, uniqs)
+      val fresh = aggregate(source.toDF(to), ks, sums, None, mins, maxs, uniqs,
+        moments)
       committing("initial") {
         view.merge(fresh, keyCond, "s", "t")
           .whenMatchedUpdateAll()
@@ -241,7 +290,7 @@ object IncrementalView {
       // range), and MERGE with zero source rows commits exactly that
       val delta = aggregate(
         source.changesSince(from, Some(to)).drop("_commit_version"),
-        ks, sums, None, mins, maxs, uniqs)
+        ks, sums, None, mins, maxs, uniqs, moments)
       committing("incremental") {
         view.merge(delta, keyCond, "s", "t")
           .whenMatchedUpdate(updateSet(CountCol))
@@ -267,7 +316,8 @@ object IncrementalView {
         val sign = when(col(DeltaCdf.ChangeTypeCol)
           .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
         val delta = aggregate(
-          ch.withColumn("__sign", sign), ks, sums, Some(col("__sign")))
+          ch.withColumn("__sign", sign), ks, sums, Some(col("__sign")),
+          momentCols = moments)
         committing("cdf") {
           view.merge(delta, keyCond, "s", "t")
             // a group folded to zero rows leaves the view entirely
@@ -296,4 +346,23 @@ object IncrementalView {
     uniqCols.foldLeft(view)((d, c) =>
       d.withColumn(s"approx_uniq_$c",
         graft.functions.KmvFunctions.kmvCardinality(col(uniqCol(c)), KmvK)))
+
+  /** Read helper: per-group `avg_<c>` / `var_pop_<c>` / `stddev_<c>`
+    * derived from the stored moment state — exact integer moments with
+    * ONE double division, the same derivation the table-level stats
+    * family serves. A zero non-null count answers SQL NULL. */
+  def withVariances(view: DataFrame, momentCols: Seq[String]): DataFrame =
+    momentCols.foldLeft(view) { (d, c) =>
+      val n = col(cntCol(c)).cast("double")
+      val s = col(sumCol(c)).cast("decimal(38,0)")
+      val q = col(sqCol(c))
+      val vp = (col(cntCol(c)) * q - s * s).cast("double") / (n * n)
+      d.withColumn(s"avg_$c",
+          when(col(cntCol(c)) === 0L, lit(null))
+            .otherwise(s.cast("double") / n))
+        .withColumn(s"var_pop_$c",
+          when(col(cntCol(c)) === 0L, lit(null)).otherwise(vp))
+        .withColumn(s"stddev_$c",
+          when(col(cntCol(c)) === 0L, lit(null)).otherwise(sqrt(vp)))
+    }
 }

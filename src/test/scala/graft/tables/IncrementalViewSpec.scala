@@ -353,4 +353,49 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(rel < 4.0 / math.sqrt(IncrementalView.KmvK - 2),
       s"merged-sketch estimate $est vs $n2 (rel $rel)")
   }
+
+  test("moment columns stay incremental under CDF deletes; variance derives exactly") {
+    val srcLoc = TestSpark.tmpDir("mv-mom-src")
+    val viewLoc = TestSpark.tmpDir("mv-mom-view") + "/v"
+    val rows = (1L to 60L).map(i => (s"k${i % 3}", i))
+    DeltaLogWriter.create(spark, srcLoc, rows.toDF("k", "v"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val src = TxTable.forForeignDelta(spark, srcLoc)
+    def refresh() = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"),
+      momentCols = Seq("v"))
+    assert(refresh().mode == "initial")
+    // append folds the moment cells
+    src.append(Seq(("k0", 1000L), ("k1", 2000L)).toDF("k", "v"))
+    assert(refresh().mode == "incremental")
+    // a DELETE stays on the CDF fast path — the moment state is
+    // RETRACTABLE (cnt and sq subtract exactly), unlike min/max/uniq
+    src.delete("v % 7 = 0")
+    assert(refresh().mode == "cdf",
+      "moment columns must not force a full re-sync on deletes")
+    val live = (rows ++ Seq(("k0", 1000L), ("k1", 2000L))).filter(_._2 % 7 != 0)
+    val view = IncrementalView.withVariances(
+      TxTable.forLocation(spark, viewLoc).toDF, Seq("v"))
+    def expVar(xs: Seq[Long]): Double = {
+      val n = BigInt(xs.size); val s = xs.map(BigInt(_)).sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      (n * q - s * s).toDouble / (n * n).toDouble
+    }
+    view.collect().foreach { r =>
+      val k = r.getString(r.fieldIndex("k"))
+      val xs = live.filter(_._1 == k).map(_._2)
+      assert(r.getLong(r.fieldIndex("cnt_v")) == xs.size.toLong)
+      assert(math.abs(r.getDouble(r.fieldIndex("avg_v")) -
+        xs.map(BigInt(_)).sum.toDouble / xs.size) < 1e-9)
+      val got = r.getDouble(r.fieldIndex("var_pop_v"))
+      assert(math.abs(got - expVar(xs)) <= 1e-9 * math.max(1.0, expVar(xs)),
+        s"group $k var $got vs ${expVar(xs)}")
+      assert(math.abs(r.getDouble(r.fieldIndex("stddev_v")) -
+        math.sqrt(expVar(xs))) < 1e-9)
+    }
+    // a moment column without its SUM is a definition error
+    val bad = TestSpark.tmpDir("mv-mom-bad") + "/v"
+    intercept[graft.catalog.UnsupportedOperationError] {
+      IncrementalView.refresh(src, bad, Seq("k"), Seq.empty, momentCols = Seq("v"))
+    }
+  }
 }
