@@ -3720,6 +3720,74 @@ object InteropQueries {
             AS stddev_l_quantity
         FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
           FROM lineitem WHERE CAST(l_quantity AS BIGINT) <> 5)
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q181: UPDATE folds — only the assigned column's stats die ----
+    // A copy-on-write UPDATE is row-preserving (no row appears or
+    // disappears), so every UNASSIGNED column's value multiset is
+    // invariant: its stamped stats survive the rewrite VERBATIM and
+    // SUM/AVG/NDV keep answering scan-free, while the assigned
+    // column's stats honestly unset (a value delta is never derivable
+    // from metadata). Before round 14, ONE `UPDATE SET comment =
+    // 'redacted'` killed every other column's stamp until a full
+    // re-ANALYZE scan — on the 100 TB compliance-redaction shape that
+    // is the difference between a property read and a nightly re-scan.
+    // A partitioned twin assigns the PARTITION column itself (rows may
+    // move between partitions): the fold provably bails and the scan
+    // answers — stale-never-wrong. Values DuckDB-recomputed over the
+    // post-update rows.
+    QueryDef(
+      "q181_update_fold_stats",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q181cat")
+        client.createSchema("q181cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q181-uf").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"), col("l_linestatus"))
+        client.createAsTable(li, "q181cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t")
+        s.sql("ANALYZE TABLE q181cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        s.sql("UPDATE q181cat.s.t SET l_linestatus = 'redacted' WHERE l_quantity = 30")
+        val q1 = s.sql("""SELECT SUM(l_orderkey) AS sum_ok,
+            AVG(l_quantity) AS avg_qty, COUNT(l_linestatus) AS cnt_ls,
+            COUNT(*) AS n_rows FROM q181cat.s.t""")
+        val survivorsMeta = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        // the assigned column's extremes honestly scan (post-update)
+        val q2 = s.sql("SELECT MIN(l_linestatus) AS min_ls FROM q181cat.s.t")
+        val assignedScans = planOf(q2).contains("FileScan")
+        // partitioned twin: assigning the partition column moves rows —
+        // the fold bails, the stamp goes stale, the scan stays correct
+        client.createAsTable(li.repartition(2), "q181cat", "s", "pt",
+          graft.catalog.FileType.DELTA, s"$root/pt",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q181cat.s.pt COMPUTE STATISTICS FOR ALL COLUMNS")
+        s.sql("UPDATE q181cat.s.pt SET l_returnflag = 'X' WHERE l_quantity = 49")
+        val q3 = s.sql("SELECT SUM(l_quantity) AS sum_qty_pt FROM q181cat.s.pt")
+        val partitionAssignScans = planOf(q3).contains("FileScan")
+        q1.crossJoin(q2).crossJoin(q3)
+          .withColumn("survivors_scan_free", lit(survivorsMeta))
+          .withColumn("assigned_falls_back", lit(assignedScans))
+          .withColumn("partition_assign_falls_back", lit(partitionAssignScans))
+      },
+      Some("""SELECT
+          (SELECT CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT)
+            FROM lineitem) AS sum_ok,
+          (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+            / COUNT(l_quantity) FROM lineitem) AS avg_qty,
+          (SELECT COUNT(l_linestatus) FROM lineitem) AS cnt_ls,
+          (SELECT COUNT(*) FROM lineitem) AS n_rows,
+          (SELECT MIN(CASE WHEN CAST(l_quantity AS BIGINT) = 30
+            THEN 'redacted' ELSE l_linestatus END) FROM lineitem) AS min_ls,
+          (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+            FROM lineitem) AS sum_qty_pt,
+          TRUE AS survivors_scan_free,
+          TRUE AS assigned_falls_back,
+          TRUE AS partition_assign_falls_back"""))
   )
 }

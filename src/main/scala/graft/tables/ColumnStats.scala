@@ -1151,6 +1151,51 @@ object ColumnStats {
     }
   }
 
+  /** Fold a copy-on-write UPDATE into a stamp that was fresh against
+    * the PRE-update snapshot: the rewrite is row-preserving (no row
+    * appears or disappears — the whole-file drop fast path is
+    * DELETE-only), so every UNASSIGNED column's value multiset is
+    * invariant and its stats survive VERBATIM — table-wide and
+    * per-tuple alike. Only the assigned columns' stats are honestly
+    * unset (an updated value's delta is never derivable from
+    * metadata). Before this fold, ONE `UPDATE SET status = 'x'` killed
+    * every other column's stamp until a full re-ANALYZE.
+    *
+    * Bails to a stale stamp when: an assigned column IS a partition
+    * column (rows may move between partitions, breaking pvals and the
+    * per-tuple cells), or the schema carries generated columns (a
+    * base-column update may cascade into columns this fold would keep).
+    */
+  private[tables] def foldUpdate(table: TxTable, commitVersion: Long,
+      baseVersion: Long, assigned: Seq[String]): Unit =
+    try {
+      if (assigned.isEmpty) return
+      val snap = table.snapshotAt(commitVersion)
+      val props = snap.properties
+      val base = table.snapshotAt(baseVersion)
+      // the stamp must describe the PRE-update snapshot exactly
+      if (!props.get(FingerprintProp).contains(fingerprint(base).toString)) return
+      val aset = assigned.toSet
+      if (snap.partitionColumns.exists(aset.contains)) return
+      if (snap.schema.fields.exists(_.metadata.contains(GeneratedColumns.ExprKey)))
+        return
+      val tableWide = Seq(NdvPropPrefix, KmvPropPrefix, SumPropPrefix,
+        MinPropPrefix, MaxPropPrefix, CntPropPrefix, SqPropPrefix, QsPropPrefix)
+      val unset = Map.newBuilder[String, String]
+      props.keys.foreach { k =>
+        val hit =
+          tableWide.exists(p => k.startsWith(p) && aset.contains(k.stripPrefix(p))) ||
+            splitLayerKey(k).exists { case (_, c, _) => aset.contains(c) }
+        if (hit) unset += k -> (null: String)
+      }
+      table.setProperties(unset.result() ++
+        Map(FingerprintProp -> fingerprint(snap).toString,
+          VersionProp -> commitVersion.toString))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (sys.props.contains("graft.debugFold")) e.printStackTrace()
+    }
+
   /** Whether a DELETE was a pure PARTITION DROP — whole partitions
     * removed, nothing else touched — and if so, the per-partition sketch
     * layer's surviving keys, reindexed. This is the retention shape

@@ -2051,10 +2051,17 @@ object DeltaDvWriter {
     // over the PRE-delete snapshot (old DVs applied), and commitDv
     // pinned our commit at exactly snap.version + 1, so the fold's
     // fingerprint can never mislabel a concurrent commit's state.
-    // UPDATEs change values — never foldable.
+    // A MoR UPDATE is row-preserving too (DV-marked rows come back in
+    // the appended file set 1:1), so the UPDATE fold applies: only the
+    // assigned columns' stats unset, everything else survives — same
+    // partition-column/generated-column bails as the CoW path.
     if (committed && set.isEmpty)
       ColumnStats.foldDelete(TxTable.forForeignDelta(spark, location),
         snap.version + 1, snap.version, candidates.map(_.path), predicate)
+    else if (committed)
+      ColumnStats.foldUpdate(TxTable.forForeignDelta(spark, location),
+        snap.version + 1, snap.version,
+        set.get.keys.toSeq :+ RowTracking.RowCommitVersionCol)
     committed
   }
 

@@ -922,7 +922,13 @@ final class TxTable(val spark: SparkSession, val location: String,
         val matched = affected.filter(coalesce(expr(predicate), lit(false)))
         DeltaCdf.tagged(matched, "update_preimage")
           .unionByName(DeltaCdf.tagged(applySet(matched), "update_postimage"))
-      }) { affected =>
+      },
+      // a row-preserving rewrite: unassigned columns' stats survive the
+      // update verbatim (ColumnStats.foldUpdate) instead of dying. The
+      // materialized row-commit-version column is rewritten for matched
+      // rows too, so it rides the assigned set (no-op unless stamped)
+      foldUpdateAssigned =
+        Some(set.keys.toSeq :+ RowTracking.RowCommitVersionCol)) { affected =>
       val snapSchema = affected.schema
       set.keys.find(k => !snapSchema.fieldNames.contains(k)).foreach { k =>
         throw UnsupportedOperationError(s"UPDATE: unknown column $k")
@@ -952,15 +958,22 @@ final class TxTable(val spark: SparkSession, val location: String,
     */
   private def rewriteMatchingFiles(op: String, predicate: String,
       cdcOf: Option[DataFrame => DataFrame] = None,
-      foldStats: Boolean = false)(
+      foldStats: Boolean = false,
+      foldUpdateAssigned: Option[Seq[String]] = None)(
       transform: DataFrame => DataFrame): Unit = {
     // captured from the FINAL (winning) planning iteration, like the
     // append paths' fold
     var statsFold: Option[(Long, Seq[String])] = None
+    var updateFold: Option[Long] = None
     commitWithRetryIf(op,
-      postCommit = v => statsFold.foreach { case (baseV, removed) =>
-        ColumnStats.foldDelete(this, v, baseV, removed, predicate) }) { snap => Some {
+      postCommit = { v =>
+        statsFold.foreach { case (baseV, removed) =>
+          ColumnStats.foldDelete(this, v, baseV, removed, predicate) }
+        updateFold.foreach { baseV =>
+          ColumnStats.foldUpdate(this, v, baseV, foldUpdateAssigned.get) }
+      }) { snap => Some {
       statsFold = None
+      updateFold = None
       val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
       val conjuncts = FileStats.prunableConjuncts(parsed)
       val fieldTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1011,6 +1024,9 @@ final class TxTable(val spark: SparkSession, val location: String,
         val removed = (drop ++ rewrite).map(_.path)
         if (foldStats && ColumnStats.isFresh(snap) && removed.nonEmpty)
           statsFold = Some((snap.version, removed))
+        if (foldUpdateAssigned.isDefined && ColumnStats.isFresh(snap) &&
+            removed.nonEmpty)
+          updateFold = Some(snap.version)
         if (removed.isEmpty) {
           TxTable.Planned(Seq.empty, Seq.empty, snap.schema,
             snap.partitionColumns, snap.properties)

@@ -557,10 +557,19 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(shown2("id").getString(6) == null && shown2("id").getString(7) == null,
       "a tied extreme pair must drop")
     assert(shown2("id").isNullAt(1), "NDV cannot fold a removal")
-    // an UPDATE is never derivable: fresh flips to false
+    // a CoW UPDATE folds (round 14): only the ASSIGNED column's stats
+    // unset — its SHOW row disappears — while the other column's row
+    // stays fresh and servable
     spark.sql("UPDATE lakestats.core.t SET u = u WHERE id = 2")
+    val shown3 = spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!shown3.contains("u"), "the assigned column's stamp must unset")
+    assert(shown3("id").getBoolean(11), "the unassigned column must stay fresh")
+    // a genuine rewrite (overwrite) still flips fresh to false
+    client.getTxTable("lakestats", "core", "t")
+      .overwrite(Seq((1L, "x")).toDF("id", "u"))
     assert(spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
-      .forall(!_.getBoolean(11)), "fresh must flip to false after an update")
+      .forall(!_.getBoolean(11)), "fresh must flip to false after an overwrite")
   }
 
   test("grouped APPROX_COUNT_DISTINCT serves from per-partition sketches; retention deletes keep the layer") {
@@ -772,10 +781,14 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     val r3 = q3.collect()(0)
     assert(r3.getDouble(0) == ids3.map(BigInt(_)).sum.toDouble / ids3.size.toDouble)
     assert(r3.getDouble(1) == expectVar(ids3, samp = true, std = false))
-    // an UPDATE (value change, never derivable) invalidates: scan, correct
+    // a CoW UPDATE folds: the ASSIGNED column's moments unset (scan),
+    // the other column's keep serving — one status-flip update no
+    // longer kills the whole stamp
     spark.sql("UPDATE lakemom.core.t SET k = 0 WHERE id = 9000")
-    assert(planOf(spark.sql("SELECT VAR_POP(id) AS v FROM lakemom.core.t"))
-      .contains("FileScan"), "a rewrite must invalidate the moments")
+    assert(!planOf(spark.sql("SELECT VAR_POP(id) AS v FROM lakemom.core.t"))
+      .contains("FileScan"), "unassigned columns' moments must survive an update")
+    assert(planOf(spark.sql("SELECT AVG(k) AS a FROM lakemom.core.t"))
+      .contains("FileScan"), "the assigned column's moments must unset")
 
     // partitioned: filtered and grouped moment serves from the layer
     client.createAsTable(

@@ -120,12 +120,21 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
         if (ti % 2 == 0 && rnd.nextBoolean()) Some(rnd.nextInt(20)) else None
       delK.foreach(kv =>
         client.getTxTable("fuzzmeta", "s", s"t$ti").delete(s"k = $kv"))
+      // ...and sometimes an UPDATE on top: the round-14 update fold
+      // unsets only the ASSIGNED column's stats while everything else
+      // keeps serving — catalog answers must still equal the model's
+      // EXACTLY across the s-column (reassigned) and every other
+      val updK: Option[Int] =
+        if (rnd.nextBoolean()) Some(rnd.nextInt(20)) else None
+      updK.foreach(kv => client.getTxTable("fuzzmeta", "s", s"t$ti")
+        .update(s"k = $kv", Map("s" -> "'upd'")))
       // the raw-view model applies the storage-level conflation: a REAL
       // sentinel-string partition value is unrepresentable in hive
       // layout and reads back as NULL (vanilla Spark behaves the same)
       val all = (rows ++ extra).filterNot(r => delK.contains(r._3))
         .map { case (id, p, k, s2) =>
-          (id, if (p == "__HIVE_DEFAULT_PARTITION__") null else p, k, s2)
+          (id, if (p == "__HIVE_DEFAULT_PARTITION__") null else p, k,
+            if (updK.contains(k)) "upd" else s2)
         }
       all.toDF("id", "p", "k", "s").createOrReplaceTempView(s"raw$ti")
 

@@ -345,6 +345,32 @@ class ColumnStatsSpec extends AnyFunSuite {
       "a replayed batch must not re-fold")
   }
 
+  test("update fold: assigned column's cells unset table-wide AND per-tuple") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-upd") + "/t")
+    t.create((0 until 200).map(i =>
+        (i.toLong, s"s$i", Seq("a", "b")(i % 2))).toDF("k", "s", "p"),
+      partitionColumns = Seq("p"))
+    ColumnStats.analyze(t, Seq("k", "s"))
+    t.update("k = 7", Map("s" -> "'zz'"))
+    val props = t.snapshot.properties
+    assert(ColumnStats.isFresh(t.snapshot), "the update must fold")
+    // table-wide: s gone, k kept
+    assert(!props.contains(ColumnStats.NdvPropPrefix + "s"))
+    assert(props.contains(ColumnStats.NdvPropPrefix + "k"))
+    assert(ColumnStats.currentSumBig(t.snapshot, "k")
+      .contains(Some(BigInt((0L until 200L).sum))))
+    // per-tuple: s cells gone, k cells survive (rows never moved
+    // between partitions — the multiset per tuple is invariant)
+    assert(!props.keys.exists(_.startsWith(ColumnStats.PkmvPropPrefix + "s.")))
+    assert(props.keys.count(_.startsWith(ColumnStats.PkmvPropPrefix + "k.")) == 2)
+    assert(props.keys.count(_.startsWith(ColumnStats.PsumPropPrefix + "k.")) == 2)
+    // assigning the PARTITION column itself bails: rows may move
+    ColumnStats.analyze(t, Seq("k"))
+    t.update("k = 8", Map("p" -> "'b'"))
+    assert(!ColumnStats.isFresh(t.snapshot),
+      "a partition-column assignment must leave the stamp stale")
+  }
+
   test("timestamp and decimal extremes round-trip the stamp") {
     val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
     val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")

@@ -80,10 +80,19 @@ class PlannerStatsSpec extends AnyFunSuite {
       assert(broadcastJoins(afterDelete) == 0,
         "truthful sizing must survive a folded delete")
 
-      // an UPDATE invalidates (value changes are never derivable):
-      // behavior reverts EXACTLY to the no-stats plan — stale stats
-      // must never keep steering the planner
+      // a CoW UPDATE now FOLDS (round 14): rows are preserved 1:1, so
+      // the truthful row-count sizing survives an update of another
+      // column — still no broadcast
       t.update("id = 0", Map("pad" -> "'y'"))
+      assert(ColumnStats.isFresh(t.snapshot), "update fold must keep the stamp")
+      val afterUpdate = t.toDF.join(probe, "id")
+      assert(broadcastJoins(afterUpdate) == 0,
+        "truthful sizing must survive a folded update")
+
+      // a genuine rewrite (overwrite) invalidates: behavior reverts
+      // EXACTLY to the no-stats plan — stale stats must never keep
+      // steering the planner
+      t.overwrite(t.toDF(t.version).limit(120000).cache())
       val stale = t.toDF.join(probe, "id")
       assert(broadcastJoins(stale) > 0,
         s"stale stats must not be served to the planner\n${stale.queryExecution.executedPlan}")
@@ -179,12 +188,27 @@ class PlannerStatsSpec extends AnyFunSuite {
       assert(cs.nullCount.contains(BigInt(0)) && cs.min.contains("0") &&
         cs.max.contains("199999"), s"colStats drifted: $cs")
 
-      // an UPDATE invalidates: the SAME query reverts EXACTLY to the
-      // no-stats shuffle plan, and the row estimate disappears
-      t.update("id = 0", Map("pad" -> "'x'"))
-      val stale = filtered
-      assert(broadcastJoins(stale) == 0,
-        s"stale colStats must not keep steering CBO\n${stale.queryExecution.executedPlan}")
+      // an UPDATE of the FILTER COLUMN ITSELF unsets exactly its
+      // colStats — the selectivity evidence is honestly gone, so the
+      // CBO plan reverts to the shuffle — while the row-preserving
+      // fold keeps the OTHER column's colStats and the exact rowCount
+      t.update("id = 0", Map("k" -> "k"))
+      val unsetK = filtered
+      assert(broadcastJoins(unsetK) == 0,
+        s"unset colStats must not keep steering CBO\n${unsetK.queryExecution.executedPlan}")
+      val lr2 = unsetK.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.catalogTable.exists(_.stats.isDefined) => l
+      }
+      val st2 = lr2.head.catalogTable.get.stats.get
+      assert(!st2.colStats.contains("k"), "the assigned column's colStats must unset")
+      assert(st2.colStats.contains("id") && st2.rowCount.contains(BigInt(200000)),
+        "unassigned colStats and the exact rowCount must survive the update fold")
+      // a genuine rewrite (overwrite) kills everything: the row
+      // estimate disappears with the stamp
+      t.overwrite(spark.range(200000).toDF("id")
+        .withColumn("k", col("id"))
+        .withColumn("pad", sha2(col("id").cast("string"), 256)).repartition(2))
       assert(t.toDF.filter(col("k") < 2000).queryExecution.optimizedPlan
         .stats.rowCount.isEmpty, "stale stats must drop the row estimate")
     } finally spark.conf.set(conf, old)

@@ -50,10 +50,21 @@ class StatsBackendsSpec extends AnyFunSuite {
     assert(ColumnStats.currentMinMax(t.snapshot, "id", isMin = true).isEmpty)
     assert(ColumnStats.currentSum(t.snapshot, "id")
       .contains(Some((0L until 500L).sum + 1000L - 250L)))
-    // an UPDATE's value changes are never derivable — stale
+    // a CoW UPDATE folds (round 14): the assigned column's stats are
+    // honestly unset (its value delta is never derivable), but the
+    // rewrite is row-preserving so every OTHER column's stats survive
     t.update("id = 5", Map("v" -> "'zz'"))
+    assert(ColumnStats.isFresh(t.snapshot),
+      "an update must fold the unassigned columns, not kill the stamp")
+    assert(ColumnStats.currentNdv(t.snapshot, "v").isEmpty,
+      "the assigned column's stats must unset")
+    assert(ColumnStats.currentMinMax(t.snapshot, "v", isMin = false).isEmpty)
+    assert(ColumnStats.currentSum(t.snapshot, "id")
+      .contains(Some((0L until 500L).sum + 1000L - 250L)),
+      "unassigned columns' stats must survive the update")
+    // a matched rewrite that is NOT an update (overwrite) still kills
+    t.overwrite(Seq((1L, "x")).toDF("id", "v"))
     assert(!ColumnStats.isFresh(t.snapshot))
-    assert(ColumnStats.currentNdv(t.snapshot, "v").isEmpty)
   }
 
   test("native log") {
@@ -105,9 +116,15 @@ class StatsBackendsSpec extends AnyFunSuite {
     t.delete("id = 0")
     assert(ColumnStats.isFresh(t.snapshot))
     assert(ColumnStats.currentMinMax(t.snapshot, "id", isMin = true).isEmpty)
-    // a DV UPDATE changes values: never foldable -> stale
+    // a DV UPDATE folds too (round 14): the marked rows come back 1:1
+    // in the appended file set, so only the assigned column's stats
+    // unset and the rest stays servable
     t.update("id = 5", Map("v" -> "'zz'"))
-    assert(!ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.isFresh(t.snapshot),
+      "a MoR update must fold the unassigned columns")
+    assert(ColumnStats.currentNdv(t.snapshot, "v").isEmpty)
+    assert(ColumnStats.currentSum(t.snapshot, "id").isDefined,
+      "the unassigned column's sum must survive the DV update")
   }
 
   test("iceberg log") {
