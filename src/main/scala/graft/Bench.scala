@@ -553,7 +553,7 @@ object Bench {
         v
       }
       val (statsFoldDelete, sumPostDelete, pndvMeta, pndvScan,
-          ppctMeta, ppctScan) = {
+          ppctMeta, ppctScan, statsFoldUpdate, sumPostUpdate) = {
         val loc2 = spark.sql(s"DESCRIBE DETAIL $grpCat.s.t")
           .select("location").head().getString(0)
         val t = graft.tables.TxTable.forForeignDelta(spark, loc2)
@@ -587,7 +587,15 @@ object Bench {
         }
         line("partition_ndv_metadata", pm); line("partition_ndv_scan", ps)
         line("stats_fold_delete", d); line("metadata_sum_post_delete", e)
-        (d, e, pm, ps, qpm, qps)
+        // the UPDATE fold: assigning one column must cost O(touched
+        // files rewrite) and leave every other column's stats serving
+        val u = timed(t.update("l_quantity = 23",
+          Map("l_quantity" -> "l_quantity + 0")))
+        val e2 = timed {
+          spark.sql(s"SELECT SUM(l_orderkey) AS s FROM $grpCat.s.t").collect()
+        }
+        line("stats_fold_update", u); line("metadata_sum_post_update", e2)
+        (d, e, pm, ps, qpm, qps, u, e2)
       }
       // round-14 late rows: the grouped distinct-users rollup (sketch
       // layer vs scan), the retention partition-drop that now KEEPS the
@@ -681,6 +689,8 @@ object Bench {
         "partition_ndv_scan" -> pndvScan,
         "partition_pct_metadata" -> ppctMeta,
         "partition_pct_scan" -> ppctScan,
+        "stats_fold_update" -> statsFoldUpdate,
+        "metadata_sum_post_update" -> sumPostUpdate,
         "grouped_approx_metadata" -> grpApproxMeta,
         "grouped_approx_scan" -> grpApproxScan,
         "retention_drop_fold" -> retentionDrop,

@@ -438,7 +438,7 @@ object ScaleCheck {
     // the post-delete scan-free SUM must both stay ≈flat from sf0.1 to
     // sf1, while a stamp-killing design would pay a full re-ANALYZE
     // scan (the `analyze_stamp_scan` line above) to get SUM back.
-    val (deleteFoldFixed, sumPostDelete) = {
+    val (deleteFoldFixed, sumPostDelete, updateFoldFixed, sumPostUpdate) = {
       import org.apache.spark.sql.functions.col
       val loc = java.nio.file.Files.createTempDirectory("scalecheck-delfold").toString
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -464,7 +464,22 @@ object ScaleCheck {
       }
       System.err.println(
         f"[scalecheck] stats_fold_delete_fixed $d%.2fs metadata_sum_post_delete $e%.2fs")
-      (d, e)
+      // round-14 late: the UPDATE fold at a FIXED absolute key range —
+      // range-clustered files bound the rewrite's touched bytes at any
+      // sf, so the update (rewrite + property restamp) and the
+      // post-update scan-free SUM of the UNASSIGNED column must both
+      // stay ≈flat from sf0.1 to sf1
+      val u = timed(t.update("l_orderkey <= 4000",
+        Map("l_suppkey" -> "l_suppkey + 0")))
+      require(graft.tables.ColumnStats.currentSum(t.snapshot, "l_orderkey").isDefined,
+        "the update fold must keep the unassigned column's SUM servable")
+      val e2 = timed {
+        val got = spark.sql("SELECT SUM(l_orderkey) AS s FROM scaledf.s.t").collect()
+        require(got.nonEmpty)
+      }
+      System.err.println(
+        f"[scalecheck] stats_fold_update_fixed $u%.2fs metadata_sum_post_update $e2%.2fs")
+      (d, e, u, e2)
     }
     // round-14: per-partition KMV sketches — the filtered
     // APPROX_COUNT_DISTINCT answer is an O(#partitions × k) driver
@@ -558,6 +573,8 @@ object ScaleCheck {
       "approx_percentile_post_fold" -> pctPostFold,
       "stats_fold_delete_fixed" -> deleteFoldFixed,
       "metadata_sum_post_delete" -> sumPostDelete,
+      "stats_fold_update_fixed" -> updateFoldFixed,
+      "metadata_sum_post_update" -> sumPostUpdate,
       "partition_ndv_metadata" -> pndvMeta,
       "grouped_sum_metadata" -> grpSumMeta,
       "retention_drop_metadata" -> retDrop,
