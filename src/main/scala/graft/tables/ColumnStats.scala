@@ -1188,6 +1188,19 @@ object ColumnStats {
             splitLayerKey(k).exists { case (_, c, _) => aset.contains(c) }
         if (hit) unset += k -> (null: String)
       }
+      // if every sketch column was assigned, the per-tuple layer would
+      // survive as pvals/pk WITHOUT any pkmv cells — a shape no stamp
+      // writer produces, which would abort every future fold. Unset the
+      // whole layer instead.
+      val remainingLayerCols = props.keys
+        .filter(_.startsWith(PkmvPropPrefix))
+        .map { k =>
+          val rest = k.stripPrefix(PkmvPropPrefix)
+          rest.substring(0, rest.lastIndexOf('.'))
+        }.toSet -- aset
+      if (remainingLayerCols.isEmpty)
+        props.keys.filter(isPartitionLayerKey)
+          .foreach(k => unset += k -> (null: String))
       table.setProperties(unset.result() ++
         Map(FingerprintProp -> fingerprint(snap).toString,
           VersionProp -> commitVersion.toString))

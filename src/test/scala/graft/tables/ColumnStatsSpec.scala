@@ -364,6 +364,16 @@ class ColumnStatsSpec extends AnyFunSuite {
     assert(!props.keys.exists(_.startsWith(ColumnStats.PkmvPropPrefix + "s.")))
     assert(props.keys.count(_.startsWith(ColumnStats.PkmvPropPrefix + "k.")) == 2)
     assert(props.keys.count(_.startsWith(ColumnStats.PsumPropPrefix + "k.")) == 2)
+    // assigning EVERY layer column removes the whole per-tuple layer
+    // (pvals without cells would poison future folds), fingerprint
+    // stays fresh for the COUNT(*)/planner surface
+    ColumnStats.analyze(t, Seq("k", "s"))
+    t.update("k = 9", Map("k" -> "k", "s" -> "s"))
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(!t.snapshot.properties.contains(ColumnStats.PvalsProp),
+      "an all-columns update must not leave an orphaned pvals")
+    // ...and a later append fold still lands (restamps cleanly)
+    t.append(Seq((900L, "s900", "a")).toDF("k", "s", "p"))
     // assigning the PARTITION column itself bails: rows may move
     ColumnStats.analyze(t, Seq("k"))
     t.update("k = 8", Map("p" -> "'b'"))
