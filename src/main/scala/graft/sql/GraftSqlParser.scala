@@ -490,10 +490,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               val k = p.get(KProp).flatMap(_.toLongOption)
               val stampedV = p.get(VersionProp).flatMap(_.toLongOption)
                 .map(java.lang.Long.valueOf).orNull
+              // every prefix that can be a column's LAST surviving stat
+              // (after a tie-dropping delete or an update fold a column
+              // can be down to just cnt — which still feeds the
+              // planner's nullCount and must stay inspectable)
               val cols = p.keys.collect {
                 case key if key.startsWith(NdvPropPrefix) => key.stripPrefix(NdvPropPrefix)
                 case key if key.startsWith(SumPropPrefix) => key.stripPrefix(SumPropPrefix)
                 case key if key.startsWith(MinPropPrefix) => key.stripPrefix(MinPropPrefix)
+                case key if key.startsWith(CntPropPrefix) => key.stripPrefix(CntPropPrefix)
+                case key if key.startsWith(SqPropPrefix) => key.stripPrefix(SqPropPrefix)
+                case key if key.startsWith(QsPropPrefix) => key.stripPrefix(QsPropPrefix)
               }.toSeq.distinct.sorted
               def mm(prefix: String, c: String): String =
                 p.get(prefix + c).map {

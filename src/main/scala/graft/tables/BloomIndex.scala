@@ -175,18 +175,29 @@ object BloomIndex {
     val fs = TxLog.fs(spark, table.location)
     // sweep temp/aside dirs leaked by a CRASHED previous compact —
     // nothing else ever reads them, so this is the one cleanup point.
-    // Age-gated: a dir younger than the window may belong to a compact
-    // still RUNNING concurrently (deleting its live tmp, or its aside
-    // mid-swap, could leave no sidecar at all — a silent full-index
-    // rebuild); an hour-old one is provably a crash leftover.
+    // Age-gated on the CREATION stamp embedded in the dir NAME: a dir
+    // younger than the window may belong to a compact still RUNNING
+    // concurrently (deleting its live tmp, or its aside mid-swap,
+    // could leave no sidecar at all — a silent full-index rebuild).
+    // The mtime alone cannot gate the aside: rename PRESERVES the
+    // source dir's (old) mtime, so a just-created aside would look
+    // hours old the instant it appears. Legacy stamps without a
+    // millis prefix fall back to mtime.
     val parent = dir.getParent
     if (parent != null && fs.exists(parent)) {
       val cutoff = System.currentTimeMillis() - SweepAgeMs
       fs.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
-        if ((n.startsWith(dir.getName + ".compact-") ||
-            n.startsWith(dir.getName + ".old-")) &&
-            st.getModificationTime < cutoff) { fs.delete(st.getPath, true); () }
+        val prefixes = Seq(dir.getName + ".compact-", dir.getName + ".old-")
+        prefixes.find(n.startsWith).foreach { pre =>
+          val born = n.stripPrefix(pre).takeWhile(_.isDigit) match {
+            case ds if ds.length >= 12 => ds.toLongOption
+            case _ => None
+          }
+          if (born.getOrElse(st.getModificationTime) < cutoff) {
+            fs.delete(st.getPath, true); ()
+          }
+        }
       }
     }
     if (!fs.exists(dir)) return 0L
@@ -195,7 +206,10 @@ object BloomIndex {
       spark.sparkContext.parallelize(table.snapshot.files.map(f => Row(f.path)), 32),
       StructType(Seq(StructField("file", StringType, nullable = false))))
     val total = side.count()
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    // millis-prefixed stamp: the sweep's age gate reads creation time
+    // from the NAME (rename preserves mtime, so mtime can't be trusted)
+    val stamp = System.currentTimeMillis().toString + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(dirStr + ".compact-" + stamp)
     side.join(broadcast(live), Seq("file"), "left_semi")
       .write.parquet(tmp.toString)

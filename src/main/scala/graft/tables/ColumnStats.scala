@@ -489,11 +489,15 @@ object ColumnStats {
           Seq(s"$MinPropPrefix$c" -> mn, s"$MaxPropPrefix$c" -> mx) }.toMap ++
         columns.zip(cnts).map { case (c, n) => s"$CntPropPrefix$c" -> n.toString }.toMap ++
         integral.zip(sqs).map { case (c, v) => s"$SqPropPrefix$c" -> v }.toMap ++
-        // quantile sketches: stamped only while under the size cap (a
-        // skipped column simply keeps the scan — self-limiting)
-        numeric.zip(qss).collect {
-          case (c, bytes) if bytes.length <= QsByteCap =>
-            s"$QsPropPrefix$c" -> graft.functions.QuantileDigest.encode(bytes)
+        // quantile sketches: stamped only while under the size cap. An
+        // over-cap column must stamp an explicit UNSET (null) — merely
+        // skipping it would leave a PREVIOUS analyze's digest to be
+        // re-validated by the new fingerprint and served stale
+        numeric.zip(qss).map { case (c, bytes) =>
+          s"$QsPropPrefix$c" ->
+            (if (bytes.length <= QsByteCap)
+              graft.functions.QuantileDigest.encode(bytes)
+            else null)
         }.toMap ++
         partitionSketchProps(table, snap, columns) ++
         Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString,
@@ -1070,8 +1074,39 @@ object ColumnStats {
         case Some(vals) => set ++= vals
         case None =>
       // underivable: one column-pruned aggregate over exactly the
-      // removed rows (data the rewrite read anyway), subtract/tie-check
+      // removed rows (data the rewrite read anyway), subtract/tie-check.
+      // This RE-EVALUATES the predicate in a fresh query, which is only
+      // sound when it evaluates identically to the rewrite's own pass:
+      // a time-dependent expression (current_timestamp in the classic
+      // retention `WHERE ts < now() - 30d`) is frozen per-QUERY by
+      // Spark, so the fold's later evaluation would subtract a
+      // DIFFERENT row set than was deleted and stamp wrong values as
+      // fresh. Nondeterministic or current-time predicates bail to a
+      // stale stamp instead. (The partition-drop derivation above is
+      // predicate-free and unaffected.)
       import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val parsedPred = table.spark.sessionState.sqlParser.parseExpression(predicate)
+      // the parse tree is UNRESOLVED (current_timestamp() is an
+      // UnresolvedFunction, bare current_date can even surface as an
+      // UnresolvedAttribute), so the check is name-based over the
+      // unstable surface plus type/determinism over anything resolved.
+      // A real column unluckily named current_timestamp merely bails
+      // to a stale stamp — conservative, never wrong.
+      val unstableNames = Set("current_timestamp", "now", "current_date",
+        "localtimestamp", "current_timezone", "current_time", "rand", "randn",
+        "random", "uuid", "shuffle", "monotonically_increasing_id")
+      val timeDependent = parsedPred.exists {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          unstableNames(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          unstableNames(a.name.toLowerCase(java.util.Locale.ROOT))
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestampLike => true
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentDate => true
+        case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentTimeZone => true
+        case e => !e.deterministic
+      }
+      if (timeDependent) return
       val removedDf = table.dfForFiles(base, removedPaths)
         .filter(coalesce(expr(predicate), lit(false)))
       val (_, remSums, remMms, remCnts, remSqs, _) =

@@ -139,13 +139,26 @@ object IncrementalView {
         // count and Σx² as exact decimal(38,0) — with sum_<c> these
         // derive AVG/VAR/STDDEV on read, and UNLIKE min/max/uniq both
         // are RETRACTABLE: the signed CDF fold subtracts exactly, so
-        // per-group variance stays incremental under source deletes
-        momentCols.flatMap(c => Seq(
-          sum(when(col(c).isNotNull, s).otherwise(lit(0L)))
-            .cast(LongType).as(cntCol(c)),
-          coalesce(sum(col(c).cast("decimal(38,0)") *
-            col(c).cast("decimal(38,0)") * s),
-            lit(0).cast("decimal(38,0)")).as(sqCol(c))))): _*)
+        // per-group variance stays incremental under source deletes.
+        // The null Σx² of an ALL-NULL group folds as 0 (cnt decides the
+        // SQL NULL on read), but a null from decimal(38,0) OVERFLOW
+        // (cnt > 0) is kept as a POISON null — it propagates through
+        // every later `t.sq + s.sq` fold and the derived variance
+        // answers NULL, never the silently-negative value a
+        // coalesced 0 would produce
+        momentCols.flatMap { c =>
+          val cnt = sum(when(col(c).isNotNull, s).otherwise(lit(0L)))
+            .cast(LongType)
+          Seq(
+            cnt.as(cntCol(c)),
+            // try_sum: decimal(38,0) overflow nulls in BOTH ANSI modes
+            // (a plain sum would throw under ANSI, and a coalesced 0
+            // would silently derive a NEGATIVE variance)
+            when(cnt === 0L, lit(0).cast("decimal(38,0)"))
+              .otherwise(try_sum(col(c).cast("decimal(38,0)") *
+                col(c).cast("decimal(38,0)") * s))
+              .as(sqCol(c)))
+        }): _*)
   }
 
   /** Refresh the view at `viewLocation` from `source`, creating it on

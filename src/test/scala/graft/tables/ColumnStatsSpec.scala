@@ -381,6 +381,26 @@ class ColumnStatsSpec extends AnyFunSuite {
       "a partition-column assignment must leave the stamp stale")
   }
 
+  test("a time-dependent DELETE predicate bails the fold — stale, never wrong") {
+    // the fold re-evaluates the predicate in a FRESH query; Spark
+    // freezes current_timestamp per query, so the fold's evaluation
+    // could subtract a different row set than the rewrite removed —
+    // the guard must leave the stamp stale instead
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-timedep") + "/t")
+    t.create((1L to 100L).map(i =>
+      (i, new java.sql.Timestamp(1600000000000L + i))).toDF("id", "ts"))
+    ColumnStats.analyze(t, Seq("id"))
+    t.delete("id < 50 AND ts < current_timestamp()")
+    assert(!ColumnStats.isFresh(t.snapshot),
+      "a current_timestamp predicate must not fold")
+    // the deterministic twin folds fine
+    ColumnStats.analyze(t, Seq("id"))
+    t.delete("id = 60")
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.currentSumBig(t.snapshot, "id")
+      .contains(Some(BigInt((50L to 100L).sum - 60L))))
+  }
+
   test("timestamp and decimal extremes round-trip the stamp") {
     val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
     val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")

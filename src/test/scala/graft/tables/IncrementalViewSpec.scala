@@ -392,6 +392,26 @@ class IncrementalViewSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(r.fieldIndex("stddev_v")) -
         math.sqrt(expVar(xs))) < 1e-9)
     }
+    // decimal(38,0) OVERFLOW of a group's sq state poisons to null —
+    // the derived variance answers NULL, never a silently negative
+    // value (an all-null group's legit null sq still folds as 0)
+    // ±big: the long SUM stays ~0 (no ANSI throw) while Σx² crosses
+    // the decimal(38,0) cap — isolating the sq-overflow path
+    val big = 9000000000000000000L
+    val ofSrcLoc = TestSpark.tmpDir("mv-mom-of")
+    DeltaLogWriter.create(spark, ofSrcLoc,
+      Seq(("k0", big), ("k0", -big), ("k1", 3L)).toDF("k", "v"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val ofSrc = TxTable.forForeignDelta(spark, ofSrcLoc)
+    val ofView = TestSpark.tmpDir("mv-mom-ofv") + "/v"
+    IncrementalView.refresh(ofSrc, ofView, Seq("k"), Seq("v"), momentCols = Seq("v"))
+    val ofRows = IncrementalView.withVariances(
+      TxTable.forLocation(spark, ofView).toDF, Seq("v"))
+      .collect().map(r => r.getString(r.fieldIndex("k")) -> r).toMap
+    assert(ofRows("k0").isNullAt(ofRows("k0").fieldIndex("var_pop_v")),
+      "an overflowed group must answer NULL variance, not a negative one")
+    assert(ofRows("k1").getDouble(ofRows("k1").fieldIndex("var_pop_v")) == 0.0)
+
     // a moment column without its SUM is a definition error
     val bad = TestSpark.tmpDir("mv-mom-bad") + "/v"
     intercept[graft.catalog.UnsupportedOperationError] {
