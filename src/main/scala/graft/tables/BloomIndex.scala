@@ -194,7 +194,16 @@ object BloomIndex {
             case ds if ds.length >= 12 => ds.toLongOption
             case _ => None
           }
-          if (born.getOrElse(st.getModificationTime) < cutoff) {
+          // .old- asides trust the NAME stamp alone (rename preserves
+          // the source's ancient mtime — the original bug). A .compact-
+          // tmp being actively WRITTEN by a slow concurrent compact has
+          // an old name stamp but a fresh mtime: gate it on
+          // max(stamp, mtime) so in-progress work isn't reaped
+          val age =
+            if (n.startsWith(dir.getName + ".compact-"))
+              math.max(born.getOrElse(Long.MinValue), st.getModificationTime)
+            else born.getOrElse(st.getModificationTime)
+          if (age < cutoff) {
             fs.delete(st.getPath, true); ()
           }
         }

@@ -1092,12 +1092,21 @@ object ColumnStats {
       // unstable surface plus type/determinism over anything resolved.
       // A real column unluckily named current_timestamp merely bails
       // to a stale stamp — conservative, never wrong.
+      // zero-arg current-time functions (curdate(), localtime(),
+      // unix_timestamp()) parse as plain UnresolvedFunctions that report
+      // deterministic=true, so they must be caught by NAME — the
+      // resolved-node cases below never see them here
       val unstableNames = Set("current_timestamp", "now", "current_date",
         "localtimestamp", "current_timezone", "current_time", "rand", "randn",
-        "random", "uuid", "shuffle", "monotonically_increasing_id")
+        "random", "uuid", "shuffle", "monotonically_increasing_id",
+        "curdate", "localtime")
+      // unstable ONLY in the zero-arg form: unix_timestamp(ts) parses a
+      // given value deterministically, unix_timestamp() is now()
+      val zeroArgUnstable = Set("unix_timestamp")
       val timeDependent = parsedPred.exists {
         case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-          unstableNames(f.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+          val n = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+          unstableNames(n) || (f.arguments.isEmpty && zeroArgUnstable(n))
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           unstableNames(a.name.toLowerCase(java.util.Locale.ROOT))
         case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestampLike => true

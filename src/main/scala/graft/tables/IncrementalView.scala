@@ -149,12 +149,18 @@ object IncrementalView {
         momentCols.flatMap { c =>
           val cnt = sum(when(col(c).isNotNull, s).otherwise(lit(0L)))
             .cast(LongType)
+          // the all-null-group coalesce must gate on the UNSIGNED
+          // non-null input count: a value-changing UPDATE's signed CDF
+          // delta has cnt = 0 (equal preimage/postimage non-null counts)
+          // but a REAL Σx² delta (Σnew² − Σold²) that a cnt-gated 0
+          // would silently drop, leaving sq stale forever
+          val seen = count(col(c))
           Seq(
             cnt.as(cntCol(c)),
             // try_sum: decimal(38,0) overflow nulls in BOTH ANSI modes
             // (a plain sum would throw under ANSI, and a coalesced 0
             // would silently derive a NEGATIVE variance)
-            when(cnt === 0L, lit(0).cast("decimal(38,0)"))
+            when(seen === 0L, lit(0).cast("decimal(38,0)"))
               .otherwise(try_sum(col(c).cast("decimal(38,0)") *
                 col(c).cast("decimal(38,0)") * s))
               .as(sqCol(c)))
@@ -369,7 +375,13 @@ object IncrementalView {
       val n = col(cntCol(c)).cast("double")
       val s = col(sumCol(c)).cast("decimal(38,0)")
       val q = col(sqCol(c))
-      val vp = (col(cntCol(c)) * q - s * s).cast("double") / (n * n)
+      // n·Σx² and (Σx)² can exceed decimal(38,0) on perfectly healthy
+      // state (values ~1e12 over ~1e9 rows): try_-family arithmetic
+      // answers NULL there — consistent with the write path's poison
+      // contract — instead of an ANSI throw at READ time
+      val vp = try_subtract(
+        try_multiply(col(cntCol(c)).cast("decimal(38,0)"), q),
+        try_multiply(s, s)).cast("double") / (n * n)
       d.withColumn(s"avg_$c",
           when(col(cntCol(c)) === 0L, lit(null))
             .otherwise(s.cast("double") / n))

@@ -399,6 +399,20 @@ class ColumnStatsSpec extends AnyFunSuite {
     assert(ColumnStats.isFresh(t.snapshot))
     assert(ColumnStats.currentSumBig(t.snapshot, "id")
       .contains(Some(BigInt((50L to 100L).sum - 60L))))
+    // zero-arg current-time functions parse as plain UnresolvedFunctions
+    // that report deterministic=true — they must bail by NAME too
+    for (pred <- Seq("id < 55 AND ts < timestamp_seconds(unix_timestamp())",
+        "id >= 65 AND id < 70 AND date(ts) < curdate()")) {
+      ColumnStats.analyze(t, Seq("id"))
+      t.delete(pred)
+      assert(!ColumnStats.isFresh(t.snapshot),
+        s"zero-arg current-time predicate must not fold: $pred")
+    }
+    // ...but unix_timestamp(ts) WITH an argument is deterministic and folds
+    ColumnStats.analyze(t, Seq("id"))
+    t.delete("unix_timestamp(ts) < 1600000000 + 65 AND id >= 70 AND id < 75")
+    assert(ColumnStats.isFresh(t.snapshot),
+      "argful unix_timestamp is deterministic — the fold must land")
   }
 
   test("timestamp and decimal extremes round-trip the stamp") {

@@ -418,4 +418,64 @@ class IncrementalViewSpec extends AnyFunSuite {
       IncrementalView.refresh(src, bad, Seq("k"), Seq.empty, momentCols = Seq("v"))
     }
   }
+
+  test("moment state stays exact under a value-changing source UPDATE") {
+    // the regression shape: an UPDATE that changes values but not the
+    // group's non-null count folds a SIGNED cnt delta of exactly 0 while
+    // the Σx² delta (Σnew² − Σold²) is nonzero — a cnt-gated coalesce
+    // dropped it, leaving sq (and every later variance read) stale
+    val srcLoc = TestSpark.tmpDir("mv-momu-src")
+    val viewLoc = TestSpark.tmpDir("mv-momu-view") + "/v"
+    val rows = (1L to 30L).map(i => (s"k${i % 2}", i))
+    DeltaLogWriter.create(spark, srcLoc, rows.toDF("k", "v"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val src = TxTable.forForeignDelta(spark, srcLoc)
+    def refresh() = IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"),
+      momentCols = Seq("v"))
+    assert(refresh().mode == "initial")
+    // every row's value changes, no row's nullness changes
+    src.update("v % 3 = 0", Map("v" -> "v * 10"))
+    val r = refresh()
+    // must stay on the signed CDF fold — a full re-sync would recompute
+    // sq from scratch and mask the dropped-delta regression
+    assert(r.mode == "cdf")
+    val live = rows.map { case (k, v) => (k, if (v % 3 == 0) v * 10 else v) }
+    val view = IncrementalView.withVariances(
+      TxTable.forLocation(spark, viewLoc).toDF, Seq("v")).collect()
+    assert(view.length == 2)
+    view.foreach { row =>
+      val k = row.getString(row.fieldIndex("k"))
+      val xs = live.filter(_._1 == k).map(_._2)
+      val n = BigInt(xs.size); val s = xs.map(BigInt(_)).sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      val exp = (n * q - s * s).toDouble / (n * n).toDouble
+      assert(row.getLong(row.fieldIndex("cnt_v")) == xs.size.toLong)
+      val got = row.getDouble(row.fieldIndex("var_pop_v"))
+      assert(math.abs(got - exp) <= 1e-9 * math.max(1.0, exp),
+        s"group $k: var_pop $got after UPDATE, expected $exp — sq went stale")
+    }
+  }
+
+  test("variance read path answers NULL on decimal overflow, never throws") {
+    // healthy (non-poisoned) state whose n·Σx² exceeds decimal(38,0):
+    // ±3e18 alternating keeps SUM(long) at 0 (no ANSI throw on write)
+    // and Σx² = 10·9e36 = 9e37 inside decimal(38,0), but the read-time
+    // product cnt·Σx² = 9e38 overflows — try_-arithmetic must answer
+    // NULL (the poison contract) instead of an ANSI ArithmeticException
+    val srcLoc = TestSpark.tmpDir("mv-momr-src")
+    val viewLoc = TestSpark.tmpDir("mv-momr-view") + "/v"
+    val big = 3000000000000000000L
+    val rows = (1 to 10).map(i => ("hot", if (i % 2 == 0) big else -big)) ++
+      Seq(("ok", 3L), ("ok", 5L))
+    DeltaLogWriter.create(spark, srcLoc, rows.toDF("k", "v"),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    val src = TxTable.forForeignDelta(spark, srcLoc)
+    IncrementalView.refresh(src, viewLoc, Seq("k"), Seq("v"), momentCols = Seq("v"))
+    val got = IncrementalView.withVariances(
+      TxTable.forLocation(spark, viewLoc).toDF, Seq("v"))
+      .collect().map(r => r.getString(r.fieldIndex("k")) -> r).toMap
+    assert(got("hot").isNullAt(got("hot").fieldIndex("var_pop_v")),
+      "a 38-digit read-time intermediate must answer NULL, not throw")
+    assert(got("ok").getDouble(got("ok").fieldIndex("var_pop_v")) == 1.0)
+  }
 }
