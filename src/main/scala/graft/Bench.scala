@@ -7,12 +7,28 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is fully materialized through the `noop` sink (so projections
   * and windows are actually computed, unlike a `count()` which Catalyst can
-  * prune to a scan). Best-of-3 per query: the first pass pays JIT/codegen
-  * warmup, later passes measure steady-state — closer to the per-query cost
-  * a long-running cluster job would see. Three passes rather than two
-  * because this host's timings swing up to 3x run-to-run under shared-CPU
-  * noise (the same q03 plan measured 0.72s and 2.4s minutes apart); the
-  * minimum of three is a much tighter steady-state estimator.
+  * prune to a scan).
+  *
+  * Two timing regimes, deliberately different:
+  *   - HEADLINE queries: best-of-3 per query — the first pass pays
+  *     JIT/codegen warmup, and this host's timings swing up to 3x
+  *     run-to-run under shared-CPU noise (the same q03 plan measured
+  *     0.72s and 2.4s minutes apart); the minimum of three is a much
+  *     tighter steady-state estimator.
+  *   - OPS demo blocks: ONE full pass per opsDemoRun call; the caller
+  *     runs two full passes and records the per-label minimum
+  *     (min-of-two), because each label times a stateful fixture that
+  *     must be rebuilt per pass.
+  *
+  * The headline loop runs as a CBO A/B: the contract metric ("value" /
+  * "queries") comes from the CBO-OFF arm — the headline queries read raw
+  * parquet with NO stamped statistics, so CBO buys them nothing and costs
+  * a fixed per-query planning tax (the BasicStats plan visitor walks every
+  * operator), material at sub-second local timings and noise at cluster
+  * scale. The CBO-ON arm is recorded next to it ("cbo_ab") so the
+  * round-over-round delta is attributable from the artifact alone.
+  * Engine sessions that DO carry stamped stats (Verify/ScaleCheck) keep
+  * CBO on — that is where GraftPlannerStats' NDV/min-max costing pays.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,10 +39,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // cost-based optimizer ON: the stamped column statistics the
-      // engine attaches (GraftPlannerStats) feed filter selectivity and
-      // join-reorder costing; relations without stats fall back to
-      // size-only estimation exactly as before
+      // cost-based optimizer ON for the ops blocks: the stamped column
+      // statistics the engine attaches (GraftPlannerStats) feed filter
+      // selectivity and join-reorder costing there; the headline loop
+      // below A/Bs this flag per arm
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -42,15 +58,39 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.headlineQueries.map { q =>
+    val cboKey = "spark.sql.cbo.enabled"
+    val reorderKey = "spark.sql.cbo.joinReorder.enabled"
+    def setCbo(on: Boolean): Unit = {
+      spark.conf.set(cboKey, on.toString); spark.conf.set(reorderKey, on.toString)
+    }
+    // A/B arms INTERLEAVED per query and COUNTERBALANCED (even-indexed
+    // queries run the off arm first, odd-indexed the on arm first): a
+    // whole-arm-first order hands the second arm every warmup the first
+    // paid — page cache, classloading, JIT — and at sub-second timings
+    // that bias is bigger than the effect being measured (even within a
+    // query, JIT tiering keeps improving past pass 3, so the
+    // second-run arm still inherits ~10% warmth; alternating the order
+    // cancels it across the 16-query total). min-of-3 per arm discards
+    // each arm's cold pass, so the off totals stay comparable to the
+    // earlier rounds' protocol.
+    def bestOf3(q: graft.queries.QueryDef, arm: String): Double = {
       val passes = (1 to 3).map { i =>
         val t = timeOnce(q.fn)
-        System.err.println(f"[bench] ${q.name} pass$i $t%.2fs")
+        System.err.println(f"[bench] ${q.name} $arm pass$i $t%.2fs")
         t
       }
-      val best = if (passes.exists(_ < 0)) -1.0 else passes.min
-      q.name -> best
+      if (passes.exists(_ < 0)) -1.0 else passes.min
     }
+    val headlineAb = SparkEntry.headlineQueries.zipWithIndex.map { case (q, i) =>
+      val offFirst = i % 2 == 0
+      setCbo(on = !offFirst)
+      val first = bestOf3(q, if (offFirst) "cbo_off" else "cbo_on")
+      setCbo(on = offFirst)
+      val second = bestOf3(q, if (offFirst) "cbo_on" else "cbo_off")
+      if (offFirst) (q.name, first, second) else (q.name, second, first)
+    }
+    val results = headlineAb.map { case (n, off, _) => n -> off }
+    val resultsCboOn = headlineAb.map { case (n, _, on) => n -> on }
 
     // Skew demo (diagnostic; NOT in the headline total — its RESULT is
     // oracle-anchored by q77_salted_skew_join, which hash-proves salting
@@ -708,15 +748,31 @@ object Bench {
       p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val ops = opsDemo.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""skew_demo":{"naive_aqe_sec":$skewAqe,"naive_noaqe_sec":$skewNoAqe,"salted_sec":$skewSalted},""" +
-      s""""dv_demo":{"cow_delete_sec":$cowSec,"dv_delete_sec":$dvSec},""" +
-      s""""iceberg_demo":{"write_sec":$iceWrite,"full_scan_sec":$iceFull,"pruned_scan_sec":$icePruned},""" +
+    // 3-decimal floats keep the record line small: the r13/r14 artifacts
+    // grew past the driver's tail-capture window on 17-digit doubles and
+    // came back front-truncated (unparseable)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = obj(results)
+    val qsOn = obj(resultsCboOn)
+    val ops = obj(opsDemo)
+    def tot(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
+    val total = tot(results)
+    val totalOn = tot(resultsCboOn)
+    // the headline block ALSO goes out on its own earlier line: even if
+    // a future record outgrows the tail window again, the 16 query
+    // timings survive in the log
+    println(s"""{"metric":"headline","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""cbo_on_total":${fmt(totalOn)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""cbo_ab":{"off_total":${fmt(total)},"on_total":${fmt(totalOn)},"on_queries":$qsOn},""" +
+      s""""skew_demo":{"naive_aqe_sec":${fmt(skewAqe)},"naive_noaqe_sec":${fmt(skewNoAqe)},"salted_sec":${fmt(skewSalted)}},""" +
+      s""""dv_demo":{"cow_delete_sec":${fmt(cowSec)},"dv_delete_sec":${fmt(dvSec)}},""" +
+      s""""iceberg_demo":{"write_sec":${fmt(iceWrite)},"full_scan_sec":${fmt(iceFull)},"pruned_scan_sec":${fmt(icePruned)}},""" +
       s""""ops_demo":$ops,""" +
-      s""""sf":"$sfDir","total_sec":$total}""")
+      s""""sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }
