@@ -323,11 +323,50 @@ object GraftSqlExtensions {
   private[sql] val StatsRefTag =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[(String, Option[Long])]("graft.statsRef")
 
+  /** Per-rewrite-pass memo of `(location, pinned version) → (table
+    * handle, snapshot)`. Every stamped serve resolves its snapshot
+    * through [[resolveTableSnapshot]]; within one [[withSnapshotMemo]]
+    * scope (one rule application) the log is replayed ONCE per table,
+    * not once per aggregate — a dashboard `SELECT` with six stamped
+    * aggregates over a 100k-file table was doing six snapshot loads and
+    * ~600k path-hashes at plan time. The memo is THREAD-LOCAL and lives
+    * only for the duration of one rule application: caching any longer
+    * would serve a pre-DML snapshot to a post-DML query — stale results,
+    * not a perf bug. (All aggregates of one SELECT also now provably
+    * read the SAME snapshot even if a concurrent writer commits
+    * mid-rewrite.)
+    */
+  private val snapMemo = new ThreadLocal[scala.collection.mutable.HashMap[
+    (String, Option[Long]), Option[(graft.tables.TxTable, graft.tables.TxLog.Snapshot)]]]
+
+  /** Genuine (non-memoized) snapshot loads — test-visible so a spec can
+    * pin "a 6-aggregate SELECT resolves its snapshot once". */
+  private[sql] val snapshotLoadCount = new java.util.concurrent.atomic.AtomicLong
+
+  private[sql] def withSnapshotMemo[T](f: => T): T = {
+    val prev = snapMemo.get()
+    snapMemo.set(new scala.collection.mutable.HashMap)
+    try f finally { if (prev == null) snapMemo.remove() else snapMemo.set(prev) }
+  }
+
+  private[sql] def resolveTableSnapshot(session: ClassicSparkSession,
+      loc: String, version: Option[Long])
+      : Option[(graft.tables.TxTable, graft.tables.TxLog.Snapshot)] = {
+    def load(): Option[(graft.tables.TxTable, graft.tables.TxLog.Snapshot)] =
+      try {
+        snapshotLoadCount.incrementAndGet()
+        val t = graft.tables.TxTable.forAnyLocation(session, loc)
+        Some((t, version.map(t.snapshotAt).getOrElse(t.snapshot)))
+      } catch { case _: Throwable => None }
+    val memo = snapMemo.get()
+    if (memo == null) load()
+    else memo.getOrElseUpdate((loc, version), load())
+  }
+
   private[sql] def exactRowCount(session: ClassicSparkSession, loc: String,
       version: Option[Long] = None): Long =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return -1L)
       if (snap.files.exists(_.rows < 0)) -1L
       else snap.files.iterator.map(f =>
         f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L)).sum
@@ -347,8 +386,7 @@ object GraftSqlExtensions {
   private[sql] def exactMinMax(session: ClassicSparkSession, loc: String,
       version: Option[Long], colName: String, isMin: Boolean): Option[Any] =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (t, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
       val field = snap.schema.fields.find(_.name == colName).getOrElse(return None)
       if (snap.files.exists(_.deletionVector.exists(_.cardinality > 0))) return None
       val isPart = snap.partitionColumns.contains(colName)
@@ -390,8 +428,7 @@ object GraftSqlExtensions {
   private[sql] def statsMinMax(session: ClassicSparkSession, loc: String,
       version: Option[Long], colName: String, isMin: Boolean): Option[Any] =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
       graft.tables.ColumnStats.currentMinMax(snap, colName, isMin).map(_.orNull)
     } catch { case _: Throwable => None }
 
@@ -401,8 +438,7 @@ object GraftSqlExtensions {
   private[sql] def statsNdv(session: ClassicSparkSession, loc: String,
       version: Option[Long], colName: String): Option[Any] =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
       graft.tables.ColumnStats.currentNdv(snap, colName).map(identity[Any])
     } catch { case _: Throwable => None }
 
@@ -411,8 +447,7 @@ object GraftSqlExtensions {
   private[sql] def statsSum(session: ClassicSparkSession, loc: String,
       version: Option[Long], colName: String): Option[Option[Long]] =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
       graft.tables.ColumnStats.currentSum(snap, colName)
     } catch { case _: Throwable => None }
 
@@ -436,8 +471,7 @@ object GraftSqlExtensions {
   private def survivingTuples(session: ClassicSparkSession, loc: String,
       version: Option[Long], preds: Seq[PartPred])
       : Option[(graft.tables.TxLog.Snapshot, Seq[Seq[String]], Seq[Int])] = {
-    val t = graft.tables.TxTable.forAnyLocation(session, loc)
-    val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+    val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
     val pcols = snap.partitionColumns
     if (pcols.isEmpty) return None
     if (!preds.forall(p => pcols.contains(p.col))) return None
@@ -455,49 +489,92 @@ object GraftSqlExtensions {
     Some((snap, tuples, keep))
   }
 
-  private[sql] def statsPartitionNdv(session: ClassicSparkSession, loc: String,
-      version: Option[Long], colName: String,
-      preds: Seq[PartPred]): Option[Long] =
+  /** One keep-set's served value for a stamped-layer output kind — THE
+    * shared core of the filtered (ungrouped) and grouped serves, which
+    * differ ONLY in the shape of the keep-set ([[statsPartitionServe]]
+    * passes the one surviving set, [[statsGroupedPartitionServe]] one
+    * set per group). Returns the FINAL cell value (SQL NULL as a null
+    * inside Some); None = unprovable → the whole serve falls to scan.
+    *
+    * Per kind:
+    *   - NDV of a PARTITION column is exact: its filtered distinct set
+    *     is exactly the keep-set's slot values (every stamped tuple
+    *     holds >=1 live row — appends extend the layer, a pure
+    *     partition DROP shrinks it exactly, any other removal unsets
+    *     it); DISTINCT excludes SQL NULL. Non-partition NDV exact-merges
+    *     the stamped KMV sketches.
+    *   - SUM/MIN/MAX are exact from the per-partition scalar cells (the
+    *     extremes route covers exactly the types per-file footer stats
+    *     refuse: strings, floats); SQL NULL decided by the merged
+    *     non-null count.
+    *   - AVG / central moments derive from exact (n, Σx, Σx²).
+    *   - APPROX_PERCENTILE merges the surviving digests (disjoint row
+    *     sets), gated on the call's tolerance covering the MERGED
+    *     digest's own recorded ε; an empty scope / all-null column
+    *     answers SQL NULL.
+    */
+  private def stampedCellValue(snap: graft.tables.TxLog.Snapshot,
+      tuples: Seq[Seq[String]], out: StampedOut, idxs: Seq[Int]): Option[Any] = {
+    val cs = graft.tables.ColumnStats
+    out match {
+      case StampedApprox(c) =>
+        val pcols = snap.partitionColumns
+        if (pcols.contains(c)) {
+          val slot = pcols.indexOf(c)
+          Some(idxs.map(tuples(_)(slot)).filter(_ != null).distinct.size.toLong)
+        } else cs.mergedPartitionNdv(snap, c, idxs).map(identity[Any])
+      case StampedSum(c) =>
+        cs.mergedPartitionSum(snap, c, idxs).map(_.map(identity[Any]).orNull)
+      case StampedMinMax(c, isMin) =>
+        cs.mergedPartitionMinMax(snap, c, isMin, idxs).map(_.orNull)
+      case StampedAvg(c) =>
+        val cnt = cs.mergedPartitionCount(snap, c, idxs).getOrElse(return None)
+        if (cnt == 0L) Some(null)
+        else cs.mergedPartitionMoment(snap, c, idxs, isSq = false)
+          .map(s => java.lang.Double.valueOf(s.toDouble / cnt.toDouble): Any)
+      case StampedMoment(c, mk) =>
+        partitionMoments(snap, c, idxs).map { case (n, s, q) =>
+          momentValue(n, s, q, mk)
+        }
+      case StampedPercentile(c, pcts, isArray, acc, dt) =>
+        if (acc <= 0 || pcts.exists(p => p < 0.0 || p > 1.0)) return None
+        cs.mergedPartitionQuantile(snap, c, idxs).flatMap {
+          case None => Some(Seq.empty) // keep-set empty: SQL NULL below
+          case Some(d) =>
+            if (1.0 / acc.toDouble < d.quantileSummaries.relativeError) None
+            else if (graft.functions.QuantileDigest.count(d) == 0L) Some(Seq.empty)
+            else Some(graft.functions.QuantileDigest
+              .percentiles(d, pcts.toArray).toSeq)
+        }.map(vals => percentileResult(vals, dt, isArray))
+    }
+  }
+
+  /** A stamped-layer output under an absorbed partition-only WHERE:
+    * the surviving tuples' cells folded per [[stampedCellValue]].
+    * None = unprovable → scan. */
+  private[sql] def statsPartitionServe(session: ClassicSparkSession,
+      loc: String, version: Option[Long], out: StampedOut,
+      preds: Seq[PartPred]): Option[Any] =
     try {
       val (snap, tuples, keep) =
         survivingTuples(session, loc, version, preds).getOrElse(return None)
-      val pcols = snap.partitionColumns
-      if (pcols.contains(colName)) {
-        // the argument IS a partition column: its filtered distinct set
-        // is EXACTLY the surviving tuples' values for that slot (every
-        // stamped tuple holds >=1 live row — appends extend the layer,
-        // a pure partition DROP shrinks it exactly, any other removal
-        // unsets it). DISTINCT excludes SQL NULL.
-        val slot = pcols.indexOf(colName)
-        Some(keep.map(tuples(_)(slot)).filter(_ != null).distinct.size.toLong)
-      } else graft.tables.ColumnStats.mergedPartitionNdv(snap, colName, keep)
+      stampedCellValue(snap, tuples, out, keep)
     } catch { case _: Throwable => None }
 
-  /** Exact `SUM(col)` under an absorbed partition-only WHERE from the
-    * stamped per-partition scalars (Σ surviving psum, SQL NULL decided
-    * by Σ surviving pcnt). Some(None) = SQL NULL; outer None = scan.
-    */
-  private[sql] def statsPartitionSum(session: ClassicSparkSession, loc: String,
-      version: Option[Long], colName: String,
-      preds: Seq[PartPred]): Option[Option[Long]] =
+  /** A stamped-layer output `... GROUP BY pcol`: each group's surviving
+    * tuples folded per [[stampedCellValue]] — the per-day dashboard
+    * rollup as one property read. Keys are Catalyst-internal values
+    * (comparable with exactGroupedAgg's keys, so mixed exact+stamped
+    * outputs join on them). None = unprovable → scan. */
+  private[sql] def statsGroupedPartitionServe(session: ClassicSparkSession,
+      loc: String, version: Option[Long], out: StampedOut,
+      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Any]] =
     try {
-      val (snap, _, keep) =
-        survivingTuples(session, loc, version, preds).getOrElse(return None)
-      graft.tables.ColumnStats.mergedPartitionSum(snap, colName, keep)
-    } catch { case _: Throwable => None }
-
-  /** Exact `MIN/MAX(col)` under an absorbed partition-only WHERE from
-    * the stamped per-partition extremes — the route for exactly the
-    * types per-file footer stats refuse (strings, floats), and for
-    * partition columns themselves (slot values). Some(None) = SQL NULL.
-    */
-  private[sql] def statsPartitionMinMax(session: ClassicSparkSession, loc: String,
-      version: Option[Long], colName: String, isMin: Boolean,
-      preds: Seq[PartPred]): Option[Option[Any]] =
-    try {
-      val (snap, _, keep) =
-        survivingTuples(session, loc, version, preds).getOrElse(return None)
-      graft.tables.ColumnStats.mergedPartitionMinMax(snap, colName, isMin, keep)
+      val (snap, tuples, groups) =
+        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
+      Some(groups.map { case (k, idxs) =>
+        k -> stampedCellValue(snap, tuples, out, idxs).getOrElse(return None)
+      }.toMap)
     } catch { case _: Throwable => None }
 
   /** Exact `AVG(col)` from the table-wide stamped moments while fresh:
@@ -507,8 +584,7 @@ object GraftSqlExtensions {
   private[sql] def statsAvg(session: ClassicSparkSession, loc: String,
       version: Option[Long], colName: String): Option[Any] =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
       val cnt = graft.tables.ColumnStats.currentCount(snap, colName)
         .getOrElse(return None)
       if (cnt == 0L) return Some(null) // zero non-null values: SQL NULL
@@ -523,8 +599,7 @@ object GraftSqlExtensions {
   private[sql] def statsVar(session: ClassicSparkSession, loc: String,
       version: Option[Long], colName: String, mk: MomentKind): Option[Any] =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
       val cnt = graft.tables.ColumnStats.currentCount(snap, colName)
         .getOrElse(return None)
       if (cnt == 0L) return Some(null)
@@ -549,8 +624,7 @@ object GraftSqlExtensions {
       accuracy: Long): Option[Seq[Double]] =
     try {
       if (accuracy <= 0 || percentages.exists(p => p < 0.0 || p > 1.0)) return None
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
       val d = graft.tables.ColumnStats.currentQuantileDigest(snap, colName)
         .getOrElse(return None)
       if (1.0 / accuracy.toDouble < d.quantileSummaries.relativeError) return None
@@ -558,80 +632,27 @@ object GraftSqlExtensions {
       Some(graft.functions.QuantileDigest.percentiles(d, percentages).toSeq)
     } catch { case _: Throwable => None }
 
-  /** `APPROX_PERCENTILE(col, p, accuracy)` under an absorbed
-    * partition-only WHERE: the surviving tuples' stamped digests merge
-    * (disjoint row sets — the same exactness argument as the append
-    * fold), gated on the call's tolerance covering the MERGED digest's
-    * own recorded ε (the layer's coarser PartitionQuantileEps).
-    * Some(Seq.empty) = SQL NULL (empty scope / all-null column). */
-  private[sql] def statsPartitionPercentile(session: ClassicSparkSession,
-      loc: String, version: Option[Long], colName: String,
-      percentages: Array[Double], accuracy: Long,
-      preds: Seq[PartPred]): Option[Seq[Double]] =
-    try {
-      if (accuracy <= 0 || percentages.exists(p => p < 0.0 || p > 1.0)) return None
-      val (snap, _, keep) =
-        survivingTuples(session, loc, version, preds).getOrElse(return None)
-      graft.tables.ColumnStats.mergedPartitionQuantile(snap, colName, keep)
-        .flatMap {
-          case None => Some(Seq.empty) // WHERE excluded every partition
-          case Some(d) =>
-            if (1.0 / accuracy.toDouble < d.quantileSummaries.relativeError) None
-            else if (graft.functions.QuantileDigest.count(d) == 0L) Some(Seq.empty)
-            else Some(graft.functions.QuantileDigest
-              .percentiles(d, percentages).toSeq)
-        }
-    } catch { case _: Throwable => None }
-
-  /** `APPROX_PERCENTILE(col, p, accuracy) ... GROUP BY pcol` — each
-    * group's surviving tuples' digests merged ([[statsPartitionPercentile]]
-    * contract per group; an all-null group rides as an empty Seq). */
-  private[sql] def statsGroupedPartitionPercentile(session: ClassicSparkSession,
-      loc: String, version: Option[Long], colName: String,
-      percentages: Array[Double], accuracy: Long, groupCols: Seq[String],
-      preds: Seq[PartPred]): Option[Map[Seq[Any], Seq[Double]]] =
-    try {
-      if (accuracy <= 0 || percentages.exists(p => p < 0.0 || p > 1.0)) return None
-      val (snap, _, groups) =
-        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
-      Some(groups.map { case (k, idxs) =>
-        val d = graft.tables.ColumnStats
-          .mergedPartitionQuantile(snap, colName, idxs)
-          .getOrElse(return None).getOrElse(return None) // a stamped group always has >=1 tuple
-        if (1.0 / accuracy.toDouble < d.quantileSummaries.relativeError) return None
-        k -> (if (graft.functions.QuantileDigest.count(d) == 0L) Seq.empty[Double]
-          else graft.functions.QuantileDigest.percentiles(d, percentages).toSeq)
-      }.toMap)
-    } catch { case _: Throwable => None }
-
-  /** Exact `AVG(col)` under an absorbed partition-only WHERE from the
-    * per-partition scalars (Σ surviving psum ÷ Σ surviving pcnt). */
-  private[sql] def statsPartitionAvg(session: ClassicSparkSession, loc: String,
-      version: Option[Long], colName: String,
-      preds: Seq[PartPred]): Option[Any] =
-    try {
-      val (snap, _, keep) =
-        survivingTuples(session, loc, version, preds).getOrElse(return None)
-      val cnt = graft.tables.ColumnStats.mergedPartitionCount(snap, colName, keep)
-        .getOrElse(return None)
-      if (cnt == 0L) Some(null)
-      else graft.tables.ColumnStats
-        .mergedPartitionMoment(snap, colName, keep, isSq = false)
-        .map(s => java.lang.Double.valueOf(s.toDouble / cnt.toDouble))
-    } catch { case _: Throwable => None }
-
-  /** `VAR`/`STDDEV` forms of `(col)` under an absorbed partition-only WHERE from
-    * the per-partition moment cells. */
-  private[sql] def statsPartitionVar(session: ClassicSparkSession, loc: String,
-      version: Option[Long], colName: String, mk: MomentKind,
-      preds: Seq[PartPred]): Option[Any] =
-    try {
-      val (snap, _, keep) =
-        survivingTuples(session, loc, version, preds).getOrElse(return None)
-      partitionMoments(snap, colName, keep).map { case (n, s, q) =>
-        momentValue(n, s, q, mk)
+  /** The percentile serve's doubles converted back to the matched
+    * aggregate's RESULT representation (mirrors Spark's own
+    * ApproximatePercentile.eval conversions). */
+  private def percentileResult(vals: Seq[Double],
+      dt: org.apache.spark.sql.types.DataType, isArray: Boolean): Any = {
+    import org.apache.spark.sql.types._
+    if (vals.isEmpty) null // empty column: SQL NULL, array or not
+    else {
+      val conv: Seq[Any] = dt match {
+        case ByteType => vals.map(_.toByte)
+        case ShortType => vals.map(_.toShort)
+        case IntegerType => vals.map(_.toInt)
+        case LongType => vals.map(_.toLong)
+        case FloatType => vals.map(_.toFloat)
+        case _ => vals
       }
-    } catch { case _: Throwable => None }
+      if (isArray)
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(conv.toArray)
+      else conv.head
+    }
+  }
 
   /** (n, Σx, Σx²) over the `keep` tuples, or None when any cell is
     * missing/overflowed. n==0 short-circuits to (0,0,0) — the moment
@@ -649,51 +670,6 @@ object GraftSqlExtensions {
     } yield (BigInt(cnt), s, q)
   }
 
-  /** `AVG(col) ... GROUP BY pcol` from the per-partition scalars — the
-    * per-day average dashboard rollup as one property read. A group's
-    * SQL NULL (all surviving values null) rides as a null map value. */
-  private[sql] def statsGroupedPartitionAvg(session: ClassicSparkSession,
-      loc: String, version: Option[Long], colName: String,
-      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Any]] =
-    try {
-      val (snap, _, groups) =
-        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
-      Some(groups.map { case (k, idxs) =>
-        val cnt = graft.tables.ColumnStats.mergedPartitionCount(snap, colName, idxs)
-          .getOrElse(return None)
-        val v: Any =
-          if (cnt == 0L) null
-          else graft.tables.ColumnStats
-            .mergedPartitionMoment(snap, colName, idxs, isSq = false)
-            .map(s => java.lang.Double.valueOf(s.toDouble / cnt.toDouble): Any)
-            .getOrElse(return None)
-        k -> v
-      }.toMap)
-    } catch { case _: Throwable => None }
-
-  /** `VAR`/`STDDEV` forms of `(col) ... GROUP BY pcol` from the
-    * per-partition moment cells. */
-  private[sql] def statsGroupedPartitionVar(session: ClassicSparkSession,
-      loc: String, version: Option[Long], colName: String, mk: MomentKind,
-      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Any]] =
-    try {
-      val (snap, _, groups) =
-        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
-      Some(groups.map { case (k, idxs) =>
-        val (n, s, q) = partitionMoments(snap, colName, idxs).getOrElse(return None)
-        k -> momentValue(n, s, q, mk)
-      }.toMap)
-    } catch { case _: Throwable => None }
-
-  /** GROUPED `APPROX_COUNT_DISTINCT(col) ... GROUP BY pcol` from the
-    * stamped per-partition sketches: surviving tuples (under the same
-    * absorbed predicate family) grouped by the decoded group-key values,
-    * each group's sketches exact-merged — the per-day distinct-users
-    * dashboard rollup as one property read. Keys are Catalyst-internal
-    * values (comparable with exactGroupedAgg's keys, so mixed
-    * exact+approx outputs join on them). A NULL group-key value falls to
-    * the scan, consistent with [[exactGroupedAgg]]. None = unprovable.
-    */
   /** Surviving tuples GROUPED by the decoded group-key values — the
     * shared core of the grouped stamped-layer serves. Keys are
     * Catalyst-internal values (comparable with exactGroupedAgg's keys,
@@ -723,60 +699,6 @@ object GraftSqlExtensions {
         groups(key) = groups.getOrElse(key, Vector.empty) :+ i
       }
       Some((snap, tuples, groups))
-    } catch { case _: Throwable => None }
-
-  /** `APPROX_COUNT_DISTINCT(col) ... GROUP BY pcol` from the stamped
-    * per-partition sketches: each group's surviving tuples exact-merged
-    * (the per-day distinct-users dashboard rollup as one property read).
-    */
-  private[sql] def statsGroupedPartitionNdv(session: ClassicSparkSession,
-      loc: String, version: Option[Long], colName: String,
-      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Long]] =
-    try {
-      val (snap, tuples, groups) =
-        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
-      val pcols = snap.partitionColumns
-      if (pcols.contains(colName)) {
-        // partition-column argument: exact per group from the tuples
-        val slot = pcols.indexOf(colName)
-        Some(groups.map { case (k, idxs) =>
-          k -> idxs.map(tuples(_)(slot)).filter(_ != null).distinct.size.toLong
-        }.toMap)
-      } else Some(groups.map { case (k, idxs) =>
-        k -> graft.tables.ColumnStats.mergedPartitionNdv(snap, colName, idxs)
-          .getOrElse(return None)
-      }.toMap)
-    } catch { case _: Throwable => None }
-
-  /** Exact `SUM(col) ... GROUP BY pcol` from the stamped per-partition
-    * scalars — `SELECT day, SUM(bytes) GROUP BY day` as one property
-    * read. A group's SQL NULL (all surviving values null) rides as a
-    * null map value. */
-  private[sql] def statsGroupedPartitionSum(session: ClassicSparkSession,
-      loc: String, version: Option[Long], colName: String,
-      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Any]] =
-    try {
-      val (snap, _, groups) =
-        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
-      Some(groups.map { case (k, idxs) =>
-        k -> graft.tables.ColumnStats.mergedPartitionSum(snap, colName, idxs)
-          .getOrElse(return None).map(identity[Any]).orNull
-      }.toMap)
-    } catch { case _: Throwable => None }
-
-  /** Exact `MIN/MAX(col) ... GROUP BY pcol` from the stamped
-    * per-partition extremes — the grouped route for footer-refused
-    * types (strings, floats) and partition columns. */
-  private[sql] def statsGroupedPartitionMinMax(session: ClassicSparkSession,
-      loc: String, version: Option[Long], colName: String, isMin: Boolean,
-      groupCols: Seq[String], preds: Seq[PartPred]): Option[Map[Seq[Any], Any]] =
-    try {
-      val (snap, _, groups) =
-        groupedSurviving(session, loc, version, groupCols, preds).getOrElse(return None)
-      Some(groups.map { case (k, idxs) =>
-        k -> graft.tables.ColumnStats.mergedPartitionMinMax(snap, colName, isMin, idxs)
-          .getOrElse(return None).orNull
-      }.toMap)
     } catch { case _: Throwable => None }
 
   /** A partition-value STRING to the column's Catalyst-internal value.
@@ -981,8 +903,7 @@ object GraftSqlExtensions {
       outputs: Seq[GroupedOut],
       partFilter: Seq[PartPred] = Seq.empty): Option[Seq[Seq[Any]]] =
     try {
-      val t = graft.tables.TxTable.forAnyLocation(session, loc)
-      val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+      val (t, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
       val partSet = snap.partitionColumns.toSet
       if (!groupCols.forall(partSet.contains)) return None
       val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1475,28 +1396,6 @@ object GraftSqlExtensions {
       case _ => None
     }
 
-    /** The percentile serve's doubles converted back to the matched
-      * aggregate's RESULT representation (mirrors Spark's own
-      * ApproximatePercentile.eval conversions). */
-    private def percentileResult(vals: Seq[Double],
-        dt: org.apache.spark.sql.types.DataType, isArray: Boolean): Any = {
-      import org.apache.spark.sql.types._
-      if (vals.isEmpty) null // empty column: SQL NULL, array or not
-      else {
-        val conv: Seq[Any] = dt match {
-          case ByteType => vals.map(_.toByte)
-          case ShortType => vals.map(_.toShort)
-          case IntegerType => vals.map(_.toInt)
-          case LongType => vals.map(_.toLong)
-          case FloatType => vals.map(_.toFloat)
-          case _ => vals
-        }
-        if (isArray)
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(conv.toArray)
-        else conv.head
-      }
-    }
-
     /** A grouping-key output: a (possibly aliased) direct reference to
       * one of the grouping attributes.
       */
@@ -1508,7 +1407,14 @@ object GraftSqlExtensions {
       case _ => None
     }
 
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // ONE snapshot resolution + fingerprint per (location, version) for
+    // the whole pass: every serve below shares the memo, so a
+    // six-aggregate SELECT plans with one log replay, and all its
+    // aggregates provably answer from the SAME snapshot
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      GraftSqlExtensions.withSnapshotMemo { applyInner(plan) }
+
+    private def applyInner(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(Nil, exprs, child, _)
           if exprs.nonEmpty && exprs.forall(e => isCountStar(e) ||
             minMaxOf(e).isDefined || countColOf(e).isDefined ||
@@ -1565,24 +1471,8 @@ object GraftSqlExtensions {
               if (outs.exists(_.isEmpty)) None
               else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
                 case (loc, v) =>
-                  def stampedValue(s: StampedOut): Option[Any] = s match {
-                    case StampedApprox(c) => GraftSqlExtensions
-                      .statsPartitionNdv(session, loc, v, c, pf).map(identity[Any])
-                    case StampedSum(c) => GraftSqlExtensions
-                      .statsPartitionSum(session, loc, v, c, pf)
-                      .map(_.map(identity[Any]).orNull)
-                    case StampedMinMax(c, isMin) => GraftSqlExtensions
-                      .statsPartitionMinMax(session, loc, v, c, isMin, pf)
-                      .map(_.orNull)
-                    case StampedAvg(c) => GraftSqlExtensions
-                      .statsPartitionAvg(session, loc, v, c, pf)
-                    case StampedMoment(c, mk) => GraftSqlExtensions
-                      .statsPartitionVar(session, loc, v, c, mk, pf)
-                    case StampedPercentile(c, pcts, isArray, acc, dt) =>
-                      GraftSqlExtensions.statsPartitionPercentile(
-                        session, loc, v, c, pcts.toArray, acc, pf)
-                        .map(vals => percentileResult(vals, dt, isArray))
-                  }
+                  def stampedValue(s: StampedOut): Option[Any] =
+                    GraftSqlExtensions.statsPartitionServe(session, loc, v, s, pf)
                   def attempt(flat: Seq[Either[GraftSqlExtensions.GroupedOut, StampedOut]])
                       : Option[Seq[Any]] = {
                     val stampedOuts = flat.collect { case Right(s) => s }.distinct
@@ -1679,9 +1569,9 @@ object GraftSqlExtensions {
                     if (!ownAttr(a)) None
                     else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
                       case (loc, v) => GraftSqlExtensions.statsNdv(session, loc, v, a.name)
-                        .orElse(GraftSqlExtensions
-                          .statsPartitionNdv(session, loc, v, a.name, Seq.empty)
-                          .map(identity[Any]))
+                        .orElse(GraftSqlExtensions.statsPartitionServe(
+                          session, loc, v, GraftSqlExtensions.StampedApprox(a.name),
+                          Seq.empty))
                     }
                     case None => avgOf(e) match {
                       // exact AVG / central moments from the stamped
@@ -1808,25 +1698,9 @@ object GraftSqlExtensions {
               case (loc, v) =>
                 val groupNames =
                   groupExprs.map(_.asInstanceOf[AttributeReference].name)
-                def stampedMap(s: StampedOut): Option[Map[Seq[Any], Any]] = s match {
-                  case StampedApprox(c) => GraftSqlExtensions
-                    .statsGroupedPartitionNdv(session, loc, v, c, groupNames, pf)
-                    .map(_.map { case (k2, n) => k2 -> (n: Any) })
-                  case StampedSum(c) => GraftSqlExtensions
-                    .statsGroupedPartitionSum(session, loc, v, c, groupNames, pf)
-                  case StampedMinMax(c, isMin) => GraftSqlExtensions
-                    .statsGroupedPartitionMinMax(session, loc, v, c, isMin,
-                      groupNames, pf)
-                  case StampedAvg(c) => GraftSqlExtensions
-                    .statsGroupedPartitionAvg(session, loc, v, c, groupNames, pf)
-                  case StampedMoment(c, mk) => GraftSqlExtensions
-                    .statsGroupedPartitionVar(session, loc, v, c, mk, groupNames, pf)
-                  case StampedPercentile(c, pcts, isArray, acc, dt) =>
-                    GraftSqlExtensions.statsGroupedPartitionPercentile(
-                      session, loc, v, c, pcts.toArray, acc, groupNames, pf)
-                      .map(_.map { case (k2, vals) =>
-                        k2 -> percentileResult(vals, dt, isArray) })
-                }
+                def stampedMap(s: StampedOut): Option[Map[Seq[Any], Any]] =
+                  GraftSqlExtensions.statsGroupedPartitionServe(
+                    session, loc, v, s, groupNames, pf)
                 def attempt(flat: Seq[Either[GraftSqlExtensions.GroupedOut, StampedOut]])
                     : Option[Seq[Seq[Any]]] = {
                   val stampedOuts = flat.collect { case Right(s) => s }.distinct

@@ -207,7 +207,9 @@ object ColumnStats {
     * file list; the schema rides along because column DDL can reuse a
     * name without changing it (see class doc).
     */
-  def fingerprint(snap: TxLog.Snapshot): Long = {
+  def fingerprint(snap: TxLog.Snapshot): Long = snap.statsFingerprint
+
+  private[tables] def computeFingerprint(snap: TxLog.Snapshot): Long = {
     val entries = snap.files
       .map(f => s"${f.path}#${f.deletionVector.map(_.cardinality).getOrElse(0L)}")
       .sorted :+

@@ -91,6 +91,13 @@ object TxLog {
       // latest SetTransaction version per appId (log order wins)
       transactions: Map[String, Long] = Map.empty) {
     def isEmpty: Boolean = files.isEmpty
+    // memoized per INSTANCE (lazy val, not part of case equality): the
+    // stats serve layer checks the fingerprint once per stamped
+    // aggregate, and a 6-aggregate SELECT over a 100k-file table must
+    // not hash 600k paths at plan time. The rewrite pass resolves ONE
+    // snapshot instance per (location, version), so this computes once.
+    @transient private[graft] lazy val statsFingerprint: Long =
+      ColumnStats.computeFingerprint(this)
   }
 
   private implicit val formats: Formats = DefaultFormats

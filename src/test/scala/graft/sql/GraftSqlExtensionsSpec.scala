@@ -991,4 +991,32 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(!planOf(qe).contains("FileScan"))
     assert(qe.collect()(0).isNullAt(0))
   }
+
+  test("a multi-aggregate SELECT resolves its snapshot ONCE (memoized rewrite pass)") {
+    // before the per-pass memo, every stamped serve independently
+    // re-loaded the snapshot and re-hashed the fingerprint — a dashboard
+    // SELECT with six stamped aggregates over a 100k-file table did
+    // ~600k path-hashes at plan time
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakememo")
+    client.createSchema("lakememo", "core")
+    val dir = TestSpark.tmpDir("sqlmemo")
+    client.createAsTable(
+      (1 until 500).map(i => (i.toLong, s"u${i % 60}")).toDF("id", "u"),
+      "lakememo", "core", "t", FileType.DELTA, s"$dir/t")
+    spark.sql("ANALYZE TABLE lakememo.core.t COMPUTE STATISTICS FOR COLUMNS id, u")
+    val before = GraftSqlExtensions.snapshotLoadCount.get()
+    val q = spark.sql("""SELECT COUNT(*) AS n, COUNT(id) AS nc, SUM(id) AS s,
+        AVG(id) AS a, VAR_POP(id) AS v, STDDEV(id) AS sd, MIN(id) AS mn,
+        MAX(id) AS mx, APPROX_COUNT_DISTINCT(u) AS du FROM lakememo.core.t""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), s"all nine aggregates must serve\n$plan")
+    val loads = GraftSqlExtensions.snapshotLoadCount.get() - before
+    assert(loads == 1L,
+      s"nine served aggregates must share ONE snapshot resolution, did $loads")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 499L && r.getLong(2) == (1L until 500L).sum)
+    assert(math.abs(r.getDouble(3) - 250.0) < 1e-9)
+    assert(r.getLong(8) == 60L)
+  }
 }
