@@ -356,7 +356,11 @@ object GraftSqlExtensions {
       try {
         snapshotLoadCount.incrementAndGet()
         val t = graft.tables.TxTable.forAnyLocation(session, loc)
-        Some((t, version.map(t.snapshotAt).getOrElse(t.snapshot)))
+        val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
+        // inline a sidecar-stored partition layer here, once per pass —
+        // every serve downstream reads per-tuple cells as plain
+        // properties regardless of where the stamp stored them
+        Some((t, graft.tables.ColumnStats.withLayer(session, loc, snap)))
       } catch { case _: Throwable => None }
     val memo = snapMemo.get()
     if (memo == null) load()
@@ -451,6 +455,18 @@ object GraftSqlExtensions {
       graft.tables.ColumnStats.currentSum(snap, colName)
     } catch { case _: Throwable => None }
 
+  /** ANALYZE-stamped exact non-null `COUNT(col)` while fresh — the
+    * route that keeps COUNT(col) scan-free when live deletion vectors
+    * block the per-file null-count arithmetic (a MoR delete hides rows
+    * whose nullness metadata can't see; the folded stamp counted them
+    * exactly). */
+  private[sql] def statsCount(session: ClassicSparkSession, loc: String,
+      version: Option[Long], colName: String): Option[Any] =
+    try {
+      val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
+      graft.tables.ColumnStats.currentCount(snap, colName).map(identity[Any])
+    } catch { case _: Throwable => None }
+
   /** `APPROX_COUNT_DISTINCT(col)` under an absorbed partition-only
     * WHERE, answered by exact-merging the ANALYZE-stamped PER-PARTITION
     * KMV sketches of exactly the partitions the predicate keeps
@@ -525,6 +541,8 @@ object GraftSqlExtensions {
         } else cs.mergedPartitionNdv(snap, c, idxs).map(identity[Any])
       case StampedSum(c) =>
         cs.mergedPartitionSum(snap, c, idxs).map(_.map(identity[Any]).orNull)
+      case StampedCntCol(c) =>
+        cs.mergedPartitionCount(snap, c, idxs).map(identity[Any])
       case StampedMinMax(c, isMin) =>
         cs.mergedPartitionMinMax(snap, c, isMin, idxs).map(_.orNull)
       case StampedAvg(c) =>
@@ -835,6 +853,9 @@ object GraftSqlExtensions {
   private[sql] final case class StampedSum(col: String) extends StampedOut
   private[sql] final case class StampedMinMax(col: String, isMin: Boolean)
       extends StampedOut
+  /** Non-null COUNT(col) from the per-tuple cnt cells — the fallback
+    * when live DVs block the per-file null-count arithmetic. */
+  private[sql] final case class StampedCntCol(col: String) extends StampedOut
   /** AVG(col) — exact sum / non-null count, both stamped. */
   private[sql] final case class StampedAvg(col: String) extends StampedOut
   /** VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP(col) — derived from the
@@ -1151,18 +1172,34 @@ object GraftSqlExtensions {
       import GraftSqlExtensions.{PartCmp, PartIn, PartIsNull, PartNotIn,
         PartPred, PartPrefix}
       val own = node.outputSet
+      // this rule runs at POST-HOC RESOLUTION, before the optimizer's
+      // ConstantFolding: a type-coercion cast around a literal
+      // (`bigint_col < 10` analyzes to `col < cast(10 as bigint)`) is
+      // still unfolded here — fold any deterministic foldable operand
+      // eagerly, exactly what ConstantFolding would do later. An eval
+      // that throws (an ANSI-overflowing cast) just doesn't absorb.
+      object FoldedLit {
+        def unapply(e: Expression): Option[Literal] = e match {
+          case l: Literal => Some(l)
+          case _ if e.foldable && e.deterministic =>
+            try Some(Literal.create(e.eval(null), e.dataType))
+            catch { case scala.util.control.NonFatal(_) => None }
+          case _ => None
+        }
+      }
       def ok(a: AttributeReference, l: Literal): Boolean =
         own.contains(a) && l.value != null && l.dataType == a.dataType
       def eq(a: AttributeReference, l: Literal): Option[PartPred] =
         if (ok(a, l)) Some(PartIn(a.name, Set[Any](l.value))) else None
       def cmp(a: AttributeReference, op: String, l: Literal): Option[PartPred] =
         if (ok(a, l)) Some(PartCmp(a.name, op, l.value)) else None
-      def inValues(a: AttributeReference, elems: Seq[Expression]): Option[Set[Any]] =
-        if (own.contains(a) && elems.nonEmpty && elems.forall {
-            case l: Literal => l.value != null && l.dataType == a.dataType
-            case _ => false
-          }) Some(elems.map(_.asInstanceOf[Literal].value).toSet[Any])
+      def inValues(a: AttributeReference, elems: Seq[Expression]): Option[Set[Any]] = {
+        val lits = elems.map { case FoldedLit(l) => Some(l); case _ => None }
+        if (own.contains(a) && elems.nonEmpty &&
+            lits.forall(_.exists(l => l.value != null && l.dataType == a.dataType)))
+          Some(lits.flatten.map(_.value).toSet[Any])
         else None
+      }
       // an OR tree whose every leaf is `attr = lit` / `attr IN (lits)` on
       // ONE common attribute folds to a single IN — disjunction of
       // memberships of the same column
@@ -1173,11 +1210,11 @@ object GraftSqlExtensions {
         }
         val ls = leaves(e)
         val parsed = ls.map {
-          case EqualTo(a: AttributeReference, l: Literal) if ok(a, l) =>
+          case EqualTo(a: AttributeReference, FoldedLit(l)) if ok(a, l) =>
             Some(a.name -> Set[Any](l.value))
-          case EqualTo(l: Literal, a: AttributeReference) if ok(a, l) =>
+          case EqualTo(FoldedLit(l), a: AttributeReference) if ok(a, l) =>
             Some(a.name -> Set[Any](l.value))
-          case EqualNullSafe(a: AttributeReference, l: Literal) if ok(a, l) =>
+          case EqualNullSafe(a: AttributeReference, FoldedLit(l)) if ok(a, l) =>
             Some(a.name -> Set[Any](l.value))
           case In(a: AttributeReference, elems) =>
             inValues(a, elems).map(a.name -> _)
@@ -1205,23 +1242,23 @@ object GraftSqlExtensions {
       def likePrefix(lk: Like, negated: Boolean): Option[PartPred] =
         likePrefixOf(lk).map { case (a, prefix) => PartPrefix(a.name, prefix, negated) }
       val parsed: Seq[Option[PartPred]] = conjuncts.map {
-        case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
-        case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
-        case EqualNullSafe(a: AttributeReference, l: Literal) => eq(a, l)
-        case EqualNullSafe(l: Literal, a: AttributeReference) => eq(a, l)
-        case GreaterThan(a: AttributeReference, l: Literal) => cmp(a, ">", l)
-        case GreaterThan(l: Literal, a: AttributeReference) => cmp(a, "<", l)
-        case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmp(a, ">=", l)
-        case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmp(a, "<=", l)
-        case LessThan(a: AttributeReference, l: Literal) => cmp(a, "<", l)
-        case LessThan(l: Literal, a: AttributeReference) => cmp(a, ">", l)
-        case LessThanOrEqual(a: AttributeReference, l: Literal) => cmp(a, "<=", l)
-        case LessThanOrEqual(l: Literal, a: AttributeReference) => cmp(a, ">=", l)
+        case EqualTo(a: AttributeReference, FoldedLit(l)) => eq(a, l)
+        case EqualTo(FoldedLit(l), a: AttributeReference) => eq(a, l)
+        case EqualNullSafe(a: AttributeReference, FoldedLit(l)) => eq(a, l)
+        case EqualNullSafe(FoldedLit(l), a: AttributeReference) => eq(a, l)
+        case GreaterThan(a: AttributeReference, FoldedLit(l)) => cmp(a, ">", l)
+        case GreaterThan(FoldedLit(l), a: AttributeReference) => cmp(a, "<", l)
+        case GreaterThanOrEqual(a: AttributeReference, FoldedLit(l)) => cmp(a, ">=", l)
+        case GreaterThanOrEqual(FoldedLit(l), a: AttributeReference) => cmp(a, "<=", l)
+        case LessThan(a: AttributeReference, FoldedLit(l)) => cmp(a, "<", l)
+        case LessThan(FoldedLit(l), a: AttributeReference) => cmp(a, ">", l)
+        case LessThanOrEqual(a: AttributeReference, FoldedLit(l)) => cmp(a, "<=", l)
+        case LessThanOrEqual(FoldedLit(l), a: AttributeReference) => cmp(a, ">=", l)
         case In(a: AttributeReference, elems) =>
           inValues(a, elems).map(PartIn(a.name, _))
-        case Not(EqualTo(a: AttributeReference, l: Literal)) if ok(a, l) =>
+        case Not(EqualTo(a: AttributeReference, FoldedLit(l))) if ok(a, l) =>
           Some(PartNotIn(a.name, Set[Any](l.value)))
-        case Not(EqualTo(l: Literal, a: AttributeReference)) if ok(a, l) =>
+        case Not(EqualTo(FoldedLit(l), a: AttributeReference)) if ok(a, l) =>
           Some(PartNotIn(a.name, Set[Any](l.value)))
         case Not(In(a: AttributeReference, elems)) =>
           inValues(a, elems).map(PartNotIn(a.name, _))
@@ -1492,11 +1529,15 @@ object GraftSqlExtensions {
                   }
                   val flat = outs.map(_.get)
                   attempt(flat).orElse {
-                    // the exact arm refused (a string/float/DV extreme):
-                    // retry with MIN/MAX moved to the stamped layer
+                    // the exact arm refused (a string/float extreme, a
+                    // live DV blocking per-file arithmetic): retry with
+                    // MIN/MAX and COUNT(col) moved to the stamped layer
                     val flat2 = flat.map {
                       case Left(GraftSqlExtensions.GroupedMinMax(c, isMin)) =>
                         Right(StampedMinMax(c, isMin)): Either[
+                          GraftSqlExtensions.GroupedOut, StampedOut]
+                      case Left(GraftSqlExtensions.GroupedCountCol(c)) =>
+                        Right(GraftSqlExtensions.StampedCntCol(c)): Either[
                           GraftSqlExtensions.GroupedOut, StampedOut]
                       case other => other
                     }
@@ -1527,13 +1568,16 @@ object GraftSqlExtensions {
                 }
               case None => countColOf(e) match {
                 case Some(a) =>
-                  // null-sensitive COUNT(col) from per-file null counts
+                  // null-sensitive COUNT(col) from per-file null counts;
+                  // live DVs block that arithmetic — the ANALYZE-stamped
+                  // exact cnt (folded across deletes) still answers
                   if (!ownAttr(a)) None
                   else node.getTagValue(GraftSqlExtensions.StatsRefTag).flatMap {
                     case (loc, v) =>
                       GraftSqlExtensions.exactGroupedAgg(session, loc, v, Nil,
                         Seq(GraftSqlExtensions.GroupedCountCol(a.name)))
                         .flatMap(_.headOption).flatMap(_.headOption)
+                        .orElse(GraftSqlExtensions.statsCount(session, loc, v, a.name))
                   }
                 case None => sumOf(e) match {
                   case Some(a) =>
@@ -1745,6 +1789,9 @@ object GraftSqlExtensions {
                   val flat2 = flat.map {
                     case Left(GraftSqlExtensions.GroupedMinMax(c, isMin)) =>
                       Right(StampedMinMax(c, isMin)): Either[
+                        GraftSqlExtensions.GroupedOut, StampedOut]
+                    case Left(GraftSqlExtensions.GroupedCountCol(c)) =>
+                      Right(GraftSqlExtensions.StampedCntCol(c)): Either[
                         GraftSqlExtensions.GroupedOut, StampedOut]
                     case other => other
                   }

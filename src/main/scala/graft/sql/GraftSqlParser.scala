@@ -64,13 +64,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*""".r
   // ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS a, b (Spark's own
   // column-stats syntax, parens tolerated) — one scan stamps persisted
-  // NDV stats (ColumnStats) and returns them
+  // NDV stats (ColumnStats) and returns them. The optional trailing
+  // SKIP SKETCHES skips the GK quantile layer (the stamp scan's
+  // dominant state): APPROX_PERCENTILE keeps the scan, everything else
+  // (NDV/SUM/MIN/MAX/CNT/moments, per-partition cells) stamps as usual
   private val AnalyzeRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS""" +
-      """\s+FOR\s+COLUMNS\s+\(?([\w`,\s]+?)\)?\s*;?\s*""").r
+      """\s+FOR\s+COLUMNS\s+\(?([\w`,\s]+?)\)?(\s+SKIP\s+SKETCHES)?\s*;?\s*""").r
   private val AnalyzeAllRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+([\w.`]+)\s+COMPUTE\s+STATISTICS""" +
-      """\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""").r
+      """\s+FOR\s+ALL\s+COLUMNS(\s+SKIP\s+SKETCHES)?\s*;?\s*""").r
   // COPY INTO t FROM '<dir>' | (SELECT <exprs> FROM '<dir>')
   //   [FILEFORMAT = PARQUET|CSV|JSON|AVRO] [PATTERN = '<glob>']
   //   [FORCE = TRUE] [COPY_OPTIONS ('mergeSchema' = 'true')] —
@@ -293,24 +296,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case _ =>
     }
     else if (head.startsWith("ANALYZE ")) {
-      def analyzeCmd(ident: String, colsOf: graft.tables.TxTable => Seq[String])
-          : Option[LogicalPlan] =
+      def analyzeCmd(ident: String, skipQs: Boolean,
+          colsOf: graft.tables.TxTable => Seq[String]): Option[LogicalPlan] =
         parts3(ident).flatMap(txTable).map { case (name, t) =>
           GraftSqlDml.GraftQueryCommand(s"ANALYZE TABLE $name",
             Seq(AttributeReference("column", StringType, nullable = false)(),
               AttributeReference("ndv", LongType, nullable = false)())) { () =>
-            graft.tables.ColumnStats.analyze(t, colsOf(t))
+            graft.tables.ColumnStats.analyze(t, colsOf(t), skipQuantile = skipQs)
               .map { case (c, n) => org.apache.spark.sql.Row(c, n) }
           }
         }
       sqlText match {
         // ALL first — the narrower FOR COLUMNS regex would otherwise
         // capture the literal word ALL as a column name
-        case AnalyzeAllRe(ident) =>
-          analyzeCmd(ident, _.snapshot.schema.fieldNames.toSeq)
+        case AnalyzeAllRe(ident, skipQs) =>
+          analyzeCmd(ident, skipQs != null, _.snapshot.schema.fieldNames.toSeq)
             .foreach(p => return p)
-        case AnalyzeRe(ident, colsRaw) =>
-          analyzeCmd(ident, _ => colsRaw.split(",")
+        case AnalyzeRe(ident, colsRaw, skipQs) =>
+          analyzeCmd(ident, skipQs != null, _ => colsRaw.split(",")
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq)
             .foreach(p => return p)
         case _ => // not a catalog table — Spark's own ANALYZE
@@ -476,9 +479,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 AttributeReference("partition_tuples", LongType, nullable = true)(),
                 AttributeReference("stamped_version", LongType, nullable = true)(),
                 AttributeReference("fresh", BooleanType, nullable = false)())) { () =>
-              // metadata-only: the stamp lives in table properties
+              // metadata-only: the stamp lives in table properties (a
+              // sidecar-stored partition layer inlines here so its
+              // tuple counts stay inspectable)
               import graft.tables.ColumnStats._
-              val snap = t.snapshot
+              val snap = withLayer(t.spark, t.location, t.snapshot)
               val p = snap.properties
               val fresh = isFresh(snap)
               // `exact`: an NDV below the sketch size k is the sketch's

@@ -152,6 +152,34 @@ object ColumnStats {
   val PartitionQuantileEps = 0.02
   val MaxPartitionQsCells = 48
   val PvalsProp = "graft.stats.pvals"
+  /** SIDECAR pointer: past the inline property caps the whole per-tuple
+    * layer (pvals + pk + every cell) moves to ONE JSON file under
+    * `<table>/_graft_stats/`, and properties keep only this relative
+    * file name. The stamp's fingerprint binds the pointer exactly like
+    * inline cells (pointer and fingerprint commit atomically), so
+    * freshness semantics are unchanged; an unreadable/swept sidecar
+    * degrades to "layer absent" — scan, never wrong. This is what lets
+    * a day-partitioned table with 365+ partitions keep the filtered
+    * serves and the metadata-only retention drop: table properties ride
+    * every commit and must stay small, a sidecar file doesn't. */
+  val PsidecarProp = "graft.stats.psidecar"
+  /** Sidecar budgets: tuples beyond [[MaxStampedPartitions]] up to this
+    * cap, with the KMV cells' RAW bytes held under
+    * [[SidecarKmvBytes]] by shrinking the layer's sketch k (adaptive,
+    * recorded in [[PkProp]]; k=512 at 365 tuples × 4 columns — ~4.4%
+    * NDV error, inside Spark's own 5% approx default) and the quantile
+    * cells under [[SidecarQsBytes]] (past it just the qs sub-layer
+    * drops). The whole file stays ≤ ~20 MB so one plan-time read —
+    * memoized per rewrite pass — stays sub-second. */
+  val MaxSidecarPartitions = 4096
+  val SidecarKmvBytes: Long = 8L << 20
+  val SidecarQsBytes: Long = 8L << 20
+  /** Candidate sketch sizes for the sidecar layer, largest preferred;
+    * below 256 the NDV error (~6%) stops being worth the bytes. */
+  val SidecarKs = Seq(2048, 1024, 512, 256)
+  /** Age (name-embedded creation millis) past which a NON-pointed
+    * sidecar file is swept by the next sidecar write. */
+  val SidecarSweepAgeMs: Long = 60L * 60 * 1000
 
   /** Every per-tuple prefix of the partition layer (key shape
     * `<prefix><col>.<tupleIndex>`). */
@@ -162,7 +190,8 @@ object ColumnStats {
   /** Whether `k` belongs to the per-partition layer (unset wholesale
     * whenever the layer can't be maintained). */
   private def isPartitionLayerKey(k: String): Boolean =
-    PerTuplePrefixes.exists(k.startsWith) || k == PvalsProp || k == PkProp
+    PerTuplePrefixes.exists(k.startsWith) || k == PvalsProp || k == PkProp ||
+      k == PsidecarProp
 
   /** `<prefix><col>.<idx>` -> (prefix, col, idx). */
   private def splitLayerKey(k: String): Option[(String, String, Int)] =
@@ -441,7 +470,8 @@ object ColumnStats {
   /** Compute NDV for `columns` in ONE scan and stamp the stats. Returns
     * (column, ndv) in the requested order.
     */
-  def analyze(table: TxTable, columns: Seq[String]): Seq[(String, Long)] = {
+  def analyze(table: TxTable, columns: Seq[String],
+      skipQuantile: Boolean = false): Seq[(String, Long)] = {
     require(columns.nonEmpty, "ANALYZE: at least one column required")
     val snap = table.snapshot
     val known = snap.schema.fieldNames.toSet
@@ -454,7 +484,12 @@ object ColumnStats {
     // scan pinned at the fingerprinted version: a concurrent commit
     // between scan and stamp then simply invalidates (fingerprint
     // mismatch) instead of mislabeling the new state
-    val numeric = numericColumns(snap, columns)
+    // SKIP SKETCHES: the GK quantile layer dominates the stamp scan's
+    // state (table-wide ε=1% + per-tuple ε=2% digests) — skipping it
+    // keeps the scan to KMV + scalars for operators that never serve
+    // APPROX_PERCENTILE; existing qs keys unset honestly (the `stale`
+    // filter below sees them outside the restamped set)
+    val numeric = if (skipQuantile) Seq.empty else numericColumns(snap, columns)
     val (sketches, sums, mms, cnts, sqs, qss) =
       scanStats(table.toDF(snap.version), columns, integral, extremes, K,
         countCols = columns, sqCols = integral, qsCols = numeric)
@@ -501,7 +536,7 @@ object ColumnStats {
               graft.functions.QuantileDigest.encode(bytes)
             else null)
         }.toMap ++
-        partitionSketchProps(table, snap, columns) ++
+        partitionSketchProps(table, snap, columns, skipQuantile) ++
         Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString,
           VersionProp -> snap.version.toString))
     ndvs
@@ -620,38 +655,44 @@ object ColumnStats {
     * is O(metadata): file partition values).
     */
   private def partitionSketchProps(table: TxTable, snap: TxLog.Snapshot,
-      columns: Seq[String]): Map[String, String] = {
+      columns: Seq[String], skipQuantile: Boolean = false): Map[String, String] = {
     val pcols = snap.partitionColumns
     if (pcols.isEmpty) return Map.empty
-    if (snap.files.map(_.partitionValues).distinct.size > MaxStampedPartitions)
-      return Map.empty
+    // exact tuple-count estimate from file metadata, O(metadata)
+    val estTuples = snap.files.map(_.partitionValues).distinct.size
+    if (estTuples > MaxSidecarPartitions) return Map.empty
     // a partition column's own distinct set IS the partition list —
     // nothing a per-partition sketch adds for it (and its per-tuple
     // scalars are derivable from the tuple value + file row counts)
     val sketchCols = columns.filterNot(pcols.contains)
     if (sketchCols.isEmpty) return Map.empty
+    // within the inline caps the sketch k is fixed; past them pick the
+    // largest k whose total raw sketch bytes fit the SIDECAR budget
+    // (the error trade is honest: the stamp records its own pk, and
+    // the NDV serve's exactness/error gates read that truth)
+    val pk =
+      if (estTuples <= MaxStampedPartitions) PartitionK
+      else SidecarKs.find(k =>
+        estTuples.toLong * sketchCols.size * k * 8 <= SidecarKmvBytes)
+        .getOrElse(return Map.empty)
     val ptypes = pcols.map(c => snap.schema(c).dataType)
     val (integral, extremes) = layerMeasures(snap, sketchCols)
-    // quantile cells only within their own (tighter) budget — the
-    // tuple-count cap is only knowable after the grouped scan, so
-    // over-budget results just drop the qs cells, keeping the rest
-    val qsCols = numericColumns(snap, sketchCols)
+    // quantile cells always scan with the layer; the per-shape qs
+    // budget (cell count inline, bytes in the sidecar) is applied by
+    // storeLayer, which drops just the qs cells past it
+    val qsCols = if (skipQuantile) Seq.empty else numericColumns(snap, sketchCols)
     val groups = scanPartitionLayer(table.toDF(snap.version), pcols, ptypes,
-      sketchCols, integral, extremes, PartitionK, qsCols = qsCols)
-    if (groups.length > MaxStampedPartitions ||
-        groups.length * sketchCols.size > MaxPartitionSketchCells)
-      return Map.empty
-    val withQs = qsCols.nonEmpty &&
-      groups.length * qsCols.size <= MaxPartitionQsCells
+      sketchCols, integral, extremes, pk, qsCols = qsCols)
+    if (groups.length > MaxSidecarPartitions) return Map.empty
     val out = Map.newBuilder[String, String]
     groups.zipWithIndex.foreach { case ((_, sketches, sums, mms, cnts, sqs, qss), ti) =>
       out ++= layerCellProps(ti, sketchCols, integral, extremes,
         sketches, sums, mms, cnts, sqs, withSq = true,
-        qsCols = if (withQs) qsCols else Seq.empty,
-        qss = if (withQs) qss else Seq.empty)
+        qsCols = qsCols, qss = qss)
     }
-    out.result() + (PvalsProp -> encodeTuples(groups.map(_._1))) +
-      (PkProp -> PartitionK.toString)
+    val layer = out.result() + (PvalsProp -> encodeTuples(groups.map(_._1))) +
+      (PkProp -> pk.toString)
+    storeLayer(table, layer, snap.properties.get(PsidecarProp))
   }
 
   /** Partition tuples <-> one JSON property value (json4s, the engine's
@@ -683,6 +724,126 @@ object ColumnStats {
     }
   }
 
+  // ---- sidecar storage for the per-partition layer ----
+
+  private def statsDir(location: String) =
+    new org.apache.hadoop.fs.Path(location, "_graft_stats")
+
+  /** Write a complete layer map as ONE JSON sidecar file; returns the
+    * relative file name. Uniquely named (creation millis + uuid) so
+    * concurrent stampers never collide — a failed property commit just
+    * orphans the file for the next write's sweep. The sweep keeps the
+    * new file, the currently-pointed file (its stamp is being replaced,
+    * but the replacing commit may still fail), and anything younger
+    * than [[SidecarSweepAgeMs]]; a reader racing a sweep of an old
+    * pointer merely loses the layer for that historical version — scan,
+    * never wrong. */
+  private def writeSidecar(table: TxTable, layer: Map[String, String],
+      currentPointer: Option[String]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fs = TxLog.fs(table.spark, table.location)
+    val dir = statsDir(table.location)
+    if (!fs.exists(dir)) { fs.mkdirs(dir); () }
+    val name = s"player-${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".json"
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), false)
+    try out.write(JsonMethods.compact(JsonMethods.render(
+      JObject(layer.toList.map { case (k, v) => k -> (JString(v): JValue) })))
+      .getBytes("UTF-8"))
+    finally out.close()
+    try {
+      val cutoff = System.currentTimeMillis() - SidecarSweepAgeMs
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        val born = n.stripPrefix("player-").takeWhile(_.isDigit).toLongOption
+        if (n != name && !currentPointer.contains(n) && n.startsWith("player-") &&
+            born.getOrElse(st.getModificationTime) < cutoff) {
+          fs.delete(st.getPath, false); ()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // sweep is best-effort
+    name
+  }
+
+  private[tables] def readSidecar(spark: org.apache.spark.sql.SparkSession,
+      location: String, rel: String): Map[String, String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fs = TxLog.fs(spark, location)
+    val in = fs.open(new org.apache.hadoop.fs.Path(statsDir(location), rel))
+    val bytes = try in.readAllBytes() finally in.close()
+    JsonMethods.parse(new String(bytes, "UTF-8")) match {
+      case JObject(fields) => fields.map {
+        case (k, JString(v)) => k -> v
+        case (k, other) => throw new IllegalStateException(s"bad sidecar cell $k=$other")
+      }.toMap
+      case other => throw new IllegalStateException(s"bad sidecar $other")
+    }
+  }
+
+  /** `snap` with its sidecar-stored partition layer (if any) inlined
+    * into properties — the ONE point where layer storage becomes
+    * transparent: every consumer (the merged* serves, the folds, the
+    * drop-keep derivations, SHOW STATISTICS) reads per-tuple keys off
+    * the returned snapshot exactly as if they were inline properties.
+    * An unreadable sidecar leaves the snapshot as-is (pointer present,
+    * cells absent): serves find no pvals and fall to the scan, and the
+    * folds unset the dangling pointer rather than re-freshen it. */
+  def withLayer(spark: org.apache.spark.sql.SparkSession, location: String,
+      snap: TxLog.Snapshot): TxLog.Snapshot =
+    snap.properties.get(PsidecarProp) match {
+      case None => snap
+      case Some(rel) =>
+        try snap.copy(properties = snap.properties ++ readSidecar(spark, location, rel))
+        catch { case scala.util.control.NonFatal(_) => snap }
+    }
+
+  /** Route a COMPLETE per-tuple layer (every cell + pvals + pk — the
+    * caller merges unchanged cells back in before calling) to its
+    * storage, returning the property update implementing it:
+    *   - within the inline caps: the cells as properties, pointer unset
+    *     (a layer that SHRANK back under the caps migrates home);
+    *   - within the sidecar budgets: one sidecar file write, pointer
+    *     set, every inline cell key unset;
+    *   - past both: everything unset — the layer honestly dies.
+    * The quantile sub-layer has its own budget per shape; past it just
+    * the qs cells drop. Any I/O failure degrades to the unset map —
+    * stale-never-wrong. */
+  private def storeLayer(table: TxTable, layer: Map[String, String],
+      currentPointer: Option[String]): Map[String, String] = {
+    def dies = layer.keys.map(_ -> (null: String)).toMap +
+      (PsidecarProp -> (null: String))
+    try {
+      val tuples = decodeTuples(layer.getOrElse(PvalsProp, return dies))
+      val pk = layer.get(PkProp).flatMap(_.toIntOption).getOrElse(return dies)
+      val sketchCols = layer.keys.filter(_.startsWith(PkmvPropPrefix)).map { k =>
+        val rest = k.stripPrefix(PkmvPropPrefix)
+        rest.substring(0, rest.lastIndexOf('.'))
+      }.toSeq.distinct
+      val cells = tuples.size * sketchCols.size
+      val qsKeys = layer.keys.filter(_.startsWith(PqsPropPrefix)).toSeq
+      def withoutQs =
+        if (qsKeys.isEmpty) layer
+        else layer.filterNot(_._1.startsWith(PqsPropPrefix)) ++
+          qsKeys.map(_ -> (null: String))
+      if (tuples.size <= MaxStampedPartitions && cells <= MaxPartitionSketchCells) {
+        val keep = if (qsKeys.size <= MaxPartitionQsCells) layer else withoutQs
+        keep + (PsidecarProp -> (null: String))
+      } else if (tuples.size <= MaxSidecarPartitions &&
+          cells.toLong * pk * 8 <= SidecarKmvBytes) {
+        // stored base64 is 4/3 of raw sketch bytes; measure qs by its
+        // encoded length (the dominant term either way)
+        val qsBytes = qsKeys.iterator.map(k => layer(k).length.toLong * 3 / 4).sum
+        val stored = (if (qsBytes <= SidecarQsBytes) layer else
+          layer.filterNot(_._1.startsWith(PqsPropPrefix)))
+          .filter(_._2 != null)
+        val rel = writeSidecar(table, stored, currentPointer)
+        layer.keys.map(_ -> (null: String)).toMap + (PsidecarProp -> rel)
+      } else dies
+    } catch { case scala.util.control.NonFatal(_) => dies }
+  }
+
   /** Fold an APPEND batch into a stamp that was fresh when the append
     * was planned: one column-pruned aggregate over exactly the files
     * the commit added (O(batch), not O(table)), sketch-merged and
@@ -699,7 +860,7 @@ object ColumnStats {
       added: Seq[TxLog.AddFile]): Unit = {
     if (added.isEmpty) return // file set unchanged: stamp still fresh as-is
     try {
-      val snap = table.snapshotAt(commitVersion)
+      val snap = withLayer(table.spark, table.location, table.snapshotAt(commitVersion))
       val props = snap.properties
       val k = props.get(KProp).flatMap(_.toIntOption).getOrElse(return)
       val ndvCols = props.keys.filter(_.startsWith(NdvPropPrefix))
@@ -763,15 +924,21 @@ object ColumnStats {
         mergeSketches(decodeSketch(oldSketches(i).get), batchSketches(i), k)
       }
       // per-partition sketches fold the same way, per surviving tuple —
-      // a SECOND (grouped) aggregate over the same hot batch; None =
-      // the layer can't be maintained (tuple cap crossed) and its keys
-      // unset, while an inconsistency aborts the whole fold (throw)
+      // a SECOND (grouped) aggregate over the same hot batch, routed
+      // back through storeLayer (inline or sidecar by budget); an
+      // inconsistency aborts the whole fold (throw)
+      val layerUnsets = props.keys.filter(isPartitionLayerKey)
+        .map(_ -> (null: String)).toMap
       val pkmvProps: Map[String, String] = props.get(PvalsProp) match {
-        case None => Map.empty
+        case None =>
+          // a dangling pointer (sidecar unreadable/swept) must not ride
+          // the refreshed fingerprint — unset it; no layer = no-op
+          if (props.contains(PsidecarProp)) layerUnsets else Map.empty
         case Some(pv) =>
-          foldPartitionSketches(props, pv, snap, batchFull, k).getOrElse(
-            props.keys.filter(isPartitionLayerKey)
-              .map(_ -> (null: String)).toMap)
+          foldPartitionSketches(props, pv, snap, batchFull, k)
+            .map(full => layerUnsets ++
+              storeLayer(table, full, props.get(PsidecarProp)))
+            .getOrElse(layerUnsets)
       }
       val newSums = sumCols.zip(batchSums).map { case (c, b) =>
         val old = props(SumPropPrefix + c)
@@ -851,9 +1018,14 @@ object ColumnStats {
     }
     val sketchCols = byCol.keys.toSeq.sorted
     require(sketchCols.nonEmpty, "pvals without pkmv sketches")
+    // a tuple may legitimately hold NO cells (a partial-partition delete
+    // keeps it listed but unsets its cells — partitionTouchedKeep), so
+    // presence is checked CELL-WISE below: a present cell merges, an
+    // absent one stays absent (its scopes keep falling to the scan).
+    // Cells for an index OUTSIDE pvals are real corruption — abort.
     sketchCols.foreach { c =>
       val idxs = byCol(c).map(_.stripPrefix(PkmvPropPrefix + c + ".").toInt).toSet
-      require(idxs == tuples.indices.toSet, s"pkmv index gap for $c")
+      require(idxs.subsetOf(tuples.indices.toSet), s"pkmv index out of range for $c")
     }
     val pk = props.get(PkProp).flatMap(_.toIntOption)
       .getOrElse(throw new IllegalStateException("pvals without pk"))
@@ -876,33 +1048,6 @@ object ColumnStats {
     // gap check; abort to a stale stamp instead
     require(!hasPqs || hasScalars, "pqs cells on a scalar-less layer")
     val qsCols = if (hasPqs) numericColumns(snap, sketchCols) else Seq.empty
-    if (hasPqs) {
-      qsCols.foreach { c =>
-        tuples.indices.foreach { i =>
-          require(props.contains(s"$PqsPropPrefix$c.$i"), s"pqs gap for $c.$i")
-        }
-      }
-    }
-    if (hasScalars) {
-      sketchCols.foreach { c =>
-        tuples.indices.foreach { i =>
-          require(props.contains(s"$PcntPropPrefix$c.$i"), s"pcnt gap for $c.$i")
-        }
-      }
-      integral.foreach { c =>
-        tuples.indices.foreach { i =>
-          require(props.contains(s"$PsumPropPrefix$c.$i"), s"psum gap for $c.$i")
-          if (hasSq)
-            require(props.contains(s"$PsqPropPrefix$c.$i"), s"psq gap for $c.$i")
-        }
-      }
-      extremes.foreach { case (c, _) =>
-        tuples.indices.foreach { i =>
-          require(props.contains(s"$PminPropPrefix$c.$i") &&
-            props.contains(s"$PmaxPropPrefix$c.$i"), s"pmin/pmax gap for $c.$i")
-        }
-      }
-    }
     val groups = scanPartitionLayer(batchFull, pcols, ptypes, sketchCols,
       integral, extremes, pk, qsCols = qsCols)
     val allTuples = tuples.toBuffer
@@ -920,47 +1065,59 @@ object ColumnStats {
             out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(sketches(ci))
           }
       } else {
+        // CELL-WISE merge: a tuple whose cells were unset by a
+        // partial-partition delete stays cell-less — the batch's half
+        // alone would miss the tuple's older rows, so nothing re-stamps
+        // until a fresh ANALYZE. Present cells merge exactly as before.
         sketchCols.zipWithIndex.foreach { case (c, ci) =>
-          out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(
-            mergeSketches(decodeSketch(props(s"$PkmvPropPrefix$c.$ti")), sketches(ci), pk))
+          props.get(s"$PkmvPropPrefix$c.$ti").foreach { old =>
+            out += s"$PkmvPropPrefix$c.$ti" -> encodeSketch(
+              mergeSketches(decodeSketch(old), sketches(ci), pk))
+          }
           if (hasScalars)
-            out += s"$PcntPropPrefix$c.$ti" ->
-              (BigInt(props(s"$PcntPropPrefix$c.$ti")) + BigInt(cnts(ci))).toString
+            props.get(s"$PcntPropPrefix$c.$ti").foreach { old =>
+              out += s"$PcntPropPrefix$c.$ti" ->
+                (BigInt(old) + BigInt(cnts(ci))).toString
+            }
         }
         integral.zipWithIndex.foreach { case (c, ci) =>
-          out += s"$PsumPropPrefix$c.$ti" ->
-            addMoment(props(s"$PsumPropPrefix$c.$ti"), sums(ci))
+          props.get(s"$PsumPropPrefix$c.$ti").foreach { old =>
+            out += s"$PsumPropPrefix$c.$ti" -> addMoment(old, sums(ci))
+          }
           if (hasSq)
-            out += s"$PsqPropPrefix$c.$ti" ->
-              addMoment(props(s"$PsqPropPrefix$c.$ti"), sqs(ci))
+            props.get(s"$PsqPropPrefix$c.$ti").foreach { old =>
+              out += s"$PsqPropPrefix$c.$ti" -> addMoment(old, sqs(ci))
+            }
         }
         qsCols.zipWithIndex.foreach { case (c, ci) =>
-          out += s"$PqsPropPrefix$c.$ti" ->
-            graft.functions.QuantileDigest.mergeEncoded(
-              props(s"$PqsPropPrefix$c.$ti"),
-              graft.functions.QuantileDigest.encode(qss(ci)))
+          props.get(s"$PqsPropPrefix$c.$ti").foreach { old =>
+            out += s"$PqsPropPrefix$c.$ti" ->
+              graft.functions.QuantileDigest.mergeEncoded(
+                old, graft.functions.QuantileDigest.encode(qss(ci)))
+          }
         }
         extremes.zipWithIndex.foreach { case ((c, dt), ci) =>
-          out += s"$PminPropPrefix$c.$ti" ->
-            foldExtreme(dt, props(s"$PminPropPrefix$c.$ti"), mms(ci)._1, isMin = true)
-          out += s"$PmaxPropPrefix$c.$ti" ->
-            foldExtreme(dt, props(s"$PmaxPropPrefix$c.$ti"), mms(ci)._2, isMin = false)
+          props.get(s"$PminPropPrefix$c.$ti").foreach { old =>
+            out += s"$PminPropPrefix$c.$ti" ->
+              foldExtreme(dt, old, mms(ci)._1, isMin = true)
+          }
+          props.get(s"$PmaxPropPrefix$c.$ti").foreach { old =>
+            out += s"$PmaxPropPrefix$c.$ti" ->
+              foldExtreme(dt, old, mms(ci)._2, isMin = false)
+          }
         }
       }
     }
-    if (allTuples.size > MaxStampedPartitions ||
-        allTuples.size * sketchCols.size > MaxPartitionSketchCells) None
+    if (allTuples.size > MaxSidecarPartitions) None
     else {
-      val built = out.result()
-      // the quantile sub-layer has its own budget: past it, unset just
-      // those cells (the KMV/scalar layers keep folding)
-      val res =
-        if (hasPqs && allTuples.size * qsCols.size > MaxPartitionQsCells)
-          built.filterNot(_._1.startsWith(PqsPropPrefix)) ++
-            props.keys.filter(_.startsWith(PqsPropPrefix))
-              .map(_ -> (null: String)).toMap
-        else built
-      Some(res + (PvalsProp -> encodeTuples(allTuples.toSeq)))
+      // the COMPLETE post-fold layer: unchanged cells carried verbatim,
+      // changed/new cells on top — the caller routes it through
+      // storeLayer, which applies the per-shape caps (inline cell
+      // budgets, sidecar byte budgets, qs sub-layer limits)
+      val unchanged = props.filter { case (key, _) =>
+        isPartitionLayerKey(key) && key != PsidecarProp && key != PvalsProp }
+      Some(unchanged ++ out.result() +
+        (PvalsProp -> encodeTuples(allTuples.toSeq)) + (PkProp -> pk.toString))
     }
   }
 
@@ -986,20 +1143,22 @@ object ColumnStats {
     * IS the 100 TB norm: one retention DELETE no longer forces a full
     * re-ANALYZE scan to keep SUM/MIN/MAX scan-free. Any failure or
     * inconsistency leaves the stale stamp — never a wrong answer.
-    * BOTH Delta delete paths fold — copy-on-write (hooked from the
-    * rewrite) and merge-on-read deletion vectors (hooked from
+    * Every delete path folds — Delta copy-on-write (hooked from the
+    * rewrite), Delta merge-on-read deletion vectors (hooked from
     * DeltaDvWriter, whose commit is pinned at base+1 so the fold can
-    * never mislabel a concurrent commit's state); Iceberg position
-    * deletes still invalidate (their writer returns no committed-
-    * version handle, and folding against "latest" could stamp a
-    * concurrent commit's unfolded rows as fresh — stale-never-wrong
-    * wins).
+    * never mislabel a concurrent commit's state), Iceberg whole-file
+    * drops (pinned by the optimistic tryCommit), and Iceberg MoR
+    * position deletes (hooked from IcebergWriter.delete, pinned at
+    * metadataVersion+1 by the create-exclusive metadata write; the
+    * touched files come from the just-written delete files, O(deleted
+    * rows)). Iceberg equality deletes still invalidate — they carry
+    * keys, not a row predicate this fold could re-evaluate.
     */
   private[tables] def foldDelete(table: TxTable, commitVersion: Long,
       baseVersion: Long, removedPaths: Seq[String], predicate: String): Unit = {
     if (removedPaths.isEmpty) return // file set unchanged: stamp still fresh
     try {
-      val snap = table.snapshotAt(commitVersion)
+      val snap = withLayer(table.spark, table.location, table.snapshotAt(commitVersion))
       val props = snap.properties
       val base = table.snapshotAt(baseVersion)
       // the stamp must describe the PRE-delete snapshot exactly
@@ -1039,7 +1198,11 @@ object ColumnStats {
             key -> (null: String)
         }.toMap
         val dk0 = partitionDropKeep(table, props, base, snap, removedPaths)
-        val keep = dk0.map(_.props).getOrElse(Map.empty)
+        val keep = dk0.map(dk =>
+            storeLayer(table, dk.props, props.get(PsidecarProp)))
+          .orElse(partitionTouchedKeep(table, props, base, snap, removedPaths)
+            .map(storeLayer(table, _, props.get(PsidecarProp))))
+          .getOrElse(Map.empty)
         val qsBack = dk0.map(deriveQuantileFromLayer(props, _)).getOrElse(Map.empty)
         table.setProperties(unsets ++ keep ++ qsBack ++
           Map(FingerprintProp -> fingerprint(snap).toString,
@@ -1062,7 +1225,14 @@ object ColumnStats {
           unset += key -> (null: String)
       }
       val dropKeep = partitionDropKeep(table, props, base, snap, removedPaths)
-      dropKeep.foreach(dk => set ++= dk.props)
+      dropKeep.foreach(dk =>
+        set ++= storeLayer(table, dk.props, props.get(PsidecarProp)))
+      // not a pure drop: the weaker partial-partition keep — untouched
+      // tuples' cells survive verbatim, touched tuples stay listed but
+      // cell-less (their scopes fall to the scan)
+      if (dropKeep.isEmpty)
+        partitionTouchedKeep(table, props, base, snap, removedPaths)
+          .foreach(keep => set ++= storeLayer(table, keep, props.get(PsidecarProp)))
       // a pure drop also resurrects the TABLE-WIDE quantile digest by
       // merging the surviving tuples' cells (set wins over the unset)
       dropKeep.foreach(dk => set ++= deriveQuantileFromLayer(props, dk))
@@ -1216,7 +1386,7 @@ object ColumnStats {
       baseVersion: Long, assigned: Seq[String]): Unit =
     try {
       if (assigned.isEmpty) return
-      val snap = table.snapshotAt(commitVersion)
+      val snap = withLayer(table.spark, table.location, table.snapshotAt(commitVersion))
       val props = snap.properties
       val base = table.snapshotAt(baseVersion)
       // the stamp must describe the PRE-update snapshot exactly
@@ -1229,25 +1399,40 @@ object ColumnStats {
         MinPropPrefix, MaxPropPrefix, CntPropPrefix, SqPropPrefix, QsPropPrefix)
       val unset = Map.newBuilder[String, String]
       props.keys.foreach { k =>
-        val hit =
-          tableWide.exists(p => k.startsWith(p) && aset.contains(k.stripPrefix(p))) ||
-            splitLayerKey(k).exists { case (_, c, _) => aset.contains(c) }
-        if (hit) unset += k -> (null: String)
+        if (tableWide.exists(p => k.startsWith(p) && aset.contains(k.stripPrefix(p))))
+          unset += k -> (null: String)
       }
-      // if every sketch column was assigned, the per-tuple layer would
-      // survive as pvals/pk WITHOUT any pkmv cells — a shape no stamp
-      // writer produces, which would abort every future fold. Unset the
-      // whole layer instead.
-      val remainingLayerCols = props.keys
-        .filter(_.startsWith(PkmvPropPrefix))
-        .map { k =>
-          val rest = k.stripPrefix(PkmvPropPrefix)
-          rest.substring(0, rest.lastIndexOf('.'))
-        }.toSet -- aset
-      if (remainingLayerCols.isEmpty)
-        props.keys.filter(isPartitionLayerKey)
-          .foreach(k => unset += k -> (null: String))
-      table.setProperties(unset.result() ++
+      // the layer survives minus the assigned columns' cells — re-routed
+      // through storeLayer so a sidecar-backed layer is REWRITTEN (a
+      // null over an inlined key is a no-op on the real file; leaving
+      // the old sidecar pointed-to would re-freshen the assigned
+      // column's stale cells). If every sketch column was assigned the
+      // whole layer unsets: pvals/pk without pkmv cells is a shape no
+      // stamp writer produces, and it would abort every future fold.
+      val layerSets: Map[String, String] = {
+        val layerKeys = props.filter { case (k, _) =>
+          isPartitionLayerKey(k) && k != PsidecarProp }
+        if (layerKeys.isEmpty) {
+          // dangling pointer (sidecar unreadable): don't re-freshen it
+          if (props.contains(PsidecarProp))
+            Map(PsidecarProp -> (null: String))
+          else Map.empty
+        } else {
+          val survivors = layerKeys.filterNot { case (k, _) =>
+            splitLayerKey(k).exists { case (_, c, _) => aset.contains(c) } }
+          val remainingLayerCols = survivors.keys
+            .filter(_.startsWith(PkmvPropPrefix))
+            .map { k =>
+              val rest = k.stripPrefix(PkmvPropPrefix)
+              rest.substring(0, rest.lastIndexOf('.'))
+            }.toSet
+          val allUnsets = props.keys.filter(isPartitionLayerKey)
+            .map(_ -> (null: String)).toMap
+          if (remainingLayerCols.isEmpty) allUnsets
+          else allUnsets ++ storeLayer(table, survivors, props.get(PsidecarProp))
+        }
+      }
+      table.setProperties(unset.result() ++ layerSets ++
         Map(FingerprintProp -> fingerprint(snap).toString,
           VersionProp -> commitVersion.toString))
     } catch {
@@ -1363,6 +1548,81 @@ object ColumnStats {
   private final case class DropKeep(props: Map[String, String],
       keptTuples: Seq[Seq[String]], keptOldIdx: Seq[Int],
       liveByTuple: Option[Map[Seq[String], Long]])
+
+  /** The weaker keep for a PARTIAL-partition delete (not a pure drop):
+    * when every removed file's tuple — and every rewrite-survivor file
+    * the commit added — provably lies in a touched-tuple set T, every
+    * OTHER tuple's cells are untouched (a delete never moves rows
+    * between partitions) and survive VERBATIM. T's tuples stay LISTED
+    * in pvals (they still hold live rows — an unlisted live tuple would
+    * silently vanish from merged answers) but lose their cells: the
+    * merged* readers treat a missing cell as unprovable and fall to the
+    * scan for exactly the scopes that touch T, while `WHERE day >= X`
+    * dashboards over the other 363 partitions keep serving scan-free.
+    * Returns the surviving layer (complete pvals + untouched cells);
+    * None = unprovable → the caller unsets the layer wholesale.
+    */
+  private def partitionTouchedKeep(table: TxTable, props: Map[String, String],
+      base: TxLog.Snapshot, snap: TxLog.Snapshot,
+      removedPaths: Seq[String]): Option[Map[String, String]] = {
+    val sentinelIsNull = table.log != ForeignDeltaCommitLog
+    val pvalsEnc = props.get(PvalsProp).getOrElse(return None)
+    val pk = props.get(PkProp).getOrElse(return None)
+    val pcols = base.partitionColumns
+    if (pcols.isEmpty || snap.partitionColumns != pcols) return None
+    val removedSet = removedPaths.toSet
+    val removedFiles = base.files.filter(f => removedSet.contains(f.path))
+    if (removedFiles.size != removedSet.size) return None
+    val ptypes = pcols.map(c => base.schema(c).dataType)
+    def tupleOf(f: TxLog.AddFile): Option[Seq[String]] = {
+      val out = pcols.zip(ptypes).map { case (c, dt) =>
+        f.partitionValues.get(c) match {
+          case Some(null) => null
+          case Some("__HIVE_DEFAULT_PARTITION__") =>
+            if (sentinelIsNull) null else return None
+          case Some(raw) => logPartValueToStamped(dt, raw).getOrElse(return None)
+          case None => return None
+        }
+      }
+      Some(out)
+    }
+    val touched = removedFiles.map(f => tupleOf(f).getOrElse(return None)).toSet
+    // rewrite survivors (files the commit added) must stay inside the
+    // touched set — a delete writes survivors into the same partitions,
+    // so anything else means this commit isn't the shape we can reason
+    // about
+    val basePaths = base.files.map(_.path).toSet
+    snap.files.filterNot(f => basePaths.contains(f.path)).foreach { f =>
+      if (!touched.contains(tupleOf(f).getOrElse(return None))) return None
+    }
+    val tuples = decodeTuples(pvalsEnc)
+    if (!touched.subsetOf(tuples.toSet)) return None // stamp out of shape
+    // every touched tuple must KEEP ≥1 live row: pvals is the layer's
+    // live-tuple list, and a zero-live-row tuple left listed would
+    // corrupt the partition-column serves (slot-value NDV / extremes
+    // read pvals directly). A tuple fully emptied by a non-pure-drop
+    // delete is a mixed shape this keep doesn't model — bail to unset.
+    val liveByTuple = scala.collection.mutable.Map.empty[Seq[String], Long]
+    snap.files.foreach { f =>
+      if (f.rows < 0L) return None
+      val t = tupleOf(f).getOrElse(return None)
+      liveByTuple(t) = liveByTuple.getOrElse(t, 0L) +
+        (f.rows - f.deletionVector.map(_.cardinality).getOrElse(0L))
+    }
+    if (!touched.forall(t => liveByTuple.getOrElse(t, 0L) > 0L)) return None
+    // ...and every live tuple must be LISTED (same shape check the pure
+    // drop makes: an unlisted live tuple would vanish from merged answers)
+    if (!liveByTuple.keysIterator.forall(tuples.toSet)) return None
+    val touchedIdx = tuples.zipWithIndex
+      .filter { case (t, _) => touched.contains(t) }.map(_._2).toSet
+    val keep = props.filter { case (key, _) =>
+      splitLayerKey(key).exists { case (_, _, i) => !touchedIdx.contains(i) }
+    }
+    // every tuple touched → a cell-less pvals/pk husk, a shape no stamp
+    // writer produces: unset the layer instead
+    if (!keep.keys.exists(_.startsWith(PkmvPropPrefix))) return None
+    Some(keep + (PvalsProp -> pvalsEnc) + (PkProp -> pk))
+  }
 
   /** After a pure partition drop, the TABLE-WIDE sum/cnt/min/max
     * re-derived by recombining the SURVIVING partitions' stamped

@@ -151,24 +151,100 @@ class PartitionNdvFuzzSpec extends AnyFunSuite {
     assert(rewritten >= total / 2, s"only $rewritten of $total served — generator drifted?")
   }
 
-  test("beyond the tuple cap the layer bails honestly; the answer stays correct via scan") {
+  test("past the inline cap the layer goes SIDECAR and keeps serving (fuzzed)") {
+    // the shape the 64-tuple inline cap used to kill: 70-90 partition
+    // tuples, random absorbed predicates, an append FOLD mid-stream
+    // (sidecar rewritten), a third of runs a retention drop. Every
+    // served value must equal exact recomputation (distinct counts kept
+    // inside the sketch's exact regime) and the plan must be scan-free.
     val client = new LakehouseClient(spark)
-    client.createCatalog("fuzzpndvcap")
-    client.createSchema("fuzzpndvcap", "s")
-    val m = graft.tables.ColumnStats.MaxStampedPartitions + 3
-    val rows = (0 until m * 2).map(i => (i.toLong, s"p${i % m}", (i % 7).toLong))
-    val dir = TestSpark.tmpDir("fuzzpndv-cap")
-    client.createAsTable(rows.toDF("id", "p", "k"),
-      "fuzzpndvcap", "s", "t", FileType.DELTA, s"$dir/t", partitionColumns = Seq("p"))
-    spark.sql("ANALYZE TABLE fuzzpndvcap.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
-    val t = client.getTxTable("fuzzpndvcap", "s", "t")
-    assert(graft.tables.ColumnStats.currentPartitionTuples(t.snapshot).isEmpty,
-      "over the cap nothing per-partition may stamp")
+    client.createCatalog("fuzzside")
+    client.createSchema("fuzzside", "s")
+    (0 until 3).foreach { ti =>
+      val rnd = new scala.util.Random(9100 + ti)
+      val m = 70 + rnd.nextInt(20)
+      val rows = (0 until m * 6).map(i =>
+        (i.toLong, f"p${i % m}%03d", (i % 9).toLong))
+      val fileType = if (ti % 2 == 1) FileType.ICEBERG else FileType.DELTA
+      val dir = TestSpark.tmpDir(s"fuzzside$ti")
+      client.createAsTable(rows.toDF("id", "p", "k").repartition(2),
+        "fuzzside", "s", s"t$ti", fileType, s"$dir/t", partitionColumns = Seq("p"))
+      spark.sql(s"ANALYZE TABLE fuzzside.s.t$ti COMPUTE STATISTICS FOR ALL COLUMNS")
+      val t = client.getTxTable("fuzzside", "s", s"t$ti")
+      assert(t.snapshot.properties.contains(graft.tables.ColumnStats.PsidecarProp),
+        s"$m tuples must stamp the sidecar layer")
+      // append fold: existing + one new partition — sidecar rewritten
+      val extra = (0 until 20).map(i =>
+        ((m * 6 + i).toLong, if (i % 2 == 0) "p001" else f"p$m%03d", (9 + i % 3).toLong))
+      t.append(extra.toDF("id", "p", "k"))
+      assert(graft.tables.ColumnStats.isFresh(t.snapshot),
+        "the append must fold the sidecar layer")
+      // a third of runs a whole-partition retention drop; another third
+      // a PARTIAL delete inside p005 — the other tuples' cells must
+      // survive (scopes touching p005 honestly scan, values stay right)
+      val arm = rnd.nextInt(3)
+      val dropPred = if (arm == 0) Some("p >= 'p060'") else None
+      val partial = arm == 1
+      dropPred.foreach(pr => spark.sql(s"DELETE FROM fuzzside.s.t$ti WHERE $pr"))
+      if (partial)
+        spark.sql(s"DELETE FROM fuzzside.s.t$ti WHERE p = 'p005' AND id % 2 = 0")
+      val all = (rows ++ extra)
+        .filterNot(r => dropPred.isDefined && r._2 >= "p060")
+        .filterNot(r => partial && r._2 == "p005" && r._1 % 2 == 0)
+      val pool = Vector("p < 'p010'", "p IN ('p001','p037','p055')",
+        "p >= 'p050'", "p IS NOT NULL", "p LIKE 'p01%'")
+      val touchesPartial = Set("p < 'p010'", "p IS NOT NULL")
+      (0 until 6).foreach { qi =>
+        val where = pool((qi + rnd.nextInt(pool.size)) % pool.size)
+        val q = spark.sql(s"""SELECT APPROX_COUNT_DISTINCT(k) AS d,
+            SUM(k) AS sk FROM fuzzside.s.t$ti WHERE $where""")
+        val plan = q.queryExecution.executedPlan.toString
+        if (partial && touchesPartial(where))
+          assert(plan.contains("FileScan"),
+            s"a scope touching the partially-deleted tuple must scan [$where]")
+        else
+          assert(!plan.contains("FileScan"),
+            s"sidecar layer must serve [$where]\n$plan")
+        val kept = all.filter { r =>
+          val p = r._2
+          where match {
+            case "p < 'p010'" => p < "p010"
+            case "p IN ('p001','p037','p055')" => Set("p001", "p037", "p055")(p)
+            case "p >= 'p050'" => p >= "p050"
+            case "p IS NOT NULL" => true
+            case _ => p.startsWith("p01")
+          }
+        }
+        val r = q.collect()(0)
+        assert(r.getLong(0) == kept.map(_._3).distinct.size.toLong,
+          s"exact-regime sidecar NDV [$where]")
+        assert(r.getLong(1) == kept.map(_._3).sum, s"sidecar SUM [$where]")
+      }
+    }
+  }
+
+  test("past the sidecar byte budget the layer bails honestly; correct via scan") {
+    // 4 integral columns x >1024 tuples exceeds SidecarKmvBytes even at
+    // the smallest candidate k — nothing per-partition may stamp, the
+    // filtered serve keeps the scan, the answer stays right
+    val client = new LakehouseClient(spark)
+    client.createCatalog("fuzzsidecap")
+    client.createSchema("fuzzsidecap", "s")
+    val m = 1040
+    val rows = (0 until m).map(i =>
+      (i.toLong, (i % 7).toLong, (i % 5).toLong, (i % 3).toLong, f"p$i%04d"))
+    val dir = TestSpark.tmpDir("fuzzside-cap")
+    client.createAsTable(rows.toDF("a", "b", "c", "d", "p").repartition(1),
+      "fuzzsidecap", "s", "t", FileType.DELTA, s"$dir/t", partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE fuzzsidecap.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val t = client.getTxTable("fuzzsidecap", "s", "t")
+    assert(!t.snapshot.properties.contains(graft.tables.ColumnStats.PsidecarProp) &&
+      !t.snapshot.properties.contains(graft.tables.ColumnStats.PvalsProp),
+      "over the byte budget nothing per-partition may stamp")
     val q = spark.sql(
-      "SELECT APPROX_COUNT_DISTINCT(k) AS d FROM fuzzpndvcap.s.t WHERE p = 'p1'")
+      "SELECT APPROX_COUNT_DISTINCT(b) AS d FROM fuzzsidecap.s.t WHERE p = 'p0001'")
     assert(q.queryExecution.executedPlan.toString.contains("FileScan"),
       "capped layer must fall back to the scan")
-    val exact = rows.filter(_._2 == "p1").map(_._3).distinct.size.toLong
-    assert(q.collect()(0).getLong(0) == exact)
+    assert(q.collect()(0).getLong(0) == 1L)
   }
 }

@@ -415,6 +415,139 @@ class ColumnStatsSpec extends AnyFunSuite {
       "argful unix_timestamp is deterministic — the fold must land")
   }
 
+  test("past 64 tuples the partition layer moves to a SIDECAR; serves and folds survive") {
+    def inlined(t: TxTable) =
+      ColumnStats.withLayer(spark, t.location, t.snapshot)
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-side") + "/t")
+    val nPart = 80 // past MaxStampedPartitions=64, the old layer death line
+    t.create((0L until 800L).map(i => (i, s"p${i % nPart}"))
+      .toDF("v", "p").repartition(8), partitionColumns = Seq("p"))
+    ColumnStats.analyze(t, Seq("v"))
+    val real = t.snapshot.properties
+    assert(real.contains(ColumnStats.PsidecarProp), "80 tuples must go sidecar")
+    assert(!real.contains(ColumnStats.PvalsProp) &&
+      !real.keys.exists(_.startsWith(ColumnStats.PkmvPropPrefix)),
+      "sidecar storage must keep the cells OUT of table properties")
+    val snap = inlined(t)
+    val tuples = ColumnStats.currentPartitionTuples(snap).get
+    assert(tuples.size == nPart)
+    // filtered exact SUM from the sidecar cells: partitions p0..p9
+    val keepIdx = tuples.zipWithIndex
+      .filter { case (tp, _) => tp.head.stripPrefix("p").toInt < 10 }.map(_._2)
+    val expSum = (0L until 800L).filter(i => (i % nPart) < 10).sum
+    assert(ColumnStats.mergedPartitionSum(snap, "v", keepIdx)
+      == Some(Some(expSum.longValue)))
+    // APPEND fold: existing partitions + one brand-new tuple — the
+    // sidecar is rewritten, stamp stays fresh
+    t.append(Seq((10000L, "p3"), (10001L, s"p$nPart")).toDF("v", "p"))
+    assert(ColumnStats.isFresh(t.snapshot), "append must fold the sidecar layer")
+    val snap2 = inlined(t)
+    assert(ColumnStats.currentPartitionTuples(snap2).get.size == nPart + 1)
+    assert(ColumnStats.currentSumBig(snap2, "v")
+      == Some(Some(BigInt((0L until 800L).sum + 10000L + 10001L))))
+    // retention DROP: whole partitions p70..p80 removed — metadata-only
+    // keep, table-wide sum recombines from the sidecar survivors
+    t.delete(s"p IN (${(70 to nPart).map(i => s"'p$i'").mkString(",")})")
+    assert(ColumnStats.isFresh(t.snapshot), "a pure drop must keep the sidecar layer")
+    val live = (0L until 800L).filter(i => (i % nPart) < 70) :+ 10000L
+    assert(ColumnStats.currentSumBig(t.snapshot, "v")
+      == Some(Some(live.map(BigInt(_)).sum)),
+      "table-wide SUM must recombine from sidecar survivors, zero data read")
+    val snap3 = inlined(t)
+    assert(ColumnStats.currentPartitionTuples(snap3).get.size == 70)
+    // shrink BELOW the inline cap: the layer migrates home to properties
+    t.delete(s"p IN (${(10 to 69).map(i => s"'p$i'").mkString(",")})")
+    assert(ColumnStats.isFresh(t.snapshot))
+    val real4 = t.snapshot.properties
+    assert(!real4.contains(ColumnStats.PsidecarProp),
+      "a layer back under 64 tuples must migrate inline")
+    assert(real4.contains(ColumnStats.PvalsProp))
+    assert(ColumnStats.currentPartitionTuples(t.snapshot).get.size == 10)
+    assert(ColumnStats.currentSumBig(t.snapshot, "v")
+      == Some(Some(live.filter(v => v == 10000L || (v % nPart) < 10).map(BigInt(_)).sum)))
+  }
+
+  test("UPDATE fold rewrites a sidecar layer: assigned column's cells die, others serve") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-sideu") + "/t")
+    val nPart = 70
+    t.create((0L until 700L).map(i => (i, i * 2, s"p${i % nPart}"))
+      .toDF("v", "w", "p").repartition(4), partitionColumns = Seq("p"))
+    ColumnStats.analyze(t, Seq("v", "w"))
+    assert(t.snapshot.properties.contains(ColumnStats.PsidecarProp))
+    t.update("v = 5", Map("w" -> "w + 1"))
+    assert(ColumnStats.isFresh(t.snapshot), "the update fold must land")
+    val snap = ColumnStats.withLayer(spark, t.location, t.snapshot)
+    // the OLD sidecar must not be pointed anymore; the new one must not
+    // carry any w cells (a stale w cell re-validated by the fresh
+    // fingerprint would serve pre-update values)
+    assert(!snap.properties.keys.exists(k =>
+      k.startsWith(ColumnStats.PkmvPropPrefix + "w.") ||
+      k.startsWith(ColumnStats.PsumPropPrefix + "w.")),
+      "assigned column's sidecar cells must die with the update")
+    val tuples = ColumnStats.currentPartitionTuples(snap).get
+    assert(tuples.size == nPart)
+    // v untouched by the update: its cells keep serving
+    val keepIdx = tuples.indices
+    assert(ColumnStats.mergedPartitionSum(snap, "v", keepIdx)
+      == Some(Some((0L until 700L).sum)))
+  }
+
+  test("Iceberg MoR position delete FOLDS the stamp (pinned at metadataVersion+1)") {
+    val t = TxTable.forIceberg(spark, TestSpark.tmpDir("cs-icemor") + "/t")
+    t.create((1L to 100L).map(i => (i, s"v$i")).toDF("id", "s"))
+    ColumnStats.analyze(t, Seq("id"))
+    // a row-level predicate no partition tuple decides → the MoR
+    // position-delete path, which now folds like the Delta DV path
+    t.delete("id % 10 = 0")
+    assert(ColumnStats.isFresh(t.snapshot),
+      "the position delete must restamp fresh")
+    val live = (1L to 100L).filterNot(_ % 10 == 0)
+    assert(ColumnStats.currentSumBig(t.snapshot, "id")
+      == Some(Some(live.map(BigInt(_)).sum)),
+      "SUM must fold by subtracting exactly the deleted rows")
+    assert(ColumnStats.currentCount(t.snapshot, "id") == Some(live.size.toLong))
+    // a SECOND MoR delete folds again (old deletes applied at base)
+    t.delete("id <= 5")
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.currentSumBig(t.snapshot, "id")
+      == Some(Some(live.filter(_ > 5).map(BigInt(_)).sum)))
+  }
+
+  test("partial-partition delete keeps the OTHER tuples' cells serving") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-partial") + "/t")
+    val rows = (0L until 400L).map(i => (i, s"p${i % 4}"))
+    t.create(rows.toDF("v", "p").repartition(4), partitionColumns = Seq("p"))
+    ColumnStats.analyze(t, Seq("v"))
+    // removes SOME rows of partition p1 only — not a pure drop (p1
+    // keeps live rows), so pre-round-15 the whole layer died
+    t.delete("p = 'p1' AND v < 100")
+    assert(ColumnStats.isFresh(t.snapshot), "the delete must fold")
+    val snap = t.snapshot
+    val tuples = ColumnStats.currentPartitionTuples(snap).get
+    assert(tuples.size == 4, "touched tuples stay LISTED (they hold live rows)")
+    val idxOf = tuples.map(_.head).zipWithIndex.toMap
+    // untouched tuples' cells serve exactly
+    val keep02 = Seq(idxOf("p0"), idxOf("p2"))
+    assert(ColumnStats.mergedPartitionSum(snap, "v", keep02)
+      == Some(Some(rows.filter(r => r._2 == "p0" || r._2 == "p2").map(_._1).sum)))
+    // the touched tuple's cells are honestly gone → unprovable → scan
+    assert(ColumnStats.mergedPartitionSum(snap, "v", Seq(idxOf("p1"))).isEmpty,
+      "touched tuple's cells must be unset, not stale")
+    // table-wide SUM still folds via the subtraction arm
+    val live = rows.filterNot(r => r._2 == "p1" && r._1 < 100)
+    assert(ColumnStats.currentSumBig(snap, "v")
+      == Some(Some(live.map(r => BigInt(r._1)).sum)))
+    // a later append into an untouched partition still folds cell-wise:
+    // p0 merges, p1 stays cell-less
+    t.append(Seq((5000L, "p0"), (5001L, "p1")).toDF("v", "p"))
+    assert(ColumnStats.isFresh(t.snapshot), "append must fold the partial layer")
+    val snap2 = t.snapshot
+    assert(ColumnStats.mergedPartitionSum(snap2, "v", Seq(idxOf("p0")))
+      == Some(Some(rows.filter(_._2 == "p0").map(_._1).sum + 5000L)))
+    assert(ColumnStats.mergedPartitionSum(snap2, "v", Seq(idxOf("p1"))).isEmpty,
+      "a cell-less tuple must stay cell-less across folds (its older rows are unknown)")
+  }
+
   test("timestamp and decimal extremes round-trip the stamp") {
     val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
     val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")
