@@ -2703,6 +2703,23 @@ object IcebergWriter {
     val mlPath = writeManifestList(f, location, snapId, ml)
     commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "delete", st.snapshotId),
       snapId, seq, now)
+    // a MoR position delete folds column stats exactly like the Delta DV
+    // path: the newly-hidden rows are `touched files ⋂ predicate` over
+    // the PRE-delete snapshot (old deletes applied), and writeMetadata
+    // is create-exclusive at metadataVersion+1, so the fold's
+    // fingerprint can never mislabel a concurrent commit's state. The
+    // touched paths come from the just-written delete files themselves —
+    // O(deleted rows) over tiny parquet, never a table scan. Gated on a
+    // stamp existing at all, so stampless tables pay nothing.
+    if (IcebergLog.propertiesOf(st.meta).contains(ColumnStats.FingerprintProp))
+      try {
+        val touched = spark.read
+          .parquet(staged.map(a => IcebergLog.resolve(location, a.path).toString): _*)
+          .select(col("file_path")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        ColumnStats.foldDelete(TxTable.forIceberg(spark, location),
+          st.metadataVersion + 1, st.metadataVersion, touched, predicate)
+      } catch { case scala.util.control.NonFatal(_) => () }
     deletedRows
   }
 

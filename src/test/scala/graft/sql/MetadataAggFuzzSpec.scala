@@ -112,14 +112,20 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
       // metadata answers must still agree exactly
       if (ti % 2 == 0 && rnd.nextBoolean())
         spark.sql(s"OPTIMIZE fuzzmeta.s.t$ti")
-      // ...and some analyzed tables then take a DELETE: the round-14
-      // delete fold (SUM subtraction, tie-dropped extremes, honest NDV
-      // kill; merge-on-read backends just go stale) must keep agreeing
-      // with the scan EXACTLY — the fold wrong-answer trap, delete form
+      // ...and some analyzed tables then take a DELETE: the delete fold
+      // (SUM subtraction, tie-dropped extremes, honest NDV kill — since
+      // round 15 on EVERY path incl. Iceberg MoR position deletes, with
+      // partial-partition deletes keeping the untouched tuples' cells)
+      // must keep agreeing with the scan EXACTLY — the fold wrong-answer
+      // trap, delete form. Half the deletes are partition-scoped to
+      // exercise the partial keep.
       val delK: Option[Int] =
         if (ti % 2 == 0 && rnd.nextBoolean()) Some(rnd.nextInt(20)) else None
-      delK.foreach(kv =>
-        client.getTxTable("fuzzmeta", "s", s"t$ti").delete(s"k = $kv"))
+      val delScoped = rnd.nextBoolean()
+      val delPred = delK.map(kv =>
+        if (delScoped) s"p = 'a' AND k = $kv" else s"k = $kv")
+      delPred.foreach(pr =>
+        client.getTxTable("fuzzmeta", "s", s"t$ti").delete(pr))
       // ...and sometimes an UPDATE on top: the round-14 update fold
       // unsets only the ASSIGNED column's stats while everything else
       // keeps serving — catalog answers must still equal the model's
@@ -131,7 +137,8 @@ class MetadataAggFuzzSpec extends AnyFunSuite {
       // the raw-view model applies the storage-level conflation: a REAL
       // sentinel-string partition value is unrepresentable in hive
       // layout and reads back as NULL (vanilla Spark behaves the same)
-      val all = (rows ++ extra).filterNot(r => delK.contains(r._3))
+      val all = (rows ++ extra)
+        .filterNot(r => delK.contains(r._3) && (!delScoped || r._2 == "a"))
         .map { case (id, p, k, s2) =>
           (id, if (p == "__HIVE_DEFAULT_PARTITION__") null else p, k,
             if (updK.contains(k)) "upd" else s2)

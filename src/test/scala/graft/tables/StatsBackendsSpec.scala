@@ -138,9 +138,15 @@ class StatsBackendsSpec extends AnyFunSuite {
     assert(ColumnStats.isFresh(t.snapshot), "fold must keep an Iceberg stamp fresh")
     assert(ColumnStats.currentNdv(t.snapshot, "v").contains(41L))
     // Iceberg deletes are merge-on-read (a position-delete snapshot,
-    // not a CoW rewrite): their row delta never folds — stale, scan
+    // not a CoW rewrite) — since round 15 they FOLD like the Delta DV
+    // path: SUM subtracts exactly, sketches honestly unset
     t.delete("id = 0")
-    assert(!ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.isFresh(t.snapshot),
+      "a MoR position delete must fold the stamp")
+    assert(ColumnStats.currentSum(t.snapshot, "id")
+      .contains(Some((1L until 500L).sum + 1000L)))
+    assert(ColumnStats.currentNdv(t.snapshot, "id").isEmpty,
+      "a sketch cannot un-see the removed value")
   }
 
   test("iceberg whole-partition delete: metadata-only removal, stats fold through") {
@@ -166,11 +172,15 @@ class StatsBackendsSpec extends AnyFunSuite {
       Set(Seq("p0"), Seq("p2")))
     assert(t.toDF.count() == 200L)
     // an undecidable (non-partition) predicate falls back to the MoR
-    // position-delete path and honestly invalidates
+    // position-delete path — which now FOLDS too (pinned at
+    // metadataVersion+1): SUM subtracts the hidden rows exactly
     t.delete("k = 7")
     assert(t.snapshot.files.exists(_.deletionVector.isDefined),
       "the MoR path must still write position deletes")
-    assert(!ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.isFresh(t.snapshot),
+      "the MoR position delete must fold the stamp")
+    assert(ColumnStats.currentSum(t.snapshot, "id").contains(Some(
+      (0L until 300L).filterNot(i => i % 3 == 1 || i % 50 == 7).sum)))
     assert(t.toDF.filter("k = 7").count() == 0L)
   }
 }
