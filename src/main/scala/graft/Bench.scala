@@ -504,14 +504,23 @@ object Bench {
       // the one ANALYZE stamp scan, the stamped scan-free SUM/NDV
       // answer, the O(batch) append FOLD, and the post-fold answer
       // proving stats survived the append without a re-scan
-      val (countCol, analyzeStamp, sumNdvMeta, minMaxMeta, statsFoldAppend, sumPostFold) = {
+      val (countCol, analyzeStampNoQs, analyzeStamp, sumNdvMeta, minMaxMeta,
+          statsFoldAppend, sumPostFold) = {
         val a = timed {
           spark.sql(s"SELECT COUNT(l_orderkey) AS n FROM $grpCat.s.t").collect()
+        }
+        // the SKIP SKETCHES twin FIRST (the full stamp below restores
+        // the digests the later percentile rows serve from): the delta
+        // between the two is the GK quantile layer's share of the scan
+        val b0 = timed {
+          spark.sql(s"""ANALYZE TABLE $grpCat.s.t COMPUTE STATISTICS
+              FOR COLUMNS l_orderkey, l_quantity SKIP SKETCHES""").collect()
         }
         val b = timed {
           spark.sql(s"""ANALYZE TABLE $grpCat.s.t COMPUTE STATISTICS
               FOR COLUMNS l_orderkey, l_quantity""").collect()
         }
+        line("analyze_stamp_scan_noqs", b0)
         val c = timed {
           spark.sql(s"""SELECT SUM(l_orderkey) AS s,
               APPROX_COUNT_DISTINCT(l_orderkey) AS d FROM $grpCat.s.t""").collect()
@@ -537,7 +546,7 @@ object Bench {
         line("metadata_sum_ndv", c); line("metadata_minmax_double", mm)
         line("stats_fold_append", d)
         line("metadata_sum_post_fold", e)
-        (a, b, c, mm, d, e)
+        (a, b0, b, c, mm, d, e)
       }
       // round-14 late rows: the full-aggregate-surface serves — AVG +
       // central moments from the stamped (n, Σx, Σx²) and
@@ -688,6 +697,36 @@ object Bench {
         line("iceberg_retention_drop", rdi)
         (gm, gs, rd, ra, mf, rdi)
       }
+      // round-15: the SIDECAR per-partition layer (120 tuples — past
+      // the 64-tuple inline cap): the stamp (incl. the sidecar write),
+      // the filtered serve reading the sidecar once per pass, and the
+      // 20-whole-partition retention drop rewriting it
+      val (sideAnalyze, sideServe, sideDrop) = {
+        val cat = s"benchside$pass"
+        val client = new graft.client.LakehouseClient(spark)
+        client.createCatalog(cat); client.createSchema(cat, "s")
+        val root = java.nio.file.Files.createTempDirectory("bench-side").toString
+        val li = graft.queries.Tables.lineitem(spark, sfDir).select(
+          col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_quantity").cast("long").as("l_quantity"),
+          (col("l_orderkey").cast("long") % lit(120L)).as("bucket"))
+        client.createAsTable(li.repartition(2), cat, "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("bucket"))
+        val a = timed {
+          spark.sql(s"""ANALYZE TABLE $cat.s.t COMPUTE STATISTICS
+            FOR COLUMNS l_orderkey, l_quantity""").collect()
+        }
+        val sv = timed {
+          spark.sql(s"""SELECT SUM(l_quantity) AS s,
+              APPROX_COUNT_DISTINCT(l_orderkey) AS d
+            FROM $cat.s.t WHERE bucket < 40""").collect()
+        }
+        val d = timed(spark.sql(s"DELETE FROM $cat.s.t WHERE bucket >= 100").collect())
+        line("sidecar_analyze_stamp", a); line("sidecar_filtered_serve", sv)
+        line("sidecar_retention_drop", d)
+        (a, sv, d)
+      }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
         "corpus_shards" -> shards, "iceberg_changelog_delete" -> chlog,
@@ -713,6 +752,7 @@ object Bench {
         "copy_into_noop" -> copyNoop,
         "canonical_url_dedup" -> urlDedup,
         "metadata_count_col" -> countCol,
+        "analyze_stamp_scan_noqs" -> analyzeStampNoQs,
         "analyze_stamp_scan" -> analyzeStamp,
         "metadata_sum_ndv" -> sumNdvMeta,
         "metadata_minmax_double" -> minMaxMeta,
@@ -736,7 +776,10 @@ object Bench {
         "retention_drop_fold" -> retentionDrop,
         "retention_approx_post_drop" -> retApprox,
         "insert_only_merge_fold" -> mergeFold,
-        "iceberg_retention_drop" -> icebergRetDrop)
+        "iceberg_retention_drop" -> icebergRetDrop,
+        "sidecar_analyze_stamp" -> sideAnalyze,
+        "sidecar_filtered_serve" -> sideServe,
+        "sidecar_retention_drop" -> sideDrop)
     }
 
     // min-of-two FULL ops passes (the SCALE protocol at one scale):

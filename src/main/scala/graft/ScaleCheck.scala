@@ -540,6 +540,67 @@ object ScaleCheck {
       (v, g, d, r)
     }
 
+    // round-15: the SIDECAR per-partition layer at 365 tuples — the
+    // day-partitioned-year shape the 64-tuple inline cap used to lock
+    // out entirely. The filtered serve is one sidecar read + an
+    // O(surviving tuples × k) driver merge, so it must stay ≈flat at
+    // ×10 data while its scan twin grows with the table; the retention
+    // drop (65 whole partitions) is the whole-file fast path + one
+    // sidecar rewrite — metadata-only at any scale.
+    val (sideAnalyze, sideServe, sideScan, sideDrop, sidePostServe) = {
+      import org.apache.spark.sql.functions.col
+      val client4 = new graft.client.LakehouseClient(spark)
+      client4.createCatalog("scaleside")
+      client4.createSchema("scaleside", "s")
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-side").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_quantity").cast("long").as("l_quantity"),
+          (col("l_orderkey").cast("long") % 365L).as("day"))
+      graft.tables.DeltaLogWriter.create(spark, s"$loc/t", li.repartition(8),
+        partitionColumns = Seq("day"))
+      client4.registerAsTable("scaleside", "s", "t",
+        graft.catalog.FileType.DELTA, s"$loc/t")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val a = timed {
+        spark.sql("""ANALYZE TABLE scaleside.s.t COMPUTE STATISTICS
+          FOR COLUMNS l_orderkey, l_quantity""").collect()
+      }
+      require(graft.tables.TxTable.forForeignDelta(spark, s"$loc/t")
+          .snapshot.properties.contains(graft.tables.ColumnStats.PsidecarProp),
+        "365 tuples must stamp the sidecar layer")
+      val sv = timed {
+        val got = spark.sql("""SELECT SUM(l_quantity) AS s,
+            APPROX_COUNT_DISTINCT(l_orderkey) AS d
+          FROM scaleside.s.t WHERE day < 100""").collect()
+        require(got.nonEmpty)
+      }
+      val sc = timed {
+        val got = graft.tables.TxTable.forForeignDelta(spark, s"$loc/t").toDF
+          .filter(col("day") < 100)
+          .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("s"),
+            org.apache.spark.sql.functions
+              .approx_count_distinct(col("l_orderkey")).as("d")).collect()
+        require(got.nonEmpty)
+      }
+      val d = timed(
+        spark.sql("DELETE FROM scaleside.s.t WHERE day >= 300").collect())
+      val r = timed {
+        val got = spark.sql("""SELECT SUM(l_quantity) AS s
+          FROM scaleside.s.t WHERE day >= 200""").collect()
+        require(got.nonEmpty)
+      }
+      require(graft.tables.ColumnStats.isFresh(
+          graft.tables.TxTable.forForeignDelta(spark, s"$loc/t").snapshot),
+        "the 65-partition retention drop must keep the sidecar stamp fresh")
+      System.err.println(f"[scalecheck] sidecar_analyze_stamp $a%.2fs " +
+        f"sidecar_filtered_serve $sv%.2fs sidecar_filtered_scan $sc%.2fs " +
+        f"sidecar_retention_drop $d%.2fs sidecar_post_drop_serve $r%.2fs")
+      (a, sv, sc, d, r)
+    }
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
       "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
       "corpus_shards" -> shards, "quality_classifier" -> classifier,
@@ -578,7 +639,12 @@ object ScaleCheck {
       "partition_ndv_metadata" -> pndvMeta,
       "grouped_sum_metadata" -> grpSumMeta,
       "retention_drop_metadata" -> retDrop,
-      "retention_post_drop_serve" -> retServe))
+      "retention_post_drop_serve" -> retServe,
+      "sidecar_analyze_stamp" -> sideAnalyze,
+      "sidecar_filtered_serve" -> sideServe,
+      "sidecar_filtered_scan" -> sideScan,
+      "sidecar_retention_drop" -> sideDrop,
+      "sidecar_post_drop_serve" -> sidePostServe))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

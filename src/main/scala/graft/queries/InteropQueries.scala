@@ -3788,6 +3788,254 @@ object InteropQueries {
             FROM lineitem) AS sum_qty_pt,
           TRUE AS survivors_scan_free,
           TRUE AS assigned_falls_back,
-          TRUE AS partition_assign_falls_back"""))
+          TRUE AS partition_assign_falls_back""")),
+
+    // ---- q182: the per-partition layer past 64 tuples — SIDECAR ----
+    // A 200-partition table (a day-partitioned 100 TB table has 365+)
+    // used to lose the whole per-partition layer: table properties ride
+    // every commit, so the inline cells were capped at 64 tuples, and
+    // exactly the tables that motivated the filtered serves got none.
+    // ANALYZE now writes the per-tuple cells to ONE sidecar JSON file
+    // under _graft_stats/ keyed by the stamp's fingerprint; properties
+    // keep only the pointer. Filtered exact SUM, filtered
+    // APPROX_COUNT_DISTINCT, filtered APPROX_PERCENTILE and the grouped
+    // rollup all serve scan-free from the sidecar cells, and the
+    // retention drop (50 whole partitions) stays METADATA-ONLY — the
+    // table-wide stats recombine from the surviving sidecar cells with
+    // zero data read. Exact values are DuckDB-recomputed; estimator
+    // serves ride as error-envelope booleans the oracle asserts TRUE.
+    QueryDef(
+      "q182_sidecar_partition_stats",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q182cat")
+        client.createSchema("q182cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q182-side").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          (col("l_orderkey").cast(LongType) % 200L).as("bucket"))
+        client.createAsTable(li.repartition(4), "q182cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("bucket"))
+        s.sql("ANALYZE TABLE q182cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        val t = client.getTxTable("q182cat", "s", "t")
+        // the layer must actually live in the sidecar (200 tuples is
+        // far past the 64-tuple inline cap), with NO inline cells
+        val realProps = t.snapshot.properties
+        val sidecarStored =
+          realProps.contains(graft.tables.ColumnStats.PsidecarProp) &&
+          !realProps.contains(graft.tables.ColumnStats.PvalsProp)
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        def scanFree(q: org.apache.spark.sql.DataFrame) =
+          planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan")
+        // grouped rollup spine: 10 rows, each SUM from one sidecar cell
+        val spine = s.sql("""SELECT bucket, COUNT(*) AS n_g,
+            SUM(l_quantity) AS sum_g
+          FROM q182cat.s.t WHERE bucket < 10 GROUP BY bucket""")
+        val groupedMeta = scanFree(spine)
+        val q1 = s.sql("""SELECT SUM(l_quantity) AS sum_f
+          FROM q182cat.s.t WHERE bucket < 50""")
+        val sumMeta = scanFree(q1)
+        val q2 = s.sql("""SELECT APPROX_COUNT_DISTINCT(l_orderkey) AS du
+          FROM q182cat.s.t WHERE bucket < 50""")
+        val ndvMeta = scanFree(q2)
+        val est = q2.collect()(0).getLong(0).toDouble
+        val exact = li.filter(col("bucket") < 50)
+          .select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0).toDouble
+        // sidecar pk=2048 at 200x2 cells: rse ~2.2%, envelope 3x
+        val ndvOk = math.abs(est - exact) / exact < 0.07
+        val q3 = s.sql("""SELECT APPROX_PERCENTILE(l_quantity, 0.5, 50) AS p50
+          FROM q182cat.s.t WHERE bucket < 50""")
+        val pctMeta = scanFree(q3)
+        val served50 = q3.collect()(0).getLong(0)
+        val env = li.filter(col("bucket") < 50).agg(
+          expr("percentile(l_quantity, array(0.44, 0.56))").as("e"))
+          .collect()(0).getSeq[Double](0)
+        val pctOk = served50 >= env(0) - 1 && served50 <= env(1) + 1
+        // the retention drop: 50 WHOLE partitions out, metadata-only —
+        // table-wide SUM recombines from the surviving sidecar cells
+        s.sql("DELETE FROM q182cat.s.t WHERE bucket >= 150")
+        val q4 = s.sql("SELECT SUM(l_quantity) AS sum_post FROM q182cat.s.t")
+        val postDropMeta = scanFree(q4)
+        val q5 = s.sql("""SELECT SUM(l_quantity) AS sum_post_f
+          FROM q182cat.s.t WHERE bucket >= 100""")
+        val postDropFilteredMeta = scanFree(q5)
+        spine.crossJoin(q1).crossJoin(q4).crossJoin(q5)
+          .withColumn("sidecar_stored", lit(sidecarStored))
+          .withColumn("grouped_scan_free", lit(groupedMeta))
+          .withColumn("sum_scan_free", lit(sumMeta))
+          .withColumn("ndv_scan_free", lit(ndvMeta))
+          .withColumn("ndv_in_envelope", lit(ndvOk))
+          .withColumn("pct_scan_free", lit(pctMeta))
+          .withColumn("pct_in_envelope", lit(pctOk))
+          .withColumn("post_drop_scan_free", lit(postDropMeta))
+          .withColumn("post_drop_filtered_scan_free", lit(postDropFilteredMeta))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) % 200 AS bucket,
+                 CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem
+        )
+        SELECT bucket, COUNT(*) AS n_g, CAST(SUM(q) AS BIGINT) AS sum_g,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM src WHERE bucket < 50) AS sum_f,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM src WHERE bucket < 150) AS sum_post,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM src
+            WHERE bucket >= 100 AND bucket < 150) AS sum_post_f,
+          TRUE AS sidecar_stored,
+          TRUE AS grouped_scan_free,
+          TRUE AS sum_scan_free,
+          TRUE AS ndv_scan_free,
+          TRUE AS ndv_in_envelope,
+          TRUE AS pct_scan_free,
+          TRUE AS pct_in_envelope,
+          TRUE AS post_drop_scan_free,
+          TRUE AS post_drop_filtered_scan_free
+        FROM src WHERE bucket < 10 GROUP BY bucket""")),
+
+    // ---- q183: Iceberg MoR position deletes FOLD column stats ----
+    // The one delete path that still killed the stamp: Iceberg's
+    // merge-on-read position delete (no file removed — rows hidden by a
+    // content=1 delete snapshot). The writer's metadata commit is
+    // create-exclusive at metadataVersion+1, so the fold is pinned
+    // exactly like the Delta DV path: the newly-hidden rows are
+    // `touched files ⋂ predicate` over the PRE-delete snapshot, read
+    // from the just-written delete files (O(deleted rows), never a
+    // table scan). SUM/COUNT/AVG keep serving scan-free across the
+    // delete; DuckDB recomputes the post-delete values. The twin whose
+    // predicate is time-dependent pins the honest bail (stamp stale →
+    // scan, still correct).
+    QueryDef(
+      "q183_iceberg_mor_delete_fold",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q183cat")
+        client.createSchema("q183cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q183-imor").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"))
+        client.createAsTable(li.repartition(4), "q183cat", "s", "t",
+          graft.catalog.FileType.ICEBERG, s"$root/t")
+        s.sql("ANALYZE TABLE q183cat.s.t COMPUTE STATISTICS FOR COLUMNS l_orderkey, l_quantity")
+        // a row-level predicate no partition tuple decides → the MoR
+        // position-delete snapshot, which must FOLD
+        s.sql("DELETE FROM q183cat.s.t WHERE l_quantity % 10 = 3")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        val q1 = s.sql("""SELECT SUM(l_quantity) AS sum_q, COUNT(l_quantity) AS cnt_q,
+            AVG(l_quantity) AS avg_q FROM q183cat.s.t""")
+        val foldServed = planOf(q1).contains("LocalTableScan") &&
+          !planOf(q1).contains("FileScan")
+        // a SECOND MoR delete folds again (prior deletes applied at base)
+        s.sql("DELETE FROM q183cat.s.t WHERE l_orderkey % 97 = 1")
+        val q2 = s.sql("SELECT SUM(l_quantity) AS sum_q2 FROM q183cat.s.t")
+        val secondFoldServed = !planOf(q2).contains("FileScan")
+        // the unprovable twin: a time-dependent predicate must bail to a
+        // stale stamp — the scan stays correct
+        client.createAsTable(li.repartition(2), "q183cat", "s", "tw",
+          graft.catalog.FileType.ICEBERG, s"$root/tw")
+        s.sql("ANALYZE TABLE q183cat.s.tw COMPUTE STATISTICS FOR COLUMNS l_quantity")
+        s.sql("""DELETE FROM q183cat.s.tw
+          WHERE l_quantity % 10 = 3 AND unix_timestamp() > 0""")
+        val q3 = s.sql("SELECT SUM(l_quantity) AS sum_tw FROM q183cat.s.tw")
+        val twinScans = planOf(q3).contains("FileScan")
+        q1.crossJoin(q2).crossJoin(q3)
+          .withColumn("fold_scan_free", lit(foldServed))
+          .withColumn("second_fold_scan_free", lit(secondFoldServed))
+          .withColumn("time_dependent_twin_scans", lit(twinScans))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem
+        ), d1 AS (
+          SELECT ok, q FROM src WHERE q % 10 <> 3
+        ), d2 AS (
+          SELECT ok, q FROM d1 WHERE ok % 97 <> 1
+        )
+        SELECT
+          (SELECT CAST(SUM(q) AS BIGINT) FROM d1) AS sum_q,
+          (SELECT COUNT(q) FROM d1) AS cnt_q,
+          (SELECT CAST(SUM(q) AS DOUBLE) / COUNT(q) FROM d1) AS avg_q,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM d2) AS sum_q2,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM src WHERE q % 10 <> 3) AS sum_tw,
+          TRUE AS fold_scan_free,
+          TRUE AS second_fold_scan_free,
+          TRUE AS time_dependent_twin_scans""")),
+
+    // ---- q184: partial-partition deletes keep the OTHER tuples ----
+    // A delete that removes SOME rows of one partition used to kill the
+    // whole per-partition layer. The touched tuple's cells are honestly
+    // unset (its scopes fall to the scan) and it stays LISTED (it holds
+    // live rows), while every other tuple's cells survive verbatim —
+    // the `WHERE day >= X` dashboard over the untouched 363 partitions
+    // keeps serving scan-free. Table-wide SUM folds by subtraction as
+    // before. All exact values DuckDB-recomputed over the post-delete
+    // rows.
+    QueryDef(
+      "q184_partial_delete_layer_keep",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q184cat")
+        client.createSchema("q184cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q184-part").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"))
+        client.createAsTable(li.repartition(4), "q184cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q184cat.s.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        // partial delete INSIDE partition 'A' only — not a pure drop
+        s.sql("DELETE FROM q184cat.s.t WHERE l_returnflag = 'A' AND l_quantity < 25")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        def scanFree(q: org.apache.spark.sql.DataFrame) =
+          planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan")
+        // untouched partitions keep their filtered serves (the NDV
+        // estimate rides as an envelope boolean — merged past the
+        // sketch's exact regime it can't hash-match an exact recount)
+        val q1 = s.sql("""SELECT SUM(l_quantity) AS sum_n
+          FROM q184cat.s.t WHERE l_returnflag >= 'N'""")
+        val untouchedServed = scanFree(q1)
+        val qNdv = s.sql("""SELECT APPROX_COUNT_DISTINCT(l_orderkey) AS du
+          FROM q184cat.s.t WHERE l_returnflag >= 'N'""")
+        val ndvServed = scanFree(qNdv)
+        val est = qNdv.collect()(0).getLong(0).toDouble
+        val exact = li.filter(col("l_returnflag") >= "N")
+          .select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0).toDouble
+        val ndvOk = math.abs(est - exact) / exact < 0.07
+        // the touched partition's scope honestly scans — and is correct
+        val q2 = s.sql("""SELECT SUM(l_quantity) AS sum_a
+          FROM q184cat.s.t WHERE l_returnflag = 'A'""")
+        val touchedScans = planOf(q2).contains("FileScan")
+        // table-wide SUM still serves (subtraction fold)
+        val q3 = s.sql("SELECT SUM(l_quantity) AS sum_all FROM q184cat.s.t")
+        val tableWideServed = !planOf(q3).contains("FileScan")
+        q1.crossJoin(q2).crossJoin(q3)
+          .withColumn("untouched_scan_free", lit(untouchedServed))
+          .withColumn("ndv_scan_free", lit(ndvServed))
+          .withColumn("ndv_in_envelope", lit(ndvOk))
+          .withColumn("touched_falls_back", lit(touchedScans))
+          .withColumn("tablewide_scan_free", lit(tableWideServed))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_quantity AS BIGINT) AS q,
+                 l_returnflag AS rf
+          FROM lineitem
+        ), post AS (
+          SELECT ok, q, rf FROM src WHERE NOT (rf = 'A' AND q < 25)
+        )
+        SELECT
+          (SELECT CAST(SUM(q) AS BIGINT) FROM post WHERE rf >= 'N') AS sum_n,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM post WHERE rf = 'A') AS sum_a,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM post) AS sum_all,
+          TRUE AS untouched_scan_free,
+          TRUE AS ndv_scan_free,
+          TRUE AS ndv_in_envelope,
+          TRUE AS touched_falls_back,
+          TRUE AS tablewide_scan_free"""))
   )
 }

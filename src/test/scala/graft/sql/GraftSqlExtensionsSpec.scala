@@ -992,6 +992,41 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(qe.collect()(0).isNullAt(0))
   }
 
+  test("ANALYZE ... SKIP SKETCHES skips just the quantile layer") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakeskipqs")
+    client.createSchema("lakeskipqs", "core")
+    val dir = TestSpark.tmpDir("sqlskipqs")
+    client.createAsTable(
+      (1 to 300).map(i => (i.toLong, s"p${i % 3}")).toDF("v", "p"),
+      "lakeskipqs", "core", "t", FileType.DELTA, s"$dir/t",
+      partitionColumns = Seq("p"))
+    spark.sql(
+      "ANALYZE TABLE lakeskipqs.core.t COMPUTE STATISTICS FOR COLUMNS v SKIP SKETCHES")
+    def planOf(q: org.apache.spark.sql.DataFrame) = q.queryExecution.executedPlan.toString
+    // SUM/NDV/extremes still serve scan-free...
+    val q1 = spark.sql("SELECT SUM(v) AS s, APPROX_COUNT_DISTINCT(v) AS d FROM lakeskipqs.core.t")
+    assert(!planOf(q1).contains("FileScan"), planOf(q1))
+    assert(q1.collect()(0).getLong(0) == (1L to 300L).sum)
+    // ...but APPROX_PERCENTILE honestly keeps the scan (no digest stamped)
+    val q2 = spark.sql("SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p FROM lakeskipqs.core.t")
+    assert(planOf(q2).contains("FileScan"), "SKIP SKETCHES must leave no digest")
+    val props = client.getTxTable("lakeskipqs", "core", "t").snapshot.properties
+    assert(!props.keys.exists(_.startsWith(graft.tables.ColumnStats.QsPropPrefix)))
+    assert(!props.keys.exists(_.startsWith(graft.tables.ColumnStats.PqsPropPrefix)))
+    // a FULL re-ANALYZE restores the digest; a later SKIP unsets it again
+    spark.sql("ANALYZE TABLE lakeskipqs.core.t COMPUTE STATISTICS FOR COLUMNS v")
+    assert(!planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p FROM lakeskipqs.core.t"))
+      .contains("FileScan"))
+    spark.sql(
+      "ANALYZE TABLE lakeskipqs.core.t COMPUTE STATISTICS FOR ALL COLUMNS SKIP SKETCHES")
+    assert(planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS p FROM lakeskipqs.core.t"))
+      .contains("FileScan"),
+      "a SKIP restamp must unset the previous digest, not re-freshen it")
+  }
+
   test("a multi-aggregate SELECT resolves its snapshot ONCE (memoized rewrite pass)") {
     // before the per-pass memo, every stamped serve independently
     // re-loaded the snapshot and re-hashed the fingerprint — a dashboard
