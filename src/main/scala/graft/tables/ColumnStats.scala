@@ -754,10 +754,19 @@ object ColumnStats {
     finally out.close()
     try {
       val cutoff = System.currentTimeMillis() - SidecarSweepAgeMs
+      // the caller's pointer can be STALE (a slow ANALYZE holds its
+      // pre-scan snapshot while concurrent folds re-point): re-read the
+      // pointer the table's LATEST properties name, and protect both —
+      // sweeping the live file would silently drop the whole layer
+      val livePointer =
+        try TxTable.forAnyLocation(table.spark, table.location)
+          .snapshot.properties.get(PsidecarProp)
+        catch { case scala.util.control.NonFatal(_) => return name } // can't prove: skip sweep
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         val born = n.stripPrefix("player-").takeWhile(_.isDigit).toLongOption
-        if (n != name && !currentPointer.contains(n) && n.startsWith("player-") &&
+        if (n != name && !currentPointer.contains(n) && !livePointer.contains(n) &&
+            n.startsWith("player-") &&
             born.getOrElse(st.getModificationTime) < cutoff) {
           fs.delete(st.getPath, false); ()
         }
@@ -1225,14 +1234,16 @@ object ColumnStats {
           unset += key -> (null: String)
       }
       val dropKeep = partitionDropKeep(table, props, base, snap, removedPaths)
-      dropKeep.foreach(dk =>
-        set ++= storeLayer(table, dk.props, props.get(PsidecarProp)))
       // not a pure drop: the weaker partial-partition keep — untouched
       // tuples' cells survive verbatim, touched tuples stay listed but
-      // cell-less (their scopes fall to the scan)
-      if (dropKeep.isEmpty)
-        partitionTouchedKeep(table, props, base, snap, removedPaths)
-          .foreach(keep => set ++= storeLayer(table, keep, props.get(PsidecarProp)))
+      // cell-less (their scopes fall to the scan). The keep is COMPUTED
+      // here but STORED (possibly a multi-MB sidecar write) only just
+      // before the commit — the subtraction arm below can still bail
+      // (time-dependent predicate, inconsistent stamp), and a bailed
+      // fold must not have paid an orphaned file write
+      val layerKeep: Option[Map[String, String]] =
+        dropKeep.map(_.props)
+          .orElse(partitionTouchedKeep(table, props, base, snap, removedPaths))
       // a pure drop also resurrects the TABLE-WIDE quantile digest by
       // merging the surviving tuples' cells (set wins over the unset)
       dropKeep.foreach(dk => set ++= deriveQuantileFromLayer(props, dk))
@@ -1358,6 +1369,9 @@ object ColumnStats {
         }
       }
       }
+      // every bail above is behind us: NOW pay the layer's storage write
+      layerKeep.foreach(keep =>
+        set ++= storeLayer(table, keep, props.get(PsidecarProp)))
       table.setProperties(unset.result() ++ set.result() ++
         Map(FingerprintProp -> fingerprint(snap).toString,
           VersionProp -> commitVersion.toString))
@@ -1482,20 +1496,8 @@ object ColumnStats {
     val removedFiles = base.files.filter(f => removedSet.contains(f.path))
     if (removedFiles.size != removedSet.size) return None // can't bind the batch
     val ptypes = pcols.map(c => base.schema(c).dataType)
-    // a file's log-recorded partition tuple in the STAMPED encoding
-    // (renderValue over internal values); None = ambiguous/unconvertible
-    def tupleOf(f: TxLog.AddFile): Option[Seq[String]] = {
-      val out = pcols.zip(ptypes).map { case (c, dt) =>
-        f.partitionValues.get(c) match {
-          case Some(null) => null
-          case Some("__HIVE_DEFAULT_PARTITION__") =>
-            if (sentinelIsNull) null else return None
-          case Some(raw) => logPartValueToStamped(dt, raw).getOrElse(return None)
-          case None => return None
-        }
-      }
-      Some(out)
-    }
+    def tupleOf(f: TxLog.AddFile): Option[Seq[String]] =
+      stampedTupleOf(f, pcols, ptypes, sentinelIsNull)
     val removedTuples = removedFiles
       .map(f => tupleOf(f).getOrElse(return None)).toSet
     val tuples = decodeTuples(pvalsEnc)
@@ -1542,6 +1544,26 @@ object ColumnStats {
       keep.map(_._1), keep.map(_._2), liveByTuple))
   }
 
+  /** A file's log-recorded partition tuple in the STAMPED encoding
+    * (renderValue over internal values) — the ONE converter both the
+    * pure-drop and partial-keep proofs use, so they can never disagree
+    * on which tuple a file belongs to. None = ambiguous/unconvertible
+    * (incl. the hive sentinel on a JSON-sourced log, where a real
+    * string equal to it would be indistinguishable from SQL NULL). */
+  private def stampedTupleOf(f: TxLog.AddFile, pcols: Seq[String],
+      ptypes: Seq[DataType], sentinelIsNull: Boolean): Option[Seq[String]] = {
+    val out = pcols.zip(ptypes).map { case (c, dt) =>
+      f.partitionValues.get(c) match {
+        case Some(null) => null
+        case Some("__HIVE_DEFAULT_PARTITION__") =>
+          if (sentinelIsNull) null else return None
+        case Some(raw) => logPartValueToStamped(dt, raw).getOrElse(return None)
+        case None => return None
+      }
+    }
+    Some(out)
+  }
+
   /** A provable pure partition DROP: the surviving layer (reindexed),
     * the kept tuples with their OLD stamped indices, and the survivors'
     * live row counts per tuple (when derivable from file metadata). */
@@ -1573,19 +1595,16 @@ object ColumnStats {
     val removedSet = removedPaths.toSet
     val removedFiles = base.files.filter(f => removedSet.contains(f.path))
     if (removedFiles.size != removedSet.size) return None
+    // removedPaths must COVER every file the commit actually removed: a
+    // base file absent from snap but missing from the caller's list
+    // would contribute no tuple to T, and its partition's cells would
+    // survive with pre-delete values served as exact
+    val snapPaths = snap.files.map(_.path).toSet
+    if (!base.files.forall(f =>
+        snapPaths.contains(f.path) || removedSet.contains(f.path))) return None
     val ptypes = pcols.map(c => base.schema(c).dataType)
-    def tupleOf(f: TxLog.AddFile): Option[Seq[String]] = {
-      val out = pcols.zip(ptypes).map { case (c, dt) =>
-        f.partitionValues.get(c) match {
-          case Some(null) => null
-          case Some("__HIVE_DEFAULT_PARTITION__") =>
-            if (sentinelIsNull) null else return None
-          case Some(raw) => logPartValueToStamped(dt, raw).getOrElse(return None)
-          case None => return None
-        }
-      }
-      Some(out)
-    }
+    def tupleOf(f: TxLog.AddFile): Option[Seq[String]] =
+      stampedTupleOf(f, pcols, ptypes, sentinelIsNull)
     val touched = removedFiles.map(f => tupleOf(f).getOrElse(return None)).toSet
     // rewrite survivors (files the commit added) must stay inside the
     // touched set — a delete writes survivors into the same partitions,

@@ -1497,6 +1497,16 @@ final class TxTable(val spark: SparkSession, val location: String,
     val deleted = Seq.newBuilder[String]
     val reserved = log.reservedPrefixes
     val it = f.listFiles(base, true)
+    // the stats sidecar the CURRENT stamp points to survives; anything
+    // else under _graft_stats past retention is an orphan (a failed
+    // stamp, or a layer that migrated back inline and left its last
+    // sidecar behind — writeSidecar's own sweep never runs again there).
+    // Outer None = the pointer couldn't be resolved: don't touch any
+    // sidecar (the data-file vacuum proceeds regardless).
+    val pointedSidecar: Option[Option[String]] =
+      try Some(log.snapshot(spark, location).properties
+        .get(ColumnStats.PsidecarProp).map(n => s"_graft_stats/$n"))
+      catch { case scala.util.control.NonFatal(_) => None }
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile) {
@@ -1505,7 +1515,10 @@ final class TxTable(val spark: SparkSession, val location: String,
         // everything under the log dir is not
         val isData = (rel.endsWith(".parquet") || rel.endsWith(".bin")) &&
           !reserved.exists(rel.startsWith)
-        if (isData && !keep.contains(rel) && st.getModificationTime < cutoffMs) {
+        val isOrphanSidecar = rel.startsWith("_graft_stats/player-") &&
+          rel.endsWith(".json") && pointedSidecar.exists(!_.contains(rel))
+        if ((isData && !keep.contains(rel) || isOrphanSidecar) &&
+            st.getModificationTime < cutoffMs) {
           if (!dryRun) f.delete(st.getPath, false)
           deleted += rel
         }

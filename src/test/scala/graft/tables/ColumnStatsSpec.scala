@@ -548,6 +548,31 @@ class ColumnStatsSpec extends AnyFunSuite {
       "a cell-less tuple must stay cell-less across folds (its older rows are unknown)")
   }
 
+  test("vacuum reclaims orphaned sidecar files and keeps the pointed one") {
+    val t = new TxTable(spark, TestSpark.tmpDir("cs-sweep") + "/t")
+    t.create((0L until 700L).map(i => (i, s"p${i % 70}"))
+      .toDF("v", "p").repartition(4), partitionColumns = Seq("p"))
+    ColumnStats.analyze(t, Seq("v"))
+    // a second analyze re-points; the first file becomes an orphan (the
+    // in-writer sweep is age-gated, so both files exist right after)
+    ColumnStats.analyze(t, Seq("v"))
+    val pointed = t.snapshot.properties(ColumnStats.PsidecarProp)
+    val fs = TxLog.fs(spark, t.location)
+    val dir = new org.apache.hadoop.fs.Path(t.location, "_graft_stats")
+    assert(fs.listStatus(dir).length >= 2, "both sidecar generations on disk")
+    val planned = t.vacuumDryRun(retentionMs = 0L, force = true)
+    assert(planned.exists(_.startsWith("_graft_stats/player-")),
+      "vacuum must reclaim the orphaned sidecar")
+    t.vacuum(retentionMs = 0L, force = true)
+    val left = fs.listStatus(dir).map(_.getPath.getName).toSeq
+    assert(left == Seq(pointed),
+      s"only the pointed sidecar may survive, got $left")
+    // the layer still serves after the vacuum
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.currentPartitionTuples(
+      ColumnStats.withLayer(spark, t.location, t.snapshot)).get.size == 70)
+  }
+
   test("timestamp and decimal extremes round-trip the stamp") {
     val ts1 = java.sql.Timestamp.valueOf("2001-02-03 04:05:06.789")
     val ts2 = java.sql.Timestamp.valueOf("2031-12-31 23:59:59.999999")
