@@ -91,6 +91,12 @@ object Bench {
     }
     val results = headlineAb.map { case (n, off, _) => n -> off }
     val resultsCboOn = headlineAb.map { case (n, _, on) => n -> on }
+    // The A/B loop's last arm may leave CBO off (last index odd → final
+    // setCbo(offFirst=false)); every block below is measured under the
+    // session's documented config (CBO ON), so restore it explicitly —
+    // otherwise the ops/skew/dv/iceberg numbers silently change planner
+    // regime depending on the headline-query COUNT's parity.
+    setCbo(on = true)
 
     // Skew demo (diagnostic; NOT in the headline total — its RESULT is
     // oracle-anchored by q77_salted_skew_join, which hash-proves salting

@@ -571,10 +571,21 @@ object ScaleCheck {
       require(graft.tables.TxTable.forForeignDelta(spark, s"$loc/t")
           .snapshot.properties.contains(graft.tables.ColumnStats.PsidecarProp),
         "365 tuples must stamp the sidecar layer")
-      val sv = timed {
-        val got = spark.sql("""SELECT SUM(l_quantity) AS s,
+      // the probe exists to pin "one sidecar read + driver merge, no
+      // data read": assert the PLAN, not just freshness — a silent
+      // regression to scanning would otherwise time the scan twin and
+      // still look plausibly flat at ×10
+      def requireScanFree(sql: String): Unit = {
+        val p = spark.sql(sql).queryExecution.executedPlan.toString
+        require(p.contains("LocalTableScan") && !p.contains("FileScan"),
+          s"sidecar serve must be scan-free, got plan:\n$p")
+      }
+      val filteredSql = """SELECT SUM(l_quantity) AS s,
             APPROX_COUNT_DISTINCT(l_orderkey) AS d
-          FROM scaleside.s.t WHERE day < 100""").collect()
+          FROM scaleside.s.t WHERE day < 100"""
+      requireScanFree(filteredSql)
+      val sv = timed {
+        val got = spark.sql(filteredSql).collect()
         require(got.nonEmpty)
       }
       val sc = timed {
@@ -587,9 +598,11 @@ object ScaleCheck {
       }
       val d = timed(
         spark.sql("DELETE FROM scaleside.s.t WHERE day >= 300").collect())
+      val postDropSql = """SELECT SUM(l_quantity) AS s
+          FROM scaleside.s.t WHERE day >= 200"""
+      requireScanFree(postDropSql)
       val r = timed {
-        val got = spark.sql("""SELECT SUM(l_quantity) AS s
-          FROM scaleside.s.t WHERE day >= 200""").collect()
+        val got = spark.sql(postDropSql).collect()
         require(got.nonEmpty)
       }
       require(graft.tables.ColumnStats.isFresh(

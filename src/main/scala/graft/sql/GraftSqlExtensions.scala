@@ -357,10 +357,13 @@ object GraftSqlExtensions {
         snapshotLoadCount.incrementAndGet()
         val t = graft.tables.TxTable.forAnyLocation(session, loc)
         val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
-        // inline a sidecar-stored partition layer here, once per pass —
-        // every serve downstream reads per-tuple cells as plain
-        // properties regardless of where the stamp stored them
-        Some((t, graft.tables.ColumnStats.withLayer(session, loc, snap)))
+        // the RAW snapshot: a sidecar-stored partition layer is NOT
+        // inlined here — table-wide serves (COUNT(*), SUM, NDV, AVG,
+        // percentile: all inline properties or the file list) must not
+        // pay a multi-MB sidecar read they never look at. The one
+        // consumer of per-tuple cells (survivingTuples) layers its own
+        // copy, through the parsed-sidecar cache.
+        Some((t, snap))
       } catch { case _: Throwable => None }
     val memo = snapMemo.get()
     if (memo == null) load()
@@ -487,7 +490,11 @@ object GraftSqlExtensions {
   private def survivingTuples(session: ClassicSparkSession, loc: String,
       version: Option[Long], preds: Seq[PartPred])
       : Option[(graft.tables.TxLog.Snapshot, Seq[Seq[String]], Seq[Int])] = {
-    val (_, snap) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
+    val (_, raw) = resolveTableSnapshot(session, loc, version).getOrElse(return None)
+    // per-tuple cells may live in a sidecar: inline them HERE, the one
+    // place the layer is read (write-once files through the parsed
+    // cache, so repeated serves re-merge a map, not re-read a file)
+    val snap = graft.tables.ColumnStats.withLayer(session, loc, raw)
     val pcols = snap.partitionColumns
     if (pcols.isEmpty) return None
     if (!preds.forall(p => pcols.contains(p.col))) return None

@@ -775,7 +775,36 @@ object ColumnStats {
     name
   }
 
+  /** Parsed-sidecar cache: sidecar files are write-once under unique
+    * names (creation millis + uuid) and never mutated — re-pointing
+    * writes a NEW file — so content keyed by (location, name) can never
+    * go stale. Bounded LRU so a long session over many tables doesn't
+    * hold every historical layer's map on the driver. */
+  private val sidecarCache =
+    new java.util.LinkedHashMap[(String, String), Map[String, String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Map[String, String]]): Boolean =
+        size() > 8
+    }
+
+  /** Sidecar touches (cached or not) — test-visible so a spec can pin
+    * "a table-wide serve never reads the per-tuple layer". */
+  private[graft] val sidecarReadCount = new java.util.concurrent.atomic.AtomicLong
+
   private[tables] def readSidecar(spark: org.apache.spark.sql.SparkSession,
+      location: String, rel: String): Map[String, String] = {
+    sidecarReadCount.incrementAndGet()
+    val key = (location, rel)
+    sidecarCache.synchronized(Option(sidecarCache.get(key))) match {
+      case Some(cached) => cached
+      case None =>
+        val parsed = readSidecarUncached(spark, location, rel)
+        sidecarCache.synchronized { sidecarCache.put(key, parsed); () }
+        parsed
+    }
+  }
+
+  private def readSidecarUncached(spark: org.apache.spark.sql.SparkSession,
       location: String, rel: String): Map[String, String] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -1471,9 +1500,11 @@ object ColumnStats {
     *    sentinel string is ambiguous in a JSON-sourced log — bail);
     *  - no surviving file shares a removed tuple (else that partition
     *    was partially deleted);
-    *  - every removed tuple IS stamped, with every surviving tuple's
-    *    sketch present (a fresh layer lists all live partitions — a gap
-    *    means the stamp isn't the shape ANALYZE wrote).
+    *  - every removed tuple IS stamped and every LIVE tuple is listed
+    *    (an unlisted live tuple would vanish from merged answers).
+    *    Survivors' cells carry cell-wise: a listed-but-cell-less tuple
+    *    (the partial-partition keep's shape) survives as-is — its
+    *    scopes keep scanning, everyone else keeps serving.
     *
     * None = not a pure drop (or unprovable) → the caller unsets the
     * layer, exactly the pre-round-14 behavior.
@@ -1518,18 +1549,28 @@ object ColumnStats {
       }.distinct.sorted
     if (sketchCols.isEmpty) return None
     val out = Map.newBuilder[String, String]
+    var anyCell = false
     keep.zipWithIndex.foreach { case ((_, oldIdx), newIdx) =>
-      // carry EVERY layer measure (sketch required; scalars as present)
-      sketchCols.foreach { c =>
-        out += s"$PkmvPropPrefix$c.$newIdx" ->
-          props.getOrElse(s"$PkmvPropPrefix$c.$oldIdx", return None)
-      }
-      PerTuplePrefixes.filterNot(_ == PkmvPropPrefix).foreach { p =>
+      // carry each survivor's cells CELL-WISE: a listed-but-cell-less
+      // tuple is a legitimate layer shape since the partial-partition
+      // keep (its scopes honestly scan), so a pure drop of OTHER
+      // partitions must not kill the intact tuples' cells over it.
+      // Every consumer already treats a missing cell as unprovable —
+      // deriveScalars/deriveQuantileFromLayer bail to the subtraction
+      // arm, the merged* serves fall to the scan for that tuple's
+      // scopes — so an optional carry stays stale-never-wrong.
+      PerTuplePrefixes.foreach { p =>
         sketchCols.foreach { c =>
-          props.get(s"$p$c.$oldIdx").foreach(v => out += s"$p$c.$newIdx" -> v)
+          props.get(s"$p$c.$oldIdx").foreach { v =>
+            out += s"$p$c.$newIdx" -> v
+            anyCell = true
+          }
         }
       }
     }
+    // every survivor cell-less would leave a pvals/pk husk no stamp
+    // writer produces — same rule as the partial keep: unset instead
+    if (!anyCell) return None
     // per-tuple LIVE row counts of the survivors (for deriving a
     // partition column's table-wide cnt/sum from the tuple values);
     // None when any surviving file's row count is unknown

@@ -1054,4 +1054,39 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 250.0) < 1e-9)
     assert(r.getLong(8) == 60L)
   }
+
+  test("table-wide serves never touch the sidecar; filtered serves read it once") {
+    // the per-tuple layer can be a multi-MB sidecar file: COUNT(*)/SUM/
+    // NDV/AVG answer from inline properties or the file list and must
+    // not pay its read; only the partition-filtered serve family needs
+    // the per-tuple cells (and re-reads hit the parsed cache, not disk)
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakeside2")
+    client.createSchema("lakeside2", "core")
+    val dir = TestSpark.tmpDir("sqlside2")
+    client.createAsTable(
+      (0 until 2000).map(i => (i.toLong, (i % 80).toLong)).toDF("v", "p")
+        .repartition(4),
+      "lakeside2", "core", "t", FileType.DELTA, s"$dir/t",
+      partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE lakeside2.core.t COMPUTE STATISTICS FOR COLUMNS v")
+    val t = client.getTxTable("lakeside2", "core", "t")
+    assert(t.snapshot.properties.contains(graft.tables.ColumnStats.PsidecarProp),
+      "80 tuples must stamp the sidecar layer")
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    val before = graft.tables.ColumnStats.sidecarReadCount.get()
+    val wide = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(v) AS s, AVG(v) AS a FROM lakeside2.core.t")
+    assert(!planOf(wide).contains("FileScan"), "table-wide serves must be scan-free")
+    assert(graft.tables.ColumnStats.sidecarReadCount.get() == before,
+      "a table-wide serve must not read the sidecar")
+    val filtered = spark.sql(
+      "SELECT SUM(v) AS s FROM lakeside2.core.t WHERE p < 40")
+    assert(!planOf(filtered).contains("FileScan"), "filtered serve must be scan-free")
+    assert(graft.tables.ColumnStats.sidecarReadCount.get() > before,
+      "the filtered serve reads per-tuple cells (through the cache)")
+    assert(filtered.collect()(0).getLong(0)
+      == (0 until 2000).filter(_ % 80 < 40).map(_.toLong).sum)
+  }
 }

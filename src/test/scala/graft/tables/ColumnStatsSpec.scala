@@ -546,6 +546,26 @@ class ColumnStatsSpec extends AnyFunSuite {
       == Some(Some(rows.filter(_._2 == "p0").map(_._1).sum + 5000L)))
     assert(ColumnStats.mergedPartitionSum(snap2, "v", Seq(idxOf("p1"))).isEmpty,
       "a cell-less tuple must stay cell-less across folds (its older rows are unknown)")
+    // a PURE drop of another partition (retention catching up) must not
+    // kill the intact tuples' cells over the cell-less survivor p1:
+    // survivors carry cell-wise, exactly the partial-keep's contract
+    t.delete("p = 'p3'")
+    assert(ColumnStats.isFresh(t.snapshot), "the pure drop must fold")
+    val snap3 = t.snapshot
+    val tuples3 = ColumnStats.currentPartitionTuples(snap3).get
+    assert(tuples3.map(_.head).sorted == Seq("p0", "p1", "p2"),
+      "dropped tuple delisted, cell-less survivor still listed")
+    val idx3 = tuples3.map(_.head).zipWithIndex.toMap
+    assert(ColumnStats.mergedPartitionSum(snap3, "v", Seq(idx3("p0")))
+      == Some(Some(rows.filter(_._2 == "p0").map(_._1).sum + 5000L)),
+      "intact tuples' cells must survive a pure drop over a cell-less peer")
+    assert(ColumnStats.mergedPartitionSum(snap3, "v", Seq(idx3("p1"))).isEmpty,
+      "the cell-less tuple stays cell-less (honest) across the drop")
+    // table-wide SUM folds via the subtraction arm (the recombination
+    // honestly bails on the cell-less survivor)
+    val live3 = rows.filterNot(r => r._2 == "p1" && r._1 < 100)
+      .filterNot(_._2 == "p3").map(r => BigInt(r._1)).sum + 5000L + 5001L
+    assert(ColumnStats.currentSumBig(snap3, "v") == Some(Some(live3)))
   }
 
   test("vacuum reclaims orphaned sidecar files and keeps the pointed one") {
