@@ -733,6 +733,36 @@ object Bench {
         line("sidecar_retention_drop", d)
         (a, sv, d)
       }
+      // round-15: the BINNED range join (q185's shape) vs the naive
+      // range predicate. The per-user hash join + residual builds every
+      // (click, purchase) pair of a user before filtering — quadratic
+      // in that user's activity — while binning co-keys on (user, day)
+      // so only same-window candidates ever pair. Both fully
+      // materialized through noop; result-transparency is q185's hash.
+      val (rjBinned, rjNaive) = {
+        import org.apache.spark.sql.functions.expr
+        val e = graft.queries.Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts_us").as("w_start"), (col("ts_us") + lit(86400000000L)).as("w_end"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+        val a = timed {
+          graft.ext.RangeJoin.pointInInterval(purchases, clicks,
+              pointCol = "p_ts", startCol = "w_start", endCol = "w_end",
+              binWidth = 86400000000L, equiKeys = Seq(("user_id", "c_user")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val b = timed {
+          purchases.join(clicks, col("user_id") === col("c_user")
+              && col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        line("range_join_binned", a); line("range_join_naive", b)
+        (a, b)
+      }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
         "corpus_shards" -> shards, "iceberg_changelog_delete" -> chlog,
@@ -785,7 +815,9 @@ object Bench {
         "iceberg_retention_drop" -> icebergRetDrop,
         "sidecar_analyze_stamp" -> sideAnalyze,
         "sidecar_filtered_serve" -> sideServe,
-        "sidecar_retention_drop" -> sideDrop)
+        "sidecar_retention_drop" -> sideDrop,
+        "range_join_binned" -> rjBinned,
+        "range_join_naive" -> rjNaive)
     }
 
     // min-of-two FULL ops passes (the SCALE protocol at one scale):

@@ -614,6 +614,41 @@ object ScaleCheck {
       (a, sv, sc, d, r)
     }
 
+    // round-15: the BINNED range join (q185's attribution-window shape)
+    // vs the naive range predicate. This fixture grows the USER
+    // population (ScaleGen shifts user ids per replica), so both arms
+    // must scale ≈linearly at ×10 — the binned arm's win is the smaller
+    // candidate set per user (co-keyed on (user, day-bin), only
+    // same-window pairs ever materialize), which is also what keeps it
+    // linear when per-user activity grows instead.
+    val (rjBinned, rjNaive) = {
+      import org.apache.spark.sql.functions.{col, expr, lit}
+      val e = graft.queries.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts_us").as("w_start"), (col("ts_us") + lit(86400000000L)).as("w_end"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val a = timed {
+        graft.ext.RangeJoin.pointInInterval(purchases, clicks,
+            pointCol = "p_ts", startCol = "w_start", endCol = "w_end",
+            binWidth = 86400000000L, equiKeys = Seq(("user_id", "c_user")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val b = timed {
+        purchases.join(clicks, col("user_id") === col("c_user")
+            && col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      System.err.println(f"[scalecheck] range_join_binned $a%.2fs range_join_naive $b%.2fs")
+      (a, b)
+    }
+
     val qs = (timings ++ Seq("segment_dedup_boiler" -> segDedup,
       "mv_initial_fold" -> mvInitial, "mv_incremental_refresh" -> mvIncr,
       "corpus_shards" -> shards, "quality_classifier" -> classifier,
@@ -657,7 +692,9 @@ object ScaleCheck {
       "sidecar_filtered_serve" -> sideServe,
       "sidecar_filtered_scan" -> sideScan,
       "sidecar_retention_drop" -> sideDrop,
-      "sidecar_post_drop_serve" -> sidePostServe))
+      "sidecar_post_drop_serve" -> sidePostServe,
+      "range_join_binned" -> rjBinned,
+      "range_join_naive" -> rjNaive))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

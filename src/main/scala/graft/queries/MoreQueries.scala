@@ -493,6 +493,85 @@ object MoreQueries {
               FROM events) e
           JOIN customer ON hot_key = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
-      headline = true)
+      headline = true),
+
+    // ---- binned range join: point-in-interval ----
+    // Attribution windows: every purchase joined to each click of the
+    // same user whose 24-hour attribution window contains it. The naive predicate
+    // (`p.ts >= c.ts AND p.ts < c.ts + 60s`) plans as a
+    // BroadcastNestedLoopJoin — O(clicks × purchases) per user and
+    // unrunnable at 100 TB; RangeJoin.pointInInterval turns it into an
+    // EQUI-join on (user, 60s-bin) + the exact residual, an ordinary
+    // shuffled join that AQE can split. The oracle runs the naive
+    // predicate in DuckDB — binning must be result-transparent.
+    QueryDef(
+      "q185_range_join_binned",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"), col("value"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts_us").as("p_ts"), col("value"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts_us").as("w_start"), (col("ts_us") + 86400000000L).as("w_end"))
+        graft.ext.RangeJoin.pointInInterval(purchases, clicks,
+            pointCol = "p_ts", startCol = "w_start", endCol = "w_end",
+            binWidth = 86400000000L, equiKeys = Seq(("user_id", "c_user")))
+          .groupBy(col("click_id"))
+          .agg(count(lit(1)).as("n_purch"), min(col("p_ts")).as("first_purchase_us"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy(col("click_id"))
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value
+          FROM events
+        )
+        SELECT c.event_id AS click_id, COUNT(*) AS n_purch,
+          MIN(p.ts_us) AS first_purchase_us, ${sqlSum("p.value")} AS sum_value
+        FROM (SELECT * FROM ev WHERE event_type = 'click') c
+          JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+            ON p.user_id = c.user_id
+               AND p.ts_us >= c.ts_us AND p.ts_us < c.ts_us + 86400000000
+        GROUP BY c.event_id ORDER BY click_id""")),
+
+    // ---- binned range join: interval overlap, deduped by bin ownership ----
+    // Concurrent-session detection: pairs of same-user 24-hour click windows that
+    // overlap in time. Both sides replicate across bins, so a pair can
+    // meet in many bins; the operator emits it only in the bin owning
+    // max(start_a, start_b) — dedup by arithmetic, no distinct shuffle.
+    // The oracle is the naive overlap self-join: every pair exactly once.
+    QueryDef(
+      "q186_interval_overlap_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("s_us"),
+            (expr("ts div 1000") + 86400000000L).as("e_us"))
+        val right = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+          col("s_us").as("b_s"), col("e_us").as("b_e"))
+        graft.ext.RangeJoin.intervalOverlap(e, right,
+            leftStart = "s_us", leftEnd = "e_us",
+            rightStart = "b_s", rightEnd = "b_e",
+            binWidth = 86400000000L, equiKeys = Seq(("user_id", "b_user")))
+          .filter(col("event_id") < col("b_id")) // one direction, no self-pairs
+          .select(col("user_id"), col("event_id").as("a_id"), col("b_id"),
+            (least(col("e_us"), col("b_e"))
+              - greatest(col("s_us"), col("b_s"))).as("overlap_us"))
+          .orderBy(col("user_id"), col("a_id"), col("b_id"))
+      },
+      Some("""WITH c AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS s_us,
+            epoch_ns(ts) // 1000 + 86400000000 AS e_us
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+          LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS overlap_us
+        FROM c a JOIN c b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND a.s_us < b.e_us AND b.s_us < a.e_us
+        ORDER BY a.user_id, a_id, b_id"""))
   )
 }
