@@ -4036,6 +4036,57 @@ object InteropQueries {
           TRUE AS ndv_scan_free,
           TRUE AS ndv_in_envelope,
           TRUE AS touched_falls_back,
-          TRUE AS tablewide_scan_free"""))
+          TRUE AS tablewide_scan_free""")),
+
+    // ---- q187: stamped serves TIME-TRAVEL ----
+    // The ANALYZE stamp is ordinary table properties, so `VERSION AS OF
+    // v` reads the stamp as of v and the fingerprint check runs against
+    // v's own file list: every version whose properties describe its own
+    // snapshot serves scan-free FOREVER — "yesterday's total vs today's"
+    // without scanning either side — while the in-between version (data
+    // committed, fold not yet stamped) honestly scans. Versions here:
+    // v0 create, v1 ANALYZE stamp, v2 DELETE, v3 delete-fold stamp.
+    // Both sums are DuckDB-recomputed from the base table; the plan
+    // shapes ride as booleans the oracle asserts.
+    QueryDef(
+      "q187_timetravel_stats_serve",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q187cat")
+        client.createSchema("q187cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q187-tts").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"))
+        client.createAsTable(li.repartition(4), "q187cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t") // v0
+        s.sql("ANALYZE TABLE q187cat.s.t COMPUTE STATISTICS FOR COLUMNS l_quantity") // v1
+        s.sql("DELETE FROM q187cat.s.t WHERE l_quantity < 10") // v2 (+ v3 fold)
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        def scanFree(q: org.apache.spark.sql.DataFrame) =
+          planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan")
+        val before = s.sql(
+          "SELECT SUM(l_quantity) AS sum_before FROM q187cat.s.t VERSION AS OF 1")
+        val beforeServed = scanFree(before)
+        val between = s.sql(
+          "SELECT SUM(l_quantity) AS sum_between FROM q187cat.s.t VERSION AS OF 2")
+        val betweenScans = planOf(between).contains("FileScan")
+        val after = s.sql("SELECT SUM(l_quantity) AS sum_after FROM q187cat.s.t")
+        val afterServed = scanFree(after)
+        before.crossJoin(between).crossJoin(after)
+          .withColumn("before_scan_free", lit(beforeServed))
+          .withColumn("between_honestly_scans", lit(betweenScans))
+          .withColumn("after_scan_free", lit(afterServed))
+      },
+      Some("""SELECT
+          (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem) AS sum_before,
+          (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+            WHERE CAST(l_quantity AS BIGINT) >= 10) AS sum_between,
+          (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+            WHERE CAST(l_quantity AS BIGINT) >= 10) AS sum_after,
+          TRUE AS before_scan_free,
+          TRUE AS between_honestly_scans,
+          TRUE AS after_scan_free"""))
   )
 }

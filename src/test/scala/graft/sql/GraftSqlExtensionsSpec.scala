@@ -1089,4 +1089,34 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(filtered.collect()(0).getLong(0)
       == (0 until 2000).filter(_ % 80 < 40).map(_.toLong).sum)
   }
+
+  test("stamped serves time-travel: fresh at stamped versions, honest between") {
+    // the stamp is ordinary table properties, so VERSION AS OF v reads
+    // the stamp as of v and the fingerprint check runs against v's file
+    // list: any version whose properties describe its own snapshot
+    // serves scan-free FOREVER — yesterday's total vs today's without
+    // scanning either — while the in-between version (data committed,
+    // fold not yet) honestly scans
+    val client = new LakehouseClient(spark)
+    client.createCatalog("laketts")
+    client.createSchema("laketts", "core")
+    val dir = TestSpark.tmpDir("sqltts")
+    client.createAsTable((1 to 100).map(_.toLong).toDF("v"),
+      "laketts", "core", "t", FileType.DELTA, s"$dir/t") // v0
+    spark.sql("ANALYZE TABLE laketts.core.t COMPUTE STATISTICS FOR COLUMNS v") // v1: stamp
+    spark.sql("INSERT INTO laketts.core.t VALUES (1000)") // v2: data; v3: fold
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    val atStamp = spark.sql("SELECT SUM(v) AS s FROM laketts.core.t VERSION AS OF 1")
+    assert(!planOf(atStamp).contains("FileScan"),
+      "the stamped historical version must serve scan-free")
+    assert(atStamp.collect()(0).getLong(0) == (1 to 100).map(_.toLong).sum)
+    val between = spark.sql("SELECT SUM(v) AS s FROM laketts.core.t VERSION AS OF 2")
+    assert(planOf(between).contains("FileScan"),
+      "the data-committed-fold-pending version must honestly scan")
+    assert(between.collect()(0).getLong(0) == (1 to 100).map(_.toLong).sum + 1000L)
+    val head = spark.sql("SELECT SUM(v) AS s FROM laketts.core.t")
+    assert(!planOf(head).contains("FileScan"), "the folded head serves scan-free")
+    assert(head.collect()(0).getLong(0) == (1 to 100).map(_.toLong).sum + 1000L)
+  }
 }
