@@ -278,6 +278,106 @@ case class RepetitionStatsGen(child: Expression)
   override def prettyName: String = "repetition_stats"
 }
 
+/** Generator (always exactly ONE output row): the REST of the Gopher
+  * repetition family (Rae et al. 2021 §A1.1) beyond RepetitionStatsGen's
+  * line stats + top bigram — the fraction of characters inside the most
+  * frequent {2,3,4}-gram and inside all DUPLICATED {5..10}-grams — fused
+  * into one tokenizing pass (one word split, nine counting passes over
+  * the in-memory token array; O(9 × tokens) per row, no shuffle at any
+  * corpus size).
+  *
+  * Cross-engine parity contract (the DuckDB oracle mirrors each rule):
+  * words split on space or newline, empties dropped; n-gram strings are
+  * the n words joined by single spaces; the top n-gram is the most
+  * frequent with ties broken by smallest string; top coverage =
+  * occurrences × gram code-point length / text code-point length;
+  * duplicated coverage counts each TOKEN POSITION once (Gopher's
+  * "fraction of characters contained within duplicate n-grams"): the
+  * code-point sum of tokens covered by any n-gram occurring twice or
+  * more, over the text code-point length. Fractions are exact integer
+  * ratios cast to double. Duplicated coverage is ≤1 by construction
+  * (distinct positions, and spaces never count); top coverage CAN
+  * exceed 1 when occurrences of the same gram overlap ("a a a a" has
+  * 3 × "a a"), so it is capped at 1.0 explicitly — mirrored in the
+  * oracle with LEAST.
+  */
+case class NgramCoverageGen(child: Expression)
+    extends UnaryExpression with CollectionGenerator with CodegenFallback {
+
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
+
+  override def elementSchema: StructType = StructType(
+    Seq(2, 3, 4).map(n => StructField(s"top_${n}gram_frac", DoubleType, nullable = false)) ++
+    (5 to 10).map(n => StructField(s"dup_${n}gram_frac", DoubleType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+    val tLen = cpLen(text)
+    val words = text.split(Array(' ', '\n')).iterator.filter(_.nonEmpty).toArray
+    val wLens = words.map(cpLen)
+
+    def gramAt(i: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' '); sb.append(words(i + j)); j += 1 }
+      sb.toString
+    }
+
+    def topFrac(n: Int): Double = {
+      if (tLen == 0L || words.length < n) return 0.0
+      val counts = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i + n <= words.length) {
+        counts.merge(gramAt(i, n), 1, Integer.sum); i += 1
+      }
+      var topG: String = null
+      var topC = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > topC ||
+            (e.getValue == topC && e.getKey.compareTo(topG) < 0)) {
+          topC = e.getValue; topG = e.getKey
+        }
+      }
+      math.min(1.0, (topC.toLong * cpLen(topG)).toDouble / tLen.toDouble)
+    }
+
+    def dupFrac(n: Int): Double = {
+      if (tLen == 0L || words.length < n) return 0.0
+      val counts = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i + n <= words.length) {
+        counts.merge(gramAt(i, n), 1, Integer.sum); i += 1
+      }
+      val covered = new Array[Boolean](words.length)
+      i = 0
+      while (i + n <= words.length) {
+        if (counts.get(gramAt(i, n)) > 1) {
+          var j = 0
+          while (j < n) { covered(i + j) = true; j += 1 }
+        }
+        i += 1
+      }
+      var cov = 0L
+      i = 0
+      while (i < words.length) { if (covered(i)) cov += wLens(i); i += 1 }
+      cov.toDouble / tLen.toDouble
+    }
+
+    Iterator.single(InternalRow(
+      topFrac(2), topFrac(3), topFrac(4),
+      dupFrac(5), dupFrac(6), dupFrac(7), dupFrac(8), dupFrac(9), dupFrac(10)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "ngram_coverage"
+}
+
 /** Hashed linear text classifier — the fastText-shape quality filter
   * every production corpus pipeline runs (score each doc with a linear
   * model over hashed token features, keep docs above threshold), fused
@@ -368,6 +468,9 @@ object TextNativeFunctions {
 
   def repetitionStats(text: Column): Column =
     toCol(RepetitionStatsGen(toExpr(text)))
+
+  def ngramCoverage(text: Column): Column =
+    toCol(NgramCoverageGen(toExpr(text)))
 
   def shingleSet(text: Column, shingleK: Int): Column =
     toCol(ShingleSetExpr(toExpr(text), shingleK))

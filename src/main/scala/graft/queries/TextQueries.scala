@@ -1075,7 +1075,87 @@ object TextQueries {
         FROM pairs p
         JOIN cards ca ON ca.source = p.source_a
         JOIN cards cb ON cb.source = p.source_b
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ---- the REST of the Gopher repetition family (Rae et al. 2021
+    // §A1.1): top {2,3,4}-gram char coverage + duplicated {5..10}-gram
+    // char coverage (q80 carries the line stats + top bigram) ----
+    // Repetition is PLANTED per doc (0-3 copies of a spam phrase keyed
+    // by doc_id) so every band of the family fires; both engines derive
+    // the same text, and the oracle rebuilds all nine fractions from
+    // SQL list primitives: same word split, same tie-break (count desc,
+    // gram asc), same once-per-token-position duplicated coverage, same
+    // single int->double division. One tokenizing generator pass per
+    // row Spark-side — no shuffle at any corpus size.
+    QueryDef(
+      "q188_ngram_coverage",
+      (s, dir) => {
+        val names = Seq("top_2gram_frac", "top_3gram_frac", "top_4gram_frac") ++
+          (5 to 10).map(n => s"dup_${n}gram_frac")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(
+            "concat(text, ' ', repeat('spam spam wonderful spam ', CAST(doc_id % 4 AS INT)))")
+            .as("text"))
+          .select(col("doc_id"),
+            graft.functions.TextNativeFunctions.ngramCoverage(col("text")).as(names))
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id,
+            text || ' ' || repeat('spam spam wonderful spam ', CAST(doc_id % 4 AS INT)) AS text
+          FROM documents
+        ),
+        words AS (
+          SELECT doc_id, LENGTH(text) AS tlen,
+            list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '') AS ws
+          FROM docs
+        ),
+        grams AS (
+          SELECT w.doc_id, ns.n, t.i AS i,
+            array_to_string(w.ws[t.i:t.i+ns.n-1], ' ') AS g
+          FROM words w
+          CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+          CROSS JOIN LATERAL unnest(generate_series(1, len(w.ws) - ns.n + 1)) AS t(i)
+          WHERE len(w.ws) >= ns.n
+        ),
+        cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g),
+        top AS (
+          SELECT doc_id, n, c, g,
+            ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+          FROM cnt WHERE n <= 4
+        ),
+        topv AS (
+          SELECT t.doc_id, t.n,
+            LEAST(1.0, CAST(t.c * LENGTH(t.g) AS DOUBLE) / CAST(w.tlen AS DOUBLE)) AS frac
+          FROM top t JOIN words w ON w.doc_id = t.doc_id
+          WHERE t.rn = 1 AND w.tlen > 0
+        ),
+        dup AS (SELECT doc_id, n, g FROM cnt WHERE n >= 5 AND c > 1),
+        cov0 AS (
+          SELECT g2.doc_id, g2.n, unnest(generate_series(g2.i, g2.i + g2.n - 1)) AS pos
+          FROM grams g2 JOIN dup d ON d.doc_id = g2.doc_id AND d.n = g2.n AND d.g = g2.g
+        ),
+        cov AS (SELECT DISTINCT doc_id, n, pos FROM cov0),
+        dupv AS (
+          SELECT c.doc_id, c.n,
+            CAST(SUM(LENGTH(w.ws[c.pos])) AS DOUBLE) / CAST(ANY_VALUE(w.tlen) AS DOUBLE) AS frac
+          FROM cov c JOIN words w ON w.doc_id = c.doc_id
+          WHERE w.tlen > 0
+          GROUP BY c.doc_id, c.n
+        )
+        SELECT w.doc_id,
+          COALESCE(MAX(CASE WHEN t.n = 2 THEN t.frac END), 0.0) AS top_2gram_frac,
+          COALESCE(MAX(CASE WHEN t.n = 3 THEN t.frac END), 0.0) AS top_3gram_frac,
+          COALESCE(MAX(CASE WHEN t.n = 4 THEN t.frac END), 0.0) AS top_4gram_frac,
+          COALESCE(MAX(CASE WHEN d.n = 5 THEN d.frac END), 0.0) AS dup_5gram_frac,
+          COALESCE(MAX(CASE WHEN d.n = 6 THEN d.frac END), 0.0) AS dup_6gram_frac,
+          COALESCE(MAX(CASE WHEN d.n = 7 THEN d.frac END), 0.0) AS dup_7gram_frac,
+          COALESCE(MAX(CASE WHEN d.n = 8 THEN d.frac END), 0.0) AS dup_8gram_frac,
+          COALESCE(MAX(CASE WHEN d.n = 9 THEN d.frac END), 0.0) AS dup_9gram_frac,
+          COALESCE(MAX(CASE WHEN d.n = 10 THEN d.frac END), 0.0) AS dup_10gram_frac
+        FROM words w
+        LEFT JOIN topv t ON t.doc_id = w.doc_id
+        LEFT JOIN dupv d ON d.doc_id = w.doc_id
+        GROUP BY w.doc_id"""))
   )
 
   /** DuckDB CTE fragment producing the q72 exact-Jaccard pair list

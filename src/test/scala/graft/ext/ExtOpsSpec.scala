@@ -268,6 +268,33 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r4.getDouble(3) === 0.5)                  // "spaced" duplicated
   }
 
+  test("ngram coverage: top {2,3,4}-gram and duplicated {5..10}-gram fractions, hand-checked") {
+    import org.apache.spark.sql.functions.col
+    val names = Seq("top_2gram_frac", "top_3gram_frac", "top_4gram_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_frac")
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 9 tokens, 17 chars
+      (2L, "a a a a"),           // overlapping top bigram occurrences: cap at 1
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.TextNativeFunctions.ngramCoverage(col("text")).as(names))
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getDouble(1) === 3.0 * 3 / 17)  // "a b" x3 (smallest of the 3-count ties)
+    assert(r1.getDouble(2) === 3.0 * 5 / 17)  // "a b c" x3
+    assert(r1.getDouble(3) === 2.0 * 7 / 17)  // 4-gram tie at 2 -> smallest "a b c a"
+    assert(r1.getDouble(4) === 9.0 / 17)      // dup 5-grams cover every token
+    assert(r1.getDouble(5) === 9.0 / 17)      // dup 6-grams too ("a b c a b c" x2)
+    assert(r1.getDouble(6) === 0.0)           // all 7-grams distinct
+    assert(r1.getDouble(7) === 0.0 && r1.getDouble(8) === 0.0 && r1.getDouble(9) === 0.0)
+    val r2 = out(1)
+    assert(r2.getDouble(1) === 1.0)           // "a a" x3 covers 9 of 7 chars -> capped
+    assert(r2.getDouble(4) === 0.0)           // only 4 tokens: no 5-grams
+    val r3 = out(2)
+    assert((1 to 9).forall(i => r3.getDouble(i) === 0.0))
+  }
+
   test("segment dedup: keep-first semantics and reassembly, hand-checked") {
     // 8-token segments; doc 2's first segment equals doc 1's first segment
     // (dropped), its second is novel (kept); doc 3 is an exact copy of
