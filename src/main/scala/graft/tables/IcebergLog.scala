@@ -628,7 +628,19 @@ object IcebergLog {
                 def raw(specName: String): Any =
                   if (r.getSchema.getField(specName) == null) null else r.get(specName)
                 identity.flatMap { case (specName, colName) =>
-                  partitionString(raw(specName)).map(colName -> _)
+                  // a PRESENT field holding avro null is a REAL null
+                  // partition value (the writer serializes the hive
+                  // sentinel as null per the spec's single-value form)
+                  // and must surface as colName -> null: dropping the
+                  // key made every null-partition file UNDECIDABLE to
+                  // the partition-predicate evaluator, silently
+                  // degrading whole-partition DELETEs to merge-on-read
+                  // (and bailing the stats-layer keeps) on any Iceberg
+                  // table with a null partition. A field ABSENT from
+                  // the record's schema (an older spec) stays unknown —
+                  // key omitted.
+                  if (r.getSchema.getField(specName) == null) None
+                  else Some(colName -> partitionString(r.get(specName)).orNull)
                 }.toMap ++
                   transformed.flatMap(n => partitionString(raw(n)).map(n -> _)).toMap
               }.getOrElse(Map.empty)

@@ -183,4 +183,36 @@ class StatsBackendsSpec extends AnyFunSuite {
       (0L until 300L).filterNot(i => i % 3 == 1 || i % 50 == 7).sum)))
     assert(t.toDF.filter("k = 7").count() == 0L)
   }
+
+  test("iceberg whole-partition delete stays metadata-only WITH a null partition") {
+    // the manifest reader used to DROP a null identity partition value
+    // from partitionValues (instead of surfacing colName -> null), so a
+    // null-partition file was undecidable to the partition-predicate
+    // evaluator and every whole-partition DELETE on such a table
+    // silently degraded to merge-on-read — and the per-partition stats
+    // layer's keeps all bailed on the None tuple
+    val loc = TestSpark.tmpDir("statsb-icenull") + "/t"
+    val df = (0 until 300).map(i =>
+      (i.toLong, if (i % 4 == 3) null else s"p${i % 3}", (i % 50).toLong))
+      .toDF("id", "p", "k")
+    IcebergWriter.create(spark, loc, df.repartition(2), partitionColumns = Seq("p"))
+    val t = TxTable.forIceberg(spark, loc)
+    assert(t.snapshot.files.exists(_.partitionValues.get("p").contains(null)),
+      "a null partition must read back as p -> null, not as a missing key")
+    ColumnStats.analyze(t, Seq("id", "k"))
+    t.delete("p = 'p1'")
+    val snap = t.snapshot
+    assert(!snap.files.exists(_.deletionVector.isDefined),
+      "the whole-partition drop must stay metadata-only despite the null partition")
+    assert(ColumnStats.isFresh(snap), "the drop must fold")
+    val live = (0 until 300).filterNot(i => i % 4 != 3 && i % 3 == 1)
+    assert(ColumnStats.currentSum(snap, "id").contains(Some(live.map(_.toLong).sum)))
+    assert(t.toDF.count() == live.size.toLong)
+    // the layer survived the drop (null tuple listed, p1 delisted)
+    assert(ColumnStats.currentPartitionTuples(snap).get.toSet ==
+      Set(Seq("p0"), Seq("p2"), Seq(null)))
+    // and SQL NULL-partition rows are still readable and correct
+    assert(t.toDF.filter("p IS NULL").count() ==
+      (0 until 300).count(_ % 4 == 3).toLong)
+  }
 }
