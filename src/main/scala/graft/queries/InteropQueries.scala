@@ -4087,6 +4087,75 @@ object InteropQueries {
             WHERE CAST(l_quantity AS BIGINT) >= 10) AS sum_after,
           TRUE AS before_scan_free,
           TRUE AS between_honestly_scans,
-          TRUE AS after_scan_free"""))
+          TRUE AS after_scan_free""")),
+
+    // ---- q189: partial ANALYZE merges over a FRESH stamp ----
+    // ANALYZE yesterday for column A, today for column B: when the
+    // existing stamp still describes the current snapshot (fingerprint
+    // match), B's partial ANALYZE must not destroy A's still-valid
+    // stats — table-wide keys AND the per-partition layer cells merge
+    // through (tuple-matched), so both columns' plain and
+    // partition-filtered SUMs serve scan-free. Over a STALE stamp
+    // (a time-dependent DELETE predicate bails the fold), the partial
+    // ANALYZE clears A's keys instead — old values are never
+    // re-validated against the new fingerprint: A's SUM falls back to
+    // the scan and stays exact. All sums DuckDB-recomputed.
+    QueryDef(
+      "q189_partial_analyze_merge",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q189cat")
+        client.createSchema("q189cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q189-mrg").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          col("l_returnflag"))
+        client.createAsTable(li.repartition(4), "q189cat", "s", "t",
+          graft.catalog.FileType.DELTA, s"$root/t",
+          partitionColumns = Seq("l_returnflag"))
+        s.sql("ANALYZE TABLE q189cat.s.t COMPUTE STATISTICS FOR COLUMNS l_quantity")
+        s.sql("ANALYZE TABLE q189cat.s.t COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        def scanFree(q: org.apache.spark.sql.DataFrame) =
+          planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan")
+        val both = s.sql("""SELECT SUM(l_quantity) AS sum_q, SUM(l_orderkey) AS sum_k
+          FROM q189cat.s.t""")
+        val bothServed = scanFree(both)
+        val filtered = s.sql("""SELECT SUM(l_quantity) AS sum_q_n, SUM(l_orderkey) AS sum_k_n
+          FROM q189cat.s.t WHERE l_returnflag = 'N'""")
+        val filteredServed = scanFree(filtered)
+        // stale leg: the time-dependent predicate bails the delete fold
+        // (ColumnStats' denylist), so the stamp goes stale; the partial
+        // re-ANALYZE of l_orderkey must CLEAR l_quantity's keys
+        s.sql("DELETE FROM q189cat.s.t WHERE l_quantity = 1 AND unix_timestamp() > 0")
+        s.sql("ANALYZE TABLE q189cat.s.t COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        val postK = s.sql("SELECT SUM(l_orderkey) AS sum_k_post FROM q189cat.s.t")
+        val postKServed = scanFree(postK)
+        val postQ = s.sql("SELECT SUM(l_quantity) AS sum_q_post FROM q189cat.s.t")
+        val postQScans = planOf(postQ).contains("FileScan")
+        both.crossJoin(filtered).crossJoin(postK).crossJoin(postQ)
+          .withColumn("merged_scan_free", lit(bothServed))
+          .withColumn("merged_filtered_scan_free", lit(filteredServed))
+          .withColumn("restamped_scan_free", lit(postKServed))
+          .withColumn("stale_cleared_scans", lit(postQScans))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_orderkey AS BIGINT) AS k, CAST(l_quantity AS BIGINT) AS q,
+                 l_returnflag AS rf
+          FROM lineitem
+        ), post AS (SELECT * FROM src WHERE q <> 1)
+        SELECT
+          (SELECT CAST(SUM(q) AS BIGINT) FROM src) AS sum_q,
+          (SELECT CAST(SUM(k) AS BIGINT) FROM src) AS sum_k,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM src WHERE rf = 'N') AS sum_q_n,
+          (SELECT CAST(SUM(k) AS BIGINT) FROM src WHERE rf = 'N') AS sum_k_n,
+          (SELECT CAST(SUM(k) AS BIGINT) FROM post) AS sum_k_post,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM post) AS sum_q_post,
+          TRUE AS merged_scan_free,
+          TRUE AS merged_filtered_scan_free,
+          TRUE AS restamped_scan_free,
+          TRUE AS stale_cleared_scans"""))
   )
 }

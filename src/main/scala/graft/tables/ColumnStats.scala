@@ -119,6 +119,14 @@ object ColumnStats {
     * absorbable under a partition-only WHERE: KMV sketches merge
     * exactly, so the surviving partitions' sketches recombine into the
     * filtered answer at O(#partitions × k) driver cost. */
+  /** Every per-COLUMN table-wide key family (the per-tuple layer's
+    * families live in [[PerTuplePrefixes]]) — the set a partial
+    * re-ANALYZE sweeps: restamped columns replaced wholesale, other
+    * columns kept iff the existing stamp is fresh at this snapshot. */
+  private val TableWidePrefixes = Seq(NdvPropPrefix, KmvPropPrefix,
+    SumPropPrefix, MinPropPrefix, MaxPropPrefix, CntPropPrefix,
+    SqPropPrefix, QsPropPrefix)
+
   val PkmvPropPrefix = "graft.stats.pkmv."
   /** Per-partition SCALARS, same pvals index space as the sketches but
     * bytes-tiny (a decimal string / an encoded extreme per cell vs the
@@ -496,25 +504,39 @@ object ColumnStats {
     val ndvs = columns.zip(sketches).map { case (c, sk) =>
       c -> math.round(graft.functions.KmvEstimate.cardinality(sk, K))
     }
-    // A partial re-ANALYZE refreshes the ONE table-level fingerprint, so
-    // any graft.stats.* key left over from a PREVIOUS analyze of other
-    // columns would be re-validated against the new fingerprint and served
-    // stale. Unset every prefixed key we are not restamping in the SAME
-    // commit (setProperties treats null as delete). Per-partition
-    // sketches are restamped wholesale below, so any existing pkmv key
-    // for a column outside this analyze goes too.
-    val mmCols = extremes.map(_._1)
+    // A partial re-ANALYZE refreshes the ONE table-level fingerprint —
+    // what happens to the OTHER columns' keys depends on whether the
+    // existing stamp still describes THIS snapshot:
+    //  - fresh (fingerprint match): their keys are provably current, so
+    //    they MERGE through ("ANALYZE the new column" must not destroy
+    //    yesterday's still-valid stats — the add-a-column-to-a-dashboard
+    //    shape). The layer merges tuple-matched in partitionSketchProps.
+    //  - stale: every key not restamped is unset in the SAME commit
+    //    (setProperties treats null as delete) — old keys must never be
+    //    re-validated against the new fingerprint and served stale.
+    // Keys of the RESTAMPED columns are always replaced wholesale; a
+    // family this run does NOT write for an analyzed column (sum of a
+    // non-integral, qs under SKIP SKETCHES, over-cap digests) is unset
+    // so the new stamp fully defines that column either way.
+    val fp = fingerprint(snap).toString
+    val freshAtSnap = snap.properties.get(FingerprintProp).contains(fp)
+    val layerProps = partitionSketchProps(table, snap, columns, skipQuantile)
+    // a computed layer update (incl. an over-budget "dies" map) replaces
+    // every existing layer key; no update + fresh keeps the old layer,
+    // which describes this same snapshot (restamped columns contribute
+    // no cells only when they are partition columns, which never had
+    // cells to begin with)
+    val dropOldLayer = !freshAtSnap || layerProps.nonEmpty
+    val analyzed = columns.toSet
     val stale = table.snapshot.properties.keys
-      .filter(k =>
-        ((k.startsWith(NdvPropPrefix) && !columns.contains(k.stripPrefix(NdvPropPrefix))) ||
-         (k.startsWith(KmvPropPrefix) && !columns.contains(k.stripPrefix(KmvPropPrefix))) ||
-         (k.startsWith(SumPropPrefix) && !integral.contains(k.stripPrefix(SumPropPrefix))) ||
-         (k.startsWith(MinPropPrefix) && !mmCols.contains(k.stripPrefix(MinPropPrefix))) ||
-         (k.startsWith(MaxPropPrefix) && !mmCols.contains(k.stripPrefix(MaxPropPrefix))) ||
-         (k.startsWith(CntPropPrefix) && !columns.contains(k.stripPrefix(CntPropPrefix))) ||
-         (k.startsWith(SqPropPrefix) && !integral.contains(k.stripPrefix(SqPropPrefix))) ||
-         (k.startsWith(QsPropPrefix) && !numeric.contains(k.stripPrefix(QsPropPrefix))) ||
-         isPartitionLayerKey(k)))
+      .filter { k =>
+        val owner: Option[String] = TableWidePrefixes.find(k.startsWith)
+          .map(p => k.stripPrefix(p))
+        owner match {
+          case Some(c) => analyzed.contains(c) || !freshAtSnap
+          case None => isPartitionLayerKey(k) && dropOldLayer
+        }
+      }
       .map(_ -> (null: String)).toMap
     table.setProperties(
       stale ++
@@ -536,8 +558,8 @@ object ColumnStats {
               graft.functions.QuantileDigest.encode(bytes)
             else null)
         }.toMap ++
-        partitionSketchProps(table, snap, columns, skipQuantile) ++
-        Map(FingerprintProp -> fingerprint(snap).toString, KProp -> K.toString,
+        layerProps ++
+        Map(FingerprintProp -> fp, KProp -> K.toString,
           VersionProp -> snap.version.toString))
     ndvs
   }
@@ -666,15 +688,26 @@ object ColumnStats {
     // scalars are derivable from the tuple value + file row counts)
     val sketchCols = columns.filterNot(pcols.contains)
     if (sketchCols.isEmpty) return Map.empty
+    lazy val fresh = isFresh(snap)
+    lazy val oldLayer = withLayer(table.spark, table.location, snap).properties
     // within the inline caps the sketch k is fixed; past them pick the
     // largest k whose total raw sketch bytes fit the SIDECAR budget
     // (the error trade is honest: the stamp records its own pk, and
-    // the NDV serve's exactness/error gates read that truth)
+    // the NDV serve's exactness/error gates read that truth). A partial
+    // re-ANALYZE of FEWER columns would fit a LARGER k — but merging a
+    // fresh old layer requires equal sketch widths, so prefer the old
+    // layer's own pk whenever it still fits this run's columns (the
+    // merged total is arbitrated by storeLayer's budget either way).
     val pk =
       if (estTuples <= MaxStampedPartitions) PartitionK
-      else SidecarKs.find(k =>
-        estTuples.toLong * sketchCols.size * k * 8 <= SidecarKmvBytes)
-        .getOrElse(return Map.empty)
+      else {
+        def fits(k: Int) =
+          estTuples.toLong * sketchCols.size * k * 8 <= SidecarKmvBytes
+        val compat =
+          if (fresh) oldLayer.get(PkProp).flatMap(_.toIntOption).filter(fits)
+          else None
+        compat.orElse(SidecarKs.find(fits)).getOrElse(return Map.empty)
+      }
     val ptypes = pcols.map(c => snap.schema(c).dataType)
     val (integral, extremes) = layerMeasures(snap, sketchCols)
     // quantile cells always scan with the layer; the per-shape qs
@@ -690,9 +723,48 @@ object ColumnStats {
         sketches, sums, mms, cnts, sqs, withSq = true,
         qsCols = qsCols, qss = qss)
     }
-    val layer = out.result() + (PvalsProp -> encodeTuples(groups.map(_._1))) +
+    val newLayer = out.result() + (PvalsProp -> encodeTuples(groups.map(_._1))) +
       (PkProp -> pk.toString)
-    storeLayer(table, layer, snap.properties.get(PsidecarProp))
+    // merge-if-fresh: a fresh existing layer describes this SAME
+    // snapshot, so the cells of columns NOT restamped here carry over
+    // tuple-matched (old and new pvals list the same live tuples, in
+    // whatever order each grouped aggregate returned them). Bails to
+    // new-only on any mismatch: different pk (sketch widths must stay
+    // the layer-wide truth PkProp records), missing/odd old pvals, a
+    // tuple-set difference (impossible at one snapshot, but never
+    // assume). If the MERGED layer outgrows the storage budget, fall
+    // back to the new-only layer rather than losing everything.
+    val merged: Map[String, String] = {
+      if (!fresh) newLayer
+      else {
+        val old = oldLayer
+        val oldTuples = old.get(PvalsProp).map(decodeTuples)
+        val newTuples = groups.map(_._1)
+        if (!old.get(PkProp).contains(pk.toString) || oldTuples.isEmpty ||
+            oldTuples.get.toSet != newTuples.toSet ||
+            oldTuples.get.size != newTuples.size) newLayer
+        else {
+          val newPos = newTuples.zipWithIndex.toMap
+          val oldToNew = oldTuples.get.zipWithIndex
+            .map { case (t, oi) => oi -> newPos(t) }.toMap
+          val restamped = sketchCols.toSet
+          val carry = Map.newBuilder[String, String]
+          old.foreach { case (k, v) =>
+            splitLayerKey(k).foreach { case (p, c, oi) =>
+              if (!restamped.contains(c))
+                oldToNew.get(oi).foreach(ni => carry += s"$p$c.$ni" -> v)
+            }
+          }
+          carry.result() ++ newLayer
+        }
+      }
+    }
+    def died(m: Map[String, String]): Boolean =
+      m.get(PsidecarProp).forall(_ == null) && m.get(PvalsProp).forall(_ == null)
+    val stored = storeLayer(table, merged, snap.properties.get(PsidecarProp))
+    if ((merged ne newLayer) && died(stored))
+      storeLayer(table, newLayer, snap.properties.get(PsidecarProp))
+    else stored
   }
 
   /** Partition tuples <-> one JSON property value (json4s, the engine's

@@ -475,10 +475,20 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     assert(!planOf(qs2d).contains("FileScan"),
       s"a provable delete must fold SUM, not kill it\n${planOf(qs2d)}")
     assert(qs2d.collect()(0).getLong(0) == (1L until 900L).sum + 9000L)
-    // partial re-ANALYZE of u clears sum.id as well (not restamped)
+    // partial re-ANALYZE of u over a FRESH stamp (the delete fold above
+    // restamped the fingerprint) MERGES: sum.id provably describes this
+    // same snapshot and survives — analyzing a new column must not
+    // destroy yesterday's still-valid stats. (Over a STALE stamp the
+    // other columns' keys clear instead — pinned below via overwrite.)
     spark.sql("ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS u")
-    assert(planOf(spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t"))
-      .contains("FileScan"), "a cleared sum key must not resurrect")
+    assert(!planOf(spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t"))
+      .contains("FileScan"), "a fresh sum key must merge through a partial re-ANALYZE")
+    assert(spark.sql("SELECT SUM(id) AS s FROM lakestats.core.t")
+      .collect()(0).getLong(0) == (1L until 900L).sum + 9000L)
+    // ...but the kmv sketch the delete fold unset does NOT resurrect
+    assert(planOf(spark.sql(
+      "SELECT APPROX_COUNT_DISTINCT(id) AS di FROM lakestats.core.t"))
+      .contains("FileScan"), "an unset key must stay unset through the merge")
     // re-ANALYZE restores the metadata-only answer at the new state
     spark.sql("ANALYZE TABLE lakestats.core.t COMPUTE STATISTICS FOR COLUMNS u")
     val q3 = spark.sql("SELECT APPROX_COUNT_DISTINCT(u) AS du FROM lakestats.core.t")
@@ -1088,6 +1098,50 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       "the filtered serve reads per-tuple cells (through the cache)")
     assert(filtered.collect()(0).getLong(0)
       == (0 until 2000).filter(_ % 80 < 40).map(_.toLong).sum)
+  }
+
+  test("partial ANALYZE merges over a fresh stamp, clears over a stale one") {
+    // fresh: ANALYZE a; ANALYZE b — a's keys provably describe the same
+    // snapshot and survive (incl. the per-partition layer, tuple-matched).
+    // stale: data changed without a fold; ANALYZE b must clear a's keys —
+    // never re-validate old values against the new fingerprint.
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakemrg")
+    client.createSchema("lakemrg", "core")
+    val dir = TestSpark.tmpDir("sqlmrg")
+    client.createAsTable(
+      (0 until 1200).map(i => (i.toLong, (i * 7L) % 1000L, (i % 6).toString))
+        .toDF("a", "b", "p").repartition(3),
+      "lakemrg", "core", "t", FileType.DELTA, s"$dir/t",
+      partitionColumns = Seq("p"))
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    spark.sql("ANALYZE TABLE lakemrg.core.t COMPUTE STATISTICS FOR COLUMNS a")
+    spark.sql("ANALYZE TABLE lakemrg.core.t COMPUTE STATISTICS FOR COLUMNS b")
+    val sa = spark.sql("SELECT SUM(a) AS s FROM lakemrg.core.t")
+    assert(!planOf(sa).contains("FileScan"),
+      "a's table-wide keys must merge through the fresh partial ANALYZE of b")
+    assert(sa.collect()(0).getLong(0) == (0L until 1200L).sum)
+    val sb = spark.sql("SELECT SUM(b) AS s FROM lakemrg.core.t")
+    assert(!planOf(sb).contains("FileScan"))
+    // the LAYER merged too: filtered serves on BOTH columns scan-free
+    val fa = spark.sql("SELECT SUM(a) AS s FROM lakemrg.core.t WHERE p IN ('0','1')")
+    assert(!planOf(fa).contains("FileScan"),
+      "a's per-partition cells must merge tuple-matched into b's layer")
+    assert(fa.collect()(0).getLong(0)
+      == (0 until 1200).filter(i => i % 6 <= 1).map(_.toLong).sum)
+    val fb = spark.sql("SELECT SUM(b) AS s FROM lakemrg.core.t WHERE p IN ('0','1')")
+    assert(!planOf(fb).contains("FileScan"))
+    assert(fb.collect()(0).getLong(0)
+      == (0 until 1200).filter(i => i % 6 <= 1).map(i => (i * 7L) % 1000L).sum)
+    // stale: a time-dependent DELETE predicate bails the fold (stamp
+    // goes stale); a partial ANALYZE of b must now CLEAR a's keys
+    spark.sql("DELETE FROM lakemrg.core.t WHERE a = 3 AND unix_timestamp() > 0")
+    spark.sql("ANALYZE TABLE lakemrg.core.t COMPUTE STATISTICS FOR COLUMNS b")
+    assert(planOf(spark.sql("SELECT SUM(a) AS s FROM lakemrg.core.t"))
+      .contains("FileScan"), "a stale key must clear, never re-validate")
+    assert(!planOf(spark.sql("SELECT SUM(b) AS s FROM lakemrg.core.t"))
+      .contains("FileScan"))
   }
 
   test("stamped serves time-travel: fresh at stamped versions, honest between") {

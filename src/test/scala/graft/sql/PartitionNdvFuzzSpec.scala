@@ -59,6 +59,12 @@ class PartitionNdvFuzzSpec extends AnyFunSuite {
         } else Seq.empty
       if (extra.nonEmpty)
         client.getTxTable("fuzzpndv", "s", s"t$ti").append(extra.toDF("id", "p", "k"))
+      // some tables then re-ANALYZE just k: over the FRESH stamp (the
+      // append folded) the other columns' keys and layer cells MERGE
+      // through, so the p/k serves below must keep answering scan-free
+      // with unchanged values
+      if (rnd.nextInt(3) == 0)
+        spark.sql(s"ANALYZE TABLE fuzzpndv.s.t$ti COMPUTE STATISTICS FOR COLUMNS k")
       // a third of the tables then run a RETENTION delete (pure
       // partition drop) — BOTH backends take the whole-file fast path
       // now (Delta drops the files copy-on-write-free, Iceberg removes
