@@ -68,12 +68,16 @@ record = {
     "protocol": (
         "ScaleGen x10 key-shifted amplification of /root/testdata/sf0.1 -> "
         "/tmp/graft-sf1; graft.Bench + graft.ScaleCheck at both scales, "
-        "local[32]; EVERY entry at BOTH scales is the per-entry minimum of "
-        "two full runs (THREE for the scalecheck records: the first two ran inside a contended recording window — a third quieter pass bounds the one-time costs; every entry is the per-entry minimum). Round 15: the Bench headline is a CBO off/on A/B "
-        "(contract metric = the off arm, comparable to pre-r14 rounds; the "
-        "on arm pinned in cbo_ab); new sidecar-layer probes at 365 (scale) "
-        "and 120 (bench) partition tuples. Per-pass logs "
-        "/tmp/{bench,sc}_sf{01,1}_r15_{1,2}.out in the round-15 session"),
+        "local[32]; every entry at both scales is the per-entry minimum "
+        "over the recorded full runs (min-of-two where the window allowed "
+        "two). RE-RECORDED at the round's final HEAD: the earlier r15 "
+        "record's post-headline blocks ran with CBO accidentally left off "
+        "by the A/B loop (fixed), sidecar serves now skip the layer read "
+        "for table-wide aggregates and cache parsed sidecars, and the "
+        "binned-range-join probes are new. Bench headline remains a CBO "
+        "off/on A/B (contract metric = the off arm; on arm in cbo_ab); "
+        "sidecar probes at 365 (scale) / 120 (bench) partition tuples. "
+        "Per-pass logs /tmp/{bench,sc}_sf{01,1}_r15_{1,2}.out"),
     "sf0_1": {"bench": bench01, "scalecheck": sc01},
     "sf1": {"bench": bench1, "scalecheck": sc1},
     "wallclock_ratio_10x_data": {
