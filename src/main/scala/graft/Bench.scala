@@ -734,12 +734,18 @@ object Bench {
         (a, sv, d)
       }
       // round-15: the BINNED range join (q185's shape) vs the naive
-      // range predicate. The per-user hash join + residual builds every
-      // (click, purchase) pair of a user before filtering — quadratic
-      // in that user's activity — while binning co-keys on (user, day)
-      // so only same-window candidates ever pair. Both fully
-      // materialized through noop; result-transparency is q185's hash.
-      val (rjBinned, rjNaive) = {
+      // range predicate, in BOTH regimes. With the user_id equi key
+      // present, Spark already hash-joins and the residual filter is
+      // cheap at this fixture's per-user density — the keyed pair
+      // (binned vs naive) pins result-transparent overhead and linear
+      // scaling, not a win. The win is the NO-equi-key regime: a pure
+      // range predicate plans as a BroadcastNestedLoopJoin — every
+      // (point, interval) pair evaluated — while binning makes it an
+      // equi-join on the day-bin. That pair runs on a FIXED 30k×30k
+      // slice (constant work at any SF: the nested loop is quadratic,
+      // up to 900M evaluations, and would be unrunnable at ×10 — which is
+      // the point).
+      val (rjBinned, rjNaive, rjGlobBinned, rjGlobNested) = {
         import org.apache.spark.sql.functions.expr
         val e = graft.queries.Tables.events(spark, sfDir)
           .select(col("event_id"), col("user_id"), col("event_type"),
@@ -760,8 +766,24 @@ object Bench {
               && col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"))
             .write.format("noop").mode("overwrite").save()
         }
+        val gClicks = clicks.limit(30000).cache()
+        val gPurch = purchases.limit(30000).cache()
+        gClicks.count(); gPurch.count() // materialize outside the timings
+        val g1 = timed {
+          graft.ext.RangeJoin.pointInInterval(gPurch, gClicks,
+              pointCol = "p_ts", startCol = "w_start", endCol = "w_end",
+              binWidth = 86400000000L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val g2 = timed {
+          gPurch.join(gClicks,
+              col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        gClicks.unpersist(); gPurch.unpersist()
         line("range_join_binned", a); line("range_join_naive", b)
-        (a, b)
+        line("range_join_global_binned", g1); line("range_join_global_nestedloop", g2)
+        (a, b, g1, g2)
       }
       Seq("mv_initial_fold" -> mvInit, "mv_incremental_refresh" -> mvIncr,
         "dedup_index_refresh" -> idxRefresh, "dedup_index_filter_new" -> idxFilter,
@@ -817,7 +839,9 @@ object Bench {
         "sidecar_filtered_serve" -> sideServe,
         "sidecar_retention_drop" -> sideDrop,
         "range_join_binned" -> rjBinned,
-        "range_join_naive" -> rjNaive)
+        "range_join_naive" -> rjNaive,
+        "range_join_global_binned" -> rjGlobBinned,
+        "range_join_global_nestedloop" -> rjGlobNested)
     }
 
     // min-of-two FULL ops passes (the SCALE protocol at one scale):

@@ -58,6 +58,8 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(!points.columns.contains(Bin) && !intervals.columns.contains(Bin),
       s"$Bin is reserved by RangeJoin")
+    requireIntegral(points, Seq(pointCol))
+    requireIntegral(intervals, Seq(startCol, endCol))
     val p = points
       .withColumn(Bin, floorDiv(col(pointCol), binWidth)).alias("__rj_pt")
     val i = intervals
@@ -91,6 +93,8 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(!left.columns.contains(Bin) && !right.columns.contains(Bin),
       s"$Bin is reserved by RangeJoin")
+    requireIntegral(left, Seq(leftStart, leftEnd))
+    requireIntegral(right, Seq(rightStart, rightEnd))
     def binned(df: DataFrame, s: String, e: String, tag: String): DataFrame = df
       .filter(col(e) > col(s))
       .withColumn(Bin, explode(sequence(
@@ -115,6 +119,25 @@ object RangeJoin {
     * pre-1970 epochs). pmod gives the floor remainder; the difference
     * is exactly divisible, so IntegralDivide's truncation IS the floor,
     * with every step in 64-bit integers. */
+  /** Range columns must be INTEGRAL — a float/timestamp would silently
+    * drop matches: floorDiv casts to long, so a point like 100.5 in
+    * [99.0, 100.9) truncates into bin 1 while the interval replicates
+    * only through floor(100.9 - 1) = bin 0, and the pair never meets.
+    * Failing loudly beats a silently incomplete join; quantize
+    * non-integral dimensions to long (epoch micros, day numbers)
+    * yourself — that quantization IS the binning contract. */
+  private def requireIntegral(df: DataFrame, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      val integral = dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType
+      require(integral,
+        s"RangeJoin range column $c must be an integral type, got " +
+          s"${dt.simpleString}: quantize it to long first (epoch micros, " +
+          "day numbers) — truncating bin edges would silently drop matches")
+    }
+
   private def floorDiv(c: Column, w: Long): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{toCol, toExpr}
     import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide, Literal}

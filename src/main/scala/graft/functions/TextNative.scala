@@ -320,7 +320,10 @@ case class NgramCoverageGen(child: Expression)
     val words = text.split(Array(' ', '\n')).iterator.filter(_.nonEmpty).toArray
     val wLens = words.map(cpLen)
 
-    def gramAt(i: Int, n: Int): String = {
+    // grams materialized ONCE per n and indexed by both the counting
+    // and the coverage pass — gram string construction dominates the
+    // per-row cost, so rebuilding each gram twice would double it
+    def gramsFor(n: Int): Array[String] = Array.tabulate(words.length - n + 1) { i =>
       val sb = new java.lang.StringBuilder(words(i))
       var j = 1
       while (j < n) { sb.append(' '); sb.append(words(i + j)); j += 1 }
@@ -329,11 +332,10 @@ case class NgramCoverageGen(child: Expression)
 
     def topFrac(n: Int): Double = {
       if (tLen == 0L || words.length < n) return 0.0
+      val grams = gramsFor(n)
       val counts = new java.util.HashMap[String, Int]()
       var i = 0
-      while (i + n <= words.length) {
-        counts.merge(gramAt(i, n), 1, Integer.sum); i += 1
-      }
+      while (i < grams.length) { counts.merge(grams(i), 1, Integer.sum); i += 1 }
       var topG: String = null
       var topC = 0
       val it = counts.entrySet().iterator()
@@ -349,15 +351,14 @@ case class NgramCoverageGen(child: Expression)
 
     def dupFrac(n: Int): Double = {
       if (tLen == 0L || words.length < n) return 0.0
+      val grams = gramsFor(n)
       val counts = new java.util.HashMap[String, Int]()
       var i = 0
-      while (i + n <= words.length) {
-        counts.merge(gramAt(i, n), 1, Integer.sum); i += 1
-      }
+      while (i < grams.length) { counts.merge(grams(i), 1, Integer.sum); i += 1 }
       val covered = new Array[Boolean](words.length)
       i = 0
-      while (i + n <= words.length) {
-        if (counts.get(gramAt(i, n)) > 1) {
+      while (i < grams.length) {
+        if (counts.get(grams(i)) > 1) {
           var j = 0
           while (j < n) { covered(i + j) = true; j += 1 }
         }

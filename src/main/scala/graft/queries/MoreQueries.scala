@@ -497,13 +497,16 @@ object MoreQueries {
 
     // ---- binned range join: point-in-interval ----
     // Attribution windows: every purchase joined to each click of the
-    // same user whose 24-hour attribution window contains it. The naive predicate
-    // (`p.ts >= c.ts AND p.ts < c.ts + 60s`) plans as a
-    // BroadcastNestedLoopJoin — O(clicks × purchases) per user and
-    // unrunnable at 100 TB; RangeJoin.pointInInterval turns it into an
-    // EQUI-join on (user, 60s-bin) + the exact residual, an ordinary
-    // shuffled join that AQE can split. The oracle runs the naive
-    // predicate in DuckDB — binning must be result-transparent.
+    // same user whose 24-hour attribution window contains it. With no
+    // equi key, the naive predicate (`p.ts >= c.ts AND p.ts < c.ts +
+    // 24h`) plans as a BroadcastNestedLoopJoin — O(clicks × purchases)
+    // and unrunnable at 100 TB; RangeJoin.pointInInterval turns it
+    // into an EQUI-join on (user, day-bin) + the exact residual, an
+    // ordinary shuffled join that AQE can split. (With the user_id key
+    // present, as here, a plain hash join also works — the bin key's
+    // value is bounding the per-user candidate set; the no-equi-key
+    // regime is the bench's nested-loop demo.) The oracle runs the
+    // naive predicate in DuckDB — binning must be result-transparent.
     QueryDef(
       "q185_range_join_binned",
       (s, dir) => {

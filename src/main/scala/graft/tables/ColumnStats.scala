@@ -519,7 +519,12 @@ object ColumnStats {
     // non-integral, qs under SKIP SKETCHES, over-cap digests) is unset
     // so the new stamp fully defines that column either way.
     val fp = fingerprint(snap).toString
-    val freshAtSnap = snap.properties.get(FingerprintProp).contains(fp)
+    // merge also requires the old stamp's sketch width to BE this
+    // build's K: the kept kmv keys are re-served under the rewritten
+    // KProp, so a width change (never at runtime, possible across
+    // builds) must clear instead of decoding old sketches at the wrong k
+    val freshAtSnap = snap.properties.get(FingerprintProp).contains(fp) &&
+      snap.properties.get(KProp).contains(K.toString)
     val layerProps = partitionSketchProps(table, snap, columns, skipQuantile)
     // a computed layer update (incl. an over-budget "dies" map) replaces
     // every existing layer key; no update + fresh keeps the old layer,
@@ -699,8 +704,15 @@ object ColumnStats {
     // layer's own pk whenever it still fits this run's columns (the
     // merged total is arbitrated by storeLayer's budget either way).
     val pk =
-      if (estTuples <= MaxStampedPartitions) PartitionK
-      else {
+      if (estTuples <= MaxStampedPartitions) {
+        // a fold-shrunk sidecar layer can land back under the inline
+        // cap still carrying its own (smaller) pk — prefer it when
+        // fresh, or the pk-equality guard below would bail the merge
+        // and destroy the non-restamped columns' cells
+        if (fresh) oldLayer.get(PkProp).flatMap(_.toIntOption)
+          .getOrElse(PartitionK)
+        else PartitionK
+      } else {
         def fits(k: Int) =
           estTuples.toLong * sketchCols.size * k * 8 <= SidecarKmvBytes
         val compat =

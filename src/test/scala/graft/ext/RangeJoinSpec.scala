@@ -87,6 +87,22 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("non-integral range columns are rejected, not silently mis-binned") {
+    // double 100.5 in [99.0, 100.9) would truncate into bin 1 while the
+    // interval replicates only through bin 0 — the match would silently
+    // vanish; the operator must fail loudly instead
+    val pts = Seq((1L, 100.5)).toDF("p_id", "ts")
+    val ivs = Seq((1L, 99.0, 100.9)).toDF("i_id", "s", "e")
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs, "ts", "s", "e", binWidth = 100L)
+    }
+    assert(err.getMessage.contains("integral"))
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(ivs, ivs.select(col("i_id").as("b"),
+        col("s").as("bs"), col("e").as("be")), "s", "e", "bs", "be", 100L)
+    }
+  }
+
   test("self-lineage inputs (same parent table) resolve unambiguously") {
     val base = Seq((1L, 10L), (2L, 15L), (3L, 40L)).toDF("id", "t")
     val pts = base.select(col("id").as("p_id"), col("t"))
