@@ -4156,6 +4156,68 @@ object InteropQueries {
           TRUE AS merged_scan_free,
           TRUE AS merged_filtered_scan_free,
           TRUE AS restamped_scan_free,
-          TRUE AS stale_cleared_scans"""))
+          TRUE AS stale_cleared_scans""")),
+
+    // ---- q190: Iceberg retention drop on a table WITH a null partition ----
+    // The manifest reader used to drop a null identity partition value
+    // from a file's partitionValues instead of surfacing p -> null, so
+    // the partition-predicate evaluator saw the null-partition files as
+    // undecidable and every whole-partition DELETE on such a table
+    // silently degraded to merge-on-read (delete files written, layer
+    // keeps bailed). Pins: the drop stays METADATA-ONLY (file count
+    // shrinks, zero deletion vectors), the stamp folds, the filtered
+    // serves stay scan-free over the surviving partitions INCLUDING the
+    // SQL-NULL one, and every value is DuckDB-recomputed.
+    QueryDef(
+      "q190_iceberg_null_partition_drop",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q190cat")
+        client.createSchema("q190cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q190-null").toString
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").cast(LongType).as("l_orderkey"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          // 'N' becomes the SQL NULL partition — the hive sentinel shape
+          expr("nullif(l_returnflag, 'N')").as("rf"))
+        client.createAsTable(li.repartition(4), "q190cat", "s", "t",
+          graft.catalog.FileType.ICEBERG, s"$root/t",
+          partitionColumns = Seq("rf"))
+        s.sql("ANALYZE TABLE q190cat.s.t COMPUTE STATISTICS FOR COLUMNS l_quantity")
+        val t = client.getTxTable("q190cat", "s", "t")
+        val filesBefore = t.snapshot.files.size
+        s.sql("DELETE FROM q190cat.s.t WHERE rf = 'R'")
+        val snap = t.snapshot
+        val metadataOnly = snap.files.size < filesBefore &&
+          !snap.files.exists(_.deletionVector.exists(_.cardinality > 0))
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        def scanFree(q: org.apache.spark.sql.DataFrame) =
+          planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan")
+        val qa = s.sql("SELECT SUM(l_quantity) AS sum_a FROM q190cat.s.t WHERE rf = 'A'")
+        val aServed = scanFree(qa)
+        val qn = s.sql("SELECT SUM(l_quantity) AS sum_null FROM q190cat.s.t WHERE rf IS NULL")
+        val nullServed = scanFree(qn)
+        val qall = s.sql("SELECT SUM(l_quantity) AS sum_all, COUNT(*) AS n_all FROM q190cat.s.t")
+        val allServed = scanFree(qall)
+        qa.crossJoin(qn).crossJoin(qall)
+          .withColumn("drop_metadata_only", lit(metadataOnly))
+          .withColumn("a_scan_free", lit(aServed))
+          .withColumn("null_scan_free", lit(nullServed))
+          .withColumn("tablewide_scan_free", lit(allServed))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(l_quantity AS BIGINT) AS q, NULLIF(l_returnflag, 'N') AS rf
+          FROM lineitem
+        ), post AS (SELECT * FROM src WHERE rf IS NULL OR rf <> 'R')
+        SELECT
+          (SELECT CAST(SUM(q) AS BIGINT) FROM post WHERE rf = 'A') AS sum_a,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM post WHERE rf IS NULL) AS sum_null,
+          (SELECT CAST(SUM(q) AS BIGINT) FROM post) AS sum_all,
+          (SELECT COUNT(*) FROM post) AS n_all,
+          TRUE AS drop_metadata_only,
+          TRUE AS a_scan_free,
+          TRUE AS null_scan_free,
+          TRUE AS tablewide_scan_free"""))
   )
 }
