@@ -588,6 +588,27 @@ object Bench {
         line("approx_percentile_metadata", c); line("approx_percentile_scan", d)
         (a, b, c, d)
       }
+      // round-15: a partial ANALYZE of a NEW column over the FRESH
+      // stamp — ONE column-pruned scan (vs analyze_stamp_scan's
+      // two-column pass), with the other columns' keys and layer cells
+      // MERGING through instead of clearing; the post-merge serve mixes
+      // old- and new-column aggregates in one scan-free answer. The
+      // add-a-column-to-a-dashboard shape no longer costs a full
+      // re-ANALYZE of everything already stamped.
+      val (partialAnalyzeMerge, postMergeServe) = {
+        val a = timed {
+          spark.sql(s"""ANALYZE TABLE $grpCat.s.t COMPUTE STATISTICS
+              FOR COLUMNS l_returnflag""").collect()
+        }
+        val b = timed {
+          spark.sql(s"""SELECT SUM(l_orderkey) AS s,
+              APPROX_COUNT_DISTINCT(l_orderkey) AS d,
+              APPROX_COUNT_DISTINCT(l_returnflag) AS dr
+            FROM $grpCat.s.t""").collect()
+        }
+        line("analyze_partial_merge", a); line("metadata_serve_post_merge", b)
+        (a, b)
+      }
       // round-14 rows: the COPY INTO transform premium (same drop zone
       // as copy_into_initial but with a projection at load), the
       // delete FOLD (O(touched) maintenance instead of a dead stamp),
@@ -818,6 +839,8 @@ object Bench {
         "metadata_sum_post_fold" -> sumPostFold,
         "metadata_avg_var" -> avgVarMeta,
         "avg_var_scan" -> avgVarScan,
+        "analyze_partial_merge" -> partialAnalyzeMerge,
+        "metadata_serve_post_merge" -> postMergeServe,
         "approx_percentile_metadata" -> pctMeta,
         "approx_percentile_scan" -> pctScan,
         "copy_into_transform" -> copyTransform,
