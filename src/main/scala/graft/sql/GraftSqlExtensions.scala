@@ -203,7 +203,7 @@ object GraftSqlExtensions {
           // Delta/native logs expose the two shapes their snapshot can
           // answer; the Iceberg-specific ones raise a clear error
           case "files" =>
-            val snap = graft.tables.TxTable.forAnyLocation(session, loc).snapshot
+            val snap = graft.tables.SnapshotCache.latest(session, loc)._2
             import session.implicits._
             snap.files.map(f => (f.path, f.rows,
               f.sizeBytes, f.partitionValues,
@@ -272,7 +272,10 @@ object GraftSqlExtensions {
             .eval(null).asInstanceOf[Long]
           t.log.versionAtTimestamp(session, loc, Math.floorDiv(micros, 1000L))
         }
-        val plan = t.toDF(v).queryExecution.analyzed
+        // `VERSION AS OF <latest>` (the common "pin what I see" shape)
+        // serves from the SnapshotCache; genuine history replays
+        val snapAtV = graft.tables.SnapshotCache.at(session, loc, Some(v))._2
+        val plan = t.toDF(snapAtV).queryExecution.analyzed
         // time-traveled COUNT(*)/MIN/MAX are metadata-only too, pinned at v
         plan.setTagValue(GraftSqlExtensions.ExactCountTag,
           () => GraftSqlExtensions.exactRowCount(session, loc, Some(v)))
@@ -297,9 +300,11 @@ object GraftSqlExtensions {
           // closure here would re-resolve at count() time and break
           // snapshot consistency.
           val loc = graft.io.TableIO.normalize(info.storageLocation.get)
-          val t = graft.tables.TxTable.forAnyLocation(session, loc)
-          val v = t.version
-          val plan = t.toDF(v).queryExecution.analyzed
+          // cross-query cached: an unchanged table resolves its pinned
+          // version and builds its read plan without replaying the log
+          val (t, snap) = graft.tables.SnapshotCache.latest(session, loc)
+          val v = snap.version
+          val plan = t.toDF(snap).queryExecution.analyzed
           plan.setTagValue(GraftSqlExtensions.ExactCountTag,
             () => GraftSqlExtensions.exactRowCount(session, loc, Some(v)))
           plan.setTagValue(GraftSqlExtensions.StatsRefTag, (loc, Some(v)))
@@ -355,15 +360,15 @@ object GraftSqlExtensions {
     def load(): Option[(graft.tables.TxTable, graft.tables.TxLog.Snapshot)] =
       try {
         snapshotLoadCount.incrementAndGet()
-        val t = graft.tables.TxTable.forAnyLocation(session, loc)
-        val snap = version.map(t.snapshotAt).getOrElse(t.snapshot)
-        // the RAW snapshot: a sidecar-stored partition layer is NOT
-        // inlined here — table-wide serves (COUNT(*), SUM, NDV, AVG,
-        // percentile: all inline properties or the file list) must not
-        // pay a multi-MB sidecar read they never look at. The one
+        // through the cross-QUERY SnapshotCache: an unchanged table costs
+        // one log-dir signature probe here, not a full log replay. The
+        // cached snapshot is the RAW one: a sidecar-stored partition
+        // layer is NOT inlined — table-wide serves (COUNT(*), SUM, NDV,
+        // AVG, percentile: all inline properties or the file list) must
+        // not pay a multi-MB sidecar read they never look at. The one
         // consumer of per-tuple cells (survivingTuples) layers its own
         // copy, through the parsed-sidecar cache.
-        Some((t, snap))
+        Some(graft.tables.SnapshotCache.at(session, loc, version))
       } catch { case _: Throwable => None }
     val memo = snapMemo.get()
     if (memo == null) load()

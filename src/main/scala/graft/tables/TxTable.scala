@@ -37,6 +37,12 @@ final class TxTable(val spark: SparkSession, val location: String,
   /** Time travel (Delta-style `versionAsOf`). */
   def toDF(asOfVersion: Long): DataFrame = dfFor(snapshotAt(asOfVersion))
 
+  /** Read plan over an already-resolved snapshot — the SnapshotCache
+    * consumers' entry point, so a cached resolution never replays the
+    * log a second time just to build the DataFrame.
+    */
+  private[graft] def toDF(s: Snapshot): DataFrame = dfFor(s)
+
   /** Timestamp time travel (Delta-style `timestampAsOf` / delta-rs
     * `load_with_datetime`): the table as of epoch-millis `tsMs` — the
     * latest version committed at or before it.
