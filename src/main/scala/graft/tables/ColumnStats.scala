@@ -1,5 +1,6 @@
 package graft.tables
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -182,6 +183,12 @@ object ColumnStats {
   val MaxSidecarPartitions = 4096
   val SidecarKmvBytes: Long = 8L << 20
   val SidecarQsBytes: Long = 8L << 20
+  /** Which layer families the LAST storeLayer dropped for budget
+    * ("qs" today; "layer" when the whole per-tuple layer outgrew every
+    * budget) — pure inspection surface for SHOW STATISTICS, so a user
+    * can see WHY a partition-filtered percentile scans while everything
+    * else serves. Unset when nothing was dropped. */
+  val LayerDroppedProp = "graft.stats.layer.dropped"
   /** Candidate sketch sizes for the sidecar layer, largest preferred;
     * below 256 the NDV error (~6%) stops being worth the bytes. */
   val SidecarKs = Seq(2048, 1024, 512, 256)
@@ -199,7 +206,7 @@ object ColumnStats {
     * whenever the layer can't be maintained). */
   private def isPartitionLayerKey(k: String): Boolean =
     PerTuplePrefixes.exists(k.startsWith) || k == PvalsProp || k == PkProp ||
-      k == PsidecarProp
+      k == PsidecarProp || k == LayerDroppedProp
 
   /** `<prefix><col>.<idx>` -> (prefix, col, idx). */
   private def splitLayerKey(k: String): Option[(String, String, Int)] =
@@ -935,7 +942,7 @@ object ColumnStats {
   private def storeLayer(table: TxTable, layer: Map[String, String],
       currentPointer: Option[String]): Map[String, String] = {
     def dies = layer.keys.map(_ -> (null: String)).toMap +
-      (PsidecarProp -> (null: String))
+      (PsidecarProp -> (null: String)) + (LayerDroppedProp -> (null: String))
     try {
       val tuples = decodeTuples(layer.getOrElse(PvalsProp, return dies))
       val pk = layer.get(PkProp).flatMap(_.toIntOption).getOrElse(return dies)
@@ -949,20 +956,30 @@ object ColumnStats {
         if (qsKeys.isEmpty) layer
         else layer.filterNot(_._1.startsWith(PqsPropPrefix)) ++
           qsKeys.map(_ -> (null: String))
+      // the budget-drop marker: every storage outcome explicitly sets or
+      // unsets it, so a stale "qs" can't survive a later store that kept
+      // everything
+      def mark(dropped: Option[String])(m: Map[String, String]) =
+        m + (LayerDroppedProp -> dropped.orNull)
       if (tuples.size <= MaxStampedPartitions && cells <= MaxPartitionSketchCells) {
-        val keep = if (qsKeys.size <= MaxPartitionQsCells) layer else withoutQs
-        keep + (PsidecarProp -> (null: String))
+        val qsDropped = qsKeys.nonEmpty && qsKeys.size > MaxPartitionQsCells
+        val keep = if (!qsDropped) layer else withoutQs
+        mark(if (qsDropped) Some("qs") else None)(
+          keep + (PsidecarProp -> (null: String)))
       } else if (tuples.size <= MaxSidecarPartitions &&
           cells.toLong * pk * 8 <= SidecarKmvBytes) {
         // stored base64 is 4/3 of raw sketch bytes; measure qs by its
         // encoded length (the dominant term either way)
         val qsBytes = qsKeys.iterator.map(k => layer(k).length.toLong * 3 / 4).sum
-        val stored = (if (qsBytes <= SidecarQsBytes) layer else
+        val qsDropped = qsKeys.nonEmpty && qsBytes > SidecarQsBytes
+        val stored = (if (!qsDropped) layer else
           layer.filterNot(_._1.startsWith(PqsPropPrefix)))
           .filter(_._2 != null)
         val rel = writeSidecar(table, stored, currentPointer)
-        layer.keys.map(_ -> (null: String)).toMap + (PsidecarProp -> rel)
-      } else dies
+        mark(if (qsDropped) Some("qs") else None)(
+          layer.keys.map(_ -> (null: String)).toMap + (PsidecarProp -> rel))
+      } else mark(Some("layer"))(layer.keys.map(_ -> (null: String)).toMap +
+        (PsidecarProp -> (null: String)))
     } catch { case scala.util.control.NonFatal(_) => dies }
   }
 
@@ -1273,11 +1290,46 @@ object ColumnStats {
     * position deletes (hooked from IcebergWriter.delete, pinned at
     * metadataVersion+1 by the create-exclusive metadata write; the
     * touched files come from the just-written delete files, O(deleted
-    * rows)). Iceberg equality deletes still invalidate — they carry
-    * keys, not a row predicate this fold could re-evaluate.
+    * rows)). Iceberg EQUALITY deletes fold through
+    * [[foldEqualityDelete]]: the keys ARE a removable-row
+    * specification — the removed rows are the base-visible rows of the
+    * touched files matching the delete keys null-safely, exactly the
+    * reader's own kill semantics.
     */
   private[tables] def foldDelete(table: TxTable, commitVersion: Long,
-      baseVersion: Long, removedPaths: Seq[String], predicate: String): Unit = {
+      baseVersion: Long, removedPaths: Seq[String], predicate: String): Unit =
+    foldDeleteImpl(table, commitVersion, baseVersion, removedPaths, Left(predicate))
+
+  /** The Iceberg equality-delete fold (the Flink-upsert-shaped history):
+    * a content=2 delete snapshot removes no file — the victims fold into
+    * per-file position bitmaps at snapshot build, so the TOUCHED files
+    * are exactly those whose bitmap cardinality grew base → commit, and
+    * the removed rows are the base-visible rows of those files whose key
+    * columns match a delete key NULL-SAFELY (Iceberg equality semantics:
+    * a NULL key matches NULL — `IcebergLog.equalityVictimPositions` uses
+    * `<=>`, and so does this). O(touched files) + O(delete keys), never
+    * a table scan; deleting keys that match nothing touches no bitmap,
+    * leaves the fingerprint literally unchanged, and needs no fold at
+    * all. Any bail leaves a stale stamp — never a wrong answer.
+    */
+  private[tables] def foldEqualityDelete(table: TxTable, commitVersion: Long,
+      baseVersion: Long, keyCols: Seq[String], keys: DataFrame): Unit =
+    try {
+      val base = table.snapshotAt(baseVersion)
+      val baseDv = base.files.iterator
+        .map(f => f.path -> f.deletionVector.map(_.cardinality).getOrElse(0L)).toMap
+      val touched = table.snapshotAt(commitVersion).files.filter { f =>
+        f.deletionVector.map(_.cardinality).getOrElse(0L) >
+          baseDv.getOrElse(f.path, 0L)
+      }.map(_.path)
+      foldDeleteImpl(table, commitVersion, baseVersion, touched,
+        Right((keyCols, keys)))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def foldDeleteImpl(table: TxTable, commitVersion: Long,
+      baseVersion: Long, removedPaths: Seq[String],
+      removal: Either[String, (Seq[String], DataFrame)]): Unit = {
+    val predicate = removal.left.getOrElse(null)
     if (removedPaths.isEmpty) return // file set unchanged: stamp still fresh
     try {
       val snap = withLayer(table.spark, table.location, table.snapshotAt(commitVersion))
@@ -1381,6 +1433,19 @@ object ColumnStats {
       // stale stamp instead. (The partition-drop derivation above is
       // predicate-free and unaffected.)
       import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val removedDf = removal match {
+        case Right((keyCols, keys)) =>
+          // equality-delete keys: concrete values, deterministic by
+          // construction — no time-dependence hazard. NULL-SAFE match,
+          // mirroring the reader's kill join exactly.
+          val tagged = keyCols.foldLeft(keys.select(
+              keyCols.map(c => col(s"`$c`")): _*).distinct())(
+            (acc, c) => acc.withColumnRenamed(c, s"__fold_eq_$c"))
+          val data = table.dfForFiles(base, removedPaths)
+          data.join(tagged,
+            keyCols.map(c => data(c) <=> tagged(s"__fold_eq_$c")).reduce(_ && _),
+            "left_semi")
+        case Left(_) =>
       val parsedPred = table.spark.sessionState.sqlParser.parseExpression(predicate)
       // the parse tree is UNRESOLVED (current_timestamp() is an
       // UnresolvedFunction, bare current_date can even surface as an
@@ -1412,8 +1477,9 @@ object ColumnStats {
         case e => !e.deterministic
       }
       if (timeDependent) return
-      val removedDf = table.dfForFiles(base, removedPaths)
+      table.dfForFiles(base, removedPaths)
         .filter(coalesce(expr(predicate), lit(false)))
+      }
       val (_, remSums, remMms, remCnts, remSqs, _) =
         scanStats(removedDf.select(((sumCols ++ mmCols ++ cntCols ++ sqCols).distinct)
             .map(c => col(s"`$c`")): _*),

@@ -2780,6 +2780,20 @@ object IcebergWriter {
     val mlPath = writeManifestList(f, location, snapId, ml)
     commitExisting(f, location, st, snapshotJson(snapId, now, seq, mlPath, "delete", st.snapshotId),
       snapId, seq, now)
+    // the equality-delete fold: pinned at metadataVersion+1 by the
+    // create-exclusive metadata write, like the position-delete hook.
+    // The delete keys re-read from the just-staged delete files (tiny,
+    // deterministic); the touched files and removed rows are derived in
+    // ColumnStats.foldEqualityDelete from the base/commit snapshots'
+    // position bitmaps. Gated on a stamp existing, so stampless
+    // Flink-upsert tables pay nothing.
+    if (IcebergLog.propertiesOf(st.meta).contains(ColumnStats.FingerprintProp))
+      try {
+        val keyDf = spark.read.parquet(
+          staged.map(a => IcebergLog.resolve(location, a.path).toString): _*)
+        ColumnStats.foldEqualityDelete(TxTable.forIceberg(spark, location),
+          st.metadataVersion + 1, st.metadataVersion, keyCols, keyDf)
+      } catch { case scala.util.control.NonFatal(_) => () }
     staged.map(_.rows).sum
   }
 }

@@ -513,6 +513,55 @@ class ColumnStatsSpec extends AnyFunSuite {
       == Some(Some(live.filter(_ > 5).map(BigInt(_)).sum)))
   }
 
+  test("Iceberg EQUALITY delete FOLDS the stamp (Flink-upsert shape)") {
+    val loc = TestSpark.tmpDir("cs-iceeq") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    t.create((1L to 100L).map(i => (i, i * 2)).toDF("id", "v").repartition(3))
+    ColumnStats.analyze(t, Seq("id", "v"))
+    // the streaming-CDC shape: keys arrive as a content=2 delete file,
+    // no predicate anywhere — pre-round-16 this invalidated the stamp
+    IcebergWriter.equalityDelete(spark, loc, Seq("id"),
+      (1L to 100L by 10L).toDF("id"))
+    assert(ColumnStats.isFresh(t.snapshot),
+      "the equality delete must fold, not invalidate")
+    val live1 = (1L to 100L).filterNot(i => i % 10 == 1)
+    assert(ColumnStats.currentSumBig(t.snapshot, "v")
+      == Some(Some(live1.map(i => BigInt(i * 2)).sum)),
+      "SUM must fold by subtracting exactly the keyed-out rows")
+    assert(ColumnStats.currentCount(t.snapshot, "id") == Some(live1.size.toLong))
+    // a SECOND equality delete folds again (prior victims applied at base)
+    IcebergWriter.equalityDelete(spark, loc, Seq("id"), Seq(2L, 3L).toDF("id"))
+    assert(ColumnStats.isFresh(t.snapshot))
+    val live2 = live1.filterNot(i => i == 2L || i == 3L)
+    assert(ColumnStats.currentSumBig(t.snapshot, "v")
+      == Some(Some(live2.map(i => BigInt(i * 2)).sum)))
+    // deleting keys that match NOTHING: no bitmap moves, the fingerprint
+    // is literally unchanged — fresh without any fold work
+    IcebergWriter.equalityDelete(spark, loc, Seq("id"), Seq(999999L).toDF("id"))
+    assert(ColumnStats.isFresh(t.snapshot))
+    assert(ColumnStats.currentSumBig(t.snapshot, "v")
+      == Some(Some(live2.map(i => BigInt(i * 2)).sum)))
+  }
+
+  test("equality-delete fold matches NULL keys null-safely (reader semantics)") {
+    val loc = TestSpark.tmpDir("cs-iceeqnull") + "/t"
+    val t = TxTable.forIceberg(spark, loc)
+    val rows: Seq[(java.lang.Long, Long)] =
+      Seq((1L: java.lang.Long, 10L), (2L: java.lang.Long, 20L),
+        (null: java.lang.Long, 30L), (null: java.lang.Long, 40L),
+        (3L: java.lang.Long, 50L))
+    t.create(rows.toDF("k", "v"))
+    ColumnStats.analyze(t, Seq("v"))
+    // a NULL delete key kills the NULL-keyed rows — Iceberg equality is
+    // null-safe (<=>), and the fold's subtraction must agree exactly
+    IcebergWriter.equalityDelete(spark, loc, Seq("k"),
+      Seq((null: java.lang.Long)).toDF("k"))
+    assert(t.toDF.count() == 3L, "the reader kills both NULL-keyed rows")
+    assert(ColumnStats.isFresh(t.snapshot), "the null-key delete must fold")
+    assert(ColumnStats.currentSumBig(t.snapshot, "v")
+      == Some(Some(BigInt(10L + 20L + 50L))))
+  }
+
   test("partial-partition delete keeps the OTHER tuples' cells serving") {
     val t = new TxTable(spark, TestSpark.tmpDir("cs-partial") + "/t")
     val rows = (0L until 400L).map(i => (i, s"p${i % 4}"))

@@ -27,6 +27,13 @@ class IcebergUpsertFuzzSpec extends AnyFunSuite {
     // appended, never later re-inserts)
     var model = Vector.empty[(Long, String)]
     var rowId = 0
+    // round-16: the column-stats stamp must stay FRESH across the whole
+    // upsert lifecycle (appends fold, predicate deletes fold, EQUALITY
+    // deletes fold, compaction restamps) — the one legitimate bail is a
+    // delete that empties the table (live==0: the NULL/0 boundary isn't
+    // always provable, and a re-ANALYZE of nothing is free), after which
+    // staleness is sticky until a re-ANALYZE the program never issues
+    var expectFresh = true
 
     def appendBatch(): Unit = {
       val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
@@ -40,6 +47,7 @@ class IcebergUpsertFuzzSpec extends AnyFunSuite {
       model ++= rows
     }
     appendBatch() // create
+    ColumnStats.analyze(t, Seq("k"))
 
     def check(where: String): Unit = {
       val expected = model.sorted
@@ -49,9 +57,26 @@ class IcebergUpsertFuzzSpec extends AnyFunSuite {
       val folded = t.toDF
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
       assert(folded == expected, s"[$seed/$where] TxTable folded read diverged")
+      val snap = t.snapshot
+      if (expectFresh) {
+        assert(ColumnStats.isFresh(snap),
+          s"[$seed/$where] stamp must stay fresh across folds")
+        assert(ColumnStats.currentSumBig(snap, "k")
+          == Some(Some(model.map(r => BigInt(r._1)).sum)),
+          s"[$seed/$where] folded SUM diverged from the model")
+        assert(ColumnStats.currentCount(snap, "k") == Some(model.size.toLong),
+          s"[$seed/$where] folded COUNT diverged from the model")
+      } else if (ColumnStats.isFresh(snap)) {
+        // staleness is the EXPECTED outcome but freshness is not a bug
+        // per se — if a path restamps, its values must still be exact
+        assert(ColumnStats.currentSumBig(snap, "k")
+          == Some(Some(model.map(r => BigInt(r._1)).sum)),
+          s"[$seed/$where] a restamped SUM must be exact")
+      }
     }
 
     (1 to ops).foreach { op =>
+      val wasEmpty = model.isEmpty
       rnd.nextInt(100) match {
         case n if n < 45 => appendBatch()
         case n if n < 75 =>
@@ -65,6 +90,8 @@ class IcebergUpsertFuzzSpec extends AnyFunSuite {
         case _ =>
           t.optimizeCompact(minFileBytes = 1L << 20)
       }
+      // the one legitimate bail: a delete emptied the table
+      if (model.isEmpty && !wasEmpty) expectFresh = false
       check(s"op$op")
     }
 
