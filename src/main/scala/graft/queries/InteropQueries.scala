@@ -2722,7 +2722,11 @@ object InteropQueries {
             COUNT(DISTINCT l_linenumber) < 4096 AS exact,
             COUNT(DISTINCT l_returnflag) AS partition_tuples,
             CAST(0 AS BIGINT) AS stamped_version,
-            TRUE AS fresh
+            TRUE AS fresh,
+            'inline' AS layer_storage,
+            CAST(NULL AS VARCHAR) AS sidecar_file,
+            CAST(NULL AS BIGINT) AS sidecar_bytes,
+            CAST(NULL AS VARCHAR) AS dropped_families
           FROM lineitem
           UNION ALL
           SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag),
@@ -2730,7 +2734,9 @@ object InteropQueries {
             CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
             MIN(l_returnflag), MAX(l_returnflag),
             COUNT(DISTINCT l_returnflag) < 4096, CAST(NULL AS BIGINT),
-            CAST(0 AS BIGINT), TRUE
+            CAST(0 AS BIGINT), TRUE,
+            'inline', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+            CAST(NULL AS VARCHAR)
           FROM lineitem
         ) ORDER BY "column"""")),
 
@@ -4218,6 +4224,85 @@ object InteropQueries {
           TRUE AS drop_metadata_only,
           TRUE AS a_scan_free,
           TRUE AS null_scan_free,
-          TRUE AS tablewide_scan_free"""))
+          TRUE AS tablewide_scan_free""")),
+
+    // ---- q191: Iceberg EQUALITY deletes fold the stamp ----
+    // The Flink-upsert history (q139's shape): each upsert batch is an
+    // equality-delete of the keys plus an append of their new rows —
+    // the streaming-CDC 100 TB pattern. Pre-round-16 every equality
+    // delete invalidated the stamp (a full re-ANALYZE to recover);
+    // now ColumnStats.foldEqualityDelete subtracts exactly the
+    // keyed-out rows (touched files from the position-bitmap diff,
+    // removed rows via the reader's own null-safe key join) and the
+    // append folds as before, so SUM/COUNT keep serving scan-free
+    // across the whole upsert. The honest-fallback twin: MIN/MAX serve
+    // from per-file bounds, which a live delete bitmap makes
+    // unprovable — MIN scans (and is still exact). All values
+    // DuckDB-recomputed over the post-upsert rows.
+    QueryDef(
+      "q191_iceberg_equality_delete_fold",
+      (s, dir) => {
+        val client = new graft.client.LakehouseClient(s)
+        client.createCatalog("q191cat")
+        client.createSchema("q191cat", "s")
+        val root = java.nio.file.Files.createTempDirectory("q191-eqdel").toString
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey").cast(LongType).as("ok"),
+          col("o_custkey").cast(LongType).as("ck"))
+        client.createAsTable(o.repartition(4), "q191cat", "s", "t",
+          graft.catalog.FileType.ICEBERG, s"$root/t")
+        s.sql("ANALYZE TABLE q191cat.s.t COMPUTE STATISTICS FOR COLUMNS ok, ck")
+        val loc = graft.io.TableIO.normalize(s"$root/t")
+        // one Flink-shaped upsert batch for keys ok % 7 = 1: equality
+        // delete of the keys, then the replacement rows (ck + 1000)
+        graft.tables.IcebergWriter.equalityDelete(s, loc, Seq("ok"),
+          o.filter(col("ok") % 7 === 1).select(col("ok")))
+        client.getTxTable("q191cat", "s", "t").append(
+          o.filter(col("ok") % 7 === 1)
+            .select(col("ok"), (col("ck") + 1000L).as("ck")))
+        def planOf(q: org.apache.spark.sql.DataFrame) =
+          q.queryExecution.executedPlan.toString
+        def scanFree(q: org.apache.spark.sql.DataFrame) =
+          planOf(q).contains("LocalTableScan") && !planOf(q).contains("FileScan")
+        val q1 = s.sql(
+          "SELECT SUM(ck) AS sum_ck, COUNT(*) AS n_rows FROM q191cat.s.t")
+        val upsertServed = scanFree(q1)
+        // a SECOND equality delete (no re-append) folds on top — and it
+        // takes out key 0, the stamped-MIN holder
+        graft.tables.IcebergWriter.equalityDelete(s, loc, Seq("ok"),
+          s.createDataFrame(Seq(Tuple1(0L), Tuple1(2L), Tuple1(3L))).toDF("ok"))
+        val q2 = s.sql("SELECT SUM(ck) AS sum_ck2 FROM q191cat.s.t")
+        val secondServed = scanFree(q2)
+        // the honest fallback: the removed keys' min TIES the stamped
+        // min (duplicates are unknowable from metadata), so the fold
+        // drops the pair, per-file bounds are blocked by the live
+        // delete bitmaps — MIN must SCAN, and is still exact. (The
+        // FIRST delete's keys sat strictly above the min, so MIN kept
+        // serving through it — that is the fold keeping, not luck.)
+        val q3 = s.sql("SELECT MIN(ok) AS min_ok FROM q191cat.s.t")
+        val minScans = planOf(q3).contains("FileScan")
+        q1.crossJoin(q2).crossJoin(q3)
+          .withColumn("upsert_scan_free", lit(upsertServed))
+          .withColumn("second_fold_scan_free", lit(secondServed))
+          .withColumn("min_falls_back_to_scan", lit(minScans))
+      },
+      Some("""WITH src AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS ok, CAST(o_custkey AS BIGINT) AS ck
+          FROM orders
+        ), post AS (
+          SELECT ok, ck FROM src WHERE ok % 7 <> 1
+          UNION ALL
+          SELECT ok, ck + 1000 AS ck FROM src WHERE ok % 7 = 1
+        ), post2 AS (
+          SELECT ok, ck FROM post WHERE ok NOT IN (0, 2, 3)
+        )
+        SELECT
+          (SELECT CAST(SUM(ck) AS BIGINT) FROM post) AS sum_ck,
+          (SELECT COUNT(*) FROM post) AS n_rows,
+          (SELECT CAST(SUM(ck) AS BIGINT) FROM post2) AS sum_ck2,
+          (SELECT MIN(ok) FROM post2) AS min_ok,
+          TRUE AS upsert_scan_free,
+          TRUE AS second_fold_scan_free,
+          TRUE AS min_falls_back_to_scan"""))
   )
 }

@@ -478,7 +478,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 AttributeReference("exact", BooleanType, nullable = true)(),
                 AttributeReference("partition_tuples", LongType, nullable = true)(),
                 AttributeReference("stamped_version", LongType, nullable = true)(),
-                AttributeReference("fresh", BooleanType, nullable = false)())) { () =>
+                AttributeReference("fresh", BooleanType, nullable = false)(),
+                // round-16: the partition layer's STORAGE regime —
+                // inline properties / sidecar file / absent — plus the
+                // sidecar file+size and which families the byte budget
+                // dropped (a filtered percentile that scans while SUM
+                // serves is now diagnosable from this surface alone)
+                AttributeReference("layer_storage", StringType, nullable = false)(),
+                AttributeReference("sidecar_file", StringType, nullable = true)(),
+                AttributeReference("sidecar_bytes", LongType, nullable = true)(),
+                AttributeReference("dropped_families", StringType, nullable = true)())) { () =>
               // metadata-only: the stamp lives in table properties (a
               // sidecar-stored partition layer inlines here so its
               // tuple counts stay inspectable)
@@ -495,6 +504,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               val k = p.get(KProp).flatMap(_.toLongOption)
               val stampedV = p.get(VersionProp).flatMap(_.toLongOption)
                 .map(java.lang.Long.valueOf).orNull
+              // table-level storage surface, repeated per row (SHOW
+              // outputs denormalize — one glance answers "where does the
+              // layer live and what did the budget cost me")
+              // the stored pointer is a bare file name under the
+              // table's _graft_stats/; surface it dir-qualified
+              val sidecarRel = p.get(PsidecarProp).filter(_ != null)
+                .map(n => s"_graft_stats/$n")
+              val layerStorage =
+                if (sidecarRel.isDefined) "sidecar"
+                else if (p.get(PvalsProp).exists(_ != null)) "inline"
+                else "absent"
+              val sidecarBytes = sidecarRel.flatMap { rel =>
+                scala.util.Try {
+                  val fp = new org.apache.hadoop.fs.Path(t.location, rel)
+                  fp.getFileSystem(t.spark.sessionState.newHadoopConf())
+                    .getFileStatus(fp).getLen
+                }.toOption
+              }.map(java.lang.Long.valueOf).orNull
+              val droppedFamilies = p.get(LayerDroppedProp).filter(_ != null).orNull
               // every prefix that can be a column's LAST surviving stat
               // (after a tie-dropping delete or an update fold a column
               // can be down to just cnt — which still feeds the
@@ -548,7 +576,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                   mm(MinPropPrefix, c), mm(MaxPropPrefix, c),
                   ndv.flatMap(n => k.map(kk => java.lang.Boolean.valueOf(n < kk))).orNull,
                   if (ptuples > 0) java.lang.Long.valueOf(ptuples.toLong) else null,
-                  stampedV, fresh)
+                  stampedV, fresh,
+                  layerStorage, sidecarRel.orNull, sidecarBytes, droppedFamilies)
               }
             }
           case None => // not a catalog table

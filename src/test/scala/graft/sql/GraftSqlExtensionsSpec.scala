@@ -530,7 +530,8 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
     val shown = spark.sql("SHOW STATISTICS FOR lakestats.core.t")
     assert(shown.columns.toSeq ==
       Seq("column", "ndv", "cnt", "sum", "avg", "stddev", "min", "max",
-        "exact", "partition_tuples", "stamped_version", "fresh"))
+        "exact", "partition_tuples", "stamped_version", "fresh",
+        "layer_storage", "sidecar_file", "sidecar_bytes", "dropped_families"))
     val rows = shown.collect().map(r => r.getString(0) -> r).toMap
     assert(rows.keySet == Set("id", "u"))
     assert(rows("id").getBoolean(11) && rows("u").getBoolean(11))
@@ -580,6 +581,63 @@ class GraftSqlExtensionsSpec extends AnyFunSuite {
       .overwrite(Seq((1L, "x")).toDF("id", "u"))
     assert(spark.sql("SHOW STATISTICS FOR lakestats.core.t").collect()
       .forall(!_.getBoolean(11)), "fresh must flip to false after an overwrite")
+  }
+
+  test("SHOW STATISTICS surfaces the layer's storage regime and budget drops") {
+    val client = new LakehouseClient(spark)
+    client.createCatalog("lakestore")
+    client.createSchema("lakestore", "core")
+    val dir = TestSpark.tmpDir("sqlstore")
+    def shown(t: String) =
+      spark.sql(s"SHOW STATISTICS FOR lakestore.core.$t").collect()
+        .map(r => r.getString(0) -> r).toMap
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.executedPlan.toString
+    // unpartitioned: no per-partition layer at all → absent
+    client.createAsTable((1L to 50L).map(i => (i, i * 3)).toDF("id", "v"),
+      "lakestore", "core", "flat", FileType.DELTA, s"$dir/flat")
+    spark.sql("ANALYZE TABLE lakestore.core.flat COMPUTE STATISTICS FOR COLUMNS v")
+    val flat = shown("flat")("v")
+    assert(flat.getString(12) == "absent" && flat.isNullAt(13) &&
+      flat.isNullAt(14) && flat.isNullAt(15))
+    // few tuples: the layer lives inline, nothing dropped
+    client.createAsTable(
+      (1L to 300L).map(i => (i, s"p${i % 3}")).toDF("v", "p"),
+      "lakestore", "core", "small", FileType.DELTA, s"$dir/small",
+      partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE lakestore.core.small COMPUTE STATISTICS FOR COLUMNS v")
+    val small = shown("small")("v")
+    assert(small.getString(12) == "inline" && small.isNullAt(13) &&
+      small.isNullAt(15))
+    // 60 tuples: still inline (≤64) but 60 qs cells bust the 48-cell qs
+    // budget — the sub-layer drops and the surface SAYS so: the filtered
+    // percentile scans while the filtered SUM keeps serving
+    client.createAsTable(
+      (1L to 600L).map(i => (i, s"p${i % 60}")).toDF("v", "p"),
+      "lakestore", "core", "qsdrop", FileType.DELTA, s"$dir/qsdrop",
+      partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE lakestore.core.qsdrop COMPUTE STATISTICS FOR COLUMNS v")
+    val qsd = shown("qsdrop")("v")
+    assert(qsd.getString(12) == "inline")
+    assert(qsd.getString(15) == "qs", "the dropped qs sub-layer must be surfaced")
+    assert(planOf(spark.sql(
+      "SELECT SUM(v) AS s FROM lakestore.core.qsdrop WHERE p = 'p1'"))
+      .contains("LocalTableScan"))
+    assert(planOf(spark.sql(
+      "SELECT APPROX_PERCENTILE(v, 0.5, 100) AS q FROM lakestore.core.qsdrop WHERE p = 'p1'"))
+      .contains("FileScan"), "the dropped family honestly scans")
+    // 80 tuples: past the inline cap — the layer moves to the sidecar,
+    // file and size surfaced, nothing dropped
+    client.createAsTable(
+      (1L to 800L).map(i => (i, s"p${i % 80}")).toDF("v", "p"),
+      "lakestore", "core", "side", FileType.DELTA, s"$dir/side",
+      partitionColumns = Seq("p"))
+    spark.sql("ANALYZE TABLE lakestore.core.side COMPUTE STATISTICS FOR COLUMNS v")
+    val side = shown("side")("v")
+    assert(side.getString(12) == "sidecar")
+    assert(side.getString(13) != null &&
+      side.getString(13).contains("_graft_stats"), "sidecar file surfaced")
+    assert(!side.isNullAt(14) && side.getLong(14) > 0L, "sidecar size surfaced")
   }
 
   test("grouped APPROX_COUNT_DISTINCT serves from per-partition sketches; retention deletes keep the layer") {
