@@ -40,6 +40,19 @@ object RangeJoin {
 
   private val Bin = "__rj_bin"
 
+  /** Replication cap: an interval spanning more bins than this raises a
+    * PLANNED error (with the offending span in the message) instead of
+    * materializing a multi-million-element array per row and dying as an
+    * executor OOM mid-shuffle. The classic trigger is a sentinel
+    * open-ended interval (`end = Long.MaxValue`) slipping into a binned
+    * join — at binWidth = 1 day in micros that is ~10^8 bins PER ROW.
+    * 65536 bins ≈ 180 years of day-wide bins: generous for real
+    * intervals, far below the OOM regime. Raise it explicitly per call
+    * if a domain genuinely has longer spans (the cost is linear and
+    * map-side, but it is YOUR replication factor to own).
+    */
+  val DefaultMaxBinsPerInterval: Long = 65536L
+
   /** `points ⋈ intervals ON equiKeys AND point ∈ [start, end)` as a
     * binned equi-join. Range columns must be integral (epoch
     * micros/nanos, day numbers — quantize floats yourself: binning IS a
@@ -54,8 +67,11 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String, binWidth: Long,
-      equiKeys: Seq[(String, String)] = Seq.empty): DataFrame = {
+      equiKeys: Seq[(String, String)] = Seq.empty,
+      maxBinsPerInterval: Long = DefaultMaxBinsPerInterval): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     require(!points.columns.contains(Bin) && !intervals.columns.contains(Bin),
       s"$Bin is reserved by RangeJoin")
     requireIntegral(points, Seq(pointCol))
@@ -65,12 +81,12 @@ object RangeJoin {
     val i = intervals
       // a degenerate interval (end <= start) matches nothing: half-open
       .filter(col(endCol) > col(startCol))
-      .withColumn(Bin, explode(sequence(
+      // end is EXCLUSIVE: the last candidate bin holds end-1 (an
+      // interval ending exactly on a bin edge does not reach into
+      // the next bin)
+      .withColumn(Bin, explode(binRange(
         floorDiv(col(startCol), binWidth),
-        // end is EXCLUSIVE: the last candidate bin holds end-1 (an
-        // interval ending exactly on a bin edge does not reach into
-        // the next bin)
-        floorDiv(col(endCol) - lit(1L), binWidth))))
+        floorDiv(col(endCol) - lit(1L), binWidth), maxBinsPerInterval)))
       .alias("__rj_iv")
     def pc(n: String) = col(s"__rj_pt.$n")
     def ic(n: String) = col(s"__rj_iv.$n")
@@ -89,16 +105,20 @@ object RangeJoin {
     * exactly once. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       leftStart: String, leftEnd: String, rightStart: String, rightEnd: String,
-      binWidth: Long, equiKeys: Seq[(String, String)] = Seq.empty): DataFrame = {
+      binWidth: Long, equiKeys: Seq[(String, String)] = Seq.empty,
+      maxBinsPerInterval: Long = DefaultMaxBinsPerInterval): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     require(!left.columns.contains(Bin) && !right.columns.contains(Bin),
       s"$Bin is reserved by RangeJoin")
     requireIntegral(left, Seq(leftStart, leftEnd))
     requireIntegral(right, Seq(rightStart, rightEnd))
     def binned(df: DataFrame, s: String, e: String, tag: String): DataFrame = df
       .filter(col(e) > col(s))
-      .withColumn(Bin, explode(sequence(
-        floorDiv(col(s), binWidth), floorDiv(col(e) - lit(1L), binWidth))))
+      .withColumn(Bin, explode(binRange(
+        floorDiv(col(s), binWidth), floorDiv(col(e) - lit(1L), binWidth),
+        maxBinsPerInterval)))
       .alias(tag)
     val l = binned(left, leftStart, leftEnd, "__rj_l")
     val r = binned(right, rightStart, rightEnd, "__rj_r")
@@ -113,12 +133,35 @@ object RangeJoin {
     l.join(r, joinCond).drop(Bin)
   }
 
+  /** The bin array [lo, hi] for one interval, guarded: a span wider than
+    * `maxBins` raises a planned, per-row-diagnosable error BEFORE the
+    * array materializes. sequence() itself would either OOM the executor
+    * (huge but under Spark's element cap) or throw Spark's generic
+    * "too many elements" — neither names the row or the fix.
+    */
+  private def binRange(lo: Column, hi: Column, maxBins: Long): Column =
+    when(hi - lo < lit(maxBins), sequence(lo, hi))
+      .otherwise(raise_error(concat(
+        lit("RangeJoin: one interval spans "), (hi - lo + lit(1L)).cast("string"),
+        lit(s" bins (> maxBinsPerInterval=$maxBins): likely an open-ended " +
+          "sentinel end value; clamp the interval or raise maxBinsPerInterval " +
+          "explicitly — replication is linear in bins-per-interval"))))
+
   /** Math.floorDiv as exact LONG column arithmetic — `a / b` on longs
     * returns a double (unsafe past 2^53: epoch NANOS corrupt), and
     * Spark's `div` truncates toward zero (bins [-w,-1) with [0,w) for
     * pre-1970 epochs). pmod gives the floor remainder; the difference
     * is exactly divisible, so IntegralDivide's truncation IS the floor,
-    * with every step in 64-bit integers. */
+    * with every step in 64-bit integers.
+    *
+    * Domain: `a > Long.MinValue + w`. The floor-remainder subtraction
+    * `a - pmod(a, w)` wraps (non-ANSI long arithmetic) for values within
+    * one binWidth of Long.MinValue, mis-binning such extremes. Every
+    * practical quantized dimension (epoch micros/nanos, day numbers)
+    * sits ~2^63 away from that edge; a domain that genuinely uses
+    * Long.MinValue as a sentinel must clamp it before binning (see
+    * maxBinsPerInterval — such sentinels trip that guard first anyway).
+    */
   /** Range columns must be INTEGRAL — a float/timestamp would silently
     * drop matches: floorDiv casts to long, so a point like 100.5 in
     * [99.0, 100.9) truncates into bin 1 while the interval replicates

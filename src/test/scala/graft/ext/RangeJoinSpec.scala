@@ -103,6 +103,36 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("an interval spanning more bins than the cap raises a planned error, not an OOM") {
+    // the classic trigger: an open-ended sentinel end (Long.MaxValue-ish)
+    // slipping into a binned join would explode to ~10^8 bins per row
+    val points = Seq((1L, 50L)).toDF("pid", "ts")
+    val sane = Seq((10L, 0L, 100L)).toDF("iid", "s", "e")
+    val sentinel = Seq((11L, 0L, Long.MaxValue / 4)).toDF("iid", "s", "e")
+    // sane intervals under the default cap: unaffected
+    assert(RangeJoin.pointInInterval(points, sane, "ts", "s", "e", 10L)
+      .count() == 1L)
+    // the sentinel interval fails LOUDLY with the span in the message
+    val err = intercept[Exception] {
+      RangeJoin.pointInInterval(points, sentinel, "ts", "s", "e", 10L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("maxBinsPerInterval")),
+      s"error must name the guard, got: ${err.getMessage}")
+    // an explicitly raised cap admits the wide interval (the user owns
+    // the replication factor then) — exercised at a width that keeps
+    // the array small
+    assert(RangeJoin.pointInInterval(points,
+        Seq((12L, 0L, 2000000L)).toDF("iid", "s", "e"),
+        "ts", "s", "e", 10L, maxBinsPerInterval = 300000L).count() == 1L)
+    // same guard on the overlap shape
+    val err2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(sane, sentinel, "s", "e", "s", "e", 10L).count()
+    }
+    assert(msgs(err2).exists(m => m != null && m.contains("maxBinsPerInterval")))
+  }
+
   test("self-lineage inputs (same parent table) resolve unambiguously") {
     val base = Seq((1L, 10L), (2L, 15L), (3L, 40L)).toDF("id", "t")
     val pts = base.select(col("id").as("p_id"), col("t"))
