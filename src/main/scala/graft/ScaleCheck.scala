@@ -589,7 +589,12 @@ object ScaleCheck {
         require(got.nonEmpty)
       }
       val sc = timed {
-        val got = graft.tables.TxTable.forForeignDelta(spark, s"$loc/t").toDF
+        // the scan twin resolves through the same cross-query
+        // SnapshotCache a SQL read would use — this probe compares
+        // SERVE vs SCAN, not cached vs uncached resolution
+        val (tt, snap) = graft.tables.SnapshotCache.latest(spark,
+          graft.io.TableIO.normalize(s"$loc/t"))
+        val got = tt.toDF(snap)
           .filter(col("day") < 100)
           .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("s"),
             org.apache.spark.sql.functions
@@ -612,6 +617,86 @@ object ScaleCheck {
         f"sidecar_filtered_serve $sv%.2fs sidecar_filtered_scan $sc%.2fs " +
         f"sidecar_retention_drop $d%.2fs sidecar_post_drop_serve $r%.2fs")
       (a, sv, sc, d, r)
+    }
+
+    // round-16: the SAME 365-tuple sidecar cycle on an ICEBERG table —
+    // the sidecar write/sweep path past the 64-tuple inline cap was
+    // Delta-only evidence before (q190 pins Iceberg at 3 tuples, inline
+    // regime). ANALYZE must stamp the sidecar pointer, the filtered
+    // serve must stay scan-free, and the 65-partition retention drop
+    // must be METADATA-ONLY (whole identity-partition files dropped, no
+    // delete files written) with the stamp folding across it.
+    val (iceSideAnalyze, iceSideServe, iceSideDrop) = {
+      import org.apache.spark.sql.functions.col
+      val client5 = new graft.client.LakehouseClient(spark)
+      client5.createCatalog("scaleiceside")
+      client5.createSchema("scaleiceside", "s")
+      val loc = java.nio.file.Files.createTempDirectory("scalecheck-iceside").toString
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_quantity").cast("long").as("l_quantity"),
+          (col("l_orderkey").cast("long") % 365L).as("day"))
+      graft.tables.TxTable.forIceberg(spark, s"$loc/t")
+        .create(li.repartition(8), partitionColumns = Seq("day"))
+      client5.registerAsTable("scaleiceside", "s", "t",
+        graft.catalog.FileType.ICEBERG, s"$loc/t")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val a = timed {
+        spark.sql("""ANALYZE TABLE scaleiceside.s.t COMPUTE STATISTICS
+          FOR COLUMNS l_orderkey, l_quantity""").collect()
+      }
+      require(graft.tables.TxTable.forIceberg(spark, s"$loc/t")
+          .snapshot.properties.contains(graft.tables.ColumnStats.PsidecarProp),
+        "365 Iceberg tuples must stamp the sidecar layer")
+      val servedSql = """SELECT SUM(l_quantity) AS s
+          FROM scaleiceside.s.t WHERE day < 100"""
+      val p = spark.sql(servedSql).queryExecution.executedPlan.toString
+      require(p.contains("LocalTableScan") && !p.contains("FileScan"),
+        s"iceberg sidecar serve must be scan-free, got plan:\n$p")
+      val sv = timed {
+        require(spark.sql(servedSql).collect().nonEmpty)
+      }
+      val filesBefore = graft.tables.TxTable.forIceberg(spark, s"$loc/t")
+        .snapshot.files.size
+      val d = timed(
+        spark.sql("DELETE FROM scaleiceside.s.t WHERE day >= 300").collect())
+      val postSnap = graft.tables.TxTable.forIceberg(spark, s"$loc/t").snapshot
+      require(postSnap.files.size < filesBefore &&
+          !postSnap.files.exists(_.deletionVector.exists(_.cardinality > 0)),
+        "the Iceberg 65-partition retention drop must be metadata-only")
+      require(graft.tables.ColumnStats.isFresh(postSnap),
+        "the Iceberg retention drop must keep the sidecar stamp fresh")
+      System.err.println(f"[scalecheck] iceberg_sidecar_analyze_stamp $a%.2fs " +
+        f"iceberg_sidecar_filtered_serve $sv%.2fs " +
+        f"iceberg_sidecar_retention_drop $d%.2fs")
+      (a, sv, d)
+    }
+
+    // round-16: FIXED-dup-density MinHash twin — q47's ×10 wallclock
+    // ratio (7.3× in SCALE_r15) is suspected to be the FIXTURE, not the
+    // operator: ScaleGen replicates document TEXT verbatim under shifted
+    // ids, so every text becomes a 10-member identical cluster and
+    // banded candidate pairs grow quadratically per cluster. This twin
+    // holds dup pairs CONSTANT while the corpus grows: every token is
+    // salted with its doc_id (distinct docs share zero shingles at any
+    // scale), then exactly the docs with doc_id < 1000 (present at both
+    // scales — replica-0 ids) are planted as exact copies. If the twin
+    // scales ≈linearly, the q47 ratio is attributed to fixture dup
+    // growth; if not, the operator owes a fix.
+    val minhashFixedTwin = {
+      import org.apache.spark.sql.functions._
+      val docs = graft.queries.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val salted = docs.select(col("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("doc_id")))).as("text"))
+      val planted = salted.filter(col("doc_id") < 1000L)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      best("minhash_fixed_dup_twin")(
+        graft.ext.NearDup.minhashDupPairs(salted.unionAll(planted),
+          threshold = 0.9))
     }
 
     // round-15: the BINNED range join (q185's attribution-window shape)
@@ -693,6 +778,10 @@ object ScaleCheck {
       "sidecar_filtered_scan" -> sideScan,
       "sidecar_retention_drop" -> sideDrop,
       "sidecar_post_drop_serve" -> sidePostServe,
+      "iceberg_sidecar_analyze_stamp" -> iceSideAnalyze,
+      "iceberg_sidecar_filtered_serve" -> iceSideServe,
+      "iceberg_sidecar_retention_drop" -> iceSideDrop,
+      "minhash_fixed_dup_twin" -> minhashFixedTwin,
       "range_join_binned" -> rjBinned,
       "range_join_naive" -> rjNaive))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
