@@ -589,12 +589,13 @@ object ScaleCheck {
         require(got.nonEmpty)
       }
       val sc = timed {
-        // the scan twin resolves through the same cross-query
-        // SnapshotCache a SQL read would use — this probe compares
-        // SERVE vs SCAN, not cached vs uncached resolution
-        val (tt, snap) = graft.tables.SnapshotCache.latest(spark,
+        // the scan twin resolves snapshot AND read plan through the
+        // same cross-query SnapshotCache a SQL read would use — this
+        // probe compares SERVE vs SCAN (the avoided data read), not
+        // cached vs uncached resolution
+        val (_, _, scanDf) = graft.tables.SnapshotCache.latestDF(spark,
           graft.io.TableIO.normalize(s"$loc/t"))
-        val got = tt.toDF(snap)
+        val got = scanDf
           .filter(col("day") < 100)
           .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("s"),
             org.apache.spark.sql.functions

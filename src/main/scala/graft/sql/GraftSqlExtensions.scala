@@ -273,9 +273,10 @@ object GraftSqlExtensions {
           t.log.versionAtTimestamp(session, loc, Math.floorDiv(micros, 1000L))
         }
         // `VERSION AS OF <latest>` (the common "pin what I see" shape)
-        // serves from the SnapshotCache; genuine history replays
-        val snapAtV = graft.tables.SnapshotCache.at(session, loc, Some(v))._2
-        val plan = t.toDF(snapAtV).queryExecution.analyzed
+        // serves snapshot AND plan from the cache; genuine history
+        // replays and builds fresh
+        val plan = graft.tables.SnapshotCache.dfAt(session, loc, v)
+          .queryExecution.analyzed
         // time-traveled COUNT(*)/MIN/MAX are metadata-only too, pinned at v
         plan.setTagValue(GraftSqlExtensions.ExactCountTag,
           () => GraftSqlExtensions.exactRowCount(session, loc, Some(v)))
@@ -301,10 +302,11 @@ object GraftSqlExtensions {
           // snapshot consistency.
           val loc = graft.io.TableIO.normalize(info.storageLocation.get)
           // cross-query cached: an unchanged table resolves its pinned
-          // version and builds its read plan without replaying the log
-          val (t, snap) = graft.tables.SnapshotCache.latest(session, loc)
+          // version AND reuses its constructed read plan — no log
+          // replay, no O(files) plan rebuild per query
+          val (_, snap, df) = graft.tables.SnapshotCache.latestDF(session, loc)
           val v = snap.version
-          val plan = t.toDF(snap).queryExecution.analyzed
+          val plan = df.queryExecution.analyzed
           plan.setTagValue(GraftSqlExtensions.ExactCountTag,
             () => GraftSqlExtensions.exactRowCount(session, loc, Some(v)))
           plan.setTagValue(GraftSqlExtensions.StatsRefTag, (loc, Some(v)))

@@ -42,7 +42,21 @@ import org.apache.spark.sql.SparkSession
   */
 object SnapshotCache {
 
-  private final case class Entry(log: CommitLog, sig: Long, snapshot: TxLog.Snapshot)
+  private final case class Entry(log: CommitLog, sig: Long, snapshot: TxLog.Snapshot) {
+    /** Per-SESSION memo of the constructed read DataFrame over this
+      * snapshot. Building the read plan is O(files) driver work — at
+      * 2,920 files `spark.read.parquet(paths…)` pays ~4s of listing +
+      * partition inference PER QUERY, which dominated every query on
+      * high-file-count tables even with the snapshot itself cached. A
+      * DataFrame over a pinned, immutable file set is deterministic, so
+      * it is built once per (location, version, session) and reused —
+      * the same reuse Delta's own DeltaLog.createDataFrame provides.
+      * Keyed by session (plans embed session state); tiny bound, and
+      * the whole memo dies with the entry on any commit.
+      */
+    val planMemo = new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.DataFrame](2)
+  }
 
   private val MaxLocations = 64
 
@@ -126,6 +140,51 @@ object SnapshotCache {
         (new TxTable(spark, location, e.log), e.snapshot)
       case _ => loadLatest(spark, location)
     }
+
+  /** The latest snapshot AND its memoized read DataFrame. On a cache
+    * hit the per-(version, session) plan memo makes this O(1): the
+    * O(files) plan construction (path listing, partition inference) is
+    * paid once per commit, not once per query — the fixed per-query
+    * cost that still dominated high-file-count tables after the
+    * snapshot replay itself was cached.
+    */
+  def latestDF(spark: SparkSession, location: String)
+      : (TxTable, TxLog.Snapshot, org.apache.spark.sql.DataFrame) =
+    get(location) match {
+      case Some(e) if signature(spark, location, e.log).contains(e.sig) =>
+        val t = new TxTable(spark, location, e.log)
+        (t, e.snapshot, memoizedDF(e, t))
+      case _ =>
+        val (t, snap) = loadLatest(spark, location)
+        val df = get(location) match {
+          // loadLatest stored an entry for exactly this snapshot: seed
+          // its memo so the NEXT query reuses this build
+          case Some(e2) if e2.snapshot eq snap => memoizedDF(e2, t)
+          case _ => t.toDF(snap)
+        }
+        (t, snap, df)
+    }
+
+  /** Read DataFrame pinned at `version`, riding the plan memo only when
+    * the pin IS the cached latest (same rule as [[at]]).
+    */
+  def dfAt(spark: SparkSession, location: String, version: Long)
+      : org.apache.spark.sql.DataFrame =
+    get(location) match {
+      case Some(e) if e.snapshot.version == version &&
+          signature(spark, location, e.log).contains(e.sig) =>
+        memoizedDF(e, new TxTable(spark, location, e.log))
+      case _ =>
+        val (t, snap) = at(spark, location, Some(version))
+        t.toDF(snap)
+    }
+
+  private def memoizedDF(e: Entry, t: TxTable): org.apache.spark.sql.DataFrame = {
+    // tiny session bound: entries outlive test sessions; don't pin more
+    // than a handful of session-tied plans per table version
+    if (e.planMemo.size > 4) e.planMemo.clear()
+    e.planMemo.computeIfAbsent(t.spark, _ => t.toDF(e.snapshot))
+  }
 
   /** Snapshot pinned at `version`: served from cache only when the
     * signature matches AND the cached latest IS that version (committed

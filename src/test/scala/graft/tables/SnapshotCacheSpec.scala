@@ -91,6 +91,31 @@ class SnapshotCacheSpec extends AnyFunSuite {
     assert(got.length == 2 && got.forall(_.getString(0) == "new"))
   }
 
+  test("the constructed read PLAN is reused across queries and dies with the entry") {
+    // plan construction is O(files) driver work (path listing, partition
+    // inference) — at 100k files it is the per-query cost that survives
+    // snapshot caching, so the DataFrame over a pinned snapshot memoizes
+    // per (version, session) and any commit drops the memo with its entry
+    val client = new LakehouseClient(spark)
+    client.createCatalog("snapc5")
+    client.createSchema("snapc5", "core")
+    val dir = TestSpark.tmpDir("snapcache5")
+    client.createAsTable((1L to 100L).map(i => (i, i % 5)).toDF("id", "p"),
+      "snapc5", "core", "t", FileType.DELTA, s"$dir/t")
+    val loc = graft.io.TableIO.normalize(s"$dir/t")
+    val (_, _, df1) = SnapshotCache.latestDF(spark, loc)
+    val (_, _, df2) = SnapshotCache.latestDF(spark, loc)
+    assert(df1 eq df2, "an unchanged table must reuse the SAME DataFrame instance")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapc5.core.t").collect()(0)
+      .getLong(0) == 100L)
+    TxTable.forAnyLocation(spark, loc).append(Seq((101L, 1L)).toDF("id", "p"))
+    val (_, snap3, df3) = SnapshotCache.latestDF(spark, loc)
+    assert(!(df3 eq df1), "a commit must invalidate the plan memo")
+    assert(df3.count() == 101L && snap3.version > 0L)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapc5.core.t").collect()(0)
+      .getLong(0) == 101L, "the SQL path must see the post-commit plan")
+  }
+
   test("pinned time travel rides the cache only when it IS the cached latest") {
     val client = new LakehouseClient(spark)
     client.createCatalog("snapc4")
