@@ -186,7 +186,8 @@ final class TxTable(val spark: SparkSession, val location: String,
     } }
   }
 
-  private def dfFor(s: Snapshot): DataFrame = {
+  private def dfFor(s: Snapshot): DataFrame = TxLog.withLocalSerialListing(
+      spark, location, s.files.size) {
     val df = log.dfForSnapshot(spark, location, s)
     // while an ANALYZE stamp is fresh (fingerprint match — maintained
     // across appends AND provable deletes by ColumnStats.foldAppend/
