@@ -83,6 +83,16 @@ object NearDup {
     * Instead each pair explodes into its two member ids, the (small)
     * member table broadcasts against a single shingle-set scan, and the
     * pair's two sets meet again in a tiny groupBy over matched rows only.
+    *
+    * The sets are DISTINCT SHINGLE HASHES, not shingle strings (guide
+    * §2.3 — the matched rows' sets cross the verify groupBy's exchange,
+    * so an 8-byte long per shingle moves ~k·avg-token-len fewer bytes
+    * than the string, and array_intersect compares longs): Jaccard over
+    * hashed sets equals Jaccard over string sets exactly unless two
+    * distinct shingles of the pair collide on 64 bits — the documented
+    * ~|S|²/2⁶⁵ bound on Kernels.shingleHashSet, zero at any realistic
+    * document size. The exact ALL-PAIRS baseline (`ngramJaccardPairs`,
+    * the oracle-checked ground truth) keeps string sets.
     */
   def verifyJaccard(
       candidates: DataFrame,
@@ -92,7 +102,7 @@ object NearDup {
       shingleK: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sets = df.select(col(idCol).as("__vid"),
-      graft.functions.TextNativeFunctions.shingleSet(col(textCol), shingleK).as("__set"))
+      graft.functions.TextNativeFunctions.shingleHashSet(col(textCol), shingleK).as("__set"))
     val members = candidates.select(
       explode(array(
         struct(col("id_a"), col("id_b"), col("id_a").as("__vid")),
@@ -340,14 +350,19 @@ object NearDup {
     * `minTokens` tokens are reported as (doc, start, end) in token
     * coordinates for a downstream cut-and-rejoin pass.
     *
-    * Scale shape: one posexplode to (doc, pos, gram) — O(total tokens)
-    * rows, the same order as the corpus itself — then ONE shuffle on the
-    * gram (the suffix-array step of the paper, re-expressed as a window:
-    * a gram is cross-doc iff min(doc) != max(doc) over its partition —
-    * computed in a single spill-capable window pass, no groupBy+join-back
-    * and no second corpus scan), and a per-doc window (doc_id
-    * partitioning, corpus-order parallelism) to merge runs with the
-    * classic islands trick. No pairwise comparisons anywhere.
+    * Scale shape: one native Generator pass to (doc, pos, gram-hash) —
+    * O(total tokens) rows, the same order as the corpus itself, one fused
+    * tokenize+hash eval per row with the gram STRING never built (the
+    * window only tests gram EQUALITY, so the 64-bit XXH64 carries the
+    * same information at ~6× fewer shuffle bytes and long-vs-string sort
+    * comparisons; collision bound documented on GramHashGen) — then ONE
+    * shuffle on the gram hash (the suffix-array step of the paper,
+    * re-expressed as a window: a gram is cross-doc iff min(doc) !=
+    * max(doc) over its partition — computed in a single spill-capable
+    * window pass, no groupBy+join-back and no second corpus scan), and a
+    * per-doc window (doc_id partitioning, corpus-order parallelism) to
+    * merge runs with the classic islands trick. No pairwise comparisons
+    * anywhere.
     */
   def duplicatedSpans(
       df: DataFrame,
@@ -356,13 +371,9 @@ object NearDup {
       gramK: Int = 8,
       minTokens: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      expr(s"regexp_extract_all(lower($textCol), '[a-z0-9\\']+', 0)").as("__t"))
-    val grams = toks
-      .filter(size(col("__t")) >= gramK)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("__t")) - gramK),
-        i => array_join(slice(col("__t"), i + 1, lit(gramK)), " "))).as(Seq("__pos", "__g")))
+    val grams = df.select(col(idCol),
+      graft.functions.TextNativeFunctions.gramHashes(col(textCol), gramK)
+        .as(Seq("__pos", "__g")))
     // positions whose gram occurs in more than one document: ONE shuffle
     // by gram, min/max running aggregates (distinct-doc>1 ⟺ min≠max)
     val wg = Window.partitionBy(col("__g"))

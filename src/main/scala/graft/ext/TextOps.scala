@@ -252,23 +252,27 @@ object TextOps {
   def bigramLmScore(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", trainMod: Long = 5L): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    val toks = df.select(col(idCol),
-      expr(s"regexp_extract_all(lower($textCol), '[a-z0-9\\']+', 0)").as("__t"))
-    val trans = toks.filter(size(col("__t")) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), size(col("__t")) - 2),
-        i => struct(element_at(col("__t"), i + 1).as("w1"),
-          element_at(col("__t"), i + 2).as("w2")))).as("__tr"))
-      .select(col(idCol), col("__tr.w1").as("__w1"), col("__tr.w2").as("__w2"))
+    // one fused tokenize→pair Generator eval per row: the HOF
+    // formulation's pushed-down `size(tokens)>=2` Filter re-ran the regex
+    // tokenizer per row on EVERY branch that consumed the stream (plan
+    // showed the regexp twice per scanned row, 4 branches deep)
+    val trans = df.select(col(idCol),
+      graft.functions.TextNativeFunctions.bigrams(col(textCol))
+        .as(Seq("__w1", "__w2")))
     val trainTrans = trans.filter(col(idCol) % trainMod === 0)
     val bigramCounts = trainTrans.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__cb"))
-    val prefixCounts = trainTrans.groupBy(col("__w1"))
-      .agg(count(lit(1)).as("__cp"))
+    // c(w1,·) = Σ_w2 c(w1,w2): derived from the bigram counts instead of
+    // re-tokenizing + re-shuffling the whole training slice a second time
+    // (identical values by definition; removes one corpus scan and one
+    // corpus-sized exchange from the plan)
+    val prefixCounts = bigramCounts.groupBy(col("__w1"))
+      .agg(sum(col("__cb")).as("__cp"))
     // V = |training vocabulary| (all tokens, not just transition
     // prefixes) as a 1-row broadcast — stays in-plan, no collect
-    val vocabV = toks.filter(col(idCol) % trainMod === 0)
-      .select(explode(col("__t")).as("__tok"))
+    val vocabV = df.filter(col(idCol) % trainMod === 0)
+      .select(graft.functions.TextNativeFunctions.tokensGen(col(textCol))
+        .as(Seq("__tok")))
       .agg(count_distinct(col("__tok")).as("__v"))
     val p = (coalesce(col("__cb"), lit(0L)) + lit(1L)).cast(DoubleType) /
       (coalesce(col("__cp"), lit(0L)) + col("__v")).cast(DoubleType)

@@ -49,6 +49,39 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct XXH64 hashes (sorted ascending) of the k-token shingles —
+    * the set-equality proxy `verifyJaccard` intersects instead of the
+    * shingle STRINGS: an 8-byte long per distinct shingle vs the ~k·token
+    * string, with set sizes preserved exactly unless two distinct shingles
+    * collide on 64 bits (~|S|²/2⁶⁵ expected pairs per document — zero at
+    * any realistic document size; same accepted bound as the winnowing
+    * fingerprint family). Hashes are computed over windows of one packed
+    * token buffer — no per-shingle String/encode (see TokenizeUtil.packed).
+    */
+  def shingleHashSet(text: UTF8String, k: Int): ArrayData = {
+    val p = TokenizeUtil.packed(text.toString)
+    val nShingles = if (p.n < k) 1 else p.n - k + 1
+    val hs = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      val off = if (p.n == 0) 0 else p.starts(i)
+      val end =
+        if (p.n == 0) 0
+        else if (p.n < k) p.ends(p.n - 1)
+        else p.ends(i + k - 1)
+      hs(i) = XxHash64.hash(p.buf, off, end - off, 0L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < nShingles) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
   def hyperplaneSig(x: ArrayData, numPlanes: Int, table: Int): Long = {
     val n = x.numElements()
     var sig = 0L

@@ -31,6 +31,43 @@ object TokenizeUtil {
   @inline private def isTokenChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\''
 
+  /** Tokens of `text` packed into ONE ASCII byte buffer, joined by single
+    * spaces, with per-token offsets: token i occupies `buf[starts(i),
+    * ends(i))`. Because a k-token shingle joined by single spaces is a
+    * CONTIGUOUS slice `buf[starts(i), ends(i+k-1))`, and token chars are
+    * pure ASCII (runs of [a-z0-9']), that slice is byte-identical to
+    * `shingles(text,k)(i).getBytes("UTF-8")` — the sketch hot paths hash
+    * these windows in place, with zero per-shingle String/encode/copy
+    * work. Same tokenization as `tokens` (whole-string toLowerCase first,
+    * so exotic case mappings like U+212A → 'k' agree).
+    */
+  final class Packed(val buf: Array[Byte], val starts: Array[Int],
+      val ends: Array[Int], val n: Int)
+
+  def packed(text: String): Packed = {
+    val s = text.toLowerCase
+    val len = s.length
+    val buf = new Array[Byte](len)
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    var n = 0
+    var w = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && !isTokenChar(s.charAt(i))) i += 1
+      if (i < len) {
+        if (n > 0) { buf(w) = ' '.toByte; w += 1 }
+        starts(n) = w
+        while (i < len && isTokenChar(s.charAt(i))) {
+          buf(w) = s.charAt(i).toByte; w += 1; i += 1
+        }
+        ends(n) = w
+        n += 1
+      }
+    }
+    new Packed(buf, starts, ends, n)
+  }
+
   /** k-token shingles joined by single spaces; if fewer than k tokens, one
     * shingle with all tokens (mirrors TextOps.shingles).
     */
@@ -82,13 +119,21 @@ case class MinHashBandsGen(
     val v = child.eval(input)
     if (v == null) return Iterator.empty
     val text = v.asInstanceOf[UTF8String].toString
-    val shingles = TokenizeUtil.shingles(text, shingleK)
+    // shingle i = packed.buf[starts(i), ends(i+k-1)) — hash windows of one
+    // packed buffer in place (byte-identical to the joined-String route,
+    // which paid a String build + UTF-8 encode per shingle)
+    val p = TokenizeUtil.packed(text)
+    val nShingles = if (p.n < shingleK) 1 else p.n - shingleK + 1
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
-    while (i < shingles.length) {
-      val bytes = shingles(i).getBytes("UTF-8")
-      val h1 = XxHash64.hash(bytes, 0L)
-      val h2 = XxHash64.hash(bytes, 1L) | 1L
+    while (i < nShingles) {
+      val off = if (p.n == 0) 0 else p.starts(i)
+      val end =
+        if (p.n == 0) 0
+        else if (p.n < shingleK) p.ends(p.n - 1)
+        else p.ends(i + shingleK - 1)
+      val h1 = XxHash64.hash(p.buf, off, end - off, 0L)
+      val h2 = XxHash64.hash(p.buf, off, end - off, 1L) | 1L
       var j = 0
       var h = h1
       while (j < numHashes) {
@@ -120,6 +165,141 @@ case class MinHashBandsGen(
   override def prettyName: String = "minhash_bands_gen"
 }
 
+/** Generator: text → one (pos, gram_hash) row per k-token-gram start
+  * position — the duplicated-spans map stage with the gram STRING
+  * replaced by its 64-bit XXH64 (hash of the space-joined gram's UTF-8
+  * bytes, computed over a window of one packed token buffer).
+  *
+  * Why (guide §2.3, shuffle keys instead of payloads): the downstream
+  * cross-doc test only ever compares grams for EQUALITY (window
+  * partitioned by gram), so an 8-byte hash key carries the same
+  * information as the ~8·avg-token-len gram string at ~6× fewer shuffle
+  * bytes and long-vs-string sort comparisons. It also fuses
+  * tokenize→gram into one eval per row: the HOF formulation paid the
+  * regex tokenizer twice per row (once under the pushed-down
+  * `size(tokens)>=k` Filter, once in the Project — same Catalyst
+  * duplication MinHashBandsGen's doc describes) plus an O(tokens·k)
+  * string build per row.
+  *
+  * Collision bound: distinct grams colliding on 64 bits could mark a
+  * position duplicated that is not. With G distinct grams the expected
+  * number of colliding pairs is ~G²/2⁶⁵ — at the 10⁷-gram scale of the
+  * ×10 fixture that is ~10⁻⁵ expected pairs, zero observed (same
+  * accepted bound as the winnowing fingerprint family; the hash-exact
+  * oracle gate would surface one).
+  *
+  * Emits nothing when the document has fewer than gramK tokens (the old
+  * formulation's explicit Filter, folded in).
+  */
+case class GramHashGen(child: Expression, gramK: Int)
+    extends UnaryExpression with CollectionGenerator with CodegenFallback {
+  require(gramK >= 1, "gramK must be >= 1")
+
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gram_hash", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val p = TokenizeUtil.packed(v.asInstanceOf[UTF8String].toString)
+    if (p.n < gramK) return Iterator.empty
+    val out = new Array[InternalRow](p.n - gramK + 1)
+    var i = 0
+    while (i < out.length) {
+      val off = p.starts(i)
+      val end = p.ends(i + gramK - 1)
+      out(i) = InternalRow(i, XxHash64.hash(p.buf, off, end - off, 0L))
+      i += 1
+    }
+    out.iterator
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "gram_hash_gen"
+}
+
+/** Generator: text → one (w1, w2) row per adjacent token pair — the
+  * bigram-LM transition stream fused into one tokenizing eval per row.
+  * Replaces `filter(size(tokens)>=2)` + `explode(transform(sequence(...),
+  * struct(element_at...)))`, whose pushed-down Filter re-evaluated the
+  * regex tokenizer per row a second time (the same Catalyst duplication
+  * MinHashBandsGen's doc describes). Emits the token STRINGS (they are
+  * join/group keys downstream — exact parity, no hashing). Documents
+  * with fewer than two tokens emit nothing, like the old Filter.
+  */
+case class BigramGen(child: Expression)
+    extends UnaryExpression with CollectionGenerator with CodegenFallback {
+
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val p = TokenizeUtil.packed(v.asInstanceOf[UTF8String].toString)
+    if (p.n < 2) return Iterator.empty
+    val toks = new Array[UTF8String](p.n)
+    var i = 0
+    while (i < p.n) {
+      toks(i) = UTF8String.fromBytes(p.buf, p.starts(i), p.ends(i) - p.starts(i))
+      i += 1
+    }
+    val out = new Array[InternalRow](p.n - 1)
+    i = 0
+    while (i < out.length) {
+      out(i) = InternalRow(toks(i), toks(i + 1))
+      i += 1
+    }
+    out.iterator
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "bigram_gen"
+}
+
+/** Generator: text → one row per token (the token string) — `explode` of
+  * the tokenizer without the array materialization, and without the
+  * `size(...)>0` filter InferFiltersFromGenerate plants under an explode
+  * (whose pushdown re-evaluates the tokenizer per row — see BigramGen).
+  */
+case class TokensGen(child: Expression)
+    extends UnaryExpression with CollectionGenerator with CodegenFallback {
+
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def collectionType: DataType = ArrayType(elementSchema, containsNull = false)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("tok", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val p = TokenizeUtil.packed(v.asInstanceOf[UTF8String].toString)
+    val out = new Array[InternalRow](p.n)
+    var i = 0
+    while (i < p.n) {
+      out(i) = InternalRow(
+        UTF8String.fromBytes(p.buf, p.starts(i), p.ends(i) - p.starts(i)))
+      i += 1
+    }
+    out.iterator
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "tokens_gen"
+}
+
 /** text → array<string> of distinct k-token shingles, natively (for exact
   * Jaccard verification without HOF tokenization).
   */
@@ -140,6 +320,28 @@ case class ShingleSetExpr(child: Expression, shingleK: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "shingle_set"
+}
+
+/** text → array<long> of distinct sorted shingle hashes (the Jaccard
+  * set proxy — see Kernels.shingleHashSet for the collision bound).
+  */
+case class ShingleHashSetExpr(child: Expression, shingleK: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.shingleHashSet(input.asInstanceOf[UTF8String], shingleK)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashSet($c, $shingleK)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "shingle_hash_set"
 }
 
 /** text → 64-bit SimHash over word tokens, fused tokenize+hash+vote. */
@@ -467,6 +669,13 @@ object TextNativeFunctions {
   def minhashBandsGen(text: Column, shingleK: Int, numHashes: Int, bands: Int): Column =
     toCol(MinHashBandsGen(toExpr(text), shingleK, numHashes, bands))
 
+  def gramHashes(text: Column, gramK: Int): Column =
+    toCol(GramHashGen(toExpr(text), gramK))
+
+  def bigrams(text: Column): Column = toCol(BigramGen(toExpr(text)))
+
+  def tokensGen(text: Column): Column = toCol(TokensGen(toExpr(text)))
+
   def repetitionStats(text: Column): Column =
     toCol(RepetitionStatsGen(toExpr(text)))
 
@@ -475,6 +684,9 @@ object TextNativeFunctions {
 
   def shingleSet(text: Column, shingleK: Int): Column =
     toCol(ShingleSetExpr(toExpr(text), shingleK))
+
+  def shingleHashSet(text: Column, shingleK: Int): Column =
+    toCol(ShingleHashSetExpr(toExpr(text), shingleK))
 
   def simhashText(text: Column): Column = toCol(SimHashTextExpr(toExpr(text)))
 

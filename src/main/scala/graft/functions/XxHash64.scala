@@ -11,16 +11,22 @@ object XxHash64 {
   private val Prime4 = -8796714831421723037L // 9650029242287828579
   private val Prime5 = 2870177450012600261L
 
-  def hash(data: Array[Byte], seed: Long): Long = {
-    val len = data.length
+  def hash(data: Array[Byte], seed: Long): Long = hash(data, 0, data.length, seed)
+
+  /** Hash of `data[off, off+len)` — byte-identical to hashing a copied
+    * slice, so callers can hash windows of one packed buffer without a
+    * per-window allocation (the MinHash/gram hot paths).
+    */
+  def hash(data: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    val end = off + len
     var h: Long = 0L
-    var i = 0
+    var i = off
     if (len >= 32) {
       var v1 = seed + Prime1 + Prime2
       var v2 = seed + Prime2
       var v3 = seed
       var v4 = seed - Prime1
-      while (i + 32 <= len) {
+      while (i + 32 <= end) {
         v1 = round(v1, readLong(data, i))
         v2 = round(v2, readLong(data, i + 8))
         v3 = round(v3, readLong(data, i + 16))
@@ -34,17 +40,17 @@ object XxHash64 {
       h = seed + Prime5
     }
     h += len
-    while (i + 8 <= len) {
+    while (i + 8 <= end) {
       h ^= round(0L, readLong(data, i))
       h = java.lang.Long.rotateLeft(h, 27) * Prime1 + Prime4
       i += 8
     }
-    if (i + 4 <= len) {
+    if (i + 4 <= end) {
       h ^= (readInt(data, i) & 0xffffffffL) * Prime1
       h = java.lang.Long.rotateLeft(h, 23) * Prime2 + Prime3
       i += 4
     }
-    while (i < len) {
+    while (i < end) {
       h ^= (data(i) & 0xffL) * Prime5
       h = java.lang.Long.rotateLeft(h, 11) * Prime1
       i += 1
