@@ -82,6 +82,28 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** The 2^-48-quantized exact dot product (EmbeddingQueries' determinism
+    * contract) in one fused loop: per element t = floor(x·y·2^48) — an
+    * exact int64 for |x·y| < 16 — summed in a long (exact: 64 dims ×
+    * |t| < 2^52 stays under 2^58, far from overflow), then long→double
+    * (round-to-nearest-even, identical to the DECIMAL(38,0)→VARCHAR→
+    * DOUBLE route for integers) and unscaled by the exact power 2^48.
+    * Value-identical to the zip_with/aggregate/decimal formulation it
+    * replaces — which Spark evaluated INTERPRETED (higher-order functions
+    * are CodegenFallback) with a per-element Decimal allocation.
+    */
+  def dotExact48(a: ArrayData, b: ArrayData): Double = {
+    val P48 = 281474976710656.0 // 2^48
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += math.floor(a.getFloat(i).toDouble * b.getFloat(i).toDouble * P48).toLong
+      i += 1
+    }
+    sum.toDouble / P48
+  }
+
   def hyperplaneSig(x: ArrayData, numPlanes: Int, table: Int): Long = {
     val n = x.numElements()
     var sig = 0L

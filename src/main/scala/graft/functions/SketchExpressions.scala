@@ -174,6 +174,31 @@ case class FloatDotExpr(left: Expression, right: Expression)
   override def prettyName: String = "float_dot"
 }
 
+/** array<float> × array<float> → the 2^-48-quantized EXACT dot product
+  * (see Kernels.dotExact48 — value-identical to the zip_with/aggregate/
+  * DECIMAL(38,0) formulation, evaluated in one codegen'd loop instead of
+  * interpreted HOFs with per-element Decimal allocation).
+  */
+case class DotExact48Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(Kernels.dotExact48(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotExact48($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_exact48"
+}
+
 /** Sign-random-projection LSH signature of an array<float> embedding:
   * `numPlanes` hyperplane sign bits packed into a long. Plane weights are
   * derived deterministically from XXH64(table, plane, dim) — identical on
@@ -268,6 +293,8 @@ object SketchFunctions {
   def simhash64(tokens: Column): Column = toCol(SimHash64Expr(toExpr(tokens)))
 
   def floatDot(a: Column, b: Column): Column = toCol(FloatDotExpr(toExpr(a), toExpr(b)))
+
+  def dotExact48(a: Column, b: Column): Column = toCol(DotExact48Expr(toExpr(a), toExpr(b)))
 
   def hyperplaneSig(emb: Column, numPlanes: Int, table: Int = 0): Column =
     toCol(HyperplaneSigExpr(toExpr(emb), numPlanes, table))

@@ -33,15 +33,16 @@ object EmbeddingQueries {
   private val SqlP48 = "CAST('281474976710656' AS DOUBLE)"
 
   /** Deterministic 2^-48-quantized dot product of two float arrays (class
-    * doc explains why this is the exactness-safe formulation). Spark's
-    * floor(double) yields LongType — exact int64 terms — folded exactly in
-    * DECIMAL(38,0).
+    * doc explains why this is the exactness-safe formulation) — evaluated
+    * by the native DotExact48Expr: the zip_with/aggregate/DECIMAL(38,0)
+    * formulation it is value-identical to (long accumulation is exact for
+    * the documented |term| < 2^52 / 64-dim bound; long→double conversion
+    * rounds to nearest even, same as the decimal digit-string route) was
+    * interpreted per element (HOFs are CodegenFallback) and allocated a
+    * Decimal per term — it dominated the brute-force kNN map stage.
     */
   private def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(P48)).cast(Dec0)),
-      lit(0).cast(Dec0),
-      (acc, v) => (acc + v).cast(Dec0)).cast(StringType).cast(DoubleType) / lit(P48)
+    graft.functions.SketchFunctions.dotExact48(a, b)
 
   private def norm2Exact(a: Column): Column = dotExact(a, a)
 
@@ -67,14 +68,18 @@ object EmbeddingQueries {
       "q51_knn_bruteforce",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
+        // norms computed ONCE PER SIDE before the pair join (identical
+        // doubles — same per-element math); the old per-pair placement
+        // evaluated 3 exact dots per (query, candidate) row instead of 1
         val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-        val c = e.select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            norm2Exact(col("embedding")).as("qn2"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+          norm2Exact(col("embedding")).as("cn2"))
         val pairs = c.join(broadcast(q), col("cid") =!= col("qid"))
           .select(col("qid"), col("cid"),
             dotExact(col("qemb"), col("cemb")).as("dot"),
-            norm2Exact(col("qemb")).as("qn2"),
-            norm2Exact(col("cemb")).as("cn2"))
+            col("qn2"), col("cn2"))
         // bounded-heap top-k operator, not a Window.partitionBy(qid) sort:
         // at scale the window funnels all corpus×#queries candidate rows
         // into #queries tasks; TopKPerKey keeps the selection map-side.

@@ -123,6 +123,32 @@ class TextNativeParitySpec extends AnyFunSuite {
     }
   }
 
+  test("DotExact48Expr matches the zip_with/aggregate/DECIMAL formulation") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val Dec0 = DecimalType(38, 0)
+    val P48 = java.lang.Double.parseDouble("281474976710656")
+    def oldDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) => floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(P48)).cast(Dec0)),
+        lit(0).cast(Dec0),
+        (acc, v) => (acc + v).cast(Dec0)).cast("string").cast(DoubleType) / lit(P48)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f),
+        Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select($"id",
+        SketchFunctions.dotExact48($"a", $"b").as("neu"),
+        oldDot($"a", $"b").as("alt"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("BigramGen / TokensGen emit the old explode streams in order") {
     val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val gotBi = df.select($"id", TextNativeFunctions.bigrams($"text").as(Seq("w1", "w2")))
