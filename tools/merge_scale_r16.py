@@ -63,59 +63,35 @@ bench1 = load_pair("/tmp/bench_sf1_r16", "total")
 sc01 = load_pair("/tmp/sc_sf01_r16", "scalecheck")
 sc1 = load_pair("/tmp/sc_sf1_r16", "scalecheck")
 
-# sidecar_filtered_scan: passes 1-2 accidentally reused the SQL-path
-# plan INSTANCE for the scan twin, whose rewrite tags made the "scan"
-# serve metadata-only (~0.02s at both scales — not a scan). The twin was
-# fixed (fresh untagged plan, construction outside the timed region) and
-# re-measured in pass 3 at both scales; that pass alone is the scan value.
-sc01["queries"]["sidecar_filtered_scan"] = last_json(
-    "/tmp/sc_sf01_r16_3.out", "scalecheck")["queries"]["sidecar_filtered_scan"]
-sc1["queries"]["sidecar_filtered_scan"] = last_json(
-    "/tmp/sc_sf1_r16_3.out", "scalecheck")["queries"]["sidecar_filtered_scan"]
+# (the sidecar_filtered_scan twin fix — fresh untagged plan built outside
+# the timed region, FileScan required in the plan — is in ScaleCheck
+# itself since the first record, so every pass now measures a genuine
+# scan; the earlier pass-3-only override is obsolete.)
 
 record = {
     "metric": "scale_check_x10",
     "protocol": (
-        "ScaleGen x10 key-shifted amplification of /root/testdata/sf0.1 -> "
-        "/tmp/graft-sf1; graft.Bench + graft.ScaleCheck at both scales, "
-        "local[32]; every entry at both scales is the per-entry minimum "
-        "over the recorded full runs (min-of-two). Round-16 additions: "
-        "cross-QUERY SnapshotCache (log-dir-signature-validated) behind "
-        "every SQL resolution and stamped serve; the sidecar scan twin "
-        "now resolves through the same cache (serve-vs-scan, not "
-        "cached-vs-uncached); iceberg_sidecar_* = the 365-tuple sidecar "
-        "cycle on an ICEBERG table; minhash_fixed_dup_twin = q47's "
-        "operator with dup pairs held CONSTANT while the corpus grows "
-        "(every token doc_id-salted, exactly 1000 planted exact-copy "
-        "pairs at both scales). MEASURED ATTRIBUTION: the twin's x10 "
-        "ratio (6.7x) matches q47's own (6.6x) despite dup pairs held "
-        "constant — candidate-pair growth from ScaleGen's verbatim text "
-        "replication contributes ~nothing at these scales; the ratio is "
-        "the COMPUTE-BOUND map stage (tokenize + shingle + 64 minhashes "
-        "per doc) scaling ~linearly at fixed parallelism, corroborated "
-        "by the other text-compute probes clustering at the same 5-7x "
-        "(bigram_lm_score 5.0x, doc_chunking 7.2x) while low-compute "
-        "scans sit at 3-4x (fixed overheads amortize differently). "
-        "Nothing superlinear: 10x data stays under 10x wall everywhere. "
-        "iceberg_sidecar_retention_drop's 7x (0.18s -> 1.29s) was "
-        "instrumented post-hoc: the DATA commit is metadata-only and "
-        "flat (0.07s at both scales, stampless delete 0.19s), the layer "
-        "survives via the pure-drop keep (300 tuples listed), and the "
-        "entire delta is CPU inside foldDelete's derivation + sidecar "
-        "rewrite (0.34s -> 1.40s), which tracks LAYER bytes (sidecar "
-        "7->12 MB as the per-tuple GK digests grow ~log N toward their "
-        "8 MB budget) — bounded by the sidecar byte caps, not "
-        "data-proportional; the Delta twin's flat 0.66s is the same "
-        "work in a regime where its constant already dominated. "
-        "Bench headline remains a CBO off/on A/B (contract "
-        "metric = the off arm; on arm in cbo_ab). "
-        "sidecar_filtered_scan comes from pass 3 ONLY at both scales: "
-        "passes 1-2 reused the SQL-tagged plan instance and the scan twin "
-        "accidentally SERVED metadata-only (the fix builds a fresh "
-        "untagged plan outside the timed region and requires FileScan in "
-        "the plan); all other entries are min over passes 1-3 (sf runs 3 "
-        "executed the identical probe code except that twin). "
-        "Per-pass logs /tmp/{bench,sc}_sf{01,1}_r16_{1,2,3}.out"),
+        "RE-RECORDED at the round-16 FINAL OPTIMIZED HEAD (after the "
+        "OPTIMIZATION_r16.md changes: packed-buffer text kernels, hashed "
+        "gram/shingle equality keys, fused bigram/token generators, "
+        "native exact embedding dot, kNN norm hoist) — supersedes the "
+        "mid-round record taken before those changes. ScaleGen x10 "
+        "key-shifted amplification of /root/testdata/sf0.1 -> "
+        "/tmp/graft-sf1 (fixture regenerated this session, deterministic); "
+        "graft.Bench + graft.ScaleCheck at both scales, local[32]; every "
+        "entry at both scales is the per-entry minimum over two full runs "
+        "(min-of-two). Carried round-16 probes: cross-QUERY SnapshotCache "
+        "behind every SQL resolution and stamped serve (serve-vs-scan "
+        "twins, both through the cache); iceberg_sidecar_* = the "
+        "365-tuple sidecar cycle on an ICEBERG table; "
+        "minhash_fixed_dup_twin = q47's operator with dup pairs held "
+        "CONSTANT while the corpus grows. The sidecar_filtered_scan twin "
+        "builds a fresh untagged plan outside the timed region and "
+        "requires FileScan in the plan (fix in ScaleCheck since the "
+        "first record — every pass here measures a genuine scan). "
+        "Bench headline remains a CBO off/on A/B (contract metric = the "
+        "off arm; on arm in cbo_ab). "
+        "Per-pass logs /tmp/{bench,sc}_sf{01,1}_r16_{1,2}.out"),
     "sf0_1": {"bench": bench01, "scalecheck": sc01},
     "sf1": {"bench": bench1, "scalecheck": sc1},
     "wallclock_ratio_10x_data": {
