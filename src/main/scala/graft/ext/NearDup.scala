@@ -419,9 +419,15 @@ object NearDup {
           coalesce(!exists(col("__spans"),
             sp => i >= sp.getField("s") && i <= sp.getField("e")), lit(true))), " "))
       .withColumn("n_tokens_before", size(col("__t")).cast(LongType))
+      // spans are disjoint merged islands within [0, n_before-1], so the
+      // kept-token count is n_before − Σ span lengths — identical to (and
+      // ~spans× cheaper than) re-running the positional membership filter
+      // a second time per row
       .withColumn("n_tokens_after",
-        size(expr("filter(__t, (x, i) -> " +
-          "coalesce(NOT exists(__spans, sp -> i >= sp.s AND i <= sp.e), true))")).cast(LongType))
+        (size(col("__t")).cast(LongType) - coalesce(
+          aggregate(col("__spans"), lit(0L),
+            (acc, sp) => acc + (sp.getField("e") - sp.getField("s") + lit(1L))),
+          lit(0L))).cast(LongType))
       .drop("__t", "__spans")
   }
 

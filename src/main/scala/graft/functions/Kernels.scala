@@ -82,6 +82,22 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Word-token count in one scan (see TokenCountExpr). */
+  def tokenCount(text: UTF8String): Long = {
+    val s = text.toString.toLowerCase
+    var n = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && !isTok(s.charAt(i))) i += 1
+      if (i < len) { n += 1; while (i < len && isTok(s.charAt(i))) i += 1 }
+    }
+    n
+  }
+
+  @inline private def isTok(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\''
+
   /** The 2^-48-quantized exact dot product (EmbeddingQueries' determinism
     * contract) in one fused loop: per element t = floor(x·y·2^48) — an
     * exact int64 for |x·y| < 16 — summed in a long (exact: 64 dims ×

@@ -300,6 +300,30 @@ case class TokensGen(child: Expression)
   override def prettyName: String = "tokens_gen"
 }
 
+/** text → number of word tokens — `size(filter(split(lower(text),
+  * "[^a-z0-9']+"), len>0))` without materializing the token array or
+  * paying the interpreted higher-order filter: one scan counting token
+  * runs (same token definition as TokenizeUtil, proven split-equivalent
+  * by the q72 oracle family).
+  */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Kernels.tokenCount(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "token_count"
+}
+
 /** text → array<string> of distinct k-token shingles, natively (for exact
   * Jaccard verification without HOF tokenization).
   */
@@ -687,6 +711,8 @@ object TextNativeFunctions {
 
   def shingleHashSet(text: Column, shingleK: Int): Column =
     toCol(ShingleHashSetExpr(toExpr(text), shingleK))
+
+  def tokenCount(text: Column): Column = toCol(TokenCountExpr(toExpr(text)))
 
   def simhashText(text: Column): Column = toCol(SimHashTextExpr(toExpr(text)))
 

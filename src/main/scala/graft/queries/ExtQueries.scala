@@ -27,7 +27,9 @@ object ExtQueries {
         val d = Tables.documents(s, dir)
         d.select(col("doc_id"),
           size(TextOps.bpeishTokens(col("text"))).cast(LongType).as("n_bpeish_tokens"),
-          size(TextOps.tokens(col("text"))).cast(LongType).as("n_word_tokens"))
+          // native one-scan count — no token array, no interpreted HOF
+          // filter (split-equivalence proven by the q72 oracle family)
+          graft.functions.TextNativeFunctions.tokenCount(col("text")).as("n_word_tokens"))
       },
       Some("""SELECT doc_id,
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens,
@@ -472,7 +474,7 @@ object ExtQueries {
       (s, dir) => {
         val d = Tables.documents(s, dir)
         val base = d.select(col("doc_id"), col("source"),
-          size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"),
+          graft.functions.TextNativeFunctions.tokenCount(col("text")).as("n_tokens"),
           (col("n_chars") * lit(-10000000L) + col("doc_id")).as("__ord"))
         val budgets = (0 until 20).map(i => s"src$i" -> (800L + 120L * i)).toMap
         graft.ext.Sampling.tokenBudgetMix(base, "source", "__ord", "n_tokens", budgets)

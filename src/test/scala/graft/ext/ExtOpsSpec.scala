@@ -129,6 +129,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(spans == Set((1L, 2L, 21L), (2L, 5L, 24L)), spans.mkString(","))
   }
 
+  test("removeDuplicatedSpans: n_tokens_after equals the re-tokenized clean_text") {
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three four five $shared"),
+      (3L, "nothing in common here at all with anyone else today")
+    ).toDF("doc_id", "text")
+    val out = NearDup.removeDuplicatedSpans(docs, gramK = 8, minTokens = 15)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_tokens_before"), r.getAs[Long]("n_tokens_after"))).toSeq
+    assert(out.length === 3)
+    out.foreach { case (id, clean, before, after) =>
+      // the arithmetic span-subtraction must agree with actually counting
+      // the kept tokens (and with the untouched doc's full count)
+      val counted = graft.functions.TokenizeUtil.tokens(clean).length.toLong
+      assert(after === counted, s"doc $id")
+      if (id == 3L) assert(after === before)
+      else assert(after < before, s"doc $id should have lost its span")
+    }
+  }
+
   test("SemDeDup semantic dedup drops planted duplicates, keeps the lowest id") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")

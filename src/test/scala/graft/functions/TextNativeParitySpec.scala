@@ -123,6 +123,20 @@ class TextNativeParitySpec extends AnyFunSuite {
     }
   }
 
+  test("TokenCountExpr matches size(filter(split(...))) and TokenizeUtil") {
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select($"id",
+        TextNativeFunctions.tokenCount($"text").as("n"),
+        size(filter(split(lower($"text"), "[^a-z0-9']+"), t => length(t) > 0))
+          .cast("long").as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"id=${r.getLong(0)}")
+      assert(r.getLong(1) ===
+        TokenizeUtil.tokens(samples(r.getLong(0).toInt)).length.toLong)
+    }
+  }
+
   test("DotExact48Expr matches the zip_with/aggregate/DECIMAL formulation") {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val Dec0 = DecimalType(38, 0)
