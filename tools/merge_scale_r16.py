@@ -79,8 +79,12 @@ record = {
         "key-shifted amplification of /root/testdata/sf0.1 -> "
         "/tmp/graft-sf1 (fixture regenerated this session, deterministic); "
         "graft.Bench + graft.ScaleCheck at both scales, local[32]; every "
-        "entry at both scales is the per-entry minimum over two full runs "
-        "(min-of-two). Carried round-16 probes: cross-QUERY SnapshotCache "
+        "entry at both scales is the per-entry minimum over THREE full "
+        "runs — passes 1-2 after the text/embedding optimization commits, "
+        "pass 3 at the final HEAD which additionally carries the native "
+        "token-count map stages (q46/q103) and the q92 arithmetic count; "
+        "probe code is otherwise identical across passes. Carried "
+        "round-16 probes: cross-QUERY SnapshotCache "
         "behind every SQL resolution and stamped serve (serve-vs-scan "
         "twins, both through the cache); iceberg_sidecar_* = the "
         "365-tuple sidecar cycle on an ICEBERG table; "
